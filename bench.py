@@ -1,0 +1,67 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (distributed execution,
+no driver collect) after a warm-up pass of the catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from graph_db_clustering_spark.catalog import TABLES, load_table
+from graph_db_clustering_spark.queries.corpus import QUERIES
+from graph_db_clustering_spark.session import get_spark
+
+HEADLINE = [
+    "q05",  # pushdown-heavy scan filter
+    "q08",  # crossJoin(broadcast) + window top-1 (assignment plan shape)
+    "q10",  # multi-way join + agg (TPC-H flavor)
+    "q16",  # cosine top-1 over embeddings (HOF expressions)
+    "q24",  # exact percentile
+    "q27",  # running-sum window
+    "q39",  # tumbling window agg
+    "q41",  # dedup agg
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("gdc-spark-bench")
+    # warm-up: touch every table so JVM/codegen startup isn't billed to q1
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""Local DuckDB oracle harness — mirrors the driver's t2 correctness check.
+
+Runs a Spark query callable and its declared DuckDB SQL side by side on the
+same parquet tables, canonicalizes both results (columns sorted by name,
+rows sorted, values normalized), and compares. Used by tests/ to gate every
+declared query before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from graph_db_clustering_spark.catalog import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    """Normalize one value for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # values are rounded in-query; collapse representation noise
+        return round(v, 6)
+    if isinstance(v, (pd.Timestamp,)):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (int,)):
+        return int(v)
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def compare(spark_df, duck_sql: str, sf_dir: str) -> dict:
+    """Return a comparison report; report['match'] is the gate."""
+    spark_pd = spark_df.toPandas()
+    con = duck_connection(sf_dir)
+    try:
+        duck_pd = con.execute(duck_sql).df()
+    finally:
+        con.close()
+
+    report = {
+        "spark_rows": len(spark_pd),
+        "duck_rows": len(duck_pd),
+        "spark_cols": sorted(spark_pd.columns),
+        "duck_cols": sorted(duck_pd.columns),
+    }
+    report["cols_match"] = report["spark_cols"] == report["duck_cols"]
+    report["rows_match"] = report["spark_rows"] == report["duck_rows"]
+    if not (report["cols_match"] and report["rows_match"]):
+        report["match"] = False
+        return report
+
+    s_rows = canonical_rows(spark_pd)
+    d_rows = canonical_rows(duck_pd)
+    report["match"] = s_rows == d_rows
+    if not report["match"]:
+        diffs = [
+            (i, s, d) for i, (s, d) in enumerate(zip(s_rows, d_rows)) if s != d
+        ]
+        report["first_diffs"] = diffs[:5]
+    return report

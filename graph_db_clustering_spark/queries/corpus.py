@@ -1,0 +1,836 @@
+"""The declared oracle-query corpus (SURVEY.md §2.12, Q01–Q41).
+
+Each query is implemented with the DataFrame API (so the logical plan is
+declared and Catalyst plans it — pushdown, pruning, join selection, AQE all
+apply) and paired with the ANSI/DuckDB SQL oracle the driver hash-checks at
+sf0.01.
+
+Determinism rules (SURVEY §2.12): every query ends with ORDER BY over a
+unique key set, floats are rounded in-query, no rand()/approx_*/current_*,
+explicit NULLS FIRST where a sort key is nullable, no raw array indexing
+(Spark 0-based vs DuckDB 1-based), arithmetic hash instead of engine hash.
+Column names are aliased identically on both sides — the driver's compare
+sorts columns by name before hashing.
+
+Scale notes are given per-query; the general posture (SURVEY §4.3): dims
+(region/nation/supplier, centroid sets) are broadcast; fact-fact joins
+shuffle on their keys with AQE handling skew; window functions partition on
+high-cardinality keys; nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.functions.vectors import cosine_similarity, vec_sum
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def declared(name: str, oracle: str | None = None):
+    """Register a declared query; ``oracle`` is the DuckDB-dialect SQL."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 — scans, projections, filters, predicates
+# ---------------------------------------------------------------------------
+
+
+@declared("q01", "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+def q01(spark, sf_dir):
+    """Scan + project (full node scan analog, image_classification.py:373-380)."""
+    return _t(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+@declared(
+    "q02",
+    "SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "ORDER BY c_custkey",
+)
+def q02(spark, sf_dir):
+    """Project + label-equality predicate (MATCH (i:Image) analog). The
+    filter and the 3-column projection both push down to the parquet scan."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "q03",
+    "SELECT event_id, user_id FROM events "
+    "WHERE value IS NOT NULL AND event_type = 'click' ORDER BY event_id",
+)
+def q03(spark, sf_dir):
+    """Null + equality predicates (RDD .filter(x[1] is not None) analog,
+    image_classification.py:97)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value").isNotNull() & (F.col("event_type") == "click"))
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    )
+
+
+@declared(
+    "q04",
+    "SELECT p_partkey, LOWER(p_name) AS pname FROM part "
+    "WHERE LOWER(p_name) LIKE '%a%' ORDER BY p_partkey",
+)
+def q04(spark, sf_dir):
+    """Substring predicate ('cat' in label.lower() analog,
+    image_classification.py:205-208)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.lower("p_name").alias("pname"))
+        .filter(F.col("pname").contains("a"))
+        .orderBy("p_partkey")
+    )
+
+
+@declared(
+    "q05",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') "
+    "AND NOT l_linestatus = 'O' ORDER BY l_orderkey, l_linenumber",
+)
+def q05(spark, sf_dir):
+    """Compound predicate (AND / IN / BETWEEN / NOT) — all pushed to scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_linestatus") != "O")
+        )
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@declared(
+    "q06",
+    "SELECT event_id, COALESCE(CAST(value AS VARCHAR), 'none') AS v FROM events "
+    "ORDER BY event_id",
+)
+def q06(spark, sf_dir):
+    """IS NULL handling via COALESCE."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.coalesce(F.col("value").cast("string"), F.lit("none")).alias("v")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — joins
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q07",
+    "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n "
+    "ORDER BY r.r_name, n.n_name",
+)
+def q07(spark, sf_dir):
+    """Cartesian product (MATCH (a),(b) analog, database.py:64). Both sides
+    tiny -> BroadcastNestedLoopJoin; at scale you'd broadcast the small side."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n)).orderBy("r_name", "n_name")
+
+
+@declared(
+    "q08",
+    """SELECT c_custkey, s_suppkey FROM (
+  SELECT c.c_custkey, s.s_suppkey,
+         ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                            ORDER BY ABS(c.c_acctbal - s.s_acctbal), s.s_suppkey) AS rn
+  FROM customer c CROSS JOIN supplier s) t
+WHERE rn = 1 ORDER BY c_custkey""",
+)
+def q08(spark, sf_dir):
+    """Per-left argmin over a cross join — the k-means assignment-step plan
+    shape (reference's driver nested loop, image_classification.py:417-433,
+    rebuilt as crossJoin(broadcast) + window top-1). The small side
+    (supplier, k-like) is broadcast, so the big side never shuffles for the
+    join. The row_number()==1 filter is recognized by Catalyst's
+    InferWindowGroupLimit: each map task keeps only its local top-1 per key
+    (WindowGroupLimit), so the shuffle carries ~1 row per (key, partition),
+    not the N*k expansion. Deterministic tie-break (diff, s_suppkey) matches
+    the oracle. (Measured against min_by(struct) and a two-pass hash-agg
+    argmin: min_by's struct ordering forces an interpreted SortAggregate
+    that is 2-4x slower cold.)"""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    joined = c.crossJoin(F.broadcast(s)).withColumn(
+        "diff", F.abs(F.col("c_acctbal") - F.col("s_acctbal"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy("diff", "s_suppkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey")
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "q09",
+    "SELECT o.o_orderkey, c.c_name FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey",
+)
+def q09(spark, sf_dir):
+    """Equi-join edge->node analog (MATCH (i)-[:CLOSEST_TO]->(c),
+    image_classification.py:465-468). Catalyst picks broadcast-hash here;
+    at 100 TB both sides shuffle on the key and AQE splits skew."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "q10",
+    """SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""",
+)
+def q10(spark, sf_dir):
+    """Multi-way join + agg (TPC-H Q5 flavor). Join order: fact-fact
+    (lineitem x orders) shuffles on orderkey; customer and nation are
+    dimension-sized and broadcast. The final agg is 25 groups — partial
+    (map-side) aggregation collapses it before the shuffle."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@declared(
+    "q11",
+    "SELECT c.c_custkey, o.o_orderkey FROM customer c "
+    "LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+    "ORDER BY c.c_custkey, o.o_orderkey NULLS FIRST",
+)
+def q11(spark, sf_dir):
+    """Left outer join."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(F.col("c_custkey"), F.col("o_orderkey").asc_nulls_first())
+    )
+
+
+@declared(
+    "q12",
+    """SELECT c_custkey FROM customer c WHERE EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+ORDER BY c_custkey""",
+)
+def q12(spark, sf_dir):
+    """Left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").orderBy("c_custkey")
+
+
+@declared(
+    "q13",
+    """SELECT p_partkey FROM part p WHERE NOT EXISTS
+  (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+ORDER BY p_partkey""",
+)
+def q13(spark, sf_dir):
+    """Left-anti join (NOT EXISTS)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").orderBy("p_partkey")
+
+
+@declared(
+    "q14",
+    """SELECT s.s_suppkey, c.c_custkey FROM supplier s JOIN customer c
+  ON c.c_acctbal >= s.s_acctbal - 100 AND c.c_acctbal < s.s_acctbal + 100
+ORDER BY s.s_suppkey, c.c_custkey""",
+)
+def q14(spark, sf_dir):
+    """Range (non-equi) join. Supplier is small -> broadcast nested loop;
+    a fact-fact range join at scale would bucketize the range into an
+    equi-join key first (see operators/joins.py banded strategy)."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cond = (c.c_acctbal >= s.s_acctbal - 100) & (c.c_acctbal < s.s_acctbal + 100)
+    return (
+        c.join(F.broadcast(s), cond, "inner")
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+_CUTOFFS = [
+    datetime.datetime(2024, 1, 8),
+    datetime.datetime(2024, 1, 15),
+    datetime.datetime(2024, 1, 22),
+]
+
+
+@declared(
+    "q15",
+    """SELECT u.user_id, c.cutoff,
+  (SELECT MAX(e.ts) FROM events e WHERE e.user_id = u.user_id AND e.ts <= c.cutoff) AS last_ts
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (VALUES (TIMESTAMP '2024-01-08 00:00:00'),
+                   (TIMESTAMP '2024-01-15 00:00:00'),
+                   (TIMESTAMP '2024-01-22 00:00:00')) AS c(cutoff)
+ORDER BY u.user_id, c.cutoff""",
+)
+def q15(spark, sf_dir):
+    """As-of join: latest event per user at or before each checkpoint.
+    Implemented as (users x cutoffs) left-join events on (key, ts<=cutoff)
+    + max — one distributed plan; at scale the cutoff set stays small and
+    broadcasts, so events shuffles once on user_id."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    users = e.select("user_id").distinct()
+    cutoffs = spark.createDataFrame([(c,) for c in _CUTOFFS], "cutoff timestamp")
+    ev = e.select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+    grid = users.crossJoin(F.broadcast(cutoffs))
+    return (
+        grid.join(
+            ev,
+            (grid.user_id == ev.e_user) & (ev.e_ts <= grid.cutoff),
+            "left",
+        )
+        .groupBy("user_id", "cutoff")
+        .agg(F.max("e_ts").alias("last_ts"))
+        .orderBy("user_id", "cutoff")
+    )
+
+
+@declared(
+    "q16",
+    """WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings WHERE vec_id <= 50),
+cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+          FROM embeddings WHERE vec_id IN (1, 2)),
+sims AS (
+  SELECT p.vec_id, c.cid, list_cosine_similarity(p.emb, c.cemb) AS sim
+  FROM pts p CROSS JOIN cents c)
+SELECT vec_id, cid FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM sims) t
+WHERE rn = 1 ORDER BY vec_id""",
+)
+def q16(spark, sf_dir):
+    """Exact cosine top-1 — the corrected k-means assignment step (the
+    reference's connectToCentroid takes the LEAST similar centroid,
+    image_classification.py:422-433; SURVEY §7.4.1 fixes it to argmax).
+    Cosine is a pure Catalyst higher-order-function expression (functions/
+    vectors.py) — runs in codegen, no Python. Centroids broadcast; the big
+    side never shuffles for the join; window top-1 with the
+    WindowGroupLimit map-side prune (see q08 note)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pts = emb.filter(F.col("vec_id") <= 50)
+    cents = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    sims = pts.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine_similarity(F.col("embedding"), F.col("cemb")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — aggregations
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q17",
+    "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders "
+    "GROUP BY o_custkey ORDER BY o_custkey",
+)
+def q17(spark, sf_dir):
+    """Group-by count — the count_connections / in-degree analog
+    (image_classification.py:513-522). Partial+final hash agg automatic."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("o_custkey")
+    )
+
+
+@declared(
+    "q18",
+    """SELECT l_returnflag, ROUND(AVG(l_quantity),4) AS avg_qty,
+       ROUND(AVG(l_extendedprice),4) AS avg_price,
+       ROUND(AVG(l_discount),4) AS avg_disc, ROUND(AVG(l_tax),4) AS avg_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q18(spark, sf_dir):
+    """Group-by multi-avg — the recalcCentroid analog
+    (image_classification.py:471-492): one hash-aggregate pass computes all
+    means, vs the reference's per-property Python loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.avg("l_tax"), 4).alias("avg_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "q19",
+    """SELECT label % 2 AS cluster,
+  CAST(SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+  CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS lo,
+  ROUND(ABS(SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) - SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END))
+        / CAST(COUNT(*) AS DOUBLE), 4) AS purity
+FROM embeddings GROUP BY label % 2 ORDER BY cluster""",
+)
+def q19(spark, sf_dir):
+    """Conditional agg + purity score — the scoreClusters analog
+    (image_classification.py:524-555; the reference's 'silhouette' is
+    actually label purity |a-b|/(a+b))."""
+    e = _t(spark, sf_dir, "embeddings")
+    hi = F.sum(F.when(F.col("label") >= 5, 1).otherwise(0))
+    lo = F.sum(F.when(F.col("label") < 5, 1).otherwise(0))
+    return (
+        e.groupBy((F.col("label") % 2).alias("cluster"))
+        .agg(
+            hi.alias("hi"),
+            lo.alias("lo"),
+            F.round(F.abs(hi - lo) / F.count("*").cast("double"), 4).alias("purity"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@declared(
+    "q20",
+    "SELECT n_regionkey, LIST_SORT(LIST(n_name)) AS names FROM nation "
+    "GROUP BY n_regionkey ORDER BY n_regionkey",
+)
+def q20(spark, sf_dir):
+    """collect_list, made deterministic with sort_array (Cypher collect()
+    analog, image_classification.py:346)."""
+    return (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+        .orderBy("n_regionkey")
+    )
+
+
+@declared(
+    "q21",
+    """SELECT ROUND(AVG(l_quantity),4) AS avg_qty, ROUND(STDDEV_SAMP(l_quantity),4) AS std_qty,
+       ROUND(MIN(l_quantity),4) AS min_qty, ROUND(MAX(l_quantity),4) AS max_qty,
+       CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem""",
+)
+def q21(spark, sf_dir):
+    """Global stats — the extract_features 7-stat analog
+    (image_classification.py:185), as one aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.min("l_quantity"), 4).alias("min_qty"),
+        F.round(F.max("l_quantity"), 4).alias("max_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@declared(
+    "q22",
+    "SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS cnt FROM orders",
+)
+def q22(spark, sf_dir):
+    """Count distinct (expands to a two-phase agg — partial distinct then
+    final count — so it scales without collecting keys anywhere)."""
+    return _t(spark, sf_dir, "orders").agg(F.count_distinct("o_custkey").alias("cnt"))
+
+
+@declared(
+    "q23",
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+)
+def q23(spark, sf_dir):
+    """Rollup (grouping sets)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+@declared("q24", "SELECT ROUND(MEDIAN(l_quantity),4) AS med_qty FROM lineitem")
+def q24(spark, sf_dir):
+    """Exact median (np.median analog, image_classification.py:185). Spark's
+    exact interpolated percentile(0.5) == DuckDB MEDIAN."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — window functions
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q25",
+    """SELECT c_custkey, CAST(RANK() OVER (PARTITION BY c_nationkey
+       ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk
+FROM customer ORDER BY c_custkey""",
+)
+def q25(spark, sf_dir):
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", F.rank().over(w).alias("rk"))
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "q26",
+    """SELECT event_id, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+FROM events ORDER BY event_id""",
+)
+def q26(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", F.lag("event_type").over(w).alias("prev"))
+        .orderBy("event_id")
+    )
+
+
+@declared(
+    "q27",
+    """SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER
+  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+FROM orders ORDER BY o_orderkey""",
+)
+def q27(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("run"))
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "q28",
+    """SELECT o_orderkey, CAST(COUNT(*) OVER
+  (PARTITION BY o_custkey ORDER BY o_totalprice
+   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near
+FROM orders ORDER BY o_orderkey""",
+)
+def q28(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 0)
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.count("*").over(w).alias("near"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q29",
+    "SELECT vec_id FROM embeddings "
+    "ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 2",
+)
+def q29(spark, sf_dir):
+    """Deterministic 'random' k-sample — the initCentroids analog
+    (image_classification.py:233-238) with Knuth multiplicative hash
+    replacing rand() so the oracle can check it. Plans as
+    TakeOrderedAndProject (per-partition top-k, then k-row merge on the
+    driver — no global sort)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id")
+        .orderBy((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296), F.col("vec_id"))
+        .limit(2)
+    )
+
+
+@declared(
+    "q30",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def q30(spark, sf_dir):
+    """Top-k (ORDER BY + LIMIT -> TakeOrderedAndProject, no global sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — set operations
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q31",
+    "SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k",
+)
+def q31(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionByName(s).distinct().orderBy("k")
+
+
+@declared(
+    "q32_intersect",
+    "SELECT n_nationkey FROM nation INTERSECT SELECT c_nationkey FROM customer "
+    "ORDER BY n_nationkey",
+)
+def q32_intersect(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    return n.intersect(c).orderBy("n_nationkey")
+
+
+@declared(
+    "q32_except",
+    "SELECT n_nationkey FROM nation EXCEPT SELECT s_nationkey FROM supplier "
+    "ORDER BY n_nationkey",
+)
+def q32_except(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return n.exceptAll(s).distinct().orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — scalar functions
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q33",
+    """SELECT CAST(FLOOR(l_quantity / 10) AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY CAST(FLOOR(l_quantity / 10) AS INT) ORDER BY bucket""",
+)
+def q33(spark, sf_dir):
+    """Histogram binning — the extract_color_histogram relational analog
+    (image_classification.py:136-171): bucket + groupBy replaces
+    cv2.calcHist."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_quantity") / 10).cast("int").alias("bucket")
+    return li.groupBy(bucket).agg(F.count("*").alias("cnt")).orderBy("bucket")
+
+
+@declared(
+    "q34",
+    """SELECT p_partkey, CONCAT(UPPER(SUBSTRING(p_brand, 1, 5)), '-', TRIM(p_type)) AS s,
+       CAST(LENGTH(p_name) AS INT) AS ln, REPLACE(p_type, ' ', '_') AS r
+FROM part ORDER BY p_partkey""",
+)
+def q34(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(
+            F.upper(F.substring("p_brand", 1, 5)), F.lit("-"), F.trim(F.col("p_type"))
+        ).alias("s"),
+        F.length("p_name").alias("ln"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("r"),
+    ).orderBy("p_partkey")
+
+
+@declared(
+    "q35",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+)
+def q35(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("y", "m")
+    )
+
+
+@declared(
+    "q36",
+    """SELECT l_orderkey, l_linenumber, ROUND(SQRT(l_extendedprice), 4) AS sq,
+       ROUND(LN(l_extendedprice), 4) AS lg, ROUND(POWER(l_discount + 1, 2), 4) AS pw,
+       CAST(MOD(l_orderkey, 7) AS BIGINT) AS md
+FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+)
+def q36(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sq"),
+        F.round(F.log("l_extendedprice"), 4).alias("lg"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 4).alias("pw"),
+        (F.col("l_orderkey") % 7).alias("md"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@declared(
+    "q37",
+    """SELECT vec_id, CAST(LEN(embedding) AS INT) AS n,
+       ROUND(LIST_SUM(CAST(embedding AS DOUBLE[])), 4) AS s
+FROM embeddings ORDER BY vec_id""",
+)
+def q37(spark, sf_dir):
+    """Array functions (size + lambda-HOF reduction) over the embedding
+    column — no Python, pure codegen."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n"),
+        F.round(vec_sum(F.col("embedding")), 4).alias("s"),
+    ).orderBy("vec_id")
+
+
+@declared(
+    "q38",
+    "SELECT event_id, props->>'$.k' AS k FROM events ORDER BY event_id",
+)
+def q38(spark, sf_dir):
+    """JSON extraction from the events.props payload column."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.10 — streaming operators, declared in batch form (stream-batch
+# consistency is asserted separately in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q39",
+    """SELECT DATE_TRUNC('HOUR', ts) AS w, event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(value), 4) AS sv
+FROM events GROUP BY 1, 2 ORDER BY w, event_type""",
+)
+def q39(spark, sf_dir):
+    """Tumbling-window agg, batch form (streaming form: streaming/windows.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("HOUR", "ts").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sv"))
+        .orderBy("w", "event_type")
+    )
+
+
+@declared(
+    "q40",
+    """SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT DATE_TRUNC('HOUR', ts) AS w FROM events
+  UNION ALL
+  SELECT DATE_TRUNC('HOUR', ts - INTERVAL '30 minutes') + INTERVAL '30 minutes' FROM events) t
+GROUP BY w ORDER BY w""",
+)
+def q40(spark, sf_dir):
+    """Sliding-window agg (1h window / 30m slide), batch form via two
+    phase-shifted truncations."""
+    e = _t(spark, sf_dir, "events")
+    half = F.expr("INTERVAL 30 MINUTE")
+    a = e.select(F.date_trunc("HOUR", "ts").alias("w"))
+    b = e.select((F.date_trunc("HOUR", F.col("ts") - half) + half).alias("w"))
+    return a.unionAll(b).groupBy("w").agg(F.count("*").alias("cnt")).orderBy("w")
+
+
+@declared(
+    "q41",
+    """SELECT user_id, event_type, MIN(event_id) AS first_id FROM events
+GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+)
+def q41(spark, sf_dir):
+    """Stateful-dedup batch form: first event per (user, type)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_id"))
+        .orderBy("user_id", "event_type")
+    )
