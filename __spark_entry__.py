@@ -14,16 +14,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from graph_db_clustering_spark.queries.corpus import ORACLE, QUERIES
+from graph_db_clustering_spark.queries import ORACLE, QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the corrected k-means assignment step (SURVEY §7.2) —
-    cosine top-1 of points against broadcast centroids, as one distributed
-    plan (crossJoin(broadcast) + HOF cosine + window top-1)."""
-    return QUERIES["q16"](spark, SMOKE_SF_DIR)
+    """Flagship: the SURVEY §7.2 end-to-end k-means slice — deterministic
+    init, Lloyd iterations (crossJoin(broadcast) + HOF cosine + window
+    top-1 assignment; distributed vector-mean update), per-cluster sizes +
+    purity. The entire reference workload (train.py:7-15) as distributed
+    plans."""
+    return QUERIES["kmeans_slice"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

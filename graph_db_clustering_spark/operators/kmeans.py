@@ -1,0 +1,231 @@
+"""Distributed k-means (Lloyd's) over embedding DataFrames.
+
+The reference's training loop (kmeans_clustering/image_classification.py:
+557-598) collects every point to the driver, runs an O(N*k) nested Python
+loop per iteration (:417-433), writes one edge per point per iteration over
+Bolt (:444-445), and recomputes centroids with per-property Cypher round
+trips (:471-503). Here each iteration is ONE distributed plan:
+
+    assignment: points.crossJoin(broadcast(centroids))
+                -> cosine/euclidean expression (codegen, functions/vectors)
+                -> window top-1 (WindowGroupLimit map-side prune)
+    update:     assigned.groupBy(cid).agg(elementwise avg of vectors)
+                -> k rows back to the driver (the only driver traffic)
+
+Driver traffic is O(k * dim) per iteration regardless of N — the property
+the reference lacks entirely (SURVEY §4.1 anti-patterns).
+
+Semantics notes (SURVEY §7.4):
+- argmax-cosine, i.e. the CORRECTED assignment; the reference assigns each
+  point to the LEAST similar centroid (`similarity < closest`,
+  image_classification.py:422-433). `parity="reference-bug"` flips the
+  comparator for behavioral replication.
+- empty clusters keep their previous centroid (the reference divides by
+  zero, image_classification.py:486-492).
+- init is seed-deterministic: order by the Knuth multiplicative hash of the
+  id (the oracle-checkable replacement for Cypher rand(),
+  image_classification.py:233-238).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.functions.vectors import cosine_similarity, dot
+
+KNUTH = 2654435761
+MOD = 4294967296
+
+
+def deterministic_sample(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """k-row pseudo-random sample, deterministic and oracle-checkable
+    (declared form Q29). TakeOrderedAndProject: per-partition top-k then a
+    k-row merge — no global sort, no rand()."""
+    return df.orderBy((F.col(id_col) * F.lit(KNUTH)) % F.lit(MOD), F.col(id_col)).limit(k)
+
+
+def init_centroids(points: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+    """initCentroids analog (image_classification.py:223-240): sample k
+    points, copy their vectors. Returns (cid, centroid)."""
+    sample = deterministic_sample(points.select(id_col, vec_col), id_col, k)
+    w = Window.orderBy(id_col)  # k rows only — single-partition window is fine
+    return sample.select(
+        (F.row_number().over(w) - 1).alias("cid"), F.col(vec_col).alias("centroid")
+    )
+
+
+def assign(
+    points: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    parity: str = "corrected",
+) -> DataFrame:
+    """Assignment step -> (id, cid, score). One crossJoin(broadcast) +
+    window top-1; the big side never shuffles for the join and the
+    WindowGroupLimit prune keeps the shuffle at ~1 row per point.
+
+    metric: "cosine" (argmax) or "euclidean" (argmin, on squared distance).
+    parity: "corrected" | "reference-bug" (flip comparator — replicates
+    image_classification.py:422-433 choosing the LEAST similar centroid).
+    """
+    p = points.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    c = centroids.select("cid", "centroid")
+    if metric == "cosine":
+        score = cosine_similarity(F.col("vec"), F.col("centroid"))
+        best_first = F.desc("score") if parity == "corrected" else F.asc("score")
+    elif metric == "euclidean":
+        # squared distance: |a|^2 - 2ab + |b|^2; monotone, cheaper than sqrt
+        score = (
+            dot(F.col("vec"), F.col("vec"))
+            - 2 * dot(F.col("vec"), F.col("centroid"))
+            + dot(F.col("centroid"), F.col("centroid"))
+        )
+        best_first = F.asc("score") if parity == "corrected" else F.desc("score")
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+
+    scored = p.crossJoin(F.broadcast(c)).withColumn("score", score)
+    w = Window.partitionBy("id").orderBy(best_first, F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "cid", "score")
+    )
+
+
+def update(
+    points: DataFrame,
+    assignments: DataFrame,
+    prev_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Update step: centroid = element-wise mean of member vectors — the
+    recalcCentroid analog (image_classification.py:471-503) as one
+    distributed agg instead of 7 Cypher round trips per centroid.
+
+    Vector mean without exploding N*dim rows: aggregate per-cluster vector
+    SUM via zip_with inside a reduce-style agg is not built in, so we use
+    the standard posexplode -> (cid, pos) partial-sum -> re-assemble plan.
+    The shuffle key (cid, pos) has k*dim cardinality; partial (map-side)
+    aggregation collapses each partition to at most k*dim rows before the
+    shuffle, so shuffled bytes are O(parts * k * dim), independent of N.
+
+    Empty clusters keep prev_centroids' vector (reference ZeroDivisionError,
+    SURVEY §7.4.5).
+    """
+    member_vecs = points.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).join(
+        assignments.select("id", "cid"), "id"
+    )
+    sums = (
+        member_vecs.select("cid", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("n"))
+    )
+    new_cents = (
+        sums.groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+            ).alias("pm")
+        )
+        .select("cid", F.col("pm.m").alias("centroid"))
+    )
+    # keep previous centroid for clusters that lost all members
+    prev = prev_centroids.select("cid", F.col("centroid").alias("prev_centroid"))
+    return prev.join(new_cents, "cid", "left").select(
+        "cid", F.coalesce("centroid", "prev_centroid").alias("centroid")
+    )
+
+
+def sse(points: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> float:
+    """Within-cluster sum of squared euclidean distances (property-test
+    metric: non-increasing across Lloyd's iterations)."""
+    a = assign(points, centroids, id_col, vec_col, metric="euclidean")
+    return a.agg(F.sum("score").alias("sse")).first().sse
+
+
+@dataclass
+class KMeansResult:
+    centroids: DataFrame  # (cid, centroid)
+    assignments: DataFrame  # (id, cid, score)
+    iterations: int
+    converged: bool
+    history: list[dict] = field(default_factory=list)
+
+
+def fit(
+    points: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+    max_iter: int = 100,
+    parity: str = "corrected",
+) -> KMeansResult:
+    """Full Lloyd's loop (train() analog, image_classification.py:557-598).
+
+    Convergence: per-cluster assignment counts stable between iterations —
+    the reference's criterion (:589-592) — checked on k-row collected
+    dicts (driver traffic O(k)). Points are cached once; centroids are
+    localCheckpoint()ed per iteration to truncate lineage (the loop would
+    otherwise build an O(iterations)-deep plan).
+    """
+    pts = points.select(id_col, vec_col).cache()
+    centroids = init_centroids(pts, id_col, vec_col, k).localCheckpoint()
+    prev_counts: dict | None = None
+    history: list[dict] = []
+    assignments = None
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        assignments = assign(pts, centroids, id_col, vec_col, metric, parity)
+        counts = {
+            r.cid: r.n
+            for r in assignments.groupBy("cid").agg(F.count("*").alias("n")).collect()
+        }
+        history.append({"iteration": it, "counts": counts})
+        if counts == prev_counts:
+            converged = True
+            break
+        prev_counts = counts
+        centroids = update(pts, assignments, centroids, id_col, vec_col).localCheckpoint()
+    return KMeansResult(centroids, assignments, it, converged, history)
+
+
+def purity_scores(
+    assignments: DataFrame, labels: DataFrame, id_col: str, label_col: str, hi_label: int = 5
+) -> DataFrame:
+    """scoreClusters analog (image_classification.py:524-555): per-cluster
+    |hi - lo| / total. (The reference calls this a 'silhouette score'; it
+    is label purity — SURVEY §7.4. For a true silhouette use
+    pyspark.ml.evaluation.ClusteringEvaluator.) Empty-safe: count()>0 by
+    construction, and purity is NULL-free."""
+    j = assignments.select("id", "cid").join(
+        labels.select(F.col(id_col).alias("id"), F.col(label_col).alias("label")), "id"
+    )
+    hi = F.sum(F.when(F.col("label") >= hi_label, 1).otherwise(0))
+    lo = F.sum(F.when(F.col("label") < hi_label, 1).otherwise(0))
+    return j.groupBy("cid").agg(
+        hi.alias("hi"),
+        lo.alias("lo"),
+        (F.abs(hi - lo) / F.count("*").cast("double")).alias("purity"),
+    )
+
+
+def mllib_fit(points: DataFrame, k: int, vec_col: str, seed: int = 42, max_iter: int = 20):
+    """MLlib fast path (SURVEY §7.1 P3b): VectorAssembler-free — converts
+    the array column to ml vectors and fits pyspark.ml.clustering.KMeans.
+    Returns (model, predictions DataFrame). Parity with the pure-DataFrame
+    loop is asserted in tests (same data, euclidean metric)."""
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = points.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = MLKMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(feats)
+    return model, model.transform(feats)

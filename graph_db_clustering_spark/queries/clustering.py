@@ -1,0 +1,81 @@
+"""Clustering-domain declared queries (the reference's core workload).
+
+`kmeans_update` is the oracle-checked single Lloyd iteration: deterministic
+centroid choice (Q29 form), cosine argmax assignment (Q16 plan), then the
+update-step aggregate summarized scalarly (per-cluster size + mean of
+vector sums) so DuckDB can hash-check it without elementwise list math.
+
+`kmeans_slice` is the full SURVEY §7.2 end-to-end slice (init -> iterate ->
+sizes + purity); it is iterative and driver-looped, hence rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators import kmeans
+from graph_db_clustering_spark.queries.corpus import declared
+
+
+@declared(
+    "kmeans_update",
+    """WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings WHERE vec_id <= 50),
+cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+          FROM embeddings WHERE vec_id IN (1, 2)),
+sims AS (
+  SELECT p.vec_id, c.cid, list_cosine_similarity(p.emb, c.cemb) AS sim
+  FROM pts p CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims) t
+  WHERE rn = 1)
+SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(LIST_SUM(p.emb)), 4) AS avg_vecsum
+FROM assign a JOIN pts p ON p.vec_id = a.vec_id
+GROUP BY a.cid ORDER BY a.cid""",
+)
+def kmeans_update(spark, sf_dir):
+    """One assignment + update summary: per-centroid member count and mean
+    vector-sum. Same distributed plan as operators/kmeans.update, projected
+    to scalars for the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    pts = emb.filter(F.col("vec_id") <= 50)
+    cents = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("centroid")
+    )
+    assigned = kmeans.assign(pts, cents, id_col="vec_id", vec_col="emb", metric="cosine")
+    from graph_db_clustering_spark.functions.vectors import vec_sum
+
+    return (
+        assigned.join(pts.select(F.col("vec_id").alias("id"), "emb"), "id")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(vec_sum(F.col("emb"))), 4).alias("avg_vecsum"),
+        )
+        .orderBy("cid")
+    )
+
+
+@declared("kmeans_slice")  # iterative driver loop -> rows-only check
+def kmeans_slice(spark, sf_dir):
+    """SURVEY §7.2 minimum end-to-end slice: deterministic k=2 init, Lloyd
+    iterations to convergence (max 5 here), per-cluster size + purity.
+    Exercises scan, broadcast cross join, window top-1, vector-mean agg,
+    conditional agg — the entire reference workload (train.py:7-15) as
+    distributed plans with O(k) driver traffic per iteration."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = kmeans.fit(emb, k=2, max_iter=5)
+    sizes = res.assignments.groupBy("cid").agg(F.count("*").alias("n"))
+    purity = kmeans.purity_scores(res.assignments, emb, "vec_id", "label")
+    return (
+        sizes.join(purity, "cid")
+        .select("cid", "n", "hi", "lo", F.round("purity", 4).alias("purity"))
+        .orderBy("cid")
+    )

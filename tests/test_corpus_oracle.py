@@ -4,7 +4,7 @@ a local mirror of the driver's t2 check (row count + schema + values)."""
 import pytest
 
 from graph_db_clustering_spark.oracle import compare
-from graph_db_clustering_spark.queries.corpus import ORACLE, QUERIES
+from graph_db_clustering_spark.queries import ORACLE, QUERIES
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -1,0 +1,103 @@
+"""Property tests for clustering (SURVEY §5.2.4): SSE non-increasing,
+unique assignment, convergence fixpoint, purity in [0,1], empty-cluster
+safety, MLlib parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators import kmeans
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_init_deterministic(points):
+    c1 = kmeans.init_centroids(points, "vec_id", "embedding", 3).collect()
+    c2 = kmeans.init_centroids(points, "vec_id", "embedding", 3).collect()
+    assert [r.cid for r in c1] == [0, 1, 2]
+    assert c1 == c2
+
+
+def test_every_point_assigned_exactly_once(points):
+    cents = kmeans.init_centroids(points, "vec_id", "embedding", 4)
+    a = kmeans.assign(points, cents)
+    n = points.count()
+    assert a.count() == n
+    assert a.select("id").distinct().count() == n
+
+
+def test_sse_non_increasing_euclidean(points):
+    cents = kmeans.init_centroids(points, "vec_id", "embedding", 4)
+    sses = []
+    for _ in range(4):
+        a = kmeans.assign(points, cents, metric="euclidean")
+        sses.append(a.agg(F.sum("score")).first()[0])
+        cents = kmeans.update(points, a, cents)
+    for prev, nxt in zip(sses, sses[1:]):
+        assert nxt <= prev + 1e-6, sses
+
+
+def test_fit_converges_and_is_fixpoint(points):
+    res = kmeans.fit(points, k=2, max_iter=30)
+    assert res.converged
+    # converged assignment is a fixpoint: one more assign yields same counts
+    again = kmeans.assign(points, res.centroids)
+    c1 = {r.cid: r.n for r in res.assignments.groupBy("cid").agg(F.count("*").alias("n")).collect()}
+    c2 = {r.cid: r.n for r in again.groupBy("cid").agg(F.count("*").alias("n")).collect()}
+    assert c1 == c2
+
+
+def test_purity_in_unit_interval(points):
+    res = kmeans.fit(points, k=2, max_iter=10)
+    scores = kmeans.purity_scores(res.assignments, points, "vec_id", "label").collect()
+    assert len(scores) >= 1
+    for r in scores:
+        assert 0.0 <= r.purity <= 1.0
+        assert r.hi + r.lo > 0
+
+
+def test_empty_cluster_keeps_previous_centroid(points, spark):
+    cents = kmeans.init_centroids(points, "vec_id", "embedding", 2)
+    a = kmeans.assign(points, cents)
+    # force cluster 1 empty by reassigning everything to cluster 0
+    forced = a.withColumn("cid", F.lit(0))
+    updated = kmeans.update(points, forced, cents)
+    assert updated.count() == 2  # the reference would ZeroDivisionError here
+    prev = {r.cid: r.centroid for r in cents.collect()}
+    new = {r.cid: r.centroid for r in updated.collect()}
+    assert new[1] == prev[1]  # empty cluster kept its centroid
+    assert new[0] != prev[0]
+
+
+def test_reference_bug_parity_flips_assignment(points):
+    cents = kmeans.init_centroids(points, "vec_id", "embedding", 2)
+    good = kmeans.assign(points, cents, parity="corrected")
+    bug = kmeans.assign(points, cents, parity="reference-bug")
+    merged = good.select("id", F.col("cid").alias("g")).join(
+        bug.select("id", F.col("cid").alias("b")), "id"
+    )
+    # with k=2 the least-similar centroid is always the other one
+    assert merged.filter(F.col("g") == F.col("b")).count() == 0
+
+
+def test_mllib_parity_euclidean(points):
+    """Pure-DataFrame Lloyd's and MLlib KMeans agree on cluster structure
+    (same k, euclidean): compare partitions via pairwise co-assignment on a
+    sample, allowing label permutation."""
+    res = kmeans.fit(points, k=2, metric="euclidean", max_iter=30)
+    _, preds = kmeans.mllib_fit(points, k=2, vec_col="embedding", seed=42, max_iter=30)
+    ours = {r.id: r.cid for r in res.assignments.collect()}
+    theirs = {r.vec_id: r.prediction for r in preds.select("vec_id", "prediction").collect()}
+    ids = sorted(ours)[:80]
+    agree = disagree = 0
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        if (ours[a] == ours[b]) == (theirs[a] == theirs[b]):
+            agree += 1
+        else:
+            disagree += 1
+    # same-partition structure should dominate (allowing init differences)
+    assert agree > disagree
