@@ -27,6 +27,10 @@ HEADLINE = [
     "q27",  # running-sum window
     "q39",  # tumbling window agg
     "q41",  # dedup agg
+    "dedup_exact",  # content-hash dedup over documents
+    "dedup_minhash",  # shingle -> minhash -> LSH bands -> verified pairs
+    "text_stats",  # per-doc text analysis (HOF expressions)
+    "similarity_topk",  # brute-force cosine top-k baseline
 ]
 
 

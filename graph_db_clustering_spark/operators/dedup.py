@@ -1,0 +1,347 @@
+"""Deduplication operators for LLM-data pipelines (north-star scope).
+
+All five families — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine — are implemented as pure Catalyst expression plans
+(higher-order functions, hash aggregates, equi-joins). No Python UDFs:
+signatures are computed map-side inside whole-stage codegen, so the only
+shuffles are the candidate-pair joins, which are keyed equi-joins AQE can
+handle at scale.
+
+Scale shape per operator:
+  exact:      one hash-aggregate on md5(text) — map-side combine, no pairs.
+  minhash:    signature map-side; banding -> equi-join on (band, bandhash)
+              touches only colliding pairs (vs O(N^2) cross join).
+  simhash:    64-bit signature map-side; banding on 16-bit chunks ->
+              equi-join, Hamming verify via bit_count(xor).
+  ngram:      inverted-index join on shared shingles — only pairs sharing
+              >=1 shingle are scored (the standard exact-Jaccard scale
+              path); a length/frequency prune drops stop-shingles.
+  embedding:  exact small-scale via crossJoin; the approximate scale path
+              is operators/similarity.py (LSH buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: (a*x + b) stays within int64 for 32-bit x and
+# 31-bit a, so ANSI-mode Spark never overflows.
+_P = (1 << 61) - 1
+
+
+def _affine_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the minhash family, from a simple
+    splitmix-style generator (no Python `random` so results are stable
+    across interpreter versions)."""
+    params = []
+    state = seed & 0xFFFFFFFF
+    for _ in range(num_hashes):
+        state = (state * 0x9E3779B9 + 0x6D2B79F5) & 0xFFFFFFFF
+        a = (state | 1) & 0x7FFFFFFF  # odd, 31-bit
+        state = (state * 0x9E3779B9 + 0x6D2B79F5) & 0xFFFFFFFF
+        b = state & 0x7FFFFFFF
+        params.append((a, b))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash: (keep_id, n_copies, dup_ids).
+
+    One hash aggregate over md5(text) — the 128-bit digest stands in for
+    the full text in the shuffle, so shuffled bytes are O(N * 16B) not
+    O(corpus size)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .select("keep_id", "n_copies", "dup_ids")
+    )
+
+
+def distinct_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus with exact duplicates removed (keeps lowest id per content)."""
+    keep = exact_dedup(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-gram shingles as an array column — pure HOF plan:
+    split -> sliding window via transform(sequence)/slice -> distinct."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))  # noqa: E731
+    count = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), count - 1), shingle_at)
+    )
+    return df.withColumn(out_col, shingles)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_hashes: int = 64,
+    seed: int = 42,
+    out_col: str = "signature",
+) -> DataFrame:
+    """num_hashes-wide minhash signature, entirely map-side:
+    sig_j = min over shingles of (a_j * hash32(shingle) + b_j) mod P.
+
+    No explode, no shuffle — each row's signature is 64 nested
+    transform/array_min expressions over its own shingle array, evaluated
+    in codegen."""
+    hashes = F.transform(F.col(shingle_col), lambda s: F.hash(s).cast("long"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P)))
+            )
+            for a, b in _affine_params(num_hashes, seed)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str = "signature",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banding: hash each band (slice of the signature), self-join on
+    (band_index, band_hash). Only colliding pairs survive — the candidate
+    set is the join output, never an O(N^2) expansion. Skewed buckets
+    (e.g. a stop-shingle band) are AQE skew-split."""
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.hash(F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)),
+    )
+    buckets = sig_df.select(
+        F.col(id_col).alias("id"), F.posexplode(band_hashes).alias("band", "bhash")
+    )
+    left = buckets.select(F.col("id").alias("id1"), "band", "bhash")
+    right = buckets.select(F.col("id").alias("id2"), "band", "bhash")
+    return (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def jaccard(a, b):
+    """Exact Jaccard over two array columns (sets)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> band-bucket join ->
+    exact-Jaccard verification of candidates. Returns (id1, id2, jaccard)
+    with jaccard >= threshold, id1 < id2."""
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    sig = with_minhash_signature(sh, "shingles", num_hashes, seed)
+    cands = lsh_candidate_pairs(sig, id_col, "signature", bands, rows_per_band)
+    sh_only = sh.select(F.col(id_col).alias("id"), F.col("shingles"))
+    verified = (
+        cands.join(sh_only.select(F.col("id").alias("id1"), F.col("shingles").alias("sh1")), "id1")
+        .join(sh_only.select(F.col("id").alias("id2"), F.col("shingles").alias("sh2")), "id2")
+        .select("id1", "id2", F.round(jaccard(F.col("sh1"), F.col("sh2")), 6).alias("jaccard"))
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def with_simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash", bits: int = 48
+) -> DataFrame:
+    """SimHash, map-side: per-token 64-bit hash (xxhash64), each of the low
+    `bits` bits votes +1/-1; the sign of the total sets the output bit.
+    Accumulation is one aggregate() with an array<int> accumulator — all
+    codegen, no shuffle, no UDF.
+
+    Default 48 bits (not 64): the value is Horner-assembled as acc*2+bit,
+    and ANSI mode (Spark 4 default) would raise on the int64 overflow a
+    64th bit can produce. 48 bits keeps every intermediate in range and is
+    ample for banding (6 x 8-bit chunks)."""
+    if bits > 62:
+        raise ValueError("bits must be <= 62 (int64 Horner assembly, ANSI-safe)")
+    tokens = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    bit_votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(positions, lambda b: F.getbit(x, b).cast("int") * 2 - 1),
+            lambda u, v: u + v,
+        ),
+    )
+    # Horner assembly, most-significant vote first: value = sum(bit_b << b)
+    value = F.aggregate(
+        F.reverse(bit_votes),
+        F.lit(0).cast("long"),
+        lambda acc, vote: acc * 2 + F.when(vote > 0, 1).otherwise(0).cast("long"),
+    )
+    return df.withColumn(out_col, value)
+
+
+def hamming(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 6,
+    bits: int = 48,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the value into `chunks` equal-width
+    chunks (pigeonhole: any pair within Hamming distance < chunks shares
+    at least one exact chunk), equi-join on (chunk_idx, chunk), verify
+    with bit_count(xor) <= max_hamming."""
+    width = bits // chunks
+    sh = with_simhash(df.select(id_col, text_col), text_col, bits=bits)
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(chunks)
+        ]
+    )
+    buckets = sh.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),
+    )
+    left = buckets.select(F.col("id").alias("id1"), F.col("simhash").alias("h1"), "chunk_idx", "chunk")
+    right = buckets.select(F.col("id").alias("id2"), F.col("simhash").alias("h2"), "chunk_idx", "chunk")
+    return (
+        left.join(right, ["chunk_idx", "chunk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", hamming(F.col("h1"), F.col("h2")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for every pair sharing >=1 shingle:
+    explode -> inverted-index self-join keyed on the shingle -> count
+    common shingles -> combine with per-doc set sizes. Only co-occurring
+    pairs are materialized (no cross join). `max_shingle_freq` drops
+    stop-shingles (appearing in more than that many docs) before the
+    join — the standard prune for power-law shingle frequencies."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    sizes = sh.select(F.col(id_col).alias("id"), F.size("shingles").alias("sz"))
+    inv = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        ok = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("shingle")
+        )
+        inv = inv.join(ok, "shingle", "left_semi")
+    a = inv.select(F.col("id").alias("id1"), "shingle")
+    b = inv.select(F.col("id").alias("id2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("common")
+                / (F.col("sz1") + F.col("sz2") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (exact; approximate path in similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs via crossJoin — correct at any
+    scale but O(N^2); use similarity.lsh_near_dups for the bucketed scale
+    path. Kept as the small-scale oracle for it."""
+    from graph_db_clustering_spark.functions.vectors import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (north-star scope).
+
+Three tiers, trading recall for scale:
+  brute_force_topk  — exact: crossJoin(broadcast(queries)) + window top-k.
+                      Scales in the CORPUS dimension (the big side never
+                      shuffles; queries must be broadcastable).
+  ivf_topk          — IVF-flavored: coarse k-means cells (operators/
+                      kmeans), corpus assigned once, each query probes its
+                      nprobe nearest cells; the fine search is an equi-join
+                      on cell id, so work drops from O(N*Q) to
+                      O(N*Q*nprobe/cells) with a shuffle keyed by cell.
+  lsh_near_dups /   — MLlib BucketedRandomProjectionLSH over L2-normalized
+  lsh_topk            vectors (Euclidean-on-unit-sphere is monotone in
+                      cosine), approxSimilarityJoin buckets candidates.
+
+All distance math is Catalyst HOF expressions (functions/vectors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.functions.vectors import cosine_similarity, l2_norm
+from graph_db_clustering_spark.operators import kmeans
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (qid, nid, rk, cosine). Deterministic tie-break
+    (sim desc, nid asc). WindowGroupLimit prunes to k rows per query per
+    map task before the shuffle."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col("qid") != F.col("nid"))
+    scored = scored.select(
+        "qid", "nid", cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "rk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    cells: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k. Build: coarse centroids via one distributed
+    k-means pass; corpus rows get a cell id (broadcast assignment — the
+    corpus never shuffles for it). Probe: each query joins only the corpus
+    partitions of its nprobe nearest cells. Recall < 1.0 by construction;
+    the win is the N*Q -> N*Q*nprobe/cells work reduction, plus a
+    cell-keyed equi-join Catalyst/AQE can plan (skew split, broadcast of
+    the probe side when small)."""
+    cents = kmeans.fit(corpus, k=cells, id_col=id_col, vec_col=vec_col, max_iter=5).centroids
+    corpus_cells = kmeans.assign(corpus, cents, id_col, vec_col).select(
+        F.col("id").alias("nid"), F.col("cid").alias("cell")
+    )
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")).join(
+        corpus_cells, "nid"
+    )
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    qc = q.crossJoin(F.broadcast(cents.select("cid", "centroid"))).select(
+        "qid", "qv", "cid", cosine_similarity(F.col("qv"), F.col("centroid")).alias("csim")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), "cid")
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", F.col("cid").alias("cell"))
+    )
+
+    scored = c.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("qid") != F.col("nid"))
+    scored = scored.select(
+        "qid", "nid", cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "rk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """L2-normalize into an MLlib vector column (unit sphere: Euclidean
+    distance is monotone in cosine, d^2 = 2 - 2cos)."""
+    from pyspark.ml.functions import array_to_vector
+
+    arr = F.col(vec_col).cast("array<double>")
+    norm = l2_norm(F.col(vec_col))
+    unit = F.transform(arr, lambda x: x / norm)
+    return df.select(F.col(id_col).alias("id"), array_to_vector(unit).alias("features"))
+
+
+def lsh_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs (id1, id2, cosine >= threshold)
+    via random-projection LSH on the unit sphere. The exact small-scale
+    oracle for this is dedup.embedding_near_dups."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    data = _normalized(df, id_col, vec_col)
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(data)
+    # cosine >= t  <=>  unit-sphere euclidean <= sqrt(2 - 2t)
+    max_dist = float((2.0 - 2.0 * threshold) ** 0.5)
+    pairs = model.approxSimilarityJoin(data, data, max_dist, distCol="dist")
+    return (
+        pairs.select(
+            F.col("datasetA.id").alias("id1"),
+            F.col("datasetB.id").alias("id2"),
+            F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("cosine"),
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .distinct()
+    )

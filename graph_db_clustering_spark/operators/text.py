@@ -1,0 +1,115 @@
+"""Text-analysis operators for LLM-data pipelines (north-star scope).
+
+Language ID, quality scoring, token counting, and document fingerprinting —
+all as built-in pyspark.sql.functions expressions (JVM-side, codegen). A
+100 TB corpus pass stays entirely inside whole-stage codegen; none of these
+touch Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Deliberately minimal: language ID at this fidelity is a scoring pipeline
+# pattern, not a linguistics claim.
+STOPWORD_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: alpha runs count ~1 token per 4 chars
+    (ceil), digits and other symbols 1 each — a deterministic regex
+    approximation of subword tokenizers for budget estimation."""
+    alpha_chunks = F.regexp_extract_all(text, F.lit(r"[A-Za-z]+"), 0)
+    alpha_tokens = F.aggregate(
+        alpha_chunks,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.ceil(F.length(s) / F.lit(4.0)).cast("long"),
+    )
+    other = F.size(F.regexp_extract_all(text, F.lit(r"[0-9]|[^A-Za-z0-9\s]"), 0))
+    return (alpha_tokens + other).alias("bpe_tokens")
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, avg token length,
+    distinct-token ratio (type/token)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(F.length(F.regexp_replace(t, r"\s+", "")) / n_tok.cast("double"), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(F.size(F.array_distinct(toks)) / n_tok.cast("double"), 4).alias(
+            "distinct_ratio"
+        ),
+        bpe_ish_token_count(t).alias("bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality in [0,1]: blend of length band, mean token length
+    band, and stopword presence — the standard cheap pre-filter shape for
+    pretraining corpora (cf. C4/Gopher rules); weights are illustrative."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    mean_len = F.length(F.regexp_replace(t, r"\s+", "")) / n_tok
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in STOPWORD_PROFILES["en"]]))
+    ).cast("double")
+    len_band = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.3)
+    tok_band = F.when((mean_len >= 2.5) & (mean_len <= 12), 1.0).otherwise(0.4)
+    stop_band = F.least(stop_hits / 3.0, F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.round(0.4 * len_band + 0.3 * tok_band + 0.3 * stop_band, 4).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: score = distinct stopwords of each
+    profile present in the token set; argmax wins, 'und' (undetermined) if
+    all scores are 0. One expression tree per language — a single codegen
+    pass, no shuffle."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = [
+        (
+            lang,
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))),
+        )
+        for lang, words in STOPWORD_PROFILES.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # build argmax with first-profile-wins ties (dict order is stable)
+    for lang, s in reversed(scores):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. Collision-level dedup key portable across engines."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -1,0 +1,206 @@
+"""LLM-data-pipeline declared queries (north-star scope): dedup,
+similarity search, text analysis — each oracle-checked where ANSI-SQL can
+express it, rows-only otherwise (MinHash/SimHash banding, MLlib LSH, IVF)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators import dedup, similarity, text
+from graph_db_clustering_spark.queries.corpus import declared
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in text.STOPWORD_PROFILES.items()
+}
+_TOKS = "string_split_regex(LOWER(TRIM(text)), '\\s+')"
+
+
+@declared(
+    "dedup_exact",
+    """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       LIST_SORT(LIST(doc_id)) AS dup_ids
+FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups over documents (operators/dedup.exact_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text").orderBy("keep_id")
+
+
+@declared(
+    "doc_fingerprint",
+    """SELECT doc_id, md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+FROM documents ORDER BY doc_id""",
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@declared(
+    "text_stats",
+    f"""SELECT doc_id,
+  CAST(LENGTH(text) AS INT) AS n_chars,
+  CAST(LEN({_TOKS}) AS INT) AS n_tokens,
+  ROUND(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g'))
+        / CAST(LEN({_TOKS}) AS DOUBLE), 4) AS avg_token_len,
+  ROUND(LEN(LIST_DISTINCT({_TOKS}))
+        / CAST(LEN({_TOKS}) AS DOUBLE), 4) AS distinct_ratio,
+  CAST(LIST_SUM(LIST_TRANSFORM(regexp_extract_all(text, '[A-Za-z]+'),
+                               s -> CEIL(LENGTH(s)/4.0)))
+       + LEN(regexp_extract_all(text, '[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents ORDER BY doc_id""",
+)
+def text_stats(spark, sf_dir):
+    """Per-doc stats incl. the BPE-ish token estimate (operators/text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.text_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_LANG_SCORES_SQL = ",\n  ".join(
+    f"LEN(LIST_INTERSECT(LIST_DISTINCT({_TOKS}), {_STOP_SQL[lang]})) AS s_{lang}"
+    for lang in text.STOPWORD_PROFILES
+)
+_LANG_CASE_SQL = " ".join(
+    f"WHEN s_{lang} = g THEN '{lang}'" for lang in text.STOPWORD_PROFILES
+)
+
+
+@declared(
+    "lang_id",
+    f"""WITH scored AS (SELECT doc_id,
+  {_LANG_SCORES_SQL}
+FROM documents),
+g AS (SELECT doc_id, GREATEST(s_en, s_de, s_fr, s_es, s_zh) AS g, * FROM scored)
+SELECT doc_id, CASE WHEN g = 0 THEN 'und' {_LANG_CASE_SQL} ELSE 'und' END AS lang_pred
+FROM g ORDER BY doc_id""",
+)
+def lang_id(spark, sf_dir):
+    """Stopword-profile language ID (operators/text.language_id); the CASE
+    order in the oracle mirrors the first-profile-wins tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@declared(
+    "similarity_topk",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id <= 2),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+sims AS (
+  SELECT q.qid, c.nid, list_cosine_similarity(q.qv, c.nv) AS cosine
+  FROM c CROSS JOIN q WHERE q.qid <> c.nid)
+SELECT qid, nid, rk, ROUND(cosine, 6) AS cosine FROM (
+  SELECT qid, nid, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INT) AS rk
+  FROM sims) t
+WHERE rk <= 5 ORDER BY qid, rk""",
+)
+def similarity_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for 3 query vectors
+    (operators/similarity.brute_force_topk — the ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 2)
+    return similarity.brute_force_topk(q, emb, "vec_id", "embedding", k=5).orderBy(
+        "qid", "rk"
+    )
+
+
+@declared(
+    "ngram_pairs",
+    """WITH d AS (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\\s+') AS w
+          FROM documents WHERE doc_id < 100),
+sh AS (SELECT doc_id,
+              LIST_DISTINCT(LIST_TRANSFORM(
+                  GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+                  i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS shingles
+       FROM d),
+sizes AS (SELECT doc_id, LEN(shingles) AS sz FROM sh),
+inv AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id1, id2,
+       ROUND(common / CAST(s1.sz + s2.sz - common AS DOUBLE), 6) AS jaccard
+FROM common JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+WHERE common / CAST(s1.sz + s2.sz - common AS DOUBLE) >= 0.05
+ORDER BY id1, id2""",
+)
+def ngram_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs (inverted-index join — only pairs
+    sharing a shingle are scored; operators/dedup.ngram_jaccard_pairs)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05).orderBy(
+        "id1", "id2"
+    )
+
+
+@declared(
+    "embedding_near_dups",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 100)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.25
+ORDER BY id1, id2""",
+)
+def embedding_near_dups(spark, sf_dir):
+    """Exact cosine near-dup pairs (small slice) — the oracle for the LSH
+    scale path (operators/similarity.lsh_near_dups)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return (
+        dedup.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.25)
+        .orderBy("id1", "id2")
+    )
+
+
+# -- rows-only (banding/LSH internals aren't portable ANSI SQL) -------------
+
+
+@declared("dedup_minhash")
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle -> 64-hash signature -> banded
+    buckets -> exact-Jaccard verify). Verified against ngram_pairs ground
+    truth in tests (recall on high-similarity pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.3).orderBy("id1", "id2")
+
+
+@declared("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (64-bit signature, 8-bit chunk banding,
+    Hamming verify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dedup(docs, "doc_id", "text", max_hamming=16).orderBy("id1", "id2")
+
+
+@declared("quality_scores")
+def quality_scores(spark, sf_dir):
+    """Heuristic document quality in [0,1] (operators/text.quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@declared("ann_ivf")
+def ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (coarse k-means cells + nprobe search);
+    recall measured against similarity_topk in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 2)
+    return similarity.ivf_topk(q, emb, "vec_id", "embedding", k=5, cells=8, nprobe=3).orderBy(
+        "qid", "rk"
+    )
+
+
+@declared("ann_lsh")
+def ann_lsh(spark, sf_dir):
+    """Random-projection LSH near-dup pairs over embeddings (MLlib);
+    approximate — recall vs embedding_near_dups asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return similarity.lsh_near_dups(emb, "vec_id", "embedding", threshold=0.25).orderBy(
+        "id1", "id2"
+    )

@@ -1,0 +1,136 @@
+"""Semantic tests for the LLM-data operators: recall of approximate
+methods vs exact ground truth, plumbing invariants, determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Inject exact + near duplicates (testdata has none): copy 5 docs
+    verbatim with new ids, and 5 docs with one word changed."""
+    base = docs.limit(5).collect()
+    rows = []
+    for i, r in enumerate(base):
+        rows.append((10_000 + i, r.text))  # exact dup
+        toks = r.text.split(" ")
+        toks[0] = "zzzmutated"
+        rows.append((20_000 + i, " ".join(toks)))  # near dup
+    extra = spark.createDataFrame(rows, "doc_id long, text string")
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+def test_exact_dedup_finds_injected_dups(docs_with_dups):
+    groups = dedup.exact_dedup(docs_with_dups, "doc_id", "text")
+    dup_groups = groups.filter(F.col("n_copies") > 1).collect()
+    assert len(dup_groups) == 5
+    for g in dup_groups:
+        assert g.keep_id < 10_000 and len(g.dup_ids) == 2
+    kept = dedup.distinct_documents(docs_with_dups, "doc_id", "text")
+    assert kept.count() == docs_with_dups.count() - 5
+    assert kept.filter(F.col("doc_id").between(10_000, 10_004)).count() == 0
+
+
+def test_minhash_finds_exact_and_near_dups(docs_with_dups):
+    pairs = dedup.minhash_dedup(docs_with_dups, "doc_id", "text", threshold=0.5)
+    got = {(r.id1, r.id2): r.jaccard for r in pairs.collect()}
+    # all 5 exact-dup pairs must be found with jaccard 1.0
+    for i in range(5):
+        key = (i, 10_000 + i)
+        assert key in got and got[key] == 1.0, (key, got)
+    # near dups (1 word of ~dozens changed) should mostly surface
+    near_found = sum((i, 20_000 + i) in got for i in range(5))
+    assert near_found >= 3
+
+
+def test_minhash_subset_of_exact_jaccard(docs):
+    """Every minhash-verified pair's jaccard equals the exact inverted-index
+    jaccard (verification step is exact; LSH only prunes candidates)."""
+    small = docs.filter(F.col("doc_id") < 100)
+    mh = {(r.id1, r.id2): r.jaccard for r in dedup.minhash_dedup(
+        small, "doc_id", "text", threshold=0.05).collect()}
+    exact = {(r.id1, r.id2): r.jaccard for r in dedup.ngram_jaccard_pairs(
+        small, "doc_id", "text", threshold=0.05).collect()}
+    for k, v in mh.items():
+        assert k in exact and abs(exact[k] - v) < 1e-9
+
+
+def test_simhash_deterministic_and_finds_exact_dups(docs_with_dups):
+    pairs = dedup.simhash_dedup(docs_with_dups, "doc_id", "text", max_hamming=3)
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, 10_000 + i) in got  # identical text -> hamming 0
+    h1 = dedup.with_simhash(docs_with_dups.limit(10), "text").collect()
+    h2 = dedup.with_simhash(docs_with_dups.limit(10), "text").collect()
+    assert h1 == h2
+
+
+def test_brute_force_topk_shape(emb):
+    q = emb.filter(F.col("vec_id") <= 4)
+    res = similarity.brute_force_topk(q, emb, k=7)
+    rows = res.collect()
+    assert len(rows) == 5 * 7
+    by_q = {}
+    for r in rows:
+        assert r.nid != r.qid
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        sims = [r.cosine for r in sorted(rs, key=lambda r: r.rk)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_exact(emb):
+    q = emb.filter(F.col("vec_id") <= 9)
+    exact = similarity.brute_force_topk(q, emb, k=5)
+    approx = similarity.ivf_topk(q, emb, k=5, cells=8, nprobe=4)
+    e = {(r.qid, r.nid) for r in exact.collect()}
+    a = {(r.qid, r.nid) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # nprobe=4 of 8 cells on random vectors
+
+
+def test_lsh_near_dups_precision(emb):
+    """LSH pairs are a subset check: every returned pair really has
+    cosine >= threshold (verify step exactness)."""
+    small = emb.filter(F.col("vec_id") < 100)
+    approx = similarity.lsh_near_dups(small, threshold=0.25)
+    exact = dedup.embedding_near_dups(small, "vec_id", "embedding", threshold=0.25)
+    a = {(r.id1, r.id2) for r in approx.collect()}
+    e = {(r.id1, r.id2) for r in exact.collect()}
+    assert a, "LSH returned nothing"
+    assert a <= e  # no false positives after distance verification
+    assert len(a) / len(e) >= 0.3  # loose recall floor for 3 hash tables
+
+
+def test_text_stats_invariants(docs):
+    stats = text.text_stats(docs, "doc_id", "text")
+    joined = stats.join(docs.select("doc_id", F.col("n_chars").alias("expected")), "doc_id")
+    assert joined.filter(F.col("n_chars") != F.col("expected")).count() == 0
+    bad = stats.filter(
+        (F.col("n_tokens") <= 0)
+        | (F.col("distinct_ratio") <= 0)
+        | (F.col("distinct_ratio") > 1)
+        | (F.col("bpe_tokens") < F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+
+
+def test_quality_and_lang(docs):
+    q = text.quality_score(docs, "doc_id", "text")
+    assert q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+    lang = text.language_id(docs, "doc_id", "text")
+    preds = {r.lang_pred for r in lang.collect()}
+    assert preds <= set(text.STOPWORD_PROFILES) | {"und"}
