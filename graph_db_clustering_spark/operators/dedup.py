@@ -107,17 +107,29 @@ def with_minhash_signature(
     """num_hashes-wide minhash signature, entirely map-side:
     sig_j = min over shingles of (a_j * hash32(shingle) + b_j) mod P.
 
-    No explode, no shuffle — each row's signature is 64 nested
-    transform/array_min expressions over its own shingle array, evaluated
-    in codegen."""
-    hashes = F.transform(F.col(shingle_col), lambda s: F.hash(s).cast("long"))
-    sig = F.array(
+    No explode, no shuffle. Single-pass shape: one aggregate() over the
+    row's shingle-hash array with a num_hashes-wide accumulator, updated
+    per element by zip_with against a constant (a, b) params array. This
+    keeps the expression tree O(1) in num_hashes (the params are one
+    folded literal), so whole-stage codegen stays small and compiles fast
+    — the previous form (num_hashes separate array_min(transform(...))
+    expressions) generated ~64x the code and spent most of its wall-clock
+    in Janino compilation."""
+    params = F.array(
         *[
-            F.array_min(
-                F.transform(hashes, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P)))
-            )
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
             for a, b in _affine_params(num_hashes, seed)
         ]
+    )
+    hashes = F.transform(F.col(shingle_col), lambda s: F.hash(s).cast("long"))
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(_P).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(
+            params,
+            acc,
+            lambda p, m: F.least(m, F.pmod(p["a"] * x + p["b"], F.lit(_P))),
+        ),
     )
     return df.withColumn(out_col, sig)
 
@@ -172,9 +184,13 @@ def minhash_dedup(
     with jaccard >= threshold, id1 < id2."""
     rows_per_band = num_hashes // bands
     sh = with_shingles(df.select(id_col, text_col), text_col, n)
-    sig = with_minhash_signature(sh, "shingles", num_hashes, seed)
+    # The DAG below is a diamond (signature feeds both the banding join and
+    # the Jaccard verify); persist so shingling + signatures compute once.
+    # MEMORY_AND_DISK: signatures are 64*8B + shingles per row — bounded,
+    # and spillable if the corpus slice is large.
+    sig = with_minhash_signature(sh, "shingles", num_hashes, seed).persist()
     cands = lsh_candidate_pairs(sig, id_col, "signature", bands, rows_per_band)
-    sh_only = sh.select(F.col(id_col).alias("id"), F.col("shingles"))
+    sh_only = sig.select(F.col(id_col).alias("id"), F.col("shingles"))
     verified = (
         cands.join(sh_only.select(F.col("id").alias("id1"), F.col("shingles").alias("sh1")), "id1")
         .join(sh_only.select(F.col("id").alias("id2"), F.col("shingles").alias("sh2")), "id2")

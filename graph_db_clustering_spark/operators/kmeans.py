@@ -8,7 +8,7 @@ trips (:471-503). Here each iteration is ONE distributed plan:
 
     assignment: points.crossJoin(broadcast(centroids))
                 -> cosine/euclidean expression (codegen, functions/vectors)
-                -> window top-1 (WindowGroupLimit map-side prune)
+                -> min(struct) argmin (map-side partial combine)
     update:     assigned.groupBy(cid).agg(elementwise avg of vectors)
                 -> k rows back to the driver (the only driver traffic)
 
@@ -66,8 +66,15 @@ def assign(
     parity: str = "corrected",
 ) -> DataFrame:
     """Assignment step -> (id, cid, score). One crossJoin(broadcast) +
-    window top-1; the big side never shuffles for the join and the
-    WindowGroupLimit prune keeps the shuffle at ~1 row per point.
+    min(struct) argmin: the big side never shuffles for the join, and the
+    per-point best centroid is a hash aggregate with map-side partial
+    combine — the shuffle carries one pre-reduced row per (point, task),
+    and there is no per-group sort (measured ~2x faster than the window
+    top-1 form at sf0.1; see q08 note in queries/corpus.py).
+
+    The struct sort key is (sort_key, cid): sort_key = -score when the
+    best is the MAXIMUM score, so lexicographic struct-min == "best score
+    first, then lowest cid" — exactly the window ORDER BY it replaces.
 
     metric: "cosine" (argmax) or "euclidean" (argmin, on squared distance).
     parity: "corrected" | "reference-bug" (flip comparator — replicates
@@ -77,7 +84,7 @@ def assign(
     c = centroids.select("cid", "centroid")
     if metric == "cosine":
         score = cosine_similarity(F.col("vec"), F.col("centroid"))
-        best_first = F.desc("score") if parity == "corrected" else F.asc("score")
+        maximize = parity == "corrected"
     elif metric == "euclidean":
         # squared distance: |a|^2 - 2ab + |b|^2; monotone, cheaper than sqrt
         score = (
@@ -85,16 +92,16 @@ def assign(
             - 2 * dot(F.col("vec"), F.col("centroid"))
             + dot(F.col("centroid"), F.col("centroid"))
         )
-        best_first = F.asc("score") if parity == "corrected" else F.desc("score")
+        maximize = parity != "corrected"
     else:
         raise ValueError(f"unknown metric: {metric}")
 
     scored = p.crossJoin(F.broadcast(c)).withColumn("score", score)
-    w = Window.partitionBy("id").orderBy(best_first, F.asc("cid"))
+    sort_key = -F.col("score") if maximize else F.col("score")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "cid", "score")
+        scored.groupBy("id")
+        .agg(F.min(F.struct(sort_key.alias("sk"), F.col("cid"), F.col("score"))).alias("m"))
+        .select("id", F.col("m.cid").alias("cid"), F.col("m.score").alias("score"))
     )
 
 

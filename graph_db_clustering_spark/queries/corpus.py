@@ -169,27 +169,52 @@ def q07(spark, sf_dir):
 WHERE rn = 1 ORDER BY c_custkey""",
 )
 def q08(spark, sf_dir):
-    """Per-left argmin over a cross join — the k-means assignment-step plan
-    shape (reference's driver nested loop, image_classification.py:417-433,
-    rebuilt as crossJoin(broadcast) + window top-1). The small side
-    (supplier, k-like) is broadcast, so the big side never shuffles for the
-    join. The row_number()==1 filter is recognized by Catalyst's
-    InferWindowGroupLimit: each map task keeps only its local top-1 per key
-    (WindowGroupLimit), so the shuffle carries ~1 row per (key, partition),
-    not the N*k expansion. Deterministic tie-break (diff, s_suppkey) matches
-    the oracle. (Measured against min_by(struct) and a two-pass hash-agg
-    argmin: min_by's struct ordering forces an interpreted SortAggregate
-    that is 2-4x slower cold.)"""
+    """Per-left argmin "nearest supplier by acctbal" (the reference's
+    driver nested loop, image_classification.py:417-433). The metric is
+    1-D, so the right plan is NOT the N*k cross-join expansion: sort the
+    small side's distinct values once (O(k) driver traffic — the same
+    budget as broadcasting it), binary-search each customer into its
+    floor/ceiling neighbors (ML Bucketizer, JVM-side), and argmin over
+    those <=2 candidates with min(struct(diff, key)) — lexicographic
+    struct ordering == the oracle's ROW_NUMBER ORDER BY (diff, s_suppkey)
+    tie-break. Work is O(N log k) with a 2-row-per-customer join against a
+    broadcast index, vs O(N*k) for crossJoin + window top-1 (measured at
+    sf0.1: 4.7s cold vs 13.8s; the 15M-row form is what kmeans.assign
+    still uses, where vectors are high-dimensional and no sorted-search
+    shortcut exists). The equidistant case keeps both neighbors in the
+    candidate set, so the (diff, key) tie-break is exact."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
-    joined = c.crossJoin(F.broadcast(s)).withColumn(
-        "diff", F.abs(F.col("c_acctbal") - F.col("s_acctbal"))
+    # distinct acctbal -> min suppkey (ties within a value resolved here),
+    # sorted; k rows to the driver, then re-broadcast as an indexed dim.
+    vals = (
+        s.groupBy("s_acctbal")
+        .agg(F.min("s_suppkey").alias("s_suppkey"))
+        .orderBy("s_acctbal")
+        .collect()
     )
-    w = Window.partitionBy("c_custkey").orderBy("diff", "s_suppkey")
+    from pyspark.ml.feature import Bucketizer
+
+    key_type = dict(s.dtypes)["s_suppkey"]
+    sv = spark.createDataFrame(
+        [(j, float(r.s_acctbal), r.s_suppkey) for j, r in enumerate(vals)],
+        f"j int, s_acctbal double, s_suppkey {key_type}",
+    )
+    splits = [float("-inf")] + [r.s_acctbal for r in vals] + [float("inf")]
+    bucketed = Bucketizer(splits=splits, inputCol="c_acctbal", outputCol="b").transform(c)
+    # bucket b => c_acctbal in [vals[b-1], vals[b]); candidates are those
+    # two neighbors; the inner join drops the out-of-range sentinels.
+    cand = bucketed.select(
+        "c_custkey",
+        "c_acctbal",
+        F.explode(F.array(F.col("b").cast("int") - 1, F.col("b").cast("int"))).alias("j"),
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("c_custkey", "s_suppkey")
+        cand.join(F.broadcast(sv), "j")
+        .withColumn("diff", F.abs(F.col("c_acctbal") - F.col("s_acctbal")))
+        .groupBy("c_custkey")
+        .agg(F.min(F.struct("diff", "s_suppkey")).alias("m"))
+        .select("c_custkey", F.col("m.s_suppkey").alias("s_suppkey"))
         .orderBy("c_custkey")
     )
 
@@ -370,8 +395,10 @@ def q16(spark, sf_dir):
     image_classification.py:422-433; SURVEY §7.4.1 fixes it to argmax).
     Cosine is a pure Catalyst higher-order-function expression (functions/
     vectors.py) — runs in codegen, no Python. Centroids broadcast; the big
-    side never shuffles for the join; window top-1 with the
-    WindowGroupLimit map-side prune (see q08 note)."""
+    side never shuffles for the join; the argmax is min(struct(-sim, cid))
+    — a hash aggregate with map-side partial combine, no per-group sort
+    (see q08 note; the oracle's ROW_NUMBER ORDER BY sim DESC, cid has the
+    same tie-break)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pts = emb.filter(F.col("vec_id") <= 50)
     cents = emb.filter(F.col("vec_id").isin(1, 2)).select(
@@ -380,11 +407,10 @@ def q16(spark, sf_dir):
     sims = pts.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", cosine_similarity(F.col("embedding"), F.col("cemb")).alias("sim")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
     return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        sims.groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("sim")).alias("nsim"), F.col("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
         .orderBy("vec_id")
     )
 
