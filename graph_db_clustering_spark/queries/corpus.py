@@ -860,3 +860,57 @@ def q41(spark, sf_dir):
         .agg(F.min("event_id").alias("first_id"))
         .orderBy("user_id", "event_type")
     )
+
+
+@declared(
+    "q42_sessions",
+    """WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR EPOCH(ts) - EPOCH(prev) >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM lagged),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id, CAST(sid AS BIGINT) AS sid, MIN(ts) AS s_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS s_end, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""",
+)
+def q42_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-minute gap), batch form of
+    session_window (streaming/ops.session_counts): new session when the
+    gap to the previous event is >= 30 min (session_window merges events
+    with ts < previous-window end = last_ts + gap, so >= is the exact
+    batch rule); s_end = last_ts + gap matches session_window's end.
+    Plan: two windows over (user_id) — lag then running sum — then one
+    hash aggregate; partitions on user_id, so it scales with users."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = 30 * 60
+    lagged = e.withColumn("prev", F.lag("ts").over(w))
+    flagged = lagged.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts").cast("double") - F.col("prev").cast("double") >= gap_s),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("s_end"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("user_id", "sid")
+    )

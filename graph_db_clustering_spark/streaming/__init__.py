@@ -1,0 +1,25 @@
+from graph_db_clustering_spark.streaming.replay import (
+    read_events_stream,
+    run_available_now,
+    stage_replay_dir,
+)
+from graph_db_clustering_spark.streaming.ops import (
+    dedup_events,
+    first_event_per_user_type,
+    session_counts,
+    sliding_counts,
+    stream_static_join,
+    tumbling_counts,
+)
+
+__all__ = [
+    "stage_replay_dir",
+    "read_events_stream",
+    "run_available_now",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "dedup_events",
+    "first_event_per_user_type",
+    "stream_static_join",
+]

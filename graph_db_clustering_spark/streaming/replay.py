@@ -1,0 +1,115 @@
+"""File-source replay harness for the `events` table (SURVEY §2.10, §5.2.5).
+
+The reference claims Kafka streaming but contains zero streaming code
+(README.md:2; verified by full reads of all five source files). Here the
+`events` testdata becomes a Structured Streaming source by staging it as a
+sequence of time-ordered parquet chunks; `maxFilesPerTrigger=1` then replays
+arrival in timestamp order, one chunk per micro-batch — which is what makes
+watermark/late-data semantics testable deterministically.
+
+On a real deployment the same transformations run unchanged over
+``spark.readStream.format("kafka")``; the file source is the replay/test
+skin, not a different engine path (Structured Streaming treats both as
+incremental sources of the same unbounded table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graph_db_clustering_spark.catalog import load_table
+
+
+def stage_replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    num_chunks: int = 8,
+) -> str:
+    """Write `events` as ``num_chunks`` time-range parquet files under
+    ``out_dir``. repartitionByRange(ts) gives contiguous, ordered time
+    slices; with lexicographic file listing + one file per trigger the
+    stream sees (approximately) arrival order, so watermarks advance
+    monotonically — the deterministic replay SURVEY §5.2.5 requires.
+
+    The staged files carry a proper microsecond TimestampType `ts` (the
+    catalog's nanosecond normalization happens here, once), so the
+    streaming reader needs no legacy confs.
+    """
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.repartitionByRange(num_chunks, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def read_events_stream(
+    spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Open the staged replay directory as a streaming DataFrame.
+
+    Schema comes from a batch peek at the same files (file sources require
+    a user-supplied schema; inferring from the staged data keeps this
+    harness schema-agnostic).
+    """
+    schema = spark.read.parquet(replay_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(replay_dir)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str,
+    query_name: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (Trigger.AvailableNow) into
+    an in-memory sink and return the final result as a batch DataFrame.
+
+    AvailableNow processes all currently-available files in
+    maxFilesPerTrigger-sized micro-batches and then stops — replay-to-end
+    with real incremental state semantics (watermarks advance between
+    batches exactly as they would live). The memory sink is the test skin;
+    production sinks go through ``writeStream.foreachBatch`` /
+    ``toParquetSink`` below.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def to_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """foreachBatch parquet sink (SURVEY §2.10): every micro-batch reuses
+    the exact batch write path, so batch and streaming outputs share one
+    format/layout. Returns the started StreamingQuery (caller awaits)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

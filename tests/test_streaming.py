@@ -1,0 +1,165 @@
+"""Streaming tests (SURVEY §2.10, §5.2.5): replay the `events` table
+through a file-source stream and assert the final state equals the batch
+result — plus watermark late-drop semantics on a hand-staged 2-batch
+stream."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.queries.corpus import QUERIES
+from graph_db_clustering_spark.streaming import (
+    dedup_events,
+    first_event_per_user_type,
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    stage_replay_dir,
+    stream_static_join,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("replay")
+    return stage_replay_dir(spark, SF, str(d / "events"), num_chunks=4)
+
+
+def _counts_sorted(df, *keys):
+    return [tuple(r) for r in df.orderBy(*keys).collect()]
+
+
+def test_tumbling_stream_matches_batch(spark, replay_dir, tmp_path):
+    """Full replay of the tumbling agg converges to the Q39 batch result.
+    Complete output mode: every window's final value lands in the sink."""
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=2)
+    res = run_available_now(
+        tumbling_counts(stream, watermark="30 days"),
+        "complete",
+        "tumbling_final",
+        str(tmp_path),
+    )
+    got = _counts_sorted(
+        res.select(F.col("w_start").alias("w"), "event_type", "cnt", "sv"),
+        "w",
+        "event_type",
+    )
+    want = _counts_sorted(QUERIES["q39"](spark, SF), "w", "event_type")
+    assert got == want
+
+
+def test_session_stream_matches_batch_sessionization(spark, replay_dir, tmp_path):
+    """session_window replay == the q42_sessions lag/cumsum batch form
+    (same gap, same [first, last+gap) window semantics)."""
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=2)
+    res = run_available_now(
+        session_counts(stream, gap="30 minutes", watermark="30 days"),
+        "complete",
+        "sessions_final",
+        str(tmp_path),
+    )
+    got = _counts_sorted(
+        res.select("user_id", "s_start", "s_end", "cnt"), "user_id", "s_start"
+    )
+    want = _counts_sorted(
+        QUERIES["q42_sessions"](spark, SF).select("user_id", "s_start", "s_end", "cnt"),
+        "user_id",
+        "s_start",
+    )
+    assert got == want
+
+
+def test_first_event_stream_matches_q41(spark, replay_dir, tmp_path):
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=2)
+    res = run_available_now(
+        first_event_per_user_type(stream, watermark="30 days"),
+        "complete",
+        "first_final",
+        str(tmp_path),
+    )
+    got = _counts_sorted(res, "user_id", "event_type")
+    want = _counts_sorted(QUERIES["q41"](spark, SF), "user_id", "event_type")
+    assert got == want
+
+
+def test_stream_dedup_drops_replayed_duplicates(spark, tmp_path):
+    """Stage the same chunk twice -> dropDuplicates keeps one copy each."""
+    events = load_table(spark, SF, "events").limit(200)
+    d = str(tmp_path / "dup_replay")
+    events.coalesce(1).write.mode("overwrite").parquet(d)
+    events.coalesce(1).write.mode("append").parquet(d)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    res = run_available_now(
+        dedup_events(stream, watermark="30 days"), "append", "dedup_final", str(tmp_path)
+    )
+    assert res.count() == 200
+    assert res.select("event_id").distinct().count() == 200
+
+
+def test_stream_static_join_matches_batch(spark, replay_dir, tmp_path):
+    """Stream-static equi-join (Q10 shape): same row count as the batch
+    join of the same inputs."""
+    customer = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=2)
+    res = run_available_now(
+        stream_static_join(stream, customer, "user_id"),
+        "append",
+        "ssjoin_final",
+        str(tmp_path),
+    )
+    batch = load_table(spark, SF, "events").join(customer, "user_id")
+    assert res.count() == batch.count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches staged by hand: batch 2 carries an event 2 hours
+    older than batch 1's max ts; with a 10-minute watermark the late
+    event's window is already finalized, so the appended output equals the
+    batch aggregate WITHOUT the late event."""
+    base = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    d = str(tmp_path / "late_replay")
+    ck = str(tmp_path / "ck")
+    batch1 = [(1, base), (2, base + datetime.timedelta(minutes=5))]
+    late_ts = base - datetime.timedelta(hours=2)
+    batch2 = [(3, late_ts), (4, base + datetime.timedelta(minutes=6))]
+    mk(batch1).coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=10)
+    agg = tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_final")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark -> 12:05 - 10min
+        mk(batch2).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()  # batch 2: late event (10:00) precedes it
+    finally:
+        q.stop()
+    out = spark.table("late_final")
+    # the 10:00 window must never appear; the 12:00 window counts 3 events
+    starts = {r.w_start for r in out.select("w_start").collect()}
+    assert late_ts.replace(minute=0) not in starts
+    total = (
+        out.groupBy("w_start").agg(F.max("cnt").alias("cnt")).agg(F.sum("cnt")).first()[0]
+    )
+    assert total == 3
