@@ -1,0 +1,38 @@
+"""Declared multimodal-pipeline queries (north-star scope): binary columns
+with typed metadata, pandas-UDF feature extraction. Deterministic fixture
+(md5-derived raw images from `documents`), so results are stable across
+runs; rows-only driver check (per-image NumPy stats aren't portable ANSI
+SQL — unit tests pin them against driver-side NumPy instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators import multimodal
+from graph_db_clustering_spark.queries.corpus import declared
+
+
+@declared("image_features")
+def image_features(spark, sf_dir):
+    """7-stat feature vectors (image_classification.py:185 semantics) over
+    the deterministic raw-image fixture — decode/grayscale/resize/stats in
+    one Arrow-batched mapInPandas pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthetic_images_from_documents(docs, "doc_id", "text", side=16)
+    feats = multimodal.image_features(imgs, resize_to=(8, 8))
+    return feats.select(
+        "id", *[F.round(F.col(n), 4).alias(n) for n in multimodal.FEATURE_NAMES]
+    ).orderBy("id")
+
+
+@declared("image_histograms")
+def image_histograms(spark, sf_dir):
+    """Normalized 32-bin intensity histograms over the same fixture
+    (extract_color_histogram analog)."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthetic_images_from_documents(docs, "doc_id", "text", side=16)
+    h = multimodal.color_histogram(imgs, bins=32)
+    return h.select(
+        "id", F.transform("histogram", lambda x: F.round(x, 6)).alias("histogram")
+    ).orderBy("id")

@@ -1,0 +1,56 @@
+"""File sources and sinks (SURVEY §2.1).
+
+The reference's ingestion is a driver-side directory listing fed through
+``sc.parallelize`` (image_classification.py:57-63, 75) — the file list AND
+the bytes transit the driver. Here every source is an executor-side scan:
+the driver only holds the plan, listing and reading happen in tasks, and
+Catalyst prunes columns/partitions before any byte is read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Directory of opaque files -> DataFrame(path, modificationTime,
+    length, content: binary). The binaryFile source replaces the
+    reference's driver-side listdir + parallelize
+    (image_classification.py:57-75); listing and IO are distributed and
+    `pathGlobFilter` prunes at the source."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str, header: bool = True
+) -> DataFrame:
+    """CSV with an explicit schema — never inferSchema (inference is a
+    full extra pass over the data and nondeterministic on dirty input)."""
+    return spark.read.csv(path, schema=schema, header=header)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """JSON-lines with an explicit schema; unparseable rows land in
+    `_corrupt_record` (PERMISSIVE) instead of failing the scan."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with optional hive-style partitioning — the layout that
+    makes partition pruning work for downstream readers (e.g. events
+    partitioned by day: a one-day query scans one directory)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

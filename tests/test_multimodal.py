@@ -1,0 +1,148 @@
+"""Multimodal + file-source tests (SURVEY P4): binary columns with typed
+metadata, pandas-UDF decode/feature pipeline pinned against driver-side
+NumPy, and the binaryFile/CSV/JSON source round-trips."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators import multimodal as M
+from graph_db_clustering_spark.sources import (
+    read_binary_dir,
+    read_csv,
+    read_json,
+    write_partitioned_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    return M.synthetic_images_from_documents(docs, "doc_id", "text", side=16).cache()
+
+
+def test_fixture_is_deterministic_md5_bytes(spark, images):
+    """The raw fixture's bytes are exactly the keyed md5 stream."""
+    row = images.orderBy("image_id").first()
+    doc = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") == row.image_id)
+        .first()
+    )
+    want = b"".join(
+        hashlib.md5(f"{doc.text}#{i}".encode()).digest() for i in range(17)
+    )[:256]
+    assert bytes(row.content) == want
+    assert row.meta.height == 16 and row.meta.format == "raw"
+
+
+def test_image_features_match_driver_numpy(spark, images):
+    """Distributed 7-stat vectors == the same NumPy math run on the driver
+    (image_classification.py:185 semantics, incl. corrcoef==1.0 and
+    cov[0][0]==row-0 sample variance after resize)."""
+    got = {r.id: list(r.features) for r in M.image_features(images, resize_to=(8, 8)).collect()}
+    for r in images.orderBy("image_id").limit(10).collect():
+        arr = np.frombuffer(bytes(r.content), dtype=np.uint8).reshape(16, 16)
+        arr = arr[(np.arange(8) * 2)][:, (np.arange(8) * 2)].astype(np.float64)
+        want = [
+            arr.mean(),
+            arr.std(),
+            np.median(arr),
+            arr.min(),
+            arr.max(),
+            1.0,
+            np.var(arr[0], ddof=1),
+        ]
+        assert got[r.image_id] == pytest.approx(want)
+
+
+def test_feature_columns_unpacked(spark, images):
+    df = M.image_features(images, resize_to=(8, 8))
+    assert set(M.FEATURE_NAMES) < set(df.columns)
+    row = df.first()
+    assert row.features[0] == row.mean and row.features[6] == row.covariance
+
+
+def test_color_histogram_normalized(spark, images):
+    h = M.color_histogram(images, bins=32)
+    rows = h.limit(5).collect()
+    for r in rows:
+        assert len(r.histogram) == 32
+        assert sum(r.histogram) == pytest.approx(1.0)
+
+
+def test_grayscale_and_resize_helpers():
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    g = M._grayscale(rgb)
+    assert g.shape == (2, 3)
+    assert g[0, 0] == np.uint8(rgb[0, 0].mean())
+    big = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    small = M._resize_nn(big, 2, 2)
+    assert small.tolist() == [[0, 2], [8, 10]]
+
+
+def test_codec_decode_is_stubbed(spark, images):
+    """A codec format without cv2/PIL raises the clearly-marked
+    NotImplementedError through the UDF boundary."""
+    jpeg = images.withColumn(
+        "meta",
+        F.struct(
+            F.lit(16).alias("height"),
+            F.lit(16).alias("width"),
+            F.lit(1).alias("channels"),
+            F.lit("jpeg").alias("format"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|cv2 or PIL"):
+        M.image_features(jpeg).collect()
+
+
+def test_frame_sample_contract_is_stubbed(spark, images):
+    vids = images.select(F.col("image_id").alias("video_id"), "content")
+    df = M.frame_sample(vids, every_n=5)
+    assert [f.name for f in df.schema.fields] == ["id", "frame_index", "frame"]
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        df.collect()
+
+
+def test_read_binary_dir_roundtrip(spark, tmp_path):
+    payloads = {f"img_{i}.bin": bytes(range(i, i + 64)) for i in range(3)}
+    for name, b in payloads.items():
+        (tmp_path / name).write_bytes(b)
+    (tmp_path / "skip.txt").write_text("not binary payload")
+    df = read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert got == payloads
+
+
+def test_csv_json_sources_with_schema(spark, tmp_path):
+    (tmp_path / "t.csv").write_text("a,b\n1,x\n2,y\n")
+    (tmp_path / "t.json").write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    want = [(1, "x"), (2, "y")]
+    c = read_csv(spark, str(tmp_path / "t.csv"), "a int, b string")
+    j = read_json(spark, str(tmp_path / "t.json"), "a int, b string")
+    assert [tuple(r) for r in c.orderBy("a").collect()] == want
+    assert [tuple(r) for r in j.orderBy("a").select("a", "b").collect()] == want
+
+
+def test_partitioned_parquet_layout(spark, tmp_path):
+    events = load_table(spark, SF, "events").withColumn(
+        "day", F.date_trunc("DAY", "ts").cast("date")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_partitioned_parquet(events, out, partition_by=["day"])
+    sub = [p.name for p in (tmp_path / "events_by_day").iterdir() if p.is_dir()]
+    assert sub and all(s.startswith("day=") for s in sub)
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # partition pruning: a one-day filter reads one partition directory
+    one_day = sorted(sub)[0].split("=", 1)[1]
+    plan = back.filter(F.col("day") == one_day)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
