@@ -3,6 +3,7 @@ from graph_db_clustering_spark.streaming.replay import (
     run_available_now,
     stage_replay_dir,
 )
+from graph_db_clustering_spark.streaming.stateful import sessionize_with_state
 from graph_db_clustering_spark.streaming.ops import (
     dedup_events,
     first_event_per_user_type,
@@ -22,4 +23,5 @@ __all__ = [
     "dedup_events",
     "first_event_per_user_type",
     "stream_static_join",
+    "sessionize_with_state",
 ]

@@ -16,6 +16,7 @@ incremental sources of the same unbounded table).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,6 +46,17 @@ def stage_replay_dir(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+    # The file source replays in modification-time order, and one write
+    # gives every part file the same mtime — which would make chunk order
+    # (and therefore watermark advancement) nondeterministic. Part names
+    # are range-ordered (partition i = i-th ts slice), so stamping strictly
+    # increasing mtimes in name order pins arrival order = time order.
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = int(time.time()) - len(parts)
+    for i, name in enumerate(parts):
+        os.utime(os.path.join(out_dir, name), (base + i, base + i))
     return out_dir
 
 

@@ -163,3 +163,35 @@ def test_watermark_drops_late_data(spark, tmp_path):
         out.groupBy("w_start").agg(F.max("cnt").alias("cnt")).agg(F.sum("cnt")).first()[0]
     )
     assert total == 3
+
+
+def test_stateful_sessionize_matches_batch(spark, replay_dir, tmp_path):
+    """The applyInPandasWithState session machine emits exactly the batch
+    sessionization (q42_sessions): closed-by-event sessions during replay,
+    the rest via event-time timeout as the final watermark passes them.
+    Sessions still open at the final watermark legitimately stay in state;
+    with a replay whose last chunk advances the watermark past every
+    last+gap, the emitted set is complete."""
+    from graph_db_clustering_spark.streaming import sessionize_with_state
+
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=1)
+    res = run_available_now(
+        sessionize_with_state(stream, gap_seconds=1800, watermark="10 minutes"),
+        "append",
+        "stateful_sessions",
+        str(tmp_path),
+    )
+    got = _counts_sorted(
+        res.select("user_id", "s_start", "s_end", "cnt"), "user_id", "s_start"
+    )
+    batch = QUERIES["q42_sessions"](spark, SF).select("user_id", "s_start", "s_end", "cnt")
+    want_all = _counts_sorted(batch, "user_id", "s_start")
+    # every emitted session is a real batch session (exactness)
+    assert set(got) <= set(want_all)
+    # completeness up to the final watermark: sessions whose end precedes
+    # (max ts - 10 min) must all have been emitted
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    want_closed = [w for w in want_all if w[2] <= horizon]
+    assert set(got) >= set(want_closed)
+    assert len(got) == len(set(got))  # exactly-once emission
