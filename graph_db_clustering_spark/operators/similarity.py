@@ -101,6 +101,32 @@ def ivf_topk(
     )
 
 
+def knn_classify(
+    queries: DataFrame,
+    labeled: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN majority-vote classification -> (qid, pred).
+
+    The reference's database.py:7 docstring claims "k-nearest neighbor
+    classification" but no implementation exists anywhere in the repo
+    (SURVEY §2.9); this is that operator, distributed: exact top-k by
+    cosine (brute_force_topk — corpus side never shuffles), then one hash
+    aggregate per (query, label) and an argmax vote. Ties break toward
+    the smaller label (deterministic, oracle-matched)."""
+    topk = brute_force_topk(queries, labeled, id_col, vec_col, k=k)
+    labels = labeled.select(F.col(id_col).alias("nid"), F.col(label_col).alias("label"))
+    votes = topk.join(labels, "nid").groupBy("qid", "label").agg(F.count("*").alias("cnt"))
+    return (
+        votes.groupBy("qid")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("ncnt"), F.col("label"))).alias("m"))
+        .select("qid", F.col("m.label").alias("pred"))
+    )
+
+
 def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """L2-normalize into an MLlib vector column (unit sphere: Euclidean
     distance is monotone in cosine, d^2 = 2 - 2cos)."""

@@ -161,6 +161,34 @@ def embedding_near_dups(spark, sf_dir):
 # -- rows-only (banding/LSH internals aren't portable ANSI SQL) -------------
 
 
+@declared(
+    "knn_classify",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv, label FROM embeddings),
+sims AS (
+  SELECT q.qid, c.nid, c.label, list_cosine_similarity(q.qv, c.nv) AS cosine
+  FROM c CROSS JOIN q WHERE q.qid <> c.nid),
+topk AS (
+  SELECT qid, label FROM (
+    SELECT qid, label, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+    FROM sims) t
+  WHERE rn <= 5),
+votes AS (SELECT qid, label, COUNT(*) AS cnt FROM topk GROUP BY qid, label)
+SELECT qid, CAST(label AS INT) AS pred FROM (
+  SELECT qid, label, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, label) AS rn
+  FROM votes) t
+WHERE rn = 1 ORDER BY qid""",
+)
+def knn_classify(spark, sf_dir):
+    """k-NN majority vote over embeddings — the classifier the reference's
+    database.py:7 docstring promises but never implements
+    (operators/similarity.knn_classify)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_classify(q, emb, "vec_id", "embedding", "label", k=5).orderBy("qid")
+
+
 @declared("dedup_minhash")
 def dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup pairs (shingle -> 64-hash signature -> banded

@@ -1,0 +1,127 @@
+"""Physical-plan quality tests (SURVEY §4.3): these pin the properties
+that make the engine scale — filter/column pushdown into the parquet scan,
+broadcast of small join sides, map-side partial aggregation, and
+whole-stage codegen — so a regression in plan shape fails CI even while
+results stay correct. Golden behavior for non-oracle functions
+(approx_count_distinct, map functions) is pinned here too."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.queries.corpus import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q02's segment predicate must reach the parquet reader as a pushed
+    filter, and the scan must read only the projected columns."""
+    plan = plan_of(QUERIES["q02"](spark, SF))
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
+
+
+def test_column_pruning_skips_wide_columns(spark):
+    """Selecting 2 columns of lineitem must not scan the other 14."""
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(li)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_small_dims_are_broadcast(spark):
+    """q10's nation (25-row dim) side must be a broadcast join, never a
+    shuffle of the fact table for a tiny dim."""
+    plan = plan_of(QUERIES["q10"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_groupby_has_partial_aggregation(spark):
+    """q17 must partial-aggregate map-side (two HashAggregate levels), so
+    the shuffle carries pre-reduced rows, not the raw fact table."""
+    plan = plan_of(QUERIES["q17"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_argmin_assignment_is_aggregate_not_sort(spark):
+    """The k-means assignment (q16 shape) must run as a hash aggregate
+    with a partial phase — not a per-group window sort."""
+    plan = plan_of(QUERIES["q16"](spark, SF))
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    """The hot relational path must run inside whole-stage codegen.
+    (AQE only shows codegen spans in the final plan, so execute first.)"""
+    df = QUERIES["q05"](spark, SF)
+    df.collect()
+    # "*(n)" is the WholeStageCodegen span marker in the plan string
+    assert "*(1)" in plan_of(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    """q30 (ORDER BY + LIMIT) must plan as TakeOrderedAndProject — per-
+    partition top-k then a k-row merge, never a global sort."""
+    plan = plan_of(QUERIES["q30"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udfs_in_relational_corpus(spark):
+    """Q01-Q42 are pure Catalyst: any Python UDF in those plans would put
+    a per-row Python crossing on the hot path."""
+    for name, fn in QUERIES.items():
+        if not name.startswith("q"):
+            continue
+        plan = plan_of(fn(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+# -- golden behavior for non-oracle functions (SURVEY §2.4, §2.8) -----------
+
+
+def test_approx_count_distinct_close_to_exact(spark):
+    o = load_table(spark, SF, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).first()[0]
+    approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_map_functions(spark):
+    df = spark.createDataFrame([(1,)], "id int").select(
+        "id", F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)).alias("m")
+    )
+    row = df.select(
+        F.map_keys("m").alias("ks"),
+        F.map_values("m").alias("vs"),
+        F.element_at("m", "b").alias("b"),
+    ).first()
+    assert row.ks == ["a", "b"] and row.vs == [1, 2] and row.b == 2
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """3-NN on a hand-built plane: two close neighbors labelled 7 beat one
+    labelled 3; a 1-1 split within k=2 breaks toward the smaller label."""
+    from graph_db_clustering_spark.operators.similarity import knn_classify
+
+    rows = [
+        (1, [1.0, 0.0], 7),
+        (2, [0.99, 0.14], 7),
+        (3, [0.9, 0.43], 3),
+        (4, [0.0, 1.0], 9),
+        (100, [1.0, 0.05], -1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = df.filter(F.col("vec_id") == 100)
+    labeled = df.filter(F.col("vec_id") != 100)
+    assert knn_classify(q, labeled, k=3).first().pred == 7
+    assert knn_classify(q, labeled, k=2).first().pred == 7  # votes 7,7
+    two = labeled.filter(F.col("vec_id").isin(2, 3))  # one 7, one 3 -> tie
+    assert knn_classify(q, two, k=2).first().pred == 3
