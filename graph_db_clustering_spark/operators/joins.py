@@ -1,0 +1,113 @@
+"""Join operators Spark lacks as built-ins (SURVEY §2.3 Q14/Q15 rows):
+as-of join and a skew-aware range join, composed from existing DataFrame
+ops so Catalyst still plans them (option (a) of the custom-operator ladder
+— no UDFs, no mapPartitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: list[str],
+    value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts within the same `by` keys (pandas merge_asof
+    semantics, direction="backward").
+
+    Plan: tag both sides, union, then one window per key ordered by
+    (ts, side): ``last(right value, ignorenulls=True)`` up to the current
+    row carries the most recent right value forward onto each left row.
+    One shuffle, keyed by `by` — scales with key cardinality and stays
+    sorted within partitions, vs the O(L*R)-per-key expansion of the
+    naive range join. Right rows sort before left rows at equal ts
+    (side 0 < 1), so an exactly-simultaneous right row IS visible to the
+    left row, matching <= semantics.
+
+    ``tolerance_seconds`` drops matches older than the window (the match
+    column goes NULL), like merge_asof's tolerance.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in by and c != right_ts]
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+
+    l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    r_tag = (
+        right.select(*by, *value_cols, F.col(right_ts).alias("__ts"))
+        .withColumn("__side", F.lit(0))
+        .withColumn("__rts", F.col("__ts"))
+    )
+    # unionByName fills each side's missing columns with NULLs
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in value_cols],
+        F.last("__rts", ignorenulls=True).over(w).alias("__asof_ts"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__ts").cast("double") - F.col("__asof_ts").cast("double")
+        ) <= tolerance_seconds
+        keep = [
+            F.when(fresh, F.col(f"__asof_{c}")).alias(c) for c in value_cols
+        ]
+        asof_ts = F.when(fresh, F.col("__asof_ts")).alias("asof_ts")
+    else:
+        keep = [F.col(f"__asof_{c}").alias(c) for c in value_cols]
+        asof_ts = F.col("__asof_ts").alias("asof_ts")
+    return out.select(*left.columns, *keep, asof_ts)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    lower: float,
+    upper: float,
+    bucket: float | None = None,
+) -> DataFrame:
+    """Non-equi interval join: pairs where
+    left_val + lower <= right_val < left_val + upper (Q14 shape).
+
+    Without `bucket` this is the plain theta join (BroadcastNestedLoop for
+    a small side). With `bucket` (>= upper - lower) each side is assigned
+    to width-`bucket` bins and right rows are exploded into the (at most
+    two) bins a match could land in, turning the theta join into an
+    equi-join on the bin id + a residual filter — the standard banding
+    trick that lets two LARGE sides join without an N*M expansion."""
+    cond = (F.col(right_val) >= F.col(left_val) + lower) & (
+        F.col(right_val) < F.col(left_val) + upper
+    )
+    if bucket is None:
+        return left.join(right, cond)
+    if bucket < (upper - lower):
+        raise ValueError("bucket must be >= the interval width")
+    lb = left.withColumn("__bin", F.floor((F.col(left_val) + lower) / bucket))
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.array(
+                F.floor(F.col(right_val) / bucket),
+                F.floor(F.col(right_val) / bucket) - 1,
+            )
+        ),
+    )
+    return lb.join(rb, "__bin").filter(cond).drop("__bin")

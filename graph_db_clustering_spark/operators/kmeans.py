@@ -225,6 +225,44 @@ def purity_scores(
     )
 
 
+def normalize_per_cluster(
+    points: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster z-score normalization — the grouped-map
+    (applyInPandas) surface of SURVEY §2.11: each cluster's member
+    vectors arrive as one Arrow batch in one Python worker, NumPy
+    standardizes them against that cluster's own mean/std, and the result
+    keeps one row per point. Groups are whole-cluster, so partitioning is
+    by cid (k groups); skewed cluster sizes are the known trade of
+    grouped-map (a giant cluster lands on one worker) — acceptable for
+    k-means-sized k, and the reason the hot paths above use plain
+    aggregates instead.
+    Output: (id, cid, normalized: array<double>)."""
+    import numpy as np
+    import pandas as pd
+
+    joined = points.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).join(
+        assignments.select("id", "cid"), "id"
+    )
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        arrs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        mu = arrs.mean(axis=0)
+        sd = arrs.std(axis=0)
+        sd[sd == 0] = 1.0
+        z = (arrs - mu) / sd
+        return pd.DataFrame(
+            {"id": pdf["id"], "cid": pdf["cid"], "normalized": list(z)}
+        )
+
+    return joined.groupBy("cid").applyInPandas(
+        norm, "id long, cid long, normalized array<double>"
+    )
+
+
 def mllib_fit(points: DataFrame, k: int, vec_col: str, seed: int = 42, max_iter: int = 20):
     """MLlib fast path (SURVEY §7.1 P3b): VectorAssembler-free — converts
     the array column to ml vectors and fits pyspark.ml.clustering.KMeans.

@@ -113,3 +113,68 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     lowercased text. Collision-level dedup key portable across engines."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def split_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """UDTF-shaped op, Catalyst-expressible: one row per sentence with its
+    position — posexplode of a regex split (terminator kept with the
+    sentence). Stays in codegen; the rolling-hash chunker below is the op
+    that genuinely needs Python."""
+    sentences = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    return df.select(
+        F.col(id_col), F.posexplode(sentences).alias("sentence_idx", "sentence")
+    ).filter(F.length(F.trim(F.col("sentence"))) > 0)
+
+
+# rolling-hash parameters for content-defined chunking (Rabin-style):
+# window w, base b, chunk boundary when hash % modulus == 0
+_CDC_BASE = 257
+_CDC_WINDOW = 16
+_CDC_MASK = (1 << 61) - 1
+
+
+def chunk_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_chunk: int = 64,
+    min_chunk: int = 16,
+) -> DataFrame:
+    """Content-defined chunking via a Rabin-style rolling hash — the
+    partial-overlap dedup primitive (two documents sharing a paragraph
+    share its chunk fingerprints even when byte offsets differ, which
+    fixed-size blocks cannot do). A per-position data-dependent state
+    machine is not expressible in Catalyst, so this is the UDTF surface
+    (SURVEY §2.11): a Python UDTF yielding (chunk_idx, chunk_hash,
+    chunk_len) per document; Spark plans it as a lateral join.
+
+    Boundary rule: position is a cut when rolling_hash % target_chunk == 0
+    and the chunk has >= min_chunk bytes; expected chunk size ~=
+    target_chunk bytes. Chunk hash = crc32 (stable across processes)."""
+    import zlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_hash bigint, chunk_len int")
+    class Chunker:
+        def eval(self, text: str):  # noqa: D102
+            if text is None:
+                return
+            data = text.encode("utf-8", errors="replace")
+            h, start, idx = 0, 0, 0
+            pow_w = pow(_CDC_BASE, _CDC_WINDOW, _CDC_MASK + 1)
+            for i, byte in enumerate(data):
+                h = (h * _CDC_BASE + byte) & _CDC_MASK
+                if i >= _CDC_WINDOW:
+                    h = (h - data[i - _CDC_WINDOW] * pow_w) & _CDC_MASK
+                if (i + 1 - start) >= min_chunk and h % target_chunk == 0:
+                    chunk = data[start : i + 1]
+                    yield idx, zlib.crc32(chunk), len(chunk)
+                    idx, start = idx + 1, i + 1
+            if start < len(data):
+                chunk = data[start:]
+                yield idx, zlib.crc32(chunk), len(chunk)
+
+    return df.lateralJoin(
+        Chunker(F.col(text_col).outer())  # one UDTF call per document row
+    ).select(F.col(id_col), "chunk_idx", "chunk_hash", "chunk_len")

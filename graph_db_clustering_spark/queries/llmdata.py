@@ -206,6 +206,24 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_dedup(docs, "doc_id", "text", max_hamming=16).orderBy("id1", "id2")
 
 
+@declared("sentence_split")
+def sentence_split(spark, sf_dir):
+    """One row per sentence with position (posexplode; rows-only — the
+    Spark split pattern uses a lookbehind, which DuckDB's RE2 lacks)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return text.split_sentences(docs, "doc_id", "text").orderBy("doc_id", "sentence_idx")
+
+
+@declared("chunk_fingerprints")
+def chunk_fingerprints(spark, sf_dir):
+    """Content-defined chunk fingerprints (Rabin rolling hash) via the
+    Python UDTF surface — the partial-overlap dedup primitive; rows-only
+    (a per-byte state machine has no ANSI-SQL form). Deterministic:
+    crc32 chunk hashes, content-defined boundaries."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return text.chunk_fingerprints(docs, "doc_id", "text").orderBy("doc_id", "chunk_idx")
+
+
 @declared("quality_scores")
 def quality_scores(spark, sf_dir):
     """Heuristic document quality in [0,1] (operators/text.quality_score)."""

@@ -1,0 +1,184 @@
+"""Tests for the as-of/range joins, CIFAR converter, UDTF chunker,
+sentence splitter, and grouped-map normalization (SURVEY §2.1/§2.3/§2.11
+inventory lines)."""
+
+from __future__ import annotations
+
+import datetime
+import pickle
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators import joins, kmeans
+from graph_db_clustering_spark.operators import text as text_ops
+from graph_db_clustering_spark.sources.cifar import read_cifar_batches
+
+SF = "/root/testdata/sf0.001"
+T0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + datetime.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    rows = [(1, _ts(0), 10.0), (1, _ts(10), 11.0), (1, _ts(30), 12.0), (2, _ts(5), 99.0)]
+    return spark.createDataFrame(rows, "sym int, qts timestamp, px double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        (1, _ts(-5), 100),  # before any quote -> NULL
+        (1, _ts(10), 200),  # exactly simultaneous -> 11.0 (<= semantics)
+        (1, _ts(29), 300),  # latest prior -> 11.0
+        (1, _ts(60), 400),  # -> 12.0
+        (2, _ts(6), 500),  # other key -> 99.0
+        (3, _ts(6), 600),  # key with no quotes -> NULL
+    ]
+    return spark.createDataFrame(rows, "sym int, tts timestamp, qty int")
+
+
+def test_asof_join_backward_semantics(quotes, trades):
+    out = joins.asof_join(trades, quotes, "tts", "qts", by=["sym"], value_cols=["px"])
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    assert got == {
+        (1, 100): None,
+        (1, 200): 11.0,
+        (1, 300): 11.0,
+        (1, 400): 12.0,
+        (2, 500): 99.0,
+        (3, 600): None,
+    }
+    assert out.count() == trades.count()  # exactly one row per left row
+
+
+def test_asof_join_tolerance(quotes, trades):
+    out = joins.asof_join(
+        trades, quotes, "tts", "qts", by=["sym"], value_cols=["px"],
+        tolerance_seconds=20 * 60,
+    )
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    # the 60-min trade's latest quote (30 min earlier) is outside tolerance;
+    # the 29-min trade's (19 min earlier) is inside
+    assert got[(1, 400)] is None
+    assert got[(1, 300)] == 11.0
+
+
+def test_asof_join_matches_q15_scalar_subquery(spark):
+    """Engine as-of == the correlated-subquery formulation on real events
+    (Q15's shape), per (user, cutoff)."""
+    events = load_table(spark, SF, "events")
+    users = events.select("user_id").distinct()
+    cutoffs = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 8),), (datetime.datetime(2024, 1, 15),)],
+        "cutoff timestamp",
+    )
+    left = users.crossJoin(cutoffs)
+    right = events.select("user_id", "ts", F.col("event_id").alias("eid"))
+    out = joins.asof_join(left, right, "cutoff", "ts", by=["user_id"], value_cols=[])
+    got = {(r.user_id, r.cutoff): r.asof_ts for r in out.collect()}
+    want = {
+        (r.user_id, r.cutoff): r.last_ts
+        for r in left.alias("l")
+        .join(events.alias("e"), "user_id", "left")
+        .filter(F.col("e.ts") <= F.col("l.cutoff"))
+        .groupBy("user_id", "cutoff")
+        .agg(F.max("ts").alias("last_ts"))
+        .collect()
+    }
+    for k, v in want.items():
+        assert got[k] == v
+
+
+def test_range_join_bucketed_equals_theta(spark):
+    s = load_table(spark, SF, "supplier").select("s_suppkey", "s_acctbal")
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_acctbal")
+    theta = joins.range_join(s, c, "s_acctbal", "c_acctbal", -100.0, 100.0)
+    bucketed = joins.range_join(s, c, "s_acctbal", "c_acctbal", -100.0, 100.0, bucket=200.0)
+    key = lambda df: {(r.s_suppkey, r.c_custkey) for r in df.collect()}  # noqa: E731
+    assert key(theta) == key(bucketed)
+    assert theta.count() > 0
+
+
+def test_cifar_converter(spark, tmp_path):
+    """Synthetic CIFAR-format pickle batches -> one row per image with raw
+    NHWC bytes and the right label (and no dict-collapse bug: N rows stay
+    N rows even with repeated labels, SURVEY §7.4.3)."""
+    rng = np.random.RandomState(7)
+    for b in range(2):
+        data = rng.randint(0, 256, size=(6, 3072), dtype=np.uint8)
+        labels = [b % 2, 1, 1, 3, 3, 3]  # heavy label repetition on purpose
+        with open(tmp_path / f"data_batch_{b}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+    df = read_cifar_batches(spark, str(tmp_path))
+    assert df.count() == 12  # all rows survive label repetition
+    row = df.orderBy("image_id").first()
+    assert len(bytes(row.content)) == 32 * 32 * 3
+    assert row.meta.format == "raw" and row.meta.channels == 3
+    assert df.select("image_id").distinct().count() == 12
+    # byte-level spot check: planar -> NHWC transpose preserved
+    batches = {r.batch for r in df.select("batch").distinct().collect()}
+    assert batches == {"data_batch_0", "data_batch_1"}
+
+
+def test_split_sentences(spark):
+    df = spark.createDataFrame(
+        [(1, "One two. Three four! Five?"), (2, "No terminator here")],
+        "doc_id long, text string",
+    )
+    out = text_ops.split_sentences(df, "doc_id", "text").collect()
+    got = {(r.doc_id, r.sentence_idx): r.sentence for r in out}
+    assert got == {
+        (1, 0): "One two.",
+        (1, 1): "Three four!",
+        (1, 2): "Five?",
+        (2, 0): "No terminator here",
+    }
+
+
+def test_chunk_fingerprints_properties(spark):
+    """CDC chunks: lengths sum to the byte length, hashes are crc32 of the
+    byte slices, and a shared suffix yields shared chunk hashes even at a
+    different offset (the content-defined property)."""
+    # varied tokens (a repeated phrase would make the rolling hash periodic
+    # and can starve the boundary condition in the shared region)
+    shared = " ".join(f"w{(i * i) % 997}x{(i * 7) % 31}" for i in range(300))
+    a, b = "PREFIX-A " + shared, "totally different and longer prefix " + shared
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = text_ops.chunk_fingerprints(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, txt in [(1, a), (2, b)]:
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        data = txt.encode()
+        assert sum(r.chunk_len for r in rows) == len(data)
+        off = 0
+        for r in rows:
+            assert r.chunk_hash == zlib.crc32(data[off : off + r.chunk_len])
+            off += r.chunk_len
+    h1 = {r.chunk_hash for r in by_doc[1]}
+    h2 = {r.chunk_hash for r in by_doc[2]}
+    assert h1 & h2  # shared content -> shared chunks despite offset shift
+
+
+def test_normalize_per_cluster(spark):
+    emb = load_table(spark, SF, "embeddings")
+    res = kmeans.fit(emb, k=3, max_iter=3)
+    z = kmeans.normalize_per_cluster(emb, res.assignments)
+    assert z.count() == emb.count()
+    # per-cluster mean ~ 0 for every dimension
+    stats = (
+        z.select("cid", F.explode("normalized").alias("v"))
+        .groupBy("cid")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    for r in stats:
+        assert abs(r.m) < 1e-9
