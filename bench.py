@@ -20,17 +20,20 @@ from graph_db_clustering_spark.session import get_spark
 
 HEADLINE = [
     "q05",  # pushdown-heavy scan filter
-    "q08",  # crossJoin(broadcast) + window top-1 (assignment plan shape)
+    "q08",  # per-left argmin (1-D nearest neighbor, sorted-search plan)
     "q10",  # multi-way join + agg (TPC-H flavor)
     "q16",  # cosine top-1 over embeddings (HOF expressions)
     "q24",  # exact percentile
     "q27",  # running-sum window
     "q39",  # tumbling window agg
     "q41",  # dedup agg
+    "q42_sessions",  # gap sessionization (two windows + agg)
     "dedup_exact",  # content-hash dedup over documents
-    "dedup_minhash",  # shingle -> minhash -> LSH bands -> verified pairs
+    "dedup_minhash",  # hashed shingles -> minhash -> LSH bands -> verify
     "text_stats",  # per-doc text analysis (HOF expressions)
     "similarity_topk",  # brute-force cosine top-k baseline
+    "knn_classify",  # top-k + majority vote
+    "image_features",  # multimodal pandas-UDF pipeline (decode+stats)
 ]
 
 

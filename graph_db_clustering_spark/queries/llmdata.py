@@ -221,7 +221,7 @@ def chunk_fingerprints(spark, sf_dir):
     (a per-byte state machine has no ANSI-SQL form). Deterministic:
     crc32 chunk hashes, content-defined boundaries."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return text.chunk_fingerprints(docs, "doc_id", "text").orderBy("doc_id", "chunk_idx")
+    return text.chunk_fingerprints(docs, "doc_id", "text")
 
 
 @declared("quality_scores")

@@ -21,9 +21,11 @@ def image_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     imgs = multimodal.synthetic_images_from_documents(docs, "doc_id", "text", side=16)
     feats = multimodal.image_features(imgs, resize_to=(8, 8))
+    # no ORDER BY: rows-only check; a global sort would re-run the pandas
+    # UDF for range-boundary sampling (2x the Python work for nothing)
     return feats.select(
         "id", *[F.round(F.col(n), 4).alias(n) for n in multimodal.FEATURE_NAMES]
-    ).orderBy("id")
+    )
 
 
 @declared("image_histograms")
@@ -35,4 +37,4 @@ def image_histograms(spark, sf_dir):
     h = multimodal.color_histogram(imgs, bins=32)
     return h.select(
         "id", F.transform("histogram", lambda x: F.round(x, 6)).alias("histogram")
-    ).orderBy("id")
+    )

@@ -182,3 +182,47 @@ def test_normalize_per_cluster(spark):
     )
     for r in stats:
         assert abs(r.m) < 1e-9
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property test: on randomized inputs the distributed as-of join
+    agrees with pandas.merge_asof (direction='backward'), the de-facto
+    reference implementation."""
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        n_l, n_r = 40, 25
+        lpd = pd.DataFrame(
+            {
+                "k": rng.randint(0, 4, n_l),
+                "ts": pd.to_datetime(T0) + pd.to_timedelta(rng.randint(0, 5000, n_l), "s"),
+                "lid": np.arange(n_l),
+            }
+        ).sort_values("ts")
+        rpd = pd.DataFrame(
+            {
+                "k": rng.randint(0, 4, n_r),
+                "rts": pd.to_datetime(T0) + pd.to_timedelta(rng.randint(0, 5000, n_r), "s"),
+                "val": rng.randint(0, 1000, n_r).astype("float64"),
+            }
+        ).sort_values("rts")
+        want = pd.merge_asof(
+            lpd, rpd, left_on="ts", right_on="rts", by="k", direction="backward"
+        )
+        got = joins.asof_join(
+            spark.createDataFrame(lpd, "k int, ts timestamp, lid long"),
+            spark.createDataFrame(rpd, "k int, rts timestamp, val double"),
+            "ts",
+            "rts",
+            by=["k"],
+            value_cols=["val"],
+        ).toPandas()
+        merged = want.merge(got[["lid", "val"]], on="lid", suffixes=("_pd", "_spark"))
+        mismatch = merged[
+            ~(
+                (merged.val_pd.isna() & merged.val_spark.isna())
+                | (merged.val_pd == merged.val_spark)
+            )
+        ]
+        assert mismatch.empty, f"trial {trial}:\n{mismatch}"
