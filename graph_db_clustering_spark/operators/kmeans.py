@@ -188,10 +188,14 @@ def fit(
     prev_counts: dict | None = None
     history: list[dict] = []
     assignments = None
+    prev_assignments = None
     converged = False
     it = 0
     for it in range(1, max_iter + 1):
-        assignments = assign(pts, centroids, id_col, vec_col, metric, parity)
+        # persisted: each iteration reads assignments twice (convergence
+        # counts + the update join) — without this the crossJoin+argmin
+        # recomputes per consumer, doubling every iteration's heavy work
+        assignments = assign(pts, centroids, id_col, vec_col, metric, parity).persist()
         counts = {
             r.cid: r.n
             for r in assignments.groupBy("cid").agg(F.count("*").alias("n")).collect()
@@ -202,6 +206,11 @@ def fit(
             break
         prev_counts = counts
         centroids = update(pts, assignments, centroids, id_col, vec_col).localCheckpoint()
+        if prev_assignments is not None:
+            prev_assignments.unpersist()
+        prev_assignments = assignments
+    if prev_assignments is not None and prev_assignments is not assignments:
+        prev_assignments.unpersist()
     return KMeansResult(centroids, assignments, it, converged, history)
 
 

@@ -41,6 +41,29 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> Dat
     return spark.read.schema(schema).json(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sort-ordered) table: rows are
+    hash-clustered into `buckets` files per partition by `bucket_cols`.
+    Two tables bucketed the same way join WITHOUT an exchange — the
+    shuffle is paid once at write time instead of per query, which is the
+    right trade for fact tables joined on the same key repeatedly (the
+    100 TB posture: lineitem/orders both bucketed by orderkey)."""
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(name)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

@@ -125,3 +125,35 @@ def test_knn_classify_majority_and_tiebreak(spark):
     assert knn_classify(q, labeled, k=2).first().pred == 7  # votes 7,7
     two = labeled.filter(F.col("vec_id").isin(2, 3))  # one 7, one 3 -> tie
     assert knn_classify(q, two, k=2).first().pred == 3
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join without
+    any Exchange — the write-once-shuffle-never contract of bucketing."""
+    from graph_db_clustering_spark.sources import write_bucketed_table
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = load_table(spark, SF, "customer").select("c_custkey", "c_name")
+    write_bucketed_table(
+        orders, "b_orders", 4, ["o_custkey"], ["o_custkey"], path=str(tmp_path / "bo")
+    )
+    write_bucketed_table(
+        customer, "b_customer", 4, ["c_custkey"], ["c_custkey"], path=str(tmp_path / "bc")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
