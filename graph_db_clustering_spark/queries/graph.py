@@ -1,0 +1,108 @@
+"""Declared property-graph queries: the graph layer + iterative algorithms
+run against graphs derived from the relational testdata, oracle-checked
+where ANSI SQL can express the answer.
+
+Derived graph (deterministic): vertices = customers with c_custkey < 300;
+undirected edges between customers sharing a nation (a same-attribute
+clique graph — diameter 1 per component, so the iterative CC converges
+fast, while still exercising the full message-passing machinery; the
+random-graph convergence path is covered in tests/test_graph_algos.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators.graph import Graph
+from graph_db_clustering_spark.operators.graph_algos import (
+    connected_components,
+    pagerank,
+    triangle_count,
+)
+from graph_db_clustering_spark.queries.corpus import declared
+
+_CAP = 300
+
+
+def _customer_graph(spark, sf_dir) -> Graph:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nation"))
+    )
+    a = c.select(F.col("id").alias("src"), F.col("nation"))
+    b = c.select(F.col("id").alias("dst"), F.col("nation"))
+    edges = (
+        a.join(b, "nation")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.lit("same_nation").alias("relationship"))
+    )
+    return Graph(c, edges)
+
+
+@declared(
+    "graph_components",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+          WHERE c_custkey < {_CAP})
+SELECT id, MIN(id) OVER (PARTITION BY nation) AS component
+FROM v ORDER BY id""",
+)
+def graph_components(spark, sf_dir):
+    """Iterative min-label connected components (graph_algos) on the
+    same-nation clique graph; the closed-form oracle is min custkey per
+    nation. The Spark side genuinely iterates message passing to a
+    fixpoint — the oracle just knows the answer in closed form."""
+    g = _customer_graph(spark, sf_dir)
+    return connected_components(g).orderBy("id")
+
+
+@declared(
+    "graph_triangles",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+          WHERE c_custkey < {_CAP}),
+sizes AS (SELECT nation, COUNT(*) AS n FROM v GROUP BY nation)
+SELECT v.id, CAST(CASE WHEN s.n >= 3 THEN (s.n - 1) * (s.n - 2) / 2 ELSE 0 END AS BIGINT)
+       AS triangles
+FROM v JOIN sizes s ON v.nation = s.nation ORDER BY v.id""",
+)
+def graph_triangles(spark, sf_dir):
+    """Exact per-vertex triangle counts via the wedge-close join; in a
+    clique of n vertices every vertex sits in C(n-1, 2) triangles — the
+    oracle's closed form."""
+    g = _customer_graph(spark, sf_dir)
+    return triangle_count(g).orderBy("id")
+
+
+@declared(
+    "graph_degrees",
+    """SELECT o_custkey AS id, CAST(COUNT(*) AS BIGINT) AS in_degree
+FROM orders GROUP BY o_custkey ORDER BY id""",
+)
+def graph_degrees(spark, sf_dir):
+    """in_degrees through the property-graph layer on the customer<-order
+    edge set (count_connections analog, image_classification.py:505-522)
+    — same answer as Q17, arrived at via Graph.in_degrees."""
+    orders = load_table(spark, sf_dir, "orders")
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    edges = orders.select(
+        F.col("o_orderkey").alias("src"),
+        F.col("o_custkey").alias("dst"),
+        F.lit("placed_by").alias("relationship"),
+    )
+    g = Graph(customers, edges)
+    return g.in_degrees().orderBy("id")
+
+
+@declared("graph_pagerank")
+def graph_pagerank(spark, sf_dir):
+    """PageRank on the same-nation graph (rows-only: PageRank has no
+    closed ANSI-SQL form in general; convergence vs driver-side power
+    iteration is pinned in tests/test_graph_algos.py). Within a clique
+    all ranks are equal and components' totals are proportional to size."""
+    g = _customer_graph(spark, sf_dir)
+    return pagerank(g, max_iter=15).select(
+        "id", F.round("rank", 8).alias("rank")
+    ).orderBy("id")

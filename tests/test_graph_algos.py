@@ -1,0 +1,107 @@
+"""Graph-algorithm tests: known-answer small graphs plus randomized
+cross-checks against driver-side union-find / power iteration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.operators.graph import Graph
+from graph_db_clustering_spark.operators.graph_algos import (
+    connected_components,
+    pagerank,
+    triangle_count,
+)
+
+
+def _graph(spark, n, edge_list):
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(a, b, "e") for a, b in edge_list] or [(0, 0, "e")],
+        "src long, dst long, relationship string",
+    )
+    if not edge_list:
+        e = e.limit(0)
+    return Graph(v, e)
+
+
+def test_connected_components_known(spark):
+    # components: {0,1,2}, {3,4}, {5}
+    g = _graph(spark, 6, [(0, 1), (1, 2), (3, 4)])
+    got = {r.id: r.component for r in connected_components(g).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    rng = np.random.RandomState(3)
+    n = 60
+    edges = [
+        tuple(int(x) for x in sorted(rng.choice(n, 2, replace=False))) for _ in range(45)
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # canonical label = min id per root
+    members: dict[int, list[int]] = {}
+    for i in range(n):
+        members.setdefault(find(i), []).append(i)
+    want = {i: min(ms) for ms in members.values() for i in ms}
+    got = {r.id: r.component for r in connected_components(_graph(spark, n, edges)).collect()}
+    assert got == want
+
+
+def test_pagerank_star_and_sum(spark):
+    # star: 1..4 all point at 0; 0 is dangling
+    g = _graph(spark, 5, [(1, 0), (2, 0), (3, 0), (4, 0)])
+    ranks = {r.id: r.rank for r in pagerank(g, max_iter=40).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+    assert ranks[0] > ranks[1]
+    assert ranks[1] == pytest.approx(ranks[2]) == pytest.approx(ranks[3])
+
+
+def test_pagerank_matches_power_iteration(spark):
+    rng = np.random.RandomState(5)
+    n = 25
+    edges = list({(int(a), int(b)) for a, b in rng.randint(0, n, (80, 2)) if a != b})
+    got = {r.id: r.rank for r in pagerank(_graph(spark, n, edges), max_iter=60, tol=1e-12).collect()}
+    # driver-side power iteration with the same dangling handling
+    d = 0.85
+    out = {i: [] for i in range(n)}
+    for a, b in edges:
+        out[a].append(b)
+    r = np.full(n, 1.0 / n)
+    for _ in range(60):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[i] for i in range(n) if not out[i])
+        nxt += d * dangling / n
+        for i in range(n):
+            for j in out[i]:
+                nxt[j] += d * r[i] / len(out[i])
+        if np.abs(nxt - r).sum() < 1e-12:
+            r = nxt
+            break
+        r = nxt
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-8)
+
+
+def test_triangle_count_known(spark):
+    # triangle 0-1-2 plus a pendant edge 2-3, plus 4-cycle 4-5-6-7 (no tri)
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (4, 5), (5, 6), (6, 7), (7, 4)]
+    got = {r.id: r.triangles for r in triangle_count(_graph(spark, 8, edges)).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0}
+
+
+def test_triangle_count_complete_graph(spark):
+    # K5: each vertex is in C(4,2) = 6 triangles
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    got = {r.id: r.triangles for r in triangle_count(_graph(spark, 5, edges)).collect()}
+    assert got == {i: 6 for i in range(5)}
