@@ -75,6 +75,30 @@ def asof_join(
     return out.select(*left.columns, *keep, asof_ts)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with manual skew salting: the heavy (left) side gets a
+    uniform random salt in [0, salt); the small (right) side is replicated
+    `salt` times; the join key becomes (key, salt), splitting each hot
+    key's rows across `salt` reducers. Use when one key dominates and the
+    right side is too big to broadcast but cheap to replicate; AQE's
+    skew-join split handles the sort-merge case automatically, this is the
+    explicit form for hash joins / older planners. Results are identical
+    to the plain join (salt columns are internal)."""
+    lf = left.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+    rf = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    return lf.join(rf, [*on, "__salt"], how).drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -226,3 +226,35 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             )
         ]
         assert mismatch.empty, f"trial {trial}:\n{mismatch}"
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    from graph_db_clustering_spark.operators.maintenance import delete_where, upsert_parquet
+
+    path = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    upsert_parquet(spark, path, updates, ["id"])
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    delete_where(spark, path, F.col("id") == 1)
+    assert {r.id for r in spark.read.parquet(path).collect()} == {2, 3, 4}
+
+
+def test_salted_join_equals_plain_join(spark):
+    events = load_table(spark, SF, "events").select("event_id", "user_id")
+    # skew: map most events onto one key
+    skewed = events.withColumn(
+        "user_id", F.when(F.col("event_id") % 3 != 0, 1).otherwise(F.col("user_id"))
+    )
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    plain = skewed.join(dim, "user_id")
+    salted = joins.salted_join(skewed, dim, ["user_id"], salt=4)
+    key = lambda df: sorted((r.event_id, r.user_id, r.c_name) for r in df.collect())  # noqa: E731
+    assert key(plain) == key(salted)
