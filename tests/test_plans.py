@@ -157,3 +157,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A day-partitioned fact joined to a filtered dim must prune fact
+    partitions at runtime (DPP): the scan carries a dynamicpruning
+    subquery in its PartitionFilters."""
+    events = load_table(spark, SF, "events").withColumn(
+        "day", F.date_trunc("DAY", "ts").cast("date")
+    )
+    fact = str(tmp_path / "events_by_day")
+    events.write.partitionBy("day").parquet(fact)
+    days = events.select("day").distinct().withColumn(
+        "tag", F.when(F.dayofmonth("day") <= 2, "early").otherwise("late")
+    )
+    dim = str(tmp_path / "day_dim")
+    days.write.parquet(dim)
+    f = spark.read.parquet(fact)
+    d = spark.read.parquet(dim).filter(F.col("tag") == "early")
+    j = f.join(d, "day")
+    plan = plan_of(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
