@@ -863,6 +863,31 @@ def q41(spark, sf_dir):
 
 
 @declared(
+    "q43_rollup",
+    """SELECT 'MINUTE' AS level, DATE_TRUNC('MINUTE', ts) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 4) AS sv
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'HOUR', DATE_TRUNC('HOUR', ts), CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 4)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'DAY', DATE_TRUNC('DAY', ts), CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 4)
+FROM events GROUP BY 2
+ORDER BY level, bucket""",
+)
+def q43_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (minute/hour/day) in ONE
+    scan + ONE shuffle (operators/timeseries.rollup_time_series): each
+    event fans out to its tier buckets map-side, partial aggregation
+    collapses before the shuffle. The oracle is the naive 3-scan UNION —
+    same answer, 3x the reads (the point of the operator)."""
+    from graph_db_clustering_spark.operators.timeseries import rollup_time_series
+
+    e = _t(spark, sf_dir, "events")
+    return rollup_time_series(e, "ts", "value").orderBy("level", "bucket")
+
+
+@declared(
     "q42_sessions",
     """WITH lagged AS (
   SELECT user_id, ts, event_id,

@@ -195,3 +195,20 @@ def test_stateful_sessionize_matches_batch(spark, replay_dir, tmp_path):
     want_closed = [w for w in want_all if w[2] <= horizon]
     assert set(got) >= set(want_closed)
     assert len(got) == len(set(got))  # exactly-once emission
+
+
+def test_rollup_stream_matches_batch(spark, replay_dir, tmp_path):
+    """The multi-resolution rollup is a plain transform: run over the
+    replay stream (complete mode), final state == the q43 batch tiers."""
+    from graph_db_clustering_spark.operators.timeseries import rollup_time_series
+
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=2)
+    res = run_available_now(
+        rollup_time_series(stream, "ts", "value"),
+        "complete",
+        "rollup_final",
+        str(tmp_path),
+    )
+    got = _counts_sorted(res, "level", "bucket")
+    want = _counts_sorted(QUERIES["q43_rollup"](spark, SF), "level", "bucket")
+    assert got == want
