@@ -224,9 +224,22 @@ def chunk_fingerprints(spark, sf_dir):
     return text.chunk_fingerprints(docs, "doc_id", "text")
 
 
-@declared("quality_scores")
+@declared(
+    "quality_scores",
+    f"""WITH t AS (SELECT doc_id,
+  CAST(LEN({_TOKS}) AS DOUBLE) AS n_tok,
+  LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS n_nows,
+  LEN(LIST_INTERSECT(LIST_DISTINCT({_TOKS}), {_STOP_SQL["en"]})) AS stop_hits
+FROM documents)
+SELECT doc_id, ROUND(
+  0.4 * (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
++ 0.3 * (CASE WHEN n_nows / n_tok BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.4 END)
++ 0.3 * LEAST(stop_hits / 3.0, 1.0), 4) AS quality
+FROM t ORDER BY doc_id""",
+)
 def quality_scores(spark, sf_dir):
-    """Heuristic document quality in [0,1] (operators/text.quality_score)."""
+    """Heuristic document quality in [0,1] (operators/text.quality_score);
+    the oracle mirrors the exact band/blend expression."""
     docs = load_table(spark, sf_dir, "documents")
     return text.quality_score(docs, "doc_id", "text").orderBy("doc_id")
 
