@@ -67,9 +67,10 @@ def kmeans_update(spark, sf_dir):
 def kmeans_slice(spark, sf_dir):
     """SURVEY §7.2 minimum end-to-end slice: deterministic k=2 init, Lloyd
     iterations to convergence (max 5 here), per-cluster size + purity.
-    Exercises scan, broadcast cross join, window top-1, vector-mean agg,
-    conditional agg — the entire reference workload (train.py:7-15) as
-    distributed plans with O(k) driver traffic per iteration."""
+    Exercises scan, broadcast cross join, min(struct) argmax assignment,
+    vector-mean agg, conditional agg — the entire reference workload
+    (train.py:7-15) as distributed plans with O(k) driver traffic per
+    iteration."""
     emb = load_table(spark, sf_dir, "embeddings")
     res = kmeans.fit(emb, k=2, max_iter=5)
     sizes = res.assignments.groupBy("cid").agg(F.count("*").alias("n"))
