@@ -258,3 +258,21 @@ def test_salted_join_equals_plain_join(spark):
     salted = joins.salted_join(skewed, dim, ["user_id"], salt=4)
     key = lambda df: sorted((r.event_id, r.user_id, r.c_name) for r in df.collect())  # noqa: E731
     assert key(plain) == key(salted)
+
+
+def test_train_example_end_to_end(spark, tmp_path):
+    """The examples/train.py workflow (the reference's train.py:7-15 on
+    this engine) runs to convergence and persists a graph snapshot with
+    CLOSEST_TO edges."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import train as train_example
+
+    result, store_path = train_example.train(SF, k=2, store_path=str(tmp_path / "g"))
+    assert result.converged or result.iterations == 100
+    from graph_db_clustering_spark.operators.graph import GraphStore
+
+    g = GraphStore(spark, store_path).load()
+    assert g.edges.filter(F.col("relationship") == "CLOSEST_TO").count() == g.vertices.count()
+    assert set(r.cid for r in result.centroids.select("cid").collect()) == {0, 1}
