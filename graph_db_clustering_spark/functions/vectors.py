@@ -45,3 +45,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; the corrected form of the reference's
     `cosine_similarity` (image_classification.py:403-414)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def unit(v: Column) -> Column:
+    """L2-normalized copy (double elements). For pairwise similarity
+    pipelines, normalize each side ONCE and use dot() per pair — one HOF
+    aggregate per pair instead of three (dot + both norms); ~2-3x less
+    expression work in N*k assignment loops."""
+    n = l2_norm(v)
+    return F.transform(v, lambda x: x.cast("double") / n)
