@@ -863,6 +863,27 @@ def q41(spark, sf_dir):
 
 
 @declared(
+    "q44_cube",
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(l_quantity), 4) AS sq
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+)
+def q44_cube(spark, sf_dir):
+    """CUBE grouping sets (all 4 combinations in one pass — Expand +
+    single hash aggregate, not 4 scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 4).alias("sq"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@declared(
     "q43_rollup",
     """SELECT 'MINUTE' AS level, DATE_TRUNC('MINUTE', ts) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(value), 4) AS sv
