@@ -9,8 +9,8 @@ Three tiers, trading recall for scale:
                       nprobe nearest cells; the fine search is an equi-join
                       on cell id, so work drops from O(N*Q) to
                       O(N*Q*nprobe/cells) with a shuffle keyed by cell.
-  lsh_near_dups /   — MLlib BucketedRandomProjectionLSH over L2-normalized
-  lsh_topk            vectors (Euclidean-on-unit-sphere is monotone in
+  lsh_near_dups     — MLlib BucketedRandomProjectionLSH over L2-normalized
+                      vectors (Euclidean-on-unit-sphere is monotone in
                       cosine), approxSimilarityJoin buckets candidates.
 
 All distance math is Catalyst HOF expressions (functions/vectors)."""

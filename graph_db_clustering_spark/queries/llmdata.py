@@ -30,6 +30,25 @@ def dedup_exact(spark, sf_dir):
 
 
 @declared(
+    "distinct_documents",
+    """SELECT d.doc_id, d.n_chars FROM documents d
+JOIN (SELECT MIN(doc_id) AS keep FROM documents GROUP BY md5(text)) k
+  ON d.doc_id = k.keep
+ORDER BY d.doc_id""",
+)
+def distinct_documents(spark, sf_dir):
+    """Corpus with exact duplicates removed, keeping the lowest id per
+    content hash (operators/dedup.distinct_documents — the left-semi join
+    form of exact dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.distinct_documents(docs, "doc_id", "text")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@declared(
     "doc_fingerprint",
     """SELECT doc_id, md5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
 FROM documents ORDER BY doc_id""",
