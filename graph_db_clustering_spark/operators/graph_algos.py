@@ -67,6 +67,54 @@ def connected_components(graph: Graph, max_iter: int = 50) -> DataFrame:
     return labels
 
 
+def shortest_paths(graph: Graph, sources: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Unweighted shortest-path (BFS hop) distances from a set of source
+    vertices, undirected. ``sources`` is a DataFrame with an ``id`` column.
+
+    Min-propagation like connected_components, but the propagated label is
+    hop count: sources start at 0, every round each vertex takes
+    min(own dist, min(neighbor dist) + 1); fixpoint in O(eccentricity)
+    rounds. Returns (id, dist) with dist NULL for unreachable vertices —
+    the multi-source form also gives "distance to nearest seed"
+    (label-propagation / BFS layering building block).
+    """
+    edges = _undirected_edges(graph.edges).cache()
+    src = sources.select(VERTEX_ID).distinct().withColumn("dist", F.lit(0))
+    state = (
+        graph.vertices.select(VERTEX_ID).join(src, VERTEX_ID, "left").localCheckpoint()
+    )
+    for _ in range(max_iter):
+        reached = state.filter(F.col("dist").isNotNull())
+        msgs = (
+            edges.join(reached, edges["b"] == reached[VERTEX_ID])
+            .select(F.col("a").alias(VERTEX_ID), (F.col("dist") + 1).alias("nd"))
+            .groupBy(VERTEX_ID)
+            .agg(F.min("nd").alias("nd"))
+        )
+        new_state = (
+            state.join(msgs, VERTEX_ID, "left")
+            .select(
+                VERTEX_ID,
+                F.least(
+                    F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), VERTEX_ID)
+            .filter(~F.col("n.dist").eqNullSafe(F.col("o.dist")))
+            .limit(1)
+            .count()
+        )
+        state = new_state
+        if changed == 0:
+            break
+    edges.unpersist()
+    return state
+
+
 def pagerank(
     graph: Graph,
     damping: float = 0.85,

@@ -960,3 +960,165 @@ def q42_sessions(spark, sf_dir):
         )
         .orderBy("user_id", "sid")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4/2.5/2.8 extensions — pivot, correlated EXISTS, lateral explode,
+# distribution windows, edit-distance blocking
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q45_pivot",
+    """SELECT o_orderpriority,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS sum_f,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS sum_o,
+  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS sum_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def q45_pivot(spark, sf_dir):
+    """Pivot (wide conditional aggregation): order counts and totals per
+    priority, one column pair per order status. Explicit pivot values keep
+    the output schema static (no extra distinct-values job) and compile to
+    a single hash aggregate with FILTER-style partial aggregation — one
+    scan, one shuffle on o_orderpriority, same plan shape at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("sum"))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{s}_cnt"), F.lit(0)).alias(f"cnt_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+        *[
+            F.round(F.coalesce(F.col(f"{s}_sum"), F.lit(0.0)), 2).alias(f"sum_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    ).orderBy("o_orderpriority")
+
+
+@declared(
+    "q46_exists",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def q46_exists(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape): orders with at least one
+    returned line, counted per priority. Declared as a left-semi join —
+    the decorrelated plan EXISTS compiles to — so the filter on lineitem
+    pushes to its scan and the semi-join stops probing an orderkey after
+    the first match; no duplicate-elimination step is needed."""
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "q47_words",
+    """WITH words AS (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM words
+WHERE LENGTH(word) >= 4 GROUP BY word HAVING COUNT(*) >= 5 ORDER BY word""",
+)
+def q47_words(spark, sf_dir):
+    """Lateral explode (UNNEST / LATERAL VIEW analog): whitespace word
+    counts over the documents corpus with a HAVING threshold. explode is
+    generate-side (no shuffle); the single shuffle keys on the word, and
+    partial aggregation collapses per-partition duplicates before it —
+    the canonical distributed word-count plan."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    return (
+        words.filter(F.length("word") >= 4)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+        .orderBy("word")
+    )
+
+
+@declared(
+    "q48_dist",
+    """SELECT c_custkey, CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cdist
+FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey""",
+)
+def q48_dist(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per market segment. Partitioning on c_mktsegment keeps every window
+    computation local to its shuffle partition (no global sort, unlike an
+    unpartitioned ranking); the (c_acctbal, c_custkey) order key is unique
+    so every rank is deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@declared(
+    "q49_editdist",
+    """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+  CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+  AND a.p_partkey < b.p_partkey
+WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 5
+ORDER BY k1, k2""",
+)
+def q49_editdist(spark, sf_dir):
+    """Edit-distance near-duplicate pairs with blocking: candidate pairs
+    are generated only within a (p_brand, p_size) block — an equi-join
+    Catalyst executes as a shuffled hash join — and levenshtein runs
+    JVM-side on the O(block²) candidates, never on the full cross
+    product. Same blocked-verify shape as the MinHash dedup family
+    (operators/dedup), with edit distance as the verifier."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a = p.select(
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("n1"),
+        "p_brand",
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("n2"),
+        "p_brand",
+        "p_size",
+    )
+    return (
+        a.join(b, ["p_brand", "p_size"])
+        .filter(F.col("k1") < F.col("k2"))
+        .select(
+            "k1",
+            "k2",
+            F.levenshtein("n1", "n2").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+        .orderBy("k1", "k2")
+    )

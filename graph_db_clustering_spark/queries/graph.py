@@ -18,8 +18,10 @@ from graph_db_clustering_spark.operators.graph import Graph
 from graph_db_clustering_spark.operators.graph_algos import (
     connected_components,
     pagerank,
+    shortest_paths,
     triangle_count,
 )
+from pyspark.sql import Window
 from graph_db_clustering_spark.queries.corpus import declared
 
 _CAP = 300
@@ -106,3 +108,42 @@ def graph_pagerank(spark, sf_dir):
     return pagerank(g, max_iter=15).select(
         "id", F.round("rank", 8).alias("rank")
     ).orderBy("id")
+
+
+@declared(
+    "graph_shortest_paths",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+          WHERE c_custkey < {_CAP})
+SELECT id, CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY id) - 1 AS INTEGER)
+       AS dist
+FROM v ORDER BY id""",
+)
+def graph_shortest_paths(spark, sf_dir):
+    """BFS hop distance from each nation's head customer over a per-nation
+    chain graph (edges link consecutive custkeys within a nation, built
+    with a lead() window). On a chain the distance from the head is the
+    vertex's position, so ROW_NUMBER()-1 is the closed-form oracle — but
+    the Spark side genuinely runs ~chain-length rounds of frontier
+    message passing (operators/graph_algos.shortest_paths)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nation"))
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    edges = (
+        c.withColumn("nxt", F.lead("id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("next").alias("relationship"),
+        )
+    )
+    sources = c.groupBy("nation").agg(F.min("id").alias("id")).select("id")
+    g = Graph(c, edges)
+    return (
+        shortest_paths(g, sources)
+        .select("id", F.col("dist").cast("int").alias("dist"))
+        .orderBy("id")
+    )

@@ -11,6 +11,7 @@ from graph_db_clustering_spark.operators.graph import Graph
 from graph_db_clustering_spark.operators.graph_algos import (
     connected_components,
     pagerank,
+    shortest_paths,
     triangle_count,
 )
 
@@ -105,3 +106,37 @@ def test_triangle_count_complete_graph(spark):
     edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     got = {r.id: r.triangles for r in triangle_count(_graph(spark, 5, edges)).collect()}
     assert got == {i: 6 for i in range(5)}
+
+
+def test_shortest_paths_known(spark):
+    # path 0-1-2-3 plus edge 1-4; vertex 5 unreachable
+    g = _graph(spark, 6, [(0, 1), (1, 2), (2, 3), (1, 4)])
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in shortest_paths(g, src).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: None}
+
+
+def test_shortest_paths_multi_source_vs_bfs(spark):
+    from collections import deque
+
+    rng = np.random.RandomState(11)
+    n = 50
+    edges = list({(int(a), int(b)) for a, b in rng.randint(0, n, (70, 2)) if a != b})
+    sources = [0, 7, 13]
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {i: None for i in range(n)}
+    q = deque((s, 0) for s in sources)
+    for s in sources:
+        want[s] = 0
+    while q:
+        u, d = q.popleft()
+        for v in adj[u]:
+            if want[v] is None:
+                want[v] = d + 1
+                q.append((v, d + 1))
+    src = spark.createDataFrame([(s,) for s in sources], "id long")
+    got = {r.id: r.dist for r in shortest_paths(_graph(spark, n, edges), src).collect()}
+    assert got == want
