@@ -5,6 +5,7 @@ from graph_db_clustering_spark.streaming.replay import (
 )
 from graph_db_clustering_spark.streaming.stateful import sessionize_with_state
 from graph_db_clustering_spark.streaming.ops import (
+    click_purchase_join,
     dedup_events,
     first_event_per_user_type,
     session_counts,
@@ -23,5 +24,6 @@ __all__ = [
     "dedup_events",
     "first_event_per_user_type",
     "stream_static_join",
+    "click_purchase_join",
     "sessionize_with_state",
 ]

@@ -103,3 +103,49 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on, how: str = "inner"
     micro-batch (broadcast if small — Catalyst decides with fresh stats);
     no state store is involved for stream-static inner joins."""
     return events.join(dim, on, how)
+
+
+def click_purchase_join(
+    events: DataFrame,
+    max_delay: str = "2 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each click paired with the same user's
+    purchases within [click_ts, click_ts + max_delay] — the canonical
+    attribution/funnel join.
+
+    Both sides carry a watermark and the join has an explicit event-time
+    range bound; together those let Structured Streaming evict buffered
+    rows once `watermark + max_delay` has passed, so join state stays
+    bounded (an unconstrained stream-stream join would buffer forever).
+    Batch form: the identical expression over a batch DataFrame — the
+    range predicate becomes a plain theta-join filter.
+
+    Output: (user_id, click_id, purchase_id, click_ts, purchase_ts).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    cond = (
+        (clicks["user_id"] == purchases["p_user"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (purchases["purchase_ts"] <= clicks["click_ts"] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )

@@ -212,3 +212,24 @@ def test_rollup_stream_matches_batch(spark, replay_dir, tmp_path):
     got = _counts_sorted(res, "level", "bucket")
     want = _counts_sorted(QUERIES["q43_rollup"](spark, SF), "level", "bucket")
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, replay_dir, tmp_path):
+    """Full replay of the watermarked stream-stream click->purchase join
+    equals the identical expression evaluated over the batch events table
+    (append mode: a joined pair is emitted once both sides have arrived)."""
+    from graph_db_clustering_spark.streaming import click_purchase_join
+
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=2)
+    res = run_available_now(
+        click_purchase_join(stream, max_delay="2 hours", watermark="30 days"),
+        "append",
+        "ss_join_final",
+        str(tmp_path),
+    )
+    keys = ["user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"]
+    got = _counts_sorted(res, *keys)
+    batch = load_table(spark, SF, "events")
+    want = _counts_sorted(click_purchase_join(batch), *keys)
+    assert len(want) > 0
+    assert got == want
