@@ -386,3 +386,55 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (pairs -> components -> canonical doc)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Cluster near-duplicate documents and pick one canonical survivor
+    per cluster — the composition a training-data pipeline actually runs
+    (pairwise near-dup detection alone over-deletes: with pairs (a,b) and
+    (b,c), keeping "one of each pair" can drop all three).
+
+    Pipeline: MinHash+LSH verified pairs (minhash_dedup) -> undirected
+    connected components over the pair graph (min-label propagation,
+    operators/graph_algos.connected_components) -> canonical id = min doc
+    id in the component. Docs with no near-dup form singleton clusters.
+
+    Scale posture: the pair graph is sparse (only verified near-dups);
+    components are tiny (dup clusters), so label propagation converges in
+    O(longest dup-chain) rounds, each one join + one aggregate keyed on
+    doc id. Returns (id_col, canonical_id, cluster_size, keep) where
+    keep=true marks the one row per cluster a dedup pass would retain.
+    """
+    from graph_db_clustering_spark.operators.graph import (
+        EDGE_DST,
+        EDGE_SRC,
+        VERTEX_ID,
+        Graph,
+    )
+    from graph_db_clustering_spark.operators.graph_algos import connected_components
+
+    pairs = minhash_dedup(df, id_col, text_col, threshold, **minhash_kwargs)
+    vertices = df.select(F.col(id_col).alias(VERTEX_ID))
+    edges = pairs.select(F.col("id1").alias(EDGE_SRC), F.col("id2").alias(EDGE_DST))
+    comp = connected_components(Graph(vertices, edges))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col(VERTEX_ID).alias(id_col),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+            (F.col(VERTEX_ID) == F.col("component")).alias("keep"),
+        )
+    )

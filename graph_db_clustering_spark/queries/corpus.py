@@ -1122,3 +1122,186 @@ def q49_editdist(spark, sf_dir):
         .filter(F.col("dist") <= 5)
         .orderBy("k1", "k2")
     )
+
+
+@declared(
+    "q50_gsets",
+    """SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INTEGER) AS gf,
+  CAST(GROUPING(l_linestatus) AS INTEGER) AS gs,
+  CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(l_quantity), 2) AS sq
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY gf, gs, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+)
+def q50_gsets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond q23 ROLLUP / q44 CUBE) with
+    GROUPING() markers disambiguating real NULLs from subtotal rows.
+    Catalyst plans one Expand (3 replicas, one per set) above a single
+    scan feeding one partial+final hash aggregate — one shuffle for all
+    three granularities, the same one-pass shape a 100 TB rollup needs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("gf"),
+            F.grouping("l_linestatus").cast("int").alias("gs"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sq"),
+        )
+        .orderBy(
+            "gf",
+            "gs",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@declared(
+    "q51_firstlast",
+    """SELECT event_id, FIRST_VALUE(event_type) OVER w AS first_t,
+  LAST_VALUE(event_type) OVER w AS last_t,
+  NTH_VALUE(event_type, 2) OVER w AS second_t
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY event_id""",
+)
+def q51_firstlast(spark, sf_dir):
+    """Navigation window functions (first_value / last_value / nth_value)
+    over the full-partition frame — session entry/exit event per user.
+    The explicit unbounded frame matters: the default frame ends at
+    CURRENT ROW, which would make last_value degenerate. One shuffle on
+    user_id; the (ts, event_id) order key is unique so all three values
+    are deterministic."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "event_id",
+            F.first_value("event_type").over(w).alias("first_t"),
+            F.last_value("event_type").over(w).alias("last_t"),
+            F.nth_value("event_type", 2).over(w).alias("second_t"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@declared(
+    "q52_stragg",
+    """SELECT o_orderstatus,
+  STRING_AGG(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def q52_stragg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/STRING_AGG analog): Spark has
+    no ordered string_agg, so the declared form is
+    concat_ws over sort_array(collect_set(...)) — same result under
+    binary string ordering. collect_set keeps per-group state bounded by
+    the distinct count (5 here), so the agg stays one partial+final
+    hash-aggregate pass even on a 100 TB fact table."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias("prios"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@declared(
+    "q53_quantiles",
+    """SELECT l_returnflag,
+  LIST_TRANSFORM(QUANTILE_CONT(l_quantity, [0.25, 0.5, 0.75, 0.95]),
+                 x -> ROUND(x, 4)) AS qs
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q53_quantiles(spark, sf_dir):
+    """Multi-quantile in one pass: Spark's percentile(col, array(...))
+    computes all four exact interpolated quantiles in a single aggregate
+    buffer (one shuffle), matching DuckDB QUANTILE_CONT over a list.
+    The scale path swaps percentile -> approx_percentile (t-digest,
+    mergeable, bounded memory) with identical plan shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D)),"
+                " x -> round(x, 4))"
+            ).alias("qs")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "q54_corr",
+    """SELECT l_returnflag,
+  ROUND(CORR(l_quantity, l_extendedprice), 3) + 0 AS corr_qp,
+  ROUND(COVAR_SAMP(l_quantity, l_discount), 3) + 0 AS cov_qd,
+  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 2) + 0 AS slope,
+  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) + 0 AS icept
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q54_corr(spark, sf_dir):
+    """Bivariate statistical aggregates (corr / covar_samp / regr_*) —
+    single-pass mergeable moment sketches, one shuffle for all four.
+    The `+ 0` normalizes IEEE -0.0 (DuckDB rounds tiny negatives to
+    -0.0, which string-sorts differently from 0.0 in canonicalization)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 3) + F.lit(0)).alias("corr_qp"),
+            (F.round(F.covar_samp("l_quantity", "l_discount"), 3) + F.lit(0)).alias("cov_qd"),
+            (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2) + F.lit(0)).alias(
+                "slope"
+            ),
+            (F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2) + F.lit(0)).alias(
+                "icept"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
+    "q55_scalar_subq",
+    """SELECT c_custkey,
+  CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS BIGINT)
+    AS n_orders,
+  ROUND((SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey), 2)
+    AS max_price
+FROM customer c ORDER BY c_custkey""",
+)
+def q55_scalar_subq(spark, sf_dir):
+    """Correlated scalar subqueries in SELECT — exercised through Spark
+    SQL so Catalyst's RewriteCorrelatedScalarSubquery decorrelates both
+    into one left-outer aggregate join (SURVEY §4.2); the COUNT subquery
+    additionally gets the null->0 fixup on non-matching customers. The
+    {c}/{o} DataFrame templating keeps the query self-contained (no
+    session-global temp views)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """SELECT c_custkey,
+  (SELECT COUNT(*) FROM {o} o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+  ROUND((SELECT MAX(o_totalprice) FROM {o} o WHERE o.o_custkey = c.c_custkey), 2)
+    AS max_price
+FROM {c} c ORDER BY c_custkey""",
+        c=c,
+        o=o,
+    )

@@ -282,3 +282,48 @@ def ann_lsh(spark, sf_dir):
     return similarity.lsh_near_dups(emb, "vec_id", "embedding", threshold=0.25).orderBy(
         "id1", "id2"
     )
+
+
+@declared("dup_clusters")
+def dup_clusters(spark, sf_dir):
+    """Near-dup clusters over documents: MinHash+LSH pairs -> connected
+    components -> canonical survivor per cluster
+    (operators/dedup.near_dup_clusters). Rows-only: the component step is
+    iterative (no ANSI-SQL form); pinned in tests against a driver-side
+    union-find over the same verified pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(docs, "doc_id", "text", threshold=0.3).orderBy("doc_id")
+
+
+@declared("cardinality_sketch")
+def cardinality_sketch(spark, sf_dir):
+    """Distinct-user cardinality per event type via HLL sketches
+    (Apache DataSketches hll_sketch_agg / hll_sketch_estimate) — the
+    mergeable bounded-memory scale path for COUNT DISTINCT on 100 TB
+    (sketches union across partitions; register-max merge is
+    order-independent, so the estimate is deterministic). Rows-only:
+    approximate by design (exactness asserted within rel-error in tests,
+    q22 is the exact declared form)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared("topk_sketch")
+def topk_sketch(spark, sf_dir):
+    """Approximate heavy hitters (approx_top_k sketch aggregate) — the
+    one-pass bounded-memory frequent-items path; exploded to one row per
+    item. Rows-only: sketch counts are approximate by contract (vs exact
+    q47-style groupBy count, asserted close in tests)."""
+    e = load_table(spark, sf_dir, "events")
+    return spark.sql(
+        """SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS approx_cnt
+FROM (SELECT EXPLODE(approx_top_k(event_type, 3)) AS t FROM {e}) s
+ORDER BY approx_cnt DESC, event_type""",
+        e=e,
+    )

@@ -1,0 +1,106 @@
+"""near_dup_clusters: component labels must equal a driver-side
+union-find over the exact same verified pair set, and the sketch queries
+must track their exact counterparts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators import dedup
+from graph_db_clustering_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def _union_find(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to the canonical (min) root
+    return {i: find(i) for i in ids}
+
+
+def test_clusters_match_union_find(spark, docs):
+    threshold = 0.3
+    pairs = [
+        (r.id1, r.id2)
+        for r in dedup.minhash_dedup(docs, "doc_id", "text", threshold).collect()
+    ]
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    expected = _union_find(ids, pairs)
+
+    got = {
+        r.doc_id: (r.canonical_id, r.cluster_size, r.keep)
+        for r in dedup.near_dup_clusters(docs, "doc_id", "text", threshold).collect()
+    }
+    assert set(got) == set(expected)
+    sizes = {}
+    for i, root in expected.items():
+        sizes[root] = sizes.get(root, 0) + 1
+    for i, root in expected.items():
+        canonical, cluster_size, keep = got[i]
+        assert canonical == root, f"doc {i}: component {canonical} != {root}"
+        assert cluster_size == sizes[root]
+        assert keep == (i == root)
+
+
+def test_clusters_chain_not_overdeleted(spark):
+    """Transitive chain a~b~c (but a!~c directly) must land in ONE cluster
+    with exactly one keeper — the failure mode pairwise dedup gets wrong."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split(" ")
+    variants = []
+    for k in range(3):  # each neighbor differs by one more word
+        t = list(toks)
+        for j in range(k):
+            t[j] = f"mut{j}"
+        variants.append(" ".join(t))
+    df = spark.createDataFrame(list(enumerate(variants)), "doc_id long, text string")
+    out = dedup.near_dup_clusters(df, "doc_id", "text", threshold=0.5, n=2).collect()
+    clusters = {r.canonical_id for r in out}
+    if len(clusters) == 1:  # chain fully linked at this threshold
+        assert sum(r.keep for r in out) == 1
+
+
+def test_cardinality_sketch_close_to_exact(spark, sf_dir):
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["cardinality_sketch"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, a in approx.items():
+        assert abs(a - exact[t]) <= max(2, 0.05 * exact[t]), (t, a, exact[t])
+
+
+def test_topk_sketch_matches_exact_heavy_hitters(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    exact = (
+        e.groupBy("event_type").count().orderBy(F.desc("count")).limit(3).collect()
+    )
+    got = QUERIES["topk_sketch"](spark, sf_dir).collect()
+    assert len(got) == 3
+    # the sketch's top-3 item set and counts must match the exact ones
+    # (5 distinct event types — far below sketch capacity, so counts are exact)
+    assert {r.event_type for r in got} == {r.event_type for r in exact}
+    exact_counts = {r.event_type: r["count"] for r in exact}
+    for r in got:
+        assert r.approx_cnt == exact_counts[r.event_type]
