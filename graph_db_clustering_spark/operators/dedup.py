@@ -68,9 +68,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def distinct_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Corpus with exact duplicates removed (keeps lowest id per content)."""
-    keep = exact_dedup(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
-    return df.join(keep, id_col, "left_semi")
+    """Corpus with exact duplicates removed (keeps the lowest-id row per
+    content hash).
+
+    Plan: ONE scan, one shuffle — groupBy(md5(text)) with min(struct(id,
+    rest...)) keeps the whole winning row in the aggregation buffer, and
+    partial (map-side) aggregation collapses duplicates before the
+    shuffle, so shuffled bytes shrink with the dup rate. The alternative
+    (aggregate keep-ids + left-semi join back) scans the corpus twice and
+    shuffles full rows for the join regardless of dup rate."""
+    rest = [c for c in df.columns if c != id_col]
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(F.struct(id_col, *rest)).alias("r"))
+        .select("r.*")
+    )
 
 
 # ---------------------------------------------------------------------------

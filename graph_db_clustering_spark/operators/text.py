@@ -66,11 +66,11 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Heuristic quality in [0,1]: blend of length band, mean token length
-    band, and stopword presence — the standard cheap pre-filter shape for
-    pretraining corpora (cf. C4/Gopher rules); weights are illustrative."""
-    t = F.col(text_col)
+def quality_expr(t: Column) -> Column:
+    """Heuristic quality in [0,1] as a pure column expression: blend of
+    length band, mean token length band, and stopword presence — the
+    standard cheap pre-filter shape for pretraining corpora (cf.
+    C4/Gopher rules); weights are illustrative."""
     toks = tokens(t)
     n_tok = F.size(toks).cast("double")
     mean_len = F.length(F.regexp_replace(t, r"\s+", "")) / n_tok
@@ -80,18 +80,20 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     len_band = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.3)
     tok_band = F.when((mean_len >= 2.5) & (mean_len <= 12), 1.0).otherwise(0.4)
     stop_band = F.least(stop_hits / 3.0, F.lit(1.0))
-    return df.select(
-        F.col(id_col),
-        F.round(0.4 * len_band + 0.3 * tok_band + 0.3 * stop_band, 4).alias("quality"),
-    )
+    return F.round(0.4 * len_band + 0.3 * tok_band + 0.3 * stop_band, 4)
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-profile language ID: score = distinct stopwords of each
-    profile present in the token set; argmax wins, 'und' (undetermined) if
-    all scores are 0. One expression tree per language — a single codegen
-    pass, no shuffle."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document heuristic quality (see quality_expr)."""
+    return df.select(F.col(id_col), quality_expr(F.col(text_col)).alias("quality"))
+
+
+def lang_pred_expr(t: Column) -> Column:
+    """Stopword-profile language ID as a pure column expression: score =
+    distinct stopwords of each profile present in the token set; argmax
+    wins, 'und' (undetermined) if all scores are 0. One expression tree
+    per language — a single codegen pass, no shuffle."""
+    toks = F.array_distinct(tokens(t))
     scores = [
         (
             lang,
@@ -104,8 +106,46 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # build argmax with first-profile-wins ties (dict order is stable)
     for lang, s in reversed(scores):
         pred = F.when(s == best, F.lit(lang)).otherwise(pred)
-    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return df.select(F.col(id_col), pred.alias("lang_pred"))
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document language ID (see lang_pred_expr)."""
+    return df.select(F.col(id_col), lang_pred_expr(F.col(text_col)).alias("lang_pred"))
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.7,
+    lang: str = "en",
+) -> DataFrame:
+    """The composed corpus-cleaning pass a pretraining pipeline runs:
+    exact dedup (keep lowest id per content hash) -> quality score ->
+    language ID -> token budget, filtered to quality >= min_quality in
+    the target language.
+
+    Plan shape (the part that matters at 100 TB): ONE scan of the corpus
+    and ONE shuffle total — dedup is a single min(struct) hash-aggregate
+    with map-side partials, then every per-document metric — quality,
+    language, BPE-ish token estimate — is computed in a single
+    whole-stage-codegen projection over the surviving rows; the metrics
+    never cause a second scan or shuffle. Returns
+    (id_col, quality, lang_pred, bpe_tokens)."""
+    from graph_db_clustering_spark.operators.dedup import distinct_documents
+
+    kept = distinct_documents(df.select(id_col, text_col), id_col, text_col)
+    t = F.col(text_col)
+    return (
+        kept.select(
+            F.col(id_col),
+            quality_expr(t).alias("quality"),
+            lang_pred_expr(t).alias("lang_pred"),
+            bpe_ish_token_count(t).alias("bpe_tokens"),
+        )
+        .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

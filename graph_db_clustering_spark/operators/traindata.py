@@ -1,0 +1,284 @@
+"""Training-data pipeline operators (north-star scope): eval-set
+decontamination, PII scrubbing, sequence packing, stratified sampling,
+and domain mixing.
+
+These are the passes a pretraining data pipeline runs after cleaning
+(operators/text.clean_corpus) and dedup (operators/dedup): make sure the
+training set doesn't leak the eval set, strip obvious PII, pack documents
+into fixed token-budget training sequences, and re-weight the source mix.
+
+Scale posture (the 100 TB framing):
+- Everything except the prefix-sum in `pack_sequences` is a pure codegen
+  projection/filter or one broadcast join — no Python per row anywhere.
+- Decontamination broadcasts the *eval* n-gram set (eval sets are small
+  by construction); the 100 TB train side is never shuffled.
+- Sampling/mixing decisions are deterministic arithmetic hashes of the id,
+  so a re-run on different cluster shapes keeps the exact same rows —
+  reproducibility the built-in `sample()` (seeded per-partition) can't
+  give once partitioning changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.operators.text import tokens
+
+# Fibonacci-hash constant (same trick as queries q29/q57): multiplying a
+# dense integer id by a large odd constant decorrelates the modulus from
+# id locality, portably across engines (unlike engine hash() builtins).
+FIB_HASH = 2654435761
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined) over whitespace tokens.
+
+    Pure expression: transform over an index sequence + slice — one
+    codegen pass, no shuffle, no Python. Empty array when the document
+    has fewer than n tokens (guarded: Spark's sequence(1, 0) would count
+    *down* and fabricate indices)."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Flag training documents that share any word n-gram with the eval
+    set — the standard pretraining decontamination check (cf. GPT-3 /
+    PaLM appendix methodology: 8-13-gram overlap; n is configurable).
+
+    Returns (id_col, n_shared) for contaminated train docs only, where
+    n_shared counts *distinct* eval n-grams the doc contains.
+
+    Plan: the eval side is reduced to its distinct n-gram set and
+    BROADCAST — eval benchmarks are tiny relative to a 100 TB train
+    corpus, so the train side is scanned once, exploded, and hash-joined
+    against the broadcast set with no shuffle of train data. The
+    per-doc count is a partial-aggregating groupBy on (id, gram)
+    distinctness folded into one aggregate."""
+    eval_grams = (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB oracle): no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\b\d{3}[- ]\d{4}\b",
+    "SSN": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans, replacing each match with <LABEL>, and
+    count matches per pattern. Returns (id_col, scrubbed,
+    n_<label>... ) — one codegen projection, no shuffle, no Python.
+
+    Order matters: longer/more-specific patterns (SSN) must run before
+    subsuming ones (PHONE); dict insertion order is the application
+    order, and counts are taken on the original text before any
+    replacement."""
+    pats = patterns or PII_PATTERNS
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(p), 0)).alias(f"n_{label.lower()}")
+        for label, p in pats.items()
+    ]
+    scrubbed = t
+    # apply most-specific first so e.g. the SSN tail isn't eaten by PHONE
+    for label, p in sorted(pats.items(), key=lambda kv: -len(kv[1])):
+        scrubbed = F.regexp_replace(scrubbed, p, f"<{label}>")
+    return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global running sum of val_col in order_col order — the
+    two-pass prefix-sum pattern, because a single Window.orderBy with no
+    partitionBy collapses 100 TB onto ONE task:
+
+    1. range-repartition by order_col; local running sum per partition
+       (Window keyed by spark_partition_id — partition-local, parallel);
+    2. per-partition totals (one tiny row per partition) -> exclusive
+       prefix offsets on the driver -> broadcast-joined back.
+
+    The intermediate is persisted so both passes see the *same* range
+    partitioning (range boundaries come from sampling; recomputing the
+    lineage for the second pass could legally re-sample)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = (
+        df.repartitionByRange(parts, order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_loc", F.sum(val_col).over(local_w))
+        .persist()
+    )
+    psums = local.groupBy("_pid").agg(F.max("_loc").alias("_psum"))
+    rows = sorted(psums.collect(), key=lambda r: r["_pid"])
+    offsets, acc = [], 0
+    for r in rows:
+        offsets.append((r["_pid"], acc))
+        acc += r["_psum"]
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out, F.col("_off") + F.col("_loc"))
+        .drop("_pid", "_loc", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tok_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: lay documents end-to-end in order_col
+    order and cut fixed token-budget training sequences; a document that
+    straddles a boundary is split across chunks (the standard pretraining
+    packing — no padding, no loss of tokens).
+
+    Returns one row per (chunk, doc) intersection:
+      (chunk_id, id_col, off_in_doc, n_toks)
+    off_in_doc = first token of the doc included in this chunk,
+    n_toks = how many of the doc's tokens land in this chunk.
+
+    Plan: global prefix sum via the two-pass pattern (global_cumsum),
+    then chunk assignment is pure arithmetic + a generate-side explode of
+    sequence(first_chunk, last_chunk) — per-doc output is
+    O(tokens/budget), never materialized on the driver."""
+    order_col = order_col or id_col
+    keep = [id_col] if order_col == id_col else [id_col, order_col]
+    base = df.select(*keep, F.col(tok_col).alias("_tok")).filter(F.col("_tok") > 0)
+    cum = global_cumsum(base, order_col, "_tok", out="_c1")
+    c0, c1 = F.col("_c1") - F.col("_tok"), F.col("_c1")
+    first = F.floor(c0 / budget).cast("bigint")
+    last = F.ceil(c1 / F.lit(float(budget))).cast("bigint") - 1
+    return (
+        cum.select(
+            F.col(id_col),
+            c0.alias("_c0"),
+            c1.alias("_c1x"),
+            F.explode(F.sequence(first, last)).alias("chunk_id"),
+        )
+        .select(
+            "chunk_id",
+            id_col,
+            (F.greatest(F.col("chunk_id") * budget, F.col("_c0")) - F.col("_c0")).alias(
+                "off_in_doc"
+            ),
+            (
+                F.least((F.col("chunk_id") + 1) * budget, F.col("_c1x"))
+                - F.greatest(F.col("chunk_id") * budget, F.col("_c0"))
+            ).alias("n_toks"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling / domain mixing
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    (id * FIB_HASH) mod 10000 < floor(fraction * 10000) for its stratum.
+
+    Pure filter — no shuffle, no RNG state: the kept set is a function of
+    the id alone, so re-runs (any partitioning, any cluster) select the
+    exact same rows, unlike DataFrame.sample whose per-partition seeds
+    change with the split layout."""
+    h = (F.col(id_col) * FIB_HASH) % 10000
+    thr = F.lit(int(default * 10000))
+    for stratum, frac in fractions.items():
+        thr = F.when(F.col(stratum_col) == stratum, int(frac * 10000)).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def domain_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Re-weight the corpus to a target domain mixture by downsampling
+    (never upsampling): find the largest total T such that w_d * T <=
+    n_d for every domain d, i.e. T = min_d(n_d / w_d), then keep each
+    domain at rate w_d * T / n_d with the deterministic hash filter.
+
+    Two jobs: a tiny per-domain count aggregate (one row per domain,
+    collected and broadcast back as a rates map), then one filter pass —
+    the 100 TB side is scanned once and never shuffled. Domains absent
+    from `weights` are dropped (weight 0)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+    }
+    total = min(
+        counts.get(d, 0) / w for d, w in weights.items() if w > 0
+    )
+    h = (F.col(id_col) * FIB_HASH) % 10000
+    thr = F.lit(0)
+    for d, w in weights.items():
+        n_d = counts.get(d, 0)
+        rate = (w * total / n_d) if n_d else 0.0
+        thr = F.when(F.col(domain_col) == d, int(rate * 10000)).otherwise(thr)
+    return df.filter(h < thr)

@@ -1305,3 +1305,84 @@ FROM {c} c ORDER BY c_custkey""",
         c=c,
         o=o,
     )
+
+
+@declared(
+    "q56_gapfill",
+    """WITH b AS (SELECT user_id, DATE_TRUNC('hour', MIN(ts)) AS t0,
+                 DATE_TRUNC('hour', MAX(ts)) AS t1
+           FROM events WHERE user_id < 5 GROUP BY user_id),
+grid AS (SELECT user_id, UNNEST(GENERATE_SERIES(t0, t1, INTERVAL '1 hour')) AS h
+         FROM b),
+agg AS (SELECT user_id, DATE_TRUNC('hour', ts) AS h, ROUND(SUM(value), 4) AS sv
+        FROM events WHERE user_id < 5 GROUP BY 1, 2),
+j AS (SELECT g.user_id, g.h, a.sv FROM grid g
+      LEFT JOIN agg a ON a.user_id = g.user_id AND a.h = g.h)
+SELECT user_id, h, COALESCE(sv, LAST_VALUE(sv IGNORE NULLS) OVER
+  (PARTITION BY user_id ORDER BY h
+   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS filled
+FROM j ORDER BY user_id, h""",
+)
+def q56_gapfill(spark, sf_dir):
+    """Time-series gap fill + forward fill (the hypertable resample
+    primitive): per-user hourly grid via explode(sequence(...)), left
+    join of the real hourly aggregate, then last-non-null carried
+    forward with an ignoreNulls window. Plan: the grid generation is
+    generate-side (no shuffle); one shuffle keys the join + window on
+    user_id — gap filling a 100 TB series never materializes the grid on
+    the driver, and the grid size is bounded by time range, not row
+    count."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    b = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = b.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("h"),
+    )
+    agg = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.sum("value"), 4).alias("sv"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        grid.join(agg, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce(F.col("sv"), F.last("sv", ignorenulls=True).over(w)).alias(
+                "filled"
+            ),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
+@declared(
+    "q57_split",
+    """SELECT doc_id,
+  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'eval' END AS split
+FROM documents ORDER BY doc_id""",
+)
+def q57_split(spark, sf_dir):
+    """Deterministic train/eval split by multiplicative hash — the
+    reproducible no-shuffle alternative to sample(): pure projection
+    (splits never move data, rerun anywhere gives the same assignment),
+    Fibonacci-hash constant decorrelates the split from id locality so
+    sequential ids don't stripe. Same arithmetic-hash trick as q29
+    (engine hash() functions aren't portable)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.when((F.col("doc_id") * 2654435761) % 100 < 80, "train")
+            .otherwise("eval")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

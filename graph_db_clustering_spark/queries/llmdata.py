@@ -38,8 +38,8 @@ ORDER BY d.doc_id""",
 )
 def distinct_documents(spark, sf_dir):
     """Corpus with exact duplicates removed, keeping the lowest id per
-    content hash (operators/dedup.distinct_documents — the left-semi join
-    form of exact dedup)."""
+    content hash (operators/dedup.distinct_documents — single min(struct)
+    hash-aggregate, one scan, one shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         dedup.distinct_documents(docs, "doc_id", "text")
@@ -326,4 +326,43 @@ def topk_sketch(spark, sf_dir):
 FROM (SELECT EXPLODE(approx_top_k(event_type, 3)) AS t FROM {e}) s
 ORDER BY approx_cnt DESC, event_type""",
         e=e,
+    )
+
+
+_PIPE_LANG_CASE = " ".join(
+    f"WHEN s_{lang} = gmax THEN '{lang}'" for lang in text.STOPWORD_PROFILES
+)
+
+
+@declared(
+    "pipeline_corpus",
+    f"""WITH kept AS (SELECT MIN(doc_id) AS keep FROM documents GROUP BY md5(text)),
+d AS (SELECT doc_id, text FROM documents JOIN kept ON doc_id = keep),
+t AS (SELECT doc_id,
+  CAST(LEN({_TOKS}) AS DOUBLE) AS n_tok,
+  LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS n_nows,
+  LEN(LIST_INTERSECT(LIST_DISTINCT({_TOKS}), {_STOP_SQL["en"]})) AS stop_hits,
+  {_LANG_SCORES_SQL},
+  CAST(LIST_SUM(LIST_TRANSFORM(regexp_extract_all(text, '[A-Za-z]+'),
+                               s -> CEIL(LENGTH(s)/4.0)))
+       + LEN(regexp_extract_all(text, '[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM d),
+g AS (SELECT *, GREATEST(s_en, s_de, s_fr, s_es, s_zh) AS gmax FROM t),
+s AS (SELECT doc_id, bpe_tokens,
+  ROUND(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
+      + 0.3 * (CASE WHEN n_nows / n_tok BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.4 END)
+      + 0.3 * LEAST(stop_hits / 3.0, 1.0), 4) AS quality,
+  CASE WHEN gmax = 0 THEN 'und' {_PIPE_LANG_CASE} ELSE 'und' END AS lang_pred
+FROM g)
+SELECT doc_id, quality, lang_pred, bpe_tokens FROM s
+WHERE quality >= 0.7 AND lang_pred = 'en' ORDER BY doc_id""",
+)
+def pipeline_corpus(spark, sf_dir):
+    """End-to-end corpus cleaning (operators/text.clean_corpus): exact
+    dedup -> quality score -> language ID -> BPE-ish token budget,
+    filtered to quality >= 0.7 English docs — the composed pretraining
+    data pass. One scan; all metrics in a single codegen projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.clean_corpus(docs, "doc_id", "text", min_quality=0.7, lang="en").orderBy(
+        "doc_id"
     )

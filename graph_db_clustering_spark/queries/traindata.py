@@ -1,0 +1,171 @@
+"""Training-data pipeline declared queries (north-star scope):
+decontamination, PII scrubbing, sequence packing, stratified sampling,
+domain mixing — each DuckDB-oracle-checked. Operators live in
+operators/traindata.py; these bind them to the synthetic `documents`
+table with fixed parameters so the driver's t2 gate pins semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators import traindata
+from graph_db_clustering_spark.operators.traindata import FIB_HASH
+from graph_db_clustering_spark.queries.corpus import declared
+
+# DuckDB mirror of operators/text.tokens + traindata.word_ngrams(n=5)
+_TOKS = "string_split_regex(LOWER(TRIM(text)), '\\s+')"
+_GRAMS5 = (
+    f"LIST_TRANSFORM(GENERATE_SERIES(1, LEN({_TOKS}) - 4), "
+    f"i -> ARRAY_TO_STRING(({_TOKS})[i:i+4], ' '))"
+)
+
+
+@declared(
+    "decontaminate",
+    f"""WITH g AS (SELECT doc_id, UNNEST({_GRAMS5}) AS gram FROM documents),
+ev AS (SELECT DISTINCT gram FROM g WHERE (doc_id * {FIB_HASH}) % 100 >= 80),
+tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE (doc_id * {FIB_HASH}) % 100 < 80)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM tr JOIN ev USING (gram) GROUP BY doc_id ORDER BY doc_id""",
+)
+def decontaminate(spark, sf_dir):
+    """Eval-set decontamination (operators/traindata.decontaminate): flag
+    train-split docs sharing any word 5-gram with the eval split (the
+    q57 deterministic 80/20 hash split). Eval's distinct n-gram set is
+    broadcast; the train side never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * FIB_HASH) % 100
+    train, ev = d.filter(h < 80), d.filter(h >= 80)
+    return traindata.decontaminate(train, ev, "doc_id", "text", n=5).orderBy("doc_id")
+
+
+# Synthetic PII augmentation so the scrub has deterministic targets on the
+# synthetic corpus (which contains none): every doc gains an email + phone,
+# every third an SSN. The SAME construction in both engines.
+def _augmented(d):
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, " ssn 123-45-6789").otherwise(""),
+        ).alias("text"),
+    )
+
+
+_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example.com call 555-' || "
+    "LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+)
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\b\d{3}[- ]\d{4}\b"
+_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+@declared(
+    "pii_scrub",
+    f"""WITH a AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '{_EMAIL}', '<EMAIL>', 'g'),
+      '{_SSN}', '<SSN>', 'g'),
+      '{_PHONE}', '<PHONE>', 'g') AS scrubbed,
+  LEN(regexp_extract_all(t, '{_EMAIL}')) AS n_email,
+  LEN(regexp_extract_all(t, '{_PHONE}')) AS n_phone,
+  LEN(regexp_extract_all(t, '{_SSN}')) AS n_ssn
+FROM a ORDER BY doc_id""",
+)
+def pii_scrub(spark, sf_dir):
+    """PII redaction (operators/traindata.pii_scrub) over the corpus with
+    synthetic deterministic PII appended (email + phone per doc, SSN on
+    every third). Longest-pattern-first replacement so the SSN tail is
+    not half-eaten by the phone pattern; counts on the original text."""
+    d = _augmented(load_table(spark, sf_dir, "documents"))
+    return traindata.pii_scrub(d, "doc_id", "text").orderBy("doc_id")
+
+
+@declared(
+    "pack_chunks",
+    """WITH t AS (SELECT doc_id, n_chars AS tok,
+        SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c1
+      FROM documents WHERE n_chars > 0),
+e AS (SELECT doc_id, tok, c1 - tok AS c0, c1,
+        UNNEST(GENERATE_SERIES(CAST(FLOOR((c1 - tok) / 1000) AS BIGINT),
+                               CAST(CEIL(c1 / 1000.0) AS BIGINT) - 1)) AS chunk_id
+      FROM t)
+SELECT chunk_id, doc_id,
+  GREATEST(chunk_id * 1000, c0) - c0 AS off_in_doc,
+  LEAST((chunk_id + 1) * 1000, c1) - GREATEST(chunk_id * 1000, c0) AS n_toks
+FROM e ORDER BY chunk_id, doc_id""",
+)
+def pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing
+    (operators/traindata.pack_sequences): documents laid end-to-end in
+    doc_id order, cut into 1000-token training sequences; straddling
+    docs split across chunks. Token weight = n_chars here (any
+    precomputed token-count column works, cf. bpe_ish_token_count). The
+    global prefix sum is the two-pass range-partition + broadcast-offsets
+    pattern — no single-task window at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return traindata.pack_sequences(d, "doc_id", "n_chars", budget=1000).orderBy(
+        "chunk_id", "doc_id"
+    )
+
+
+@declared(
+    "stratified_sample",
+    f"""SELECT doc_id, lang FROM documents
+WHERE (doc_id * {FIB_HASH}) % 10000 <
+  (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 4000 WHEN 'fr' THEN 3000
+   ELSE 1000 END)
+ORDER BY doc_id""",
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling
+    (operators/traindata.stratified_sample): 50% of en, 40% of de, 30%
+    of fr, 10% otherwise, by id-hash threshold — reproducible under any
+    repartitioning, unlike DataFrame.sample."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        traindata.stratified_sample(
+            d, "doc_id", "lang", {"en": 0.5, "de": 0.4, "fr": 0.3}, default=0.1
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "domain_mix",
+    f"""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT * FROM (VALUES
+        ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)))
+      AS t(source, w)),
+tot AS (SELECT MIN(n / w) AS total FROM c JOIN w USING (source)),
+r AS (SELECT c.source,
+        CAST(FLOOR(w.w * tot.total / c.n * 10000) AS BIGINT) AS thr
+      FROM c JOIN w USING (source), tot)
+SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+WHERE (d.doc_id * {FIB_HASH}) % 10000 < r.thr
+ORDER BY d.doc_id""",
+)
+def domain_mix(spark, sf_dir):
+    """Target-mixture downsampling (operators/traindata.domain_mix):
+    re-weight sources to a 40/30/20/10 mix of src0-src3 (others
+    dropped), keeping the largest total that needs no upsampling; the
+    kept set is a deterministic id-hash function. Weights are DOUBLE in
+    the oracle too so both engines run identical IEEE arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        traindata.domain_mix(
+            d, "doc_id", "source", {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,141 @@
+"""Behavioral tests for operators/traindata beyond the driver oracle gate:
+packing invariants vs a driver-side reference, cumsum vs single-partition
+window, sampling determinism, scrub edge cases, decontamination ground
+truth."""
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.operators import traindata
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = df.select(traindata.word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert out[0]["g"] == []
+    assert out[1]["g"] == ["a b c", "b c d"]
+
+
+def test_decontaminate_ground_truth(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),  # shares "the quick brown"
+            (2, "completely different words here now"),
+            (3, "quick brown fox and the quick brown fox again"),
+        ],
+        "id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "the quick brown fox sat")], "id long, text string"
+    )
+    got = {
+        r["id"]: r["n_shared"]
+        for r in traindata.decontaminate(train, ev, "id", "text", n=3).collect()
+    }
+    # eval 3-grams: {the quick brown, quick brown fox, brown fox sat}
+    assert got == {1: 2, 3: 2}
+
+
+def test_pii_scrub_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@ex-ample.co.uk now"),
+            (2, "ssn 123-45-6789 vs phone 555 1234 and 555-9876"),
+            (3, "no pii at all"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in traindata.pii_scrub(df, "id", "text").collect()}
+    assert rows[1]["scrubbed"] == "mail <EMAIL> now"
+    assert rows[1]["n_email"] == 1
+    # SSN wins over PHONE on the overlapping span; both standalone phones hit
+    assert rows[2]["scrubbed"] == "ssn <SSN> vs phone <PHONE> and <PHONE>"
+    assert (rows[2]["n_ssn"], rows[2]["n_phone"]) == (1, 2)
+    assert rows[3]["scrubbed"] == "no pii at all"
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    rng = random.Random(7)
+    data = [(i, rng.randint(0, 50)) for i in range(500)]
+    rng.shuffle(data)
+    df = spark.createDataFrame(data, "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in traindata.global_cumsum(df, "k", "v", num_partitions=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_invariants(spark):
+    rng = random.Random(11)
+    docs = [(i, rng.randint(1, 700)) for i in range(200)]
+    df = spark.createDataFrame(docs, "id long, tok long")
+    budget = 512
+    rows = traindata.pack_sequences(df, "id", "tok", budget).collect()
+
+    # every token of every doc lands in exactly one chunk slot
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    toks = dict(docs)
+    assert set(by_doc) == set(toks)
+    for did, parts in by_doc.items():
+        parts.sort(key=lambda r: r["chunk_id"])
+        assert sum(p["n_toks"] for p in parts) == toks[did]
+        assert parts[0]["off_in_doc"] == 0
+        for a, b in zip(parts, parts[1:]):
+            assert b["chunk_id"] == a["chunk_id"] + 1  # contiguous chunks
+            assert b["off_in_doc"] == a["off_in_doc"] + a["n_toks"]
+
+    # every chunk except the last is exactly full
+    by_chunk = {}
+    for r in rows:
+        by_chunk[r["chunk_id"]] = by_chunk.get(r["chunk_id"], 0) + r["n_toks"]
+    last = max(by_chunk)
+    assert set(by_chunk) == set(range(last + 1))  # dense chunk ids
+    for cid, n in by_chunk.items():
+        assert n == budget if cid < last else 0 < n <= budget
+
+
+def test_stratified_sample_deterministic_and_thresholded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frac = {"en": 0.5, "de": 0.25}
+    a = traindata.stratified_sample(docs, "doc_id", "lang", frac).select("doc_id")
+    b = traindata.stratified_sample(
+        docs.repartition(13), "doc_id", "lang", frac
+    ).select("doc_id")
+    assert sorted(r[0] for r in a.collect()) == sorted(r[0] for r in b.collect())
+    # default 0.0 drops unlisted strata entirely
+    langs = {
+        r[0]
+        for r in traindata.stratified_sample(docs, "doc_id", "lang", frac)
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert langs <= {"en", "de"}
+
+
+def test_domain_mix_hits_target_proportions(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src0": 0.5, "src1": 0.5}
+    out = traindata.domain_mix(docs, "doc_id", "source", weights)
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert set(counts) <= {"src0", "src1"}
+    n_in = {
+        r[0]: r[1]
+        for r in docs.filter(F.col("source").isin("src0", "src1"))
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    # equal weights + equal source sizes -> keep everything (rate 1.0),
+    # never upsample
+    assert counts == n_in
