@@ -1,0 +1,1054 @@
+"""Cypher front-end: run the reference's actual query strings on Spark.
+
+The reference's entire query API is raw Cypher sent to Neo4j over Bolt
+(kmeans_clustering/database.py:32; every query in
+image_classification.py). A user "switching engines" therefore switches
+*these strings*. This module compiles the reference's Cypher dialect —
+the full grammar its queries use — into DataFrame plans over the
+property-graph layer (operators/graph.Graph):
+
+    CREATE (:Image {name: $name, ...})                 image_classification.py:220
+    MATCH (n) WITH n, rand() AS r ORDER BY r LIMIT k
+        CREATE (:Centroid {mean: n.mean, ...})         image_classification.py:233-237
+    MATCH (n:Image {centroid: false}), (c:Image {centroid: true})
+        WITH n, c, abs(n.mean - c.mean) AS difference ORDER BY difference ASC
+        WITH n, collect({centroid: c, difference: difference})[0] AS closest
+        WITH closest.centroid AS cent, closest.difference AS diff
+        CREATE (n)-[:CLOSEST_TO {difference: diff}]->(cent)
+                                                       image_classification.py:341-348
+    MATCH ()-[r]-() DELETE r                           image_classification.py:357-359
+    MATCH (c:Centroid) RETURN c                        image_classification.py:373-380
+    MATCH (i:Image) WHERE ID(i)=$image_id MATCH (c:Centroid) WHERE ID(c)=$centroid_id
+        CREATE (i)-[r:CLOSEST_TO]->(c) SET r.cosine_similarity = $similarity
+                                                       image_classification.py:438-442
+    MATCH (i:Image)-[:CLOSEST_TO]->(c:Centroid) WHERE ID(c)=$centroid_id RETURN i
+                                                       image_classification.py:465-467
+    MATCH (c:Centroid) WHERE ID(c)=$centroid_id SET c.corrcoef = $corrcoef, ...
+                                                       image_classification.py:499-501
+    MATCH (i:Image)-[r:CLOSEST_TO]->(c:Centroid) RETURN c, count(r)
+                                                       image_classification.py:513-515
+    MATCH (i:Image)-[r:CLOSEST_TO]->(c:Centroid) RETURN ID(c), i.name
+                                                       image_classification.py:533-535
+    MATCH (n) DETACH DELETE n                          database.py:46
+    MATCH (a),(b) WHERE a.name=$x AND b.name=$y CREATE (a)-[r:TYPE]->(b)
+                                                       database.py:51-67
+
+Semantics on Spark (the binding-table model, as in openCypher):
+- Each clause transforms a *table of bindings*; node/edge variables are
+  struct columns (all properties + id / src,dst,eid,relationship), so
+  `n.prop` is a struct field access Catalyst simplifies away.
+- WITH/RETURN items containing aggregates (count/collect/sum/avg/min/max)
+  trigger Cypher's implicit GROUP BY on the non-aggregate items.
+- `collect(x)[0]` after `ORDER BY key` compiles to min/max(struct(key, x))
+  — the argmin-as-aggregate shape (no window, no real collect): the
+  reference's nearest-centroid assignment becomes the same single
+  hash-aggregate our kmeans.assign uses, instead of materializing sorted
+  lists per group.
+- `rand()` is seeded (session seed) so sampling queries are reproducible.
+- Mutations build batch DataFrames and apply once per run() — one
+  union/join per statement, where the reference pays one Bolt round trip
+  per row (image_classification.py:217-221, 444-445).
+- Labels map to a `label` vertex column; Neo4j's internal ID() maps to
+  the `id` / `eid` columns.
+
+Scale notes: MATCH patterns are equi-joins Catalyst plans (broadcast for
+small sides like the centroid label); property filters push into the
+vertex scan. Synthesizing edge ids for a graph without an `eid` column
+uses one global row_number — supply `eid` in production graphs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.operators.graph import Graph
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = {
+    "match", "where", "with", "order", "by", "limit", "create", "set",
+    "delete", "detach", "return", "as", "and", "or", "not", "asc", "desc",
+    "distinct", "true", "false", "null",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<arrow>\]->|<-\[|-\[|\]-)
+  | (?P<num>\d+\.\d+|\d+)
+  | (?P<str>'[^']*'|"[^"]*")
+  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><=|>=|<>|!=|[(){}\[\],:.=<>+\-*/])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise SyntaxError(f"cypher: bad character {src[pos]!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "ident" and text.lower() in _KEYWORDS:
+            # keep the original spelling: keywords double as labels /
+            # property names in name position (e.g. the :Order label)
+            out.append(("kw", text))
+        else:
+            out.append((kind, text))
+    out.append(("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Param:
+    name: str
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Prop:
+    base: object
+    name: str
+
+
+@dataclass
+class Func:
+    name: str
+    args: list
+
+
+@dataclass
+class MapLit:
+    items: dict
+
+
+@dataclass
+class Index:
+    base: object
+    idx: int
+
+
+@dataclass
+class Bin:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class NodePat:
+    var: str | None
+    label: str | None
+    props: dict
+
+
+@dataclass
+class EdgePat:
+    var: str | None
+    rel: str | None
+    props: dict
+    direction: str  # 'out' | 'in' | 'any'
+
+
+@dataclass
+class PathPat:
+    nodes: list
+    edges: list  # len(nodes) == len(edges) + 1
+
+
+@dataclass
+class MatchC:
+    paths: list
+    where: object | None
+
+
+@dataclass
+class WithC:
+    items: list  # [(expr, alias | None)]
+    order_by: list  # [(expr, asc: bool)]
+    limit: int | None
+    distinct: bool
+
+
+@dataclass
+class ReturnC(WithC):
+    pass
+
+
+@dataclass
+class CreateC:
+    paths: list
+
+
+@dataclass
+class SetC:
+    assignments: list  # [(var, prop, expr)]
+
+
+@dataclass
+class DeleteC:
+    vars: list
+    detach: bool
+
+
+_AGG_FNS = {"count", "collect", "sum", "avg", "min", "max"}
+
+
+def _has_agg(e) -> bool:
+    if isinstance(e, Func):
+        if e.name.lower() in _AGG_FNS:
+            return True
+        return any(_has_agg(a) for a in e.args)
+    if isinstance(e, Bin):
+        return _has_agg(e.left) or _has_agg(e.right)
+    if isinstance(e, Prop):
+        return _has_agg(e.base)
+    if isinstance(e, Index):
+        return _has_agg(e.base)
+    if isinstance(e, MapLit):
+        return any(_has_agg(v) for v in e.items.values())
+    return False
+
+
+def _name_of(e) -> str:
+    """Cypher-style default output column name (the expression text)."""
+    if isinstance(e, Var):
+        return e.name
+    if isinstance(e, Prop):
+        return f"{_name_of(e.base)}.{e.name}"
+    if isinstance(e, Func):
+        return f"{e.name}({', '.join(_name_of(a) for a in e.args)})"
+    if isinstance(e, Lit):
+        return repr(e.value)
+    if isinstance(e, Param):
+        return f"${e.name}"
+    if isinstance(e, Index):
+        return f"{_name_of(e.base)}[{e.idx}]"
+    return "expr"
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent over the reference grammar)
+# ---------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k=0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind, text=None):
+        t = self.next()
+        got = t[1].lower() if t[0] == "kw" else t[1]
+        if t[0] != kind or (text is not None and got != text):
+            raise SyntaxError(f"cypher: expected {text or kind}, got {t}")
+        return t
+
+    def at_kw(self, *kws):
+        t = self.peek()
+        return t[0] == "kw" and t[1].lower() in kws
+
+    def ident(self):
+        """Name position (label, property, alias): keywords are legal."""
+        t = self.next()
+        if t[0] not in ("ident", "kw"):
+            raise SyntaxError(f"cypher: expected name, got {t}")
+        return t[1]
+
+    # -- clauses ------------------------------------------------------------
+
+    def parse(self):
+        clauses = []
+        while self.peek()[0] != "eof":
+            t = self.peek()
+            if t[0] != "kw":
+                raise SyntaxError(f"cypher: expected clause keyword, got {t}")
+            kw = t[1].lower()
+            if kw == "match":
+                clauses.append(self.match_clause())
+            elif kw == "with":
+                clauses.append(self.with_clause(WithC))
+            elif kw == "return":
+                clauses.append(self.with_clause(ReturnC))
+            elif kw == "create":
+                clauses.append(self.create_clause())
+            elif kw == "set":
+                clauses.append(self.set_clause())
+            elif kw in ("delete", "detach"):
+                clauses.append(self.delete_clause())
+            else:
+                raise SyntaxError(f"cypher: unexpected {t[1].upper()}")
+        return clauses
+
+    def match_clause(self):
+        self.expect("kw", "match")
+        paths = [self.path()]
+        while self.peek() == ("op", ","):
+            self.next()
+            paths.append(self.path())
+        where = None
+        if self.at_kw("where"):
+            self.next()
+            where = self.expr()
+        return MatchC(paths, where)
+
+    def with_clause(self, cls):
+        self.next()  # WITH / RETURN
+        distinct = False
+        if self.at_kw("distinct"):
+            self.next()
+            distinct = True
+        items = [self.item()]
+        while self.peek() == ("op", ","):
+            self.next()
+            items.append(self.item())
+        order_by, limit = [], None
+        if self.at_kw("order"):
+            self.next()
+            self.expect("kw", "by")
+            while True:
+                e = self.expr()
+                asc = True
+                if self.at_kw("asc", "desc"):
+                    asc = self.next()[1].lower() == "asc"
+                order_by.append((e, asc))
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+        if self.at_kw("limit"):
+            self.next()
+            limit = int(self.expect("num")[1])
+        return cls(items, order_by, limit, distinct)
+
+    def item(self):
+        e = self.expr()
+        alias = None
+        if self.at_kw("as"):
+            self.next()
+            alias = self.ident()
+        return (e, alias)
+
+    def create_clause(self):
+        self.expect("kw", "create")
+        paths = [self.path()]
+        while self.peek() == ("op", ","):
+            self.next()
+            paths.append(self.path())
+        return CreateC(paths)
+
+    def set_clause(self):
+        self.expect("kw", "set")
+        assignments = []
+        while True:
+            var = self.expect("ident")[1]
+            self.expect("op", ".")
+            prop = self.ident()
+            self.expect("op", "=")
+            assignments.append((var, prop, self.expr()))
+            if self.peek() == ("op", ","):
+                self.next()
+                continue
+            break
+        return SetC(assignments)
+
+    def delete_clause(self):
+        detach = False
+        if self.at_kw("detach"):
+            self.next()
+            detach = True
+        self.expect("kw", "delete")
+        names = [self.expect("ident")[1]]
+        while self.peek() == ("op", ","):
+            self.next()
+            names.append(self.expect("ident")[1])
+        return DeleteC(names, detach)
+
+    # -- patterns -----------------------------------------------------------
+
+    def path(self):
+        nodes, edges = [self.node_pat()], []
+        while self.peek()[0] == "arrow" and self.peek()[1] in ("-[", "<-["):
+            edges.append(self.edge_pat())
+            nodes.append(self.node_pat())
+        return PathPat(nodes, edges)
+
+    def node_pat(self):
+        self.expect("op", "(")
+        var = label = None
+        props = {}
+        if self.peek()[0] == "ident":
+            var = self.next()[1]
+        if self.peek() == ("op", ":"):
+            self.next()
+            label = self.ident()
+        if self.peek() == ("op", "{"):
+            props = self.prop_map()
+        self.expect("op", ")")
+        return NodePat(var, label, props)
+
+    def edge_pat(self):
+        head = self.next()  # '-[' or '<-['
+        direction = "in" if head[1] == "<-[" else None
+        var = rel = None
+        props = {}
+        if self.peek()[0] == "ident":
+            var = self.next()[1]
+        if self.peek() == ("op", ":"):
+            self.next()
+            rel = self.ident()
+        if self.peek() == ("op", "{"):
+            props = self.prop_map()
+        tail = self.next()  # ']->' or ']-'
+        if tail[0] != "arrow" or tail[1] not in ("]->", "]-"):
+            raise SyntaxError(f"cypher: bad edge pattern end {tail}")
+        if direction is None:
+            direction = "out" if tail[1] == "]->" else "any"
+        elif tail[1] == "]->":
+            raise SyntaxError("cypher: <-[...]-> is not a valid pattern")
+        return EdgePat(var, rel, props, direction)
+
+    def prop_map(self):
+        self.expect("op", "{")
+        items = {}
+        if self.peek() != ("op", "}"):
+            while True:
+                k = self.ident()
+                self.expect("op", ":")
+                items[k] = self.expr()
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+        self.expect("op", "}")
+        return items
+
+    # -- expressions --------------------------------------------------------
+
+    def expr(self):
+        return self.or_expr()
+
+    def or_expr(self):
+        e = self.and_expr()
+        while self.at_kw("or"):
+            self.next()
+            e = Bin("or", e, self.and_expr())
+        return e
+
+    def and_expr(self):
+        e = self.not_expr()
+        while self.at_kw("and"):
+            self.next()
+            e = Bin("and", e, self.not_expr())
+        return e
+
+    def not_expr(self):
+        if self.at_kw("not"):
+            self.next()
+            return Func("not", [self.not_expr()])
+        return self.cmp_expr()
+
+    def cmp_expr(self):
+        e = self.add_expr()
+        t = self.peek()
+        if t[0] == "op" and t[1] in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            op = self.next()[1]
+            e = Bin("=" if op == "=" else op, e, self.add_expr())
+        return e
+
+    def add_expr(self):
+        e = self.mul_expr()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            e = Bin(op, e, self.mul_expr())
+        return e
+
+    def mul_expr(self):
+        e = self.unary_expr()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            e = Bin(op, e, self.unary_expr())
+        return e
+
+    def unary_expr(self):
+        if self.peek() == ("op", "-"):
+            self.next()
+            return Bin("-", Lit(0), self.unary_expr())
+        return self.postfix_expr()
+
+    def postfix_expr(self):
+        e = self.primary()
+        while True:
+            t = self.peek()
+            if t == ("op", "."):
+                self.next()
+                e = Prop(e, self.ident())
+            elif t == ("op", "["):
+                self.next()
+                e = Index(e, int(self.expect("num")[1]))
+                self.expect("op", "]")
+            else:
+                return e
+
+    def primary(self):
+        t = self.next()
+        if t[0] == "num":
+            return Lit(float(t[1]) if "." in t[1] else int(t[1]))
+        if t[0] == "str":
+            return Lit(t[1][1:-1])
+        if t[0] == "param":
+            return Param(t[1][1:])
+        if t[0] == "kw" and t[1].lower() in ("true", "false"):
+            return Lit(t[1].lower() == "true")
+        if t[0] == "kw" and t[1].lower() == "null":
+            return Lit(None)
+        if t[0] == "op" and t[1] == "(":
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        if t[0] == "op" and t[1] == "{":
+            self.i -= 1
+            return MapLit(self.prop_map())
+        if t[0] == "ident":
+            if self.peek() == ("op", "("):
+                self.next()
+                args = []
+                if self.peek() == ("op", "*"):
+                    self.next()
+                    args = [Var("*")]
+                elif self.peek() != ("op", ")"):
+                    args.append(self.expr())
+                    while self.peek() == ("op", ","):
+                        self.next()
+                        args.append(self.expr())
+                self.expect("op", ")")
+                return Func(t[1], args)
+            return Var(t[1])
+        raise SyntaxError(f"cypher: unexpected token {t}")
+
+
+def parse(query: str):
+    return _Parser(_tokenize(query)).parse()
+
+
+# ---------------------------------------------------------------------------
+# Compiler / executor
+# ---------------------------------------------------------------------------
+
+LABEL_COL = "label"
+
+
+@dataclass
+class _PendingCreate:
+    kind: str  # 'node' | 'edge'
+    df: DataFrame  # evaluated property rows (no ids yet)
+
+
+@dataclass
+class _Ctx:
+    df: DataFrame | None = None
+    sort: list = field(default_factory=list)  # [(expr, asc)] of last ORDER BY
+    created: dict = field(default_factory=dict)  # var -> _PendingCreate
+    ops: list = field(default_factory=list)  # deferred graph mutations
+
+
+class CypherSession:
+    """neo4j-driver-shaped entry point: ``session.run(query, **params)``.
+
+    Read queries return a DataFrame (column names follow Cypher
+    conventions: the AS alias, else the expression text). Mutating
+    queries update ``self.graph`` (immutable snapshots — the previous
+    Graph value stays valid) and return None.
+    """
+
+    def __init__(self, graph: Graph, seed: int = 42):
+        edges = graph.edges
+        if "eid" not in edges.columns:
+            w = Window.orderBy("src", "dst", *(
+                ["relationship"] if "relationship" in edges.columns else []
+            ))
+            edges = edges.withColumn("eid", F.row_number().over(w).cast("long"))
+        self.graph = Graph(graph.vertices, edges)
+        self.seed = seed
+
+    # -- public API ---------------------------------------------------------
+
+    def run(self, query: str, **params) -> DataFrame | None:
+        clauses = parse(query)
+        ctx = _Ctx()
+        result = None
+        i = 0
+        while i < len(clauses):
+            c = clauses[i]
+            if isinstance(c, MatchC):
+                self._match(ctx, c, params)
+            elif isinstance(c, ReturnC):
+                result = self._project(ctx, c, params)
+            elif isinstance(c, WithC):
+                ctx.df = self._project(ctx, c, params)
+            elif isinstance(c, CreateC):
+                self._create(ctx, c, params)
+            elif isinstance(c, SetC):
+                self._set(ctx, c, params)
+            elif isinstance(c, DeleteC):
+                self._delete(ctx, c)
+            i += 1
+        self._apply(ctx)
+        return result
+
+    # -- MATCH --------------------------------------------------------------
+
+    def _node_frame(self, pat: NodePat, name: str, params) -> DataFrame:
+        v = self.graph.vertices
+        if pat.label is not None:
+            if LABEL_COL not in v.columns:
+                raise ValueError(
+                    f"graph has no '{LABEL_COL}' column but query uses :{pat.label}"
+                )
+            v = v.filter(F.col(LABEL_COL) == pat.label)
+        for k, e in pat.props.items():
+            v = v.filter(F.col(k) == self._expr(e, None, params))
+        return v.select(F.struct(*v.columns).alias(name))
+
+    def _edge_frame(self, pat: EdgePat, name: str, params) -> DataFrame:
+        e = self.graph.edges
+        if pat.rel is not None:
+            e = e.filter(F.col("relationship") == pat.rel)
+        for k, ex in pat.props.items():
+            e = e.filter(F.col(k) == self._expr(ex, None, params))
+        return e.select(F.struct(*e.columns).alias(name))
+
+    def _match(self, ctx: _Ctx, c: MatchC, params) -> None:
+        anon = [0]
+
+        def fresh(prefix):
+            anon[0] += 1
+            return f"_{prefix}{anon[0]}"
+
+        for path in c.paths:
+            bound_here: list[str] = []
+
+            def bind_node(pat, pdf):
+                """Join node pattern into the path frame pdf (or start it)."""
+                name = pat.var or fresh("n")
+                unconstrained = pat.var is None and pat.label is None and not pat.props
+                nf = None if unconstrained else self._node_frame(pat, name, params)
+                return name, nf, pdf
+
+            # first node
+            name0, nf0, _ = bind_node(path.nodes[0], None)
+            pdf = nf0
+            prev_node, prev_bound = name0, nf0 is not None
+            for epat, npat in zip(path.edges, path.nodes[1:]):
+                ename = epat.var or fresh("r")
+                ef = self._edge_frame(epat, ename, params)
+                nname = npat.var or fresh("n")
+                unconstrained = (
+                    npat.var is None and npat.label is None and not npat.props
+                )
+                nf = None if unconstrained else self._node_frame(npat, nname, params)
+
+                eid_src = F.col(ename).getField("src")
+                eid_dst = F.col(ename).getField("dst")
+                if epat.direction == "out":
+                    lcol, rcol = eid_src, eid_dst
+                elif epat.direction == "in":
+                    lcol, rcol = eid_dst, eid_src
+                else:  # any: match either orientation by duplicating the edge
+                    fwd = ef
+                    rev = ef.select(
+                        F.struct(
+                            F.col(ename).getField("dst").alias("src"),
+                            F.col(ename).getField("src").alias("dst"),
+                            *[
+                                F.col(ename).getField(f).alias(f)
+                                for f in self.graph.edges.columns
+                                if f not in ("src", "dst")
+                            ],
+                        ).alias(ename)
+                    )
+                    ef = fwd.unionByName(rev) if prev_bound or nf is not None else fwd
+                    lcol, rcol = (
+                        F.col(ename).getField("src"),
+                        F.col(ename).getField("dst"),
+                    )
+
+                if pdf is None:
+                    pdf = ef
+                elif prev_bound:
+                    pdf = pdf.join(
+                        ef, F.col(prev_node).getField("id") == lcol
+                    )
+                else:
+                    pdf = pdf.crossJoin(ef)
+                if nf is not None:
+                    pdf = pdf.join(nf, rcol == F.col(nname).getField("id"))
+                prev_node, prev_bound = nname, nf is not None
+                bound_here.extend([ename, nname])
+
+            if pdf is None:
+                # MATCH (n) with no constraints: all vertices
+                pdf = self._node_frame_all(name0)
+            bound_here.insert(0, name0)
+
+            # combine with the running binding table on shared variables
+            if ctx.df is None:
+                ctx.df = pdf
+            else:
+                shared = [
+                    v for v in pdf.columns if v in ctx.df.columns
+                ]
+                if shared:
+                    ctx.df = ctx.df.join(pdf, shared)
+                else:
+                    ctx.df = ctx.df.crossJoin(pdf)
+        if c.where is not None:
+            ctx.df = ctx.df.filter(self._expr(c.where, ctx.df, params))
+        ctx.sort = []
+
+    def _node_frame_all(self, name: str) -> DataFrame:
+        v = self.graph.vertices
+        return v.select(F.struct(*v.columns).alias(name))
+
+    # -- WITH / RETURN ------------------------------------------------------
+
+    def _project(self, ctx: _Ctx, c: WithC, params) -> DataFrame:
+        df = ctx.df
+        if df is None:
+            raise ValueError("cypher: WITH/RETURN with no preceding MATCH")
+        aggs = [(e, a) for e, a in c.items if _has_agg(e)]
+        keys = [(e, a) for e, a in c.items if not _has_agg(e)]
+        names = [a or _name_of(e) for e, a in c.items]
+        if aggs:
+            key_cols = [
+                self._expr(e, df, params).alias(a or _name_of(e)) for e, a in keys
+            ]
+            agg_cols = [
+                self._agg_expr(e, df, params, ctx.sort).alias(a or _name_of(e))
+                for e, a in aggs
+            ]
+            grouped = df.groupBy(*key_cols) if key_cols else df.groupBy()
+            out = grouped.agg(*agg_cols)
+            # restore the item order of the WITH/RETURN list (backticks:
+            # Cypher default names like `i.name` contain dots)
+            out = out.select(*[F.col(f"`{n}`") for n in names])
+        else:
+            out = df.select(
+                *[
+                    self._expr(e, df, params).alias(a or _name_of(e))
+                    for e, a in c.items
+                ]
+            )
+        if c.distinct:
+            out = out.dropDuplicates()
+        ctx.sort = []
+        if c.order_by:
+            sort_cols = []
+            for e, asc in c.order_by:
+                # prefer a projected output column of the same Cypher name
+                # (ORDER BY after RETURN/WITH sees the projection, not the
+                # pre-projection bindings)
+                nm = _name_of(e)
+                col = (
+                    F.col(f"`{nm}`")
+                    if nm in out.columns
+                    else self._expr(e, out, params)
+                )
+                sort_cols.append(col if asc else col.desc())
+            out = out.orderBy(*sort_cols)
+            ctx.sort = list(c.order_by)
+        if c.limit is not None:
+            out = out.limit(c.limit)
+        return out
+
+    def _agg_expr(self, e, df, params, sort) -> Column:
+        """Aggregate item, with collect(x)[0]-after-ORDER-BY compiled as
+        min/max(struct(sort keys, x)) — argmin as a hash aggregate."""
+        if (
+            isinstance(e, Index)
+            and isinstance(e.base, Func)
+            and e.base.name.lower() == "collect"
+            and e.idx == 0
+        ):
+            payload = self._expr(e.base.args[0], df, params)
+            if not sort:
+                return F.min(F.struct(payload.alias("_p"))).getField("_p")
+            ascs = {asc for _, asc in sort}
+            if len(ascs) > 1:
+                raise ValueError("cypher: mixed ASC/DESC before collect()[0]")
+            keys = [self._expr(se, df, params) for se, _ in sort]
+            packed = F.struct(
+                *[k.alias(f"_k{i}") for i, k in enumerate(keys)],
+                payload.alias("_p"),
+            )
+            agg = F.min(packed) if ascs == {True} else F.max(packed)
+            return agg.getField("_p")
+        if isinstance(e, Func) and e.name.lower() == "count":
+            if len(e.args) == 1 and isinstance(e.args[0], Var) and e.args[0].name == "*":
+                return F.count(F.lit(1))
+            return F.count(self._expr(e.args[0], df, params))
+        if isinstance(e, Func) and e.name.lower() in _AGG_FNS:
+            fn = {
+                "collect": F.collect_list,
+                "sum": F.sum,
+                "avg": F.avg,
+                "min": F.min,
+                "max": F.max,
+            }[e.name.lower()]
+            return fn(self._expr(e.args[0], df, params))
+        raise ValueError(f"cypher: unsupported aggregate shape {e}")
+
+    # -- CREATE / SET / DELETE ----------------------------------------------
+
+    def _create(self, ctx: _Ctx, c: CreateC, params) -> None:
+        base = ctx.df if ctx.df is not None else None
+        for path in c.paths:
+            if len(path.nodes) == 1:
+                pat = path.nodes[0]
+                props = {
+                    k: self._expr(e, base, params) for k, e in pat.props.items()
+                }
+                cols = [col.alias(k) for k, col in props.items()]
+                if pat.label is not None:
+                    cols.append(F.lit(pat.label).alias(LABEL_COL))
+                rows = (
+                    base.select(*cols)
+                    if base is not None
+                    else self._one_row().select(*cols)
+                )
+                pc = _PendingCreate("node", rows)
+                if pat.var:
+                    ctx.created[pat.var] = pc
+                ctx.ops.append(pc)
+            else:
+                if len(path.nodes) != 2 or len(path.edges) != 1:
+                    raise ValueError("cypher: CREATE supports single-hop paths")
+                a, epat, b = path.nodes[0], path.edges[0], path.nodes[1]
+                if a.var is None or b.var is None:
+                    raise ValueError("cypher: CREATE edge endpoints must be bound")
+                if epat.direction == "in":
+                    a, b = b, a
+                props = {
+                    k: self._expr(e, base, params) for k, e in epat.props.items()
+                }
+                rows = base.select(
+                    F.col(a.var).getField("id").alias("src"),
+                    F.col(b.var).getField("id").alias("dst"),
+                    F.lit(epat.rel).alias("relationship"),
+                    *[col.alias(k) for k, col in props.items()],
+                )
+                pc = _PendingCreate("edge", rows)
+                if epat.var:
+                    ctx.created[epat.var] = pc
+                ctx.ops.append(pc)
+
+    def _set(self, ctx: _Ctx, c: SetC, params) -> None:
+        by_var: dict[str, list] = {}
+        for var, prop, e in c.assignments:
+            by_var.setdefault(var, []).append((prop, e))
+        for var, assigns in by_var.items():
+            if var in ctx.created:
+                # SET on a var created in this query: fold into the pending rows
+                pc = ctx.created[var]
+                for prop, e in assigns:
+                    pc.df = pc.df.withColumn(
+                        prop, self._expr(e, pc.df, params)
+                    )
+                continue
+            df = ctx.df
+            if df is None or var not in df.columns:
+                raise ValueError(f"cypher: SET on unbound variable {var}")
+            kind = "edge" if "src" in self._fields(df, var) else "node"
+            idf = F.col(var).getField("eid" if kind == "edge" else "id")
+            upd = df.select(
+                idf.alias("_sid"),
+                *[
+                    self._expr(e, df, params).alias(f"_new_{prop}")
+                    for prop, e in assigns
+                ],
+            ).dropDuplicates(["_sid"])
+            ctx.ops.append(("set", kind, upd, [p for p, _ in assigns]))
+
+    def _delete(self, ctx: _Ctx, c: DeleteC) -> None:
+        df = ctx.df
+        for var in c.vars:
+            if df is None or var not in df.columns:
+                raise ValueError(f"cypher: DELETE on unbound variable {var}")
+            if "src" in self._fields(df, var):
+                ctx.ops.append(
+                    ("del_edges", df.select(F.col(var).getField("eid").alias("eid")))
+                )
+            else:
+                ids = df.select(F.col(var).getField("id").alias("id"))
+                ctx.ops.append(("del_nodes", ids, c.detach))
+
+    def _apply(self, ctx: _Ctx) -> None:
+        g = self.graph
+        for op in ctx.ops:
+            if isinstance(op, _PendingCreate):
+                if op.kind == "node":
+                    offset = (
+                        g.vertices.agg(F.max("id")).collect()[0][0] or 0
+                    ) + 1
+                    w = Window.orderBy(*op.df.columns)
+                    rows = op.df.withColumn(
+                        "id", (F.row_number().over(w) + offset - 1).cast("long")
+                    )
+                    g = g.add_vertices(rows)
+                else:
+                    offset = (g.edges.agg(F.max("eid")).collect()[0][0] or 0) + 1
+                    w = Window.orderBy("src", "dst")
+                    rows = op.df.withColumn(
+                        "eid", (F.row_number().over(w) + offset - 1).cast("long")
+                    )
+                    g = Graph(g.vertices, g.edges.unionByName(rows, allowMissingColumns=True))
+            elif op[0] == "set":
+                _, kind, upd, props = op
+                if kind == "node":
+                    target, key = g.vertices, "id"
+                else:
+                    target, key = g.edges, "eid"
+                joined = target.join(
+                    F.broadcast(upd), target[key] == upd["_sid"], "left"
+                )
+                for p in props:
+                    old = F.col(p) if p in target.columns else F.lit(None)
+                    joined = joined.withColumn(
+                        f"_v_{p}", F.coalesce(F.col(f"_new_{p}"), old)
+                    )
+                keep = [
+                    c for c in target.columns if c not in props
+                ] + [F.col(f"_v_{p}").alias(p) for p in props]
+                out = joined.select(*keep)
+                g = (
+                    Graph(out, g.edges) if kind == "node" else Graph(g.vertices, out)
+                )
+            elif op[0] == "del_edges":
+                g = Graph(g.vertices, g.edges.join(op[1], "eid", "left_anti"))
+            elif op[0] == "del_nodes":
+                _, ids, detach = op
+                v = g.vertices.join(ids, "id", "left_anti")
+                e = g.edges
+                if detach:
+                    e = e.join(
+                        ids.withColumnRenamed("id", "src"), "src", "left_anti"
+                    ).join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                g = Graph(v, e)
+        if ctx.ops:
+            # Mutations commit eagerly (as a Neo4j transaction would) and
+            # truncate lineage: without this, an iterative driver loop —
+            # the reference's train() — stacks every past mutation's
+            # joins/unions into one ever-deeper plan and each iteration
+            # re-executes all previous ones (same fix as kmeans.fit's
+            # per-iteration localCheckpoint).
+            g = Graph(
+                g.vertices.localCheckpoint(eager=True),
+                g.edges.localCheckpoint(eager=True),
+            )
+        self.graph = g
+
+    # -- expressions --------------------------------------------------------
+
+    def _fields(self, df: DataFrame, var: str) -> list[str]:
+        return [f.name for f in df.schema[var].dataType.fields]
+
+    def _one_row(self) -> DataFrame:
+        return self.graph.vertices.sparkSession.range(1)
+
+    def _expr(self, e, df: DataFrame | None, params) -> Column:
+        if isinstance(e, Lit):
+            return F.lit(e.value)
+        if isinstance(e, Param):
+            if e.name not in params:
+                raise KeyError(f"cypher: missing parameter ${e.name}")
+            return F.lit(params[e.name])
+        if isinstance(e, Var):
+            return F.col(e.name)
+        if isinstance(e, Prop):
+            return self._expr(e.base, df, params).getField(e.name)
+        if isinstance(e, Index):
+            return self._expr(e.base, df, params).getItem(e.idx)
+        if isinstance(e, MapLit):
+            return F.struct(
+                *[
+                    self._expr(v, df, params).alias(k)
+                    for k, v in e.items.items()
+                ]
+            )
+        if isinstance(e, Bin):
+            if e.op in ("and", "or"):
+                l, r = self._expr(e.left, df, params), self._expr(e.right, df, params)
+                return (l & r) if e.op == "and" else (l | r)
+            l, r = self._expr(e.left, df, params), self._expr(e.right, df, params)
+            return {
+                "=": l == r,
+                "<>": l != r,
+                "!=": l != r,
+                "<": l < r,
+                "<=": l <= r,
+                ">": l > r,
+                ">=": l >= r,
+                "+": l + r,
+                "-": l - r,
+                "*": l * r,
+                "/": l / r,
+            }[e.op]
+        if isinstance(e, Func):
+            name = e.name.lower()
+            if name == "id":
+                base = self._expr(e.args[0], df, params)
+                if df is not None and isinstance(e.args[0], Var):
+                    fields = self._fields(df, e.args[0].name)
+                    return base.getField("eid" if "src" in fields else "id")
+                return base.getField("id")
+            if name == "rand":
+                return F.rand(self.seed)
+            if name == "abs":
+                return F.abs(self._expr(e.args[0], df, params))
+            if name == "not":
+                return ~self._expr(e.args[0], df, params)
+            if name in ("tolower", "lower"):
+                return F.lower(self._expr(e.args[0], df, params))
+            if name in ("toupper", "upper"):
+                return F.upper(self._expr(e.args[0], df, params))
+            if name == "coalesce":
+                return F.coalesce(*[self._expr(a, df, params) for a in e.args])
+            if name == "size":
+                return F.size(self._expr(e.args[0], df, params))
+            raise ValueError(f"cypher: unsupported function {e.name}()")
+        raise ValueError(f"cypher: cannot compile expression {e}")

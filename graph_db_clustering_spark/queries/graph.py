@@ -147,3 +147,114 @@ def graph_shortest_paths(spark, sf_dir):
         .select("id", F.col("dist").cast("int").alias("dist"))
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cypher front-end (cypher.CypherSession) over a labeled testdata graph
+# ---------------------------------------------------------------------------
+
+
+def _labeled_graph(spark, sf_dir):
+    """Customer/Order property graph with a `label` column — the shape the
+    Cypher layer addresses with :Customer / :Order patterns. Order vertex
+    ids are offset into a disjoint id range."""
+    from graph_db_clustering_spark.catalog import load_table as _lt
+
+    c = (
+        _lt(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    o = (
+        _lt(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < _CAP)
+        .select(
+            (F.col("o_orderkey") + 1000000).alias("id"),
+            F.lit("Order").alias("label"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+    v = c.unionByName(o, allowMissingColumns=True)
+    e = (
+        _lt(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < _CAP)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") + 1000000).alias("dst"),
+            F.lit("PLACED").alias("relationship"),
+            F.col("o_orderkey").alias("eid"),
+        )
+    )
+    return Graph(v, e)
+
+
+@declared(
+    "cypher_filter",
+    f"""SELECT c_custkey AS "c.custkey", c_name AS "c.name" FROM customer
+WHERE c_custkey < {_CAP} AND c_mktsegment = 'BUILDING'
+ORDER BY c_custkey""",
+)
+def cypher_filter(spark, sf_dir):
+    """Label scan + property predicate through the Cypher front-end
+    (reference shape: image_classification.py:373-380 with a WHERE). The
+    compiled plan is a plain filtered vertex scan — the label/property
+    filters reach the parquet scan through the struct projection."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_labeled_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c:Customer) WHERE c.mktsegment = $seg
+           RETURN c.custkey, c.name ORDER BY c.custkey""",
+        seg="BUILDING",
+    )
+
+
+@declared(
+    "cypher_degrees",
+    f"""SELECT o_custkey AS "ID(c)", CAST(COUNT(*) AS BIGINT) AS "count(r)"
+FROM orders WHERE o_custkey < {_CAP}
+GROUP BY o_custkey ORDER BY o_custkey""",
+)
+def cypher_degrees(spark, sf_dir):
+    """The reference's per-centroid count query
+    (image_classification.py:513-515) as Cypher over Customer-PLACED->
+    Order: implicit GROUP BY on the non-aggregate RETURN item compiles to
+    one hash aggregate over the edge join."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_labeled_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c:Customer)-[r:PLACED]->(o:Order)
+           RETURN ID(c), count(r) ORDER BY ID(c)"""
+    )
+
+
+@declared(
+    "cypher_hop",
+    f"""SELECT c_custkey AS "c.custkey", o_orderkey AS "o.orderkey",
+       o_totalprice AS "o.totalprice"
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE c_custkey < {_CAP} AND o_totalprice > 150000
+ORDER BY c_custkey, o_orderkey""",
+)
+def cypher_hop(spark, sf_dir):
+    """One-hop pattern match with a property predicate on the far vertex
+    (reference shape: image_classification.py:465-467, 533-535): two
+    equi-joins Catalyst plans; the predicate pushes through the struct
+    into the Order vertex scan."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_labeled_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE o.totalprice > $lo
+           RETURN c.custkey, o.orderkey, o.totalprice
+           ORDER BY c.custkey, o.orderkey""",
+        lo=150000,
+    )

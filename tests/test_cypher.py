@@ -1,0 +1,232 @@
+"""Cypher front-end tests: every query shape the reference sends to Neo4j
+(image_classification.py / database.py) runs against CypherSession and
+produces the hand-computable answer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.cypher import CypherSession
+from graph_db_clustering_spark.operators.graph import Graph
+
+
+def _image_graph(spark):
+    """Images with 1-D 'mean' feature; two flagged as centroids (the
+    reference's heuristic() models centroids as Image{centroid:true})."""
+    v = spark.createDataFrame(
+        [
+            (0, "Image", "img0", 1.0, False),
+            (1, "Image", "img1", 2.0, False),
+            (2, "Image", "img2", 10.0, False),
+            (3, "Image", "cent_a", 0.0, True),
+            (4, "Image", "cent_b", 11.0, True),
+        ],
+        "id long, label string, name string, mean double, centroid boolean",
+    )
+    e = spark.createDataFrame([], "src long, dst long, relationship string")
+    return Graph(v, e)
+
+
+def test_create_node_with_params_and_match_return(spark):
+    g = Graph(
+        spark.createDataFrame([], "id long, label string, name string, mean double"),
+        spark.createDataFrame([], "src long, dst long, relationship string"),
+    )
+    s = CypherSession(g)
+    # image_classification.py:220
+    s.run(
+        "CREATE (:Image {name: $name, mean: $mean})", name="img0", mean=3.5
+    )
+    s.run(
+        "CREATE (:Image {name: $name, mean: $mean})", name="img1", mean=4.5
+    )
+    out = s.run("MATCH (i:Image) RETURN i")
+    rows = sorted((r["i"]["name"], r["i"]["mean"]) for r in out.collect())
+    assert rows == [("img0", 3.5), ("img1", 4.5)]
+    # ids are unique longs
+    ids = {r["i"]["id"] for r in out.collect()}
+    assert len(ids) == 2
+
+
+def test_init_centroids_sample_and_create(spark):
+    s = CypherSession(_image_graph(spark), seed=7)
+    # image_classification.py:233-237
+    s.run(
+        """MATCH (n)
+           WITH n, rand() as r
+           ORDER BY r
+           LIMIT 2
+           CREATE (:Centroid {mean: n.mean})"""
+    )
+    cents = s.run("MATCH (c:Centroid) RETURN c").collect()
+    assert len(cents) == 2
+    source_means = {1.0, 2.0, 10.0, 0.0, 11.0}
+    assert {r["c"]["mean"] for r in cents} <= source_means
+    # deterministic under the session seed
+    s2 = CypherSession(_image_graph(spark), seed=7)
+    s2.run(
+        """MATCH (n) WITH n, rand() as r ORDER BY r LIMIT 2
+           CREATE (:Centroid {mean: n.mean})"""
+    )
+    again = {r["c"]["mean"] for r in s2.run("MATCH (c:Centroid) RETURN c").collect()}
+    assert again == {r["c"]["mean"] for r in cents}
+
+
+def test_heuristic_argmin_assignment(spark):
+    s = CypherSession(_image_graph(spark))
+    # image_classification.py:341-348 verbatim shape
+    s.run(
+        """MATCH (n:Image {centroid: false}), (c:Image {centroid: true})
+           WITH n, c, abs(n.mean - c.mean) AS difference
+           ORDER BY difference ASC
+           WITH n, collect({centroid: c, difference: difference})[0] AS closest
+           WITH closest.centroid AS cent, closest.difference as diff, n AS n
+           CREATE (n)-[:CLOSEST_TO {difference: diff}]->(cent)"""
+    )
+    out = s.run(
+        "MATCH (i:Image)-[r:CLOSEST_TO]->(c:Image) RETURN i.name, c.name, r.difference"
+    )
+    got = {r["i.name"]: (r["c.name"], r["r.difference"]) for r in out.collect()}
+    # img0(1.0)->cent_a(0.0); img1(2.0)->cent_a; img2(10.0)->cent_b(11.0)
+    assert got == {
+        "img0": ("cent_a", 1.0),
+        "img1": ("cent_a", 2.0),
+        "img2": ("cent_b", 1.0),
+    }
+
+
+def test_remove_connections_deletes_all_edges(spark):
+    g = _image_graph(spark)
+    g = Graph(
+        g.vertices,
+        g.vertices.sparkSession.createDataFrame(
+            [(0, 3, "CLOSEST_TO"), (1, 3, "CLOSEST_TO")],
+            "src long, dst long, relationship string",
+        ),
+    )
+    s = CypherSession(g)
+    # image_classification.py:357-359
+    s.run("MATCH ()-[r]-() DELETE r")
+    assert s.graph.edges.count() == 0
+    assert s.graph.vertices.count() == 5  # vertices untouched
+
+
+def test_edge_create_by_id_with_set(spark):
+    s = CypherSession(_image_graph(spark))
+    # image_classification.py:438-442
+    s.run(
+        """MATCH (i:Image) WHERE ID(i)=$image_id
+           MATCH (c:Image) WHERE ID(c)=$centroid_id
+           CREATE (i)-[r:CLOSEST_TO]->(c)
+           SET r.cosine_similarity = $similarity""",
+        image_id=0,
+        centroid_id=4,
+        similarity=0.93,
+    )
+    e = s.graph.edges.collect()
+    assert len(e) == 1
+    assert (e[0]["src"], e[0]["dst"], e[0]["cosine_similarity"]) == (0, 4, 0.93)
+
+
+def test_one_hop_filtered_by_centroid_id(spark):
+    s = CypherSession(_image_graph(spark))
+    s.run(
+        """MATCH (n:Image {centroid: false}), (c:Image {centroid: true})
+           WITH n, c, abs(n.mean - c.mean) AS difference
+           ORDER BY difference ASC
+           WITH n, collect({centroid: c, difference: difference})[0] AS closest
+           WITH closest.centroid AS cent, closest.difference as diff, n AS n
+           CREATE (n)-[:CLOSEST_TO {difference: diff}]->(cent)"""
+    )
+    # image_classification.py:465-467
+    members = s.run(
+        "MATCH (i:Image)-[:CLOSEST_TO]->(c:Image) WHERE ID(c)=$centroid_id RETURN i",
+        centroid_id=3,
+    )
+    assert {r["i"]["name"] for r in members.collect()} == {"img0", "img1"}
+
+
+def test_set_vertex_properties_by_id(spark):
+    s = CypherSession(_image_graph(spark))
+    # image_classification.py:499-501
+    s.run(
+        "MATCH (c:Image) WHERE ID(c)=$centroid_id SET c.mean = $mean, c.name = $name",
+        centroid_id=3,
+        mean=0.5,
+        name="cent_a2",
+    )
+    row = {r["id"]: r for r in s.graph.vertices.collect()}
+    assert (row[3]["mean"], row[3]["name"]) == (0.5, "cent_a2")
+    assert row[0]["mean"] == 1.0  # others untouched
+
+
+def test_return_count_aggregate(spark):
+    s = CypherSession(_image_graph(spark))
+    s.run(
+        """MATCH (n:Image {centroid: false}), (c:Image {centroid: true})
+           WITH n, c, abs(n.mean - c.mean) AS difference
+           ORDER BY difference ASC
+           WITH n, collect({centroid: c, difference: difference})[0] AS closest
+           WITH closest.centroid AS cent, n AS n
+           CREATE (n)-[:CLOSEST_TO]->(cent)"""
+    )
+    # image_classification.py:513-515
+    out = s.run(
+        "MATCH (i:Image)-[r:CLOSEST_TO]->(c:Image) RETURN c, count(r)"
+    ).collect()
+    counts = {r["c"]["name"]: r["count(r)"] for r in out}
+    assert counts == {"cent_a": 2, "cent_b": 1}
+    # image_classification.py:533-535 — projection with ID()
+    pairs = s.run(
+        "MATCH (i:Image)-[r:CLOSEST_TO]->(c:Image) RETURN ID(c), i.name"
+    ).collect()
+    assert {(r["ID(c)"], r["i.name"]) for r in pairs} == {
+        (3, "img0"),
+        (3, "img1"),
+        (4, "img2"),
+    }
+
+
+def test_detach_delete_all(spark):
+    g = _image_graph(spark)
+    g = Graph(
+        g.vertices,
+        g.vertices.sparkSession.createDataFrame(
+            [(0, 3, "CLOSEST_TO")], "src long, dst long, relationship string"
+        ),
+    )
+    s = CypherSession(g)
+    # database.py:46
+    s.run("MATCH (n) DETACH DELETE n")
+    assert s.graph.vertices.count() == 0
+    assert s.graph.edges.count() == 0
+
+
+def test_create_relationship_by_name(spark):
+    s = CypherSession(_image_graph(spark))
+    # database.py:51-67 shape
+    s.run(
+        "MATCH (a),(b) WHERE a.name=$x AND b.name=$y CREATE (a)-[r:SIMILAR]->(b)",
+        x="img0",
+        y="img2",
+    )
+    e = s.graph.edges.collect()
+    assert [(r["src"], r["dst"], r["relationship"]) for r in e] == [(0, 2, "SIMILAR")]
+
+
+def test_where_filters_and_order_desc(spark):
+    s = CypherSession(_image_graph(spark))
+    out = s.run(
+        """MATCH (i:Image) WHERE i.mean >= $lo AND NOT i.centroid
+           RETURN i.name, i.mean ORDER BY i.mean DESC LIMIT 2""",
+        lo=1.5,
+    ).collect()
+    assert [(r["i.name"], r["i.mean"]) for r in out] == [
+        ("img2", 10.0),
+        ("img1", 2.0),
+    ]
+
+
+def test_missing_param_raises(spark):
+    s = CypherSession(_image_graph(spark))
+    with pytest.raises(KeyError):
+        s.run("MATCH (i:Image) WHERE ID(i)=$nope RETURN i")
