@@ -71,8 +71,9 @@ def decontaminate(
     BROADCAST — eval benchmarks are tiny relative to a 100 TB train
     corpus, so the train side is scanned once, exploded, and hash-joined
     against the broadcast set with no shuffle of train data. The
-    per-doc count is a partial-aggregating groupBy on (id, gram)
-    distinctness folded into one aggregate."""
+    (id, gram) dedup runs AFTER the broadcast join: only *matching*
+    grams — a tiny fraction of the corpus — ever shuffle, where
+    dedup-before-join would shuffle every exploded train n-gram."""
     eval_grams = (
         eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
@@ -80,9 +81,10 @@ def decontaminate(
     train_grams = train.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-    ).distinct()
+    )
     return (
         train_grams.join(F.broadcast(eval_grams), "gram")
+        .dropDuplicates([id_col, "gram"])
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )

@@ -178,3 +178,55 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     j = f.join(d, "day")
     plan = plan_of(j)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_decontaminate_broadcasts_eval_and_defers_dedup(spark):
+    """The 100 TB-side invariants of traindata.decontaminate: the eval
+    n-gram set is broadcast (never a shuffle of train data for the join),
+    no sort-merge join anywhere, and the (id, gram) dedup happens above
+    the join so only matching grams shuffle."""
+    plan = plan_of(QUERIES["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # dedup above the join: the HashAggregate on (doc_id, gram) consumes
+    # the join output, so the exploded train grams feed the broadcast
+    # join directly from the scan side (no Exchange between scan and join)
+    join_at = plan.index("BroadcastHashJoin")
+    agg_at = plan.index("HashAggregate")
+    assert agg_at < join_at  # printed top-down: aggregate sits above join
+
+
+def test_pack_chunks_has_no_global_single_partition_window(spark):
+    """pack_sequences must never plan a Window with a global (empty
+    partition spec) ordering — the two-pass prefix sum keys the window by
+    spark_partition_id instead."""
+    plan = plan_of(QUERIES["pack_chunks"](spark, SF))
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "_pid" in line or "SPARK_PARTITION_ID" in line.upper()
+
+
+def test_cypher_filters_push_through_struct_to_scan(spark):
+    """Cypher property predicates (c.mktsegment = $seg) must reach the
+    parquet scan as pushed filters even though the compiler wraps vertex
+    columns in a struct binding."""
+    plan = plan_of(QUERIES["cypher_filter"](spark, SF))
+    assert "(c_mktsegment" in plan and "= BUILDING)" in plan
+    # and the struct binding must not defeat column pruning: the scan
+    # reads only the three columns the query touches
+    assert (
+        "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"
+        in plan
+    )
+
+
+def test_pipeline_corpus_single_scan_single_shuffle(spark):
+    """clean_corpus: dedup + all per-doc metrics in one scan and one
+    shuffle (plus the final presentation sort) — metrics never cause a
+    second aggregate pass."""
+    df = QUERIES["pipeline_corpus"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 1
+    # exchanges: one for the dedup groupBy, one range exchange for sort
+    assert plan.count("Exchange") <= 2
