@@ -148,6 +148,31 @@ def clean_corpus(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Gopher-style intra-document repetition signal: the fraction of a
+    document's word n-grams that are duplicates of an earlier n-gram in
+    the same document (rules like "drop if >18% duplicated 3-grams",
+    Rae et al. 2021 §A1.1). Returns (id_col, n_grams, dup_ngram_ratio).
+
+    Pure codegen — the n-gram array is built with transform+slice (see
+    traindata.word_ngrams) and the duplicate ratio is
+    1 - distinct/total, all inside one projection; a 100 TB corpus pass
+    adds no shuffle."""
+    from graph_db_clustering_spark.operators.traindata import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), n)
+    total = F.size(grams)
+    return df.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_grams"),
+        F.when(total > 0, F.round(1.0 - F.size(F.array_distinct(grams)) / total, 4))
+        .otherwise(0.0)
+        .alias("dup_ngram_ratio"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text. Collision-level dedup key portable across engines."""

@@ -366,3 +366,26 @@ def pipeline_corpus(spark, sf_dir):
     return text.clean_corpus(docs, "doc_id", "text", min_quality=0.7, lang="en").orderBy(
         "doc_id"
     )
+
+
+_GRAMS3 = (
+    f"LIST_TRANSFORM(GENERATE_SERIES(1, LEN({_TOKS}) - 2), "
+    f"i -> ARRAY_TO_STRING(({_TOKS})[i:i+2], ' '))"
+)
+
+
+@declared(
+    "repetition_stats",
+    f"""SELECT doc_id,
+  CAST(LEN({_GRAMS3}) AS BIGINT) AS n_grams,
+  CASE WHEN LEN({_GRAMS3}) > 0
+       THEN ROUND(1 - LEN(LIST_DISTINCT({_GRAMS3})) / CAST(LEN({_GRAMS3}) AS DOUBLE), 4)
+       ELSE 0.0 END AS dup_ngram_ratio
+FROM documents ORDER BY doc_id""",
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-style duplicated-3-gram ratio per document
+    (operators/text.repetition_stats) — the intra-document repetition
+    quality rule; one codegen projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text", n=3).orderBy("doc_id")

@@ -139,3 +139,20 @@ def test_domain_mix_hits_target_proportions(spark, sf_dir):
     # equal weights + equal source sizes -> keep everything (rate 1.0),
     # never upsample
     assert counts == n_in
+
+
+def test_repetition_stats_known_ratio(spark):
+    from graph_db_clustering_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "all distinct words here now"), (3, "x y")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in text_ops.repetition_stats(df, "id", "text", n=3).collect()
+    }
+    # 6 trigrams, 3 distinct -> half are repeats
+    assert (rows[1]["n_grams"], rows[1]["dup_ngram_ratio"]) == (6, 0.5)
+    assert rows[2]["dup_ngram_ratio"] == 0.0
+    assert (rows[3]["n_grams"], rows[3]["dup_ngram_ratio"]) == (0, 0.0)  # < n tokens
