@@ -1,0 +1,95 @@
+"""End-to-end pretraining-data pipeline over the documents table: every
+stage is one of the engine's operators, composed the way a 100 TB corpus
+run would chain them — each stage a distributed plan, nothing but stage
+counts ever reaching the driver.
+
+    raw documents
+      -> clean_corpus       dedup + quality >= 0.5 + language filter
+                            (one scan, one shuffle; operators/text)
+      -> repetition filter  Gopher duplicated-3-gram rule (codegen only)
+      -> decontaminate      drop docs sharing 5-grams with the held-out
+                            eval split (broadcast eval n-gram set)
+      -> domain_mix         downsample to a target source mixture
+                            (deterministic id-hash; operators/traindata)
+      -> pack_sequences     concat-and-chunk into fixed token budgets
+                            (two-pass distributed prefix sum)
+      -> partitioned parquet sink
+
+Run:  python examples/pretrain_data.py [sf_dir] [token_budget]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graph_db_clustering_spark.operators import traindata  # noqa: E402
+from graph_db_clustering_spark.operators.text import (  # noqa: E402
+    clean_corpus,
+    repetition_stats,
+)
+from graph_db_clustering_spark.operators.traindata import FIB_HASH  # noqa: E402
+from graph_db_clustering_spark.session import get_spark  # noqa: E402
+from graph_db_clustering_spark.sources.files import (  # noqa: E402
+    write_partitioned_parquet,
+)
+
+
+def main(sf_dir: str, budget: int = 512) -> None:
+    spark = get_spark("pretrain-data", master="local[8]", shuffle_partitions=8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. clean: dedup + quality + language (the synthetic corpus is
+    #    word-salad, so a permissive quality floor keeps the demo peopled)
+    kept = clean_corpus(docs, "doc_id", "text", min_quality=0.5, lang="en")
+    cleaned = docs.join(kept.select("doc_id", "bpe_tokens"), "doc_id")
+    n1 = cleaned.count()
+
+    # 2. repetition rule: drop if >60% of 3-grams are repeats
+    reps = repetition_stats(cleaned, "doc_id", "text", n=3)
+    cleaned = cleaned.join(
+        reps.filter(F.col("dup_ngram_ratio") <= 0.6).select("doc_id"), "doc_id"
+    )
+    n2 = cleaned.count()
+
+    # 3. decontaminate against the deterministic 20% eval split
+    h = (F.col("doc_id") * FIB_HASH) % 100
+    train, ev = cleaned.filter(h < 80), cleaned.filter(h >= 80)
+    dirty = traindata.decontaminate(train, ev, "doc_id", "text", n=5)
+    train = train.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    n3 = train.count()
+
+    # 4. re-weight sources to an 40/30/20/10 mix of src0-src3
+    mixed = traindata.domain_mix(
+        train, "doc_id", "source", {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    )
+    n4 = mixed.count()
+
+    # 5. pack into fixed token-budget sequences and sink
+    packed = traindata.pack_sequences(mixed, "doc_id", "bpe_tokens", budget)
+    out = os.path.join(tempfile.mkdtemp(prefix="pretrain_"), "chunks")
+    write_partitioned_parquet(
+        packed.withColumn("shard", F.col("chunk_id") % 4), out, ["shard"]
+    )
+    n5 = spark.read.parquet(out).count()
+    n_chunks = packed.select("chunk_id").distinct().count()
+
+    print(
+        f"raw={n0} cleaned={n1} derepeated={n2} decontaminated={n3} "
+        f"mixed={n4} packed_rows={n5} chunks={n_chunks} budget={budget}"
+    )
+    print(f"sink: {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+        int(sys.argv[2]) if len(sys.argv) > 2 else 512,
+    )

@@ -309,3 +309,30 @@ def mllib_fit(points: DataFrame, k: int, vec_col: str, seed: int = 42, max_iter:
     feats = points.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
     model = MLKMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(feats)
     return model, model.transform(feats)
+
+
+def label_centroids_udaf(
+    df: DataFrame, key_col: str, vec_col: str
+) -> DataFrame:
+    """Element-wise mean vector per key as a pandas GROUPED_AGG UDAF (the
+    custom-aggregate / UDAF surface, SURVEY §2.11). The reference
+    recomputes centroid features per cluster on the driver
+    (image_classification.py:470-509); here each group reduces inside an
+    Arrow batch on the executors and only k centroid rows ever exist.
+
+    Accumulation is float64 regardless of input precision so the result
+    matches a double-precision SQL AVG to ~1e-13."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit GROUPED_AGG: the type-hint API cannot express a
+    # Series -> array return, so the functionType form is required
+    @F.pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
+    def _vec_mean(v):
+        return np.stack(v.to_numpy()).astype("float64").mean(axis=0).tolist()
+
+    return df.groupBy(F.col(key_col).alias("label")).agg(
+        F.transform(_vec_mean(F.col(vec_col)), lambda x: F.round(x, 6)).alias(
+            "centroid"
+        )
+    )

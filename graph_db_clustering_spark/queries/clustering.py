@@ -80,3 +80,23 @@ def kmeans_slice(spark, sf_dir):
         .select("cid", "n", "hi", "lo", F.round("purity", 4).alias("purity"))
         .orderBy("cid")
     )
+
+
+@declared(
+    "label_centroids",
+    """WITH u AS (SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS e,
+                  UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i
+           FROM embeddings),
+m AS (SELECT label, i, AVG(e) AS m FROM u GROUP BY label, i)
+SELECT CAST(label AS INT) AS label, LIST(ROUND(m, 6) ORDER BY i) AS centroid
+FROM m GROUP BY label ORDER BY label""",
+)
+def label_centroids(spark, sf_dir):
+    """Per-label mean embedding via a pandas GROUPED_AGG UDAF — the custom
+    aggregate surface of SURVEY §2.11 (the one UDF shape the other
+    entries don't cover): each label's member vectors arrive as one Arrow
+    batch, NumPy reduces them to a single 64-dim mean. The built-in
+    alternative (avg over posexploded elements) shuffles N*dim rows; the
+    UDAF shuffles N vectors once and reduces map-side per group."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans.label_centroids_udaf(emb, "label", "embedding").orderBy("label")

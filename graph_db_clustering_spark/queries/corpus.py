@@ -1386,3 +1386,26 @@ def q57_split(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_Q58_SQL = """SELECT n_name, YEAR(o_orderdate) AS yr,
+  ROUND(SUM(o_totalprice), 2) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY n_name, yr"""
+
+
+@declared("q58_sqlapi", _Q58_SQL)
+def q58_sqlapi(spark, sf_dir):
+    """The SQL entry point: the engine's tables registered as temp views
+    and the query submitted as raw ANSI SQL through spark.sql — the same
+    string IS the DuckDB oracle, so this also pins that the SQL surface
+    and the DataFrame surface see identical data. Catalyst plans the
+    3-way join with both dims broadcast."""
+    from graph_db_clustering_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q58_SQL)

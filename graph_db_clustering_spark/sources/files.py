@@ -77,3 +77,23 @@ def write_partitioned_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (columnar alternative to parquet, zlib by default) —
+    same partitioning semantics as the parquet sink; Spark's vectorized
+    ORC reader gives the same predicate-pushdown/column-pruning behavior
+    asserted for parquet in tests/test_plans.py."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -276,3 +276,23 @@ def test_train_example_end_to_end(spark, tmp_path):
     g = GraphStore(spark, store_path).load()
     assert g.edges.filter(F.col("relationship") == "CLOSEST_TO").count() == g.vertices.count()
     assert set(r.cid for r in result.centroids.select("cid").collect()) == {0, 1}
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from graph_db_clustering_spark.sources import files as fsrc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "events_orc")
+    fsrc.write_orc(ev, path, partition_by=["event_type"])
+    back = fsrc.read_orc(spark, path)
+    assert back.count() == ev.count()
+    # same content modulo column order (partition column moves last)
+    a = sorted(tuple(r) for r in ev.select("event_id", "user_id", "value").collect())
+    b = sorted(tuple(r) for r in back.select("event_id", "user_id", "value").collect())
+    assert a == b
+    # partition pruning: filtering the partition column scans one dir
+    one = back.filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
