@@ -156,3 +156,23 @@ def test_repetition_stats_known_ratio(spark):
     assert (rows[1]["n_grams"], rows[1]["dup_ngram_ratio"]) == (6, 0.5)
     assert rows[2]["dup_ngram_ratio"] == 0.0
     assert (rows[3]["n_grams"], rows[3]["dup_ngram_ratio"]) == (0, 0.0)  # < n tokens
+
+
+def test_pack_sequences_partitioning_invariant(spark, sf_dir):
+    """The two-pass prefix sum must give byte-identical packing no matter
+    how the input arrives partitioned (range boundaries come from
+    sampling; the persist in global_cumsum pins them per run)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r1 = sorted(
+        tuple(r)
+        for r in traindata.pack_sequences(
+            docs.repartition(3), "doc_id", "n_chars", 2048
+        ).collect()
+    )
+    r2 = sorted(
+        tuple(r)
+        for r in traindata.pack_sequences(
+            docs.repartition(11), "doc_id", "n_chars", 2048
+        ).collect()
+    )
+    assert r1 == r2 and len(r1) > 0
