@@ -248,6 +248,9 @@ def stratified_sample(
     the id alone, so re-runs (any partitioning, any cluster) select the
     exact same rows, unlike DataFrame.sample whose per-partition seeds
     change with the split layout."""
+    for stratum, frac in {**fractions, "<default>": default}.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} not in [0, 1]: {frac}")
     h = (F.col(id_col) * FIB_HASH) % 10000
     thr = F.lit(int(default * 10000))
     for stratum, frac in fractions.items():
@@ -270,6 +273,11 @@ def domain_mix(
     collected and broadcast back as a rates map), then one filter pass —
     the 100 TB side is scanned once and never shuffled. Domains absent
     from `weights` are dropped (weight 0)."""
+    for d, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {d!r}: {w}")
+    if not any(w > 0 for w in weights.values()):
+        raise ValueError("domain_mix needs at least one positive weight")
     counts = {
         r[0]: r[1]
         for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()

@@ -176,3 +176,15 @@ def test_pack_sequences_partitioning_invariant(spark, sf_dir):
         ).collect()
     )
     assert r1 == r2 and len(r1) > 0
+
+
+def test_sampling_validates_inputs(spark, sf_dir):
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError, match="not in \\[0, 1\\]"):
+        traindata.stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
+    with _pytest.raises(ValueError, match="negative weight"):
+        traindata.domain_mix(docs, "doc_id", "source", {"src0": -0.1, "src1": 1.0})
+    with _pytest.raises(ValueError, match="positive weight"):
+        traindata.domain_mix(docs, "doc_id", "source", {"src0": 0.0})
