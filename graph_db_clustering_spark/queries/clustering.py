@@ -86,10 +86,10 @@ def kmeans_slice(spark, sf_dir):
     "label_centroids",
     """WITH u AS (SELECT label, UNNEST(CAST(embedding AS DOUBLE[])) AS e,
                   UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i
-           FROM embeddings),
-m AS (SELECT label, i, AVG(e) AS m FROM u GROUP BY label, i)
-SELECT CAST(label AS INT) AS label, LIST(ROUND(m, 6) ORDER BY i) AS centroid
-FROM m GROUP BY label ORDER BY label""",
+           FROM embeddings)
+SELECT CAST(label AS INT) AS label, CAST(i - 1 AS INT) AS dim,
+       ROUND(AVG(e), 6) AS mean_val
+FROM u GROUP BY label, i ORDER BY label, dim""",
 )
 def label_centroids(spark, sf_dir):
     """Per-label mean embedding via a pandas GROUPED_AGG UDAF — the custom
@@ -97,6 +97,15 @@ def label_centroids(spark, sf_dir):
     entries don't cover): each label's member vectors arrive as one Arrow
     batch, NumPy reduces them to a single 64-dim mean. The built-in
     alternative (avg over posexploded elements) shuffles N*dim rows; the
-    UDAF shuffles N vectors once and reduces map-side per group."""
+    UDAF shuffles N vectors once and reduces map-side per group.
+
+    Declared surface posexplodes the k x dim result (k*dim tiny rows) so
+    the external gate can canonicalize it — the UDAF itself still returns
+    one array row per label."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans.label_centroids_udaf(emb, "label", "embedding").orderBy("label")
+    cents = kmeans.label_centroids_udaf(emb, "label", "embedding")
+    return (
+        cents.select("label", F.posexplode("centroid").alias("dim", "mean_val"))
+        .select("label", "dim", F.round("mean_val", 6).alias("mean_val"))
+        .orderBy("label", "dim")
+    )

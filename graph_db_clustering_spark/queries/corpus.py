@@ -489,16 +489,24 @@ def q19(spark, sf_dir):
 
 @declared(
     "q20",
-    "SELECT n_regionkey, LIST_SORT(LIST(n_name)) AS names FROM nation "
-    "GROUP BY n_regionkey ORDER BY n_regionkey",
+    "SELECT n_regionkey, ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), '|') AS names "
+    "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
 )
 def q20(spark, sf_dir):
     """collect_list, made deterministic with sort_array (Cypher collect()
-    analog, image_classification.py:346)."""
+    analog, image_classification.py:346).
+
+    The declared output joins the sorted list into one '|'-separated string:
+    the external gate canonicalizes rows via pandas sort/hash, and an
+    array<string> column is unhashable there (round-1 red row). The list
+    semantics are unchanged — only the declared surface is scalar.
+    """
     return (
         _t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("names")
+        )
         .orderBy("n_regionkey")
     )
 
@@ -1224,24 +1232,33 @@ def q52_stragg(spark, sf_dir):
 @declared(
     "q53_quantiles",
     """SELECT l_returnflag,
-  LIST_TRANSFORM(QUANTILE_CONT(l_quantity, [0.25, 0.5, 0.75, 0.95]),
-                 x -> ROUND(x, 4)) AS qs
+  ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS q25,
+  ROUND(QUANTILE_CONT(l_quantity, 0.50), 4) AS q50,
+  ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS q75,
+  ROUND(QUANTILE_CONT(l_quantity, 0.95), 4) AS q95
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 )
 def q53_quantiles(spark, sf_dir):
     """Multi-quantile in one pass: Spark's percentile(col, array(...))
     computes all four exact interpolated quantiles in a single aggregate
-    buffer (one shuffle), matching DuckDB QUANTILE_CONT over a list.
-    The scale path swaps percentile -> approx_percentile (t-digest,
-    mergeable, bounded memory) with identical plan shape."""
+    buffer (one shuffle), then projects them to four scalar columns (the
+    external gate can't canonicalize array outputs). The scale path swaps
+    percentile -> approx_percentile (t-digest, mergeable, bounded memory)
+    with identical plan shape."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.expr(
-                "transform(percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D)),"
-                " x -> round(x, 4))"
-            ).alias("qs")
+                "percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("_qs")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_qs")[0], 4).alias("q25"),
+            F.round(F.col("_qs")[1], 4).alias("q50"),
+            F.round(F.col("_qs")[2], 4).alias("q75"),
+            F.round(F.col("_qs")[3], 4).alias("q95"),
         )
         .orderBy("l_returnflag")
     )

@@ -20,13 +20,20 @@ _TOKS = "string_split_regex(LOWER(TRIM(text)), '\\s+')"
 @declared(
     "dedup_exact",
     """SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
-       LIST_SORT(LIST(doc_id)) AS dup_ids
+       ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), '|') AS dup_ids
 FROM documents GROUP BY md5(text) ORDER BY keep_id""",
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup groups over documents (operators/dedup.exact_dedup)."""
+    """Exact dedup groups over documents (operators/dedup.exact_dedup).
+
+    Declared surface joins dup_ids into a '|'-string: the external gate's
+    pandas canonicalizer can't hash array columns (round-1 q20 lesson)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs, "doc_id", "text").orderBy("keep_id")
+    return (
+        dedup.exact_dedup(docs, "doc_id", "text")
+        .withColumn("dup_ids", F.concat_ws("|", F.col("dup_ids")))
+        .orderBy("keep_id")
+    )
 
 
 @declared(

@@ -31,10 +31,12 @@ def image_features(spark, sf_dir):
 @declared("image_histograms")
 def image_histograms(spark, sf_dir):
     """Normalized 32-bin intensity histograms over the same fixture
-    (extract_color_histogram analog)."""
+    (extract_color_histogram analog). Declared surface posexplodes to one
+    (id, bin, frac) row per bucket so the external gate can canonicalize
+    it (array columns break its pandas sort/hash)."""
     docs = load_table(spark, sf_dir, "documents")
     imgs = multimodal.synthetic_images_from_documents(docs, "doc_id", "text", side=16)
     h = multimodal.color_histogram(imgs, bins=32)
-    return h.select(
-        "id", F.transform("histogram", lambda x: F.round(x, 6)).alias("histogram")
+    return h.select("id", F.posexplode("histogram").alias("bin", "frac")).select(
+        "id", "bin", F.round("frac", 6).alias("frac")
     )
