@@ -31,6 +31,20 @@ from graph_db_clustering_spark.operators.text import tokens
 FIB_HASH = 2654435761
 
 
+def id_hash_bucket(id_col: str | Column, mod: int) -> Column:
+    """Deterministic bucket in [0, mod): ((id % mod) * FIB_HASH) % mod.
+
+    Same residue as the naive (id * FIB_HASH) % mod — multiplication
+    commutes with the modulus — but the product stays <= (mod-1) *
+    FIB_HASH (~2.7e13 for mod=10000), so it can NEVER overflow int64.
+    The naive form wraps negative for id > ~3.47e9 (Spark's % is
+    sign-preserving, so every row would then pass any threshold; under
+    ANSI mode it throws). pmod keeps the result nonnegative for negative
+    ids too."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.pmod(c, F.lit(mod)) * F.lit(FIB_HASH), F.lit(mod))
+
+
 # ---------------------------------------------------------------------------
 # Decontamination
 # ---------------------------------------------------------------------------
@@ -151,9 +165,16 @@ def global_cumsum(
     2. per-partition totals (one tiny row per partition) -> exclusive
        prefix offsets on the driver -> broadcast-joined back.
 
+    Correct for any sign of val_col (totals are per-partition SUMs, not
+    max of the running sum, which only coincides for nonnegative input).
+
     The intermediate is persisted so both passes see the *same* range
     partitioning (range boundaries come from sampling; recomputing the
-    lineage for the second pass could legally re-sample)."""
+    lineage for the second pass could legally re-sample). The cache is
+    caller-managed: it stays resident until the caller materializes the
+    result and calls spark.catalog.clearCache() (or the blocks are
+    evicted) — releasing it eagerly here would reintroduce the re-sample
+    race on the second pass."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     local_w = (
         Window.partitionBy("_pid")
@@ -166,7 +187,7 @@ def global_cumsum(
         .withColumn("_loc", F.sum(val_col).over(local_w))
         .persist()
     )
-    psums = local.groupBy("_pid").agg(F.max("_loc").alias("_psum"))
+    psums = local.groupBy("_pid").agg(F.sum(val_col).alias("_psum"))
     rows = sorted(psums.collect(), key=lambda r: r["_pid"])
     offsets, acc = [], 0
     for r in rows:
@@ -206,8 +227,11 @@ def pack_sequences(
     base = df.select(*keep, F.col(tok_col).alias("_tok")).filter(F.col("_tok") > 0)
     cum = global_cumsum(base, order_col, "_tok", out="_c1")
     c0, c1 = F.col("_c1") - F.col("_tok"), F.col("_c1")
-    first = F.floor(c0 / budget).cast("bigint")
-    last = F.ceil(c1 / F.lit(float(budget))).cast("bigint") - 1
+    # pure integer arithmetic (`div`, not floor(double-division)): double
+    # division loses integer precision past 2^53 cumulative tokens, which
+    # would misassign boundary tokens by one chunk at extreme scale
+    first = F.expr(f"CAST((_c1 - _tok) DIV {budget} AS BIGINT)")
+    last = F.expr(f"CAST((_c1 - 1) DIV {budget} AS BIGINT)")
     return (
         cum.select(
             F.col(id_col),
@@ -251,7 +275,7 @@ def stratified_sample(
     for stratum, frac in {**fractions, "<default>": default}.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {stratum!r} not in [0, 1]: {frac}")
-    h = (F.col(id_col) * FIB_HASH) % 10000
+    h = id_hash_bucket(id_col, 10000)
     thr = F.lit(int(default * 10000))
     for stratum, frac in fractions.items():
         thr = F.when(F.col(stratum_col) == stratum, int(frac * 10000)).otherwise(thr)
@@ -282,10 +306,18 @@ def domain_mix(
         r[0]: r[1]
         for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
     }
+    empty = [d for d, w in weights.items() if w > 0 and counts.get(d, 0) == 0]
+    if empty:
+        # min(n_d / w_d) would be 0 and every threshold 0 — the whole
+        # corpus silently dropped (usually a typo'd domain name).
+        raise ValueError(
+            f"positively-weighted domains have zero rows: {empty!r}; "
+            f"observed domains: {sorted(counts)!r}"
+        )
     total = min(
         counts.get(d, 0) / w for d, w in weights.items() if w > 0
     )
-    h = (F.col(id_col) * FIB_HASH) % 10000
+    h = id_hash_bucket(id_col, 10000)
     thr = F.lit(0)
     for d, w in weights.items():
         n_d = counts.get(d, 0)

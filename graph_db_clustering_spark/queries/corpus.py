@@ -1383,7 +1383,7 @@ def q56_gapfill(spark, sf_dir):
 @declared(
     "q57_split",
     """SELECT doc_id,
-  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'eval' END AS split
+  CASE WHEN ((doc_id % 100) * 2654435761) % 100 < 80 THEN 'train' ELSE 'eval' END AS split
 FROM documents ORDER BY doc_id""",
 )
 def q57_split(spark, sf_dir):
@@ -1392,12 +1392,16 @@ def q57_split(spark, sf_dir):
     (splits never move data, rerun anywhere gives the same assignment),
     Fibonacci-hash constant decorrelates the split from id locality so
     sequential ids don't stripe. Same arithmetic-hash trick as q29
-    (engine hash() functions aren't portable)."""
+    (engine hash() functions aren't portable). The inner `% 100` bounds
+    the product so it can't overflow int64 for ids past ~3.47e9 —
+    identical residue, overflow-proof (operators/traindata.id_hash_bucket)."""
+    from graph_db_clustering_spark.operators.traindata import id_hash_bucket
+
     d = _t(spark, sf_dir, "documents")
     return (
         d.select(
             "doc_id",
-            F.when((F.col("doc_id") * 2654435761) % 100 < 80, "train")
+            F.when(id_hash_bucket("doc_id", 100) < 80, "train")
             .otherwise("eval")
             .alias("split"),
         )

@@ -24,8 +24,8 @@ _GRAMS5 = (
 @declared(
     "decontaminate",
     f"""WITH g AS (SELECT doc_id, UNNEST({_GRAMS5}) AS gram FROM documents),
-ev AS (SELECT DISTINCT gram FROM g WHERE (doc_id * {FIB_HASH}) % 100 >= 80),
-tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE (doc_id * {FIB_HASH}) % 100 < 80)
+ev AS (SELECT DISTINCT gram FROM g WHERE ((doc_id % 100) * {FIB_HASH}) % 100 >= 80),
+tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE ((doc_id % 100) * {FIB_HASH}) % 100 < 80)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM tr JOIN ev USING (gram) GROUP BY doc_id ORDER BY doc_id""",
 )
@@ -35,7 +35,7 @@ def decontaminate(spark, sf_dir):
     q57 deterministic 80/20 hash split). Eval's distinct n-gram set is
     broadcast; the train side never shuffles."""
     d = load_table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * FIB_HASH) % 100
+    h = traindata.id_hash_bucket("doc_id", 100)
     train, ev = d.filter(h < 80), d.filter(h >= 80)
     return traindata.decontaminate(train, ev, "doc_id", "text", n=5).orderBy("doc_id")
 
@@ -95,8 +95,8 @@ def pii_scrub(spark, sf_dir):
         SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c1
       FROM documents WHERE n_chars > 0),
 e AS (SELECT doc_id, tok, c1 - tok AS c0, c1,
-        UNNEST(GENERATE_SERIES(CAST(FLOOR((c1 - tok) / 1000) AS BIGINT),
-                               CAST(CEIL(c1 / 1000.0) AS BIGINT) - 1)) AS chunk_id
+        UNNEST(GENERATE_SERIES(CAST((c1 - tok) // 1000 AS BIGINT),
+                               CAST((c1 - 1) // 1000 AS BIGINT))) AS chunk_id
       FROM t)
 SELECT chunk_id, doc_id,
   GREATEST(chunk_id * 1000, c0) - c0 AS off_in_doc,
@@ -120,7 +120,7 @@ def pack_chunks(spark, sf_dir):
 @declared(
     "stratified_sample",
     f"""SELECT doc_id, lang FROM documents
-WHERE (doc_id * {FIB_HASH}) % 10000 <
+WHERE ((doc_id % 10000) * {FIB_HASH}) % 10000 <
   (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 4000 WHEN 'fr' THEN 3000
    ELSE 1000 END)
 ORDER BY doc_id""",
@@ -152,7 +152,7 @@ r AS (SELECT c.source,
         CAST(FLOOR(w.w * tot.total / c.n * 10000) AS BIGINT) AS thr
       FROM c JOIN w USING (source), tot)
 SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
-WHERE (d.doc_id * {FIB_HASH}) % 10000 < r.thr
+WHERE ((d.doc_id % 10000) * {FIB_HASH}) % 10000 < r.thr
 ORDER BY d.doc_id""",
 )
 def domain_mix(spark, sf_dir):

@@ -188,3 +188,52 @@ def test_sampling_validates_inputs(spark, sf_dir):
         traindata.domain_mix(docs, "doc_id", "source", {"src0": -0.1, "src1": 1.0})
     with _pytest.raises(ValueError, match="positive weight"):
         traindata.domain_mix(docs, "doc_id", "source", {"src0": 0.0})
+
+
+def test_id_hash_bucket_no_overflow_for_huge_ids(spark):
+    # naive (id * FIB_HASH) % m wraps negative past id ~3.47e9; the bounded
+    # form must stay in [0, m) and agree with Python's exact arithmetic
+    ids = [0, 1, 9999, 3_470_000_000, 2**40, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", traindata.id_hash_bucket("id", 10000).alias("h")
+        ).collect()
+    }
+    for i in ids:
+        expect = (i * traindata.FIB_HASH) % 10000  # Python ints don't overflow
+        assert got[i] == expect, (i, got[i], expect)
+        assert 0 <= got[i] < 10000
+
+
+def test_stratified_sample_huge_ids_respect_fraction(spark):
+    # with the old overflowing hash, ids > 3.47e9 all went negative and
+    # passed every threshold (fraction silently 100%)
+    base = 4_000_000_000
+    df = spark.createDataFrame(
+        [(base + i, "en") for i in range(2000)], "id long, s string"
+    )
+    n = traindata.stratified_sample(df, "id", "s", {"en": 0.1}).count()
+    assert 100 < n < 350, n  # ~10% of 2000, not 2000
+
+
+def test_domain_mix_zero_row_weighted_domain_raises(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, d string")
+    import pytest
+
+    with pytest.raises(ValueError, match="zero rows"):
+        traindata.domain_mix(df, "id", "d", {"a": 0.5, "typo": 0.5})
+
+
+def test_global_cumsum_negative_values(spark):
+    rows = [(i, (-1) ** i * (i % 7 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["cum"]
+        for r in traindata.global_cumsum(df, "id", "v", num_partitions=8).collect()
+    }
+    acc = 0
+    for i, v in rows:
+        acc += v
+        assert got[i] == acc, (i, got[i], acc)
