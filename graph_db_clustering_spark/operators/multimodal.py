@@ -196,6 +196,131 @@ def color_histogram(
     return narrow.mapInPandas(hist, out_schema)
 
 
+def _edge_stats(img: np.ndarray, threshold: float) -> tuple[float, float, float]:
+    """Gradient-magnitude edge statistics in pure NumPy — the codec-free
+    stand-in for the reference's cv2.Canny edge detection
+    (image_classification.py:289-310): central-difference gradients,
+    magnitude = hypot(gx, gy), edge pixel = magnitude > threshold."""
+    g = img.astype(np.float64)
+    gy, gx = np.gradient(g)
+    mag = np.hypot(gx, gy)
+    return (
+        float((mag > threshold).mean()),
+        float(mag.mean()),
+        float(mag.max()),
+    )
+
+
+def edge_map(
+    df: DataFrame,
+    id_col: str = "image_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+    threshold: float = 30.0,
+) -> DataFrame:
+    """Per-image edge statistics (edge_density, mean_grad, max_grad) via
+    one Arrow-batched mapInPandas pass — decode -> grayscale -> gradient
+    magnitude, no codecs needed. Scalar output columns so the result is
+    oracle-/gate-canonicalizable."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("edge_density", T.DoubleType()),
+            T.StructField("mean_grad", T.DoubleType()),
+            T.StructField("max_grad", T.DoubleType()),
+        ]
+    )
+
+    def edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content, m in zip(pdf["id"], pdf["content"], pdf["meta"]):
+                arr = _grayscale(
+                    _decode_one(
+                        bytes(content), m["height"], m["width"], m["channels"], m["format"]
+                    )
+                )
+                rows.append((int(rid), *_edge_stats(arr, threshold)))
+            yield pd.DataFrame(
+                rows, columns=["id", "edge_density", "mean_grad", "max_grad"]
+            )
+
+    narrow = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content"), F.col(meta_col).alias("meta")
+    )
+    return narrow.mapInPandas(edges, out_schema)
+
+
+def _glcm_features(img: np.ndarray, levels: int) -> tuple[float, float, float, float]:
+    """4-feature GLCM subset (contrast, homogeneity, energy, correlation)
+    in pure NumPy — the codec-free stand-in for the reference's mahotas
+    Haralick texture features (image_classification.py:312-334).
+
+    GLCM: intensities quantized to `levels`, horizontal offset (0, 1),
+    symmetric, normalized. energy = sum(p^2) (angular second moment);
+    correlation guards the flat-image zero-variance case with 1.0 (a
+    constant image is perfectly self-correlated)."""
+    q = (img.astype(np.int64) * levels) // 256
+    a, b = q[:, :-1].ravel(), q[:, 1:].ravel()
+    counts = np.bincount(a * levels + b, minlength=levels * levels).reshape(
+        levels, levels
+    )
+    counts = counts + counts.T  # symmetric GLCM
+    p = counts / counts.sum()
+    i = np.arange(levels, dtype=np.float64)
+    ii, jj = np.meshgrid(i, i, indexing="ij")
+    contrast = float((p * (ii - jj) ** 2).sum())
+    homogeneity = float((p / (1.0 + (ii - jj) ** 2)).sum())
+    energy = float((p**2).sum())
+    mu_i, mu_j = float((p * ii).sum()), float((p * jj).sum())
+    var_i = float((p * (ii - mu_i) ** 2).sum())
+    var_j = float((p * (jj - mu_j) ** 2).sum())
+    if var_i <= 0.0 or var_j <= 0.0:
+        correlation = 1.0
+    else:
+        correlation = float(
+            (p * (ii - mu_i) * (jj - mu_j)).sum() / np.sqrt(var_i * var_j)
+        )
+    return contrast, homogeneity, energy, correlation
+
+
+HARALICK_NAMES = ("contrast", "homogeneity", "energy", "correlation")
+
+
+def haralick_features(
+    df: DataFrame,
+    id_col: str = "image_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+    levels: int = 32,
+) -> DataFrame:
+    """Per-image GLCM texture features, one mapInPandas pass. Scalar
+    output columns (id, contrast, homogeneity, energy, correlation)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            *[T.StructField(n, T.DoubleType()) for n in HARALICK_NAMES],
+        ]
+    )
+
+    def texture(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content, m in zip(pdf["id"], pdf["content"], pdf["meta"]):
+                arr = _grayscale(
+                    _decode_one(
+                        bytes(content), m["height"], m["width"], m["channels"], m["format"]
+                    )
+                )
+                rows.append((int(rid), *_glcm_features(arr, levels)))
+            yield pd.DataFrame(rows, columns=["id", *HARALICK_NAMES])
+
+    narrow = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content"), F.col(meta_col).alias("meta")
+    )
+    return narrow.mapInPandas(texture, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "video_id",

@@ -28,6 +28,34 @@ def image_features(spark, sf_dir):
     )
 
 
+@declared("image_edges")
+def image_edges(spark, sf_dir):
+    """Gradient-magnitude edge statistics per image (the cv2.Canny
+    analog, image_classification.py:289-310, in pure NumPy) — scalar
+    columns, rows-only check; pinned vs driver-side NumPy in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthetic_images_from_documents(docs, "doc_id", "text", side=16)
+    e = multimodal.edge_map(imgs, threshold=30.0)
+    return e.select(
+        "id",
+        *[F.round(F.col(n), 6).alias(n) for n in ("edge_density", "mean_grad", "max_grad")],
+    )
+
+
+@declared("image_haralick")
+def image_haralick(spark, sf_dir):
+    """4-feature GLCM texture subset (the mahotas Haralick analog,
+    image_classification.py:312-334, in pure NumPy) — scalar columns,
+    rows-only check; pinned vs driver-side NumPy in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthetic_images_from_documents(docs, "doc_id", "text", side=16)
+    h = multimodal.haralick_features(imgs, levels=32)
+    return h.select(
+        "id",
+        *[F.round(F.col(n), 6).alias(n) for n in multimodal.HARALICK_NAMES],
+    )
+
+
 @declared("image_histograms")
 def image_histograms(spark, sf_dir):
     """Normalized 32-bin intensity histograms over the same fixture

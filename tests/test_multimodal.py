@@ -146,3 +146,62 @@ def test_partitioned_parquet_layout(spark, tmp_path):
     one_day = sorted(sub)[0].split("=", 1)[1]
     plan = back.filter(F.col("day") == one_day)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_edge_map_matches_driver_numpy(spark, images):
+    """Distributed edge stats == the same gradient math on the driver."""
+    got = {
+        r.id: (r.edge_density, r.mean_grad, r.max_grad)
+        for r in M.edge_map(images, threshold=30.0).collect()
+    }
+    for row in images.collect():
+        arr = np.frombuffer(bytes(row.content), dtype=np.uint8).reshape(16, 16)
+        gy, gx = np.gradient(arr.astype(np.float64))
+        mag = np.hypot(gx, gy)
+        want = (float((mag > 30.0).mean()), float(mag.mean()), float(mag.max()))
+        assert got[row.image_id] == pytest.approx(want, rel=1e-12)
+
+
+def test_haralick_matches_driver_numpy(spark, images):
+    """Distributed GLCM features == the same NumPy math on the driver."""
+    levels = 32
+    got = {
+        r.id: (r.contrast, r.homogeneity, r.energy, r.correlation)
+        for r in M.haralick_features(images, levels=levels).collect()
+    }
+    for row in images.collect():
+        arr = np.frombuffer(bytes(row.content), dtype=np.uint8).reshape(16, 16)
+        q = (arr.astype(np.int64) * levels) // 256
+        a, b = q[:, :-1].ravel(), q[:, 1:].ravel()
+        counts = np.bincount(a * levels + b, minlength=levels * levels).reshape(
+            levels, levels
+        )
+        counts = counts + counts.T
+        p = counts / counts.sum()
+        idx = np.arange(levels, dtype=np.float64)
+        ii, jj = np.meshgrid(idx, idx, indexing="ij")
+        contrast = float((p * (ii - jj) ** 2).sum())
+        homog = float((p / (1.0 + (ii - jj) ** 2)).sum())
+        energy = float((p**2).sum())
+        mi, mj = float((p * ii).sum()), float((p * jj).sum())
+        vi = float((p * (ii - mi) ** 2).sum())
+        vj = float((p * (jj - mj) ** 2).sum())
+        corr = (
+            1.0
+            if vi <= 0 or vj <= 0
+            else float((p * (ii - mi) * (jj - mj)).sum() / np.sqrt(vi * vj))
+        )
+        assert got[row.image_id] == pytest.approx(
+            (contrast, homog, energy, corr), rel=1e-12
+        )
+
+
+def test_haralick_flat_image_correlation_is_one(spark):
+    """Constant image: zero GLCM variance -> correlation defined as 1.0."""
+    content = bytes([7] * 64)
+    df = spark.createDataFrame(
+        [(1, content, (8, 8, 1, "raw"))],
+        "image_id long, content binary, meta struct<height:int,width:int,channels:int,format:string>",
+    )
+    r = M.haralick_features(df, levels=32).first()
+    assert r.correlation == 1.0 and r.contrast == 0.0
