@@ -170,53 +170,23 @@ WHERE rn = 1 ORDER BY c_custkey""",
 )
 def q08(spark, sf_dir):
     """Per-left argmin "nearest supplier by acctbal" (the reference's
-    driver nested loop, image_classification.py:417-433). The metric is
-    1-D, so the right plan is NOT the N*k cross-join expansion: sort the
-    small side's distinct values once (O(k) driver traffic — the same
-    budget as broadcasting it), binary-search each customer into its
-    floor/ceiling neighbors (ML Bucketizer, JVM-side), and argmin over
-    those <=2 candidates with min(struct(diff, key)) — lexicographic
-    struct ordering == the oracle's ROW_NUMBER ORDER BY (diff, s_suppkey)
-    tie-break. Work is O(N log k) with a 2-row-per-customer join against a
-    broadcast index, vs O(N*k) for crossJoin + window top-1 (measured at
-    sf0.1: 4.7s cold vs 13.8s; the 15M-row form is what kmeans.assign
-    still uses, where vectors are high-dimensional and no sorted-search
-    shortcut exists). The equidistant case keeps both neighbors in the
-    candidate set, so the (diff, key) tie-break is exact."""
+    driver nested loop, image_classification.py:417-433). Delegates to
+    operators.joins.nearest_1d_join: the metric is 1-D, so the fast plan
+    is sorted-search (Bucketizer binary-search into floor/ceiling
+    neighbors, O(N log k), measured 4.7s vs 13.8s cold for the crossJoin
+    expansion at sf0.1) — but that plan collects the distinct dim values
+    to the driver, so the operator counts them first and falls back to the
+    fully-distributed crossJoin + min(struct) argmin above 1e6 distinct
+    values. min(struct(diff, key)) lexicographic ordering == the oracle's
+    ROW_NUMBER ORDER BY (diff, s_suppkey) tie-break; the equidistant case
+    keeps both neighbors in the candidate set, so the tie-break is exact."""
+    from ..operators.joins import nearest_1d_join
+
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
-    # distinct acctbal -> min suppkey (ties within a value resolved here),
-    # sorted; k rows to the driver, then re-broadcast as an indexed dim.
-    vals = (
-        s.groupBy("s_acctbal")
-        .agg(F.min("s_suppkey").alias("s_suppkey"))
-        .orderBy("s_acctbal")
-        .collect()
-    )
-    from pyspark.ml.feature import Bucketizer
-
-    key_type = dict(s.dtypes)["s_suppkey"]
-    sv = spark.createDataFrame(
-        [(j, float(r.s_acctbal), r.s_suppkey) for j, r in enumerate(vals)],
-        f"j int, s_acctbal double, s_suppkey {key_type}",
-    )
-    splits = [float("-inf")] + [r.s_acctbal for r in vals] + [float("inf")]
-    bucketed = Bucketizer(splits=splits, inputCol="c_acctbal", outputCol="b").transform(c)
-    # bucket b => c_acctbal in [vals[b-1], vals[b]); candidates are those
-    # two neighbors; the inner join drops the out-of-range sentinels.
-    cand = bucketed.select(
-        "c_custkey",
-        "c_acctbal",
-        F.explode(F.array(F.col("b").cast("int") - 1, F.col("b").cast("int"))).alias("j"),
-    )
-    return (
-        cand.join(F.broadcast(sv), "j")
-        .withColumn("diff", F.abs(F.col("c_acctbal") - F.col("s_acctbal")))
-        .groupBy("c_custkey")
-        .agg(F.min(F.struct("diff", "s_suppkey")).alias("m"))
-        .select("c_custkey", F.col("m.s_suppkey").alias("s_suppkey"))
-        .orderBy("c_custkey")
-    )
+    return nearest_1d_join(
+        c, s, "c_custkey", "c_acctbal", "s_suppkey", "s_acctbal"
+    ).orderBy("c_custkey")
 
 
 @declared(

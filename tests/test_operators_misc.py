@@ -260,6 +260,41 @@ def test_salted_join_equals_plain_join(spark):
     assert key(plain) == key(salted)
 
 
+def test_nearest_1d_join_both_branches_agree(spark):
+    """The guarded operator behind q08 (VERDICT r1 item 4): the
+    sorted-search plan (dim collected to driver) and the crossJoin+argmin
+    fallback (forced via max_dim_values=0) must produce identical
+    assignments, both equal to the brute-force per-left argmin with the
+    (diff, key) tie-break."""
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_acctbal")
+    s = load_table(spark, SF, "supplier").select("s_suppkey", "s_acctbal")
+    fast = joins.nearest_1d_join(c, s, "c_custkey", "c_acctbal", "s_suppkey", "s_acctbal")
+    slow = joins.nearest_1d_join(
+        c, s, "c_custkey", "c_acctbal", "s_suppkey", "s_acctbal", max_dim_values=0
+    )
+    fast_m = {r.c_custkey: r.s_suppkey for r in fast.collect()}
+    slow_m = {r.c_custkey: r.s_suppkey for r in slow.collect()}
+    assert fast_m == slow_m
+
+    suppliers = [(r.s_suppkey, r.s_acctbal) for r in s.collect()]
+    for row in c.limit(50).collect():
+        want = min(suppliers, key=lambda t: (abs(row.c_acctbal - t[1]), t[0]))[0]
+        assert fast_m[row.c_custkey] == want
+
+
+def test_nearest_1d_join_tie_break(spark):
+    """Equidistant neighbors resolve to the smaller right key."""
+    left = spark.createDataFrame([(1, 5.0)], "lid int, lv double")
+    right = spark.createDataFrame(
+        [(10, 4.0), (7, 6.0), (99, 6.0)], "rid int, rv double"
+    )
+    for mx in (0, 1_000_000):  # both branches
+        out = joins.nearest_1d_join(
+            left, right, "lid", "lv", "rid", "rv", max_dim_values=mx
+        ).collect()
+        assert [(r.lid, r.rid) for r in out] == [(1, 7)]
+
+
 def test_train_example_end_to_end(spark, tmp_path):
     """The examples/train.py workflow (the reference's train.py:7-15 on
     this engine) runs to convergence and persists a graph snapshot with
