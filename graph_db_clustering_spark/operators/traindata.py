@@ -73,6 +73,7 @@ def decontaminate(
     id_col: str,
     text_col: str,
     n: int = 5,
+    max_broadcast_grams: int = 5_000_000,
 ) -> DataFrame:
     """Flag training documents that share any word n-gram with the eval
     set — the standard pretraining decontamination check (cf. GPT-3 /
@@ -87,7 +88,16 @@ def decontaminate(
     against the broadcast set with no shuffle of train data. The
     (id, gram) dedup runs AFTER the broadcast join: only *matching*
     grams — a tiny fraction of the corpus — ever shuffle, where
-    dedup-before-join would shuffle every exploded train n-gram."""
+    dedup-before-join would shuffle every exploded train n-gram.
+
+    "Eval sets are tiny" is an assumption, not a law — a 13-gram suite
+    across dozens of benchmarks can blow past executor memory as a
+    broadcast table. The gram count is checked first (one tiny agg over
+    the eval side only); above ``max_broadcast_grams`` (default 5M ≈
+    hundreds of MB materialized) the join falls back to a shuffled hash
+    join on the gram key — both sides shuffle, but nothing has to fit in
+    any single executor. The eval side is scanned twice (count + join);
+    that is the cheap side by construction."""
     eval_grams = (
         eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
@@ -96,9 +106,12 @@ def decontaminate(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
+    if eval_grams.count() <= max_broadcast_grams:
+        joined = train_grams.join(F.broadcast(eval_grams), "gram")
+    else:
+        joined = train_grams.join(eval_grams.hint("shuffle_hash"), "gram")
     return (
-        train_grams.join(F.broadcast(eval_grams), "gram")
-        .dropDuplicates([id_col, "gram"])
+        joined.dropDuplicates([id_col, "gram"])
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )

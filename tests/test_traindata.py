@@ -38,6 +38,33 @@ def test_decontaminate_ground_truth(spark):
     assert got == {1: 2, 3: 2}
 
 
+def test_decontaminate_shuffle_fallback(spark):
+    """Above max_broadcast_grams the eval side must NOT be broadcast
+    (VERDICT r1 item 5): same answer, shuffle-hash-hinted plan."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "completely different words here now"),
+            (3, "quick brown fox and the quick brown fox again"),
+        ],
+        "id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "the quick brown fox sat")], "id long, text string"
+    )
+    broad = traindata.decontaminate(train, ev, "id", "text", n=3)
+    fall = traindata.decontaminate(
+        train, ev, "id", "text", n=3, max_broadcast_grams=0
+    )
+    as_map = lambda df: {r["id"]: r["n_shared"] for r in df.collect()}  # noqa: E731
+    assert as_map(broad) == as_map(fall) == {1: 2, 3: 2}
+    # the fallback plan carries no broadcast hint on the eval side
+    analyzed = fall._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
+    assert "shuffle_hash" in analyzed.lower()
+    assert "broadcast" in broad._jdf.queryExecution().analyzed().toString().lower()
+
+
 def test_pii_scrub_edges(spark):
     df = spark.createDataFrame(
         [
