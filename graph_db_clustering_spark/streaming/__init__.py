@@ -1,7 +1,9 @@
 from graph_db_clustering_spark.streaming.replay import (
     read_events_stream,
+    read_table_stream,
     run_available_now,
     stage_replay_dir,
+    stage_table_replay,
 )
 from graph_db_clustering_spark.streaming.stateful import sessionize_with_state
 from graph_db_clustering_spark.streaming.ops import (
@@ -13,10 +15,16 @@ from graph_db_clustering_spark.streaming.ops import (
     stream_static_join,
     tumbling_counts,
 )
+from graph_db_clustering_spark.streaming.traindata import (
+    decontaminate_stream,
+    scrub_stream,
+)
 
 __all__ = [
     "stage_replay_dir",
+    "stage_table_replay",
     "read_events_stream",
+    "read_table_stream",
     "run_available_now",
     "tumbling_counts",
     "sliding_counts",
@@ -26,4 +34,6 @@ __all__ = [
     "stream_static_join",
     "click_purchase_join",
     "sessionize_with_state",
+    "decontaminate_stream",
+    "scrub_stream",
 ]

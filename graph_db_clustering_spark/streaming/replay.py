@@ -23,26 +23,26 @@ from pyspark.sql import DataFrame, SparkSession
 from graph_db_clustering_spark.catalog import load_table
 
 
-def stage_replay_dir(
+def stage_table_replay(
     spark: SparkSession,
     sf_dir: str,
+    table: str,
+    order_col: str,
     out_dir: str,
     num_chunks: int = 8,
 ) -> str:
-    """Write `events` as ``num_chunks`` time-range parquet files under
-    ``out_dir``. repartitionByRange(ts) gives contiguous, ordered time
-    slices; with lexicographic file listing + one file per trigger the
-    stream sees (approximately) arrival order, so watermarks advance
-    monotonically — the deterministic replay SURVEY §5.2.5 requires.
-
-    The staged files carry a proper microsecond TimestampType `ts` (the
-    catalog's nanosecond normalization happens here, once), so the
-    streaming reader needs no legacy confs.
-    """
-    events = load_table(spark, sf_dir, "events")
+    """Write any catalog table as ``num_chunks`` range-ordered parquet
+    files under ``out_dir`` for file-source replay. repartitionByRange
+    (order_col) gives contiguous ordered slices; with lexicographic file
+    listing + one file per trigger the stream sees (approximately)
+    arrival order — for a time column that makes watermarks advance
+    monotonically (deterministic replay, SURVEY §5.2.5); for an id
+    column (e.g. a `documents` ingest replay) it just pins batch
+    composition."""
+    df = load_table(spark, sf_dir, table)
     (
-        events.repartitionByRange(num_chunks, "ts")
-        .sortWithinPartitions("ts")
+        df.repartitionByRange(num_chunks, order_col)
+        .sortWithinPartitions(order_col)
         .write.mode("overwrite")
         .parquet(out_dir)
     )
@@ -60,21 +60,35 @@ def stage_replay_dir(
     return out_dir
 
 
-def read_events_stream(
+def stage_replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    num_chunks: int = 8,
+) -> str:
+    """The `events` replay (original entry point): time-range chunks with
+    a proper microsecond TimestampType `ts` (the catalog's nanosecond
+    normalization happens at staging, once), so the streaming reader
+    needs no legacy confs."""
+    return stage_table_replay(spark, sf_dir, "events", "ts", out_dir, num_chunks)
+
+
+def read_table_stream(
     spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """Open the staged replay directory as a streaming DataFrame.
-
-    Schema comes from a batch peek at the same files (file sources require
-    a user-supplied schema; inferring from the staged data keeps this
-    harness schema-agnostic).
-    """
+    """Open any staged replay directory as a streaming DataFrame (schema
+    from a batch peek at the same files, as file sources require an
+    explicit schema)."""
     schema = spark.read.parquet(replay_dir).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(replay_dir)
     )
+
+
+# Back-compat name: the events replay predates the generic form.
+read_events_stream = read_table_stream
 
 
 def run_available_now(

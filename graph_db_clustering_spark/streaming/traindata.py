@@ -1,0 +1,81 @@
+"""Streaming variants of the training-data pipeline ops (SURVEY §2.10 ×
+operators/traindata): incoming documents scrubbed, quality-filtered, and
+checked against a static eval set as they arrive.
+
+Two execution skins, chosen by what the op needs:
+
+- **In-plan** (pii_scrub, clean/quality filters, text stats): these are
+  pure codegen projections/filters, so the *same* batch functions apply
+  unchanged to a streaming DataFrame — Structured Streaming's
+  unbounded-table model. No wrapper code exists for them on purpose;
+  ``scrub_stream`` below is the composition used by the pipeline test.
+- **foreachBatch** (decontaminate): per-document contamination counts are
+  a join + per-doc aggregate. Each document arrives as exactly ONE row,
+  so the computation needs zero cross-batch state — running the batch
+  ``decontaminate`` inside ``foreachBatch`` is exact (union of per-batch
+  outputs == the batch output on the full corpus) and reuses the batch
+  plan verbatim, broadcast-size guard included. This is the standard
+  production pattern for stream steps with batch-only semantics and is
+  how the pipeline stays one code path for both modes.
+
+At 100 TB/day ingest the foreachBatch step inherits the batch operator's
+scale posture: the train side (one micro-batch) is scanned once and never
+shuffled; only the matching grams shuffle for the per-doc count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from graph_db_clustering_spark.operators.traindata import decontaminate, pii_scrub
+
+
+def scrub_stream(
+    doc_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """PII-scrub + trivial-length filter applied IN the streaming plan
+    (stateless projection — append mode, no watermark, no state store).
+    Returns (id_col, scrubbed, n_<label>...) exactly like the batch op."""
+    return pii_scrub(
+        doc_stream.filter(f"length({text_col}) >= {min_chars}"), id_col, text_col
+    )
+
+
+def decontaminate_stream(
+    doc_stream: DataFrame,
+    eval_df: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_broadcast_grams: int = 5_000_000,
+):
+    """Run eval-set decontamination over a document stream: every
+    micro-batch goes through the batch ``decontaminate`` (broadcast eval
+    grams, guard-protected) and contaminated (id, n_shared) rows append
+    to a parquet sink. Exact, not approximate: a document is wholly
+    contained in one row, so per-doc counts need no cross-batch state.
+
+    Returns the started StreamingQuery (caller awaits). AvailableNow
+    trigger: drains everything staged, then stops — same harness contract
+    as replay.to_parquet_sink."""
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = decontaminate(
+            batch_df, eval_df, id_col, text_col, n, max_broadcast_grams
+        )
+        flagged.write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(check_batch)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "decontam"))
+        .trigger(availableNow=True)
+        .start()
+    )

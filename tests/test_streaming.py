@@ -233,3 +233,60 @@ def test_stream_stream_join_matches_batch(spark, replay_dir, tmp_path):
     want = _counts_sorted(click_purchase_join(batch), *keys)
     assert len(want) > 0
     assert got == want
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Stream-ingest decontamination (foreachBatch over the batch op):
+    4-chunk replay of documents vs the batch decontaminate on the full
+    table — identical (id, n_shared) rows. The eval set is a slice of the
+    same corpus, so overlap is guaranteed."""
+    from graph_db_clustering_spark.operators.traindata import decontaminate
+    from graph_db_clustering_spark.streaming import (
+        decontaminate_stream,
+        read_table_stream,
+        stage_table_replay,
+    )
+
+    replay = stage_table_replay(
+        spark, SF, "documents", "doc_id", str(tmp_path / "docs"), num_chunks=4
+    )
+    docs = load_table(spark, SF, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+
+    stream = read_table_stream(spark, replay, max_files_per_trigger=1)
+    sink = str(tmp_path / "flagged")
+    q = decontaminate_stream(
+        stream, eval_df, sink, str(tmp_path / "ckpt"), n=5
+    )
+    q.awaitTermination()
+
+    got = {(r.doc_id, r.n_shared) for r in spark.read.parquet(sink).collect()}
+    want = {
+        (r.doc_id, r.n_shared)
+        for r in decontaminate(docs, eval_df, "doc_id", "text", n=5).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_scrub_stream_matches_batch(spark, tmp_path):
+    """pii_scrub is a stateless projection, so it runs IN the streaming
+    plan (append mode, no state): replayed output == batch output."""
+    from graph_db_clustering_spark.operators.traindata import pii_scrub
+    from graph_db_clustering_spark.streaming import (
+        read_table_stream,
+        scrub_stream,
+        stage_table_replay,
+    )
+
+    replay = stage_table_replay(
+        spark, SF, "documents", "doc_id", str(tmp_path / "docs"), num_chunks=4
+    )
+    stream = read_table_stream(spark, replay, max_files_per_trigger=2)
+    res = run_available_now(
+        scrub_stream(stream), "append", "scrub_final", str(tmp_path)
+    )
+    got = _counts_sorted(res, "doc_id")
+    docs = load_table(spark, SF, "documents")
+    want = _counts_sorted(pii_scrub(docs, "doc_id", "text"), "doc_id")
+    assert got == want
