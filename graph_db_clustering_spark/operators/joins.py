@@ -103,12 +103,37 @@ def nearest_1d_join(
       with min(struct(diff, right_key)) per left key. O(N*k) but never
       driver-bound.
 
-    The count itself is one tiny aggregate job — cheap insurance against
-    silently assuming the dim side stays driver-sized."""
-    r = right.select(right_key, right_val)
-    n_distinct = r.agg(F.countDistinct(right_val).alias("n")).collect()[0]["n"]
-    if n_distinct > max_dim_values:
-        expanded = left.select(left_key, left_val).crossJoin(r)
+    The guard is a SINGLE job: collect one (value, min key) row per
+    distinct right_val, capped at ``max_dim_values + 1`` rows via LIMIT.
+    Getting the cap back means the dim side exceeded the driver budget ->
+    distributed plan; otherwise the collected rows ARE the dim table, so
+    the "count" costs nothing extra (vs the old countDistinct job + a
+    second collect job).
+
+    Value columns are cast to double in BOTH branches (nearest-neighbor
+    arithmetic is defined at double precision; decimal dims would
+    otherwise disagree between plans), and NULL left_val / right_val rows
+    are dropped up front in both branches — a NULL has no defined nearest
+    neighbor, and leaving them in made the fast path throw (Bucketizer
+    handleInvalid='error') while the fallback silently dropped them."""
+    r = right.select(
+        right_key, F.col(right_val).cast("double").alias(right_val)
+    ).dropna(subset=[right_val])
+    lf = left.select(
+        left_key, F.col(left_val).cast("double").alias(left_val)
+    ).dropna(subset=[left_val])
+
+    vals = (
+        r.groupBy(right_val)
+        .agg(F.min(right_key).alias(right_key))
+        .limit(max_dim_values + 1)
+        .collect()
+    )
+    # Empty dim side also takes the distributed branch: Bucketizer needs
+    # >= 3 splits, and crossJoin against empty r yields the correct empty
+    # result with the right schema.
+    if not vals or len(vals) > max_dim_values:
+        expanded = lf.crossJoin(r)
         return (
             expanded.withColumn("diff", F.abs(F.col(left_val) - F.col(right_val)))
             .groupBy(left_key)
@@ -118,12 +143,7 @@ def nearest_1d_join(
 
     from pyspark.ml.feature import Bucketizer
 
-    vals = (
-        r.groupBy(right_val)
-        .agg(F.min(right_key).alias(right_key))
-        .orderBy(right_val)
-        .collect()
-    )
+    vals.sort(key=lambda row: row[right_val])
     key_type = dict(r.dtypes)[right_key]
     sv = left.sparkSession.createDataFrame(
         [(j, float(row[right_val]), row[right_key]) for j, row in enumerate(vals)],
@@ -131,7 +151,7 @@ def nearest_1d_join(
     )
     splits = [float("-inf")] + [row[right_val] for row in vals] + [float("inf")]
     bucketed = Bucketizer(splits=splits, inputCol=left_val, outputCol="__b").transform(
-        left.select(left_key, left_val)
+        lf
     )
     # bucket b => left_val in [vals[b-1], vals[b]); candidates are those two
     # neighbors; the inner join drops the out-of-range sentinels.

@@ -259,7 +259,13 @@ def _glcm_features(img: np.ndarray, levels: int) -> tuple[float, float, float, f
     GLCM: intensities quantized to `levels`, horizontal offset (0, 1),
     symmetric, normalized. energy = sum(p^2) (angular second moment);
     correlation guards the flat-image zero-variance case with 1.0 (a
-    constant image is perfectly self-correlated)."""
+    constant image is perfectly self-correlated). A width-1 image has no
+    horizontal pixel pairs at all (counts.sum() == 0 -> NaN spray), so it
+    is rejected explicitly rather than returning silent NaNs."""
+    if img.shape[1] < 2:
+        raise ValueError(
+            f"GLCM with horizontal offset needs width >= 2, got shape {img.shape}"
+        )
     q = (img.astype(np.int64) * levels) // 256
     a, b = q[:, :-1].ravel(), q[:, 1:].ravel()
     counts = np.bincount(a * levels + b, minlength=levels * levels).reshape(

@@ -97,16 +97,46 @@ def decontaminate(
     hundreds of MB materialized) the join falls back to a shuffled hash
     join on the gram key — both sides shuffle, but nothing has to fit in
     any single executor. The eval side is scanned twice (count + join);
-    that is the cheap side by construction."""
-    eval_grams = (
+    that is the cheap side by construction.
+
+    Long-lived callers (streaming foreachBatch) that would otherwise pay
+    the guard count per micro-batch should call :func:`eval_gram_set`
+    once, persist + count it themselves, and use
+    :func:`decontaminate_against` per batch."""
+    eval_grams = eval_gram_set(eval_df, text_col, n)
+    broadcast_ok = eval_grams.count() <= max_broadcast_grams
+    return decontaminate_against(
+        train, eval_grams, broadcast_ok, id_col, text_col, n
+    )
+
+
+def eval_gram_set(eval_df: DataFrame, text_col: str, n: int = 5) -> DataFrame:
+    """The distinct word-n-gram set of an eval corpus — the small side of
+    the decontamination join, exposed so long-lived callers can compute,
+    persist, and size-check it ONCE instead of per micro-batch."""
+    return (
         eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
+
+
+def decontaminate_against(
+    train: DataFrame,
+    eval_grams: DataFrame,
+    broadcast_ok: bool,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Decontamination core given a pre-built (gram) set: explode the
+    train side, join (broadcast iff the caller's size check passed),
+    dedup matches, count per doc. See :func:`decontaminate` for the plan
+    rationale."""
     train_grams = train.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
-    if eval_grams.count() <= max_broadcast_grams:
+    if broadcast_ok:
         joined = train_grams.join(F.broadcast(eval_grams), "gram")
     else:
         joined = train_grams.join(eval_grams.hint("shuffle_hash"), "gram")

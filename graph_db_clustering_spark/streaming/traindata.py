@@ -29,7 +29,13 @@ import os
 
 from pyspark.sql import DataFrame
 
-from graph_db_clustering_spark.operators.traindata import decontaminate, pii_scrub
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.operators.traindata import (
+    decontaminate_against,
+    eval_gram_set,
+    pii_scrub,
+)
 
 
 def scrub_stream(
@@ -57,20 +63,41 @@ def decontaminate_stream(
     max_broadcast_grams: int = 5_000_000,
 ):
     """Run eval-set decontamination over a document stream: every
-    micro-batch goes through the batch ``decontaminate`` (broadcast eval
-    grams, guard-protected) and contaminated (id, n_shared) rows append
-    to a parquet sink. Exact, not approximate: a document is wholly
-    contained in one row, so per-doc counts need no cross-batch state.
+    micro-batch goes through the batch decontamination core (broadcast
+    eval grams, guard-protected) and contaminated (id, n_shared) rows
+    land in a parquet sink partitioned by micro-batch id. Exact, not
+    approximate: a document is wholly contained in one row, so per-doc
+    counts need no cross-batch state.
+
+    Exactly-once output despite foreachBatch's at-least-once contract:
+    each batch writes mode('overwrite') with dynamic partition overwrite
+    into its own ``__batch_id=<id>`` partition, so a retried/recovered
+    micro-batch *replaces* its partition instead of appending duplicate
+    rows. Readers ``spark.read.parquet(out_path)`` as usual (the
+    partition column is internal; drop it on read if undesired).
+
+    The eval side is prepared ONCE for the stream's lifetime: the gram
+    set is persisted and size-checked here, not inside foreachBatch —
+    otherwise every micro-batch would re-run the eval explode+distinct
+    scan just to re-answer the same broadcast-vs-shuffle question.
 
     Returns the started StreamingQuery (caller awaits). AvailableNow
     trigger: drains everything staged, then stops — same harness contract
     as replay.to_parquet_sink."""
+    eval_grams = eval_gram_set(eval_df, text_col, n).persist()
+    broadcast_ok = eval_grams.count() <= max_broadcast_grams
 
     def check_batch(batch_df: DataFrame, batch_id: int) -> None:
-        flagged = decontaminate(
-            batch_df, eval_df, id_col, text_col, n, max_broadcast_grams
+        flagged = decontaminate_against(
+            batch_df, eval_grams, broadcast_ok, id_col, text_col, n
         )
-        flagged.write.mode("append").parquet(out_path)
+        (
+            flagged.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_path)
+        )
 
     return (
         doc_stream.writeStream.foreachBatch(check_batch)

@@ -205,3 +205,13 @@ def test_haralick_flat_image_correlation_is_one(spark):
     )
     r = M.haralick_features(df, levels=32).first()
     assert r.correlation == 1.0 and r.contrast == 0.0
+
+
+def test_haralick_width_one_rejected():
+    """ADVICE r2: a width-1 image has no horizontal pairs — explicit
+    ValueError instead of a 0/0 NaN spray."""
+    import numpy as np
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="width >= 2"):
+        M._glcm_features(np.zeros((4, 1), dtype=np.uint8), 32)

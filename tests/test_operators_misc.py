@@ -282,6 +282,30 @@ def test_nearest_1d_join_both_branches_agree(spark):
         assert fast_m[row.c_custkey] == want
 
 
+def test_nearest_1d_join_nulls_and_empty(spark):
+    """ADVICE r2: NULL value rows are dropped consistently in BOTH plans
+    (a NULL has no nearest neighbor; previously the fast path threw in
+    Bucketizer while the fallback silently dropped), and an empty dim side
+    yields an empty result instead of a Bucketizer splits error."""
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 7.0)], "lid int, lv double"
+    )
+    right = spark.createDataFrame(
+        [(10, 4.0), (20, None), (30, 8.0)], "rid int, rv double"
+    )
+    for mx in (0, 1_000_000):
+        out = joins.nearest_1d_join(
+            left, right, "lid", "lv", "rid", "rv", max_dim_values=mx
+        ).collect()
+        assert sorted((r.lid, r.rid) for r in out) == [(1, 10), (3, 30)]
+    empty = right.filter("rv IS NULL AND rv IS NOT NULL")
+    for mx in (0, 1_000_000):
+        out = joins.nearest_1d_join(
+            left, empty, "lid", "lv", "rid", "rv", max_dim_values=mx
+        ).collect()
+        assert out == []
+
+
 def test_nearest_1d_join_tie_break(spark):
     """Equidistant neighbors resolve to the smaller right key."""
     left = spark.createDataFrame([(1, 5.0)], "lid int, lv double")
