@@ -327,6 +327,189 @@ def haralick_features(
     return narrow.mapInPandas(texture, out_schema)
 
 
+def _connected_components(binary: np.ndarray) -> np.ndarray:
+    """8-connected component labels (0 = background, 1..n = components)
+    in pure NumPy: seed every foreground pixel with a unique label, then
+    propagate the minimum positive neighbor label (vectorized padded
+    shifts over all 8 directions + self) until fixpoint — O(component
+    diameter) whole-array passes, no scipy. Labels are then renumbered
+    1..n in first-seen (row-major seed) order, so numbering is
+    deterministic."""
+    h, w = binary.shape
+    labels = np.where(binary, np.arange(1, h * w + 1).reshape(h, w), 0).astype(np.int64)
+    sentinel = np.int64(h * w + 2)
+    while True:
+        p = np.pad(labels, 1, constant_values=0)
+        stack = np.stack(
+            [
+                p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+        stack = np.where(stack > 0, stack, sentinel)
+        new = np.where(binary, stack.min(axis=0), 0)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    uniq = np.unique(labels[labels > 0])
+    lut = np.zeros(int(labels.max()) + 1, dtype=np.int64)
+    lut[uniq] = np.arange(1, len(uniq) + 1)
+    return lut[labels]
+
+
+def _convex_hull_area(pts: np.ndarray) -> float:
+    """Area of the convex hull of 2-D points (Andrew monotone chain +
+    shoelace). Degenerate (<3 distinct points or collinear) -> 0.0."""
+    pts = np.unique(pts.astype(np.float64), axis=0)
+    if len(pts) < 3:
+        return 0.0
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def half(seq):
+        res: list = []
+        for p in seq:
+            while len(res) >= 2 and cross(res[-2], res[-1], p) <= 0:
+                res.pop()
+            res.append(p)
+        return res
+
+    hull = half(pts)[:-1] + half(pts[::-1])[:-1]
+    if len(hull) < 3:
+        return 0.0
+    hx = np.array([p[0] for p in hull])
+    hy = np.array([p[1] for p in hull])
+    return float(abs(np.dot(hx, np.roll(hy, -1)) - np.dot(hy, np.roll(hx, -1))) / 2.0)
+
+
+CONTOUR_NAMES = (
+    "n_components",
+    "perimeter",
+    "area",
+    "solidity",
+    "extent",
+    "equiv_diameter",
+    "orientation",
+)
+
+
+def _contour_features(
+    img: np.ndarray, threshold: float = 127.0
+) -> tuple[int, float, float, float, float, float, float]:
+    """Contour features of the LARGEST foreground component in pure NumPy
+    — the codec-free, well-defined stand-in for the reference's
+    cv2.findContours pipeline (image_classification.py:243-287:
+    threshold -> RETR_EXTERNAL contours -> perimeter/area/solidity/
+    extent/equivalent-diameter/orientation per contour; the reference
+    also divides by convexHull INDICES as if they were an area and
+    hard-codes orientation to pi/2 — this implementation computes both
+    for real rather than reproducing those bugs).
+
+    Definitions (all on the binary mask img > threshold):
+      n_components   — count of 8-connected foreground components
+      perimeter      — crack perimeter of the largest component: number
+                       of unit pixel edges between mask and background
+                       (image border included)
+      area           — pixel count of the largest component
+      solidity       — area / convex-hull area, hull taken over the
+                       component's pixel CORNER points so hull_area >=
+                       area and solidity is in (0, 1], exactly 1 for
+                       convex pixel sets like rectangles
+      extent         — area / bounding-box area
+      equiv_diameter — sqrt(4 * area / pi)
+      orientation    — major-axis angle from image moments,
+                       0.5 * atan2(2*mu11, mu20 - mu02), radians in
+                       [-pi/2, pi/2]; 0 for x-aligned shapes
+    All-background images return (0, 0, 0, 0, 0, 0, 0)."""
+    binary = img.astype(np.float64) > threshold
+    labels = _connected_components(binary)
+    n = int(labels.max())
+    if n == 0:
+        return (0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    areas = np.bincount(labels.ravel())[1:]
+    largest = int(np.argmax(areas)) + 1  # ties -> smaller (earlier-seed) label
+    mask = labels == largest
+    area = float(mask.sum())
+
+    pm = np.pad(mask, 1, constant_values=False)
+    perimeter = float(
+        np.count_nonzero(pm[1:, :] != pm[:-1, :])
+        + np.count_nonzero(pm[:, 1:] != pm[:, :-1])
+    )
+
+    ys, xs = np.nonzero(mask)
+    bbox_area = float((ys.max() - ys.min() + 1) * (xs.max() - xs.min() + 1))
+    extent = area / bbox_area
+    equiv_diameter = float(np.sqrt(4.0 * area / np.pi))
+
+    corners = np.concatenate(
+        [
+            np.stack([xs + dx, ys + dy], axis=1)
+            for dx in (0, 1)
+            for dy in (0, 1)
+        ]
+    )
+    hull_area = _convex_hull_area(corners)
+    solidity = area / hull_area if hull_area > 0 else 0.0
+
+    mx, my = xs.mean(), ys.mean()
+    mu20 = float(((xs - mx) ** 2).mean())
+    mu02 = float(((ys - my) ** 2).mean())
+    mu11 = float(((xs - mx) * (ys - my)).mean())
+    if mu11 == 0.0 and mu20 == mu02:
+        orientation = 0.0  # isotropic: no major axis; define 0
+    else:
+        orientation = float(0.5 * np.arctan2(2.0 * mu11, mu20 - mu02))
+    return (n, perimeter, area, solidity, extent, equiv_diameter, orientation)
+
+
+def contour_features(
+    df: DataFrame,
+    id_col: str = "image_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+    threshold: float = 127.0,
+) -> DataFrame:
+    """Per-image contour features of the largest thresholded component
+    (see _contour_features) in one Arrow-batched mapInPandas pass —
+    decode -> grayscale -> threshold -> connected components -> shape
+    features, scalar output columns (id, n_components, perimeter, area,
+    solidity, extent, equiv_diameter, orientation). Closes the last
+    SURVEY §2.8 row (reference image_classification.py:243-287)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_components", T.LongType()),
+            *[
+                T.StructField(nm, T.DoubleType())
+                for nm in CONTOUR_NAMES
+                if nm != "n_components"
+            ],
+        ]
+    )
+
+    def contours(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content, m in zip(pdf["id"], pdf["content"], pdf["meta"]):
+                arr = _grayscale(
+                    _decode_one(
+                        bytes(content), m["height"], m["width"], m["channels"], m["format"]
+                    )
+                )
+                rows.append((int(rid), *_contour_features(arr, threshold)))
+            yield pd.DataFrame(rows, columns=["id", *CONTOUR_NAMES])
+
+    narrow = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content"), F.col(meta_col).alias("meta")
+    )
+    return narrow.mapInPandas(contours, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "video_id",

@@ -56,6 +56,28 @@ def image_haralick(spark, sf_dir):
     )
 
 
+@declared("image_contours")
+def image_contours(spark, sf_dir):
+    """Contour features of the largest thresholded component per image
+    (the cv2.findContours analog, image_classification.py:243-287, in
+    pure NumPy: connected components, crack perimeter, convex-hull
+    solidity, extent, equivalent diameter, moment orientation) — scalar
+    columns, rows-only check; pinned vs driver-side NumPy + closed-form
+    shapes in tests. Closes the last SURVEY §2.8 row."""
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthetic_images_from_documents(docs, "doc_id", "text", side=16)
+    c = multimodal.contour_features(imgs, threshold=127.0)
+    return c.select(
+        "id",
+        "n_components",
+        *[
+            F.round(F.col(n), 6).alias(n)
+            for n in multimodal.CONTOUR_NAMES
+            if n != "n_components"
+        ],
+    )
+
+
 @declared("image_histograms")
 def image_histograms(spark, sf_dir):
     """Normalized 32-bin intensity histograms over the same fixture

@@ -196,6 +196,73 @@ def test_haralick_matches_driver_numpy(spark, images):
         )
 
 
+def test_contours_match_driver_numpy(spark, images):
+    """Distributed contour features == the same NumPy pipeline (threshold
+    -> 8-connected components -> largest-component shape features) run on
+    the driver."""
+    got = {
+        r.id: (
+            r.n_components,
+            r.perimeter,
+            r.area,
+            r.solidity,
+            r.extent,
+            r.equiv_diameter,
+            r.orientation,
+        )
+        for r in M.contour_features(images, threshold=127.0).collect()
+    }
+    for row in images.collect():
+        arr = np.frombuffer(bytes(row.content), dtype=np.uint8).reshape(16, 16)
+        want = M._contour_features(arr.astype(np.float64), 127.0)
+        assert got[row.image_id] == pytest.approx(want, rel=1e-12)
+
+
+def _raw_image_df(spark, arr: np.ndarray, image_id: int = 1):
+    h, w = arr.shape
+    return spark.createDataFrame(
+        [(image_id, arr.astype(np.uint8).tobytes(), (h, w, 1, "raw"))],
+        "image_id long, content binary, meta struct<height:int,width:int,channels:int,format:string>",
+    )
+
+
+def test_contours_closed_form_shapes(spark):
+    """Hand-built shapes with closed-form answers: a wide rectangle (all
+    ratios exact, orientation 0), the tall transpose (orientation pi/2),
+    a second small component (count rises, features stay the largest's),
+    and an all-background image (all zeros)."""
+    img = np.zeros((16, 16))
+    img[5:9, 4:10] = 255  # 4 tall x 6 wide
+    r = M.contour_features(_raw_image_df(spark, img)).first()
+    assert r.n_components == 1
+    assert r.area == 24.0 and r.perimeter == 2 * (4 + 6)
+    assert r.solidity == pytest.approx(1.0) and r.extent == pytest.approx(1.0)
+    assert r.equiv_diameter == pytest.approx(float(np.sqrt(4 * 24 / np.pi)))
+    assert r.orientation == 0.0
+
+    tall = M.contour_features(_raw_image_df(spark, img.T.copy())).first()
+    assert tall.orientation == pytest.approx(np.pi / 2)
+
+    img2 = img.copy()
+    img2[0, 0] = 255  # disconnected single pixel
+    r2 = M.contour_features(_raw_image_df(spark, img2)).first()
+    assert r2.n_components == 2 and r2.area == 24.0 and r2.perimeter == 20.0
+
+    blank = M.contour_features(_raw_image_df(spark, np.zeros((16, 16)))).first()
+    assert blank.n_components == 0 and blank.area == 0.0 and blank.solidity == 0.0
+
+
+def test_contours_diagonal_is_one_component_and_oriented(spark):
+    """8-connectivity: a diagonal line of touching-corner pixels is ONE
+    component; its moment orientation is pi/4 (x and y covary equally)."""
+    img = np.zeros((16, 16))
+    for i in range(8):
+        img[i, i] = 255
+    r = M.contour_features(_raw_image_df(spark, img)).first()
+    assert r.n_components == 1 and r.area == 8.0
+    assert r.orientation == pytest.approx(np.pi / 4)
+
+
 def test_haralick_flat_image_correlation_is_one(spark):
     """Constant image: zero GLCM variance -> correlation defined as 1.0."""
     content = bytes([7] * 64)
