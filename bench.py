@@ -49,13 +49,19 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
-    # min of 2 runs per query: the first run pays one-off codegen/JIT and
+    # min of 3 runs per query: the first run pays one-off codegen/JIT and
     # absorbs host noise; min is the standard noise-resistant estimator
-    # for wall-clock microbenchmarks. Both runs execute the full plan.
+    # for wall-clock microbenchmarks. All runs execute the full plan.
+    # This box has measured 2-3x swings on identical code under ambient
+    # load (VERDICT r2 perf section), so the JSON also records loadavg
+    # before/after and the core count — a hot host is then attributable
+    # from the artifact instead of argued about.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             materialize(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -70,7 +76,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "method": "min_of_2_runs",
+                "method": f"min_of_{runs}_runs",
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "cpus": os.cpu_count(),
             }
         )
     )
