@@ -108,6 +108,267 @@ def ivf_topk(
     )
 
 
+class PQModel:
+    """Trained IVF-PQ index parameters: unit-sphere coarse centroids
+    (cells, d) and per-subvector residual codebooks (m, codes, d/m) —
+    both tiny (cells*d + m*codes*d/m doubles) and broadcastable.
+    ``bytes_per_vector`` is the compressed fine-index footprint: exactly
+    m code bytes per corpus vector."""
+
+    def __init__(self, centroids, codebooks):
+        self.centroids = centroids
+        self.codebooks = codebooks
+
+    @property
+    def m(self) -> int:
+        return int(self.codebooks.shape[0])
+
+    @property
+    def bytes_per_vector(self) -> int:
+        return self.m
+
+
+def _np_lloyd(X, k: int, iters: int, rng):
+    """Seeded NumPy Lloyd's (BLAS distance form) for codebook training —
+    runs on a driver-side SAMPLE only (the FAISS convention: PQ codebooks
+    train on ~10^4 rows regardless of corpus size; the full corpus is
+    only ever ENCODED, distributed)."""
+    import numpy as np
+
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        a = d2.argmin(1)
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(0)
+    return C
+
+
+def _unit_rows(X):
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return X / n
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells: int = 16,
+    m: int = 8,
+    codes: int = 256,
+    train_sample: int = 8192,
+    seed: int = 42,
+) -> tuple[PQModel, DataFrame]:
+    """Build an IVF-PQ index over an embedding column: coarse k-means
+    cells (distributed, operators/kmeans), then product-quantized CELL
+    RESIDUALS — each vector stored as m uint8 codes (one per subvector)
+    instead of d floats. This is the 100 TB ANN memory story: a 64-dim
+    float32 corpus compresses 256B -> m bytes per vector (32x at m=8),
+    so the fine index for a billion vectors fits a modest cluster's RAM.
+
+    Returns (model, encoded) where encoded = (nid, cell, codes binary(m)).
+
+    All geometry is on the unit sphere (cosine == monotone L2 there, same
+    convention as lsh_near_dups). Codebooks train driver-side on a
+    deterministic sample (kmeans.deterministic_sample — no rand()); the
+    corpus itself is encoded in ONE distributed Arrow-batched mapInPandas
+    pass and never collected. Requires integer ids and d % m == 0;
+    codes <= 256 so one code fits one byte."""
+    import numpy as np
+
+    if codes > 256:
+        raise ValueError("codes must be <= 256 (one byte per subvector)")
+    fit = kmeans.fit(corpus, k=cells, id_col=id_col, vec_col=vec_col, max_iter=5)
+    cents_df = fit.centroids
+    crows = sorted(cents_df.collect(), key=lambda r: r.cid)
+    C = _unit_rows(np.array([list(r.centroid) for r in crows], dtype=np.float64))
+    d = C.shape[1]
+    if d % m:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    assigned = kmeans.assign(corpus, cents_df, id_col, vec_col).select(
+        F.col("id").alias("nid"), F.col("cid").alias("cell")
+    )
+    src = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+    ).join(assigned, "nid")
+
+    sample = kmeans.deterministic_sample(src, "nid", train_sample).collect()
+    V = _unit_rows(np.array([list(r.nv) for r in sample], dtype=np.float64))
+    R = V - C[np.array([r.cell for r in sample])]
+    rng = np.random.default_rng(seed)
+    CB = np.stack(
+        [
+            _np_lloyd(R[:, i * dsub : (i + 1) * dsub], codes, iters=10, rng=rng)
+            for i in range(m)
+        ]
+    )
+    model = PQModel(C, CB)
+
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _unit_rows(np.stack(pdf["nv"].to_numpy()).astype(np.float64))
+            Rb = V - C[pdf["cell"].to_numpy()]
+            out = np.empty((len(pdf), m), dtype=np.uint8)
+            for i in range(m):
+                sub = Rb[:, i * dsub : (i + 1) * dsub]
+                cb = CB[i]
+                d2 = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * (sub @ cb.T)
+                    + (cb * cb).sum(1)[None, :]
+                )
+                out[:, i] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf["nid"],
+                    "cell": pdf["cell"],
+                    "codes": [row.tobytes() for row in out],
+                }
+            )
+
+    encoded = src.mapInPandas(encode, "nid long, cell int, codes binary")
+    return model, encoded
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    codes: int = 256,
+    refine: int = 4,
+    train_sample: int = 8192,
+    exclude_self: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k: (qid, nid, rk, cosine) — same
+    output contract as brute_force_topk / ivf_topk.
+
+    Search plan (the FAISS ADC pipeline, Spark-ified so the CORPUS side
+    never shuffles):
+      1. driver: each query picks its nprobe nearest cells and gets one
+         (m x codes) lookup table of residual-subvector distances per
+         probed cell; the cell->[(qid, LUT)] map is broadcast (queries
+         must be broadcastable — the brute_force_topk contract).
+      2. one mapInPandas scan of the ENCODED corpus (m bytes/vector, not
+         d floats): each row's approximate distance is m table lookups
+         (LUT[i, code_i] summed), emitted per probing query.
+      3. per-query shortlist of refine*k by ADC distance, then an exact
+         cosine re-rank that fetches full vectors for ONLY the shortlist
+         (broadcast shortlist joined against the corpus scan).
+    Recall is held up by the re-rank over-fetch (refine*k candidates);
+    memory is held down because step 2 reads codes, not vectors."""
+    import numpy as np
+
+    model, encoded = ivfpq_build(
+        corpus, id_col, vec_col, cells, m, codes, train_sample, seed
+    )
+    C, CB = model.centroids, model.codebooks
+    d = C.shape[1]
+    dsub = d // m
+    n_codes = CB.shape[1]
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        return (
+            queries.select(F.col(id_col).alias("qid"))
+            .limit(0)
+            .select(
+                "qid",
+                F.lit(None).cast("long").alias("nid"),
+                F.lit(None).cast("int").alias("rk"),
+                F.lit(None).cast("double").alias("cosine"),
+            )
+        )
+    Q = _unit_rows(np.array([list(r.qv) for r in qrows], dtype=np.float64))
+    sims = Q @ C.T  # cosine: both sides unit
+    cell_luts: dict[int, list] = {}
+    for qi, row in enumerate(qrows):
+        # ties -> lower cid (stable argsort on (-sim, cid))
+        order = np.lexsort((np.arange(C.shape[0]), -sims[qi]))[:nprobe]
+        for cell in order:
+            qr = Q[qi] - C[cell]
+            lut = np.empty((m, n_codes), dtype=np.float64)
+            for i in range(m):
+                diff = CB[i] - qr[i * dsub : (i + 1) * dsub][None, :]
+                lut[i] = (diff * diff).sum(1)
+            cell_luts.setdefault(int(cell), []).append((int(row.qid), lut))
+    bc = queries.sparkSession.sparkContext.broadcast(cell_luts)
+
+    import pandas as pd
+
+    def fine(batches):
+        idx = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_mat = np.stack(
+                [np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf["codes"]]
+            )
+            nids = pdf["nid"].to_numpy()
+            out_q, out_n, out_a = [], [], []
+            for cell, rows in pdf.groupby("cell").indices.items():
+                probes = bc.value.get(int(cell))
+                if not probes:
+                    continue
+                sub = codes_mat[rows]
+                for qid, lut in probes:
+                    adc = lut[idx[None, :], sub].sum(1)
+                    out_q.append(np.full(len(rows), qid, dtype=np.int64))
+                    out_n.append(nids[rows])
+                    out_a.append(adc)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "adc": np.concatenate(out_a),
+                    }
+                )
+
+    cand = encoded.mapInPandas(fine, "qid long, nid long, adc double")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("nid"))
+    w = Window.partitionBy("qid").orderBy("adc", "nid")
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= refine * k)
+        .select("qid", "nid")
+    )
+
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    rescored = (
+        c.join(F.broadcast(shortlist), "nid")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "nid", cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("qid", "nid", "rk", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def knn_classify(
     queries: DataFrame,
     labeled: DataFrame,

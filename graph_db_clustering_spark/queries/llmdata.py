@@ -281,6 +281,20 @@ def ann_ivf(spark, sf_dir):
     )
 
 
+@declared("ann_ivfpq")
+def ann_ivfpq(spark, sf_dir):
+    """IVF-PQ approximate top-k (coarse cells + product-quantized
+    residuals + ADC scan + exact re-rank) — the compressed-memory ANN
+    scale path (operators/similarity.ivfpq_topk). Rows-only:
+    approximate by design; recall-vs-IVF-flat and m-bytes-per-vector
+    asserted in tests/test_llmdata.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 2)
+    return similarity.ivfpq_topk(
+        q, emb, "vec_id", "embedding", k=5, cells=8, nprobe=3, m=8, refine=8
+    ).orderBy("qid", "rk")
+
+
 @declared("ann_lsh")
 def ann_lsh(spark, sf_dir):
     """Random-projection LSH near-dup pairs over embeddings (MLlib);
