@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from graph_db_clustering_spark.operators.graph import Graph
 from graph_db_clustering_spark.operators.graph_algos import (
     connected_components,
+    degree_oriented_edges,
     pagerank,
     shortest_paths,
     triangle_count,
@@ -106,6 +107,50 @@ def test_triangle_count_complete_graph(spark):
     edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     got = {r.id: r.triangles for r in triangle_count(_graph(spark, 5, edges)).collect()}
     assert got == {i: 6 for i in range(5)}
+
+
+def test_triangle_count_random_vs_bruteforce(spark):
+    rng = np.random.RandomState(7)
+    n = 30
+    edges = list({tuple(sorted((int(a), int(b)))) for a, b in rng.randint(0, n, (90, 2)) if a != b})
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {
+        i: sum(
+            1
+            for j in adj[i]
+            for k in adj[i]
+            if j < k and k in adj[j]
+        )
+        for i in range(n)
+    }
+    got = {r.id: r.triangles for r in triangle_count(_graph(spark, n, edges)).collect()}
+    assert got == want
+
+
+def test_triangle_count_star_hub_bounded_fanout(spark):
+    """VERDICT r2 item 6: on a skewed graph the degree orientation points
+    every spoke INTO the hub, so the hub's wedge fan-out (oriented
+    out-degree, the per-join-key task input) is 0 — not deg^2. A naive
+    id-ordered orientation with hub id 0 would give out-degree 200."""
+    n = 201
+    star = [(0, i) for i in range(1, n)]  # hub 0, degree 200
+    tri = [(1, 2)]  # one triangle 0-1-2 so counts are non-trivial
+    g = _graph(spark, n, star + tri)
+    out_deg = {
+        r.src: r.fanout
+        for r in degree_oriented_edges(g.edges)
+        .groupBy("src")
+        .agg(F.count("*").alias("fanout"))
+        .collect()
+    }
+    assert 0 not in out_deg  # hub is highest-rank: zero outgoing wedge arms
+    assert max(out_deg.values()) <= 2  # leaves: -> hub, plus 1->2
+    got = {r.id: r.triangles for r in triangle_count(g).collect()}
+    assert got[0] == 1 and got[1] == 1 and got[2] == 1
+    assert sum(got.values()) == 3
 
 
 def test_shortest_paths_known(spark):
