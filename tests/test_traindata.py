@@ -205,6 +205,34 @@ def test_pack_sequences_partitioning_invariant(spark, sf_dir):
     assert r1 == r2 and len(r1) > 0
 
 
+def test_pack_sequences_invariant_at_10x_scale(spark, sf_dir):
+    """VERDICT r2 item 7: range-boundary sampling risk grows with input
+    size — pin invariance on a corpus ~10x the sf0.001 documents table
+    (50k docs, adversarial length mix: mostly short docs plus huge
+    boundary-straddling ones), across hostile partitionings and
+    non-default partition counts. Byte-identical output + conservation
+    of every token required."""
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        # deterministic skewed lengths: ~1/100 docs are 40k-token giants
+        # (straddle many 2048 chunks), rest 1-400 tokens
+        F.when(F.col("id") % 100 == 0, F.col("id") % 7 * 5000 + 5000)
+        .otherwise(F.col("id") % 400 + 1)
+        .alias("n_tok"),
+    )
+    outs = []
+    for parts in (2, 64):
+        out = traindata.pack_sequences(
+            docs.repartition(parts, "n_tok"), "doc_id", "n_tok", 2048
+        )
+        outs.append(sorted(tuple(r) for r in out.collect()))
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1] and len(outs[0]) >= 50_000
+    total = sum(r[3] for r in outs[0])
+    want = docs.agg(F.sum("n_tok")).first()[0]
+    assert total == want  # no token lost or duplicated at any boundary
+
+
 def test_sampling_validates_inputs(spark, sf_dir):
     import pytest as _pytest
 
