@@ -74,7 +74,7 @@ from graph_db_clustering_spark.operators.graph import Graph
 _KEYWORDS = {
     "match", "where", "with", "order", "by", "limit", "create", "set",
     "delete", "detach", "return", "as", "and", "or", "not", "asc", "desc",
-    "distinct", "true", "false", "null",
+    "distinct", "true", "false", "null", "optional", "merge",
 }
 
 _TOKEN_RE = re.compile(
@@ -187,6 +187,12 @@ class PathPat:
 class MatchC:
     paths: list
     where: object | None
+    optional: bool = False
+
+
+@dataclass
+class MergeC:
+    path: object  # single PathPat
 
 
 @dataclass
@@ -301,6 +307,11 @@ class _Parser:
             kw = t[1].lower()
             if kw == "match":
                 clauses.append(self.match_clause())
+            elif kw == "optional":
+                self.next()
+                clauses.append(self.match_clause(optional=True))
+            elif kw == "merge":
+                clauses.append(self.merge_clause())
             elif kw == "with":
                 clauses.append(self.with_clause(WithC))
             elif kw == "return":
@@ -315,7 +326,7 @@ class _Parser:
                 raise SyntaxError(f"cypher: unexpected {t[1].upper()}")
         return clauses
 
-    def match_clause(self):
+    def match_clause(self, optional=False):
         self.expect("kw", "match")
         paths = [self.path()]
         while self.peek() == ("op", ","):
@@ -325,7 +336,11 @@ class _Parser:
         if self.at_kw("where"):
             self.next()
             where = self.expr()
-        return MatchC(paths, where)
+        return MatchC(paths, where, optional)
+
+    def merge_clause(self):
+        self.expect("kw", "merge")
+        return MergeC(self.path())
 
     def with_clause(self, cls):
         self.next()  # WITH / RETURN
@@ -580,6 +595,13 @@ class _PendingCreate:
 
 
 @dataclass
+class _PendingMerge:
+    kind: str  # 'node' | 'edge'
+    df: DataFrame  # key columns (+ SET-folded prop columns)
+    keys: list  # identity columns: pattern label/props (node), src/dst/rel (edge)
+
+
+@dataclass
 class _Ctx:
     df: DataFrame | None = None
     sort: list = field(default_factory=list)  # [(expr, asc)] of last ORDER BY
@@ -623,6 +645,8 @@ class CypherSession:
                 ctx.df = self._project(ctx, c, params)
             elif isinstance(c, CreateC):
                 self._create(ctx, c, params)
+            elif isinstance(c, MergeC):
+                self._merge(ctx, c, params)
             elif isinstance(c, SetC):
                 self._set(ctx, c, params)
             elif isinstance(c, DeleteC):
@@ -660,6 +684,12 @@ class CypherSession:
             anon[0] += 1
             return f"_{prefix}{anon[0]}"
 
+        # the clause's own pattern frame: paths combined on their shared
+        # variables; OPTIONAL MATCH needs it separate from the running
+        # binding table so WHERE applies to the PATTERN before the outer
+        # join (openCypher: a failed optional pattern yields NULL bindings,
+        # not a dropped row)
+        local: DataFrame | None = None
         for path in c.paths:
             bound_here: list[str] = []
 
@@ -726,19 +756,43 @@ class CypherSession:
                 pdf = self._node_frame_all(name0)
             bound_here.insert(0, name0)
 
-            # combine with the running binding table on shared variables
-            if ctx.df is None:
-                ctx.df = pdf
+            # combine with the clause-local frame on shared variables
+            if local is None:
+                local = pdf
             else:
-                shared = [
-                    v for v in pdf.columns if v in ctx.df.columns
-                ]
+                shared = [v for v in pdf.columns if v in local.columns]
+                local = local.join(pdf, shared) if shared else local.crossJoin(pdf)
+
+        if c.optional:
+            if c.where is not None:
+                local = local.filter(self._expr(c.where, local, params))
+            if ctx.df is None:
+                # OPTIONAL MATCH as first clause: one all-NULL row when the
+                # pattern is empty (openCypher), via a constant-key left join
+                ctx.df = (
+                    self._one_row()
+                    .select(F.lit(1).alias("_mk"))
+                    .join(local.withColumn("_mk", F.lit(1)), "_mk", "left")
+                    .drop("_mk")
+                )
+            else:
+                shared = [v for v in local.columns if v in ctx.df.columns]
                 if shared:
-                    ctx.df = ctx.df.join(pdf, shared)
+                    ctx.df = ctx.df.join(local, shared, "left")
                 else:
-                    ctx.df = ctx.df.crossJoin(pdf)
-        if c.where is not None:
-            ctx.df = ctx.df.filter(self._expr(c.where, ctx.df, params))
+                    ctx.df = (
+                        ctx.df.withColumn("_mk", F.lit(1))
+                        .join(local.withColumn("_mk", F.lit(1)), "_mk", "left")
+                        .drop("_mk")
+                    )
+        else:
+            if ctx.df is None:
+                ctx.df = local
+            else:
+                shared = [v for v in local.columns if v in ctx.df.columns]
+                ctx.df = ctx.df.join(local, shared) if shared else ctx.df.crossJoin(local)
+            if c.where is not None:
+                ctx.df = ctx.df.filter(self._expr(c.where, ctx.df, params))
         ctx.sort = []
 
     def _node_frame_all(self, name: str) -> DataFrame:
@@ -877,6 +931,58 @@ class CypherSession:
                     ctx.created[epat.var] = pc
                 ctx.ops.append(pc)
 
+    def _merge(self, ctx: _Ctx, c: MergeC, params) -> None:
+        """MERGE = match-or-create, compiled as an upsert over the pattern's
+        identity keys (left-anti join finds the missing rows; a following
+        SET folds into the pending frame and is applied to matched AND
+        created rows — COW update + unionByName, the same shape as
+        operators/maintenance.upsert_parquet).
+
+        Node MERGE keys on (label, pattern props); edge MERGE (endpoints
+        bound by earlier clauses, like CREATE) keys on
+        (src, dst, relationship, pattern props). The merged variable is
+        NOT added to the binding table — it may be SET but not returned
+        (the reference never returns from a mutation statement)."""
+        path = c.path
+        base = ctx.df
+        if len(path.nodes) == 1:
+            pat = path.nodes[0]
+            if pat.label is None and not pat.props:
+                raise ValueError("cypher: MERGE node needs a label or properties")
+            cols = []
+            if pat.label is not None:
+                cols.append(F.lit(pat.label).alias(LABEL_COL))
+            for k, e in pat.props.items():
+                cols.append(self._expr(e, base, params).alias(k))
+            rows = (base if base is not None else self._one_row()).select(*cols)
+            rows = rows.dropDuplicates()
+            pm = _PendingMerge("node", rows, [f.name for f in rows.schema.fields])
+            if pat.var:
+                ctx.created[pat.var] = pm
+            ctx.ops.append(pm)
+        else:
+            if len(path.nodes) != 2 or len(path.edges) != 1:
+                raise ValueError("cypher: MERGE supports single-hop paths")
+            a, epat, b = path.nodes[0], path.edges[0], path.nodes[1]
+            if a.var is None or b.var is None or base is None:
+                raise ValueError("cypher: MERGE edge endpoints must be bound")
+            if epat.direction == "in":
+                a, b = b, a
+            if epat.rel is None:
+                raise ValueError("cypher: MERGE edge needs a relationship type")
+            cols = [
+                F.col(a.var).getField("id").alias("src"),
+                F.col(b.var).getField("id").alias("dst"),
+                F.lit(epat.rel).alias("relationship"),
+            ]
+            for k, e in epat.props.items():
+                cols.append(self._expr(e, base, params).alias(k))
+            rows = base.select(*cols).dropDuplicates()
+            pm = _PendingMerge("edge", rows, [f.name for f in rows.schema.fields])
+            if epat.var:
+                ctx.created[epat.var] = pm
+            ctx.ops.append(pm)
+
     def _set(self, ctx: _Ctx, c: SetC, params) -> None:
         by_var: dict[str, list] = {}
         for var, prop, e in c.assignments:
@@ -937,6 +1043,42 @@ class CypherSession:
                         "eid", (F.row_number().over(w) + offset - 1).cast("long")
                     )
                     g = Graph(g.vertices, g.edges.unionByName(rows, allowMissingColumns=True))
+            elif isinstance(op, _PendingMerge):
+                keys, mdf = op.keys, op.df
+                extra = [c for c in mdf.columns if c not in keys]
+                target = g.vertices if op.kind == "node" else g.edges
+                for k in keys:
+                    if k not in target.columns:
+                        raise ValueError(f"cypher: MERGE key column {k!r} not in graph")
+                absent = mdf.join(target, keys, "left_anti")
+                if extra:
+                    # matched rows: COW update (SET applies to matched AND
+                    # created — created rows carry the props directly)
+                    upd = mdf.select(
+                        *keys, *[F.col(p).alias(f"_new_{p}") for p in extra]
+                    )
+                    joined = target.join(F.broadcast(upd), keys, "left")
+                    for p in extra:
+                        old = F.col(p) if p in target.columns else F.lit(None)
+                        joined = joined.withColumn(
+                            f"_v_{p}", F.coalesce(F.col(f"_new_{p}"), old)
+                        )
+                    keep = [c for c in target.columns if c not in extra] + [
+                        F.col(f"_v_{p}").alias(p) for p in extra
+                    ]
+                    target = joined.select(*keep)
+                idc = "id" if op.kind == "node" else "eid"
+                offset = (target.agg(F.max(idc)).collect()[0][0] or 0) + 1
+                w = Window.orderBy(*keys)
+                created = absent.withColumn(
+                    idc, (F.row_number().over(w) + offset - 1).cast("long")
+                )
+                merged = target.unionByName(created, allowMissingColumns=True)
+                g = (
+                    Graph(merged, g.edges)
+                    if op.kind == "node"
+                    else Graph(g.vertices, merged)
+                )
             elif op[0] == "set":
                 _, kind, upd, props = op
                 if kind == "node":

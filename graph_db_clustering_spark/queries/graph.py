@@ -237,6 +237,30 @@ def cypher_degrees(spark, sf_dir):
 
 
 @declared(
+    "cypher_optional",
+    f"""SELECT c_custkey AS "c.custkey", o_orderkey AS "o.orderkey"
+FROM customer LEFT JOIN orders
+  ON o_custkey = c_custkey AND o_totalprice > 450000
+WHERE c_custkey < {_CAP}
+ORDER BY c_custkey, o_orderkey""",
+)
+def cypher_optional(spark, sf_dir):
+    """OPTIONAL MATCH: unmatched customers keep their row with NULL order
+    bindings — compiles to a left outer join with the pattern's WHERE
+    applied to the pattern side BEFORE the join (openCypher), which is
+    exactly SQL's ON-clause predicate placement."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_labeled_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c:Customer) OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+           WHERE o.totalprice > $lo
+           RETURN c.custkey, o.orderkey ORDER BY c.custkey, o.orderkey""",
+        lo=450000,
+    )
+
+
+@declared(
     "cypher_hop",
     f"""SELECT c_custkey AS "c.custkey", o_orderkey AS "o.orderkey",
        o_totalprice AS "o.totalprice"

@@ -230,3 +230,93 @@ def test_missing_param_raises(spark):
     s = CypherSession(_image_graph(spark))
     with pytest.raises(KeyError):
         s.run("MATCH (i:Image) WHERE ID(i)=$nope RETURN i")
+
+
+def _linked_graph(spark):
+    """Images 0-2, centroid 3; only image 0 has a CLOSEST_TO edge."""
+    v = spark.createDataFrame(
+        [
+            (0, "Image", "img0", 1.0),
+            (1, "Image", "img1", 2.0),
+            (2, "Image", "img2", 3.0),
+            (3, "Centroid", "cent", 0.0),
+        ],
+        "id long, label string, name string, mean double",
+    )
+    e = spark.createDataFrame(
+        [(0, 3, "CLOSEST_TO", 1)], "src long, dst long, relationship string, eid long"
+    )
+    return Graph(v, e)
+
+
+def test_optional_match_unmatched_rows_are_null(spark):
+    s = CypherSession(_linked_graph(spark))
+    out = s.run(
+        """MATCH (i:Image) OPTIONAL MATCH (i)-[r:CLOSEST_TO]->(c:Centroid)
+           RETURN i.name, c.name ORDER BY i.name"""
+    ).collect()
+    assert [(r["i.name"], r["c.name"]) for r in out] == [
+        ("img0", "cent"),
+        ("img1", None),
+        ("img2", None),
+    ]
+
+
+def test_optional_match_where_applies_to_pattern_not_rows(spark):
+    # WHERE inside OPTIONAL MATCH must null out non-qualifying matches,
+    # never drop the left row (openCypher semantics)
+    s = CypherSession(_linked_graph(spark))
+    out = s.run(
+        """MATCH (i:Image) OPTIONAL MATCH (i)-[r:CLOSEST_TO]->(c:Centroid)
+           WHERE c.name = $never
+           RETURN i.name, c.name ORDER BY i.name""",
+        never="no_such",
+    ).collect()
+    assert [(r["i.name"], r["c.name"]) for r in out] == [
+        ("img0", None),
+        ("img1", None),
+        ("img2", None),
+    ]
+
+
+def test_optional_match_as_first_clause_yields_null_row(spark):
+    s = CypherSession(_linked_graph(spark))
+    out = s.run("OPTIONAL MATCH (x:Nope) RETURN x").collect()
+    assert len(out) == 1 and out[0]["x"] is None
+
+
+def test_merge_node_creates_once(spark):
+    s = CypherSession(_linked_graph(spark))
+    n0 = s.graph.vertices.count()
+    s.run("MERGE (t:Tag {name: $n})", n="fresh")
+    assert s.graph.vertices.count() == n0 + 1
+    s.run("MERGE (t:Tag {name: $n})", n="fresh")  # second merge: match, no create
+    assert s.graph.vertices.count() == n0 + 1
+    row = s.graph.vertices.filter(F.col("label") == "Tag").collect()
+    assert len(row) == 1 and row[0]["name"] == "fresh"
+    # distinct id was assigned
+    assert row[0]["id"] not in {0, 1, 2, 3}
+
+
+def test_merge_edge_upsert_reference_shape(spark):
+    """Reference shape (image_classification.py:438-442) as an idempotent
+    upsert: MERGE instead of CREATE, SET applying to matched AND created."""
+    s = CypherSession(_linked_graph(spark))
+    q = """MATCH (i:Image) WHERE ID(i)=$iid MATCH (c:Centroid) WHERE ID(c)=$cid
+           MERGE (i)-[r:CLOSEST_TO]->(c) SET r.cosine_similarity = $sim"""
+    # img0 -> cent exists (eid 1): merge must UPDATE it, not duplicate
+    s.run(q, iid=0, cid=3, sim=0.9)
+    e = s.graph.edges.collect()
+    assert len(e) == 1
+    assert e[0]["cosine_similarity"] == 0.9 and e[0]["eid"] == 1
+    # img1 -> cent absent: merge creates with the SET prop in place
+    s.run(q, iid=1, cid=3, sim=0.5)
+    e = {(r["src"], r["dst"]): r for r in s.graph.edges.collect()}
+    assert set(e) == {(0, 3), (1, 3)}
+    assert e[(1, 3)]["cosine_similarity"] == 0.5
+    assert e[(1, 3)]["eid"] != e[(0, 3)]["eid"]
+    # re-running the absent case is now a no-op update
+    s.run(q, iid=1, cid=3, sim=0.7)
+    e2 = {(r["src"], r["dst"]): r["cosine_similarity"] for r in s.graph.edges.collect()}
+    assert e2 == {(0, 3): 0.9, (1, 3): 0.7}
+    assert s.graph.edges.count() == 2
