@@ -1,0 +1,321 @@
+"""Pure-Python/NumPy baseline JPEG decoder (ITU-T T.81 sequential DCT).
+
+The reference's real input data is 20 baseline JFIF images decoded with
+cv2 (kmeans_clustering/image_classification.py:77-97, data/*.jpeg); cv2
+and PIL are absent from this environment, so this module closes the codec
+gap for the one profile those images (and the overwhelming majority of
+JPEGs) use: 8-bit baseline sequential DCT, Huffman-coded, 1 or 3
+components, any integer sampling factors (4:4:4 / 4:2:2 / 4:2:0), with
+optional restart intervals. Progressive (SOF2), arithmetic coding, 12-bit
+precision, and hierarchical modes raise NotImplementedError — a clearly
+scoped gate, not silent wrong output.
+
+Everything numeric is NumPy: the entropy scan is the only per-symbol
+Python loop (a few thousand Huffman symbols for these images); block
+dequantization, the 2-D IDCT (one einsum over all blocks of a component),
+chroma upsampling, and the YCbCr->RGB matrix are vectorized. Used from
+operators/multimodal._decode_one inside Arrow-batched mapInPandas, so at
+scale each executor decodes its own partition of files — bytes never
+transit the driver (unlike the reference's parallelize(listdir) at
+image_classification.py:57-75).
+
+Correctness evidence (tests/test_jpeg.py): decoded output is pinned
+against hand-constructed bitstreams whose DCT coefficients are KNOWN —
+DC-only blocks must decode to exact flat values, AC cases must match a
+driver-side reference IDCT — plus structural checks over the reference's
+20 images (SOF dimensions, full-range luma variation).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# JPEG zig-zag order: index i of the scan -> position in the 8x8 block
+ZIGZAG = np.array(
+    [
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# DCT-III (inverse DCT) basis: pixel[x] = sum_u c(u)/2 * F[u] * cos((2x+1)u pi/16)
+_IDCT_1D = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+)
+
+
+class JpegError(ValueError):
+    pass
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman table: (code_length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed entropy-coded bytes."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).tolist()
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        b = self.bits[self.pos]
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        bits, pos = self.bits, self.pos
+        for i in range(n):
+            v = (v << 1) | bits[pos + i]
+        self.pos = pos + n
+        return v
+
+    def decode_huffman(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        bits, pos = self.bits, self.pos
+        for length in range(1, 17):
+            code = (code << 1) | bits[pos]
+            pos += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                self.pos = pos
+                return sym
+        raise JpegError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s received bits to a signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _unstuff(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from `start`: strip 0xFF00 stuffing, split on
+    restart markers (RSTn). Returns (segments, index of the terminating
+    marker's 0xFF)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = data[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next real marker
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients -> (n, 8, 8) float samples."""
+    return np.einsum("xu,nuv,yv->nxy", _IDCT_1D, coeffs, _IDCT_1D, optimize=True)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """JPEG bytes -> uint8 ndarray: HxW (grayscale) or HxWx3 (RGB, JFIF
+    YCbCr conversion). Baseline sequential DCT only."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            raise JpegError(f"expected marker at byte {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        seg = data[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT: one or more tables
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT: one or more tables
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = seg[p + 17 : p + 17 + nv]
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline sequential
+            prec = seg[0]
+            if prec != 8:
+                raise JpegError(f"unsupported sample precision {prec}")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            if nc == 1:
+                # single-component frames reconstruct ignoring sampling
+                # factors (T.81 A.2: non-interleaved MCU = one data unit)
+                comps[0]["h"] = comps[0]["v"] = 1
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG mode SOF{marker - 0xC0} (progressive/arithmetic/"
+                "hierarchical) not supported; baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for k in range(ns):
+                cs, tdta = seg[1 + 2 * k : 3 + 2 * k]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 15))
+            segs, _end = _unstuff(data, i + 2 + seglen)
+            return _decode_scan(frame, scan, qt, huff, segs, restart_interval)
+        # APPn / COM / anything else: skip
+        i += 2 + seglen
+    raise JpegError("no SOS marker found")
+
+
+def _decode_scan(frame, scan, qt, huff, segs, restart_interval) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcus = mcux * mcuy
+    # per-component coefficient store: (blocks_y, blocks_x, 8, 8) in MCU grid
+    coeff = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
+    for c in comps:
+        if c["tq"] not in qt:
+            raise JpegError(f"missing quantization table {c['tq']}")
+
+    mcu = 0
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    pred = {c["id"]: 0 for c in comps}
+    interval = restart_interval or n_mcus
+    while mcu < n_mcus:
+        if mcu and restart_interval and mcu % interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise JpegError("missing restart segment in entropy stream")
+            reader = _BitReader(segs[seg_idx])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcux)
+        for comp, td, ta in scan:
+            dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+            for v in range(comp["v"]):
+                for hh in range(comp["h"]):
+                    blk = np.zeros(64, dtype=np.int64)
+                    s = reader.decode_huffman(dc_tbl)
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    pred[comp["id"]] += diff
+                    blk[0] = pred[comp["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_huffman(ac_tbl)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise JpegError("AC run past end of block")
+                        blk[k] = _extend(reader.receive(sz), sz)
+                        k += 1
+                    coeff[comp["id"]][my * comp["v"] + v, mx * comp["h"] + hh] = blk
+        mcu += 1
+
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        by, bx, _ = coeff[c["id"]].shape
+        zz = (coeff[c["id"]].reshape(-1, 64) * q)[:, np.argsort(ZIGZAG)].reshape(
+            -1, 8, 8
+        )
+        px = _idct_blocks(zz) + 128.0
+        # (by*bx, 8, 8) -> (by*8, bx*8)
+        plane = (
+            px.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        # upsample to the luma grid (integer replication — the common
+        # box upsampling; JFIF leaves the filter to the decoder)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

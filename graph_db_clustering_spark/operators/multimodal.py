@@ -71,10 +71,17 @@ def _decode_one(content: bytes, height: int, width: int, channels: int, fmt: str
 
         return np.asarray(Image.open(io.BytesIO(content)))
     except ImportError:
-        raise NotImplementedError(
-            f"decoding format={fmt!r} needs cv2 or PIL (not installed); "
-            "use format='raw' (height*width*channels uint8 bytes)"
-        ) from None
+        pass
+    if content[:2] == b"\xff\xd8":
+        # baseline JPEG: pure-NumPy decoder (functions/jpeg) — covers the
+        # reference's actual data/*.jpeg (image_classification.py:77-97)
+        from graph_db_clustering_spark.functions import jpeg
+
+        return jpeg.decode(content)
+    raise NotImplementedError(
+        f"decoding format={fmt!r} needs cv2 or PIL (not installed); "
+        "use format='raw' (height*width*channels uint8 bytes) or baseline JPEG"
+    )
 
 
 def _grayscale(arr: np.ndarray) -> np.ndarray:
