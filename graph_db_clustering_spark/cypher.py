@@ -175,6 +175,7 @@ class EdgePat:
     rel: str | None
     props: dict
     direction: str  # 'out' | 'in' | 'any'
+    hops: tuple | None = None  # (min, max|None) for variable-length -[*1..3]-
 
 
 @dataclass
@@ -447,6 +448,18 @@ class _Parser:
         if self.peek() == ("op", ":"):
             self.next()
             rel = self.ident()
+        hops = None
+        if self.peek() == ("op", "*"):
+            self.next()
+            lo, hi = 1, None
+            if self.peek()[0] == "num":
+                lo = int(self.next()[1])
+                hi = lo  # *2 = exactly 2 (openCypher)
+            if self.peek() == ("op", "."):  # '..'
+                self.next()
+                self.expect("op", ".")
+                hi = int(self.next()[1]) if self.peek()[0] == "num" else None
+            hops = (lo, hi)
         if self.peek() == ("op", "{"):
             props = self.prop_map()
         tail = self.next()  # ']->' or ']-'
@@ -456,7 +469,7 @@ class _Parser:
             direction = "out" if tail[1] == "]->" else "any"
         elif tail[1] == "]->":
             raise SyntaxError("cypher: <-[...]-> is not a valid pattern")
-        return EdgePat(var, rel, props, direction)
+        return EdgePat(var, rel, props, direction, hops)
 
     def prop_map(self):
         self.expect("op", "{")
@@ -677,6 +690,59 @@ class CypherSession:
             e = e.filter(F.col(k) == self._expr(ex, None, params))
         return e.select(F.struct(*e.columns).alias(name))
 
+    _VARLEN_MAX_HOPS = 16
+
+    def _varlength_pairs(self, epat: EdgePat, params) -> DataFrame:
+        """(src, dst) endpoint pairs connected by a path of between
+        hops[0] and hops[1] edges of the pattern's type/direction.
+
+        Semantics: DISTINCT-pairs reachability (one row per connected
+        endpoint pair, like a recursive CTE with UNION DISTINCT) — NOT
+        Neo4j's one-row-per-path multiplicity, which is combinatorial on
+        dense graphs and is exactly what you don't want at scale. Self
+        pairs (a,a) are excluded: without per-path edge tracking the
+        closure can't tell a genuine cycle from an undirected
+        back-and-forth over one edge (which Neo4j's relationship
+        uniqueness rule forbids). Plan:
+        iterated hash-join frontier expansion with distinct + eager
+        localCheckpoint per hop (lineage stays flat); unbounded `*` is
+        capped at _VARLEN_MAX_HOPS hops and converges early when the
+        frontier empties."""
+        e = self.graph.edges
+        if epat.rel is not None:
+            e = e.filter(F.col("relationship") == epat.rel)
+        for k, ex in epat.props.items():
+            e = e.filter(F.col(k) == self._expr(ex, None, params))
+        step = e.select("src", "dst")
+        if epat.direction == "in":
+            step = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        elif epat.direction == "any":
+            step = step.unionAll(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        step = step.distinct().localCheckpoint(eager=True)
+        lo, hi = epat.hops
+        hi = min(hi, self._VARLEN_MAX_HOPS) if hi is not None else self._VARLEN_MAX_HOPS
+        if lo < 1 or lo > hi:
+            raise ValueError(f"cypher: bad variable-length range *{lo}..{hi}")
+        frontier = step
+        acc = frontier if lo <= 1 else None
+        for k in range(2, hi + 1):
+            frontier = (
+                frontier.alias("f")
+                .join(step.alias("s"), F.col("f.dst") == F.col("s.src"))
+                .select(F.col("f.src").alias("src"), F.col("s.dst").alias("dst"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                break
+            if k >= lo:
+                acc = frontier if acc is None else acc.unionAll(frontier)
+        if acc is None:  # lo hops exceed every path length
+            return step.limit(0)
+        return acc.filter(F.col("src") != F.col("dst")).distinct()
+
     def _match(self, ctx: _Ctx, c: MatchC, params) -> None:
         anon = [0]
 
@@ -705,38 +771,53 @@ class CypherSession:
             pdf = nf0
             prev_node, prev_bound = name0, nf0 is not None
             for epat, npat in zip(path.edges, path.nodes[1:]):
-                ename = epat.var or fresh("r")
-                ef = self._edge_frame(epat, ename, params)
                 nname = npat.var or fresh("n")
                 unconstrained = (
                     npat.var is None and npat.label is None and not npat.props
                 )
                 nf = None if unconstrained else self._node_frame(npat, nname, params)
 
-                eid_src = F.col(ename).getField("src")
-                eid_dst = F.col(ename).getField("dst")
-                if epat.direction == "out":
-                    lcol, rcol = eid_src, eid_dst
-                elif epat.direction == "in":
-                    lcol, rcol = eid_dst, eid_src
-                else:  # any: match either orientation by duplicating the edge
-                    fwd = ef
-                    rev = ef.select(
-                        F.struct(
-                            F.col(ename).getField("dst").alias("src"),
-                            F.col(ename).getField("src").alias("dst"),
-                            *[
-                                F.col(ename).getField(f).alias(f)
-                                for f in self.graph.edges.columns
-                                if f not in ("src", "dst")
-                            ],
-                        ).alias(ename)
+                if epat.hops is not None:
+                    if epat.var is not None:
+                        raise ValueError(
+                            "cypher: variable-length relationships cannot be "
+                            "bound to a variable (reachability pairs carry no "
+                            "single edge to bind)"
+                        )
+                    ename = fresh("r")
+                    ef = self._varlength_pairs(epat, params).select(
+                        F.struct(F.col("src"), F.col("dst")).alias(ename)
                     )
-                    ef = fwd.unionByName(rev) if prev_bound or nf is not None else fwd
-                    lcol, rcol = (
-                        F.col(ename).getField("src"),
-                        F.col(ename).getField("dst"),
-                    )
+                    lcol = F.col(ename).getField("src")
+                    rcol = F.col(ename).getField("dst")
+                else:
+                    ename = epat.var or fresh("r")
+                    ef = self._edge_frame(epat, ename, params)
+
+                    eid_src = F.col(ename).getField("src")
+                    eid_dst = F.col(ename).getField("dst")
+                    if epat.direction == "out":
+                        lcol, rcol = eid_src, eid_dst
+                    elif epat.direction == "in":
+                        lcol, rcol = eid_dst, eid_src
+                    else:  # any: match either orientation by duplicating the edge
+                        fwd = ef
+                        rev = ef.select(
+                            F.struct(
+                                F.col(ename).getField("dst").alias("src"),
+                                F.col(ename).getField("src").alias("dst"),
+                                *[
+                                    F.col(ename).getField(f).alias(f)
+                                    for f in self.graph.edges.columns
+                                    if f not in ("src", "dst")
+                                ],
+                            ).alias(ename)
+                        )
+                        ef = fwd.unionByName(rev) if prev_bound or nf is not None else fwd
+                        lcol, rcol = (
+                            F.col(ename).getField("src"),
+                            F.col(ename).getField("dst"),
+                        )
 
                 if pdf is None:
                     pdf = ef

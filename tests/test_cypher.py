@@ -320,3 +320,69 @@ def test_merge_edge_upsert_reference_shape(spark):
     e2 = {(r["src"], r["dst"]): r["cosine_similarity"] for r in s.graph.edges.collect()}
     assert e2 == {(0, 3): 0.9, (1, 3): 0.7}
     assert s.graph.edges.count() == 2
+
+
+def _chain_graph(spark):
+    """0 -NEXT-> 1 -NEXT-> 2 -NEXT-> 3, plus diamond 0->4->3 / 0->5->3."""
+    v = spark.createDataFrame(
+        [(i, "N", f"n{i}") for i in range(6)], "id long, label string, name string"
+    )
+    e = spark.createDataFrame(
+        [
+            (0, 1, "NEXT", 1),
+            (1, 2, "NEXT", 2),
+            (2, 3, "NEXT", 3),
+            (0, 4, "HOP", 4),
+            (4, 3, "HOP", 5),
+            (0, 5, "HOP", 6),
+            (5, 3, "HOP", 7),
+        ],
+        "src long, dst long, relationship string, eid long",
+    )
+    return Graph(v, e)
+
+
+def test_varlength_bounded_range(spark):
+    s = CypherSession(_chain_graph(spark))
+    out = s.run(
+        "MATCH (a)-[:NEXT*1..2]->(b) WHERE ID(a)=$a RETURN ID(b) ORDER BY ID(b)", a=0
+    ).collect()
+    assert [r["ID(b)"] for r in out] == [1, 2]
+
+
+def test_varlength_exact_and_unbounded(spark):
+    s = CypherSession(_chain_graph(spark))
+    exact2 = s.run(
+        "MATCH (a)-[:NEXT*2]->(b) WHERE ID(a)=$a RETURN ID(b)", a=0
+    ).collect()
+    assert [r["ID(b)"] for r in exact2] == [2]
+    unbounded = s.run(
+        "MATCH (a)-[:NEXT*]->(b) WHERE ID(a)=$a RETURN ID(b) ORDER BY ID(b)", a=0
+    ).collect()
+    assert [r["ID(b)"] for r in unbounded] == [1, 2, 3]
+
+
+def test_varlength_distinct_pairs_on_diamond(spark):
+    # two 2-hop HOP paths 0->3 collapse to ONE row (documented
+    # distinct-pairs reachability, not per-path multiplicity)
+    s = CypherSession(_chain_graph(spark))
+    out = s.run(
+        "MATCH (a)-[:HOP*2]->(b) WHERE ID(a)=$a RETURN ID(b)", a=0
+    ).collect()
+    assert [r["ID(b)"] for r in out] == [3]
+
+
+def test_varlength_undirected_and_far_node_filter(spark):
+    s = CypherSession(_chain_graph(spark))
+    out = s.run(
+        """MATCH (a:N)-[:NEXT*1..3]-(b:N) WHERE b.name = $nm
+           RETURN ID(a) ORDER BY ID(a)""",
+        nm="n3",
+    ).collect()
+    assert [r["ID(a)"] for r in out] == [0, 1, 2]
+
+
+def test_varlength_var_binding_rejected(spark):
+    s = CypherSession(_chain_graph(spark))
+    with pytest.raises(ValueError, match="variable-length"):
+        s.run("MATCH (a)-[r:NEXT*1..2]->(b) RETURN ID(a)")
