@@ -97,3 +97,53 @@ def write_orc(
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False, line_sep: str | None = None
+) -> DataFrame:
+    """Plain-text source -> DataFrame(value: string), one row per line
+    (or per file with whole_file — the raw-document ingest shape for the
+    text pipeline: pair with input_file_name() for ids). Splittable by
+    line, so a 100 TB text corpus parallelizes across tasks without any
+    driver-side listing."""
+    reader = spark.read
+    if line_sep:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path, wholetext=whole_file)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink: df must be a single string column."""
+    df.write.mode(mode).text(path)
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    try:
+        spark.read.format("avro").schema("x int").load("/nonexistent-avro-probe")
+        return True
+    except Exception as ex:  # classify: missing data source vs missing path
+        return "Failed to find data source" not in str(ex)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source — Spark ships the reader as the external spark-avro
+    module, not in the default classpath; this container does not deploy
+    it, so the call is availability-gated with a clear error instead of
+    Spark's generic ClassNotFound (same policy as the image codec gate)."""
+    if not _avro_available(spark):
+        raise NotImplementedError(
+            "avro data source not on the classpath (needs the spark-avro "
+            "package, e.g. --packages org.apache.spark:spark-avro_2.13:<ver>); "
+            "use parquet/orc in this environment"
+        )
+    return spark.read.format("avro").load(path)  # pragma: no cover
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    if not _avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "avro data source not on the classpath (needs the spark-avro "
+            "package); use parquet/orc in this environment"
+        )
+    df.write.mode(mode).format("avro").save(path)  # pragma: no cover

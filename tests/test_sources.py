@@ -1,0 +1,29 @@
+
+
+def test_text_source_roundtrip_and_whole_file(spark, tmp_path):
+    from graph_db_clustering_spark.sources.files import read_text, write_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "value string")
+    out = str(tmp_path / "txt")
+    write_text(df, out)
+    back = read_text(spark, out)
+    assert sorted(r.value for r in back.collect()) == ["alpha", "beta", "gamma"]
+    whole = read_text(spark, out, whole_file=True).select(
+        F.sort_array(F.split(F.trim("value"), "\n")).alias("lines")
+    )
+    # empty part files read as "" rows under wholetext; drop them
+    got = sorted(x for r in whole.collect() for x in r.lines if x)
+    assert got == ["alpha", "beta", "gamma"]
+
+
+def test_avro_gate_raises_clearly(spark, tmp_path):
+    import pytest as _pytest
+
+    from graph_db_clustering_spark.sources.files import read_avro, write_avro
+
+    df = spark.range(3)
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        write_avro(df, str(tmp_path / "a"))
+    with _pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "a"))
