@@ -12,7 +12,10 @@ continuous aggregate, foreachBatch appending finalized buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LEVELS = ("MINUTE", "HOUR", "DAY")
@@ -49,3 +52,42 @@ def rollup_time_series(
         .groupBy("level", "bucket", *group_cols)
         .agg(F.count("*").alias("cnt"), F.round(F.sum("__v"), 4).alias("sv"))
     )
+
+
+def rolling_pandas_ema(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 10,
+    alpha: float = 0.3,
+    out: str = "ema",
+) -> DataFrame:
+    """Rolling exponentially-weighted mean over the trailing
+    ``window_rows`` rows, as a pandas GROUPED_AGG UDAF evaluated OVER a
+    bounded window frame (SURVEY §2.11 windowed-pandas-UDF surface) —
+    the escape hatch for rolling statistics Catalyst has no built-in for
+    (EMA's weights depend on position inside the frame, so no
+    sum/avg/lag composition expresses it).
+
+    Scale shape: the window is partitioned by ``part_col`` (parallel
+    across series) and the frame is BOUNDED (rowsBetween -k..0), so each
+    Arrow batch ships at most k+1 values per row — state never grows
+    with partition length. A trailing unbounded frame would be the
+    one-series-one-task trap; this is the right form at 100 TB.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ema(v: pd.Series) -> float:
+        if v.empty:
+            return None
+        w = (1.0 - alpha) ** np.arange(len(v) - 1, -1, -1)
+        return float((v.to_numpy() * w).sum() / w.sum())
+
+    frame = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.withColumn(out, _ema(F.col(value_col)).over(frame))

@@ -355,3 +355,44 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     one = back.filter(F.col("event_type") == "click")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_rolling_pandas_ema_matches_driver_numpy(spark):
+    """Windowed pandas UDAF (GROUPED_AGG over a bounded rows frame):
+    cross-checked against a driver-side NumPy EMA on the same trailing
+    windows; alpha-degenerate case (alpha=0 -> plain mean) also pinned
+    against the built-in avg over the identical frame."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graph_db_clustering_spark.operators.timeseries import rolling_pandas_ema
+
+    rows = [(s, i, float((i * 7 + s * 13) % 23)) for s in range(3) for i in range(25)]
+    df = spark.createDataFrame(rows, "series int, t int, v double")
+    k, alpha = 5, 0.3
+    got = {
+        (r.series, r.t): r.ema
+        for r in rolling_pandas_ema(df, "series", "t", "v", window_rows=k, alpha=alpha).collect()
+    }
+    by_series = {}
+    for s, i, v in rows:
+        by_series.setdefault(s, []).append(v)
+    for (s, t), ema in got.items():
+        vals = np.array(by_series[s][max(0, t - k + 1) : t + 1])
+        w = (1 - alpha) ** np.arange(len(vals) - 1, -1, -1)
+        want = float((vals * w).sum() / w.sum())
+        assert ema == pytest.approx(want, abs=1e-12), (s, t)
+
+    # alpha=0: every weight 1 -> must equal the built-in avg over the frame
+    frame = Window.partitionBy("series").orderBy("t").rowsBetween(-(k - 1), 0)
+    builtin = {
+        (r.series, r.t): r.m
+        for r in df.withColumn("m", F.avg("v").over(frame)).collect()
+    }
+    zero = {
+        (r.series, r.t): r.ema
+        for r in rolling_pandas_ema(df, "series", "t", "v", window_rows=k, alpha=0.0).collect()
+    }
+    for key, m in builtin.items():
+        assert zero[key] == pytest.approx(m, abs=1e-12)
