@@ -243,3 +243,37 @@ def chunk_fingerprints(
     return df.lateralJoin(
         Chunker(F.col(text_col).outer())  # one UDTF call per document row
     ).select(F.col(id_col), "chunk_idx", "chunk_hash", "chunk_len")
+
+
+def c4_rule_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style hard-rule filter flags (Raffel et al. 2020 §2.2 cleanup
+    heuristics, document-level analogs): one boolean column per rule plus
+    the combined `kept` verdict. Pure whole-stage-codegen projection —
+    zero shuffle, zero Python — so at 100 TB this is scan-speed.
+
+    Rules (true = violation):
+      r_lorem     boilerplate placeholder text ("lorem ipsum")
+      r_brace     curly brace (code, not prose — C4 drops pages with '{')
+      r_js        "javascript" (cookie/enable-JS boilerplate)
+      r_short     fewer than 5 whitespace words
+      r_longword  any word over 50 chars (URLs/base64 junk)
+      r_endpunct  document does not end in terminal punctuation . ! ? "
+    kept = no rule fires."""
+    t = F.col(text_col)
+    low = F.lower(t)
+    toks = tokens(t)
+    word_lens = F.transform(toks, F.length)
+    rules = {
+        "r_lorem": low.contains("lorem ipsum"),
+        "r_brace": t.contains("{"),
+        "r_js": low.contains("javascript"),
+        "r_short": F.size(toks) < 5,
+        "r_longword": F.array_max(word_lens) > 50,
+        "r_endpunct": ~F.trim(t).rlike('[.!?"]$'),
+    }
+    cols = [F.coalesce(expr, F.lit(False)).alias(name) for name, expr in rules.items()]
+    kept = None
+    for name in rules:
+        v = ~F.col(name)
+        kept = v if kept is None else kept & v
+    return df.select(F.col(id_col), *cols).withColumn("kept", kept)

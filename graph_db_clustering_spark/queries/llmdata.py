@@ -85,6 +85,30 @@ def text_stats(spark, sf_dir):
     return text.text_stats(docs, "doc_id", "text").orderBy("doc_id")
 
 
+@declared(
+    "c4_rules",
+    f"""SELECT doc_id,
+  COALESCE(CONTAINS(LOWER(text), 'lorem ipsum'), FALSE) AS r_lorem,
+  COALESCE(CONTAINS(text, '{{'), FALSE) AS r_brace,
+  COALESCE(CONTAINS(LOWER(text), 'javascript'), FALSE) AS r_js,
+  COALESCE(LEN({_TOKS}) < 5, FALSE) AS r_short,
+  COALESCE(LIST_MAX(LIST_TRANSFORM({_TOKS}, s -> LENGTH(s))) > 50, FALSE) AS r_longword,
+  COALESCE(NOT regexp_matches(TRIM(text), '[.!?"]$'), FALSE) AS r_endpunct,
+  (NOT COALESCE(CONTAINS(LOWER(text), 'lorem ipsum'), FALSE)
+   AND NOT COALESCE(CONTAINS(text, '{{'), FALSE)
+   AND NOT COALESCE(CONTAINS(LOWER(text), 'javascript'), FALSE)
+   AND NOT COALESCE(LEN({_TOKS}) < 5, FALSE)
+   AND NOT COALESCE(LIST_MAX(LIST_TRANSFORM({_TOKS}, s -> LENGTH(s))) > 50, FALSE)
+   AND NOT COALESCE(NOT regexp_matches(TRIM(text), '[.!?"]$'), FALSE)) AS kept
+FROM documents ORDER BY doc_id""",
+)
+def c4_rules(spark, sf_dir):
+    """C4-style hard-rule filter flags (operators/text.c4_rule_flags):
+    per-rule booleans + combined kept verdict, one codegen projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.c4_rule_flags(docs, "doc_id", "text").orderBy("doc_id")
+
+
 _LANG_SCORES_SQL = ",\n  ".join(
     f"LEN(LIST_INTERSECT(LIST_DISTINCT({_TOKS}), {_STOP_SQL[lang]})) AS s_{lang}"
     for lang in text.STOPWORD_PROFILES

@@ -180,3 +180,28 @@ def test_quality_and_lang(docs):
     lang = text.language_id(docs, "doc_id", "text")
     preds = {r.lang_pred for r in lang.collect()}
     assert preds <= set(text.STOPWORD_PROFILES) | {"und"}
+
+
+def test_c4_rule_flags_each_rule_fires(spark):
+    from graph_db_clustering_spark.operators import text as text_ops
+
+    rows = [
+        (1, "This is a perfectly normal sentence of prose."),
+        (2, "Lorem Ipsum dolor sit amet and more filler words here."),
+        (3, "function f() { return 1; } words words words here."),
+        (4, "Please enable JavaScript to view this site properly."),
+        (5, "too short."),
+        (6, "a word that is " + "x" * 60 + " long here today."),
+        (7, "no terminal punctuation at the end of this document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text_ops.c4_rule_flags(df, "doc_id", "text").collect()}
+    assert got[1].kept
+    assert got[2].r_lorem and not got[2].kept
+    assert got[3].r_brace and not got[3].kept
+    assert got[4].r_js and not got[4].kept
+    assert got[5].r_short and not got[5].kept
+    assert got[6].r_longword and not got[6].kept
+    assert got[7].r_endpunct and not got[7].kept
+    for d in (2, 3, 4, 6, 7):
+        assert not got[d].r_short or d == 5
