@@ -576,3 +576,112 @@ def synthetic_images_from_documents(
             ).alias("meta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV/PCM decodes in pure NumPy — no codec needed)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_NAMES = (
+    "sample_rate",
+    "n_samples",
+    "duration_s",
+    "rms",
+    "peak",
+    "zcr",
+    "spectral_centroid_hz",
+)
+
+
+def _decode_wav(content: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE (PCM 8/16/32-bit int or 32/64-bit float) -> (sample_rate,
+    mono float64 samples in [-1, 1]). Pure struct + NumPy — WAV is the one
+    mainstream audio container with no entropy coding, so like baseline
+    JPEG (functions/jpeg) it needs no native codec. Compressed formats
+    (MP3/AAC/OGG) raise NotImplementedError (spec-sanctioned gate)."""
+    import struct as _struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "audio decode: only WAV/PCM is supported codec-free; "
+            "MP3/AAC/OGG need an audio library (not installed)"
+        )
+    pos, n = 12, len(content)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = content[pos : pos + 4]
+        (clen,) = _struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = _struct.unpack("<HHI", body[:8])
+            bits = _struct.unpack("<H", body[14:16])[0]
+            fmt = (audio_fmt, channels, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    audio_fmt, channels, rate, bits = fmt
+    if audio_fmt == 1:  # integer PCM
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        elif bits == 8:  # unsigned
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            raise ValueError(f"WAV: unsupported PCM bit depth {bits}")
+    elif audio_fmt == 3:  # IEEE float
+        x = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV: compressed format tag {audio_fmt} unsupported")
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return rate, x
+
+
+def _audio_feature_row(rate: int, x: np.ndarray) -> list[float]:
+    n = len(x)
+    if n == 0:
+        return [float(rate), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.abs(x).max())
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    power = spec * spec
+    tot = power.sum()
+    centroid = float((freqs * power).sum() / tot) if tot > 0 else 0.0
+    return [float(rate), float(n), n / rate, rms, peak, zcr, centroid]
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "audio_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode WAV audio and extract a 7-stat signal vector per clip:
+    (id, sample_rate, n_samples, duration_s, rms, peak, zcr,
+    spectral_centroid_hz) — duration/energy for data curation, ZCR +
+    spectral centroid as the cheap content signals (speech/music/silence
+    separation). One Arrow-batched mapInPandas pass, same scale shape as
+    image_features: bytes stay on executors, metadata-only queries never
+    touch `content`."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            *[T.StructField(f, T.DoubleType()) for f in AUDIO_FEATURE_NAMES],
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                rate, x = _decode_wav(bytes(content))
+                rows.append((int(rid), *_audio_feature_row(rate, x)))
+            yield pd.DataFrame(rows, columns=["id", *AUDIO_FEATURE_NAMES])
+
+    narrow = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    return narrow.mapInPandas(extract, out_schema)
