@@ -582,6 +582,79 @@ def synthetic_images_from_documents(
 # Audio (WAV/PCM decodes in pure NumPy — no codec needed)
 # ---------------------------------------------------------------------------
 
+
+def _encode_wav(rate: int, x: np.ndarray, bits: int = 16) -> bytes:
+    """Mono float samples in [-1, 1] -> RIFF/WAVE bytes (PCM 8/16/32-bit
+    int, or IEEE float for bits=-32/-64). Inverse of `_decode_wav`; used
+    by the deterministic audio fixture and the round-trip tests."""
+    import struct as _struct
+
+    if bits == 16:
+        data = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2").tobytes()
+        fmt_tag, bps = 1, 16
+    elif bits == 32:
+        data = (
+            np.clip(np.round(x * 2147483648.0), -2147483648, 2147483647)
+            .astype("<i4")
+            .tobytes()
+        )
+        fmt_tag, bps = 1, 32
+    elif bits == 8:
+        data = np.clip(np.round(x * 128.0 + 128.0), 0, 255).astype(np.uint8).tobytes()
+        fmt_tag, bps = 1, 8
+    elif bits == -32:
+        data = x.astype("<f4").tobytes()
+        fmt_tag, bps = 3, 32
+    elif bits == -64:
+        data = x.astype("<f8").tobytes()
+        fmt_tag, bps = 3, 64
+    else:
+        raise ValueError(f"unsupported bits {bits}")
+    block = bps // 8
+    fmt_body = _struct.pack("<HHIIHH", fmt_tag, 1, rate, rate * block, block, bps)
+    chunks = b"fmt " + _struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + _struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"  # word-align the final chunk
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def synthetic_audio_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    rate: int = 8000,
+    n_samples: int = 1024,
+) -> DataFrame:
+    """Deterministic WAV fixture: one 16-bit PCM mono clip per document,
+    a pure sine whose frequency/amplitude derive from the id (freq =
+    250 + 125*(id mod 8) Hz, amp = 0.25 + 0.05*(id mod 10)). The audio
+    analog of `synthetic_images_from_documents`: real container bytes the
+    decode path must actually parse, stable across runs/partitionings, and
+    closed-form ground truth (sine RMS = amp/sqrt(2), centroid = freq).
+    Encoded executor-side in one mapInPandas pass — bytes never transit
+    the driver."""
+    out_schema = T.StructType(
+        [
+            T.StructField("audio_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(n_samples, dtype=np.float64) / rate
+        for pdf in batches:
+            rows = []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                freq = 250.0 + 125.0 * (rid % 8)
+                amp = 0.25 + 0.05 * (rid % 10)
+                wav = _encode_wav(rate, amp * np.sin(2 * np.pi * freq * t), bits=16)
+                rows.append((rid, wav, rate))
+            yield pd.DataFrame(rows, columns=["audio_id", "content", "sample_rate"])
+
+    return docs.select(F.col(id_col).alias("id")).mapInPandas(gen, out_schema)
+
 AUDIO_FEATURE_NAMES = (
     "sample_rate",
     "n_samples",

@@ -78,6 +78,25 @@ def image_contours(spark, sf_dir):
     )
 
 
+@declared("audio_features")
+def audio_features(spark, sf_dir):
+    """7-stat audio signal vectors (duration/RMS/peak/ZCR/spectral
+    centroid) over the deterministic sine-WAV fixture — WAV decode +
+    feature extraction in one Arrow-batched mapInPandas pass, the audio
+    analog of `image_features`. Rows-only check; `_decode_wav` and
+    `_audio_feature_row` are pinned against hand-built WAVs and NumPy
+    closed forms in tests/test_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    clips = multimodal.synthetic_audio_from_documents(docs, "doc_id")
+    feats = multimodal.audio_features(clips, id_col="audio_id")
+    # no ORDER BY: rows-only check (global sort re-runs the pandas UDF
+    # for range-boundary sampling)
+    return feats.select(
+        "id",
+        *[F.round(F.col(n), 6).alias(n) for n in multimodal.AUDIO_FEATURE_NAMES],
+    )
+
+
 @declared("image_histograms")
 def image_histograms(spark, sf_dir):
     """Normalized 32-bin intensity histograms over the same fixture

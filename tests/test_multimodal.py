@@ -282,3 +282,124 @@ def test_haralick_width_one_rejected():
 
     with _pytest.raises(ValueError, match="width >= 2"):
         M._glcm_features(np.zeros((4, 1), dtype=np.uint8), 32)
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV decode + 7-stat features (VERDICT r3 item 1 — verify the code)
+# ---------------------------------------------------------------------------
+
+
+def _sine(rate=8000, freq=500.0, amp=0.5, n=2048):
+    t = np.arange(n, dtype=np.float64) / rate
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+@pytest.mark.parametrize("bits,tol", [(16, 1e-4), (32, 1e-8), (8, 1e-2), (-32, 1e-7), (-64, 0.0)])
+def test_wav_roundtrip_all_depths(bits, tol):
+    """encode->decode is identity (to quantization) for 8/16/32-bit PCM
+    and 32/64-bit IEEE float."""
+    x = _sine()
+    rate, y = M._decode_wav(M._encode_wav(8000, x, bits=bits))
+    assert rate == 8000 and len(y) == len(x)
+    assert np.abs(y - x).max() <= tol + 1.0 / 32768.0 * (0 if bits != 16 else 1)
+
+
+def test_wav_stereo_downmixes_to_mean():
+    """Stereo frames are interleaved L,R; decode averages channels."""
+    import struct
+
+    left = _sine(freq=300.0, n=512)
+    right = _sine(freq=700.0, n=512)
+    inter = np.empty(1024, dtype=np.float64)
+    inter[0::2], inter[1::2] = left, right
+    mono_bytes = M._encode_wav(8000, inter, bits=16)
+    # patch channels=2 in the fmt chunk (offset 12+8+2) and byte-rate/block-align
+    b = bytearray(mono_bytes)
+    assert b[12:16] == b"fmt "
+    b[22:24] = struct.pack("<H", 2)
+    rate, y = M._decode_wav(bytes(b))
+    want = (left + right) / 2.0
+    assert np.abs(y - want).max() < 1e-3
+
+
+def test_wav_odd_chunk_padding_and_extra_chunks():
+    """A LIST chunk with odd length before data must be skipped via the
+    word-alignment rule."""
+    import struct
+
+    x = _sine(n=64)
+    base = M._encode_wav(8000, x, bits=16)
+    fmt_chunk = base[12 : 12 + 8 + 16]
+    data_chunk = base[12 + 8 + 16 :]
+    odd = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # 5 bytes + pad
+    body = b"WAVE" + fmt_chunk + odd + data_chunk
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, y = M._decode_wav(wav)
+    assert rate == 8000 and len(y) == 64
+    assert np.abs(y - x).max() < 1e-3
+
+
+def test_wav_error_gates():
+    with pytest.raises(NotImplementedError, match="only WAV/PCM"):
+        M._decode_wav(b"ID3\x04" + b"\x00" * 64)  # an MP3-ish header
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        M._decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    import struct
+
+    fmt_body = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # tag 85 = MP3
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_body) + 8)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt_body))
+        + fmt_body
+        + b"data"
+        + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="compressed format tag"):
+        M._decode_wav(wav)
+
+
+def test_audio_feature_row_sine_closed_form():
+    """Pure sine closed forms: RMS=amp/sqrt(2), peak~=amp, ZCR~=2f/rate,
+    spectral centroid~=f (the sine's energy is one FFT bin)."""
+    rate, freq, amp = 8000, 500.0, 0.5
+    x = _sine(rate, freq, amp, n=4096)  # n*freq/rate integral -> exact bin
+    row = M._audio_feature_row(rate, x)
+    names = dict(zip(M.AUDIO_FEATURE_NAMES, row))
+    assert names["sample_rate"] == rate and names["n_samples"] == 4096
+    assert names["duration_s"] == pytest.approx(4096 / rate)
+    assert names["rms"] == pytest.approx(amp / np.sqrt(2), rel=1e-3)
+    assert names["peak"] == pytest.approx(amp, rel=1e-3)
+    assert names["zcr"] == pytest.approx(2 * freq / rate, rel=0.02)
+    assert names["spectral_centroid_hz"] == pytest.approx(freq, rel=1e-3)
+
+
+def test_audio_feature_row_empty_and_silence():
+    assert M._audio_feature_row(8000, np.array([])) == [8000.0, 0, 0, 0, 0, 0, 0]
+    row = M._audio_feature_row(8000, np.zeros(100))
+    names = dict(zip(M.AUDIO_FEATURE_NAMES, row))
+    assert names["rms"] == 0.0 and names["spectral_centroid_hz"] == 0.0
+
+
+def test_audio_features_distributed_matches_driver_numpy(spark):
+    """The mapInPandas pipeline over the synthetic fixture == the same
+    decode+feature math run on the driver."""
+    docs = load_table(spark, SF, "documents").limit(20)
+    clips = M.synthetic_audio_from_documents(docs, "doc_id").cache()
+    got = {r.id: r for r in M.audio_features(clips, id_col="audio_id").collect()}
+    for r in clips.collect():
+        rate, x = M._decode_wav(bytes(r.content))
+        want = M._audio_feature_row(rate, x)
+        have = [getattr(got[r.audio_id], n) for n in M.AUDIO_FEATURE_NAMES]
+        assert have == pytest.approx(want)
+        # fixture ground truth: sine params derived from the id
+        rid = r.audio_id
+        assert got[rid].rms == pytest.approx(
+            (0.25 + 0.05 * (rid % 10)) / np.sqrt(2), rel=1e-2
+        )
+        assert got[rid].spectral_centroid_hz == pytest.approx(
+            250.0 + 125.0 * (rid % 8), rel=0.05
+        )
+    clips.unpersist()
