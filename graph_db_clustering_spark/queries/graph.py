@@ -261,6 +261,51 @@ def cypher_optional(spark, sf_dir):
 
 
 @declared(
+    "cypher_varlen",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+           FROM customer WHERE c_custkey < {_CAP})
+SELECT a.id AS "a.id", b.id AS "b.id"
+FROM v a JOIN v b ON a.nation = b.nation AND b.pos - a.pos BETWEEN 1 AND 2
+ORDER BY "a.id", "b.id" """,
+)
+def cypher_varlen(spark, sf_dir):
+    """Variable-length path -[:NEXT*1..2]-> through the Cypher front-end
+    (cypher._varlength_pairs: iterated hash-join frontier with distinct +
+    localCheckpoint per hop) over the per-nation custkey chain graph. On
+    a chain, endpoints reachable in 1..2 forward hops are exactly the
+    pairs whose positions differ by 1 or 2 — the closed-form DuckDB
+    oracle. VERDICT r3 item 2: gives the driver a scoreable row for the
+    varlen machinery (previously test-pinned only)."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    edges = (
+        c.withColumn("nxt", F.lead("id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("NEXT").alias("relationship"),
+        )
+    )
+    s = CypherSession(Graph(c.drop("nation"), edges))
+    return s.run(
+        """MATCH (a:Customer)-[:NEXT*1..2]->(b:Customer)
+           RETURN a.id, b.id ORDER BY a.id, b.id"""
+    )
+
+
+@declared(
     "cypher_hop",
     f"""SELECT c_custkey AS "c.custkey", o_orderkey AS "o.orderkey",
        o_totalprice AS "o.totalprice"
