@@ -722,9 +722,16 @@ class CypherSession:
             )
         step = step.distinct().localCheckpoint(eager=True)
         lo, hi = epat.hops
-        hi = min(hi, self._VARLEN_MAX_HOPS) if hi is not None else self._VARLEN_MAX_HOPS
-        if lo < 1 or lo > hi:
+        # validate the USER-SUPPLIED range before applying the hop cap, so
+        # *17..20 reports "exceeds max hops", not a garbled "*17..16"
+        if lo < 1 or (hi is not None and lo > hi):
             raise ValueError(f"cypher: bad variable-length range *{lo}..{hi}")
+        if lo > self._VARLEN_MAX_HOPS:
+            raise ValueError(
+                f"cypher: variable-length range *{lo}.. exceeds max hops "
+                f"({self._VARLEN_MAX_HOPS})"
+            )
+        hi = min(hi, self._VARLEN_MAX_HOPS) if hi is not None else self._VARLEN_MAX_HOPS
         frontier = step
         acc = frontier if lo <= 1 else None
         for k in range(2, hi + 1):
