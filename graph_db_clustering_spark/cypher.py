@@ -726,12 +726,17 @@ class CypherSession:
         # *17..20 reports "exceeds max hops", not a garbled "*17..16"
         if lo < 1 or (hi is not None and lo > hi):
             raise ValueError(f"cypher: bad variable-length range *{lo}..{hi}")
-        if lo > self._VARLEN_MAX_HOPS:
+        if lo > self._VARLEN_MAX_HOPS or (
+            hi is not None and hi > self._VARLEN_MAX_HOPS
+        ):
+            # an explicit out-of-range bound is an error either way; only
+            # the unbounded `*` form is silently capped below
             raise ValueError(
-                f"cypher: variable-length range *{lo}.. exceeds max hops "
+                f"cypher: variable-length range *{lo}.."
+                f"{'' if hi is None else hi} exceeds max hops "
                 f"({self._VARLEN_MAX_HOPS})"
             )
-        hi = min(hi, self._VARLEN_MAX_HOPS) if hi is not None else self._VARLEN_MAX_HOPS
+        hi = hi if hi is not None else self._VARLEN_MAX_HOPS
         frontier = step
         acc = frontier if lo <= 1 else None
         for k in range(2, hi + 1):

@@ -382,6 +382,16 @@ def test_varlength_undirected_and_far_node_filter(spark):
     assert [r["ID(a)"] for r in out] == [0, 1, 2]
 
 
+def test_varlength_explicit_out_of_range_rejected(spark):
+    # an explicit user bound beyond the hop cap errors (both lo and hi);
+    # only the unbounded `*` form is silently capped
+    s = CypherSession(_chain_graph(spark))
+    with pytest.raises(ValueError, match=r"\*1\.\.20 exceeds max hops"):
+        s.run("MATCH (a)-[:NEXT*1..20]->(b) RETURN ID(a)")
+    with pytest.raises(ValueError, match=r"\*17\.\.20 exceeds max hops"):
+        s.run("MATCH (a)-[:NEXT*17..20]->(b) RETURN ID(a)")
+
+
 def test_varlength_var_binding_rejected(spark):
     s = CypherSession(_chain_graph(spark))
     with pytest.raises(ValueError, match="variable-length"):

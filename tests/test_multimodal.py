@@ -313,10 +313,15 @@ def test_wav_stereo_downmixes_to_mean():
     inter = np.empty(1024, dtype=np.float64)
     inter[0::2], inter[1::2] = left, right
     mono_bytes = M._encode_wav(8000, inter, bits=16)
-    # patch channels=2 in the fmt chunk (offset 12+8+2) and byte-rate/block-align
+    # patch the fmt chunk to a true 16-bit stereo header: channels=2
+    # (bytes 22:24), byte-rate=rate*block_align (28:32), block-align=4
+    # (32:34) — _decode_wav only reads the channel count, but keep the
+    # fixture a valid stereo WAV regardless
     b = bytearray(mono_bytes)
     assert b[12:16] == b"fmt "
     b[22:24] = struct.pack("<H", 2)
+    b[28:32] = struct.pack("<I", 8000 * 4)
+    b[32:34] = struct.pack("<H", 4)
     rate, y = M._decode_wav(bytes(b))
     want = (left + right) / 2.0
     assert np.abs(y - want).max() < 1e-3
