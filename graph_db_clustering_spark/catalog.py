@@ -51,18 +51,27 @@ def ensure_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy; scan-time pruning).
 
-    `events` fix: the parquet file stores timestamp[ns], which Spark 4
-    rejects (PARQUET_TYPE_ILLEGAL). With the nanosAsLong legacy conf the
-    column arrives as bigint nanoseconds; we rebuild a microsecond
-    TimestampType column (verified lossless on this data — no row carries
-    sub-microsecond residue).
+    `events` fix: generated files have stored `ts` as timestamp[ns] (which
+    Spark 4 rejects without the nanosAsLong legacy conf, arriving as bigint
+    nanoseconds) and as tz-less timestamp[us] (which Spark 4 reads as
+    TIMESTAMP_NTZ unless inferTimestampNTZ is off). Both are normalized to
+    a plain TimestampType column under the UTC session zone — the type the
+    whole query corpus (and its DuckDB oracles) were built against. The
+    inferTimestampNTZ conf handles the µs case at scan time; the LongType
+    branch rebuilds the ns case losslessly (integer division: ns epoch
+    values overflow double's 53-bit mantissa, so `(ts / 1000)` via double
+    would be off by ±1µs on some rows). The NTZ cast is a defensive last
+    resort for sessions where the conf could not be applied.
     """
     ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division: ns epoch values overflow double's 53-bit mantissa,
-        # so (ts / 1000).cast("long") would be off by ±1µs on some rows
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # same wall clock under the UTC session zone set by ensure_confs
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -21,6 +21,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet stores timestamp[ns]; Spark 4 refuses it without this.
     # The catalog rebuilds a proper TimestampType column after load.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps without tz metadata (isAdjustedToUTC=false) read as
+    # TIMESTAMP_NTZ by default in Spark 4, which rejects numeric casts and
+    # diverges from the TimestampType semantics every query here was built
+    # (and oracle-matched) against. Read them as session-tz timestamps
+    # instead — with the UTC session zone below the wall-clock values are
+    # identical, and epoch arithmetic (cast to double, unix_*) works.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Deterministic wall-clock semantics for timestamp literals/extracts.
     "spark.sql.session.timeZone": "UTC",
     # Arrow-batched transfers for every JVM<->Python crossing (pandas UDFs,
