@@ -319,6 +319,28 @@ def ann_ivfpq(spark, sf_dir):
     ).orderBy("qid", "rk")
 
 
+@declared("ann_ivfpq_index")
+def ann_ivfpq_index(spark, sf_dir):
+    """Persisted IVF-PQ index round-trip: build + save (cell-partitioned
+    codes parquet + model row), load, then SERVE a query batch via
+    ivfpq_search — the LUT/ADC/re-rank pipeline only, with the probed-cell
+    filter pruning the partitioned codes scan. Deterministic (seeded
+    build), rows-only: the index geometry has no ANSI-SQL form. Identity
+    with the one-shot ivfpq_topk and the no-retraining guarantee are
+    pinned in tests/test_llmdata.py."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model, encoded = similarity.ivfpq_build(emb, cells=8, m=8)
+    path = tempfile.mkdtemp(prefix="gdc_ivfpq_") + "/index"
+    similarity.ivfpq_save(model, encoded, path)
+    loaded_model, loaded_codes = similarity.ivfpq_load(spark, path)
+    q = emb.filter(F.col("vec_id") <= 2)
+    return similarity.ivfpq_search(
+        q, loaded_model, loaded_codes, emb, k=5, nprobe=3, refine=8
+    ).orderBy("qid", "rk")
+
+
 @declared("ann_lsh")
 def ann_lsh(spark, sf_dir):
     """Random-projection LSH near-dup pairs over embeddings (MLlib);

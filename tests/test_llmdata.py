@@ -148,6 +148,68 @@ def test_ivfpq_rerank_scores_are_exact(emb):
             assert r.cosine == pytest.approx(exact[(r.qid, r.nid)], abs=1e-6)
 
 
+def test_ivfpq_saved_index_serves_batches_without_rebuild(emb, tmp_path, monkeypatch):
+    """The build/serve split (VERDICT r3 'What's missing' #1): build once,
+    ivfpq_save -> ivfpq_load, then serve two different query batches off
+    the loaded index. Each batch must equal the one-shot ivfpq_topk with
+    identical parameters (same seed -> identical model), and the serve
+    path must issue NO training or encoding work — enforced by poisoning
+    kmeans.fit / ivfpq_build after the save."""
+    from graph_db_clustering_spark.operators import kmeans, similarity as sim
+
+    params = dict(cells=8, nprobe=4, m=8, codes=64)
+    want = {}
+    for hi in (4, 9):
+        q = emb.filter(F.col("vec_id") <= hi)
+        want[hi] = sorted(
+            (r.qid, r.nid, r.rk, r.cosine)
+            for r in similarity.ivfpq_topk(q, emb, k=5, **params).collect()
+        )
+
+    model, encoded = similarity.ivfpq_build(
+        emb, cells=params["cells"], m=params["m"], codes=params["codes"]
+    )
+    path = str(tmp_path / "ivfpq_index")
+    similarity.ivfpq_save(model, encoded, path)
+    loaded_model, loaded_codes = similarity.ivfpq_load(emb.sparkSession, path)
+
+    def _no_training(*a, **kw):
+        raise AssertionError("serve path must not train or encode")
+
+    monkeypatch.setattr(kmeans, "fit", _no_training)
+    monkeypatch.setattr(sim, "ivfpq_build", _no_training)
+
+    for hi in (4, 9):
+        q = emb.filter(F.col("vec_id") <= hi)
+        got = sorted(
+            (r.qid, r.nid, r.rk, r.cosine)
+            for r in similarity.ivfpq_search(
+                q, loaded_model, loaded_codes, emb,
+                k=5, nprobe=params["nprobe"],
+            ).collect()
+        )
+        assert got == want[hi]
+
+
+def test_ivfpq_saved_index_scan_is_partition_pruned(emb, tmp_path):
+    """The saved codes are partitioned by coarse cell, and the search
+    filters on the probed-cell set BEFORE the Python crossing — so the
+    physical scan carries PartitionFilters on `cell` (only probed
+    directories are read; at scale that is nprobe/cells of the index)."""
+    model, encoded = similarity.ivfpq_build(emb, cells=8, m=8, codes=64)
+    path = str(tmp_path / "ivfpq_index")
+    similarity.ivfpq_save(model, encoded, path)
+    loaded_model, loaded_codes = similarity.ivfpq_load(emb.sparkSession, path)
+    q = emb.filter(F.col("vec_id") <= 2)
+    out = similarity.ivfpq_search(q, loaded_model, loaded_codes, emb, k=5, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in f for f in filters), plan
+    assert out.count() > 0
+
+
 def test_lsh_near_dups_precision(emb):
     """LSH pairs are a subset check: every returned pair really has
     cosine >= threshold (verify step exactness)."""
