@@ -175,35 +175,35 @@ def ivfpq_build(
     Returns (model, encoded) where encoded = (nid, cell, codes binary(m)).
 
     All geometry is on the unit sphere (cosine == monotone L2 there, same
-    convention as lsh_near_dups). Codebooks train driver-side on a
-    deterministic sample (kmeans.deterministic_sample — no rand()); the
-    corpus itself is encoded in ONE distributed Arrow-batched mapInPandas
-    pass and never collected. Requires integer ids and d % m == 0;
-    codes <= 256 so one code fits one byte."""
+    convention as lsh_near_dups). BOTH quantizers — the coarse cell
+    centroids and the per-subvector residual codebooks — train driver-side
+    on one deterministic sample (the FAISS convention: index parameters
+    train on ~10^4 rows regardless of corpus size). The corpus is then
+    touched exactly TWICE, ever: the sample scan (TakeOrderedAndProject,
+    k rows back) and ONE Arrow-batched mapInPandas pass that fuses cell
+    assignment (argmax cosine vs the broadcast centroids) with residual
+    encoding — no distributed Lloyd iterations, no assignment join, and
+    nothing data-sized ever reaches the driver. At 100 TB the build cost
+    is two scans; the previous form paid 5 full-corpus assignment+update
+    rounds just to place the coarse centroids. Requires integer ids and
+    d % m == 0; codes <= 256 so one code fits one byte."""
     import numpy as np
 
     if codes > 256:
         raise ValueError("codes must be <= 256 (one byte per subvector)")
-    fit = kmeans.fit(corpus, k=cells, id_col=id_col, vec_col=vec_col, max_iter=5)
-    cents_df = fit.centroids
-    crows = sorted(cents_df.collect(), key=lambda r: r.cid)
-    C = _unit_rows(np.array([list(r.centroid) for r in crows], dtype=np.float64))
-    d = C.shape[1]
+    src = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    sample = kmeans.deterministic_sample(src, "nid", train_sample).collect()
+    V = _unit_rows(np.array([list(r.nv) for r in sample], dtype=np.float64))
+    d = V.shape[1]
     if d % m:
         raise ValueError(f"vector dim {d} not divisible by m={m}")
     dsub = d // m
 
-    assigned = kmeans.assign(corpus, cents_df, id_col, vec_col).select(
-        F.col("id").alias("nid"), F.col("cid").alias("cell")
-    )
-    src = corpus.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
-    ).join(assigned, "nid")
-
-    sample = kmeans.deterministic_sample(src, "nid", train_sample).collect()
-    V = _unit_rows(np.array([list(r.nv) for r in sample], dtype=np.float64))
-    R = V - C[np.array([r.cell for r in sample])]
     rng = np.random.default_rng(seed)
+    C = _unit_rows(_np_lloyd(V, cells, iters=10, rng=rng))
+    # ties -> lower cid (argmax returns the first maximum), matching the
+    # probe-side lexsort tie-break in ivfpq_search
+    R = V - C[(V @ C.T).argmax(1)]
     CB = np.stack(
         [
             _np_lloyd(R[:, i * dsub : (i + 1) * dsub], codes, iters=10, rng=rng)
@@ -218,8 +218,9 @@ def ivfpq_build(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = _unit_rows(np.stack(pdf["nv"].to_numpy()).astype(np.float64))
-            Rb = V - C[pdf["cell"].to_numpy()]
+            Vb = _unit_rows(np.stack(pdf["nv"].to_numpy()).astype(np.float64))
+            cell = (Vb @ C.T).argmax(1)
+            Rb = Vb - C[cell]
             out = np.empty((len(pdf), m), dtype=np.uint8)
             for i in range(m):
                 sub = Rb[:, i * dsub : (i + 1) * dsub]
@@ -233,7 +234,7 @@ def ivfpq_build(
             yield pd.DataFrame(
                 {
                     "nid": pdf["nid"],
-                    "cell": pdf["cell"],
+                    "cell": cell.astype(np.int32),
                     "codes": [row.tobytes() for row in out],
                 }
             )
