@@ -34,7 +34,32 @@ HEADLINE = [
     "similarity_topk",  # brute-force cosine top-k baseline
     "knn_classify",  # top-k + majority vote
     "image_features",  # multimodal pandas-UDF pipeline (decode+stats)
+    "ann_ivfpq",  # IVF-PQ build + ADC scan + re-rank (compressed ANN path)
+    "pipeline_corpus",  # dedup -> quality -> lang-id -> token budget, one scan
+    "pack_chunks",  # two-pass distributed prefix-sum sequence packing
 ]
+
+
+def warm_python_workers(spark) -> None:
+    """Spawn and warm the Arrow/pandas-UDF worker pool before timing.
+
+    The Python-crossing queries (image_features, ann_ivfpq) have measured
+    1.1s<->3.1s swings on identical code (VERDICT r3 item 6): the first
+    pandas-UDF job pays daemon + worker fork, numpy import, and Arrow
+    codepath JIT, and with worker reuse on (pinned in session.py) that
+    cost should be paid ONCE per JVM — so pay it here, outside the timed
+    region, with one trivial mapInPandas over every core's worker."""
+
+    def _touch(batches):
+        import numpy as np  # noqa: F401 — force the heavy import in the worker
+
+        for pdf in batches:
+            yield pdf
+
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(n * 4, numPartitions=n).mapInPandas(_touch, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
 
 def materialize(df) -> None:
@@ -45,9 +70,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("gdc-spark-bench")
-    # warm-up: touch every table so JVM/codegen startup isn't billed to q1
+    # warm-up: touch every table so JVM/codegen startup isn't billed to q1,
+    # and pre-fork the Python worker pool so the first pandas-UDF query
+    # isn't billed for daemon spawn + numpy import (VERDICT r3 item 6)
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    warm_python_workers(spark)
 
     # min of 3 runs per query: the first run pays one-off codegen/JIT and
     # absorbs host noise; min is the standard noise-resistant estimator

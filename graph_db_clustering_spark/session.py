@@ -33,6 +33,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # Arrow-batched transfers for every JVM<->Python crossing (pandas UDFs,
     # toPandas) — the fast path; row-pickling is the slow path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Fixed Arrow batch size: pin the default explicitly so Python-crossing
+    # wall-clock doesn't silently shift with upstream default changes
+    # (image_features variance investigation, VERDICT r3 item 6).
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Runtime re-planning: post-shuffle coalesce, skew-join splitting,
     # broadcast conversion based on observed sizes.
     "spark.sql.adaptive.enabled": "true",
@@ -76,6 +80,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Reuse forked Python workers across tasks (default, pinned): a cold
+        # worker pays fork + numpy import per task otherwise — the main
+        # suspect in pandas-UDF query wall-clock variance (VERDICT r3 #6).
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
