@@ -55,6 +55,34 @@ Scale notes: MATCH patterns are equi-joins Catalyst plans (broadcast for
 small sides like the centroid label); property filters push into the
 vertex scan. Synthesizing edge ids for a graph without an `eid` column
 uses one global row_number — supply `eid` in production graphs.
+
+Supported openCypher surface (everything else raises with a clear
+message — gates are test-pinned in tests/test_cypher.py):
+
+    clause / form                              status
+    -----------------------------------------  --------------------------
+    MATCH (multi-path, WHERE, undirected/      yes
+      directed, property maps)
+    OPTIONAL MATCH (pattern-side WHERE)        yes (left outer join)
+    variable-length -[:T*lo..hi]-              yes (capped fixpoint,
+                                                 _VARLEN_MAX_HOPS)
+    WITH / RETURN (DISTINCT, aggregates with   yes
+      implicit grouping, ORDER BY, SKIP,
+      LIMIT, WITH ... WHERE)
+    UNWIND list AS x (incl. as first clause)   yes (explode)
+    CREATE / MERGE (+ SET on match/create)     yes (batch upserts)
+    SET / DELETE / DETACH DELETE               yes (COW snapshots)
+    list literals [..], map literals {..},     yes
+      x[i], $params
+    UNION / CALL / FOREACH / REMOVE            no — ValueError gate
+    shortestPath / allShortestPaths            no — use
+                                                 graph_algos.shortest_paths
+    pattern in expression position /           no — SyntaxError
+      list & pattern comprehensions
+    aggregates: count/collect/sum/avg/min/max  yes (+ collect(x)[0]
+                                                 after ORDER BY = argmin)
+    functions: ID, rand, abs, not, coalesce,   yes (others: ValueError
+      size, toLower/toUpper                      'unsupported function')
 """
 
 from __future__ import annotations
@@ -74,7 +102,8 @@ from graph_db_clustering_spark.operators.graph import Graph
 _KEYWORDS = {
     "match", "where", "with", "order", "by", "limit", "create", "set",
     "delete", "detach", "return", "as", "and", "or", "not", "asc", "desc",
-    "distinct", "true", "false", "null", "optional", "merge",
+    "distinct", "true", "false", "null", "optional", "merge", "unwind",
+    "skip", "union", "call", "foreach", "remove",
 }
 
 _TOKEN_RE = re.compile(
@@ -150,6 +179,11 @@ class MapLit:
 
 
 @dataclass
+class ListLit:
+    items: list
+
+
+@dataclass
 class Index:
     base: object
     idx: int
@@ -202,11 +236,19 @@ class WithC:
     order_by: list  # [(expr, asc: bool)]
     limit: int | None
     distinct: bool
+    skip: int | None = None
+    where: object | None = None  # WITH ... WHERE pred (filters the projection)
 
 
 @dataclass
 class ReturnC(WithC):
     pass
+
+
+@dataclass
+class UnwindC:
+    expr: object  # list-valued expression
+    alias: str
 
 
 @dataclass
@@ -323,6 +365,15 @@ class _Parser:
                 clauses.append(self.set_clause())
             elif kw in ("delete", "detach"):
                 clauses.append(self.delete_clause())
+            elif kw == "unwind":
+                clauses.append(self.unwind_clause())
+            elif kw in ("union", "call", "foreach", "remove"):
+                raise ValueError(
+                    f"cypher: {kw.upper()} is not supported (supported "
+                    "clauses: MATCH / OPTIONAL MATCH / MERGE / WITH / "
+                    "UNWIND / RETURN / CREATE / SET / DELETE / DETACH "
+                    "DELETE)"
+                )
             else:
                 raise SyntaxError(f"cypher: unexpected {t[1].upper()}")
         return clauses
@@ -367,10 +418,28 @@ class _Parser:
                     self.next()
                     continue
                 break
+        skip = None
+        if self.at_kw("skip"):
+            self.next()
+            skip = int(self.expect("num")[1])
         if self.at_kw("limit"):
             self.next()
             limit = int(self.expect("num")[1])
-        return cls(items, order_by, limit, distinct)
+        where = None
+        if cls is WithC and self.at_kw("where"):
+            # openCypher: WITH ... [ORDER BY] [SKIP] [LIMIT] [WHERE pred];
+            # the predicate filters the projected (and sliced) rows.
+            # RETURN takes no WHERE — it falls through to parse(), which
+            # rejects the stray keyword.
+            self.next()
+            where = self.expr()
+        return cls(items, order_by, limit, distinct, skip, where)
+
+    def unwind_clause(self):
+        self.expect("kw", "unwind")
+        e = self.expr()
+        self.expect("kw", "as")
+        return UnwindC(e, self.ident())
 
     def item(self):
         e = self.expr()
@@ -572,6 +641,15 @@ class _Parser:
         if t[0] == "op" and t[1] == "{":
             self.i -= 1
             return MapLit(self.prop_map())
+        if t[0] == "op" and t[1] == "[":
+            items = []
+            if self.peek() != ("op", "]"):
+                items.append(self.expr())
+                while self.peek() == ("op", ","):
+                    self.next()
+                    items.append(self.expr())
+            self.expect("op", "]")
+            return ListLit(items)
         if t[0] == "ident":
             if self.peek() == ("op", "("):
                 self.next()
@@ -664,6 +742,8 @@ class CypherSession:
                 self._set(ctx, c, params)
             elif isinstance(c, DeleteC):
                 self._delete(ctx, c)
+            elif isinstance(c, UnwindC):
+                self._unwind(ctx, c, params)
             i += 1
         self._apply(ctx)
         return result
@@ -939,9 +1019,27 @@ class CypherSession:
                 sort_cols.append(col if asc else col.desc())
             out = out.orderBy(*sort_cols)
             ctx.sort = list(c.order_by)
+        if c.skip:
+            out = out.offset(c.skip)
         if c.limit is not None:
             out = out.limit(c.limit)
+        if c.where is not None:
+            # WITH ... WHERE: filter the projected (and sliced) rows
+            out = out.filter(self._expr(c.where, out, params))
         return out
+
+    def _unwind(self, ctx: _Ctx, c: UnwindC, params) -> None:
+        """UNWIND list AS x — one output row per element, appended to the
+        current bindings (explode: empty/NULL lists produce no rows, the
+        openCypher contract). As the first clause it seeds the binding
+        table from a literal/parameter list."""
+        col = self._expr(c.expr, ctx.df, params)
+        if ctx.df is None:
+            ctx.df = self._one_row().select(F.explode(col).alias(c.alias))
+            return
+        if c.alias in ctx.df.columns:
+            raise ValueError(f"cypher: UNWIND rebinds variable {c.alias!r}")
+        ctx.df = ctx.df.select("*", F.explode(col).alias(c.alias))
 
     def _agg_expr(self, e, df, params, sort) -> Column:
         """Aggregate item, with collect(x)[0]-after-ORDER-BY compiled as
@@ -1245,6 +1343,8 @@ class CypherSession:
                     for k, v in e.items.items()
                 ]
             )
+        if isinstance(e, ListLit):
+            return F.array(*[self._expr(v, df, params) for v in e.items])
         if isinstance(e, Bin):
             if e.op in ("and", "or"):
                 l, r = self._expr(e.left, df, params), self._expr(e.right, df, params)

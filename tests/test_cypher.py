@@ -396,3 +396,78 @@ def test_varlength_var_binding_rejected(spark):
     s = CypherSession(_chain_graph(spark))
     with pytest.raises(ValueError, match="variable-length"):
         s.run("MATCH (a)-[r:NEXT*1..2]->(b) RETURN ID(a)")
+
+
+# -- UNWIND / SKIP / WITH...WHERE / gates (round-5 surface audit) -----------
+
+
+def test_unwind_literal_list_as_first_clause(spark):
+    s = CypherSession(_chain_graph(spark))
+    out = s.run("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x").collect()
+    assert [r["x"] for r in out] == [1, 2, 3]
+
+
+def test_unwind_param_list_then_match_join(spark):
+    # UNWIND seeding a lookup: one output row per (list element, match)
+    s = CypherSession(_chain_graph(spark))
+    out = s.run(
+        """UNWIND $ids AS want
+           MATCH (n) WHERE ID(n) = want
+           RETURN want, n.name AS name ORDER BY want""",
+        ids=[0, 2, 5],
+    ).collect()
+    assert [(r["want"], r["name"]) for r in out] == [
+        (0, "n0"), (2, "n2"), (5, "n5"),
+    ]
+
+
+def test_unwind_mid_pipeline_and_empty_list(spark):
+    s = CypherSession(_chain_graph(spark))
+    out = s.run(
+        """MATCH (n) WHERE ID(n) <= 1
+           UNWIND [10, 20] AS bump
+           RETURN ID(n) AS i, bump ORDER BY i, bump"""
+    ).collect()
+    assert [(r["i"], r["bump"]) for r in out] == [
+        (0, 10), (0, 20), (1, 10), (1, 20),
+    ]
+    # openCypher: empty list produces zero rows
+    assert s.run("UNWIND [] AS x RETURN x").count() == 0
+
+
+def test_unwind_rebind_rejected(spark):
+    s = CypherSession(_chain_graph(spark))
+    with pytest.raises(ValueError, match="rebinds"):
+        s.run("MATCH (n) UNWIND [1] AS n RETURN n")
+
+
+def test_with_skip_and_where(spark):
+    s = CypherSession(_chain_graph(spark))
+    # SKIP after ORDER BY slices; WHERE filters the projected rows
+    out = s.run(
+        """MATCH (n)
+           WITH ID(n) AS i ORDER BY i SKIP 2 LIMIT 3
+           RETURN i ORDER BY i"""
+    ).collect()
+    assert [r["i"] for r in out] == [2, 3, 4]
+    out = s.run(
+        """MATCH (n)
+           WITH ID(n) AS i WHERE i >= 4
+           RETURN i ORDER BY i"""
+    ).collect()
+    assert [r["i"] for r in out] == [4, 5]
+    # RETURN ... SKIP also works (same clause machinery)
+    out = s.run("MATCH (n) RETURN ID(n) AS i ORDER BY i DESC SKIP 4").collect()
+    assert [r["i"] for r in out] == [1, 0]
+
+
+def test_unsupported_clauses_gate_with_clear_errors(spark):
+    s = CypherSession(_chain_graph(spark))
+    for q, kw in [
+        ("MATCH (n) RETURN n UNION MATCH (m) RETURN m", "UNION"),
+        ("CALL db.labels()", "CALL"),
+        ("FOREACH (x IN [1] SET n.p = x)", "FOREACH"),  # gate fires on the keyword
+        ("MATCH (n) REMOVE n.name", "REMOVE"),
+    ]:
+        with pytest.raises(ValueError, match=f"{kw} is not supported"):
+            s.run(q)
