@@ -306,6 +306,33 @@ def cypher_varlen(spark, sf_dir):
 
 
 @declared(
+    "cypher_unwind",
+    f"""SELECT CAST(c_nationkey AS BIGINT) AS nk,
+       CAST(COUNT(*) AS BIGINT) AS n_cust
+FROM customer
+WHERE c_custkey < {_CAP} AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+GROUP BY c_nationkey HAVING COUNT(*) >= 8 ORDER BY nk""",
+)
+def cypher_unwind(spark, sf_dir):
+    """UNWIND + implicit-grouping WITH + WITH...WHERE through the Cypher
+    front-end: a parameter list seeds the binding table (explode), each
+    element joins its matching customers, count(c) aggregates per element
+    (Cypher's implicit GROUP BY on the non-aggregate item), and the WITH
+    WHERE filters the aggregated rows — SQL's HAVING. Round-5 surface
+    audit: gives the driver a scoreable row for the UNWIND machinery."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_customer_graph(spark, sf_dir))
+    return s.run(
+        """UNWIND [0, 1, 2, 3, 4, 5, 6, 7, 8, 9] AS nk
+           MATCH (c) WHERE c.nation = nk
+           WITH nk, count(c) AS n_cust WHERE n_cust >= $lo
+           RETURN nk, n_cust ORDER BY nk""",
+        lo=8,
+    )
+
+
+@declared(
     "cypher_hop",
     f"""SELECT c_custkey AS "c.custkey", o_orderkey AS "o.orderkey",
        o_totalprice AS "o.totalprice"
