@@ -35,9 +35,49 @@ HEADLINE = [
     "knn_classify",  # top-k + majority vote
     "image_features",  # multimodal pandas-UDF pipeline (decode+stats)
     "ann_ivfpq",  # IVF-PQ build + ADC scan + re-rank (compressed ANN path)
+    "ann_ivfpq_serve",  # query latency vs a SAVED index: load + search only
     "pipeline_corpus",  # dedup -> quality -> lang-id -> token budget, one scan
     "pack_chunks",  # two-pass distributed prefix-sum sequence packing
 ]
+
+
+def ivfpq_serve_setup(spark, sf_dir: str) -> str:
+    """Build + persist the IVF-PQ index ONCE, outside the timed region.
+
+    ann_ivfpq times the one-shot build+search (dominated by driver
+    codebook training — an O(1)-per-corpus cost a real deployment pays
+    once); the number that matters at scale is query latency against the
+    saved index, which ann_ivfpq_serve times via the closure below
+    (VERDICT r5 'What's missing' #1)."""
+    import tempfile
+
+    from graph_db_clustering_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.gettempdir(), "gdc_bench_ivfpq", "index")
+    model, encoded = similarity.ivfpq_build(emb, cells=16, m=8)
+    similarity.ivfpq_save(model, encoded, path)
+    return path
+
+
+def ivfpq_serve_query(index_path: str):
+    """Timed serve path: ivfpq_load + ivfpq_search for a 64-query batch —
+    no training or encoding jobs (pinned by test_llmdata's no-retraining
+    poison test)."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from graph_db_clustering_spark.operators import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        model, codes = similarity.ivfpq_load(spark, index_path)
+        q = emb.filter(F.col("vec_id") < 64)
+        return similarity.ivfpq_search(
+            q, model, codes, emb, k=5, nprobe=4, refine=4
+        )
+
+    return run
 
 
 def warm_python_workers(spark) -> None:
@@ -85,13 +125,29 @@ def main() -> None:
     # before/after and the core count — a hot host is then attributable
     # from the artifact instead of argued about.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # hot-host guard (VERDICT r5 Next #7): BENCH_r05's uniformly-inflated
+    # numbers were taken at loadavg 2.4->6.1 and cost a round of manual
+    # adjudication. If the 1-min loadavg is already above threshold, wait
+    # once for the host to drain and annotate the artifact either way —
+    # a still-hot run is then attributable from the JSON itself.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    retried_due_to_load = False
+    if os.getloadavg()[0] > max_load:
+        retried_due_to_load = True
+        time.sleep(float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "60")))
+
+    serve_index = ivfpq_serve_setup(spark, sf_dir)
+    queries = dict(QUERIES)
+    queries["ann_ivfpq_serve"] = ivfpq_serve_query(serve_index)
+
     load_before = os.getloadavg()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            materialize(QUERIES[name](spark, sf_dir))
+            materialize(queries[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
@@ -108,6 +164,8 @@ def main() -> None:
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "cpus": os.cpu_count(),
+                "retried_due_to_load": retried_due_to_load,
+                "hot_host": load_before[0] > max_load,
             }
         )
     )

