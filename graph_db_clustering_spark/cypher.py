@@ -74,7 +74,9 @@ message — gates are test-pinned in tests/test_cypher.py):
     SET / DELETE / DETACH DELETE               yes (COW snapshots)
     list literals [..], map literals {..},     yes
       x[i], $params
-    UNION / CALL / FOREACH / REMOVE            no — ValueError gate
+    UNION / UNION ALL (RETURN parts, same      yes (unionByName,
+      columns, no mixing — the Neo4j rules)      + distinct for bare UNION)
+    CALL / FOREACH / REMOVE                    no — ValueError gate
     shortestPath / allShortestPaths            no — use
                                                  graph_algos.shortest_paths
     pattern in expression position /           no — SyntaxError
@@ -361,8 +363,23 @@ class _Parser:
     # -- clauses ------------------------------------------------------------
 
     def parse(self):
+        """Top level: one clause sequence, or several joined by
+        UNION [ALL]. Returns [(clauses, all_flag)] — all_flag is None on
+        the first segment, else whether its joining UNION carried ALL."""
+        segments = [(self.segment(), None)]
+        while self.at_kw("union"):
+            self.next()
+            all_flag = False
+            t = self.peek()
+            if t[0] in ("ident", "kw") and t[1].lower() == "all":
+                self.next()
+                all_flag = True
+            segments.append((self.segment(), all_flag))
+        return segments
+
+    def segment(self):
         clauses = []
-        while self.peek()[0] != "eof":
+        while self.peek()[0] != "eof" and not self.at_kw("union"):
             t = self.peek()
             if t[0] != "kw":
                 raise SyntaxError(f"cypher: expected clause keyword, got {t}")
@@ -386,12 +403,12 @@ class _Parser:
                 clauses.append(self.delete_clause())
             elif kw == "unwind":
                 clauses.append(self.unwind_clause())
-            elif kw in ("union", "call", "foreach", "remove"):
+            elif kw in ("call", "foreach", "remove"):
                 raise ValueError(
                     f"cypher: {kw.upper()} is not supported (supported "
                     "clauses: MATCH / OPTIONAL MATCH / MERGE / WITH / "
                     "UNWIND / RETURN / CREATE / SET / DELETE / DETACH "
-                    "DELETE)"
+                    "DELETE / UNION [ALL])"
                 )
             else:
                 raise SyntaxError(f"cypher: unexpected {t[1].upper()}")
@@ -741,7 +758,41 @@ class CypherSession:
     # -- public API ---------------------------------------------------------
 
     def run(self, query: str, **params) -> DataFrame | None:
-        clauses = parse(query)
+        segments = parse(query)
+        if len(segments) == 1:
+            return self._run_clauses(segments[0][0], params)
+        # UNION [ALL]: compile each segment through the same pipeline and
+        # combine. Neo4j rules enforced: parts are RETURN queries (no
+        # mutations), identical return column names, no mixing UNION with
+        # UNION ALL. Bare UNION = distinct rows, like SQL.
+        flags = {flag for _, flag in segments[1:]}
+        if len(flags) > 1:
+            raise ValueError("cypher: cannot mix UNION and UNION ALL")
+        union_all = flags.pop()
+        parts = []
+        for clauses, _ in segments:
+            for c in clauses:
+                if isinstance(c, (CreateC, MergeC, SetC, DeleteC)):
+                    raise ValueError(
+                        "cypher: mutating clauses are not allowed in UNION parts"
+                    )
+            df = self._run_clauses(clauses, params)
+            if df is None:
+                raise ValueError("cypher: every UNION part must RETURN")
+            parts.append(df)
+        cols0 = parts[0].columns
+        for df in parts[1:]:
+            if sorted(df.columns) != sorted(cols0):
+                raise ValueError(
+                    "cypher: all UNION parts must return the same columns "
+                    f"({cols0} vs {df.columns})"
+                )
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out if union_all else out.distinct()
+
+    def _run_clauses(self, clauses, params) -> DataFrame | None:
         ctx = _Ctx()
         result = None
         i = 0

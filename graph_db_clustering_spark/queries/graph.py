@@ -333,6 +333,33 @@ def cypher_unwind(spark, sf_dir):
 
 
 @declared(
+    "cypher_union",
+    f"""SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+WHERE c_custkey < {_CAP} AND c_nationkey < 3
+UNION
+SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+WHERE c_custkey < {_CAP} AND c_nationkey BETWEEN 2 AND 4
+ORDER BY id""",
+)
+def cypher_union(spark, sf_dir):
+    """UNION through the Cypher front-end (round-6: the most-hit formerly
+    gated clause): two MATCH...RETURN halves with overlapping rows
+    (nation 2 appears in both), combined with bare UNION — compiled as
+    unionByName + distinct, exactly SQL's UNION. The overlap makes the
+    dedup observable: a UNION ALL compile would double the nation-2
+    customers and hash-mismatch the oracle."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_customer_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c) WHERE c.nation < 3 RETURN c.id AS id, c.nation AS nation
+           UNION
+           MATCH (c) WHERE c.nation >= 2 AND c.nation <= 4
+           RETURN c.id AS id, c.nation AS nation"""
+    ).orderBy("id")
+
+
+@declared(
     "cypher_hop",
     f"""SELECT c_custkey AS "c.custkey", o_orderkey AS "o.orderkey",
        o_totalprice AS "o.totalprice"

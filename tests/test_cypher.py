@@ -464,7 +464,6 @@ def test_with_skip_and_where(spark):
 def test_unsupported_clauses_gate_with_clear_errors(spark):
     s = CypherSession(_chain_graph(spark))
     for q, kw in [
-        ("MATCH (n) RETURN n UNION MATCH (m) RETURN m", "UNION"),
         ("CALL db.labels()", "CALL"),
         ("FOREACH (x IN [1] SET n.p = x)", "FOREACH"),  # gate fires on the keyword
         ("MATCH (n) REMOVE n.name", "REMOVE"),
@@ -485,3 +484,41 @@ def test_skip_limit_operand_gate(spark):
     ]:
         with pytest.raises(ValueError, match="non-negative integer literal"):
             s.run(q)
+
+
+def test_union_distinct_and_all(spark):
+    s = CypherSession(_chain_graph(spark))
+    # overlapping halves: NEXT sources {0,1,2}, HOP sources {0,4,5}
+    q = """MATCH (a)-[:NEXT]->() RETURN a.name AS name
+           UNION MATCH (a)-[:HOP]->() RETURN a.name AS name"""
+    out = sorted(r["name"] for r in s.run(q).collect())
+    assert out == ["n0", "n1", "n2", "n4", "n5"]  # distinct: n0 once
+    all_out = sorted(r["name"] for r in s.run(q.replace("UNION", "UNION ALL")).collect())
+    # UNION ALL keeps duplicates: n0 sources NEXT once + HOP twice
+    assert all_out == ["n0", "n0", "n0", "n1", "n2", "n4", "n5"]
+
+
+def test_union_column_order_insensitive(spark):
+    # same column NAMES in different order — unionByName aligns them
+    s = CypherSession(_chain_graph(spark))
+    out = s.run(
+        """MATCH (n) WHERE n.id = 0 RETURN n.id AS i, n.name AS nm
+           UNION MATCH (n) WHERE n.id = 3 RETURN n.name AS nm, n.id AS i"""
+    ).collect()
+    got = sorted((r["i"], r["nm"]) for r in out)
+    assert got == [(0, "n0"), (3, "n3")]
+
+
+def test_union_gates(spark):
+    s = CypherSession(_chain_graph(spark))
+    with pytest.raises(ValueError, match="cannot mix UNION and UNION ALL"):
+        s.run(
+            """MATCH (n) RETURN n.id UNION MATCH (n) RETURN n.id
+               UNION ALL MATCH (n) RETURN n.id"""
+        )
+    with pytest.raises(ValueError, match="same columns"):
+        s.run("MATCH (n) RETURN n.id AS a UNION MATCH (n) RETURN n.id AS b")
+    with pytest.raises(ValueError, match="must RETURN"):
+        s.run("MATCH (n) RETURN n.id AS a UNION MATCH (n)")
+    with pytest.raises(ValueError, match="mutating"):
+        s.run("MATCH (n) RETURN n.id AS a UNION CREATE (:N {name: 'x'})")
