@@ -194,3 +194,129 @@ def test_ann_ivfpq_invariant_and_recalls_under_cell_skew(spark, skewed_vecs):
     approx = {(qid, nid) for qid, nid, _, _ in outs[0]}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithms at 10x with a power-law hub (VERDICT r5 Next #4)
+# ---------------------------------------------------------------------------
+
+from graph_db_clustering_spark.operators import graph_algos  # noqa: E402
+from graph_db_clustering_spark.operators.graph import Graph  # noqa: E402
+
+GN_V = 50_000  # ~10x the sf0.1-scale graphs the queries build
+HUB_SPOKES = 10_000  # one 10k-degree hub: the hot key in every message agg
+CHAIN_START, CHAIN_LEN, N_CHAINS = 20_000, 16, 100  # diameter stressors
+PAIR_START, N_PAIRS2 = 30_000, 5_000  # 5k two-cliques
+
+
+@pytest.fixture(scope="module")
+def hub_graph(spark):
+    """Power-law 10x graph: hub 0 -> 10k spokes (one hot aggregation key),
+    100 chains of 16 (multi-iteration label propagation), 5k pairs,
+    ~33k singletons. Component structure is known in closed form."""
+    v = spark.range(GN_V).select(F.col("id"))
+    hub = spark.range(1, HUB_SPOKES + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    chain = (
+        spark.range(CHAIN_START, CHAIN_START + N_CHAINS * CHAIN_LEN)
+        .filter((F.col("id") - CHAIN_START) % CHAIN_LEN != CHAIN_LEN - 1)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    pairs = (
+        spark.range(PAIR_START, PAIR_START + 2 * N_PAIRS2)
+        .filter((F.col("id") - PAIR_START) % 2 == 0)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    e = hub.unionAll(chain).unionAll(pairs).withColumn(
+        "relationship", F.lit("E")
+    )
+    return v, e
+
+
+def test_connected_components_invariant_at_10x_hub_scale(spark, hub_graph):
+    """Min-label CC on the hub graph: byte-identical labels under hostile
+    repartitionings (integer fixpoint — no FP order sensitivity), and the
+    exact planted structure: one 10001-component labeled 0, 100 chains of
+    16, 5k pairs, singletons for the rest. The hub makes one groupBy key
+    carry 10k messages every iteration — AQE's skew case."""
+    v, e = hub_graph
+    outs = []
+    for vparts, eparts in ((4, 96), (96, 4)):
+        g = Graph(v.repartition(vparts), e.repartition(eparts))
+        cc = graph_algos.connected_components(g)
+        outs.append(sorted((r.id, r.component) for r in cc.collect()))
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1]
+    sizes = {}
+    for _, comp in outs[0]:
+        sizes[comp] = sizes.get(comp, 0) + 1
+    by_size = {}
+    for comp, n in sizes.items():
+        by_size.setdefault(n, []).append(comp)
+    assert by_size[HUB_SPOKES + 1] == [0]
+    assert len(by_size[CHAIN_LEN]) == N_CHAINS
+    assert sorted(by_size[CHAIN_LEN]) == [
+        CHAIN_START + k * CHAIN_LEN for k in range(N_CHAINS)
+    ]  # canonical = min id of each chain
+    assert len(by_size[2]) == N_PAIRS2
+    n_clustered = (HUB_SPOKES + 1) + N_CHAINS * CHAIN_LEN + 2 * N_PAIRS2
+    assert len(by_size[1]) == GN_V - n_clustered
+
+
+def test_pagerank_invariant_at_10x_hub_scale(spark, hub_graph):
+    """PageRank on the hub graph: rank mass conserved (sum == 1 every
+    iteration), all 10k spokes byte-identical within a run (symmetry),
+    and partitioning changes perturb ranks only at FP-summation noise
+    (< 1e-9), never structurally."""
+    v, e = hub_graph
+    runs = []
+    for vparts, eparts in ((4, 96), (96, 4)):
+        g = Graph(v.repartition(vparts), e.repartition(eparts))
+        pr = graph_algos.pagerank(g, max_iter=8)
+        runs.append({r.id: r.rank for r in pr.collect()})
+        spark.catalog.clearCache()
+    assert abs(sum(runs[0].values()) - 1.0) < 1e-9
+    spoke_ranks = {runs[0][i] for i in range(1, HUB_SPOKES + 1)}
+    assert len(spoke_ranks) == 1  # exact symmetry within one run
+    worst = max(abs(runs[0][i] - runs[1][i]) for i in runs[0])
+    assert worst < 1e-9, worst
+    # spokes (fed by the hub) outrank the un-pointed-at hub
+    assert runs[0][1] > runs[0][0]
+
+
+def test_cypher_varlen_lattice_no_path_blowup(spark):
+    """Variable-length frontier on a 5-layer complete-bipartite lattice
+    (width 100): the number of PATHS from layer 0 to layer 4 is 100^3 =
+    1e6 per endpoint pair (~1e10 total) — a per-path engine dies here.
+    The distinct-pairs fixpoint must return exactly the reachable pairs
+    (100 sources x 400 reachable each) and be partition-invariant."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    W, L = 100, 5
+    v = spark.range(W * L).select("id").withColumn("label", F.lit("N"))
+    layers = spark.range(W).select(F.col("id").alias("j"))
+    lyr = spark.range(L - 1).select(F.col("id").alias("l"))
+    e = (
+        lyr.crossJoin(layers.select(F.col("j").alias("a")))
+        .crossJoin(layers.select(F.col("j").alias("b")))
+        .select(
+            (F.col("l") * W + F.col("a")).alias("src"),
+            ((F.col("l") + 1) * W + F.col("b")).alias("dst"),
+            F.lit("E").alias("relationship"),
+        )
+        .withColumn("eid", F.col("src") * 10_000 + F.col("dst"))
+    )
+    outs = []
+    for parts in (4, 96):
+        s = CypherSession(Graph(v.repartition(parts), e.repartition(parts)))
+        out = s.run(
+            """MATCH (a)-[:E*1..4]->(b) WHERE a.id < 100
+               RETURN a.id AS s, b.id AS t"""
+        )
+        outs.append(sorted((r.s, r.t) for r in out.collect()))
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == W * (L - 1) * W  # 100 sources x 400 reachable
+    # every target is in a strictly later layer
+    assert all(t >= W for _, t in outs[0])
