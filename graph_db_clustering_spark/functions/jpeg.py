@@ -1,14 +1,16 @@
-"""Pure-Python/NumPy baseline JPEG decoder (ITU-T T.81 sequential DCT).
+"""Pure-Python/NumPy JPEG decoder (ITU-T T.81): baseline sequential DCT
+and progressive (SOF2) Huffman modes.
 
 The reference's real input data is 20 baseline JFIF images decoded with
 cv2 (kmeans_clustering/image_classification.py:77-97, data/*.jpeg); cv2
 and PIL are absent from this environment, so this module closes the codec
-gap for the one profile those images (and the overwhelming majority of
-JPEGs) use: 8-bit baseline sequential DCT, Huffman-coded, 1 or 3
+gap for the profiles real-world JPEGs use: 8-bit sequential (SOF0/1) and
+progressive (SOF2, spectral selection + successive approximation, T.81
+G.1.2 — the majority profile on the modern web), Huffman-coded, 1 or 3
 components, any integer sampling factors (4:4:4 / 4:2:2 / 4:2:0), with
-optional restart intervals. Progressive (SOF2), arithmetic coding, 12-bit
-precision, and hierarchical modes raise NotImplementedError — a clearly
-scoped gate, not silent wrong output.
+optional restart intervals. Lossless (SOF3), arithmetic coding (SOF9+),
+12-bit precision, and hierarchical modes raise NotImplementedError — a
+clearly scoped gate, not silent wrong output.
 
 Everything numeric is NumPy: the entropy scan is the only per-symbol
 Python loop (a few thousand Huffman symbols for these images); block
@@ -154,12 +156,13 @@ def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
 
 def decode(data: bytes) -> np.ndarray:
     """JPEG bytes -> uint8 ndarray: HxW (grayscale) or HxWx3 (RGB, JFIF
-    YCbCr conversion). Baseline sequential DCT only."""
+    YCbCr conversion). Baseline sequential and progressive Huffman."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    coeff = None  # progressive: cross-scan coefficient store
     restart_interval = 0
     i = 2
     n = len(data)
@@ -195,7 +198,7 @@ def decode(data: bytes) -> np.ndarray:
                 vals = seg[p + 17 : p + 17 + nv]
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise JpegError(f"unsupported sample precision {prec}")
@@ -209,11 +212,12 @@ def decode(data: bytes) -> np.ndarray:
                 # single-component frames reconstruct ignoring sampling
                 # factors (T.81 A.2: non-interleaved MCU = one data unit)
                 comps[0]["h"] = comps[0]["v"] = 1
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG mode SOF{marker - 0xC0} (progressive/arithmetic/"
-                "hierarchical) not supported; baseline sequential only"
+                f"JPEG mode SOF{marker - 0xC0} (lossless/arithmetic/"
+                "hierarchical) not supported; baseline sequential and "
+                "progressive (Huffman) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -226,25 +230,52 @@ def decode(data: bytes) -> np.ndarray:
                 cs, tdta = seg[1 + 2 * k : 3 + 2 * k]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 15))
-            segs, _end = _unstuff(data, i + 2 + seglen)
-            return _decode_scan(frame, scan, qt, huff, segs, restart_interval)
+            segs, end = _unstuff(data, i + 2 + seglen)
+            if not frame["progressive"]:
+                return _decode_scan(frame, scan, qt, huff, segs, restart_interval)
+            # progressive: accumulate each scan's coefficient contribution
+            # (spectral selection Ss..Se, successive approximation Ah/Al)
+            # into one store; reconstruct once after the last scan
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if coeff is None:
+                coeff = _alloc_coeff(frame)
+            _decode_progressive_scan(
+                frame, scan, huff, segs, restart_interval, coeff, ss, se,
+                a >> 4, a & 15,
+            )
+            i = end
+            continue
         # APPn / COM / anything else: skip
         i += 2 + seglen
+    if frame is not None and frame["progressive"] and coeff is not None:
+        return _reconstruct(frame, coeff, qt)
     raise JpegError("no SOS marker found")
 
 
-def _decode_scan(frame, scan, qt, huff, segs, restart_interval) -> np.ndarray:
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _mcu_geometry(frame) -> tuple[int, int, int, int]:
+    comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcus = mcux * mcuy
-    # per-component coefficient store: (blocks_y, blocks_x, 8, 8) in MCU grid
-    coeff = {
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coeff(frame) -> dict[int, np.ndarray]:
+    """Per-component coefficient store: (blocks_y, blocks_x, 64) over the
+    MCU grid, scan (zig-zag) coefficient order."""
+    _, _, mcux, mcuy = _mcu_geometry(frame)
+    return {
         c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
-        for c in comps
+        for c in frame["comps"]
     }
+
+
+def _decode_scan(frame, scan, qt, huff, segs, restart_interval) -> np.ndarray:
+    comps = frame["comps"]
+    _, _, mcux, mcuy = _mcu_geometry(frame)
+    n_mcus = mcux * mcuy
+    coeff = _alloc_coeff(frame)
     for c in comps:
         if c["tq"] not in qt:
             raise JpegError(f"missing quantization table {c['tq']}")
@@ -287,7 +318,15 @@ def _decode_scan(frame, scan, qt, huff, segs, restart_interval) -> np.ndarray:
                         k += 1
                     coeff[comp["id"]][my * comp["v"] + v, mx * comp["h"] + hh] = blk
         mcu += 1
+    return _reconstruct(frame, coeff, qt)
 
+
+def _reconstruct(frame, coeff, qt) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax, _, _ = _mcu_geometry(frame)
+    for c in comps:
+        if c["tq"] not in qt:
+            raise JpegError(f"missing quantization table {c['tq']}")
     planes = []
     for c in comps:
         q = qt[c["tq"]]
@@ -319,3 +358,151 @@ def _decode_scan(frame, scan, qt, huff, segs, restart_interval) -> np.ndarray:
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) scan decoding — T.81 G.1.2 / G.2, Huffman coding.
+# Each scan refines the shared coefficient store: DC and AC bands arrive
+# in separate scans (spectral selection Ss..Se), each possibly split into
+# a most-significant-bits pass (Ah=0, values scaled by 2^Al) and 1-bit
+# refinement passes (Ah=Al+1).
+# ---------------------------------------------------------------------------
+
+
+def _scan_units(frame, scan):
+    """Block coordinates in scan order. A unit is one MCU (interleaved
+    multi-component scan) or one block of the component's own grid
+    (non-interleaved single-component scan, T.81 A.2)."""
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
+    if len(scan) > 1 or len(frame["comps"]) == 1:
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            unit = []
+            for comp, td, ta in scan:
+                for v in range(comp["v"]):
+                    for hh in range(comp["h"]):
+                        unit.append(
+                            (comp, td, ta, my * comp["v"] + v, mx * comp["h"] + hh)
+                        )
+            yield unit
+    else:
+        comp, td, ta = scan[0]
+        cw = -(-frame["w"] * comp["h"] // hmax)  # component sample dims
+        ch = -(-frame["h"] * comp["v"] // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        for b in range(bw * bh):
+            by, bx = divmod(b, bw)
+            yield [(comp, td, ta, by, bx)]
+
+
+def _ac_first(reader, ac_tbl, blk, ss, se, al, eobrun) -> int:
+    """AC most-significant-bits scan for one block (T.81 G.1.2.2): run/size
+    coding like baseline plus EOBn run-length codes covering whole blocks;
+    new coefficients arrive scaled by 2^al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huffman(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: 2^r .. 2^(r+1)-1 blocks end here
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise JpegError("AC run past end of spectral band")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader, ac_tbl, blk, ss, se, al, eobrun) -> int:
+    """AC refinement scan for one block (T.81 G.1.2.3): every already-
+    nonzero coefficient in the band consumes one correction bit; zero
+    coefficients become ±2^al when newly coded. The libjpeg-style
+    two-phase walk: Huffman-driven until EOB, then correction-only."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huffman(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            coef_val = 0
+            if s == 0:
+                if r < 15:
+                    # note: NOT minus one here — the current block is
+                    # completed by the correction phase below, which
+                    # decrements (libjpeg decode_mcu_AC_refine order)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("invalid coefficient size in AC refinement")
+                coef_val = p1 if reader.read_bit() else m1
+            # advance to the target zero-history position, emitting
+            # correction bits for every nonzero coefficient passed
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if coef_val and k <= se:
+                blk[k] = coef_val
+            k += 1
+    if eobrun > 0:  # EOB region: corrections only, through the band end
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    frame, scan, huff, segs, restart_interval, coeff, ss, se, ah, al
+) -> None:
+    units = list(_scan_units(frame, scan))
+    if ss == 0 and se != 0:
+        raise JpegError("progressive DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise JpegError("progressive AC scans are single-component (T.81 G.1)")
+    interval = restart_interval or len(units)
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    eobrun = 0
+    for u, unit in enumerate(units):
+        if u and restart_interval and u % interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise JpegError("missing restart segment in entropy stream")
+            reader = _BitReader(segs[seg_idx])
+            pred = {c["id"]: 0 for c, _, _ in scan}
+            eobrun = 0
+        for comp, td, ta, by, bx in unit:
+            blk = coeff[comp["id"]][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first pass: baseline DPCM, scaled by 2^al
+                    s = reader.decode_huffman(huff[(0, td)])
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    pred[comp["id"]] += diff
+                    blk[0] = pred[comp["id"]] << al
+                elif reader.read_bit():  # DC refinement: one bit per block
+                    blk[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(reader, huff[(1, ta)], blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(reader, huff[(1, ta)], blk, ss, se, al, eobrun)

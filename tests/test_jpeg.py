@@ -266,10 +266,205 @@ def test_byte_stuffing_roundtrip():
         prev = dc
 
 
-def test_progressive_raises_not_implemented():
-    bad = b"\xff\xd8" + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        decode(bad + b"\xff\xd9")
+def test_arithmetic_and_lossless_modes_raise_not_implemented():
+    # SOF2 (progressive Huffman) is now supported; the gate narrows to
+    # lossless (SOF3) / arithmetic (SOF9/10) / hierarchical modes
+    for sof in (0xC3, 0xC9, 0xCA):
+        bad = b"\xff\xd8" + _seg(
+            sof, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+        )
+        with pytest.raises(NotImplementedError, match=f"SOF{sof - 0xC0}"):
+            decode(bad + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): mini-encoder implementing T.81 G.1.2 scan splitting
+# ---------------------------------------------------------------------------
+
+
+def _emit_ac_first(w: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int):
+    """AC most-significant-bits scan for one block: values truncated
+    toward zero by 2^al, EOB0 terminates trailing zeros."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        sv = (abs(v) >> al) * (1 if v > 0 else -1)
+        if sv == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = AC_CODES[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = _category(sv)
+        code, ln = AC_CODES[(run << 4) | s]
+        w.write(code, ln)
+        _emit_coef(w, sv, s)
+        run = 0
+    if run:
+        code, ln = AC_CODES[0x00]
+        w.write(code, ln)
+
+
+def _emit_ac_refine(w: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int):
+    """AC refinement scan for one block (libjpeg encode_mcu_AC_refine
+    order): newly-nonzero coefficients via (run,1)+sign, correction bits
+    for already-nonzero coefficients buffered and flushed after each
+    emitted symbol, EOB0 flushes the tail."""
+    run = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = AC_CODES[0xF0]
+            w.write(code, ln)
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+            run -= 16
+        if a > 1:  # already nonzero in earlier scans: one correction bit
+            pending.append(a & 1)
+            continue
+        code, ln = AC_CODES[(run << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if v > 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, ln = AC_CODES[0x00]
+        w.write(code, ln)
+        for b in pending:
+            w.write(b, 1)
+
+
+def make_gray_progressive_jpeg(blocks: list[np.ndarray], w_blocks: int, q: int = 1) -> bytes:
+    """Grayscale SOF2 JPEG from known 8x8 coefficient blocks: four scans
+    (DC first Al=1, DC refine, AC 1..63 first Al=1, AC refine) — the
+    canonical successive-approximation + spectral-selection split."""
+    h_blocks = len(blocks) // w_blocks
+    h, w = h_blocks * 8, w_blocks * 8
+    zzs = [b.astype(np.int64).ravel()[ZIGZAG] for b in blocks]
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + bytes([q] * 64))
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, DC_BITS, DC_VALS) + _dht(1, 0, AC_BITS, AC_VALS)
+
+    bw = _BitWriter()  # scan 1: DC first, Al=1 (arithmetic shift, DPCM)
+    pred = 0
+    for zz in zzs:
+        v = int(zz[0]) >> 1
+        diff = v - pred
+        pred = v
+        s = _category(diff)
+        code, ln = DC_CODES[s]
+        bw.write(code, ln)
+        if s:
+            _emit_coef(bw, diff, s)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bw.tobytes()
+
+    bw = _BitWriter()  # scan 2: DC refinement, Ah=1 Al=0 (one bit/block)
+    for zz in zzs:
+        bw.write(int(zz[0]) & 1, 1)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bw.tobytes()
+
+    bw = _BitWriter()  # scan 3: AC first, Ss=1 Se=63 Al=1
+    for zz in zzs:
+        _emit_ac_first(bw, zz, 1, 63, 1)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + bw.tobytes()
+
+    bw = _BitWriter()  # scan 4: AC refinement, Ah=1 Al=0
+    for zz in zzs:
+        _emit_ac_refine(bw, zz, 1, 63, 0)
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + bw.tobytes()
+    return out + b"\xff\xd9"
+
+
+def test_progressive_equals_baseline_on_known_blocks():
+    """The four-scan progressive encoding of the SAME coefficients must
+    decode to exactly the baseline image — including odd DC values (DC
+    refinement bit), |v|==1 coefficients invisible until the refinement
+    scan, and negative values on both paths."""
+    blk0 = np.zeros((8, 8), dtype=np.int64)
+    blk0[0, 0], blk0[0, 1], blk0[3, 2] = 81, 60, -45
+    blk1 = np.zeros((8, 8), dtype=np.int64)
+    blk1[0, 0], blk1[1, 0], blk1[7, 7] = -99, 24, 1  # |v|=1: refine-only
+    blk2 = np.zeros((8, 8), dtype=np.int64)  # all-zero AC, even DC
+    blk2[0, 0] = 128
+    blocks = [blk0, blk1, blk2, np.zeros((8, 8), dtype=np.int64)]
+    base = decode(make_gray_jpeg(blocks, w_blocks=2, q=2))
+    prog = decode(make_gray_progressive_jpeg(blocks, w_blocks=2, q=2))
+    assert prog.shape == base.shape
+    assert (prog == base).all()
+
+
+def test_progressive_equals_baseline_on_random_blocks():
+    """Property pin: random coefficient blocks (seeded) — dense, sparse,
+    long zero runs (ZRL in both scans), values straddling the Al=1
+    visibility threshold — decode identically via both codings."""
+    rng = np.random.default_rng(7)
+    blocks = []
+    for i in range(6):
+        b = np.zeros(64, dtype=np.int64)
+        n_nonzero = rng.integers(0, 20)
+        pos = rng.choice(64, size=int(n_nonzero), replace=False)
+        b[pos] = rng.integers(-120, 121, size=int(n_nonzero))
+        b[0] = rng.integers(-300, 301)
+        blocks.append(b.reshape(8, 8))
+    base = decode(make_gray_jpeg(blocks, w_blocks=3, q=1))
+    prog = decode(make_gray_progressive_jpeg(blocks, w_blocks=3, q=1))
+    assert (prog == base).all()
+
+
+def test_progressive_eob_run_across_blocks():
+    """A hand-built AC scan using EOB1 (run covering 2 blocks) — the
+    cross-block EOB-run path the per-block encoder doesn't emit."""
+    blkA = np.zeros((8, 8), dtype=np.int64)
+    blkA[0, 0], blkA[0, 1] = 40, 18
+    blkB = np.zeros((8, 8), dtype=np.int64)
+    blkB[0, 0] = 60
+    blkC = np.zeros((8, 8), dtype=np.int64)
+    blkC[0, 0] = -80
+    blocks = [blkA, blkB, blkC]
+    zzs = [b.ravel()[ZIGZAG] for b in blocks]
+    # K.3's baseline AC table has no EOBn symbols beyond EOB0 — progressive
+    # files carry custom tables; this one holds exactly the 3 symbols used
+    ac_bits = [0, 3] + [0] * 14
+    ac_vals = bytes([0x00, 0x10, 0x05])  # EOB0, EOB1, (run 0, size 5)
+    ac_codes = _codes(ac_bits, ac_vals)
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 24) + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, DC_BITS, DC_VALS) + _dht(1, 0, ac_bits, ac_vals)
+    bw = _BitWriter()  # DC scan, Al=0 directly (single full-precision pass)
+    pred = 0
+    for zz in zzs:
+        dc = int(zz[0])
+        s = _category(dc - pred)
+        code, ln = DC_CODES[s]
+        bw.write(code, ln)
+        if s:
+            _emit_coef(bw, dc - pred, s)
+        pred = dc
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bw.tobytes()
+    bw = _BitWriter()  # AC scan: blkA's coef then EOB0; then EOB1 for B+C
+    code, ln = ac_codes[0x05]  # blkA: coef 18 at zigzag pos 1 (size 5)
+    bw.write(code, ln)
+    _emit_coef(bw, 18, 5)
+    code, ln = ac_codes[0x00]  # EOB0 ends blkA
+    bw.write(code, ln)
+    code, ln = ac_codes[0x10]  # EOBn with r=1: run = 2 + 1 extra bit
+    bw.write(code, ln)
+    bw.write(0, 1)  # eobrun covers blkB and blkC
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bw.tobytes()
+    out += b"\xff\xd9"
+    base = decode(make_gray_jpeg(blocks, w_blocks=3, q=1))
+    assert (decode(out) == base).all()
 
 
 # ---------------------------------------------------------------------------
@@ -336,3 +531,49 @@ def test_image_features_end_to_end_over_reference_jpegs(spark):
         assert all(np.isfinite(v) for v in r.features)
         assert 0 <= r.features[0] <= 255  # mean within pixel range
         assert r.features[1] > 0  # a photo has nonzero std
+
+
+def test_progressive_color_420_matches_baseline():
+    """3-component SOF2: interleaved DC scan, then the T.81-mandated
+    NON-interleaved per-component AC scans — the scan-order branch where
+    blocks traverse each component's own grid (4 luma blocks raster,
+    1 per chroma) rather than the MCU grid."""
+    y_dc, cb_dc, cr_dc = [80, -60, 33, 7], 40, -24
+    base = decode(make_420_color_jpeg(y_dc, cb_dc, cr_dc))
+
+    def emit_dc(w, diff):
+        s = _category(diff)
+        code, ln = DC_CODES[s]
+        w.write(code, ln)
+        if s:
+            _emit_coef(w, diff, s)
+
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64) + bytes([1]) + bytes([1] * 64))
+    out += _seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", 16, 16)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += _dht(0, 0, DC_BITS, DC_VALS) + _dht(1, 0, AC_BITS, AC_VALS)
+    out += _dht(0, 1, DC_BITS, DC_VALS) + _dht(1, 1, AC_BITS, AC_VALS)
+    bw = _BitWriter()  # scan 1: interleaved DC, full precision (Al=0)
+    pred = 0
+    for dc in y_dc:
+        emit_dc(bw, dc - pred)
+        pred = dc
+    emit_dc(bw, cb_dc)
+    emit_dc(bw, cr_dc)
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x00])) + bw.tobytes()
+    # per-component AC scans: all-zero AC -> one EOB0 per block
+    for comp_spec, nblocks in ((bytes([1, 0x00]), 4), (bytes([2, 0x11]), 1), (bytes([3, 0x11]), 1)):
+        bw = _BitWriter()
+        for _ in range(nblocks):
+            code, ln = AC_CODES[0x00]
+            bw.write(code, ln)
+        out += _seg(0xDA, bytes([1]) + comp_spec + bytes([1, 63, 0x00])) + bw.tobytes()
+    out += b"\xff\xd9"
+    got = decode(out)
+    assert got.shape == base.shape == (16, 16, 3)
+    assert (got == base).all()
