@@ -577,3 +577,50 @@ def test_progressive_color_420_matches_baseline():
     got = decode(out)
     assert got.shape == base.shape == (16, 16, 3)
     assert (got == base).all()
+
+
+def test_progressive_with_restart_intervals():
+    """DRI=1 under progressive scans: DC predictor and EOB run reset at
+    every restart marker, per scan (T.81 G.1.2 + F.2.2.4)."""
+    dcs = [50, -70, 120]
+    blocks = []
+    for dc in dcs:
+        b = np.zeros((8, 8), dtype=np.int64)
+        b[0, 0] = dc
+        b[0, 1] = dc // 10  # one AC coefficient per block
+        blocks.append(b)
+    zzs = [b.ravel()[ZIGZAG] for b in blocks]
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 24) + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, DC_BITS, DC_VALS) + _dht(1, 0, AC_BITS, AC_VALS)
+    out += _seg(0xDD, struct.pack(">H", 1))  # restart every data unit
+
+    def with_restarts(chunks):
+        joined = b""
+        for j, c in enumerate(chunks):
+            if j:
+                joined += bytes([0xFF, 0xD0 + (j - 1) % 8])
+            joined += c
+        return joined
+
+    chunks = []  # DC scan, full precision: predictor restarts at 0 each unit
+    for zz in zzs:
+        bw = _BitWriter()
+        diff = int(zz[0])  # pred == 0 after every restart
+        s = _category(diff)
+        code, ln = DC_CODES[s]
+        bw.write(code, ln)
+        if s:
+            _emit_coef(bw, diff, s)
+        chunks.append(bw.tobytes())
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + with_restarts(chunks)
+    chunks = []  # AC scan with the same per-unit segmentation
+    for zz in zzs:
+        bw = _BitWriter()
+        _emit_ac_first(bw, zz, 1, 63, 0)
+        chunks.append(bw.tobytes())
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + with_restarts(chunks)
+    out += b"\xff\xd9"
+    base = decode(make_gray_jpeg(blocks, w_blocks=3, q=1))
+    assert (decode(out) == base).all()
