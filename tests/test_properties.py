@@ -1,0 +1,86 @@
+"""Hypothesis property tests for the pure-NumPy codec paths (no Spark —
+fast, deterministic, seeded by hypothesis itself). These generalize the
+hand-picked cases in test_jpeg/test_multimodal: any coefficient block
+must decode identically via baseline and progressive codings, the T.81
+coefficient bit codec must roundtrip every category, and WAV must
+roundtrip any PCM signal within its bit depth's quantization error."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graph_db_clustering_spark.functions.jpeg import _BitReader, _extend, decode
+from graph_db_clustering_spark.operators import multimodal as M
+from tests.test_jpeg import (
+    _BitWriter,
+    _category,
+    _emit_coef,
+    make_gray_jpeg,
+    make_gray_progressive_jpeg,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=-2047, max_value=2047))
+def test_t81_coefficient_bits_roundtrip(v):
+    """F.1.4 encode -> F.2.2.1 EXTEND is the identity for every value in
+    the 12-bit coefficient range."""
+    s = _category(v)
+    w = _BitWriter()
+    _emit_coef(w, v, s)
+    if s == 0:
+        assert v == 0
+        return
+    r = _BitReader(w.tobytes())
+    assert _extend(r.receive(s), s) == v
+
+
+_coef = st.integers(min_value=-255, max_value=255)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-400, max_value=400),  # DC
+            st.lists(  # sparse AC: (position 1..63, value != 0)
+                st.tuples(st.integers(1, 63), _coef.filter(bool)),
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_progressive_decodes_like_baseline(specs):
+    """Any coefficient content — dense, sparse, |v|==1 refinement-only
+    coefficients, negative DCs, long zero runs — produces the identical
+    image through the 4-scan progressive coding and the baseline coding."""
+    blocks = []
+    for dc, acs in specs:
+        b = np.zeros(64, dtype=np.int64)
+        b[0] = dc
+        for pos, v in acs:
+            b[pos] = v
+        blocks.append(b.reshape(8, 8))
+    base = decode(make_gray_jpeg(blocks, w_blocks=len(blocks), q=1))
+    prog = decode(make_gray_progressive_jpeg(blocks, w_blocks=len(blocks), q=1))
+    assert (prog == base).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False), min_size=1, max_size=200
+    ),
+    st.sampled_from([16, 32]),
+)
+def test_wav_pcm_roundtrip_within_quantization(samples, bits):
+    """encode -> decode recovers any signal within one quantization step
+    of the chosen depth."""
+    x = np.array(samples, dtype=np.float64)
+    rate, y = M._decode_wav(M._encode_wav(8000, x, bits=bits))
+    assert rate == 8000 and len(y) == len(x)
+    assert np.abs(y - x).max() <= 2.0 ** -(bits - 1) + 1e-12
