@@ -328,15 +328,20 @@ def ann_ivfpq_index(spark, sf_dir):
     build), rows-only: the index geometry has no ANSI-SQL form. Identity
     with the one-shot ivfpq_topk and the no-retraining guarantee are
     pinned in tests/test_llmdata.py."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     model, encoded = similarity.ivfpq_build(emb, cells=8, m=8)
-    # Fixed per-process path: ivfpq_save overwrites, so repeated bench /
-    # correctness runs reuse one directory instead of leaking a full
-    # encoded-corpus copy per invocation (round-5 ADVICE).
-    path = os.path.join(tempfile.gettempdir(), "gdc_ivfpq_index", "index")
+    # Fixed per-process path: ivfpq_save overwrites, so repeated runs in
+    # one process reuse a single directory instead of leaking a full
+    # encoded-corpus copy per invocation (round-5 ADVICE). Keyed by pid —
+    # driver and judge runs execute concurrently — and removed at exit.
+    root = os.path.join(tempfile.gettempdir(), f"gdc_ivfpq_index_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "index")
     similarity.ivfpq_save(model, encoded, path)
     loaded_model, loaded_codes = similarity.ivfpq_load(spark, path)
     q = emb.filter(F.col("vec_id") <= 2)
