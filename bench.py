@@ -49,12 +49,18 @@ def ivfpq_serve_setup(spark, sf_dir: str) -> str:
     once); the number that matters at scale is query latency against the
     saved index, which ann_ivfpq_serve times via the closure below
     (VERDICT r5 'What's missing' #1)."""
+    import atexit
+    import shutil
     import tempfile
 
     from graph_db_clustering_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = os.path.join(tempfile.gettempdir(), "gdc_bench_ivfpq", "index")
+    # pid-keyed: concurrent driver/judge bench runs must not share an
+    # index directory; removed at exit so nothing accumulates in /tmp
+    root = os.path.join(tempfile.gettempdir(), f"gdc_bench_ivfpq_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "index")
     model, encoded = similarity.ivfpq_build(emb, cells=16, m=8)
     similarity.ivfpq_save(model, encoded, path)
     return path
