@@ -72,11 +72,12 @@ message — gates are test-pinned in tests/test_cypher.py):
     UNWIND list AS x (incl. as first clause)   yes (explode)
     CREATE / MERGE (+ SET on match/create)     yes (batch upserts)
     SET / DELETE / DETACH DELETE               yes (COW snapshots)
+    REMOVE n.prop (property -> typed NULL)     yes (label form gated)
     list literals [..], map literals {..},     yes
       x[i], $params
     UNION / UNION ALL (RETURN parts, same      yes (unionByName,
       columns, no mixing — the Neo4j rules)      + distinct for bare UNION)
-    CALL / FOREACH / REMOVE                    no — ValueError gate
+    CALL / FOREACH / REMOVE n:Label            no — ValueError gate
     shortestPath / allShortestPaths            no — use
                                                  graph_algos.shortest_paths
     pattern in expression position /           no — SyntaxError
@@ -269,6 +270,11 @@ class DeleteC:
     detach: bool
 
 
+@dataclass
+class RemoveC:
+    items: list  # [(var, prop)]
+
+
 _AGG_FNS = {"count", "collect", "sum", "avg", "min", "max"}
 
 
@@ -403,12 +409,14 @@ class _Parser:
                 clauses.append(self.delete_clause())
             elif kw == "unwind":
                 clauses.append(self.unwind_clause())
-            elif kw in ("call", "foreach", "remove"):
+            elif kw == "remove":
+                clauses.append(self.remove_clause())
+            elif kw in ("call", "foreach"):
                 raise ValueError(
                     f"cypher: {kw.upper()} is not supported (supported "
                     "clauses: MATCH / OPTIONAL MATCH / MERGE / WITH / "
-                    "UNWIND / RETURN / CREATE / SET / DELETE / DETACH "
-                    "DELETE / UNION [ALL])"
+                    "UNWIND / RETURN / CREATE / SET / REMOVE / DELETE / "
+                    "DETACH DELETE / UNION [ALL])"
                 )
             else:
                 raise SyntaxError(f"cypher: unexpected {t[1].upper()}")
@@ -507,6 +515,27 @@ class _Parser:
                 continue
             break
         return SetC(assignments)
+
+    def remove_clause(self):
+        """REMOVE n.prop [, ...] — property removal (set to typed NULL).
+        Label removal (REMOVE n:Label) is gated: the graph layer models a
+        single `label` column, not Neo4j's label sets."""
+        self.expect("kw", "remove")
+        items = []
+        while True:
+            var = self.expect("ident")[1]
+            if self.peek() == ("op", ":"):
+                raise ValueError(
+                    "cypher: REMOVE of labels is not supported "
+                    "(single-label graph); REMOVE n.prop only"
+                )
+            self.expect("op", ".")
+            items.append((var, self.ident()))
+            if self.peek() == ("op", ","):
+                self.next()
+                continue
+            break
+        return RemoveC(items)
 
     def delete_clause(self):
         detach = False
@@ -772,7 +801,7 @@ class CypherSession:
         parts = []
         for clauses, _ in segments:
             for c in clauses:
-                if isinstance(c, (CreateC, MergeC, SetC, DeleteC)):
+                if isinstance(c, (CreateC, MergeC, SetC, DeleteC, RemoveC)):
                     raise ValueError(
                         "cypher: mutating clauses are not allowed in UNION parts"
                     )
@@ -812,6 +841,8 @@ class CypherSession:
                 self._set(ctx, c, params)
             elif isinstance(c, DeleteC):
                 self._delete(ctx, c)
+            elif isinstance(c, RemoveC):
+                self._remove(ctx, c)
             elif isinstance(c, UnwindC):
                 self._unwind(ctx, c, params)
             i += 1
@@ -1271,6 +1302,24 @@ class CypherSession:
             ).dropDuplicates(["_sid"])
             ctx.ops.append(("set", kind, upd, [p for p, _ in assigns]))
 
+    def _remove(self, ctx: _Ctx, c: RemoveC) -> None:
+        by_var: dict[str, list] = {}
+        for var, prop in c.items:
+            by_var.setdefault(var, []).append(prop)
+        for var, props in by_var.items():
+            if var in ctx.created:
+                raise ValueError(
+                    "cypher: REMOVE on a variable created in the same "
+                    "query is not supported"
+                )
+            df = ctx.df
+            if df is None or var not in df.columns:
+                raise ValueError(f"cypher: REMOVE on unbound variable {var}")
+            kind = "edge" if "src" in self._fields(df, var) else "node"
+            idf = F.col(var).getField("eid" if kind == "edge" else "id")
+            ids = df.select(idf.alias("_sid")).dropDuplicates(["_sid"])
+            ctx.ops.append(("remove", kind, ids, props))
+
     def _delete(self, ctx: _Ctx, c: DeleteC) -> None:
         df = ctx.df
         for var in c.vars:
@@ -1358,6 +1407,33 @@ class CypherSession:
                     c for c in target.columns if c not in props
                 ] + [F.col(f"_v_{p}").alias(p) for p in props]
                 out = joined.select(*keep)
+                g = (
+                    Graph(out, g.edges) if kind == "node" else Graph(g.vertices, out)
+                )
+            elif op[0] == "remove":
+                _, kind, ids, props = op
+                if kind == "node":
+                    target, key = g.vertices, "id"
+                else:
+                    target, key = g.edges, "eid"
+                types = dict(target.dtypes)
+                marked = ids.withColumn("_rm", F.lit(True))
+                joined = target.join(
+                    F.broadcast(marked), target[key] == marked["_sid"], "left"
+                )
+                sel = []
+                for col in target.columns:
+                    if col in props:
+                        # typed NULL on matched rows; unmatched (_rm null)
+                        # fall through to the original value
+                        sel.append(
+                            F.when(F.col("_rm"), F.lit(None).cast(types[col]))
+                            .otherwise(F.col(col))
+                            .alias(col)
+                        )
+                    else:
+                        sel.append(F.col(col))
+                out = joined.select(*sel)
                 g = (
                     Graph(out, g.edges) if kind == "node" else Graph(g.vertices, out)
                 )

@@ -466,10 +466,33 @@ def test_unsupported_clauses_gate_with_clear_errors(spark):
     for q, kw in [
         ("CALL db.labels()", "CALL"),
         ("FOREACH (x IN [1] SET n.p = x)", "FOREACH"),  # gate fires on the keyword
-        ("MATCH (n) REMOVE n.name", "REMOVE"),
     ]:
         with pytest.raises(ValueError, match=f"{kw} is not supported"):
             s.run(q)
+    with pytest.raises(ValueError, match="REMOVE of labels"):
+        s.run("MATCH (n) REMOVE n:N")
+
+
+def test_remove_property_sets_typed_null(spark):
+    s = CypherSession(_chain_graph(spark))
+    s.run("MATCH (n) WHERE n.id < 2 REMOVE n.name")
+    rows = {r["id"]: r["name"] for r in s.graph.vertices.collect()}
+    assert rows[0] is None and rows[1] is None
+    assert rows[2] == "n2" and rows[5] == "n5"  # untouched rows keep values
+    # schema unchanged: name stays a string column (typed NULL, not dropped)
+    assert dict(s.graph.vertices.dtypes)["name"] == "string"
+    # removing an already-null / re-removing is a no-op, like Neo4j
+    s.run("MATCH (n) WHERE n.id < 3 REMOVE n.name")
+    rows = {r["id"]: r["name"] for r in s.graph.vertices.collect()}
+    assert rows[2] is None and rows[3] == "n3"
+
+
+def test_remove_gates(spark):
+    s = CypherSession(_chain_graph(spark))
+    with pytest.raises(ValueError, match="unbound variable"):
+        s.run("MATCH (n) REMOVE m.name")
+    with pytest.raises(ValueError, match="created in the same query"):
+        s.run("CREATE (x:N {name: 'q'}) REMOVE x.name")
 
 
 def test_skip_limit_operand_gate(spark):
