@@ -232,7 +232,18 @@ def decode(data: bytes) -> np.ndarray:
                 scan.append((comp, tdta >> 4, tdta & 15))
             segs, end = _unstuff(data, i + 2 + seglen)
             if not frame["progressive"]:
-                return _decode_scan(frame, scan, qt, huff, segs, restart_interval)
+                if len(scan) == len(frame["comps"]):
+                    # single interleaved scan covering every component —
+                    # the overwhelmingly common sequential layout
+                    return _decode_scan(frame, scan, qt, huff, segs, restart_interval)
+                # multi-scan sequential (T.81 A.2 non-interleaved): each
+                # scan carries a component subset in its own block order;
+                # accumulate like progressive, reconstruct at EOI
+                if coeff is None:
+                    coeff = _alloc_coeff(frame)
+                _decode_sequential_scan(frame, scan, huff, segs, restart_interval, coeff)
+                i = end
+                continue
             # progressive: accumulate each scan's coefficient contribution
             # (spectral selection Ss..Se, successive approximation Ah/Al)
             # into one store; reconstruct once after the last scan
@@ -247,7 +258,7 @@ def decode(data: bytes) -> np.ndarray:
             continue
         # APPn / COM / anything else: skip
         i += 2 + seglen
-    if frame is not None and frame["progressive"] and coeff is not None:
+    if frame is not None and coeff is not None:
         return _reconstruct(frame, coeff, qt)
     raise JpegError("no SOS marker found")
 
@@ -294,31 +305,38 @@ def _decode_scan(frame, scan, qt, huff, segs, restart_interval) -> np.ndarray:
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(mcu, mcux)
         for comp, td, ta in scan:
-            dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
             for v in range(comp["v"]):
                 for hh in range(comp["h"]):
-                    blk = np.zeros(64, dtype=np.int64)
-                    s = reader.decode_huffman(dc_tbl)
-                    diff = _extend(reader.receive(s), s) if s else 0
-                    pred[comp["id"]] += diff
-                    blk[0] = pred[comp["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_huffman(ac_tbl)
-                        r, sz = rs >> 4, rs & 15
-                        if sz == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise JpegError("AC run past end of block")
-                        blk[k] = _extend(reader.receive(sz), sz)
-                        k += 1
-                    coeff[comp["id"]][my * comp["v"] + v, mx * comp["h"] + hh] = blk
+                    blk = coeff[comp["id"]][my * comp["v"] + v, mx * comp["h"] + hh]
+                    pred[comp["id"]] = _read_baseline_block(
+                        reader, huff[(0, td)], huff[(1, ta)], blk, pred[comp["id"]]
+                    )
         mcu += 1
     return _reconstruct(frame, coeff, qt)
+
+
+def _read_baseline_block(reader, dc_tbl, ac_tbl, blk, pred) -> int:
+    """One sequential-DCT data unit (T.81 F.2.2) into blk (64, zig-zag
+    order); returns the updated DC predictor."""
+    s = reader.decode_huffman(dc_tbl)
+    diff = _extend(reader.receive(s), s) if s else 0
+    pred += diff
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.decode_huffman(ac_tbl)
+        r, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run past end of block")
+        blk[k] = _extend(reader.receive(sz), sz)
+        k += 1
+    return pred
 
 
 def _reconstruct(frame, coeff, qt) -> np.ndarray:
@@ -506,3 +524,29 @@ def _decode_progressive_scan(
                 eobrun = _ac_first(reader, huff[(1, ta)], blk, ss, se, al, eobrun)
             else:
                 eobrun = _ac_refine(reader, huff[(1, ta)], blk, ss, se, al, eobrun)
+
+
+def _decode_sequential_scan(
+    frame, scan, huff, segs, restart_interval, coeff
+) -> None:
+    """One sequential scan of a multi-scan (non-interleaved) file into the
+    shared coefficient store: same entropy coding as _decode_scan, but
+    block order comes from _scan_units — a single-component scan walks the
+    component's OWN raster grid, not the MCU tiling."""
+    units = list(_scan_units(frame, scan))
+    interval = restart_interval or len(units)
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    for u, unit in enumerate(units):
+        if u and restart_interval and u % interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise JpegError("missing restart segment in entropy stream")
+            reader = _BitReader(segs[seg_idx])
+            pred = {c["id"]: 0 for c, _, _ in scan}
+        for comp, td, ta, by, bx in unit:
+            blk = coeff[comp["id"]][by, bx]
+            pred[comp["id"]] = _read_baseline_block(
+                reader, huff[(0, td)], huff[(1, ta)], blk, pred[comp["id"]]
+            )

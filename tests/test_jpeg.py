@@ -624,3 +624,62 @@ def test_progressive_with_restart_intervals():
     out += b"\xff\xd9"
     base = decode(make_gray_jpeg(blocks, w_blocks=3, q=1))
     assert (decode(out) == base).all()
+
+
+def test_multiscan_sequential_color_matches_interleaved():
+    """Sequential (SOF0) file split into three per-component scans (T.81
+    A.2 non-interleaved). 32x16 4:2:0 -> TWO MCUs, so the luma scan's
+    raster block order (Y00 Y01 Y02 Y03 / Y10 ...) genuinely differs from
+    MCU-tile order — an ordering bug would scramble tiles."""
+    y_dc = [10, 30, 50, 70, -20, -40, -60, -80]  # luma grid 2 rows x 4 cols
+    cb_dc = [24, -36]  # one chroma block per MCU (grid 1x2)
+    cr_dc = [-48, 12]
+
+    # interleaved baseline reference: MCU0 = Y00 Y01 Y10 Y11 | Cb0 | Cr0
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64) + bytes([1]) + bytes([1] * 64))
+    sof_payload = (
+        bytes([8])
+        + struct.pack(">HH", 16, 32)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    out += _seg(0xC0, sof_payload)
+    out += _dht(0, 0, DC_BITS, DC_VALS) + _dht(1, 0, AC_BITS, AC_VALS)
+    out += _dht(0, 1, DC_BITS, DC_VALS) + _dht(1, 1, AC_BITS, AC_VALS)
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    bw = _BitWriter()
+    blk = np.zeros(64, dtype=np.int64)
+    preds = {"y": 0, "cb": 0, "cr": 0}
+    ygrid = np.array(y_dc).reshape(2, 4)
+    for m in range(2):  # two MCUs left-to-right
+        for yy in range(2):
+            for xx in range(2):
+                blk[0] = ygrid[yy, m * 2 + xx]
+                preds["y"] = _encode_block(bw, blk, preds["y"])
+        blk[0] = cb_dc[m]
+        preds["cb"] = _encode_block(bw, blk, preds["cb"])
+        blk[0] = cr_dc[m]
+        preds["cr"] = _encode_block(bw, blk, preds["cr"])
+    base = decode(out + bw.tobytes() + b"\xff\xd9")
+
+    # same coefficients as three non-interleaved scans (Y raster, Cb, Cr)
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64) + bytes([1]) + bytes([1] * 64))
+    out += _seg(0xC0, sof_payload)
+    out += _dht(0, 0, DC_BITS, DC_VALS) + _dht(1, 0, AC_BITS, AC_VALS)
+    out += _dht(0, 1, DC_BITS, DC_VALS) + _dht(1, 1, AC_BITS, AC_VALS)
+    for comp_spec, dcs in (
+        (bytes([1, 0x00]), list(ygrid.ravel())),  # raster order
+        (bytes([2, 0x11]), cb_dc),
+        (bytes([3, 0x11]), cr_dc),
+    ):
+        bw = _BitWriter()
+        pred = 0
+        for dc in dcs:
+            blk[0] = dc
+            pred = _encode_block(bw, blk, pred)
+        out += _seg(0xDA, bytes([1]) + comp_spec + bytes([0, 63, 0])) + bw.tobytes()
+    out += b"\xff\xd9"
+    got = decode(out)
+    assert got.shape == base.shape == (16, 32, 3)
+    assert (got == base).all()

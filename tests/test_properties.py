@@ -11,7 +11,12 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from graph_db_clustering_spark.functions.jpeg import _BitReader, _extend, decode
+from graph_db_clustering_spark.functions.jpeg import (
+    _BitReader,
+    _extend,
+    _unstuff,
+    decode,
+)
 from graph_db_clustering_spark.operators import multimodal as M
 from tests.test_jpeg import (
     _BitWriter,
@@ -33,7 +38,10 @@ def test_t81_coefficient_bits_roundtrip(v):
     if s == 0:
         assert v == 0
         return
-    r = _BitReader(w.tobytes())
+    # tobytes applies T.81 byte stuffing (0xFF -> 0xFF 0x00); the decoder
+    # always unstuffs before bit-reading, so mirror that here
+    segs, _ = _unstuff(w.tobytes(), 0)
+    r = _BitReader(segs[0])
     assert _extend(r.receive(s), s) == v
 
 
