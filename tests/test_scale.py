@@ -320,3 +320,34 @@ def test_cypher_varlen_lattice_no_path_blowup(spark):
     assert len(outs[0]) == W * (L - 1) * W  # 100 sources x 400 reachable
     # every target is in a strictly later layer
     assert all(t >= W for _, t in outs[0])
+
+
+def test_triangle_count_invariant_at_10x_hub_scale(spark, hub_graph):
+    """Degree-ordered triangle counting on the hub graph plus a spoke
+    ring: triangles (hub, spoke_i, spoke_i+1) for the first 101 spokes.
+    The 10k-degree hub is the wedge-explosion case the orientation must
+    neutralize (hub-centered wedges would be deg^2 = 1e8 rows); expected
+    counts are closed-form and must be partition-invariant."""
+    v, e = hub_graph
+    ring = (
+        spark.range(1, 101)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        .withColumn("relationship", F.lit("E"))
+    )
+    e = e.unionByName(ring)
+    outs = []
+    for parts in (4, 96):
+        g = Graph(v.repartition(parts), e.repartition(parts))
+        tc = graph_algos.triangle_count(g)
+        outs.append(
+            sorted((r.id, r.triangles) for r in tc.filter(F.col("triangles") > 0).collect())
+        )
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1]
+    got = dict(outs[0])
+    # 100 triangles (0, i, i+1) for i in 1..100: the hub corners all 100;
+    # spoke 1 and 101 corner one each; spokes 2..100 corner two each
+    assert got[0] == 100
+    assert got[1] == 1 and got[101] == 1
+    assert all(got[i] == 2 for i in range(2, 101))
+    assert len(got) == 101 + 1
