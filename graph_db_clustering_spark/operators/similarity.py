@@ -419,6 +419,11 @@ def ivfpq_search(
                     key = (int(cell), int(qi))
                     lut = luts.get(key)
                     if lut is None:
+                        if len(luts) >= 4096:
+                            # bound task memory at ~64 MB of LUTs (a LUT
+                            # is m*codes doubles); recompute is ~16k flops
+                            # vs ~80k ADC lookups per batch — cheap
+                            luts.clear()
                         # residual-subvector distance table, computed here
                         # (executor-side) from the broadcast model: one
                         # vectorized (m, codes, dsub) pass
