@@ -69,6 +69,15 @@ def compare(spark_df, duck_sql: str, sf_dir: str) -> dict:
     }
     report["cols_match"] = report["spark_cols"] == report["duck_cols"]
     report["rows_match"] = report["spark_rows"] == report["duck_rows"]
+    # advisory dtype parity (round-5 ADVICE was an INT-vs-BIGINT oracle
+    # declaration this harness silently passed): report — but don't gate
+    # on — per-column pandas dtype differences, since nullable integer
+    # columns legitimately arrive as float64/object on either side
+    report["dtype_diffs"] = sorted(
+        (c, str(spark_pd[c].dtype), str(duck_pd[c].dtype))
+        for c in set(spark_pd.columns) & set(duck_pd.columns)
+        if str(spark_pd[c].dtype) != str(duck_pd[c].dtype)
+    )
     if not (report["cols_match"] and report["rows_match"]):
         report["match"] = False
         return report

@@ -1379,7 +1379,7 @@ def q57_split(spark, sf_dir):
     )
 
 
-_Q58_SQL = """SELECT n_name, YEAR(o_orderdate) AS yr,
+_Q58_SQL = """SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
   ROUND(SUM(o_totalprice), 2) AS revenue,
   COUNT(*) AS n_orders
 FROM orders

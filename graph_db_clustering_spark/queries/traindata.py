@@ -75,9 +75,9 @@ SELECT doc_id,
       '{_EMAIL}', '<EMAIL>', 'g'),
       '{_SSN}', '<SSN>', 'g'),
       '{_PHONE}', '<PHONE>', 'g') AS scrubbed,
-  LEN(regexp_extract_all(t, '{_EMAIL}')) AS n_email,
-  LEN(regexp_extract_all(t, '{_PHONE}')) AS n_phone,
-  LEN(regexp_extract_all(t, '{_SSN}')) AS n_ssn
+  CAST(LEN(regexp_extract_all(t, '{_EMAIL}')) AS INT) AS n_email,
+  CAST(LEN(regexp_extract_all(t, '{_PHONE}')) AS INT) AS n_phone,
+  CAST(LEN(regexp_extract_all(t, '{_SSN}')) AS INT) AS n_ssn
 FROM a ORDER BY doc_id""",
 )
 def pii_scrub(spark, sf_dir):
@@ -92,7 +92,8 @@ def pii_scrub(spark, sf_dir):
 @declared(
     "pack_chunks",
     """WITH t AS (SELECT doc_id, n_chars AS tok,
-        SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c1
+        CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS c1
       FROM documents WHERE n_chars > 0),
 e AS (SELECT doc_id, tok, c1 - tok AS c0, c1,
         UNNEST(GENERATE_SERIES(CAST((c1 - tok) // 1000 AS BIGINT),
