@@ -367,3 +367,34 @@ def domain_mix(
         rate = (w * total / n_d) if n_d else 0.0
         thr = F.when(F.col(domain_col) == d, int(rate * 10000)).otherwise(thr)
     return df.filter(h < thr)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    shards: int,
+    modulus: int = 1_000_003,
+) -> DataFrame:
+    """Deterministic global shuffle into `shards` training shards: every
+    row gets (shard, pos) where shard = mix % shards and pos is the row's
+    1-based rank within its shard by (mix, id) — with
+    mix = ((id % modulus) * FIB_HASH) % modulus, the same overflow-safe
+    Fibonacci mix as id_hash_bucket. The layout is a pure function of the
+    ids: re-runs on any cluster, any partitioning, reproduce byte-identical
+    shard contents AND order — which DataFrame.sample/rand-based shuffles
+    cannot (their per-partition seeds move with the split layout), and
+    which a training job needs for resumable, auditable data order.
+
+    Scale: one shuffle keyed by shard; the per-shard rank is a window
+    whose partition is exactly one output shard, so shard count should be
+    chosen (as it is in practice) to keep a shard's rows executor-sized.
+    Writing `partitionBy("shard")` then gives one deterministic file set
+    per shard with rows in `pos` order."""
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    mix = ((F.col(id_col) % modulus) * FIB_HASH) % modulus
+    out = df.withColumn("_mix", mix).withColumn(
+        "shard", (F.col("_mix") % shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_mix", id_col)
+    return out.withColumn("pos", F.row_number().over(w)).drop("_mix")

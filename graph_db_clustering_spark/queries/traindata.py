@@ -119,6 +119,30 @@ def pack_chunks(spark, sf_dir):
 
 
 @declared(
+    "shuffle_shards",
+    f"""WITH m AS (SELECT doc_id,
+        ((doc_id % 1000003) * {FIB_HASH}) % 1000003 AS mix FROM documents)
+SELECT CAST(mix % 7 AS INT) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY mix % 7 ORDER BY mix, doc_id) AS INT)
+    AS pos,
+  doc_id
+FROM m ORDER BY shard, pos""",
+)
+def shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into 7 training shards
+    (operators/traindata.deterministic_shuffle): shard assignment and
+    within-shard order are a pure function of doc_id (Fibonacci mix), so
+    the oracle reproduces the exact layout in SQL — rand()-based shuffles
+    cannot be oracle-checked at all."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        traindata.deterministic_shuffle(d, "doc_id", shards=7)
+        .select("shard", "pos", "doc_id")
+        .orderBy("shard", "pos")
+    )
+
+
+@declared(
     "stratified_sample",
     f"""SELECT doc_id, lang FROM documents
 WHERE ((doc_id % 10000) * {FIB_HASH}) % 10000 <

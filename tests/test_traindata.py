@@ -292,3 +292,27 @@ def test_global_cumsum_negative_values(spark):
     for i, v in rows:
         acc += v
         assert got[i] == acc, (i, got[i], acc)
+
+
+def test_deterministic_shuffle_invariant_and_balanced(spark):
+    from graph_db_clustering_spark.operators.traindata import deterministic_shuffle
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    outs = []
+    for parts in (3, 64):
+        got = deterministic_shuffle(df.repartition(parts), "doc_id", shards=7)
+        outs.append(sorted((r.shard, r.pos, r.doc_id) for r in got.collect()))
+    # byte-identical layout under hostile repartitionings
+    assert outs[0] == outs[1]
+    by_shard = {}
+    for shard, pos, _ in outs[0]:
+        by_shard.setdefault(shard, []).append(pos)
+    # all 7 shards populated, roughly balanced, pos is 1..n_shard dense
+    assert set(by_shard) == set(range(7))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+        assert abs(len(poss) - 2000 / 7) < 0.2 * 2000 / 7, (shard, len(poss))
+    import pytest
+
+    with pytest.raises(ValueError, match="shards"):
+        deterministic_shuffle(df, "doc_id", shards=0)
