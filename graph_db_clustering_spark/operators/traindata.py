@@ -194,7 +194,7 @@ def pii_scrub(
 
 def global_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     val_col: str,
     out: str = "cum",
     num_partitions: int | None = None,
@@ -218,14 +218,15 @@ def global_cumsum(
     result and calls spark.catalog.clearCache() (or the blocks are
     evicted) — releasing it eagerly here would reintroduce the re-sample
     race on the second pass."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     local_w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = (
-        df.repartitionByRange(parts, order_col)
+        df.repartitionByRange(parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_loc", F.sum(val_col).over(local_w))
         .persist()
@@ -398,3 +399,29 @@ def deterministic_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("_mix", id_col)
     return out.withColumn("pos", F.row_number().over(w)).drop("_mix")
+
+
+def take_token_budget(
+    df: DataFrame,
+    id_col: str,
+    tok_col: str,
+    budget: int,
+    modulus: int = 1_000_003,
+) -> DataFrame:
+    """Reproducibly subsample the corpus down to a token budget: rows are
+    taken in deterministic-shuffle order (the Fibonacci id mix, ties by
+    id — an unbiased but fully reproducible order) while the running
+    token total stays <= budget. The standard "train on N tokens of this
+    corpus" cut, as a pure function of the ids: the selected set is
+    byte-identical across clusters and re-runs, and — unlike rand() <
+    frac sampling — hits the budget exactly to within one document.
+
+    Returns the input rows (minus none of their columns) plus
+    cum_tokens, the running total through each kept row. One range
+    shuffle + the O(partitions) driver offsets of global_cumsum; the
+    filter itself is map-side."""
+    mix = ((F.col(id_col) % modulus) * FIB_HASH) % modulus
+    c = global_cumsum(
+        df.withColumn("_mix", mix), ["_mix", id_col], tok_col, out="cum_tokens"
+    )
+    return c.filter(F.col("cum_tokens") <= budget).drop("_mix")

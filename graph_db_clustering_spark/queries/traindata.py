@@ -143,6 +143,31 @@ def shuffle_shards(spark, sf_dir):
 
 
 @declared(
+    "token_budget",
+    f"""WITH m AS (SELECT doc_id, n_chars,
+        ((doc_id % 1000003) * {FIB_HASH}) % 1000003 AS mix FROM documents),
+c AS (SELECT doc_id, n_chars,
+        CAST(SUM(n_chars) OVER (ORDER BY mix, doc_id ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS cum_tokens
+      FROM m)
+SELECT doc_id, n_chars, cum_tokens FROM c
+WHERE cum_tokens <= 60000 ORDER BY doc_id""",
+)
+def token_budget(spark, sf_dir):
+    """Reproducible token-budget cut (operators/traindata.
+    take_token_budget): docs taken in deterministic-shuffle order until
+    the running token total hits 60k (~40% of the sf0.01 corpus). The
+    kept set is a pure function of doc_ids, so the two-pass distributed
+    prefix sum must equal the oracle's single SQL window exactly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        traindata.take_token_budget(d, "doc_id", "n_chars", budget=60000)
+        .select("doc_id", "n_chars", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@declared(
     "stratified_sample",
     f"""SELECT doc_id, lang FROM documents
 WHERE ((doc_id % 10000) * {FIB_HASH}) % 10000 <

@@ -316,3 +316,29 @@ def test_deterministic_shuffle_invariant_and_balanced(spark):
 
     with pytest.raises(ValueError, match="shards"):
         deterministic_shuffle(df, "doc_id", shards=0)
+
+
+def test_take_token_budget_invariant_and_exact(spark):
+    from graph_db_clustering_spark.operators.traindata import take_token_budget
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 5).alias("toks")
+    )
+    outs = []
+    for parts in (3, 64):
+        got = take_token_budget(df.repartition(parts), "doc_id", "toks", budget=5000)
+        outs.append(sorted((r.doc_id, r.toks, r.cum_tokens) for r in got.collect()))
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1]  # byte-identical under repartitioning
+    total = sum(t for _, t, _ in outs[0])
+    assert total <= 5000
+    # exact-to-one-doc: adding the next doc in shuffle order would exceed
+    assert outs[0], "budget cut kept nothing"
+    assert max(c for _, _, c in outs[0]) == total  # cum of last kept == total
+    # the running total is consistent: each row's cum is the sum of kept
+    # rows at-or-before it in the deterministic order
+    by_cum = sorted(outs[0], key=lambda r: r[2])
+    acc = 0
+    for _, t, c in by_cum:
+        acc += t
+        assert c == acc
