@@ -236,3 +236,20 @@ def test_pipeline_corpus_single_scan_single_shuffle(spark):
     assert plan.count("FileScan parquet") == 1
     # exchanges: one for the dedup groupBy, one range exchange for sort
     assert plan.count("Exchange") <= 2
+
+
+def test_shuffle_ops_have_no_global_window(spark):
+    """shuffle_shards / token_budget (round 6): every Window in their
+    plans is PARTITIONED (by shard / by _pid) — a Window with an empty
+    partition spec would collapse 100 TB onto one task, the exact
+    failure global_cumsum's two-pass prefix sum exists to avoid."""
+    import re
+
+    for name in ("shuffle_shards", "token_budget"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+        assert specs, f"{name}: expected a Window operator in the plan"
+        assert all(s.strip() for s in specs), (
+            f"{name}: unpartitioned Window in plan"
+        )
+        assert "RangePartitioning" in plan or "hashpartitioning" in plan, name
