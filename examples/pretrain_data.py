@@ -11,8 +11,11 @@ counts ever reaching the driver.
                             eval split (broadcast eval n-gram set)
       -> domain_mix         downsample to a target source mixture
                             (deterministic id-hash; operators/traindata)
+      -> take_token_budget  reproducible "train on N tokens" cut
+                            (deterministic-shuffle order prefix sum)
       -> pack_sequences     concat-and-chunk into fixed token budgets
                             (two-pass distributed prefix sum)
+      -> deterministic_shuffle  byte-reproducible shard layout
       -> partitioned parquet sink
 
 Run:  python examples/pretrain_data.py [sf_dir] [token_budget]
@@ -71,18 +74,28 @@ def main(sf_dir: str, budget: int = 512) -> None:
     )
     n4 = mixed.count()
 
-    # 5. pack into fixed token-budget sequences and sink
-    packed = traindata.pack_sequences(mixed, "doc_id", "bpe_tokens", budget)
-    out = os.path.join(tempfile.mkdtemp(prefix="pretrain_"), "chunks")
-    write_partitioned_parquet(
-        packed.withColumn("shard", F.col("chunk_id") % 4), out, ["shard"]
+    # 5. cut to a total token budget, reproducibly (round 6): docs taken
+    #    in deterministic-shuffle order until ~80% of the mixed corpus
+    total_toks = mixed.agg(F.sum("bpe_tokens")).first()[0] or 0
+    capped = traindata.take_token_budget(
+        mixed, "doc_id", "bpe_tokens", budget=int(total_toks * 0.8)
     )
-    n5 = spark.read.parquet(out).count()
+    n5 = capped.count()
+
+    # 6. pack into fixed token-budget sequences, deterministically shard,
+    #    and sink — shard layout is a pure function of chunk ids, so a
+    #    re-run reproduces byte-identical training files
+    packed = traindata.pack_sequences(capped, "doc_id", "bpe_tokens", budget)
+    sharded = traindata.deterministic_shuffle(packed, "chunk_id", shards=4)
+    out = os.path.join(tempfile.mkdtemp(prefix="pretrain_"), "chunks")
+    write_partitioned_parquet(sharded, out, ["shard"])
+    n6 = spark.read.parquet(out).count()
     n_chunks = packed.select("chunk_id").distinct().count()
 
     print(
         f"raw={n0} cleaned={n1} derepeated={n2} decontaminated={n3} "
-        f"mixed={n4} packed_rows={n5} chunks={n_chunks} budget={budget}"
+        f"mixed={n4} budget_capped={n5} packed_rows={n6} chunks={n_chunks} "
+        f"budget={budget}"
     )
     print(f"sink: {out}")
     spark.stop()
