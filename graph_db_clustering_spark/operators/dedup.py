@@ -172,6 +172,26 @@ def with_minhash_signature(
     return df.withColumn(out_col, sig)
 
 
+def band_buckets(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str = "signature",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, bhash): one row per (document, band) with the band's
+    hash — the LSH bucket key. Shared by self-join dedup
+    (lsh_candidate_pairs) and the static index of cross-corpus dedup
+    (build_band_index)."""
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.hash(F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)),
+    )
+    return sig_df.select(
+        F.col(id_col).alias("id"), F.posexplode(band_hashes).alias("band", "bhash")
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -183,13 +203,7 @@ def lsh_candidate_pairs(
     (band_index, band_hash). Only colliding pairs survive — the candidate
     set is the join output, never an O(N^2) expansion. Skewed buckets
     (e.g. a stop-shingle band) are AQE skew-split."""
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda i: F.hash(F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)),
-    )
-    buckets = sig_df.select(
-        F.col(id_col).alias("id"), F.posexplode(band_hashes).alias("band", "bhash")
-    )
+    buckets = band_buckets(sig_df, id_col, sig_col, bands, rows_per_band)
     left = buckets.select(F.col("id").alias("id1"), "band", "bhash")
     right = buckets.select(F.col("id").alias("id2"), "band", "bhash")
     return (
@@ -450,3 +464,85 @@ def near_dup_clusters(
             (F.col(VERTEX_ID) == F.col("component")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus near-dup: new documents vs a STATIC indexed corpus
+# ---------------------------------------------------------------------------
+
+
+def build_band_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Index a corpus ONCE for repeated cross-corpus near-dup checks:
+    returns (buckets, shingles) where buckets = (id, band, bhash) is the
+    LSH bucket table and shingles = (id, hshingles) the exact-verify
+    side. A production pipeline persists both as parquet (bucketed by
+    (band, bhash) / id respectively) and checks every new crawl batch
+    against them with near_dups_against — the batch/streaming split
+    mirrors ivfpq_build/ivfpq_search."""
+    rows_per_band = num_hashes // bands
+    sh = with_hashed_shingles(corpus.select(id_col, text_col), text_col, n)
+    sig = with_minhash_signature(sh, "hshingles", num_hashes, seed)
+    buckets = band_buckets(sig, id_col, "signature", bands, rows_per_band)
+    shingles = sig.select(F.col(id_col).alias("id"), "hshingles")
+    return buckets, shingles
+
+
+def near_dups_against(
+    batch: DataFrame,
+    buckets: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dups of `batch` documents against an indexed corpus
+    (build_band_index — shingle/minhash params MUST match the index):
+    (new_id, corpus_id, jaccard) with jaccard >= threshold.
+
+    Plan: batch side gets signatures map-side, its band buckets equi-join
+    the corpus bucket table (the batch side is the small side of the join
+    — a new crawl batch vs the full history), candidates dedup, then the
+    exact-Jaccard verify joins shingles from BOTH sides. The corpus is
+    never re-shingled and never self-joined; per-batch cost scales with
+    the batch, not the history."""
+    rows_per_band = num_hashes // bands
+    sh = with_hashed_shingles(batch.select(id_col, text_col), text_col, n)
+    sig = with_minhash_signature(sh, "hshingles", num_hashes, seed).persist()
+    qb = band_buckets(sig, id_col, "signature", bands, rows_per_band)
+    cands = (
+        qb.select(F.col("id").alias("new_id"), "band", "bhash")
+        .join(
+            buckets.select(F.col("id").alias("corpus_id"), "band", "bhash"),
+            ["band", "bhash"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            sig.select(F.col(id_col).alias("new_id"), F.col("hshingles").alias("sh_new")),
+            "new_id",
+        )
+        .join(
+            shingles.select(F.col("id").alias("corpus_id"), F.col("hshingles").alias("sh_corp")),
+            "corpus_id",
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(jaccard(F.col("sh_new"), F.col("sh_corp")), 6).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)

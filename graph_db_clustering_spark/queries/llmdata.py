@@ -248,6 +248,24 @@ def dedup_minhash(spark, sf_dir):
     return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.3).orderBy("id1", "id2")
 
 
+@declared("cross_dedup")
+def cross_dedup(spark, sf_dir):
+    """Cross-corpus near-dup: the even-id half of documents is indexed
+    once (dedup.build_band_index), the odd-id half is checked against it
+    (dedup.near_dups_against) — the 'dedup the new crawl against history'
+    op, with per-batch cost scaling in the batch, not the history.
+    Rows-only (minhash banding has no ANSI-SQL form); equivalence with
+    the self-join minhash_dedup restricted to cross pairs is pinned in
+    tests/test_dup_clusters.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    buckets, shingles = dedup.build_band_index(corpus, "doc_id", "text")
+    return dedup.near_dups_against(
+        batch, buckets, shingles, "doc_id", "text", threshold=0.3
+    ).orderBy("new_id", "corpus_id")
+
+
 @declared("dedup_simhash")
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (64-bit signature, 8-bit chunk banding,

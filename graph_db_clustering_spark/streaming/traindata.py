@@ -106,3 +106,64 @@ def decontaminate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def near_dup_stream(
+    doc_stream: DataFrame,
+    corpus_df: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+):
+    """Near-dup-check a document stream against a STATIC indexed corpus
+    (the "dedup the new crawl against history" step): every micro-batch
+    runs the batch cross-corpus core (operators/dedup.near_dups_against)
+    against a band index built ONCE for the stream's lifetime, and
+    (new_id, corpus_id, jaccard) hits land per-batch in a parquet sink.
+
+    Exact, not approximate, for the same reason as decontaminate_stream:
+    a document is wholly contained in one row, so per-batch outputs union
+    to exactly the batch answer on the full stream side — no cross-batch
+    state. Exactly-once via per-__batch_id dynamic partition overwrite.
+
+    The index (buckets + shingles) is persisted here, not rebuilt per
+    micro-batch — the corpus side is scanned once ever, mirroring
+    ivfpq_save/ivfpq_load's build-once/serve-many contract."""
+    from graph_db_clustering_spark.operators.dedup import (
+        build_band_index,
+        near_dups_against,
+    )
+
+    buckets, shingles = build_band_index(
+        corpus_df, id_col, text_col, n, num_hashes, bands, seed
+    )
+    buckets = buckets.persist()
+    shingles = shingles.persist()
+    buckets.count(), shingles.count()  # materialize before the stream starts
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hits = near_dups_against(
+            batch_df, buckets, shingles, id_col, text_col,
+            threshold, n, num_hashes, bands, seed,
+        )
+        (
+            hits.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_path)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(check_batch)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "neardup"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -104,3 +104,67 @@ def test_topk_sketch_matches_exact_heavy_hitters(spark, sf_dir):
     exact_counts = {r.event_type: r["count"] for r in exact}
     for r in got:
         assert r.approx_cnt == exact_counts[r.event_type]
+
+
+def test_cross_dedup_equals_self_join_cross_pairs(spark, sf_dir):
+    """near_dups_against on (odd half vs indexed even half) must return
+    exactly the cross-parity pairs of the full self-join minhash_dedup —
+    same shingles, same signatures, same banding, so identical recall."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.3)
+    want = {
+        (r.id1, r.id2, r.jaccard) if r.id1 % 2 == 1 else (r.id2, r.id1, r.jaccard)
+        for r in full.collect()
+        if (r.id1 % 2) != (r.id2 % 2)
+    }
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    buckets, shingles = dedup.build_band_index(corpus, "doc_id", "text")
+    got = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in dedup.near_dups_against(
+            batch, buckets, shingles, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert got == want
+    assert all(n % 2 == 1 and c % 2 == 0 for n, c, _ in got)
+
+
+def test_near_dup_stream_matches_batch(spark, tmp_path):
+    """Streaming near-dup vs static corpus: replaying the batch side in
+    chunks through near_dup_stream yields exactly the batch
+    near_dups_against output (union of per-batch partitions)."""
+    from graph_db_clustering_spark.streaming.traindata import near_dup_stream
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc{i // 3}") for i in range(0, 30, 2)],
+        "doc_id long, text string",
+    )
+    new_docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc{i // 3}") for i in range(1, 31, 2)],
+        "doc_id long, text string",
+    )
+    # stage the stream as 3 parquet files (one per micro-batch)
+    stage = tmp_path / "stage"
+    for k in range(3):
+        new_docs.filter(F.col("doc_id") % 6 == 2 * k + 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(stage))
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(stage))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = near_dup_stream(stream, corpus, out, ckpt, threshold=0.3)
+    q.awaitTermination(120)
+    got = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in spark.read.parquet(out).drop("__batch_id").collect()
+    }
+    buckets, shingles = dedup.build_band_index(corpus, "doc_id", "text")
+    want = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in dedup.near_dups_against(
+            new_docs, buckets, shingles, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert got == want and len(want) > 0
