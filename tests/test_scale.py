@@ -351,3 +351,33 @@ def test_triangle_count_invariant_at_10x_hub_scale(spark, hub_graph):
     assert got[1] == 1 and got[101] == 1
     assert all(got[i] == 2 for i in range(2, 101))
     assert len(got) == 101 + 1
+
+
+def test_cross_dedup_invariant_at_10x_scale(spark, skewed_docs):
+    """Cross-corpus near-dup at 10x with the power-law mega-cluster split
+    across corpus (even ids) and batch (odd ids): byte-identical under
+    hostile repartitionings, exactly the cross-parity clone pairs (the
+    mega-cluster's hot band bucket hits every batch doc of the cluster),
+    and all verified pairs are true clones (Jaccard 1.0)."""
+    corpus = skewed_docs.filter(F.col("doc_id") % 2 == 0)
+    outs = []
+    for parts in (4, 96):
+        batch = skewed_docs.filter(F.col("doc_id") % 2 == 1).repartition(parts)
+        buckets, shingles = dedup.build_band_index(
+            corpus.repartition(parts), "doc_id", "text"
+        )
+        got = dedup.near_dups_against(
+            batch, buckets, shingles, "doc_id", "text", threshold=0.9
+        )
+        outs.append(sorted((r.new_id, r.corpus_id, r.jaccard) for r in got.collect()))
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1]
+    # expected: every (odd, even) pair within a planted cluster
+    n_cross = (
+        (MEGA // 2) * (MEGA - MEGA // 2)  # mega: 100 odd x 100 even
+        + TENS * (5 * 5)  # each 10-cluster: 5 odd x 5 even
+        + PAIRS  # each pair: one odd-even cross pair (consecutive ids)
+    )
+    assert len(outs[0]) == n_cross
+    assert all(j == 1.0 for _, _, j in outs[0])
+    assert all(n % 2 == 1 and c % 2 == 0 for n, c, _ in outs[0])
