@@ -73,11 +73,13 @@ message — gates are test-pinned in tests/test_cypher.py):
     CREATE / MERGE (+ SET on match/create)     yes (batch upserts)
     SET / DELETE / DETACH DELETE               yes (COW snapshots)
     REMOVE n.prop (property -> typed NULL)     yes (label form gated)
+    FOREACH (x IN list | updating clauses)     yes (batch explode;
+                                                 outer bindings unchanged)
     list literals [..], map literals {..},     yes
       x[i], $params
     UNION / UNION ALL (RETURN parts, same      yes (unionByName,
       columns, no mixing — the Neo4j rules)      + distinct for bare UNION)
-    CALL / FOREACH / REMOVE n:Label            no — ValueError gate
+    CALL / REMOVE n:Label                      no — ValueError gate
     shortestPath / allShortestPaths            no — use
                                                  graph_algos.shortest_paths
     pattern in expression position /           no — SyntaxError
@@ -117,7 +119,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'[^']*'|"[^"]*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|<>|!=|[(){}\[\],:.=<>+\-*/])
+  | (?P<op><=|>=|<>|!=|[(){}\[\],:.=<>+\-*/|])
     """,
     re.VERBOSE,
 )
@@ -275,6 +277,13 @@ class RemoveC:
     items: list  # [(var, prop)]
 
 
+@dataclass
+class ForeachC:
+    var: str
+    expr: object  # list expression
+    clauses: list  # mutating clauses applied per element
+
+
 _AGG_FNS = {"count", "collect", "sum", "avg", "min", "max"}
 
 
@@ -411,11 +420,13 @@ class _Parser:
                 clauses.append(self.unwind_clause())
             elif kw == "remove":
                 clauses.append(self.remove_clause())
-            elif kw in ("call", "foreach"):
+            elif kw == "foreach":
+                clauses.append(self.foreach_clause())
+            elif kw == "call":
                 raise ValueError(
-                    f"cypher: {kw.upper()} is not supported (supported "
-                    "clauses: MATCH / OPTIONAL MATCH / MERGE / WITH / "
-                    "UNWIND / RETURN / CREATE / SET / REMOVE / DELETE / "
+                    "cypher: CALL is not supported (supported clauses: "
+                    "MATCH / OPTIONAL MATCH / MERGE / WITH / UNWIND / "
+                    "RETURN / CREATE / SET / REMOVE / FOREACH / DELETE / "
                     "DETACH DELETE / UNION [ALL])"
                 )
             else:
@@ -515,6 +526,46 @@ class _Parser:
                 continue
             break
         return SetC(assignments)
+
+    def foreach_clause(self):
+        """FOREACH (x IN list | <mutating clauses>) — per-element
+        mutations (openCypher: the body allows only updating clauses;
+        the outer binding table is unchanged)."""
+        self.expect("kw", "foreach")
+        self.expect("op", "(")
+        var = self.expect("ident")[1]
+        t = self.next()
+        if not (t[0] in ("ident", "kw") and t[1].lower() == "in"):
+            raise SyntaxError(f"cypher: expected IN in FOREACH, got {t}")
+        e = self.expr()
+        self.expect("op", "|")
+        body = []
+        while self.peek() != ("op", ")"):
+            t = self.peek()
+            if t[0] != "kw":
+                raise SyntaxError(f"cypher: expected clause keyword, got {t}")
+            kw = t[1].lower()
+            if kw == "create":
+                body.append(self.create_clause())
+            elif kw == "merge":
+                body.append(self.merge_clause())
+            elif kw == "set":
+                body.append(self.set_clause())
+            elif kw in ("delete", "detach"):
+                body.append(self.delete_clause())
+            elif kw == "remove":
+                body.append(self.remove_clause())
+            elif kw == "foreach":
+                body.append(self.foreach_clause())
+            else:
+                raise ValueError(
+                    f"cypher: FOREACH body allows only updating clauses "
+                    f"(CREATE/MERGE/SET/REMOVE/DELETE/FOREACH), got {kw.upper()}"
+                )
+        self.expect("op", ")")
+        if not body:
+            raise SyntaxError("cypher: empty FOREACH body")
+        return ForeachC(var, e, body)
 
     def remove_clause(self):
         """REMOVE n.prop [, ...] — property removal (set to typed NULL).
@@ -801,7 +852,7 @@ class CypherSession:
         parts = []
         for clauses, _ in segments:
             for c in clauses:
-                if isinstance(c, (CreateC, MergeC, SetC, DeleteC, RemoveC)):
+                if isinstance(c, (CreateC, MergeC, SetC, DeleteC, RemoveC, ForeachC)):
                     raise ValueError(
                         "cypher: mutating clauses are not allowed in UNION parts"
                     )
@@ -843,6 +894,8 @@ class CypherSession:
                 self._delete(ctx, c)
             elif isinstance(c, RemoveC):
                 self._remove(ctx, c)
+            elif isinstance(c, ForeachC):
+                self._foreach(ctx, c, params)
             elif isinstance(c, UnwindC):
                 self._unwind(ctx, c, params)
             i += 1
@@ -1301,6 +1354,36 @@ class CypherSession:
                 ],
             ).dropDuplicates(["_sid"])
             ctx.ops.append(("set", kind, upd, [p for p, _ in assigns]))
+
+    def _foreach(self, ctx: _Ctx, c: ForeachC, params) -> None:
+        """FOREACH: explode the list into a PRIVATE binding table (outer
+        bindings + element var), run the body's mutation handlers against
+        it, and adopt only the pending mutations — the outer binding table
+        is untouched, per openCypher. Batch semantics carry over: each
+        body clause becomes one pending batch op over all elements x all
+        outer rows, applied with everything else at _apply."""
+        col = self._expr(c.expr, ctx.df, params)
+        inner = _Ctx()
+        if ctx.df is None:
+            inner.df = self._one_row().select(F.explode(col).alias(c.var))
+        else:
+            if c.var in ctx.df.columns:
+                raise ValueError(f"cypher: FOREACH rebinds variable {c.var!r}")
+            inner.df = ctx.df.select("*", F.explode(col).alias(c.var))
+        for cl in c.clauses:
+            if isinstance(cl, CreateC):
+                self._create(inner, cl, params)
+            elif isinstance(cl, MergeC):
+                self._merge(inner, cl, params)
+            elif isinstance(cl, SetC):
+                self._set(inner, cl, params)
+            elif isinstance(cl, DeleteC):
+                self._delete(inner, cl)
+            elif isinstance(cl, RemoveC):
+                self._remove(inner, cl)
+            elif isinstance(cl, ForeachC):
+                self._foreach(inner, cl, params)
+        ctx.ops.extend(inner.ops)
 
     def _remove(self, ctx: _Ctx, c: RemoveC) -> None:
         by_var: dict[str, list] = {}

@@ -463,14 +463,35 @@ def test_with_skip_and_where(spark):
 
 def test_unsupported_clauses_gate_with_clear_errors(spark):
     s = CypherSession(_chain_graph(spark))
-    for q, kw in [
-        ("CALL db.labels()", "CALL"),
-        ("FOREACH (x IN [1] SET n.p = x)", "FOREACH"),  # gate fires on the keyword
-    ]:
-        with pytest.raises(ValueError, match=f"{kw} is not supported"):
-            s.run(q)
+    with pytest.raises(ValueError, match="CALL is not supported"):
+        s.run("CALL db.labels()")
     with pytest.raises(ValueError, match="REMOVE of labels"):
         s.run("MATCH (n) REMOVE n:N")
+    with pytest.raises(ValueError, match="FOREACH body allows only"):
+        s.run("FOREACH (x IN [1] | RETURN x)")
+
+
+def test_foreach_creates_per_element(spark):
+    s = CypherSession(_chain_graph(spark))
+    s.run("FOREACH (v IN [10, 20, 30] | CREATE (:Mark {name: 'm', val: v}))")
+    rows = sorted(
+        r["val"] for r in s.graph.vertices.filter("label = 'Mark'").collect()
+    )
+    assert rows == [10, 20, 30]
+
+
+def test_foreach_set_over_matched_rows(spark):
+    # body SET references outer bindings AND the element variable;
+    # one batch op covers every (row, element) combination
+    s = CypherSession(_chain_graph(spark))
+    s.run("MATCH (n) WHERE n.id < 2 FOREACH (v IN [7] | SET n.name = 'x7')")
+    names = {r["id"]: r["name"] for r in s.graph.vertices.collect()}
+    assert names[0] == "x7" and names[1] == "x7" and names[2] == "n2"
+    # outer binding table unchanged: a following RETURN has no v column
+    out = s.run(
+        "MATCH (n) FOREACH (v IN [1] | SET n.name = n.name) RETURN n.id ORDER BY n.id"
+    )
+    assert "v" not in out.columns and out.count() == 6
 
 
 def test_remove_property_sets_typed_null(spark):
