@@ -86,7 +86,11 @@ def main(sf_dir: str, budget: int = 512) -> None:
     #    and sink — shard layout is a pure function of chunk ids, so a
     #    re-run reproduces byte-identical training files
     packed = traindata.pack_sequences(capped, "doc_id", "bpe_tokens", budget)
-    sharded = traindata.deterministic_shuffle(packed, "chunk_id", shards=4)
+    # chunk_id repeats across a chunk's (chunk, doc) rows — doc_id is the
+    # tiebreak that makes within-shard order fully deterministic
+    sharded = traindata.deterministic_shuffle(
+        packed, "chunk_id", shards=4, tiebreak_cols=["doc_id"]
+    )
     out = os.path.join(tempfile.mkdtemp(prefix="pretrain_"), "chunks")
     write_partitioned_parquet(sharded, out, ["shard"])
     n6 = spark.read.parquet(out).count()

@@ -814,6 +814,7 @@ class _Ctx:
     sort: list = field(default_factory=list)  # [(expr, asc)] of last ORDER BY
     created: dict = field(default_factory=dict)  # var -> _PendingCreate
     ops: list = field(default_factory=list)  # deferred graph mutations
+    order_col: str | None = None  # FOREACH element order (SET last-wins)
 
 
 class CypherSession:
@@ -861,12 +862,24 @@ class CypherSession:
                 raise ValueError("cypher: every UNION part must RETURN")
             parts.append(df)
         cols0 = parts[0].columns
+        types0 = {f.name: f.dataType for f in parts[0].schema.fields}
         for df in parts[1:]:
             if sorted(df.columns) != sorted(cols0):
                 raise ValueError(
                     "cypher: all UNION parts must return the same columns "
                     f"({cols0} vs {df.columns})"
                 )
+            for f in df.schema.fields:
+                # explicit gate: under ANSI mode Spark would coerce e.g.
+                # string->bigint here and fail LAZILY with a runtime cast
+                # error on the first incompatible value — a clear eager
+                # error beats that
+                if f.dataType != types0[f.name]:
+                    raise ValueError(
+                        "cypher: UNION parts have incompatible column "
+                        f"types for {f.name!r} ({types0[f.name].simpleString()} "
+                        f"vs {f.dataType.simpleString()})"
+                    )
         out = parts[0]
         for df in parts[1:]:
             out = out.unionByName(df)
@@ -1346,13 +1359,26 @@ class CypherSession:
                 raise ValueError(f"cypher: SET on unbound variable {var}")
             kind = "edge" if "src" in self._fields(df, var) else "node"
             idf = F.col(var).getField("eid" if kind == "edge" else "id")
-            upd = df.select(
-                idf.alias("_sid"),
-                *[
-                    self._expr(e, df, params).alias(f"_new_{prop}")
-                    for prop, e in assigns
-                ],
-            ).dropDuplicates(["_sid"])
+            news = [
+                self._expr(e, df, params).alias(f"_new_{prop}")
+                for prop, e in assigns
+            ]
+            if ctx.order_col:
+                # inside FOREACH: several rows per entity, one per list
+                # element — the LAST element's value must win (openCypher
+                # per-element execution order)
+                upd = (
+                    df.select(idf.alias("_sid"), F.col(ctx.order_col).alias("_ord"), *news)
+                    .groupBy("_sid")
+                    .agg(
+                        *[
+                            F.max_by(f"_new_{p}", F.col("_ord")).alias(f"_new_{p}")
+                            for p, _ in assigns
+                        ]
+                    )
+                )
+            else:
+                upd = df.select(idf.alias("_sid"), *news).dropDuplicates(["_sid"])
             ctx.ops.append(("set", kind, upd, [p for p, _ in assigns]))
 
     def _foreach(self, ctx: _Ctx, c: ForeachC, params) -> None:
@@ -1364,12 +1390,21 @@ class CypherSession:
         outer rows, applied with everything else at _apply."""
         col = self._expr(c.expr, ctx.df, params)
         inner = _Ctx()
-        if ctx.df is None:
-            inner.df = self._one_row().select(F.explode(col).alias(c.var))
+        base = self._one_row() if ctx.df is None else ctx.df
+        if ctx.df is not None and c.var in ctx.df.columns:
+            raise ValueError(f"cypher: FOREACH rebinds variable {c.var!r}")
+        # posexplode: the element INDEX orders SET applications so the
+        # last element wins, as per-element execution would (openCypher);
+        # nested FOREACH stacks indexes lexicographically via a struct
+        pos = f"_fe_pos{len(c.var)}_{c.var}"
+        inner.df = base.select("*", F.posexplode(col).alias(pos, c.var))
+        if ctx.order_col:
+            inner.order_col = f"{pos}_nested"
+            inner.df = inner.df.withColumn(
+                inner.order_col, F.struct(F.col(ctx.order_col), F.col(pos))
+            )
         else:
-            if c.var in ctx.df.columns:
-                raise ValueError(f"cypher: FOREACH rebinds variable {c.var!r}")
-            inner.df = ctx.df.select("*", F.explode(col).alias(c.var))
+            inner.order_col = pos
         for cl in c.clauses:
             if isinstance(cl, CreateC):
                 self._create(inner, cl, params)

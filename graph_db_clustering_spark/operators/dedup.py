@@ -506,6 +506,7 @@ def near_dups_against(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-dups of `batch` documents against an indexed corpus
     (build_band_index — shingle/minhash params MUST match the index):
@@ -516,10 +517,19 @@ def near_dups_against(
     — a new crawl batch vs the full history), candidates dedup, then the
     exact-Jaccard verify joins shingles from BOTH sides. The corpus is
     never re-shingled and never self-joined; per-batch cost scales with
-    the batch, not the history."""
+    the batch, not the history.
+
+    ``cache``: persist the batch signatures across the diamond (banding +
+    verify both read them). The persist is never released here (the
+    result is lazy), so LONG-LIVED repeated callers — near_dup_stream's
+    per-micro-batch use — pass cache=False to trade one extra map-side
+    shingle pass over the (small) batch for not accreting one pinned
+    DataFrame per call in executor storage."""
     rows_per_band = num_hashes // bands
     sh = with_hashed_shingles(batch.select(id_col, text_col), text_col, n)
-    sig = with_minhash_signature(sh, "hshingles", num_hashes, seed).persist()
+    sig = with_minhash_signature(sh, "hshingles", num_hashes, seed)
+    if cache:
+        sig = sig.persist()
     qb = band_buckets(sig, id_col, "signature", bands, rows_per_band)
     cands = (
         qb.select(F.col("id").alias("new_id"), "band", "bhash")

@@ -375,6 +375,7 @@ def deterministic_shuffle(
     id_col: str,
     shards: int,
     modulus: int = 1_000_003,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle into `shards` training shards: every
     row gets (shard, pos) where shard = mix % shards and pos is the row's
@@ -390,14 +391,20 @@ def deterministic_shuffle(
     whose partition is exactly one output shard, so shard count should be
     chosen (as it is in practice) to keep a shard's rows executor-sized.
     Writing `partitionBy("shard")` then gives one deterministic file set
-    per shard with rows in `pos` order."""
+    per shard with rows in `pos` order.
+
+    Determinism of `pos` requires (id_col, *tiebreak_cols) to be unique
+    per row: pass ``tiebreak_cols`` when id_col alone repeats (e.g.
+    packed (chunk_id, doc_id) rows sharded by chunk_id). The id mix uses
+    pmod (id_hash_bucket), so negative ids — a signed-hash id space —
+    still land in [0, shards)."""
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
-    mix = ((F.col(id_col) % modulus) * FIB_HASH) % modulus
-    out = df.withColumn("_mix", mix).withColumn(
-        "shard", (F.col("_mix") % shards).cast("int")
+    ties = list(tiebreak_cols or [])
+    out = df.withColumn("_mix", id_hash_bucket(id_col, modulus)).withColumn(
+        "shard", F.pmod(F.col("_mix"), F.lit(shards)).cast("int")
     )
-    w = Window.partitionBy("shard").orderBy("_mix", id_col)
+    w = Window.partitionBy("shard").orderBy("_mix", id_col, *ties)
     return out.withColumn("pos", F.row_number().over(w)).drop("_mix")
 
 
@@ -419,9 +426,12 @@ def take_token_budget(
     Returns the input rows (minus none of their columns) plus
     cum_tokens, the running total through each kept row. One range
     shuffle + the O(partitions) driver offsets of global_cumsum; the
-    filter itself is map-side."""
-    mix = ((F.col(id_col) % modulus) * FIB_HASH) % modulus
+    filter itself is map-side. The mix uses pmod (id_hash_bucket) so
+    negative ids order consistently with deterministic_shuffle."""
     c = global_cumsum(
-        df.withColumn("_mix", mix), ["_mix", id_col], tok_col, out="cum_tokens"
+        df.withColumn("_mix", id_hash_bucket(id_col, modulus)),
+        ["_mix", id_col],
+        tok_col,
+        out="cum_tokens",
     )
     return c.filter(F.col("cum_tokens") <= budget).drop("_mix")

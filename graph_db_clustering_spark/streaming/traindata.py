@@ -148,9 +148,11 @@ def near_dup_stream(
     buckets.count(), shingles.count()  # materialize before the stream starts
 
     def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # cache=False: a persist here would never be released and one
+        # pinned signatures DataFrame would accrete per micro-batch
         hits = near_dups_against(
             batch_df, buckets, shingles, id_col, text_col,
-            threshold, n, num_hashes, bands, seed,
+            threshold, n, num_hashes, bands, seed, cache=False,
         )
         (
             hits.withColumn("__batch_id", F.lit(int(batch_id)))

@@ -566,3 +566,30 @@ def test_union_gates(spark):
         s.run("MATCH (n) RETURN n.id AS a UNION MATCH (n)")
     with pytest.raises(ValueError, match="mutating"):
         s.run("MATCH (n) RETURN n.id AS a UNION CREATE (:N {name: 'x'})")
+
+
+def test_foreach_set_last_element_wins(spark):
+    # openCypher: per-element execution order — the LAST list element's
+    # SET lands (round-6 review finding: dropDuplicates picked arbitrary)
+    s = CypherSession(_image_graph(spark))
+    s.run("MATCH (n) WHERE ID(n) = 0 FOREACH (v IN [1.5, 2.5, 3.5] | SET n.mean = v)")
+    row = {r["id"]: r["mean"] for r in s.graph.vertices.collect()}
+    assert row[0] == 3.5
+    # nested FOREACH: lexicographic (outer, inner) order, last pair wins
+    s.run(
+        """MATCH (n) WHERE ID(n) = 1
+           FOREACH (a IN [10.0, 20.0] | FOREACH (b IN [1.0, 2.0] | SET n.mean = a + b))"""
+    )
+    row = {r["id"]: r["mean"] for r in s.graph.vertices.collect()}
+    assert row[1] == 22.0
+
+
+def test_union_mismatched_types_gate(spark):
+    # ANSI-mode Spark would coerce string->bigint and fail LAZILY with a
+    # runtime cast error on 'n1'; the front-end gates it eagerly instead
+    s = CypherSession(_chain_graph(spark))
+    with pytest.raises(ValueError, match="incompatible column types for 'x'"):
+        s.run(
+            """MATCH (n) WHERE n.id = 0 RETURN n.id AS x
+               UNION MATCH (n) WHERE n.id = 1 RETURN n.name AS x"""
+        )

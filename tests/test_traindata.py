@@ -342,3 +342,15 @@ def test_take_token_budget_invariant_and_exact(spark):
     for _, t, c in by_cum:
         acc += t
         assert c == acc
+
+
+def test_deterministic_shuffle_negative_ids_stay_in_range(spark):
+    # round-6 review finding: signed-hash id spaces include negatives;
+    # pmod keeps shard in [0, shards) (plain % would go negative)
+    from graph_db_clustering_spark.operators.traindata import deterministic_shuffle
+
+    df = spark.range(-500, 500).select(F.col("id").alias("doc_id"))
+    got = deterministic_shuffle(df, "doc_id", shards=7)
+    shards = {r.shard for r in got.select("shard").distinct().collect()}
+    assert shards <= set(range(7)) and len(shards) == 7
+    assert got.count() == 1000
