@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_ivfpq_serve",  # query latency vs a SAVED index: load + search only
     "pipeline_corpus",  # dedup -> quality -> lang-id -> token budget, one scan
     "pack_chunks",  # two-pass distributed prefix-sum sequence packing
+    "cross_dedup",  # new-crawl batch vs indexed history (band join + verify)
 ]
 
 
