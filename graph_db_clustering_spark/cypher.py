@@ -75,11 +75,14 @@ message — gates are test-pinned in tests/test_cypher.py):
     REMOVE n.prop (property -> typed NULL)     yes (label form gated)
     FOREACH (x IN list | updating clauses)     yes (batch explode;
                                                  outer bindings unchanged)
+    CALL { subquery } (uncorrelated,           yes (result cross-joined
+      read-only, ends with RETURN)               to every input row)
     list literals [..], map literals {..},     yes
       x[i], $params
     UNION / UNION ALL (RETURN parts, same      yes (unionByName,
       columns, no mixing — the Neo4j rules)      + distinct for bare UNION)
-    CALL / REMOVE n:Label                      no — ValueError gate
+    CALL procedures / correlated CALL          no — ValueError gate
+      (importing WITH) / REMOVE n:Label
     shortestPath / allShortestPaths            no — use
                                                  graph_algos.shortest_paths
     pattern in expression position /           no — SyntaxError
@@ -284,6 +287,11 @@ class ForeachC:
     clauses: list  # mutating clauses applied per element
 
 
+@dataclass
+class CallC:
+    clauses: list  # read-only subquery, must end with RETURN
+
+
 _AGG_FNS = {"count", "collect", "sum", "avg", "min", "max"}
 
 
@@ -392,9 +400,13 @@ class _Parser:
             segments.append((self.segment(), all_flag))
         return segments
 
-    def segment(self):
+    def segment(self, stop=None):
         clauses = []
-        while self.peek()[0] != "eof" and not self.at_kw("union"):
+        while (
+            self.peek()[0] != "eof"
+            and not self.at_kw("union")
+            and (stop is None or self.peek() != stop)
+        ):
             t = self.peek()
             if t[0] != "kw":
                 raise SyntaxError(f"cypher: expected clause keyword, got {t}")
@@ -423,12 +435,7 @@ class _Parser:
             elif kw == "foreach":
                 clauses.append(self.foreach_clause())
             elif kw == "call":
-                raise ValueError(
-                    "cypher: CALL is not supported (supported clauses: "
-                    "MATCH / OPTIONAL MATCH / MERGE / WITH / UNWIND / "
-                    "RETURN / CREATE / SET / REMOVE / FOREACH / DELETE / "
-                    "DETACH DELETE / UNION [ALL])"
-                )
+                clauses.append(self.call_clause())
             else:
                 raise SyntaxError(f"cypher: unexpected {t[1].upper()}")
         return clauses
@@ -526,6 +533,35 @@ class _Parser:
                 continue
             break
         return SetC(assignments)
+
+    def call_clause(self):
+        """CALL { subquery } — the uncorrelated, read-only form (its
+        result rows join every input row). CALL procedures and correlated
+        subqueries (importing WITH) stay gated."""
+        self.expect("kw", "call")
+        if self.peek() != ("op", "{"):
+            raise ValueError(
+                "cypher: CALL procedures are not supported (uncorrelated "
+                "CALL { subquery } is; procedures have no Spark analog)"
+            )
+        self.next()
+        body = self.segment(stop=("op", "}"))
+        self.expect("op", "}")
+        if not body:
+            raise SyntaxError("cypher: empty CALL subquery")
+        if isinstance(body[0], WithC) and not isinstance(body[0], ReturnC):
+            raise ValueError(
+                "cypher: correlated CALL subqueries (importing WITH) are "
+                "not supported; the subquery must be self-contained"
+            )
+        if not isinstance(body[-1], ReturnC):
+            raise ValueError("cypher: CALL subquery must end with RETURN")
+        for cl in body:
+            if isinstance(cl, (CreateC, MergeC, SetC, DeleteC, RemoveC, ForeachC)):
+                raise ValueError(
+                    "cypher: mutating clauses are not allowed in a CALL subquery"
+                )
+        return CallC(body)
 
     def foreach_clause(self):
         """FOREACH (x IN list | <mutating clauses>) — per-element
@@ -909,6 +945,8 @@ class CypherSession:
                 self._remove(ctx, c)
             elif isinstance(c, ForeachC):
                 self._foreach(ctx, c, params)
+            elif isinstance(c, CallC):
+                self._call(ctx, c, params)
             elif isinstance(c, UnwindC):
                 self._unwind(ctx, c, params)
             i += 1
@@ -1380,6 +1418,23 @@ class CypherSession:
             else:
                 upd = df.select(idf.alias("_sid"), *news).dropDuplicates(["_sid"])
             ctx.ops.append(("set", kind, upd, [p for p, _ in assigns]))
+
+    def _call(self, ctx: _Ctx, c: CallC, params) -> None:
+        """Uncorrelated CALL { subquery }: compile the (read-only, parser-
+        enforced) body with a fresh context and join its result rows to
+        every outer row — a cross join, which Catalyst turns into a
+        broadcast nested loop with the (typically tiny aggregate) result
+        broadcast. As the first clause it seeds the binding table."""
+        sub = self._run_clauses(c.clauses, params)
+        if ctx.df is None:
+            ctx.df = sub
+            return
+        overlap = set(sub.columns) & set(ctx.df.columns)
+        if overlap:
+            raise ValueError(
+                f"cypher: CALL subquery rebinds variables {sorted(overlap)}"
+            )
+        ctx.df = ctx.df.crossJoin(sub)
 
     def _foreach(self, ctx: _Ctx, c: ForeachC, params) -> None:
         """FOREACH: explode the list into a PRIVATE binding table (outer

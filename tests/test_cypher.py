@@ -463,7 +463,7 @@ def test_with_skip_and_where(spark):
 
 def test_unsupported_clauses_gate_with_clear_errors(spark):
     s = CypherSession(_chain_graph(spark))
-    with pytest.raises(ValueError, match="CALL is not supported"):
+    with pytest.raises(ValueError, match="CALL procedures are not supported"):
         s.run("CALL db.labels()")
     with pytest.raises(ValueError, match="REMOVE of labels"):
         s.run("MATCH (n) REMOVE n:N")
@@ -593,3 +593,30 @@ def test_union_mismatched_types_gate(spark):
             """MATCH (n) WHERE n.id = 0 RETURN n.id AS x
                UNION MATCH (n) WHERE n.id = 1 RETURN n.name AS x"""
         )
+
+
+def test_call_subquery_joins_result_to_every_row(spark):
+    s = CypherSession(_chain_graph(spark))
+    out = s.run(
+        """MATCH (n) CALL { MATCH (m) RETURN max(m.id) AS mx }
+           RETURN n.id AS i, mx ORDER BY i"""
+    ).collect()
+    assert [(r["i"], r["mx"]) for r in out] == [(i, 5) for i in range(6)]
+    # as the first clause it seeds the binding table
+    out = s.run(
+        """CALL { MATCH (m) RETURN count(m) AS k } MATCH (n)
+           RETURN n.id AS i, k ORDER BY i LIMIT 2"""
+    ).collect()
+    assert [(r["i"], r["k"]) for r in out] == [(0, 6), (1, 6)]
+
+
+def test_call_subquery_gates(spark):
+    s = CypherSession(_chain_graph(spark))
+    with pytest.raises(ValueError, match="must end with RETURN"):
+        s.run("CALL { MATCH (m) } RETURN 1")
+    with pytest.raises(ValueError, match="mutating clauses"):
+        s.run("CALL { CREATE (:N {name: 'x'}) RETURN 1 AS one } RETURN one")
+    with pytest.raises(ValueError, match="correlated CALL"):
+        s.run("MATCH (n) CALL { WITH n RETURN n.id AS j } RETURN j")
+    with pytest.raises(ValueError, match="rebinds variables"):
+        s.run("MATCH (n) CALL { MATCH (n) RETURN count(n) AS n } RETURN n")
