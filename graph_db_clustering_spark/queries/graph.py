@@ -360,6 +360,27 @@ def cypher_union(spark, sf_dir):
 
 
 @declared(
+    "cypher_call",
+    f"""SELECT c_custkey AS id, mx FROM customer
+CROSS JOIN (SELECT CAST(MAX(c_nationkey) AS INT) AS mx FROM customer
+            WHERE c_custkey < {_CAP})
+WHERE c_custkey < {_CAP} ORDER BY id""",
+)
+def cypher_call(spark, sf_dir):
+    """Uncorrelated CALL {{ subquery }} through the Cypher front-end
+    (round-6): the subquery's one-row aggregate joins every outer row —
+    SQL's CROSS JOIN against a scalar subquery. Driver-scoreable row for
+    the CALL machinery."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_customer_graph(spark, sf_dir))
+    return s.run(
+        """CALL { MATCH (m) RETURN max(m.nation) AS mx }
+           MATCH (c) RETURN c.id AS id, mx ORDER BY id"""
+    )
+
+
+@declared(
     "cypher_hop",
     f"""SELECT c_custkey AS "c.custkey", o_orderkey AS "o.orderkey",
        o_totalprice AS "o.totalprice"
