@@ -85,8 +85,10 @@ message — gates are test-pinned in tests/test_cypher.py):
       (importing WITH) / REMOVE n:Label
     shortestPath / allShortestPaths            no — use
                                                  graph_algos.shortest_paths
+    list comprehension [x IN l WHERE p | e]    yes (filter/transform
+      (+ range(a, b[, step]))                    HOFs; lambda scoping)
     pattern in expression position /           no — SyntaxError
-      list & pattern comprehensions
+      pattern comprehensions
     aggregates: count/collect/sum/avg/min/max  yes (+ collect(x)[0]
                                                  after ORDER BY = argmin)
     functions: ID, rand, abs, not, coalesce,   yes (others: ValueError
@@ -122,7 +124,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'[^']*'|"[^"]*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|<>|!=|[(){}\[\],:.=<>+\-*/|])
+  | (?P<op><=|>=|<>|!=|[(){}\[\],:.=<>+\-*/%|])
     """,
     re.VERBOSE,
 )
@@ -290,6 +292,14 @@ class ForeachC:
 @dataclass
 class CallC:
     clauses: list  # read-only subquery, must end with RETURN
+
+
+@dataclass
+class ListComp:
+    var: str
+    src: object  # list expression
+    pred: object | None  # WHERE filter
+    mapped: object | None  # | projection
 
 
 _AGG_FNS = {"count", "collect", "sum", "avg", "min", "max"}
@@ -749,7 +759,7 @@ class _Parser:
 
     def mul_expr(self):
         e = self.unary_expr()
-        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
             e = Bin(op, e, self.unary_expr())
         return e
@@ -794,6 +804,25 @@ class _Parser:
             self.i -= 1
             return MapLit(self.prop_map())
         if t[0] == "op" and t[1] == "[":
+            # list comprehension: [x IN list WHERE pred | expr]
+            nxt, nxt2 = self.peek(), self.peek(1)
+            if (
+                nxt[0] == "ident"
+                and nxt2[0] in ("ident", "kw")
+                and nxt2[1].lower() == "in"
+            ):
+                var = self.next()[1]
+                self.next()  # IN
+                src = self.expr()
+                pred = mapped = None
+                if self.at_kw("where"):
+                    self.next()
+                    pred = self.expr()
+                if self.peek() == ("op", "|"):
+                    self.next()
+                    mapped = self.expr()
+                self.expect("op", "]")
+                return ListComp(var, src, pred, mapped)
             items = []
             if self.peek() != ("op", "]"):
                 items.append(self.expr())
@@ -871,6 +900,7 @@ class CypherSession:
             edges = edges.withColumn("eid", F.row_number().over(w).cast("long"))
         self.graph = Graph(graph.vertices, edges)
         self.seed = seed
+        self._lambda_env: dict[str, Column] = {}  # list-comprehension vars
 
     # -- public API ---------------------------------------------------------
 
@@ -1182,7 +1212,10 @@ class CypherSession:
     def _project(self, ctx: _Ctx, c: WithC, params) -> DataFrame:
         df = ctx.df
         if df is None:
-            raise ValueError("cypher: WITH/RETURN with no preceding MATCH")
+            # expression-only RETURN/WITH (Neo4j's `RETURN 1`): one
+            # anonymous input row; references to unbound variables still
+            # fail naturally at column resolution
+            df = self._one_row()
         aggs = [(e, a) for e, a in c.items if _has_agg(e)]
         keys = [(e, a) for e, a in c.items if not _has_agg(e)]
         names = [a or _name_of(e) for e, a in c.items]
@@ -1650,6 +1683,8 @@ class CypherSession:
                 raise KeyError(f"cypher: missing parameter ${e.name}")
             return F.lit(params[e.name])
         if isinstance(e, Var):
+            if e.name in self._lambda_env:
+                return self._lambda_env[e.name]
             return F.col(e.name)
         if isinstance(e, Prop):
             return self._expr(e.base, df, params).getField(e.name)
@@ -1664,6 +1699,32 @@ class CypherSession:
             )
         if isinstance(e, ListLit):
             return F.array(*[self._expr(v, df, params) for v in e.items])
+        if isinstance(e, ListComp):
+            # [x IN src WHERE pred | mapped] -> filter + transform HOFs;
+            # the lambda variable shadows outer bindings for the sub-
+            # expression's compilation (saved/restored for nesting)
+            src = self._expr(e.src, df, params)
+
+            def _with(sub):
+                def fn(x):
+                    had, old = e.var in self._lambda_env, self._lambda_env.get(e.var)
+                    self._lambda_env[e.var] = x
+                    try:
+                        return self._expr(sub, df, params)
+                    finally:
+                        if had:
+                            self._lambda_env[e.var] = old
+                        else:
+                            del self._lambda_env[e.var]
+
+                return fn
+
+            out = src
+            if e.pred is not None:
+                out = F.filter(out, _with(e.pred))
+            if e.mapped is not None:
+                out = F.transform(out, _with(e.mapped))
+            return out
         if isinstance(e, Bin):
             if e.op in ("and", "or"):
                 l, r = self._expr(e.left, df, params), self._expr(e.right, df, params)
@@ -1681,6 +1742,7 @@ class CypherSession:
                 "-": l - r,
                 "*": l * r,
                 "/": l / r,
+                "%": l % r,  # sign of dividend, Cypher == Java == Spark
             }[e.op]
         if isinstance(e, Func):
             name = e.name.lower()
@@ -1702,6 +1764,10 @@ class CypherSession:
                 return F.upper(self._expr(e.args[0], df, params))
             if name == "coalesce":
                 return F.coalesce(*[self._expr(a, df, params) for a in e.args])
+            if name == "range":
+                # Cypher range(start, end[, step]) is inclusive on both
+                # ends, exactly F.sequence's contract
+                return F.sequence(*[self._expr(a, df, params) for a in e.args])
             if name == "size":
                 return F.size(self._expr(e.args[0], df, params))
             raise ValueError(f"cypher: unsupported function {e.name}()")

@@ -620,3 +620,30 @@ def test_call_subquery_gates(spark):
         s.run("MATCH (n) CALL { WITH n RETURN n.id AS j } RETURN j")
     with pytest.raises(ValueError, match="rebinds variables"):
         s.run("MATCH (n) CALL { MATCH (n) RETURN count(n) AS n } RETURN n")
+
+
+def test_list_comprehension_filter_and_map(spark):
+    s = CypherSession(_chain_graph(spark))
+    out = s.run(
+        """RETURN [x IN range(1, 10) WHERE x % 2 = 0 | x * x] AS sq,
+                  [x IN [1, 2, 3] | x + 10] AS add,
+                  [x IN [1, 2, 3, 4] WHERE x > 2] AS flt"""
+    ).collect()[0]
+    assert list(out["sq"]) == [4, 16, 36, 64, 100]
+    assert list(out["add"]) == [11, 12, 13]
+    assert list(out["flt"]) == [3, 4]
+
+
+def test_list_comprehension_over_bound_vars_and_nested(spark):
+    s = CypherSession(_chain_graph(spark))
+    # comprehension referencing an outer binding, plus nesting with
+    # variable shadowing ([x ... [x ...]] — inner x wins inside)
+    out = s.run(
+        """MATCH (n) WHERE n.id < 3
+           RETURN n.id AS i,
+                  [x IN range(0, 2) | x + n.id] AS offs,
+                  [x IN [1] | [x IN [5, 6] | x]] AS nested
+           ORDER BY i"""
+    ).collect()
+    assert [list(r["offs"]) for r in out] == [[0, 1, 2], [1, 2, 3], [2, 3, 4]]
+    assert [[list(inner) for inner in r["nested"]] for r in out] == [[[5, 6]]] * 3
