@@ -360,6 +360,29 @@ def cypher_union(spark, sf_dir):
 
 
 @declared(
+    "cypher_listcomp",
+    f"""SELECT c_custkey AS id,
+  list_transform(list_filter(generate_series(0, 4), x -> x % 2 = 0),
+                 x -> x + c_nationkey) AS lst
+FROM customer WHERE c_custkey < {_CAP} ORDER BY id""",
+)
+def cypher_listcomp(spark, sf_dir):
+    """List comprehension through the Cypher front-end (round-6):
+    [x IN range(0,4) WHERE x % 2 = 0 | x + c.nation] compiles to
+    filter/transform HOFs over a sequence — DuckDB's list_filter /
+    list_transform are the oracle's exact analog."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_customer_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c)
+           RETURN c.id AS id,
+                  [x IN range(0, 4) WHERE x % 2 = 0 | x + c.nation] AS lst
+           ORDER BY id"""
+    )
+
+
+@declared(
     "cypher_call",
     f"""SELECT c_custkey AS id, mx FROM customer
 CROSS JOIN (SELECT CAST(MAX(c_nationkey) AS INT) AS mx FROM customer

@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 113
-DOCUMENTED_ORACLES = 93
+DOCUMENTED_QUERIES = 114
+DOCUMENTED_ORACLES = 94
 
 
 def test_ledger_counts_match():
