@@ -318,6 +318,14 @@ def _has_agg(e) -> bool:
         return _has_agg(e.base)
     if isinstance(e, MapLit):
         return any(_has_agg(v) for v in e.items.values())
+    if isinstance(e, ListLit):
+        return any(_has_agg(v) for v in e.items)
+    if isinstance(e, ListComp):
+        return (
+            _has_agg(e.src)
+            or (e.pred is not None and _has_agg(e.pred))
+            or (e.mapped is not None and _has_agg(e.mapped))
+        )
     return False
 
 
@@ -556,6 +564,11 @@ class _Parser:
             )
         self.next()
         body = self.segment(stop=("op", "}"))
+        if self.at_kw("union"):
+            raise ValueError(
+                "cypher: UNION inside a CALL { } subquery is not "
+                "supported (run the UNION as the top-level query)"
+            )
         self.expect("op", "}")
         if not body:
             raise SyntaxError("cypher: empty CALL subquery")
@@ -952,6 +965,12 @@ class CypherSession:
         return out if union_all else out.distinct()
 
     def _run_clauses(self, clauses, params) -> DataFrame | None:
+        if clauses and isinstance(clauses[-1], CallC):
+            # Neo4j's rule; without it the subquery's rows would be
+            # silently dropped (run() would return None)
+            raise ValueError(
+                "cypher: a query cannot conclude with CALL — add RETURN"
+            )
         ctx = _Ctx()
         result = None
         i = 0
@@ -1279,9 +1298,50 @@ class CypherSession:
             raise ValueError(f"cypher: UNWIND rebinds variable {c.alias!r}")
         ctx.df = ctx.df.select("*", F.explode(col).alias(c.alias))
 
+    def _listcomp_over(self, src_col: Column, e, df, params) -> Column:
+        """filter/transform HOFs over an already-compiled source column;
+        the lambda variable shadows outer bindings for the duration of
+        each sub-expression's compilation (saved/restored for nesting)."""
+
+        def _with(sub):
+            def fn(x):
+                had, old = e.var in self._lambda_env, self._lambda_env.get(e.var)
+                self._lambda_env[e.var] = x
+                try:
+                    return self._expr(sub, df, params)
+                finally:
+                    if had:
+                        self._lambda_env[e.var] = old
+                    else:
+                        del self._lambda_env[e.var]
+
+            return fn
+
+        out = src_col
+        if e.pred is not None:
+            out = F.filter(out, _with(e.pred))
+        if e.mapped is not None:
+            out = F.transform(out, _with(e.mapped))
+        return out
+
     def _agg_expr(self, e, df, params, sort) -> Column:
         """Aggregate item, with collect(x)[0]-after-ORDER-BY compiled as
         min/max(struct(sort keys, x)) — argmin as a hash aggregate."""
+        if isinstance(e, ListComp):
+            # [x IN collect(...) WHERE p | m] — the canonical Neo4j
+            # collect-into-comprehension idiom: aggregate the source,
+            # then apply the HOFs post-aggregation (round-6 review)
+            if (e.pred is not None and _has_agg(e.pred)) or (
+                e.mapped is not None and _has_agg(e.mapped)
+            ):
+                raise ValueError(
+                    "cypher: aggregates inside a comprehension's WHERE/"
+                    "projection are not supported (aggregate in the "
+                    "source list only)"
+                )
+            return self._listcomp_over(
+                self._agg_expr(e.src, df, params, sort), e, df, params
+            )
         if (
             isinstance(e, Index)
             and isinstance(e.base, Func)
@@ -1673,7 +1733,9 @@ class CypherSession:
         return [f.name for f in df.schema[var].dataType.fields]
 
     def _one_row(self) -> DataFrame:
-        return self.graph.vertices.sparkSession.range(1)
+        # no columns: range(1) would expose an 'id' column and let the
+        # unbound variable `id` silently resolve to 0 (round-6 review)
+        return self.graph.vertices.sparkSession.range(1).select()
 
     def _expr(self, e, df: DataFrame | None, params) -> Column:
         if isinstance(e, Lit):
@@ -1700,31 +1762,8 @@ class CypherSession:
         if isinstance(e, ListLit):
             return F.array(*[self._expr(v, df, params) for v in e.items])
         if isinstance(e, ListComp):
-            # [x IN src WHERE pred | mapped] -> filter + transform HOFs;
-            # the lambda variable shadows outer bindings for the sub-
-            # expression's compilation (saved/restored for nesting)
-            src = self._expr(e.src, df, params)
-
-            def _with(sub):
-                def fn(x):
-                    had, old = e.var in self._lambda_env, self._lambda_env.get(e.var)
-                    self._lambda_env[e.var] = x
-                    try:
-                        return self._expr(sub, df, params)
-                    finally:
-                        if had:
-                            self._lambda_env[e.var] = old
-                        else:
-                            del self._lambda_env[e.var]
-
-                return fn
-
-            out = src
-            if e.pred is not None:
-                out = F.filter(out, _with(e.pred))
-            if e.mapped is not None:
-                out = F.transform(out, _with(e.mapped))
-            return out
+            # [x IN src WHERE pred | mapped] -> filter + transform HOFs
+            return self._listcomp_over(self._expr(e.src, df, params), e, df, params)
         if isinstance(e, Bin):
             if e.op in ("and", "or"):
                 l, r = self._expr(e.left, df, params), self._expr(e.right, df, params)
@@ -1765,9 +1804,21 @@ class CypherSession:
             if name == "coalesce":
                 return F.coalesce(*[self._expr(a, df, params) for a in e.args])
             if name == "range":
-                # Cypher range(start, end[, step]) is inclusive on both
-                # ends, exactly F.sequence's contract
-                return F.sequence(*[self._expr(a, df, params) for a in e.args])
+                # Cypher range(start, end[, step]): inclusive both ends,
+                # EMPTY when the step's sign can't reach end from start —
+                # where F.sequence would either auto-negate the step
+                # (range(5,1) -> [5..1]) or throw (explicit wrong-sign
+                # step), so gate with a when() (round-6 review)
+                s = self._expr(e.args[0], df, params)
+                stop = self._expr(e.args[1], df, params)
+                step = (
+                    self._expr(e.args[2], df, params)
+                    if len(e.args) > 2
+                    else F.lit(1)
+                )
+                reachable = ((step > 0) & (s <= stop)) | ((step < 0) & (s >= stop))
+                empty = F.slice(F.sequence(s, s), 1, 0)  # typed empty array
+                return F.when(reachable, F.sequence(s, stop, step)).otherwise(empty)
             if name == "size":
                 return F.size(self._expr(e.args[0], df, params))
             raise ValueError(f"cypher: unsupported function {e.name}()")

@@ -647,3 +647,29 @@ def test_list_comprehension_over_bound_vars_and_nested(spark):
     ).collect()
     assert [list(r["offs"]) for r in out] == [[0, 1, 2], [1, 2, 3], [2, 3, 4]]
     assert [[list(inner) for inner in r["nested"]] for r in out] == [[[5, 6]]] * 3
+
+
+def test_round6_review_fixes(spark):
+    s = CypherSession(_chain_graph(spark))
+    # range: start > end (or wrong-sign step) is EMPTY like Neo4j, never
+    # an auto-descending list or a runtime error
+    row = s.run(
+        """RETURN range(5, 1) AS down, range(0, -1) AS neg,
+                  range(5, 1, -1) AS expl, range(1, 5, -1) AS wrong"""
+    ).collect()[0]
+    assert list(row["down"]) == [] and list(row["neg"]) == []
+    assert list(row["expl"]) == [5, 4, 3, 2, 1] and list(row["wrong"]) == []
+    # expression-only RETURN must NOT silently bind `id` to range(1)'s col
+    with pytest.raises(Exception, match="id|resolve|UNRESOLVED"):
+        s.run("RETURN id AS x").collect()
+    # collect-into-comprehension (the canonical Neo4j idiom)
+    out = s.run(
+        "MATCH (n) RETURN [x IN collect(n.id) WHERE x < 3 | x * 10] AS xs"
+    ).collect()[0]
+    assert sorted(out["xs"]) == [0, 10, 20]
+    # a query cannot conclude with CALL (result would be dropped)
+    with pytest.raises(ValueError, match="conclude with CALL"):
+        s.run("CALL { MATCH (m) RETURN count(m) AS k }")
+    # UNION inside CALL gates clearly, not with a brace parse error
+    with pytest.raises(ValueError, match="UNION inside a CALL"):
+        s.run("CALL { RETURN 1 AS x UNION RETURN 2 AS x } RETURN x")
