@@ -87,8 +87,12 @@ message — gates are test-pinned in tests/test_cypher.py):
                                                  graph_algos.shortest_paths
     list comprehension [x IN l WHERE p | e]    yes (filter/transform
       (+ range(a, b[, step]))                    HOFs; lambda scoping)
-    pattern in expression position /           no — SyntaxError
-      pattern comprehensions
+    pattern comprehension                      yes (bound subject; one
+      [(a)-[:R]->(b) WHERE p | e]                join + collect per comp;
+                                                 sorted lists — Neo4j
+                                                 leaves order unspecified)
+    other pattern-in-expression forms          no — SyntaxError
+      (exists() patterns, shortestPath)
     aggregates: count/collect/sum/avg/min/max  yes (+ collect(x)[0]
                                                  after ORDER BY = argmin)
     functions: ID, rand, abs, not, coalesce,   yes (others: ValueError
@@ -302,6 +306,13 @@ class ListComp:
     mapped: object | None  # | projection
 
 
+@dataclass
+class PatternComp:
+    path: object  # PathPat; first node must be a bound variable
+    pred: object | None  # WHERE filter over the pattern's bindings
+    mapped: object  # | projection (required, as in openCypher)
+
+
 _AGG_FNS = {"count", "collect", "sum", "avg", "min", "max"}
 
 
@@ -343,6 +354,8 @@ def _name_of(e) -> str:
         return f"${e.name}"
     if isinstance(e, Index):
         return f"{_name_of(e.base)}[{e.idx}]"
+    if isinstance(e, PatternComp):
+        return "[pattern]"
     return "expr"
 
 
@@ -817,6 +830,32 @@ class _Parser:
             self.i -= 1
             return MapLit(self.prop_map())
         if t[0] == "op" and t[1] == "[":
+            # pattern comprehension: [(a)-[:R]->(b) WHERE pred | expr].
+            # Backtracking probe: "[(" could also open a parenthesized
+            # expression inside a list literal, so only commit when a
+            # path with >=1 edge parses AND the required | (or WHERE)
+            # follows.
+            if self.peek() == ("op", "("):
+                save = self.i
+                path = None
+                try:
+                    cand = self.path()
+                    if len(cand.edges) >= 1 and (
+                        self.at_kw("where") or self.peek() == ("op", "|")
+                    ):
+                        path = cand
+                except (SyntaxError, ValueError):
+                    pass
+                if path is not None:
+                    pred = None
+                    if self.at_kw("where"):
+                        self.next()
+                        pred = self.expr()
+                    self.expect("op", "|")
+                    mapped = self.expr()
+                    self.expect("op", "]")
+                    return PatternComp(path, pred, mapped)
+                self.i = save
             # list comprehension: [x IN list WHERE pred | expr]
             nxt, nxt2 = self.peek(), self.peek(1)
             if (
@@ -1228,23 +1267,114 @@ class CypherSession:
 
     # -- WITH / RETURN ------------------------------------------------------
 
+    def _rewrite_pattern_comps(self, ctx: _Ctx, exprs: list, params) -> list:
+        """Replace every PatternComp in the expression trees with a Var
+        referencing a temp column attached to the binding table by
+        _attach_pattern_comp (one join + agg per comprehension)."""
+        counter = [0]
+
+        def rw(e):
+            if isinstance(e, PatternComp):
+                name = f"__pc{counter[0]}"
+                counter[0] += 1
+                self._attach_pattern_comp(ctx, e, name, params)
+                return Var(name)
+            if isinstance(e, Bin):
+                return Bin(e.op, rw(e.left), rw(e.right))
+            if isinstance(e, Prop):
+                return Prop(rw(e.base), e.name)
+            if isinstance(e, Index):
+                return Index(rw(e.base), e.idx)
+            if isinstance(e, Func):
+                return Func(e.name, [rw(a) for a in e.args])
+            if isinstance(e, MapLit):
+                return MapLit({k: rw(v) for k, v in e.items.items()})
+            if isinstance(e, ListLit):
+                return ListLit([rw(v) for v in e.items])
+            if isinstance(e, ListComp):
+                return ListComp(
+                    e.var,
+                    rw(e.src),
+                    rw(e.pred) if e.pred is not None else None,
+                    rw(e.mapped) if e.mapped is not None else None,
+                )
+            return e
+
+        return [rw(e) for e in exprs]
+
+    def _attach_pattern_comp(self, ctx: _Ctx, pc, name: str, params) -> None:
+        """[(a)-[:R]->(b) WHERE p | expr] for a BOUND subject a: run the
+        pattern as its own match frame, compile the projection against
+        it, collect per subject id (sort_array for determinism — Neo4j
+        leaves the order unspecified), and LEFT-join the lists onto the
+        binding table ([] for subjects with no matches). One join + one
+        aggregate per comprehension — never a per-row subquery."""
+        if ctx.df is None:
+            raise ValueError(
+                "cypher: pattern comprehension requires a bound subject "
+                "(start with MATCH)"
+            )
+        subj = pc.path.nodes[0].var
+        if subj is None or subj not in ctx.df.columns:
+            raise ValueError(
+                "cypher: a pattern comprehension's first node must be a "
+                "variable bound by an earlier MATCH"
+            )
+        inner_vars = [n.var for n in pc.path.nodes[1:] if n.var] + [
+            e.var for e in pc.path.edges if e.var
+        ]
+        clash = sorted(v for v in inner_vars if v in ctx.df.columns)
+        if clash:
+            raise ValueError(
+                f"cypher: pattern comprehension rebinds variables {clash}"
+            )
+        sub = _Ctx()
+        self._match(sub, MatchC([pc.path], pc.pred, False), params)
+        payload = self._expr(pc.mapped, sub.df, params)
+        agg = (
+            sub.df.select(
+                F.col(subj).getField("id").alias("__pc_sid"),
+                payload.alias("__pc_val"),
+            )
+            .groupBy("__pc_sid")
+            .agg(F.sort_array(F.collect_list("__pc_val")).alias(name))
+        )
+        list_type = agg.schema[name].dataType
+        ctx.df = (
+            ctx.df.join(
+                agg,
+                F.col(subj).getField("id") == F.col("__pc_sid"),
+                "left",
+            )
+            .drop("__pc_sid")
+            .withColumn(
+                name,
+                F.coalesce(F.col(name), F.array().cast(list_type)),
+            )
+        )
+
     def _project(self, ctx: _Ctx, c: WithC, params) -> DataFrame:
+        # pattern comprehensions need DataFrame surgery (a join + agg per
+        # comprehension), so they are extracted into temp columns on the
+        # binding table first; default names come from the ORIGINAL items
+        items = self._rewrite_pattern_comps(ctx, [e for e, _ in c.items], params)
+        pairs = [
+            (re, a or _name_of(oe)) for (oe, a), re in zip(c.items, items)
+        ]
         df = ctx.df
         if df is None:
             # expression-only RETURN/WITH (Neo4j's `RETURN 1`): one
             # anonymous input row; references to unbound variables still
             # fail naturally at column resolution
             df = self._one_row()
-        aggs = [(e, a) for e, a in c.items if _has_agg(e)]
-        keys = [(e, a) for e, a in c.items if not _has_agg(e)]
-        names = [a or _name_of(e) for e, a in c.items]
+        aggs = [(e, nm) for e, nm in pairs if _has_agg(e)]
+        keys = [(e, nm) for e, nm in pairs if not _has_agg(e)]
+        names = [nm for _, nm in pairs]
         if aggs:
-            key_cols = [
-                self._expr(e, df, params).alias(a or _name_of(e)) for e, a in keys
-            ]
+            key_cols = [self._expr(e, df, params).alias(nm) for e, nm in keys]
             agg_cols = [
-                self._agg_expr(e, df, params, ctx.sort).alias(a or _name_of(e))
-                for e, a in aggs
+                self._agg_expr(e, df, params, ctx.sort).alias(nm)
+                for e, nm in aggs
             ]
             grouped = df.groupBy(*key_cols) if key_cols else df.groupBy()
             out = grouped.agg(*agg_cols)
@@ -1253,10 +1383,7 @@ class CypherSession:
             out = out.select(*[F.col(f"`{n}`") for n in names])
         else:
             out = df.select(
-                *[
-                    self._expr(e, df, params).alias(a or _name_of(e))
-                    for e, a in c.items
-                ]
+                *[self._expr(e, df, params).alias(nm) for e, nm in pairs]
             )
         if c.distinct:
             out = out.dropDuplicates()

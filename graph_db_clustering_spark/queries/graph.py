@@ -360,6 +360,33 @@ def cypher_union(spark, sf_dir):
 
 
 @declared(
+    "cypher_patcomp",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+        WHERE c_custkey < {_CAP}),
+e AS (SELECT a.id AS src, b.id AS dst FROM v a
+      JOIN v b ON a.nation = b.nation AND a.id < b.id)
+SELECT v.id AS id, COALESCE(l.peers, CAST([] AS BIGINT[])) AS peers
+FROM v LEFT JOIN (SELECT src, LIST(dst ORDER BY dst) AS peers
+                  FROM e GROUP BY src) l ON v.id = l.src
+ORDER BY id""",
+)
+def cypher_patcomp(spark, sf_dir):
+    """Pattern comprehension through the Cypher front-end (round-6):
+    [(c)-[:same_nation]->(d) | d.id] compiles to one pattern-match join +
+    sorted collect per subject, LEFT-joined back ([] when no matches) —
+    the oracle is the same shape in SQL (LIST(...) GROUP BY + LEFT
+    JOIN + COALESCE empty list)."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_customer_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c)
+           RETURN c.id AS id, [(c)-[:same_nation]->(d) | d.id] AS peers
+           ORDER BY id"""
+    )
+
+
+@declared(
     "cypher_listcomp",
     f"""SELECT c_custkey AS id,
   list_transform(list_filter(generate_series(0, 4), x -> x % 2 = 0),

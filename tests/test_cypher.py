@@ -673,3 +673,41 @@ def test_round6_review_fixes(spark):
     # UNION inside CALL gates clearly, not with a brace parse error
     with pytest.raises(ValueError, match="UNION inside a CALL"):
         s.run("CALL { RETURN 1 AS x UNION RETURN 2 AS x } RETURN x")
+
+
+def test_pattern_comprehension(spark):
+    s = CypherSession(_chain_graph(spark))
+    out = s.run(
+        """MATCH (a)
+           RETURN a.id AS i,
+                  [(a)-[:NEXT]->(b) | b.id] AS nxt,
+                  [(a)-[:HOP]->(c) WHERE c.id > 4 | c.name] AS hi,
+                  size([(a)-[]->(x) | x.id]) AS deg
+           ORDER BY i"""
+    ).collect()
+    got = [(r.i, list(r.nxt), list(r.hi), r.deg) for r in out]
+    assert got == [
+        (0, [1], ["n5"], 3),  # 0 -> 1 (NEXT), 0 -> 4,5 (HOP)
+        (1, [2], [], 1),
+        (2, [3], [], 1),
+        (3, [], [], 0),
+        (4, [], [], 1),  # 4 -> 3 (HOP)
+        (5, [], [], 1),
+    ]
+    # undirected and incoming forms
+    out = s.run(
+        "MATCH (a) WHERE a.id = 3 RETURN [(a)<-[:HOP]-(p) | p.id] AS parents"
+    ).collect()[0]
+    assert sorted(out.parents) == [4, 5]
+    # list literal starting with a parenthesized expression still parses
+    assert list(s.run("RETURN [(1+2), 3] AS l").collect()[0].l) == [3, 3]
+
+
+def test_pattern_comprehension_gates(spark):
+    s = CypherSession(_chain_graph(spark))
+    with pytest.raises(ValueError, match="must be a variable bound"):
+        s.run("MATCH (a) RETURN [(z)-[:NEXT]->(b) | b.id] AS xs")
+    with pytest.raises(ValueError, match="rebinds variables"):
+        s.run("MATCH (a), (b) RETURN [(a)-[:NEXT]->(b) | b.id] AS xs")
+    with pytest.raises(ValueError, match="bound subject"):
+        s.run("RETURN [(a)-[:NEXT]->(b) | b.id] AS xs")
