@@ -91,8 +91,10 @@ message — gates are test-pinned in tests/test_cypher.py):
       [(a)-[:R]->(b) WHERE p | e]                join + collect per comp;
                                                  sorted lists — Neo4j
                                                  leaves order unspecified)
-    other pattern-in-expression forms          no — SyntaxError
-      (exists() patterns, shortestPath)
+    exists((a)-[:R]->(b)) WHERE predicate      yes (flag-column join —
+      (+ legacy exists(n.prop) = IS NOT NULL)    composes with NOT/OR)
+    shortestPath / bare pattern predicates     no — SyntaxError
+      ((a)-->() without exists)
     aggregates: count/collect/sum/avg/min/max  yes (+ collect(x)[0]
                                                  after ORDER BY = argmin)
     functions: ID, rand, abs, not, coalesce,   yes (others: ValueError
@@ -311,6 +313,11 @@ class PatternComp:
     path: object  # PathPat; first node must be a bound variable
     pred: object | None  # WHERE filter over the pattern's bindings
     mapped: object  # | projection (required, as in openCypher)
+
+
+@dataclass
+class PatternPred:
+    path: object  # PathPat inside exists(); >=1 node var must be bound
 
 
 _AGG_FNS = {"count", "collect", "sum", "avg", "min", "max"}
@@ -886,6 +893,18 @@ class _Parser:
         if t[0] == "ident":
             if self.peek() == ("op", "("):
                 self.next()
+                # exists((a)-[:R]->(b)): pattern predicate (backtracking —
+                # exists(expr) with a parenthesized expression stays legal)
+                if t[1].lower() == "exists" and self.peek() == ("op", "("):
+                    save = self.i
+                    try:
+                        cand = self.path()
+                        if len(cand.edges) >= 1 and self.peek() == ("op", ")"):
+                            self.next()
+                            return PatternPred(cand)
+                    except (SyntaxError, ValueError):
+                        pass
+                    self.i = save
                 args = []
                 if self.peek() == ("op", "*"):
                     self.next()
@@ -1231,7 +1250,7 @@ class CypherSession:
 
         if c.optional:
             if c.where is not None:
-                local = local.filter(self._expr(c.where, local, params))
+                local = self._filter_with_pattern_preds(local, c.where, params)
             if ctx.df is None:
                 # OPTIONAL MATCH as first clause: one all-NULL row when the
                 # pattern is empty (openCypher), via a constant-key left join
@@ -1258,7 +1277,7 @@ class CypherSession:
                 shared = [v for v in local.columns if v in ctx.df.columns]
                 ctx.df = ctx.df.join(local, shared) if shared else ctx.df.crossJoin(local)
             if c.where is not None:
-                ctx.df = ctx.df.filter(self._expr(c.where, ctx.df, params))
+                ctx.df = self._filter_with_pattern_preds(ctx.df, c.where, params)
         ctx.sort = []
 
     def _node_frame_all(self, name: str) -> DataFrame:
@@ -1266,6 +1285,70 @@ class CypherSession:
         return v.select(F.struct(*v.columns).alias(name))
 
     # -- WITH / RETURN ------------------------------------------------------
+
+    def _filter_with_pattern_preds(self, frame: DataFrame, where, params) -> DataFrame:
+        """Apply a WHERE whose tree may contain exists(<pattern>)
+        predicates: each pattern becomes a boolean flag column via one
+        match-frame join keyed on the ids of its BOUND variables (a
+        semi-join shape, kept as a flag so NOT / OR compose), then the
+        rewritten predicate filters the frame and the flags are dropped."""
+        flags: list[str] = []
+
+        def rw(e):
+            if isinstance(e, PatternPred):
+                name = f"__pe{len(flags)}"
+                flags.append(name)
+                nonlocal frame
+                frame = self._attach_pattern_pred(frame, e, name, params)
+                return Var(name)
+            if isinstance(e, Bin):
+                return Bin(e.op, rw(e.left), rw(e.right))
+            if isinstance(e, Func):
+                return Func(e.name, [rw(a) for a in e.args])
+            if isinstance(e, Prop):
+                return Prop(rw(e.base), e.name)
+            if isinstance(e, Index):
+                return Index(rw(e.base), e.idx)
+            return e
+
+        where = rw(where)
+        out = frame.filter(self._expr(where, frame, params))
+        return out.drop(*flags) if flags else out
+
+    def _attach_pattern_pred(self, frame: DataFrame, pp, name: str, params) -> DataFrame:
+        """exists((a)-[:R]->(b)): True for rows whose bound-variable ids
+        participate in at least one pattern match. Bound vars appearing in
+        the pattern become the join key (so exists((a)-[:R]->(b)) with
+        BOTH bound checks that specific edge); unbound ones are
+        existential."""
+        node_vars = [n.var for n in pp.path.nodes if n.var]
+        bound = [v for v in node_vars if v in frame.columns]
+        if not bound:
+            raise ValueError(
+                "cypher: exists(<pattern>) needs at least one variable "
+                "bound by the enclosing MATCH"
+            )
+        sub = _Ctx()
+        self._match(sub, MatchC([pp.path], None, False), params)
+        ids = (
+            sub.df.select(
+                *[
+                    F.col(v).getField("id").alias(f"__pek_{v}")
+                    for v in bound
+                ]
+            )
+            .distinct()
+            .withColumn(name, F.lit(True))
+        )
+        cond = None
+        for v in bound:
+            c = frame[v].getField("id") == ids[f"__pek_{v}"]
+            cond = c if cond is None else (cond & c)
+        return (
+            frame.join(ids, cond, "left")
+            .drop(*[f"__pek_{v}" for v in bound])
+            .withColumn(name, F.coalesce(F.col(name), F.lit(False)))
+        )
 
     def _rewrite_pattern_comps(self, ctx: _Ctx, exprs: list, params) -> list:
         """Replace every PatternComp in the expression trees with a Var
@@ -1930,6 +2013,11 @@ class CypherSession:
                 return F.upper(self._expr(e.args[0], df, params))
             if name == "coalesce":
                 return F.coalesce(*[self._expr(a, df, params) for a in e.args])
+            if name == "exists" and len(e.args) == 1:
+                # legacy Neo4j exists(n.prop) == n.prop IS NOT NULL; the
+                # pattern form exists((a)-[:R]->(b)) is parsed separately
+                # as PatternPred and handled in WHERE
+                return self._expr(e.args[0], df, params).isNotNull()
             if name == "range":
                 # Cypher range(start, end[, step]): inclusive both ends,
                 # EMPTY when the step's sign can't reach end from start —

@@ -711,3 +711,36 @@ def test_pattern_comprehension_gates(spark):
         s.run("MATCH (a), (b) RETURN [(a)-[:NEXT]->(b) | b.id] AS xs")
     with pytest.raises(ValueError, match="bound subject"):
         s.run("RETURN [(a)-[:NEXT]->(b) | b.id] AS xs")
+
+
+def test_exists_pattern_predicate(spark):
+    s = CypherSession(_chain_graph(spark))
+    # existential: sources of NEXT edges
+    out = s.run(
+        "MATCH (a) WHERE exists((a)-[:NEXT]->()) RETURN a.id AS i ORDER BY i"
+    )
+    assert [r.i for r in out.collect()] == [0, 1, 2]
+    # NOT / OR compose (flag column, not a bare semi join)
+    out = s.run(
+        "MATCH (a) WHERE not(exists((a)-[:NEXT]->())) RETURN a.id AS i ORDER BY i"
+    )
+    assert [r.i for r in out.collect()] == [3, 4, 5]
+    out = s.run(
+        """MATCH (a) WHERE exists((a)-[:NEXT]->()) OR a.id = 5
+           RETURN a.id AS i ORDER BY i"""
+    )
+    assert [r.i for r in out.collect()] == [0, 1, 2, 5]
+    # both endpoints bound: specific-edge existence
+    out = s.run(
+        """MATCH (a), (b) WHERE exists((a)-[:HOP]->(b))
+           RETURN a.id AS x, b.id AS y ORDER BY x, y"""
+    )
+    assert [(r.x, r.y) for r in out.collect()] == [(0, 4), (0, 5), (4, 3), (5, 3)]
+    # legacy property form == IS NOT NULL
+    s2 = CypherSession(_image_graph(spark))
+    s2.run("MATCH (c) WHERE ID(c) = 0 REMOVE c.name")
+    out = s2.run("MATCH (c) WHERE exists(c.name) RETURN ID(c) AS i ORDER BY i")
+    assert [r.i for r in out.collect()] == [1, 2, 3, 4]
+    # unbound pattern gates clearly
+    with pytest.raises(ValueError, match="at least one variable bound"):
+        s.run("MATCH (a) WHERE exists((z)-[:NEXT]->()) RETURN a.id")
