@@ -360,6 +360,28 @@ def cypher_union(spark, sf_dir):
 
 
 @declared(
+    "cypher_exists",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+        WHERE c_custkey < {_CAP})
+SELECT a.id AS id FROM v a
+WHERE EXISTS (SELECT 1 FROM v b WHERE b.nation = a.nation AND a.id < b.id)
+ORDER BY id""",
+)
+def cypher_exists(spark, sf_dir):
+    """exists(<pattern>) WHERE predicate through the Cypher front-end
+    (round-6): customers with at least one outgoing same_nation edge
+    (edges go low id -> high id, so this is 'has a higher-id peer') —
+    SQL's correlated EXISTS is the oracle."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_customer_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c) WHERE exists((c)-[:same_nation]->())
+           RETURN c.id AS id ORDER BY id"""
+    )
+
+
+@declared(
     "cypher_patcomp",
     f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
         WHERE c_custkey < {_CAP}),
