@@ -95,19 +95,29 @@ message — gates are test-pinned in tests/test_cypher.py):
       (+ legacy exists(n.prop) = IS NOT NULL)    composes with NOT/OR)
     shortestPath / bare pattern predicates     no — SyntaxError
       ((a)-->() without exists)
+    CASE (simple + searched, no ELSE -> null)  yes (F.when chain)
+    IS [NOT] NULL, x IN list, STARTS WITH /    yes (=~ anchored to the
+      ENDS WITH / CONTAINS, =~ regex             whole string, as Neo4j)
     aggregates: count/collect/sum/avg/min/max  yes (+ collect(x)[0]
                                                  after ORDER BY = argmin)
     functions: ID, rand, abs, not, coalesce,   yes (others: ValueError
-      size, toLower/toUpper                      'unsupported function')
+      size (strings + lists), toLower/toUpper,   'unsupported function')
+      toString/toInteger/toFloat/toBoolean,
+      substring/left/right/trim/ltrim/rtrim/
+      replace/split/reverse, head/last/tail,
+      round/floor/ceil/sqrt/sign/exp/log/
+      log10/pi, labels/type/keys/properties
 """
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from graph_db_clustering_spark.operators.graph import Graph
 
@@ -120,6 +130,8 @@ _KEYWORDS = {
     "delete", "detach", "return", "as", "and", "or", "not", "asc", "desc",
     "distinct", "true", "false", "null", "optional", "merge", "unwind",
     "skip", "union", "call", "foreach", "remove",
+    "case", "when", "then", "else", "end", "in", "is", "starts", "ends",
+    "contains",
 }
 
 _TOKEN_RE = re.compile(
@@ -130,7 +142,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'[^']*'|"[^"]*")
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|<>|!=|[(){}\[\],:.=<>+\-*/%|])
+  | (?P<op>=~|<=|>=|<>|!=|[(){}\[\],:.=<>+\-*/%|])
     """,
     re.VERBOSE,
 )
@@ -320,6 +332,13 @@ class PatternPred:
     path: object  # PathPat inside exists(); >=1 node var must be bound
 
 
+@dataclass
+class Case:
+    subject: object | None  # simple form: CASE subj WHEN val ...; None = searched
+    whens: list  # [(when_expr, then_expr)]; when_expr is a value (simple) or predicate (searched)
+    default: object | None  # ELSE; Cypher yields null when absent
+
+
 _AGG_FNS = {"count", "collect", "sum", "avg", "min", "max"}
 
 
@@ -344,6 +363,12 @@ def _has_agg(e) -> bool:
             or (e.pred is not None and _has_agg(e.pred))
             or (e.mapped is not None and _has_agg(e.mapped))
         )
+    if isinstance(e, Case):
+        return (
+            (e.subject is not None and _has_agg(e.subject))
+            or any(_has_agg(w) or _has_agg(t) for w, t in e.whens)
+            or (e.default is not None and _has_agg(e.default))
+        )
     return False
 
 
@@ -363,6 +388,8 @@ def _name_of(e) -> str:
         return f"{_name_of(e.base)}[{e.idx}]"
     if isinstance(e, PatternComp):
         return "[pattern]"
+    if isinstance(e, Case):
+        return "case"
     return "expr"
 
 
@@ -778,9 +805,29 @@ class _Parser:
     def cmp_expr(self):
         e = self.add_expr()
         t = self.peek()
-        if t[0] == "op" and t[1] in ("=", "<>", "!=", "<", "<=", ">", ">="):
+        if t[0] == "op" and t[1] in ("=", "<>", "!=", "<", "<=", ">", ">=", "=~"):
             op = self.next()[1]
             e = Bin("=" if op == "=" else op, e, self.add_expr())
+        elif self.at_kw("in"):
+            self.next()
+            e = Bin("in", e, self.add_expr())
+        elif self.at_kw("starts", "ends"):
+            which = self.next()[1].lower()
+            self.expect("kw", "with")
+            e = Bin("startswith" if which == "starts" else "endswith", e, self.add_expr())
+        elif self.at_kw("contains"):
+            self.next()
+            e = Bin("contains", e, self.add_expr())
+        # IS [NOT] NULL postfixes the comparison (Cypher binds it tightest
+        # of the predicate forms; `a = b IS NULL` is not legal Cypher so
+        # applying it to the whole comparison never changes a legal query)
+        if self.at_kw("is"):
+            self.next()
+            neg = self.at_kw("not")
+            if neg:
+                self.next()
+            self.expect("kw", "null")
+            e = Func("isnotnull" if neg else "isnull", [e])
         return e
 
     def add_expr(self):
@@ -817,7 +864,31 @@ class _Parser:
             else:
                 return e
 
+    def case_expr(self):
+        """CASE [subject] WHEN ... THEN ... [ELSE ...] END — both the
+        simple (value-match) and searched (predicate) forms."""
+        self.expect("kw", "case")
+        subject = (
+            None if self.at_kw("when", "else", "end") else self.expr()
+        )
+        whens = []
+        while self.at_kw("when"):
+            self.next()
+            w = self.expr()
+            self.expect("kw", "then")
+            whens.append((w, self.expr()))
+        if not whens:
+            raise SyntaxError("cypher: CASE needs at least one WHEN ... THEN")
+        default = None
+        if self.at_kw("else"):
+            self.next()
+            default = self.expr()
+        self.expect("kw", "end")
+        return Case(subject, whens, default)
+
     def primary(self):
+        if self.at_kw("case"):
+            return self.case_expr()
         t = self.next()
         if t[0] == "num":
             return Lit(float(t[1]) if "." in t[1] else int(t[1]))
@@ -1974,11 +2045,41 @@ class CypherSession:
         if isinstance(e, ListComp):
             # [x IN src WHERE pred | mapped] -> filter + transform HOFs
             return self._listcomp_over(self._expr(e.src, df, params), e, df, params)
+        if isinstance(e, Case):
+            subj = (
+                self._expr(e.subject, df, params)
+                if e.subject is not None
+                else None
+            )
+            col = None
+            for w, th in e.whens:
+                wc = self._expr(w, df, params)
+                cond = wc if subj is None else (subj == wc)
+                then = self._expr(th, df, params)
+                col = F.when(cond, then) if col is None else col.when(cond, then)
+            # Cypher: no ELSE -> null (F.when's default, so nothing to add)
+            return col if e.default is None else col.otherwise(
+                self._expr(e.default, df, params)
+            )
         if isinstance(e, Bin):
             if e.op in ("and", "or"):
                 l, r = self._expr(e.left, df, params), self._expr(e.right, df, params)
                 return (l & r) if e.op == "and" else (l | r)
             l, r = self._expr(e.left, df, params), self._expr(e.right, df, params)
+            if e.op == "in":
+                return F.array_contains(r, l)
+            if e.op == "startswith":
+                return l.startswith(r)
+            if e.op == "endswith":
+                return l.endswith(r)
+            if e.op == "contains":
+                return l.contains(r)
+            if e.op == "=~":
+                # Cypher =~ is a WHOLE-string match (Java matches());
+                # Spark's regexp_like is a find() — anchor the pattern
+                return F.regexp_like(
+                    l, F.concat(F.lit("^(?:"), r, F.lit(")$"))
+                )
             return {
                 "=": l == r,
                 "<>": l != r,
@@ -2035,6 +2136,158 @@ class CypherSession:
                 empty = F.slice(F.sequence(s, s), 1, 0)  # typed empty array
                 return F.when(reachable, F.sequence(s, stop, step)).otherwise(empty)
             if name == "size":
-                return F.size(self._expr(e.args[0], df, params))
+                # Cypher size() counts list elements AND string chars;
+                # F.size is list/map-only, so resolve the operand's type
+                # (driver-side analysis, no job) and pick length() for
+                # strings. Lambda-scoped operands can't be resolved
+                # against df — fall back to the list form.
+                c = self._expr(e.args[0], df, params)
+                if df is not None:
+                    try:
+                        dt = df.select(c).schema[0].dataType
+                    except Exception:
+                        dt = None
+                    if isinstance(dt, T.StringType):
+                        return F.length(c)
+                return F.size(c)
+            if name in ("isnull", "isnotnull"):
+                c = self._expr(e.args[0], df, params)
+                return c.isNull() if name == "isnull" else c.isNotNull()
+            if name == "tostring":
+                return self._expr(e.args[0], df, params).cast("string")
+            if name == "tointeger":
+                # Cypher: numeric -> truncate toward zero; string -> parse
+                # (null on failure, hence try_cast under ANSI mode)
+                return (
+                    self._expr(e.args[0], df, params)
+                    .try_cast("double")
+                    .cast("long")
+                )
+            if name == "tofloat":
+                return self._expr(e.args[0], df, params).try_cast("double")
+            if name == "toboolean":
+                # strict 'true'/'false' (any case), null otherwise — Spark's
+                # boolean cast also accepts 'yes'/'1' which Cypher rejects
+                lc = F.lower(self._expr(e.args[0], df, params).cast("string"))
+                return F.when(lc == "true", F.lit(True)).when(
+                    lc == "false", F.lit(False)
+                )
+            if name == "substring":
+                # Cypher is 0-based; Spark substring is 1-based
+                s = self._expr(e.args[0], df, params)
+                start = self._expr(e.args[1], df, params)
+                ln = (
+                    self._expr(e.args[2], df, params)
+                    if len(e.args) > 2
+                    else F.length(s)
+                )
+                return F.substring(s, start + F.lit(1), ln)
+            if name == "left":
+                s = self._expr(e.args[0], df, params)
+                return F.substring(s, F.lit(1), self._expr(e.args[1], df, params))
+            if name == "right":
+                s = self._expr(e.args[0], df, params)
+                n = self._expr(e.args[1], df, params)
+                return F.substring(
+                    s, F.greatest(F.length(s) - n + F.lit(1), F.lit(1)), n
+                )
+            if name == "trim":
+                return F.trim(self._expr(e.args[0], df, params))
+            if name == "ltrim":
+                return F.ltrim(self._expr(e.args[0], df, params))
+            if name == "rtrim":
+                return F.rtrim(self._expr(e.args[0], df, params))
+            if name == "replace":
+                return F.replace(
+                    *[self._expr(a, df, params) for a in e.args]
+                )
+            if name == "split":
+                # Cypher splits on a LITERAL delimiter; F.split takes a
+                # regex, so the delimiter must be known at compile time
+                # to be escaped
+                d = e.args[1]
+                if isinstance(d, Param):
+                    d = Lit(params.get(d.name))
+                if not isinstance(d, Lit) or not isinstance(d.value, str):
+                    raise ValueError(
+                        "cypher: split() needs a string-literal (or string "
+                        "parameter) delimiter"
+                    )
+                return F.split(
+                    self._expr(e.args[0], df, params), re.escape(d.value), -1
+                )
+            if name == "reverse":  # strings and lists
+                return F.reverse(self._expr(e.args[0], df, params))
+            if name == "head":
+                return F.get(self._expr(e.args[0], df, params), 0)
+            if name == "last":
+                c = self._expr(e.args[0], df, params)
+                return F.get(c, F.size(c) - F.lit(1))
+            if name == "tail":
+                c = self._expr(e.args[0], df, params)
+                return F.slice(
+                    c, F.lit(2), F.greatest(F.size(c) - F.lit(1), F.lit(0))
+                )
+            if name == "round":
+                c = self._expr(e.args[0], df, params)
+                if len(e.args) > 1:
+                    prec = e.args[1]
+                    if not isinstance(prec, Lit) or not isinstance(prec.value, int):
+                        raise ValueError(
+                            "cypher: round() precision must be an integer literal"
+                        )
+                    return F.round(c, prec.value)
+                return F.round(c)  # HALF_UP, matching Neo4j
+            if name == "floor":
+                return F.floor(self._expr(e.args[0], df, params))
+            if name == "ceil":
+                return F.ceil(self._expr(e.args[0], df, params))
+            if name == "sqrt":
+                return F.sqrt(self._expr(e.args[0], df, params))
+            if name == "sign":  # Cypher sign() returns INTEGER
+                return F.signum(self._expr(e.args[0], df, params)).cast("long")
+            if name == "exp":
+                return F.exp(self._expr(e.args[0], df, params))
+            if name == "log":  # Cypher log() is the natural log
+                return F.log(self._expr(e.args[0], df, params))
+            if name == "log10":
+                return F.log10(self._expr(e.args[0], df, params))
+            if name == "pi":
+                return F.lit(math.pi)
+            if name == "labels":
+                # single-label vertex model: labels(n) == [n.label]
+                return F.array(
+                    self._expr(e.args[0], df, params).getField(LABEL_COL)
+                )
+            if name == "type":
+                return self._expr(e.args[0], df, params).getField("relationship")
+            if name in ("keys", "properties"):
+                if df is None or not isinstance(e.args[0], Var):
+                    raise ValueError(
+                        f"cypher: {name}() needs a bound node/edge variable"
+                    )
+                var = e.args[0].name
+                fields = self._fields(df, var)
+                internal = (
+                    {"src", "dst", "eid", "relationship"}
+                    if "src" in fields
+                    else {"id", LABEL_COL}
+                )
+                base = self._expr(e.args[0], df, params)
+                props = [f for f in fields if f not in internal]
+                if name == "properties":
+                    return F.struct(
+                        *[base.getField(f).alias(f) for f in props]
+                    )
+                # keys(): only properties present (non-null) on this entity
+                return F.filter(
+                    F.array(
+                        *[
+                            F.when(base.getField(f).isNotNull(), F.lit(f))
+                            for f in props
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
+                )
             raise ValueError(f"cypher: unsupported function {e.name}()")
         raise ValueError(f"cypher: cannot compile expression {e}")

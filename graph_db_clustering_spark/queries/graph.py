@@ -474,3 +474,93 @@ def cypher_hop(spark, sf_dir):
            ORDER BY c.custkey, o.orderkey""",
         lo=150000,
     )
+
+
+def _rich_customer_graph(spark, sf_dir) -> Graph:
+    """Customer vertices keeping name/acctbal — the string/CASE entries
+    need text properties to chew on."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    e = spark.createDataFrame([], "src long, dst long, relationship string")
+    return Graph(c, e)
+
+
+@declared(
+    "cypher_case",
+    f"""SELECT c_nationkey AS nation,
+       CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(SUM(CASE c_mktsegment WHEN 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bldg,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+WHERE c_custkey < {_CAP} AND c_name LIKE '%1%' AND c_acctbal IS NOT NULL
+GROUP BY c_nationkey ORDER BY nation""",
+)
+def cypher_case(spark, sf_dir):
+    """CASE expressions through the Cypher front-end (round-6): a searched
+    CASE and a simple (value-match) CASE nested inside aggregates with
+    implicit grouping, plus the new IS NOT NULL / CONTAINS predicates —
+    the conditional-aggregation shape every real Cypher workload uses.
+    Compiled to an F.when chain inside a single hash aggregate."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    e = spark.createDataFrame([], "src long, dst long, relationship string")
+    s = CypherSession(Graph(c, e))
+    return s.run(
+        """MATCH (c:Customer)
+           WHERE c.name CONTAINS '1' AND c.acctbal IS NOT NULL
+           RETURN c.nation AS nation,
+                  sum(CASE WHEN c.acctbal < 0 THEN 1 ELSE 0 END) AS n_neg,
+                  sum(CASE c.segment WHEN 'BUILDING' THEN 1 ELSE 0 END) AS n_bldg,
+                  count(c) AS n
+           ORDER BY nation"""
+    )
+
+
+@declared(
+    "cypher_strfuncs",
+    f"""SELECT c_custkey AS id,
+       CAST(CAST(SUBSTRING(c_name, 10) AS DOUBLE) AS BIGINT) AS parsed,
+       SUBSTRING(c_name, 1, 8) AS prefix,
+       REPLACE(c_name, 'Customer', 'Cust') AS short,
+       CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS par
+FROM customer WHERE c_custkey < {_CAP} ORDER BY id""",
+)
+def cypher_strfuncs(spark, sf_dir):
+    """Scalar string-function surface through the Cypher front-end
+    (round-6): substring (0-based, re-based for Spark), left, replace,
+    toInteger parsing, and a searched CASE over an arithmetic predicate.
+    All compile to codegen'd JVM expressions — one projection, no UDFs."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_rich_customer_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c:Customer)
+           RETURN c.id AS id,
+                  toInteger(substring(c.name, 9)) AS parsed,
+                  left(c.name, 8) AS prefix,
+                  replace(c.name, 'Customer', 'Cust') AS short,
+                  CASE WHEN c.id % 2 = 0 THEN 'even' ELSE 'odd' END AS par
+           ORDER BY id"""
+    )

@@ -744,3 +744,175 @@ def test_exists_pattern_predicate(spark):
     # unbound pattern gates clearly
     with pytest.raises(ValueError, match="at least one variable bound"):
         s.run("MATCH (a) WHERE exists((z)-[:NEXT]->()) RETURN a.id")
+
+
+def _null_image_graph(spark):
+    """Image graph where one node is missing its mean (null property)."""
+    v = spark.createDataFrame(
+        [
+            (0, "Image", "img0", 1.0, False),
+            (1, "Image", "img1", 2.0, False),
+            (2, "Image", "img2", 10.0, False),
+            (3, "Image", "cent_a", 0.0, True),
+            (4, "Image", "cent_b", None, True),
+        ],
+        "id long, label string, name string, mean double, centroid boolean",
+    )
+    e = spark.createDataFrame(
+        [(0, 3, "CLOSEST_TO")], "src long, dst long, relationship string"
+    )
+    return Graph(v, e)
+
+
+def test_case_searched_and_simple(spark):
+    s = CypherSession(_null_image_graph(spark))
+    out = s.run(
+        """MATCH (n:Image)
+           RETURN n.name AS nm,
+                  CASE WHEN n.mean > 5 THEN 'big'
+                       WHEN n.mean > 1 THEN 'mid'
+                       ELSE 'small' END AS bucket
+           ORDER BY nm"""
+    )
+    assert [(r.nm, r.bucket) for r in out.collect()] == [
+        ("cent_a", "small"),
+        ("cent_b", "small"),  # null mean falls through to ELSE
+        ("img0", "small"),
+        ("img1", "mid"),
+        ("img2", "big"),
+    ]
+    # simple (value-match) form; missing ELSE yields null
+    out = s.run(
+        """MATCH (n:Image)
+           RETURN n.name AS nm, CASE n.centroid WHEN true THEN 'c' END AS tag
+           ORDER BY nm"""
+    )
+    assert [(r.nm, r.tag) for r in out.collect()] == [
+        ("cent_a", "c"),
+        ("cent_b", "c"),
+        ("img0", None),
+        ("img1", None),
+        ("img2", None),
+    ]
+    # CASE nests inside aggregates with implicit grouping
+    out = s.run(
+        """MATCH (n:Image)
+           RETURN n.centroid AS c,
+                  sum(CASE WHEN n.mean IS NULL THEN 0 ELSE 1 END) AS nonnull
+           ORDER BY c"""
+    )
+    assert [(r.c, r.nonnull) for r in out.collect()] == [(False, 3), (True, 1)]
+    with pytest.raises(SyntaxError, match="at least one WHEN"):
+        s.run("MATCH (n) RETURN CASE ELSE 1 END AS x")
+
+
+def test_null_predicates_and_membership(spark):
+    s = CypherSession(_null_image_graph(spark))
+    out = s.run("MATCH (n:Image) WHERE n.mean IS NULL RETURN n.name AS nm")
+    assert [r.nm for r in out.collect()] == ["cent_b"]
+    out = s.run(
+        """MATCH (n:Image) WHERE n.mean IS NOT NULL AND n.centroid
+           RETURN n.name AS nm"""
+    )
+    assert [r.nm for r in out.collect()] == ["cent_a"]
+    out = s.run(
+        """MATCH (n:Image) WHERE n.name IN ['img0', 'cent_b']
+           RETURN n.name AS nm ORDER BY nm"""
+    )
+    assert [r.nm for r in out.collect()] == ["cent_b", "img0"]
+    # IN over a parameterized list
+    out = s.run(
+        "MATCH (n:Image) WHERE n.name IN $names RETURN n.name AS nm",
+        names=["img2"],
+    )
+    assert [r.nm for r in out.collect()] == ["img2"]
+
+
+def test_string_predicates(spark):
+    s = CypherSession(_null_image_graph(spark))
+    run_names = lambda q: [
+        r.nm for r in s.run(q + " RETURN n.name AS nm ORDER BY nm").collect()
+    ]
+    assert run_names("MATCH (n:Image) WHERE n.name STARTS WITH 'cent'") == [
+        "cent_a",
+        "cent_b",
+    ]
+    assert run_names("MATCH (n:Image) WHERE n.name ENDS WITH '2'") == ["img2"]
+    assert run_names("MATCH (n:Image) WHERE n.name CONTAINS 'mg'") == [
+        "img0",
+        "img1",
+        "img2",
+    ]
+    # =~ is a WHOLE-string match (Java matches()), not a find()
+    assert run_names(r"MATCH (n:Image) WHERE n.name =~ 'img\d'") == [
+        "img0",
+        "img1",
+        "img2",
+    ]
+    assert run_names("MATCH (n:Image) WHERE n.name =~ 'img'") == []
+
+
+def test_scalar_function_surface(spark):
+    s = CypherSession(_null_image_graph(spark))
+    row = s.run(
+        """RETURN toString(1.5) AS s, toInteger('4.7') AS i,
+                  toInteger('nope') AS ibad, toFloat('2.5') AS f,
+                  toBoolean('TRUE') AS b, toBoolean('nah') AS b2"""
+    ).collect()[0]
+    assert (row.s, row.i, row.ibad, row.f, row.b, row.b2) == (
+        "1.5", 4, None, 2.5, True, None,
+    )
+    row = s.run(
+        """RETURN substring('hello world', 6) AS a, substring('hello', 1, 3) AS b,
+                  left('hello', 2) AS l, right('hello', 3) AS r,
+                  right('hi', 5) AS r2, trim('  x ') AS t,
+                  replace('a-b-c', '-', '+') AS rep,
+                  split('a,b,,c', ',') AS sp, reverse('abc') AS rv"""
+    ).collect()[0]
+    assert (row.a, row.b, row.l, row.r, row.r2) == ("world", "ell", "he", "llo", "hi")
+    assert (row.t, row.rep, row.sp, row.rv) == ("x", "a+b+c", ["a", "b", "", "c"], "cba")
+    row = s.run(
+        """RETURN head([1,2,3]) AS h, last([1,2,3]) AS l, tail([1,2,3]) AS t,
+                  head([]) AS he, last([]) AS le, tail([1]) AS te"""
+    ).collect()[0]
+    assert (row.h, row.l, row.t, row.he, row.le, row.te) == (1, 3, [2, 3], None, None, [])
+    row = s.run(
+        """RETURN round(2.5) AS r1, round(2.448, 2) AS r2, floor(2.7) AS fl,
+                  ceil(2.1) AS ce, sqrt(9.0) AS sq, sign(-3.2) AS sg,
+                  log(1.0) AS lg, log10(100.0) AS lt, pi() AS p"""
+    ).collect()[0]
+    assert (row.r1, row.r2, row.fl, row.ce, row.sq, row.sg, row.lg, row.lt) == (
+        3.0, 2.45, 2, 3, 3.0, -1, 0.0, 2.0,
+    )
+    assert abs(row.p - 3.14159265) < 1e-8
+    # size() is polymorphic: string chars vs list elements
+    row = s.run(
+        "MATCH (n:Image) WHERE n.name = 'img0' "
+        "RETURN size(n.name) AS sz, size([1,2]) AS sza"
+    ).collect()[0]
+    assert (row.sz, row.sza) == (4, 2)
+
+
+def test_entity_introspection_functions(spark):
+    s = CypherSession(_null_image_graph(spark))
+    row = s.run(
+        "MATCH (n:Image) WHERE n.name = 'img0' RETURN labels(n) AS lb"
+    ).collect()[0]
+    assert row.lb == ["Image"]
+    row = s.run("MATCH (a)-[r]->(b) RETURN type(r) AS t").collect()[0]
+    assert row.t == "CLOSEST_TO"
+    # keys() lists only properties PRESENT (non-null) on the entity
+    out = s.run(
+        """MATCH (n:Image) WHERE n.name IN ['cent_b', 'img0']
+           RETURN n.name AS nm, keys(n) AS ks ORDER BY nm"""
+    )
+    assert [(r.nm, r.ks) for r in out.collect()] == [
+        ("cent_b", ["name", "centroid"]),
+        ("img0", ["name", "mean", "centroid"]),
+    ]
+    row = s.run(
+        "MATCH (n:Image) WHERE n.name = 'img0' RETURN properties(n) AS ps"
+    ).collect()[0]
+    assert row.ps.asDict() == {"name": "img0", "mean": 1.0, "centroid": False}
+    with pytest.raises(ValueError, match="bound node/edge variable"):
+        s.run("RETURN keys([1,2]) AS x")
