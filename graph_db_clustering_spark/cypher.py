@@ -77,6 +77,10 @@ message — gates are test-pinned in tests/test_cypher.py):
                                                  outer bindings unchanged)
     CALL { subquery } (uncorrelated,           yes (result cross-joined
       read-only, ends with RETURN)               to every input row)
+    CALL { WITH a, b ... } (correlated,        yes (runs ONCE over the
+      read-only; per-row aggregates,             distinct import combos,
+      per-row ORDER BY/SKIP/LIMIT,               null-safe equi-join back;
+      empty-group defaults 0/[]/0)               never per-row execution)
     list literals [..], map literals {..},     yes
       x[i], $params
     UNION / UNION ALL (RETURN parts, same      yes (unionByName,
@@ -310,6 +314,7 @@ class ForeachC:
 @dataclass
 class CallC:
     clauses: list  # read-only subquery, must end with RETURN
+    imports: list | None = None  # importing-WITH variable names (correlated)
 
 
 @dataclass
@@ -619,11 +624,32 @@ class _Parser:
         self.expect("op", "}")
         if not body:
             raise SyntaxError("cypher: empty CALL subquery")
+        imports = None
         if isinstance(body[0], WithC) and not isinstance(body[0], ReturnC):
-            raise ValueError(
-                "cypher: correlated CALL subqueries (importing WITH) are "
-                "not supported; the subquery must be self-contained"
+            # correlated form: the first clause must be an importing WITH —
+            # openCypher requires a bare variable list (no aliases,
+            # expressions, DISTINCT, ORDER BY, WHERE, SKIP or LIMIT)
+            imp = body[0]
+            plain = all(
+                isinstance(e, Var) and a is None for e, a in imp.items
             )
+            if (
+                not plain
+                or imp.distinct
+                or imp.order_by
+                or imp.limit is not None
+                or imp.skip
+                or imp.where is not None
+            ):
+                raise ValueError(
+                    "cypher: a CALL subquery's importing WITH must be a "
+                    "plain variable list (WITH a, b) — no expressions, "
+                    "aliases, DISTINCT, ORDER BY, WHERE, SKIP or LIMIT"
+                )
+            imports = [e.name for e, _ in imp.items]
+            body = body[1:]
+            if not body:
+                raise SyntaxError("cypher: empty CALL subquery")
         if not isinstance(body[-1], ReturnC):
             raise ValueError("cypher: CALL subquery must end with RETURN")
         for cl in body:
@@ -631,7 +657,7 @@ class _Parser:
                 raise ValueError(
                     "cypher: mutating clauses are not allowed in a CALL subquery"
                 )
-        return CallC(body)
+        return CallC(body, imports)
 
     def foreach_clause(self):
         """FOREACH (x IN list | <mutating clauses>) — per-element
@@ -1022,6 +1048,8 @@ class _Ctx:
     created: dict = field(default_factory=dict)  # var -> _PendingCreate
     ops: list = field(default_factory=list)  # deferred graph mutations
     order_col: str | None = None  # FOREACH element order (SET last-wins)
+    call_keys: list = field(default_factory=list)  # hidden correlated-CALL
+    # join-key columns (__ck_*) every projection must group by / carry
 
 
 class CypherSession:
@@ -1101,6 +1129,13 @@ class CypherSession:
                 "cypher: a query cannot conclude with CALL — add RETURN"
             )
         ctx = _Ctx()
+        result = self._dispatch(ctx, clauses, params)
+        self._apply(ctx)
+        return result
+
+    def _dispatch(self, ctx: _Ctx, clauses, params) -> DataFrame | None:
+        """Run a clause list against an existing context (no _apply) —
+        the shared loop for top-level queries and CALL subqueries."""
         result = None
         i = 0
         while i < len(clauses):
@@ -1128,7 +1163,6 @@ class CypherSession:
             elif isinstance(c, UnwindC):
                 self._unwind(ctx, c, params)
             i += 1
-        self._apply(ctx)
         return result
 
     # -- MATCH --------------------------------------------------------------
@@ -1524,20 +1558,26 @@ class CypherSession:
         aggs = [(e, nm) for e, nm in pairs if _has_agg(e)]
         keys = [(e, nm) for e, nm in pairs if not _has_agg(e)]
         names = [nm for _, nm in pairs]
+        # inside a correlated CALL subquery the hidden __ck_* import
+        # columns ride through every projection: extra grouping keys for
+        # aggregates, pass-through columns otherwise — this is what turns
+        # the body's "global" aggregate into a per-input-combo aggregate
+        hidden = [k for k in ctx.call_keys if k in df.columns]
         if aggs:
             key_cols = [self._expr(e, df, params).alias(nm) for e, nm in keys]
             agg_cols = [
                 self._agg_expr(e, df, params, ctx.sort).alias(nm)
                 for e, nm in aggs
             ]
-            grouped = df.groupBy(*key_cols) if key_cols else df.groupBy()
+            grouped = df.groupBy(*key_cols, *[F.col(k) for k in hidden])
             out = grouped.agg(*agg_cols)
             # restore the item order of the WITH/RETURN list (backticks:
             # Cypher default names like `i.name` contain dots)
-            out = out.select(*[F.col(f"`{n}`") for n in names])
+            out = out.select(*[F.col(f"`{n}`") for n in names], *hidden)
         else:
             out = df.select(
-                *[self._expr(e, df, params).alias(nm) for e, nm in pairs]
+                *[self._expr(e, df, params).alias(nm) for e, nm in pairs],
+                *hidden,
             )
         if c.distinct:
             out = out.dropDuplicates()
@@ -1555,12 +1595,36 @@ class CypherSession:
                     else self._expr(e, out, params)
                 )
                 sort_cols.append(col if asc else col.desc())
-            out = out.orderBy(*sort_cols)
             ctx.sort = list(c.order_by)
-        if c.skip:
-            out = out.offset(c.skip)
-        if c.limit is not None:
-            out = out.limit(c.limit)
+            if not hidden:
+                out = out.orderBy(*sort_cols)
+        if hidden and (c.skip or c.limit is not None):
+            # per-input-combo SKIP/LIMIT: a window top-k partitioned by
+            # the import keys (a global offset/limit would take rows from
+            # whichever combos happened to sort first). Without ORDER BY
+            # the kept rows are arbitrary, as in Neo4j.
+            order = (
+                sort_cols
+                if c.order_by
+                else [F.monotonically_increasing_id()]
+            )
+            w = Window.partitionBy(*[F.col(k) for k in hidden]).orderBy(*order)
+            rn = "__call_rn"
+            lo = c.skip or 0
+            hi = lo + c.limit if c.limit is not None else None
+            cond = F.col(rn) > lo
+            if hi is not None:
+                cond = cond & (F.col(rn) <= hi)
+            out = (
+                out.withColumn(rn, F.row_number().over(w))
+                .filter(cond)
+                .drop(rn)
+            )
+        elif not hidden:
+            if c.skip:
+                out = out.offset(c.skip)
+            if c.limit is not None:
+                out = out.limit(c.limit)
         if c.where is not None:
             # WITH ... WHERE: filter the projected (and sliced) rows
             out = out.filter(self._expr(c.where, out, params))
@@ -1794,21 +1858,91 @@ class CypherSession:
             ctx.ops.append(("set", kind, upd, [p for p, _ in assigns]))
 
     def _call(self, ctx: _Ctx, c: CallC, params) -> None:
-        """Uncorrelated CALL { subquery }: compile the (read-only, parser-
-        enforced) body with a fresh context and join its result rows to
-        every outer row — a cross join, which Catalyst turns into a
-        broadcast nested loop with the (typically tiny aggregate) result
-        broadcast. As the first clause it seeds the binding table."""
-        sub = self._run_clauses(c.clauses, params)
-        if ctx.df is None:
-            ctx.df = sub
+        """CALL { subquery }, both forms.
+
+        Uncorrelated: compile the (read-only, parser-enforced) body with a
+        fresh context and join its result rows to every outer row — a
+        cross join, which Catalyst turns into a broadcast nested loop with
+        the (typically tiny aggregate) result broadcast. As the first
+        clause it seeds the binding table.
+
+        Correlated (importing WITH): Neo4j executes the body once per
+        input row; the set-based compile instead runs it ONCE over the
+        DISTINCT imported-variable combinations and equi-joins the result
+        back on those columns (null-safe) — identical semantics, and at
+        scale strictly less work when imports repeat. The import combos
+        ride through the body in hidden __ck_* columns that every
+        projection groups by / carries (ctx.call_keys), so an aggregate
+        like count(o) aggregates PER input combo, and ORDER BY + LIMIT
+        become a per-combo window top-k. An all-aggregate RETURN joins
+        back LEFT with Cypher's empty-group defaults (count 0, collect [],
+        sum 0) so inputs with no matches survive, as they do in Neo4j."""
+        if c.imports is None:
+            sub = self._run_clauses(c.clauses, params)
+            if ctx.df is None:
+                ctx.df = sub
+                return
+            overlap = set(sub.columns) & set(ctx.df.columns)
+            if overlap:
+                raise ValueError(
+                    f"cypher: CALL subquery rebinds variables {sorted(overlap)}"
+                )
+            ctx.df = ctx.df.crossJoin(sub)
             return
-        overlap = set(sub.columns) & set(ctx.df.columns)
+        if ctx.df is None:
+            raise ValueError(
+                "cypher: a correlated CALL subquery (importing WITH) needs "
+                "bindings from an earlier clause"
+            )
+        missing = [v for v in c.imports if v not in ctx.df.columns]
+        if missing:
+            raise ValueError(
+                f"cypher: CALL imports unbound variables {missing}"
+            )
+        keys = [f"__ck_{v}" for v in c.imports]
+        seed = ctx.df.select(c.imports).dropDuplicates()
+        seed = seed.select(
+            "*", *[F.col(v).alias(k) for v, k in zip(c.imports, keys)]
+        )
+        sub_ctx = _Ctx(df=seed, call_keys=keys)
+        sub = self._dispatch(sub_ctx, c.clauses, params)
+        out_cols = [col for col in sub.columns if col not in keys]
+        overlap = set(out_cols) & set(ctx.df.columns)
         if overlap:
             raise ValueError(
                 f"cypher: CALL subquery rebinds variables {sorted(overlap)}"
             )
-        ctx.df = ctx.df.crossJoin(sub)
+        ret = c.clauses[-1]
+        all_agg = all(_has_agg(e) for e, _ in ret.items)
+        cond = None
+        for v, k in zip(c.imports, keys):
+            eq = ctx.df[v].eqNullSafe(sub[k])
+            cond = eq if cond is None else (cond & eq)
+        joined = ctx.df.join(sub, cond, "left" if all_agg else "inner")
+        if all_agg:
+            # Cypher's aggregates over zero rows: count -> 0, collect ->
+            # [], sum -> 0; min/max/avg stay null. Applied only to BARE
+            # aggregate items (a compound like count(o)+1 keeps null).
+            for (e, a) in ret.items:
+                nm = a or _name_of(e)
+                if nm not in out_cols or not isinstance(e, Func):
+                    continue
+                fn = e.name.lower()
+                col_t = joined.schema[nm].dataType
+                if fn == "count":
+                    joined = joined.withColumn(
+                        nm, F.coalesce(F.col(f"`{nm}`"), F.lit(0).cast(col_t))
+                    )
+                elif fn == "sum":
+                    joined = joined.withColumn(
+                        nm, F.coalesce(F.col(f"`{nm}`"), F.lit(0).cast(col_t))
+                    )
+                elif fn == "collect":
+                    joined = joined.withColumn(
+                        nm,
+                        F.coalesce(F.col(f"`{nm}`"), F.array().cast(col_t)),
+                    )
+        ctx.df = joined.drop(*keys)
 
     def _foreach(self, ctx: _Ctx, c: ForeachC, params) -> None:
         """FOREACH: explode the list into a PRIVATE binding table (outer

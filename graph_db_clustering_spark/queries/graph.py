@@ -564,3 +564,33 @@ def cypher_strfuncs(spark, sf_dir):
                   CASE WHEN c.id % 2 = 0 THEN 'even' ELSE 'odd' END AS par
            ORDER BY id"""
     )
+
+
+@declared(
+    "cypher_call_corr",
+    f"""SELECT c_custkey AS custkey,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_big,
+       CAST(COALESCE(SUM(o_totalprice), 0) AS DOUBLE) AS spent
+FROM customer LEFT JOIN orders
+  ON o_custkey = c_custkey AND o_totalprice > 150000
+WHERE c_custkey < {_CAP}
+GROUP BY c_custkey ORDER BY custkey""",
+)
+def cypher_call_corr(spark, sf_dir):
+    """Correlated CALL subquery (importing WITH) through the Cypher
+    front-end (round-6: closes the 'correlated CALL' gate): per-customer
+    aggregates over a filtered pattern, where customers with NO matching
+    orders must still appear with count 0 / sum 0 — Cypher's empty-group
+    aggregate defaults, compiled as a distinct-import-combo subquery plus
+    a null-safe LEFT join back (never per-row execution)."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_labeled_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c:Customer)
+           CALL { WITH c
+                  MATCH (c)-[:PLACED]->(o:Order) WHERE o.totalprice > $lo
+                  RETURN count(o) AS n_big, sum(o.totalprice) AS spent }
+           RETURN c.custkey AS custkey, n_big, spent ORDER BY custkey""",
+        lo=150000,
+    )

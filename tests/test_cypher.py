@@ -616,8 +616,14 @@ def test_call_subquery_gates(spark):
         s.run("CALL { MATCH (m) } RETURN 1")
     with pytest.raises(ValueError, match="mutating clauses"):
         s.run("CALL { CREATE (:N {name: 'x'}) RETURN 1 AS one } RETURN one")
-    with pytest.raises(ValueError, match="correlated CALL"):
-        s.run("MATCH (n) CALL { WITH n RETURN n.id AS j } RETURN j")
+    with pytest.raises(ValueError, match="plain variable list"):
+        s.run("MATCH (n) CALL { WITH n.id AS j RETURN j + 1 AS k } RETURN k")
+    with pytest.raises(ValueError, match="plain variable list"):
+        s.run("MATCH (n) CALL { WITH DISTINCT n RETURN n.id AS j } RETURN j")
+    with pytest.raises(ValueError, match="imports unbound"):
+        s.run("MATCH (n) CALL { WITH z RETURN z.id AS j } RETURN j")
+    with pytest.raises(ValueError, match="needs bindings"):
+        s.run("CALL { WITH n RETURN n.id AS j } RETURN j")
     with pytest.raises(ValueError, match="rebinds variables"):
         s.run("MATCH (n) CALL { MATCH (n) RETURN count(n) AS n } RETURN n")
 
@@ -916,3 +922,116 @@ def test_entity_introspection_functions(spark):
     assert row.ps.asDict() == {"name": "img0", "mean": 1.0, "centroid": False}
     with pytest.raises(ValueError, match="bound node/edge variable"):
         s.run("RETURN keys([1,2]) AS x")
+
+
+def _orders_graph(spark):
+    """Four customers, four orders; two customers have no orders."""
+    v = spark.createDataFrame(
+        [
+            (0, "Customer", "alice", 1),
+            (1, "Customer", "bob", 2),
+            (2, "Customer", "carol", 1),
+            (3, "Customer", "dave", 3),
+            (10, "Order", "o10", None),
+            (11, "Order", "o11", None),
+            (12, "Order", "o12", None),
+            (13, "Order", "o13", None),
+        ],
+        "id long, label string, name string, grp int",
+    )
+    e = spark.createDataFrame(
+        [
+            (0, 10, "PLACED"),
+            (0, 11, "PLACED"),
+            (0, 12, "PLACED"),
+            (1, 13, "PLACED"),
+        ],
+        "src long, dst long, relationship string",
+    )
+    return Graph(v, e)
+
+
+def test_correlated_call_aggregates_with_empty_defaults(spark):
+    """count/collect/sum aggregate PER input row; inputs with no matches
+    survive with Cypher's empty-group defaults (0 / [] / 0)."""
+    s = CypherSession(_orders_graph(spark))
+    out = s.run(
+        """MATCH (c:Customer)
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  RETURN count(o) AS n, collect(o.name) AS os,
+                         sum(ID(o)) AS tot }
+           RETURN c.name AS nm, n, os, tot ORDER BY nm"""
+    )
+    rows = [(r.nm, r.n, sorted(r.os), r.tot) for r in out.collect()]
+    assert rows == [
+        ("alice", 3, ["o10", "o11", "o12"], 33),
+        ("bob", 1, ["o13"], 13),
+        ("carol", 0, [], 0),
+        ("dave", 0, [], 0),
+    ]
+
+
+def test_correlated_call_row_returns_drop_empty_inputs(spark):
+    """A non-aggregate RETURN keeps Neo4j's cardinality rule: an input
+    row with zero subquery output rows is eliminated."""
+    s = CypherSession(_orders_graph(spark))
+    out = s.run(
+        """MATCH (c:Customer)
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) RETURN o.name AS onm }
+           RETURN c.name AS nm, onm ORDER BY nm, onm"""
+    )
+    assert [(r.nm, r.onm) for r in out.collect()] == [
+        ("alice", "o10"),
+        ("alice", "o11"),
+        ("alice", "o12"),
+        ("bob", "o13"),
+    ]
+
+
+def test_correlated_call_per_row_order_by_limit(spark):
+    """ORDER BY + LIMIT inside the subquery is a PER-input-row top-k
+    (window), not a global limit."""
+    s = CypherSession(_orders_graph(spark))
+    out = s.run(
+        """MATCH (c:Customer)
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  RETURN o.name AS onm ORDER BY onm DESC LIMIT 1 }
+           RETURN c.name AS nm, onm ORDER BY nm"""
+    )
+    assert [(r.nm, r.onm) for r in out.collect()] == [
+        ("alice", "o12"),
+        ("bob", "o13"),
+    ]
+
+
+def test_correlated_call_intermediate_with_and_duplicate_imports(spark):
+    """An intermediate WITH ... WHERE inside the body filters per group,
+    and duplicate import combos (two customers share grp 1) each get the
+    subquery result — the distinct-combo compile must fan back out."""
+    s = CypherSession(_orders_graph(spark))
+    out = s.run(
+        """MATCH (c:Customer)
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WITH c, o WHERE o.name <> 'o11'
+                  RETURN sum(ID(o)) AS tot }
+           RETURN c.name AS nm, tot ORDER BY nm"""
+    )
+    assert [(r.nm, r.tot) for r in out.collect()] == [
+        ("alice", 22),
+        ("bob", 13),
+        ("carol", 0),
+        ("dave", 0),
+    ]
+    out = s.run(
+        """MATCH (c:Customer)
+           WITH c.grp AS g
+           CALL { WITH g MATCH (x:Customer) WHERE x.grp = g
+                  RETURN count(x) AS peers }
+           RETURN g, peers ORDER BY g"""
+    )
+    assert sorted((r.g, r.peers) for r in out.collect()) == [
+        (1, 2),
+        (1, 2),
+        (2, 1),
+        (3, 1),
+    ]
