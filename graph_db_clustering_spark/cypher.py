@@ -87,8 +87,12 @@ message — gates are test-pinned in tests/test_cypher.py):
       columns, no mixing — the Neo4j rules)      + distinct for bare UNION)
     CALL procedures / correlated CALL          no — ValueError gate
       (importing WITH) / REMOVE n:Label
-    shortestPath / allShortestPaths            no — use
-                                                 graph_algos.shortest_paths
+    [p =] shortestPath((a)-[:T*..k]->(b))      yes (layered BFS over
+      + length(p)                                distinct pairs: one row
+                                                 per endpoint pair at its
+                                                 minimal hop count)
+    allShortestPaths / general path vars       no — ValueError (use
+      (p = (a)-->(b))                            graph_algos.shortest_paths)
     list comprehension [x IN l WHERE p | e]    yes (filter/transform
       (+ range(a, b[, step]))                    HOFs; lambda scoping)
     pattern comprehension                      yes (bound subject; one
@@ -97,7 +101,7 @@ message — gates are test-pinned in tests/test_cypher.py):
                                                  leaves order unspecified)
     exists((a)-[:R]->(b)) WHERE predicate      yes (flag-column join —
       (+ legacy exists(n.prop) = IS NOT NULL)    composes with NOT/OR)
-    shortestPath / bare pattern predicates     no — SyntaxError
+    bare pattern predicates                    no — SyntaxError
       ((a)-->() without exists)
     CASE (simple + searched, no ELSE -> null)  yes (F.when chain)
     IS [NOT] NULL, x IN list, STARTS WITH /    yes (=~ anchored to the
@@ -248,6 +252,8 @@ class EdgePat:
 class PathPat:
     nodes: list
     edges: list  # len(nodes) == len(edges) + 1
+    shortest: bool = False  # wrapped in shortestPath(...)
+    pathvar: str | None = None  # p = shortestPath(...); length(p) resolves
 
 
 @dataclass
@@ -512,10 +518,10 @@ class _Parser:
 
     def match_clause(self, optional=False):
         self.expect("kw", "match")
-        paths = [self.path()]
+        paths = [self.path_element()]
         while self.peek() == ("op", ","):
             self.next()
-            paths.append(self.path())
+            paths.append(self.path_element())
         where = None
         if self.at_kw("where"):
             self.next()
@@ -733,6 +739,45 @@ class _Parser:
         return DeleteC(names, detach)
 
     # -- patterns -----------------------------------------------------------
+
+    def path_element(self):
+        """One element of a MATCH pattern list: a plain path,
+        shortestPath(path), or p = shortestPath(path). General path
+        variables (p = (a)-[:R]->(b)) stay gated — only shortestPath
+        produces a bindable (length-only) path here."""
+        pathvar = None
+        t, t1 = self.peek(), self.peek(1)
+        if t[0] == "ident" and t1 == ("op", "="):
+            # patterns proper always start with '(' — ident '=' can only
+            # open a path-variable assignment
+            pathvar = self.next()[1]
+            self.next()  # =
+        t = self.peek()
+        if t[0] == "ident" and t[1].lower() in ("shortestpath", "allshortestpaths"):
+            fn = self.next()[1]
+            if fn.lower() == "allshortestpaths":
+                raise ValueError(
+                    "cypher: allShortestPaths is not supported — "
+                    "shortestPath() already yields ONE row per endpoint "
+                    "pair (distinct-pairs semantics, no per-path rows)"
+                )
+            self.expect("op", "(")
+            p = self.path()
+            self.expect("op", ")")
+            if len(p.edges) != 1 or p.edges[0].hops is None:
+                raise ValueError(
+                    "cypher: shortestPath needs a single variable-length "
+                    "relationship, e.g. shortestPath((a)-[:T*..5]->(b))"
+                )
+            p.shortest = True
+            p.pathvar = pathvar
+            return p
+        if pathvar is not None:
+            raise ValueError(
+                "cypher: path variables (p = ...) are only supported with "
+                "shortestPath(...)"
+            )
+        return self.path()
 
     def path(self):
         nodes, edges = [self.node_pat()], []
@@ -1205,19 +1250,7 @@ class CypherSession:
         localCheckpoint per hop (lineage stays flat); unbounded `*` is
         capped at _VARLEN_MAX_HOPS hops and converges early when the
         frontier empties."""
-        e = self.graph.edges
-        if epat.rel is not None:
-            e = e.filter(F.col("relationship") == epat.rel)
-        for k, ex in epat.props.items():
-            e = e.filter(F.col(k) == self._expr(ex, None, params))
-        step = e.select("src", "dst")
-        if epat.direction == "in":
-            step = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        elif epat.direction == "any":
-            step = step.unionAll(
-                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
-        step = step.distinct().localCheckpoint(eager=True)
+        step = self._edge_step(epat, params)
         lo, hi = epat.hops
         # validate the USER-SUPPLIED range before applying the hop cap, so
         # *17..20 reports "exceeds max hops", not a garbled "*17..16"
@@ -1252,6 +1285,63 @@ class CypherSession:
             return step.limit(0)
         return acc.filter(F.col("src") != F.col("dst")).distinct()
 
+    def _edge_step(self, epat: EdgePat, params) -> DataFrame:
+        """One-hop (src, dst) step frame for a var-length pattern:
+        type/prop-filtered, orientation-normalized, distinct."""
+        e = self.graph.edges
+        if epat.rel is not None:
+            e = e.filter(F.col("relationship") == epat.rel)
+        for k, ex in epat.props.items():
+            e = e.filter(F.col(k) == self._expr(ex, None, params))
+        step = e.select("src", "dst")
+        if epat.direction == "in":
+            step = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        elif epat.direction == "any":
+            step = step.unionAll(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        return step.distinct().localCheckpoint(eager=True)
+
+    def _shortest_pairs(self, epat: EdgePat, params) -> DataFrame:
+        """(src, dst, dist) for shortestPath((a)-[:T*..k]->(b)): layered
+        BFS over distinct endpoint pairs — a pair's FIRST appearance is
+        its minimal hop count, so each frontier anti-joins the known set
+        and new pairs are stamped with the current layer. Same
+        frontier-expansion plan as _varlength_pairs (hash joins, eager
+        localCheckpoint per hop, early convergence), plus one anti-join
+        per layer. Self pairs are excluded, as in _varlength_pairs."""
+        lo, hi = epat.hops
+        if lo != 1:
+            raise ValueError(
+                "cypher: shortestPath supports a lower bound of 1 "
+                f"(got *{lo}..{'' if hi is None else hi}); zero-length "
+                "self-paths are not modeled"
+            )
+        if hi is not None and hi > self._VARLEN_MAX_HOPS:
+            raise ValueError(
+                f"cypher: variable-length range *{lo}..{hi} exceeds max "
+                f"hops ({self._VARLEN_MAX_HOPS})"
+            )
+        hi = hi if hi is not None else self._VARLEN_MAX_HOPS
+        step = self._edge_step(epat, params)
+        known = step.withColumn("dist", F.lit(1)).localCheckpoint(eager=True)
+        frontier = step
+        for k in range(2, hi + 1):
+            frontier = (
+                frontier.alias("f")
+                .join(step.alias("s"), F.col("f.dst") == F.col("s.src"))
+                .select(F.col("f.src").alias("src"), F.col("s.dst").alias("dst"))
+                .distinct()
+                .join(known.select("src", "dst"), ["src", "dst"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                break
+            known = known.unionAll(
+                frontier.withColumn("dist", F.lit(k))
+            ).localCheckpoint(eager=True)
+        return known.filter(F.col("src") != F.col("dst"))
+
     def _match(self, ctx: _Ctx, c: MatchC, params) -> None:
         anon = [0]
 
@@ -1267,6 +1357,7 @@ class CypherSession:
         local: DataFrame | None = None
         for path in c.paths:
             bound_here: list[str] = []
+            plen_src: str | None = None  # shortestPath dist struct column
 
             def bind_node(pat, pdf):
                 """Join node pattern into the path frame pdf (or start it)."""
@@ -1294,9 +1385,17 @@ class CypherSession:
                             "single edge to bind)"
                         )
                     ename = fresh("r")
-                    ef = self._varlength_pairs(epat, params).select(
-                        F.struct(F.col("src"), F.col("dst")).alias(ename)
-                    )
+                    if path.shortest:
+                        ef = self._shortest_pairs(epat, params).select(
+                            F.struct(
+                                F.col("src"), F.col("dst"), F.col("dist")
+                            ).alias(ename)
+                        )
+                        plen_src = ename
+                    else:
+                        ef = self._varlength_pairs(epat, params).select(
+                            F.struct(F.col("src"), F.col("dst")).alias(ename)
+                        )
                     lcol = F.col(ename).getField("src")
                     rcol = F.col(ename).getField("dst")
                 else:
@@ -1345,6 +1444,13 @@ class CypherSession:
                 # MATCH (n) with no constraints: all vertices
                 pdf = self._node_frame_all(name0)
             bound_here.insert(0, name0)
+            if path.pathvar is not None and plen_src is not None:
+                # p = shortestPath(...): the only thing p exposes is its
+                # hop count, surfaced as a hidden column length() resolves
+                pdf = pdf.withColumn(
+                    f"__plen_{path.pathvar}",
+                    F.col(plen_src).getField("dist"),
+                )
 
             # combine with the clause-local frame on shared variables
             if local is None:
@@ -2284,6 +2390,19 @@ class CypherSession:
                     if isinstance(dt, T.StringType):
                         return F.length(c)
                 return F.size(c)
+            if name == "length":
+                a = e.args[0]
+                if (
+                    isinstance(a, Var)
+                    and df is not None
+                    and f"__plen_{a.name}" in df.columns
+                ):
+                    return F.col(f"__plen_{a.name}")
+                raise ValueError(
+                    "cypher: length() is supported for shortestPath path "
+                    "variables (p = shortestPath(...)); use size() for "
+                    "strings and lists"
+                )
             if name in ("isnull", "isnotnull"):
                 c = self._expr(e.args[0], df, params)
                 return c.isNull() if name == "isnull" else c.isNotNull()

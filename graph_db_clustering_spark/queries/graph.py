@@ -594,3 +594,48 @@ def cypher_call_corr(spark, sf_dir):
            RETURN c.custkey AS custkey, n_big, spent ORDER BY custkey""",
         lo=150000,
     )
+
+
+@declared(
+    "cypher_shortestpath",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+           FROM customer WHERE c_custkey < {_CAP})
+SELECT a.id AS aid, b.id AS bid, CAST(b.pos - a.pos AS INT) AS d
+FROM v a JOIN v b ON a.nation = b.nation AND b.pos - a.pos BETWEEN 1 AND 4
+ORDER BY aid, bid""",
+)
+def cypher_shortestpath(spark, sf_dir):
+    """shortestPath((a)-[:NEXT*..4]->(b)) + length(p) through the Cypher
+    front-end (round-6: closes the shortestPath gate) over the per-nation
+    custkey chain graph — layered BFS over distinct endpoint pairs, each
+    pair surfacing at its minimal hop count. On a chain the minimal
+    forward distance is exactly the position difference: the closed-form
+    DuckDB oracle."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    edges = (
+        c.withColumn("nxt", F.lead("id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("NEXT").alias("relationship"),
+        )
+    )
+    s = CypherSession(Graph(c.drop("nation"), edges))
+    return s.run(
+        """MATCH p = shortestPath((a:Customer)-[:NEXT*..4]->(b:Customer))
+           RETURN a.id AS aid, b.id AS bid, length(p) AS d
+           ORDER BY aid, bid"""
+    )

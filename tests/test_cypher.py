@@ -1035,3 +1035,55 @@ def test_correlated_call_intermediate_with_and_duplicate_imports(spark):
         (2, 1),
         (3, 1),
     ]
+
+
+def test_shortest_path(spark):
+    """shortestPath((a)-[:T*..k]->(b)): one row per endpoint pair at its
+    minimal hop count; a shortcut edge must win over the longer chain."""
+    v = spark.createDataFrame(
+        [(i, "N", f"n{i}") for i in range(5)], "id long, label string, name string"
+    )
+    # chain 0->1->2->3 plus shortcut 0->2; 4 isolated
+    e = spark.createDataFrame(
+        [(0, 1, "NEXT"), (1, 2, "NEXT"), (2, 3, "NEXT"), (0, 2, "NEXT")],
+        "src long, dst long, relationship string",
+    )
+    s = CypherSession(Graph(v, e))
+    out = s.run(
+        """MATCH p = shortestPath((a:N)-[:NEXT*..5]->(b:N))
+           RETURN a.name AS an, b.name AS bn, length(p) AS d ORDER BY an, bn"""
+    )
+    assert [(r.an, r.bn, r.d) for r in out.collect()] == [
+        ("n0", "n1", 1),
+        ("n0", "n2", 1),  # shortcut beats 0->1->2
+        ("n0", "n3", 2),  # 0->2->3 beats 0->1->2->3
+        ("n1", "n2", 1),
+        ("n1", "n3", 2),
+        ("n2", "n3", 1),
+    ]
+    # undirected, with WHERE on both endpoints
+    out = s.run(
+        """MATCH p = shortestPath((a)-[:NEXT*..5]-(b))
+           WHERE a.name = 'n3' AND b.name = 'n0' RETURN length(p) AS d"""
+    )
+    assert [r.d for r in out.collect()] == [2]
+    # form without a path variable: plain minimal-pair reachability
+    out = s.run(
+        """MATCH shortestPath((a)-[:NEXT*..2]->(b)) WHERE a.name = 'n0'
+           RETURN b.name AS bn ORDER BY bn"""
+    )
+    assert [r.bn for r in out.collect()] == ["n1", "n2", "n3"]
+
+
+def test_shortest_path_gates(spark):
+    s = CypherSession(_chain_graph(spark))
+    with pytest.raises(ValueError, match="single variable-length"):
+        s.run("MATCH p = shortestPath((a)-[:NEXT]->(b)) RETURN 1")
+    with pytest.raises(ValueError, match="allShortestPaths"):
+        s.run("MATCH p = allShortestPaths((a)-[:NEXT*..3]->(b)) RETURN 1")
+    with pytest.raises(ValueError, match="only supported with shortestPath"):
+        s.run("MATCH p = (a)-[:NEXT]->(b) RETURN 1")
+    with pytest.raises(ValueError, match="lower bound of 1"):
+        s.run("MATCH p = shortestPath((a)-[:NEXT*2..3]->(b)) RETURN 1")
+    with pytest.raises(ValueError, match="shortestPath path variables"):
+        s.run("MATCH (a) RETURN length(a.name)")
