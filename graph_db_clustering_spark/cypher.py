@@ -72,7 +72,9 @@ message — gates are test-pinned in tests/test_cypher.py):
     UNWIND list AS x (incl. as first clause)   yes (explode)
     CREATE / MERGE (+ SET on match/create)     yes (batch upserts)
     SET / DELETE / DETACH DELETE               yes (COW snapshots)
-    REMOVE n.prop (property -> typed NULL)     yes (label form gated)
+    REMOVE n.prop / REMOVE n:Label             yes (typed-NULL updates;
+                                                 label nulls only where
+                                                 it currently matches)
     FOREACH (x IN list | updating clauses)     yes (batch explode;
                                                  outer bindings unchanged)
     CALL { subquery } (uncorrelated,           yes (result cross-joined
@@ -85,8 +87,8 @@ message — gates are test-pinned in tests/test_cypher.py):
       x[i], $params
     UNION / UNION ALL (RETURN parts, same      yes (unionByName,
       columns, no mixing — the Neo4j rules)      + distinct for bare UNION)
-    CALL procedures / correlated CALL          no — ValueError gate
-      (importing WITH) / REMOVE n:Label
+    CALL procedures                            no — ValueError gate
+      (no Spark analog)
     [p =] shortestPath((a)-[:T*..k]->(b))      yes (layered BFS over
       + length(p)                                distinct pairs: one row
                                                  per endpoint pair at its
@@ -308,6 +310,7 @@ class DeleteC:
 @dataclass
 class RemoveC:
     items: list  # [(var, prop)]
+    labels: list = field(default_factory=list)  # [(var, label)] REMOVE n:L
 
 
 @dataclass
@@ -706,25 +709,27 @@ class _Parser:
         return ForeachC(var, e, body)
 
     def remove_clause(self):
-        """REMOVE n.prop [, ...] — property removal (set to typed NULL).
-        Label removal (REMOVE n:Label) is gated: the graph layer models a
-        single `label` column, not Neo4j's label sets."""
+        """REMOVE n.prop / REMOVE n:Label [, ...] — property removal is a
+        typed-NULL update; label removal nulls the single `label` column
+        on nodes whose current label matches (this graph layer models ONE
+        label per vertex, so removing a non-matching label is a no-op,
+        exactly Neo4j's behavior for a label the node doesn't have)."""
         self.expect("kw", "remove")
-        items = []
+        items, labels = [], []
         while True:
             var = self.expect("ident")[1]
             if self.peek() == ("op", ":"):
-                raise ValueError(
-                    "cypher: REMOVE of labels is not supported "
-                    "(single-label graph); REMOVE n.prop only"
-                )
-            self.expect("op", ".")
-            items.append((var, self.ident()))
+                while self.peek() == ("op", ":"):
+                    self.next()
+                    labels.append((var, self.ident()))
+            else:
+                self.expect("op", ".")
+                items.append((var, self.ident()))
             if self.peek() == ("op", ","):
                 self.next()
                 continue
             break
-        return RemoveC(items)
+        return RemoveC(items, labels)
 
     def delete_clause(self):
         detach = False
@@ -2106,6 +2111,28 @@ class CypherSession:
             idf = F.col(var).getField("eid" if kind == "edge" else "id")
             ids = df.select(idf.alias("_sid")).dropDuplicates(["_sid"])
             ctx.ops.append(("remove", kind, ids, props))
+        for var, label in c.labels:
+            if var in ctx.created:
+                raise ValueError(
+                    "cypher: REMOVE on a variable created in the same "
+                    "query is not supported"
+                )
+            df = ctx.df
+            if df is None or var not in df.columns:
+                raise ValueError(f"cypher: REMOVE on unbound variable {var}")
+            if "src" in self._fields(df, var):
+                raise ValueError(
+                    "cypher: REMOVE of a label applies to nodes, not "
+                    "relationships"
+                )
+            # single-label model: null the label column, but only on
+            # nodes that actually carry THIS label (no-op otherwise)
+            ids = (
+                df.filter(F.col(var).getField(LABEL_COL) == label)
+                .select(F.col(var).getField("id").alias("_sid"))
+                .dropDuplicates(["_sid"])
+            )
+            ctx.ops.append(("remove", "node", ids, [LABEL_COL]))
 
     def _delete(self, ctx: _Ctx, c: DeleteC) -> None:
         df = ctx.df

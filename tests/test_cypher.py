@@ -465,8 +465,6 @@ def test_unsupported_clauses_gate_with_clear_errors(spark):
     s = CypherSession(_chain_graph(spark))
     with pytest.raises(ValueError, match="CALL procedures are not supported"):
         s.run("CALL db.labels()")
-    with pytest.raises(ValueError, match="REMOVE of labels"):
-        s.run("MATCH (n) REMOVE n:N")
     with pytest.raises(ValueError, match="FOREACH body allows only"):
         s.run("FOREACH (x IN [1] | RETURN x)")
 
@@ -1087,3 +1085,36 @@ def test_shortest_path_gates(spark):
         s.run("MATCH p = shortestPath((a)-[:NEXT*2..3]->(b)) RETURN 1")
     with pytest.raises(ValueError, match="shortestPath path variables"):
         s.run("MATCH (a) RETURN length(a.name)")
+
+
+def test_remove_label(spark):
+    """REMOVE n:Label nulls the single label column, but ONLY on nodes
+    currently carrying that label; other labels are untouched (Neo4j's
+    no-op for a label the node doesn't have)."""
+    v = spark.createDataFrame(
+        [(0, "Image", "a"), (1, "Image", "b"), (2, "Centroid", "c")],
+        "id long, label string, name string",
+    )
+    e = spark.createDataFrame([], "src long, dst long, relationship string")
+    s = CypherSession(Graph(v, e))
+    s.run("MATCH (n) WHERE n.name <> 'b' REMOVE n:Image")
+    rows = {r["id"]: r["label"] for r in s.graph.vertices.collect()}
+    assert rows == {0: None, 1: "Image", 2: "Centroid"}
+    # properties untouched
+    names = {r["id"]: r["name"] for r in s.graph.vertices.collect()}
+    assert names == {0: "a", 1: "b", 2: "c"}
+    # mixed REMOVE list: label + property in one clause
+    s2 = CypherSession(
+        Graph(
+            spark.createDataFrame(
+                [(0, "Image", "a")], "id long, label string, name string"
+            ),
+            e,
+        )
+    )
+    s2.run("MATCH (n) REMOVE n:Image, n.name")
+    row = s2.graph.vertices.collect()[0]
+    assert (row["label"], row["name"]) == (None, None)
+    # relationships have no labels
+    with pytest.raises(ValueError, match="nodes, not"):
+        s.run("MATCH ()-[r]->() REMOVE r:CLOSEST_TO")
