@@ -442,6 +442,16 @@ def near_dup_clusters(
     doc id. Returns (id_col, canonical_id, cluster_size, keep) where
     keep=true marks the one row per cluster a dedup pass would retain.
     """
+    pairs = minhash_dedup(df, id_col, text_col, threshold, **minhash_kwargs)
+    return cluster_pairs(df, id_col, pairs)
+
+
+def cluster_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Connected components + canonical-survivor selection over an
+    arbitrary (id1, id2) duplicate-pair frame — the shared tail of
+    near_dup_clusters, also usable with exact-Jaccard or embedding
+    pairs. Returns (id_col, canonical_id, cluster_size, keep); docs
+    appearing in no pair form singleton clusters."""
     from graph_db_clustering_spark.operators.graph import (
         EDGE_DST,
         EDGE_SRC,
@@ -450,7 +460,6 @@ def near_dup_clusters(
     )
     from graph_db_clustering_spark.operators.graph_algos import connected_components
 
-    pairs = minhash_dedup(df, id_col, text_col, threshold, **minhash_kwargs)
     vertices = df.select(F.col(id_col).alias(VERTEX_ID))
     edges = pairs.select(F.col("id1").alias(EDGE_SRC), F.col("id2").alias(EDGE_DST))
     comp = connected_components(Graph(vertices, edges))

@@ -389,6 +389,53 @@ def dup_clusters(spark, sf_dir):
     return dedup.near_dup_clusters(docs, "doc_id", "text", threshold=0.3).orderBy("doc_id")
 
 
+@declared(
+    "dup_clusters_exact",
+    """WITH RECURSIVE
+d AS (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 100),
+sh AS (SELECT doc_id,
+              LIST_DISTINCT(LIST_TRANSFORM(
+                  GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+                  i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS shingles
+       FROM d),
+sizes AS (SELECT doc_id, LEN(shingles) AS sz FROM sh),
+inv AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT id1, id2 FROM common
+  JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+  WHERE common / CAST(s1.sz + s2.sz - common AS DOUBLE) >= 0.05),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS canonical_id
+         FROM reach GROUP BY node),
+csz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY canonical_id)
+SELECT c.doc_id, c.canonical_id, s.cluster_size,
+       c.doc_id = c.canonical_id AS keep
+FROM comp c JOIN csz s USING (canonical_id) ORDER BY c.doc_id""",
+)
+def dup_clusters_exact(spark, sf_dir):
+    """Duplicate clustering with a fully deterministic pair source
+    (round-6): EXACT word-3-gram Jaccard pairs (the ngram_pairs frame)
+    -> iterative min-label connected components -> canonical survivor.
+    Unlike dup_clusters (MinHash pairs, rows-only by necessity), every
+    stage here is oracle-expressible: DuckDB rebuilds the same pairs and
+    closes them transitively with a recursive CTE — so the driver gate
+    now scores the COMPONENT machinery itself, not just its inputs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+    return dedup.cluster_pairs(docs, "doc_id", pairs).orderBy("doc_id")
+
+
 @declared("cardinality_sketch")
 def cardinality_sketch(spark, sf_dir):
     """Distinct-user cardinality per event type via HLL sketches
