@@ -274,11 +274,36 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_dedup(docs, "doc_id", "text", max_hamming=16).orderBy("id1", "id2")
 
 
-@declared("sentence_split")
+@declared(
+    "sentence_split",
+    r"""WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\w+) (\w+) (\w+) ', '\1 \2 \3. ', 'g') AS text
+  FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+                      chr(1)) AS parts
+  FROM d)
+SELECT doc_id, CAST(t.i - 1 AS INT) AS sentence_idx, s.parts[t.i] AS sentence
+FROM s, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(s.parts))) AS i) t
+WHERE LEN(TRIM(s.parts[t.i])) > 0
+ORDER BY doc_id, sentence_idx""",
+)
 def sentence_split(spark, sf_dir):
-    """One row per sentence with position (posexplode; rows-only — the
-    Spark split pattern uses a lookbehind, which DuckDB's RE2 lacks)."""
+    """One row per sentence with position (posexplode of a
+    terminator-keeping split). The synthetic documents carry no sentence
+    terminators, so the entry first derives them deterministically
+    (every third word ends a sentence — the same regexp_replace on both
+    engines); the split itself is then genuinely exercised (~3.5k
+    sentences at sf0.01) and oracle-checked: DuckDB lacks the split
+    pattern's lookbehind, so the oracle emulates it by rewriting
+    'terminator + whitespace' to a sentinel char and splitting on that
+    (round-6: upgraded from rows-only)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = docs.withColumn(
+        "text", F.regexp_replace("text", r"(\w+) (\w+) (\w+) ", "$1 $2 $3. ")
+    )
     return text.split_sentences(docs, "doc_id", "text").orderBy("doc_id", "sentence_idx")
 
 

@@ -10,7 +10,7 @@ import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
 DOCUMENTED_QUERIES = 121
-DOCUMENTED_ORACLES = 101
+DOCUMENTED_ORACLES = 102
 
 
 def test_ledger_counts_match():
