@@ -1,0 +1,218 @@
+"""Pure-Python/NumPy PNG decoder (and a minimal encoder for tests).
+
+Why it exists: the reference's image pipeline decodes files with OpenCV
+(kmeans_clustering/image_classification.py:77-97); this container has no
+cv2/PIL, and the multimodal operators gate codec formats behind an
+import-try. Baseline+progressive JPEG already decode in pure NumPy
+(functions/jpeg.py); PNG — the other ubiquitous corpus format — needs
+only stdlib zlib (RFC 1950 inflate) plus the five scanline filters of
+the PNG spec (RFC 2083 / W3C PNG §9), so a dependency-free decoder is
+small and exact (PNG is lossless: byte-for-byte reproducible, unlike the
+JPEG path's IDCT rounding).
+
+Supported: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
+4 (gray+alpha), 6 (RGBA); all five filters. Gated with a clear
+NotImplementedError: interlaced (Adam7) images and bit depths 1/2/4/16.
+
+Scanline unfiltering is vectorized where the data flow allows: None/Up
+are whole-row ops, Sub is a per-byte-lane running sum (modulo-256
+cumulative add over the row reshaped to (pixels, bpp)), Average and
+Paeth carry a true left-to-right dependency and fall back to a per-pixel
+loop over the row's byte lanes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# channels per color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(data: bytes):
+    pos = 8
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        yield ctype, body
+        pos += 12 + length  # length + type + body + crc
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering: raw is height rows of (1 filter byte +
+    stride data bytes); returns (height, stride) uint8 recon."""
+    raw = raw.reshape(height, stride + 1)
+    recon = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            out = line
+        elif ftype == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            # per-byte-lane running sum: pad the row to a multiple of bpp,
+            # reshape to (pixels, bpp), cumsum down the pixel axis mod 256
+            n = stride
+            pad = (-n) % bpp
+            lanes = np.concatenate([line, np.zeros(pad, np.int32)]).reshape(-1, bpp)
+            out = (np.cumsum(lanes, axis=0) % 256).reshape(-1)[:n]
+        elif ftype == 2:  # Up
+            out = (line + prev) % 256
+        elif ftype == 3:  # Average (left dependency -> per-pixel loop)
+            out = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = out[x - bpp] if x >= bpp else 0
+                out[x] = (line[x] + ((left + int(prev[x])) >> 1)) % 256
+        elif ftype == 4:  # Paeth (left + upleft dependency -> loop)
+            out = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = int(out[x - bpp]) if x >= bpp else 0
+                upleft = int(prev[x - bpp]) if x >= bpp else 0
+                out[x] = (line[x] + _paeth(left, int(prev[x]), upleft)) % 256
+        else:
+            raise ValueError(f"PNG: bad filter type {ftype}")
+        prev = out.astype(np.uint8)
+        recon[y] = prev
+    return recon
+
+
+def decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> HxW (grayscale) or HxWxC uint8 ndarray."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("PNG: bad signature")
+    width = height = None
+    bit_depth = color_type = interlace = None
+    palette = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    if interlace:
+        raise NotImplementedError("PNG: Adam7 interlacing not supported")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG: bit depth {bit_depth} not supported (8 only)")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"PNG: bad color type {color_type}")
+    channels = _CHANNELS[color_type]
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError(
+            f"PNG: got {raw.size} filtered bytes, expected {height * (stride + 1)}"
+        )
+    recon = _unfilter(raw, height, stride, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("PNG: palette image without PLTE")
+        return palette[recon.reshape(height, width)]
+    if channels == 1:
+        return recon.reshape(height, width)
+    return recon.reshape(height, width, channels)
+
+
+# ---------------------------------------------------------------------------
+# minimal encoder — test fixture generator (stdlib zlib + crc32)
+# ---------------------------------------------------------------------------
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _filter_row(
+    ftype: int, line: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply filter `ftype` to a recon row (the encoder side of
+    _unfilter, straight from the spec's filter definitions)."""
+    line = line.astype(np.int32)
+    prev = prev.astype(np.int32)
+    left = np.zeros_like(line)
+    left[bpp:] = line[:-bpp]
+    upleft = np.zeros_like(prev)
+    upleft[bpp:] = prev[:-bpp]
+    if ftype == 0:
+        out = line
+    elif ftype == 1:
+        out = line - left
+    elif ftype == 2:
+        out = line - prev
+    elif ftype == 3:
+        out = line - ((left + prev) >> 1)
+    elif ftype == 4:
+        pred = np.zeros_like(line)
+        for x in range(line.size):
+            pred[x] = _paeth(int(left[x]), int(prev[x]), int(upleft[x]))
+        out = line - pred
+    else:
+        raise ValueError(f"bad filter {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def encode(
+    img: np.ndarray, color_type: int | None = None, filters=None
+) -> bytes:
+    """uint8 HxW / HxWxC array -> PNG bytes. `filters` picks the filter
+    byte per row (int or list, default 0/None) so tests can exercise
+    every unfilter branch deterministically; `color_type` defaults to
+    gray/RGB/RGBA from the channel count."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w, c = img.shape[0], img.shape[1], 1
+        flat = img.reshape(h, w)
+    else:
+        h, w, c = img.shape
+        flat = img.reshape(h, w * c)
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if _CHANNELS[color_type] != c:
+        raise ValueError(f"color type {color_type} wants {_CHANNELS[color_type]} channels, got {c}")
+    if filters is None:
+        filters = [0] * h
+    elif isinstance(filters, int):
+        filters = [filters] * h
+    stride = w * c
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = filters[y]
+        out.append(f)
+        out.extend(_filter_row(f, flat[y], prev, c).tobytes())
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _chunk(b"IEND", b"")
+    )

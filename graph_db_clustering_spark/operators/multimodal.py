@@ -78,9 +78,14 @@ def _decode_one(content: bytes, height: int, width: int, channels: int, fmt: str
         from graph_db_clustering_spark.functions import jpeg
 
         return jpeg.decode(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        # PNG: pure stdlib-zlib + NumPy decoder (functions/png)
+        from graph_db_clustering_spark.functions import png
+
+        return png.decode(content)
     raise NotImplementedError(
         f"decoding format={fmt!r} needs cv2 or PIL (not installed); "
-        "use format='raw' (height*width*channels uint8 bytes) or baseline JPEG"
+        "use format='raw' (height*width*channels uint8 bytes), JPEG, or PNG"
     )
 
 
