@@ -11,8 +11,9 @@ small and exact (PNG is lossless: byte-for-byte reproducible, unlike the
 JPEG path's IDCT rounding).
 
 Supported: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA); all five filters. Gated with a clear
-NotImplementedError: interlaced (Adam7) images and bit depths 1/2/4/16.
+4 (gray+alpha), 6 (RGBA); all five filters; Adam7 interlacing (seven
+independently-filtered reduced images scattered onto fixed pixel
+grids). Gated with a clear NotImplementedError: bit depths 1/2/4/16.
 
 Scanline unfiltering is vectorized where the data flow allows: None/Up
 are whole-row ops, Sub is a per-byte-lane running sum (modulo-256
@@ -92,6 +93,18 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return recon
 
 
+# Adam7: (x_start, y_start, x_step, y_step) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode(data: bytes) -> np.ndarray:
     """PNG bytes -> HxW (grayscale) or HxWxC uint8 ndarray."""
     if data[:8] != _SIGNATURE:
@@ -113,20 +126,43 @@ def decode(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG: missing IHDR")
-    if interlace:
-        raise NotImplementedError("PNG: Adam7 interlacing not supported")
     if bit_depth != 8:
         raise NotImplementedError(f"PNG: bit depth {bit_depth} not supported (8 only)")
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: bad color type {color_type}")
     channels = _CHANNELS[color_type]
-    stride = width * channels
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != height * (stride + 1):
-        raise ValueError(
-            f"PNG: got {raw.size} filtered bytes, expected {height * (stride + 1)}"
-        )
-    recon = _unfilter(raw, height, stride, channels)
+    if interlace:
+        # Adam7: seven reduced images, each filtered as an independent
+        # image (its own scanlines and filter bytes, empty passes emit
+        # nothing), scattered onto a fixed pixel grid per pass
+        recon = np.zeros((height, width * channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            need = ph * (pstride + 1)
+            sub = _unfilter(raw[pos : pos + need], ph, pstride, channels)
+            pos += need
+            rows = y0 + np.arange(ph) * dy
+            cols = x0 + np.arange(pw) * dx
+            sub = sub.reshape(ph, pw, channels)
+            view = recon.reshape(height, width, channels)
+            view[np.ix_(rows, cols)] = sub
+        if pos != raw.size:
+            raise ValueError(
+                f"PNG: Adam7 stream has {raw.size} filtered bytes, consumed {pos}"
+            )
+    else:
+        stride = width * channels
+        if raw.size != height * (stride + 1):
+            raise ValueError(
+                f"PNG: got {raw.size} filtered bytes, expected {height * (stride + 1)}"
+            )
+        recon = _unfilter(raw, height, stride, channels)
     if color_type == 3:
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")
@@ -179,37 +215,58 @@ def _filter_row(
     return (out % 256).astype(np.uint8)
 
 
-def encode(
-    img: np.ndarray, color_type: int | None = None, filters=None
-) -> bytes:
-    """uint8 HxW / HxWxC array -> PNG bytes. `filters` picks the filter
-    byte per row (int or list, default 0/None) so tests can exercise
-    every unfilter branch deterministically; `color_type` defaults to
-    gray/RGB/RGBA from the channel count."""
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        h, w, c = img.shape[0], img.shape[1], 1
-        flat = img.reshape(h, w)
-    else:
-        h, w, c = img.shape
-        flat = img.reshape(h, w * c)
-    if color_type is None:
-        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    if _CHANNELS[color_type] != c:
-        raise ValueError(f"color type {color_type} wants {_CHANNELS[color_type]} channels, got {c}")
+def _filter_image(flat: np.ndarray, h: int, c: int, filters) -> bytearray:
+    """Filter a (h, stride) recon image into h scanlines of
+    (filter byte + filtered data)."""
     if filters is None:
         filters = [0] * h
     elif isinstance(filters, int):
         filters = [filters] * h
-    stride = w * c
     out = bytearray()
-    prev = np.zeros(stride, dtype=np.uint8)
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
     for y in range(h):
         f = filters[y]
         out.append(f)
         out.extend(_filter_row(f, flat[y], prev, c).tobytes())
         prev = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return out
+
+
+def encode(
+    img: np.ndarray,
+    color_type: int | None = None,
+    filters=None,
+    interlace: bool = False,
+) -> bytes:
+    """uint8 HxW / HxWxC array -> PNG bytes. `filters` picks the filter
+    byte per row (int or list, default 0/None) so tests can exercise
+    every unfilter branch deterministically; `color_type` defaults to
+    gray/RGB/RGBA from the channel count; `interlace` emits the Adam7
+    pass sequence (each reduced image filtered independently; `filters`
+    as an int applies to every pass row)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w, c = img.shape[0], img.shape[1], 1
+        cube = img.reshape(h, w, 1)
+    else:
+        h, w, c = img.shape
+        cube = img
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if _CHANNELS[color_type] != c:
+        raise ValueError(f"color type {color_type} wants {_CHANNELS[color_type]} channels, got {c}")
+    out = bytearray()
+    if interlace:
+        f = filters if isinstance(filters, (int, type(None))) else None
+        for x0, y0, dx, dy in _ADAM7:
+            sub = cube[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            out.extend(_filter_image(sub.reshape(ph, pw * c), ph, c, f))
+    else:
+        out = _filter_image(cube.reshape(h, w * c), h, c, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)

@@ -108,20 +108,34 @@ def test_multiple_idat_chunks():
     assert np.array_equal(png.decode(out), img)
 
 
+@pytest.mark.parametrize("shape", [(8, 8), (9, 7, 3), (3, 5), (1, 1), (2, 10, 4)])
+@pytest.mark.parametrize("ftype", [0, 1, 4])
+def test_adam7_interlaced_roundtrip(shape, ftype):
+    """Adam7: seven independently-filtered reduced images scatter back
+    to the original — including sizes where some passes are empty (any
+    dimension < 5 skips passes entirely) and non-multiple-of-8 dims."""
+    img = _rng(shape[0] * 31 + ftype).integers(0, 256, size=shape, dtype=np.uint8)
+    data = png.encode(img, filters=ftype, interlace=True)
+    out = png.decode(data)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_adam7_known_pixel_grid():
+    """Pass 1 covers exactly the (8k, 8k) pixels: a 16x16 image whose
+    pass-1 sub-image is all 255 and everything else 0 must decode with
+    255 at (0,0), (0,8), (8,0), (8,8) only."""
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[::8, ::8] = 255
+    out = png.decode(png.encode(img, interlace=True))
+    assert np.array_equal(out, img)
+
+
 def test_gates():
     img = np.zeros((2, 2), dtype=np.uint8)
     data = bytearray(png.encode(img))
     with pytest.raises(ValueError, match="bad signature"):
         png.decode(b"notapng" + bytes(data))
-    # interlaced: flip the IHDR interlace byte (and fix the CRC)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    bad = (
-        b"\x89PNG\r\n\x1a\n"
-        + png._chunk(b"IHDR", ihdr)
-        + png._chunk(b"IEND", b"")
-    )
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        png.decode(bad)
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     bad16 = (
         b"\x89PNG\r\n\x1a\n"
