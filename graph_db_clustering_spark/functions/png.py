@@ -10,10 +10,12 @@ the PNG spec (RFC 2083 / W3C PNG §9), so a dependency-free decoder is
 small and exact (PNG is lossless: byte-for-byte reproducible, unlike the
 JPEG path's IDCT rounding).
 
-Supported: bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
+Supported: bit depths 8 and 16 (16-bit returns uint16, big-endian
+samples per spec); color types 0 (gray), 2 (RGB), 3 (palette),
 4 (gray+alpha), 6 (RGBA); all five filters; Adam7 interlacing (seven
 independently-filtered reduced images scattered onto fixed pixel
-grids). Gated with a clear NotImplementedError: bit depths 1/2/4/16.
+grids). Gated with a clear NotImplementedError: bit depths 1/2/4
+(packed sub-byte samples).
 
 Scanline unfiltering is vectorized where the data flow allows: None/Up
 are whole-row ops, Sub is a per-byte-lane running sum (modulo-256
@@ -126,50 +128,62 @@ def decode(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG: missing IHDR")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG: bit depth {bit_depth} not supported (8 only)")
+    if bit_depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG: bit depth {bit_depth} not supported (8 and 16 only)"
+        )
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: bad color type {color_type}")
+    if color_type == 3 and bit_depth == 16:
+        raise ValueError("PNG: 16-bit palette images are not legal PNG")
     channels = _CHANNELS[color_type]
+    # filters operate on BYTES at a distance of bpp bytes-per-pixel
+    # regardless of sample width (spec: "bpp is rounded up to one")
+    bpp = channels * (bit_depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace:
         # Adam7: seven reduced images, each filtered as an independent
         # image (its own scanlines and filter bytes, empty passes emit
         # nothing), scattered onto a fixed pixel grid per pass
-        recon = np.zeros((height, width * channels), dtype=np.uint8)
+        recon = np.zeros((height, width * bpp), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * channels
+            pstride = pw * bpp
             need = ph * (pstride + 1)
-            sub = _unfilter(raw[pos : pos + need], ph, pstride, channels)
+            sub = _unfilter(raw[pos : pos + need], ph, pstride, bpp)
             pos += need
             rows = y0 + np.arange(ph) * dy
             cols = x0 + np.arange(pw) * dx
-            sub = sub.reshape(ph, pw, channels)
-            view = recon.reshape(height, width, channels)
+            sub = sub.reshape(ph, pw, bpp)
+            view = recon.reshape(height, width, bpp)
             view[np.ix_(rows, cols)] = sub
         if pos != raw.size:
             raise ValueError(
                 f"PNG: Adam7 stream has {raw.size} filtered bytes, consumed {pos}"
             )
     else:
-        stride = width * channels
+        stride = width * bpp
         if raw.size != height * (stride + 1):
             raise ValueError(
                 f"PNG: got {raw.size} filtered bytes, expected {height * (stride + 1)}"
             )
-        recon = _unfilter(raw, height, stride, channels)
+        recon = _unfilter(raw, height, stride, bpp)
+    if bit_depth == 16:
+        hi_lo = recon.reshape(height, width, channels, 2).astype(np.uint16)
+        img = (hi_lo[..., 0] << 8) | hi_lo[..., 1]  # big-endian samples
+    else:
+        img = recon.reshape(height, width, channels)
     if color_type == 3:
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")
-        return palette[recon.reshape(height, width)]
+        return palette[img.reshape(height, width)]
     if channels == 1:
-        return recon.reshape(height, width)
-    return recon.reshape(height, width, channels)
+        return img.reshape(height, width)
+    return img
 
 
 # ---------------------------------------------------------------------------
@@ -243,8 +257,11 @@ def encode(
     every unfilter branch deterministically; `color_type` defaults to
     gray/RGB/RGBA from the channel count; `interlace` emits the Adam7
     pass sequence (each reduced image filtered independently; `filters`
-    as an int applies to every pass row)."""
-    img = np.asarray(img, dtype=np.uint8)
+    as an int applies to every pass row). A uint16 input encodes at bit
+    depth 16 (big-endian samples per spec)."""
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = img.astype(np.uint16 if depth == 16 else np.uint8)
     if img.ndim == 2:
         h, w, c = img.shape[0], img.shape[1], 1
         cube = img.reshape(h, w, 1)
@@ -255,6 +272,15 @@ def encode(
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     if _CHANNELS[color_type] != c:
         raise ValueError(f"color type {color_type} wants {_CHANNELS[color_type]} channels, got {c}")
+    if depth == 16:
+        # split samples into big-endian byte pairs; the filters then run
+        # over the byte stream with bpp = channels * 2
+        cube = (
+            np.stack([(cube >> 8) & 0xFF, cube & 0xFF], axis=-1)
+            .astype(np.uint8)
+            .reshape(h, w, c * 2)
+        )
+    bpp = cube.shape[2]
     out = bytearray()
     if interlace:
         f = filters if isinstance(filters, (int, type(None))) else None
@@ -263,10 +289,12 @@ def encode(
             ph, pw = sub.shape[:2]
             if ph == 0 or pw == 0:
                 continue
-            out.extend(_filter_image(sub.reshape(ph, pw * c), ph, c, f))
+            out.extend(_filter_image(sub.reshape(ph, pw * bpp), ph, bpp, f))
     else:
-        out = _filter_image(cube.reshape(h, w * c), h, c, filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+        out = _filter_image(cube.reshape(h, w * bpp), h, bpp, filters)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)

@@ -131,19 +131,53 @@ def test_adam7_known_pixel_grid():
     assert np.array_equal(out, img)
 
 
+@pytest.mark.parametrize("shape", [(4, 5), (3, 6, 3), (5, 4, 4)])
+@pytest.mark.parametrize("ftype", [0, 1, 3, 4])
+def test_16bit_roundtrip(shape, ftype):
+    """Bit depth 16: filters run over the byte stream at bpp = 2*channels;
+    samples reassemble big-endian into uint16."""
+    img = _rng(101 + ftype).integers(0, 65536, size=shape, dtype=np.uint16)
+    out = png.decode(png.encode(img, filters=ftype))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, img)
+
+
+def test_16bit_interlaced_roundtrip():
+    img = _rng(77).integers(0, 65536, size=(9, 7, 3), dtype=np.uint16)
+    out = png.decode(png.encode(img, filters=4, interlace=True))
+    assert np.array_equal(out, img)
+
+
+def test_16bit_big_endian_sample_order():
+    """A single 16-bit gray pixel 0x1234 must serialize high byte first."""
+    img = np.array([[0x1234]], dtype=np.uint16)
+    data = png.encode(img)
+    idat = b"".join(body for ctype, body in png._chunks(data) if ctype == b"IDAT")
+    assert zlib.decompress(idat) == bytes([0, 0x12, 0x34])  # filter 0, hi, lo
+    assert png.decode(data)[0, 0] == 0x1234
+
+
 def test_gates():
     img = np.zeros((2, 2), dtype=np.uint8)
     data = bytearray(png.encode(img))
     with pytest.raises(ValueError, match="bad signature"):
         png.decode(b"notapng" + bytes(data))
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    bad16 = (
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    bad4 = (
         b"\x89PNG\r\n\x1a\n"
-        + png._chunk(b"IHDR", ihdr16)
+        + png._chunk(b"IHDR", ihdr4)
         + png._chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError, match="bit depth"):
-        png.decode(bad16)
+        png.decode(bad4)
+    ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    badp = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr16p)
+        + png._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="16-bit palette"):
+        png.decode(badp)
 
 
 def test_spark_decode_path(spark):
