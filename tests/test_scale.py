@@ -381,3 +381,67 @@ def test_cross_dedup_invariant_at_10x_scale(spark, skewed_docs):
     assert len(outs[0]) == n_cross
     assert all(j == 1.0 for _, _, j in outs[0])
     assert all(n % 2 == 1 and c % 2 == 0 for n, c, _ in outs[0])
+
+
+def test_correlated_call_invariant_at_10x_skewed_imports(spark):
+    """Correlated CALL's distinct-import-combo compile at ~10x scale with
+    hostile import skew: 100k outer rows collapse onto 1,001 distinct
+    import values (one value covering half the rows — the hot combo), so
+    the subquery body must run over 1,001 combos, not 100k rows, and the
+    null-safe join-back must fan results back out to every outer row —
+    byte-identically under hostile repartitionings, including the rows
+    whose import value is NULL (eqNullSafe: NULL imports are ONE combo,
+    not dropped)."""
+    from graph_db_clustering_spark.cypher import CypherSession
+    from graph_db_clustering_spark.operators.graph import Graph
+
+    n = 100_000
+    # grp: half the rows -> 0 (hot), the rest spread over 1..999, plus a
+    # NULL stripe every 1000th row
+    grp = (
+        F.when(F.col("id") % 1000 == 7, F.lit(None))
+        .when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+    )
+    v = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.lit("Row").alias("label"),
+            grp.cast("long").alias("grp"),
+        )
+    )
+    e = spark.createDataFrame([], "src long, dst long, relationship string")
+
+    def run(vdf):
+        s = CypherSession(Graph(vdf, e))
+        # import the SCALAR g, not the node r: a node struct embeds the
+        # unique id, which would make every import combo distinct and
+        # defeat the dedup (the per-row cost Neo4j pays; the whole point
+        # of the set-based compile is to exploit repeated imports)
+        return s.run(
+            """MATCH (r:Row)
+               WITH ID(r) AS id, r.grp AS g
+               CALL { WITH g MATCH (x:Row) WHERE x.grp = g
+                      RETURN count(x) AS peers, sum(ID(x)) AS tot }
+               RETURN id, peers, tot ORDER BY id"""
+        )
+
+    base = run(v).collect()
+    assert len(base) == n
+    by_id = {r.id: (r.peers, r.tot) for r in base}
+    # the hot combo: every even-id non-null-stripe row sees all of them
+    n_hot = sum(1 for i in range(n) if i % 1000 != 7 and i % 2 == 0)
+    assert by_id[0][0] == n_hot
+    assert by_id[2][0] == n_hot
+    # a tail combo: odd ids with grp g = {i : i % 2 == 1, i % 1000 == g}
+    g = 3
+    members = [i for i in range(n) if i % 1000 == g and i % 2 == 1]
+    assert by_id[members[0]] == (len(members), sum(members))
+    # NULL-import rows: x.grp = NULL matches nothing -> aggregate
+    # defaults, but the rows themselves must SURVIVE (left join-back)
+    assert by_id[7] == (0, 0)
+    # partition-hostility: skewed single-partition and 97-way layouts
+    for hostile in (v.repartition(1), v.repartition(97, "grp")):
+        again = run(hostile).collect()
+        assert again == base
