@@ -147,3 +147,28 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             "package); use parquet/orc in this environment"
         )
     df.write.mode(mode).format("avro").save(path)  # pragma: no cover
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML source (native in Spark 4 — the former spark-xml package is
+    built in): one row per `row_tag` element. Pass an explicit schema
+    for production scans — like CSV/JSON, inference is a full extra pass
+    over the data. Splittable parse, so large XML dumps (e.g. wiki
+    exports — a standard pretraining-corpus ingest) parallelize across
+    tasks."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (round-trips read_xml)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

@@ -27,3 +27,26 @@ def test_avro_gate_raises_clearly(spark, tmp_path):
         write_avro(df, str(tmp_path / "a"))
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "a"))
+
+
+def test_xml_source_roundtrip(spark, tmp_path):
+    """Native Spark-4 XML source: explicit-schema read, one row per
+    rowTag element, sink round-trip."""
+    from graph_db_clustering_spark.sources.files import read_xml, write_xml
+
+    p = tmp_path / "docs.xml"
+    p.write_text(
+        "<docs>"
+        "<doc><id>1</id><title>alpha</title><score>0.5</score></doc>"
+        "<doc><id>2</id><title>beta</title><score>1.5</score></doc>"
+        "</docs>"
+    )
+    df = read_xml(
+        spark, str(p), "doc", "id long, title string, score double"
+    )
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "alpha", 0.5), (2, "beta", 1.5)]
+    out = tmp_path / "out_xml"
+    write_xml(df, str(out), row_tag="doc")
+    back = read_xml(spark, str(out), "doc", "id long, title string, score double")
+    assert sorted(map(tuple, back.collect())) == rows
