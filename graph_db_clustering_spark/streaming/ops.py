@@ -87,6 +87,22 @@ def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_events_within_watermark(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stateful dedup with GUARANTEED-bounded state:
+    dropDuplicatesWithinWatermark evicts an id's state as soon as the
+    watermark passes its FIRST-SEEN event time, whereas plain
+    dropDuplicates keyed only on event_id (no ts in the key) retains
+    every id forever. The semantic trade: duplicates arriving more than
+    `watermark` apart both survive — the right contract for at-least-once
+    sources whose replays cluster near the original (Kafka redelivery),
+    and the ONLY safe dedup at 100 TB/unbounded-id-space scale."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def first_event_per_user_type(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """First event id per (user, type) — the Q41 batch aggregation as a
     streaming agg (update-mode; min is a commutative/associative agg so

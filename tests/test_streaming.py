@@ -290,3 +290,25 @@ def test_scrub_stream_matches_batch(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     want = _counts_sorted(pii_scrub(docs, "doc_id", "text"), "doc_id")
     assert got == want
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replays inside the watermark are
+    dropped exactly like plain dropDuplicates (same 200-row answer on the
+    doubled replay), but the state store is guaranteed bounded — id state
+    evicts once the watermark passes its first-seen time."""
+    from graph_db_clustering_spark.streaming.ops import dedup_events_within_watermark
+
+    events = load_table(spark, SF, "events").limit(200)
+    d = str(tmp_path / "dupw_replay")
+    events.coalesce(1).write.mode("overwrite").parquet(d)
+    events.coalesce(1).write.mode("append").parquet(d)
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    res = run_available_now(
+        dedup_events_within_watermark(stream, watermark="30 days"),
+        "append",
+        "dedupw_final",
+        str(tmp_path),
+    )
+    assert res.count() == 200
+    assert res.select("event_id").distinct().count() == 200
