@@ -1121,6 +1121,10 @@ class CypherSession:
         self.graph = Graph(graph.vertices, edges)
         self.seed = seed
         self._lambda_env: dict[str, Column] = {}  # list-comprehension vars
+        self._anon = 0  # session-wide fresh-name counter: anonymous
+        # pattern columns (_r1, _n2, ...) must be unique ACROSS clauses,
+        # or two MATCHes' hidden columns silently equi-join on the
+        # shared name (round-6 review finding)
 
     # -- public API ---------------------------------------------------------
 
@@ -1342,17 +1346,23 @@ class CypherSession:
             )
             if frontier.isEmpty():
                 break
+            # the accumulated union is re-checkpointed each layer even
+            # though every frontier is already materialized: skipping it
+            # (union of checkpointed RDDs) makes the next layer's
+            # anti-join share attribute ids with the frontier branch and
+            # trips the optimizer (NoSuchElementException on the exprId
+            # map — verified against sf0.01). The copy cost is
+            # O(layers x pairs); acceptable against correctness, and the
+            # layer count is capped at _VARLEN_MAX_HOPS.
             known = known.unionAll(
                 frontier.withColumn("dist", F.lit(k))
             ).localCheckpoint(eager=True)
         return known.filter(F.col("src") != F.col("dst"))
 
     def _match(self, ctx: _Ctx, c: MatchC, params) -> None:
-        anon = [0]
-
         def fresh(prefix):
-            anon[0] += 1
-            return f"_{prefix}{anon[0]}"
+            self._anon += 1
+            return f"_{prefix}{self._anon}"
 
         # the clause's own pattern frame: paths combined on their shared
         # variables; OPTIONAL MATCH needs it separate from the running
@@ -1525,6 +1535,12 @@ class CypherSession:
                 return Prop(rw(e.base), e.name)
             if isinstance(e, Index):
                 return Index(rw(e.base), e.idx)
+            if isinstance(e, Case):
+                return Case(
+                    rw(e.subject) if e.subject is not None else None,
+                    [(rw(w), rw(t)) for w, t in e.whens],
+                    rw(e.default) if e.default is not None else None,
+                )
             return e
 
         where = rw(where)
@@ -1596,6 +1612,12 @@ class CypherSession:
                     rw(e.src),
                     rw(e.pred) if e.pred is not None else None,
                     rw(e.mapped) if e.mapped is not None else None,
+                )
+            if isinstance(e, Case):
+                return Case(
+                    rw(e.subject) if e.subject is not None else None,
+                    [(rw(w), rw(t)) for w, t in e.whens],
+                    rw(e.default) if e.default is not None else None,
                 )
             return e
 
@@ -2437,11 +2459,14 @@ class CypherSession:
                 return self._expr(e.args[0], df, params).cast("string")
             if name == "tointeger":
                 # Cypher: numeric -> truncate toward zero; string -> parse
-                # (null on failure, hence try_cast under ANSI mode)
-                return (
-                    self._expr(e.args[0], df, params)
-                    .try_cast("double")
-                    .cast("long")
+                # (null on failure, hence try_cast under ANSI mode). The
+                # direct long path first: routing everything through
+                # double would corrupt integers above 2^53 (round-6
+                # review); the double fallback handles '4.2'-style
+                # strings and float columns (truncation toward zero).
+                c = self._expr(e.args[0], df, params)
+                return F.coalesce(
+                    c.try_cast("long"), c.try_cast("double").cast("long")
                 )
             if name == "tofloat":
                 return self._expr(e.args[0], df, params).try_cast("double")
@@ -2556,6 +2581,11 @@ class CypherSession:
                 base = self._expr(e.args[0], df, params)
                 props = [f for f in fields if f not in internal]
                 if name == "properties":
+                    # Returns a STRUCT (Spark rows have a fixed schema),
+                    # so a property absent on this entity appears as a
+                    # null field — Neo4j's heterogeneous map would omit
+                    # it. keys() is the Neo4j-accurate present-only
+                    # list; use it when presence matters.
                     return F.struct(
                         *[base.getField(f).alias(f) for f in props]
                     )

@@ -270,6 +270,11 @@ def encode(
         cube = img
     if color_type is None:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if color_type == 3:
+        raise ValueError(
+            "encode() does not emit palette (color type 3) images — it "
+            "writes no PLTE chunk; encode grayscale (0) instead"
+        )
     if _CHANNELS[color_type] != c:
         raise ValueError(f"color type {color_type} wants {_CHANNELS[color_type]} channels, got {c}")
     if depth == 16:

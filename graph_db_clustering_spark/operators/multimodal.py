@@ -92,10 +92,12 @@ def _decode_one(content: bytes, height: int, width: int, channels: int, fmt: str
 def _grayscale(arr: np.ndarray) -> np.ndarray:
     """HxWxC -> HxW by channel mean (the cv2.cvtColor(BGR2GRAY) analog,
     image_classification.py:91; equal weights keep it codec-free and
-    deterministic)."""
+    deterministic). Preserves the input's dtype: 16-bit PNGs arrive as
+    uint16, and casting their 0..65535 means to uint8 would wrap mod 256
+    (round-6 review)."""
     if arr.ndim == 2:
         return arr
-    return arr.mean(axis=2).astype(np.uint8)
+    return arr.mean(axis=2).astype(arr.dtype)
 
 
 def _resize_nn(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

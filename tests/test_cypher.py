@@ -1118,3 +1118,58 @@ def test_remove_label(spark):
     # relationships have no labels
     with pytest.raises(ValueError, match="nodes, not"):
         s.run("MATCH ()-[r]->() REMOVE r:CLOSEST_TO")
+
+
+def test_anonymous_patterns_independent_across_clauses(spark):
+    """Two MATCH clauses with anonymous relationships must stay
+    independent (cross product), not silently equi-join on colliding
+    hidden column names (round-6 review finding: the fresh-name counter
+    was per-clause)."""
+    v = spark.createDataFrame(
+        [(0, "N", "n0"), (1, "N", "n1"), (2, "N", "n2")],
+        "id long, label string, name string",
+    )
+    e = spark.createDataFrame(
+        [(0, 2, "T"), (1, 2, "T")], "src long, dst long, relationship string"
+    )
+    s = CypherSession(Graph(v, e))
+    out = s.run(
+        """MATCH (a)-[:T]->() MATCH (b)-[:T]->()
+           RETURN ID(a) AS x, ID(b) AS y ORDER BY x, y"""
+    )
+    assert [(r.x, r.y) for r in out.collect()] == [
+        (0, 0),
+        (0, 1),
+        (1, 0),
+        (1, 1),
+    ]
+
+
+def test_case_composes_with_pattern_predicates(spark):
+    """exists() pattern predicates nested inside CASE arms are rewritten
+    like any other predicate position (round-6 review finding)."""
+    v = spark.createDataFrame(
+        [(0, "N", "n0"), (1, "N", "n1"), (2, "N", "n2")],
+        "id long, label string, name string",
+    )
+    e = spark.createDataFrame(
+        [(0, 2, "T")], "src long, dst long, relationship string"
+    )
+    s = CypherSession(Graph(v, e))
+    out = s.run(
+        """MATCH (a:N)
+           WHERE CASE WHEN exists((a)-[:T]->()) THEN true ELSE false END
+           RETURN a.name AS nm"""
+    )
+    assert [r.nm for r in out.collect()] == ["n0"]
+
+
+def test_tointeger_exact_above_double_precision(spark):
+    """toInteger must not route exact integers through double: 2^53 + 1
+    survives both as a string parse and a long column (round-6 review)."""
+    s = CypherSession(_null_image_graph(spark))
+    row = s.run(
+        "RETURN toInteger('9007199254740993') AS a, "
+        "toInteger(9007199254740993) AS b, toInteger('4.7') AS c"
+    ).collect()[0]
+    assert (row.a, row.b, row.c) == (9007199254740993, 9007199254740993, 4)
