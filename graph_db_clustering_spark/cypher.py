@@ -97,6 +97,9 @@ message — gates are test-pinned in tests/test_cypher.py):
       (p = (a)-->(b))                            graph_algos.shortest_paths)
     list comprehension [x IN l WHERE p | e]    yes (filter/transform
       (+ range(a, b[, step]))                    HOFs; lambda scoping)
+    all/any/none/single(x IN l WHERE p)        yes (forall/exists HOFs)
+    reduce(acc = init, x IN l | expr)          yes (F.aggregate; nested
+                                                 reduce + shadowing work)
     pattern comprehension                      yes (bound subject; one
       [(a)-[:R]->(b) WHERE p | e]                join + collect per comp;
                                                  sorted lists — Neo4j
@@ -347,6 +350,23 @@ class PatternPred:
 
 
 @dataclass
+class Quantifier:
+    kind: str  # all | any | none | single
+    var: str
+    src: object  # list expression
+    pred: object  # WHERE predicate
+
+
+@dataclass
+class Reduce:
+    acc: str  # accumulator variable
+    init: object  # initial value expression
+    var: str  # element variable
+    src: object  # list expression
+    body: object  # | expression (sees acc and var)
+
+
+@dataclass
 class Case:
     subject: object | None  # simple form: CASE subj WHEN val ...; None = searched
     whens: list  # [(when_expr, then_expr)]; when_expr is a value (simple) or predicate (searched)
@@ -383,6 +403,10 @@ def _has_agg(e) -> bool:
             or any(_has_agg(w) or _has_agg(t) for w, t in e.whens)
             or (e.default is not None and _has_agg(e.default))
         )
+    if isinstance(e, Quantifier):
+        return _has_agg(e.src) or _has_agg(e.pred)
+    if isinstance(e, Reduce):
+        return _has_agg(e.init) or _has_agg(e.src) or _has_agg(e.body)
     return False
 
 
@@ -404,6 +428,10 @@ def _name_of(e) -> str:
         return "[pattern]"
     if isinstance(e, Case):
         return "case"
+    if isinstance(e, Quantifier):
+        return e.kind
+    if isinstance(e, Reduce):
+        return "reduce"
     return "expr"
 
 
@@ -1052,6 +1080,41 @@ class _Parser:
                     except (SyntaxError, ValueError):
                         pass
                     self.i = save
+                lname = t[1].lower()
+                if lname in ("all", "any", "none", "single"):
+                    # quantifier: all(x IN list WHERE pred) — only when
+                    # the 'var IN' shape follows (all(...) with a plain
+                    # expression stays a normal unsupported-function call)
+                    nxt, nxt2 = self.peek(), self.peek(1)
+                    if (
+                        nxt[0] == "ident"
+                        and nxt2[0] in ("ident", "kw")
+                        and nxt2[1].lower() == "in"
+                    ):
+                        var = self.next()[1]
+                        self.next()  # IN
+                        src = self.expr()
+                        self.expect("kw", "where")
+                        pred = self.expr()
+                        self.expect("op", ")")
+                        return Quantifier(lname, var, src, pred)
+                if lname == "reduce":
+                    # reduce(acc = init, x IN list | body)
+                    acc = self.expect("ident")[1]
+                    self.expect("op", "=")
+                    init = self.expr()
+                    self.expect("op", ",")
+                    var = self.expect("ident")[1]
+                    tin = self.next()
+                    if not (tin[0] in ("ident", "kw") and tin[1].lower() == "in"):
+                        raise SyntaxError(
+                            f"cypher: expected IN in reduce(), got {tin}"
+                        )
+                    src = self.expr()
+                    self.expect("op", "|")
+                    body = self.expr()
+                    self.expect("op", ")")
+                    return Reduce(acc, init, var, src, body)
                 args = []
                 if self.peek() == ("op", "*"):
                     self.next()
@@ -1776,6 +1839,32 @@ class CypherSession:
             raise ValueError(f"cypher: UNWIND rebinds variable {c.alias!r}")
         ctx.df = ctx.df.select("*", F.explode(col).alias(c.alias))
 
+    def _lambda_fn(self, names: list, sub, df, params):
+        """N-ary HOF lambda compiling `sub` with `names` bound to the
+        lambda arguments (shadowing outer bindings; saved/restored for
+        nesting) — the generalization of _listcomp_over's helper for
+        forall/exists/aggregate."""
+
+        def apply(cols):
+            saved = {}
+            for nm, c in zip(names, cols):
+                saved[nm] = (nm in self._lambda_env, self._lambda_env.get(nm))
+                self._lambda_env[nm] = c
+            try:
+                return self._expr(sub, df, params)
+            finally:
+                for nm, (had, old) in saved.items():
+                    if had:
+                        self._lambda_env[nm] = old
+                    else:
+                        del self._lambda_env[nm]
+
+        # pyspark HOFs inspect the signature and reject *args — hand back
+        # a fixed-arity wrapper
+        if len(names) == 1:
+            return lambda a: apply((a,))
+        return lambda a, b: apply((a, b))
+
     def _listcomp_over(self, src_col: Column, e, df, params) -> Column:
         """filter/transform HOFs over an already-compiled source column;
         the lambda variable shadows outer bindings for the duration of
@@ -2334,6 +2423,30 @@ class CypherSession:
         if isinstance(e, ListComp):
             # [x IN src WHERE pred | mapped] -> filter + transform HOFs
             return self._listcomp_over(self._expr(e.src, df, params), e, df, params)
+        if isinstance(e, Quantifier):
+            src = self._expr(e.src, df, params)
+            fn = self._lambda_fn([e.var], e.pred, df, params)
+            if e.kind == "all":
+                return F.forall(src, fn)
+            if e.kind == "any":
+                return F.exists(src, fn)
+            if e.kind == "none":
+                return ~F.exists(src, fn)
+            # single: exactly one element satisfies
+            return F.size(F.filter(src, fn)) == 1
+        if isinstance(e, Reduce):
+            # F.aggregate requires merge-result type == init type; Cypher
+            # integers are 64-bit, so an integer-literal init compiles as
+            # long (acc + <int/long element> then stays long). Float
+            # accumulation needs a float init (0.0), as in Neo4j.
+            init = self._expr(e.init, df, params)
+            if isinstance(e.init, Lit) and isinstance(e.init.value, int) and not isinstance(e.init.value, bool):
+                init = init.cast("long")
+            return F.aggregate(
+                self._expr(e.src, df, params),
+                init,
+                self._lambda_fn([e.acc, e.var], e.body, df, params),
+            )
         if isinstance(e, Case):
             subj = (
                 self._expr(e.subject, df, params)

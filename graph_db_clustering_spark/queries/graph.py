@@ -639,3 +639,40 @@ def cypher_shortestpath(spark, sf_dir):
            RETURN a.id AS aid, b.id AS bid, length(p) AS d
            ORDER BY aid, bid"""
     )
+
+
+@declared(
+    "cypher_quant",
+    f"""WITH c AS (
+  SELECT c_custkey AS id,
+         LIST(s.g ORDER BY s.g) AS l
+  FROM customer, LATERAL (
+    SELECT UNNEST(GENERATE_SERIES(1, c_custkey % 5 + 2)) AS g) s
+  WHERE c_custkey < {_CAP}
+  GROUP BY c_custkey)
+SELECT id,
+       LEN(LIST_FILTER(l, x -> x % 2 = 0)) > 0 AS has_even,
+       LEN(LIST_FILTER(l, x -> x > 0)) = LEN(l) AS all_pos,
+       LEN(LIST_FILTER(l, x -> x % 3 = 0)) = 1 AS one_triple,
+       CAST(LIST_SUM(l) AS BIGINT) AS tot
+FROM c ORDER BY id""",
+)
+def cypher_quant(spark, sf_dir):
+    """List quantifiers + reduce through the Cypher front-end (round-6):
+    any/all/single compile to the exists/forall HOFs, reduce to
+    F.aggregate — all JVM-side lambda expressions, no UDFs. The oracle
+    rebuilds the same per-customer ranges and answers with DuckDB's list
+    HOFs (list_filter / list_sum)."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_customer_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c)
+           WITH ID(c) AS id, range(1, ID(c) % 5 + 2) AS l
+           RETURN id,
+                  any(x IN l WHERE x % 2 = 0) AS has_even,
+                  all(x IN l WHERE x > 0) AS all_pos,
+                  single(x IN l WHERE x % 3 = 0) AS one_triple,
+                  reduce(acc = 0, x IN l | acc + x) AS tot
+           ORDER BY id"""
+    )

@@ -1173,3 +1173,41 @@ def test_tointeger_exact_above_double_precision(spark):
         "toInteger(9007199254740993) AS b, toInteger('4.7') AS c"
     ).collect()[0]
     assert (row.a, row.b, row.c) == (9007199254740993, 9007199254740993, 4)
+
+
+def test_list_quantifiers_and_reduce(spark):
+    s = CypherSession(_null_image_graph(spark))
+    row = s.run(
+        """RETURN all(x IN [2, 4, 6] WHERE x % 2 = 0) AS a1,
+                  all(x IN [2, 3] WHERE x % 2 = 0) AS a2,
+                  any(x IN [1, 3, 4] WHERE x % 2 = 0) AS n1,
+                  any(x IN [1, 3] WHERE x % 2 = 0) AS n2,
+                  none(x IN [1, 3] WHERE x % 2 = 0) AS o1,
+                  none(x IN [1, 2] WHERE x % 2 = 0) AS o2,
+                  single(x IN [1, 2, 3] WHERE x % 2 = 0) AS s1,
+                  single(x IN [2, 4] WHERE x % 2 = 0) AS s2"""
+    ).collect()[0]
+    assert (row.a1, row.a2) == (True, False)
+    assert (row.n1, row.n2) == (True, False)
+    assert (row.o1, row.o2) == (True, False)
+    assert (row.s1, row.s2) == (True, False)
+    row = s.run(
+        """RETURN reduce(acc = 0, x IN [1, 2, 3, 4] | acc + x) AS tot,
+                  reduce(acc = 1, x IN [1, 2, 3, 4] | acc * x) AS prod,
+                  reduce(acc = 0, x IN [] | acc + x) AS empty"""
+    ).collect()[0]
+    assert (row.tot, row.prod, row.empty) == (10, 24, 0)
+    # outer bindings visible inside; nested reduce shadows its own acc
+    row = s.run(
+        """MATCH (n:Image) WHERE n.name = 'img2'
+           RETURN reduce(acc = 0.0, x IN [1, 2] | acc + x * n.mean) AS w,
+                  reduce(acc = 0, x IN [1, 2] |
+                         acc + reduce(acc = 0, y IN [10, 20] | acc + y) + x)
+                      AS z"""
+    ).collect()[0]
+    assert (row.w, row.z) == (30.0, 63)
+    # quantifier over a comprehension source
+    row = s.run(
+        """RETURN any(x IN [x IN range(1, 10) WHERE x > 8] WHERE x = 9) AS q"""
+    ).collect()[0]
+    assert row.q is True

@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 121
-DOCUMENTED_ORACLES = 102
+DOCUMENTED_QUERIES = 122
+DOCUMENTED_ORACLES = 103
 
 
 def test_ledger_counts_match():
