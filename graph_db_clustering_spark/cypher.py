@@ -1770,9 +1770,27 @@ class CypherSession:
             # restore the item order of the WITH/RETURN list (backticks:
             # Cypher default names like `i.name` contain dots)
             out = out.select(*[F.col(f"`{n}`") for n in names], *hidden)
+            ob_cols: dict = {}
         else:
+            # Neo4j lets a non-DISTINCT, non-aggregating projection ORDER
+            # BY expressions over the PRE-projection bindings (RETURN
+            # o.name AS onm ORDER BY o.price): such sort keys compile
+            # against df into hidden __ob columns, used for the sort and
+            # dropped at the end. DISTINCT restricts ORDER BY to the
+            # projected items (as Neo4j does — extra columns would change
+            # the dedup).
+            ob_cols = {}
+            if c.order_by and not c.distinct:
+                proj_names = {nm for _, nm in pairs}
+                for i, (oe, _a) in enumerate(c.order_by):
+                    if _name_of(oe) not in proj_names and not _has_agg(oe):
+                        ob_cols[i] = f"__ob{i}"
             out = df.select(
                 *[self._expr(e, df, params).alias(nm) for e, nm in pairs],
+                *[
+                    self._expr(c.order_by[i][0], df, params).alias(nm)
+                    for i, nm in ob_cols.items()
+                ],
                 *hidden,
             )
         if c.distinct:
@@ -1780,16 +1798,17 @@ class CypherSession:
         ctx.sort = []
         if c.order_by:
             sort_cols = []
-            for e, asc in c.order_by:
+            for i, (e, asc) in enumerate(c.order_by):
                 # prefer a projected output column of the same Cypher name
-                # (ORDER BY after RETURN/WITH sees the projection, not the
-                # pre-projection bindings)
+                # (ORDER BY after RETURN/WITH sees the projection first),
+                # then a hidden pre-projection sort column
                 nm = _name_of(e)
-                col = (
-                    F.col(f"`{nm}`")
-                    if nm in out.columns
-                    else self._expr(e, out, params)
-                )
+                if nm in out.columns:
+                    col = F.col(f"`{nm}`")
+                elif i in ob_cols:
+                    col = F.col(ob_cols[i])
+                else:
+                    col = self._expr(e, out, params)
                 sort_cols.append(col if asc else col.desc())
             ctx.sort = list(c.order_by)
             if not hidden:
@@ -1824,6 +1843,10 @@ class CypherSession:
         if c.where is not None:
             # WITH ... WHERE: filter the projected (and sliced) rows
             out = out.filter(self._expr(c.where, out, params))
+        if ob_cols:
+            # hidden pre-projection sort columns served their purpose
+            # (dropping is a projection — row order is preserved)
+            out = out.drop(*ob_cols.values())
         return out
 
     def _unwind(self, ctx: _Ctx, c: UnwindC, params) -> None:

@@ -1211,3 +1211,26 @@ def test_list_quantifiers_and_reduce(spark):
         """RETURN any(x IN [x IN range(1, 10) WHERE x > 8] WHERE x = 9) AS q"""
     ).collect()[0]
     assert row.q is True
+
+
+def test_order_by_pre_projection_expression(spark):
+    """Neo4j allows a non-DISTINCT, non-aggregating RETURN/WITH to ORDER
+    BY expressions over the pre-projection bindings; the hidden sort
+    columns must not leak into the output."""
+    v = spark.createDataFrame(
+        [(0, "N", "b", 3.0), (1, "N", "a", 1.0), (2, "N", "c", 2.0)],
+        "id long, label string, name string, price double",
+    )
+    e = spark.createDataFrame([], "src long, dst long, relationship string")
+    s = CypherSession(Graph(v, e))
+    out = s.run("MATCH (n:N) RETURN n.name AS nm ORDER BY n.price")
+    assert out.columns == ["nm"]
+    assert [r.nm for r in out.collect()] == ["a", "c", "b"]
+    out = s.run("MATCH (n:N) RETURN n.name AS nm ORDER BY n.price DESC LIMIT 2")
+    assert [r.nm for r in out.collect()] == ["b", "c"]
+    # projected alias still takes precedence
+    out = s.run("MATCH (n:N) RETURN n.name AS nm ORDER BY nm")
+    assert [r.nm for r in out.collect()] == ["a", "b", "c"]
+    # WITH form: ordering by a column the projection drops
+    out = s.run("MATCH (n:N) WITH n.name AS nm ORDER BY n.price RETURN nm")
+    assert [r.nm for r in out.collect()] == ["a", "c", "b"]
