@@ -96,3 +96,141 @@ def sessionize_with_state(
             fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState: per-user value budget (Spark 4's arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+QUOTA_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp, value double, spent double"
+)
+
+
+def value_quota_batch(events: DataFrame, cap: float) -> DataFrame:
+    """Batch form of the budget cutoff: keep each user's events while the
+    running total of `value` (in (ts, event_id) order — ALL events count
+    against the budget line, admitted or not) stays <= cap. One window
+    cumsum, partitioned by user."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("spent", F.sum("value").over(w))
+        .filter(F.col("spent") <= cap)
+        .select("user_id", "event_id", "ts", "value", "spent")
+    )
+
+
+def value_quota_stream(events: DataFrame, cap: float) -> DataFrame:
+    """The budget cutoff as a custom stateful streaming operator
+    (applyInPandasWithState): per user, the state carries one cumulative
+    `value` double across micro-batches; each batch sorts its rows by
+    (ts, event_id), advances the total, and emits the rows still under
+    the cap with their running total.
+
+    Scale: state is ONE double per user — bounded and keyed; the replay
+    harness's time-ranged chunks deliver each user's events in ts order
+    across micro-batches, so the streaming totals equal the batch window
+    cumsum (pinned replay==batch in tests)."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        spent = state.get[0] if state.exists else 0.0
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        out = []
+        for r in pdf.itertuples():
+            spent += float(r.value)
+            if spent <= cap:
+                out.append((user_id, int(r.event_id), r.ts, float(r.value), spent))
+        state.update((float(spent),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts", "value", "spent"]
+            )
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=QUOTA_OUT_SCHEMA,
+            stateStructType="spent double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def value_quota_stream_tws(events: DataFrame, cap: float) -> DataFrame:
+    """The same operator on transformWithStateInPandas — Spark 4's
+    arbitrary-state successor API (ValueState handle, RocksDB-backed
+    state store). Availability-gated: the API's Python driver worker
+    needs google.protobuf, which this container does not ship, so the
+    call raises NotImplementedError here and runs as written on a
+    cluster with protobuf installed (set
+    spark.sql.streaming.stateStore.providerClass to
+    ...state.RocksDBStateStoreProvider before starting)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf python "
+            "package (state serialization), not installed in this "
+            "environment; use value_quota_stream (applyInPandasWithState) "
+            "— identical semantics"
+        ) from ex
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Quota(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._spent = handle.getValueState("spent", "spent double")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            spent = self._spent.get()[0] if self._spent.exists() else 0.0
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            out = []
+            for r in pdf.itertuples():
+                spent += float(r.value)
+                if spent <= cap:
+                    out.append((user_id, int(r.event_id), r.ts, float(r.value), spent))
+            self._spent.update((spent,))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "event_id", "ts", "value", "spent"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    from pyspark.sql import types as T_
+
+    out_t = T_.StructType(
+        [
+            T_.StructField("user_id", T_.LongType()),
+            T_.StructField("event_id", T_.LongType()),
+            T_.StructField("ts", T_.TimestampType()),
+            T_.StructField("value", T_.DoubleType()),
+            T_.StructField("spent", T_.DoubleType()),
+        ]
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Quota(),
+        outputStructType=out_t,
+        outputMode="Append",
+        timeMode="None",
+    )

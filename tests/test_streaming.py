@@ -312,3 +312,51 @@ def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
     )
     assert res.count() == 200
     assert res.select("event_id").distinct().count() == 200
+
+
+def test_stateful_quota_matches_batch(spark, replay_dir, tmp_path):
+    """value_quota_stream (applyInPandasWithState) over the full replay
+    equals the batch window-cumsum form: per user, events are kept while
+    the running total of `value` stays under the cap, with identical
+    running totals."""
+    from graph_db_clustering_spark.streaming.stateful import (
+        value_quota_batch,
+        value_quota_stream,
+    )
+
+    cap = 2000.0
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=1)
+    res = run_available_now(
+        value_quota_stream(stream, cap),
+        "append",
+        "quota_final",
+        str(tmp_path),
+    )
+    got = [
+        (r.user_id, r.event_id, round(r.spent, 6))
+        for r in res.orderBy("user_id", "event_id").collect()
+    ]
+    batch = value_quota_batch(load_table(spark, SF, "events"), cap)
+    want = [
+        (r.user_id, r.event_id, round(r.spent, 6))
+        for r in batch.orderBy("user_id", "event_id").collect()
+    ]
+    assert got == want
+    assert len(want) > 0
+
+
+def test_quota_tws_form_gates_without_protobuf(spark):
+    """The transformWithStateInPandas form needs google.protobuf (absent
+    in this container): it must raise the clear availability gate, not
+    crash the streaming query at runtime."""
+    from graph_db_clustering_spark.streaming.stateful import value_quota_stream_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        pytest.skip("protobuf present: the tws form would actually run")
+    except ImportError:
+        pass
+    events = load_table(spark, SF, "events")
+    with pytest.raises(NotImplementedError, match="google.protobuf"):
+        value_quota_stream_tws(events, 100.0)
