@@ -555,3 +555,29 @@ def repetition_stats(spark, sf_dir):
     quality rule; one codegen projection, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_stats(docs, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+@declared(
+    "value_quota",
+    """SELECT user_id, event_id, ROUND(spent, 6) AS spent
+FROM (SELECT user_id, event_id,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS spent
+      FROM events)
+WHERE spent <= 2000.0 ORDER BY user_id, event_id""",
+)
+def value_quota(spark, sf_dir):
+    """Per-user value-budget cutoff, batch form
+    (streaming/stateful.value_quota_batch): keep events while the running
+    total of `value` in (ts, event_id) order stays under the cap — one
+    partitioned window cumsum, no shuffle beyond the user_id partition.
+    The streaming twin (applyInPandasWithState, one double of state per
+    user) is pinned replay==batch in tests/test_streaming.py."""
+    from graph_db_clustering_spark.streaming.stateful import value_quota_batch
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        value_quota_batch(e, 2000.0)
+        .select("user_id", "event_id", F.round("spent", 6).alias("spent"))
+        .orderBy("user_id", "event_id")
+    )
