@@ -10,12 +10,13 @@ the PNG spec (RFC 2083 / W3C PNG §9), so a dependency-free decoder is
 small and exact (PNG is lossless: byte-for-byte reproducible, unlike the
 JPEG path's IDCT rounding).
 
-Supported: bit depths 8 and 16 (16-bit returns uint16, big-endian
-samples per spec); color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA); all five filters; Adam7 interlacing (seven
-independently-filtered reduced images scattered onto fixed pixel
-grids). Gated with a clear NotImplementedError: bit depths 1/2/4
-(packed sub-byte samples).
+Supported: every legal bit depth — 1/2/4 (packed big-endian sub-byte
+samples, returned as their raw 0..2^d-1 values; gray + palette only,
+per spec), 8, and 16 (returns uint16, big-endian samples); color types
+0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five
+filters; Adam7 interlacing (seven independently-filtered reduced
+images scattered onto fixed pixel grids). No format gates remain —
+illegal depth/color-type combinations raise ValueError.
 
 Scanline unfiltering is vectorized where the data flow allows: None/Up
 are whole-row ops, Sub is a per-byte-lane running sum (modulo-256
@@ -128,55 +129,69 @@ def decode(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("PNG: missing IHDR")
-    if bit_depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG: bit depth {bit_depth} not supported (8 and 16 only)"
-        )
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG: bad bit depth {bit_depth}")
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: bad color type {color_type}")
     if color_type == 3 and bit_depth == 16:
         raise ValueError("PNG: 16-bit palette images are not legal PNG")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"PNG: bit depth {bit_depth} is only legal for grayscale/palette"
+        )
     channels = _CHANNELS[color_type]
-    # filters operate on BYTES at a distance of bpp bytes-per-pixel
-    # regardless of sample width (spec: "bpp is rounded up to one")
-    bpp = channels * (bit_depth // 8)
+    # filters operate on BYTES at a distance of bpp bytes-per-pixel,
+    # rounded UP to one for packed sub-byte depths (spec §9.2)
+    bpp = max(1, channels * bit_depth // 8)
+    row_bytes = lambda w: (w * channels * bit_depth + 7) // 8
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+
+    def to_samples(recon: np.ndarray, h: int, w: int) -> np.ndarray:
+        """(h, row_bytes) filtered-recon bytes -> (h, w*channels) samples."""
+        n = w * channels
+        if bit_depth == 16:
+            pairs = recon.reshape(h, n, 2).astype(np.uint16)
+            return (pairs[..., 0] << 8) | pairs[..., 1]  # big-endian
+        if bit_depth == 8:
+            return recon.reshape(h, n)
+        # packed sub-byte samples, big-endian within each byte
+        bits = np.unpackbits(recon, axis=1)[:, : n * bit_depth]
+        groups = bits.reshape(h, n, bit_depth).astype(np.uint8)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        return (groups * weights).sum(axis=2).astype(np.uint8)
+
     if interlace:
         # Adam7: seven reduced images, each filtered as an independent
         # image (its own scanlines and filter bytes, empty passes emit
         # nothing), scattered onto a fixed pixel grid per pass
-        recon = np.zeros((height, width * bpp), dtype=np.uint8)
+        dt = np.uint16 if bit_depth == 16 else np.uint8
+        img = np.zeros((height, width, channels), dtype=dt)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * bpp
+            pstride = row_bytes(pw)
             need = ph * (pstride + 1)
             sub = _unfilter(raw[pos : pos + need], ph, pstride, bpp)
             pos += need
+            samples = to_samples(sub, ph, pw).reshape(ph, pw, channels)
             rows = y0 + np.arange(ph) * dy
             cols = x0 + np.arange(pw) * dx
-            sub = sub.reshape(ph, pw, bpp)
-            view = recon.reshape(height, width, bpp)
-            view[np.ix_(rows, cols)] = sub
+            img[np.ix_(rows, cols)] = samples
         if pos != raw.size:
             raise ValueError(
                 f"PNG: Adam7 stream has {raw.size} filtered bytes, consumed {pos}"
             )
     else:
-        stride = width * bpp
+        stride = row_bytes(width)
         if raw.size != height * (stride + 1):
             raise ValueError(
                 f"PNG: got {raw.size} filtered bytes, expected {height * (stride + 1)}"
             )
         recon = _unfilter(raw, height, stride, bpp)
-    if bit_depth == 16:
-        hi_lo = recon.reshape(height, width, channels, 2).astype(np.uint16)
-        img = (hi_lo[..., 0] << 8) | hi_lo[..., 1]  # big-endian samples
-    else:
-        img = recon.reshape(height, width, channels)
+        img = to_samples(recon, height, width).reshape(height, width, channels)
     if color_type == 3:
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")
@@ -246,11 +261,49 @@ def _filter_image(flat: np.ndarray, h: int, c: int, filters) -> bytearray:
     return out
 
 
+def _pack_row(vals: np.ndarray, depth: int) -> np.ndarray:
+    """0..2^d-1 sample values -> packed big-endian bytes (one row)."""
+    bits = (
+        (vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(-1)
+    return np.packbits(bits)  # pads the final byte with zero bits, per spec
+
+
+def _encode_packed_gray(img: np.ndarray, depth: int, filters, interlace: bool) -> bytes:
+    """Grayscale PNG at bit depth 1/2/4: pack each row, then filter the
+    packed bytes at bpp=1 (the spec's rounded-up pixel distance)."""
+    h, w = img.shape
+    out = bytearray()
+
+    def emit(sub: np.ndarray) -> None:
+        ph = sub.shape[0]
+        packed = np.stack([_pack_row(sub[y], depth) for y in range(ph)])
+        f = filters if isinstance(filters, (int, type(None))) else None
+        out.extend(_filter_image(packed, ph, 1, f))
+
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            emit(sub)
+    else:
+        emit(img)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1 if interlace else 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def encode(
     img: np.ndarray,
     color_type: int | None = None,
     filters=None,
     interlace: bool = False,
+    bit_depth: int | None = None,
 ) -> bytes:
     """uint8 HxW / HxWxC array -> PNG bytes. `filters` picks the filter
     byte per row (int or list, default 0/None) so tests can exercise
@@ -258,9 +311,18 @@ def encode(
     gray/RGB/RGBA from the channel count; `interlace` emits the Adam7
     pass sequence (each reduced image filtered independently; `filters`
     as an int applies to every pass row). A uint16 input encodes at bit
-    depth 16 (big-endian samples per spec)."""
+    depth 16 (big-endian samples per spec); `bit_depth` of 1/2/4 packs a
+    2-D grayscale array of 0..2^d-1 values."""
     img = np.asarray(img)
-    depth = 16 if img.dtype == np.uint16 else 8
+    depth = bit_depth if bit_depth is not None else (
+        16 if img.dtype == np.uint16 else 8
+    )
+    if depth < 8:
+        if img.ndim != 2:
+            raise ValueError("sub-byte encode: 2-D grayscale arrays only")
+        if int(img.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sub-byte encode: values exceed {depth}-bit range")
+        return _encode_packed_gray(img.astype(np.uint8), depth, filters, interlace)
     img = img.astype(np.uint16 if depth == 16 else np.uint8)
     if img.ndim == 2:
         h, w, c = img.shape[0], img.shape[1], 1

@@ -162,14 +162,14 @@ def test_gates():
     data = bytearray(png.encode(img))
     with pytest.raises(ValueError, match="bad signature"):
         png.decode(b"notapng" + bytes(data))
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    bad4 = (
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
+    bad3 = (
         b"\x89PNG\r\n\x1a\n"
-        + png._chunk(b"IHDR", ihdr4)
+        + png._chunk(b"IHDR", ihdr3)
         + png._chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        png.decode(bad4)
+    with pytest.raises(ValueError, match="bad bit depth"):
+        png.decode(bad3)
     ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     badp = (
         b"\x89PNG\r\n\x1a\n"
@@ -195,3 +195,60 @@ def test_spark_decode_path(spark):
     out = image_features(df, resize_to=None).collect()[0]
     assert abs(out["mean"] - float(img.mean())) < 1e-9
     assert abs(out["std"] - float(img.std())) < 1e-9
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 4])
+def test_subbyte_gray_roundtrip(depth, ftype):
+    """Bit depths 1/2/4: packed big-endian samples, filters over the
+    packed bytes at bpp=1, raw 0..2^d-1 values out."""
+    img = _rng(depth * 7 + ftype).integers(0, 1 << depth, size=(6, 11), dtype=np.uint8)
+    out = png.decode(png.encode(img, bit_depth=depth, filters=ftype))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_interlaced_roundtrip(depth):
+    img = _rng(depth).integers(0, 1 << depth, size=(10, 13), dtype=np.uint8)
+    out = png.decode(png.encode(img, bit_depth=depth, interlace=True))
+    assert np.array_equal(out, img)
+
+
+def test_subbyte_palette_decode():
+    """2-bit palette image, hand-built: indices 0,1,2,3,0 packed as
+    00 01 10 11 | 00 (pad) map through a 4-entry PLTE."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    row = bytes([0, 0b00011011, 0b00000000])
+    ihdr = struct.pack(">IIBBBBB", 5, 1, 2, 3, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"PLTE", plte)
+        + png._chunk(b"IDAT", zlib.compress(row))
+        + png._chunk(b"IEND", b"")
+    )
+    out = png.decode(data)
+    assert out.shape == (1, 5, 3)
+    assert out[0].tolist() == [
+        [255, 0, 0],
+        [0, 255, 0],
+        [0, 0, 255],
+        [9, 9, 9],
+        [255, 0, 0],
+    ]
+
+
+def test_subbyte_illegal_color_types():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # 4-bit RGB: illegal
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="only legal for grayscale/palette"):
+        png.decode(bad)
+    with pytest.raises(ValueError, match="2-D grayscale"):
+        png.encode(np.zeros((2, 2, 3), dtype=np.uint8), bit_depth=4)
+    with pytest.raises(ValueError, match="exceed"):
+        png.encode(np.full((2, 2), 9, dtype=np.uint8), bit_depth=2)
