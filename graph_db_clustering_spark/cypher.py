@@ -112,7 +112,8 @@ message — gates are test-pinned in tests/test_cypher.py):
     IS [NOT] NULL, x IN list, STARTS WITH /    yes (=~ anchored to the
       ENDS WITH / CONTAINS, =~ regex             whole string, as Neo4j)
     aggregates: count/collect/sum/avg/min/max  yes (+ collect(x)[0]
-                                                 after ORDER BY = argmin)
+      (+ DISTINCT forms; collect(DISTINCT x)       after ORDER BY = argmin)
+      is a sorted set)
     functions: ID, rand, abs, not, coalesce,   yes (others: ValueError
       size (strings + lists), toLower/toUpper,   'unsupported function')
       toString/toInteger/toFloat/toBoolean,
@@ -212,6 +213,7 @@ class Prop:
 class Func:
     name: str
     args: list
+    distinct: bool = False  # count(DISTINCT x) and friends
 
 
 @dataclass
@@ -1115,6 +1117,15 @@ class _Parser:
                     body = self.expr()
                     self.expect("op", ")")
                     return Reduce(acc, init, var, src, body)
+                distinct = False
+                if self.at_kw("distinct"):
+                    if lname not in _AGG_FNS:
+                        raise ValueError(
+                            f"cypher: DISTINCT inside {t[1]}() — only "
+                            "aggregate functions take DISTINCT"
+                        )
+                    self.next()
+                    distinct = True
                 args = []
                 if self.peek() == ("op", "*"):
                     self.next()
@@ -1125,7 +1136,7 @@ class _Parser:
                         self.next()
                         args.append(self.expr())
                 self.expect("op", ")")
-                return Func(t[1], args)
+                return Func(t[1], args, distinct)
             return Var(t[1])
         raise SyntaxError(f"cypher: unexpected token {t}")
 
@@ -1593,7 +1604,7 @@ class CypherSession:
             if isinstance(e, Bin):
                 return Bin(e.op, rw(e.left), rw(e.right))
             if isinstance(e, Func):
-                return Func(e.name, [rw(a) for a in e.args])
+                return Func(e.name, [rw(a) for a in e.args], e.distinct)
             if isinstance(e, Prop):
                 return Prop(rw(e.base), e.name)
             if isinstance(e, Index):
@@ -1664,7 +1675,7 @@ class CypherSession:
             if isinstance(e, Index):
                 return Index(rw(e.base), e.idx)
             if isinstance(e, Func):
-                return Func(e.name, [rw(a) for a in e.args])
+                return Func(e.name, [rw(a) for a in e.args], e.distinct)
             if isinstance(e, MapLit):
                 return MapLit({k: rw(v) for k, v in e.items.items()})
             if isinstance(e, ListLit):
@@ -1953,17 +1964,33 @@ class CypherSession:
             return agg.getField("_p")
         if isinstance(e, Func) and e.name.lower() == "count":
             if len(e.args) == 1 and isinstance(e.args[0], Var) and e.args[0].name == "*":
+                if e.distinct:
+                    raise ValueError("cypher: count(DISTINCT *) is not legal")
                 return F.count(F.lit(1))
-            return F.count(self._expr(e.args[0], df, params))
+            c = self._expr(e.args[0], df, params)
+            return F.countDistinct(c) if e.distinct else F.count(c)
         if isinstance(e, Func) and e.name.lower() in _AGG_FNS:
+            name = e.name.lower()
+            c = self._expr(e.args[0], df, params)
+            if e.distinct:
+                # DISTINCT aggregates: count/sum have native forms,
+                # collect(DISTINCT x) is a (sorted, deterministic) set,
+                # avg(DISTINCT x) = sum_distinct / countDistinct,
+                # min/max are insensitive to DISTINCT
+                if name == "sum":
+                    return F.sum_distinct(c)
+                if name == "collect":
+                    return F.sort_array(F.collect_set(c))
+                if name == "avg":
+                    return F.sum_distinct(c) / F.countDistinct(c)
             fn = {
                 "collect": F.collect_list,
                 "sum": F.sum,
                 "avg": F.avg,
                 "min": F.min,
                 "max": F.max,
-            }[e.name.lower()]
-            return fn(self._expr(e.args[0], df, params))
+            }[name]
+            return fn(c)
         raise ValueError(f"cypher: unsupported aggregate shape {e}")
 
     # -- CREATE / SET / DELETE ----------------------------------------------

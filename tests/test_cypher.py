@@ -1234,3 +1234,35 @@ def test_order_by_pre_projection_expression(spark):
     # WITH form: ordering by a column the projection drops
     out = s.run("MATCH (n:N) WITH n.name AS nm ORDER BY n.price RETURN nm")
     assert [r.nm for r in out.collect()] == ["a", "c", "b"]
+
+
+def test_distinct_aggregates(spark):
+    """count/sum/avg/collect with DISTINCT; min/max unaffected."""
+    v = spark.createDataFrame(
+        [(0, "N", 1, 10.0), (1, "N", 1, 10.0), (2, "N", 2, 20.0), (3, "N", 2, 30.0)],
+        "id long, label string, g int, x double",
+    )
+    e = spark.createDataFrame([], "src long, dst long, relationship string")
+    s = CypherSession(Graph(v, e))
+    row = s.run(
+        """MATCH (n:N)
+           RETURN count(DISTINCT n.x) AS cd, count(n.x) AS c,
+                  sum(DISTINCT n.x) AS sd, sum(n.x) AS su,
+                  avg(DISTINCT n.x) AS ad,
+                  collect(DISTINCT n.g) AS gs,
+                  min(DISTINCT n.x) AS mn"""
+    ).collect()[0]
+    assert (row.cd, row.c) == (3, 4)
+    assert (row.sd, row.su) == (60.0, 70.0)
+    assert row.ad == 20.0
+    assert row.gs == [1, 2]
+    assert row.mn == 10.0
+    # per-group DISTINCT via implicit grouping
+    out = s.run(
+        "MATCH (n:N) RETURN n.g AS g, count(DISTINCT n.x) AS k ORDER BY g"
+    )
+    assert [(r.g, r.k) for r in out.collect()] == [(1, 1), (2, 2)]
+    with pytest.raises(ValueError, match="only aggregate functions"):
+        s.run("MATCH (n:N) RETURN abs(DISTINCT n.x) AS a")
+    with pytest.raises(ValueError, match="not legal"):
+        s.run("MATCH (n:N) RETURN count(DISTINCT *) AS a")
