@@ -676,3 +676,42 @@ def cypher_quant(spark, sf_dir):
                   reduce(acc = 0, x IN l | acc + x) AS tot
            ORDER BY id"""
     )
+
+
+@declared(
+    "cypher_distinct_agg",
+    f"""SELECT c_nationkey AS nation,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS segs,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT c_mktsegment)), '|') AS seg_list
+FROM customer WHERE c_custkey < {_CAP}
+GROUP BY c_nationkey ORDER BY nation""",
+)
+def cypher_distinct_agg(spark, sf_dir):
+    """DISTINCT aggregates through the Cypher front-end (round-6):
+    count(DISTINCT) and collect(DISTINCT) under implicit grouping —
+    compiled to countDistinct and a sorted collect_set (joined to a
+    string for the oracle's hasher, the q20/dedup_exact convention)."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    e = spark.createDataFrame([], "src long, dst long, relationship string")
+    s = CypherSession(Graph(c, e))
+    out = s.run(
+        """MATCH (c:Customer)
+           RETURN c.nation AS nation,
+                  count(DISTINCT c.segment) AS segs,
+                  count(c) AS n,
+                  collect(DISTINCT c.segment) AS seg_list
+           ORDER BY nation"""
+    )
+    return out.withColumn("seg_list", F.concat_ws("|", F.col("seg_list")))

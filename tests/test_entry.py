@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 123
-DOCUMENTED_ORACLES = 104
+DOCUMENTED_QUERIES = 124
+DOCUMENTED_ORACLES = 105
 
 
 def test_ledger_counts_match():
