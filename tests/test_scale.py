@@ -445,3 +445,47 @@ def test_correlated_call_invariant_at_10x_skewed_imports(spark):
     for hostile in (v.repartition(1), v.repartition(97, "grp")):
         again = run(hostile).collect()
         assert again == base
+
+
+def test_shortest_path_invariant_at_10x_hub_scale(spark, hub_graph):
+    """shortestPath's layered BFS on the hub graph: pair distances are
+    byte-identical under hostile repartitionings, and the planted
+    structure gives closed-form answers — hub->spoke = 1 (10k pairs from
+    ONE bfs source, the hot frontier key), chain distances = index
+    difference up to the 15-hop cap, pair edges = 1. The anti-join
+    against the known set must keep every pair at its FIRST (minimal)
+    layer."""
+    from graph_db_clustering_spark.cypher import CypherSession
+    from graph_db_clustering_spark.operators.graph import Graph as G
+
+    v, e = hub_graph
+    vdf = v.select(F.col("id"), F.lit("N").alias("label"))
+
+    def run(vparts, eparts):
+        s = CypherSession(G(vdf.repartition(vparts), e.repartition(eparts)))
+        out = s.run(
+            """MATCH p = shortestPath((a:N)-[:E*..15]->(b:N))
+               RETURN ID(a) AS a, ID(b) AS b, length(p) AS d"""
+        )
+        return sorted((r.a, r.b, r.d) for r in out.collect())
+
+    base = run(4, 96)
+    assert base == run(96, 4)
+    dist = {(a, b): d for a, b, d in base}
+    # hub: 10k spokes at distance exactly 1, nothing else from the hub
+    hub_out = [(a, b) for a, b, _ in base if a == 0]
+    assert len(hub_out) == HUB_SPOKES
+    assert all(dist[(0, b)] == 1 for _, b in hub_out)
+    # chains: d(start+i, start+j) == j - i for j-i <= 15 within a chain
+    c0 = CHAIN_START
+    assert dist[(c0, c0 + 15)] == 15
+    assert dist[(c0, c0 + 1)] == 1
+    assert dist[(c0 + 3, c0 + 9)] == 6
+    assert (c0, c0 + 16) not in dist  # next chain: unreachable
+    # chain pair count: per chain, ordered pairs within 15 hops = C(16,2)
+    chain_pairs = [(a, b) for a, b, _ in base if CHAIN_START <= a < PAIR_START]
+    assert len(chain_pairs) == N_CHAINS * (CHAIN_LEN * (CHAIN_LEN - 1) // 2)
+    # two-cliques: exactly one forward pair each at distance 1
+    pair_pairs = [(a, b, d) for a, b, d in base if a >= PAIR_START]
+    assert len(pair_pairs) == N_PAIRS2
+    assert all(d == 1 and b == a + 1 for a, b, d in pair_pairs)
