@@ -87,8 +87,10 @@ message — gates are test-pinned in tests/test_cypher.py):
       x[i], $params
     UNION / UNION ALL (RETURN parts, same      yes (unionByName,
       columns, no mixing — the Neo4j rules)      + distinct for bare UNION)
-    CALL procedures                            no — ValueError gate
-      (no Spark analog)
+    CALL db.labels() / db.relationshipTypes()  yes (distinct metadata
+      / db.propertyKeys() [YIELD col [AS x]]     scans / schema keys)
+    other CALL procedures (apoc.*, write/       no — ValueError with the
+      admin)                                     supported list
     [p =] shortestPath((a)-[:T*..k]->(b))      yes (layered BFS over
       + length(p)                                distinct pairs: one row
                                                  per endpoint pair at its
@@ -332,6 +334,12 @@ class CallC:
 
 
 @dataclass
+class ProcC:
+    name: str  # dotted procedure name (db.labels, ...)
+    yields: list | None  # [(column, alias|None)] from YIELD, or None = all
+
+
+@dataclass
 class ListComp:
     var: str
     src: object  # list expression
@@ -376,6 +384,14 @@ class Case:
 
 
 _AGG_FNS = {"count", "collect", "sum", "avg", "min", "max"}
+
+# read-only introspection procedures (CALL db.labels() ...) -> Neo4j's
+# output column name for each
+_PROCEDURES = {
+    "db.labels": "label",
+    "db.relationshipTypes": "relationshipType",
+    "db.propertyKeys": "propertyKey",
+}
 
 
 def _has_agg(e) -> bool:
@@ -649,10 +665,7 @@ class _Parser:
         subqueries (importing WITH) stay gated."""
         self.expect("kw", "call")
         if self.peek() != ("op", "{"):
-            raise ValueError(
-                "cypher: CALL procedures are not supported (uncorrelated "
-                "CALL { subquery } is; procedures have no Spark analog)"
-            )
+            return self.procedure_call()
         self.next()
         body = self.segment(stop=("op", "}"))
         if self.at_kw("union"):
@@ -697,6 +710,43 @@ class _Parser:
                     "cypher: mutating clauses are not allowed in a CALL subquery"
                 )
         return CallC(body, imports)
+
+    def procedure_call(self):
+        """CALL db.labels() [YIELD col [AS alias], ...] — the read-only
+        introspection procedures a migrating Neo4j user runs first.
+        Anything outside the supported set raises with the list."""
+        name_parts = [self.ident()]
+        while self.peek() == ("op", "."):
+            self.next()
+            name_parts.append(self.ident())
+        name = ".".join(name_parts)
+        if name not in _PROCEDURES:
+            raise ValueError(
+                f"cypher: procedure {name}() is not supported — available: "
+                + ", ".join(sorted(_PROCEDURES))
+                + " (write/admin procedures have no Spark analog)"
+            )
+        self.expect("op", "(")
+        if self.peek() != ("op", ")"):
+            raise ValueError(f"cypher: {name}() takes no arguments")
+        self.next()
+        yields = None
+        t = self.peek()
+        if t[0] == "ident" and t[1].lower() == "yield":
+            self.next()
+            yields = []
+            while True:
+                col = self.ident()
+                alias = None
+                if self.at_kw("as"):
+                    self.next()
+                    alias = self.ident()
+                yields.append((col, alias))
+                if self.peek() == ("op", ","):
+                    self.next()
+                    continue
+                break
+        return ProcC(name, yields)
 
     def foreach_clause(self):
         """FOREACH (x IN list | <mutating clauses>) — per-element
@@ -1288,9 +1338,15 @@ class CypherSession:
                 self._foreach(ctx, c, params)
             elif isinstance(c, CallC):
                 self._call(ctx, c, params)
+            elif isinstance(c, ProcC):
+                self._proc(ctx, c)
             elif isinstance(c, UnwindC):
                 self._unwind(ctx, c, params)
             i += 1
+        if result is None and clauses and isinstance(clauses[-1], ProcC):
+            # standalone procedure CALL: its rows ARE the result (Neo4j
+            # allows omitting RETURN for a trailing procedure call)
+            result = ctx.df
         return result
 
     # -- MATCH --------------------------------------------------------------
@@ -2215,6 +2271,56 @@ class CypherSession:
                         F.coalesce(F.col(f"`{nm}`"), F.array().cast(col_t)),
                     )
         ctx.df = joined.drop(*keys)
+
+    def _proc(self, ctx: _Ctx, c: ProcC) -> None:
+        """Read-only introspection procedures: each is a small distinct
+        scan over the graph's metadata columns (or pure schema, for
+        propertyKeys), sorted for determinism, YIELD-projected, and
+        joined to the bindings like an uncorrelated CALL subquery."""
+        g = self.graph
+        spark = g.vertices.sparkSession
+        if c.name == "db.labels":
+            df = (
+                g.vertices.select(F.col(LABEL_COL).alias("label"))
+                .filter(F.col("label").isNotNull())
+                .distinct()
+                .orderBy("label")
+            )
+        elif c.name == "db.relationshipTypes":
+            df = (
+                g.edges.select(F.col("relationship").alias("relationshipType"))
+                .filter(F.col("relationshipType").isNotNull())
+                .distinct()
+                .orderBy("relationshipType")
+            )
+        else:  # db.propertyKeys — static: the schema knows the keys
+            vkeys = {f for f in g.vertices.columns if f not in ("id", LABEL_COL)}
+            ekeys = {
+                f
+                for f in g.edges.columns
+                if f not in ("src", "dst", "eid", "relationship")
+            }
+            df = spark.createDataFrame(
+                [(k,) for k in sorted(vkeys | ekeys)], "propertyKey string"
+            )
+        if c.yields is not None:
+            missing = [col for col, _ in c.yields if col not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"cypher: {c.name}() yields {df.columns}, not {missing}"
+                )
+            df = df.select(
+                *[F.col(col).alias(a or col) for col, a in c.yields]
+            )
+        if ctx.df is None:
+            ctx.df = df
+            return
+        overlap = set(df.columns) & set(ctx.df.columns)
+        if overlap:
+            raise ValueError(
+                f"cypher: CALL {c.name}() rebinds variables {sorted(overlap)}"
+            )
+        ctx.df = ctx.df.crossJoin(df)
 
     def _foreach(self, ctx: _Ctx, c: ForeachC, params) -> None:
         """FOREACH: explode the list into a PRIVATE binding table (outer

@@ -463,8 +463,8 @@ def test_with_skip_and_where(spark):
 
 def test_unsupported_clauses_gate_with_clear_errors(spark):
     s = CypherSession(_chain_graph(spark))
-    with pytest.raises(ValueError, match="CALL procedures are not supported"):
-        s.run("CALL db.labels()")
+    with pytest.raises(ValueError, match="is not supported — available"):
+        s.run("CALL apoc.meta.stats()")
     with pytest.raises(ValueError, match="FOREACH body allows only"):
         s.run("FOREACH (x IN [1] | RETURN x)")
 
@@ -1266,3 +1266,50 @@ def test_distinct_aggregates(spark):
         s.run("MATCH (n:N) RETURN abs(DISTINCT n.x) AS a")
     with pytest.raises(ValueError, match="not legal"):
         s.run("MATCH (n:N) RETURN count(DISTINCT *) AS a")
+
+
+def test_introspection_procedures(spark):
+    """CALL db.labels() / db.relationshipTypes() / db.propertyKeys():
+    the read-only introspection set, standalone (no RETURN needed), with
+    YIELD...AS, and composing with bound rows like an uncorrelated CALL."""
+    v = spark.createDataFrame(
+        [(0, "Customer", "a", 1.0), (1, "Order", "b", None)],
+        "id long, label string, name string, amount double",
+    )
+    e = spark.createDataFrame(
+        [(0, 1, "PLACED", 0.5)],
+        "src long, dst long, relationship string, weight double",
+    )
+    s = CypherSession(Graph(v, e))
+    assert [r.label for r in s.run("CALL db.labels()").collect()] == [
+        "Customer",
+        "Order",
+    ]
+    assert [
+        r.l
+        for r in s.run(
+            "CALL db.labels() YIELD label AS l RETURN l ORDER BY l"
+        ).collect()
+    ] == ["Customer", "Order"]
+    assert [
+        r.relationshipType for r in s.run("CALL db.relationshipTypes()").collect()
+    ] == ["PLACED"]
+    # propertyKeys: vertex + edge schema keys, internals excluded
+    assert [r.propertyKey for r in s.run("CALL db.propertyKeys()").collect()] == [
+        "amount",
+        "name",
+        "weight",
+    ]
+    # composes with bound rows (cross join, like uncorrelated CALL)
+    out = s.run(
+        """MATCH (n:Customer) CALL db.labels() YIELD label
+           RETURN n.name AS nm, label ORDER BY nm, label"""
+    )
+    assert [(r.nm, r.label) for r in out.collect()] == [
+        ("a", "Customer"),
+        ("a", "Order"),
+    ]
+    with pytest.raises(ValueError, match="takes no arguments"):
+        s.run("CALL db.labels(1)")
+    with pytest.raises(ValueError, match="yields"):
+        s.run("CALL db.labels() YIELD wat")
