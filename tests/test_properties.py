@@ -92,3 +92,46 @@ def test_wav_pcm_roundtrip_within_quantization(samples, bits):
     rate, y = M._decode_wav(M._encode_wav(8000, x, bits=bits))
     assert rate == 8000 and len(y) == len(x)
     assert np.abs(y - x).max() <= 2.0 ** -(bits - 1) + 1e-12
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 2, 3, 4]),
+    st.sampled_from([0, 1, 2, 3, 4]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_any_shape_filter_interlace(h, w, c, ftype, interlace, seed):
+    """PNG is lossless: encode -> decode is the identity for ANY uint8
+    image, every filter type, interlaced or not, any channel count."""
+    from graph_db_clustering_spark.functions import png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c == 1 else (h, w, c)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = png.decode(png.encode(img, filters=ftype, interlace=interlace))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+    st.sampled_from([1, 2, 4, 16]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_nonstandard_depths(h, w, depth, seed):
+    """Sub-byte (packed) and 16-bit depths roundtrip losslessly too."""
+    from graph_db_clustering_spark.functions import png
+
+    rng = np.random.default_rng(seed)
+    if depth == 16:
+        img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+        out = png.decode(png.encode(img, filters=4))
+    else:
+        img = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+        out = png.decode(png.encode(img, bit_depth=depth, filters=2))
+    assert np.array_equal(out, img)
