@@ -83,9 +83,15 @@ def _decode_one(content: bytes, height: int, width: int, channels: int, fmt: str
         from graph_db_clustering_spark.functions import png
 
         return png.decode(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        # GIF: pure-Python LZW decoder (functions/gif); first frame
+        from graph_db_clustering_spark.functions import gif
+
+        return gif.decode(content)
     raise NotImplementedError(
         f"decoding format={fmt!r} needs cv2 or PIL (not installed); "
-        "use format='raw' (height*width*channels uint8 bytes), JPEG, or PNG"
+        "use format='raw' (height*width*channels uint8 bytes), JPEG, PNG, "
+        "or GIF"
     )
 
 
@@ -530,10 +536,12 @@ def frame_sample(
     content_col: str = "content",
     every_n: int = 10,
 ) -> DataFrame:
-    """Video frame sampling — plumbing-real, decode-stubbed (no video
-    codec in this environment, per spec): output schema, batching, and the
-    one-row-per-frame explode shape are the real contract; the decode
-    raises NotImplementedError until a codec (e.g. PyAV) is installed."""
+    """Frame sampling over animated containers: one row per every_n-th
+    frame, each frame re-encoded as a self-describing lossless PNG
+    (RGB). REAL for animated GIFs (functions/gif — pure-Python LZW, so
+    the full pipeline runs in this environment); other containers
+    (mp4/webm/...) still raise until a codec (e.g. PyAV) is installed —
+    the schema, batching, and explode shape are the same either way."""
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -543,12 +551,23 @@ def frame_sample(
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
-            raise NotImplementedError(
-                "video decode needs a codec (PyAV/ffmpeg), not installed; "
-                f"contract: one row per every {every_n}th frame (id, frame_index, frame)"
-            )
-        yield pd.DataFrame(columns=["id", "frame_index", "frame"])  # pragma: no cover
+        from graph_db_clustering_spark.functions import gif, png
+
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                raw = bytes(content)
+                if raw[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise NotImplementedError(
+                        "frame_sample decodes animated GIF natively; other "
+                        "video containers need a codec (PyAV/ffmpeg), not "
+                        f"installed. Contract: one row per every {every_n}th "
+                        "frame (id, frame_index, frame=PNG bytes)"
+                    )
+                for i, frame in enumerate(gif.frames(raw)):
+                    if i % every_n == 0:
+                        rows.append((int(rid), i, bytearray(png.encode(frame))))
+            yield pd.DataFrame(rows, columns=["id", "frame_index", "frame"])
 
     narrow = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
     return narrow.mapInPandas(sample, out_schema)

@@ -1,0 +1,105 @@
+"""GIF decoder tests (functions/gif): LZW round trips through the test
+encoder (including code-width growth and the 256-color max-width path),
+interlacing, animation compositing with transparency and disposal, and
+the now-REAL frame_sample Spark path."""
+
+import numpy as np
+import pytest
+
+from graph_db_clustering_spark.functions import gif, png
+
+
+def _rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (13, 11), (40, 37)])
+def test_single_frame_roundtrip(shape):
+    pal = _rng(1).integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = _rng(shape[0]).integers(0, 8, size=shape, dtype=np.uint8)
+    out = gif.frames(gif.encode([idx], pal))
+    assert len(out) == 1
+    assert np.array_equal(out[0], pal[idx])
+
+
+def test_256_color_max_width_lzw():
+    """A 256-entry palette starts LZW at 9-bit codes and a big random
+    image pushes the table through every width up to the 4096 reset."""
+    pal = _rng(2).integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = _rng(3).integers(0, 256, size=(80, 90), dtype=np.uint8)
+    assert np.array_equal(gif.frames(gif.encode([idx], pal))[0], pal[idx])
+
+
+def test_interlaced_roundtrip():
+    pal = _rng(4).integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = _rng(5).integers(0, 8, size=(19, 7), dtype=np.uint8)
+    out = gif.frames(gif.encode([idx], pal, interlace=True))
+    assert np.array_equal(out[0], pal[idx])
+
+
+def test_animation_and_transparency():
+    pal = _rng(6).integers(0, 256, size=(8, 3), dtype=np.uint8)
+    fs = [_rng(10 + i).integers(0, 7, size=(10, 12), dtype=np.uint8) for i in range(5)]
+    out = gif.frames(gif.encode(fs, pal))
+    assert len(out) == 5
+    for f, fi in zip(out, fs):
+        assert np.array_equal(f, pal[fi])
+    # transparent pixels keep the PREVIOUS frame's colors
+    f1 = np.zeros((4, 4), dtype=np.uint8)
+    f2 = np.full((4, 4), 2, dtype=np.uint8)
+    f2[0, 0] = 7
+    out = gif.frames(gif.encode([f1, f2], pal, transparent=7))
+    assert np.array_equal(out[1][0, 0], pal[0])
+    assert np.array_equal(out[1][1, 1], pal[2])
+
+
+def test_gates():
+    with pytest.raises(ValueError, match="bad signature"):
+        gif.decode(b"NOTAGIF" + b"\x00" * 16)
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    data = bytearray(gif.encode([idx], pal, transparent=1, disposal=3))
+    with pytest.raises(NotImplementedError, match="disposal"):
+        gif.frames(bytes(data))
+
+
+def test_decode_dispatch_first_frame(spark):
+    """GIF bytes flow through the still-image operators (first frame)."""
+    from graph_db_clustering_spark.operators.multimodal import image_features
+
+    pal = _rng(7).integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = _rng(8).integers(0, 8, size=(6, 6), dtype=np.uint8)
+    data = gif.encode([idx], pal)
+    rows = [(1, bytearray(data), (6, 6, 3, "gif"))]
+    df = spark.createDataFrame(
+        rows,
+        "image_id long, content binary, "
+        "meta struct<height:int,width:int,channels:int,format:string>",
+    )
+    out = image_features(df, resize_to=None).collect()[0]
+    want = pal[idx].mean(axis=2).astype(np.uint8)  # grayscale path
+    assert abs(out["mean"] - float(want.mean())) < 1e-9
+
+
+def test_frame_sample_real_for_gif(spark):
+    """frame_sample emits every Nth composited frame as lossless PNG
+    bytes — decode the payloads back and compare against the source."""
+    from graph_db_clustering_spark.operators.multimodal import frame_sample
+
+    pal = _rng(9).integers(0, 256, size=(8, 3), dtype=np.uint8)
+    fs = [_rng(20 + i).integers(0, 8, size=(5, 7), dtype=np.uint8) for i in range(7)]
+    data = gif.encode(fs, pal)
+    df = spark.createDataFrame(
+        [(42, bytearray(data))], "video_id long, content binary"
+    )
+    rows = frame_sample(df, every_n=3).collect()
+    assert [(r.id, r.frame_index) for r in rows] == [(42, 0), (42, 3), (42, 6)]
+    for r in rows:
+        frame = png.decode(bytes(r.frame))
+        assert np.array_equal(frame, pal[fs[r.frame_index]])
+    # non-GIF content still gates clearly
+    raw = spark.createDataFrame(
+        [(1, bytearray(b"\x00" * 32))], "video_id long, content binary"
+    )
+    with pytest.raises(Exception, match="codec"):
+        frame_sample(raw).collect()
