@@ -784,3 +784,54 @@ def audio_features(
 
     narrow = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
     return narrow.mapInPandas(extract, out_schema)
+
+
+def synthetic_gifs_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 4,
+    side: int = 8,
+) -> DataFrame:
+    """Deterministic animated-GIF fixture: per document, n_frames
+    side*side index frames derived from keyed md5 bytes (one digest
+    chain per frame, same recipe as synthetic_images_from_documents)
+    encode through functions/gif — the real container bytes the
+    frame_sample operator consumes. The md5 chain is computed in
+    Catalyst; only the (small) GIF assembly runs in the Arrow batch."""
+    from graph_db_clustering_spark.functions import gif as gif_codec
+
+    need = side * side
+    frames_bytes = []
+    for f in range(n_frames):
+        parts = [
+            F.unhex(F.md5(F.concat(F.col(text_col), F.lit(f"#g{f}.{i}"))))
+            for i in range(need // 16 + 1)
+        ]
+        frames_bytes.append(F.substring(F.concat(*parts), 1, need))
+    narrow = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("video_id"),
+        F.array(*frames_bytes).alias("raw_frames"),
+    )
+    pal = np.stack(
+        [np.arange(256, dtype=np.uint8)] * 3, axis=1
+    )  # identity grayscale palette
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for rid, raw in zip(pdf["video_id"], pdf["raw_frames"]):
+                idx = [
+                    np.frombuffer(bytes(fb), dtype=np.uint8).reshape(side, side)
+                    for fb in raw
+                ]
+                rows.append((int(rid), bytearray(gif_codec.encode(idx, pal))))
+        yield pd.DataFrame(rows, columns=["video_id", "content"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("video_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return narrow.mapInPandas(assemble, out_schema)

@@ -109,3 +109,19 @@ def image_histograms(spark, sf_dir):
     return h.select("id", F.posexplode("histogram").alias("bin", "frac")).select(
         "id", "bin", F.round("frac", 6).alias("frac")
     )
+
+
+@declared("frame_sample")
+def frame_sample(spark, sf_dir):
+    """Every-2nd-frame sampling over deterministic animated GIFs derived
+    from documents (operators/multimodal.synthetic_gifs_from_documents ->
+    frame_sample): the video-column path, REAL end to end — GIF LZW
+    decode, frame compositing, and lossless PNG re-encode all happen
+    executor-side in Arrow batches. Rows-only: frame payloads are binary
+    (the declared surface returns their byte length)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    vids = multimodal.synthetic_gifs_from_documents(docs, "doc_id", "text")
+    sampled = multimodal.frame_sample(vids, every_n=2)
+    return sampled.select(
+        "id", "frame_index", F.length("frame").alias("png_bytes")
+    )
