@@ -435,3 +435,50 @@ def take_token_budget(
         out="cum_tokens",
     )
     return c.filter(F.col("cum_tokens") <= budget).drop("_mix")
+
+
+def zorder_key(cols: list, bits: int = 8):
+    """Morton (Z-order) curve key over already-bucketized non-negative
+    int columns: bit i of column c lands at position i*len(cols)+c, so
+    rows close in EVERY dimension get close keys. Pure codegen (shift /
+    AND / sum expression tree, bits x dims terms — 16-64 ops, no UDF).
+
+    The 100 TB use: sort-write a fact table by zorder_key(dims) and
+    every file's parquet min/max footer covers a small HYPER-RECTANGLE
+    of the dimension space instead of a thin slab of one column —
+    predicate pushdown on ANY of the dims then skips most files, where
+    a linear sort only helps its leading column (the Delta/Iceberg
+    OPTIMIZE ZORDER story, as a plain Spark layout pass).
+
+    Columns must already be non-negative ints < 2^bits (bucketize first:
+    ntile, width_bucket, or percentile cuts); values out of range fold
+    in via masking so the key stays total."""
+    out = F.lit(0).cast("long")
+    n = len(cols)
+    for c_idx, col in enumerate(cols):
+        c = F.col(col) if isinstance(col, str) else col
+        c = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for i in range(bits):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            out = out + F.shiftleft(bit, i * n + c_idx)
+    return out
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list,
+    bits: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Re-layout a DataFrame along the Z-order curve of `cols`:
+    range-partition + sort by the Morton key, so a parquet write of the
+    result produces files whose per-dimension min/max ranges are tight
+    (see zorder_key). The key column is internal and dropped."""
+    key = "__zorder"
+    out = df.withColumn(key, zorder_key(cols, bits))
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        out.repartitionByRange(parts, key)
+        .sortWithinPartitions(key)
+        .drop(key)
+    )

@@ -219,3 +219,34 @@ def domain_mix(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@declared(
+    "zorder_key",
+    """SELECT o_orderkey AS id,
+       CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(0, 7),
+            i -> (((o_custkey % 256 >> i) & 1) << (2 * i))
+               + (((o_orderkey % 256 >> i) & 1) << (2 * i + 1)))) AS BIGINT)
+           AS zkey
+FROM orders ORDER BY id""",
+)
+def zorder_key_q(spark, sf_dir):
+    """Morton (Z-order) curve key over two bucketized dimensions
+    (operators/traindata.zorder_key): the data-skipping layout key —
+    sort-writing by it gives every parquet file a tight min/max
+    hyper-rectangle over ALL the dims, so pushdown skips files for
+    predicates on any of them (a linear sort only helps its leading
+    column). Pure shift/AND codegen; the oracle interleaves the same
+    bits with DuckDB list arithmetic."""
+    from graph_db_clustering_spark.operators import traindata as td
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("id"),
+            td.zorder_key(
+                [F.col("o_custkey") % 256, F.col("o_orderkey") % 256], bits=8
+            ).alias("zkey"),
+        )
+        .orderBy("id")
+    )

@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 125
-DOCUMENTED_ORACLES = 105
+DOCUMENTED_QUERIES = 126
+DOCUMENTED_ORACLES = 106
 
 
 def test_ledger_counts_match():

@@ -354,3 +354,59 @@ def test_deterministic_shuffle_negative_ids_stay_in_range(spark):
     shards = {r.shard for r in got.select("shard").distinct().collect()}
     assert shards <= set(range(7)) and len(shards) == 7
     assert got.count() == 1000
+
+
+def test_zorder_layout_tightens_file_bounding_boxes(spark, sf_dir, tmp_path):
+    """The data-skipping claim, measured: write orders once sorted
+    linearly by x and once Z-ordered over (x, y) buckets, then read
+    every parquet file's min/max footers. A linear sort leaves the
+    NON-leading dimension's per-file range at ~the full axis (a
+    predicate on y alone skips nothing); the Z-order layout keeps BOTH
+    dims' ranges tight, so the average per-file y-range — exactly the
+    probability a point predicate on y cannot skip a file — must drop
+    well below the linear layout's."""
+    import glob as globmod
+
+    from graph_db_clustering_spark.operators import traindata as td
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            (F.col("o_custkey") % 256).alias("x"),
+            (F.col("o_orderkey") % 256).alias("y"),
+        )
+    )
+
+    def avg_ranges(path):
+        files = globmod.glob(f"{path}/part-*.parquet")
+        assert len(files) >= 8
+        xr, yr = [], []
+        for f in files:
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count("*")
+                )
+                .first()
+            )
+            if r[4] == 0:
+                continue
+            xr.append((r[1] - r[0] + 1) / 256.0)
+            yr.append((r[3] - r[2] + 1) / 256.0)
+        return sum(xr) / len(xr), sum(yr) / len(yr)
+
+    lin = str(tmp_path / "linear")
+    o.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(lin)
+    zo = str(tmp_path / "zorder")
+    td.zorder_by(o, ["x", "y"], bits=8, num_partitions=16).write.mode(
+        "overwrite"
+    ).parquet(zo)
+    lin_x, lin_y = avg_ranges(lin)
+    zo_x, zo_y = avg_ranges(zo)
+    # linear: x tight, y ~ the whole axis. z-order: BOTH tight — the
+    # y-only predicate goes from unprunable to mostly-prunable.
+    assert lin_y > 0.8, lin_y
+    assert zo_y < lin_y / 2, (lin_y, zo_y)
+    assert zo_x < 0.6, zo_x  # x stays reasonably tight too
