@@ -565,3 +565,43 @@ def near_dups_against(
         )
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.95,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, compare pairs
+    ONLY within a cluster (cosine >= threshold -> near-duplicate), then
+    connected components + canonical survivor — the published recipe for
+    pruning semantically redundant web data at corpus scale.
+
+    Scale shape: the clustering is the existing distributed Lloyd's
+    loop (broadcast centroids, O(k) driver traffic); the pair join is
+    keyed on the cluster id, so its per-key work is bounded by the
+    largest cluster (k is chosen to keep clusters ~ N/k, the paper's
+    trade) and NEVER all-pairs; survivors come from the same sparse
+    cluster_pairs machinery the MinHash path uses. Returns
+    (id_col, canonical_id, cluster_size, keep)."""
+    from graph_db_clustering_spark.functions.vectors import cosine_similarity
+    from graph_db_clustering_spark.operators import kmeans
+
+    res = kmeans.fit(emb, k=k, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
+    member = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        res.assignments.select("id", "cid"), "id"
+    )
+    a = member.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "cid")
+    b = member.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "cid")
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine_similarity(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2")
+    )
+    return cluster_pairs(emb.select(id_col), id_col, pairs)

@@ -581,3 +581,17 @@ def value_quota(spark, sf_dir):
         .select("user_id", "event_id", F.round("spent", 6).alias("spent"))
         .orderBy("user_id", "event_id")
     )
+
+
+@declared("semantic_dedup")
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup over embeddings
+    (operators/dedup.semantic_dedup, arXiv:2303.09540): k-means cluster,
+    within-cluster cosine pairs at 0.95, connected components, canonical
+    survivor. Rows-only: the clustering is iterative (no ANSI-SQL form);
+    the planted-geometry ground truth is pinned in
+    tests/test_dup_clusters.py."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return dedup.semantic_dedup(emb, k=8, threshold=0.95, max_iter=10).orderBy(
+        "vec_id"
+    )

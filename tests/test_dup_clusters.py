@@ -168,3 +168,43 @@ def test_near_dup_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_semantic_dedup_planted_duplicate_groups(spark):
+    """SemDeDup on planted geometry: 4 well-separated directions, each
+    with a group of near-identical vectors (cosine ~1 within, ~0 across)
+    plus lone vectors. Survivors = one per planted group + every lone
+    vector, canonical = min id, regardless of which k-means cluster a
+    group lands in (within-cluster comparison suffices because near-dups
+    co-locate)."""
+    import math
+
+    from graph_db_clustering_spark.operators.dedup import semantic_dedup
+
+    dim = 8
+    rows = []
+    # 4 orthogonal base directions; groups of 5 near-copies each
+    for g in range(4):
+        for j in range(5):
+            v = [0.0] * dim
+            v[g] = 1.0
+            v[(g + 4) % dim] = 0.001 * j  # tiny perturbation, cosine ~ 1
+            rows.append((g * 10 + j, v))
+    # 4 lone vectors on diagonal directions (cosine << 0.95 to the rest)
+    for i, (x, y) in enumerate([(4, 5), (5, 6), (6, 7), (4, 7)]):
+        v = [0.0] * dim
+        v[x] = 1.0 / math.sqrt(2)
+        v[y] = 1.0 / math.sqrt(2)
+        rows.append((100 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, k=4, threshold=0.95).collect()
+    assert len(out) == 24
+    by_id = {r.vec_id: r for r in out}
+    for g in range(4):
+        members = [by_id[g * 10 + j] for j in range(5)]
+        assert all(m.canonical_id == g * 10 for m in members)
+        assert all(m.cluster_size == 5 for m in members)
+        assert [m.keep for m in members] == [True, False, False, False, False]
+    for i in range(4):
+        r = by_id[100 + i]
+        assert (r.canonical_id, r.cluster_size, r.keep) == (100 + i, 1, True)
