@@ -295,3 +295,66 @@ def c4_rule_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         v = ~F.col(name)
         kept = v if kept is None else kept & v
     return df.select(F.col(id_col), *cols).withColumn("kept", kept)
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 64,
+) -> DataFrame:
+    """RAG-prep chunking: split each document into sentences (the
+    split_sentences terminator-keeping regex), then greedily pack
+    consecutive sentences into chunks of at most max_tokens whitespace
+    tokens — a sentence that alone exceeds the budget becomes its own
+    (oversized) chunk, the standard behavior. Returns one row per chunk:
+    (id_col, chunk_idx, chunk_text, n_tokens).
+
+    Plan shape: the whole pack is ONE F.aggregate fold over the per-row
+    sentence array (struct accumulator: closed chunks + the open chunk
+    and its token count) inside whole-stage codegen, then a posexplode —
+    no UDF, no shuffle beyond the explode; per-document work is linear
+    in its sentences, so 100 TB of documents chunk in a single map
+    stage."""
+    sentences = F.filter(
+        F.split(F.col(text_col), r"(?<=[.!?])\s+"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    toks = lambda s: F.size(F.split(F.trim(s), r"\s+"))  # noqa: E731
+    empty_chunks = F.array().cast("array<array<string>>")
+    empty_cur = F.array().cast("array<string>")
+    init = F.struct(
+        empty_chunks.alias("chunks"),
+        empty_cur.alias("cur"),
+        F.lit(0).alias("cur_toks"),
+    )
+
+    def step(acc, s):
+        n = toks(s)
+        overflow = (acc["cur_toks"] + n > max_tokens) & (F.size(acc["cur"]) > 0)
+        return F.struct(
+            F.when(overflow, F.concat(acc["chunks"], F.array(acc["cur"])))
+            .otherwise(acc["chunks"])
+            .alias("chunks"),
+            F.when(overflow, F.array(s))
+            .otherwise(F.concat(acc["cur"], F.array(s)))
+            .alias("cur"),
+            F.when(overflow, n).otherwise(acc["cur_toks"] + n).alias("cur_toks"),
+        )
+
+    def finish(acc):
+        return F.when(
+            F.size(acc["cur"]) > 0, F.concat(acc["chunks"], F.array(acc["cur"]))
+        ).otherwise(acc["chunks"])
+
+    chunks = F.aggregate(sentences, init, step, finish)
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "sents"),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", F.col("sents")).alias("chunk_text"),
+        F.size(F.split(F.concat_ws(" ", F.col("sents")), r"\s+")).alias("n_tokens"),
+    )

@@ -595,3 +595,43 @@ def semantic_dedup_q(spark, sf_dir):
     return dedup.semantic_dedup(emb, k=8, threshold=0.95, max_iter=10).orderBy(
         "vec_id"
     )
+
+
+@declared(
+    "chunk_sentences",
+    r"""WITH d AS (
+  SELECT doc_id, regexp_replace(text, '(\w+) (\w+) (\w+) ', '\1 \2 \3. ', 'g') AS text
+  FROM documents WHERE doc_id < 200),
+s AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+                      chr(1)) AS parts
+  FROM d),
+sent AS (
+  SELECT doc_id, t.i - 1 AS pos, s.parts[t.i] AS sentence
+  FROM s, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(s.parts))) AS i) t
+  WHERE LEN(TRIM(s.parts[t.i])) > 0),
+ch AS (
+  SELECT doc_id, CAST(pos // 2 AS INT) AS chunk_idx,
+         STRING_AGG(sentence, ' ' ORDER BY pos) AS chunk_text
+  FROM sent GROUP BY doc_id, pos // 2)
+SELECT doc_id, chunk_idx, chunk_text,
+       CAST(LEN(string_split_regex(TRIM(chunk_text), '\s+')) AS INT) AS n_tokens
+FROM ch ORDER BY doc_id, chunk_idx""",
+)
+def chunk_sentences(spark, sf_dir):
+    """RAG-prep sentence chunking (operators/text.chunk_by_sentences):
+    greedy token-budget packing of consecutive sentences as ONE
+    F.aggregate fold per document — no UDF, no extra shuffle. Over the
+    derived-terminator corpus every sentence is exactly 3 tokens (the
+    last 1-3), so greedy packing at budget 6 has a closed form — chunk =
+    consecutive sentence PAIRS — which DuckDB verifies independently;
+    the general greedy behavior (oversized sentences, ragged budgets) is
+    pinned in tests/test_operators_misc.py."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = docs.withColumn(
+        "text", F.regexp_replace("text", r"(\w+) (\w+) (\w+) ", "$1 $2 $3. ")
+    )
+    return text.chunk_by_sentences(docs, "doc_id", "text", max_tokens=6).orderBy(
+        "doc_id", "chunk_idx"
+    )

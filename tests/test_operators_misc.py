@@ -396,3 +396,43 @@ def test_rolling_pandas_ema_matches_driver_numpy(spark):
     }
     for key, m in builtin.items():
         assert zero[key] == pytest.approx(m, abs=1e-12)
+
+
+def test_chunk_by_sentences_greedy_budget(spark):
+    """Greedy sentence packing: budget respected, order preserved, no
+    sentence split across chunks, oversized sentence -> own chunk."""
+    from graph_db_clustering_spark.operators.text import chunk_by_sentences
+
+    docs = spark.createDataFrame(
+        [
+            # 4 sentences of 3 tokens each; budget 7 -> [s1 s2], [s3 s4]
+            (1, "a b one. c d two. e f three. g h four."),
+            # one oversized sentence (9 tokens) between small ones
+            (2, "tiny one. w w w w w w w w oversized. tiny two."),
+            (3, "solo."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_by_sentences(docs, "doc_id", "text", max_tokens=7).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for parts in by_doc.values():
+        parts.sort(key=lambda r: r.chunk_idx)
+    d1 = by_doc[1]
+    assert [r.chunk_text for r in d1] == [
+        "a b one. c d two.",
+        "e f three. g h four.",
+    ]
+    assert [r.n_tokens for r in d1] == [6, 6]
+    d2 = by_doc[2]
+    assert [r.chunk_text for r in d2] == [
+        "tiny one.",
+        "w w w w w w w w oversized.",
+        "tiny two.",
+    ]
+    assert d2[1].n_tokens == 9  # oversized chunk allowed, alone
+    assert [r.chunk_text for r in by_doc[3]] == ["solo."]
+    # reconstruction: concatenating chunks re-yields every sentence in order
+    joined = " ".join(r.chunk_text for r in d1)
+    assert joined == "a b one. c d two. e f three. g h four."
