@@ -358,3 +358,62 @@ def chunk_by_sentences(
         F.concat_ws(" ", F.col("sents")).alias("chunk_text"),
         F.size(F.split(F.concat_ws(" ", F.col("sents")), r"\s+")).alias("n_tokens"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones) relevance of every document to a
+    query string — the standard lexical-retrieval scorer (the other half
+    of a RAG stack next to the ANN path). Returns (id_col, score) for
+    documents matching >= 1 query term.
+
+    Plan shape at 100 TB: the explode is FILTERED to the query's terms
+    before any aggregation, so the heavy per-(doc, term) counting only
+    touches postings of the handful of query terms; document length and
+    its corpus average are one cheap aggregate; the per-term document
+    frequencies (<= |query| rows) broadcast back. Two shuffles total
+    (tf groupBy, final per-doc sum), both keyed on doc id.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the non-negative variant);
+    tf component = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))."""
+    q_terms = sorted({w for w in query.lower().split() if w})
+    if not q_terms:
+        raise ValueError("bm25: empty query")
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    posting = (
+        base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(q_terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = posting.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    scored = (
+        posting.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.sum("w").alias("score"))
+        .select(F.col("id").alias(id_col), "score")
+    )

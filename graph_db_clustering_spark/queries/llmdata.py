@@ -635,3 +635,34 @@ def chunk_sentences(spark, sf_dir):
     return text.chunk_by_sentences(docs, "doc_id", "text", max_tokens=6).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+@declared(
+    "bm25_scores",
+    r"""WITH base AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(LEN(toks)) AS avgdl FROM base),
+posting AS (
+  SELECT doc_id, LEN(toks) AS dl, t.term, COUNT(*) AS tf
+  FROM base, LATERAL (SELECT UNNEST(toks) AS term) t
+  WHERE t.term IN ('spark', 'shuffle', 'window')
+  GROUP BY doc_id, LEN(toks), t.term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM posting GROUP BY term)
+SELECT doc_id,
+       ROUND(SUM(LN(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                 * (p.tf * 2.2)
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))), 6)
+           AS score
+FROM posting p JOIN dfreq f USING (term) CROSS JOIN stats s
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def bm25_scores_q(spark, sf_dir):
+    """BM25 relevance of every document to the query 'spark shuffle
+    window' (operators/text.bm25_scores) — the lexical-retrieval half of
+    a RAG stack (the ANN path is the other). The explode is filtered to
+    the query's terms BEFORE aggregation, so only those postings are
+    counted; per-term document frequencies broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.bm25_scores(docs, "doc_id", "text", "spark shuffle window")
+    return out.select("doc_id", F.round("score", 6).alias("score")).orderBy("doc_id")

@@ -436,3 +436,32 @@ def test_chunk_by_sentences_greedy_budget(spark):
     # reconstruction: concatenating chunks re-yields every sentence in order
     joined = " ".join(r.chunk_text for r in d1)
     assert joined == "a b one. c d two. e f three. g h four."
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against a hand-computed tiny corpus: idf/tf-saturation/length
+    normalization all pinned numerically."""
+    import math
+
+    from graph_db_clustering_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark shuffle"),   # dl 3
+            (2, "spark window window window"),  # dl 4
+            (3, "nothing relevant here"),  # dl 3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in bm25_scores(docs, "doc_id", "text", "spark shuffle").collect()}
+    n, avgdl, k1, b = 3, 10 / 3, 1.2, 0.75
+
+    def w(tf, dl, df):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(out[1] - (w(2, 3, 2) + w(1, 3, 1))) < 1e-9  # spark tf=2, shuffle tf=1
+    assert abs(out[2] - w(1, 4, 2)) < 1e-9  # spark only
+    assert 3 not in out  # no query terms -> no row
+    # higher tf scores higher, sublinearly (saturation)
+    assert out[1] > out[2]
