@@ -417,3 +417,44 @@ def bm25_scores(
         .agg(F.sum("w").alias("score"))
         .select(F.col("id").alias(id_col), "score")
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Perplexity-style quality scoring with a corpus-trained unigram
+    LM (the cheap analog of CCNet's KenLM filter, Wenzek et al. 2020):
+    estimate add-k-smoothed unigram probabilities from the corpus
+    itself, then score each document by its mean token log-probability —
+    unusually "surprising" documents (gibberish, wrong language, boiler
+    noise) sit in the low tail and quantile cuts select against them.
+
+    Returns (id_col, n_tokens, avg_logprob). Plan: one explode ->
+    term-count aggregate (the LM), one term-keyed join back, one per-doc
+    average — all equi-keyed shuffles; the LM table is (vocab) rows, far
+    smaller than the corpus, and joins on the term key (no broadcast
+    assumption: web-scale vocabularies don't fit one executor)."""
+    base = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
+    lm = base.groupBy("term").agg(F.count("*").alias("freq"))
+    totals = lm.agg(
+        F.sum("freq").alias("total"), F.count("*").alias("vocab")
+    )
+    scored = (
+        base.join(lm, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.col("freq") + F.lit(smoothing))
+                / (F.col("total") + F.lit(smoothing) * F.col("vocab"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.count("*").alias("n_tokens"), F.avg("logp").alias("avg_logprob"))
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )

@@ -666,3 +666,30 @@ def bm25_scores_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = text.bm25_scores(docs, "doc_id", "text", "spark shuffle window")
     return out.select("doc_id", F.round("score", 6).alias("score")).orderBy("doc_id")
+
+
+@declared(
+    "unigram_logprob",
+    r"""WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS w
+        FROM documents) d,
+       LATERAL (SELECT UNNEST(w) AS term) t),
+lm AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY term),
+tot AS (SELECT SUM(freq) AS total, COUNT(*) AS vocab FROM lm)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN((l.freq + 1.0) / (s.total + 1.0 * s.vocab))), 6)
+           AS avg_logprob
+FROM toks t JOIN lm l USING (term) CROSS JOIN tot s
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def unigram_logprob_q(spark, sf_dir):
+    """Unigram-LM mean token log-probability per document
+    (operators/text.unigram_logprob_scores) — the cheap CCNet-style
+    perplexity quality signal: the corpus trains its own add-1 unigram
+    model, low-tail documents are the gibberish/wrong-language cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.unigram_logprob_scores(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
+    ).orderBy("doc_id")

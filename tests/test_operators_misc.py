@@ -465,3 +465,25 @@ def test_bm25_hand_computed(spark):
     assert 3 not in out  # no query terms -> no row
     # higher tf scores higher, sublinearly (saturation)
     assert out[1] > out[2]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Add-1 unigram LM on a 3-doc corpus, scores verified by hand; the
+    rare-token document scores strictly lower."""
+    import math
+
+    from graph_db_clustering_spark.operators.text import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob_scores(docs, "doc_id", "text").collect()}
+    # freqs: a=3, b=2, z=1; total=6, vocab=3 -> p(t) = (f+1)/9
+    p = lambda f: (f + 1) / 9.0
+    want1 = (2 * math.log(p(3)) + math.log(p(2))) / 3
+    want3 = math.log(p(1))
+    assert abs(out[1].avg_logprob - want1) < 1e-9
+    assert abs(out[3].avg_logprob - want3) < 1e-9
+    assert out[3].avg_logprob < out[2].avg_logprob  # rare-token doc is low tail
+    assert (out[1].n_tokens, out[3].n_tokens) == (3, 1)
