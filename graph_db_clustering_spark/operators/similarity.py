@@ -557,3 +557,48 @@ def lsh_near_dups(
         .filter(F.col("id1") < F.col("id2"))
         .distinct()
     )
+
+
+def rrf_fuse(
+    results: list[DataFrame],
+    qid_col: str = "qid",
+    id_col: str = "nid",
+    score_col: str = "score",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of per-query result
+    lists from multiple retrieval systems: fused(q, d) = sum over
+    systems of 1 / (k + rank_s(q, d)) — the standard score-free way to
+    combine lexical (BM25) and vector (ANN) retrieval in a hybrid RAG
+    stack, robust to incomparable score scales.
+
+    Each input holds (qid, id, score); ranks are dense per (system,
+    query) by descending score with id tie-break. Windows partition by
+    query id — result lists are per-query shortlists (top-k), so no
+    global sort and no skew beyond a query's own list length."""
+    from pyspark.sql import Window
+
+    parts = []
+    for df in results:
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col)
+        )
+        parts.append(
+            df.select(
+                F.col(qid_col).alias("qid"),
+                F.col(id_col).alias("nid"),
+                F.row_number().over(w).alias("rank"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.groupBy("qid", "nid")
+        .agg(F.sum(1.0 / (F.lit(k) + F.col("rank"))).alias("rrf_score"))
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("nid").alias(id_col),
+            "rrf_score",
+        )
+    )

@@ -693,3 +693,65 @@ def unigram_logprob_q(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
     ).orderBy("doc_id")
+
+
+@declared(
+    "hybrid_rrf",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id <= 2),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+cos AS (
+  SELECT qid, nid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY list_cosine_similarity(qv, nv) DESC, nid) AS INT) AS rank
+  FROM q CROSS JOIN c WHERE qid <> nid),
+euc AS (
+  SELECT qid, nid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY -list_distance(qv, nv) DESC, nid) AS INT) AS rank
+  FROM q CROSS JOIN c WHERE qid <> nid),
+u AS (SELECT qid, nid, rank FROM cos WHERE rank <= 10
+      UNION ALL SELECT qid, nid, rank FROM euc WHERE rank <= 10)
+SELECT qid, nid, ROUND(SUM(1.0 / (60 + rank)), 6) AS rrf_score
+FROM u GROUP BY qid, nid ORDER BY qid, nid""",
+)
+def hybrid_rrf(spark, sf_dir):
+    """Hybrid-retrieval fusion (operators/similarity.rrf_fuse,
+    Cormack et al. 2009): the cosine top-10 and the (negative-)euclidean
+    top-10 for the same query vectors fuse by reciprocal rank — the
+    score-free combiner a production RAG stack uses across BM25 + ANN
+    systems with incomparable score scales. Rankings differ because the
+    embeddings are NOT unit-norm (cosine ignores magnitude, L2 does
+    not), so the fusion is non-trivial and the oracle recomputes both
+    rankings + the RRF sum in DuckDB."""
+    from graph_db_clustering_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 2)
+    cos = brute_force_topk(q, emb, "vec_id", "embedding", k=10).select(
+        "qid", "nid", F.col("cosine").alias("score")
+    )
+    qv = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "nid")
+    euc = (
+        c.crossJoin(F.broadcast(qv))
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("score", -dist2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "nid", "score")
+    )
+    return rrf_fuse([cos, euc], k=60).select(
+        "qid", "nid", F.round("rrf_score", 6).alias("rrf_score")
+    ).orderBy("qid", "nid")
