@@ -261,3 +261,32 @@ def test_shuffle_ops_have_no_global_window(spark):
             f"{name}: unpartitioned Window in plan"
         )
         assert "RangePartitioning" in plan or "hashpartitioning" in plan, name
+
+
+def test_chunker_and_bm25_plan_shapes(spark, sf_dir=None):
+    """chunk_by_sentences: the whole greedy pack is one projection +
+    posexplode — NO exchange (the fold runs inside codegen per row).
+    bm25_scores: the query-term filter sits BELOW the first aggregate,
+    so only the query's postings are ever counted."""
+    from graph_db_clustering_spark.operators.text import (
+        bm25_scores,
+        chunk_by_sentences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b. c d. e f."), (2, "x y. z w.")], "doc_id long, text string"
+    )
+    plan = plan_of(chunk_by_sentences(docs, "doc_id", "text", max_tokens=4))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+    plan = plan_of(bm25_scores(docs, "doc_id", "text", "a z"))
+    # the query-term filter must sit DIRECTLY on the explode output in
+    # every branch (tf and df), i.e. each term-IN Filter's immediate
+    # child is the Generate — nothing aggregates unfiltered postings
+    import re
+
+    matches = list(re.finditer(r"Filter term#\d+ IN \(a,z\)", plan))
+    assert matches, plan
+    for m in matches:
+        nxt = plan.index("Generate", m.end())
+        assert nxt - m.end() < 120, "Filter not directly above the explode"
