@@ -591,10 +591,26 @@ def semantic_dedup(
     from graph_db_clustering_spark.functions.vectors import cosine_similarity
     from graph_db_clustering_spark.operators import kmeans
 
-    res = kmeans.fit(emb, k=k, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
-    member = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        res.assignments.select("id", "cid"), "id"
+    # collapse EXACT-duplicate vectors to one representative first: a
+    # hot point mass (15k identical embeddings — the adversarial-skew
+    # case tests/test_scale.py plants) would otherwise make the
+    # within-cluster join quadratic in the mass. Identical vectors are
+    # near-dups of their representative by definition (cosine 1), so
+    # the collapsed groups rejoin the component graph as rep->member
+    # star edges — same clusters, per-key join work bounded by DISTINCT
+    # vectors per k-means cluster.
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    reps = src.groupBy("v").agg(F.min("id").alias("rep_id"))
+    star = (
+        src.join(reps, "v")
+        .filter(F.col("id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("id1"), F.col("id").alias("id2"))
     )
+    rep_emb = reps.select(F.col("rep_id").alias(id_col), F.col("v").alias(vec_col))
+    res = kmeans.fit(rep_emb, k=k, id_col=id_col, vec_col=vec_col, max_iter=max_iter)
+    member = rep_emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(res.assignments.select("id", "cid"), "id")
     a = member.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "cid")
     b = member.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "cid")
     pairs = (
@@ -604,4 +620,4 @@ def semantic_dedup(
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2")
     )
-    return cluster_pairs(emb.select(id_col), id_col, pairs)
+    return cluster_pairs(emb.select(id_col), id_col, pairs.unionAll(star))

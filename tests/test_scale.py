@@ -489,3 +489,36 @@ def test_shortest_path_invariant_at_10x_hub_scale(spark, hub_graph):
     pair_pairs = [(a, b, d) for a, b, d in base if a >= PAIR_START]
     assert len(pair_pairs) == N_PAIRS2
     assert all(d == 1 and b == a + 1 for a, b, d in pair_pairs)
+
+
+def test_semantic_dedup_survives_10x_point_mass(spark, skewed_vecs):
+    """semantic_dedup under the hot point mass (30% of 50k vectors are
+    ONE exact vector): without the exact-collapse step the
+    within-cluster join would materialize ~15k^2/2 = 112M pairs for that
+    cluster; with it, the mass contributes one representative plus a
+    15k-edge star. The mass must form ONE cluster with canonical = its
+    min id and everyone else stay singleton (the hash-noise tail is
+    near-orthogonal)."""
+    from graph_db_clustering_spark.operators.dedup import semantic_dedup
+
+    # k ~ sqrt(N): the paper's guidance — more clusters keep the
+    # within-cluster pair count (sum of cluster_size^2) small; k=8 on
+    # 35k distinct vectors measured ~10 min of pair cosines, k=64 ~1 min
+    out = semantic_dedup(
+        skewed_vecs,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=64,
+        threshold=0.999,
+        max_iter=5,
+    )
+    rows = out.collect()
+    assert len(rows) == N_VECS
+    mass = [r for r in rows if r.vec_id % 10 < 3]
+    rest = [r for r in rows if r.vec_id % 10 >= 3]
+    n_mass = len(mass)
+    assert all(r.cluster_size == n_mass for r in mass)
+    min_id = min(r.vec_id for r in mass)
+    assert all(r.canonical_id == min_id for r in mass)
+    assert sum(r.keep for r in mass) == 1
+    assert all(r.cluster_size == 1 and r.keep for r in rest)
