@@ -46,6 +46,56 @@ def bpe_ish_token_count(text: Column) -> Column:
     return (alpha_tokens + other).alias("bpe_tokens")
 
 
+def html_text_expr(html: Column) -> Column:
+    """HTML -> visible text as a pure codegen regexp chain (no parser
+    library, no Python per row — the WARC->text hot path at 100 TB must
+    stay inside whole-stage codegen).
+
+    Steps: drop <head>/<script>/<style> subtrees and comments, turn block-level
+    tags into newlines, strip remaining tags, unescape the named
+    entities &lt; &gt; &quot; &#39;/&apos; &nbsp; and (last, so it can't
+    re-trigger) &amp;, then collapse horizontal whitespace and blank
+    lines. Patterns avoid backreferences so the same chain runs on RE2
+    engines (the DuckDB oracle)."""
+    x = F.regexp_replace(html, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
+    x = F.regexp_replace(x, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(
+        x,
+        r"(?i)</?(p|br|div|li|ul|ol|tr|td|th|table|h[1-6]|section|article"
+        r"|header|footer|blockquote|pre|form)\b[^>]*>",
+        "\n",
+    )
+    x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.regexp_replace(x, r"[ \t\r\f]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n{2,}", "\n")
+    # trim() strips spaces only — strip newlines at the edges explicitly
+    return F.regexp_replace(x, r"^[ \n]+|[ \n]+$", "")
+
+
+def extract_html_text(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Per-document HTML text extraction: (id, text). The trafilatura-ish
+    step of a crawl pipeline, reduced to what a regexp chain can promise:
+    tag/script/comment removal + named-entity unescape + whitespace
+    normalization. Numeric character references beyond &#39; pass
+    through unchanged (documented surface, not a gate)."""
+    return df.select(
+        F.col(id_col), html_text_expr(F.col(html_col)).alias("text")
+    )
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stats: chars, whitespace tokens, avg token length,
     distinct-token ratio (type/token)."""

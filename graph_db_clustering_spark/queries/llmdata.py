@@ -755,3 +755,86 @@ def hybrid_rrf(spark, sf_dir):
     return rrf_fuse([cos, euc], k=60).select(
         "qid", "nid", F.round("rrf_score", 6).alias("rrf_score")
     ).orderBy("qid", "nid")
+
+
+# DuckDB-side whitespace normalizer matching the Spark side's explicit
+# class (Java \s and RE2 \s disagree on \x0b, so neither side uses \s)
+_WS_NORM = "trim(regexp_replace({col}, '[ \\t\\n\\r\\f][ \\t\\n\\r\\f]*', ' ', 'g'))"
+
+
+def _norm_ws(c):
+    return F.trim(F.regexp_replace(c, r"[ \t\n\r\f]+", " "))
+
+
+def _wrap_html(t):
+    """Escape + wrap a text column as the deterministic HTML page the
+    synthetic WARC builder emits (sources/warc.synthetic_warc_from_documents)
+    — the extraction oracle inverts this exactly."""
+    esc = F.replace(t, F.lit("&"), F.lit("&amp;"))
+    esc = F.replace(esc, F.lit("<"), F.lit("&lt;"))
+    esc = F.replace(esc, F.lit(">"), F.lit("&gt;"))
+    return F.concat(
+        F.lit(
+            "<html><head><title>d</title><script>var x=1;</script>"
+            "</head><body><!-- boiler --><p>"
+        ),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+
+
+@declared(
+    "html_extract",
+    "SELECT doc_id, md5("
+    + _WS_NORM.format(col="text")
+    + ") AS text_md5 FROM documents ORDER BY doc_id",
+)
+def html_extract(spark, sf_dir):
+    """HTML -> visible-text extraction (operators/text.html_text_expr):
+    each document is escaped and wrapped into a full HTML page (script,
+    comment, block tags), extracted back by the codegen regexp chain, and
+    md5'd after whitespace normalization. The oracle hashes the ORIGINAL
+    text — extraction must be an exact inverse of the wrapper, so the
+    check is against ground truth, not a second regex engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", _wrap_html(F.col("text")).alias("html")
+    )
+    extracted = text.extract_html_text(pages, "doc_id", "html")
+    return extracted.select(
+        "doc_id", F.md5(_norm_ws(F.col("text"))).alias("text_md5")
+    ).orderBy("doc_id")
+
+
+@declared(
+    "warc_ingest",
+    "SELECT doc_id, CAST(200 AS INT) AS http_status, md5("
+    + _WS_NORM.format(col="text")
+    + ") AS text_md5 FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id",
+)
+def warc_ingest(spark, sf_dir):
+    """The Common Crawl ingest path end to end (sources/warc): documents
+    become gzip-member-per-record .warc.gz shard blobs executor-side,
+    the WARC parser splits records + HTTP heads in mapInPandas, and the
+    HTML bodies round-trip through html_text_expr back to the original
+    text — checked by md5 against the source table (ground truth, the
+    html_extract pattern). doc id recovered from WARC-Target-URI."""
+    from graph_db_clustering_spark.sources import warc
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    shards = warc.synthetic_warc_from_documents(docs, "doc_id", "text")
+    recs = warc.parse_warc_records(shards, record_types=("response",))
+    pages = recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "http_status",
+        F.col("payload").cast("string").alias("html"),
+    )
+    return pages.select(
+        "doc_id",
+        "http_status",
+        F.md5(_norm_ws(text.html_text_expr(F.col("html")))).alias("text_md5"),
+    ).orderBy("doc_id")

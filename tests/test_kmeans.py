@@ -84,20 +84,21 @@ def test_reference_bug_parity_flips_assignment(points):
 
 
 def test_mllib_parity_euclidean(points):
-    """Pure-DataFrame Lloyd's and MLlib KMeans agree on cluster structure
-    (same k, euclidean): compare partitions via pairwise co-assignment on a
-    sample, allowing label permutation."""
+    """Pure-DataFrame Lloyd's and MLlib KMeans reach solutions of equal
+    quality (same k, euclidean): converged SSE within 15% in BOTH
+    directions. SSE parity is permutation- and basin-invariant, unlike
+    the pairwise co-assignment vote this replaces — k=2 on this data has
+    near-tied local optima, and which one a run lands in can flip with
+    float summation order (partition scheduling), which made the old
+    agree>disagree vote hover at 50/50 and flake under a loaded suite."""
     res = kmeans.fit(points, k=2, metric="euclidean", max_iter=30)
-    _, preds = kmeans.mllib_fit(points, k=2, vec_col="embedding", seed=42, max_iter=30)
-    ours = {r.id: r.cid for r in res.assignments.collect()}
-    theirs = {r.vec_id: r.prediction for r in preds.select("vec_id", "prediction").collect()}
-    ids = sorted(ours)[:80]
-    agree = disagree = 0
-    for i in range(0, len(ids) - 1, 2):
-        a, b = ids[i], ids[i + 1]
-        if (ours[a] == ours[b]) == (theirs[a] == theirs[b]):
-            agree += 1
-        else:
-            disagree += 1
-    # same-partition structure should dominate (allowing init differences)
-    assert agree > disagree
+    model, preds = kmeans.mllib_fit(
+        points, k=2, vec_col="embedding", seed=42, max_iter=30
+    )
+    # fit()'s euclidean score column IS the squared distance, so its sum
+    # over the converged assignments is the same quantity as trainingCost
+    ours = res.assignments.agg(F.sum("score")).first()[0]
+    theirs = model.summary.trainingCost
+    assert preds.count() == res.assignments.count()
+    assert ours <= theirs * 1.15, (ours, theirs)
+    assert theirs <= ours * 1.15, (ours, theirs)
