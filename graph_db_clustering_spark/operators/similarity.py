@@ -215,8 +215,21 @@ def ivfpq_build(
         ]
     )
     model = PQModel(C, CB)
+    return model, _encode_with(model, src)
 
+
+def _encode_with(model: PQModel, src: DataFrame) -> DataFrame:
+    """Encode (nid, nv) rows under FROZEN quantizers: ONE fused
+    Arrow-batched mapInPandas pass doing cell assignment (argmax cosine
+    vs the broadcast centroids) + residual PQ coding. Shared by the
+    initial build and ivfpq_append — appends use the same pass, so
+    append == build-time-encode exactly (test-pinned)."""
+    import numpy as np
     import pandas as pd
+
+    C, CB = model.centroids, model.codebooks
+    m = CB.shape[0]
+    dsub = C.shape[1] // m
 
     def encode(batches):
         for pdf in batches:
@@ -243,8 +256,34 @@ def ivfpq_build(
                 }
             )
 
-    encoded = src.mapInPandas(encode, "nid long, cell int, codes binary")
-    return model, encoded
+    return src.mapInPandas(encode, "nid long, cell int, codes binary")
+
+
+def ivfpq_append(
+    model: PQModel,
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a SAVED index — the FAISS ``add``
+    semantics: encode the new batch under the frozen quantizers (no
+    retraining, no touch of existing rows) and append the resulting
+    (nid, codes) rows into the cell-partitioned codes layout. The model
+    file is not rewritten; a subsequent ivfpq_load serves old + new
+    rows identically to an index whose build-time encode had seen both
+    batches (same _encode_with pass — exact-equality test-pinned).
+
+    This is the steady-state maintenance story at 100 TB: daily crawl
+    increments encode in one distributed pass and land as new files
+    inside existing cell=... directories; nothing is recomputed, reads
+    keep pruning by cell. Quantizer drift under a shifting distribution
+    is handled the way FAISS deployments do — periodic full rebuild —
+    not by mutating the frozen codebooks."""
+    src = new_rows.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    _encode_with(model, src).write.partitionBy("cell").mode("append").parquet(
+        f"{path}/codes"
+    )
 
 
 def ivfpq_save(model: PQModel, encoded: DataFrame, path: str) -> None:

@@ -393,6 +393,42 @@ def ann_ivfpq_index(spark, sf_dir):
     ).orderBy("qid", "rk")
 
 
+@declared("ann_ivfpq_append")
+def ann_ivfpq_append(spark, sf_dir):
+    """Incremental index maintenance (similarity.ivfpq_append): build +
+    save on the even-id half of the corpus, append the odd-id half under
+    the FROZEN quantizers (FAISS `add` — one distributed encode pass,
+    new files inside existing cell=... directories, model untouched),
+    then serve a query batch spanning both halves off the loaded index.
+    Deterministic (seeded build), rows-only like ann_ivfpq_index; exact
+    append==build-time-encode equality and the no-retraining poison pin
+    are in tests/test_llmdata.py."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    model, encoded = similarity.ivfpq_build(first, cells=8, m=8)
+    root = os.path.join(
+        tempfile.gettempdir(), f"gdc_ivfpq_append_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "index")
+    # overwrite semantics for repeat runs: clear only the codes dir (the
+    # append below would otherwise double rows on the second invocation)
+    shutil.rmtree(root, ignore_errors=True)
+    similarity.ivfpq_save(model, encoded, path)
+    similarity.ivfpq_append(model, second, path)
+    loaded_model, loaded_codes = similarity.ivfpq_load(spark, path)
+    q = emb.filter(F.col("vec_id") <= 2)
+    return similarity.ivfpq_search(
+        q, loaded_model, loaded_codes, emb, k=5, nprobe=3, refine=8
+    ).orderBy("qid", "rk")
+
+
 @declared("ann_lsh")
 def ann_lsh(spark, sf_dir):
     """Random-projection LSH near-dup pairs over embeddings (MLlib);

@@ -210,6 +210,52 @@ def test_ivfpq_saved_index_scan_is_partition_pruned(emb, tmp_path):
     assert out.count() > 0
 
 
+def test_ivfpq_append_equals_build_time_encode(emb, tmp_path, monkeypatch):
+    """Incremental add (similarity.ivfpq_append): build+save on the first
+    half of the corpus, append the second half, and the loaded codes must
+    EXACTLY equal encoding the full corpus under the same frozen model —
+    FAISS `add` semantics. The model file must not change, appending must
+    not retrain (poison-pinned), and a search over the appended index
+    must find appended vectors."""
+    from graph_db_clustering_spark.operators import kmeans, similarity as sim
+
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    model, encoded = similarity.ivfpq_build(first, cells=8, m=8, codes=64)
+    path = str(tmp_path / "ivfpq_index")
+    similarity.ivfpq_save(model, encoded, path)
+    model_bytes_before = sorted(
+        p.read_bytes() for p in (tmp_path / "ivfpq_index" / "model").rglob("*.parquet")
+    )
+
+    monkeypatch.setattr(kmeans, "fit", lambda *a, **k: 1 / 0)
+    monkeypatch.setattr(sim, "ivfpq_build", lambda *a, **k: 1 / 0)
+    similarity.ivfpq_append(model, second, path)
+
+    assert model_bytes_before == sorted(
+        p.read_bytes() for p in (tmp_path / "ivfpq_index" / "model").rglob("*.parquet")
+    )
+    loaded_model, loaded_codes = similarity.ivfpq_load(emb.sparkSession, path)
+    want = sorted(
+        (r.nid, r.cell, bytes(r.codes))
+        for r in similarity._encode_with(
+            loaded_model,
+            emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")),
+        ).collect()
+    )
+    got = sorted((r.nid, r.cell, bytes(r.codes)) for r in loaded_codes.collect())
+    assert got == want
+
+    # an appended (odd-id) vector is findable: querying with itself must
+    # return itself at rank 1 once re-ranked by exact cosine
+    q = emb.filter(F.col("vec_id") == 7)
+    hits = similarity.ivfpq_search(
+        q, loaded_model, loaded_codes, emb, k=3, nprobe=4, exclude_self=False
+    ).collect()
+    top1 = [r.nid for r in hits if r.rk == 1]
+    assert top1 == [7]
+
+
 def test_lsh_near_dups_precision(emb):
     """LSH pairs are a subset check: every returned pair really has
     cosine >= threshold (verify step exactness)."""
