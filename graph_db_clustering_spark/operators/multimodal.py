@@ -88,10 +88,18 @@ def _decode_one(content: bytes, height: int, width: int, channels: int, fmt: str
         from graph_db_clustering_spark.functions import gif
 
         return gif.decode(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        # AVI (MJPEG / BI_RGB): first frame, like the GIF still path
+        from graph_db_clustering_spark.functions import avi
+
+        decoded = avi.frames(content)
+        if not decoded:
+            raise ValueError("AVI with no video frames")
+        return decoded[0]
     raise NotImplementedError(
         f"decoding format={fmt!r} needs cv2 or PIL (not installed); "
         "use format='raw' (height*width*channels uint8 bytes), JPEG, PNG, "
-        "or GIF"
+        "GIF, or AVI (MJPEG/BI_RGB first frame)"
     )
 
 
@@ -538,10 +546,13 @@ def frame_sample(
 ) -> DataFrame:
     """Frame sampling over animated containers: one row per every_n-th
     frame, each frame re-encoded as a self-describing lossless PNG
-    (RGB). REAL for animated GIFs (functions/gif — pure-Python LZW, so
-    the full pipeline runs in this environment); other containers
-    (mp4/webm/...) still raise until a codec (e.g. PyAV) is installed —
-    the schema, batching, and explode shape are the same either way."""
+    (RGB). REAL for animated GIFs (functions/gif — pure-Python LZW) and
+    for AVI containers carrying MJPEG or uncompressed BI_RGB frames
+    (functions/avi walks the RIFF chunks; MJPEG payloads feed the
+    package's own JPEG decoder), so both pipelines run fully in this
+    environment; interframe-coded containers (mp4/webm/...) still raise
+    until a codec (e.g. PyAV) is installed — the schema, batching, and
+    explode shape are the same either way."""
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -551,20 +562,25 @@ def frame_sample(
     )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from graph_db_clustering_spark.functions import gif, png
+        from graph_db_clustering_spark.functions import avi, gif, png
 
         for pdf in batches:
             rows = []
             for rid, content in zip(pdf["id"], pdf["content"]):
                 raw = bytes(content)
-                if raw[:6] not in (b"GIF87a", b"GIF89a"):
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    decoded = gif.frames(raw)
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    decoded = avi.frames(raw)
+                else:
                     raise NotImplementedError(
-                        "frame_sample decodes animated GIF natively; other "
-                        "video containers need a codec (PyAV/ffmpeg), not "
-                        f"installed. Contract: one row per every {every_n}th "
-                        "frame (id, frame_index, frame=PNG bytes)"
+                        "frame_sample decodes animated GIF and MJPEG/BI_RGB "
+                        "AVI natively; other video containers need a codec "
+                        "(PyAV/ffmpeg), not installed. Contract: one row per "
+                        f"every {every_n}th frame (id, frame_index, "
+                        "frame=PNG bytes)"
                     )
-                for i, frame in enumerate(gif.frames(raw)):
+                for i, frame in enumerate(decoded):
                     if i % every_n == 0:
                         rows.append((int(rid), i, bytearray(png.encode(frame))))
             yield pd.DataFrame(rows, columns=["id", "frame_index", "frame"])
@@ -826,6 +842,59 @@ def synthetic_gifs_from_documents(
                     for fb in raw
                 ]
                 rows.append((int(rid), bytearray(gif_codec.encode(idx, pal))))
+        yield pd.DataFrame(rows, columns=["video_id", "content"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("video_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return narrow.mapInPandas(assemble, out_schema)
+
+
+def synthetic_avis_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 4,
+    side: int = 8,
+) -> DataFrame:
+    """Deterministic AVI fixture (the synthetic_gifs_from_documents
+    recipe, second container): the same keyed-md5 byte planes become
+    side*side RGB frames (gray replicated) in an uncompressed BI_RGB
+    AVI via functions/avi.encode. md5 chain in Catalyst, container
+    assembly in the Arrow batch."""
+    from graph_db_clustering_spark.functions import avi as avi_codec
+
+    need = side * side
+    frames_bytes = []
+    for f in range(n_frames):
+        parts = [
+            F.unhex(F.md5(F.concat(F.col(text_col), F.lit(f"#a{f}.{i}"))))
+            for i in range(need // 16 + 1)
+        ]
+        frames_bytes.append(F.substring(F.concat(*parts), 1, need))
+    narrow = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("video_id"),
+        F.array(*frames_bytes).alias("raw_frames"),
+    )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for rid, raw in zip(pdf["video_id"], pdf["raw_frames"]):
+                frames = [
+                    np.repeat(
+                        np.frombuffer(bytes(fb), dtype=np.uint8).reshape(
+                            side, side
+                        )[:, :, None],
+                        3,
+                        axis=2,
+                    )
+                    for fb in raw
+                ]
+                rows.append((int(rid), bytearray(avi_codec.encode(frames))))
         yield pd.DataFrame(rows, columns=["video_id", "content"])
 
     out_schema = T.StructType(

@@ -125,3 +125,19 @@ def frame_sample(spark, sf_dir):
     return sampled.select(
         "id", "frame_index", F.length("frame").alias("png_bytes")
     )
+
+
+@declared("frame_sample_avi")
+def frame_sample_avi(spark, sf_dir):
+    """The same every-2nd-frame video path over the SECOND real
+    container: uncompressed BI_RGB AVIs synthesized deterministically
+    from documents (operators/multimodal.synthetic_avis_from_documents),
+    RIFF-walked + DIB-decoded by functions/avi, PNG re-encoded — all
+    executor-side. Rows-only like frame_sample (binary payloads); the
+    declared surface returns frame byte lengths."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    vids = multimodal.synthetic_avis_from_documents(docs, "doc_id", "text")
+    sampled = multimodal.frame_sample(vids, every_n=2)
+    return sampled.select(
+        "id", "frame_index", F.length("frame").alias("png_bytes")
+    )

@@ -1,0 +1,133 @@
+"""AVI container codec (functions/avi) + frame_sample over AVI columns."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from graph_db_clustering_spark.functions import avi, png
+
+from tests.test_jpeg import make_gray_jpeg
+
+
+def _rand_frames(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_rawrgb_roundtrip_exact():
+    want = _rand_frames(4, 8, 6)
+    got = avi.frames(avi.encode(want))
+    assert len(got) == 4
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)
+
+
+def test_rawrgb_row_padding_and_bottom_up():
+    # width 5 -> stride 16 != 15: exercises 4-byte row alignment; the
+    # encoder writes bottom-up BGR, the decoder must undo both
+    want = _rand_frames(2, 3, 5, seed=1)
+    got = avi.frames(avi.encode(want))
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)
+
+
+def test_mjpeg_frames_decode_via_jpeg():
+    from graph_db_clustering_spark.functions import jpeg
+
+    coef1 = np.zeros((8, 8), np.int32)
+    coef2 = np.zeros((8, 8), np.int32)
+    coef2[0, 0] = 16  # DC-only block, nonzero level
+    jp1 = make_gray_jpeg([coef1], w_blocks=1)
+    jp2 = make_gray_jpeg([coef2], w_blocks=1)
+    data = avi.encode([jp1, jp2], width=8, height=8)
+    got = avi.frames(data)
+    assert len(got) == 2
+    # the container path must equal per-frame JPEG decode, gray -> RGB
+    for g, jp in zip(got, (jp1, jp2)):
+        want = jpeg.decode(jp)
+        assert g.shape == (8, 8, 3)
+        assert np.array_equal(g, np.repeat(want[:, :, None], 3, axis=2))
+    # and the two frames genuinely differ (DC level shifts the block)
+    assert not np.array_equal(got[0], got[1])
+
+
+def test_unknown_codec_raises_not_implemented():
+    data = bytearray(avi.encode(_rand_frames(1, 4, 4)))
+    i = data.find(b"strf")
+    assert i > 0
+    data[i + 8 + 16 : i + 8 + 20] = b"H264"  # biCompression field
+    with pytest.raises(NotImplementedError, match="H264"):
+        avi.frames(bytes(data))
+
+
+def test_not_an_avi_raises():
+    with pytest.raises(avi.AviError, match="not an AVI"):
+        avi.frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(avi.AviError):
+        avi.frames(b"\x89PNG....")
+
+
+def test_dropped_frame_placeholder_skipped():
+    data = bytearray(avi.encode(_rand_frames(2, 4, 4, seed=2)))
+    # append an empty 00db chunk inside movi: a dropped-frame placeholder
+    i = data.find(b"LIST") and data.find(b"movi")
+    assert i > 0
+    insert = b"00db" + struct.pack("<I", 0)
+    # grow the movi LIST and RIFF sizes, then append the chunk at the end
+    riff_size = struct.unpack("<I", data[4:8])[0]
+    movi_list_at = data.find(b"movi") - 8
+    movi_size = struct.unpack("<I", data[movi_list_at + 4 : movi_list_at + 8])[0]
+    data[movi_list_at + 4 : movi_list_at + 8] = struct.pack(
+        "<I", movi_size + len(insert)
+    )
+    data[4:8] = struct.pack("<I", riff_size + len(insert))
+    data.extend(insert)
+    assert len(avi.frames(bytes(data))) == 2
+
+
+def test_mjpeg_needs_dimensions():
+    with pytest.raises(avi.AviError, match="width/height"):
+        avi.encode([b"\xff\xd8"], mjpg=True)
+
+
+def test_frame_sample_over_avi_column(spark):
+    from pyspark.sql import functions as F
+
+    from graph_db_clustering_spark.operators import multimodal
+
+    vids = []
+    for vid_id in (1, 2):
+        frames_ = _rand_frames(5, 6, 6, seed=vid_id)
+        vids.append((vid_id, bytearray(avi.encode(frames_))))
+    df = spark.createDataFrame(vids, "video_id long, content binary")
+    out = multimodal.frame_sample(df, every_n=2).collect()
+    # 5 frames, every 2nd -> indices 0, 2, 4 per video
+    assert sorted((r.id, r.frame_index) for r in out) == [
+        (1, 0), (1, 2), (1, 4), (2, 0), (2, 2), (2, 4),
+    ]
+    for r in out:
+        want = _rand_frames(5, 6, 6, seed=r.id)[r.frame_index]
+        assert np.array_equal(png.decode(bytes(r.frame)), want)
+
+
+def test_frame_sample_mixed_gif_and_avi(spark):
+    """One column, two containers: dispatch must pick the right codec."""
+    from graph_db_clustering_spark.functions import gif
+    from graph_db_clustering_spark.operators import multimodal
+
+    frames_ = [np.zeros((4, 4, 3), np.uint8), np.full((4, 4, 3), 255, np.uint8)]
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = [np.zeros((4, 4), np.uint8), np.ones((4, 4), np.uint8)]
+    rows = [
+        (1, bytearray(avi.encode(frames_))),
+        (2, bytearray(gif.encode(idx, pal))),
+    ]
+    df = spark.createDataFrame(rows, "video_id long, content binary")
+    out = multimodal.frame_sample(df, every_n=1).collect()
+    assert sorted((r.id, r.frame_index) for r in out) == [
+        (1, 0), (1, 1), (2, 0), (2, 1),
+    ]
+    for r in out:
+        got = png.decode(bytes(r.frame))
+        assert np.array_equal(got, frames_[r.frame_index])

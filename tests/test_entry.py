@@ -9,7 +9,7 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 134
+DOCUMENTED_QUERIES = 135
 DOCUMENTED_ORACLES = 112
 
 
