@@ -661,6 +661,138 @@ def _encode_wav(rate: int, x: np.ndarray, bits: int = 16) -> bytes:
     return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+# IMA/DVI ADPCM tables (IMA Digital Audio Pack and Multimedia Programming
+# Interface spec; identical constants in every implementation)
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (pred, index, 4-bit code) -> next
+    (pred, index). The bit-exact integer recurrence from the IMA spec."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + int(_IMA_INDEX_ADJ[nibble & 7])))
+    return pred, index
+
+
+def _decode_ima_adpcm(
+    data: bytes, channels: int, block_align: int
+) -> np.ndarray:
+    """IMA ADPCM (WAV format tag 17) data chunk -> interleaved int16
+    samples. Block layout per channel: 4-byte header (int16 predictor —
+    which IS the first output sample — step index, reserved), then the
+    channels' nibble streams interleaved in 4-byte groups (8 samples per
+    channel per group), low nibble first.
+
+    The recurrence is inherently sequential (predictor feedback), so the
+    inner loop is per-sample Python over each (block, channel) — the same
+    justified-state-machine shape as the CDC chunker (operators/text);
+    blocks are <= ~1 KB so the loop is bounded and executor-side."""
+    import struct as _struct
+
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for base in range(0, len(data) - block_align + 1, block_align):
+        block = data[base : base + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            p, i = _struct.unpack("<hB", block[c * 4 : c * 4 + 3])
+            if i > 88:
+                raise ValueError(f"IMA ADPCM: step index {i} > 88")
+            preds.append(p)
+            idxs.append(min(i, 88))
+            out[c].append(p)  # header predictor is the first sample
+        body = block[4 * channels :]
+        # nibble payload: channels interleave in 4-byte groups
+        for g in range(0, len(body) // (4 * channels)):
+            for c in range(channels):
+                chunk = body[(g * channels + c) * 4 : (g * channels + c) * 4 + 4]
+                p, i = preds[c], idxs[c]
+                for byte in chunk:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        p, i = _ima_step(p, i, nib)
+                        out[c].append(p)
+                preds[c], idxs[c] = p, i
+    n = min(len(ch) for ch in out)
+    return np.stack([np.array(ch[:n], dtype=np.int16) for ch in out], axis=1).reshape(-1)
+
+
+def _encode_wav_ima_adpcm(
+    rate: int, x: np.ndarray, block_samples: int = 505
+) -> bytes:
+    """Mono float samples in [-1, 1] -> IMA ADPCM WAV bytes (format tag
+    17, ~4:1 vs 16-bit PCM). The standard greedy encoder: each sample's
+    quantizer code is chosen by the same _ima_step recurrence the decoder
+    runs, so decode(encode(x)) tracks x within quantization error
+    (SNR test-pinned). block_samples must be 8k+1 (nibble groups of 8
+    after the header sample)."""
+    import struct as _struct
+
+    if (block_samples - 1) % 8:
+        raise ValueError("block_samples must be 8k+1")
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
+    block_align = 4 + (block_samples - 1) // 2
+    blocks = []
+    index = 0
+    for s in range(0, len(pcm), block_samples):
+        seg = pcm[s : s + block_samples]
+        if len(seg) < block_samples:
+            seg = np.concatenate([seg, np.full(block_samples - len(seg), seg[-1])])
+        pred = int(seg[0])
+        head = _struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for target in seg[1:]:
+            best = None
+            # exact greedy: pick the 4-bit code whose decoded sample is
+            # nearest the target (16 candidates, bit-exact decoder step)
+            for nib in range(16):
+                p2, _ = _ima_step(pred, index, nib)
+                err = abs(int(target) - p2)
+                if best is None or err < best[0]:
+                    best = (err, nib, p2)
+            _, nib, p2 = best
+            i2 = max(0, min(88, index + int(_IMA_INDEX_ADJ[nib & 7])))
+            pred, index = p2, i2
+            nibbles.append(nib)
+        body = bytes(
+            (nibbles[i] & 0x0F) | (nibbles[i + 1] << 4)
+            for i in range(0, len(nibbles), 2)
+        )
+        blocks.append(head + body)
+    data = b"".join(blocks)
+    avg_bps = rate * block_align // block_samples
+    fmt_body = _struct.pack(
+        "<HHIIHHHH", 17, 1, rate, avg_bps, block_align, 4, 2, block_samples
+    )
+    chunks = b"fmt " + _struct.pack("<I", len(fmt_body)) + fmt_body
+    # fact chunk: true sample count, so decoders drop final-block padding
+    chunks += b"fact" + _struct.pack("<II", 4, len(pcm))
+    chunks += b"data" + _struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def synthetic_audio_from_documents(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -709,35 +841,42 @@ AUDIO_FEATURE_NAMES = (
 
 
 def _decode_wav(content: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE (PCM 8/16/32-bit int or 32/64-bit float) -> (sample_rate,
-    mono float64 samples in [-1, 1]). Pure struct + NumPy — WAV is the one
-    mainstream audio container with no entropy coding, so like baseline
-    JPEG (functions/jpeg) it needs no native codec. Compressed formats
-    (MP3/AAC/OGG) raise NotImplementedError (spec-sanctioned gate)."""
+    """RIFF/WAVE (PCM 8/16/32-bit int, 32/64-bit float, or IMA ADPCM
+    format tag 17) -> (sample_rate, mono float64 samples in [-1, 1]).
+    Pure struct + NumPy — WAV carries no entropy coding (ADPCM is a
+    fixed 4-bit delta quantizer), so like baseline JPEG (functions/jpeg)
+    it needs no native codec. Entropy-coded formats (MP3/AAC/OGG) raise
+    NotImplementedError (spec-sanctioned gate)."""
     import struct as _struct
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError(
-            "audio decode: only WAV/PCM is supported codec-free; "
-            "MP3/AAC/OGG need an audio library (not installed)"
+            "audio decode: WAV (PCM/float/IMA-ADPCM) is supported "
+            "codec-free; MP3/AAC/OGG need an audio library (not installed)"
         )
     pos, n = 12, len(content)
     fmt = None
     data = None
+    fact_samples = None
     while pos + 8 <= n:
         cid = content[pos : pos + 4]
         (clen,) = _struct.unpack("<I", content[pos + 4 : pos + 8])
         body = content[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             audio_fmt, channels, rate = _struct.unpack("<HHI", body[:8])
+            block_align = _struct.unpack("<H", body[12:14])[0]
             bits = _struct.unpack("<H", body[14:16])[0]
-            fmt = (audio_fmt, channels, rate, bits)
+            fmt = (audio_fmt, channels, rate, bits, block_align)
+        elif cid == b"fact":
+            # compressed formats declare the true per-channel sample
+            # count here — block padding must be truncated away
+            fact_samples = _struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV: missing fmt or data chunk")
-    audio_fmt, channels, rate, bits = fmt
+    audio_fmt, channels, rate, bits, block_align = fmt
     if audio_fmt == 1:  # integer PCM
         if bits == 16:
             x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
@@ -749,6 +888,10 @@ def _decode_wav(content: bytes) -> tuple[int, np.ndarray]:
             raise ValueError(f"WAV: unsupported PCM bit depth {bits}")
     elif audio_fmt == 3:  # IEEE float
         x = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(np.float64)
+    elif audio_fmt == 17:  # IMA/DVI ADPCM — decoded natively (4-bit, 4:1)
+        x = _decode_ima_adpcm(data, channels, block_align).astype(np.float64) / 32768.0
+        if fact_samples is not None:
+            x = x[: fact_samples * channels]  # drop final-block padding
     else:
         raise NotImplementedError(f"WAV: compressed format tag {audio_fmt} unsupported")
     if channels > 1:
