@@ -508,3 +508,136 @@ def unigram_logprob_scores(
         .agg(F.count("*").alias("n_tokens"), F.avg("logp").alias("avg_logprob"))
         .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer — train on a distributed word-frequency table, encode in
+# Arrow batches
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 200,
+    top_words: int = 32768,
+) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merges from a corpus (Sennrich et al.
+    2016). Returns the ranked merge list for bpe_encode.
+
+    Scale shape (how HF `tokenizers` trains too): the only corpus-sized
+    work is ONE distributed word-count — explode on whitespace, hash
+    aggregate with map-side partials — reduced to the top_words most
+    frequent words (TakeOrdered, k rows to the driver). Merge learning
+    then iterates over that bounded weighted word table driver-side:
+    at 100 TB the counting pass dominates and distributes; the merge
+    loop is O(n_merges * top_words * avg_len) regardless of corpus
+    size. Ties break (count desc, pair asc) so training is deterministic
+    and partitioning-invariant (test-pinned)."""
+    wc = (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(top_words)
+        .collect()
+    )
+    words: list[tuple[list[str], int]] = [(list(r.w), int(r.c)) for r in wc]
+    merges: list[tuple[str, str]] = []
+    from collections import Counter
+
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += c
+        if not pair_counts:
+            break
+        pair, cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break  # nothing left worth merging
+        merges.append(pair)
+        a, b = pair
+        ab = a + b
+        for syms, _ in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def _bpe_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply ranked merges to one word — the standard greedy loop: at
+    each step merge every (left-to-right, non-overlapping) occurrence of
+    the lowest-ranked adjacent pair present."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            pair = (syms[i], syms[i + 1])
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        a, b = best_pair
+        ab = a + b
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == a and syms[i + 1] == b:
+                syms[i : i + 2] = [ab]
+            else:
+                i += 1
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize with a trained merge list -> (id, tokens array<string>,
+    n_tokens). One Arrow-batched mapInPandas pass; the merge table
+    (n_merges entries) rides the closure — broadcast-sized by
+    construction. Per-task word cache exploits the Zipfian word
+    distribution (most occurrences are cache hits). Tokenization is
+    lossless by construction: tokens of a word concatenate back to the
+    word, so concat(tokens) == whitespace-stripped text — the
+    ground-truth oracle `bpe_tokens` is checked on."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+
+    def encode(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, toks_col, counts = [], [], []
+            for rid, text in zip(pdf["id"], pdf["text"]):
+                toks: list[str] = []
+                for w in str(text).split():
+                    got = cache.get(w)
+                    if got is None:
+                        if len(cache) >= 65536:
+                            cache.clear()  # bound task memory
+                        cache[w] = got = _bpe_word(w, ranks)
+                    toks.extend(got)
+                ids.append(int(rid))
+                toks_col.append(toks)
+                counts.append(len(toks))
+            yield pd.DataFrame({"id": ids, "tokens": toks_col, "n_tokens": counts})
+
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return narrow.mapInPandas(encode, out_schema)

@@ -874,3 +874,29 @@ def warc_ingest(spark, sf_dir):
         "http_status",
         F.md5(_norm_ws(text.html_text_expr(F.col("html")))).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "bpe_tokens",
+    "SELECT doc_id, md5(regexp_replace(text, "
+    "'[ \\t\\n\\r\\f][ \\t\\n\\r\\f]*', '', 'g')) AS tok_md5, "
+    "CAST(length(regexp_replace(text, '[ \\t\\n\\r\\f][ \\t\\n\\r\\f]*', "
+    "'', 'g')) AS INT) AS n_bytes "
+    "FROM documents ORDER BY doc_id",
+)
+def bpe_tokens(spark, sf_dir):
+    """Trained BPE tokenization (text.bpe_train -> bpe_encode): the
+    corpus trains its own merge table (one distributed word-count
+    shuffle; merge learning on the bounded top-words table), then every
+    document tokenizes in an Arrow batch. Oracle is GROUND TRUTH
+    losslessness, not a reimplementation: concatenated tokens must
+    byte-equal the whitespace-stripped text (md5 + length per doc) —
+    any dropped/duplicated/invented token breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, "text", n_merges=50)
+    enc = text.bpe_encode(docs, "doc_id", "text", merges)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.concat_ws("", "tokens")).alias("tok_md5"),
+        F.length(F.concat_ws("", "tokens")).alias("n_bytes"),
+    ).orderBy("doc_id")
