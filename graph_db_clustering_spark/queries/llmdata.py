@@ -900,3 +900,32 @@ def bpe_tokens(spark, sf_dir):
         F.md5(F.concat_ws("", "tokens")).alias("tok_md5"),
         F.length(F.concat_ws("", "tokens")).alias("n_bytes"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "url_dedup",
+    """SELECT MIN(doc_id) AS keep_id,
+       'http://example-' || (doc_id % 7) || '.com/p/' || (doc_id % 50)
+         || '?id=' || (doc_id % 25) AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM documents GROUP BY 2 ORDER BY keep_id""",
+)
+def url_dedup(spark, sf_dir):
+    """Crawl-pipeline URL dedup (operators/web): each document gets a
+    deterministically messy URL (uppercase host, :80 default port,
+    tracking params, fragment); canonicalization + the min(struct)
+    hash-agg collapse spelling variants. The oracle states the expected
+    CANONICAL FORM in closed form — ground truth for the whole regexp
+    chain, not a second implementation."""
+    from graph_db_clustering_spark.operators import web
+
+    docs = load_table(spark, sf_dir, "documents")
+    mod = lambda n: (F.col("doc_id") % n).cast("string")  # noqa: E731
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Example-"), mod(7), F.lit(".COM:80/p/"), mod(50),
+            F.lit("?utm_source=x&id="), mod(25), F.lit("&utm_campaign=y#frag"),
+        ).alias("url"),
+    )
+    return web.url_dedup(messy, "doc_id", "url").orderBy("keep_id")

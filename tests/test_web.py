@@ -1,0 +1,82 @@
+"""URL canonicalization / dedup (operators/web)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.operators import web
+
+CASES = [
+    # scheme+host lowercase; path case kept
+    ("HTTP://EXAMPLE.com/Path/File", "http://example.com/Path/File"),
+    # default ports stripped, non-default kept
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:8080/x", "http://a.com:8080/x"),
+    ("https://a.com:80/x", "https://a.com:80/x"),  # :80 is NOT https default
+    # fragment stripped
+    ("http://a.com/x#frag", "http://a.com/x"),
+    ("http://a.com/x?q=1#frag", "http://a.com/x?q=1"),
+    # tracking params in every position
+    ("http://a.com/x?utm_source=s", "http://a.com/x"),
+    ("http://a.com/x?utm_source=s&id=1", "http://a.com/x?id=1"),
+    ("http://a.com/x?id=1&utm_source=s", "http://a.com/x?id=1"),
+    ("http://a.com/x?a=1&gclid=g&b=2", "http://a.com/x?a=1&b=2"),
+    ("http://a.com/x?utm_a=1&utm_b=2", "http://a.com/x"),
+    ("http://a.com/x?fbclid=f&UTM_CAMPAIGN=c", "http://a.com/x"),
+    # empty path with query gets the root path
+    ("http://a.com?id=1", "http://a.com/?id=1"),
+    # non-URL strings pass through trimmed
+    ("  not a url  ", "not a url"),
+    ("mailto:x@y.z", "mailto:x@y.z"),
+    # whitespace trim on real URLs
+    ("  http://a.com/x  ", "http://a.com/x"),
+]
+
+
+@pytest.mark.parametrize("url,want", CASES)
+def test_canonicalize_cases(spark, url, want):
+    got = (
+        spark.createDataFrame([(url,)], "u string")
+        .select(web.url_canonicalize_expr(F.col("u")).alias("c"))
+        .first()["c"]
+    )
+    assert got == want
+
+
+HOST_CASES = [
+    ("HTTP://User:pw@EXAMPLE.com:8080/x", "example.com"),
+    ("https://A.B.c/x", "a.b.c"),
+    ("not a url", ""),
+]
+
+
+@pytest.mark.parametrize("url,want", HOST_CASES)
+def test_host_cases(spark, url, want):
+    got = (
+        spark.createDataFrame([(url,)], "u string")
+        .select(web.url_host_expr(F.col("u")).alias("h"))
+        .first()["h"]
+    )
+    assert got == want
+
+
+def test_url_dedup_collapses_variants(spark):
+    rows = [
+        (1, "http://a.com/x?utm_source=s"),
+        (2, "HTTP://A.COM:80/x"),
+        (3, "http://a.com/x#frag"),
+        (4, "http://a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.canonical_url: r for r in web.url_dedup(df, "doc_id", "url").collect()}
+    assert out["http://a.com/x"].keep_id == 1
+    assert out["http://a.com/x"].n_variants == 3
+    assert out["http://a.com/y"].n_variants == 1
+
+
+def test_canonicalize_is_idempotent(spark):
+    urls = [(u,) for u, _ in CASES]
+    df = spark.createDataFrame(urls, "u string")
+    once = df.select(web.url_canonicalize_expr(F.col("u")).alias("c"))
+    twice = once.select(web.url_canonicalize_expr(F.col("c")).alias("c2"), "c")
+    assert twice.filter(F.col("c") != F.col("c2")).count() == 0
