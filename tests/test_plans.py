@@ -290,3 +290,41 @@ def test_chunker_and_bm25_plan_shapes(spark, sf_dir=None):
     for m in matches:
         nxt = plan.index("Generate", m.end())
         assert nxt - m.end() < 120, "Filter not directly above the explode"
+
+
+def test_html_extract_and_url_canonicalize_stay_in_codegen(spark):
+    """The crawl-text hot path (html_text_expr, url_canonicalize_expr)
+    is pure JVM expressions: no Exchange, no Python crossing
+    (BatchEvalPython/ArrowEvalPython), one WholeStageCodegen span."""
+    from pyspark.sql import functions as F
+
+    from graph_db_clustering_spark.operators import web
+    from graph_db_clustering_spark.operators.text import html_text_expr
+
+    df = spark.createDataFrame(
+        [(1, "<p>x</p>", "HTTP://A.com:80/x?utm_source=s")],
+        "id long, html string, url string",
+    )
+    out = df.select(
+        "id",
+        html_text_expr(F.col("html")).alias("t"),
+        web.url_canonicalize_expr(F.col("url")).alias("u"),
+    )
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # neither Batch- nor ArrowEvalPython
+    # '*(1)' prefixes the Project when it runs inside WholeStageCodegen
+    assert "*(1) Project" in plan, plan
+
+
+def test_url_dedup_is_single_partial_aggregate(spark):
+    """url_dedup = one hash aggregate pair (partial -> final) over ONE
+    exchange keyed on the canonical form — the exact_dedup plan shape."""
+    from graph_db_clustering_spark.operators import web
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x"), (2, "HTTP://A.com/x")], "id long, url string"
+    )
+    plan = plan_of(web.url_dedup(df, "id", "url"))
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan or "partial" in plan, plan
