@@ -15,6 +15,10 @@ from graph_db_clustering_spark.streaming.ops import (
     stream_static_join,
     tumbling_counts,
 )
+from graph_db_clustering_spark.streaming.crawl import (
+    extract_pages_stream,
+    read_warc_stream,
+)
 from graph_db_clustering_spark.streaming.traindata import (
     decontaminate_stream,
     scrub_stream,
@@ -26,6 +30,8 @@ __all__ = [
     "read_events_stream",
     "read_table_stream",
     "run_available_now",
+    "read_warc_stream",
+    "extract_pages_stream",
     "tumbling_counts",
     "sliding_counts",
     "session_counts",

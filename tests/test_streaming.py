@@ -360,3 +360,63 @@ def test_quota_tws_form_gates_without_protobuf(spark):
     events = load_table(spark, SF, "events")
     with pytest.raises(NotImplementedError, match="google.protobuf"):
         value_quota_stream_tws(events, 100.0)
+
+
+def test_warc_stream_matches_batch(spark, tmp_path):
+    """Streaming crawl ingestion (streaming/crawl): WARC shards staged
+    in a landing directory, one shard per micro-batch, parse + HTML
+    extraction in-stream — the drained output must equal the batch
+    read_warc + extraction over the same files, exactly once."""
+    import numpy as np  # noqa: F401 — parity with module imports
+
+    from graph_db_clustering_spark.operators.text import html_text_expr
+    from graph_db_clustering_spark.sources import warc
+    from graph_db_clustering_spark.streaming import crawl
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for shard in range(3):
+        members = []
+        for i in range(4):
+            doc = shard * 10 + i
+            html = f"<html><body><p>doc {doc} text</p></body></html>".encode()
+            members.append(
+                warc.gzip_member(
+                    warc.build_record(
+                        "response",
+                        warc.http_response(html),
+                        target_uri=f"https://x.example/doc/{doc}",
+                        record_id=f"<urn:uuid:d{doc}>",
+                    )
+                )
+            )
+        (landing / f"shard-{shard}.warc.gz").write_bytes(b"".join(members))
+
+    stream = crawl.read_warc_stream(
+        spark, str(landing), max_files_per_trigger=1
+    )
+    res = run_available_now(
+        crawl.extract_pages_stream(stream),
+        "append",
+        "warc_pages",
+        str(tmp_path),
+    )
+    got = sorted(
+        (r.target_uri, r.http_status, r.text) for r in res.collect()
+    )
+    batch = warc.read_warc(spark, str(landing))
+    want = sorted(
+        (r.target_uri, r.http_status, r.t)
+        for r in batch.select(
+            "target_uri",
+            "http_status",
+            html_text_expr(F.col("payload").cast("string")).alias("t"),
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 12
+    assert got[0][2] == "doc 0 text"
+    # one shard per micro-batch: the file-source replay genuinely ran
+    # incrementally (3 data batches; a trailing empty batch may follow)
+    q = [q for q in spark.streams.active if q.name == "warc_pages"]
+    assert not q  # drained and stopped
