@@ -8,11 +8,11 @@ at least one container instead of a pure stub: every GIF frame is a
 composited logical-screen image, and sampling every Nth frame is exact.
 
 Supported: GIF87a + GIF89a, global/local color tables, interlaced
-images (the 4-pass row order), multi-frame animations with disposal
-methods 0/1 (leave in place) and 2 (restore background), transparency
-via the Graphic Control Extension. Other extension blocks are skipped
-per spec. Disposal 3 (restore previous) raises NotImplementedError —
-vanishingly rare and requires a frame-history buffer.
+images (the 4-pass row order), multi-frame animations with all four
+disposal methods — 0/1 (leave in place), 2 (restore background), 3
+(restore previous, via a one-deep pre-draw snapshot of the frame
+region) — and transparency via the Graphic Control Extension. Other
+extension blocks are skipped per spec. No format gates remain.
 
 decode(data)  -> first frame as HxWx3 uint8 (the image-column dispatch)
 frames(data)  -> list of HxWx3 uint8 composited frames
@@ -172,10 +172,6 @@ def frames(data: bytes) -> list[np.ndarray]:
                 size = data[pos]
                 packed = data[pos + 1]
                 disposal = (packed >> 2) & 0x7
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "GIF: disposal method 3 (restore previous) not supported"
-                    )
                 transparent = data[pos + 4] if packed & 1 else None
                 pos += 1 + size
             else:  # skip any other extension's sub-blocks
@@ -208,6 +204,9 @@ def frames(data: bytes) -> list[np.ndarray]:
         idx = idx.reshape(h, w)
         if iflags & 0x40:
             idx = _deinterlace(idx)
+        # disposal 3 (restore previous): snapshot before drawing, revert
+        # after this frame is emitted — the 89a spec's stack is one deep
+        prev = canvas[top : top + h, left : left + w].copy() if disposal == 3 else None
         region = canvas[top : top + h, left : left + w]
         rgb = table[np.minimum(idx, len(table) - 1)]
         if transparent is not None:
@@ -220,6 +219,8 @@ def frames(data: bytes) -> list[np.ndarray]:
             canvas[top : top + h, left : left + w] = bg_canvas[
                 top : top + h, left : left + w
             ]
+        elif disposal == 3:
+            canvas[top : top + h, left : left + w] = prev
     return out
 
 

@@ -56,11 +56,11 @@ def test_animation_and_transparency():
 def test_gates():
     with pytest.raises(ValueError, match="bad signature"):
         gif.decode(b"NOTAGIF" + b"\x00" * 16)
+    # disposal 3 decodes since late round 6 — no format gates remain
     pal = np.zeros((4, 3), dtype=np.uint8)
     idx = np.zeros((2, 2), dtype=np.uint8)
-    data = bytearray(gif.encode([idx], pal, transparent=1, disposal=3))
-    with pytest.raises(NotImplementedError, match="disposal"):
-        gif.frames(bytes(data))
+    data = gif.encode([idx], pal, transparent=1, disposal=3)
+    assert len(gif.frames(data)) == 1
 
 
 def test_decode_dispatch_first_frame(spark):
@@ -103,3 +103,23 @@ def test_frame_sample_real_for_gif(spark):
     )
     with pytest.raises(Exception, match="codec"):
         frame_sample(raw).collect()
+
+
+def test_disposal_3_restores_previous_region():
+    """Disposal 3: the canvas reverts to its pre-draw content after the
+    frame is emitted. Frame 1 paints the full 2x2 white with disposal 3,
+    so frame 2's transparent pixels show frame 0's colors again, not
+    frame 1's white."""
+    pal = np.array([[0, 0, 0], [255, 255, 255], [200, 10, 10]], dtype=np.uint8)
+    f0 = np.zeros((2, 2), np.uint8)          # all black
+    f1 = np.ones((2, 2), np.uint8)           # all white, disposal 3
+    f2 = np.full((2, 2), 3, np.uint8)        # all transparent (index 3)
+    f2[0, 0] = 2                              # except one red pixel
+    data = gif.encode([f0, f1, f2], pal, disposal=3, transparent=3)
+    out = gif.frames(data)
+    assert len(out) == 3
+    assert np.array_equal(out[1], np.full((2, 2, 3), 255, np.uint8))
+    # frame 2: transparent pixels reveal frame 0's black, NOT white
+    want = np.zeros((2, 2, 3), np.uint8)
+    want[0, 0] = pal[2]
+    assert np.array_equal(out[2], want)
