@@ -58,3 +58,33 @@ def delete_where(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target_bytes) evenly sized files with the same
+    copy-on-write swap as upsert_parquet. Returns the new file count.
+
+    The operational story at scale: streaming/foreachBatch sinks and
+    fine-grained upserts accumulate small files, and every downstream
+    scan then pays per-file open/footer costs plus tiny tasks.
+    Compaction is the standard lakehouse OPTIMIZE pass; target_bytes
+    ~= one HDFS/object-store block keeps scans block-aligned."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // target_bytes))
+    current = spark.read.parquet(path)
+    tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+    current.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

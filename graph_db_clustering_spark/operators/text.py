@@ -641,3 +641,74 @@ def bpe_encode(
 
     narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     return narrow.mapInPandas(encode, out_schema)
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rule_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as one codegen
+    projection — per-rule booleans (True = violates) + combined `kept`:
+
+      g_wc        word count outside [50, 100000]
+      g_mwl       mean word length outside [3, 10]
+      g_symbol    '#'/'...' symbol-to-word ratio > 0.1
+      g_alpha     < 80% of words contain an alphabetic character
+      g_bullet    > 90% of lines start with a bullet ('-' or '*')
+      g_ellipsis  > 30% of lines end with '...'
+      g_stop      fewer than 2 of the 8 required stopwords present
+
+    Complements c4_rule_flags (hard C4 rules); both are zero-shuffle
+    single-pass filters a pretraining pipeline composes."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    mwl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+    ) / n_tok
+    symbols = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0))
+    )
+    alpha_words = F.size(F.filter(toks, lambda s: s.rlike("[A-Za-z]")))
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_lines = F.size(F.filter(lines, lambda s: F.trim(s).rlike("^[-*]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda s: s.rlike(r"\.\.\.$")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "g_wc": (n_tok < 50) | (n_tok > 100000),
+        "g_mwl": (mwl < 3) | (mwl > 10),
+        "g_symbol": symbols / n_tok > 0.1,
+        "g_alpha": alpha_words / n_tok < 0.8,
+        "g_bullet": bullet_lines / n_lines > 0.9,
+        "g_ellipsis": ellipsis_lines / n_lines > 0.3,
+        "g_stop": stop_hits < 2,
+    }
+    kept = None
+    cols = [F.col(id_col)]
+    for name, expr in flags.items():
+        b = F.coalesce(expr, F.lit(False))
+        cols.append(b.alias(name))
+        kept = b if kept is None else (kept | b)
+    cols.append((~kept).alias("kept"))
+    return df.select(*cols)
+
+
+def dedup_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Remove repeated lines WITHIN each document, keeping the first
+    occurrence in order (the intra-doc half of Gopher/RefinedWeb line
+    dedup — boilerplate nav/footer lines repeat inside a page).
+    array_distinct preserves first-occurrence order, so the whole
+    operator is one codegen projection: split -> distinct -> rejoin."""
+    return df.select(
+        F.col(id_col),
+        F.array_join(
+            F.array_distinct(F.split(F.col(text_col), r"\n")), "\n"
+        ).alias("text"),
+    )

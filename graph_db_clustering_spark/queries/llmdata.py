@@ -929,3 +929,65 @@ def url_dedup(spark, sf_dir):
         ).alias("url"),
     )
     return web.url_dedup(messy, "doc_id", "url").orderBy("keep_id")
+
+
+_GOPHER_STOPS = "[" + ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS) + "]"
+_GOPHER_FLAGS_SQL = f"""
+  COALESCE(LEN({_TOKS}) < 50 OR LEN({_TOKS}) > 100000, FALSE) AS g_wc,
+  COALESCE(LIST_SUM(LIST_TRANSFORM({_TOKS}, s -> LENGTH(s)))
+             / CAST(LEN({_TOKS}) AS DOUBLE) < 3
+           OR LIST_SUM(LIST_TRANSFORM({_TOKS}, s -> LENGTH(s)))
+             / CAST(LEN({_TOKS}) AS DOUBLE) > 10, FALSE) AS g_mwl,
+  COALESCE((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+            + LEN(regexp_extract_all(text, '\\.\\.\\.')))
+             / CAST(LEN({_TOKS}) AS DOUBLE) > 0.1, FALSE) AS g_symbol,
+  COALESCE(LEN(LIST_FILTER({_TOKS}, s -> regexp_matches(s, '[A-Za-z]')))
+             / CAST(LEN({_TOKS}) AS DOUBLE) < 0.8, FALSE) AS g_alpha,
+  COALESCE(LEN(LIST_FILTER(string_split(text, chr(10)),
+                           s -> regexp_matches(TRIM(s), '^[-*]')))
+             / CAST(LEN(string_split(text, chr(10))) AS DOUBLE) > 0.9,
+           FALSE) AS g_bullet,
+  COALESCE(LEN(LIST_FILTER(string_split(text, chr(10)),
+                           s -> regexp_matches(s, '\\.\\.\\.$')))
+             / CAST(LEN(string_split(text, chr(10))) AS DOUBLE) > 0.3,
+           FALSE) AS g_ellipsis,
+  COALESCE(LEN(LIST_INTERSECT(LIST_DISTINCT({_TOKS}), {_GOPHER_STOPS})) < 2,
+           FALSE) AS g_stop
+"""
+
+
+@declared(
+    "gopher_rules",
+    f"""WITH f AS (SELECT doc_id, {_GOPHER_FLAGS_SQL} FROM documents)
+SELECT *, NOT (g_wc OR g_mwl OR g_symbol OR g_alpha OR g_bullet
+               OR g_ellipsis OR g_stop) AS kept
+FROM f ORDER BY doc_id""",
+)
+def gopher_rules(spark, sf_dir):
+    """Gopher quality-rule flags (operators/text.gopher_rule_flags, Rae
+    et al. 2021 §A1.1): per-rule booleans + kept verdict, one codegen
+    projection — the c4_rules pattern for the second canonical rule
+    set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rule_flags(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@declared(
+    "dedup_lines",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+)
+def dedup_lines(spark, sf_dir):
+    """Intra-document line dedup (operators/text.dedup_lines): each
+    document's text is tripled into three identical lines; removing
+    repeated lines first-occurrence-order must recover EXACTLY the
+    original text (ground-truth md5 oracle — corpus text contains no
+    newlines, asserted by construction of the testdata)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tripled = docs.select(
+        "doc_id",
+        F.concat_ws("\n", "text", "text", "text").alias("text"),
+    )
+    out = text.dedup_lines(tripled, "doc_id", "text")
+    return out.select("doc_id", F.md5("text").alias("text_md5")).orderBy(
+        "doc_id"
+    )

@@ -1,0 +1,111 @@
+"""Gopher rules, intra-doc line dedup, parquet compaction."""
+
+import numpy as np  # noqa: F401
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.operators import maintenance
+from graph_db_clustering_spark.operators import text as text_ops
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it runs to have "
+    "a rest with some more plain words of ordinary length that continue "
+    "for a while so that the word count clears fifty tokens easily as "
+    "required by the gopher rules which we are testing here today ok fine"
+)
+
+
+def _flags(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return text_ops.gopher_rule_flags(df, "doc_id", "text").collect()[0]
+
+
+def test_gopher_good_doc_kept(spark):
+    r = _flags(spark, GOOD)
+    assert r.kept, r
+    assert not any(
+        [r.g_wc, r.g_mwl, r.g_symbol, r.g_alpha, r.g_bullet, r.g_ellipsis, r.g_stop]
+    )
+
+
+def test_gopher_short_doc_flagged(spark):
+    r = _flags(spark, "too short to have fifty words")
+    assert r.g_wc and not r.kept
+
+
+def test_gopher_mean_word_length_bounds(spark):
+    r = _flags(spark, " ".join(["a"] * 60))
+    assert r.g_mwl
+    r = _flags(spark, " ".join(["supercalifragilistic"] * 60))
+    assert r.g_mwl
+
+
+def test_gopher_symbol_ratio(spark):
+    base = GOOD.split()
+    r = _flags(spark, " ".join(base) + " " + "#" * 10)
+    assert r.g_symbol
+
+
+def test_gopher_alpha_words(spark):
+    r = _flags(spark, " ".join(["123"] * 30 + ["word"] * 30))
+    assert r.g_alpha  # 50% alphabetic < 80%
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    r = _flags(spark, "\n".join(f"- item {i}" for i in range(10)))
+    assert r.g_bullet
+    r = _flags(spark, "\n".join(f"line {i}..." for i in range(10)))
+    assert r.g_ellipsis
+
+
+def test_gopher_stopword_floor(spark):
+    r = _flags(spark, " ".join(["word%d" % i for i in range(60)]))
+    assert r.g_stop
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    df = spark.createDataFrame([(1, "b\na\nb\nc\na")], "doc_id long, text string")
+    row = text_ops.dedup_lines(df, "doc_id", "text").collect()[0]
+    assert row.text == "b\na\nc"
+
+
+def test_dedup_lines_no_dups_is_identity(spark):
+    df = spark.createDataFrame([(1, "x\ny\nz")], "doc_id long, text string")
+    assert text_ops.dedup_lines(df, "doc_id", "text").first().text == "x\ny\nz"
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    import os
+
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_before == 40
+    n = maintenance.compact_parquet(spark, path, target_bytes=1 << 30)
+    assert n == 1
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+
+
+def test_compact_parquet_respects_target(spark, tmp_path):
+    path = str(tmp_path / "frag2")
+    spark.range(50_000).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    ).repartition(30).write.parquet(path)
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    target = total // 3
+    n = maintenance.compact_parquet(spark, path, target_bytes=target)
+    assert 3 <= n <= 5
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n
+    assert spark.read.parquet(path).count() == 50_000
