@@ -39,6 +39,9 @@ HEADLINE = [
     "pipeline_corpus",  # dedup -> quality -> lang-id -> token budget, one scan
     "pack_chunks",  # two-pass distributed prefix-sum sequence packing
     "cross_dedup",  # new-crawl batch vs indexed history (band join + verify)
+    "html_extract",  # HTML -> text codegen regexp chain (crawl hot path)
+    "warc_ingest",  # WARC container roundtrip: shards -> records -> text
+    "bpe_tokens",  # BPE train (word-count shuffle) + Arrow encode pass
 ]
 
 
