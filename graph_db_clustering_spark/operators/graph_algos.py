@@ -247,3 +247,100 @@ def triangle_count(graph: Graph) -> DataFrame:
     )
     o.unpersist()
     return out
+
+
+def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
+    """The k-core: the (unique) maximal subgraph in which every vertex
+    has degree >= k, by iterative peeling — each round drops every
+    vertex whose degree within the surviving set is below k, until no
+    vertex drops. Returns (id, core_degree) for the surviving vertices.
+
+    Each round is one semi-join (edges -> surviving endpoints) + one
+    degree aggregate + one filter; the convergence check is the O(1)
+    did-anything-drop scalar. Peeling removes at least one vertex per
+    non-final round, but in practice strips whole shells at once, so
+    rounds ~ core depth, not vertex count. State is one row per
+    surviving vertex; localCheckpoint truncates the loop lineage."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    edges = _undirected_edges(graph.edges).cache()
+    alive = graph.vertices.select(VERTEX_ID).localCheckpoint()
+    for _ in range(max_iter):
+        # degrees within the surviving vertex set: both endpoints alive
+        live_edges = edges.join(
+            alive.select(F.col(VERTEX_ID).alias("a")), "a", "leftsemi"
+        ).join(alive.select(F.col(VERTEX_ID).alias("b")), "b", "leftsemi")
+        deg = live_edges.groupBy(F.col("a").alias(VERTEX_ID)).agg(
+            F.count("*").alias("core_degree")
+        )
+        survivors = (
+            alive.join(deg, VERTEX_ID, "left")
+            .filter(F.coalesce(F.col("core_degree"), F.lit(0)) >= k)
+            .select(VERTEX_ID)
+            .localCheckpoint()
+        )
+        if survivors.count() == alive.count():
+            break
+        alive = survivors
+    final_edges = edges.join(
+        alive.select(F.col(VERTEX_ID).alias("a")), "a", "leftsemi"
+    ).join(alive.select(F.col(VERTEX_ID).alias("b")), "b", "leftsemi")
+    deg = final_edges.groupBy(F.col("a").alias(VERTEX_ID)).agg(
+        F.count("*").alias("core_degree")
+    )
+    return alive.join(deg, VERTEX_ID).select(VERTEX_ID, "core_degree")
+
+
+def label_propagation(graph: Graph, max_iter: int = 10) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), made DETERMINISTIC: every vertex adopts the most frequent
+    label among its neighbors AND itself (the self-vote variant — without
+    it, synchronous updates two-cycle on pendant pairs and bipartite-ish
+    structures), ties broken by the smallest label; all vertices update
+    simultaneously from the previous round's labels, so the result is
+    independent of row order and partitioning (test-pinned). Runs
+    max_iter rounds or until no label changes.
+
+    Returns (id, community). Each round: one join edges->labels, one
+    (vertex, label) count aggregate, one per-vertex argmax via
+    min(struct(-cnt, label)) — the same no-sort top-1 shape as
+    kmeans.assign."""
+    edges = _undirected_edges(graph.edges).cache()
+    labels = graph.vertices.select(
+        VERTEX_ID, F.col(VERTEX_ID).alias("community")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        votes = (
+            edges.join(labels, edges["b"] == labels[VERTEX_ID])
+            .select(F.col("a").alias(VERTEX_ID), F.col("community").alias("nbr"))
+            .unionAll(labels.select(VERTEX_ID, F.col("community").alias("nbr")))
+        )
+        counts = votes.groupBy(VERTEX_ID, "nbr").agg(F.count("*").alias("cnt"))
+        best = (
+            counts.groupBy(VERTEX_ID)
+            .agg(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("nbr"))).alias("m")
+            )
+            .select(VERTEX_ID, F.col("m.nbr").alias("new_community"))
+        )
+        new_labels = (
+            labels.join(best, VERTEX_ID, "left")
+            .select(
+                VERTEX_ID,
+                F.coalesce(F.col("new_community"), F.col("community")).alias(
+                    "community"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), VERTEX_ID)
+            .filter(F.col("n.community") != F.col("o.community"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels

@@ -715,3 +715,44 @@ def cypher_distinct_agg(spark, sf_dir):
            ORDER BY nation"""
     )
     return out.withColumn("seg_list", F.concat_ws("|", F.col("seg_list")))
+
+
+@declared(
+    "graph_kcore",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+          WHERE c_custkey < {_CAP}),
+sizes AS (SELECT nation, COUNT(*) AS n FROM v GROUP BY nation)
+SELECT v.id, CAST(s.n - 1 AS BIGINT) AS core_degree
+FROM v JOIN sizes s ON v.nation = s.nation
+WHERE s.n - 1 >= 8 ORDER BY v.id""",
+)
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (graph_algos.k_core, k=8) on the same-nation
+    clique graph. The Spark side genuinely peels iteratively; the oracle
+    knows the closed form — a clique of size n is its own (n-1)-core, so
+    the 8-core keeps exactly the nations with >= 9 members and every
+    survivor's core degree is n-1."""
+    g = _customer_graph(spark, sf_dir)
+    from graph_db_clustering_spark.operators.graph_algos import k_core
+
+    return k_core(g, k=8).orderBy("id")
+
+
+@declared(
+    "graph_communities",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+          WHERE c_custkey < {_CAP})
+SELECT id, MIN(id) OVER (PARTITION BY nation) AS community
+FROM v ORDER BY id""",
+)
+def graph_communities(spark, sf_dir):
+    """Label-propagation communities (graph_algos.label_propagation) on
+    the same-nation clique graph. Closed form: inside a clique the
+    self-vote LPA ties on every label in round 1 and the smallest-label
+    tie-break hands every member the clique minimum — communities are
+    exactly min(id) per nation. The Spark side iterates real synchronous
+    voting rounds to the fixpoint."""
+    g = _customer_graph(spark, sf_dir)
+    from graph_db_clustering_spark.operators.graph_algos import label_propagation
+
+    return label_propagation(g).orderBy("id")

@@ -185,3 +185,107 @@ def test_shortest_paths_multi_source_vs_bfs(spark):
     src = spark.createDataFrame([(s,) for s in sources], "id long")
     got = {r.id: r.dist for r in shortest_paths(_graph(spark, n, edges), src).collect()}
     assert got == want
+
+
+def _py_k_core(n, edge_list, k):
+    """Driver-side reference peeling (ground truth for k_core)."""
+    adj = {i: set() for i in range(n)}
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+def test_k_core_known(spark):
+    """Triangle {0,1,2} plus a pendant chain 2-3-4: 2-core = the
+    triangle only; 1-core drops nothing."""
+    from graph_db_clustering_spark.operators.graph_algos import k_core
+
+    g = _graph(spark, 5, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+    got = {r.id: r.core_degree for r in k_core(g, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    got1 = {r.id: r.core_degree for r in k_core(g, k=1).collect()}
+    assert set(got1) == {0, 1, 2, 3, 4}
+
+
+def test_k_core_random_vs_reference(spark):
+    from graph_db_clustering_spark.operators.graph_algos import k_core
+
+    rng = np.random.RandomState(7)
+    n = 80
+    edges = list({tuple(sorted((int(a), int(b))))
+                  for a, b in rng.randint(0, n, (300, 2)) if a != b})
+    g = _graph(spark, n, edges)
+    for k in (2, 3, 4):
+        want = _py_k_core(n, edges, k)
+        got = {r.id: r.core_degree for r in k_core(g, k=k).collect()}
+        assert got == want, f"k={k}"
+
+
+def test_k_core_empty_and_validation(spark):
+    from graph_db_clustering_spark.operators.graph_algos import k_core
+
+    g = _graph(spark, 4, [(0, 1)])
+    assert k_core(g, k=2).count() == 0  # a single edge has no 2-core
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(g, k=0)
+
+
+def test_label_propagation_separates_cliques(spark):
+    from graph_db_clustering_spark.operators.graph_algos import label_propagation
+
+    def clique(ids):
+        return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    v = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 10, 11, 12, 13]], "id long"
+    )
+    e = spark.createDataFrame(
+        [(a, b, "e") for a, b in edges], "src long, dst long, relationship string"
+    )
+    got = {r.id: r.community for r in label_propagation(Graph(v, e)).collect()}
+    a = {got[i] for i in (0, 1, 2)}
+    b = {got[i] for i in (11, 12, 13)}
+    assert len(a) == 1 and len(b) == 1
+    assert a != b  # the bridge must not merge the cliques' interiors
+
+
+def test_label_propagation_partitioning_invariant(spark):
+    from graph_db_clustering_spark.operators.graph_algos import label_propagation
+
+    rng = np.random.RandomState(11)
+    n = 50
+    edges = list({tuple(sorted((int(a), int(b))))
+                  for a, b in rng.randint(0, n, (150, 2)) if a != b})
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(a, b, "e") for a, b in edges], "src long, dst long, relationship string"
+    )
+    r1 = {
+        r.id: r.community
+        for r in label_propagation(Graph(v.repartition(1), e.repartition(1))).collect()
+    }
+    r2 = {
+        r.id: r.community
+        for r in label_propagation(
+            Graph(v.repartition(7, "id"), e.repartition(5, "dst"))
+        ).collect()
+    }
+    assert r1 == r2
+
+
+def test_label_propagation_isolated_vertex_keeps_own_label(spark):
+    from graph_db_clustering_spark.operators.graph_algos import label_propagation
+
+    g = _graph(spark, 3, [(0, 1)])
+    got = {r.id: r.community for r in label_propagation(g).collect()}
+    assert got[2] == 2
+    assert got[0] == got[1]
