@@ -522,3 +522,67 @@ def test_semantic_dedup_survives_10x_point_mass(spark, skewed_vecs):
     assert all(r.canonical_id == min_id for r in mass)
     assert sum(r.keep for r in mass) == 1
     assert all(r.cluster_size == 1 and r.keep for r in rest)
+
+
+def test_k_core_invariant_at_10x_hub_scale(spark, hub_graph):
+    """Iterative peeling on the hub graph + a planted K12 clique
+    (vertices GN_V..GN_V+11): the first peel round aggregates the
+    10k-degree hub (the hot key), strips every spoke/chain/pair within
+    two rounds, and only the clique survives to k=11 with core degree
+    exactly 11. Byte-identical under hostile repartitionings (integer
+    fixpoint), and the closed forms hold:
+      k=2  -> exactly the 12 clique vertices (everything else is trees)
+      k=11 -> same 12 vertices, core_degree 11
+      k=12 -> empty."""
+    v, e = hub_graph
+    k12 = spark.range(GN_V, GN_V + 12)
+    cl = (
+        k12.select(F.col("id").alias("src"))
+        .crossJoin(k12.select(F.col("id").alias("dst")))
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("relationship", F.lit("E"))
+    )
+    v2 = v.unionAll(k12)
+    e2 = e.unionAll(cl)
+    outs = []
+    for vparts, eparts in ((4, 96), (96, 4)):
+        g = Graph(v2.repartition(vparts), e2.repartition(eparts))
+        core2 = sorted(
+            (r.id, r.core_degree) for r in graph_algos.k_core(g, k=2).collect()
+        )
+        core11 = sorted(
+            (r.id, r.core_degree) for r in graph_algos.k_core(g, k=11).collect()
+        )
+        assert graph_algos.k_core(g, k=12).count() == 0
+        outs.append((core2, core11))
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1]
+    core2, core11 = outs[0]
+    assert core2 == [(GN_V + i, 11) for i in range(12)]
+    assert core11 == core2
+
+
+def test_label_propagation_invariant_at_10x_hub_scale(spark, hub_graph):
+    """Deterministic LPA on the hub graph: identical communities under
+    hostile repartitionings, plus the closed-form pieces — the 10k-spoke
+    star converges to community 0 (spokes tie {hub,self} and take the
+    smaller; the hub's majority is its spokes' adopted label), each
+    2-clique takes its min id, singletons keep their own id."""
+    v, e = hub_graph
+    outs = []
+    for vparts, eparts in ((4, 96), (96, 4)):
+        g = Graph(v.repartition(vparts), e.repartition(eparts))
+        lp = graph_algos.label_propagation(g, max_iter=8)
+        outs.append(sorted((r.id, r.community) for r in lp.collect()))
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1]
+    got = dict(outs[0])
+    assert all(got[i] == 0 for i in range(HUB_SPOKES + 1))  # the star
+    for p in range(PAIR_START, PAIR_START + 2 * N_PAIRS2, 2):
+        assert got[p] == p and got[p + 1] == p  # each 2-clique -> min id
+    n_clustered = (HUB_SPOKES + 1) + N_CHAINS * CHAIN_LEN + 2 * N_PAIRS2
+    singles = list(range(HUB_SPOKES + 1, CHAIN_START)) + list(
+        range(PAIR_START + 2 * N_PAIRS2, GN_V)
+    )
+    assert len(singles) == GN_V - n_clustered
+    assert all(got[i] == i for i in singles)
