@@ -581,8 +581,10 @@ def test_label_propagation_invariant_at_10x_hub_scale(spark, hub_graph):
     for p in range(PAIR_START, PAIR_START + 2 * N_PAIRS2, 2):
         assert got[p] == p and got[p + 1] == p  # each 2-clique -> min id
     n_clustered = (HUB_SPOKES + 1) + N_CHAINS * CHAIN_LEN + 2 * N_PAIRS2
-    singles = list(range(HUB_SPOKES + 1, CHAIN_START)) + list(
-        range(PAIR_START + 2 * N_PAIRS2, GN_V)
+    singles = (
+        list(range(HUB_SPOKES + 1, CHAIN_START))
+        + list(range(CHAIN_START + N_CHAINS * CHAIN_LEN, PAIR_START))
+        + list(range(PAIR_START + 2 * N_PAIRS2, GN_V))
     )
     assert len(singles) == GN_V - n_clustered
     assert all(got[i] == i for i in singles)
