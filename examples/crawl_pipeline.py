@@ -47,9 +47,12 @@ def main() -> None:
     recs = warc.parse_warc_records(shards, record_types=("response",))
     print(f"records parsed: {recs.count()}")
 
-    # 3. URL-keyed dedup before touching any content
+    # 3. URL-keyed dedup before touching any content. row_id must be
+    # DETERMINISTIC (the dedup semi-join evaluates the plan twice;
+    # monotonically_increasing_id would hand the same row different ids
+    # per evaluation) — the WARC record id is stable and unique
     pages = recs.select(
-        F.monotonically_increasing_id().alias("row_id"),
+        F.xxhash64("record_id").alias("row_id"),
         "target_uri",
         F.col("payload").cast("string").alias("html"),
     )

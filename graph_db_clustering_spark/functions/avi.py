@@ -53,10 +53,14 @@ def _find_lists(data: bytes, start: int, end: int, list_type: bytes):
             yield body + 4, body + size
 
 
-def _video_format(data: bytes, hdrl: tuple[int, int]) -> tuple[int, int, bytes]:
-    """First 'vids' stream's BITMAPINFOHEADER -> (width, height,
-    compression fourcc; b'\\x00'*4 for BI_RGB)."""
-    for s, e in _find_lists(data, hdrl[0], hdrl[1], b"strl"):
+def _video_format(
+    data: bytes, hdrl: tuple[int, int]
+) -> tuple[int, int, int, bytes]:
+    """First 'vids' stream's BITMAPINFOHEADER -> (stream_index, width,
+    height, compression fourcc; b'\\x00'*4 for BI_RGB). The stream index
+    is the strl list's POSITION — movi chunk ids are '{NN}dc', so an AVI
+    whose audio stream is declared first carries video as '01dc'."""
+    for idx, (s, e) in enumerate(_find_lists(data, hdrl[0], hdrl[1], b"strl")):
         strh = strf = None
         for fourcc, body, size in _chunks(data, s, e):
             if fourcc == b"strh":
@@ -70,7 +74,7 @@ def _video_format(data: bytes, hdrl: tuple[int, int]) -> tuple[int, int, bytes]:
         b = strf[0]
         w, h = struct.unpack("<ii", data[b + 4 : b + 12])
         comp = data[b + 16 : b + 20]
-        return w, h, comp
+        return idx, w, h, comp
     raise AviError("no video ('vids') stream in AVI")
 
 
@@ -98,28 +102,36 @@ def frames(data: bytes) -> list[np.ndarray]:
     movi = next(iter(_find_lists(data, *top, b"movi")), None)
     if hdrl is None or movi is None:
         raise AviError("AVI missing hdrl/movi list")
-    w, h, comp = _video_format(data, hdrl)
+    sidx, w, h, comp = _video_format(data, hdrl)
     is_mjpg = comp in _MJPG_FOURCCS
     if not is_mjpg and struct.unpack("<I", comp)[0] != _BI_RGB:
         raise NotImplementedError(
             f"AVI codec {comp!r}: only MJPG and uncompressed BI_RGB decode "
             "natively; interframe codecs need a codec library (PyAV/ffmpeg)"
         )
+    vid_id = b"%02d" % sidx  # movi chunk prefix for the video stream
     out: list[np.ndarray] = []
-    for fourcc, body, size in _chunks(data, *movi):
-        # stream 00 video data: compressed (dc) or uncompressed (db)
-        if fourcc[:2] != b"00" or fourcc[2:] not in (b"dc", b"db"):
-            continue
-        payload = data[body : body + size]
-        if not size:
-            continue  # dropped-frame placeholder
-        if is_mjpg:
-            img = jpeg.decode(bytes(payload))
-            if img.ndim == 2:
-                img = np.repeat(img[:, :, None], 3, axis=2)
-            out.append(img)
-        else:
-            out.append(_decode_dib(payload, w, h))
+
+    def walk(start: int, end: int) -> None:
+        for fourcc, body, size in _chunks(data, start, end):
+            # interleaved AVIs nest frame chunks inside 'LIST rec ' groups
+            if fourcc == b"LIST" and data[body : body + 4] == b"rec ":
+                walk(body + 4, body + size)
+                continue
+            if fourcc[:2] != vid_id or fourcc[2:] not in (b"dc", b"db"):
+                continue
+            payload = data[body : body + size]
+            if not size:
+                continue  # dropped-frame placeholder
+            if is_mjpg:
+                img = jpeg.decode(bytes(payload))
+                if img.ndim == 2:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
+                out.append(img)
+            else:
+                out.append(_decode_dib(payload, w, h))
+
+    walk(*movi)
     return out
 
 

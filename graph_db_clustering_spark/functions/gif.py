@@ -221,6 +221,11 @@ def frames(data: bytes) -> list[np.ndarray]:
             ]
         elif disposal == 3:
             canvas[top : top + h, left : left + w] = prev
+        # a Graphic Control Extension governs ONLY the next render block
+        # (89a spec 23.c.xii) — a GCE-less follow-up frame must not
+        # inherit stale disposal/transparency
+        transparent = None
+        disposal = 0
     return out
 
 

@@ -265,6 +265,7 @@ def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
         raise ValueError("k must be >= 1")
     edges = _undirected_edges(graph.edges).cache()
     alive = graph.vertices.select(VERTEX_ID).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         # degrees within the surviving vertex set: both endpoints alive
         live_edges = edges.join(
@@ -280,15 +281,31 @@ def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
             .localCheckpoint()
         )
         if survivors.count() == alive.count():
+            converged = True
             break
         alive = survivors
+    if not converged:
+        # an unconverged peel is NOT the k-core (it may keep vertices the
+        # next rounds would strip, e.g. a long path peels 2 ends/round) —
+        # never return it silently
+        edges.unpersist()
+        raise RuntimeError(
+            f"k_core did not converge in {max_iter} rounds; raise max_iter "
+            "(peeling needs up to O(diameter) rounds on chain-like graphs)"
+        )
     final_edges = edges.join(
         alive.select(F.col(VERTEX_ID).alias("a")), "a", "leftsemi"
     ).join(alive.select(F.col(VERTEX_ID).alias("b")), "b", "leftsemi")
     deg = final_edges.groupBy(F.col("a").alias(VERTEX_ID)).agg(
         F.count("*").alias("core_degree")
     )
-    return alive.join(deg, VERTEX_ID).select(VERTEX_ID, "core_degree")
+    result = (
+        alive.join(deg, VERTEX_ID)
+        .select(VERTEX_ID, "core_degree")
+        .localCheckpoint()
+    )
+    edges.unpersist()
+    return result
 
 
 def label_propagation(graph: Graph, max_iter: int = 10) -> DataFrame:
@@ -343,4 +360,5 @@ def label_propagation(graph: Graph, max_iter: int = 10) -> DataFrame:
         labels = new_labels
         if not changed:
             break
+    edges.unpersist()
     return labels

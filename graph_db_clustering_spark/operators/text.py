@@ -51,16 +51,20 @@ def html_text_expr(html: Column) -> Column:
     library, no Python per row — the WARC->text hot path at 100 TB must
     stay inside whole-stage codegen).
 
-    Steps: drop <head>/<script>/<style> subtrees and comments, turn block-level
-    tags into newlines, strip remaining tags, unescape the named
-    entities &lt; &gt; &quot; &#39;/&apos; &nbsp; and (last, so it can't
-    re-trigger) &amp;, then collapse horizontal whitespace and blank
-    lines. Patterns avoid backreferences so the same chain runs on RE2
-    engines (the DuckDB oracle)."""
-    x = F.regexp_replace(html, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
+    Steps: drop comments FIRST (a commented-out <script> opener must not
+    arm the script pattern — it would consume visible text through the
+    next real </script>), then the <head>/<script>/<style> subtrees,
+    turn block-level tags into newlines, strip remaining tags, unescape
+    the named entities &lt; &gt; &quot; &#39;/&apos; &nbsp; and (last,
+    so it can't re-trigger) &amp;, then collapse horizontal whitespace
+    and blank lines. Patterns avoid backreferences so the same chain
+    runs on RE2 engines (the DuckDB oracle). Known tradeoff of the
+    ordering: an UNclosed '<!--' inside script code (e.g. the legacy
+    comment-hiding idiom without '-->') keeps its script text."""
+    x = F.regexp_replace(html, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"(?is)<head\b[^>]*>.*?</head\s*>", " ")
     x = F.regexp_replace(x, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
     x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
-    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
     x = F.regexp_replace(
         x,
         r"(?i)</?(p|br|div|li|ul|ol|tr|td|th|table|h[1-6]|section|article"
@@ -534,8 +538,14 @@ def bpe_train(
     loop is O(n_merges * top_words * avg_len) regardless of corpus
     size. Ties break (count desc, pair asc) so training is deterministic
     and partitioning-invariant (test-pinned)."""
+    # explicit ASCII whitespace class: Java \s, Python str.split(), and
+    # the DuckDB oracle's strip all disagree on \x0b/\xa0/U+2028 — one
+    # class shared by bpe_train, bpe_encode, and the bpe_tokens oracle
+    # keeps the losslessness contract exact on any input
     wc = (
-        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        df.select(
+            F.explode(F.split(F.col(text_col), r"[ \t\n\r\f]+")).alias("w")
+        )
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))
@@ -621,13 +631,19 @@ def bpe_encode(
         ]
     )
 
+    import re
+
+    ws = re.compile(r"[ \t\n\r\f]+")  # the SAME class bpe_train splits on
+
     def encode(batches):
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             ids, toks_col, counts = [], [], []
             for rid, text in zip(pdf["id"], pdf["text"]):
                 toks: list[str] = []
-                for w in str(text).split():
+                for w in ws.split(str(text)):
+                    if not w:
+                        continue
                     got = cache.get(w)
                     if got is None:
                         if len(cache) >= 65536:

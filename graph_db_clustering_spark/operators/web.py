@@ -10,7 +10,8 @@ regexp_replace / lower) — no Python per row, so a 100 TB URL column
 canonicalizes inside whole-stage codegen.
 
 Canonical form (documented contract, the common-denominator rules):
-  - scheme and host lowercase (path/query case is significant, kept)
+  - scheme and host lowercase (path/query case is significant, kept;
+    userinfo is case-significant credentials, kept verbatim)
   - fragment stripped
   - default ports stripped (http:80, https:443)
   - tracking parameters dropped: utm_*, fbclid, gclid, msclkid, mc_eid
@@ -40,7 +41,12 @@ def url_canonicalize_expr(u: Column) -> Column:
     docstring)."""
     t = F.trim(u)
     scheme = F.lower(F.regexp_extract(t, _SCHEME, 1))
-    hostport = F.lower(F.regexp_extract(t, _SCHEME + r"([^/?#]*)", 2))
+    # userinfo is case-significant (credentials) — keep it verbatim and
+    # lowercase only the host[:port] that follows it
+    userinfo = F.regexp_extract(t, _SCHEME + r"([^/?#@]*@)", 2)
+    hostport = F.lower(
+        F.regexp_extract(t, _SCHEME + r"(?:[^/?#@]*@)?([^/?#]*)", 2)
+    )
     rest = F.regexp_extract(t, _SCHEME + r"[^/?#]*([^#]*)", 2)
 
     # default ports are scheme-relative
@@ -61,7 +67,7 @@ def url_canonicalize_expr(u: Column) -> Column:
     # '?q' with an empty path: give it the root path
     rest = F.when(rest.startswith("?"), F.concat(F.lit("/"), rest)).otherwise(rest)
 
-    canon = F.concat(scheme, F.lit("://"), hostport, rest)
+    canon = F.concat(scheme, F.lit("://"), userinfo, hostport, rest)
     return F.when(scheme == "", t).otherwise(canon)
 
 

@@ -224,14 +224,16 @@ def gzip_member(chunk: bytes) -> bytes:
 
 
 def synthetic_warc_from_documents(
-    docs: DataFrame, id_col: str, text_col: str, per_shard: int = 50
+    docs: DataFrame, id_col: str, text_col: str, n_shards: int = 50
 ) -> DataFrame:
     """Documents -> DataFrame(path, content) of in-memory ``.warc.gz``
     shards (one gzip member per response record, HTML-wrapped bodies,
     doc id in the target URI) — deterministic input for the WARC path
     without touching disk, the synthetic_gifs_from_documents pattern
     (operators/multimodal). Shard assignment is id-hash based so the
-    output is partitioning-invariant."""
+    output is partitioning-invariant. ``n_shards`` is the shard COUNT
+    (pmod modulus) — size it so corpus_rows / n_shards stays a sane
+    per-blob row count (each shard materializes as one Arrow row)."""
     out_schema = T.StructType(
         [
             T.StructField("path", T.StringType()),
@@ -241,7 +243,7 @@ def synthetic_warc_from_documents(
     shards = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
-        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(per_shard))).alias("shard"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))).alias("shard"),
     ).repartition("shard")
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -59,7 +59,8 @@ def extract_pages_stream(records: DataFrame) -> DataFrame:
     one row per successful HTML response."""
     return records.filter(
         (F.col("http_status") == 200)
-        & F.col("http_content_type").startswith("text/html")
+        # servers send mixed-case content-type values ('Text/HTML')
+        & F.lower(F.col("http_content_type")).startswith("text/html")
     ).select(
         "warc_file",
         "target_uri",

@@ -131,3 +131,57 @@ def test_frame_sample_mixed_gif_and_avi(spark):
     for r in out:
         got = png.decode(bytes(r.frame))
         assert np.array_equal(got, frames_[r.frame_index])
+
+
+def _with_audio_first(frames_list):
+    """Hand-build an AVI whose FIRST stream is audio: video chunks are
+    then '01db', not '00db' — the real-world layout the stream-index
+    lookup must handle."""
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames_list]
+    h, w = arrs[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    payloads = []
+    for a in arrs:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)
+        payloads.append(rows.tobytes())
+    avih = struct.pack("<14I", 100000, 0, 0, 0x10, len(payloads), 0, 2,
+                       stride * h, w, h, 0, 0, 0, 0)
+    auds_strh = (b"auds" + b"\x00" * 4
+                 + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 0,
+                               0, 0, 1)
+                 + struct.pack("<4H", 0, 0, 0, 0))
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)  # PCM fmt
+    vids_strh = (b"vids" + b"DIB "
+                 + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0,
+                               len(payloads), stride * h, 0, 0)
+                 + struct.pack("<4H", 0, 0, w, h))
+    vids_strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"\x00" * 4,
+                            stride * h, 0, 0, 0, 0)
+    hdrl = avi._list(
+        b"hdrl",
+        avi._chunk(b"avih", avih)
+        + avi._list(b"strl", avi._chunk(b"strh", auds_strh)
+                    + avi._chunk(b"strf", auds_strf))
+        + avi._list(b"strl", avi._chunk(b"strh", vids_strh)
+                    + avi._chunk(b"strf", vids_strf)),
+    )
+    # interleave: each frame inside a 'LIST rec ' group beside audio data
+    movi_body = b"".join(
+        avi._list(b"rec ", avi._chunk(b"00wb", b"\x80" * 8)
+                  + avi._chunk(b"01db", p))
+        for p in payloads
+    )
+    movi = avi._list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_first_stream_and_rec_lists():
+    """Video as stream 1 ('01db') nested in 'LIST rec ' groups — the
+    interleaved layout real muxers emit — must decode identically."""
+    want = _rand_frames(3, 4, 6, seed=9)
+    got = avi.frames(_with_audio_first(want))
+    assert len(got) == 3
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b)

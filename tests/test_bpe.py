@@ -82,3 +82,14 @@ def test_trained_merges_compress(spark, sf_dir):
         F.sum("n_tokens")
     ).first()[0]
     assert m60 < m0 * 0.55, (m0, m60)
+
+
+def test_encode_nbsp_is_not_a_separator(spark):
+    """Whitespace class alignment: bpe_train splits on the explicit
+    ASCII class [ \\t\\n\\r\\f], so bpe_encode must too — \\xa0 (NBSP)
+    stays INSIDE a word and losslessness holds byte-exactly."""
+    text = "a\xa0b c"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = text_ops.bpe_encode(df, "doc_id", "text", []).collect()[0]
+    assert row.tokens == ["a", "\xa0", "b", "c"]
+    assert "".join(row.tokens) == text.replace(" ", "")

@@ -123,3 +123,34 @@ def test_disposal_3_restores_previous_region():
     want = np.zeros((2, 2, 3), np.uint8)
     want[0, 0] = pal[2]
     assert np.array_equal(out[2], want)
+
+
+def test_gce_applies_only_to_next_frame():
+    """A Graphic Control Extension governs ONE render block (89a spec):
+    a GCE-less follow-up frame must not inherit stale disposal 3 /
+    transparency. Build a stream where frame 0 carries disposal=3 and
+    frame 1 carries no GCE: frame 1 must composite with disposal 0
+    (leave in place), so frame 2's... — here, a 2-frame check: after
+    frame 1 (white, no GCE) the canvas stays white for frame 2's
+    transparent overlay."""
+    pal = np.array([[0, 0, 0], [255, 255, 255], [200, 0, 0]], dtype=np.uint8)
+    f0 = np.zeros((2, 2), np.uint8)
+    f1 = np.ones((2, 2), np.uint8)
+    f2 = np.full((2, 2), 3, np.uint8)  # transparent under frame 0's GCE
+    data = bytearray(gif.encode([f0, f1, f2], pal, disposal=3, transparent=3))
+    # strip the SECOND and THIRD GCE blocks (8 bytes: 21 F9 04 .. .. .. .. 00),
+    # leaving only frame 0's — frames 1 and 2 then have no GCE at all
+    first = data.find(b"\x21\xf9")
+    while True:
+        nxt = data.find(b"\x21\xf9", first + 2)
+        if nxt < 0:
+            break
+        del data[nxt : nxt + 8]
+    out = gif.frames(bytes(data))
+    assert len(out) == 3
+    # frame 1: plain white draw (disposal 3 NOT inherited -> canvas keeps it)
+    assert np.array_equal(out[1], np.full((2, 2, 3), 255, np.uint8))
+    # frame 2: index 3 has NO transparency without its GCE; palette is
+    # padded with zeros, so the frame paints opaque black — it must NOT
+    # show through to anything, and disposal-3 state must be long gone
+    assert np.array_equal(out[2], np.zeros((2, 2, 3), np.uint8))

@@ -289,3 +289,17 @@ def test_label_propagation_isolated_vertex_keeps_own_label(spark):
     got = {r.id: r.community for r in label_propagation(g).collect()}
     assert got[2] == 2
     assert got[0] == got[1]
+
+
+def test_k_core_raises_instead_of_returning_unconverged_peel(spark):
+    """A path graph peels two endpoints per round, so a 30-vertex path at
+    k=2 needs ~15 rounds; with max_iter=3 the loop must RAISE, never
+    hand back the partially peeled middle as 'the 2-core' (whose true
+    value is empty)."""
+    from graph_db_clustering_spark.operators.graph_algos import k_core
+
+    n = 30
+    g = _graph(spark, n, [(i, i + 1) for i in range(n - 1)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(g, k=2, max_iter=3)
+    assert k_core(g, k=2, max_iter=30).count() == 0  # the true 2-core

@@ -420,3 +420,23 @@ def test_warc_stream_matches_batch(spark, tmp_path):
     # incrementally (3 data batches; a trailing empty batch may follow)
     q = [q for q in spark.streams.active if q.name == "warc_pages"]
     assert not q  # drained and stopped
+
+
+def test_extract_pages_filters_are_case_insensitive(spark):
+    """Content-Type values arrive mixed-case from real servers; the
+    HTML filter must not drop 'Text/HTML'."""
+    from graph_db_clustering_spark.sources import warc
+    from graph_db_clustering_spark.streaming import crawl
+
+    rec = warc.build_record(
+        "response",
+        warc.http_response(b"<p>hi</p>", content_type="Text/HTML; charset=utf-8"),
+        target_uri="https://x.example/a",
+    )
+    df = spark.createDataFrame(
+        [("f.warc", bytearray(rec))], "path string, content binary"
+    )
+    recs = warc.parse_warc_records(df)
+    out = crawl.extract_pages_stream(recs).collect()
+    assert len(out) == 1
+    assert out[0].text == "hi"

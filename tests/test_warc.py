@@ -142,3 +142,16 @@ def test_html_text_expr_cases(spark, html, want):
         .first()["t"]
     )
     assert got == want
+
+
+def test_commented_out_script_does_not_eat_visible_text(spark):
+    """Comments strip before the script pass: a commented-out <script>
+    opener must not arm the script regex through the next real
+    </script> (review finding)."""
+    html = "<!-- <script> -->visible<script>x=1;</script>after"
+    got = (
+        spark.createDataFrame([(html,)], "h string")
+        .select(text_ops.html_text_expr(F.col("h")).alias("t"))
+        .first()["t"]
+    )
+    assert got == "visible after"
