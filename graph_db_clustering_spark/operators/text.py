@@ -728,3 +728,56 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.array_distinct(F.split(F.col(text_col), r"\n")), "\n"
         ).alias("text"),
     )
+
+
+def tfidf_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 100,
+) -> DataFrame:
+    """TF-IDF over a deterministic top-df vocabulary -> one
+    (id, term, tf, tfidf) row per (document, vocabulary term) pair.
+
+    Vocabulary = the vocab_size terms with the highest document
+    frequency (ties break term-ascending), so the feature space is
+    data-derived yet deterministic and partitioning-invariant. idf uses
+    the smoothed convention ln((1+N)/(1+df)) + 1 (sklearn's default),
+    which never divides by zero and keeps in-vocabulary terms positive.
+
+    Scale shape: one explode+distinct aggregate for document
+    frequencies (map-side partials), top-k vocabulary via
+    TakeOrderedAndProject (vocab_size rows to the driver — these ARE
+    the broadcast dimension), then term counts per doc filtered to the
+    broadcast vocabulary BEFORE aggregation, so only vocabulary
+    postings shuffle (the bm25_scores plan discipline)."""
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    dfreq = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(vocab_size)
+    )
+    idf = dfreq.select(
+        "term",
+        "df",
+        (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0).alias(
+            "idf"
+        ),
+    )
+    tf = (
+        terms.join(F.broadcast(idf), "term")
+        .groupBy("id", "term", "idf")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.select(
+        F.col("id").alias(id_col),
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )

@@ -991,3 +991,29 @@ def dedup_lines(spark, sf_dir):
     return out.select("doc_id", F.md5("text").alias("text_md5")).orderBy(
         "doc_id"
     )
+
+
+@declared(
+    "tfidf_scores",
+    f"""WITH t AS (SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents),
+tt AS (SELECT * FROM t WHERE term <> ''),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tt GROUP BY term
+          ORDER BY df DESC, term LIMIT 100),
+idf AS (SELECT term,
+               LN((1.0 + (SELECT COUNT(*) FROM documents)) / (1.0 + df)) + 1
+                 AS idf
+        FROM dfreq),
+tf AS (SELECT doc_id, tt.term, idf, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tt JOIN idf ON tt.term = idf.term GROUP BY doc_id, tt.term, idf)
+SELECT doc_id, term, tf, ROUND(tf * idf, 6) AS tfidf
+FROM tf ORDER BY doc_id, term""",
+)
+def tfidf_scores_q(spark, sf_dir):
+    """TF-IDF over the deterministic top-100-df vocabulary
+    (operators/text.tfidf_scores, sklearn's smoothed idf): one
+    (doc, term) row per vocabulary posting. The oracle recomputes the
+    same vocabulary selection + formula in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_scores(docs, "doc_id", "text", vocab_size=100).orderBy(
+        "doc_id", "term"
+    )

@@ -109,3 +109,37 @@ def test_compact_parquet_respects_target(spark, tmp_path):
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) == n
     assert spark.read.parquet(path).count() == 50_000
+
+
+def test_tfidf_hand_computed(spark):
+    """N=2 docs, vocab_size=2: df(a)=2, df(b)=df(c)=1, vocabulary keeps
+    (a, b) by the df-desc/term-asc tie-break; idf(a)=ln(3/3)+1=1,
+    idf(b)=ln(3/2)+1. 'c' is out of vocabulary and emits no row."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.term): (r.tf, r.tfidf)
+        for r in text_ops.tfidf_scores(df, "doc_id", "text", vocab_size=2).collect()
+    }
+    idf_b = round(math.log(3 / 2) + 1, 6)
+    assert rows == {
+        (1, "a"): (2, 2.0),
+        (1, "b"): (1, idf_b),
+        (2, "a"): (1, 1.0),
+    }
+
+
+def test_tfidf_partitioning_invariant(spark, sf_dir):
+    from graph_db_clustering_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    a = sorted(
+        map(tuple, text_ops.tfidf_scores(docs.repartition(1), "doc_id", "text", 20).collect())
+    )
+    b = sorted(
+        map(tuple, text_ops.tfidf_scores(docs.repartition(13), "doc_id", "text", 20).collect())
+    )
+    assert a == b and len(a) > 0
