@@ -88,3 +88,75 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def snapshot_write(df: DataFrame, path: str) -> int:
+    """Versioned snapshot write (time travel, single-writer): data lands
+    in ``{path}/v=N`` and ``{path}/_LATEST`` flips to N atomically
+    (os.replace) only AFTER the write completes. Readers pinned to a
+    version are never disturbed; a crash mid-write leaves a dangling
+    v-dir but the pointer — and therefore every reader — still sees the
+    last complete snapshot. Returns the new version number.
+
+    This is the directory-level core of what Delta/Iceberg do with
+    transaction logs; on a lakehouse deployment the same call maps to a
+    table write creating a new snapshot. Single writer by contract — a
+    distributed committer needs the real table formats."""
+    os.makedirs(path, exist_ok=True)
+    version = latest_version(path) + 1
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
+    tmp = os.path.join(path, f"_LATEST.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(path, "_LATEST"))
+    return version
+
+
+def latest_version(path: str) -> int:
+    """Current committed version (0 = no snapshot yet)."""
+    try:
+        with open(os.path.join(path, "_LATEST")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """All COMMITTED versions on disk (dangling > _LATEST dirs from
+    crashed writes are excluded)."""
+    latest = latest_version(path)
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("v="):
+            v = int(name[2:])
+            if v <= latest:
+                out.append(v)
+    return sorted(out)
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot: the committed latest by default, or a pinned
+    historical version (time travel)."""
+    v = latest_version(path) if version is None else version
+    if v < 1 or (version is not None and v not in snapshot_versions(path)):
+        raise ValueError(f"no committed snapshot version {version} at {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def snapshot_vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` committed versions (plus
+    any dangling uncommitted dirs). Returns the removed versions."""
+    versions = snapshot_versions(path)
+    latest = latest_version(path)
+    drop = set(versions[:-keep_last]) if keep_last > 0 else set(versions)
+    removed = []
+    for name in list(os.listdir(path)):
+        if not name.startswith("v="):
+            continue
+        v = int(name[2:])
+        if v > latest or v in drop:
+            shutil.rmtree(os.path.join(path, name))
+            removed.append(v)
+    return sorted(v for v in removed if v <= latest)

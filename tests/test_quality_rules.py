@@ -143,3 +143,50 @@ def test_tfidf_partitioning_invariant(spark, sf_dir):
         map(tuple, text_ops.tfidf_scores(docs.repartition(13), "doc_id", "text", 20).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    path = str(tmp_path / "snap")
+    v1 = maintenance.snapshot_write(spark.range(10), path)
+    v2 = maintenance.snapshot_write(
+        spark.range(20).withColumn("x", F2.lit("b")), path
+    )
+    assert (v1, v2) == (1, 2)
+    assert maintenance.snapshot_versions(path) == [1, 2]
+    assert maintenance.snapshot_read(spark, path).count() == 20  # latest
+    assert maintenance.snapshot_read(spark, path, version=1).count() == 10
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        maintenance.snapshot_read(spark, path, version=3)
+
+
+def test_snapshot_dangling_write_invisible(spark, tmp_path):
+    """A crashed write (v-dir present, pointer not flipped) must be
+    invisible to readers and cleaned by vacuum."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "snap2")
+    maintenance.snapshot_write(spark.range(5), path)
+    # simulate a crash: v=2 written but _LATEST never flipped
+    shutil.copytree(os.path.join(path, "v=1"), os.path.join(path, "v=2"))
+    assert maintenance.latest_version(path) == 1
+    assert maintenance.snapshot_versions(path) == [1]
+    assert maintenance.snapshot_read(spark, path).count() == 5
+    removed_dirs = maintenance.snapshot_vacuum(path, keep_last=2)
+    assert removed_dirs == []  # v=2 was dangling, not a committed version
+    assert not os.path.exists(os.path.join(path, "v=2"))
+
+
+def test_snapshot_vacuum_keeps_last_n(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "snap3")
+    for _ in range(4):
+        maintenance.snapshot_write(spark.range(3), path)
+    removed = maintenance.snapshot_vacuum(path, keep_last=2)
+    assert removed == [1, 2]
+    assert maintenance.snapshot_versions(path) == [3, 4]
+    assert maintenance.snapshot_read(spark, path, version=3).count() == 3
+    assert not os.path.exists(os.path.join(path, "v=1"))
