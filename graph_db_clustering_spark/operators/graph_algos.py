@@ -362,3 +362,71 @@ def label_propagation(graph: Graph, max_iter: int = 10) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+def coreness(graph: Graph, max_iter: int = 100) -> DataFrame:
+    """Core number of every vertex (the largest k whose k-core contains
+    it) by the distributed h-index fixpoint (Lu et al. 2016, "k-core
+    decomposition in large graphs"): estimates start at degree, and each
+    round every vertex replaces its estimate with the H-index of its
+    neighbors' estimates (the largest h such that >= h neighbors have
+    estimate >= h). Estimates are non-increasing and integer, so the
+    fixpoint — which equals the true coreness — is reached in finitely
+    many rounds; convergence is checked with the O(1) any-change scalar,
+    and non-convergence within max_iter raises (the k_core discipline:
+    never return a wrong decomposition silently).
+
+    Each round: one join edges->estimates + one per-vertex aggregate;
+    the H-index computes inside codegen over the collected neighbor
+    array (sort_array desc, count positions where value > position).
+    Returns (id, coreness); isolated vertices have coreness 0."""
+    edges = _undirected_edges(graph.edges).cache()
+    deg = edges.groupBy(F.col("a").alias(VERTEX_ID)).agg(
+        F.count("*").alias("est")
+    )
+    est = (
+        graph.vertices.select(VERTEX_ID)
+        .join(deg, VERTEX_ID, "left")
+        .select(VERTEX_ID, F.coalesce(F.col("est"), F.lit(0)).alias("est"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        nbr_vals = (
+            edges.join(est, edges["b"] == est[VERTEX_ID])
+            .select(F.col("a").alias(VERTEX_ID), F.col("est").alias("v"))
+            .groupBy(VERTEX_ID)
+            .agg(F.sort_array(F.collect_list("v"), asc=False).alias("vs"))
+        )
+        # H-index of vs (desc-sorted): count of i with vs[i] >= i+1
+        h = F.size(
+            F.filter(nbr_vals["vs"], lambda v, i: v >= i + F.lit(1))
+        ).alias("h")
+        new_est = (
+            est.join(nbr_vals.select(VERTEX_ID, h), VERTEX_ID, "left")
+            .select(
+                VERTEX_ID,
+                F.least(
+                    F.col("est"), F.coalesce(F.col("h"), F.lit(0))
+                ).alias("est"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_est.alias("n")
+            .join(est.alias("o"), VERTEX_ID)
+            .filter(F.col("n.est") != F.col("o.est"))
+            .limit(1)
+            .count()
+        )
+        est = new_est
+        if not changed:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"coreness did not converge in {max_iter} h-index rounds; "
+            "raise max_iter"
+        )
+    return est.select(VERTEX_ID, F.col("est").alias("coreness"))

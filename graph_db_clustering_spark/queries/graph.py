@@ -756,3 +756,24 @@ def graph_communities(spark, sf_dir):
     from graph_db_clustering_spark.operators.graph_algos import label_propagation
 
     return label_propagation(g).orderBy("id")
+
+
+@declared(
+    "graph_coreness",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+          WHERE c_custkey < {_CAP}),
+sizes AS (SELECT nation, COUNT(*) AS n FROM v GROUP BY nation)
+SELECT v.id, CAST(s.n - 1 AS BIGINT) AS coreness
+FROM v JOIN sizes s ON v.nation = s.nation ORDER BY v.id""",
+)
+def graph_coreness(spark, sf_dir):
+    """Full core-number decomposition (graph_algos.coreness — the
+    distributed h-index fixpoint) on the same-nation clique graph.
+    Closed form: every member of an n-clique has core number n-1. The
+    Spark side iterates real h-index rounds; exact equality vs
+    reference peeling on random graphs is pinned in
+    tests/test_graph_algos.py."""
+    g = _customer_graph(spark, sf_dir)
+    from graph_db_clustering_spark.operators.graph_algos import coreness
+
+    return coreness(g).orderBy("id")

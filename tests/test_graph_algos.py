@@ -303,3 +303,36 @@ def test_k_core_raises_instead_of_returning_unconverged_peel(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         k_core(g, k=2, max_iter=3)
     assert k_core(g, k=2, max_iter=30).count() == 0  # the true 2-core
+
+
+def test_coreness_known(spark):
+    """Triangle {0,1,2} + chain 2-3-4 + isolated 5: coreness 2 on the
+    triangle, 1 on the chain tail, 0 isolated."""
+    from graph_db_clustering_spark.operators.graph_algos import coreness
+
+    g = _graph(spark, 6, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+    got = {r.id: r.coreness for r in coreness(g).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 5: 0}
+
+
+def test_coreness_random_vs_reference_peeling(spark):
+    """coreness(v) must equal the largest k whose reference-peeled
+    k-core contains v, on random graphs."""
+    from graph_db_clustering_spark.operators.graph_algos import coreness
+
+    rng = np.random.RandomState(13)
+    n = 70
+    edges = list({tuple(sorted((int(a), int(b))))
+                  for a, b in rng.randint(0, n, (260, 2)) if a != b})
+    g = _graph(spark, n, edges)
+    got = {r.id: r.coreness for r in coreness(g).collect()}
+    want = {v: 0 for v in range(n)}
+    k = 1
+    while True:
+        core = _py_k_core(n, edges, k)
+        if not core:
+            break
+        for v in core:
+            want[v] = k
+        k += 1
+    assert got == want
