@@ -15,6 +15,7 @@ from graph_db_clustering_spark.streaming.ops import (
     stream_static_join,
     tumbling_counts,
 )
+from graph_db_clustering_spark.streaming.ann import ann_serve_stream
 from graph_db_clustering_spark.streaming.crawl import (
     extract_pages_stream,
     read_warc_stream,
@@ -31,6 +32,7 @@ __all__ = [
     "read_table_stream",
     "run_available_now",
     "read_warc_stream",
+    "ann_serve_stream",
     "extract_pages_stream",
     "tumbling_counts",
     "sliding_counts",

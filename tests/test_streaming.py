@@ -440,3 +440,53 @@ def test_extract_pages_filters_are_case_insensitive(spark):
     out = crawl.extract_pages_stream(recs).collect()
     assert len(out) == 1
     assert out[0].text == "hi"
+
+
+def test_ann_serve_stream_matches_batch(spark, tmp_path, monkeypatch):
+    """Streaming vector search (streaming/ann): query batches replayed
+    one file per trigger against a SAVED IVF-PQ index must produce
+    exactly the batch ivfpq_search results for the same queries, with
+    no training/encoding in-stream (poison-pinned)."""
+    from graph_db_clustering_spark.operators import kmeans, similarity
+    from graph_db_clustering_spark.streaming import ann
+    from graph_db_clustering_spark.streaming.replay import stage_table_replay
+
+    emb = load_table(spark, SF, "embeddings")
+    model, encoded = similarity.ivfpq_build(emb, cells=8, m=8, codes=64)
+    index = str(tmp_path / "index")
+    similarity.ivfpq_save(model, encoded, index)
+    loaded_model, loaded_codes = similarity.ivfpq_load(spark, index)
+
+    # stage the first 24 query vectors as 4 replay chunks
+    qdir = str(tmp_path / "queries")
+    queries = emb.filter(F.col("vec_id") < 24)
+    queries.repartitionByRange(4, "vec_id").write.parquet(qdir)
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+
+    monkeypatch.setattr(kmeans, "fit", lambda *a, **k: 1 / 0)
+    monkeypatch.setattr(similarity, "ivfpq_build", lambda *a, **k: 1 / 0)
+
+    out = str(tmp_path / "hits")
+    q = ann.ann_serve_stream(
+        stream, loaded_model, loaded_codes, emb, out,
+        str(tmp_path / "ckpt"), k=3, nprobe=4,
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r.qid, r.nid, r.rk, round(r.cosine, 6))
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.qid, r.nid, r.rk, round(r.cosine, 6))
+        for r in similarity.ivfpq_search(
+            queries, loaded_model, loaded_codes, emb,
+            k=3, nprobe=4, exclude_self=False,
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 24 * 3
