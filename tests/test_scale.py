@@ -588,3 +588,36 @@ def test_label_propagation_invariant_at_10x_hub_scale(spark, hub_graph):
     )
     assert len(singles) == GN_V - n_clustered
     assert all(got[i] == i for i in singles)
+
+
+def test_coreness_invariant_at_10x_hub_scale(spark, hub_graph):
+    """h-index coreness on the hub graph + planted K12: the hub's round
+    aggregates a 10k-value neighbor array (bounded by max degree — the
+    documented memory shape), trees collapse to coreness 1 in one
+    round, the clique holds 11. Byte-identical under hostile
+    repartitionings; closed forms: star/chain/pair vertices 1, clique
+    members 11, singletons 0."""
+    k12 = spark.range(GN_V, GN_V + 12)
+    v, e = hub_graph
+    cl = (
+        k12.select(F.col("id").alias("src"))
+        .crossJoin(k12.select(F.col("id").alias("dst")))
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("relationship", F.lit("E"))
+    )
+    v2, e2 = v.unionAll(k12), e.unionAll(cl)
+    outs = []
+    for vparts, eparts in ((4, 96), (96, 4)):
+        g = Graph(v2.repartition(vparts), e2.repartition(eparts))
+        cn = graph_algos.coreness(g)
+        outs.append(sorted((r.id, r.coreness) for r in cn.collect()))
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1]
+    got = dict(outs[0])
+    assert all(got[i] == 1 for i in range(HUB_SPOKES + 1))
+    assert all(got[GN_V + i] == 11 for i in range(12))
+    assert all(
+        got[i] == 1
+        for i in range(CHAIN_START, CHAIN_START + N_CHAINS * CHAIN_LEN)
+    )
+    assert all(got[i] == 0 for i in range(HUB_SPOKES + 1, CHAIN_START))
