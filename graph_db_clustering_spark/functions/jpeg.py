@@ -8,8 +8,10 @@ gap for the profiles real-world JPEGs use: 8-bit sequential (SOF0/1) and
 progressive (SOF2, spectral selection + successive approximation, T.81
 G.1.2 — the majority profile on the modern web), Huffman-coded, 1 or 3
 components, any integer sampling factors (4:4:4 / 4:2:2 / 4:2:0), with
-optional restart intervals. Lossless (SOF3), arithmetic coding (SOF9+),
-12-bit precision, and hierarchical modes raise NotImplementedError — a
+optional restart intervals; plus lossless (SOF3, Annex H DPCM — all 7
+predictors, 2-16 bit precision, point transform, restart resets, the
+mod-2^16 difference arithmetic incl. category 16). Arithmetic coding
+(SOF9+) and hierarchical modes raise NotImplementedError — a
 clearly scoped gate, not silent wrong output.
 
 Everything numeric is NumPy: the entropy scan is the only per-symbol
@@ -213,11 +215,30 @@ def decode(data: bytes) -> np.ndarray:
                 # factors (T.81 A.2: non-interleaved MCU = one data unit)
                 comps[0]["h"] = comps[0]["v"] = 1
             frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3 lossless (Huffman DPCM, T.81 Annex H)
+            prec = seg[0]
+            if not 2 <= prec <= 16:
+                raise JpegError(f"lossless precision {prec} out of range")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components not "
+                        "supported (sampling factors must be 1x1)"
+                    )
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": False, "lossless": True, "precision": prec,
+            }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG mode SOF{marker - 0xC0} (lossless/arithmetic/"
-                "hierarchical) not supported; baseline sequential and "
-                "progressive (Huffman) only"
+                f"JPEG mode SOF{marker - 0xC0} (arithmetic/hierarchical) "
+                "not supported; baseline sequential, progressive, and "
+                "lossless (all Huffman) only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -231,6 +252,17 @@ def decode(data: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 15))
             segs, end = _unstuff(data, i + 2 + seglen)
+            if frame.get("lossless"):
+                if len(scan) != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "lossless JPEG: only a single scan covering every "
+                        "component is supported"
+                    )
+                pred_sel = seg[1 + 2 * ns]  # Ss field = predictor selector
+                pt = seg[3 + 2 * ns] & 15  # Al field = point transform
+                return _decode_lossless_scan(
+                    frame, scan, huff, segs, restart_interval, pred_sel, pt
+                )
             if not frame["progressive"]:
                 if len(scan) == len(frame["comps"]):
                     # single interleaved scan covering every component —
@@ -313,6 +345,77 @@ def _decode_scan(frame, scan, qt, huff, segs, restart_interval) -> np.ndarray:
                     )
         mcu += 1
     return _reconstruct(frame, coeff, qt)
+
+
+def _decode_lossless_scan(
+    frame, scan, huff, segs, restart_interval, pred_sel, pt
+) -> np.ndarray:
+    """SOF3 lossless scan (T.81 Annex H): per sample, a DC-style Huffman
+    category + EXTENDed bits give the DPCM difference; the prediction is
+    one of the seven spatial predictors (Ss selects), with the spec's
+    boundary rules — 2^(P-Pt-1) for the very first sample and after a
+    restart, Ra along the first line, Rb at the start of other lines.
+    Differences are modulo 2^16 (H.1.2.1). Output samples are shifted
+    left by the point transform Pt; returns HxW (1 component) or HxWxC
+    uint8/uint16 — components stay in their coded color space (lossless
+    JPEG defines no YCbCr transform)."""
+    if not 1 <= pred_sel <= 7:
+        raise JpegError(f"lossless predictor selector {pred_sel} invalid")
+    h, w = frame["h"], frame["w"]
+    P = frame["precision"]
+    default = 1 << (P - pt - 1)
+    nc = len(scan)
+    planes = np.zeros((nc, h, w), dtype=np.int64)
+    tables = [huff[(0, td)] for _, td, _ in scan]
+
+    reader = _BitReader(segs[0])
+    seg_idx = 0
+    interval = restart_interval or (h * w + 1)
+    sample_idx = 0  # MCU counter (one sample per component per MCU)
+    just_restarted = True
+    for y in range(h):
+        for x in range(w):
+            if sample_idx and restart_interval and sample_idx % interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise JpegError("missing restart segment in entropy stream")
+                reader = _BitReader(segs[seg_idx])
+                just_restarted = True
+            for ci in range(nc):
+                plane = planes[ci]
+                if just_restarted:
+                    px = default
+                elif y == 0:
+                    px = plane[0, x - 1]  # first line: Ra
+                elif x == 0:
+                    px = plane[y - 1, 0]  # line start: Rb
+                else:
+                    ra = plane[y, x - 1]
+                    rb = plane[y - 1, x]
+                    rc = plane[y - 1, x - 1]
+                    px = (
+                        ra if pred_sel == 1
+                        else rb if pred_sel == 2
+                        else rc if pred_sel == 3
+                        else ra + rb - rc if pred_sel == 4
+                        else ra + ((rb - rc) >> 1) if pred_sel == 5
+                        else rb + ((ra - rc) >> 1) if pred_sel == 6
+                        else (ra + rb) >> 1
+                    )
+                s = reader.decode_huffman(tables[ci])
+                if s == 16:  # H.1.2.2: category 16 means diff = 32768
+                    diff = 32768
+                else:
+                    diff = _extend(reader.receive(s), s) if s else 0
+                plane[y, x] = (px + diff) & 0xFFFF
+            just_restarted = False
+            sample_idx += 1
+    # P is the ORIGINAL sample precision; coded samples carry P-Pt bits
+    # and shift back up, so the output range is bounded by 2^P
+    out = (planes << pt).transpose(1, 2, 0)
+    dtype = np.uint8 if P <= 8 else np.uint16
+    out = out.astype(dtype)
+    return out[:, :, 0] if nc == 1 else out
 
 
 def _read_baseline_block(reader, dc_tbl, ac_tbl, blk, pred) -> int:

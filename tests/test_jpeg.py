@@ -266,10 +266,10 @@ def test_byte_stuffing_roundtrip():
         prev = dc
 
 
-def test_arithmetic_and_lossless_modes_raise_not_implemented():
-    # SOF2 (progressive Huffman) is now supported; the gate narrows to
-    # lossless (SOF3) / arithmetic (SOF9/10) / hierarchical modes
-    for sof in (0xC3, 0xC9, 0xCA):
+def test_arithmetic_modes_raise_not_implemented():
+    # SOF2 (progressive) and SOF3 (lossless) are now supported; the gate
+    # narrows to arithmetic (SOF9/10) / hierarchical modes
+    for sof in (0xC9, 0xCA):
         bad = b"\xff\xd8" + _seg(
             sof, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
         )
