@@ -482,3 +482,128 @@ def zorder_by(
         .sortWithinPartitions(key)
         .drop(key)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the THIRD size regime
+# ---------------------------------------------------------------------------
+
+_BLOOM_SALT = b"gdc-bloom-v1"
+
+
+def _bloom_positions(grams, k: int, m_bits: int):
+    """k bit positions per gram (Kirsch-Mitzenmacher double hashing over
+    an md5 digest: pos_i = (h1 + i*h2) mod m). Pure hashlib+int — the
+    SAME function runs on the build and probe sides, both inside Arrow
+    batches, so the two sides can never disagree on a hash."""
+    import hashlib
+
+    out = []
+    for g in grams:
+        d = hashlib.md5(_BLOOM_SALT + g.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1  # odd -> full-period step
+        out.append([(h1 + i * h2) % m_bits for i in range(k)])
+    return out
+
+
+def build_bloom(
+    eval_df: DataFrame,
+    text_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+):
+    """Distributed Bloom-filter build over the eval n-gram set ->
+    (numpy uint64 bitmap of m_bits/64 words, m_bits, k).
+
+    This is the decontamination regime BEYOND the shuffled fallback:
+    when even a gram-keyed shuffle join is unwanted (e.g. repeated
+    probes of a fixed eval suite against many corpora), the eval side
+    compresses to a FIXED-SIZE bitmap (1 MiB at the 2^23 default)
+    regardless of gram count. Bits: each partition emits its set
+    (word_idx, bits) pairs from one Arrow batch pass, a bit_or hash
+    aggregate merges them (map-side partials), and only set words reach
+    the driver. Guarantee is one-sided: NO false negatives; false
+    positives at the classic (1 - e^{-kn/m})^k rate — size m_bits to
+    the eval suite."""
+    import numpy as np
+    import pandas as pd
+
+    grams = eval_gram_set(eval_df, text_col, n)
+
+    def emit(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            words: dict[int, int] = {}
+            for pos_list in _bloom_positions(pdf["gram"], k, m_bits):
+                for p in pos_list:
+                    words[p >> 6] = words.get(p >> 6, 0) | (1 << (p & 63))
+            yield pd.DataFrame(
+                {"w": list(words), "bits": [_i64(v) for v in words.values()]}
+            )
+
+    rows = (
+        grams.mapInPandas(emit, "w long, bits long")
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    )
+    bloom = np.zeros(m_bits >> 6, dtype=np.uint64)
+    for r in rows:
+        bloom[r.w] = np.uint64(r.bits & 0xFFFFFFFFFFFFFFFF)
+    return bloom, m_bits, k
+
+
+def _i64(v: int) -> int:
+    """uint64 bit pattern -> int64 (Spark LongType carrier)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bloom,
+    m_bits: int,
+    k: int,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Probe a document corpus against a built Bloom filter ->
+    (id_col, n_flagged) for docs with >= 1 possibly-shared n-gram.
+
+    The bitmap ships once per executor (sc.broadcast); each Arrow batch
+    probes its documents' distinct grams vectorized — the corpus never
+    shuffles and nothing joins. Output is a SUPERSET of the exact
+    decontamination hits (no false negatives — test-pinned); route
+    flagged docs through the exact check if the FP rate matters."""
+    import numpy as np
+    import pandas as pd
+
+    from graph_db_clustering_spark.operators.traindata import word_ngrams  # noqa: F401
+
+    bc = train.sparkSession.sparkContext.broadcast(bloom)
+
+    def probe(batches):
+        bl = bc.value
+        for pdf in batches:
+            ids, counts = [], []
+            for rid, grams in zip(pdf["id"], pdf["grams"]):
+                hits = 0
+                for pos_list in _bloom_positions(set(grams), k, m_bits):
+                    if all(
+                        bl[p >> 6] & np.uint64(1 << (p & 63)) for p in pos_list
+                    ):
+                        hits += 1
+                if hits:
+                    ids.append(int(rid))
+                    counts.append(hits)
+            yield pd.DataFrame({"id": ids, "n_flagged": counts})
+
+    narrow = train.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    out = narrow.mapInPandas(probe, "id long, n_flagged long")
+    return out.select(F.col("id").alias(id_col), "n_flagged")

@@ -250,3 +250,30 @@ def zorder_key_q(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+@declared(
+    "bloom_decontaminate",
+    f"""WITH g AS (SELECT doc_id, UNNEST({_GRAMS5}) AS gram FROM documents),
+ev AS (SELECT DISTINCT gram FROM g WHERE ((doc_id % 100) * {FIB_HASH}) % 100 >= 80),
+tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE ((doc_id % 100) * {FIB_HASH}) % 100 < 80)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+FROM tr JOIN ev USING (gram) GROUP BY doc_id ORDER BY doc_id""",
+)
+def bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (operators/traindata.build_bloom ->
+    bloom_decontaminate): the eval 5-gram set compresses to a fixed
+    1 MiB bitmap (the regime beyond broadcast AND shuffled joins), the
+    train corpus probes it per Arrow batch with zero joins. The filter
+    guarantees no false negatives; at the default sizing it produces
+    ZERO false positives on this deterministic corpus (verified at
+    sf0.001 and sf0.01, and both hashes are deterministic), so the
+    oracle is the EXACT contamination closed form — any false positive,
+    lost flag, or hash drift fails the gate."""
+    d = load_table(spark, sf_dir, "documents")
+    h = traindata.id_hash_bucket("doc_id", 100)
+    train, ev = d.filter(h < 80), d.filter(h >= 80)
+    bloom, m, k = traindata.build_bloom(ev, "text", n=5)
+    return traindata.bloom_decontaminate(
+        train, bloom, m, k, "doc_id", "text", n=5
+    ).orderBy("doc_id")

@@ -410,3 +410,68 @@ def test_zorder_layout_tightens_file_bounding_boxes(spark, sf_dir, tmp_path):
     assert lin_y > 0.8, lin_y
     assert zo_y < lin_y / 2, (lin_y, zo_y)
     assert zo_x < 0.6, zo_x  # x stays reasonably tight too
+
+
+class TestBloomDecontamination:
+    def _corpora(self, spark):
+        from graph_db_clustering_spark.catalog import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        train = docs.filter(F.col("doc_id") < 300)
+        eval_df = docs.filter(
+            (F.col("doc_id") >= 300) & (F.col("doc_id") < 360)
+        ).select(F.col("text"))
+        return train, eval_df
+
+    def test_no_false_negatives_vs_exact(self, spark):
+        """Every exactly-contaminated doc must be Bloom-flagged (the
+        one-sided guarantee), with flag counts >= the exact counts."""
+        from graph_db_clustering_spark.operators import traindata as td
+
+        train, eval_df = self._corpora(spark)
+        exact = {
+            r.doc_id: r.n_shared
+            for r in td.decontaminate(train, eval_df, "doc_id", "text", n=3).collect()
+        }
+        bloom, m, k = td.build_bloom(eval_df, "text", n=3)
+        flagged = {
+            r.doc_id: r.n_flagged
+            for r in td.bloom_decontaminate(
+                train, bloom, m, k, "doc_id", "text", n=3
+            ).collect()
+        }
+        assert set(exact) <= set(flagged)
+        for d, n_exact in exact.items():
+            assert flagged[d] >= n_exact
+
+    def test_false_positive_rate_bounded(self, spark):
+        """Docs sharing NO gram with the eval set flag at well under the
+        sized filter's theoretical noise ceiling."""
+        from graph_db_clustering_spark.operators import traindata as td
+
+        train, eval_df = self._corpora(spark)
+        exact_ids = {
+            r.doc_id
+            for r in td.decontaminate(train, eval_df, "doc_id", "text", n=3).collect()
+        }
+        bloom, m, k = td.build_bloom(eval_df, "text", n=3)
+        flagged_ids = {
+            r.doc_id
+            for r in td.bloom_decontaminate(
+                train, bloom, m, k, "doc_id", "text", n=3
+            ).collect()
+        }
+        clean_total = train.count() - len(exact_ids)
+        false_pos = len(flagged_ids - exact_ids)
+        assert false_pos <= max(2, clean_total * 0.02), (false_pos, clean_total)
+
+    def test_build_is_partitioning_invariant(self, spark):
+        import numpy as np
+
+        from graph_db_clustering_spark.operators import traindata as td
+
+        _, eval_df = self._corpora(spark)
+        b1, _, _ = td.build_bloom(eval_df.repartition(1), "text", n=3, m_bits=1 << 16)
+        b2, _, _ = td.build_bloom(eval_df.repartition(11), "text", n=3, m_bits=1 << 16)
+        assert np.array_equal(b1, b2)
+        assert b1.any()
