@@ -781,3 +781,42 @@ def tfidf_scores(
         "tf",
         F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
     )
+
+
+def normalize_unicode(
+    df: DataFrame, id_col: str, text_col: str, form: str = "NFC"
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) -> (id, text). Crawl
+    text arrives in mixed normalization (decomposed accents from macOS
+    uploads, compatibility ligatures, full-width forms); exact dedup and
+    n-gram ops silently miss equal-looking strings until the corpus is
+    normalized. Spark has no built-in normalizer, so this is one
+    Arrow-batched mapInPandas over stdlib unicodedata — a justified
+    Python crossing (the oracle checks it against DuckDB's independent
+    nfc_normalize implementation)."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def norm(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "text": [
+                        unicodedata.normalize(form, str(t)) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    return narrow.mapInPandas(norm, out_schema).select(
+        F.col("id").alias(id_col), "text"
+    )

@@ -607,3 +607,34 @@ def bloom_decontaminate(
     )
     out = narrow.mapInPandas(probe, "id long, n_flagged long")
     return out.select(F.col("id").alias(id_col), "n_flagged")
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, span: int = 20
+) -> DataFrame:
+    """Exact duplicated-span detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    n-gram-indexed instead of suffix-array): every `span`-token window
+    that occurs MORE THAN ONCE across the corpus (or within one doc) is
+    flagged -> (id_col, pos, gram_md5, n_occurrences), pos = 0-based
+    token offset of the window.
+
+    Plan: posexplode the window array (one codegen pass), aggregate
+    occurrence counts keyed on the window hash (map-side partials), keep
+    keys with count > 1, and semi-join the positions back — the
+    inverted-index discipline: only DUPLICATED windows' positions
+    survive to the output, everything else dies in the aggregate. The
+    explode is O(corpus tokens) rows but never materializes: it feeds
+    a hash aggregate directly."""
+    pos_grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(F.col(text_col), span)).alias("pos", "gram"),
+    ).select("id", "pos", F.md5("gram").alias("gram_md5"))
+    dup = (
+        pos_grams.groupBy("gram_md5")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 1)
+    )
+    return pos_grams.join(dup, "gram_md5").select(
+        F.col("id").alias(id_col), "pos", "gram_md5", "n_occurrences"
+    )

@@ -1017,3 +1017,24 @@ def tfidf_scores_q(spark, sf_dir):
     return text.tfidf_scores(docs, "doc_id", "text", vocab_size=100).orderBy(
         "doc_id", "term"
     )
+
+
+@declared(
+    "unicode_nfc",
+    "SELECT doc_id, md5(nfc_normalize(text || ' cafe' || chr(769))) AS t_md5 "
+    "FROM documents ORDER BY doc_id",
+)
+def unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (text.normalize_unicode): each document
+    gains a decomposed trailing 'e'+COMBINING ACUTE, which NFC must
+    compose to U+00E9. Checked against DuckDB's INDEPENDENT
+    nfc_normalize implementation (utf8proc) — two unrelated
+    normalization engines must agree byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # DECOMPOSED on the Spark side ('e' + U+0301): normalize_unicode
+        # must actually compose, not pass precomposed input through
+        F.concat("text", F.lit(" cafe\u0301")).alias("text"),
+    )
+    out = text.normalize_unicode(docs, "doc_id", "text", form="NFC")
+    return out.select("doc_id", F.md5("text").alias("t_md5")).orderBy("doc_id")

@@ -277,3 +277,25 @@ def bloom_decontaminate(spark, sf_dir):
     return traindata.bloom_decontaminate(
         train, bloom, m, k, "doc_id", "text", n=5
     ).orderBy("doc_id")
+
+
+@declared(
+    "duplicate_spans",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             md5(ARRAY_TO_STRING(toks[i:i+7], ' ')) AS gram_md5
+      FROM t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 7, 0))) u(i)),
+d AS (SELECT gram_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM g GROUP BY gram_md5 HAVING COUNT(*) > 1)
+SELECT doc_id, pos, g.gram_md5, n_occurrences
+FROM g JOIN d USING (gram_md5) ORDER BY doc_id, pos""",
+)
+def duplicate_spans(spark, sf_dir):
+    """Exact duplicated 8-token spans across the corpus
+    (operators/traindata.duplicate_spans, the Lee et al. 2022 substring
+    dedup shape): inverted-index aggregate on the window hash, positions
+    of repeated windows only."""
+    d = load_table(spark, sf_dir, "documents")
+    return traindata.duplicate_spans(d, "doc_id", "text", span=8).orderBy(
+        "doc_id", "pos"
+    )

@@ -475,3 +475,34 @@ class TestBloomDecontamination:
         b2, _, _ = td.build_bloom(eval_df.repartition(11), "text", n=3, m_bits=1 << 16)
         assert np.array_equal(b1, b2)
         assert b1.any()
+
+
+def test_duplicate_spans_known(spark):
+    """doc 1 repeats 'a b c' internally; doc 2 shares it. With span=3:
+    both of doc 1's occurrences and doc 2's one are flagged with
+    n_occurrences=3; unique windows never appear."""
+    from graph_db_clustering_spark.operators import traindata as td
+
+    rows = [
+        (1, "a b c x y a b c"),
+        (2, "q a b c r"),
+        (3, "totally unique words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = td.duplicate_spans(df, "doc_id", "text", span=3).collect()
+    flagged = sorted((r.doc_id, r.pos, r.n_occurrences) for r in got)
+    assert flagged == [(1, 0, 3), (1, 5, 3), (2, 1, 3)]
+    assert len({r.gram_md5 for r in got}) == 1
+
+
+def test_normalize_unicode_forms(spark):
+    from graph_db_clustering_spark.operators import text as text_ops
+
+    rows = [(1, "café ﬁne")]  # decomposed e-acute + fi ligature
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = text_ops.normalize_unicode(df, "doc_id", "text", "NFC").first().text
+    assert nfc == "café ﬁne"  # composed; ligature kept
+    nfkc = text_ops.normalize_unicode(df, "doc_id", "text", "NFKC").first().text
+    assert nfkc == "café fine"  # compatibility: ligature expands
+    with pytest.raises(ValueError, match="normalization form"):
+        text_ops.normalize_unicode(df, "doc_id", "text", "NFX")
