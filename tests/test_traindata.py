@@ -5,6 +5,8 @@ truth."""
 
 import random
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
