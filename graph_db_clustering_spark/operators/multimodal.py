@@ -88,6 +88,16 @@ def _decode_one(content: bytes, height: int, width: int, channels: int, fmt: str
         from graph_db_clustering_spark.functions import gif
 
         return gif.decode(content)
+    if content[:2] == b"BM":
+        # BMP: header + the same BI_RGB DIB rows the AVI path decodes
+        from graph_db_clustering_spark.functions import simple_images
+
+        return simple_images.decode_bmp(content)
+    if content[:2] in (b"P5", b"P6"):
+        # binary Netpbm (PGM/PPM): header + raw samples
+        from graph_db_clustering_spark.functions import simple_images
+
+        return simple_images.decode_pnm(content)
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         # AVI (MJPEG / BI_RGB): first frame, like the GIF still path
         from graph_db_clustering_spark.functions import avi
@@ -99,7 +109,7 @@ def _decode_one(content: bytes, height: int, width: int, channels: int, fmt: str
     raise NotImplementedError(
         f"decoding format={fmt!r} needs cv2 or PIL (not installed); "
         "use format='raw' (height*width*channels uint8 bytes), JPEG, PNG, "
-        "GIF, or AVI (MJPEG/BI_RGB first frame)"
+        "GIF, BMP, PGM/PPM, or AVI (MJPEG/BI_RGB first frame)"
     )
 
 
