@@ -638,3 +638,32 @@ def duplicate_spans(
     return pos_grams.join(dup, "gram_md5").select(
         F.col("id").alias(id_col), "pos", "gram_md5", "n_occurrences"
     )
+
+
+def temperature_weights(
+    counts: dict[str, int], alpha: float = 0.7
+) -> dict[str, float]:
+    """Temperature-scaled domain weights (the multilingual-sampling rule
+    of mBERT/XLM-R, alpha in (0, 1]): w_d proportional to p_d^alpha with
+    p_d = n_d / N. alpha=1 keeps natural proportions; alpha -> 0
+    flattens toward uniform — low-resource domains are upweighted
+    RELATIVELY, never upsampled absolutely (domain_mix only ever
+    downsamples). Pure arithmetic on the tiny per-domain count dict;
+    compose as domain_mix(df, id, dom, temperature_weights(counts))."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("temperature_weights needs nonempty counts")
+    raw = {d: (n / total) ** alpha for d, n in counts.items() if n > 0}
+    z = sum(raw.values())
+    return {d: w / z for d, w in raw.items()}
+
+
+def domain_counts(df: DataFrame, domain_col: str) -> dict[str, int]:
+    """Per-domain row counts (the tiny aggregate both domain_mix and
+    temperature_weights consume)."""
+    return {
+        r[0]: int(r[1])
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+    }

@@ -508,3 +508,29 @@ def test_normalize_unicode_forms(spark):
     assert nfkc == "café fine"  # compatibility: ligature expands
     with pytest.raises(ValueError, match="normalization form"):
         text_ops.normalize_unicode(df, "doc_id", "text", "NFX")
+
+
+def test_temperature_weights_math_and_composition(spark):
+    from graph_db_clustering_spark.operators import traindata as td
+
+    counts = {"web": 8000, "code": 1600, "books": 400}
+    w1 = td.temperature_weights(counts, alpha=1.0)
+    assert abs(w1["web"] - 0.8) < 1e-12  # alpha=1: natural proportions
+    w = td.temperature_weights(counts, alpha=0.5)
+    # flattening: low-resource share rises, high-resource falls
+    assert w["books"] > 0.04 and w["web"] < 0.8
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+    # relative order preserved
+    assert w["web"] > w["code"] > w["books"]
+    with pytest.raises(ValueError, match="alpha"):
+        td.temperature_weights(counts, alpha=0)
+
+    # composes with domain_mix end to end on a real frame
+    rows = [(i, "web" if i % 10 < 8 else ("code" if i % 10 < 9 else "books"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    mixed = td.domain_mix(df, "doc_id", "domain", td.temperature_weights(
+        td.domain_counts(df, "domain"), alpha=0.5))
+    got = {r[0]: r[1] for r in mixed.groupBy("domain").count().collect()}
+    # flattened mix: web no longer ~8x books
+    assert got["web"] / max(got["books"], 1) < 5
