@@ -1057,3 +1057,100 @@ def synthetic_avis_from_documents(
         ]
     )
     return narrow.mapInPandas(assemble, out_schema)
+
+
+# MPEG-1 Layer III frame-header tables (ISO 11172-3)
+_MP3_BITRATES_V1L3 = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320
+)
+_MP3_RATES_V1 = (44100, 48000, 32000)
+
+
+def _probe_one(content: bytes) -> tuple[str, int | None, int | None, float | None]:
+    """-> (container, sample_rate, channels, duration_s_estimate).
+
+    WAV probes exactly (fmt chunk + data length). Compressed containers
+    probe from their headers WITHOUT decoding samples — the decode gate
+    stays, but a pipeline can filter by rate/duration first:
+      MP3  (MPEG-1 Layer III): first frame header's bitrate/rate fields;
+           duration ~= bytes / byterate (CBR assumption, documented).
+      FLAC: STREAMINFO block carries exact rate/channels/total samples.
+      OGG:  Vorbis identification header rate/channels (no duration
+            without walking to the last page; returns None).
+    Unknown magic -> ('unknown', None, None, None)."""
+    import struct as _struct
+
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        rate, x = _decode_wav(content)
+        return "wav", int(rate), 1, len(x) / rate if rate else None
+    if content[:4] == b"fLaC":
+        # STREAMINFO: first metadata block, fixed 34-byte body
+        body = content[8:42]
+        rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+        channels = ((body[12] >> 1) & 0x07) + 1
+        total = ((body[12] & 1) << 32) | _struct.unpack(">I", body[13:17])[0]
+        return "flac", rate, channels, (total / rate) if rate else None
+    if content[:4] == b"OggS":
+        i = content.find(b"\x01vorbis")
+        if i >= 0 and i + 16 <= len(content):
+            channels = content[i + 11]
+            (rate,) = _struct.unpack("<I", content[i + 12 : i + 16])
+            return "ogg", rate, channels, None
+        return "ogg", None, None, None
+    # MP3: optional ID3v2 tag, then the first 0xFFE-synced frame
+    pos = 0
+    if content[:3] == b"ID3":
+        size = (
+            (content[6] & 0x7F) << 21 | (content[7] & 0x7F) << 14
+            | (content[8] & 0x7F) << 7 | (content[9] & 0x7F)
+        )
+        pos = 10 + size
+    for i in range(pos, min(len(content) - 4, pos + 4096)):
+        b0, b1, b2, _ = content[i : i + 4]
+        if b0 == 0xFF and (b1 & 0xE0) == 0xE0:
+            version = (b1 >> 3) & 0x03
+            layer = (b1 >> 1) & 0x03
+            if version != 3 or layer != 1:  # MPEG-1 Layer III only
+                continue
+            br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 0x03
+            if br_idx in (0, 15) or sr_idx == 3:
+                continue
+            bitrate = _MP3_BITRATES_V1L3[br_idx] * 1000
+            rate = _MP3_RATES_V1[sr_idx]
+            channels = 1 if ((content[i + 3] >> 6) & 0x03) == 3 else 2
+            dur = (len(content) - i) * 8.0 / bitrate
+            return "mp3", rate, channels, dur
+    return "unknown", None, None, None
+
+
+def audio_probe(
+    df: DataFrame, id_col: str = "audio_id", content_col: str = "content"
+) -> DataFrame:
+    """Container/rate/channels/duration metadata for an audio binary
+    column -> (id, container, sample_rate, channels, duration_s). One
+    Arrow-batched pass; bytes never leave the executors. This is the
+    filter-before-decode step of an audio pipeline: WAV probes exactly,
+    MP3/FLAC/OGG probe their headers while full sample decode keeps the
+    entropy-codec gate."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("container", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                c, r, ch, d = _probe_one(bytes(content))
+                rows.append((int(rid), c, r, ch, d))
+            yield pd.DataFrame(
+                rows, columns=["id", "container", "sample_rate", "channels", "duration_s"]
+            )
+
+    narrow = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    return narrow.mapInPandas(probe, out_schema)

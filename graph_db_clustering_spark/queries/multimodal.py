@@ -141,3 +141,32 @@ def frame_sample_avi(spark, sf_dir):
     return sampled.select(
         "id", "frame_index", F.length("frame").alias("png_bytes")
     )
+
+
+@declared(
+    "audio_probe",
+    "SELECT doc_id AS audio_id, 'wav' AS container, "
+    "CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, "
+    "CAST(0.128 AS DOUBLE) AS duration_s "
+    "FROM documents WHERE doc_id % 10 = 0 ORDER BY audio_id",
+)
+def audio_probe(spark, sf_dir):
+    """Audio metadata probe (operators/multimodal.audio_probe) over the
+    deterministic WAV fixture: container/rate/channels probe from real
+    RIFF bytes, duration from the decoded sample count — all in closed
+    form (8000 Hz, mono, 1024 samples -> 0.128 s). MP3/FLAC/OGG header
+    probing is pinned by hand-built-header unit tests; sample decode for
+    those keeps the entropy-codec gate."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    audio = multimodal.synthetic_audio_from_documents(docs, "doc_id")
+    return (
+        multimodal.audio_probe(audio)
+        .select(
+            F.col("id").alias("audio_id"),
+            "container",
+            "sample_rate",
+            "channels",
+            F.round("duration_s", 6).alias("duration_s"),
+        )
+        .orderBy("audio_id")
+    )

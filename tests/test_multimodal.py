@@ -518,3 +518,67 @@ def test_audio_features_over_adpcm_wav(spark):
     assert row["sample_rate"] == 8000.0
     assert abs(row["spectral_centroid_hz"] - 500.0) < 25.0
     assert abs(row["rms"] - 0.5 / np.sqrt(2)) < 0.01
+
+
+def _mp3_frame(bitrate_idx=9, sr_idx=0, mono=False, n_bytes=4000):
+    """A synthetic MPEG-1 Layer III header + filler (128kbps, 44100)."""
+    b1 = 0xFB  # MPEG-1 (11), Layer III (01), no CRC
+    b2 = (bitrate_idx << 4) | (sr_idx << 2)
+    b3 = 0xC0 if mono else 0x00
+    return bytes([0xFF, b1, b2, b3]) + b"\x00" * n_bytes
+
+
+def test_audio_probe_wav_exact(spark):
+    from graph_db_clustering_spark.operators import multimodal as M
+
+    x = _sine(rate=8000, n=4000)
+    df = spark.createDataFrame(
+        [(1, bytearray(M._encode_wav(8000, x)))], "audio_id long, content binary"
+    )
+    r = M.audio_probe(df).collect()[0]
+    assert (r.container, r.sample_rate, r.channels) == ("wav", 8000, 1)
+    assert abs(r.duration_s - 0.5) < 1e-9
+
+
+def test_audio_probe_mp3_header():
+    from graph_db_clustering_spark.operators import multimodal as M
+
+    c, rate, ch, dur = M._probe_one(_mp3_frame())
+    assert (c, rate, ch) == ("mp3", 44100, 2)
+    # 4004 bytes at 128 kbps ~= 0.25 s
+    assert abs(dur - 4004 * 8 / 128000) < 1e-9
+    c, rate, ch, _ = M._probe_one(_mp3_frame(sr_idx=1, mono=True))
+    assert (c, rate, ch) == ("mp3", 48000, 1)
+    # ID3v2 tag before the first frame (syncsafe size 100)
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x64" + b"\x00" * 100 + _mp3_frame()
+    assert M._probe_one(tagged)[0] == "mp3"
+
+
+def test_audio_probe_flac_streaminfo():
+    import struct
+
+    from graph_db_clustering_spark.operators import multimodal as M
+
+    # STREAMINFO body: rate=44100 (20 bits), channels=2, total=44100*3
+    body = bytearray(34)
+    rate, channels, total = 44100, 2, 44100 * 3
+    body[10] = (rate >> 12) & 0xFF
+    body[11] = (rate >> 4) & 0xFF
+    body[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((total >> 32) & 1)
+    body[13:17] = struct.pack(">I", total & 0xFFFFFFFF)
+    data = b"fLaC" + b"\x00\x00\x00\x22" + bytes(body)
+    c, r, ch, dur = M._probe_one(data)
+    assert (c, r, ch) == ("flac", 44100, 2)
+    assert abs(dur - 3.0) < 1e-9
+
+
+def test_audio_probe_ogg_and_unknown():
+    import struct
+
+    from graph_db_clustering_spark.operators import multimodal as M
+
+    ogg = b"OggS" + b"\x00" * 24 + b"\x01vorbis" + b"\x00" * 4 + bytes([2]) \
+        + struct.pack("<I", 22050) + b"\x00" * 16
+    c, r, ch, dur = M._probe_one(ogg)
+    assert (c, r, ch, dur) == ("ogg", 22050, 2, None)
+    assert M._probe_one(b"\x00" * 64)[0] == "unknown"
