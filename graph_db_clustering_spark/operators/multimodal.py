@@ -1154,3 +1154,78 @@ def audio_probe(
 
     narrow = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
     return narrow.mapInPandas(probe, out_schema)
+
+
+def _image_probe_one(content: bytes) -> tuple[str, int | None, int | None]:
+    """-> (container, width, height) from headers only — no pixel decode.
+    JPEG walks markers to the first SOFn; PNG reads IHDR; GIF the
+    logical-screen descriptor; BMP the info header; binary PNM the
+    header fields; AVI the vids BITMAPINFOHEADER."""
+    import struct as _struct
+
+    if content[:2] == b"\xff\xd8":
+        i, n = 2, len(content)
+        while i + 4 <= n and content[i] == 0xFF:
+            marker = content[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seglen,) = _struct.unpack(">H", content[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = _struct.unpack(">HH", content[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seglen
+        return "jpeg", None, None
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _struct.unpack(">II", content[16:24])
+        return "png", w, h
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _struct.unpack("<HH", content[6:10])
+        return "gif", w, h
+    if content[:2] == b"BM":
+        w, h = _struct.unpack("<ii", content[18:26])
+        return "bmp", w, abs(h)
+    if content[:2] in (b"P5", b"P6"):
+        from graph_db_clustering_spark.functions.simple_images import decode_pnm
+
+        arr = decode_pnm(content)
+        return "pnm", arr.shape[1], arr.shape[0]
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from graph_db_clustering_spark.functions import avi as _avi
+
+        top = (12, 8 + _struct.unpack("<I", content[4:8])[0])
+        hdrl = next(iter(_avi._find_lists(content, *top, b"hdrl")), None)
+        if hdrl:
+            _, w, h, _ = _avi._video_format(content, hdrl)
+            return "avi", w, abs(h)
+        return "avi", None, None
+    return "unknown", None, None
+
+
+def image_probe(
+    df: DataFrame, id_col: str = "image_id", content_col: str = "content"
+) -> DataFrame:
+    """Container + dimensions for an image/video binary column ->
+    (id, container, width, height) from headers only. The
+    filter-before-decode step: dedupe or bucket 100 TB of images by
+    size/format while reading a few dozen bytes per file, decoding
+    nothing."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("container", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                c, w, h = _image_probe_one(bytes(content))
+                rows.append((int(rid), c, w, h))
+            yield pd.DataFrame(rows, columns=["id", "container", "width", "height"])
+
+    narrow = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    return narrow.mapInPandas(probe, out_schema)

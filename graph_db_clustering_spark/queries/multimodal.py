@@ -170,3 +170,24 @@ def audio_probe(spark, sf_dir):
         )
         .orderBy("audio_id")
     )
+
+
+@declared(
+    "image_probe",
+    "SELECT doc_id AS image_id, 'gif' AS container, "
+    "CAST(8 AS INT) AS width, CAST(8 AS INT) AS height "
+    "FROM documents WHERE doc_id % 20 = 0 ORDER BY image_id",
+)
+def image_probe(spark, sf_dir):
+    """Image metadata probe (operators/multimodal.image_probe): container
+    and dimensions from headers only — here over the deterministic
+    animated-GIF fixture (8x8 logical screen, closed form). JPEG SOF /
+    PNG IHDR / BMP / PNM / AVI probing is pinned by the multi-container
+    unit test."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    vids = multimodal.synthetic_gifs_from_documents(docs, "doc_id", "text")
+    return (
+        multimodal.image_probe(vids, id_col="video_id")
+        .select(F.col("id").alias("image_id"), "container", "width", "height")
+        .orderBy("image_id")
+    )

@@ -73,3 +73,28 @@ def test_dispatch_through_image_features(spark):
     want_bmp = bmp_img.mean(axis=2).astype(np.uint8)
     assert abs(out[1]["mean"] - float(want_bmp.mean())) < 1e-9
     assert abs(out[2]["mean"] - float(pgm_img.mean())) < 1e-9
+
+
+def test_image_probe_all_containers(spark):
+    from graph_db_clustering_spark.functions import gif, png
+    from graph_db_clustering_spark.operators import multimodal as M
+    from tests.test_jpeg import make_gray_jpeg
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    rng = np.random.default_rng(5)
+    cases = {
+        1: (bytearray(make_gray_jpeg([np.zeros((8, 8), np.int32)] * 2, w_blocks=2)),
+            ("jpeg", 16, 8)),
+        2: (bytearray(png.encode(rng.integers(0, 256, (3, 5, 3), dtype=np.uint8))),
+            ("png", 5, 3)),
+        3: (bytearray(gif.encode([np.zeros((4, 6), np.uint8)], pal)), ("gif", 6, 4)),
+        4: (bytearray(make_bmp(rng.integers(0, 256, (2, 7, 3), dtype=np.uint8))),
+            ("bmp", 7, 2)),
+        5: (bytearray(b"P6 9 2 255\n" + bytes(9 * 2 * 3)), ("pnm", 9, 2)),
+        6: (bytearray(b"\x00" * 20), ("unknown", None, None)),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "image_id long, content binary"
+    )
+    got = {r.id: (r.container, r.width, r.height) for r in M.image_probe(df).collect()}
+    assert got == {k: v[1] for k, v in cases.items()}
