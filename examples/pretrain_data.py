@@ -7,10 +7,13 @@ counts ever reaching the driver.
       -> clean_corpus       dedup + quality >= 0.5 + language filter
                             (one scan, one shuffle; operators/text)
       -> repetition filter  Gopher duplicated-3-gram rule (codegen only)
+      -> gopher_rule_flags  the full Rae et al. A1.1 rule set (codegen)
       -> decontaminate      drop docs sharing 5-grams with the held-out
-                            eval split (broadcast eval n-gram set)
-      -> domain_mix         downsample to a target source mixture
-                            (deterministic id-hash; operators/traindata)
+                            eval split — Bloom pre-filter (fixed 1 MiB
+                            bitmap, zero joins) then the exact broadcast
+                            check on the flagged survivors only
+      -> domain_mix         downsample to a TEMPERATURE-scaled source
+                            mixture (p^alpha; deterministic id-hash)
       -> take_token_budget  reproducible "train on N tokens" cut
                             (deterministic-shuffle order prefix sum)
       -> pack_sequences     concat-and-chunk into fixed token budgets
@@ -34,6 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from graph_db_clustering_spark.operators import traindata  # noqa: E402
 from graph_db_clustering_spark.operators.text import (  # noqa: E402
     clean_corpus,
+    gopher_rule_flags,
     repetition_stats,
 )
 from graph_db_clustering_spark.operators.traindata import FIB_HASH  # noqa: E402
@@ -59,19 +63,35 @@ def main(sf_dir: str, budget: int = 512) -> None:
     cleaned = cleaned.join(
         reps.filter(F.col("dup_ngram_ratio") <= 0.6).select("doc_id"), "doc_id"
     )
+    # 2b. the full Gopher rule set (word-salad corpus: keep docs failing
+    #     at most the stopword rule, demonstrating per-rule composition)
+    g = gopher_rule_flags(cleaned, "doc_id", "text")
+    ok = g.filter(
+        ~(F.col("g_wc") | F.col("g_mwl") | F.col("g_symbol") | F.col("g_alpha")
+          | F.col("g_bullet") | F.col("g_ellipsis"))
+    ).select("doc_id")
+    cleaned = cleaned.join(ok, "doc_id", "leftsemi")
     n2 = cleaned.count()
 
-    # 3. decontaminate against the deterministic 20% eval split
+    # 3. decontaminate against the deterministic 20% eval split: the
+    #    Bloom bitmap flags candidates with zero joins, then the exact
+    #    broadcast check runs over the (tiny) flagged subset only
     h = (F.col("doc_id") * FIB_HASH) % 100
     train, ev = cleaned.filter(h < 80), cleaned.filter(h >= 80)
-    dirty = traindata.decontaminate(train, ev, "doc_id", "text", n=5)
+    bloom, m_bits, k = traindata.build_bloom(ev, "text", n=5)
+    flagged = traindata.bloom_decontaminate(
+        train, bloom, m_bits, k, "doc_id", "text", n=5
+    )
+    suspects = train.join(flagged.select("doc_id"), "doc_id", "leftsemi")
+    dirty = traindata.decontaminate(suspects, ev, "doc_id", "text", n=5)
     train = train.join(dirty.select("doc_id"), "doc_id", "left_anti")
     n3 = train.count()
 
-    # 4. re-weight sources to an 40/30/20/10 mix of src0-src3
-    mixed = traindata.domain_mix(
-        train, "doc_id", "source", {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    # 4. re-weight sources: temperature-flattened natural proportions
+    weights = traindata.temperature_weights(
+        traindata.domain_counts(train, "source"), alpha=0.6
     )
+    mixed = traindata.domain_mix(train, "doc_id", "source", weights)
     n4 = mixed.count()
 
     # 5. cut to a total token budget, reproducibly (round 6): docs taken
