@@ -430,3 +430,73 @@ def coreness(graph: Graph, max_iter: int = 100) -> DataFrame:
             "raise max_iter"
         )
     return est.select(VERTEX_ID, F.col("est").alias("coreness"))
+
+
+def weighted_shortest_paths(
+    graph: Graph,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_iter: int = 50,
+    directed: bool = False,
+) -> DataFrame:
+    """Single/multi-source WEIGHTED shortest paths (non-negative weights)
+    by Pregel-style Bellman-Ford relaxation: sources start at 0.0, every
+    round each vertex takes min(own, min over in-edges of nbr + w);
+    fixpoint <= |V|-1 rounds, usually O(shortest-path hop depth).
+    Returns (id, dist) with NULL for unreachable vertices — the weighted
+    analog of shortest_paths (hop BFS). Negative weights raise: with the
+    min-relaxation they would silently converge to wrong (or cycle
+    forever), and Bellman-Ford's negative-cycle detection has no
+    use case in the similarity/cost graphs this engine builds."""
+    w = F.col(weight_col)
+    neg = graph.edges.filter(w < 0).limit(1).count()
+    if neg:
+        raise ValueError("weighted_shortest_paths requires non-negative weights")
+    fwd = graph.edges.select(
+        F.col(EDGE_SRC).alias("a"), F.col(EDGE_DST).alias("b"), w.alias("w")
+    )
+    edges = (
+        fwd
+        if directed
+        else fwd.unionAll(
+            fwd.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+    ).cache()
+    src = sources.select(VERTEX_ID).distinct().withColumn(
+        "dist", F.lit(0.0)
+    )
+    state = (
+        graph.vertices.select(VERTEX_ID)
+        .join(src, VERTEX_ID, "left")
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        reached = state.filter(F.col("dist").isNotNull())
+        msgs = (
+            edges.join(reached, edges["a"] == reached[VERTEX_ID])
+            .select(F.col("b").alias(VERTEX_ID), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy(VERTEX_ID)
+            .agg(F.min("nd").alias("nd"))
+        )
+        new_state = (
+            state.join(msgs, VERTEX_ID, "left")
+            .select(
+                VERTEX_ID,
+                F.least(
+                    F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), VERTEX_ID)
+            .filter(~F.col("n.dist").eqNullSafe(F.col("o.dist")))
+            .limit(1)
+            .count()
+        )
+        state = new_state
+        if not changed:
+            break
+    edges.unpersist()
+    return state

@@ -777,3 +777,44 @@ def graph_coreness(spark, sf_dir):
     from graph_db_clustering_spark.operators.graph_algos import coreness
 
     return coreness(g).orderBy("id")
+
+
+@declared(
+    "graph_weighted_paths",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+          WHERE c_custkey < {_CAP})
+SELECT id, CAST(COALESCE(SUM((id % 5) + 1) OVER (PARTITION BY nation
+    ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    AS DOUBLE) AS dist
+FROM v ORDER BY id""",
+)
+def graph_weighted_paths(spark, sf_dir):
+    """Weighted SSSP (graph_algos.weighted_shortest_paths, Bellman-Ford
+    relaxation) on per-nation CHAINS: members link consecutively with
+    edge weight (src%5)+1, sources are each nation's minimum id. The
+    oracle knows the closed form — distance along a chain is the
+    windowed cumulative weight sum; the Spark side genuinely relaxes
+    ~chain-length rounds to the fixpoint."""
+    from pyspark.sql import Window as W
+
+    from graph_db_clustering_spark.operators.graph_algos import (
+        weighted_shortest_paths,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nation"))
+    )
+    w = W.partitionBy("nation").orderBy("id")
+    chain = c.select(
+        F.col("id").alias("src"),
+        F.lead("id").over(w).alias("dst"),
+        ((F.col("id") % 5) + 1).cast("double").alias("weight"),
+    ).filter(F.col("dst").isNotNull())
+    sources = c.groupBy("nation").agg(F.min("id").alias("id")).select("id")
+    # weighted_shortest_paths reads src/dst/weight from the edge frame
+    g = Graph(c.select("id"), chain)
+    return weighted_shortest_paths(g, sources, max_iter=40).select(
+        "id", F.round("dist", 6).alias("dist")
+    ).orderBy("id")

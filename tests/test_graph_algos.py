@@ -336,3 +336,79 @@ def test_coreness_random_vs_reference_peeling(spark):
             want[v] = k
         k += 1
     assert got == want
+
+
+def _graph_w(spark, n, edge_list):
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(a, b, float(w)) for a, b, w in edge_list],
+        "src long, dst long, weight double",
+    )
+    return Graph(v, e)
+
+
+def test_weighted_sssp_known(spark):
+    """Classic detour case: 0-1 weighs 10, but 0-2-1 weighs 2+3=5 — the
+    weighted path wins where hop-BFS would pick the direct edge."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        weighted_shortest_paths,
+    )
+
+    g = _graph_w(spark, 4, [(0, 1, 10), (0, 2, 2), (2, 1, 3)])
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in weighted_shortest_paths(g, src).collect()}
+    assert got == {0: 0.0, 1: 5.0, 2: 2.0, 3: None}
+
+
+def test_weighted_sssp_random_vs_dijkstra(spark):
+    import heapq
+
+    from graph_db_clustering_spark.operators.graph_algos import (
+        weighted_shortest_paths,
+    )
+
+    rng = np.random.RandomState(17)
+    n = 60
+    edges = [
+        (int(a), int(b), float(w))
+        for (a, b), w in zip(
+            rng.randint(0, n, (200, 2)), rng.uniform(0.5, 5.0, 200)
+        )
+        if a != b
+    ]
+    # driver-side Dijkstra over the same undirected graph
+    adj: dict[int, list] = {i: [] for i in range(n)}
+    for a, b, w in edges:
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    dist = {0: 0.0}
+    pq = [(0.0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v2, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v2, float("inf")):
+                dist[v2] = nd
+                heapq.heappush(pq, (nd, v2))
+
+    g = _graph_w(spark, n, edges)
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in weighted_shortest_paths(g, src).collect()}
+    for i in range(n):
+        if i in dist:
+            assert got[i] == pytest.approx(dist[i], rel=1e-12)
+        else:
+            assert got[i] is None
+
+
+def test_weighted_sssp_rejects_negative(spark):
+    from graph_db_clustering_spark.operators.graph_algos import (
+        weighted_shortest_paths,
+    )
+
+    g = _graph_w(spark, 2, [(0, 1, -1)])
+    src = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_shortest_paths(g, src)
