@@ -1038,3 +1038,52 @@ def unicode_nfc(spark, sf_dir):
     )
     out = text.normalize_unicode(docs, "doc_id", "text", form="NFC")
     return out.select("doc_id", F.md5("text").alias("t_md5")).orderBy("doc_id")
+
+
+@declared(
+    "avro_roundtrip",
+    "SELECT doc_id, lang, md5(text) AS text_md5 FROM documents "
+    "WHERE doc_id % 4 = 0 ORDER BY doc_id",
+)
+def avro_roundtrip(spark, sf_dir):
+    """The Avro source end to end (sources/avro): documents serialize
+    into object-container blobs executor-side (deflate codec, nullable
+    lang union) and decode back through the same Arrow-batched reader
+    files.read_avro falls back to — ground-truth oracle: ids, lang, and
+    text md5 must survive the container byte-exactly."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.sources import avro as pyavro
+
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "text", "type": "string"},
+        ],
+    }
+    fields = pyavro.parse_schema(schema)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    ).select("doc_id", "lang", "text", (F.pmod(F.col("doc_id"), F.lit(8))).alias("shard"))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        rows = [
+            {"doc_id": int(r.doc_id), "lang": r.lang, "text": r.text}
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {"content": [bytearray(pyavro.encode_container(schema, rows))]}
+        )
+
+    blobs = docs.repartition("shard").groupBy("shard").applyInPandas(
+        build, T.StructType([T.StructField("content", T.BinaryType())])
+    )
+    back = pyavro.parse_avro_blobs(blobs, fields)
+    return back.select(
+        "doc_id", "lang", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")

@@ -1,0 +1,290 @@
+"""Pure-Python Avro object-container source (no spark-avro package).
+
+Spark's `format("avro")` lives in an external module absent from this
+environment, so the Avro source was availability-gated. This module
+lifts the gate the same way functions/jpeg lifted the image-codec gap:
+the container format (magic, metadata map with embedded JSON schema,
+deflate/null codec blocks, sync markers) and the binary encoding
+(zigzag varints, IEEE floats, length-prefixed bytes/strings, index-
+prefixed unions) are fully specified and need no native library.
+
+Scope: FLAT RECORD schemas over the primitive types plus nullable
+unions — the tabular case an analytics engine ingests. Nested records,
+arrays, maps, enums, and fixed raise NotImplementedError (clearly
+scoped gate); snappy codec raises (no native snappy here).
+
+Scale shape: identical to sources/warc — the FILE is the unit of
+parallelism (binaryFile + mapInPandas), each task decodes its own
+containers where the bytes were read, and the embedded writer schema is
+parsed per file (so mixed-schema directories fail loudly per file, not
+silently)."""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graph_db_clustering_spark.sources.files import read_binary_dir
+
+_MAGIC = b"Obj\x01"
+
+_PRIMITIVE_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+
+class AvroError(ValueError):
+    pass
+
+
+# --- binary decoding -------------------------------------------------------
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos  # zigzag -> signed
+
+
+def _field_type(t):
+    """Normalize a field's type decl -> ('prim', name) or
+    ('nullable', name) for the ["null", prim] union."""
+    if isinstance(t, str):
+        if t in _PRIMITIVE_SPARK or t == "null":
+            return ("prim", t)
+        raise NotImplementedError(f"avro: named/complex type {t!r} not supported")
+    if isinstance(t, list):
+        non_null = [x for x in t if x != "null"]
+        if len(t) == 2 and "null" in t and len(non_null) == 1 and isinstance(
+            non_null[0], str
+        ) and non_null[0] in _PRIMITIVE_SPARK:
+            return ("nullable", non_null[0])
+        raise NotImplementedError(f"avro: general unions not supported: {t!r}")
+    raise NotImplementedError(
+        f"avro: nested/complex type not supported: {t!r} "
+        "(flat records of primitives only)"
+    )
+
+
+def _decode_value(data: bytes, pos: int, prim: str):
+    if prim == "null":
+        return None, pos
+    if prim == "boolean":
+        return data[pos] != 0, pos + 1
+    if prim in ("int", "long"):
+        return _read_varint(data, pos)
+    if prim == "float":
+        return struct.unpack("<f", data[pos : pos + 4])[0], pos + 4
+    if prim == "double":
+        return struct.unpack("<d", data[pos : pos + 8])[0], pos + 8
+    # bytes / string
+    n, pos = _read_varint(data, pos)
+    raw = data[pos : pos + n]
+    return (raw.decode("utf-8") if prim == "string" else raw), pos + n
+
+
+def parse_schema(schema_json: str | dict) -> list[tuple[str, str, bool]]:
+    """Writer schema -> [(field_name, primitive, nullable)]."""
+    sc = (
+        json.loads(schema_json)
+        if isinstance(schema_json, (str, bytes))
+        else schema_json
+    )
+    if sc.get("type") != "record":
+        raise NotImplementedError("avro: top-level schema must be a record")
+    out = []
+    for f in sc["fields"]:
+        kind, prim = _field_type(f["type"])
+        out.append((f["name"], prim, kind == "nullable"))
+    return out
+
+
+def spark_schema_for(fields: list[tuple[str, str, bool]]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(name, _PRIMITIVE_SPARK[prim], True)
+            for name, prim, _ in fields
+        ]
+    )
+
+
+def decode_container(blob: bytes) -> tuple[list[tuple[str, str, bool]], list[dict]]:
+    """One Avro object-container file -> (fields, row dicts)."""
+    if blob[:4] != _MAGIC:
+        raise AvroError("not an Avro object container (magic missing)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:  # metadata: map<bytes> in blocks
+        count, pos = _read_varint(blob, pos)
+        if count == 0:
+            break
+        if count < 0:  # negative block count: size follows
+            count = -count
+            _, pos = _read_varint(blob, pos)
+        for _ in range(count):
+            klen, pos = _read_varint(blob, pos)
+            key = blob[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = _read_varint(blob, pos)
+            meta[key] = blob[pos : pos + vlen]
+            pos += vlen
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro codec {codec!r} not supported")
+    fields = parse_schema(meta["avro.schema"].decode())
+    sync = blob[pos : pos + 16]
+    pos += 16
+
+    rows: list[dict] = []
+    while pos < len(blob):
+        count, pos = _read_varint(blob, pos)
+        size, pos = _read_varint(blob, pos)
+        block = blob[pos : pos + size]
+        pos += size
+        if blob[pos : pos + 16] != sync:
+            raise AvroError("avro: sync marker mismatch (corrupt block)")
+        pos += 16
+        if codec == "deflate":
+            block = zlib.decompress(block, wbits=-15)
+        bpos = 0
+        for _ in range(count):
+            row = {}
+            for name, prim, nullable in fields:
+                if nullable:
+                    idx, bpos = _read_varint(block, bpos)
+                    if idx == 0:  # ["null", T] convention: index 0 = null
+                        row[name] = None
+                        continue
+                v, bpos = _decode_value(block, bpos, prim)
+                row[name] = v
+            rows.append(row)
+    return fields, rows
+
+
+# --- write side (fixtures / sinks) -----------------------------------------
+
+
+def _write_varint(v: int) -> bytes:
+    acc = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = bytearray()
+    while True:
+        b = acc & 0x7F
+        acc >>= 7
+        if acc:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_value(prim: str, v) -> bytes:
+    if prim == "boolean":
+        return b"\x01" if v else b"\x00"
+    if prim in ("int", "long"):
+        return _write_varint(int(v))
+    if prim == "float":
+        return struct.pack("<f", float(v))
+    if prim == "double":
+        return struct.pack("<d", float(v))
+    raw = v.encode("utf-8") if prim == "string" else bytes(v)
+    return _write_varint(len(raw)) + raw
+
+
+def encode_container(
+    schema: dict, rows: list[dict], codec: str = "deflate", sync: bytes = b"\x07" * 16
+) -> bytes:
+    """Rows -> one Avro object-container blob (fixture builder and the
+    write side of an Avro sink)."""
+    fields = parse_schema(schema)
+    body = bytearray()
+    for row in rows:
+        for name, prim, nullable in fields:
+            v = row.get(name)
+            if nullable:
+                if v is None:
+                    body += _write_varint(0)
+                    continue
+                body += _write_varint(1)
+            elif v is None:
+                raise AvroError(f"null in non-nullable field {name!r}")
+            body += _encode_value(prim, v)
+    block = bytes(body)
+    if codec == "deflate":
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        block = c.compress(block) + c.flush()
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out = bytearray(_MAGIC)
+    out += _write_varint(len(meta))
+    for k, v in meta.items():
+        out += _write_varint(len(k)) + k.encode()
+        out += _write_varint(len(v)) + v
+    out += _write_varint(0)
+    out += sync
+    out += _write_varint(len(rows)) + _write_varint(len(block)) + block + sync
+    return bytes(out)
+
+
+# --- the distributed source ------------------------------------------------
+
+
+def parse_avro_blobs(
+    blobs: DataFrame, fields: list[tuple[str, str, bool]]
+) -> DataFrame:
+    """DataFrame with a `content: binary` column of container blobs ->
+    decoded rows. Every blob must carry the given field layout (enforced
+    per blob inside the task, so mixed-schema inputs fail loudly)."""
+    out_schema = spark_schema_for(fields)
+    names = [f[0] for f in fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            all_rows: list[dict] = []
+            for content in pdf["content"]:
+                f_fields, rows = decode_container(bytes(content))
+                if [x[0] for x in f_fields] != names:
+                    raise AvroError(
+                        f"avro: file schema fields {[x[0] for x in f_fields]} "
+                        f"differ from the expected {names}"
+                    )
+                all_rows.extend(rows)
+            yield pd.DataFrame(all_rows, columns=names)
+
+    return blobs.select("content").mapInPandas(decode, out_schema)
+
+
+def read_avro(
+    spark: SparkSession, path: str, glob: str = "*.avro"
+) -> DataFrame:
+    """Directory of Avro object-container files -> DataFrame. The result
+    schema comes from the FIRST file's embedded writer schema (one tiny
+    driver read); every file then decodes executor-side via
+    parse_avro_blobs."""
+    binaries = read_binary_dir(spark, path, glob=glob)
+    first = binaries.select("content").limit(1).collect()
+    if not first:
+        raise AvroError(f"no avro files match {path}/{glob}")
+    fields, _ = decode_container(bytes(first[0].content))
+    return parse_avro_blobs(binaries, fields)

@@ -127,17 +127,19 @@ def _avro_available(spark: SparkSession) -> bool:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro source — Spark ships the reader as the external spark-avro
-    module, not in the default classpath; this container does not deploy
-    it, so the call is availability-gated with a clear error instead of
-    Spark's generic ClassNotFound (same policy as the image codec gate)."""
-    if not _avro_available(spark):
-        raise NotImplementedError(
-            "avro data source not on the classpath (needs the spark-avro "
-            "package, e.g. --packages org.apache.spark:spark-avro_2.13:<ver>); "
-            "use parquet/orc in this environment"
-        )
-    return spark.read.format("avro").load(path)  # pragma: no cover
+    """Avro source. Prefers Spark's JVM reader when the external
+    spark-avro module is on the classpath (fastest path); in this
+    container it is not deployed, so the call FALLS BACK to the
+    pure-Python object-container reader (sources/avro.read_avro —
+    zigzag/union/deflate decoding in Arrow batches, one task per file).
+    The former NotImplementedError gate is gone: flat-record Avro now
+    reads natively either way; nested schemas keep a scoped gate inside
+    the fallback."""
+    if _avro_available(spark):
+        return spark.read.format("avro").load(path)  # pragma: no cover
+    from graph_db_clustering_spark.sources.avro import read_avro as _py_read
+
+    return _py_read(spark, path)
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:

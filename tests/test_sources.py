@@ -17,16 +17,25 @@ def test_text_source_roundtrip_and_whole_file(spark, tmp_path):
     assert got == ["alpha", "beta", "gamma"]
 
 
-def test_avro_gate_raises_clearly(spark, tmp_path):
+def test_avro_read_falls_back_to_pure_python(spark, tmp_path):
+    """Without the spark-avro module, files.read_avro serves flat-record
+    containers via the pure-Python reader; the WRITE side keeps its
+    classpath gate (we read foreign data, we don't need to emit Avro)."""
     import pytest as _pytest
 
+    from graph_db_clustering_spark.sources import avro as pyavro
     from graph_db_clustering_spark.sources.files import read_avro, write_avro
 
-    df = spark.range(3)
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "a", "type": "long"},
+                         {"name": "b", "type": "string"}]}
+    (tmp_path / "x.avro").write_bytes(
+        pyavro.encode_container(schema, [{"a": 1, "b": "p"}, {"a": 2, "b": "q"}])
+    )
+    got = sorted(tuple(r) for r in read_avro(spark, str(tmp_path)).collect())
+    assert got == [(1, "p"), (2, "q")]
     with _pytest.raises(NotImplementedError, match="spark-avro"):
-        write_avro(df, str(tmp_path / "a"))
-    with _pytest.raises(NotImplementedError, match="spark-avro"):
-        read_avro(spark, str(tmp_path / "a"))
+        write_avro(spark.range(3), str(tmp_path / "out"))
 
 
 def test_xml_source_roundtrip(spark, tmp_path):
