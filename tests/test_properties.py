@@ -135,3 +135,109 @@ def test_png_roundtrip_nonstandard_depths(h, w, depth, seed):
         img = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
         out = png.decode(png.encode(img, bit_depth=depth, filters=2))
     assert np.array_equal(out, img)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_avro_varint_roundtrip_any_int64(v):
+    from graph_db_clustering_spark.sources import avro
+
+    enc = avro._write_varint(v)
+    dec, pos = avro._read_varint(enc, 0)
+    assert (dec, pos) == (v, len(enc))
+    assert len(enc) <= 10  # 64-bit zigzag fits 10 varint bytes
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "id": st.integers(min_value=-(2**62), max_value=2**62),
+                "s": st.text(max_size=40),
+                "d": st.floats(allow_nan=False, allow_infinity=False, width=64),
+                "o": st.one_of(st.none(), st.text(max_size=10)),
+            }
+        ),
+        max_size=8,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+def test_avro_container_roundtrip_property(rows, codec):
+    from graph_db_clustering_spark.sources import avro
+
+    schema = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "o", "type": ["null", "string"]},
+        ],
+    }
+    _, got = avro.decode_container(avro.encode_container(schema, rows, codec=codec))
+    assert got == rows
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "warcinfo", "metadata"]),
+            st.binary(max_size=200),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_warc_framing_roundtrip_property(records):
+    from graph_db_clustering_spark.sources import warc
+
+    blobs = [
+        warc.build_record(t, payload, target_uri=f"https://x/{i}")
+        for i, (t, payload) in enumerate(records)
+    ]
+    # plain concatenation AND member-per-record gzip must both re-frame
+    plain = list(warc._records_in(b"".join(blobs)))
+    via_gzip = [
+        rec
+        for member in warc._gzip_members(
+            b"".join(warc.gzip_member(b) for b in blobs)
+        )
+        for rec in warc._records_in(member)
+    ]
+    for parsed in (plain, via_gzip):
+        assert len(parsed) == len(records)
+        for (h, block), (t, payload) in zip(parsed, records):
+            assert h["warc-type"] == t
+            assert block == payload
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=500),
+        max_size=30,
+    ).flatmap(
+        lambda w: st.lists(st.just(w) | st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=500),
+            min_size=1, max_size=12), min_size=1, max_size=25)
+    )
+)
+def test_bpe_word_merges_are_lossless_property(words):
+    """Any trained merge table applied to any word concatenates back to
+    the word — the per-word invariant under the entry's md5 oracle."""
+    from collections import Counter
+
+    from graph_db_clustering_spark.operators.text import _bpe_word
+
+    # train a tiny rank table from the words themselves (pair counts)
+    pairs = Counter()
+    for w in words:
+        syms = list(w)
+        for a, b in zip(syms, syms[1:]):
+            pairs[(a, b)] += 1
+    ranks = {p: i for i, (p, _) in enumerate(pairs.most_common(20))}
+    for w in words:
+        assert "".join(_bpe_word(w, ranks)) == w
