@@ -32,13 +32,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return _decode_dib(data[pixel_off:], w, h)
 
 
-def decode_pnm(data: bytes) -> np.ndarray:
-    """Binary Netpbm: P5 (PGM, HxW uint8/uint16 gray) or P6 (PPM, HxWx3).
-    Handles comment lines and maxval up to 65535 (big-endian 16-bit per
-    the spec)."""
+def pnm_header(data: bytes) -> tuple[int, int, int, int]:
+    """Parse just the P5/P6 header -> (width, height, maxval, raster
+    offset) — the metadata-probe path reads no raster bytes."""
     if data[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PGM/PPM (P5/P6 magic missing)")
-    channels = 1 if data[:2] == b"P5" else 3
     # header tokens: magic, width, height, maxval — whitespace separated,
     # '#' comments run to end of line
     pos = 2
@@ -57,6 +55,15 @@ def decode_pnm(data: bytes) -> np.ndarray:
     w, h, maxval = fields
     if not 0 < maxval < 65536:
         raise ValueError(f"PNM maxval {maxval} out of range")
+    return w, h, maxval, pos
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Binary Netpbm: P5 (PGM, HxW uint8/uint16 gray) or P6 (PPM, HxWx3).
+    Handles comment lines and maxval up to 65535 (big-endian 16-bit per
+    the spec)."""
+    channels = 1 if data[:2] == b"P5" else 3
+    w, h, maxval, pos = pnm_header(data)
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
     need = w * h * channels
     raster = np.frombuffer(data, dtype=dtype, count=need, offset=pos)

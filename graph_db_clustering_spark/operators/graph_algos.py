@@ -470,6 +470,7 @@ def weighted_shortest_paths(
         .join(src, VERTEX_ID, "left")
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         reached = state.filter(F.col("dist").isNotNull())
         msgs = (
@@ -497,6 +498,16 @@ def weighted_shortest_paths(
         )
         state = new_state
         if not changed:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # unconverged relaxation is not "unreachable" — distances beyond
+        # max_iter hops would silently read as NULL/too-large (the
+        # coreness/k_core discipline: never return wrong results quietly)
+        raise RuntimeError(
+            f"weighted_shortest_paths did not converge in {max_iter} "
+            "relaxation rounds; raise max_iter (rounds ~ shortest-path "
+            "hop depth)"
+        )
     return state

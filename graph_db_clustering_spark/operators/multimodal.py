@@ -1059,6 +1059,47 @@ def synthetic_avis_from_documents(
     return narrow.mapInPandas(assemble, out_schema)
 
 
+def _wav_meta(content: bytes):
+    """RIFF/WAVE header walk -> (rate, channels, n_samples per channel)
+    WITHOUT decoding any sample: fmt gives rate/channels/block size,
+    the data chunk LENGTH gives the sample count (PCM/float), and
+    compressed formats use the fact chunk (falling back to a
+    block-geometry estimate for IMA ADPCM)."""
+    import struct as _struct
+
+    pos, n = 12, len(content)
+    fmt = None
+    data_len = None
+    fact = None
+    while pos + 8 <= n:
+        cid = content[pos : pos + 4]
+        (clen,) = _struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = _struct.unpack("<HHI", body[:8])
+            block_align = _struct.unpack("<H", body[12:14])[0]
+            bits = _struct.unpack("<H", body[14:16])[0]
+            fmt = (audio_fmt, channels, rate, bits, block_align)
+        elif cid == b"fact":
+            fact = _struct.unpack("<I", body[:4])[0]
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)
+    if fmt is None:
+        return None, None, None
+    audio_fmt, channels, rate, bits, block_align = fmt
+    n_samples = None
+    if data_len is not None:
+        if audio_fmt in (1, 3) and bits and channels:
+            n_samples = data_len // (channels * (bits // 8))
+        elif fact is not None:
+            n_samples = fact
+        elif audio_fmt == 17 and block_align and channels:
+            per_block = (block_align - 4 * channels) * 2 // channels + 1
+            n_samples = (data_len // block_align) * per_block
+    return rate, channels, n_samples
+
+
 # MPEG-1 Layer III frame-header tables (ISO 11172-3)
 _MP3_BITRATES_V1L3 = (
     0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320
@@ -1069,7 +1110,8 @@ _MP3_RATES_V1 = (44100, 48000, 32000)
 def _probe_one(content: bytes) -> tuple[str, int | None, int | None, float | None]:
     """-> (container, sample_rate, channels, duration_s_estimate).
 
-    WAV probes exactly (fmt chunk + data length). Compressed containers
+    WAV probes exactly from its HEADERS (fmt chunk + data-chunk length +
+    fact chunk — no sample decode, true channel count). Compressed containers
     probe from their headers WITHOUT decoding samples — the decode gate
     stays, but a pipeline can filter by rate/duration first:
       MP3  (MPEG-1 Layer III): first frame header's bitrate/rate fields;
@@ -1081,14 +1123,21 @@ def _probe_one(content: bytes) -> tuple[str, int | None, int | None, float | Non
     import struct as _struct
 
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        rate, x = _decode_wav(content)
-        return "wav", int(rate), 1, len(x) / rate if rate else None
+        rate, channels, n_samples = _wav_meta(content)
+        return (
+            "wav",
+            int(rate) if rate else None,
+            int(channels) if channels else None,
+            (n_samples / rate) if rate and n_samples is not None else None,
+        )
     if content[:4] == b"fLaC":
-        # STREAMINFO: first metadata block, fixed 34-byte body
+        # STREAMINFO: first metadata block, fixed 34-byte body. Layout
+        # after the min/max block/frame sizes (10 bytes): rate 20 bits,
+        # channels-1 3 bits, bps-1 5 bits, total samples 36 bits.
         body = content[8:42]
         rate = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
         channels = ((body[12] >> 1) & 0x07) + 1
-        total = ((body[12] & 1) << 32) | _struct.unpack(">I", body[13:17])[0]
+        total = ((body[13] & 0x0F) << 32) | _struct.unpack(">I", body[14:18])[0]
         return "flac", rate, channels, (total / rate) if rate else None
     if content[:4] == b"OggS":
         i = content.find(b"\x01vorbis")
@@ -1186,10 +1235,10 @@ def _image_probe_one(content: bytes) -> tuple[str, int | None, int | None]:
         w, h = _struct.unpack("<ii", content[18:26])
         return "bmp", w, abs(h)
     if content[:2] in (b"P5", b"P6"):
-        from graph_db_clustering_spark.functions.simple_images import decode_pnm
+        from graph_db_clustering_spark.functions.simple_images import pnm_header
 
-        arr = decode_pnm(content)
-        return "pnm", arr.shape[1], arr.shape[0]
+        w, h, _maxval, _pos = pnm_header(content)
+        return "pnm", w, h
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         from graph_db_clustering_spark.functions import avi as _avi
 

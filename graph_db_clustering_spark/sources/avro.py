@@ -67,18 +67,21 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
 
 
 def _field_type(t):
-    """Normalize a field's type decl -> ('prim', name) or
-    ('nullable', name) for the ["null", prim] union."""
+    """Normalize a field's type decl -> (primitive_name, null_index):
+    null_index is None for a bare primitive, else the union BRANCH INDEX
+    of "null" (["null", T] -> 0, [T, "null"] -> 1 — both legal Avro, and
+    the branch index is what the wire encoding carries, so the order
+    must be honored, not assumed)."""
     if isinstance(t, str):
         if t in _PRIMITIVE_SPARK or t == "null":
-            return ("prim", t)
+            return (t, None)
         raise NotImplementedError(f"avro: named/complex type {t!r} not supported")
     if isinstance(t, list):
         non_null = [x for x in t if x != "null"]
         if len(t) == 2 and "null" in t and len(non_null) == 1 and isinstance(
             non_null[0], str
         ) and non_null[0] in _PRIMITIVE_SPARK:
-            return ("nullable", non_null[0])
+            return (non_null[0], t.index("null"))
         raise NotImplementedError(f"avro: general unions not supported: {t!r}")
     raise NotImplementedError(
         f"avro: nested/complex type not supported: {t!r} "
@@ -103,8 +106,8 @@ def _decode_value(data: bytes, pos: int, prim: str):
     return (raw.decode("utf-8") if prim == "string" else raw), pos + n
 
 
-def parse_schema(schema_json: str | dict) -> list[tuple[str, str, bool]]:
-    """Writer schema -> [(field_name, primitive, nullable)]."""
+def parse_schema(schema_json: str | dict) -> list[tuple[str, str, int | None]]:
+    """Writer schema -> [(field_name, primitive, null_branch_index)]."""
     sc = (
         json.loads(schema_json)
         if isinstance(schema_json, (str, bytes))
@@ -114,12 +117,12 @@ def parse_schema(schema_json: str | dict) -> list[tuple[str, str, bool]]:
         raise NotImplementedError("avro: top-level schema must be a record")
     out = []
     for f in sc["fields"]:
-        kind, prim = _field_type(f["type"])
-        out.append((f["name"], prim, kind == "nullable"))
+        prim, null_idx = _field_type(f["type"])
+        out.append((f["name"], prim, null_idx))
     return out
 
 
-def spark_schema_for(fields: list[tuple[str, str, bool]]) -> T.StructType:
+def spark_schema_for(fields: list[tuple[str, str, int | None]]) -> T.StructType:
     return T.StructType(
         [
             T.StructField(name, _PRIMITIVE_SPARK[prim], True)
@@ -128,8 +131,10 @@ def spark_schema_for(fields: list[tuple[str, str, bool]]) -> T.StructType:
     )
 
 
-def decode_container(blob: bytes) -> tuple[list[tuple[str, str, bool]], list[dict]]:
-    """One Avro object-container file -> (fields, row dicts)."""
+def read_header(blob: bytes):
+    """Container header only -> (fields, codec, sync, position after the
+    sync marker). Needs just the first few KB of the file — the schema
+    probe never decodes a row."""
     if blob[:4] != _MAGIC:
         raise AvroError("not an Avro object container (magic missing)")
     pos = 4
@@ -153,7 +158,14 @@ def decode_container(blob: bytes) -> tuple[list[tuple[str, str, bool]], list[dic
         raise NotImplementedError(f"avro codec {codec!r} not supported")
     fields = parse_schema(meta["avro.schema"].decode())
     sync = blob[pos : pos + 16]
-    pos += 16
+    return fields, codec, sync, pos + 16
+
+
+def decode_container(
+    blob: bytes,
+) -> tuple[list[tuple[str, str, int | None]], list[dict]]:
+    """One Avro object-container file -> (fields, row dicts)."""
+    fields, codec, sync, pos = read_header(blob)
 
     rows: list[dict] = []
     while pos < len(blob):
@@ -169,10 +181,10 @@ def decode_container(blob: bytes) -> tuple[list[tuple[str, str, bool]], list[dic
         bpos = 0
         for _ in range(count):
             row = {}
-            for name, prim, nullable in fields:
-                if nullable:
+            for name, prim, null_idx in fields:
+                if null_idx is not None:
                     idx, bpos = _read_varint(block, bpos)
-                    if idx == 0:  # ["null", T] convention: index 0 = null
+                    if idx == null_idx:
                         row[name] = None
                         continue
                 v, bpos = _decode_value(block, bpos, prim)
@@ -218,13 +230,13 @@ def encode_container(
     fields = parse_schema(schema)
     body = bytearray()
     for row in rows:
-        for name, prim, nullable in fields:
+        for name, prim, null_idx in fields:
             v = row.get(name)
-            if nullable:
+            if null_idx is not None:
                 if v is None:
-                    body += _write_varint(0)
+                    body += _write_varint(null_idx)
                     continue
-                body += _write_varint(1)
+                body += _write_varint(1 - null_idx)
             elif v is None:
                 raise AvroError(f"null in non-nullable field {name!r}")
             body += _encode_value(prim, v)
@@ -259,6 +271,11 @@ def parse_avro_blobs(
     out_schema = spark_schema_for(fields)
     names = [f[0] for f in fields]
 
+    # nullable integer columns must NOT fall to float64 (a null beside a
+    # value > 2^53 would silently round it) — build columns explicitly
+    # with pandas nullable dtypes
+    _PD_DTYPES = {"long": "Int64", "int": "Int32", "boolean": "boolean"}
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             all_rows: list[dict] = []
@@ -270,7 +287,14 @@ def parse_avro_blobs(
                         f"differ from the expected {names}"
                     )
                 all_rows.extend(rows)
-            yield pd.DataFrame(all_rows, columns=names)
+            cols = {
+                name: pd.array(
+                    [r.get(name) for r in all_rows],
+                    dtype=_PD_DTYPES.get(prim, object),
+                )
+                for name, prim, _ in fields
+            }
+            yield pd.DataFrame(cols, columns=names)
 
     return blobs.select("content").mapInPandas(decode, out_schema)
 
@@ -283,8 +307,18 @@ def read_avro(
     driver read); every file then decodes executor-side via
     parse_avro_blobs."""
     binaries = read_binary_dir(spark, path, glob=glob)
-    first = binaries.select("content").limit(1).collect()
+    first = binaries.select("path").limit(1).collect()
     if not first:
         raise AvroError(f"no avro files match {path}/{glob}")
-    fields, _ = decode_container(bytes(first[0].content))
+    # schema probe: header-only parse of the first file's HEAD — never
+    # ship or row-decode a whole (possibly multi-GB) file on the driver
+    fpath = first[0].path
+    local = fpath[len("file:") :] if fpath.startswith("file:") else None
+    if local:
+        with open(local, "rb") as f:
+            head = f.read(1 << 20)
+        fields, _, _, _ = read_header(head)
+    else:  # non-local FS: fall back to collecting the first file
+        blob = binaries.select("content").limit(1).collect()[0].content
+        fields, _, _, _ = read_header(bytes(blob))
     return parse_avro_blobs(binaries, fields)

@@ -96,3 +96,36 @@ def test_empty_directory_raises(spark, tmp_path):
     (tmp_path / "x.txt").write_text("no avro here")
     with pytest.raises(avro.AvroError, match="no avro files"):
         avro.read_avro(spark, str(tmp_path))
+
+
+def test_null_second_union_honors_branch_order():
+    """[T, "null"] is legal Avro: index 0 is the VALUE branch. Both the
+    encoder and decoder must honor the declared order (review finding:
+    assuming index 0 = null silently corrupts such files)."""
+    schema = {"type": "record", "name": "U",
+              "fields": [{"name": "a", "type": ["string", "null"]},
+                         {"name": "b", "type": "long"}]}
+    rows = [{"a": "x", "b": 1}, {"a": None, "b": 2}]
+    blob = avro.encode_container(schema, rows)
+    fields, got = avro.decode_container(blob)
+    assert fields[0] == ("a", "string", 1)  # null is branch 1
+    assert got == rows
+    # wire check: present value must carry union index 0 (varint 0x00)
+    raw = avro.encode_container(schema, [{"a": "z", "b": 0}], codec="null")
+    assert b"\x00\x02z" in raw  # idx 0, len 1, 'z'
+
+
+def test_nullable_long_preserves_precision_past_2_53(spark, tmp_path):
+    """A null beside a value > 2^53 in a nullable long column must not
+    round-trip through float64 (review finding)."""
+    schema = {"type": "record", "name": "B",
+              "fields": [{"name": "v", "type": ["null", "long"]}]}
+    big = 2**60 + 1
+    (tmp_path / "x.avro").write_bytes(
+        avro.encode_container(schema, [{"v": None}, {"v": big}])
+    )
+    got = sorted(
+        [(r.v,) for r in avro.read_avro(spark, str(tmp_path)).collect()],
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    assert got == [(None,), (big,)]

@@ -540,6 +540,26 @@ def test_audio_probe_wav_exact(spark):
     assert abs(r.duration_s - 0.5) < 1e-9
 
 
+def test_audio_probe_stereo_wav_true_channels():
+    """The probe reads the TRUE channel count from the fmt chunk (no
+    decode, no downmix) and the duration from the data-chunk length."""
+    import struct
+
+    from graph_db_clustering_spark.operators import multimodal as M
+
+    n_frames, rate = 1000, 8000
+    data = b"\x00\x00" * 2 * n_frames  # 16-bit stereo silence
+    fmt_body = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    c, r, ch, dur = M._probe_one(wav)
+    assert (c, r, ch) == ("wav", 8000, 2)
+    assert abs(dur - n_frames / rate) < 1e-12
+
+
 def test_audio_probe_mp3_header():
     from graph_db_clustering_spark.operators import multimodal as M
 
@@ -559,13 +579,15 @@ def test_audio_probe_flac_streaminfo():
 
     from graph_db_clustering_spark.operators import multimodal as M
 
-    # STREAMINFO body: rate=44100 (20 bits), channels=2, total=44100*3
+    # STREAMINFO body per the FLAC spec: rate 20 bits, channels-1 3
+    # bits, bps-1 5 bits (16-bit audio -> 15), total samples 36 bits
     body = bytearray(34)
-    rate, channels, total = 44100, 2, 44100 * 3
+    rate, channels, total, bps = 44100, 2, 44100 * 3, 16
     body[10] = (rate >> 12) & 0xFF
     body[11] = (rate >> 4) & 0xFF
-    body[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((total >> 32) & 1)
-    body[13:17] = struct.pack(">I", total & 0xFFFFFFFF)
+    body[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4)
+    body[13] = (((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    body[14:18] = struct.pack(">I", total & 0xFFFFFFFF)
     data = b"fLaC" + b"\x00\x00\x00\x22" + bytes(body)
     c, r, ch, dur = M._probe_one(data)
     assert (c, r, ch) == ("flac", 44100, 2)
