@@ -67,3 +67,28 @@ def extract_pages_stream(records: DataFrame) -> DataFrame:
         "http_status",
         html_text_expr(F.col("payload").cast("string")).alias("text"),
     )
+
+
+def read_avro_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    fields: list,
+    glob: str = "*.avro",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming analog of sources/avro.read_avro: Avro container files
+    landing in a directory decode incrementally, one task per shard.
+    Streams cannot infer schema, so the writer-field layout (from
+    sources.avro.parse_schema, usually probed once from an existing
+    file) is explicit — exactly the file-stream contract every Spark
+    source has."""
+    from graph_db_clustering_spark.sources.avro import parse_avro_blobs
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_avro_blobs(reader.load(landing_dir), fields)

@@ -328,3 +328,34 @@ def test_url_dedup_is_single_partial_aggregate(spark):
     plan = plan_of(web.url_dedup(df, "id", "url"))
     assert plan.count("Exchange") == 1
     assert "partial_min" in plan or "partial" in plan, plan
+
+
+def test_tfidf_filters_postings_before_counting(spark):
+    """tfidf_scores must join the exploded postings against the
+    broadcast vocabulary BEFORE the tf aggregate — out-of-vocabulary
+    postings die in the join, not after a corpus-wide count."""
+    from graph_db_clustering_spark.operators.text import tfidf_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d e")], "doc_id long, text string"
+    )
+    plan = plan_of(tfidf_scores(docs, "doc_id", "text", vocab_size=2))
+    # the vocabulary side is broadcast into the postings join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_duplicate_spans_aggregates_on_hash_with_partials(spark):
+    """duplicate_spans' occurrence count is a partial->final hash
+    aggregate keyed on the window hash (map-side combine), and at
+    runtime AQE broadcasts the (tiny) repeated-window side so the full
+    posting stream never sort-merge-joins."""
+    from graph_db_clustering_spark.operators.traindata import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = duplicate_spans(docs, "doc_id", "text", span=3)
+    out.collect()  # AQE finalizes the join strategy at runtime
+    plan = plan_of(out)
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -490,3 +490,30 @@ def test_ann_serve_stream_matches_batch(spark, tmp_path, monkeypatch):
     )
     assert got == want
     assert len(got) == 24 * 3
+
+
+def test_avro_stream_matches_batch(spark, tmp_path):
+    """Streaming Avro ingestion: shards replayed one file per trigger
+    decode to exactly the batch read, exactly once."""
+    from graph_db_clustering_spark.sources import avro as pyavro
+    from graph_db_clustering_spark.streaming import crawl
+
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "a", "type": "long"},
+                         {"name": "b", "type": ["null", "string"]}]}
+    landing = tmp_path / "avro_landing"
+    landing.mkdir()
+    for i in range(3):
+        rows = [{"a": i * 10 + j, "b": None if j == 0 else f"s{j}"} for j in range(4)]
+        (landing / f"p{i}.avro").write_bytes(pyavro.encode_container(schema, rows))
+
+    stream = crawl.read_avro_stream(
+        spark, str(landing), pyavro.parse_schema(schema), max_files_per_trigger=1
+    )
+    res = run_available_now(stream, "append", "avro_rows", str(tmp_path))
+    got = sorted((r.a, r.b) for r in res.collect())
+    want = sorted(
+        (r.a, r.b)
+        for r in pyavro.read_avro(spark, str(landing)).collect()
+    )
+    assert got == want and len(got) == 12
