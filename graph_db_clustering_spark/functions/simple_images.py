@@ -1,7 +1,8 @@
 """Minimal still-image containers decoded in pure NumPy: BMP (BI_RGB via
-the same DIB row decoder the AVI path uses) and binary Netpbm (P5 PGM
-grayscale / P6 PPM RGB) — formats CV datasets and scientific pipelines
-ship constantly, each a header plus raw samples."""
+the same DIB row decoder the AVI path uses), binary Netpbm (P5 PGM
+grayscale / P6 PPM RGB), and baseline TIFF (strips; none/deflate/
+PackBits compression, both byte orders, 8/16-bit, WhiteIsZero) —
+formats CV datasets and scientific pipelines ship constantly."""
 
 from __future__ import annotations
 
@@ -69,3 +70,234 @@ def decode_pnm(data: bytes) -> np.ndarray:
     raster = np.frombuffer(data, dtype=dtype, count=need, offset=pos)
     arr = raster.astype(np.uint16 if maxval > 255 else np.uint8)
     return arr.reshape((h, w) if channels == 1 else (h, w, 3))
+
+
+# --- TIFF (baseline: uncompressed / deflate / PackBits strips) -------------
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+}
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def _unpackbits_rle(data: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE): n in [0,127] -> copy n+1 literal bytes;
+    n in [-127,-1] -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i : i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def tiff_size(data: bytes) -> tuple[int, int]:
+    """(width, height) from the IFD tags only — no strip bytes touched
+    (the image_probe contract)."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (II*/MM* magic missing)")
+    u16 = lambda off: struct.unpack(bo + "H", data[off : off + 2])[0]  # noqa: E731
+    u32 = lambda off: struct.unpack(bo + "I", data[off : off + 4])[0]  # noqa: E731
+    ifd = u32(4)
+    w = h = None
+    for i in range(u16(ifd)):
+        e = ifd + 2 + 12 * i
+        tag, typ = u16(e), u16(e + 2)
+        if tag in (256, 257):
+            v = u16(e + 8) if typ == 3 else u32(e + 8)
+            if tag == 256:
+                w = v
+            else:
+                h = v
+    if w is None or h is None:
+        raise ValueError("TIFF missing width/height tags")
+    return w, h
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF -> HxW (gray) or HxWxC uint8/uint16. Both byte
+    orders; strip layout (chunky planar config); compression 1 (none),
+    8/32946 (deflate via zlib), 32773 (PackBits). LZW/JPEG-in-TIFF,
+    tiles, and planar=2 raise NotImplementedError."""
+    import zlib
+
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (II*/MM* magic missing)")
+    u16 = lambda off: struct.unpack(bo + "H", data[off : off + 2])[0]  # noqa: E731
+    u32 = lambda off: struct.unpack(bo + "I", data[off : off + 4])[0]  # noqa: E731
+
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        tag, typ = u16(e), u16(e + 2)
+        count = u32(e + 4)
+        if tag not in _TIFF_TAGS or typ not in _TYPE_SIZE:
+            continue
+        size = _TYPE_SIZE[typ] * count
+        off = e + 8 if size <= 4 else u32(e + 8)
+        rd = u16 if typ == 3 else u32 if typ == 4 else (lambda o: data[o])
+        step = _TYPE_SIZE[typ]
+        tags[_TIFF_TAGS[tag]] = [rd(off + j * step) for j in range(count)]
+
+    def one(name, default=None):
+        v = tags.get(name)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {name}")
+            return default
+        return v[0]
+
+    w, h = one("width"), one("height")
+    comp = one("compression", 1)
+    spp = one("spp", 1)
+    bits_list = tags.get("bits", [8])
+    if len(set(bits_list)) != 1 or bits_list[0] not in (8, 16):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits_list} unsupported")
+    bits = bits_list[0]
+    if one("planar", 1) != 1:
+        raise NotImplementedError("TIFF planar configuration 2 not supported")
+    if comp not in (1, 8, 32946, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (none/deflate/PackBits only)"
+        )
+    offsets = tags.get("strip_offsets")
+    counts = tags.get("strip_counts")
+    if not offsets or not counts:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = bytes(data[off : off + cnt])
+        if comp in (8, 32946):
+            strip = zlib.decompress(strip)
+        elif comp == 32773:
+            strip = _unpackbits_rle(strip)
+        raw += strip
+    dt = np.dtype(bo + ("u2" if bits == 16 else "u1"))
+    need = w * h * spp
+    arr = np.frombuffer(bytes(raw), dtype=dt, count=need).astype(
+        np.uint16 if bits == 16 else np.uint8
+    )
+    img = arr.reshape((h, w) if spp == 1 else (h, w, spp))
+    if one("photometric", 1) == 0:  # WhiteIsZero: invert
+        img = ((1 << bits) - 1) - img
+    return img
+
+
+def encode_tiff(
+    img: np.ndarray, compression: int = 1, rows_per_strip: int | None = None
+) -> bytes:
+    """Minimal little-endian TIFF writer (fixtures/sinks): gray or
+    chunky RGB, 8/16-bit, compression 1/8/32773."""
+    import zlib
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    bits = 16 if img.dtype == np.uint16 else 8
+    rows_per_strip = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        part = img[y0 : y0 + rows_per_strip]
+        raw = part.astype("<u2" if bits == 16 else "u1").tobytes()
+        if compression == 8:
+            raw = zlib.compress(raw)
+        elif compression == 32773:
+            # naive PackBits: literal runs of <=128 bytes
+            out = bytearray()
+            for i in range(0, len(raw), 128):
+                chunk = raw[i : i + 128]
+                out.append(len(chunk) - 1)
+                out += chunk
+            raw = bytes(out)
+        elif compression != 1:
+            raise ValueError(f"encode_tiff: unsupported compression {compression}")
+        strips.append(raw)
+
+    n_strips = len(strips)
+    entries = []
+    extra = bytearray()
+    header_size = 8
+    # layout: header, IFD (count + entries + next), extra arrays, strip data
+    def entry(tag, typ, values):
+        size = _TYPE_SIZE[typ] * len(values)
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = b"".join(struct.pack("<" + fmt, v) for v in values)
+        return (tag, typ, len(values), packed)
+
+    bits_vals = [bits] * spp
+    tag_list = [
+        entry(256, 4, [w]), entry(257, 4, [h]),
+        entry(258, 3, bits_vals), entry(259, 3, [compression]),
+        entry(262, 3, [2 if spp == 3 else 1]),
+        None,  # 273 strip offsets placeholder
+        entry(277, 3, [spp]), entry(278, 4, [rows_per_strip]),
+        entry(279, 4, [len(s) for s in strips]),
+        entry(284, 3, [1]),
+    ]
+    n_entries = len(tag_list)
+    ifd_size = 2 + 12 * n_entries + 4
+    data_start = header_size + ifd_size
+
+    # first pass: place extra arrays (values that don't fit inline)
+    placed = []
+    cursor = data_start
+    for t in tag_list:
+        if t is None:
+            placed.append(None)
+            continue
+        tag, typ, count, packed = t
+        if len(packed) <= 4:
+            placed.append((tag, typ, count, packed.ljust(4, b"\x00"), None))
+        else:
+            placed.append((tag, typ, count, struct.pack("<I", cursor), packed))
+            cursor += len(packed)
+    # strip offsets array
+    so_packed = b""
+    strip_positions = []
+    so_size = 4 * n_strips
+    so_off = cursor if so_size > 4 else None
+    cursor += so_size if so_size > 4 else 0
+    for s in strips:
+        strip_positions.append(cursor)
+        cursor += len(s)
+    so_packed = b"".join(struct.pack("<I", p) for p in strip_positions)
+    so_entry = (
+        (273, 4, n_strips, so_packed.ljust(4, b"\x00"), None)
+        if so_size <= 4
+        else (273, 4, n_strips, struct.pack("<I", so_off), so_packed)
+    )
+    placed[tag_list.index(None)] = so_entry
+
+    out = bytearray(b"II*\x00" + struct.pack("<I", header_size))
+    out += struct.pack("<H", n_entries)
+    for tag, typ, count, inline, _ in sorted(placed, key=lambda p: p[0]):
+        out += struct.pack("<HHI", tag, typ, count) + inline
+    out += struct.pack("<I", 0)  # next IFD
+    # extras in the same order the placement cursor walked them: every
+    # non-273 external array first, then the external strip-offset array
+    for tag, _, _, _, packed in placed:
+        if packed is not None and tag != 273:
+            out += packed
+    if so_size > 4:
+        out += so_packed
+    for s in strips:
+        out += s
+    return bytes(out)

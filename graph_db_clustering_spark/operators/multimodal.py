@@ -98,6 +98,11 @@ def _decode_one(content: bytes, height: int, width: int, channels: int, fmt: str
         from graph_db_clustering_spark.functions import simple_images
 
         return simple_images.decode_pnm(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        # baseline TIFF: strips, none/deflate/PackBits compression
+        from graph_db_clustering_spark.functions import simple_images
+
+        return simple_images.decode_tiff(content)
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         # AVI (MJPEG / BI_RGB): first frame, like the GIF still path
         from graph_db_clustering_spark.functions import avi
@@ -109,7 +114,7 @@ def _decode_one(content: bytes, height: int, width: int, channels: int, fmt: str
     raise NotImplementedError(
         f"decoding format={fmt!r} needs cv2 or PIL (not installed); "
         "use format='raw' (height*width*channels uint8 bytes), JPEG, PNG, "
-        "GIF, BMP, PGM/PPM, or AVI (MJPEG/BI_RGB first frame)"
+        "GIF, BMP, PGM/PPM, baseline TIFF, or AVI (MJPEG/BI_RGB first frame)"
     )
 
 
@@ -1239,6 +1244,11 @@ def _image_probe_one(content: bytes) -> tuple[str, int | None, int | None]:
 
         w, h, _maxval, _pos = pnm_header(content)
         return "pnm", w, h
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from graph_db_clustering_spark.functions.simple_images import tiff_size
+
+        w, h = tiff_size(content)
+        return "tiff", w, h
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         from graph_db_clustering_spark.functions import avi as _avi
 

@@ -98,3 +98,79 @@ def test_image_probe_all_containers(spark):
     )
     got = {r.id: (r.container, r.width, r.height) for r in M.image_probe(df).collect()}
     assert got == {k: v[1] for k, v in cases.items()}
+
+
+class TestTiff:
+    def test_gray_roundtrip(self):
+        rng = np.random.default_rng(10)
+        img = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+        assert np.array_equal(
+            simple_images.decode_tiff(simple_images.encode_tiff(img)), img
+        )
+
+    def test_rgb_multi_strip_deflate_and_packbits(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (9, 4, 3), dtype=np.uint8)
+        for comp in (1, 8, 32773):
+            data = simple_images.encode_tiff(img, compression=comp, rows_per_strip=2)
+            got = simple_images.decode_tiff(data)
+            assert np.array_equal(got, img), comp
+
+    def test_16bit_and_big_endian_reject_lzw(self):
+        rng = np.random.default_rng(12)
+        img16 = rng.integers(0, 65536, (3, 6)).astype(np.uint16)
+        got = simple_images.decode_tiff(simple_images.encode_tiff(img16))
+        assert got.dtype == np.uint16
+        assert np.array_equal(got, img16)
+        data = bytearray(simple_images.encode_tiff(np.zeros((2, 2), np.uint8)))
+        # flip compression tag (259) value to 5 (LZW)
+        i = 8 + 2
+        while True:
+            tag = int.from_bytes(data[i : i + 2], "little")
+            if tag == 259:
+                data[i + 8 : i + 10] = (5).to_bytes(2, "little")
+                break
+            i += 12
+        with pytest.raises(NotImplementedError, match="compression 5"):
+            simple_images.decode_tiff(bytes(data))
+
+    def test_white_is_zero_inverts(self):
+        img = np.array([[0, 255]], dtype=np.uint8)
+        data = bytearray(simple_images.encode_tiff(img))
+        i = 8 + 2
+        while True:
+            tag = int.from_bytes(data[i : i + 2], "little")
+            if tag == 262:
+                data[i + 8 : i + 10] = (0).to_bytes(2, "little")  # WhiteIsZero
+                break
+            i += 12
+        got = simple_images.decode_tiff(bytes(data))
+        assert got.tolist() == [[255, 0]]
+
+    def test_not_a_tiff(self):
+        with pytest.raises(ValueError, match="magic"):
+            simple_images.decode_tiff(b"nope")
+
+
+def test_tiff_through_image_features(spark):
+    from graph_db_clustering_spark.operators.multimodal import image_features
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (6, 6), dtype=np.uint8)
+    rows = [(1, bytearray(simple_images.encode_tiff(img)), (6, 6, 1, "tiff"))]
+    df = spark.createDataFrame(
+        rows,
+        "image_id long, content binary, "
+        "meta struct<height:int,width:int,channels:int,format:string>",
+    )
+    out = image_features(df, resize_to=None).collect()[0]
+    assert abs(out["mean"] - float(img.mean())) < 1e-9
+
+
+def test_image_probe_tiff_headers_only(spark):
+    from graph_db_clustering_spark.operators import multimodal as M
+
+    data = bytearray(simple_images.encode_tiff(np.zeros((3, 9), np.uint8)))
+    assert M._image_probe_one(bytes(data)) == ("tiff", 9, 3)
+    # truncate the strip data: a headers-only probe must still answer
+    assert M._image_probe_one(bytes(data[:-10])) == ("tiff", 9, 3)
