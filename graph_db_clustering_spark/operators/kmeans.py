@@ -336,3 +336,97 @@ def label_centroids_udaf(
             "centroid"
         )
     )
+
+
+def init_centroids_parallel(
+    points: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+) -> DataFrame:
+    """k-means|| initialization (Bahmani et al. 2012, VLDB) — the
+    scalable k-means++ : instead of k sequential full-corpus passes
+    (k-means++'s D^2 sampling), run `rounds` passes that each sample
+    ~`oversample` (default 2k) candidates with probability proportional
+    to their squared distance from the current candidate set, then
+    weight the candidates by how many points they own and reduce them
+    to k centers driver-side. Returns (cid, centroid) like
+    init_centroids.
+
+    Determinism (the engine's invariant): the per-point coin flip uses
+    xxhash64(id, round) as the uniform draw, so the sampled candidate
+    set is a pure function of the data — partitioning-invariant and
+    reproducible (test-pinned). The candidate set (~rounds*oversample
+    rows) and the weight aggregation are the only driver traffic; the
+    corpus is scanned once per round with the candidate set BROADCAST
+    (it is centroid-sized), never shuffled.
+
+    The final reduction picks the max-weight candidate, then greedily
+    adds the candidate maximizing weight * d^2 to the chosen set —
+    deterministic weighted farthest-point, the standard deterministic
+    stand-in for weighted k-means++ at driver scale."""
+    import numpy as np
+
+    l = oversample or 2 * k
+    spark = points.sparkSession
+    pts = points.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    first = deterministic_sample(points.select(id_col, vec_col), id_col, 1).collect()
+    if not first:
+        raise ValueError("init_centroids_parallel: empty input")
+    cands = [[float(x) for x in first[0][vec_col]]]
+
+    def cand_frame():
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cands)],
+            "cid int, centroid array<double>",
+        )
+
+    for r in range(rounds):
+        # d^2 to the nearest current candidate: the assign() machinery
+        # (crossJoin(broadcast) + min-struct argmin; euclidean score IS
+        # the squared distance) — candidates stay broadcast-sized
+        scored = assign(
+            pts, cand_frame(), id_col="id", vec_col="vec", metric="euclidean"
+        ).select("id", F.col("score").alias("d2"))
+        total = scored.agg(F.sum("d2")).first()[0] or 0.0
+        if total <= 0:
+            break
+        # deterministic coin: uniform in [0,1) from xxhash64(id, round)
+        u = (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(r)), F.lit(1_000_000_007))
+            / 1_000_000_007.0
+        )
+        picked = scored.filter(
+            u < F.least(F.lit(1.0), F.lit(float(l)) * F.col("d2") / F.lit(float(total)))
+        )
+        new_rows = pts.join(picked.select("id"), "id", "leftsemi").orderBy("id").collect()
+        cands.extend([[float(x) for x in row.vec] for row in new_rows])
+
+    # weights: points owned by each candidate (one broadcast argmin pass)
+    C = np.array(cands, dtype=np.float64)
+    owners = assign(pts, cand_frame(), id_col="id", vec_col="vec", metric="euclidean")
+    w_rows = {r.cid: r.n for r in owners.groupBy("cid").agg(F.count("*").alias("n")).collect()}
+    weights = np.array([w_rows.get(i, 0) for i in range(len(cands))], dtype=np.float64)
+
+    # deterministic weighted farthest-point reduction to k
+    chosen = [int(np.argmax(weights))]
+    while len(chosen) < min(k, len(cands)):
+        d2c = np.min(
+            ((C[:, None, :] - C[chosen][None, :, :]) ** 2).sum(2), axis=1
+        )
+        score = weights * d2c
+        score[chosen] = -1.0
+        nxt = int(np.argmax(score))
+        if score[nxt] <= 0:
+            # fewer distinct candidates than k: reuse, matching the
+            # empty-cluster tolerance of the Lloyd loop
+            break
+        chosen.append(nxt)
+    sel = C[chosen]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(sel)],
+        "cid int, centroid array<double>",
+    )

@@ -102,3 +102,58 @@ def test_mllib_parity_euclidean(points):
     assert preds.count() == res.assignments.count()
     assert ours <= theirs * 1.15, (ours, theirs)
     assert theirs <= ours * 1.15, (ours, theirs)
+
+
+def test_kmeans_parallel_init_deterministic_and_invariant(points):
+    from graph_db_clustering_spark.operators.kmeans import init_centroids_parallel
+
+    a = sorted(
+        (r.cid, tuple(r.centroid))
+        for r in init_centroids_parallel(points.repartition(1), "vec_id", "embedding", 4).collect()
+    )
+    b = sorted(
+        (r.cid, tuple(r.centroid))
+        for r in init_centroids_parallel(
+            points.repartition(7, "vec_id"), "vec_id", "embedding", 4
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == 4
+    assert len({c for _, c in a}) == 4  # distinct centers
+
+
+def test_kmeans_parallel_init_covers_planted_blobs(spark):
+    """Five well-separated blobs with 90% of mass in blob 0: plain
+    k-point sampling would land ~all centers in the heavy blob; the
+    d^2-weighted k-means|| rounds must cover EVERY blob."""
+    from graph_db_clustering_spark.operators.kmeans import init_centroids_parallel
+
+    i = F.col("id")
+    blob = F.when(i % 10 < 6, 0).otherwise((i % 10) - 5)  # 0,0,0,0,0,0,1,2,3,4
+    noise = lambda j: (F.sin(i * 12.9898 + j * 78.233) * 43758.5453) % 1.0 * 0.1  # noqa: E731
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: (F.when(j == blob, 100.0).otherwise(0.0) + noise(j)).cast("double"),
+    )
+    pts = spark.range(2000).select("id", vec.alias("embedding"))
+    cents = init_centroids_parallel(pts, "id", "embedding", k=5, rounds=4)
+    got = [list(r.centroid) for r in cents.collect()]
+    assert len(got) == 5
+    covered = set()
+    for c in got:
+        axis = max(range(8), key=lambda j: c[j])
+        if c[axis] > 50:
+            covered.add(axis)
+    assert covered == {0, 1, 2, 3, 4}, covered
+
+
+def test_kmeans_parallel_init_feeds_fit(points):
+    """The (cid, centroid) contract plugs straight into the Lloyd loop:
+    one assign+update round runs and SSE is finite."""
+    from graph_db_clustering_spark.operators import kmeans as km
+
+    cents = km.init_centroids_parallel(points, "vec_id", "embedding", 3)
+    a = km.assign(points, cents, metric="euclidean")
+    sse = a.agg(F.sum("score")).first()[0]
+    assert sse is not None and sse >= 0
+    assert a.select("cid").distinct().count() <= 3
