@@ -430,3 +430,77 @@ def init_centroids_parallel(
         [(i, [float(x) for x in c]) for i, c in enumerate(sel)],
         "cid int, centroid array<double>",
     )
+
+
+def contingency(
+    assignments: DataFrame, labels: DataFrame, id_col: str, label_col: str
+) -> DataFrame:
+    """(cid, label, n) contingency table between a clustering and ground
+    truth — one inner join + one count aggregate; k x L rows (tiny)."""
+    a = assignments.select(F.col("id").alias("__id"), "cid")
+    b = labels.select(F.col(id_col).alias("__id"), F.col(label_col).alias("label"))
+    return a.join(b, "__id").groupBy("cid", "label").agg(F.count("*").alias("n"))
+
+
+def adjusted_rand_index(
+    assignments: DataFrame, labels: DataFrame, id_col: str, label_col: str
+) -> float:
+    """ARI (Hubert & Arabie 1985): chance-corrected pair agreement
+    between the clustering and ground-truth labels. 1.0 = identical
+    partitions, ~0 = random. All pair counting happens on the k x L
+    contingency table (collected — it is O(k*L), not data-sized)."""
+    rows = contingency(assignments, labels, id_col, label_col).collect()
+    from collections import defaultdict
+
+    a_sum: dict = defaultdict(int)
+    b_sum: dict = defaultdict(int)
+    n = 0
+    sum_comb = 0.0
+    comb2 = lambda x: x * (x - 1) / 2.0  # noqa: E731
+    for r in rows:
+        a_sum[r.cid] += r.n
+        b_sum[r.label] += r.n
+        n += r.n
+        sum_comb += comb2(r.n)
+    sum_a = sum(comb2(x) for x in a_sum.values())
+    sum_b = sum(comb2(x) for x in b_sum.values())
+    total = comb2(n)
+    if total == 0:
+        return 1.0
+    expected = sum_a * sum_b / total
+    max_index = (sum_a + sum_b) / 2.0
+    if max_index == expected:
+        return 1.0
+    return (sum_comb - expected) / (max_index - expected)
+
+
+def normalized_mutual_info(
+    assignments: DataFrame, labels: DataFrame, id_col: str, label_col: str
+) -> float:
+    """NMI with arithmetic-mean normalization: MI(U,V) /
+    ((H(U)+H(V))/2), from the same tiny contingency table. 1.0 =
+    identical partitions; 0 when either side is a single cluster."""
+    import math
+
+    rows = contingency(assignments, labels, id_col, label_col).collect()
+    from collections import defaultdict
+
+    a_sum: dict = defaultdict(int)
+    b_sum: dict = defaultdict(int)
+    n = 0
+    for r in rows:
+        a_sum[r.cid] += r.n
+        b_sum[r.label] += r.n
+        n += r.n
+    if n == 0:
+        return 1.0
+    mi = 0.0
+    for r in rows:
+        p = r.n / n
+        mi += p * math.log(p * n / (a_sum[r.cid] * b_sum[r.label] / n))
+    h = lambda sums: -sum(  # noqa: E731
+        (x / n) * math.log(x / n) for x in sums.values() if x
+    )
+    hu, hv = h(a_sum), h(b_sum)
+    denom = (hu + hv) / 2.0
+    return 1.0 if denom == 0 else mi / denom

@@ -109,3 +109,31 @@ def label_centroids(spark, sf_dir):
         .select("label", "dim", F.round("mean_val", 6).alias("mean_val"))
         .orderBy("label", "dim")
     )
+
+
+@declared(
+    "clustering_ari",
+    """WITH t AS (SELECT c_custkey % 4 AS cid, c_custkey % 2 AS lab
+           FROM customer WHERE c_custkey < 1000),
+ct AS (SELECT cid, lab, COUNT(*) AS n FROM t GROUP BY cid, lab),
+s AS (SELECT SUM(n*(n-1)/2.0) AS sc FROM ct),
+sa AS (SELECT SUM(x*(x-1)/2.0) AS v FROM (SELECT SUM(n) AS x FROM ct GROUP BY cid) q),
+sb AS (SELECT SUM(x*(x-1)/2.0) AS v FROM (SELECT SUM(n) AS x FROM ct GROUP BY lab) q),
+tot AS (SELECT SUM(n) AS m FROM ct)
+SELECT ROUND((s.sc - sa.v*sb.v/(tot.m*(tot.m-1)/2.0))
+           / ((sa.v+sb.v)/2.0 - sa.v*sb.v/(tot.m*(tot.m-1)/2.0)), 6) AS ari
+FROM s, sa, sb, tot""",
+)
+def clustering_ari(spark, sf_dir):
+    """Adjusted Rand Index (kmeans.adjusted_rand_index, Hubert-Arabie)
+    between the mod-4 partition and its mod-2 coarsening of customers —
+    the oracle recomputes the full pair-counting formula in SQL from the
+    same contingency table. Exercises the chance-correction arithmetic
+    on a partition/refinement pair with a non-trivial fixed value."""
+    from graph_db_clustering_spark.operators import kmeans as km
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    a = c.select(F.col("c_custkey").alias("id"), (F.col("c_custkey") % 4).alias("cid"))
+    lab = c.select(F.col("c_custkey").alias("id"), (F.col("c_custkey") % 2).alias("lab"))
+    ari = km.adjusted_rand_index(a, lab, "id", "lab")
+    return spark.createDataFrame([(round(ari, 6),)], "ari double")

