@@ -1313,3 +1313,36 @@ def test_introspection_procedures(spark):
         s.run("CALL db.labels(1)")
     with pytest.raises(ValueError, match="yields"):
         s.run("CALL db.labels() YIELD wat")
+
+
+# ---------------------------------------------------------------------------
+# parser robustness: arbitrary input must fail CONTROLLED
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_CYPHER_WORDS = st.sampled_from(
+    "MATCH WHERE RETURN WITH UNWIND SKIP LIMIT ORDER BY DISTINCT CREATE "
+    "SET DELETE DETACH MERGE AS AND OR NOT IN CASE WHEN THEN ELSE END "
+    "UNION ALL CALL YIELD EXISTS ( ) [ ] { } , . : = < > + - * / % .. "
+    "n m r p a b 'lit' 42 3.5 $param count sum collect shortestPath".split()
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_CYPHER_WORDS, min_size=1, max_size=12))
+def test_parser_never_crashes_uncontrolled(tokens):
+    """Any keyword salad either parses or raises the module's CONTROLLED
+    exceptions (SyntaxError for malformed queries, ValueError for
+    unsupported-surface gates, NotImplementedError for scoped gates).
+    IndexError/KeyError/AttributeError escaping the parser would mean a
+    malformed query crashes a service instead of returning a clear
+    error."""
+    from graph_db_clustering_spark.cypher import parse
+
+    q = " ".join(tokens)
+    try:
+        parse(q)
+    except (SyntaxError, ValueError, NotImplementedError):
+        pass  # controlled surface
