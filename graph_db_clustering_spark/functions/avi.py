@@ -93,6 +93,13 @@ def _decode_dib(body: bytes, w: int, h: int) -> np.ndarray:
 
 def frames(data: bytes) -> list[np.ndarray]:
     """AVI bytes -> list of HxWx3 uint8 RGB frames (MJPEG or BI_RGB)."""
+    try:
+        return _frames_inner(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise AviError(f"AVI: truncated or corrupt container ({e!r})")
+
+
+def _frames_inner(data: bytes) -> list[np.ndarray]:
     from graph_db_clustering_spark.functions import jpeg
 
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":

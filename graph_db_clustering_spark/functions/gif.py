@@ -144,6 +144,14 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 
 def frames(data: bytes) -> list[np.ndarray]:
     """GIF bytes -> list of composited HxWx3 uint8 frames."""
+    try:
+        return _frames_inner(data)
+    except (IndexError, KeyError, struct.error) as e:
+        # truncated/corrupt streams must fail CONTROLLED, not crash a task
+        raise ValueError(f"GIF: truncated or corrupt stream ({e!r})")
+
+
+def _frames_inner(data: bytes) -> list[np.ndarray]:
     if data[:6] not in (_SIG87, _SIG89):
         raise ValueError("GIF: bad signature")
     width, height, flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])

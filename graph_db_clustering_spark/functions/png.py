@@ -110,6 +110,15 @@ _ADAM7 = (
 
 def decode(data: bytes) -> np.ndarray:
     """PNG bytes -> HxW (grayscale) or HxWxC uint8 ndarray."""
+    import zlib as _zlib
+
+    try:
+        return _decode_inner(data)
+    except (IndexError, KeyError, struct.error, _zlib.error) as e:
+        raise ValueError(f"PNG: truncated or corrupt stream ({e!r})")
+
+
+def _decode_inner(data: bytes) -> np.ndarray:
     if data[:8] != _SIGNATURE:
         raise ValueError("PNG: bad signature")
     width = height = None

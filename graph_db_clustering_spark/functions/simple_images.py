@@ -14,6 +14,13 @@ import numpy as np
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24-bit
     BI_RGB) -> HxWx3 RGB uint8. Other bit depths / compressions raise."""
+    try:
+        return _decode_bmp_inner(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"BMP: truncated or corrupt file ({e!r})")
+
+
+def _decode_bmp_inner(data: bytes) -> np.ndarray:
     from graph_db_clustering_spark.functions.avi import _decode_dib
 
     if data[:2] != b"BM":
@@ -45,8 +52,13 @@ def pnm_header(data: bytes) -> tuple[int, int, int, int]:
     while len(fields) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(data):
+            raise ValueError("PNM: truncated header")
         if data[pos : pos + 1] == b"#":
-            pos = data.index(b"\n", pos) + 1
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("PNM: truncated header comment")
+            pos = nl + 1
             continue
         start = pos
         while pos < len(data) and not data[pos : pos + 1].isspace():
@@ -102,6 +114,13 @@ def _unpackbits_rle(data: bytes) -> bytes:
 def tiff_size(data: bytes) -> tuple[int, int]:
     """(width, height) from the IFD tags only — no strip bytes touched
     (the image_probe contract)."""
+    try:
+        return _tiff_size_inner(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"TIFF: truncated or corrupt header ({e!r})")
+
+
+def _tiff_size_inner(data: bytes) -> tuple[int, int]:
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
@@ -131,6 +150,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
     orders; strip layout (chunky planar config); compression 1 (none),
     8/32946 (deflate via zlib), 32773 (PackBits). LZW/JPEG-in-TIFF,
     tiles, and planar=2 raise NotImplementedError."""
+    import zlib
+
+    try:
+        return _decode_tiff_inner(data)
+    except (IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"TIFF: truncated or corrupt file ({e!r})")
+
+
+def _decode_tiff_inner(data: bytes) -> np.ndarray:
     import zlib
 
     if data[:4] == b"II*\x00":

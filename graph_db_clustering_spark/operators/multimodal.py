@@ -861,7 +861,17 @@ def _decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     Pure struct + NumPy — WAV carries no entropy coding (ADPCM is a
     fixed 4-bit delta quantizer), so like baseline JPEG (functions/jpeg)
     it needs no native codec. Entropy-coded formats (MP3/AAC/OGG) raise
-    NotImplementedError (spec-sanctioned gate)."""
+    NotImplementedError (spec-sanctioned gate); truncated/corrupt files
+    raise ValueError, never a bare struct.error."""
+    import struct as _struct
+
+    try:
+        return _decode_wav_inner(content)
+    except (IndexError, _struct.error) as e:
+        raise ValueError(f"WAV: truncated or corrupt file ({e!r})")
+
+
+def _decode_wav_inner(content: bytes) -> tuple[int, np.ndarray]:
     import struct as _struct
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -1115,6 +1125,10 @@ _MP3_RATES_V1 = (44100, 48000, 32000)
 def _probe_one(content: bytes) -> tuple[str, int | None, int | None, float | None]:
     """-> (container, sample_rate, channels, duration_s_estimate).
 
+    Corrupt/truncated headers classify as ('corrupt', None, None, None)
+    instead of raising — a probe over a dirty crawl must not kill the
+    task on one bad file.
+
     WAV probes exactly from its HEADERS (fmt chunk + data-chunk length +
     fact chunk — no sample decode, true channel count). Compressed containers
     probe from their headers WITHOUT decoding samples — the decode gate
@@ -1125,6 +1139,15 @@ def _probe_one(content: bytes) -> tuple[str, int | None, int | None, float | Non
       OGG:  Vorbis identification header rate/channels (no duration
             without walking to the last page; returns None).
     Unknown magic -> ('unknown', None, None, None)."""
+    import struct as _struct
+
+    try:
+        return _probe_one_inner(content)
+    except (ValueError, IndexError, KeyError, _struct.error):
+        return "corrupt", None, None, None
+
+
+def _probe_one_inner(content: bytes) -> tuple[str, int | None, int | None, float | None]:
     import struct as _struct
 
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
@@ -1214,7 +1237,17 @@ def _image_probe_one(content: bytes) -> tuple[str, int | None, int | None]:
     """-> (container, width, height) from headers only — no pixel decode.
     JPEG walks markers to the first SOFn; PNG reads IHDR; GIF the
     logical-screen descriptor; BMP the info header; binary PNM the
-    header fields; AVI the vids BITMAPINFOHEADER."""
+    header fields; AVI the vids BITMAPINFOHEADER. Corrupt/truncated
+    headers classify as ('corrupt', None, None) instead of raising."""
+    import struct as _struct
+
+    try:
+        return _image_probe_one_inner(content)
+    except (ValueError, IndexError, KeyError, _struct.error):
+        return "corrupt", None, None
+
+
+def _image_probe_one_inner(content: bytes) -> tuple[str, int | None, int | None]:
     import struct as _struct
 
     if content[:2] == b"\xff\xd8":

@@ -113,7 +113,7 @@ def parse_schema(schema_json: str | dict) -> list[tuple[str, str, int | None]]:
         if isinstance(schema_json, (str, bytes))
         else schema_json
     )
-    if sc.get("type") != "record":
+    if not isinstance(sc, dict) or sc.get("type") != "record":
         raise NotImplementedError("avro: top-level schema must be a record")
     out = []
     for f in sc["fields"]:
@@ -135,6 +135,13 @@ def read_header(blob: bytes):
     """Container header only -> (fields, codec, sync, position after the
     sync marker). Needs just the first few KB of the file — the schema
     probe never decodes a row."""
+    try:
+        return _read_header_inner(blob)
+    except (IndexError, KeyError, struct.error, UnicodeDecodeError) as e:
+        raise AvroError(f"avro: truncated or corrupt container header ({e!r})")
+
+
+def _read_header_inner(blob: bytes):
     if blob[:4] != _MAGIC:
         raise AvroError("not an Avro object container (magic missing)")
     pos = 4
@@ -156,6 +163,8 @@ def read_header(blob: bytes):
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
+    if "avro.schema" not in meta:
+        raise AvroError("avro: container metadata missing avro.schema")
     fields = parse_schema(meta["avro.schema"].decode())
     sync = blob[pos : pos + 16]
     return fields, codec, sync, pos + 16
@@ -166,6 +175,20 @@ def decode_container(
 ) -> tuple[list[tuple[str, str, int | None]], list[dict]]:
     """One Avro object-container file -> (fields, row dicts)."""
     fields, codec, sync, pos = read_header(blob)
+    try:
+        return fields, _decode_blocks(blob, fields, codec, sync, pos)
+    except (IndexError, struct.error, UnicodeDecodeError) as e:
+        raise AvroError(f"avro: truncated or corrupt data block ({e!r})")
+    except Exception as e:
+        import zlib as _z
+
+        if isinstance(e, _z.error):
+            raise AvroError(f"avro: corrupt deflate block ({e!r})")
+        raise
+
+
+def _decode_blocks(blob, fields, codec, sync, pos) -> list[dict]:
+    import zlib
 
     rows: list[dict] = []
     while pos < len(blob):
@@ -190,7 +213,7 @@ def decode_container(
                 v, bpos = _decode_value(block, bpos, prim)
                 row[name] = v
             rows.append(row)
-    return fields, rows
+    return rows
 
 
 # --- write side (fixtures / sinks) -----------------------------------------

@@ -95,8 +95,12 @@ def _records_in(chunk: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
                 f"warc: expected record header at offset {pos}, "
                 f"got {chunk[pos : pos + 16]!r}"
             )
-        hdr_end = chunk.index(b"\r\n\r\n", pos)
+        hdr_end = chunk.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("warc: truncated record header")
         headers = _parse_headers(chunk[pos:hdr_end])
+        if "content-length" not in headers:
+            raise ValueError("warc: record missing Content-Length header")
         length = int(headers["content-length"])
         body_start = hdr_end + 4
         yield headers, chunk[body_start : body_start + length]

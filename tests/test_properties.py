@@ -241,3 +241,36 @@ def test_bpe_word_merges_are_lossless_property(words):
     ranks = {p: i for i, (p, _) in enumerate(pairs.most_common(20))}
     for w in words:
         assert "".join(_bpe_word(w, ranks)) == w
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=120), st.integers(min_value=0, max_value=6))
+def test_binary_decoders_fail_controlled_on_garbage(blob, which):
+    """Every binary decoder raises ONLY its controlled error surface on
+    arbitrary bytes (ValueError family / NotImplementedError) — a bad
+    file in a 100 TB corpus must yield a clear per-file error, never an
+    IndexError/KeyError/struct.error that reads as an engine bug. The
+    probes go further and classify garbage as 'corrupt'/'unknown'."""
+    from graph_db_clustering_spark.functions import avi, gif, jpeg, png
+    from graph_db_clustering_spark.functions import simple_images as si
+    from graph_db_clustering_spark.operators import multimodal as M
+    from graph_db_clustering_spark.sources import avro, warc
+
+    decoders = [
+        lambda b: list(warc._records_in(b)),
+        avro.decode_container,
+        gif.frames,
+        png.decode,
+        jpeg.decode,
+        si.decode_tiff,
+        si.decode_bmp,
+    ]
+    try:
+        decoders[which](blob)
+    except (ValueError, NotImplementedError):
+        pass
+    # the probes never raise at all
+    c, *_ = M._probe_one(blob)
+    assert isinstance(c, str)
+    c2, *_ = M._image_probe_one(blob)
+    assert isinstance(c2, str)
