@@ -111,6 +111,99 @@ def _unpackbits_rle(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_tiff_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first bit packing, 9-bit
+    initial codes, ClearCode=256 / EOI=257, and the spec's "early
+    change" — the code width bumps one code EARLIER than GIF's variant
+    (at table sizes 511/1023/2047)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # missing EOI: tolerate, data complete
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF LZW: code {code} beyond table")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one entry (the pending prev+next[:1]), so it must
+        # widen when len(table) + 2 would overflow — one code earlier
+        # than the table-full point (the documented TIFF off-by-one)
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_tiff_encode(raw: bytes) -> bytes:
+    """Fixture-side TIFF LZW encoder (mirror of _lzw_tiff_decode)."""
+    CLEAR, EOI = 256, 257
+    bits: list[tuple[int, int]] = []  # (code, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits.append((CLEAR, width))
+    w = b""
+    for byte in raw:
+        wb = w + bytes([byte])
+        if wb in table:
+            w = wb
+            continue
+        bits.append((table[w], width))
+        table[wb] = next_code
+        next_code += 1
+        # early change: the width grows when the NEXT assignable code
+        # would not fit, one step earlier than GIF
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            bits.append((CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        bits.append((table[w], width))
+    bits.append((EOI, width))
+    out = bytearray()
+    acc = nb = 0
+    for code, wd in bits:
+        acc = (acc << wd) | code
+        nb += wd
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
 def tiff_size(data: bytes) -> tuple[int, int]:
     """(width, height) from the IFD tags only — no strip bytes touched
     (the image_probe contract)."""
@@ -148,8 +241,9 @@ def _tiff_size_inner(data: bytes) -> tuple[int, int]:
 def decode_tiff(data: bytes) -> np.ndarray:
     """Baseline TIFF -> HxW (gray) or HxWxC uint8/uint16. Both byte
     orders; strip layout (chunky planar config); compression 1 (none),
-    8/32946 (deflate via zlib), 32773 (PackBits). LZW/JPEG-in-TIFF,
-    tiles, and planar=2 raise NotImplementedError."""
+    5 (LZW, the TIFF early-change variant), 8/32946 (deflate via zlib),
+    32773 (PackBits). JPEG-in-TIFF, tiles, and planar=2 raise
+    NotImplementedError."""
     import zlib
 
     try:
@@ -202,9 +296,10 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
     bits = bits_list[0]
     if one("planar", 1) != 1:
         raise NotImplementedError("TIFF planar configuration 2 not supported")
-    if comp not in (1, 8, 32946, 32773):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (none/deflate/PackBits only)"
+            f"TIFF compression {comp} unsupported "
+            "(none/LZW/deflate/PackBits only)"
         )
     offsets = tags.get("strip_offsets")
     counts = tags.get("strip_counts")
@@ -215,6 +310,8 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
         strip = bytes(data[off : off + cnt])
         if comp in (8, 32946):
             strip = zlib.decompress(strip)
+        elif comp == 5:
+            strip = _lzw_tiff_decode(strip)
         elif comp == 32773:
             strip = _unpackbits_rle(strip)
         raw += strip
@@ -247,6 +344,8 @@ def encode_tiff(
         raw = part.astype("<u2" if bits == 16 else "u1").tobytes()
         if compression == 8:
             raw = zlib.compress(raw)
+        elif compression == 5:
+            raw = _lzw_tiff_encode(raw)
         elif compression == 32773:
             # naive PackBits: literal runs of <=128 bytes
             out = bytearray()
@@ -255,7 +354,7 @@ def encode_tiff(
                 out.append(len(chunk) - 1)
                 out += chunk
             raw = bytes(out)
-        elif compression != 1:
+        elif compression not in (1, 32773):
             raise ValueError(f"encode_tiff: unsupported compression {compression}")
         strips.append(raw)
 

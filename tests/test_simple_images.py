@@ -174,3 +174,26 @@ def test_image_probe_tiff_headers_only(spark):
     assert M._image_probe_one(bytes(data)) == ("tiff", 9, 3)
     # truncate the strip data: a headers-only probe must still answer
     assert M._image_probe_one(bytes(data[:-10])) == ("tiff", 9, 3)
+
+
+def test_tiff_lzw_roundtrip_and_width_growth():
+    """TIFF LZW (compression 5): random data forces the 9->12-bit width
+    walk and the 4094-code clear reset; repetitive data exercises long
+    matches and the prev+prev[:1] self-reference case."""
+    rng = np.random.default_rng(21)
+    for raw in (
+        rng.integers(0, 256, 9000, dtype=np.uint8).tobytes(),
+        b"abcabcabd" * 2000,
+        rng.integers(0, 4, 30000, dtype=np.uint8).tobytes(),
+        b"",
+        b"\x00",
+    ):
+        assert simple_images._lzw_tiff_decode(
+            simple_images._lzw_tiff_encode(raw)
+        ) == raw
+    img = rng.integers(0, 256, (40, 30, 3), dtype=np.uint8)
+    data = simple_images.encode_tiff(img, compression=5, rows_per_strip=7)
+    assert np.array_equal(simple_images.decode_tiff(data), img)
+    # smaller than raw on repetitive images
+    flat = np.zeros((64, 64), np.uint8)
+    assert len(simple_images.encode_tiff(flat, compression=5)) < 64 * 64 // 4
