@@ -123,15 +123,15 @@ class TestTiff:
         assert got.dtype == np.uint16
         assert np.array_equal(got, img16)
         data = bytearray(simple_images.encode_tiff(np.zeros((2, 2), np.uint8)))
-        # flip compression tag (259) value to 5 (LZW)
+        # flip compression tag (259) value to 7 (JPEG-in-TIFF, still gated)
         i = 8 + 2
         while True:
             tag = int.from_bytes(data[i : i + 2], "little")
             if tag == 259:
-                data[i + 8 : i + 10] = (5).to_bytes(2, "little")
+                data[i + 8 : i + 10] = (7).to_bytes(2, "little")
                 break
             i += 12
-        with pytest.raises(NotImplementedError, match="compression 5"):
+        with pytest.raises(NotImplementedError, match="compression 7"):
             simple_images.decode_tiff(bytes(data))
 
     def test_white_is_zero_inverts(self):
