@@ -820,3 +820,32 @@ def normalize_unicode(
     return narrow.mapInPandas(norm, out_schema).select(
         F.col("id").alias(id_col), "text"
     )
+
+
+def extract_pdf_text(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """PDF binary column -> (id, text) via the pure-Python extractor
+    (functions/pdf: Flate/raw content streams, Tj/TJ/' operators,
+    standard escapes; scoped gates for CID fonts/encryption/LZW). One
+    Arrow-batched pass — PDFs decode where their bytes were read."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.functions import pdf as pdf_codec
+
+    def extract(batches):
+        for pdf_batch in batches:
+            ids, texts = [], []
+            for rid, content in zip(pdf_batch["id"], pdf_batch["content"]):
+                ids.append(int(rid))
+                texts.append(pdf_codec.extract_text(bytes(content)))
+            yield pd.DataFrame({"id": ids, "text": texts})
+
+    narrow = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    return narrow.mapInPandas(extract, out_schema).select(
+        F.col("id").alias(id_col), "text"
+    )

@@ -1087,3 +1087,46 @@ def avro_roundtrip(spark, sf_dir):
     return back.select(
         "doc_id", "lang", F.md5("text").alias("text_md5")
     ).orderBy("doc_id")
+
+
+@declared(
+    "pdf_extract",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents "
+    "WHERE doc_id % 5 = 0 ORDER BY doc_id",
+)
+def pdf_extract(spark, sf_dir):
+    """PDF text extraction end to end (functions/pdf +
+    text.extract_pdf_text): each document becomes a single-page
+    Flate-compressed PDF executor-side, and the extractor must invert it
+    EXACTLY — md5 against the source table (ground truth, the
+    html_extract pattern). Exercises content-stream decompression, Tj
+    parsing, and the paren/backslash escaping both directions."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.functions import pdf as pdf_codec
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+
+    def build(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "content": [
+                        bytearray(pdf_codec.encode([[str(t)]])) for t in b["text"]
+                    ],
+                }
+            )
+
+    pdfs = docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    out = text.extract_pdf_text(pdfs, "doc_id", "content")
+    return out.select("doc_id", F.md5("text").alias("text_md5")).orderBy("doc_id")

@@ -1,0 +1,63 @@
+"""PDF text extraction (functions/pdf + text.extract_pdf_text)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.functions import pdf
+
+
+def test_roundtrip_flate_and_raw():
+    pages = [["hello world", "second (line) with \\ escapes"], ["page two"]]
+    want = "hello world\nsecond (line) with \\ escapes\npage two"
+    for flate in (True, False):
+        assert pdf.extract_text(pdf.encode(pages, flate=flate)) == want
+
+
+def test_escapes_and_octal():
+    body = (b"%PDF-1.4\n<< /Length 64 >>\nstream\n"
+            b"BT (a\\(b\\)c) Tj T* (\\101\\102) Tj T* (tab\\there) Tj ET"
+            b"\nendstream\n%%EOF")
+    assert pdf.extract_text(body) == "a(b)c\nAB\ntab\there"
+
+
+def test_tj_array_concatenates():
+    body = (b"%PDF-1.4\n<< /Length 48 >>\nstream\n"
+            b"BT [(Wor) -120 (ld)] TJ ET\nendstream\n%%EOF")
+    assert pdf.extract_text(body) == "World"
+
+
+def test_gates():
+    with pytest.raises(ValueError, match="not a PDF"):
+        pdf.extract_text(b"hello")
+    with pytest.raises(ValueError, match="encrypted"):
+        pdf.extract_text(b"%PDF-1.4\n/Encrypt 5 0 R\ntrailer\n")
+    lzw = (b"%PDF-1.4\n<< /Filter /LZWDecode /Length 4 >>\nstream\nXXXX"
+           b"\nendstream")
+    with pytest.raises(NotImplementedError, match="LZW"):
+        pdf.extract_text(lzw)
+    with pytest.raises(ValueError, match="Flate"):
+        pdf.extract_text(
+            b"%PDF-1.4\n<< /Filter /FlateDecode /Length 4 >>\nstream\nXXXX"
+            b"\nendstream"
+        )
+
+
+def test_image_streams_skipped():
+    body = (b"%PDF-1.4\n<< /Filter /DCTDecode /Length 4 >>\nstream\n\xff\xd8cd"
+            b"\nendstream\n<< /Length 20 >>\nstream\nBT (ok) Tj ET\nendstream")
+    assert pdf.extract_text(body) == "ok"
+
+
+def test_distributed_extraction(spark):
+    from graph_db_clustering_spark.operators import text as text_ops
+
+    rows = [
+        (i, bytearray(pdf.encode([[f"document {i} body"]])))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r.doc_id: r.text
+        for r in text_ops.extract_pdf_text(df, "doc_id", "content").collect()
+    }
+    assert got == {i: f"document {i} body" for i in range(8)}
