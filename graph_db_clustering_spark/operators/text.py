@@ -849,3 +849,53 @@ def extract_pdf_text(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return narrow.mapInPandas(extract, out_schema).select(
         F.col("id").alias(id_col), "text"
     )
+
+
+def extract_document(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Format-sniffing document extraction: each binary payload routes by
+    magic — %PDF -> the PDF extractor, '<'-leading markup -> the HTML
+    chain, anything else decodes as UTF-8 plain text (errors replaced).
+    One Arrow pass; returns (id, format, text). The front door a mixed
+    crawl dump goes through before the text pipeline."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.functions import pdf as pdf_codec
+
+    def extract(batches):
+        for b in batches:
+            ids, fmts, texts = [], [], []
+            for rid, content in zip(b["id"], b["content"]):
+                raw = bytes(content)
+                ids.append(int(rid))
+                if raw.startswith(b"%PDF-"):
+                    fmts.append("pdf")
+                    texts.append(pdf_codec.extract_text(raw))
+                elif raw.lstrip()[:1] == b"<":
+                    fmts.append("html")
+                    texts.append(raw.decode("utf-8", errors="replace"))
+                else:
+                    fmts.append("text")
+                    texts.append(raw.decode("utf-8", errors="replace"))
+            yield pd.DataFrame({"id": ids, "format": fmts, "text": texts})
+
+    narrow = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    routed = narrow.mapInPandas(extract, out_schema)
+    # HTML bodies get the codegen extraction chain AFTER the Python pass
+    # (the chain is Catalyst, keep it out of the UDF)
+    return routed.select(
+        F.col("id").alias(id_col),
+        "format",
+        F.when(
+            F.col("format") == "html", html_text_expr(F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )

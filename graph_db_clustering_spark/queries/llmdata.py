@@ -1130,3 +1130,51 @@ def pdf_extract(spark, sf_dir):
     )
     out = text.extract_pdf_text(pdfs, "doc_id", "content")
     return out.select("doc_id", F.md5("text").alias("text_md5")).orderBy("doc_id")
+
+
+@declared(
+    "extract_document",
+    "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS format, "
+    "md5(" + _WS_NORM.format(col="text") + ") AS text_md5 "
+    "FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id",
+)
+def extract_document_q(spark, sf_dir):
+    """Format-sniffing extraction front door (text.extract_document):
+    a MIXED corpus — even ids wrapped as Flate PDFs, odd ids as full
+    HTML pages — routes by magic per row and every document must come
+    back md5-exact after whitespace normalization (ground truth against
+    the source table for both branches at once)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.functions import pdf as pdf_codec
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+
+    def build(batches):
+        for b in batches:
+            ids, blobs = [], []
+            for rid, t in zip(b["doc_id"], b["text"]):
+                rid = int(rid)
+                ids.append(rid)
+                if rid % 2 == 0:
+                    blobs.append(bytearray(pdf_codec.encode([[str(t)]])))
+                else:
+                    esc = (str(t).replace("&", "&amp;")
+                           .replace("<", "&lt;").replace(">", "&gt;"))
+                    blobs.append(bytearray(
+                        ("<html><head><script>x=1;</script></head><body><p>"
+                         + esc + "</p></body></html>").encode()))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    mixed = docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    out = text.extract_document(mixed, "doc_id", "content")
+    return out.select(
+        "doc_id", "format", F.md5(_norm_ws(F.col("text"))).alias("text_md5")
+    ).orderBy("doc_id")

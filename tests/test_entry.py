@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 152
-DOCUMENTED_ORACLES = 129
+DOCUMENTED_QUERIES = 153
+DOCUMENTED_ORACLES = 130
 
 
 def test_ledger_counts_match():

@@ -61,3 +61,23 @@ def test_distributed_extraction(spark):
         for r in text_ops.extract_pdf_text(df, "doc_id", "content").collect()
     }
     assert got == {i: f"document {i} body" for i in range(8)}
+
+
+def test_extract_document_routes_by_magic(spark):
+    from graph_db_clustering_spark.operators import text as text_ops
+
+    rows = [
+        (1, bytearray(pdf.encode([["pdf body"]]))),
+        (2, bytearray(b"<html><body><p>html body</p></body></html>")),
+        (3, bytearray("plain body".encode())),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r.doc_id: (r.format, r.text)
+        for r in text_ops.extract_document(df, "doc_id", "content").collect()
+    }
+    assert got == {
+        1: ("pdf", "pdf body"),
+        2: ("html", "html body"),
+        3: ("text", "plain body"),
+    }

@@ -256,6 +256,8 @@ def test_binary_decoders_fail_controlled_on_garbage(blob, which):
     from graph_db_clustering_spark.operators import multimodal as M
     from graph_db_clustering_spark.sources import avro, warc
 
+    from graph_db_clustering_spark.functions import pdf
+
     decoders = [
         lambda b: list(warc._records_in(b)),
         avro.decode_container,
@@ -263,7 +265,7 @@ def test_binary_decoders_fail_controlled_on_garbage(blob, which):
         png.decode,
         jpeg.decode,
         si.decode_tiff,
-        si.decode_bmp,
+        pdf.extract_text,
     ]
     try:
         decoders[which](blob)
