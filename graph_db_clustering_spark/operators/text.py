@@ -899,3 +899,51 @@ def extract_document(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
             F.col("format") == "html", html_text_expr(F.col("text"))
         ).otherwise(F.col("text")).alias("text"),
     )
+
+
+def decode_bytes(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Charset-sniffing byte decoding -> (id, encoding, text): crawl
+    payloads arrive without trustworthy charset labels, so decode by
+    evidence — BOMs first (UTF-8-sig / UTF-16 LE/BE), then strict UTF-8
+    validation (a multi-byte sequence that validates is UTF-8 with
+    near-certainty), then Latin-1 as the total fallback (every byte
+    string decodes, matching how browsers treat legacy content). One
+    Arrow pass; no per-row Python beyond the codec calls themselves."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def decode(batches):
+        for b in batches:
+            ids, encs, texts = [], [], []
+            for rid, content in zip(b["id"], b["content"]):
+                raw = bytes(content)
+                ids.append(int(rid))
+                if raw[:3] == b"\xef\xbb\xbf":
+                    encs.append("utf-8-sig")
+                    texts.append(raw[3:].decode("utf-8", errors="replace"))
+                elif raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                    enc = "utf-16-le" if raw[:2] == b"\xff\xfe" else "utf-16-be"
+                    encs.append(enc)
+                    texts.append(raw[2:].decode(enc, errors="replace"))
+                else:
+                    try:
+                        texts.append(raw.decode("utf-8"))
+                        encs.append("utf-8")
+                    except UnicodeDecodeError:
+                        encs.append("latin-1")
+                        texts.append(raw.decode("latin-1"))
+            yield pd.DataFrame({"id": ids, "encoding": encs, "text": texts})
+
+    narrow = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("encoding", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return narrow.mapInPandas(decode, out_schema).select(
+        F.col("id").alias(id_col), "encoding", "text"
+    )

@@ -1178,3 +1178,48 @@ def extract_document_q(spark, sf_dir):
     return out.select(
         "doc_id", "format", F.md5(_norm_ws(F.col("text"))).alias("text_md5")
     ).orderBy("doc_id")
+
+
+@declared(
+    "decode_bytes",
+    "SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le' "
+    "ELSE 'latin-1' END AS encoding, md5(text || ' é') AS text_md5 "
+    "FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id",
+)
+def decode_bytes_q(spark, sf_dir):
+    """Charset sniffing (text.decode_bytes) over a MIXED-encoding corpus:
+    each document (suffixed with a non-ASCII char so UTF-8 vs Latin-1 is
+    decidable) encodes per id as plain UTF-8, BOM'd UTF-16-LE, or
+    Latin-1; detection must name the encoding and the decoded text must
+    md5-match the source ground truth."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+
+    def build(batches):
+        for b in batches:
+            ids, blobs = [], []
+            for rid, t in zip(b["doc_id"], b["text"]):
+                rid = int(rid)
+                s = str(t) + " é"
+                ids.append(rid)
+                if rid % 3 == 0:
+                    blobs.append(bytearray(s.encode("utf-8")))
+                elif rid % 3 == 1:
+                    blobs.append(bytearray(b"\xff\xfe" + s.encode("utf-16-le")))
+                else:
+                    blobs.append(bytearray(s.encode("latin-1")))
+            yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+    mixed = docs.select("doc_id", "text").mapInPandas(
+        build,
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    out = text.decode_bytes(mixed, "doc_id", "content")
+    return out.select(
+        "doc_id", "encoding", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")

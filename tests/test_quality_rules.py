@@ -190,3 +190,28 @@ def test_snapshot_vacuum_keeps_last_n(spark, tmp_path):
     assert maintenance.snapshot_versions(path) == [3, 4]
     assert maintenance.snapshot_read(spark, path, version=3).count() == 3
     assert not os.path.exists(os.path.join(path, "v=1"))
+
+
+def test_decode_bytes_sniffs_encodings(spark):
+    from graph_db_clustering_spark.operators import text as text_ops
+
+    s = "héllo wörld"
+    rows = [
+        (1, bytearray(b"\xef\xbb\xbf" + s.encode("utf-8"))),
+        (2, bytearray(b"\xff\xfe" + s.encode("utf-16-le"))),
+        (3, bytearray(b"\xfe\xff" + s.encode("utf-16-be"))),
+        (4, bytearray(s.encode("utf-8"))),
+        (5, bytearray(s.encode("latin-1"))),  # invalid as UTF-8
+        (6, bytearray(b"pure ascii")),  # valid UTF-8 (and ASCII)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r.doc_id: (r.encoding, r.text)
+        for r in text_ops.decode_bytes(df, "doc_id", "content").collect()
+    }
+    assert got[1] == ("utf-8-sig", s)
+    assert got[2] == ("utf-16-le", s)
+    assert got[3] == ("utf-16-be", s)
+    assert got[4] == ("utf-8", s)
+    assert got[5] == ("latin-1", s)
+    assert got[6] == ("utf-8", "pure ascii")
