@@ -21,9 +21,21 @@ from __future__ import annotations
 import re
 import zlib
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
-# text-showing ops: (str) Tj, (str) ', [ ... ] TJ; line-break ops
-_TJ_RE = re.compile(rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|')|\[(?:\\.|[^\]])*?\]\s*TJ|T[dD*]")
+# the head dict must not span ACROSS other objects' dicts: [^<>] forbids
+# crossing a '>> ... <<' boundary while one nesting level of inner dicts
+# (e.g. /Resources << ... >>) stays allowed
+_STREAM_RE = re.compile(
+    rb"<<((?:[^<>]|<<[^<>]*>>)*)>>\s*stream\r?\n(.*?)endstream", re.S
+)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# text-showing ops: (str) Tj, (str) ', [ ... ] TJ; line-break ops.
+# Inside a TJ array, (string) literals are matched ATOMICALLY so a ']'
+# inside a string cannot terminate the array early
+_TJ_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|')"
+    rb"|\[(?:\\.|\((?:\\.|[^\\()])*\)|[^\]])*?\]\s*TJ"
+    rb"|T[dD*]"
+)
 _LIT_RE = re.compile(rb"\((?:\\.|[^\\()])*\)")
 
 _ESCAPES = {
@@ -48,9 +60,11 @@ def _unescape(lit: bytes) -> bytes:
         if nxt in _ESCAPES:
             out += _ESCAPES[nxt]
             i += 2
-        elif nxt.isdigit():
+        elif nxt and nxt in b"01234567":
+            # octal escapes take OCTAL digits only: \48 is \4 then '8',
+            # and \8 (below) drops the backslash per the spec
             j = i + 1
-            while j < min(i + 4, n) and lit[j : j + 1].isdigit():
+            while j < min(i + 4, n) and lit[j : j + 1] in b"01234567":
                 j += 1
             out.append(int(lit[i + 1 : j], 8) & 0xFF)
             i = j
@@ -66,12 +80,27 @@ def extract_text(data: bytes) -> str:
     """PDF bytes -> extracted text (one line per Td/TD/T* break)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (%PDF- header missing)")
-    if b"/Encrypt" in data[: data.rfind(b"trailer") + 4096 if b"trailer" in data else len(data)]:
+    # /Encrypt is meaningful only inside the TRAILER dictionary — a
+    # content stream mentioning the literal string must not be rejected
+    tm = None
+    for tm in re.finditer(rb"trailer\s*<<((?:[^<>]|<<[^<>]*>>)*)>>", data):
+        pass  # keep the LAST trailer (incremental updates)
+    if tm is not None and b"/Encrypt" in tm.group(1):
         raise ValueError("PDF is encrypted; extraction needs the decryption key")
     pieces: list[str] = []
     for m in _STREAM_RE.finditer(data):
         head, body = m.group(1), m.group(2)
-        body = body.rstrip(b"\r\n")
+        # trim to /Length when declared; otherwise strip exactly the ONE
+        # EOL before 'endstream' — a blanket rstrip would eat 0x0A/0x0D
+        # bytes belonging to the compressed data itself (review finding:
+        # ~0.8% of Flate streams end in \n or \r)
+        lm = _LENGTH_RE.search(head)
+        if lm and int(lm.group(1)) <= len(body):
+            body = body[: int(lm.group(1))]
+        elif body.endswith(b"\r\n"):
+            body = body[:-2]
+        elif body.endswith(b"\n") or body.endswith(b"\r"):
+            body = body[:-1]
         if b"/FlateDecode" in head:
             try:
                 body = zlib.decompress(body)
@@ -142,9 +171,11 @@ def encode(pages: list[list[str]], flate: bool = True) -> bytes:
             )
         )
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
-    assert add(
+    got_id = add(
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_ids))
-    ) == pages_id
+    )
+    if got_id != pages_id:  # NEVER an assert: python -O must not corrupt output
+        raise RuntimeError(f"pdf writer object numbering drifted: {got_id}")
     catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
 
     out = bytearray(b"%PDF-1.4\n")

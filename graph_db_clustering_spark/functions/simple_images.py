@@ -90,6 +90,7 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    317: "predictor", 320: "colormap",
 }
 _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
 
@@ -321,7 +322,27 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
         np.uint16 if bits == 16 else np.uint8
     )
     img = arr.reshape((h, w) if spp == 1 else (h, w, spp))
-    if one("photometric", 1) == 0:  # WhiteIsZero: invert
+    predictor = one("predictor", 1)
+    if predictor == 2:
+        # horizontal differencing: samples store deltas to the left
+        # neighbor — LZW/deflate TIFFs set this constantly; ignoring it
+        # silently decodes garbage (review finding)
+        wide = img.astype(np.int64)
+        img = np.cumsum(wide, axis=1).astype(img.dtype)  # mod 2^bits wrap
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    photometric = one("photometric", 1)
+    if photometric == 3:  # palette: indices -> ColorMap (16-bit per entry)
+        cmap = tags.get("colormap")
+        if not cmap or len(cmap) != 3 * (1 << bits):
+            raise ValueError("TIFF palette image without a valid ColorMap")
+        cm = (np.array(cmap, dtype=np.uint32).reshape(3, -1) >> 8).astype(
+            np.uint8
+        )
+        if img.ndim != 2:
+            raise ValueError("TIFF palette image must be single-sample")
+        img = np.stack([cm[c][img] for c in range(3)], axis=2)
+    elif photometric == 0:  # WhiteIsZero: invert
         img = ((1 << bits) - 1) - img
     return img
 

@@ -387,12 +387,17 @@ def init_centroids_parallel(
     for r in range(rounds):
         # d^2 to the nearest current candidate: the assign() machinery
         # (crossJoin(broadcast) + min-struct argmin; euclidean score IS
-        # the squared distance) — candidates stay broadcast-sized
-        scored = assign(
-            pts, cand_frame(), id_col="id", vec_col="vec", metric="euclidean"
-        ).select("id", F.col("score").alias("d2"))
+        # the squared distance) — candidates stay broadcast-sized.
+        # Persisted: the frame feeds BOTH the total and the filter, and
+        # without the barrier each consumer re-runs the full argmin pass
+        scored = (
+            assign(pts, cand_frame(), id_col="id", vec_col="vec", metric="euclidean")
+            .select("id", F.col("score").alias("d2"))
+            .persist()
+        )
         total = scored.agg(F.sum("d2")).first()[0] or 0.0
         if total <= 0:
+            scored.unpersist()
             break
         # deterministic coin: uniform in [0,1) from xxhash64(id, round)
         u = (
@@ -403,6 +408,7 @@ def init_centroids_parallel(
             u < F.least(F.lit(1.0), F.lit(float(l)) * F.col("d2") / F.lit(float(total)))
         )
         new_rows = pts.join(picked.select("id"), "id", "leftsemi").orderBy("id").collect()
+        scored.unpersist()
         cands.extend([[float(x) for x in row.vec] for row in new_rows])
 
     # weights: points owned by each candidate (one broadcast argmin pass)

@@ -869,8 +869,15 @@ def extract_document(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
                 raw = bytes(content)
                 ids.append(int(rid))
                 if raw.startswith(b"%PDF-"):
-                    fmts.append("pdf")
-                    texts.append(pdf_codec.extract_text(raw))
+                    # one unextractable PDF (encrypted, LZW, corrupt Flate)
+                    # must not kill the job — the front door marks it and
+                    # moves on (the probe discipline)
+                    try:
+                        texts.append(pdf_codec.extract_text(raw))
+                        fmts.append("pdf")
+                    except (ValueError, NotImplementedError):
+                        texts.append("")
+                        fmts.append("pdf-error")
                 elif raw.lstrip()[:1] == b"<":
                     fmts.append("html")
                     texts.append(raw.decode("utf-8", errors="replace"))

@@ -194,6 +194,12 @@ def _decode_blocks(blob, fields, codec, sync, pos) -> list[dict]:
     while pos < len(blob):
         count, pos = _read_varint(blob, pos)
         size, pos = _read_varint(blob, pos)
+        if count < 0 or size < 0:
+            # a negative size would walk pos BACKWARDS — an infinite
+            # loop, not an error, on a corrupt shard (review finding)
+            raise AvroError(
+                f"avro: negative block count/size ({count}/{size}) — corrupt"
+            )
         block = blob[pos : pos + size]
         pos += size
         if blob[pos : pos + 16] != sync:

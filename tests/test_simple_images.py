@@ -197,3 +197,60 @@ def test_tiff_lzw_roundtrip_and_width_growth():
     # smaller than raw on repetitive images
     flat = np.zeros((64, 64), np.uint8)
     assert len(simple_images.encode_tiff(flat, compression=5)) < 64 * 64 // 4
+
+
+def _hand_tiff(entries, payload, extra=b""):
+    """Handcraft a little-endian TIFF: header + IFD + extra arrays +
+    strip payload. entries: (tag, type, count, value_or_offset)."""
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, val in sorted(entries):
+        out += struct.pack("<HHI", tag, typ, count)
+        out += struct.pack("<I", val) if typ == 4 else struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)
+    out += extra
+    out += payload
+    return bytes(out)
+
+
+def test_tiff_horizontal_predictor():
+    """Predictor 2 (horizontal differencing) must un-difference — LZW
+    and deflate TIFFs set it routinely (review finding: it was silently
+    ignored)."""
+    img = np.array([[10, 15, 12], [200, 180, 250]], dtype=np.uint8)
+    diffed = np.diff(
+        np.concatenate([np.zeros((2, 1), np.int64), img.astype(np.int64)], axis=1),
+        axis=1,
+    ) % 256
+    payload = diffed.astype(np.uint8).tobytes()
+    hdr_len = 8 + 2 + 9 * 12 + 4
+    entries = [
+        (256, 4, 1, 3), (257, 4, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, hdr_len), (277, 3, 1, 1),
+        (279, 4, 1, len(payload)), (317, 3, 1, 2),
+    ]
+    got = simple_images.decode_tiff(_hand_tiff(entries, payload))
+    assert np.array_equal(got, img)
+
+
+def test_tiff_palette_photometric():
+    """Photometric 3: indices map through the 16-bit ColorMap."""
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    # 8-bit palette image: ColorMap = 3 * 256 SHORTs
+    cmap = np.zeros((3, 256), dtype=np.uint16)
+    cmap[:, 0] = (0xFF00, 0x0000, 0x0000)  # index 0 -> red
+    cmap[:, 1] = (0x0000, 0xFF00, 0x0000)  # index 1 -> green
+    cm_bytes = cmap.astype("<u2").tobytes()
+    hdr_len = 8 + 2 + 9 * 12 + 4
+    entries = [
+        (256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 3), (273, 4, 1, hdr_len + len(cm_bytes)), (277, 3, 1, 1),
+        (279, 4, 1, 4), (320, 3, 768, hdr_len),
+    ]
+    got = simple_images.decode_tiff(
+        _hand_tiff(entries, idx.tobytes(), extra=cm_bytes)
+    )
+    want = np.zeros((2, 2, 3), np.uint8)
+    want[idx == 0] = (255, 0, 0)
+    want[idx == 1] = (0, 255, 0)
+    assert np.array_equal(got, want)
