@@ -1321,3 +1321,101 @@ def image_probe(
 
     narrow = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
     return narrow.mapInPandas(probe, out_schema)
+
+
+def dhash(
+    df: DataFrame,
+    id_col: str = "image_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Perceptual difference-hash -> (id, phash: long). dHash: decode,
+    grayscale, nearest-resize to 9x8, and take the 64 horizontal
+    gradient signs as bits — near-identical images (recompression,
+    small edits) land within a few bits of each other, byte-identical
+    images hash identically. One Arrow pass over the usual multimodal
+    table shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, content, m in zip(pdf["id"], pdf["content"], pdf["meta"]):
+                arr = _decode_one(
+                    bytes(content), m["height"], m["width"], m["channels"], m["format"]
+                )
+                g = _grayscale(arr).astype(np.float64)
+                small = _resize_nn(g, 8, 9)
+                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                ids.append(int(rid))
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"id": ids, "phash": hashes})
+
+    narrow = df.select(
+        F.col(id_col).alias("id"),
+        F.col(content_col).alias("content"),
+        F.col(meta_col).alias("meta"),
+    )
+    return narrow.mapInPandas(hash_batch, out_schema)
+
+
+def image_near_dups(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes ->
+    (id1, id2, hamming). Banded equi-join, never all-pairs: the 64-bit
+    hash splits into `bands` equal slices; by pigeonhole, any pair
+    within hamming <= bands-1 shares at least one identical slice, so
+    recall is GUARANTEED for max_hamming <= bands-1 (the default 3/4;
+    raise `bands` for larger radii). Candidates verify on exact popcount
+    of the XOR — codegen end to end, no Python."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for guaranteed recall (pigeonhole)"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = hashes.select("id", "phash", F.explode(slices).alias("s")).select(
+        "id", "phash", F.col("s.band").alias("band"), F.col("s.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.phash").alias("h1"),
+            F.col("b.phash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cands.select(
+        "id1", "id2", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -191,3 +191,38 @@ def image_probe(spark, sf_dir):
         .select(F.col("id").alias("image_id"), "container", "width", "height")
         .orderBy("image_id")
     )
+
+
+@declared(
+    "image_near_dups",
+    """WITH d AS (SELECT doc_id, doc_id // 3 AS grp FROM documents
+          WHERE doc_id < 300)
+SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS BIGINT) AS hamming
+FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id
+ORDER BY id1, id2""",
+)
+def image_near_dups_q(spark, sf_dir):
+    """Perceptual image dedup (multimodal.dhash -> image_near_dups) at
+    hamming radius 0 with PLANTED duplicates: every group of three
+    consecutive ids renders its group leader's text (the corpus itself
+    has no exact text dups), images are a pure function of text, so the
+    hamming-0 pair set must equal exactly the within-group pairs — a
+    closed-form ground truth that fails on hash instability, banding
+    recall loss, or an (observable, deterministic) dhash collision. The
+    banded join never goes all-pairs; radius>0 recall is
+    pigeonhole-guaranteed and pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    leaders = docs.select(
+        F.col("doc_id").alias("leader_id"), F.col("text").alias("leader_text")
+    )
+    grouped = docs.select(
+        "doc_id", (F.floor(F.col("doc_id") / 3) * 3).alias("leader_id")
+    ).join(leaders, "leader_id")
+    imgs = multimodal.synthetic_images_from_documents(
+        grouped.select("doc_id", F.col("leader_text").alias("text")),
+        "doc_id",
+        "text",
+        side=16,
+    )
+    hashes = multimodal.dhash(imgs)
+    return multimodal.image_near_dups(hashes, max_hamming=0).orderBy("id1", "id2")

@@ -604,3 +604,61 @@ def test_audio_probe_ogg_and_unknown():
     c, r, ch, dur = M._probe_one(ogg)
     assert (c, r, ch, dur) == ("ogg", 22050, 2, None)
     assert M._probe_one(b"\x00" * 64)[0] == "unknown"
+
+
+def test_dhash_identical_and_perturbed_images(spark, images):
+    """Byte-identical images hash identically; a lightly perturbed copy
+    stays within a few bits; an unrelated image is far."""
+    rows = images.limit(2).collect()
+    base = np.frombuffer(bytes(rows[0].content), dtype=np.uint8).reshape(16, 16)
+    near = base.copy()
+    near[0, 0] = near[0, 0] ^ 1  # one-pixel wiggle
+    other = np.frombuffer(bytes(rows[1].content), dtype=np.uint8).reshape(16, 16)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(base.tobytes()), (16, 16, 1, "raw")),
+            (2, bytearray(base.tobytes()), (16, 16, 1, "raw")),
+            (3, bytearray(near.tobytes()), (16, 16, 1, "raw")),
+            (4, bytearray(other.tobytes()), (16, 16, 1, "raw")),
+        ],
+        "image_id long, content binary, "
+        "meta struct<height:int,width:int,channels:int,format:string>",
+    )
+    h = {r.id: r.phash for r in M.dhash(df).collect()}
+    assert h[1] == h[2]
+    pop = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert pop(h[1], h[3]) <= 3
+    assert pop(h[1], h[4]) > 10
+
+
+def test_image_near_dups_pigeonhole_and_verify(spark, images):
+    from graph_db_clustering_spark.operators.multimodal import image_near_dups
+
+    rows = images.limit(3).collect()
+    imgs = [
+        np.frombuffer(bytes(r.content), dtype=np.uint8).reshape(16, 16)
+        for r in rows
+    ]
+    near = imgs[0].copy()
+    near[3, 3] ^= 2
+    data = [
+        (1, imgs[0]), (2, imgs[0]), (3, near), (4, imgs[1]), (5, imgs[2]),
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, bytearray(a.tobytes()), (16, 16, 1, "raw"))
+            for i, a in data
+        ],
+        "image_id long, content binary, "
+        "meta struct<height:int,width:int,channels:int,format:string>",
+    )
+    hashes = M.dhash(df)
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in image_near_dups(hashes, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # byte-identical clones
+    assert (1, 3) in pairs and (2, 3) in pairs  # perturbed copy found
+    assert all(not (p[0] in (4, 5) or p[1] in (4, 5)) or h == 0 for p, h in pairs.items() if p not in [(1,2),(1,3),(2,3)])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_near_dups(hashes, max_hamming=4, bands=4)
