@@ -95,3 +95,33 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         )
         .select("keep_id", "canonical_url", "n_variants")
     )
+
+
+def sitemap_urls(spark, path: str):
+    """Sitemap XML -> (loc, lastmod, changefreq, priority), canonicalized.
+
+    The crawl frontier's seed source: <urlset><url>... entries parse
+    through the native XML reader (one row per <url>, explicit schema —
+    no inference pass), then the URL canonicalization chain normalizes
+    `loc` so frontier dedup keys match the corpus's canonical form.
+    Sitemap INDEX files (<sitemapindex><sitemap>) read the same way with
+    row_tag='sitemap'."""
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.sources.files import read_xml
+
+    schema = T.StructType(
+        [
+            T.StructField("loc", T.StringType()),
+            T.StructField("lastmod", T.StringType()),
+            T.StructField("changefreq", T.StringType()),
+            T.StructField("priority", T.DoubleType()),
+        ]
+    )
+    urls = read_xml(spark, path, row_tag="url", schema=schema)
+    return urls.select(
+        url_canonicalize_expr(F.col("loc")).alias("loc"),
+        "lastmod",
+        "changefreq",
+        "priority",
+    )
