@@ -1367,6 +1367,59 @@ def dhash(
     return narrow.mapInPandas(hash_batch, out_schema)
 
 
+def _banded(hashes: DataFrame, id_alias: str, hash_alias: str, bands: int) -> DataFrame:
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return hashes.select(
+        F.col("id").alias(id_alias),
+        F.col("phash").alias(hash_alias),
+        F.explode(slices).alias("s"),
+    ).select(
+        id_alias, hash_alias, F.col("s.band").alias("band"), F.col("s.key").alias("key")
+    )
+
+
+def image_near_dups_against(
+    new_hashes: DataFrame,
+    index_hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Bipartite perceptual near-dup check: (new_id, index_id, hamming)
+    for every new image within `max_hamming` of an INDEXED one — the
+    "new crawl vs history" shape. Same pigeonhole-banded equi-join as
+    image_near_dups (recall guaranteed for max_hamming <= bands-1,
+    never all-pairs; an OR-of-band-equalities join would degenerate to
+    a nested loop, which is why both sides explode to (band, key)
+    rows)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for guaranteed recall (pigeonhole)"
+        )
+    a = _banded(new_hashes, "new_id", "new_phash", bands)
+    b = _banded(index_hashes, "index_id", "index_phash", bands)
+    ham = F.bit_count(F.col("new_phash").bitwiseXOR(F.col("index_phash")))
+    return (
+        a.join(b, ["band", "key"])
+        .select("new_id", "index_id", "new_phash", "index_phash")
+        .distinct()
+        .select("new_id", "index_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def image_near_dups(
     hashes: DataFrame, max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:

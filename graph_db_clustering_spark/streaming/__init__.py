@@ -15,7 +15,7 @@ from graph_db_clustering_spark.streaming.ops import (
     stream_static_join,
     tumbling_counts,
 )
-from graph_db_clustering_spark.streaming.ann import ann_serve_stream
+from graph_db_clustering_spark.streaming.ann import ann_serve_stream, image_dedup_stream
 from graph_db_clustering_spark.streaming.crawl import (
     extract_pages_stream,
     read_warc_stream,
@@ -33,6 +33,7 @@ __all__ = [
     "run_available_now",
     "read_warc_stream",
     "ann_serve_stream",
+    "image_dedup_stream",
     "extract_pages_stream",
     "tumbling_counts",
     "sliding_counts",

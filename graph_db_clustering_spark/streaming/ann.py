@@ -69,3 +69,51 @@ def ann_serve_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def image_dedup_stream(
+    image_stream: DataFrame,
+    index_hashes: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+):
+    """Streaming perceptual image dedup: each arriving micro-batch of
+    images hashes (multimodal.dhash) and joins against a STATIC indexed
+    hash set via the pigeonhole-banded Hamming join — the cross_dedup
+    "new crawl vs history" shape for images. Flagged (new_id, index_id,
+    hamming) rows land exactly-once per micro-batch (dynamic partition
+    overwrite, the decontaminate_stream pattern). The index side is
+    prepared once for the stream's lifetime; no training, no all-pairs."""
+    from graph_db_clustering_spark.operators import multimodal
+
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1}"
+        )
+    idx = index_hashes.persist()
+    idx.count()
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        new_hashes = multimodal.dhash(batch_df)
+        flagged = multimodal.image_near_dups_against(
+            new_hashes, idx, max_hamming=max_hamming, bands=bands
+        )
+        (
+            flagged.withColumn("__batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_path)
+        )
+
+    return (
+        image_stream.writeStream.foreachBatch(check_batch)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "img_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -517,3 +517,56 @@ def test_avro_stream_matches_batch(spark, tmp_path):
         for r in pyavro.read_avro(spark, str(landing)).collect()
     )
     assert got == want and len(got) == 12
+
+
+def test_image_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming perceptual dedup: image micro-batches checked against a
+    static indexed hash set must flag exactly the batch bipartite-join
+    result, exactly once, across replayed chunks."""
+    from graph_db_clustering_spark.operators import multimodal
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 60)
+    # index = images of docs 0..29; stream = images of docs 30..59, where
+    # each streamed doc RENDERS the text of (doc_id - 30) -> every
+    # streamed image duplicates exactly one indexed image
+    idx_imgs = multimodal.synthetic_images_from_documents(
+        docs.filter(F.col("doc_id") < 30), "doc_id", "text"
+    )
+    index_hashes = multimodal.dhash(idx_imgs)
+    leaders = docs.select(
+        (F.col("doc_id") + 30).alias("doc_id2"), F.col("text").alias("ltext")
+    )
+    new_docs = (
+        docs.filter(F.col("doc_id") >= 30)
+        .join(leaders, F.col("doc_id") == F.col("doc_id2"))
+        .select("doc_id", F.col("ltext").alias("text"))
+    )
+    new_imgs = multimodal.synthetic_images_from_documents(new_docs, "doc_id", "text")
+
+    staged = str(tmp_path / "imgs")
+    new_imgs.repartitionByRange(3, "image_id").write.parquet(staged)
+    stream = (
+        spark.readStream.schema(new_imgs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    from graph_db_clustering_spark.streaming.ann import image_dedup_stream
+
+    out = str(tmp_path / "flagged")
+    q = image_dedup_stream(
+        stream, index_hashes, out, str(tmp_path / "ck"), max_hamming=0
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.new_id, r.index_id, r.hamming)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.new_id, r.index_id, r.hamming)
+        for r in multimodal.image_near_dups_against(
+            multimodal.dhash(new_imgs), index_hashes, max_hamming=0
+        ).collect()
+    )
+    assert got == want
+    assert len(got) >= 30  # every streamed image matches its leader
+    assert {(n, i) for n, i, _ in got} >= {(i + 30, i) for i in range(30)}
