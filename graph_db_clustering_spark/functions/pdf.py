@@ -4,10 +4,11 @@ PDFs are a first-class training-data source; the extraction path here
 covers the simple-but-common profile: content streams stored raw or
 FlateDecode-compressed, text shown with Tj / TJ / ' operators in
 (string) literals using the standard escapes (\\( \\) \\\\ \\n \\r \\t
-and octal \\ddd), with Td/TD/T* treated as line breaks. Out of scope —
-documented, not silent: CID/Type0 composite fonts and hex <...> strings
-(extracted as empty), encrypted PDFs (ValueError), LZW streams
-(NotImplementedError). For those, a real deployment plugs a full parser
+and octal \\ddd), with Td/TD/T* treated as line breaks. Hex <...> string
+literals decode (single-byte Latin-1 interpretation). Out of scope —
+documented, not silent: CID/Type0 composite fonts (hex strings under a
+CID font decode per-byte, not per-CID), encrypted PDFs (ValueError),
+LZW streams (NotImplementedError). For those, a real deployment plugs a full parser
 into the same Arrow-batched operator (operators/text.extract_pdf_text);
 this module makes the common case REAL end to end and testable.
 
@@ -32,11 +33,11 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 # Inside a TJ array, (string) literals are matched ATOMICALLY so a ']'
 # inside a string cannot terminate the array early
 _TJ_RE = re.compile(
-    rb"\((?:\\.|[^\\()])*\)\s*(?:Tj|')"
-    rb"|\[(?:\\.|\((?:\\.|[^\\()])*\)|[^\]])*?\]\s*TJ"
+    rb"(?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)\s*(?:Tj|')"
+    rb"|\[(?:\\.|\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|[^\]])*?\]\s*TJ"
     rb"|T[dD*]"
 )
-_LIT_RE = re.compile(rb"\((?:\\.|[^\\()])*\)")
+_LIT_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -119,7 +120,15 @@ def extract_text(data: bytes) -> str:
                     line = []
                 continue
             for lit in _LIT_RE.finditer(tok):
-                line.append(_unescape(lit.group(0)[1:-1]).decode("latin-1"))
+                raw = lit.group(0)
+                if raw[:1] == b"<":  # hex string: whitespace allowed,
+                    # odd digit count pads a trailing 0 (the spec)
+                    hx = re.sub(rb"\s", b"", raw[1:-1])
+                    if len(hx) % 2:
+                        hx += b"0"
+                    line.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                else:
+                    line.append(_unescape(raw[1:-1]).decode("latin-1"))
         if line:
             pieces.append("".join(line))
     return "\n".join(pieces)

@@ -124,3 +124,11 @@ def test_flate_stream_with_newline_tail_byte():
             break
     assert line is not None
     assert pdf.extract_text(pdf.encode([[line]])) == line
+
+
+def test_hex_string_literals():
+    body = (b"%PDF-1.4\n<< /Length 64 >>\nstream\n"
+            b"BT <48656C6C 6F> Tj T* [(a) <2062> (c)] TJ T* <41> Tj ET"
+            b"\nendstream")
+    # odd-digit hex pads a trailing zero: <41> -> 'A'; <2062> -> ' b'
+    assert pdf.extract_text(body) == "Hello\na bc\nA"
