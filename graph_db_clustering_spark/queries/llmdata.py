@@ -1223,3 +1223,53 @@ def decode_bytes_q(spark, sf_dir):
     return out.select(
         "doc_id", "encoding", F.md5("text").alias("text_md5")
     ).orderBy("doc_id")
+
+
+@declared(
+    "archive_ingest",
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents "
+    "WHERE doc_id % 6 = 0 ORDER BY doc_id",
+)
+def archive_ingest(spark, sf_dir):
+    """Archive ingestion end to end (sources/archive): documents pack
+    into deflated ZIP blobs executor-side (one member per doc, id in the
+    member name), the member parser reads them back, and every text must
+    md5-match the source table — ground truth through the container."""
+    import io
+    import zipfile
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.sources import archive
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    sharded = docs.select(
+        "doc_id", "text", F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("shard")
+    ).repartition("shard")
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for r in pdf.itertuples():
+                zf.writestr(f"doc/{int(r.doc_id)}.txt", str(r.text))
+        return pd.DataFrame(
+            {
+                "path": [f"shard-{int(key[0])}.zip"],
+                "content": [bytearray(buf.getvalue())],
+            }
+        )
+
+    blobs = sharded.groupBy("shard").applyInPandas(
+        build,
+        T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.BinaryType()),
+        ]),
+    )
+    members = archive.parse_archives(blobs, member_suffix=".txt")
+    return members.select(
+        F.regexp_extract("name", r"doc/(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        F.md5(F.col("content").cast("string")).alias("text_md5"),
+    ).orderBy("doc_id")
