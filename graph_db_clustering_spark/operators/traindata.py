@@ -667,3 +667,39 @@ def domain_counts(df: DataFrame, domain_col: str) -> dict[str, int]:
         r[0]: int(r[1])
         for r in df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
     }
+
+
+def interleave_corpora(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str,
+) -> DataFrame:
+    """Deterministic weighted interleaving of N corpora into one global
+    training order -> original columns + (source_idx, train_order).
+
+    Stride scheduling (the deterministic core of HF interleave_datasets
+    probabilities): source i's k-th document (k = its dense rank by
+    id) gets virtual time (k+1)/w_i, and the global order sorts by
+    (virtual time, source_idx, id) — so over any prefix, source shares
+    converge to the weights, with no RNG and full reproducibility.
+    Each source pays one window rank over its own rows; the global
+    order is a sort key, not a shuffle to one partition — downstream
+    sharding (deterministic_shuffle) consumes train_order as a column."""
+    from pyspark.sql import Window
+
+    if not sources or any(w <= 0 for _, w in sources):
+        raise ValueError("interleave_corpora needs sources with positive weights")
+    parts = []
+    for i, (df, w) in enumerate(sources):
+        rk = F.row_number().over(Window.orderBy(id_col)) - 1
+        parts.append(
+            df.withColumn("source_idx", F.lit(i)).withColumn(
+                "__vt", (rk + 1) / F.lit(float(w))
+            )
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    order = Window.orderBy("__vt", "source_idx", id_col)
+    return merged.withColumn(
+        "train_order", F.row_number().over(order) - 1
+    ).drop("__vt")

@@ -299,3 +299,30 @@ def duplicate_spans(spark, sf_dir):
     return traindata.duplicate_spans(d, "doc_id", "text", span=8).orderBy(
         "doc_id", "pos"
     )
+
+
+@declared(
+    "interleave_corpora",
+    """WITH a AS (SELECT doc_id,
+          (ROW_NUMBER() OVER (ORDER BY doc_id)) / 2.0 AS vt
+     FROM documents WHERE source = 'src0'),
+b AS (SELECT doc_id,
+          (ROW_NUMBER() OVER (ORDER BY doc_id)) / 1.0 AS vt
+     FROM documents WHERE source = 'src1'),
+u AS (SELECT doc_id, 0 AS source_idx, vt FROM a
+      UNION ALL SELECT doc_id, 1, vt FROM b)
+SELECT doc_id, CAST(source_idx AS INT) AS source_idx,
+       CAST(ROW_NUMBER() OVER (ORDER BY vt, source_idx, doc_id) - 1 AS INT)
+         AS train_order
+FROM u ORDER BY doc_id""",
+)
+def interleave_corpora_q(spark, sf_dir):
+    """Weighted corpus interleaving (traindata.interleave_corpora,
+    stride scheduling): src0 at weight 2 and src1 at weight 1 merge
+    into one deterministic training order; the oracle recomputes the
+    virtual-time schedule with SQL window functions."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") == "src0").select("doc_id")
+    b = d.filter(F.col("source") == "src1").select("doc_id")
+    out = traindata.interleave_corpora([(a, 2.0), (b, 1.0)], "doc_id")
+    return out.select("doc_id", "source_idx", "train_order").orderBy("doc_id")

@@ -534,3 +534,22 @@ def test_temperature_weights_math_and_composition(spark):
     got = {r[0]: r[1] for r in mixed.groupBy("domain").count().collect()}
     # flattened mix: web no longer ~8x books
     assert got["web"] / max(got["books"], 1) < 5
+
+
+def test_interleave_corpora_stride_schedule(spark):
+    from graph_db_clustering_spark.operators import traindata as td
+
+    a = spark.createDataFrame([(i, "a") for i in range(8)], "doc_id long, src string")
+    b = spark.createDataFrame([(100 + i, "b") for i in range(4)], "doc_id long, src string")
+    out = td.interleave_corpora([(a, 2.0), (b, 1.0)], "doc_id").orderBy("train_order")
+    seq = [r.src for r in out.collect()]
+    # 2:1 stride: every prefix holds ~2 a's per b; the first three are a,a,b
+    assert seq[:6] == ["a", "a", "b", "a", "a", "b"]
+    assert len(seq) == 12
+    # deterministic under repartitioning
+    out2 = td.interleave_corpora(
+        [(a.repartition(5), 2.0), (b.repartition(3), 1.0)], "doc_id"
+    ).orderBy("train_order")
+    assert [r.doc_id for r in out.collect()] == [r.doc_id for r in out2.collect()]
+    with pytest.raises(ValueError, match="positive weights"):
+        td.interleave_corpora([(a, 0.0)], "doc_id")
