@@ -1435,22 +1435,7 @@ def image_near_dups(
             f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
             "for guaranteed recall (pigeonhole)"
         )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("phash"), i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("key"),
-            )
-            for i in range(bands)
-        ]
-    )
-    banded = hashes.select("id", "phash", F.explode(slices).alias("s")).select(
-        "id", "phash", F.col("s.band").alias("band"), F.col("s.key").alias("key")
-    )
+    banded = _banded(hashes, "id", "phash", bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

@@ -672,34 +672,45 @@ def domain_counts(df: DataFrame, domain_col: str) -> dict[str, int]:
 def interleave_corpora(
     sources: list[tuple[DataFrame, float]],
     id_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic weighted interleaving of N corpora into one global
     training order -> original columns + (source_idx, train_order).
 
     Stride scheduling (the deterministic core of HF interleave_datasets
     probabilities): source i's k-th document (k = its dense rank by
-    id) gets virtual time (k+1)/w_i, and the global order sorts by
+    id_col [+ tiebreak_cols when ids repeat — without a total order the
+    schedule is only deterministic up to ties, the deterministic_shuffle
+    caveat]) gets virtual time (k+1)/w_i, and the global order sorts by
     (virtual time, source_idx, id) — so over any prefix, source shares
     converge to the weights, with no RNG and full reproducibility.
-    Each source pays one window rank over its own rows; the global
-    order is a sort key, not a shuffle to one partition — downstream
-    sharding (deterministic_shuffle) consumes train_order as a column."""
-    from pyspark.sql import Window
 
+    Scale shape: BOTH ranks — the per-source dense rank and the global
+    train_order — are global_cumsum of a constant (the two-pass
+    range-partitioned prefix-sum), never a single-partition
+    Window.orderBy; 100 TB of corpus never funnels through one task."""
     if not sources or any(w <= 0 for _, w in sources):
         raise ValueError("interleave_corpora needs sources with positive weights")
+    order_cols = [id_col] + (tiebreak_cols or [])
     parts = []
     for i, (df, w) in enumerate(sources):
-        rk = F.row_number().over(Window.orderBy(id_col)) - 1
+        ranked = global_cumsum(
+            df.withColumn("__one", F.lit(1)), order_cols, "__one", out="__rk"
+        )
         parts.append(
-            df.withColumn("source_idx", F.lit(i)).withColumn(
-                "__vt", (rk + 1) / F.lit(float(w))
-            )
+            ranked.withColumn("source_idx", F.lit(i))
+            .withColumn("__vt", F.col("__rk") / F.lit(float(w)))
+            .drop("__one", "__rk")
         )
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    order = Window.orderBy("__vt", "source_idx", id_col)
-    return merged.withColumn(
-        "train_order", F.row_number().over(order) - 1
-    ).drop("__vt")
+    ordered = global_cumsum(
+        merged.withColumn("__one", F.lit(1)),
+        ["__vt", "source_idx", *order_cols],
+        "__one",
+        out="__ord",
+    )
+    return ordered.withColumn(
+        "train_order", (F.col("__ord") - 1).cast("int")
+    ).drop("__one", "__ord", "__vt")

@@ -14,9 +14,11 @@ two formats is plain stdlib decoding.
 
 from __future__ import annotations
 
+import gzip
 import io
 import tarfile
 import zipfile
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -74,9 +76,12 @@ def parse_archives(binaries: DataFrame, member_suffix: str | None = None) -> Dat
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 blob = bytes(content)
                 arc = fpath.rsplit("/", 1)[-1]
+                # real ZIP magics only: a plain tar whose first member
+                # name starts with 'PK' must still route to tarfile
+                is_zip = blob[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08")
                 members = (
                     _zip_members(blob, member_suffix)
-                    if blob[:2] == b"PK"
+                    if is_zip
                     else _tar_members(blob, member_suffix)
                 )
                 try:
@@ -85,7 +90,13 @@ def parse_archives(binaries: DataFrame, member_suffix: str | None = None) -> Dat
                         rows["name"].append(name)
                         rows["size"].append(len(data))
                         rows["content"].append(data)
-                except (zipfile.BadZipFile, tarfile.TarError, EOFError) as e:
+                except (
+                    zipfile.BadZipFile,
+                    tarfile.TarError,
+                    EOFError,
+                    zlib.error,  # corrupt deflate bytes inside a member
+                    gzip.BadGzipFile,  # corrupt gzip body in a .tar.gz
+                ) as e:
                     raise ValueError(f"archive {arc!r} is corrupt: {e!r}")
             yield pd.DataFrame(rows)
 

@@ -659,6 +659,10 @@ def test_image_near_dups_pigeonhole_and_verify(spark, images):
     }
     assert pairs[(1, 2)] == 0  # byte-identical clones
     assert (1, 3) in pairs and (2, 3) in pairs  # perturbed copy found
-    assert all(not (p[0] in (4, 5) or p[1] in (4, 5)) or h == 0 for p, h in pairs.items() if p not in [(1,2),(1,3),(2,3)])
+    # NO pair may involve the unrelated images 4/5 at all — a hamming-0
+    # collision there would be the worst dedup false positive
+    assert all(
+        p[0] not in (4, 5) and p[1] not in (4, 5) for p in pairs
+    ), pairs
     with pytest.raises(ValueError, match="pigeonhole"):
         image_near_dups(hashes, max_hamming=4, bands=4)
