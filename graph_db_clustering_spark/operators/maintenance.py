@@ -160,3 +160,102 @@ def snapshot_vacuum(path: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(path, name))
             removed.append(v)
     return sorted(v for v in removed if v <= latest)
+
+
+def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style per-column statistics -> one row per column:
+    (column, n_rows, n_null, n_distinct, min_value, max_value) with the
+    extrema stringified so heterogeneous column types share one schema.
+
+    ONE aggregate job computes every column's stats (the agg list is
+    built per column; Catalyst evaluates them in a single pass with
+    map-side partials) — the stats pass a warehouse runs after loads to
+    feed pruning decisions and data-quality dashboards."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    out = [
+        (
+            c,
+            int(row[f"{c}__n"]),
+            int(row[f"{c}__nulls"]),
+            int(row[f"{c}__ndv"]),
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_null bigint, n_distinct bigint, "
+        "min_value string, max_value string",
+    )
+
+
+def check_constraints(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Deequ-style data-quality checks -> one row per rule:
+    (rule, violations, passed). Rules:
+      ("not_null", col)            null entries
+      ("unique", col)              rows beyond one per value
+      ("in_range", col, lo, hi)    non-null values outside [lo, hi]
+      ("matches", col, regex)      non-null values not fully matching
+      ("non_negative", col)        negative values
+
+    Violation counts for every rule except `unique` come from ONE
+    aggregate pass (conditional sums, map-side partials); each unique
+    rule adds one countDistinct in the same pass (violations =
+    non-null rows - distinct values). All codegen — a 100 TB
+    quality gate is one scan."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    names = []
+    for i, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        names.append(f"{kind}({', '.join(str(x) for x in rule[1:])})")
+        if kind == "not_null":
+            expr = F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+        elif kind == "unique":
+            expr = (
+                F.sum(F.when(F.col(col).isNotNull(), 1).otherwise(0))
+                - F.countDistinct(col)
+            )
+        elif kind == "in_range":
+            lo, hi = rule[2], rule[3]
+            expr = F.sum(
+                F.when(
+                    F.col(col).isNotNull()
+                    & ((F.col(col) < lo) | (F.col(col) > hi)),
+                    1,
+                ).otherwise(0)
+            )
+        elif kind == "matches":
+            expr = F.sum(
+                F.when(
+                    F.col(col).isNotNull() & ~F.col(col).rlike(rule[2]), 1
+                ).otherwise(0)
+            )
+        elif kind == "non_negative":
+            expr = F.sum(F.when(F.col(col) < 0, 1).otherwise(0))
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+        aggs.append(F.coalesce(expr, F.lit(0)).alias(f"r{i}"))
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    out = [
+        (names[i], int(row[f"r{i}"]), int(row[f"r{i}"]) == 0)
+        for i in range(len(rules))
+    ]
+    return spark.createDataFrame(
+        out, "rule string, violations bigint, passed boolean"
+    )

@@ -326,3 +326,67 @@ def interleave_corpora_q(spark, sf_dir):
     b = d.filter(F.col("source") == "src1").select("doc_id")
     out = traindata.interleave_corpora([(a, 2.0), (b, 1.0)], "doc_id")
     return out.select("doc_id", "source_idx", "train_order").orderBy("doc_id")
+
+
+@declared(
+    "column_stats",
+    """SELECT 'l_quantity' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       CAST(MIN(l_quantity) AS VARCHAR) AS min_value,
+       CAST(MAX(l_quantity) AS VARCHAR) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+       MIN(l_returnflag), MAX(l_returnflag)
+FROM lineitem ORDER BY "column" """,
+)
+def column_stats_q(spark, sf_dir):
+    """ANALYZE-style column statistics (maintenance.column_stats): one
+    aggregate pass computes every column's count/null/ndv/extrema; the
+    oracle recomputes each stat independently in SQL."""
+    from graph_db_clustering_spark.operators import maintenance
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return maintenance.column_stats(li, ["l_quantity", "l_returnflag"]).orderBy(
+        "column"
+    )
+
+
+@declared(
+    "dq_checks",
+    """SELECT * FROM (
+SELECT 'not_null(o_custkey)' AS rule,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            - COUNT(DISTINCT o_orderkey) AS BIGINT),
+       SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            - COUNT(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'non_negative(o_totalprice)',
+       CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0
+FROM orders) t ORDER BY rule""",
+)
+def dq_checks(spark, sf_dir):
+    """Deequ-style data-quality gate (maintenance.check_constraints):
+    not-null, uniqueness, and sign rules fold into ONE aggregate pass;
+    the oracle recomputes each rule independently."""
+    from graph_db_clustering_spark.operators import maintenance
+
+    o = load_table(spark, sf_dir, "orders")
+    return maintenance.check_constraints(
+        o,
+        [
+            ("not_null", "o_custkey"),
+            ("unique", "o_orderkey"),
+            ("non_negative", "o_totalprice"),
+        ],
+    ).orderBy("rule")
