@@ -511,3 +511,42 @@ def weighted_shortest_paths(
             "hop depth)"
         )
     return state
+
+
+def bipartite_project(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_common: int = 1,
+    max_right_degree: int | None = None,
+) -> DataFrame:
+    """Project a bipartite edge set onto its LEFT side -> weighted
+    co-occurrence edges (src, dst, common) with src < dst and common =
+    number of shared right-side neighbors (co-purchase / co-citation /
+    co-occurrence graphs).
+
+    Scale shape: one self-join keyed on the right column — each right
+    vertex of degree d contributes d*(d-1)/2 pairs, so a single hub
+    explodes quadratically; `max_right_degree` drops right vertices
+    above the cap BEFORE the join (the standard projection guard —
+    stop-words in co-occurrence, mega-SKUs in co-purchase), making the
+    per-key work bounded. The pair aggregate runs with map-side
+    partials; `min_common` prunes the long noise tail."""
+    e = edges.select(
+        F.col(left_col).alias("l"), F.col(right_col).alias("r")
+    ).distinct()
+    if max_right_degree is not None:
+        deg = e.groupBy("r").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") <= max_right_degree).select("r")
+        e = e.join(keep, "r", "leftsemi")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.r") == F.col("b.r")) & (F.col("a.l") < F.col("b.l")),
+        )
+        .groupBy(F.col("a.l").alias("src"), F.col("b.l").alias("dst"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )

@@ -818,3 +818,31 @@ def graph_weighted_paths(spark, sf_dir):
     return weighted_shortest_paths(g, sources, max_iter=40).select(
         "id", F.round("dist", 6).alias("dist")
     ).orderBy("id")
+
+
+@declared(
+    "graph_coproject",
+    f"""WITH e AS (SELECT DISTINCT o_custkey AS l,
+          DATE_TRUNC('month', o_orderdate) AS r
+     FROM orders WHERE o_custkey < 120)
+SELECT a.l AS src, b.l AS dst, CAST(COUNT(*) AS BIGINT) AS common
+FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
+GROUP BY a.l, b.l HAVING COUNT(*) >= 4
+ORDER BY src, dst""",
+)
+def graph_coproject(spark, sf_dir):
+    """Bipartite projection (graph_algos.bipartite_project): customers x
+    order-months project onto co-active customer pairs weighted by
+    shared months; the oracle recomputes the self-join + count in SQL.
+    min_common=4 keeps the declared surface to strongly co-active
+    pairs (~150-200 rows at the gate scales)."""
+    from graph_db_clustering_spark.operators.graph_algos import bipartite_project
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 120)
+    e = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    )
+    return bipartite_project(e, "cust", "month", min_common=4).orderBy(
+        "src", "dst"
+    )

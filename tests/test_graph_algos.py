@@ -412,3 +412,32 @@ def test_weighted_sssp_rejects_negative(spark):
     src = spark.createDataFrame([(0,)], "id long")
     with pytest.raises(ValueError, match="non-negative"):
         weighted_shortest_paths(g, src)
+
+
+def test_bipartite_project_known(spark):
+    from graph_db_clustering_spark.operators.graph_algos import bipartite_project
+
+    # customers x products: 1 and 2 share {p1, p2}; 3 shares p2 with both
+    rows = [(1, "p1"), (1, "p2"), (2, "p1"), (2, "p2"), (3, "p2"), (3, "p3")]
+    e = spark.createDataFrame(rows, "cust long, prod string")
+    got = {
+        (r.src, r.dst): r.common
+        for r in bipartite_project(e, "cust", "prod").collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    # min_common prunes the tail
+    strong = bipartite_project(e, "cust", "prod", min_common=2).collect()
+    assert [(r.src, r.dst, r.common) for r in strong] == [(1, 2, 2)]
+
+
+def test_bipartite_project_hub_guard(spark):
+    from graph_db_clustering_spark.operators.graph_algos import bipartite_project
+
+    # 'hub' is shared by everyone (quadratic without the guard)
+    rows = [(i, "hub") for i in range(20)] + [(1, "x"), (2, "x")]
+    e = spark.createDataFrame(rows, "cust long, prod string")
+    guarded = bipartite_project(e, "cust", "prod", max_right_degree=5)
+    got = [(r.src, r.dst, r.common) for r in guarded.collect()]
+    assert got == [(1, 2, 1)]  # only the non-hub co-occurrence survives
+    full = bipartite_project(e, "cust", "prod")
+    assert full.count() == 20 * 19 // 2  # unguarded: the quadratic blowup
