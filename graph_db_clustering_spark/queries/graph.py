@@ -846,3 +846,37 @@ def graph_coproject(spark, sf_dir):
     return bipartite_project(e, "cust", "month", min_common=4).orderBy(
         "src", "dst"
     )
+
+
+@declared(
+    "graph_pagerank_uniform",
+    f"""WITH v AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < {_CAP})
+SELECT id, ROUND(1.0 / (SELECT COUNT(*) FROM v), 8) AS rank
+FROM v ORDER BY id""",
+)
+def graph_pagerank_uniform(spark, sf_dir):
+    """PageRank with a CLOSED-FORM oracle: on the symmetrized same-nation
+    clique graph every component is regular, so inflow equals own rank
+    and the fixpoint is exactly uniform 1/N for every vertex regardless
+    of clique size — the driver gate scores the full damped power
+    iteration (teleport, inflow aggregation, convergence) against that
+    closed form. Complements graph_pagerank (directed edges, rows-only —
+    no closed form exists there)."""
+    from graph_db_clustering_spark.operators.graph_algos import pagerank
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nation"))
+    )
+    a = c.select(F.col("id").alias("src"), "nation")
+    b = c.select(F.col("id").alias("dst"), "nation")
+    edges = (
+        a.join(b, "nation")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.lit("same_nation").alias("relationship"))
+    )
+    g = Graph(c.select("id"), edges)
+    return pagerank(g, max_iter=30).select(
+        "id", F.round("rank", 8).alias("rank")
+    ).orderBy("id")
