@@ -226,3 +226,32 @@ def image_near_dups_q(spark, sf_dir):
     )
     hashes = multimodal.dhash(imgs)
     return multimodal.image_near_dups(hashes, max_hamming=0).orderBy("id1", "id2")
+
+
+@declared(
+    "audio_features_oracle",
+    "SELECT doc_id AS audio_id, CAST(1024 AS DOUBLE) AS n_samples, "
+    "CAST(0.128 AS DOUBLE) AS duration_s, "
+    "ROUND((0.25 + 0.05 * (doc_id % 10)) / sqrt(2.0), 2) AS rms, "
+    "ROUND(250.0 + 125.0 * (doc_id % 8), 1) AS centroid_hz "
+    "FROM documents WHERE doc_id % 10 = 0 ORDER BY audio_id",
+)
+def audio_features_oracle(spark, sf_dir):
+    """The audio DSP pipeline against CLOSED FORMS (sine fixture:
+    RMS = amp/sqrt(2), spectral centroid = the planted frequency —
+    integral periods put all energy in one FFT bin): decode, RMS, and
+    FFT centroid must hit the math to the declared rounding. RMS rounds
+    to 2 decimals because 16-bit PCM quantization perturbs the 6th
+    decimal (~1e-5); margins to every rounding boundary were checked
+    against the ten amp values. Complements the rows-only
+    audio_features entry (full 7-stat surface)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    audio = multimodal.synthetic_audio_from_documents(docs, "doc_id")
+    feats = multimodal.audio_features(audio, id_col="audio_id")
+    return feats.select(
+        F.col("id").alias("audio_id"),
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 2).alias("rms"),
+        F.round("spectral_centroid_hz", 1).alias("centroid_hz"),
+    ).orderBy("audio_id")
