@@ -255,3 +255,37 @@ def audio_features_oracle(spark, sf_dir):
         F.round("rms", 2).alias("rms"),
         F.round("spectral_centroid_hz", 1).alias("centroid_hz"),
     ).orderBy("audio_id")
+
+
+@declared(
+    "image_features_oracle",
+    "SELECT doc_id AS id, CAST(doc_id % 256 AS DOUBLE) AS mean, "
+    "CAST(0.0 AS DOUBLE) AS std, CAST(doc_id % 256 AS DOUBLE) AS median, "
+    "CAST(doc_id % 256 AS DOUBLE) AS min, CAST(doc_id % 256 AS DOUBLE) AS max, "
+    "CAST(1.0 AS DOUBLE) AS corrcoef, CAST(0.0 AS DOUBLE) AS covariance "
+    "FROM documents WHERE doc_id % 9 = 0 ORDER BY id",
+)
+def image_features_oracle(spark, sf_dir):
+    """The 7-stat image pipeline against CLOSED FORMS: per-document FLAT
+    16x16 raw images (every pixel = doc_id % 256, built in Catalyst —
+    unhex(repeat(hex(v)))), so mean/median/min/max equal the value, std
+    and row-0 covariance are exactly 0, corrcoef is the reference's
+    constant 1. Scores decode, grayscale, resize, and all seven stats
+    byte-exactly; image_features keeps the rows-only full-fixture
+    surface."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    byte_hex = F.lpad(F.hex(F.col("doc_id") % 256), 2, "0")
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.unhex(F.repeat(byte_hex, 256)).alias("content"),
+        F.struct(
+            F.lit(16).alias("height"),
+            F.lit(16).alias("width"),
+            F.lit(1).alias("channels"),
+            F.lit("raw").alias("format"),
+        ).alias("meta"),
+    )
+    feats = multimodal.image_features(imgs, resize_to=(8, 8))
+    return feats.select(
+        "id", "mean", "std", "median", "min", "max", "corrcoef", "covariance"
+    ).orderBy("id")
