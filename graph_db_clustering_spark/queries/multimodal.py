@@ -257,6 +257,24 @@ def audio_features_oracle(spark, sf_dir):
     ).orderBy("audio_id")
 
 
+def _flat_images(docs, mod: int):
+    """Per-document FLAT 16x16 raw image (every pixel = doc_id % 256),
+    built entirely in Catalyst — the closed-form fixture the *_oracle
+    image entries score against."""
+    docs = docs.filter(F.col("doc_id") % mod == 0)
+    byte_hex = F.lpad(F.hex(F.col("doc_id") % 256), 2, "0")
+    return docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.unhex(F.repeat(byte_hex, 256)).alias("content"),
+        F.struct(
+            F.lit(16).alias("height"),
+            F.lit(16).alias("width"),
+            F.lit(1).alias("channels"),
+            F.lit("raw").alias("format"),
+        ).alias("meta"),
+    )
+
+
 @declared(
     "image_features_oracle",
     "SELECT doc_id AS id, CAST(doc_id % 256 AS DOUBLE) AS mean, "
@@ -273,19 +291,41 @@ def image_features_oracle(spark, sf_dir):
     constant 1. Scores decode, grayscale, resize, and all seven stats
     byte-exactly; image_features keeps the rows-only full-fixture
     surface."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
-    byte_hex = F.lpad(F.hex(F.col("doc_id") % 256), 2, "0")
-    imgs = docs.select(
-        F.col("doc_id").alias("image_id"),
-        F.unhex(F.repeat(byte_hex, 256)).alias("content"),
-        F.struct(
-            F.lit(16).alias("height"),
-            F.lit(16).alias("width"),
-            F.lit(1).alias("channels"),
-            F.lit("raw").alias("format"),
-        ).alias("meta"),
-    )
+    imgs = _flat_images(load_table(spark, sf_dir, "documents"), mod=9)
     feats = multimodal.image_features(imgs, resize_to=(8, 8))
     return feats.select(
         "id", "mean", "std", "median", "min", "max", "corrcoef", "covariance"
+    ).orderBy("id")
+
+
+@declared(
+    "image_edges_oracle",
+    "SELECT doc_id AS id, CAST(0.0 AS DOUBLE) AS edge_density, "
+    "CAST(0.0 AS DOUBLE) AS mean_grad, CAST(0.0 AS DOUBLE) AS max_grad "
+    "FROM documents WHERE doc_id % 11 = 0 ORDER BY id",
+)
+def image_edges_oracle(spark, sf_dir):
+    """Edge/gradient extraction against the flat-image closed form: a
+    constant image has zero gradient everywhere, so density and both
+    gradient stats must be exactly 0."""
+    imgs = _flat_images(load_table(spark, sf_dir, "documents"), mod=11)
+    e = multimodal.edge_map(imgs, threshold=30.0)
+    return e.select("id", "edge_density", "mean_grad", "max_grad").orderBy("id")
+
+
+@declared(
+    "image_haralick_oracle",
+    "SELECT doc_id AS id, CAST(0.0 AS DOUBLE) AS contrast, "
+    "CAST(1.0 AS DOUBLE) AS homogeneity, CAST(1.0 AS DOUBLE) AS energy, "
+    "CAST(1.0 AS DOUBLE) AS correlation "
+    "FROM documents WHERE doc_id % 11 = 0 ORDER BY id",
+)
+def image_haralick_oracle(spark, sf_dir):
+    """Haralick GLCM features against the flat-image closed form: one
+    co-occurrence cell -> contrast 0, homogeneity 1, energy 1, and the
+    zero-variance correlation convention 1."""
+    imgs = _flat_images(load_table(spark, sf_dir, "documents"), mod=11)
+    h = multimodal.haralick_features(imgs, levels=32)
+    return h.select(
+        "id", "contrast", "homogeneity", "energy", "correlation"
     ).orderBy("id")
