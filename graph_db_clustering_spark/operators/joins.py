@@ -231,3 +231,64 @@ def range_join(
         ),
     )
     return lb.join(rb, "__bin").filter(cond).drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket: float | None = None,
+) -> DataFrame:
+    """Interval-overlap join: pairs where the two HALF-OPEN intervals
+    [l_start, l_end) and [r_start, r_end) intersect — the genomic-
+    region / session-overlap / time-range reconciliation shape, which
+    range_join (point vs window) cannot express.
+
+    Without `bucket`: the plain theta join (BroadcastNestedLoop for a
+    small side). With `bucket`: each interval explodes into the
+    width-`bucket` bins it SPANS (sequence(floor(start/b),
+    floor((end-eps)/b)) — overlapping intervals must share at least one
+    bin), the bins equi-join, duplicates from multi-bin overlaps drop
+    via distinct, and the exact overlap predicate re-verifies. Per-row
+    explode fan-out is ceil(span/bucket)+1 — size `bucket` near the
+    typical span so big sides join with bounded expansion and no N*M
+    product.
+
+    The banded path's distinct (which removes multi-bin duplicates of
+    the SAME pair) also collapses byte-identical duplicate input rows;
+    carry unique keys on both sides if duplicate rows are meaningful
+    (the theta path keeps them)."""
+    lcond = (F.col("__ls") < F.col("__re")) & (F.col("__rs") < F.col("__le"))
+    lt = left.withColumn("__ls", F.col(l_start)).withColumn("__le", F.col(l_end))
+    rt = right.withColumn("__rs", F.col(r_start)).withColumn("__re", F.col(r_end))
+    if bucket is None:
+        return (
+            lt.join(rt, lcond)
+            .drop("__ls", "__le", "__rs", "__re")
+        )
+    if bucket <= 0:
+        raise ValueError("bucket must be positive")
+    lbin = F.explode(
+        F.sequence(
+            F.floor(F.col("__ls") / bucket),
+            F.floor((F.col("__le") - F.lit(1e-9)) / bucket),
+        )
+    ).alias("__bin")
+    rbin = F.explode(
+        F.sequence(
+            F.floor(F.col("__rs") / bucket),
+            F.floor((F.col("__re") - F.lit(1e-9)) / bucket),
+        )
+    ).alias("__bin")
+    le = lt.select("*", lbin)
+    re_ = rt.select("*", rbin)
+    return (
+        le.join(re_, "__bin")
+        .filter(lcond)
+        .drop("__bin")
+        .distinct()
+        .drop("__ls", "__le", "__rs", "__re")
+    )

@@ -1400,3 +1400,40 @@ def q58_sqlapi(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_Q58_SQL)
+
+
+@declared(
+    "q58_interval_overlap",
+    """WITH l AS (SELECT o_orderkey AS lid,
+          CAST(o_orderdate AS DATE) AS ls,
+          CAST(o_orderdate AS DATE) + CAST((o_orderkey % 20 + 1) AS INT) AS le
+     FROM orders WHERE o_custkey < 40),
+r AS (SELECT o_orderkey AS rid,
+          CAST(o_orderdate AS DATE) AS rs,
+          CAST(o_orderdate AS DATE) + CAST((o_orderkey % 15 + 1) AS INT) AS re
+     FROM orders WHERE o_custkey >= 40 AND o_custkey < 80)
+SELECT lid, rid FROM l JOIN r ON l.ls < r.re AND r.rs < l.le
+ORDER BY lid, rid""",
+)
+def q58_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (operators/joins.interval_overlap_join,
+    bucket-banded): order validity windows from two customer slices join
+    where the half-open windows intersect; the Spark side runs the
+    exploded-bin equi-join + verify (days since epoch, 32-day buckets),
+    the oracle the plain theta join."""
+    from graph_db_clustering_spark.operators.joins import interval_overlap_join
+
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("double")
+    l = o.filter(F.col("o_custkey") < 40).select(
+        F.col("o_orderkey").alias("lid"),
+        days.alias("ls"),
+        (days + (F.col("o_orderkey") % 20 + 1)).alias("le"),
+    )
+    r = o.filter((F.col("o_custkey") >= 40) & (F.col("o_custkey") < 80)).select(
+        F.col("o_orderkey").alias("rid"),
+        days.alias("rs"),
+        (days + (F.col("o_orderkey") % 15 + 1)).alias("re"),
+    )
+    out = interval_overlap_join(l, r, "ls", "le", "rs", "re", bucket=32.0)
+    return out.select("lid", "rid").orderBy("lid", "rid")

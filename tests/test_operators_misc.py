@@ -487,3 +487,51 @@ def test_unigram_logprob_hand_computed(spark):
     assert abs(out[3].avg_logprob - want3) < 1e-9
     assert out[3].avg_logprob < out[2].avg_logprob  # rare-token doc is low tail
     assert (out[1].n_tokens, out[3].n_tokens) == (3, 1)
+
+
+def test_interval_overlap_join_matches_theta(spark):
+    """Banded interval-overlap equals the plain theta join for bucket
+    sizes below, at, and above the spans — random intervals."""
+    import numpy as np
+
+    from graph_db_clustering_spark.operators.joins import interval_overlap_join
+
+    rng = np.random.RandomState(23)
+    lrows = [
+        (i, float(s), float(s + rng.randint(1, 15)))
+        for i, s in enumerate(rng.randint(0, 200, 60))
+    ]
+    rrows = [
+        (i, float(s), float(s + rng.randint(1, 15)))
+        for i, s in enumerate(rng.randint(0, 200, 60))
+    ]
+    lt = spark.createDataFrame(lrows, "lid long, ls double, le double")
+    rt = spark.createDataFrame(rrows, "rid long, rs double, re double")
+    want = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(lt, rt, "ls", "le", "rs", "re").collect()
+    )
+    assert want  # non-degenerate
+    for bucket in (4.0, 15.0, 64.0):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                lt, rt, "ls", "le", "rs", "re", bucket=bucket
+            ).collect()
+        )
+        assert got == want, bucket
+
+
+def test_interval_overlap_half_open_boundaries(spark):
+    from graph_db_clustering_spark.operators.joins import interval_overlap_join
+
+    lt = spark.createDataFrame([(1, 0.0, 10.0)], "lid long, ls double, le double")
+    rt = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 9.9, 20.0)], "rid long, rs double, re double"
+    )
+    for bucket in (None, 10.0):
+        got = {r.rid for r in interval_overlap_join(
+            lt, rt, "ls", "le", "rs", "re", bucket=bucket
+        ).collect()}
+        # [0,10) does not meet [10,20) (half-open); does meet [9.9,20)
+        assert got == {2}, bucket
