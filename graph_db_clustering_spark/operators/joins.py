@@ -271,16 +271,19 @@ def interval_overlap_join(
         )
     if bucket <= 0:
         raise ValueError("bucket must be positive")
+    # plain floor(end/bucket): when `end` sits exactly on (or a float
+    # ulp above) a boundary this adds ONE harmless extra candidate bin,
+    # which the exact re-verify filter removes — whereas subtracting an
+    # epsilon can DROP the true last bin when end lands within the
+    # epsilon above a boundary (float noise), silently missing pairs
     lbin = F.explode(
         F.sequence(
-            F.floor(F.col("__ls") / bucket),
-            F.floor((F.col("__le") - F.lit(1e-9)) / bucket),
+            F.floor(F.col("__ls") / bucket), F.floor(F.col("__le") / bucket)
         )
     ).alias("__bin")
     rbin = F.explode(
         F.sequence(
-            F.floor(F.col("__rs") / bucket),
-            F.floor((F.col("__re") - F.lit(1e-9)) / bucket),
+            F.floor(F.col("__rs") / bucket), F.floor(F.col("__re") / bucket)
         )
     ).alias("__bin")
     le = lt.select("*", lbin)

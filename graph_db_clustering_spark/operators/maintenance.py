@@ -173,11 +173,15 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     feed pruning decisions and data-quality dashboards."""
     from pyspark.sql import functions as F
 
-    aggs = []
+    # one shared row count (column-independent — no duplicate aggregate
+    # per column) + per-column null/ndv/extrema; every SUM coalesces so
+    # an EMPTY frame yields zeros, not int(None)
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__ndv"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
@@ -187,7 +191,7 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     out = [
         (
             c,
-            int(row[f"{c}__n"]),
+            int(row["__n"]),
             int(row[f"{c}__nulls"]),
             int(row[f"{c}__ndv"]),
             row[f"{c}__min"],
@@ -240,9 +244,12 @@ def check_constraints(df: DataFrame, rules: list[tuple]) -> DataFrame:
                 ).otherwise(0)
             )
         elif kind == "matches":
+            # FULL match, not rlike's substring-find: anchor the pattern
             expr = F.sum(
                 F.when(
-                    F.col(col).isNotNull() & ~F.col(col).rlike(rule[2]), 1
+                    F.col(col).isNotNull()
+                    & ~F.col(col).rlike(f"^(?:{rule[2]})$"),
+                    1,
                 ).otherwise(0)
             )
         elif kind == "non_negative":

@@ -535,3 +535,19 @@ def test_interval_overlap_half_open_boundaries(spark):
         ).collect()}
         # [0,10) does not meet [10,20) (half-open); does meet [9.9,20)
         assert got == {2}, bucket
+
+
+def test_interval_overlap_float_boundary_regression(spark):
+    """end = 0.1 + 0.2 (a float ulp above 0.3) with bucket 0.3: the
+    banded path must still find the pair whose partner starts at
+    exactly 0.3 — an epsilon-subtracted end bin silently missed it
+    (review finding)."""
+    from graph_db_clustering_spark.operators.joins import interval_overlap_join
+
+    lt = spark.createDataFrame([(1, 0.0, 0.1 + 0.2)], "lid long, ls double, le double")
+    rt = spark.createDataFrame([(1, 0.3, 0.5)], "rid long, rs double, re double")
+    theta = interval_overlap_join(lt, rt, "ls", "le", "rs", "re").count()
+    banded = interval_overlap_join(
+        lt, rt, "ls", "le", "rs", "re", bucket=0.3
+    ).count()
+    assert theta == banded == 1

@@ -250,12 +250,39 @@ def test_check_constraints_all_kinds(spark):
         maintenance.check_constraints(df, [("bogus", "k")]).collect()
 
 
-def test_check_constraints_single_pass_plan(spark):
-    """Every rule folds into ONE aggregate job — no per-rule scans."""
-    df = spark.createDataFrame([(1, "a")], "k long, s string")
-    # indirect check: the call issues exactly one job; assert via a fresh
-    # clean frame and rule set that passes
+def test_check_constraints_single_aggregate_pass(spark, monkeypatch):
+    """Every rule folds into ONE .agg call over the input (no per-rule
+    scan loop) — pinned at the API level because AQE splits one
+    aggregate into a variable number of jobs, making job counting
+    fragile."""
+    df = spark.createDataFrame([(i, "a") for i in range(50)], "k long, s string")
+    cls = type(df)  # Spark 4's CONCRETE class, not the pyspark.sql re-export
+    calls = []
+    orig = cls.agg
+
+    def counting_agg(self, *a, **kw):
+        calls.append(len(a))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(cls, "agg", counting_agg)
     out = maintenance.check_constraints(
         df, [("not_null", "k"), ("non_negative", "k"), ("unique", "k")]
     )
     assert all(r.passed for r in out.collect())
+    assert len(calls) == 1 and calls[0] == 3  # one pass, all three rules
+
+
+def test_check_constraints_matches_is_full_match(spark):
+    """'matches' counts values not FULLY matching — a substring hit must
+    still be a violation (review finding: rlike alone is find())."""
+    df = spark.createDataFrame([("ax1b",), ("x1",)], "s string")
+    out = {r.rule: r.violations
+           for r in maintenance.check_constraints(df, [("matches", "s", r"x\d")]).collect()}
+    assert out["matches(s, x\\d)"] == 1  # 'ax1b' violates, 'x1' passes
+
+
+def test_column_stats_empty_frame(spark):
+    df = spark.createDataFrame([], "k long, s string")
+    got = {r.column: r for r in maintenance.column_stats(df, ["k", "s"]).collect()}
+    assert got["k"].n_rows == 0 and got["k"].n_null == 0
+    assert got["k"].n_distinct == 0 and got["k"].min_value is None
