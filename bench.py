@@ -149,18 +149,29 @@ def main() -> None:
     # load (VERDICT r2 perf section), so the JSON also records loadavg
     # before/after and the core count — a hot host is then attributable
     # from the artifact instead of argued about.
+    #
+    # Variance hardening (VERDICT r6 Next #2): the most expensive rows
+    # showed min-of-3 driver-vs-judge spread approaching the 2x rule's
+    # margin (cross_dedup 2.4 vs 3.5s), so they get min-of-5, and EVERY
+    # row reports its observed spread (max/min across its runs) so an
+    # adjudicator can tell a real regression from run-to-run noise
+    # directly in the artifact.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    heavy_runs = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "5"))
+    HEAVY = {"cross_dedup", "ann_ivfpq", "ann_ivfpq_serve"}
     serve_index = ivfpq_serve_setup(spark, sf_dir)
     queries = dict(QUERIES)
     queries["ann_ivfpq_serve"] = ivfpq_serve_query(serve_index)
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(runs):
+        samples = []
+        for _ in range(heavy_runs if name in HEAVY else runs):
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) / min(samples), 2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -170,8 +181,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": sf,
-                "method": f"min_of_{runs}_runs",
+                "method": f"min_of_{runs}_runs_heavy_{heavy_runs}",
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "cpus": os.cpu_count(),

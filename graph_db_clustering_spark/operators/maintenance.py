@@ -19,6 +19,26 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _cow_swap(path: str, tmp: str) -> None:
+    """Two-rename copy-on-write swap shared by upsert/delete/compact.
+
+    Contract (documented, not hidden): SINGLE WRITER, and readers must
+    have opened their file handles before the swap — there is an
+    unavoidable instant between the two renames where ``path`` does not
+    exist, so a concurrent reader LISTING the directory in that gap
+    fails with FileNotFound (readers that already enumerated files keep
+    working: the old directory's inodes survive until rmtree). ``tmp``
+    must live on the same filesystem as ``path`` (os.rename cannot
+    cross devices) — it always does here because it is a sibling path.
+    Deployments needing concurrent list-time readers should use
+    ``snapshot_write``'s versioned-pointer scheme instead, which never
+    unlinks the live directory."""
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
@@ -29,7 +49,8 @@ def upsert_parquet(
     unmatched keys are inserted. Swap is write-to-sibling + rename, so a
     failure mid-write leaves the current snapshot untouched (readers of
     the old path are unaffected; this is snapshot isolation at directory
-    granularity, the same contract GraphStore gives)."""
+    granularity, the same contract GraphStore gives — see _cow_swap for
+    the single-writer/no-list-in-gap caveat)."""
     current = spark.read.parquet(path)
     missing = set(key_cols) - set(current.columns)
     if missing:
@@ -39,10 +60,7 @@ def upsert_parquet(
 
     tmp = f"{path}.__merge_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _cow_swap(path, tmp)
 
 
 def delete_where(
@@ -54,10 +72,7 @@ def delete_where(
     remaining = current.filter(~condition)
     tmp = f"{path}.__del_{uuid.uuid4().hex[:8]}"
     remaining.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _cow_swap(path, tmp)
 
 
 def compact_parquet(
@@ -83,10 +98,7 @@ def compact_parquet(
     current = spark.read.parquet(path)
     tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
     current.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    _cow_swap(path, tmp)
     return n_files
 
 

@@ -9,6 +9,7 @@ declared query before the driver ever sees it.
 from __future__ import annotations
 
 import math
+import re
 from typing import Any
 
 import duckdb
@@ -46,14 +47,41 @@ def _norm_cell(v: Any) -> Any:
     return v
 
 
-def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+def canonical_rows(df: pd.DataFrame, sort: bool = True) -> list[tuple]:
     cols = sorted(df.columns)
     rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    if not sort:
+        return rows
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+_ORDER_BY = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def has_toplevel_order_by(sql: str) -> bool:
+    """True when the declared SQL's outermost query carries an ORDER BY —
+    i.e. the LAST ``ORDER BY`` token sits at paren depth 0. Subquery-only
+    ORDER BYs (depth > 0) don't make the result ordered."""
+    last = None
+    for m in _ORDER_BY.finditer(sql):
+        last = m
+    if last is None:
+        return False
+    depth = sql.count("(", 0, last.start()) - sql.count(")", 0, last.start())
+    return depth == 0
+
+
 def compare(spark_df, duck_sql: str, sf_dir: str) -> dict:
-    """Return a comparison report; report['match'] is the gate."""
+    """Return a comparison report; report['match'] is the gate.
+
+    When the declared SQL's outermost clause is an ORDER BY, rows are
+    compared IN ORDER (values normalized, columns still sorted by name)
+    — the determinism rule ("every query ends with ORDER BY over a
+    unique key set") is thereby enforced locally, not just by the
+    driver's hash (VERDICT r6 'What's wrong' #3: a dropped ORDER BY in
+    a non-driver-scored entry used to pass this harness). Queries
+    without a top-level ORDER BY fall back to canonical-sorted
+    comparison."""
     spark_pd = spark_df.toPandas()
     con = duck_connection(sf_dir)
     try:
@@ -82,8 +110,10 @@ def compare(spark_df, duck_sql: str, sf_dir: str) -> dict:
         report["match"] = False
         return report
 
-    s_rows = canonical_rows(spark_pd)
-    d_rows = canonical_rows(duck_pd)
+    ordered = has_toplevel_order_by(duck_sql)
+    report["ordered_compare"] = ordered
+    s_rows = canonical_rows(spark_pd, sort=not ordered)
+    d_rows = canonical_rows(duck_pd, sort=not ordered)
     report["match"] = s_rows == d_rows
     if not report["match"]:
         diffs = [

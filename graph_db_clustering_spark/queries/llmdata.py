@@ -1090,6 +1090,89 @@ def avro_roundtrip(spark, sf_dir):
 
 
 @declared(
+    "avro_nested",
+    "SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS nchars, "
+    "CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words, "
+    "STRING_SPLIT(text, ' ')[1] AS first_word, "
+    "CASE WHEN (doc_id // 6) % 2 = 0 THEN 'EVEN' ELSE 'ODD' END AS parity, "
+    "md5(text) AS digest_hex "
+    "FROM documents WHERE doc_id % 6 = 0 ORDER BY doc_id",
+)
+def avro_nested(spark, sf_dir):
+    """Nested Avro complex types end to end (sources/avro, round 7):
+    every document serializes into a record carrying a NESTED record
+    with a nullable-union field (meta.lang), an array (words), a map
+    (freq), an enum (parity) and a fixed(16) (the md5 digest bytes) —
+    then decodes back through the Arrow-batched distributed reader into
+    native Spark array/map/struct/binary columns. Ground-truth oracle:
+    every projected scalar must equal the closed form DuckDB computes
+    directly on the source table."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.sources import avro as pyavro
+
+    schema = {
+        "type": "record",
+        "name": "NestedDoc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "meta", "type": {"type": "record", "name": "Meta",
+                                      "fields": [
+                                          {"name": "lang",
+                                           "type": ["null", "string"]},
+                                          {"name": "nchars", "type": "long"},
+                                      ]}},
+            {"name": "words", "type": {"type": "array", "items": "string"}},
+            {"name": "freq", "type": {"type": "map", "values": "long"}},
+            {"name": "parity", "type": {"type": "enum", "name": "Parity",
+                                        "symbols": ["EVEN", "ODD"]}},
+            {"name": "digest", "type": {"type": "fixed", "name": "MD5",
+                                        "size": 16}},
+        ],
+    }
+    fields = pyavro.parse_schema(schema)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 0
+    ).select(
+        "doc_id", "lang", "text",
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"),
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in pdf.sort_values("doc_id").itertuples():
+            text = str(r.text)
+            rows.append({
+                "doc_id": int(r.doc_id),
+                "meta": {"lang": r.lang, "nchars": len(text)},
+                "words": text.split(" "),
+                "freq": {"chars": len(text), "words": len(text.split(" "))},
+                "parity": "EVEN" if (int(r.doc_id) // 6) % 2 == 0 else "ODD",
+                "digest": hashlib.md5(text.encode()).digest(),
+            })
+        return pd.DataFrame(
+            {"content": [bytearray(pyavro.encode_container(schema, rows))]}
+        )
+
+    blobs = docs.repartition("shard").groupBy("shard").applyInPandas(
+        build, T.StructType([T.StructField("content", T.BinaryType())])
+    )
+    back = pyavro.parse_avro_blobs(blobs, fields)
+    return back.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.element_at("freq", "chars").alias("nchars"),
+        F.size("words").cast("long").alias("n_words"),
+        F.element_at("words", 1).alias("first_word"),
+        "parity",
+        F.lower(F.hex("digest")).alias("digest_hex"),
+    ).orderBy("doc_id")
+
+
+@declared(
     "pdf_extract",
     "SELECT doc_id, md5(text) AS text_md5 FROM documents "
     "WHERE doc_id % 5 = 0 ORDER BY doc_id",

@@ -6,12 +6,17 @@ lifts the gate the same way functions/jpeg lifted the image-codec gap:
 the container format (magic, metadata map with embedded JSON schema,
 deflate/null codec blocks, sync markers) and the binary encoding
 (zigzag varints, IEEE floats, length-prefixed bytes/strings, index-
-prefixed unions) are fully specified and need no native library.
+prefixed unions, block-encoded arrays/maps) are fully specified and
+need no native library.
 
-Scope: FLAT RECORD schemas over the primitive types plus nullable
-unions — the tabular case an analytics engine ingests. Nested records,
-arrays, maps, enums, and fixed raise NotImplementedError (clearly
-scoped gate); snappy codec raises (no native snappy here).
+Scope: record schemas over the primitive types, nullable unions, and —
+round 7 — the full complex-type set: nested records, arrays, maps,
+enums, fixed, and named-type references (a record/enum/fixed defined
+once and referenced by name later in the schema). Remaining gates,
+each loud and scoped: snappy codec (no native lib here), general
+unions beyond [null, T] (Spark has no union type to map them onto),
+and recursive type definitions (a record containing itself has no
+finite Spark schema).
 
 Scale shape: identical to sources/warc — the FILE is the unit of
 parallelism (binaryFile + mapInPandas), each task decodes its own
@@ -66,27 +71,91 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), pos  # zigzag -> signed
 
 
-def _field_type(t):
-    """Normalize a field's type decl -> (primitive_name, null_index):
-    null_index is None for a bare primitive, else the union BRANCH INDEX
-    of "null" (["null", T] -> 0, [T, "null"] -> 1 — both legal Avro, and
-    the branch index is what the wire encoding carries, so the order
-    must be honored, not assumed)."""
+# --- recursive type representation -----------------------------------------
+#
+# rep ::= "<primitive>"                        (string name, as before)
+#       | ("array",  item_rep)
+#       | ("map",    value_rep)                (keys are always string)
+#       | ("enum",   (symbols...))
+#       | ("fixed",  size)
+#       | ("record", ((fname, field_rep), ...))
+#       | ("union",  null_branch_index, value_rep)   (nullable union)
+#
+# Top-level record fields keep the historical flat triple
+# (name, rep, null_idx) — null_idx pulled out of a nullable union for
+# the hot flat-primitive path and API compatibility; nested nullable
+# unions use the ("union", ...) rep.
+
+
+def _parse_type(t, names: dict, parsing: set):
+    """Avro type decl (JSON value) -> rep. ``names`` registers named
+    record/enum/fixed declarations for later by-name references;
+    ``parsing`` holds names currently being defined (recursion gate)."""
     if isinstance(t, str):
         if t in _PRIMITIVE_SPARK or t == "null":
-            return (t, None)
-        raise NotImplementedError(f"avro: named/complex type {t!r} not supported")
+            return t
+        if t in names:
+            return names[t]
+        if t in parsing:
+            raise NotImplementedError(
+                f"avro: recursive type {t!r} not supported (no finite "
+                "Spark schema exists for a self-referential record)"
+            )
+        raise AvroError(f"avro: undefined named type {t!r}")
     if isinstance(t, list):
         non_null = [x for x in t if x != "null"]
-        if len(t) == 2 and "null" in t and len(non_null) == 1 and isinstance(
-            non_null[0], str
-        ) and non_null[0] in _PRIMITIVE_SPARK:
-            return (non_null[0], t.index("null"))
-        raise NotImplementedError(f"avro: general unions not supported: {t!r}")
-    raise NotImplementedError(
-        f"avro: nested/complex type not supported: {t!r} "
-        "(flat records of primitives only)"
-    )
+        if len(t) == 2 and "null" in t and len(non_null) == 1:
+            return ("union", t.index("null"), _parse_type(non_null[0], names, parsing))
+        raise NotImplementedError(
+            f"avro: general unions not supported (only [null, T]): {t!r}"
+        )
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind in _PRIMITIVE_SPARK or kind == "null":
+            return kind  # {"type": "int", "logicalType": ...} — raw base type
+        if kind == "array":
+            return ("array", _parse_type(t["items"], names, parsing))
+        if kind == "map":
+            return ("map", _parse_type(t["values"], names, parsing))
+        if kind == "enum":
+            rep = ("enum", tuple(t["symbols"]))
+            _register(t, rep, names)
+            return rep
+        if kind == "fixed":
+            rep = ("fixed", int(t["size"]))
+            _register(t, rep, names)
+            return rep
+        if kind == "record":
+            return _parse_record(t, names, parsing)
+        raise NotImplementedError(f"avro: type {kind!r} not supported")
+    raise AvroError(f"avro: malformed type declaration {t!r}")
+
+
+def _register(decl: dict, rep, names: dict) -> None:
+    name = decl.get("name")
+    if not name:
+        return
+    names[name] = rep
+    ns = decl.get("namespace")
+    if ns:
+        names[f"{ns}.{name}"] = rep
+
+
+def _parse_record(decl: dict, names: dict, parsing: set):
+    name = decl.get("name")
+    keys = {name, f"{decl['namespace']}.{name}"} if decl.get("namespace") and name \
+        else ({name} if name else set())
+    parsing |= keys
+    try:
+        fields = tuple(
+            (f["name"], _parse_type(f["type"], names, parsing))
+            for f in decl["fields"]
+        )
+    finally:
+        parsing -= keys
+    rep = ("record", fields)
+    _register(decl, rep, names)
+    return rep
 
 
 def _decode_value(data: bytes, pos: int, prim: str):
@@ -106,8 +175,77 @@ def _decode_value(data: bytes, pos: int, prim: str):
     return (raw.decode("utf-8") if prim == "string" else raw), pos + n
 
 
-def parse_schema(schema_json: str | dict) -> list[tuple[str, str, int | None]]:
-    """Writer schema -> [(field_name, primitive, null_branch_index)]."""
+def _decode_typed(data: bytes, pos: int, rep):
+    """Decode one value of any rep at ``pos`` -> (value, new_pos)."""
+    if isinstance(rep, str):
+        return _decode_value(data, pos, rep)
+    tag = rep[0]
+    if tag == "union":
+        _, null_idx, inner = rep
+        idx, pos = _read_varint(data, pos)
+        if idx == null_idx:
+            return None, pos
+        if idx != 1 - null_idx:
+            # a corrupt branch index must raise, not silently decode
+            # as a value (ADVICE r6)
+            raise AvroError(
+                f"avro: union branch index {idx} out of range "
+                f"(valid: {null_idx} = null, {1 - null_idx} = value)"
+            )
+        return _decode_typed(data, pos, inner)
+    if tag == "array":
+        out = []
+        while True:
+            count, pos = _read_varint(data, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:  # negative count: byte size follows (skippable form)
+                count = -count
+                _, pos = _read_varint(data, pos)
+            for _ in range(count):
+                v, pos = _decode_typed(data, pos, rep[1])
+                out.append(v)
+    if tag == "map":
+        m = {}
+        while True:
+            count, pos = _read_varint(data, pos)
+            if count == 0:
+                return m, pos
+            if count < 0:
+                count = -count
+                _, pos = _read_varint(data, pos)
+            for _ in range(count):
+                k, pos = _decode_value(data, pos, "string")
+                v, pos = _decode_typed(data, pos, rep[1])
+                m[k] = v
+    if tag == "enum":
+        idx, pos = _read_varint(data, pos)
+        symbols = rep[1]
+        if not 0 <= idx < len(symbols):
+            raise AvroError(f"avro: enum index {idx} out of range 0..{len(symbols)-1}")
+        return symbols[idx], pos
+    if tag == "fixed":
+        n = rep[1]
+        if pos + n > len(data):
+            raise AvroError("avro: truncated fixed value")
+        return data[pos : pos + n], pos + n
+    if tag == "record":
+        row = {}
+        for fname, frep in rep[1]:
+            row[fname], pos = _decode_typed(data, pos, frep)
+        return row, pos
+    raise AvroError(f"avro: unknown rep {rep!r}")
+
+
+def parse_schema(schema_json: str | dict) -> list[tuple[str, object, int | None]]:
+    """Writer schema -> [(field_name, rep, null_branch_index)].
+
+    ``rep`` is the primitive name for flat fields (historical shape) or
+    the recursive tuple rep for complex ones; ``null_branch_index`` is
+    the union branch index of "null" for a top-level nullable field
+    (["null", T] -> 0, [T, "null"] -> 1 — both legal Avro, and the
+    branch index is what the wire encoding carries, so the order must
+    be honored, not assumed), else None."""
     sc = (
         json.loads(schema_json)
         if isinstance(schema_json, (str, bytes))
@@ -115,19 +253,43 @@ def parse_schema(schema_json: str | dict) -> list[tuple[str, str, int | None]]:
     )
     if not isinstance(sc, dict) or sc.get("type") != "record":
         raise NotImplementedError("avro: top-level schema must be a record")
+    names: dict = {}
+    rep = _parse_record(sc, names, set())
     out = []
-    for f in sc["fields"]:
-        prim, null_idx = _field_type(f["type"])
-        out.append((f["name"], prim, null_idx))
+    for fname, frep in rep[1]:
+        if isinstance(frep, tuple) and frep[0] == "union":
+            out.append((fname, frep[2], frep[1]))
+        else:
+            out.append((fname, frep, None))
     return out
 
 
-def spark_schema_for(fields: list[tuple[str, str, int | None]]) -> T.StructType:
+def _spark_type(rep) -> T.DataType:
+    if isinstance(rep, str):
+        if rep == "null":
+            return T.NullType()
+        return _PRIMITIVE_SPARK[rep]
+    tag = rep[0]
+    if tag == "union":
+        return _spark_type(rep[2])
+    if tag == "array":
+        return T.ArrayType(_spark_type(rep[1]), True)
+    if tag == "map":
+        return T.MapType(T.StringType(), _spark_type(rep[1]), True)
+    if tag == "enum":
+        return T.StringType()
+    if tag == "fixed":
+        return T.BinaryType()
+    if tag == "record":
+        return T.StructType(
+            [T.StructField(n, _spark_type(r), True) for n, r in rep[1]]
+        )
+    raise AvroError(f"avro: unknown rep {rep!r}")
+
+
+def spark_schema_for(fields: list[tuple[str, object, int | None]]) -> T.StructType:
     return T.StructType(
-        [
-            T.StructField(name, _PRIMITIVE_SPARK[prim], True)
-            for name, prim, _ in fields
-        ]
+        [T.StructField(name, _spark_type(rep), True) for name, rep, _ in fields]
     )
 
 
@@ -172,7 +334,7 @@ def _read_header_inner(blob: bytes):
 
 def decode_container(
     blob: bytes,
-) -> tuple[list[tuple[str, str, int | None]], list[dict]]:
+) -> tuple[list[tuple[str, object, int | None]], list[dict]]:
     """One Avro object-container file -> (fields, row dicts)."""
     fields, codec, sync, pos = read_header(blob)
     try:
@@ -210,13 +372,19 @@ def _decode_blocks(blob, fields, codec, sync, pos) -> list[dict]:
         bpos = 0
         for _ in range(count):
             row = {}
-            for name, prim, null_idx in fields:
+            for name, rep, null_idx in fields:
                 if null_idx is not None:
                     idx, bpos = _read_varint(block, bpos)
                     if idx == null_idx:
                         row[name] = None
                         continue
-                v, bpos = _decode_value(block, bpos, prim)
+                    if idx != 1 - null_idx:
+                        raise AvroError(
+                            f"avro: union branch index {idx} out of range "
+                            f"(valid: {null_idx} = null, "
+                            f"{1 - null_idx} = value)"
+                        )
+                v, bpos = _decode_typed(block, bpos, rep)
                 row[name] = v
             rows.append(row)
     return rows
@@ -251,6 +419,55 @@ def _encode_value(prim: str, v) -> bytes:
     return _write_varint(len(raw)) + raw
 
 
+def _encode_typed(rep, v) -> bytes:
+    """Encode one value of any rep (single-block array/map form)."""
+    if isinstance(rep, str):
+        return _encode_value(rep, v)
+    tag = rep[0]
+    if tag == "union":
+        _, null_idx, inner = rep
+        if v is None:
+            return _write_varint(null_idx)
+        return _write_varint(1 - null_idx) + _encode_typed(inner, v)
+    if tag == "array":
+        if not v:
+            return _write_varint(0)
+        body = b"".join(_encode_typed(rep[1], x) for x in v)
+        return _write_varint(len(v)) + body + _write_varint(0)
+    if tag == "map":
+        if not v:
+            return _write_varint(0)
+        body = b"".join(
+            _encode_value("string", k) + _encode_typed(rep[1], x)
+            for k, x in v.items()
+        )
+        return _write_varint(len(v)) + body + _write_varint(0)
+    if tag == "enum":
+        symbols = rep[1]
+        try:
+            return _write_varint(symbols.index(v))
+        except ValueError:
+            raise AvroError(f"avro: {v!r} not an enum symbol of {symbols}")
+    if tag == "fixed":
+        raw = bytes(v)
+        if len(raw) != rep[1]:
+            raise AvroError(
+                f"avro: fixed value of {len(raw)} bytes, schema says {rep[1]}"
+            )
+        return raw
+    if tag == "record":
+        out = bytearray()
+        for fname, frep in rep[1]:
+            fv = v.get(fname) if isinstance(v, dict) else getattr(v, fname)
+            if fv is None and not (
+                isinstance(frep, tuple) and frep[0] == "union"
+            ) and frep != "null":
+                raise AvroError(f"null in non-nullable field {fname!r}")
+            out += _encode_typed(frep, fv)
+        return bytes(out)
+    raise AvroError(f"avro: unknown rep {rep!r}")
+
+
 def encode_container(
     schema: dict, rows: list[dict], codec: str = "deflate", sync: bytes = b"\x07" * 16
 ) -> bytes:
@@ -259,16 +476,16 @@ def encode_container(
     fields = parse_schema(schema)
     body = bytearray()
     for row in rows:
-        for name, prim, null_idx in fields:
+        for name, rep, null_idx in fields:
             v = row.get(name)
             if null_idx is not None:
                 if v is None:
                     body += _write_varint(null_idx)
                     continue
                 body += _write_varint(1 - null_idx)
-            elif v is None:
+            elif v is None and rep != "null":
                 raise AvroError(f"null in non-nullable field {name!r}")
-            body += _encode_value(prim, v)
+            body += _encode_typed(rep, v)
     block = bytes(body)
     if codec == "deflate":
         c = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -292,7 +509,7 @@ def encode_container(
 
 
 def parse_avro_blobs(
-    blobs: DataFrame, fields: list[tuple[str, str, bool]]
+    blobs: DataFrame, fields: list[tuple[str, object, int | None]]
 ) -> DataFrame:
     """DataFrame with a `content: binary` column of container blobs ->
     decoded rows. Every blob must carry the given field layout (enforced
@@ -302,7 +519,7 @@ def parse_avro_blobs(
 
     # nullable integer columns must NOT fall to float64 (a null beside a
     # value > 2^53 would silently round it) — build columns explicitly
-    # with pandas nullable dtypes
+    # with pandas nullable dtypes; complex types stay object
     _PD_DTYPES = {"long": "Int64", "int": "Int32", "boolean": "boolean"}
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -319,9 +536,11 @@ def parse_avro_blobs(
             cols = {
                 name: pd.array(
                     [r.get(name) for r in all_rows],
-                    dtype=_PD_DTYPES.get(prim, object),
+                    dtype=_PD_DTYPES.get(rep, object)
+                    if isinstance(rep, str)
+                    else object,
                 )
-                for name, prim, _ in fields
+                for name, rep, _ in fields
             }
             yield pd.DataFrame(cols, columns=names)
 
@@ -347,7 +566,14 @@ def read_avro(
         with open(local, "rb") as f:
             head = f.read(1 << 20)
         fields, _, _, _ = read_header(head)
-    else:  # non-local FS: fall back to collecting the first file
-        blob = binaries.select("content").limit(1).collect()[0].content
+    else:  # non-local FS: fetch the content OF THE PROBED PATH (a second
+        # unordered limit(1) could pick a different file — ADVICE r6)
+        blob = (
+            binaries.filter(F.col("path") == fpath)
+            .select("content")
+            .limit(1)
+            .collect()[0]
+            .content
+        )
         fields, _, _, _ = read_header(bytes(blob))
     return parse_avro_blobs(binaries, fields)

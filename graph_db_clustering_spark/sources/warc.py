@@ -103,6 +103,13 @@ def _records_in(chunk: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
             raise ValueError("warc: record missing Content-Length header")
         length = int(headers["content-length"])
         body_start = hdr_end + 4
+        if body_start + length > n:
+            # mirror the gzip path's truncated-member error: a cut-off
+            # shard must fail loudly, not yield a silently short record
+            raise ValueError(
+                f"warc: truncated record body (Content-Length {length}, "
+                f"only {n - body_start} bytes remain)"
+            )
         yield headers, chunk[body_start : body_start + length]
         pos = body_start + length
 

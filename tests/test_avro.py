@@ -59,12 +59,111 @@ def test_gates():
                 b"deflate", b"snappy\x00"
             )
         )
-    nested = {"type": "record", "name": "X",
-              "fields": [{"name": "a", "type": {"type": "array", "items": "int"}}]}
-    with pytest.raises(NotImplementedError, match="complex"):
-        avro.parse_schema(nested)
+    general_union = {"type": "record", "name": "X",
+                     "fields": [{"name": "a", "type": ["int", "string"]}]}
+    with pytest.raises(NotImplementedError, match="general unions"):
+        avro.parse_schema(general_union)
+    recursive = {"type": "record", "name": "Tree",
+                 "fields": [{"name": "child", "type": ["null", "Tree"]}]}
+    with pytest.raises(NotImplementedError, match="recursive"):
+        avro.parse_schema(recursive)
     with pytest.raises(avro.AvroError, match="non-nullable"):
         avro.encode_container(SCHEMA, [{**ROWS[0], "id": None}])
+
+
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "Nested",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "scores", "type": {"type": "map", "values": "double"}},
+        {"name": "color", "type": {"type": "enum", "name": "Color",
+                                   "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "digest", "type": {"type": "fixed", "name": "MD5", "size": 4}},
+        {"name": "loc", "type": {"type": "record", "name": "Point",
+                                 "fields": [{"name": "x", "type": "double"},
+                                            {"name": "y", "type": "double"}]}},
+        {"name": "loc2", "type": ["null", "Point"]},  # named-type reference
+        {"name": "nums", "type": {"type": "array",
+                                  "items": ["null", "long"]}},  # nullable items
+    ],
+}
+
+NESTED_ROWS = [
+    {"id": 1, "tags": ["a", "b"], "scores": {"p": 1.5}, "color": "GREEN",
+     "digest": b"\x01\x02\x03\x04", "loc": {"x": 1.0, "y": 2.0},
+     "loc2": {"x": 3.0, "y": 4.0}, "nums": [1, None, 3]},
+    {"id": 2, "tags": [], "scores": {}, "color": "RED",
+     "digest": b"\xff\xfe\xfd\xfc", "loc": {"x": -1.0, "y": 0.5},
+     "loc2": None, "nums": []},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_nested_container_roundtrip(codec):
+    blob = avro.encode_container(NESTED_SCHEMA, NESTED_ROWS, codec=codec)
+    fields, rows = avro.decode_container(blob)
+    assert [f[0] for f in fields] == [f["name"] for f in NESTED_SCHEMA["fields"]]
+    assert rows == NESTED_ROWS
+
+
+def test_nested_spark_schema_mapping():
+    fields = avro.parse_schema(NESTED_SCHEMA)
+    st = avro.spark_schema_for(fields)
+    assert st["tags"].dataType.simpleString() == "array<string>"
+    assert st["scores"].dataType.simpleString() == "map<string,double>"
+    assert st["color"].dataType.typeName() == "string"
+    assert st["digest"].dataType.typeName() == "binary"
+    assert st["loc"].dataType.simpleString() == "struct<x:double,y:double>"
+    assert st["loc2"].dataType.simpleString() == "struct<x:double,y:double>"
+    assert st["nums"].dataType.simpleString() == "array<bigint>"
+
+
+def test_nested_read_avro_distributed(spark, tmp_path):
+    for i in range(2):
+        rows = [dict(r, id=i * 10 + r["id"]) for r in NESTED_ROWS]
+        (tmp_path / f"part-{i}.avro").write_bytes(
+            avro.encode_container(NESTED_SCHEMA, rows)
+        )
+    df = avro.read_avro(spark, str(tmp_path))
+    assert df.count() == 4
+    r = df.filter(F.col("id") == 1).first()
+    assert r.tags == ["a", "b"]
+    assert r.scores == {"p": 1.5}
+    assert r.color == "GREEN"
+    assert bytes(r.digest) == b"\x01\x02\x03\x04"
+    assert (r.loc.x, r.loc.y) == (1.0, 2.0)
+    assert (r.loc2.x, r.loc2.y) == (3.0, 4.0)
+    assert r.nums == [1, None, 3]
+    r2 = df.filter(F.col("id") == 2).first()
+    assert r2.loc2 is None and r2.tags == [] and r2.nums == []
+    # complex columns survive Catalyst expressions (explode, map access)
+    assert (
+        df.select(F.explode("tags").alias("t")).count() == 4
+    )  # 2 files x 2 tags on row id%10==1
+
+
+def test_corrupt_union_branch_index_raises():
+    schema = {"type": "record", "name": "U",
+              "fields": [{"name": "a", "type": ["null", "long"]}]}
+    blob = avro.encode_container(schema, [{"a": 5}], codec="null")
+    # the value branch varint (0x02 = zigzag 1) follows the header; flip
+    # it to branch index 5 (zigzag 0x0a) and the decode must fail loudly
+    assert blob.count(b"\x02\x0a") == 1
+    with pytest.raises(avro.AvroError, match="union branch index 5"):
+        avro.decode_container(blob.replace(b"\x02\x0a", b"\x0a\x0a"))
+
+
+def test_corrupt_enum_index_raises():
+    schema = {"type": "record", "name": "E",
+              "fields": [{"name": "c", "type": {"type": "enum", "name": "C",
+                                                "symbols": ["A", "B"]}}]}
+    blob = avro.encode_container(schema, [{"c": "B"}], codec="null")
+    with pytest.raises(avro.AvroError, match="enum index"):
+        # the single enum varint 0x02 (=1) is the last body byte before
+        # the trailing sync; bump it out of range
+        avro.decode_container(blob[:-17] + b"\x08" + blob[-16:])
 
 
 def test_read_avro_distributed(spark, tmp_path):

@@ -130,6 +130,34 @@ def test_cross_dedup_equals_self_join_cross_pairs(spark, sf_dir):
     assert all(n % 2 == 1 and c % 2 == 0 for n, c, _ in got)
 
 
+def test_near_dups_against_storage_stays_bounded(spark):
+    """VERDICT r6 'What's wrong' #4 / Next #8: a long-lived batch caller
+    looping near_dups_against(cache=True) must NOT accrete one pinned
+    signature frame per call — each call releases its predecessor, so
+    persistent-RDD count stays flat across 20 materialized calls."""
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i // 2}") for i in range(0, 20, 2)],
+        "doc_id long, text string",
+    )
+    buckets, shingles = dedup.build_band_index(corpus, "doc_id", "text")
+    counts = []
+    for loop in range(20):
+        batch = spark.createDataFrame(
+            [(1000 + loop * 10 + j, f"alpha beta gamma delta epsilon doc{j}")
+             for j in range(3)],
+            "doc_id long, text string",
+        )
+        dedup.near_dups_against(
+            batch, buckets, shingles, "doc_id", "text", threshold=0.3
+        ).count()
+        counts.append(len(spark.sparkContext._jsc.getPersistentRDDs()))
+    # flat, not linear: at most the one live signature frame (+ any
+    # persists other fixtures left behind, hence <= first + 1 not == 1)
+    assert max(counts) <= counts[0] + 1, counts
+    dedup.release_signature_cache()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= counts[0]
+
+
 def test_near_dup_stream_matches_batch(spark, tmp_path):
     """Streaming near-dup vs static corpus: replaying the batch side in
     chunks through near_dup_stream yields exactly the batch
