@@ -386,12 +386,48 @@ class Case:
 _AGG_FNS = {"count", "collect", "sum", "avg", "min", "max"}
 
 # read-only introspection procedures (CALL db.labels() ...) -> Neo4j's
-# output column name for each
+# output column names for each (round 7 adds the db.schema.* /
+# dbms.components tier — VERDICT r6 Next #9). Deviations from Neo4j,
+# chosen so every yield is a hashable scalar: propertyTypes is a
+# comma-joined string instead of a list, and db.schema.visualization
+# yields flattened (srcLabel, relationship, dstLabel) triples instead
+# of virtual graph objects.
 _PROCEDURES = {
-    "db.labels": "label",
-    "db.relationshipTypes": "relationshipType",
-    "db.propertyKeys": "propertyKey",
+    "db.labels": ("label",),
+    "db.relationshipTypes": ("relationshipType",),
+    "db.propertyKeys": ("propertyKey",),
+    "db.schema.nodeTypeProperties": (
+        "nodeType", "propertyName", "propertyTypes", "mandatory",
+    ),
+    "db.schema.relTypeProperties": (
+        "relType", "propertyName", "propertyTypes", "mandatory",
+    ),
+    "db.schema.visualization": ("srcLabel", "relationship", "dstLabel"),
+    "dbms.components": ("name", "version", "edition"),
 }
+
+
+def _neo_type_name(dt) -> str:
+    """Spark type -> the Neo4j type-name vocabulary db.schema.* yields."""
+    from pyspark.sql import types as _T
+
+    if isinstance(dt, (_T.LongType, _T.IntegerType, _T.ShortType, _T.ByteType)):
+        return "Long"
+    if isinstance(dt, (_T.DoubleType, _T.FloatType)):
+        return "Double"
+    if isinstance(dt, _T.StringType):
+        return "String"
+    if isinstance(dt, _T.BooleanType):
+        return "Boolean"
+    if isinstance(dt, _T.BinaryType):
+        return "ByteArray"
+    if isinstance(dt, _T.DateType):
+        return "Date"
+    if isinstance(dt, (_T.TimestampType, _T.TimestampNTZType)):
+        return "DateTime"
+    if isinstance(dt, _T.ArrayType):
+        return "List"
+    return dt.simpleString()
 
 
 def _has_agg(e) -> bool:
@@ -2293,7 +2329,7 @@ class CypherSession:
                 .distinct()
                 .orderBy("relationshipType")
             )
-        else:  # db.propertyKeys — static: the schema knows the keys
+        elif c.name == "db.propertyKeys":  # static: the schema knows the keys
             vkeys = {f for f in g.vertices.columns if f not in ("id", LABEL_COL)}
             ekeys = {
                 f
@@ -2302,6 +2338,44 @@ class CypherSession:
             }
             df = spark.createDataFrame(
                 [(k,) for k in sorted(vkeys | ekeys)], "propertyKey string"
+            )
+        elif c.name == "db.schema.nodeTypeProperties":
+            df = self._schema_properties(
+                g.vertices.filter(F.col(LABEL_COL).isNotNull()),
+                F.concat(F.lit(":`"), F.col(LABEL_COL), F.lit("`")),
+                ("id", LABEL_COL),
+                "nodeType",
+            )
+        elif c.name == "db.schema.relTypeProperties":
+            df = self._schema_properties(
+                g.edges.filter(F.col("relationship").isNotNull()),
+                F.concat(F.lit(":`"), F.col("relationship"), F.lit("`")),
+                ("src", "dst", "eid", "relationship"),
+                "relType",
+            )
+        elif c.name == "db.schema.visualization":
+            v = g.vertices.select(
+                F.col("id"), F.col(LABEL_COL).alias("__lbl")
+            )
+            df = (
+                g.edges.select("src", "dst", "relationship")
+                .join(v.withColumnRenamed("__lbl", "srcLabel"),
+                      F.col("src") == F.col("id"))
+                .drop("id")
+                .join(v.withColumnRenamed("__lbl", "dstLabel"),
+                      F.col("dst") == F.col("id"))
+                .select(
+                    F.concat(F.lit(":`"), "srcLabel", F.lit("`")).alias("srcLabel"),
+                    "relationship",
+                    F.concat(F.lit(":`"), "dstLabel", F.lit("`")).alias("dstLabel"),
+                )
+                .distinct()
+                .orderBy("srcLabel", "relationship", "dstLabel")
+            )
+        else:  # dbms.components — static engine metadata
+            df = spark.createDataFrame(
+                [("graph-db-clustering-spark", "round-7", "community")],
+                "name string, version string, edition string",
             )
         if c.yields is not None:
             missing = [col for col, _ in c.yields if col not in df.columns]
@@ -2321,6 +2395,54 @@ class CypherSession:
                 f"cypher: CALL {c.name}() rebinds variables {sorted(overlap)}"
             )
         ctx.df = ctx.df.crossJoin(df)
+
+    def _schema_properties(self, df, type_expr, reserved, type_alias):
+        """Shared plan for db.schema.nodeTypeProperties /
+        relTypeProperties: ONE aggregate pass per entity frame computes
+        row count + per-property non-null counts grouped by label/type,
+        then melts to one row per (type, property) — mandatory =
+        non-null on every entity of that type; properties with no value
+        for a type are omitted (Neo4j's behavior). Driver traffic: the
+        (n_types x n_properties) result only."""
+        props = [f for f in df.columns if f not in reserved]
+        spark = df.sparkSession
+        if not props:
+            return spark.createDataFrame(
+                [],
+                f"{type_alias} string, propertyName string, "
+                "propertyTypes string, mandatory boolean",
+            )
+        types = {f.name: _neo_type_name(f.dataType) for f in df.schema.fields}
+        stats = df.groupBy(type_expr.alias(type_alias)).agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.count(F.col(p)).alias(f"__c{i}") for i, p in enumerate(props)],
+        )
+        melted = stats.select(
+            type_alias,
+            "__n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("propertyName"),
+                            F.lit(types[p]).alias("propertyTypes"),
+                            F.col(f"__c{i}").alias("__c"),
+                        )
+                        for i, p in enumerate(props)
+                    ]
+                )
+            ).alias("__pp"),
+        )
+        return (
+            melted.filter(F.col("__pp.__c") > 0)
+            .select(
+                type_alias,
+                F.col("__pp.propertyName").alias("propertyName"),
+                F.col("__pp.propertyTypes").alias("propertyTypes"),
+                (F.col("__pp.__c") == F.col("__n")).alias("mandatory"),
+            )
+            .orderBy(type_alias, "propertyName")
+        )
 
     def _foreach(self, ctx: _Ctx, c: ForeachC, params) -> None:
         """FOREACH: explode the list into a PRIVATE binding table (outer

@@ -880,3 +880,37 @@ def graph_pagerank_uniform(spark, sf_dir):
     return pagerank(g, max_iter=30).select(
         "id", F.round("rank", 8).alias("rank")
     ).orderBy("id")
+
+
+@declared(
+    "cypher_schema",
+    f"""SELECT * FROM (
+  SELECT ':`Customer`' AS nodeType, 'custkey' AS propertyName,
+         'Long' AS propertyTypes, COUNT(c_custkey) = COUNT(*) AS mandatory
+  FROM customer WHERE c_custkey < {_CAP} HAVING COUNT(c_custkey) > 0
+  UNION ALL
+  SELECT ':`Customer`', 'mktsegment', 'String', COUNT(c_mktsegment) = COUNT(*)
+  FROM customer WHERE c_custkey < {_CAP} HAVING COUNT(c_mktsegment) > 0
+  UNION ALL
+  SELECT ':`Customer`', 'name', 'String', COUNT(c_name) = COUNT(*)
+  FROM customer WHERE c_custkey < {_CAP} HAVING COUNT(c_name) > 0
+  UNION ALL
+  SELECT ':`Order`', 'orderkey', 'Long', COUNT(o_orderkey) = COUNT(*)
+  FROM orders WHERE o_custkey < {_CAP} HAVING COUNT(o_orderkey) > 0
+  UNION ALL
+  SELECT ':`Order`', 'totalprice', 'Double', COUNT(o_totalprice) = COUNT(*)
+  FROM orders WHERE o_custkey < {_CAP} HAVING COUNT(o_totalprice) > 0
+) ORDER BY nodeType, propertyName""",
+)
+def cypher_schema(spark, sf_dir):
+    """CALL db.schema.nodeTypeProperties() through the Cypher front-end
+    (round 7, VERDICT r6 Next #9 — the first-session toolkit of a
+    migrating Neo4j user): per (label, property) rows with the Neo4j
+    type vocabulary and data-grounded `mandatory` (non-null on every
+    node of that label; all-null properties omitted). The oracle
+    recomputes the count arithmetic per property directly on the
+    relational tables."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_labeled_graph(spark, sf_dir))
+    return s.run("CALL db.schema.nodeTypeProperties()")

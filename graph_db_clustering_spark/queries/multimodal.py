@@ -97,6 +97,61 @@ def audio_features(spark, sf_dir):
     )
 
 
+@declared(
+    "audio_mp3",
+    "SELECT doc_id, CAST(44100 AS BIGINT) AS sample_rate, "
+    "CAST(1152 * (1 + doc_id % 3) AS BIGINT) AS n_samples, "
+    "ROUND((1152 * (1 + doc_id % 3)) / 44100.0, 4) AS duration_s "
+    "FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id",
+)
+def audio_mp3(spark, sf_dir):
+    """MP3 audio columns end to end (functions/mp3 + the multimodal
+    dispatch, round 7): every 7th document becomes a deterministic
+    sine clip of 1-3 granule-pairs, encodes to MPEG-1 Layer III frames
+    executor-side, and decodes back through audio_features' normal
+    path. The oracle states the EXACT decode geometry in closed form —
+    sample rate, the frame-quantized sample count (MP3 frames carry
+    1152 samples, so decode length = ceil(n/1152)*1152 = n here), and
+    duration — while the float signal stats stay pinned by
+    tests/test_mp3.py (coarse fixture quantizer, documented SNR)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.functions import mp3 as mp3_codec
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+
+    def build(batches):
+        for b in batches:
+            out = []
+            for did in b["doc_id"]:
+                n = 1152 * (1 + int(did) % 3)
+                t = np.arange(n) / 44100.0
+                pcm = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+                out.append((int(did), bytearray(mp3_codec.encode(pcm))))
+            yield pd.DataFrame(out, columns=["audio_id", "content"])
+
+    clips = docs.select("doc_id").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("audio_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = multimodal.audio_features(clips, id_col="audio_id")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round(F.col("duration_s"), 4).alias("duration_s"),
+    ).orderBy("doc_id")
+
+
 @declared("image_histograms")
 def image_histograms(spark, sf_dir):
     """Normalized 32-bin intensity histograms over the same fixture

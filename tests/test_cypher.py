@@ -1315,6 +1315,60 @@ def test_introspection_procedures(spark):
         s.run("CALL db.labels() YIELD wat")
 
 
+def test_schema_procedures(spark):
+    """db.schema.nodeTypeProperties / relTypeProperties /
+    visualization / dbms.components (round 7): per-(type, property)
+    rows with the Neo4j type vocabulary, data-grounded `mandatory`,
+    all-null properties omitted, and the flattened edge-schema
+    triples."""
+    v = spark.createDataFrame(
+        [
+            (0, "Customer", "a", 1.0, None),
+            (1, "Customer", "b", None, None),
+            (2, "Order", None, None, 7),
+        ],
+        "id long, label string, name string, amount double, qty long",
+    )
+    e = spark.createDataFrame(
+        [(0, 2, "PLACED", 0.5), (1, 2, "PLACED", None)],
+        "src long, dst long, relationship string, weight double",
+    )
+    s = CypherSession(Graph(v, e))
+    rows = [
+        (r.nodeType, r.propertyName, r.propertyTypes, r.mandatory)
+        for r in s.run("CALL db.schema.nodeTypeProperties()").collect()
+    ]
+    assert rows == [
+        # amount: present on one Customer only -> mandatory False;
+        # name: on every Customer -> True; qty absent from Customer
+        (":`Customer`", "amount", "Double", False),
+        (":`Customer`", "name", "String", True),
+        # Order: name/amount all-null -> omitted entirely
+        (":`Order`", "qty", "Long", True),
+    ]
+    rel = [
+        (r.relType, r.propertyName, r.propertyTypes, r.mandatory)
+        for r in s.run("CALL db.schema.relTypeProperties()").collect()
+    ]
+    assert rel == [(":`PLACED`", "weight", "Double", False)]
+    viz = [
+        (r.srcLabel, r.relationship, r.dstLabel)
+        for r in s.run("CALL db.schema.visualization()").collect()
+    ]
+    assert viz == [(":`Customer`", "PLACED", ":`Order`")]
+    comp = s.run("CALL dbms.components()").first()
+    assert comp.name and comp.edition == "community"
+    # YIELD projection + composing clauses still work
+    out = s.run(
+        """CALL db.schema.nodeTypeProperties() YIELD nodeType AS t,
+           propertyName AS p
+           RETURN t, p ORDER BY t, p"""
+    )
+    assert out.columns == ["t", "p"] and out.count() == 3
+    with pytest.raises(ValueError, match="not supported"):
+        s.run("CALL apoc.meta.graph()")
+
+
 # ---------------------------------------------------------------------------
 # parser robustness: arbitrary input must fail CONTROLLED
 # ---------------------------------------------------------------------------

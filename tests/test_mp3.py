@@ -1,0 +1,299 @@
+"""MPEG-1 Layer III decoder/fixture-encoder (functions/mp3).
+
+The strategy mirrors tests/test_jpeg.py: hand-built bitstreams with
+known quantized coefficients pin the decoder against independent NumPy
+closed forms (the test reimplements the granule chain as direct matrix
+algebra, not the module's FIFO structures), the module's own encoder
+provides roundtrip fixtures with a documented SNR bound, and every
+scoped gate raises loudly."""
+
+import numpy as np
+import pytest
+
+from graph_db_clustering_spark.functions import mp3
+
+
+def _sine(freq=1000.0, secs=0.5, rate=44100, amp=0.5):
+    t = np.arange(int(rate * secs)) / rate
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+def _best_snr(x, y, d_lo=900, d_hi=1300, a=2000, b=8000):
+    best = None
+    for d in range(d_lo, d_hi):
+        xa, ya = x[a:b], y[a + d: b + d]
+        if len(ya) < len(xa):
+            break
+        g = np.dot(xa, ya) / np.dot(xa, xa)
+        if abs(g) < 1e-9:
+            continue
+        snr = 10 * np.log10(np.sum(xa**2) / np.sum((ya / g - xa) ** 2))
+        if best is None or snr > best[1]:
+            best = (d, snr, g)
+    return best
+
+
+# --- filterbank + transform math ------------------------------------------
+
+
+def test_analysis_synthesis_reconstruction_better_than_40db():
+    """The designed PQMF prototype + the spec's analysis/synthesis
+    structures reconstruct to better than -40 dB at the known 481-sample
+    filterbank delay (the module docstring's claim)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(32 * 150)
+    S = mp3._analysis(x)
+    syn = mp3._Synth()
+    y = np.concatenate([syn.step(S[t]) for t in range(len(S))])
+    d = 481
+    xa, ya = x[600: len(y) - d], y[600 + d:]
+    ya = ya[: len(xa)]
+    g = np.dot(xa, ya) / np.dot(xa, xa)
+    snr = 10 * np.log10(np.sum(xa**2) / np.sum((ya / g - xa) ** 2))
+    assert snr > 40.0, snr
+    assert abs(g - 1.0) < 0.01  # unity-gain calibration (_unity_scale)
+
+
+def test_mdct_imdct_tdac_exact():
+    """Forward MDCT (encoder) and IMDCT+OLA (decoder) including alias
+    butterflies and frequency inversion reconstruct the subband stream
+    exactly with a one-granule delay."""
+    rng = np.random.default_rng(1)
+    n_gran = 5
+    sub = rng.standard_normal((n_gran * 18, 32))
+    prev = np.zeros((32, 18))
+    specs = []
+    for g in range(n_gran):
+        X, prev = mp3._mdct_granule(sub[g * 18: (g + 1) * 18], prev)
+        specs.append(mp3._alias_reduce(X, inverse=True))
+    overlap = np.zeros((32, 18))
+    outs = []
+    for g in range(n_gran):
+        o, overlap = mp3._imdct_granule(mp3._alias_reduce(specs[g]), overlap)
+        outs.append(o)
+    rec = np.vstack(outs)
+    err = rec[2 * 18: 5 * 18] - sub[1 * 18: 4 * 18]
+    assert np.abs(err).max() < 1e-10 * np.abs(sub).max()
+
+
+def test_known_single_line_granule_matches_direct_reference():
+    """A hand-built frame carrying ONE +1 spectral value at a known line
+    and global_gain must decode to exactly what the direct matrix
+    reference (straight cosine sums, no FIFO machinery) predicts."""
+    line, gg = 40, 214  # amplitude 2^((214-210)/4) = 2
+    iv = np.zeros(576)
+    iv[line] = 1.0
+    xr = mp3._requantize(iv, {"global_gain": gg, "scalefac_scale": 0,
+                              "preflag": 0}, [0] * 21, mp3.SFB_LONG[44100])
+    assert xr[line] == pytest.approx(2.0)
+    xr = mp3._alias_reduce(xr)
+    overlap = np.zeros((32, 18))
+    sub, overlap2 = mp3._imdct_granule(xr, overlap)
+    # direct reference for the same spectral input
+    sb, k = divmod(line, 18)
+    X = np.zeros(18)
+    # alias butterflies couple subband boundaries; reuse requantized xr
+    ref_out = np.zeros((18, 32))
+    for s_i in range(32):
+        coeffs = xr[s_i * 18: (s_i + 1) * 18]
+        x36 = np.array([
+            sum(coeffs[kk] * np.cos(np.pi / 72 * (2 * n + 1 + 18) * (2 * kk + 1))
+                for kk in range(18))
+            for n in range(36)
+        ]) * np.sin(np.pi / 36 * (np.arange(36) + 0.5))
+        ref_out[:, s_i] = x36[:18]  # first granule: overlap is zero
+    ref_out[1::2, 1::2] *= -1.0
+    assert np.allclose(sub, ref_out, atol=1e-9)
+
+
+# --- bitstream -------------------------------------------------------------
+
+
+def test_count1_table_b_bit_exactness():
+    """The (v,w,x,y)=(1,0,1,1) quadruple codes as the 4-bit one's
+    complement 0b0100 followed by one sign bit per nonzero value."""
+    w = mp3._BitWriter()
+    # encoder path: quadruple code then signs (0=+, 1=-)
+    code = 0b1011  # nonzero mask of (1,0,-1,1)
+    w.write(code ^ 0xF, 4)
+    for v in (1, -1, 1):
+        w.write(1 if v < 0 else 0, 1)
+    w.pad()
+    data = bytes(w.buf)
+    bits = mp3._Bits(data)
+    g = {"big_values": 0, "count1table_select": 1, "table_select": [0, 0, 0],
+         "region0_count": 0, "region1_count": 0}
+    iv = mp3._decode_huffman(bits, g, mp3.SFB_LONG[44100], end_bit=7)
+    assert list(iv[:4]) == [1.0, 0.0, -1.0, 1.0]
+    assert not iv[4:].any()
+
+
+def test_scalefactors_attenuate_their_band():
+    """A nonzero scalefactor in a band attenuates exactly that band by
+    2^(-0.5*sf) (scalefac_scale=0) — pinned by two requantizations."""
+    sfb = mp3.SFB_LONG[44100]
+    iv = np.zeros(576)
+    iv[sfb[12]] = 1.0  # first line of band 12
+    g = {"global_gain": 210, "scalefac_scale": 0, "preflag": 0}
+    sf0 = [0] * 21
+    sf1 = [0] * 21
+    sf1[12] = 3
+    x0 = mp3._requantize(iv, g, sf0, sfb)
+    x1 = mp3._requantize(iv, g, sf1, sfb)
+    assert x0[sfb[12]] == pytest.approx(1.0)
+    assert x1[sfb[12]] == pytest.approx(2.0 ** (-0.5 * 3))
+    # scalefac_scale doubles the step
+    x2 = mp3._requantize(iv, dict(g, scalefac_scale=1), sf1, sfb)
+    assert x2[sfb[12]] == pytest.approx(2.0 ** (-1.0 * 3))
+    # preflag adds pretab (band 12 -> +1)
+    x3 = mp3._requantize(iv, dict(g, preflag=1), sf1, sfb)
+    assert x3[sfb[12]] == pytest.approx(2.0 ** (-0.5 * 4))
+
+
+def test_side_info_roundtrip_through_parser():
+    """encode()'s side info parses back to the declared granule fields."""
+    blob = mp3.encode(_sine(secs=0.1), rate=44100, bitrate=160_000)
+    hdr = mp3._parse_header(blob[:4])
+    assert hdr["rate"] == 44100 and hdr["bitrate"] == 160_000
+    si = mp3._parse_side_info(blob[4: 4 + 17])
+    assert si["main_data_begin"] == 0
+    for g in si["granules"]:
+        assert g["big_values"] == 0
+        assert g["count1table_select"] == 1
+        assert g["window_switching"] == 0
+        assert g["table_select"] == [0, 0, 0]
+
+
+# --- end-to-end ------------------------------------------------------------
+
+
+def test_roundtrip_sine_snr_documented():
+    """encode -> decode on a line-centered sine: the coarse {-1,0,+1}
+    fixture quantizer reconstructs with SNR >= 12 dB (measured ~14.7)
+    and near-unity gain at the fixed encoder+decoder delay."""
+    rate = 44100
+    f = (100 + 0.5) * rate / 1152  # center of spectral line 100
+    x = _sine(freq=f, secs=0.5, rate=rate)
+    r, y = mp3.decode(mp3.encode(x, rate=rate, bitrate=160_000))
+    assert r == rate
+    assert len(y) == -(-len(x) // 1152) * 1152
+    d, snr, g = _best_snr(x, y)
+    assert snr >= 12.0, (d, snr, g)
+    assert 0.8 < abs(g) < 1.2
+
+
+def test_roundtrip_silence_is_silent():
+    r, y = mp3.decode(mp3.encode(np.zeros(2304), rate=44100))
+    assert np.abs(y).max() < 1e-12
+
+
+def test_decode_skips_id3v2_and_trailing_tag():
+    x = _sine(secs=0.1)
+    blob = mp3.encode(x, rate=44100)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    tagged = id3 + blob + b"TAG" + b"\x00" * 125  # ID3v1 trailer
+    r, y = mp3.decode(tagged)
+    r2, y2 = mp3.decode(blob)
+    assert r == r2 and np.array_equal(y, y2)
+
+
+def test_duration_matches_audio_probe():
+    """audio_probe's header-math duration and the decoder's actual
+    sample count agree (VERDICT r6 Next #4's cross-check)."""
+    from graph_db_clustering_spark.operators.multimodal import _probe_one_inner
+
+    x = _sine(secs=1.0)
+    blob = mp3.encode(x, rate=44100, bitrate=160_000)
+    container, rate, channels, duration = _probe_one_inner(blob)
+    assert (container, rate, channels) == ("mp3", 44100, 1)
+    r, y = mp3.decode(blob)
+    assert abs(len(y) / r - duration) < 0.1
+
+
+def test_audio_features_decodes_mp3_bytes(spark):
+    """The multimodal dispatch accepts MP3 alongside WAV."""
+    import pandas as pd
+
+    from graph_db_clustering_spark.operators import multimodal
+
+    x = _sine(freq=1000.0, secs=0.25)
+    blob = mp3.encode(x, rate=44100, bitrate=160_000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"audio_id": [1], "content": [bytearray(blob)]})
+    )
+    row = multimodal.audio_features(df).first()
+    assert row.sample_rate == 44100.0
+    assert row.n_samples == -(-len(x) // 1152) * 1152
+    # the dominant spectral line survives the coarse quantizer
+    assert 800.0 < row.spectral_centroid_hz < 1600.0
+
+
+# --- gates and corrupt input ----------------------------------------------
+
+
+def test_gates_raise_loudly():
+    blob = bytearray(mp3.encode(_sine(secs=0.1), rate=44100))
+    # stereo (mode bits 00 = stereo)
+    stereo = bytearray(blob)
+    stereo[3] &= 0x3F
+    with pytest.raises(NotImplementedError, match="mono"):
+        mp3.decode(bytes(stereo))
+    # MPEG-2 (version bits 10)
+    v2 = bytearray(blob)
+    v2[1] &= ~0x08
+    with pytest.raises(NotImplementedError, match="MPEG-2"):
+        mp3.decode(bytes(v2))
+    # free-format bitrate
+    free = bytearray(blob)
+    free[2] &= 0x0F
+    with pytest.raises(NotImplementedError, match="free-format"):
+        mp3.decode(bytes(free))
+    with pytest.raises(mp3.Mp3Error, match="no frames"):
+        mp3.decode(b"")
+
+
+def test_unsupported_huffman_table_raises_by_name():
+    """A frame whose side info selects big-values table 7 must raise
+    naming the table — never decode garbage silently."""
+    x = _sine(secs=0.05)
+    blob = bytearray(mp3.encode(x, rate=44100, bitrate=160_000))
+    # rebuild side info with big_values=1, table_select[0]=7
+    w = mp3._BitWriter()
+    w.write(0, 9)
+    w.write(0, 5)
+    for _ in range(4):
+        w.write(0, 1)
+    for _ in range(2):
+        w.write(40, 12)  # part2_3_length
+        w.write(1, 9)  # big_values = 1 pair
+        w.write(210, 8)
+        w.write(0, 4)
+        w.write(0, 1)
+        w.write(7, 5)  # table_select[0] = 7  <- the gate
+        w.write(0, 5)
+        w.write(0, 5)
+        w.write(0, 4)
+        w.write(0, 3)
+        w.write(0, 1)
+        w.write(0, 1)
+        w.write(1, 1)
+    w.pad()
+    blob[4: 4 + 17] = bytes(w.buf)
+    with pytest.raises(NotImplementedError, match="table 7"):
+        mp3.decode(bytes(blob))
+
+
+def test_reservoir_underflow_raises():
+    x = _sine(secs=0.05)
+    blob = bytearray(mp3.encode(x, rate=44100, bitrate=160_000))
+    # main_data_begin=1 on the FIRST frame: nothing in the reservoir.
+    # mdb occupies side-info bits 0-8 = byte 4 (all) + bit 7 of byte 5.
+    blob[5] |= 0x80
+    with pytest.raises(mp3.Mp3Error, match="reservoir"):
+        mp3.decode(bytes(blob))
+
+
+def test_truncated_frame_raises():
+    blob = mp3.encode(_sine(secs=0.1), rate=44100)
+    with pytest.raises(mp3.Mp3Error, match="truncated"):
+        mp3.decode(blob[: len(blob) - 100])

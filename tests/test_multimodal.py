@@ -345,8 +345,12 @@ def test_wav_odd_chunk_padding_and_extra_chunks():
 
 
 def test_wav_error_gates():
-    with pytest.raises(NotImplementedError, match="MP3/AAC/OGG"):
-        M._decode_wav(b"ID3\x04" + b"\x00" * 64)  # an MP3-ish header
+    with pytest.raises(NotImplementedError, match="AAC/OGG"):
+        M._decode_wav(b"OggS" + b"\x00" * 64)  # OGG stays gated
+    with pytest.raises(ValueError, match="no frames"):
+        # MP3 now dispatches to functions/mp3; an ID3 tag followed by
+        # garbage is a corrupt MP3, not a gate
+        M._decode_wav(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 64)
     with pytest.raises(ValueError, match="missing fmt or data"):
         M._decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
     import struct
