@@ -1104,8 +1104,11 @@ def avro_nested(spark, sf_dir):
     with a nullable-union field (meta.lang), an array (words), a map
     (freq), an enum (parity) and a fixed(16) (the md5 digest bytes) —
     then decodes back through the Arrow-batched distributed reader into
-    native Spark array/map/struct/binary columns. Ground-truth oracle:
-    every projected scalar must equal the closed form DuckDB computes
+    native Spark array/map/struct/binary columns. The containers use
+    the SNAPPY codec (pure-Python functions/snappy + the Avro CRC32
+    trailer — round 7, closing the last Avro codec gate), so this
+    oracle also proves that whole path. Ground-truth oracle: every
+    projected scalar must equal the closed form DuckDB computes
     directly on the source table."""
     import hashlib
 
@@ -1154,7 +1157,9 @@ def avro_nested(spark, sf_dir):
                 "digest": hashlib.md5(text.encode()).digest(),
             })
         return pd.DataFrame(
-            {"content": [bytearray(pyavro.encode_container(schema, rows))]}
+            {"content": [bytearray(
+                pyavro.encode_container(schema, rows, codec="snappy")
+            )]}
         )
 
     blobs = docs.repartition("shard").groupBy("shard").applyInPandas(

@@ -12,11 +12,15 @@ need no native library.
 Scope: record schemas over the primitive types, nullable unions, and —
 round 7 — the full complex-type set: nested records, arrays, maps,
 enums, fixed, and named-type references (a record/enum/fixed defined
-once and referenced by name later in the schema). Remaining gates,
-each loud and scoped: snappy codec (no native lib here), general
-unions beyond [null, T] (Spark has no union type to map them onto),
-and recursive type definitions (a record containing itself has no
-finite Spark schema).
+once and referenced by name later in the schema), plus all three
+spec-required-or-recommended codecs: null, deflate, and snappy (the
+latter via the pure-Python functions/snappy block codec, with the
+Avro-mandated big-endian CRC32-of-uncompressed trailer verified per
+block), and general unions via the public spark-avro mapping
+convention ({int,long} promotes to long, {float,double} to double,
+anything else becomes struct<member0, member1, ...> over the non-null
+branches). The one remaining gate, loud and scoped: recursive type
+definitions (a record containing itself has no finite Spark schema).
 
 Scale shape: identical to sources/warc — the FILE is the unit of
 parallelism (binaryFile + mapInPandas), each task decodes its own
@@ -106,9 +110,27 @@ def _parse_type(t, names: dict, parsing: set):
         non_null = [x for x in t if x != "null"]
         if len(t) == 2 and "null" in t and len(non_null) == 1:
             return ("union", t.index("null"), _parse_type(non_null[0], names, parsing))
-        raise NotImplementedError(
-            f"avro: general unions not supported (only [null, T]): {t!r}"
+        # general union -> the public spark-avro mapping convention:
+        # {int,long} promotes to long, {float,double} to double, anything
+        # else becomes struct<member0, member1, ...> over the non-null
+        # branches (an optional "null" branch makes the struct nullable)
+        null_idx = t.index("null") if "null" in t else None
+        named = [x for x in t if isinstance(x, str)]
+        if len(set(named)) != len(named):
+            raise AvroError(f"avro: duplicate union branches: {t!r}")
+        prims = set(x for x in non_null if isinstance(x, str))
+        if prims == set(non_null) and prims == {"int", "long"}:
+            mode = "promote_long"
+        elif prims == set(non_null) and prims == {"float", "double"}:
+            mode = "promote_double"
+        else:
+            mode = "struct"
+        branches = tuple(
+            (bi, _parse_type(b, names, parsing))
+            for bi, b in enumerate(t)
+            if b != "null"
         )
+        return ("gunion", null_idx, branches, mode)
     if isinstance(t, dict):
         kind = t["type"]
         if kind in _PRIMITIVE_SPARK or kind == "null":
@@ -193,6 +215,25 @@ def _decode_typed(data: bytes, pos: int, rep):
                 f"(valid: {null_idx} = null, {1 - null_idx} = value)"
             )
         return _decode_typed(data, pos, inner)
+    if tag == "gunion":
+        _, null_idx, branches, mode = rep
+        idx, pos = _read_varint(data, pos)
+        if idx == null_idx:
+            return None, pos
+        for k, (bi, brep) in enumerate(branches):
+            if bi == idx:
+                v, pos = _decode_typed(data, pos, brep)
+                if mode == "struct":
+                    return {
+                        f"member{j}": (v if j == k else None)
+                        for j in range(len(branches))
+                    }, pos
+                return v, pos  # promoted numeric
+        raise AvroError(
+            f"avro: union branch index {idx} out of range "
+            f"(valid: {[b[0] for b in branches]}"
+            + (f" or {null_idx} = null)" if null_idx is not None else ")")
+        )
     if tag == "array":
         out = []
         while True:
@@ -272,6 +313,18 @@ def _spark_type(rep) -> T.DataType:
     tag = rep[0]
     if tag == "union":
         return _spark_type(rep[2])
+    if tag == "gunion":
+        _, _, branches, mode = rep
+        if mode == "promote_long":
+            return T.LongType()
+        if mode == "promote_double":
+            return T.DoubleType()
+        return T.StructType(
+            [
+                T.StructField(f"member{k}", _spark_type(brep), True)
+                for k, (_, brep) in enumerate(branches)
+            ]
+        )
     if tag == "array":
         return T.ArrayType(_spark_type(rep[1]), True)
     if tag == "map":
@@ -323,7 +376,7 @@ def _read_header_inner(blob: bytes):
             meta[key] = blob[pos : pos + vlen]
             pos += vlen
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
     if "avro.schema" not in meta:
         raise AvroError("avro: container metadata missing avro.schema")
@@ -369,6 +422,21 @@ def _decode_blocks(blob, fields, codec, sync, pos) -> list[dict]:
         pos += 16
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
+        elif codec == "snappy":
+            # Avro snappy framing: raw-snappy body + 4-byte big-endian
+            # CRC32 of the UNCOMPRESSED data (Avro spec, file container
+            # codecs) — verify it, the whole point of carrying it
+            from graph_db_clustering_spark.functions import snappy as _sn
+
+            if len(block) < 4:
+                raise AvroError("avro: snappy block shorter than its CRC")
+            body, crc = block[:-4], int.from_bytes(block[-4:], "big")
+            try:
+                block = _sn.decompress(body)
+            except _sn.SnappyError as e:
+                raise AvroError(f"avro: corrupt snappy block ({e})")
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise AvroError("avro: snappy block CRC mismatch")
         bpos = 0
         for _ in range(count):
             row = {}
@@ -429,6 +497,29 @@ def _encode_typed(rep, v) -> bytes:
         if v is None:
             return _write_varint(null_idx)
         return _write_varint(1 - null_idx) + _encode_typed(inner, v)
+    if tag == "gunion":
+        _, null_idx, branches, mode = rep
+        if v is None:
+            if null_idx is None:
+                raise AvroError("avro: null in a union without a null branch")
+            return _write_varint(null_idx)
+        if mode != "struct":  # promoted numeric: encode the wide branch
+            wide = "long" if mode == "promote_long" else "double"
+            for bi, brep in branches:
+                if brep == wide:
+                    return _write_varint(bi) + _encode_value(wide, v)
+            raise AvroError(f"avro: no {wide} branch in promoted union")
+        live = [
+            (k, bi, brep)
+            for k, (bi, brep) in enumerate(branches)
+            if v.get(f"member{k}") is not None
+        ]
+        if len(live) != 1:
+            raise AvroError(
+                f"avro: union value must set exactly one member, got {v!r}"
+            )
+        k, bi, brep = live[0]
+        return _write_varint(bi) + _encode_typed(brep, v[f"member{k}"])
     if tag == "array":
         if not v:
             return _write_varint(0)
@@ -460,7 +551,7 @@ def _encode_typed(rep, v) -> bytes:
         for fname, frep in rep[1]:
             fv = v.get(fname) if isinstance(v, dict) else getattr(v, fname)
             if fv is None and not (
-                isinstance(frep, tuple) and frep[0] == "union"
+                isinstance(frep, tuple) and frep[0] in ("union", "gunion")
             ) and frep != "null":
                 raise AvroError(f"null in non-nullable field {fname!r}")
             out += _encode_typed(frep, fv)
@@ -483,13 +574,22 @@ def encode_container(
                     body += _write_varint(null_idx)
                     continue
                 body += _write_varint(1 - null_idx)
-            elif v is None and rep != "null":
+            elif v is None and rep != "null" and not (
+                isinstance(rep, tuple) and rep[0] == "gunion"
+            ):
                 raise AvroError(f"null in non-nullable field {name!r}")
             body += _encode_typed(rep, v)
     block = bytes(body)
     if codec == "deflate":
         c = zlib.compressobj(6, zlib.DEFLATED, -15)
         block = c.compress(block) + c.flush()
+    elif codec == "snappy":
+        from graph_db_clustering_spark.functions import snappy as _sn
+
+        crc = zlib.crc32(block) & 0xFFFFFFFF
+        block = _sn.compress(block) + crc.to_bytes(4, "big")
+    elif codec != "null":
+        raise NotImplementedError(f"avro codec {codec!r} not supported")
     meta = {
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),

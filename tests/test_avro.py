@@ -29,7 +29,7 @@ ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_container_roundtrip_all_primitives(codec):
     blob = avro.encode_container(SCHEMA, ROWS, codec=codec)
     fields, rows = avro.decode_container(blob)
@@ -53,16 +53,13 @@ def test_zigzag_varint_edge_values():
 def test_gates():
     with pytest.raises(avro.AvroError, match="magic"):
         avro.decode_container(b"NOPE")
-    with pytest.raises(NotImplementedError, match="snappy"):
+    with pytest.raises(NotImplementedError, match="zstandard"):
         avro.decode_container(
+            # value length prefixes are zigzag varints: 7 -> 0x0e, 9 -> 0x12
             avro.encode_container(SCHEMA, [], codec="deflate").replace(
-                b"deflate", b"snappy\x00"
+                b"\x0edeflate", b"\x12zstandard"
             )
         )
-    general_union = {"type": "record", "name": "X",
-                     "fields": [{"name": "a", "type": ["int", "string"]}]}
-    with pytest.raises(NotImplementedError, match="general unions"):
-        avro.parse_schema(general_union)
     recursive = {"type": "record", "name": "Tree",
                  "fields": [{"name": "child", "type": ["null", "Tree"]}]}
     with pytest.raises(NotImplementedError, match="recursive"):
@@ -100,7 +97,7 @@ NESTED_ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_nested_container_roundtrip(codec):
     blob = avro.encode_container(NESTED_SCHEMA, NESTED_ROWS, codec=codec)
     fields, rows = avro.decode_container(blob)
@@ -228,3 +225,75 @@ def test_nullable_long_preserves_precision_past_2_53(spark, tmp_path):
         key=lambda t: (t[0] is not None, t[0] or 0),
     )
     assert got == [(None,), (big,)]
+
+
+# --- general unions (spark-avro mapping convention, round 7) ----------------
+
+GUNION_SCHEMA = {
+    "type": "record",
+    "name": "G",
+    "fields": [
+        {"name": "id", "type": "long"},
+        # struct mode: struct<member0: long, member1: string>
+        {"name": "v", "type": ["long", "string"]},
+        # nullable struct mode: null branch in the middle is honored
+        {"name": "w", "type": ["string", "null", "boolean"]},
+        # numeric promotions
+        {"name": "n", "type": ["int", "long"]},
+        {"name": "x", "type": ["float", "double"]},
+    ],
+}
+
+GUNION_ROWS = [
+    {"id": 1, "v": {"member0": 7, "member1": None},
+     "w": {"member0": "yes", "member1": None}, "n": 5, "x": 1.5},
+    {"id": 2, "v": {"member0": None, "member1": "txt"},
+     "w": None, "n": 2**40, "x": -0.25},
+    {"id": 3, "v": {"member0": -1, "member1": None},
+     "w": {"member0": None, "member1": True}, "n": 0, "x": 0.0},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "snappy"])
+def test_general_union_roundtrip(codec):
+    blob = avro.encode_container(GUNION_SCHEMA, GUNION_ROWS, codec=codec)
+    fields, rows = avro.decode_container(blob)
+    assert rows == GUNION_ROWS
+
+
+def test_general_union_spark_schema():
+    st = avro.spark_schema_for(avro.parse_schema(GUNION_SCHEMA))
+    assert st["v"].dataType.simpleString() == "struct<member0:bigint,member1:string>"
+    assert st["w"].dataType.simpleString() == "struct<member0:string,member1:boolean>"
+    assert st["n"].dataType.typeName() == "long"
+    assert st["x"].dataType.typeName() == "double"
+
+
+def test_general_union_distributed(spark, tmp_path):
+    (tmp_path / "g.avro").write_bytes(
+        avro.encode_container(GUNION_SCHEMA, GUNION_ROWS)
+    )
+    df = avro.read_avro(spark, str(tmp_path))
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].v.member0 == 7 and rows[1].v.member1 is None
+    assert rows[2].v.member1 == "txt" and rows[2].w is None
+    assert rows[2].n == 2**40  # promoted long survives past int range
+    assert rows[3].w.member1 is True
+    assert rows[1].x == pytest.approx(1.5)
+
+
+def test_general_union_corrupt_branch_and_dup():
+    blob = avro.encode_container(
+        GUNION_SCHEMA, [dict(GUNION_ROWS[0], w=None)], codec="null"
+    )
+    # w=None encodes branch 1 (zigzag 0x02); bump it to branch 9
+    with pytest.raises(avro.AvroError, match="union value|branch index"):
+        avro.encode_container(
+            GUNION_SCHEMA,
+            [dict(GUNION_ROWS[0], v={"member0": 1, "member1": "both"})],
+        )
+    assert blob  # encoding with a null-branch union value is legal
+    with pytest.raises(avro.AvroError, match="duplicate union branches"):
+        avro.parse_schema({"type": "record", "name": "D",
+                           "fields": [{"name": "a",
+                                       "type": ["int", "int"]}]})
