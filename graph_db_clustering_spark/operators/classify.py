@@ -1,0 +1,269 @@
+"""Distributed text classification for training-data curation.
+
+Two classifiers every large-scale LLM-data pipeline runs over its
+corpus, both expressed as pure DataFrame aggregations (no MLlib, no
+Python in the hot path) so Catalyst keeps them in codegen and every
+number is recomputable in ANSI SQL for the driver's DuckDB oracle:
+
+* Multinomial Naive Bayes (`nb_train` / `nb_score`) — the classic
+  fastText-class quality/language classifier (CCNet, GPT-3's WebText
+  discriminator, FineWeb-Edu all use linear models of this family).
+  Training is two hash aggregates (per-(label, term) counts + per-label
+  totals); scoring is one term-keyed join and one sum — both scale as
+  plain shuffles on the token stream.
+
+* DSIR importance weights (`dsir_weights`) — Data Selection via
+  Importance Resampling (Xie et al. 2023, arXiv:2302.03169): estimate
+  hashed-feature unigram distributions over a TARGET corpus and a RAW
+  corpus, then weight each raw document by its log importance ratio
+  sum_f count_f * log(p_target(f) / p_raw(f)). Documents that "look
+  like" the target distribution get high weights; sampling
+  proportionally to exp(weight) tilts a web-scale corpus toward the
+  target domain. Features are md5-bucketed unigrams (the paper's hashed
+  n-grams), with the hash chosen to be engine-portable: the first 8 hex
+  chars of md5 as an integer, identical in Spark
+  (conv(substring(md5(w),1,8),16,10)) and DuckDB
+  (('0x'||substr(md5(w),1,8))::UBIGINT), so the oracle can replay it.
+
+Scale shape: the models (vocab-sized / n_buckets-sized) join on the
+term/bucket key — NO broadcast assumption on the vocabulary (web-scale
+vocabularies don't fit one executor); only the label table (a handful
+of rows) broadcasts. Out-of-vocabulary tokens at score time are
+dropped (inner join) — the standard multinomial-NB convention and the
+choice the oracle mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.operators.text import tokens
+
+
+def _explode_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+
+
+def nb_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    smoothing: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit a multinomial Naive Bayes model.
+
+    Returns (term_model, label_model):
+      term_model  (term, labels: map<label, loglik>) — add-k-smoothed
+                  log P(term | label) for every (term, label) seen in
+                  training, pre-grouped into one row per term so score
+                  time needs a single term-keyed join;
+      label_model (label, logprior, default_loglik) — log P(label) and
+                  the smoothed log-likelihood of a vocab term NOT seen
+                  with this label (k / (total_l + k*V)).
+
+    Plan: one explode -> (label, term) hash aggregate with map-side
+    partials, one per-label rollup, one scalar vocab count. The models
+    are vocab-sized and label-sized — corpus-sized data never leaves
+    the aggregates."""
+    base = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    tl = base.groupBy("label", "term").agg(F.count("*").alias("ctl"))
+    totals = tl.groupBy("label").agg(F.sum("ctl").alias("total_l"))
+    vocab = tl.select("term").distinct().count()
+    k = float(smoothing)
+
+    term_model = (
+        tl.join(F.broadcast(totals), "label")
+        .withColumn(
+            "loglik",
+            F.log((F.col("ctl") + F.lit(k)) / (F.col("total_l") + F.lit(k * vocab))),
+        )
+        .groupBy("term")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("label", "loglik")))
+            ).alias("labels")
+        )
+    )
+
+    docs_per_label = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_docs")
+    )
+    n_docs = df.count()
+    label_model = (
+        docs_per_label.join(F.broadcast(totals), "label")
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.lit(float(n_docs))).alias("logprior"),
+            F.log(F.lit(k) / (F.col("total_l") + F.lit(k * vocab))).alias(
+                "default_loglik"
+            ),
+        )
+    )
+    return term_model, label_model
+
+
+def nb_score(
+    docs: DataFrame,
+    term_model: DataFrame,
+    label_model: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Score documents against an nb_train model.
+
+    Returns the full (id_col, label, logscore) matrix — one row per
+    document per label, logscore = logprior + sum_t tf_t * loglik_t.
+    Use nb_predict for the argmax row.
+
+    Plan: doc-term counts (one hash aggregate — the token stream is
+    reduced to distinct (doc, term) BEFORE anything joins), ONE
+    term-keyed join against the vocab-sized model, a broadcast cross
+    with the label table, and a per-(doc, label) sum. OOV terms drop at
+    the inner join (multinomial-NB convention)."""
+    doc_term = (
+        _explode_terms(docs, id_col, text_col)
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    per_label = (
+        doc_term.join(term_model, "term")  # vocab-sized, term-keyed
+        .crossJoin(F.broadcast(label_model))
+        .withColumn(
+            "logp",
+            F.coalesce(
+                F.element_at(F.col("labels"), F.col("label")),
+                F.col("default_loglik"),
+            ),
+        )
+    )
+    scored = per_label.groupBy("id", "label").agg(
+        (F.first("logprior") + F.sum(F.col("tf") * F.col("logp"))).alias(
+            "logscore"
+        )
+    )
+    # documents with zero in-vocab tokens still score (= prior alone)
+    all_ids = docs.select(F.col(id_col).alias("id")).distinct()
+    base = all_ids.crossJoin(F.broadcast(label_model.select("label", "logprior")))
+    return (
+        base.join(scored, ["id", "label"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "label",
+            F.coalesce("logscore", "logprior").alias("logscore"),
+        )
+    )
+
+
+def nb_predict(
+    docs: DataFrame,
+    term_model: DataFrame,
+    label_model: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Argmax row per document: (id_col, label, logscore). Ties break
+    on label ascending (deterministic, partitioning-invariant) via
+    max_by over a (logscore, reversed-label) struct-free two-key
+    ordering: max logscore first, then MIN label among exact ties."""
+    m = nb_score(docs, term_model, label_model, id_col, text_col)
+    best = m.groupBy(id_col).agg(F.max("logscore").alias("logscore"))
+    return (
+        m.join(best, [id_col, "logscore"])
+        .groupBy(id_col, "logscore")
+        .agg(F.min("label").alias("label"))
+        .select(id_col, "label", "logscore")
+    )
+
+
+def hashed_bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-portable feature hash: int(md5(w)[:8], 16) % n_buckets.
+    DuckDB replay: ('0x' || substr(md5(w), 1, 8))::UBIGINT % n."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023).
+
+    log w(doc) = sum over hashed unigram features f of
+                 count_doc(f) * log(p_target(f) / p_raw(f)),
+    with add-k smoothing over the fixed n_buckets feature space, so
+    every bucket has mass in both distributions and the ratio is always
+    finite. Returns (id_col, n_feats, log_weight).
+
+    Plan: both corpora reduce to n_buckets-row distributions (one hash
+    aggregate each — these are FIXED-size regardless of corpus scale,
+    the whole point of hashed features); the raw side's per-doc bucket
+    counts join the bucket-keyed ratio table and sum per doc. The
+    n_buckets table is small but still joined on its key rather than
+    collected — broadcast is the optimizer's call via AQE, not a
+    correctness assumption."""
+    k = float(smoothing)
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (
+            _explode_terms(df, id_col, text_col)
+            .select(hashed_bucket(F.col("term"), n_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("c"))
+        )
+
+    tgt = bucket_counts(target)
+    rawd = bucket_counts(raw)
+    tgt_total = tgt.agg(F.sum("c")).collect()[0][0] or 0
+    raw_total = rawd.agg(F.sum("c")).collect()[0][0] or 0
+
+    # log(p_t / p_r) per bucket over the FULL bucket space: buckets
+    # absent from one side get the smoothed floor, never -inf
+    ratio = (
+        tgt.withColumnRenamed("c", "ct")
+        .join(rawd.withColumnRenamed("c", "cr"), "bucket", "outer")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + F.lit(k))
+                    / F.lit(tgt_total + k * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce("cr", F.lit(0)) + F.lit(k))
+                    / F.lit(raw_total + k * n_buckets)
+                )
+            ).alias("logratio"),
+        )
+    )
+
+    doc_buckets = (
+        _explode_terms(raw, id_col, text_col)
+        .select(
+            "id", hashed_bucket(F.col("term"), n_buckets).alias("bucket")
+        )
+        .groupBy("id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        doc_buckets.join(ratio, "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("n").cast("long").alias("n_feats"),
+            F.sum(F.col("n") * F.col("logratio")).alias("log_weight"),
+        )
+        .select(F.col("id").alias(id_col), "n_feats", "log_weight")
+    )

@@ -1361,3 +1361,113 @@ def archive_ingest(spark, sf_dir):
         F.regexp_extract("name", r"doc/(\d+)\.txt", 1).cast("long").alias("doc_id"),
         F.md5(F.col("content").cast("string")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "nb_language",
+    f"""WITH tr AS (
+  SELECT lang AS label, doc_id, {_TOKS} AS w
+  FROM documents WHERE doc_id % 2 = 0),
+toks AS (SELECT label, UNNEST(w) AS term FROM tr),
+tl AS (SELECT label, term, COUNT(*) AS ctl FROM toks
+       WHERE term <> '' GROUP BY label, term),
+totals AS (SELECT label, SUM(ctl) AS total_l FROM tl GROUP BY label),
+voc AS (SELECT COUNT(DISTINCT term) AS v FROM tl),
+pri AS (SELECT lang AS label, COUNT(*) AS n_docs
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+ntot AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0),
+lab AS (SELECT p.label, LN(p.n_docs / CAST(nt.n AS DOUBLE)) AS logprior,
+               LN(1.0 / (t.total_l + voc.v)) AS default_loglik,
+               t.total_l, voc.v
+        FROM pri p JOIN totals t ON t.label = p.label, ntot nt, voc),
+te AS (SELECT doc_id, {_TOKS} AS w
+       FROM documents WHERE doc_id % 2 = 1),
+dt AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, UNNEST(w) AS term FROM te)
+       WHERE term <> '' AND term IN (SELECT DISTINCT term FROM tl)
+       GROUP BY doc_id, term),
+scored AS (
+  SELECT d.doc_id, l.label,
+         SUM(d.tf * COALESCE(LN((x.ctl + 1.0) / (l.total_l + l.v)),
+                             l.default_loglik)) AS s
+  FROM dt d CROSS JOIN lab l
+  LEFT JOIN tl x ON x.term = d.term AND x.label = l.label
+  GROUP BY d.doc_id, l.label)
+SELECT t.doc_id, l.label, ROUND(l.logprior + COALESCE(s.s, 0), 4) AS logscore
+FROM (SELECT DISTINCT doc_id FROM te) t
+CROSS JOIN lab l
+LEFT JOIN scored s ON s.doc_id = t.doc_id AND s.label = l.label
+ORDER BY t.doc_id, l.label""",
+)
+def nb_language(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier trained ON the corpus
+    (operators/classify.nb_train / nb_score — round 7): fit add-1
+    smoothed per-(lang, term) log-likelihoods on the even-id half of
+    documents, score the odd-id half, emit the full (doc, label)
+    log-posterior matrix. The oracle recomputes training counts,
+    priors, smoothing, OOV drop, and the per-doc sums entirely in SQL —
+    the classifier IS the aggregation plan, so the driver gate scores
+    the whole model, not a pickled artifact."""
+    from graph_db_clustering_spark.operators import classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    term_model, label_model = classify.nb_train(train, "doc_id", "text", "lang")
+    return (
+        classify.nb_score(test, term_model, label_model, "doc_id", "text")
+        .select("doc_id", "label", F.round("logscore", 4).alias("logscore"))
+        .orderBy("doc_id", "label")
+    )
+
+
+@declared(
+    "dsir_weights",
+    f"""WITH tgt AS (SELECT text FROM documents
+           WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+raw AS (SELECT doc_id, text FROM documents
+        WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')),
+bt AS (SELECT ('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024 AS bucket,
+              COUNT(*) AS ct
+       FROM (SELECT UNNEST({_TOKS}) AS term FROM tgt)
+       WHERE term <> '' GROUP BY 1),
+br AS (SELECT ('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024 AS bucket,
+              COUNT(*) AS cr
+       FROM (SELECT UNNEST({_TOKS}) AS term FROM raw)
+       WHERE term <> '' GROUP BY 1),
+tt AS (SELECT SUM(ct) AS t FROM bt),
+rt AS (SELECT SUM(cr) AS r FROM br),
+ratio AS (
+  SELECT COALESCE(bt.bucket, br.bucket) AS bucket,
+         LN((COALESCE(ct, 0) + 1.0) / (tt.t + 1024.0))
+         - LN((COALESCE(cr, 0) + 1.0) / (rt.r + 1024.0)) AS logratio
+  FROM bt FULL OUTER JOIN br ON bt.bucket = br.bucket, tt, rt),
+db AS (SELECT doc_id,
+              ('0x' || substr(md5(term), 1, 8))::UBIGINT % 1024 AS bucket,
+              COUNT(*) AS n
+       FROM (SELECT doc_id, UNNEST({_TOKS}) AS term FROM raw)
+       WHERE term <> '' GROUP BY doc_id, bucket)
+SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_feats,
+       ROUND(SUM(d.n * r.logratio), 4) AS log_weight
+FROM db d JOIN ratio r USING (bucket)
+GROUP BY d.doc_id ORDER BY d.doc_id""",
+)
+def dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (operators/classify.dsir_weights,
+    Xie et al. 2023 — round 7): target distribution = sources src0-3,
+    raw = the rest; hashed-unigram (md5-bucket, 1024) distributions on
+    both sides, per-raw-doc weight = sum count * log(p_tgt/p_raw) with
+    add-1 smoothing over the bucket space. The md5-prefix bucket hash
+    is engine-portable, so the oracle replays the entire pipeline —
+    distributions, smoothing, and the per-doc sums — in closed form."""
+    from graph_db_clustering_spark.operators import classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = ["src0", "src1", "src2", "src3"]
+    target = docs.filter(F.col("source").isin(srcs))
+    raw = docs.filter(~F.col("source").isin(srcs))
+    return (
+        classify.dsir_weights(raw, target, "doc_id", "text", n_buckets=1024)
+        .select("doc_id", "n_feats", F.round("log_weight", 4).alias("log_weight"))
+        .orderBy("doc_id")
+    )
