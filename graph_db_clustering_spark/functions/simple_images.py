@@ -91,8 +91,11 @@ _TIFF_TAGS = {
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
     317: "predictor", 320: "colormap",
+    322: "tile_width", 323: "tile_length",
+    324: "tile_offsets", 325: "tile_counts",
+    347: "jpeg_tables",
 }
-_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}
 
 
 def _unpackbits_rle(data: bytes) -> bytes:
@@ -239,12 +242,68 @@ def _tiff_size_inner(data: bytes) -> tuple[int, int]:
     return w, h
 
 
+def _assemble_jpeg_tiff(
+    data: bytes, tags: dict, offsets, counts, w: int, h: int, tiled: bool
+) -> np.ndarray:
+    """New-style JPEG-in-TIFF (compression 7, TIFF TechNote 2): every
+    strip/tile is a self-contained JPEG interchange stream, optionally
+    sharing quantization/Huffman tables via the JPEGTables tag (347) —
+    an abbreviated stream SOI..tables..EOI whose table segments are
+    spliced after each segment's SOI. Decodes through functions/jpeg
+    (baseline/progressive/lossless all available) and assembles the
+    per-segment arrays spatially."""
+    from graph_db_clustering_spark.functions import jpeg as _jpeg
+
+    tables = bytes(bytearray(tags.get("jpeg_tables", [])))
+    if tables:
+        if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+            raise ValueError("TIFF JPEGTables is not an SOI..EOI stream")
+        tables = tables[2:-2]
+
+    def dec(seg: bytes) -> np.ndarray:
+        if seg[:2] != b"\xff\xd8":
+            raise ValueError("TIFF JPEG strip/tile missing SOI")
+        if tables:
+            seg = b"\xff\xd8" + tables + seg[2:]
+        arr = _jpeg.decode(seg)
+        return arr
+
+    arrays = [
+        dec(bytes(data[off : off + cnt])) for off, cnt in zip(offsets, counts)
+    ]
+    if not arrays:
+        raise ValueError("TIFF JPEG image with no strips/tiles")
+    if tiled:
+        tw, th = tags["tile_width"][0], tags["tile_length"][0]
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(arrays) < across * down:
+            raise ValueError("TIFF tile count shorter than the grid")
+        first = arrays[0]
+        shape = (down * th, across * tw) + first.shape[2:]
+        img = np.zeros(shape, dtype=first.dtype)
+        for i in range(down):
+            for j in range(across):
+                a = arrays[i * across + j]
+                # JPEG pads to MCU multiples; crop to the tile geometry
+                img[i * th : (i + 1) * th, j * tw : (j + 1) * tw] = a[
+                    :th, :tw
+                ]
+        return img[:h, :w]
+    # strips: each covers rows_per_strip full-width rows
+    cropped = [a[:, :w] for a in arrays]
+    return np.concatenate(cropped, axis=0)[:h]
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
-    """Baseline TIFF -> HxW (gray) or HxWxC uint8/uint16. Both byte
-    orders; strip layout (chunky planar config); compression 1 (none),
-    5 (LZW, the TIFF early-change variant), 8/32946 (deflate via zlib),
-    32773 (PackBits). JPEG-in-TIFF, tiles, and planar=2 raise
-    NotImplementedError."""
+    """TIFF -> HxW (gray) or HxWxC uint8/uint16. Both byte orders;
+    strip AND tile layouts; chunky (planar=1) and planar (planar=2)
+    configurations; compression 1 (none), 5 (LZW, the TIFF
+    early-change variant), 7 (new-style JPEG via functions/jpeg,
+    including a shared JPEGTables segment), 8/32946 (deflate via
+    zlib), 32773 (PackBits). Remaining gates, loud and scoped:
+    old-style JPEG (compression 6 — deprecated by TIFF TechNote 2,
+    writers are extinct), planar=2 combined with JPEG or tiles."""
     import zlib
 
     try:
@@ -295,42 +354,104 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
     if len(set(bits_list)) != 1 or bits_list[0] not in (8, 16):
         raise NotImplementedError(f"TIFF bits-per-sample {bits_list} unsupported")
     bits = bits_list[0]
-    if one("planar", 1) != 1:
-        raise NotImplementedError("TIFF planar configuration 2 not supported")
-    if comp not in (1, 5, 8, 32946, 32773):
+    planar = one("planar", 1)
+    tiled = "tile_offsets" in tags
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar} unsupported")
+    if comp == 6:
+        raise NotImplementedError(
+            "TIFF old-style JPEG (compression 6) not supported "
+            "(deprecated by TIFF TechNote 2; compression 7 is)"
+        )
+    if comp not in (1, 5, 7, 8, 32946, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} unsupported "
-            "(none/LZW/deflate/PackBits only)"
+            "(none/LZW/new-JPEG/deflate/PackBits only)"
         )
-    offsets = tags.get("strip_offsets")
-    counts = tags.get("strip_counts")
+    if planar == 2 and (comp == 7 or tiled):
+        raise NotImplementedError(
+            "TIFF planar configuration 2 supported for strip layouts "
+            "with byte codecs only (not JPEG or tiles)"
+        )
+    if tiled:
+        offsets = tags.get("tile_offsets")
+        counts = tags.get("tile_counts")
+    else:
+        offsets = tags.get("strip_offsets")
+        counts = tags.get("strip_counts")
     if not offsets or not counts:
-        raise ValueError("TIFF missing strip offsets/byte counts")
-    raw = bytearray()
-    for off, cnt in zip(offsets, counts):
-        strip = bytes(data[off : off + cnt])
-        if comp in (8, 32946):
-            strip = zlib.decompress(strip)
-        elif comp == 5:
-            strip = _lzw_tiff_decode(strip)
-        elif comp == 32773:
-            strip = _unpackbits_rle(strip)
-        raw += strip
-    dt = np.dtype(bo + ("u2" if bits == 16 else "u1"))
-    need = w * h * spp
-    arr = np.frombuffer(bytes(raw), dtype=dt, count=need).astype(
-        np.uint16 if bits == 16 else np.uint8
-    )
-    img = arr.reshape((h, w) if spp == 1 else (h, w, spp))
+        raise ValueError("TIFF missing strip/tile offsets or byte counts")
     predictor = one("predictor", 1)
-    if predictor == 2:
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+
+    def undiff(seg: np.ndarray) -> np.ndarray:
         # horizontal differencing: samples store deltas to the left
         # neighbor — LZW/deflate TIFFs set this constantly; ignoring it
-        # silently decodes garbage (review finding)
-        wide = img.astype(np.int64)
-        img = np.cumsum(wide, axis=1).astype(img.dtype)  # mod 2^bits wrap
-    elif predictor != 1:
-        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+        # silently decodes garbage (review finding). Differencing
+        # restarts at every segment's left edge, so tiles undiff BEFORE
+        # assembly (a tile's first column is absolute, not a delta from
+        # the neighboring tile).
+        if predictor != 2:
+            return seg
+        return np.cumsum(seg.astype(np.int64), axis=1).astype(seg.dtype)
+
+    if comp == 7:
+        img = _assemble_jpeg_tiff(data, tags, offsets, counts, w, h, tiled)
+    else:
+        segs = []
+        for off, cnt in zip(offsets, counts):
+            seg = bytes(data[off : off + cnt])
+            if comp in (8, 32946):
+                seg = zlib.decompress(seg)
+            elif comp == 5:
+                seg = _lzw_tiff_decode(seg)
+            elif comp == 32773:
+                seg = _unpackbits_rle(seg)
+            segs.append(seg)
+        dt = np.dtype(bo + ("u2" if bits == 16 else "u1"))
+        out_t = np.uint16 if bits == 16 else np.uint8
+        if tiled:
+            tw, th = one("tile_width"), one("tile_length")
+            across = (w + tw - 1) // tw
+            down = (h + th - 1) // th
+            if len(segs) < across * down:
+                raise ValueError("TIFF tile count shorter than the grid")
+            img = np.zeros(
+                (down * th, across * tw) + (() if spp == 1 else (spp,)),
+                dtype=out_t,
+            )
+            for i in range(down):
+                for j in range(across):
+                    tile = np.frombuffer(
+                        segs[i * across + j], dtype=dt, count=th * tw * spp
+                    ).astype(out_t)
+                    tile = tile.reshape(
+                        (th, tw) if spp == 1 else (th, tw, spp)
+                    )
+                    img[i * th : (i + 1) * th, j * tw : (j + 1) * tw] = undiff(
+                        tile
+                    )
+            img = img[:h, :w]
+        elif planar == 2:
+            # all plane-0 strips, then plane-1, ... (TIFF 6.0 §PlanarConfig)
+            per_plane = len(segs) // spp
+            if per_plane * spp != len(segs):
+                raise ValueError(
+                    "TIFF planar=2 strip count not divisible by SamplesPerPixel"
+                )
+            planes = []
+            for p in range(spp):
+                raw = b"".join(segs[p * per_plane : (p + 1) * per_plane])
+                plane = np.frombuffer(raw, dtype=dt, count=w * h).astype(
+                    out_t
+                ).reshape(h, w)
+                planes.append(undiff(plane))
+            img = planes[0] if spp == 1 else np.stack(planes, axis=2)
+        else:
+            raw = b"".join(segs)
+            arr = np.frombuffer(raw, dtype=dt, count=w * h * spp).astype(out_t)
+            img = undiff(arr.reshape((h, w) if spp == 1 else (h, w, spp)))
     photometric = one("photometric", 1)
     if photometric == 3:  # palette: indices -> ColorMap (16-bit per entry)
         cmap = tags.get("colormap")
@@ -348,10 +469,20 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
 
 
 def encode_tiff(
-    img: np.ndarray, compression: int = 1, rows_per_strip: int | None = None
+    img: np.ndarray,
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+    planar: int = 1,
+    tile: tuple[int, int] | None = None,
+    jpeg_segments: list[bytes] | None = None,
+    jpeg_tables: bytes | None = None,
 ) -> bytes:
-    """Minimal little-endian TIFF writer (fixtures/sinks): gray or
-    chunky RGB, 8/16-bit, compression 1/8/32773."""
+    """Minimal little-endian TIFF writer (fixtures/sinks): gray or RGB,
+    8/16-bit, compression 1/5/8/32773, chunky or planar strips, tiled
+    layout, and — with ``jpeg_segments`` (pre-encoded JPEG interchange
+    streams, one per strip/tile, e.g. from the test mini-encoder) —
+    new-style JPEG (compression 7) with an optional shared JPEGTables
+    (347) segment."""
     import zlib
 
     img = np.asarray(img)
@@ -359,33 +490,61 @@ def encode_tiff(
     spp = 1 if img.ndim == 2 else img.shape[2]
     bits = 16 if img.dtype == np.uint16 else 8
     rows_per_strip = rows_per_strip or h
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        part = img[y0 : y0 + rows_per_strip]
-        raw = part.astype("<u2" if bits == 16 else "u1").tobytes()
+
+    def pack(raw: bytes) -> bytes:
         if compression == 8:
-            raw = zlib.compress(raw)
-        elif compression == 5:
-            raw = _lzw_tiff_encode(raw)
-        elif compression == 32773:
+            return zlib.compress(raw)
+        if compression == 5:
+            return _lzw_tiff_encode(raw)
+        if compression == 32773:
             # naive PackBits: literal runs of <=128 bytes
             out = bytearray()
             for i in range(0, len(raw), 128):
                 chunk = raw[i : i + 128]
                 out.append(len(chunk) - 1)
                 out += chunk
-            raw = bytes(out)
-        elif compression not in (1, 32773):
-            raise ValueError(f"encode_tiff: unsupported compression {compression}")
-        strips.append(raw)
+            return bytes(out)
+        if compression == 1:
+            return raw
+        raise ValueError(f"encode_tiff: unsupported compression {compression}")
+
+    dt = "<u2" if bits == 16 else "u1"
+    if jpeg_segments is not None:
+        if compression != 7:
+            raise ValueError("jpeg_segments requires compression=7")
+        strips = [bytes(s) for s in jpeg_segments]
+    elif tile is not None:
+        tw, th = tile
+        strips = []
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                block = np.zeros(
+                    (th, tw) + (() if spp == 1 else (spp,)), dtype=img.dtype
+                )
+                part = img[y0 : y0 + th, x0 : x0 + tw]
+                block[: part.shape[0], : part.shape[1]] = part
+                strips.append(pack(block.astype(dt).tobytes()))
+    elif planar == 2:
+        if spp == 1:
+            raise ValueError("planar=2 needs multiple samples per pixel")
+        strips = []
+        for p in range(spp):
+            for y0 in range(0, h, rows_per_strip):
+                strips.append(
+                    pack(img[y0 : y0 + rows_per_strip, :, p].astype(dt).tobytes())
+                )
+    else:
+        strips = [
+            pack(img[y0 : y0 + rows_per_strip].astype(dt).tobytes())
+            for y0 in range(0, h, rows_per_strip)
+        ]
 
     n_strips = len(strips)
-    entries = []
-    extra = bytearray()
     header_size = 8
     # layout: header, IFD (count + entries + next), extra arrays, strip data
     def entry(tag, typ, values):
-        size = _TYPE_SIZE[typ] * len(values)
+        if typ == 7:  # UNDEFINED: raw bytes
+            return (tag, typ, len(values), bytes(values))
         fmt = {3: "H", 4: "I"}[typ]
         packed = b"".join(struct.pack("<" + fmt, v) for v in values)
         return (tag, typ, len(values), packed)
@@ -394,12 +553,26 @@ def encode_tiff(
     tag_list = [
         entry(256, 4, [w]), entry(257, 4, [h]),
         entry(258, 3, bits_vals), entry(259, 3, [compression]),
-        entry(262, 3, [2 if spp == 3 else 1]),
-        None,  # 273 strip offsets placeholder
-        entry(277, 3, [spp]), entry(278, 4, [rows_per_strip]),
-        entry(279, 4, [len(s) for s in strips]),
-        entry(284, 3, [1]),
+        entry(262, 3, [6 if compression == 7 and spp == 3 else
+                       2 if spp == 3 else 1]),
+        None,  # 273/324 segment offsets placeholder
+        entry(277, 3, [spp]),
+        entry(284, 3, [planar]),
     ]
+    if tile is not None:
+        tag_list += [
+            entry(322, 4, [tile[0]]), entry(323, 4, [tile[1]]),
+            entry(325, 4, [len(s) for s in strips]),
+        ]
+        offsets_tag = 324
+    else:
+        tag_list += [
+            entry(278, 4, [rows_per_strip]),
+            entry(279, 4, [len(s) for s in strips]),
+        ]
+        offsets_tag = 273
+    if jpeg_tables is not None:
+        tag_list.append(entry(347, 7, jpeg_tables))
     n_entries = len(tag_list)
     ifd_size = 2 + 12 * n_entries + 4
     data_start = header_size + ifd_size
@@ -428,9 +601,9 @@ def encode_tiff(
         cursor += len(s)
     so_packed = b"".join(struct.pack("<I", p) for p in strip_positions)
     so_entry = (
-        (273, 4, n_strips, so_packed.ljust(4, b"\x00"), None)
+        (offsets_tag, 4, n_strips, so_packed.ljust(4, b"\x00"), None)
         if so_size <= 4
-        else (273, 4, n_strips, struct.pack("<I", so_off), so_packed)
+        else (offsets_tag, 4, n_strips, struct.pack("<I", so_off), so_packed)
     )
     placed[tag_list.index(None)] = so_entry
 
@@ -440,9 +613,9 @@ def encode_tiff(
         out += struct.pack("<HHI", tag, typ, count) + inline
     out += struct.pack("<I", 0)  # next IFD
     # extras in the same order the placement cursor walked them: every
-    # non-273 external array first, then the external strip-offset array
+    # non-offset external array first, then the external offset array
     for tag, _, _, _, packed in placed:
-        if packed is not None and tag != 273:
+        if packed is not None and tag != offsets_tag:
             out += packed
     if so_size > 4:
         out += so_packed
