@@ -1,9 +1,13 @@
 """Pure-NumPy MPEG-1 Audio Layer III (MP3) decoder + fixture encoder.
 
-Scope (round 7 — the VERDICT r6 "mono CBR first" item): MPEG-1 Layer
-III, mono, long blocks. The decode chain is the full spec pipeline —
-frame sync + header, 17-byte mono side info, bit-reservoir main-data
-assembly across frames (main_data_begin), scalefactor decode
+Scope (round 7 — the VERDICT r6 "mono CBR first" item, extended to
+stereo the same round): MPEG-1 Layer III, mono/stereo/dual-channel/
+MS joint stereo, long blocks. The decode chain is the full spec
+pipeline — frame sync + header, side info (17 bytes mono / 32 bytes
+two-channel, wire order gr0ch0 gr0ch1 gr1ch0 gr1ch1), per-channel
+bit-reservoir main-data assembly across frames (main_data_begin),
+MS reconstruction li=(mi+si)/sqrt2 ri=(mi-si)/sqrt2 on the
+requantized spectra, scalefactor decode
 (slen1/slen2 table, scfsi granule-1 reuse), Huffman-coded spectrum,
 requantization (global_gain / scalefac_scale / preflag / pretab),
 alias-reduction butterflies, 36-point IMDCT with the sine window,
@@ -34,9 +38,9 @@ is not bundled here, and each is handled loudly rather than guessed:
   a small spectral ripple; the structure, phases, and every other
   stage are the spec's.
 
-Stereo, MPEG-2/2.5, short/mixed blocks, and free-format bitrate raise
-scoped NotImplementedError; truncated/corrupt input raises ValueError
-(repo-wide corrupt-input contract).
+Intensity stereo, MPEG-2/2.5, short/mixed blocks, and free-format
+bitrate raise scoped NotImplementedError; truncated/corrupt input
+raises ValueError (repo-wide corrupt-input contract).
 
 Reference provenance: the reference repo has no audio path at all;
 this extends the engine's multimodal column story
@@ -225,10 +229,15 @@ def _parse_header(h: bytes) -> dict:
         raise Mp3Error("mp3: invalid bitrate/samplerate index")
     padding = (h[2] >> 1) & 1
     mode = (h[3] >> 6) & 3
-    if mode != 3:
+    mode_ext = (h[3] >> 4) & 3
+    # modes: 0 stereo, 1 joint stereo, 2 dual channel, 3 single channel.
+    # Joint stereo's mode_extension: bit1 = MS stereo, bit0 = intensity
+    # stereo (position coding over a tabulated angle ratio — gated).
+    if mode == 1 and mode_ext & 1:
         raise NotImplementedError(
-            "mp3: only single_channel (mono) streams decode; stereo gated"
+            "mp3: intensity stereo not supported (MS joint stereo is)"
         )
+    nch = 1 if mode == 3 else 2
     bitrate = BITRATES_V1L3[br_idx] * 1000
     rate = SAMPLE_RATES_V1[sr_idx]
     frame_len = 144 * bitrate // rate + padding
@@ -238,45 +247,53 @@ def _parse_header(h: bytes) -> dict:
         "padding": padding,
         "crc": protection == 0,
         "frame_len": frame_len,
+        "nch": nch,
+        "ms_stereo": mode == 1 and bool(mode_ext & 2),
     }
 
 
-def _parse_side_info(raw: bytes) -> dict:
-    """17-byte mono MPEG-1 side info -> dict with two granule dicts."""
+def _parse_side_info(raw: bytes, nch: int = 1) -> dict:
+    """MPEG-1 side info (17 bytes mono / 32 bytes stereo) -> dict.
+    ``granules`` is [granule][channel] (the wire order: gr0ch0 gr0ch1
+    gr1ch0 gr1ch1); ``scfsi`` is per channel."""
     b = _Bits(raw)
     si = {
         "main_data_begin": b.read(9),
-        "private": b.read(5),
-        "scfsi": [b.read(1) for _ in range(4)],
+        "private": b.read(5 if nch == 1 else 3),
+        "scfsi": [[b.read(1) for _ in range(4)] for _ in range(nch)],
         "granules": [],
     }
-    for _ in range(2):
-        g = {
-            "part2_3_length": b.read(12),
-            "big_values": b.read(9),
-            "global_gain": b.read(8),
-            "scalefac_compress": b.read(4),
-            "window_switching": b.read(1),
-        }
-        if g["window_switching"]:
-            g["block_type"] = b.read(2)
-            g["mixed_block"] = b.read(1)
-            g["table_select"] = [b.read(5) for _ in range(2)]
-            g["subblock_gain"] = [b.read(3) for _ in range(3)]
-            # spec-fixed region split for switched blocks
-            g["region0_count"] = 7 if g["block_type"] == 2 and not g["mixed_block"] else 7
-            g["region1_count"] = 36
-        else:
-            g["block_type"] = 0
-            g["mixed_block"] = 0
-            g["table_select"] = [b.read(5) for _ in range(3)]
-            g["region0_count"] = b.read(4)
-            g["region1_count"] = b.read(3)
-        g["preflag"] = b.read(1)
-        g["scalefac_scale"] = b.read(1)
-        g["count1table_select"] = b.read(1)
-        si["granules"].append(g)
+    for _gr in range(2):
+        si["granules"].append([_parse_granule(b) for _ in range(nch)])
     return si
+
+
+def _parse_granule(b: _Bits) -> dict:
+    g = {
+        "part2_3_length": b.read(12),
+        "big_values": b.read(9),
+        "global_gain": b.read(8),
+        "scalefac_compress": b.read(4),
+        "window_switching": b.read(1),
+    }
+    if g["window_switching"]:
+        g["block_type"] = b.read(2)
+        g["mixed_block"] = b.read(1)
+        g["table_select"] = [b.read(5) for _ in range(2)]
+        g["subblock_gain"] = [b.read(3) for _ in range(3)]
+        # spec-fixed region split for switched blocks
+        g["region0_count"] = 7 if g["block_type"] == 2 and not g["mixed_block"] else 7
+        g["region1_count"] = 36
+    else:
+        g["block_type"] = 0
+        g["mixed_block"] = 0
+        g["table_select"] = [b.read(5) for _ in range(3)]
+        g["region0_count"] = b.read(4)
+        g["region1_count"] = b.read(3)
+    g["preflag"] = b.read(1)
+    g["scalefac_scale"] = b.read(1)
+    g["count1table_select"] = b.read(1)
+    return g
 
 
 # --- granule decode --------------------------------------------------------
@@ -416,19 +433,23 @@ class _Synth:
 # --- the decoder -----------------------------------------------------------
 
 
-def decode(content: bytes) -> tuple[int, np.ndarray]:
-    """MP3 bytes -> (sample_rate, mono float64 samples).
+def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
+    """MP3 bytes -> (sample_rate, float64 samples [n] mono / [n, 2]
+    stereo).
 
     Walks every frame (ID3v2 skipped, trailing garbage after the last
     full frame ignored as ID3v1/APE tags are), maintains the bit
-    reservoir, and runs the full granule pipeline. Output is NOT
-    delay-compensated (the spec decoder's ~529-sample filterbank+MDCT
-    latency is left in, as real decoders do)."""
+    reservoir, and runs the full granule pipeline per channel —
+    stereo, MS joint stereo (li=(mi+si)/sqrt2, ri=(mi-si)/sqrt2 on the
+    requantized spectra), and dual-channel streams all decode; only
+    intensity stereo stays gated. Output is NOT delay-compensated (the
+    spec decoder's ~529-sample filterbank+MDCT latency is left in, as
+    real decoders do)."""
     pos = _skip_id3(content)
     rate = None
+    nch = None
     reservoir = b""
-    overlap = np.zeros((32, 18))
-    synth = _Synth()
+    overlap = synths = None
     pcm: list[np.ndarray] = []
     n_frames = 0
     while pos + 4 <= len(content):
@@ -436,18 +457,21 @@ def decode(content: bytes) -> tuple[int, np.ndarray]:
             break  # trailing tag/garbage after last frame
         hdr = _parse_header(content[pos: pos + 4])
         if rate is None:
-            rate = hdr["rate"]
-        elif hdr["rate"] != rate:
-            raise Mp3Error("mp3: sample-rate change mid-stream")
+            rate, nch = hdr["rate"], hdr["nch"]
+            overlap = [np.zeros((32, 18)) for _ in range(nch)]
+            synths = [_Synth() for _ in range(nch)]
+        elif hdr["rate"] != rate or hdr["nch"] != nch:
+            raise Mp3Error("mp3: sample-rate/channel-mode change mid-stream")
         frame = content[pos: pos + hdr["frame_len"]]
         if len(frame) < hdr["frame_len"]:
             raise Mp3Error("mp3: truncated final frame")
         off = 4 + (2 if hdr["crc"] else 0)
-        side = frame[off: off + 17]
-        if len(side) < 17:
+        si_len = 17 if nch == 1 else 32
+        side = frame[off: off + si_len]
+        if len(side) < si_len:
             raise Mp3Error("mp3: truncated side info")
-        si = _parse_side_info(side)
-        main = frame[off + 17:]
+        si = _parse_side_info(side, nch)
+        main = frame[off + si_len:]
         # bit reservoir: this frame's granules start main_data_begin
         # bytes BEFORE the end of the accumulated previous main data
         if si["main_data_begin"] > len(reservoir):
@@ -462,31 +486,57 @@ def decode(content: bytes) -> tuple[int, np.ndarray]:
         )
         bits = _Bits(data)
         sfb = SFB_LONG[rate]
-        prev_sf = None
-        for gi, g in enumerate(si["granules"]):
-            if g["window_switching"] and g["block_type"] == 2:
-                raise NotImplementedError(
-                    "mp3: short/mixed blocks not supported (long blocks only)"
+        prev_sf: list = [None] * nch
+        for gi, chans in enumerate(si["granules"]):
+            xrs = []
+            for ch, g in enumerate(chans):
+                if g["window_switching"] and g["block_type"] == 2:
+                    raise NotImplementedError(
+                        "mp3: short/mixed blocks not supported (long blocks only)"
+                    )
+                start = bits.pos
+                end_bit = start + g["part2_3_length"]
+                sf = _decode_scalefactors(
+                    bits, g, prev_sf[ch] if gi == 1 else None, si["scfsi"][ch]
                 )
-            start = bits.pos
-            end_bit = start + g["part2_3_length"]
-            sf = _decode_scalefactors(
-                bits, g, prev_sf if gi == 1 else None, si["scfsi"]
-            )
-            prev_sf = sf
-            iv = _decode_huffman(bits, g, sfb, end_bit)
-            bits.pos = end_bit  # skip ancillary/stuffing inside the granule
-            xr = _requantize(iv, g, sf, sfb)
-            xr = _alias_reduce(xr)
-            sub, overlap = _imdct_granule(xr, overlap)
+                prev_sf[ch] = sf
+                iv = _decode_huffman(bits, g, sfb, end_bit)
+                bits.pos = end_bit  # skip ancillary/stuffing in the granule
+                xrs.append(_requantize(iv, g, sf, sfb))
+            if hdr["ms_stereo"]:
+                m, s = xrs
+                r2 = np.sqrt(2.0)
+                xrs = [(m + s) / r2, (m - s) / r2]
+            subs = []
+            for ch in range(nch):
+                xr = _alias_reduce(xrs[ch])
+                sub, overlap[ch] = _imdct_granule(xr, overlap[ch])
+                subs.append(sub)
             for t in range(18):
-                pcm.append(synth.step(sub[t]))
+                if nch == 1:
+                    pcm.append(synths[0].step(subs[0][t]))
+                else:
+                    pcm.append(
+                        np.stack(
+                            [synths[ch].step(subs[ch][t]) for ch in range(nch)],
+                            axis=1,
+                        )
+                    )
         reservoir = (reservoir + main)[-511:]
         pos += hdr["frame_len"]
         n_frames += 1
     if n_frames == 0:
         raise Mp3Error("mp3: no frames found")
     return rate, np.concatenate(pcm)
+
+
+def decode(content: bytes) -> tuple[int, np.ndarray]:
+    """MP3 bytes -> (sample_rate, mono float64 samples) — the
+    audio_features surface; stereo downmixes to the channel mean."""
+    rate, x = decode_pcm(content)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    return rate, x
 
 
 # --- fixture encoder -------------------------------------------------------
@@ -543,15 +593,48 @@ def _mdct_granule(sub: np.ndarray, prev: np.ndarray) -> tuple[np.ndarray, np.nda
     return X.reshape(576), cur.T.copy()  # [32,18] per-subband history
 
 
+def _quantize_granule(w: _BitWriter, X: np.ndarray) -> tuple[int, int]:
+    """Quantize one granule's 576 spectral lines to the supported
+    entropy subset (count1 table B: {-1, 0, +1}) and write its main
+    data. Returns (bits_written, global_gain)."""
+    amax = np.abs(X).max()
+    if amax <= 0:
+        gg = 0
+        iv = np.zeros(576, dtype=np.int64)
+    else:
+        gg = max(0, min(255, int(round(210 + 4 * np.log2(amax)))))
+        scale = 2.0 ** (0.25 * (gg - 210))
+        iv = np.where(np.abs(X) > scale / 2, np.sign(X), 0).astype(np.int64)
+    start = w.bitlen()
+    nz_top = int(np.flatnonzero(iv)[-1]) if iv.any() else -1
+    n_quads = min(144, (nz_top // 4) + 1) if nz_top >= 0 else 0
+    for q in range(n_quads):
+        vals = iv[q * 4: q * 4 + 4]
+        code = 0
+        for v in vals:
+            code = (code << 1) | (1 if v != 0 else 0)
+        w.write(code ^ 0xF, 4)
+        for v in vals:
+            if v != 0:
+                w.write(1 if v < 0 else 0, 1)
+    return w.bitlen() - start, gg
+
+
 def encode(
-    pcm: np.ndarray, rate: int = 44100, bitrate: int = 160_000
+    pcm: np.ndarray,
+    rate: int = 44100,
+    bitrate: int = 160_000,
+    ms_stereo: bool = False,
 ) -> bytes:
-    """Mono float PCM -> MPEG-1 Layer III CBR frames, using the
-    supported entropy subset only: every granule is big_values=0 +
-    count1 table B, i.e. the whole spectrum quantizes to {-1, 0, +1}
-    scaled by the granule's global_gain (coarse "1.5-bit" quantization
-    — a fixture/roundtrip encoder, not a perceptual one; roundtrip SNR
-    on narrowband signals is pinned by test). Frames carry
+    """Float PCM ([n] mono or [n, 2] stereo) -> MPEG-1 Layer III CBR
+    frames, using the supported entropy subset only: every granule is
+    big_values=0 + count1 table B, i.e. the whole spectrum quantizes to
+    {-1, 0, +1} scaled by the granule's global_gain (coarse "1.5-bit"
+    quantization — a fixture/roundtrip encoder, not a perceptual one;
+    roundtrip SNR on narrowband signals is pinned by test). Stereo
+    input writes mode=stereo frames, or — with ms_stereo=True — joint
+    stereo with the MS matrix (mi=(li+ri)/sqrt2, si=(li-ri)/sqrt2),
+    exercising the decoder's MS reconstruction. Frames carry
     main_data_begin=0 (no reservoir borrowing) and pad part2_3_length
     with stuffing zeros the decoder skips."""
     if rate not in SAMPLE_RATES_V1:
@@ -563,64 +646,65 @@ def encode(
         raise Mp3Error(f"mp3: unsupported bitrate {bitrate}")
     frame_len = 144 * bitrate // rate  # padding bit unused (fixture CBR)
 
-    n_gran = max(1, -(-len(pcm) // 576))
+    pcm = np.asarray(pcm, dtype=np.float64)
+    nch = 2 if pcm.ndim == 2 else 1
+    if nch == 1 and ms_stereo:
+        raise Mp3Error("mp3: ms_stereo needs 2-channel input")
+    n = pcm.shape[0]
+    n_gran = max(1, -(-n // 576))
     if n_gran % 2:
         n_gran += 1
-    x = np.zeros(n_gran * 576)
-    x[: len(pcm)] = pcm
-    sub = _analysis(x)  # [n_gran*18, 32]
+    if nch == 1:
+        chans = [np.zeros(n_gran * 576)]
+        chans[0][:n] = pcm
+    else:
+        l = np.zeros(n_gran * 576)
+        r = np.zeros(n_gran * 576)
+        l[:n], r[:n] = pcm[:, 0], pcm[:, 1]
+        if ms_stereo:
+            r2 = np.sqrt(2.0)
+            chans = [(l + r) / r2, (l - r) / r2]  # M, S
+        else:
+            chans = [l, r]
+    subs = [_analysis(x) for x in chans]  # per channel [n_gran*18, 32]
+
+    if nch == 1:
+        mode_byte = 3 << 6  # single_channel
+    elif ms_stereo:
+        mode_byte = (1 << 6) | (2 << 4)  # joint stereo, MS on
+    else:
+        mode_byte = 0 << 6  # stereo
 
     out = bytearray()
-    prev = np.zeros((32, 18))
+    prev = [np.zeros((32, 18)) for _ in range(nch)]
     for f in range(n_gran // 2):
-        # both granules stream into ONE writer — the spec does not
-        # byte-align granule boundaries; the decoder finds granule 1 at
-        # bit offset part2_3_length[0]
+        # all granule/channel main data streams into ONE writer in wire
+        # order (gr0ch0 gr0ch1 gr1ch0 gr1ch1) — the spec does not
+        # byte-align the boundaries; the decoder walks part2_3_length
         w = _BitWriter()
-        granule_meta = []
+        granule_meta = []  # [(bits, gg)] in wire order
         for gi in range(2):
             g0 = (f * 2 + gi) * 18
-            X, prev = _mdct_granule(sub[g0: g0 + 18], prev)
-            amax = np.abs(X).max()
-            if amax <= 0:
-                gg = 0
-                iv = np.zeros(576, dtype=np.int64)
-            else:
-                gg = max(0, min(255, int(round(210 + 4 * np.log2(amax)))))
-                scale = 2.0 ** (0.25 * (gg - 210))
-                iv = np.where(np.abs(X) > scale / 2, np.sign(X), 0).astype(np.int64)
-            start = w.bitlen()
-            nz_top = int(np.flatnonzero(iv)[-1]) if iv.any() else -1
-            n_quads = min(144, (nz_top // 4) + 1) if nz_top >= 0 else 0
-            for q in range(n_quads):
-                vals = iv[q * 4: q * 4 + 4]
-                code = 0
-                for v in vals:
-                    code = (code << 1) | (1 if v != 0 else 0)
-                w.write(code ^ 0xF, 4)
-                for v in vals:
-                    if v != 0:
-                        w.write(1 if v < 0 else 0, 1)
-            granule_meta.append((w.bitlen() - start, gg))
+            for ch in range(nch):
+                X, prev[ch] = _mdct_granule(subs[ch][g0: g0 + 18], prev[ch])
+                granule_meta.append(_quantize_granule(w, X))
         w.pad()
         main = bytes(w.buf)
-        # assemble the frame
         hdr = bytes(
             [
                 0xFF,
                 0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG-1, Layer III, no CRC
                 (br_idx << 4) | (sr_idx << 2) | (0 << 1),
-                (3 << 6),  # mono
+                mode_byte,
             ]
         )
         side = _BitWriter()
         side.write(0, 9)  # main_data_begin
-        side.write(0, 5)  # private
-        for _ in range(4):
+        side.write(0, 5 if nch == 1 else 3)  # private
+        for _ in range(4 * nch):
             side.write(0, 1)  # scfsi
-        for gi in range(2):
-            used_bits, gg = granule_meta[gi]
-            side.write(used_bits, 12)  # part2_3_length (scalefacs are 0 bits)
+        for used_bits, gg in granule_meta:
+            side.write(used_bits, 12)  # part2_3_length (scalefacs 0 bits)
             side.write(0, 9)  # big_values
             side.write(gg, 8)
             side.write(0, 4)  # scalefac_compress -> slen 0/0
@@ -633,7 +717,7 @@ def encode(
             side.write(0, 1)  # scalefac_scale
             side.write(1, 1)  # count1table_select = table B
         side.pad()
-        assert len(side.buf) == 17
+        assert len(side.buf) == (17 if nch == 1 else 32)
         body = hdr + bytes(side.buf) + main
         if len(body) > frame_len:
             raise Mp3Error(

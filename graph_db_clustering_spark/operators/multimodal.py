@@ -859,7 +859,8 @@ def _decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     """Audio container dispatch -> (sample_rate, mono float64 samples).
 
     WAV (PCM 8/16/32-bit int, 32/64-bit float, IMA ADPCM format tag 17)
-    decodes via pure struct + NumPy; MP3 (MPEG-1 Layer III mono, ID3v2
+    decodes via pure struct + NumPy; MP3 (MPEG-1 Layer III mono/
+    stereo/MS-joint-stereo, downmixed to channel mean, ID3v2
     tags skipped) via the pure-NumPy functions/mp3 decoder — round 7,
     VERDICT r6 Next #4; its remaining entropy-table gates are
     documented in that module. AAC/OGG raise NotImplementedError
@@ -887,7 +888,7 @@ def _decode_wav_inner(content: bytes) -> tuple[int, np.ndarray]:
             return _mp3.decode(content)
         raise NotImplementedError(
             "audio decode: WAV (PCM/float/IMA-ADPCM) and MP3 (MPEG-1 "
-            "Layer III mono) are supported codec-free; AAC/OGG need an "
+            "Layer III mono/stereo) are supported codec-free; AAC/OGG need "
             "audio library (not installed)"
         )
     pos, n = 12, len(content)

@@ -157,11 +157,12 @@ def test_side_info_roundtrip_through_parser():
     assert hdr["rate"] == 44100 and hdr["bitrate"] == 160_000
     si = mp3._parse_side_info(blob[4: 4 + 17])
     assert si["main_data_begin"] == 0
-    for g in si["granules"]:
-        assert g["big_values"] == 0
-        assert g["count1table_select"] == 1
-        assert g["window_switching"] == 0
-        assert g["table_select"] == [0, 0, 0]
+    for chans in si["granules"]:
+        for g in chans:
+            assert g["big_values"] == 0
+            assert g["count1table_select"] == 1
+            assert g["window_switching"] == 0
+            assert g["table_select"] == [0, 0, 0]
 
 
 # --- end-to-end ------------------------------------------------------------
@@ -233,11 +234,11 @@ def test_audio_features_decodes_mp3_bytes(spark):
 
 def test_gates_raise_loudly():
     blob = bytearray(mp3.encode(_sine(secs=0.1), rate=44100))
-    # stereo (mode bits 00 = stereo)
-    stereo = bytearray(blob)
-    stereo[3] &= 0x3F
-    with pytest.raises(NotImplementedError, match="mono"):
-        mp3.decode(bytes(stereo))
+    # intensity stereo (mode 01, mode_extension bit0) stays gated
+    intensity = bytearray(blob)
+    intensity[3] = (intensity[3] & 0x0F) | (1 << 6) | (1 << 4)
+    with pytest.raises(NotImplementedError, match="intensity"):
+        mp3.decode(bytes(intensity))
     # MPEG-2 (version bits 10)
     v2 = bytearray(blob)
     v2[1] &= ~0x08
@@ -297,3 +298,87 @@ def test_truncated_frame_raises():
     blob = mp3.encode(_sine(secs=0.1), rate=44100)
     with pytest.raises(mp3.Mp3Error, match="truncated"):
         mp3.decode(blob[: len(blob) - 100])
+
+
+# --- stereo (round 7, same round as mono) ----------------------------------
+
+
+def _stereo_pair(secs=0.5):
+    # line-centered frequencies on lines the coarse fixture quantizer
+    # reconstructs well (mono measures 14.7 dB at line 100, 11.8 at
+    # line 150; per-line variation is a quantizer property, documented
+    # in test_roundtrip_sine_snr_documented)
+    rate = 44100
+    l = _sine(freq=(100 + 0.5) * rate / 1152, secs=secs)
+    r = _sine(freq=(150 + 0.5) * rate / 1152, secs=secs)
+    return l, r, np.stack([l, r], axis=1)
+
+
+@pytest.mark.parametrize("ms", [False, True])
+def test_stereo_roundtrip_channels_separate(ms):
+    """Plain stereo and MS joint stereo both reconstruct their channels:
+    per-channel SNR at the fixture quantizer's documented level, and the
+    cross-channel SNR far below it (the 800 Hz left tone does NOT
+    reconstruct in the right channel)."""
+    l, r, st = _stereo_pair()
+    blob = mp3.encode(st, bitrate=320_000, ms_stereo=ms)
+    rate, y = mp3.decode_pcm(blob)
+    assert rate == 44100 and y.ndim == 2 and y.shape[1] == 2
+    dl, snr_l, _ = _best_snr(l, y[:, 0])
+    dr, snr_r, _ = _best_snr(r, y[:, 1])
+    assert snr_l >= 10.0, snr_l
+    assert snr_r >= 10.0, snr_r
+    cross = _best_snr(l, y[:, 1])
+    assert cross is None or cross[1] < 3.0, cross
+
+
+def test_stereo_header_modes():
+    _, _, st = _stereo_pair(secs=0.1)
+    plain = mp3.encode(st, bitrate=320_000)
+    hdr = mp3._parse_header(plain[:4])
+    assert hdr["nch"] == 2 and not hdr["ms_stereo"]
+    ms = mp3.encode(st, bitrate=320_000, ms_stereo=True)
+    hdr = mp3._parse_header(ms[:4])
+    assert hdr["nch"] == 2 and hdr["ms_stereo"]
+    # stereo side info is 32 bytes; parser consumes all granule fields
+    si = mp3._parse_side_info(ms[4: 4 + 32], nch=2)
+    assert len(si["granules"]) == 2 and len(si["granules"][0]) == 2
+    assert len(si["scfsi"]) == 2
+
+
+def test_stereo_downmix_surface():
+    """decode() (the audio_features surface) downmixes to channel mean:
+    an out-of-phase pair cancels to ~silence, in-phase does not."""
+    l = _sine(freq=700.0, secs=0.2)
+    anti = np.stack([l, -l], axis=1)
+    rate, y = mp3.decode(mp3.encode(anti, bitrate=320_000))
+    assert y.ndim == 1
+    assert np.abs(y).max() < 0.05  # L + (-L) cancels in the mean
+    rate, y2 = mp3.decode(mp3.encode(np.stack([l, l], axis=1), bitrate=320_000))
+    assert np.abs(y2).max() > 0.2
+
+
+def test_ms_stream_is_genuinely_ms_on_the_wire():
+    """For identical channels the MS side channel is all zero — the
+    S granules carry no count1 data, so the MS stream is smaller than
+    the plain-stereo one for correlated input (proves the encoder is
+    not just writing L/R under an MS header)."""
+    l = _sine(freq=900.0, secs=0.3)
+    same = np.stack([l, l], axis=1)
+    ms = mp3.encode(same, bitrate=320_000, ms_stereo=True)
+    si = mp3._parse_side_info(ms[4: 4 + 32], nch=2)
+    # wire order gr0ch0 gr0ch1: channel 1 is S = (L-R)/sqrt2 = 0
+    assert si["granules"][0][1]["part2_3_length"] == 0
+    assert si["granules"][0][0]["part2_3_length"] > 0
+
+
+def test_dual_channel_mode_decodes_as_stereo():
+    _, _, st = _stereo_pair(secs=0.1)
+    blob = bytearray(mp3.encode(st, bitrate=320_000))
+    # patch every frame header's mode bits from 00 (stereo) to 10 (dual)
+    hdr = mp3._parse_header(bytes(blob[:4]))
+    flen = hdr["frame_len"]
+    for pos in range(0, len(blob), flen):
+        blob[pos + 3] = (blob[pos + 3] & 0x0F) | (2 << 6)
+    rate, y = mp3.decode_pcm(bytes(blob))
+    assert y.ndim == 2 and y.shape[1] == 2
