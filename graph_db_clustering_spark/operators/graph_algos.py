@@ -550,3 +550,82 @@ def bipartite_project(
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= min_common)
     )
+
+
+def multi_source_bfs(
+    graph: Graph, sources: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Source-distinguished BFS: (id, src, dist) for every (vertex,
+    source) pair within reach, undirected, ONE iterative loop for all
+    K sources at once (round 7).
+
+    Frontier form: each round expands only the pairs discovered in the
+    previous round (unit weights mean first discovery IS the minimal
+    distance), so per-round work is the frontier's out-edges, not the
+    whole V x K state. State rows are (vertex, source) pairs — the
+    explicit-pair layout keeps everything a plain equi-keyed join/agg
+    (no array-of-K columns to elementwise-min), and total state is
+    bounded by V*K with K chosen by the caller (see
+    harmonic_centrality's landmark contract)."""
+    edges = _undirected_edges(graph.edges).cache()
+    state = (
+        sources.select(F.col(VERTEX_ID).alias("src"))
+        .distinct()
+        .select(
+            F.col("src").alias(VERTEX_ID), "src", F.lit(0).alias("dist")
+        )
+        .localCheckpoint()
+    )
+    frontier = state
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(frontier, edges["b"] == frontier[VERTEX_ID])
+            .select(
+                F.col("a").alias(VERTEX_ID),
+                "src",
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .groupBy(VERTEX_ID, "src")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new = msgs.join(
+            state.select(VERTEX_ID, "src"), [VERTEX_ID, "src"], "left_anti"
+        ).localCheckpoint()
+        if new.limit(1).count() == 0:
+            break
+        state = state.unionAll(new).localCheckpoint()
+        frontier = new
+    edges.unpersist()
+    return state
+
+
+def harmonic_centrality(
+    graph: Graph,
+    landmarks: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Harmonic centrality H(v) = sum over reachable u != v of
+    1 / d(v, u) (Marchiori & Latora 2000 — the closeness variant that
+    is well-defined on disconnected graphs). Returns (id, harmonic),
+    0.0 for isolated vertices.
+
+    ``landmarks=None`` computes the exact sum with every vertex as a
+    BFS source — O(V) sources, V*K state, fine for modest graphs and
+    the oracle scale. At 100 TB pass a K-row sample of vertices: the
+    result is then the Eppstein-Wang style estimate over those
+    landmarks (scale by n_vertices/K externally if an absolute
+    estimate is needed); cost drops to V*K state with K fixed."""
+    srcs = landmarks if landmarks is not None else graph.vertices
+    dists = multi_source_bfs(graph, srcs.select(VERTEX_ID), max_iter)
+    h = (
+        dists.filter(F.col("dist") > 0)
+        .groupBy(VERTEX_ID)
+        .agg(F.sum(1.0 / F.col("dist")).alias("harmonic"))
+    )
+    return (
+        graph.vertices.select(VERTEX_ID)
+        .join(h, VERTEX_ID, "left")
+        .select(
+            VERTEX_ID, F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")
+        )
+    )

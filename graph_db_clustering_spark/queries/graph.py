@@ -914,3 +914,49 @@ def cypher_schema(spark, sf_dir):
 
     s = CypherSession(_labeled_graph(spark, sf_dir))
     return s.run("CALL db.schema.nodeTypeProperties()")
+
+
+@declared(
+    "graph_harmonic",
+    f"""WITH v AS (
+  SELECT c_custkey AS id,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS p,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer WHERE c_custkey < {_CAP})
+SELECT id,
+       ROUND(COALESCE(LIST_SUM(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, CAST(p AS BIGINT)), d -> 1.0 / d)), 0)
+           + COALESCE(LIST_SUM(LIST_TRANSFORM(
+                 GENERATE_SERIES(1, CAST(n - 1 - p AS BIGINT)), d -> 1.0 / d)), 0),
+             6) AS harmonic
+FROM v ORDER BY id""",
+)
+def graph_harmonic(spark, sf_dir):
+    """Exact harmonic centrality (graph_algos.harmonic_centrality,
+    round 7 — the Marchiori-Latora closeness variant, every vertex a
+    BFS source through the one-loop multi_source_bfs) over the
+    per-nation custkey chain graph. On a chain the distances are
+    position differences, so H(v) at 0-based position p in a chain of
+    n is the closed form sum_{{d=1}}^{{p}} 1/d + sum_{{d=1}}^{{n-1-p}} 1/d —
+    what the DuckDB oracle computes with list HOFs."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        harmonic_centrality,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nation"))
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    edges = (
+        c.withColumn("nxt", F.lead("id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    g = Graph(c.select("id"), edges)
+    return (
+        harmonic_centrality(g)
+        .select("id", F.round("harmonic", 6).alias("harmonic"))
+        .orderBy("id")
+    )

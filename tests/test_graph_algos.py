@@ -441,3 +441,80 @@ def test_bipartite_project_hub_guard(spark):
     assert got == [(1, 2, 1)]  # only the non-hub co-occurrence survives
     full = bipartite_project(e, "cust", "prod")
     assert full.count() == 20 * 19 // 2  # unguarded: the quadratic blowup
+
+
+# --- harmonic centrality (round 7) -----------------------------------------
+
+
+def test_harmonic_star_and_path_closed_forms(spark):
+    from graph_db_clustering_spark.operators.graph_algos import (
+        harmonic_centrality,
+    )
+
+    # star K1,4: center sees 4 at dist 1 -> H=4; each leaf sees center
+    # at 1 and three leaves at 2 -> H = 1 + 3/2
+    g = _graph(spark, 5, [(0, i) for i in range(1, 5)])
+    h = {r.id: r.harmonic for r in harmonic_centrality(g).collect()}
+    assert h[0] == pytest.approx(4.0)
+    for leaf in range(1, 5):
+        assert h[leaf] == pytest.approx(1 + 3 / 2)
+    # path 0-1-2-3: ends 1 + 1/2 + 1/3, inners 1 + 1 + 1/2
+    p = _graph(spark, 4, [(0, 1), (1, 2), (2, 3)])
+    hp = {r.id: r.harmonic for r in harmonic_centrality(p).collect()}
+    assert hp[0] == pytest.approx(1 + 1 / 2 + 1 / 3)
+    assert hp[1] == pytest.approx(1 + 1 + 1 / 2)
+
+
+def test_harmonic_disconnected_and_isolated(spark):
+    from graph_db_clustering_spark.operators.graph_algos import (
+        harmonic_centrality,
+    )
+
+    # two components + one isolate: unreachable pairs contribute 0
+    g = _graph(spark, 5, [(0, 1), (2, 3)])
+    h = {r.id: r.harmonic for r in harmonic_centrality(g).collect()}
+    assert h[0] == h[1] == h[2] == h[3] == pytest.approx(1.0)
+    assert h[4] == 0.0
+
+
+def test_multi_source_bfs_landmarks_subset(spark):
+    from graph_db_clustering_spark.operators.graph_algos import (
+        harmonic_centrality,
+        multi_source_bfs,
+    )
+
+    # cycle of 6, landmarks {0, 3}: distances are min(|i-s|, 6-|i-s|)
+    g = _graph(spark, 6, [(i, (i + 1) % 6) for i in range(6)])
+    lm = spark.createDataFrame([(0,), (3,)], "id long")
+    d = {(r.id, r.src): r.dist for r in multi_source_bfs(g, lm).collect()}
+    for i in range(6):
+        for s in (0, 3):
+            want = min(abs(i - s), 6 - abs(i - s))
+            assert d[(i, s)] == want, (i, s)
+    # landmark harmonic = sum over the 2 landmarks only
+    h = {r.id: r.harmonic for r in harmonic_centrality(g, lm).collect()}
+    assert h[1] == pytest.approx(1.0 + 1.0 / 2)  # d=1 to 0, d=2 to 3
+    assert h[0] == pytest.approx(1.0 / 3)  # d=3 to the other landmark
+
+
+def test_harmonic_partitioning_invariance(spark):
+    from graph_db_clustering_spark.operators.graph_algos import (
+        harmonic_centrality,
+    )
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+        (i, i + 1) for i in range(39)
+    ]
+    g1 = _graph(spark, 40, edges)
+    h1 = sorted(
+        (r.id, round(r.harmonic, 9))
+        for r in harmonic_centrality(g1).collect()
+    )
+    g2 = Graph(
+        g1.vertices.repartition(13), g1.edges.repartition(7, "dst")
+    )
+    h2 = sorted(
+        (r.id, round(r.harmonic, 9))
+        for r in harmonic_centrality(g2).collect()
+    )
+    assert h1 == h2
