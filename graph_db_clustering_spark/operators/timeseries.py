@@ -91,3 +91,82 @@ def rolling_pandas_ema(
         .rowsBetween(-(window_rows - 1), 0)
     )
     return df.withColumn(out, _ema(F.col(value_col)).over(frame))
+
+
+def funnel_depth(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel depth per user (round 7): how many of ``steps``
+    each user completed IN ORDER — step k counts only if it happens
+    strictly after the user's completion of step k-1 (first-touch
+    semantics: each step anchors at its earliest qualifying event).
+
+    Returns (user_col, depth) for every user in ``events``.
+
+    Plan: one conditional min-aggregate per step — step 0 is a plain
+    groupBy-min over that event type, each later step filters to its
+    type, joins the previous step's anchor times (user-keyed equi-join)
+    and min-aggregates the qualifying timestamps. len(steps) passes over
+    an ever-smaller filtered slice, all hash aggregates with map-side
+    partials; no windows, no per-user sort."""
+    u = F.col(user_col)
+    anchors = None  # DataFrame (user, t_prev) of users who reached k-1
+    depth = events.select(user_col).distinct().withColumn(
+        "depth", F.lit(0)
+    )
+    for k, step in enumerate(steps):
+        stage = events.filter(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("__ts")
+        )
+        if anchors is not None:
+            stage = stage.join(anchors, user_col).filter(
+                F.col("__ts") > F.col("__t_prev")
+            )
+        reached = stage.groupBy(user_col).agg(
+            F.min("__ts").alias("__t_prev")
+        )
+        depth = (
+            depth.join(reached.select(user_col), user_col, "left_semi")
+            .withColumn("depth", F.lit(k + 1))
+            .unionAll(
+                depth.join(reached.select(user_col), user_col, "left_anti")
+            )
+        )
+        anchors = reached
+    return depth.select(u.alias(user_col), "depth")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    max_offset: int = 7,
+) -> DataFrame:
+    """Classic cohort-retention matrix (round 7): cohort = each user's
+    first-activity date; a user is retained at offset d if they have
+    any event exactly d days after their cohort date. Returns
+    (cohort_date, day_offset, users) for offsets 0..max_offset.
+
+    Plan: one min-aggregate for cohort dates (user-keyed), one
+    user-keyed equi-join back, one distinct + count aggregate — at
+    100 TB the join is the only full shuffle and it is keyed on the
+    user id (AQE-skew-safe); the output is |cohorts| * max_offset
+    rows."""
+    cohorts = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_date")
+    )
+    active = (
+        events.select(user_col, F.to_date(ts_col).alias("day"))
+        .distinct()
+        .join(cohorts, user_col)
+        .withColumn("day_offset", F.datediff("day", "cohort_date"))
+        .filter(F.col("day_offset") <= max_offset)
+    )
+    return (
+        active.groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct(user_col).alias("users"))
+    )

@@ -1437,3 +1437,73 @@ def q58_interval_overlap(spark, sf_dir):
     )
     out = interval_overlap_join(l, r, "ls", "le", "rs", "re", bucket=32.0)
     return out.select("lid", "rid").orderBy("lid", "rid")
+
+
+@declared(
+    "events_funnel",
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                 WHEN s2.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS depth
+FROM u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+ORDER BY u.user_id""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase per user
+    (operators/timeseries.funnel_depth, round 7): step k counts only
+    strictly after the user's first completion of step k-1. The oracle
+    rebuilds the same first-touch anchor chain with three conditional
+    min-aggregates."""
+    from graph_db_clustering_spark.operators.timeseries import funnel_depth
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        funnel_depth(e, "user_id", "ts", "event_type",
+                     ["view", "click", "purchase"])
+        .select("user_id", F.col("depth").cast("int").alias("depth"))
+        .orderBy("user_id")
+    )
+
+
+@declared(
+    "events_retention",
+    """WITH c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT CAST(c.cohort_date AS VARCHAR) AS cohort_date,
+       CAST(DATEDIFF('day', c.cohort_date, a.day) AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+FROM a JOIN c ON a.user_id = c.user_id
+WHERE DATEDIFF('day', c.cohort_date, a.day) <= 7
+GROUP BY c.cohort_date, 2 ORDER BY 1, 2""",
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix (operators/timeseries.cohort_retention,
+    round 7): cohort = first-activity date per user, retained at
+    offset d when any event lands exactly d days later; offsets 0..7.
+    One min-aggregate, one user-keyed join, one distinct-count — the
+    oracle recomputes the same matrix."""
+    from graph_db_clustering_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        cohort_retention(e, "user_id", "ts", max_offset=7)
+        .select(F.col("cohort_date").cast("string").alias("cohort_date"),
+                "day_offset", "users")
+        .orderBy("cohort_date", "day_offset")
+    )

@@ -551,3 +551,81 @@ def test_interval_overlap_float_boundary_regression(spark):
         lt, rt, "ls", "le", "rs", "re", bucket=0.3
     ).count()
     assert theta == banded == 1
+
+
+# --- funnel + cohort retention (round 7) -----------------------------------
+
+
+def _ev(spark, rows):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, h), t) for u, d, h, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_depth_order_matters(spark):
+    from graph_db_clustering_spark.operators.timeseries import funnel_depth
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 0, "view"), (1, 1, 1, "click"), (1, 1, 2, "purchase"),
+        # user 2: purchase BEFORE click -> depth 2 only
+        (2, 1, 0, "view"), (2, 1, 1, "purchase"), (2, 1, 2, "click"),
+        # user 3: click before any view -> depth 1 (later view anchors,
+        # but no click after it)
+        (3, 1, 0, "click"), (3, 1, 1, "view"),
+        # user 4: no funnel event at all
+        (4, 1, 0, "error"),
+        # user 5: view only
+        (5, 1, 3, "view"),
+    ]
+    got = {
+        r.user_id: r.depth
+        for r in funnel_depth(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+def test_funnel_first_touch_anchoring(spark):
+    from graph_db_clustering_spark.operators.timeseries import funnel_depth
+
+    # the FIRST view anchors: a click between view1 and view2 counts
+    rows = [
+        (1, 1, 0, "view"), (1, 1, 1, "click"), (1, 2, 0, "view"),
+        (1, 1, 2, "purchase"),
+    ]
+    got = funnel_depth(
+        _ev(spark, rows), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    ).collect()
+    assert got[0].depth == 3
+
+
+def test_cohort_retention_known_matrix(spark):
+    from graph_db_clustering_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    rows = [
+        # cohort Jan 1: users 1, 2. user 1 returns day 1 and 3;
+        # user 2 returns day 1 only (two events same day = one)
+        (1, 1, 9, "view"), (1, 2, 9, "view"), (1, 4, 9, "view"),
+        (2, 1, 9, "view"), (2, 2, 8, "view"), (2, 2, 10, "view"),
+        # cohort Jan 5: user 3, never returns
+        (3, 5, 9, "view"),
+    ]
+    got = {
+        (r.cohort_date.isoformat(), r.day_offset): r.users
+        for r in cohort_retention(_ev(spark, rows), "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 2,
+        ("2024-01-01", 3): 1,
+        ("2024-01-05", 0): 1,
+    }
