@@ -278,3 +278,48 @@ def check_constraints(df: DataFrame, rules: list[tuple]) -> DataFrame:
     return spark.createDataFrame(
         out, "rule string, violations bigint, passed boolean"
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    dedup_consecutive: bool = True,
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2: a change feed (one row per
+    observed attribute state, keyed + timestamped) -> the versioned
+    history table with validity intervals (round 7).
+
+    Returns every input column plus (valid_from, valid_to, is_current):
+    valid_from = the row's own timestamp, valid_to = the NEXT change's
+    timestamp for the same key (NULL while current), is_current on the
+    key's latest row. With ``dedup_consecutive`` (the SCD contract),
+    a change row whose attribute values equal the key's previous state
+    is dropped first, so intervals only break on real changes.
+
+    Plan: one window pass partitioned by the key (lag to drop no-op
+    changes, lead for the interval end) — the per-key window is the
+    canonical distributed SCD2 build; keys hash-partition
+    independently, so 100 TB of history scales by key cardinality,
+    and AQE handles hot keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    attrs = [c for c in changes.columns if c not in (key_col, ts_col)]
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    df = changes
+    if dedup_consecutive and attrs:
+        state = F.struct(*attrs)
+        df = (
+            df.withColumn("__prev", F.lag(state).over(w))
+            .filter(
+                F.col("__prev").isNull() | ~state.eqNullSafe(F.col("__prev"))
+            )
+            .drop("__prev")
+        )
+    out = (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    return out

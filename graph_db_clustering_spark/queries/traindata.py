@@ -390,3 +390,39 @@ def dq_checks(spark, sf_dir):
             ("non_negative", "o_totalprice"),
         ],
     ).orderBy("rule")
+
+
+@declared(
+    "scd2_history",
+    """WITH c AS (SELECT o_custkey AS key, o_orderkey AS ts,
+            o_orderstatus AS status
+        FROM orders WHERE o_custkey < 200),
+d AS (SELECT key, ts, status,
+             LAG(status) OVER (PARTITION BY key ORDER BY ts) AS prev
+      FROM c),
+f AS (SELECT key, ts, status FROM d WHERE prev IS NULL OR status <> prev)
+SELECT key, status, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY key ORDER BY ts) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY key ORDER BY ts) IS NULL AS is_current
+FROM f ORDER BY key, valid_from""",
+)
+def scd2_history_q(spark, sf_dir):
+    """SCD type-2 dimension history (maintenance.scd2_history, round
+    7): the orders feed per customer (orderkey as the change sequence,
+    orderstatus as the tracked attribute) becomes versioned validity
+    intervals — consecutive no-op changes dropped, valid_to = the next
+    real change, is_current on the latest. One key-partitioned window
+    pass; the oracle replays lag-dedup + lead-intervals in SQL."""
+    from graph_db_clustering_spark.operators import maintenance
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    changes = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("ts"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return (
+        maintenance.scd2_history(changes, "key", "ts")
+        .select("key", "status", "valid_from", "valid_to", "is_current")
+        .orderBy("key", "valid_from")
+    )

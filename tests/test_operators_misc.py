@@ -629,3 +629,40 @@ def test_cohort_retention_known_matrix(spark):
         ("2024-01-01", 3): 1,
         ("2024-01-05", 0): 1,
     }
+
+
+def test_scd2_history_semantics(spark):
+    from graph_db_clustering_spark.operators.maintenance import scd2_history
+
+    rows = [
+        # key 1: A -> A (no-op, dropped) -> B -> B (dropped) -> A
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "B"), (1, 50, "A"),
+        # key 2: single state
+        (2, 15, "X"),
+    ]
+    df = spark.createDataFrame(rows, "key long, ts long, status string")
+    out = sorted(
+        (r.key, r.valid_from, r.valid_to, r.status, r.is_current)
+        for r in scd2_history(df, "key", "ts").collect()
+    )
+    assert out == [
+        (1, 10, 30, "A", False),
+        (1, 30, 50, "B", False),
+        (1, 50, None, "A", True),
+        (2, 15, None, "X", True),
+    ]
+    # dedup off: every change row becomes a version
+    full = scd2_history(df, "key", "ts", dedup_consecutive=False).collect()
+    assert len(full) == 6
+
+
+def test_scd2_null_attribute_transitions(spark):
+    from graph_db_clustering_spark.operators.maintenance import scd2_history
+
+    # NULL -> NULL is a no-op (eqNullSafe); NULL -> value is a change
+    rows = [(1, 1, None), (1, 2, None), (1, 3, "v"), (1, 4, None)]
+    df = spark.createDataFrame(rows, "key long, ts long, status string")
+    out = sorted(
+        (r.valid_from, r.status) for r in scd2_history(df, "key", "ts").collect()
+    )
+    assert out == [(1, None), (3, "v"), (4, None)]
