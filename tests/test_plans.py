@@ -359,3 +359,30 @@ def test_duplicate_spans_aggregates_on_hash_with_partials(spark):
     plan = plan_of(out)
     assert "partial_count" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_round7_operator_plan_shapes(spark):
+    """The round-7 families stay Python-free and window-free where the
+    docstrings claim: nb_language / dsir_weights / events_funnel are
+    pure aggregation-join plans (no Python eval, no window exchange to
+    a single partition); scd2_history's only window is key-partitioned
+    (never a global sort)."""
+    for key in ("nb_language", "dsir_weights", "events_funnel",
+                "events_retention"):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+        assert "Window" not in plan, key
+    scd2 = plan_of(QUERIES["scd2_history"](spark, SF))
+    assert "BatchEvalPython" not in scd2
+    # the SCD2 window partitions by key (hash exchange, never a global
+    # single-partition sort)
+    assert "hashpartitioning(key" in scd2
+    assert "SinglePartition" not in scd2
+
+
+def test_harmonic_centrality_bfs_is_aggregate_shaped(spark):
+    """graph_harmonic's per-round message step is a join + min hash
+    aggregate (the Pregel shape), with partial aggregation."""
+    plan = plan_of(QUERIES["graph_harmonic"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
