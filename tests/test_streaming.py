@@ -570,3 +570,99 @@ def test_image_dedup_stream_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) >= 30  # every streamed image matches its leader
     assert {(n, i) for n, i, _ in got} >= {(i + 30, i) for i in range(30)}
+
+
+# --- streaming mini-batch k-means (round 7) --------------------------------
+
+
+def test_streaming_kmeans_update_matches_numpy_reference(spark):
+    import numpy as np
+
+    from graph_db_clustering_spark.streaming.kmeans import StreamingKMeans
+
+    pts = [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [10.0, 10.0]),
+           (3, [12.0, 10.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    m = StreamingKMeans([[1.0, 1.0], [11.0, 11.0]], decay=1.0)
+    m.update_batch(df, "vec_id", "embedding")
+    # cluster 0 <- points 0,1 (mean [1,0]); cluster 1 <- 2,3 ([11,10]);
+    # counts were 0, so the blend IS the batch mean
+    assert np.allclose(m.centroids, [[1.0, 0.0], [11.0, 10.0]])
+    assert list(m.counts) == [2.0, 2.0]
+    # second batch: running mean with the count weights
+    df2 = spark.createDataFrame(
+        [(4, [4.0, 2.0]), (5, [14.0, 14.0])],
+        "vec_id long, embedding array<double>",
+    )
+    m.update_batch(df2, "vec_id", "embedding")
+    assert np.allclose(m.centroids[0], [(2 * 1 + 4) / 3, (2 * 0 + 2) / 3])
+    assert np.allclose(m.centroids[1], [(2 * 11 + 14) / 3, (2 * 10 + 14) / 3])
+
+
+def test_streaming_kmeans_decay_zero_is_last_batch_mean(spark):
+    import numpy as np
+
+    from graph_db_clustering_spark.streaming.kmeans import StreamingKMeans
+
+    m = StreamingKMeans([[0.0], [10.0]], decay=0.0)
+    m.update_batch(
+        spark.createDataFrame([(0, [1.0]), (1, [9.0])],
+                              "vec_id long, embedding array<double>"),
+        "vec_id", "embedding",
+    )
+    m.update_batch(
+        spark.createDataFrame([(2, [3.0]), (3, [7.0])],
+                              "vec_id long, embedding array<double>"),
+        "vec_id", "embedding",
+    )
+    assert np.allclose(m.centroids, [[3.0], [7.0]])
+
+
+def test_streaming_kmeans_replay_matches_sequential_batches(
+    spark, tmp_path
+):
+    """Stream == batch parity: replaying the embeddings table through
+    kmeans_stream produces EXACTLY the centroids of sequentially
+    calling update_batch on the same chunks in the same order."""
+    import numpy as np
+
+    from graph_db_clustering_spark.streaming.kmeans import (
+        StreamingKMeans, kmeans_stream,
+    )
+    from graph_db_clustering_spark.streaming.replay import (
+        read_table_stream, stage_table_replay,
+    )
+
+    d = stage_table_replay(
+        spark, SF, "embeddings", "vec_id", str(tmp_path / "vecs"), num_chunks=3
+    )
+    init = [r.embedding for r in (
+        spark.read.parquet(d).orderBy("vec_id").limit(4).collect()
+    )]
+    init = [[float(x) for x in v] for v in init]
+
+    # sequential reference over the same chunk partition
+    ref = StreamingKMeans(init, decay=0.9)
+    chunks = spark.read.parquet(d).withColumn("fsrc", F.input_file_name())
+    files = sorted(r.fsrc for r in chunks.select("fsrc").distinct().collect())
+    for f in files:
+        ref.update_batch(
+            chunks.filter(F.col("fsrc") == f).drop("fsrc"), "vec_id", "embedding"
+        )
+
+    live = StreamingKMeans(init, decay=0.9)
+    q = kmeans_stream(
+        read_table_stream(spark, d, max_files_per_trigger=1),
+        live,
+        str(tmp_path / "traj"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert live.n_batches == 3
+    assert np.allclose(live.centroids, ref.centroids, atol=1e-12)
+    assert np.allclose(live.counts, ref.counts)
+    # trajectory sink: one centroid set per batch, k rows each
+    traj = spark.read.parquet(str(tmp_path / "traj"))
+    assert (traj.groupBy("__batch_id").count()
+            .select("count").distinct().count() == 1)
+    assert traj.count() == 3 * len(init)
