@@ -42,6 +42,8 @@ HEADLINE = [
     "html_extract",  # HTML -> text codegen regexp chain (crawl hot path)
     "warc_ingest",  # WARC container roundtrip: shards -> records -> text
     "bpe_tokens",  # BPE train (word-count shuffle) + Arrow encode pass
+    "nb_language",  # Naive Bayes train + score (token-stream aggregates)
+    "dsir_weights",  # DSIR hashed-feature distributions + per-doc weights
 ]
 
 
