@@ -323,3 +323,59 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
     )
     return out
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC feed (Debezium-style I/U/D rows, round 7) to a
+    snapshot: for each key, the change with the highest ``seq_col``
+    wins — an I/U upserts the row's attributes, a D deletes the key;
+    keys never mentioned in the feed pass through unchanged.
+
+    ``changes`` columns: key_col, seq_col, op_col ('I' | 'U' | 'D'),
+    plus the attribute columns (ignored on 'D'). Returns the new
+    snapshot with the snapshot's column set.
+
+    Plan: ONE max(struct(seq, op, attrs...)) hash aggregate collapses
+    the feed to its per-key latest change (map-side partials — the
+    feed shuffles once, pre-reduced), then one key-keyed anti-join +
+    union against the snapshot. No windows; the aggregate IS the
+    latest-wins rule. Malformed op values raise before anything
+    executes... via a runtime assert_true guard inside the aggregate
+    (controlled failure on corrupt feeds, the repo contract)."""
+    from pyspark.sql import functions as F
+
+    attrs = [c for c in snapshot.columns if c != key_col]
+    missing = set([key_col, seq_col, op_col]) - set(changes.columns)
+    if missing:
+        raise ValueError(f"cdc_apply: feed missing columns {sorted(missing)}")
+    guarded_op = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit("cdc_apply: bad op value: "), F.col(op_col))
+        )
+    )
+    latest = (
+        changes.withColumn(op_col, guarded_op)
+        .groupBy(key_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col).alias("seq"),
+                    F.col(op_col).alias("op"),
+                    *[F.col(c).alias(c) for c in attrs],
+                )
+            ).alias("m")
+        )
+        .select(key_col, "m.op", *[F.col(f"m.{c}").alias(c) for c in attrs])
+    )
+    upserts = latest.filter(F.col("op") != "D").drop("op")
+    touched = latest.select(key_col)
+    kept = snapshot.join(touched, key_col, "left_anti")
+    return kept.unionByName(upserts.select(key_col, *attrs))

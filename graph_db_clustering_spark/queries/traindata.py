@@ -426,3 +426,48 @@ def scd2_history_q(spark, sf_dir):
         .select("key", "status", "valid_from", "valid_to", "is_current")
         .orderBy("key", "valid_from")
     )
+
+
+@declared(
+    "cdc_apply",
+    """WITH snap AS (SELECT c_custkey AS key, c_mktsegment AS segment,
+            c_acctbal AS bal FROM customer),
+feed AS (SELECT o_custkey AS key, o_orderkey AS seq,
+                CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+                o_orderpriority AS segment, o_totalprice AS bal
+         FROM orders),
+latest AS (SELECT * FROM feed
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) = 1),
+kept AS (SELECT s.* FROM snap s LEFT JOIN latest l ON s.key = l.key
+         WHERE l.key IS NULL),
+ups AS (SELECT key, segment, bal FROM latest WHERE op <> 'D')
+SELECT key, segment, ROUND(bal, 2) AS bal FROM kept
+UNION ALL SELECT key, segment, ROUND(bal, 2) FROM ups
+ORDER BY key""",
+)
+def cdc_apply_q(spark, sf_dir):
+    """CDC feed applied to a snapshot (maintenance.cdc_apply, round 7):
+    the orders stream becomes a Debezium-style I/U/D feed against the
+    customer dimension (orderkey = change sequence; every 11th change
+    is a delete) — per key the highest-sequence change wins as ONE
+    max(struct) hash aggregate (no window), then an anti-join + union
+    rebuilds the snapshot. The oracle replays latest-wins with
+    QUALIFY row_number and the same anti/union."""
+    from graph_db_clustering_spark.operators import maintenance
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_totalprice").alias("bal"),
+    )
+    out = maintenance.cdc_apply(c, o, "key", "seq")
+    return out.select(
+        "key", "segment", F.round("bal", 2).alias("bal")
+    ).orderBy("key")

@@ -666,3 +666,39 @@ def test_scd2_null_attribute_transitions(spark):
         (r.valid_from, r.status) for r in scd2_history(df, "key", "ts").collect()
     )
     assert out == [(1, None), (3, "v"), (4, None)]
+
+
+def test_cdc_apply_semantics(spark):
+    from graph_db_clustering_spark.operators.maintenance import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "key long, val string"
+    )
+    feed = spark.createDataFrame(
+        [
+            (1, 10, "U", "a2"), (1, 20, "U", "a3"),   # latest U wins
+            (2, 5, "D", None),                        # delete
+            (4, 7, "I", "new"),                       # insert unseen key
+            (3, 1, "U", "c2"), (3, 2, "D", None), (3, 3, "I", "c3"),
+            # delete then re-insert: latest (I) wins
+        ],
+        "key long, seq long, op string, val string",
+    )
+    out = {r.key: r.val for r in cdc_apply(snap, feed, "key", "seq").collect()}
+    assert out == {1: "a3", 3: "c3", 4: "new"}  # 2 deleted
+
+
+def test_cdc_apply_bad_op_raises(spark):
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    from graph_db_clustering_spark.operators.maintenance import cdc_apply
+
+    snap = spark.createDataFrame([(1, "a")], "key long, val string")
+    feed = spark.createDataFrame(
+        [(1, 1, "X", "z")], "key long, seq long, op string, val string"
+    )
+    with _pt.raises(Exception, match="bad op value"):
+        cdc_apply(snap, feed, "key", "seq").collect()
+    with _pt.raises(ValueError, match="missing columns"):
+        cdc_apply(snap, feed.drop("seq"), "key", "seq")
