@@ -960,3 +960,46 @@ def graph_harmonic(spark, sf_dir):
         .select("id", F.round("harmonic", 6).alias("harmonic"))
         .orderBy("id")
     )
+
+
+@declared(
+    "graph_betweenness",
+    f"""WITH v AS (SELECT c_custkey AS id, c_custkey % 2 AS part
+         FROM customer WHERE c_custkey < 60),
+sz AS (SELECT
+         (SELECT COUNT(*) FROM v WHERE part = 0) AS m,
+         (SELECT COUNT(*) FROM v WHERE part = 1) AS n)
+SELECT v.id,
+       ROUND(CASE WHEN v.part = 0
+                  THEN sz.n * (sz.n - 1) / (2.0 * sz.m)
+                  ELSE sz.m * (sz.m - 1) / (2.0 * sz.n) END, 6)
+         AS betweenness
+FROM v, sz ORDER BY v.id""",
+)
+def graph_betweenness(spark, sf_dir):
+    """Exact betweenness centrality (graph_algos.betweenness_centrality
+    — distributed Brandes, round 7: layered forward sigma counts +
+    layered backward dependency accumulation) on the complete
+    bipartite graph over customers < 60 split by custkey parity. On
+    K_m,n every B-B pair's m shortest paths split equally across the
+    A side (and vice versa), so bc(a) = n(n-1)/(2m) and
+    bc(b) = m(m-1)/(2n) — the closed form the oracle states."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        betweenness_centrality,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 60)
+        .select(F.col("c_custkey").alias("id"),
+                (F.col("c_custkey") % 2).alias("part"))
+    )
+    a = c.filter(F.col("part") == 0).select(F.col("id").alias("src"))
+    b = c.filter(F.col("part") == 1).select(F.col("id").alias("dst"))
+    edges = a.crossJoin(b)
+    g = Graph(c.select("id"), edges)
+    return (
+        betweenness_centrality(g)
+        .select("id", F.round("betweenness", 6).alias("betweenness"))
+        .orderBy("id")
+    )

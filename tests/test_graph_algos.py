@@ -518,3 +518,100 @@ def test_harmonic_partitioning_invariance(spark):
         for r in harmonic_centrality(g2).collect()
     )
     assert h1 == h2
+
+
+# --- betweenness centrality (round 7) --------------------------------------
+
+
+def _brandes_reference(n, edge_list):
+    """Driver-side textbook Brandes (independent of the Spark code)."""
+    from collections import deque
+
+    adj = {i: set() for i in range(n)}
+    for a, b in edge_list:
+        adj[a].add(b)
+        adj[b].add(a)
+    bc = {v: 0.0 for v in range(n)}
+    for s in range(n):
+        stack, preds = [], {v: [] for v in range(n)}
+        sigma = {v: 0.0 for v in range(n)}
+        dist = {v: -1 for v in range(n)}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in range(n)}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: x / 2.0 for v, x in bc.items()}
+
+
+def test_betweenness_closed_forms(spark):
+    from graph_db_clustering_spark.operators.graph_algos import (
+        betweenness_centrality,
+    )
+
+    # path P4: [0, 2, 2, 0]; star K1,4: center C(4,2)=6; cycle C5: all 1
+    p = _graph(spark, 4, [(0, 1), (1, 2), (2, 3)])
+    got = {r.id: r.betweenness for r in betweenness_centrality(p).collect()}
+    assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+    s = _graph(spark, 5, [(0, i) for i in range(1, 5)])
+    got = {r.id: r.betweenness for r in betweenness_centrality(s).collect()}
+    assert got[0] == 6.0 and all(got[i] == 0.0 for i in range(1, 5))
+    c = _graph(spark, 5, [(i, (i + 1) % 5) for i in range(5)])
+    got = {r.id: r.betweenness for r in betweenness_centrality(c).collect()}
+    assert all(v == pytest.approx(1.0) for v in got.values())
+
+
+def test_betweenness_matches_reference_on_random_graph(spark):
+    from graph_db_clustering_spark.operators.graph_algos import (
+        betweenness_centrality,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 24
+    edges = sorted(
+        {
+            (int(a), int(b)) if a < b else (int(b), int(a))
+            for a, b in rng.integers(0, n, (60, 2))
+            if a != b
+        }
+    )
+    want = _brandes_reference(n, edges)
+    g = _graph(spark, n, edges)
+    got = {r.id: r.betweenness for r in betweenness_centrality(g).collect()}
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_betweenness_disconnected_and_sampled_sources(spark):
+    from graph_db_clustering_spark.operators.graph_algos import (
+        betweenness_centrality,
+    )
+
+    # disconnected: P3 + isolate — middle of P3 carries its 1 pair
+    g = _graph(spark, 4, [(0, 1), (1, 2)])
+    got = {r.id: r.betweenness for r in betweenness_centrality(g).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 0.0, 3: 0.0}
+    # sampled sources: P4 with sources {0} accumulates only s=0
+    # dependencies: delta_0(1)=2 (pairs (0,2),(0,3)), delta_0(2)=1 — /2
+    lm = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r.id: r.betweenness
+        for r in betweenness_centrality(
+            _graph(spark, 4, [(0, 1), (1, 2), (2, 3)]), sources=lm
+        ).collect()
+    }
+    assert got == {0: 0.0, 1: 1.0, 2: 0.5, 3: 0.0}
