@@ -740,3 +740,39 @@ def betweenness_centrality(
             F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"),
         )
     )
+
+
+def closeness_centrality(
+    graph: Graph,
+    landmarks: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Classic (Bavelas) closeness + eccentricity in one BFS pass
+    (round 7): closeness(v) = (reached - 1) / sum of distances to the
+    reachable landmark set, eccentricity(v) = max distance — both from
+    the SAME multi_source_bfs state the harmonic path uses. Returns
+    (id, closeness, eccentricity, reached); isolates get closeness
+    0.0 and eccentricity 0. Same landmark contract as
+    harmonic_centrality (None = exact, K-row sample = estimate)."""
+    srcs = landmarks if landmarks is not None else graph.vertices
+    dists = multi_source_bfs(graph, srcs.select(VERTEX_ID), max_iter)
+    agg = dists.groupBy(VERTEX_ID).agg(
+        F.sum("dist").alias("sumd"),
+        F.max("dist").alias("ecc"),
+        F.count("*").alias("reached"),
+    )
+    return (
+        graph.vertices.select(VERTEX_ID)
+        .join(agg, VERTEX_ID, "left")
+        .select(
+            VERTEX_ID,
+            F.when(
+                F.coalesce("sumd", F.lit(0)) > 0,
+                (F.col("reached") - 1) / F.col("sumd"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+            F.coalesce("ecc", F.lit(0)).cast("int").alias("eccentricity"),
+            F.coalesce("reached", F.lit(0)).cast("long").alias("reached"),
+        )
+    )

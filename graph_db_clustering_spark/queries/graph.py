@@ -1003,3 +1003,50 @@ def graph_betweenness(spark, sf_dir):
         .select("id", F.round("betweenness", 6).alias("betweenness"))
         .orderBy("id")
     )
+
+
+@declared(
+    "graph_closeness",
+    f"""WITH v AS (
+  SELECT c_custkey AS id,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS p,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer WHERE c_custkey < {_CAP})
+SELECT id,
+       ROUND(CASE WHEN n > 1 THEN (n - 1) /
+             CAST(p * (p + 1) / 2 + (n - 1 - p) * (n - p) / 2 AS DOUBLE)
+             ELSE 0.0 END, 6) AS closeness,
+       CAST(GREATEST(p, n - 1 - p) AS INT) AS eccentricity,
+       CAST(n AS BIGINT) AS reached
+FROM v ORDER BY id""",
+)
+def graph_closeness(spark, sf_dir):
+    """Classic closeness + eccentricity
+    (graph_algos.closeness_centrality, round 7 — one multi_source_bfs
+    pass yields both) over the per-nation custkey chain graph. On a
+    chain, sum-of-distances from position p is the closed form
+    p(p+1)/2 + (n-1-p)(n-p)/2 and eccentricity is max(p, n-1-p) —
+    what the oracle states directly."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        closeness_centrality,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(F.col("c_custkey").alias("id"),
+                F.col("c_nationkey").alias("nation"))
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    edges = (
+        c.withColumn("nxt", F.lead("id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("id").alias("src"), F.col("nxt").alias("dst"))
+    )
+    g = Graph(c.select("id"), edges)
+    return (
+        closeness_centrality(g)
+        .select("id", F.round("closeness", 6).alias("closeness"),
+                "eccentricity", "reached")
+        .orderBy("id")
+    )

@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 177
-DOCUMENTED_ORACLES = 154
+DOCUMENTED_QUERIES = 178
+DOCUMENTED_ORACLES = 155
 
 
 def test_ledger_counts_match():

@@ -615,3 +615,23 @@ def test_betweenness_disconnected_and_sampled_sources(spark):
         ).collect()
     }
     assert got == {0: 0.0, 1: 1.0, 2: 0.5, 3: 0.0}
+
+
+def test_closeness_and_eccentricity_closed_forms(spark):
+    from graph_db_clustering_spark.operators.graph_algos import (
+        closeness_centrality,
+    )
+
+    # star K1,4: center sum=4 ecc=1 -> closeness 1.0; leaf sum=1+3*2=7
+    g = _graph(spark, 5, [(0, i) for i in range(1, 5)])
+    got = {r.id: r for r in closeness_centrality(g).collect()}
+    assert got[0].closeness == pytest.approx(1.0)
+    assert got[0].eccentricity == 1
+    for leaf in range(1, 5):
+        assert got[leaf].closeness == pytest.approx(4 / 7)
+        assert got[leaf].eccentricity == 2
+    # isolate in a disconnected graph
+    d = _graph(spark, 3, [(0, 1)])
+    got = {r.id: r for r in closeness_centrality(d).collect()}
+    assert got[2].closeness == 0.0 and got[2].eccentricity == 0
+    assert got[0].reached == 2  # its own component only
