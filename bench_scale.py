@@ -42,6 +42,8 @@ HEAVY = [
     "bpe_tokens",
     "warc_ingest",
     "pipeline_corpus",
+    "nb_language",
+    "dsir_weights",
 ]
 
 _VERSION = "v1"  # bump to invalidate cached corpora
