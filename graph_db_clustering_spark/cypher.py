@@ -2354,11 +2354,15 @@ class CypherSession:
                 "relType",
             )
         elif c.name == "db.schema.visualization":
-            v = g.vertices.select(
+            # unlabeled endpoints / untyped edges are omitted, matching
+            # Neo4j and the isNotNull discipline of the sibling
+            # db.labels / db.schema.*Properties procedures
+            v = g.vertices.filter(F.col(LABEL_COL).isNotNull()).select(
                 F.col("id"), F.col(LABEL_COL).alias("__lbl")
             )
             df = (
                 g.edges.select("src", "dst", "relationship")
+                .filter(F.col("relationship").isNotNull())
                 .join(v.withColumnRenamed("__lbl", "srcLabel"),
                       F.col("src") == F.col("id"))
                 .drop("id")

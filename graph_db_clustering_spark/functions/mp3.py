@@ -281,8 +281,11 @@ def _parse_granule(b: _Bits) -> dict:
         g["mixed_block"] = b.read(1)
         g["table_select"] = [b.read(5) for _ in range(2)]
         g["subblock_gain"] = [b.read(3) for _ in range(3)]
-        # spec-fixed region split for switched blocks
-        g["region0_count"] = 7 if g["block_type"] == 2 and not g["mixed_block"] else 7
+        # spec-fixed region split for switched LONG (start/stop) blocks;
+        # pure-short blocks use a different value per ISO 11172-3, but
+        # block_type == 2 is gated in the decode loop before this is
+        # ever used — revisit when short blocks land
+        g["region0_count"] = 7
         g["region1_count"] = 36
     else:
         g["block_type"] = 0

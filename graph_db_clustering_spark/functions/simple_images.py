@@ -376,6 +376,12 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
     if tiled:
         offsets = tags.get("tile_offsets")
         counts = tags.get("tile_counts")
+        if "tile_width" not in tags or "tile_length" not in tags:
+            # guard BOTH tile paths (the JPEG assembler reads the tags
+            # directly) so a corrupt file raises ValueError, never KeyError
+            raise ValueError(
+                "TIFF tiled image missing TileWidth/TileLength tags"
+            )
     else:
         offsets = tags.get("strip_offsets")
         counts = tags.get("strip_counts")

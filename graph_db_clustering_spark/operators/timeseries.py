@@ -110,14 +110,17 @@ def funnel_depth(
     Plan: one conditional min-aggregate per step — step 0 is a plain
     groupBy-min over that event type, each later step filters to its
     type, joins the previous step's anchor times (user-keyed equi-join)
-    and min-aggregates the qualifying timestamps. len(steps) passes over
-    an ever-smaller filtered slice, all hash aggregates with map-side
+    and min-aggregates the qualifying timestamps. The anchor chain
+    guarantees reached_k is a subset of reached_{k-1}, so depth is the
+    SUM of per-step reached flags, assembled as one left join per step
+    onto the user base — no Union doubling (a semi/anti union per step
+    would reference the depth frame twice per iteration, 2^steps plan
+    growth); the anchor chain embeds its prior stages, so plan leaves
+    grow quadratically in step count, fine for real funnel lengths
+    (plan-pinned in tests). All hash aggregates with map-side
     partials; no windows, no per-user sort."""
-    u = F.col(user_col)
     anchors = None  # DataFrame (user, t_prev) of users who reached k-1
-    depth = events.select(user_col).distinct().withColumn(
-        "depth", F.lit(0)
-    )
+    reached_flags = []
     for k, step in enumerate(steps):
         stage = events.filter(F.col(type_col) == step).select(
             user_col, F.col(ts_col).alias("__ts")
@@ -126,18 +129,22 @@ def funnel_depth(
             stage = stage.join(anchors, user_col).filter(
                 F.col("__ts") > F.col("__t_prev")
             )
-        reached = stage.groupBy(user_col).agg(
+        anchors = stage.groupBy(user_col).agg(
             F.min("__ts").alias("__t_prev")
         )
-        depth = (
-            depth.join(reached.select(user_col), user_col, "left_semi")
-            .withColumn("depth", F.lit(k + 1))
-            .unionAll(
-                depth.join(reached.select(user_col), user_col, "left_anti")
-            )
+        reached_flags.append(
+            anchors.select(user_col).withColumn(f"__r{k}", F.lit(1))
         )
-        anchors = reached
-    return depth.select(u.alias(user_col), "depth")
+    depth = events.select(user_col).distinct()
+    for flag in reached_flags:
+        depth = depth.join(flag, user_col, "left")
+    return depth.select(
+        user_col,
+        sum(
+            (F.coalesce(F.col(f"__r{k}"), F.lit(0)) for k in range(len(steps))),
+            F.lit(0),
+        ).alias("depth"),
+    )
 
 
 def cohort_retention(

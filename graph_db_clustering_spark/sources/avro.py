@@ -91,15 +91,20 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
 # unions use the ("union", ...) rep.
 
 
-def _parse_type(t, names: dict, parsing: set):
+def _parse_type(t, names: dict, parsing: set, ns: str | None = None):
     """Avro type decl (JSON value) -> rep. ``names`` registers named
     record/enum/fixed declarations for later by-name references;
-    ``parsing`` holds names currently being defined (recursion gate)."""
+    ``parsing`` holds names currently being defined (recursion gate);
+    ``ns`` is the ENCLOSING namespace — per the spec a nested named
+    type without its own "namespace" attribute inherits it, and both
+    its bare name and its fullname must resolve."""
     if isinstance(t, str):
         if t in _PRIMITIVE_SPARK or t == "null":
             return t
         if t in names:
             return names[t]
+        if ns and f"{ns}.{t}" in names:  # relative reference
+            return names[f"{ns}.{t}"]
         if t in parsing:
             raise NotImplementedError(
                 f"avro: recursive type {t!r} not supported (no finite "
@@ -109,7 +114,7 @@ def _parse_type(t, names: dict, parsing: set):
     if isinstance(t, list):
         non_null = [x for x in t if x != "null"]
         if len(t) == 2 and "null" in t and len(non_null) == 1:
-            return ("union", t.index("null"), _parse_type(non_null[0], names, parsing))
+            return ("union", t.index("null"), _parse_type(non_null[0], names, parsing, ns))
         # general union -> the public spark-avro mapping convention:
         # {int,long} promotes to long, {float,double} to double, anything
         # else becomes struct<member0, member1, ...> over the non-null
@@ -118,15 +123,15 @@ def _parse_type(t, names: dict, parsing: set):
         named = [x for x in t if isinstance(x, str)]
         if len(set(named)) != len(named):
             raise AvroError(f"avro: duplicate union branches: {t!r}")
-        prims = set(x for x in non_null if isinstance(x, str))
-        if prims == set(non_null) and prims == {"int", "long"}:
+        all_prim = all(isinstance(x, str) for x in non_null)
+        if all_prim and set(non_null) == {"int", "long"}:
             mode = "promote_long"
-        elif prims == set(non_null) and prims == {"float", "double"}:
+        elif all_prim and set(non_null) == {"float", "double"}:
             mode = "promote_double"
         else:
             mode = "struct"
         branches = tuple(
-            (bi, _parse_type(b, names, parsing))
+            (bi, _parse_type(b, names, parsing, ns))
             for bi, b in enumerate(t)
             if b != "null"
         )
@@ -136,47 +141,50 @@ def _parse_type(t, names: dict, parsing: set):
         if kind in _PRIMITIVE_SPARK or kind == "null":
             return kind  # {"type": "int", "logicalType": ...} — raw base type
         if kind == "array":
-            return ("array", _parse_type(t["items"], names, parsing))
+            return ("array", _parse_type(t["items"], names, parsing, ns))
         if kind == "map":
-            return ("map", _parse_type(t["values"], names, parsing))
+            return ("map", _parse_type(t["values"], names, parsing, ns))
         if kind == "enum":
             rep = ("enum", tuple(t["symbols"]))
-            _register(t, rep, names)
+            _register(t, rep, names, ns)
             return rep
         if kind == "fixed":
             rep = ("fixed", int(t["size"]))
-            _register(t, rep, names)
+            _register(t, rep, names, ns)
             return rep
         if kind == "record":
-            return _parse_record(t, names, parsing)
+            return _parse_record(t, names, parsing, ns)
         raise NotImplementedError(f"avro: type {kind!r} not supported")
     raise AvroError(f"avro: malformed type declaration {t!r}")
 
 
-def _register(decl: dict, rep, names: dict) -> None:
+def _register(decl: dict, rep, names: dict, enclosing_ns: str | None = None) -> None:
     name = decl.get("name")
     if not name:
         return
     names[name] = rep
-    ns = decl.get("namespace")
+    # spec: a declaration without its own "namespace" inherits the
+    # enclosing declaration's, and its fullname must resolve
+    ns = decl.get("namespace", enclosing_ns)
     if ns:
         names[f"{ns}.{name}"] = rep
 
 
-def _parse_record(decl: dict, names: dict, parsing: set):
+def _parse_record(decl: dict, names: dict, parsing: set, ns: str | None = None):
     name = decl.get("name")
-    keys = {name, f"{decl['namespace']}.{name}"} if decl.get("namespace") and name \
+    eff_ns = decl.get("namespace", ns)
+    keys = {name, f"{eff_ns}.{name}"} if eff_ns and name \
         else ({name} if name else set())
     parsing |= keys
     try:
         fields = tuple(
-            (f["name"], _parse_type(f["type"], names, parsing))
+            (f["name"], _parse_type(f["type"], names, parsing, eff_ns))
             for f in decl["fields"]
         )
     finally:
         parsing -= keys
     rep = ("record", fields)
-    _register(decl, rep, names)
+    _register(decl, rep, names, ns)
     return rep
 
 
@@ -475,6 +483,8 @@ def _write_varint(v: int) -> bytes:
 
 
 def _encode_value(prim: str, v) -> bytes:
+    if prim == "null":
+        return b""  # null encodes to zero bytes (mirror of _decode_value)
     if prim == "boolean":
         return b"\x01" if v else b"\x00"
     if prim in ("int", "long"):

@@ -112,15 +112,40 @@ def kmeans_stream(
     """Attach a StreamingKMeans model to a vector stream. Each
     micro-batch updates the model and appends the post-update centroids
     (batch_id, cid, centroid, count) to a parquet trajectory sink with
-    dynamic partition overwrite (retried batches replace their own
-    rows — the repo's exactly-once foreachBatch pattern). Returns the
-    started StreamingQuery (caller awaits)."""
+    dynamic partition overwrite.
+
+    The SINK is the source of truth for model state, which is what
+    makes the run genuinely resumable and retry-safe: before applying
+    a batch, the step restores the model from the sink's latest row
+    set (a k-row read), skips batches the sink already records (a
+    checkpoint replay after restart, or a retry after a committed
+    write), and only then updates — so each batch's update is a pure
+    function of (sink state, batch data) and applying it twice is
+    impossible, whether the in-memory model object is fresh (restart)
+    or stale (retry after a crash between update and write). Returns
+    the started StreamingQuery (caller awaits)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        model.update_batch(batch_df, id_col, vec_col)
         spark = batch_df.sparkSession
+        try:
+            traj = spark.read.parquet(out_path)
+            last = traj.agg(F.max("__batch_id")).collect()[0][0]
+        except Exception:
+            last = None
+        if last is not None:
+            if int(batch_id) <= int(last):
+                return  # already applied and committed
+            rows = traj.filter(F.col("__batch_id") == last).orderBy("cid").collect()
+            if len(rows) == len(model.centroids):
+                model.centroids = np.array(
+                    [list(r.centroid) for r in rows], dtype=np.float64
+                )
+                model.counts = np.array(
+                    [float(r["count"]) for r in rows], dtype=np.float64
+                )
+        model.update_batch(batch_df, id_col, vec_col)
         rows = [
             (int(batch_id), i, [float(x) for x in c], float(n))
             for i, (c, n) in enumerate(zip(model.centroids, model.counts))

@@ -297,3 +297,45 @@ def test_general_union_corrupt_branch_and_dup():
         avro.parse_schema({"type": "record", "name": "D",
                            "fields": [{"name": "a",
                                        "type": ["int", "int"]}]})
+
+
+def test_general_union_with_complex_branch():
+    """A union carrying a record/array branch maps to the struct form
+    (round-7 review fix: this used to crash with an uncontrolled
+    TypeError in the promotion check)."""
+    sch = {"type": "record", "name": "R", "fields": [
+        {"name": "u", "type": ["string", {"type": "array", "items": "int"}]}]}
+    st = avro.spark_schema_for(avro.parse_schema(sch))
+    assert st["u"].dataType.simpleString() == \
+        "struct<member0:string,member1:array<int>>"
+    rows = [{"u": {"member0": "x", "member1": None}},
+            {"u": {"member0": None, "member1": [1, 2]}}]
+    _, got = avro.decode_container(avro.encode_container(sch, rows))
+    assert got == rows
+
+
+def test_bare_null_field_roundtrips():
+    """A field of type "null" encodes to zero bytes and decodes to None
+    (review fix: the encoder lacked the null branch)."""
+    sch = {"type": "record", "name": "N", "fields": [
+        {"name": "n", "type": "null"}, {"name": "x", "type": "long"}]}
+    _, got = avro.decode_container(
+        avro.encode_container(sch, [{"n": None, "x": 5}])
+    )
+    assert got == [{"n": None, "x": 5}]
+
+
+def test_nested_named_type_inherits_namespace():
+    """A nested record without its own namespace gets the enclosing
+    one, so both fullname and relative references resolve (spec
+    fullname rules; review fix)."""
+    sch = {"type": "record", "name": "Outer", "namespace": "com.x",
+           "fields": [
+               {"name": "a", "type": {"type": "record", "name": "Inner",
+                                      "fields": [{"name": "v",
+                                                  "type": "long"}]}},
+               {"name": "b", "type": "com.x.Inner"},
+               {"name": "c", "type": "Inner"}]}
+    row = {"a": {"v": 1}, "b": {"v": 2}, "c": {"v": 3}}
+    _, got = avro.decode_container(avro.encode_container(sch, [row]))
+    assert got == [row]

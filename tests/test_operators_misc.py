@@ -702,3 +702,26 @@ def test_cdc_apply_bad_op_raises(spark):
         cdc_apply(snap, feed, "key", "seq").collect()
     with _pt.raises(ValueError, match="missing columns"):
         cdc_apply(snap, feed.drop("seq"), "key", "seq")
+
+
+def test_funnel_plan_is_linear_in_steps(spark):
+    """The depth assembly is one left join per step (review fix: the
+    semi+anti union form doubled the plan per step — 2^steps scans)."""
+    from graph_db_clustering_spark.operators.timeseries import funnel_depth
+
+    rows = [(1, 1, 0, "s0")]
+    df = _ev(spark, rows)
+    steps = [f"s{i}" for i in range(8)]
+    plan = (
+        funnel_depth(df, "user_id", "ts", "event_type", steps)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the union-doubling form carried ~2^8 scan leaves for 8 steps;
+    # the flag-join form is quadratic (step k's anchor chain embeds the
+    # k-1 prior stages: sum(k+1) = 37 leaves for 8) — fine for real
+    # funnel lengths, and crucially there is no Union doubling
+    n = len(steps)
+    assert plan.count("LogicalRDD") <= (n * (n + 1)) // 2 + n + 2
+    assert "Union" not in plan

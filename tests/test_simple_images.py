@@ -424,3 +424,18 @@ def _patch_planar(blob: bytes, value: int) -> bytes:
     assert idx > 0
     b[idx + 8] = value
     return bytes(b)
+
+
+def test_tiff_tiled_missing_geometry_raises_valueerror():
+    """A tiled TIFF without TileWidth/TileLength fails with the
+    controlled ValueError, never KeyError (review fix) — on both the
+    byte and JPEG paths."""
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(simple_images.encode_tiff(img, tile=(8, 8)))
+    # blank out the tile_width tag id (322 = 0x0142 LE) so the tag walk
+    # skips it
+    idx = blob.find(b"\x42\x01")
+    assert idx > 0
+    blob[idx:idx + 2] = b"\xff\x7f"  # unknown tag id
+    with pytest.raises(ValueError, match="TileWidth/TileLength"):
+        simple_images.decode_tiff(bytes(blob))

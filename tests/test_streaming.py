@@ -666,3 +666,54 @@ def test_streaming_kmeans_replay_matches_sequential_batches(
     assert (traj.groupBy("__batch_id").count()
             .select("count").distinct().count() == 1)
     assert traj.count() == 3 * len(init)
+
+
+def test_streaming_kmeans_restart_and_retry_are_idempotent(
+    spark, tmp_path
+):
+    """The sink is the model's source of truth (review fix): replaying
+    the stream with a FRESH model object and a fresh checkpoint (the
+    restart-worst-case: every batch retried) leaves the sink byte-
+    stable — already-committed batches are skipped via the sink's
+    latest batch id, never re-applied."""
+    import numpy as np
+
+    from graph_db_clustering_spark.streaming.kmeans import (
+        StreamingKMeans, kmeans_stream,
+    )
+    from graph_db_clustering_spark.streaming.replay import (
+        read_table_stream, stage_table_replay,
+    )
+
+    d = stage_table_replay(
+        spark, SF, "embeddings", "vec_id", str(tmp_path / "vecs"), num_chunks=2
+    )
+    init = [[0.0] * 8, [1.0] * 8]
+    dim = len(
+        spark.read.parquet(d).select("embedding").first().embedding
+    )
+    init = [[0.0] * dim, [1.0] * dim]
+    m1 = StreamingKMeans(init, decay=1.0)
+    q = kmeans_stream(
+        read_table_stream(spark, d), m1,
+        str(tmp_path / "traj"), str(tmp_path / "ck1"),
+    )
+    q.awaitTermination()
+    final = sorted(
+        (r["__batch_id"], r.cid, tuple(r.centroid))
+        for r in spark.read.parquet(str(tmp_path / "traj")).collect()
+    )
+    # "restart": fresh model with WRONG init, fresh checkpoint -> every
+    # batch replays, every batch must be skipped via the sink
+    m2 = StreamingKMeans([[9.0] * dim, [-9.0] * dim], decay=1.0)
+    q2 = kmeans_stream(
+        read_table_stream(spark, d), m2,
+        str(tmp_path / "traj"), str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination()
+    again = sorted(
+        (r["__batch_id"], r.cid, tuple(r.centroid))
+        for r in spark.read.parquet(str(tmp_path / "traj")).collect()
+    )
+    assert again == final  # sink unchanged: no double-application
+    assert m2.n_batches == 0  # the skipped batches never touched m2
