@@ -1289,6 +1289,16 @@ class CypherSession:
     # -- public API ---------------------------------------------------------
 
     def run(self, query: str, **params) -> DataFrame | None:
+        stripped = query.lstrip()
+        if stripped[:8].upper() == "EXPLAIN " or stripped[:8].upper() == "EXPLAIN\n":
+            # Neo4j's EXPLAIN prefix: compile, don't execute — one row
+            # per line of the Catalyst-optimized + physical plan, the
+            # first-session tool a migrating user reaches for
+            lines = self.explain(stripped[8:], **params).splitlines()
+            spark = self.graph.vertices.sparkSession
+            return spark.createDataFrame(
+                [(i, ln) for i, ln in enumerate(lines)], "line int, plan string"
+            )
         segments = parse(query)
         if len(segments) == 1:
             return self._run_clauses(segments[0][0], params)
@@ -1334,6 +1344,27 @@ class CypherSession:
         for df in parts[1:]:
             out = out.unionByName(df)
         return out if union_all else out.distinct()
+
+
+    def explain(self, query: str, **params) -> str:
+        """Compile a read query and return Spark's formatted plan text
+        WITHOUT executing it. Mutating queries raise BEFORE any clause
+        runs (run() applies mutations eagerly, so the guard must come
+        from the parse, not the return value)."""
+        for clauses, _ in parse(query):
+            for c in clauses:
+                if isinstance(
+                    c, (CreateC, MergeC, SetC, DeleteC, RemoveC, ForeachC)
+                ):
+                    raise ValueError(
+                        "cypher: EXPLAIN requires a read-only RETURN query"
+                    )
+        df = self.run(query, **params)
+        if df is None:
+            raise ValueError("cypher: EXPLAIN requires a RETURN query")
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
 
     def _run_clauses(self, clauses, params) -> DataFrame | None:
         if clauses and isinstance(clauses[-1], CallC):

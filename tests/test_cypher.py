@@ -1400,3 +1400,17 @@ def test_parser_never_crashes_uncontrolled(tokens):
         parse(q)
     except (SyntaxError, ValueError, NotImplementedError):
         pass  # controlled surface
+
+
+def test_explain_compiles_without_executing(spark):
+    """EXPLAIN prefix and session.explain() return the Spark plan; a
+    mutating query raises BEFORE applying its writes (round 7)."""
+    session = CypherSession(_image_graph(spark))
+    out = session.run("EXPLAIN MATCH (n) RETURN ID(n) AS id ORDER BY id")
+    assert out.columns == ["line", "plan"]
+    txt = "\n".join(r.plan for r in out.collect())
+    assert "Physical Plan" in txt
+    n_before = session.graph.vertices.count()
+    with pytest.raises(ValueError, match="read-only"):
+        session.explain("CREATE (x:Ghost {id: 999999})")
+    assert session.graph.vertices.count() == n_before  # nothing mutated
