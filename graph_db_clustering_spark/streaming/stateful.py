@@ -234,3 +234,73 @@ def value_quota_stream_tws(events: DataFrame, cap: float) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+def funnel_with_state(
+    events: DataFrame,
+    steps: list[str],
+) -> DataFrame:
+    """Streaming ordered-funnel depth per user (round 7): the
+    applyInPandasWithState form of operators/timeseries.funnel_depth.
+
+    State per user = the first-touch anchor timestamp of each completed
+    step (epoch micros, -1 for not-reached). Each micro-batch folds its
+    events in timestamp order into the anchor chain: step k's anchor is
+    the earliest event of type steps[k] strictly after the step k-1
+    anchor. Emits (user_id, depth) whenever a batch advances a user's
+    depth (update-mode semantics: the latest row per user wins).
+
+    Parity contract (test-pinned): on a per-user time-ordered replay the
+    final depths equal the batch funnel_depth exactly. With
+    out-of-order arrival this is the standard OBSERVED-ORDER streaming
+    funnel — an anchor never retracts when an earlier-timestamped
+    qualifying event arrives late (a watermark+retraction variant would
+    need the full event log in state; the batch form is the reprocessing
+    path, the lakehouse-standard fix).
+
+    Scale: state is len(steps) longs per user — bounded, keyed,
+    store-checkpointed; each pandas batch holds one micro-batch x one
+    user's events."""
+    n = len(steps)
+    out_schema = "user_id bigint, depth int"
+    state_schema = ", ".join(f"a{k} bigint" for k in range(n))
+    step_idx = {s: k for k, s in enumerate(steps)}
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        anchors = list(state.get) if state.exists else [-1] * n
+        depth0 = sum(1 for a in anchors if a >= 0)
+        rows = sorted(
+            (int(t.value) // 1000, step_idx[ty])
+            for pdf in pdfs
+            for t, ty in zip(pd.to_datetime(pdf["ts"]), pdf["event_type"])
+            if ty in step_idx
+        )
+        for ts_us, k in rows:
+            if anchors[k] >= 0:
+                continue  # first-touch: anchor never moves
+            if k == 0 or (anchors[k - 1] >= 0 and ts_us > anchors[k - 1]):
+                anchors[k] = ts_us
+        depth = sum(1 for a in anchors if a >= 0)
+        if depth != depth0 or not state.exists:
+            state.update(tuple(anchors))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "depth": [depth]}
+            )
+        else:
+            state.update(tuple(anchors))
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -717,3 +717,34 @@ def test_streaming_kmeans_restart_and_retry_are_idempotent(
     )
     assert again == final  # sink unchanged: no double-application
     assert m2.n_batches == 0  # the skipped batches never touched m2
+
+
+def test_streaming_funnel_matches_batch(spark, replay_dir, tmp_path):
+    """funnel_with_state over the time-ordered events replay converges
+    to exactly the batch funnel_depth result (round 7 — the parity
+    contract: observed-order == timestamp-order on an ordered replay)."""
+    from graph_db_clustering_spark.operators.timeseries import funnel_depth
+    from graph_db_clustering_spark.streaming.stateful import (
+        funnel_with_state,
+    )
+
+    steps = ["view", "click", "purchase"]
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=1)
+    out = run_available_now(
+        funnel_with_state(stream.select("user_id", "ts", "event_type"), steps),
+        "update",
+        "funnel_state",
+        str(tmp_path),
+    )
+    # update mode emits one row per depth advance; depth is monotone,
+    # so the final value per user is the max
+    got = {
+        r.user_id: r.d
+        for r in out.groupBy("user_id").agg(F.max("depth").alias("d")).collect()
+    }
+    batch = spark.read.parquet(replay_dir)
+    want = {
+        r.user_id: r.depth
+        for r in funnel_depth(batch, "user_id", "ts", "event_type", steps).collect()
+    }
+    assert got == want
