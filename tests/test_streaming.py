@@ -748,3 +748,62 @@ def test_streaming_funnel_matches_batch(spark, replay_dir, tmp_path):
         for r in funnel_depth(batch, "user_id", "ts", "event_type", steps).collect()
     }
     assert got == want
+
+
+def test_cdc_stream_matches_batch_apply(spark, tmp_path):
+    """Replaying a change feed through cdc_stream yields a final
+    snapshot equal to one batch cdc_apply over the whole feed, with a
+    time-travelable version per micro-batch (round 7)."""
+    from graph_db_clustering_spark.operators import maintenance
+    from graph_db_clustering_spark.streaming.cdc import cdc_stream
+    from graph_db_clustering_spark.streaming.replay import (
+        read_table_stream, stage_table_replay,
+    )
+
+    snap = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    feed_dir = str(tmp_path / "feed")
+    feed = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_orderpriority").alias("segment"),
+    )
+    (
+        feed.repartitionByRange(3, "seq").sortWithinPartitions("seq")
+        .write.mode("overwrite").parquet(feed_dir)
+    )
+    import os as _os
+    import time as _time
+
+    parts = sorted(
+        f for f in _os.listdir(feed_dir) if f.startswith("part-")
+    )
+    base = int(_time.time()) - len(parts)
+    for i, name in enumerate(parts):
+        _os.utime(_os.path.join(feed_dir, name), (base + i, base + i))
+
+    store = str(tmp_path / "store")
+    q = cdc_stream(
+        read_table_stream(spark, feed_dir), store, snap,
+        "key", "seq", str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    versions = maintenance.snapshot_versions(store)
+    assert len(versions) == 4  # v1 initial + one per chunk
+    got = sorted(
+        (r.key, r.segment)
+        for r in maintenance.snapshot_read(spark, store).collect()
+    )
+    want = sorted(
+        (r.key, r.segment)
+        for r in maintenance.cdc_apply(snap, feed, "key", "seq").collect()
+    )
+    assert got == want
+    # time travel: v1 is the untouched initial snapshot
+    v1 = maintenance.snapshot_read(spark, store, version=1)
+    assert sorted((r.key, r.segment) for r in v1.collect()) == sorted(
+        (r.key, r.segment) for r in snap.collect()
+    )
