@@ -1507,3 +1507,91 @@ def events_retention(spark, sf_dir):
                 "day_offset", "users")
         .orderBy("cohort_date", "day_offset")
     )
+
+
+@declared(
+    "events_pivot",
+    """SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def events_pivot(spark, sf_dir):
+    """PIVOT: per-user event counts widened to one column per event
+    type (df.groupBy().pivot() with the explicit value list — the
+    two-pass-free form; Catalyst compiles it to the same conditional
+    aggregation the oracle states). Round 7: the classic BI reshape a
+    migrating SQL user expects."""
+    e = _t(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    ).orderBy("user_id")
+
+
+@declared(
+    "events_unpivot",
+    """WITH wide AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+  FROM events GROUP BY user_id)
+SELECT user_id, kind, CAST(cnt AS BIGINT) AS cnt
+FROM wide UNPIVOT (cnt FOR kind IN (view, click, purchase))
+ORDER BY user_id, kind""",
+)
+def events_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: the wide per-user count matrix back to long form
+    (df.unpivot — Spark's melt; DuckDB replays with its UNPIVOT
+    clause). Pivot and unpivot compose to a lossless reshape pair."""
+    e = _t(spark, sf_dir, "events")
+    types = ["view", "click", "purchase"]
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+        )
+    )
+    return (
+        wide.unpivot("user_id", types, "kind", "cnt")
+        .select("user_id", "kind", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy("user_id", "kind")
+    )
+
+
+@declared(
+    "recursive_cte",
+    """SELECT c_custkey AS id,
+       CAST(FLOOR(LOG2(c_custkey)) AS INT) AS depth
+FROM customer WHERE c_custkey >= 1 ORDER BY id""",
+)
+def recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4's recursive CTE surface): walk every
+    customer up the implicit binary-tree hierarchy (parent = id / 2)
+    until the root, counting hops. The closed form — depth =
+    floor(log2(id)) — is what the DuckDB oracle states, so the
+    recursion itself is what is being checked."""
+    e = _t(spark, sf_dir, "customer")
+    return spark.sql(
+        """WITH RECURSIVE walk(id, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM {c} WHERE c_custkey >= 1
+  UNION ALL
+  SELECT id, CAST(anc / 2 AS BIGINT), depth + 1 FROM walk WHERE anc > 1
+)
+SELECT id, CAST(MAX(depth) AS INT) AS depth FROM walk
+GROUP BY id ORDER BY id""",
+        c=e,
+    )
