@@ -303,7 +303,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     including a shared JPEGTables segment), 8/32946 (deflate via
     zlib), 32773 (PackBits). Remaining gates, loud and scoped:
     old-style JPEG (compression 6 — deprecated by TIFF TechNote 2,
-    writers are extinct), planar=2 combined with JPEG or tiles."""
+    writers are extinct) and planar=2 combined with JPEG."""
     import zlib
 
     try:
@@ -368,10 +368,10 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
             f"TIFF compression {comp} unsupported "
             "(none/LZW/new-JPEG/deflate/PackBits only)"
         )
-    if planar == 2 and (comp == 7 or tiled):
+    if planar == 2 and comp == 7:
         raise NotImplementedError(
-            "TIFF planar configuration 2 supported for strip layouts "
-            "with byte codecs only (not JPEG or tiles)"
+            "TIFF planar configuration 2 supported for byte codecs "
+            "only (not JPEG)"
         )
     if tiled:
         offsets = tags.get("tile_offsets")
@@ -421,24 +421,45 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
             tw, th = one("tile_width"), one("tile_length")
             across = (w + tw - 1) // tw
             down = (h + th - 1) // th
-            if len(segs) < across * down:
+            n_planes = spp if planar == 2 else 1
+            tile_ch = 1 if planar == 2 else spp
+            if len(segs) < across * down * n_planes:
                 raise ValueError("TIFF tile count shorter than the grid")
-            img = np.zeros(
-                (down * th, across * tw) + (() if spp == 1 else (spp,)),
-                dtype=out_t,
-            )
-            for i in range(down):
-                for j in range(across):
-                    tile = np.frombuffer(
-                        segs[i * across + j], dtype=dt, count=th * tw * spp
-                    ).astype(out_t)
-                    tile = tile.reshape(
-                        (th, tw) if spp == 1 else (th, tw, spp)
-                    )
-                    img[i * th : (i + 1) * th, j * tw : (j + 1) * tw] = undiff(
-                        tile
-                    )
-            img = img[:h, :w]
+
+            def tile_grid(plane_segs):
+                canvas = np.zeros(
+                    (down * th, across * tw)
+                    + (() if tile_ch == 1 else (tile_ch,)),
+                    dtype=out_t,
+                )
+                for i in range(down):
+                    for j in range(across):
+                        tile = np.frombuffer(
+                            plane_segs[i * across + j],
+                            dtype=dt,
+                            count=th * tw * tile_ch,
+                        ).astype(out_t)
+                        tile = tile.reshape(
+                            (th, tw) if tile_ch == 1 else (th, tw, tile_ch)
+                        )
+                        canvas[
+                            i * th : (i + 1) * th, j * tw : (j + 1) * tw
+                        ] = undiff(tile)
+                return canvas[:h, :w]
+
+            if planar == 2:
+                # plane-major tile order (TIFF 6.0: all plane-0 tiles,
+                # then plane 1, ...)
+                per = across * down
+                img = np.stack(
+                    [
+                        tile_grid(segs[p * per : (p + 1) * per])
+                        for p in range(spp)
+                    ],
+                    axis=2,
+                )
+            else:
+                img = tile_grid(segs)
         elif planar == 2:
             # all plane-0 strips, then plane-1, ... (TIFF 6.0 §PlanarConfig)
             per_plane = len(segs) // spp
@@ -522,14 +543,22 @@ def encode_tiff(
     elif tile is not None:
         tw, th = tile
         strips = []
-        for y0 in range(0, h, th):
-            for x0 in range(0, w, tw):
-                block = np.zeros(
-                    (th, tw) + (() if spp == 1 else (spp,)), dtype=img.dtype
-                )
-                part = img[y0 : y0 + th, x0 : x0 + tw]
-                block[: part.shape[0], : part.shape[1]] = part
-                strips.append(pack(block.astype(dt).tobytes()))
+        planes = (
+            [img[:, :, p] for p in range(spp)]
+            if planar == 2 and spp > 1
+            else [img]
+        )
+        for plane in planes:
+            ch = 1 if plane.ndim == 2 else plane.shape[2]
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    block = np.zeros(
+                        (th, tw) + (() if ch == 1 else (ch,)),
+                        dtype=img.dtype,
+                    )
+                    part = plane[y0 : y0 + th, x0 : x0 + tw]
+                    block[: part.shape[0], : part.shape[1]] = part
+                    strips.append(pack(block.astype(dt).tobytes()))
     elif planar == 2:
         if spp == 1:
             raise ValueError("planar=2 needs multiple samples per pixel")

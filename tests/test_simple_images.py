@@ -412,9 +412,13 @@ def test_tiff_remaining_gates_loud():
     with pytest.raises(NotImplementedError, match="old-style JPEG"):
         simple_images.decode_tiff(bytes(old_style))
     with pytest.raises(NotImplementedError, match="planar"):
-        simple_images.decode_tiff(
-            _patch_planar(simple_images.encode_tiff(img, tile=(4, 4)), 2)
+        # planar=2 + JPEG stays gated (planar tiles now decode)
+        blob = simple_images.encode_tiff(
+            np.zeros((8, 8), dtype=np.uint8), compression=7,
+            rows_per_strip=8,
+            jpeg_segments=[b"\xff\xd8\xff\xd9"],
         )
+        simple_images.decode_tiff(_patch_planar(blob, 2))
 
 
 def _patch_planar(blob: bytes, value: int) -> bytes:
@@ -439,3 +443,16 @@ def test_tiff_tiled_missing_geometry_raises_valueerror():
     blob[idx:idx + 2] = b"\xff\x7f"  # unknown tag id
     with pytest.raises(ValueError, match="TileWidth/TileLength"):
         simple_images.decode_tiff(bytes(blob))
+
+
+@pytest.mark.parametrize("comp", [1, 8])
+def test_tiff_planar2_tiled_roundtrip(comp):
+    """Planar configuration 2 with a tiled layout (plane-major tile
+    order) — the round-7 review follow-up closing the planar+tiles
+    gate."""
+    rng = _rng()
+    rgb = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    blob = simple_images.encode_tiff(
+        rgb, compression=comp, tile=(8, 8), planar=2
+    )
+    assert np.array_equal(simple_images.decode_tiff(blob), rgb)
