@@ -4,18 +4,31 @@ PDFs are a first-class training-data source; the extraction path here
 covers the simple-but-common profile: content streams stored raw or
 FlateDecode-compressed, text shown with Tj / TJ / ' operators in
 (string) literals using the standard escapes (\\( \\) \\\\ \\n \\r \\t
-and octal \\ddd), with Td/TD/T* treated as line breaks. Hex <...> string
-literals decode (single-byte Latin-1 interpretation). Out of scope —
-documented, not silent: CID/Type0 composite fonts (hex strings under a
-CID font decode per-byte, not per-CID), encrypted PDFs (ValueError),
-LZW streams (NotImplementedError). For those, a real deployment plugs a full parser
-into the same Arrow-batched operator (operators/text.extract_pdf_text);
-this module makes the common case REAL end to end and testable.
+and octal \\ddd), with Td/TD/T* treated as line breaks, and — round 7
+— CID/Type0 composite fonts via their /ToUnicode CMaps: when the
+document embeds CMap streams (beginbfchar / beginbfrange sections,
+the layout every subset-embedding writer like Word or Chrome
+print-to-PDF emits), hex <...> strings decode as 2-byte CIDs through
+the UNION of the document's CMaps (UTF-16BE destinations, multi-unit
+targets, range and array bfrange forms); without a CMap, hex strings
+keep the single-byte Latin-1 interpretation. Known simplification,
+documented: per-string font state (Tf) is not tracked, so multi-font
+documents whose CMaps assign CONFLICTING meanings to the same 2-byte
+code pick the first-registered mapping; unmapped codes decode to
+U+FFFD. Out of scope — documented, not silent: encrypted PDFs
+(ValueError), LZW streams (NotImplementedError). For those, a real
+deployment plugs a full parser into the same Arrow-batched operator
+(operators/text.extract_pdf_text); this module makes the common case
+REAL end to end and testable.
 
 The writer emits well-formed single/multi-page PDFs (Helvetica, one
 content stream per page, optional Flate) for fixtures and the
-ground-truth oracle (documents -> PDF -> extract must invert exactly).
-"""
+ground-truth oracle (documents -> PDF -> extract must invert
+exactly); encode(cid=True) emits an Identity-H Type0 font with a
+generated subset ToUnicode CMap and hex-CID text — the codes are
+sequential subset indexes, NOT character values, so the roundtrip
+passing proves the CMap is genuinely applied (and it makes non-Latin
+fixture text representable at all)."""
 
 from __future__ import annotations
 
@@ -77,6 +90,63 @@ def _unescape(lit: bytes) -> bytes:
     return bytes(out)
 
 
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_RANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])"
+)
+
+
+def _utf16be(hx: bytes) -> str:
+    return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be")
+
+
+def _parse_tounicode(body: bytes, cmap: dict[int, str]) -> None:
+    """Merge one ToUnicode CMap stream's bfchar/bfrange sections into
+    ``cmap`` (first registration wins on collisions)."""
+    for block in _BFCHAR_RE.finditer(body):
+        hexes = _HEX_RE.findall(block.group(1))
+        for src, dst in zip(hexes[0::2], hexes[1::2]):
+            code = int(re.sub(rb"\s", b"", src), 16)
+            cmap.setdefault(code, _utf16be(re.sub(rb"\s", b"", dst)))
+    for block in _BFRANGE_RE.finditer(body):
+        for m in _RANGE_ITEM_RE.finditer(block.group(1)):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                raise ValueError("PDF: malformed bfrange bounds")
+            if m.group(3) is not None:  # <lo> <hi> <dstStart>
+                start = int(m.group(3), 16)
+                width = len(m.group(3))
+                for i in range(hi - lo + 1):
+                    cmap.setdefault(
+                        lo + i, _utf16be(b"%0*X" % (width, start + i))
+                    )
+            else:  # <lo> <hi> [<dst> <dst> ...]
+                dsts = _HEX_RE.findall(m.group(4))
+                for i, d in enumerate(dsts[: hi - lo + 1]):
+                    cmap.setdefault(lo + i, _utf16be(d))
+
+
+def _collect_cid_maps(data: bytes) -> dict[int, str]:
+    """Union of every ToUnicode CMap stream in the document."""
+    cmap: dict[int, str] = {}
+    for m in _STREAM_RE.finditer(data):
+        head, body = m.group(1), m.group(2)
+        lm = _LENGTH_RE.search(head)
+        if lm and int(lm.group(1)) <= len(body):
+            body = body[: int(lm.group(1))]
+        if b"/FlateDecode" in head:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue  # a corrupt non-text stream must not kill CMaps
+        if b"beginbfchar" in body or b"beginbfrange" in body:
+            _parse_tounicode(body, cmap)
+    return cmap
+
+
 def extract_text(data: bytes) -> str:
     """PDF bytes -> extracted text (one line per Td/TD/T* break)."""
     if not data.startswith(b"%PDF-"):
@@ -88,6 +158,7 @@ def extract_text(data: bytes) -> str:
         pass  # keep the LAST trailer (incremental updates)
     if tm is not None and b"/Encrypt" in tm.group(1):
         raise ValueError("PDF is encrypted; extraction needs the decryption key")
+    cid_map = _collect_cid_maps(data)
     pieces: list[str] = []
     for m in _STREAM_RE.finditer(data):
         head, body = m.group(1), m.group(2)
@@ -126,7 +197,21 @@ def extract_text(data: bytes) -> str:
                     hx = re.sub(rb"\s", b"", raw[1:-1])
                     if len(hx) % 2:
                         hx += b"0"
-                    line.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                    bs = bytes.fromhex(hx.decode("ascii"))
+                    if cid_map and len(bs) % 2 == 0:
+                        # CID text: 2-byte codes through the ToUnicode
+                        # union; unmapped codes -> U+FFFD (the spec's
+                        # recommended fallback)
+                        line.append(
+                            "".join(
+                                cid_map.get(
+                                    (bs[i] << 8) | bs[i + 1], "�"
+                                )
+                                for i in range(0, len(bs), 2)
+                            )
+                        )
+                    else:
+                        line.append(bs.decode("latin-1"))
                 else:
                     line.append(_unescape(raw[1:-1]).decode("latin-1"))
         if line:
@@ -143,15 +228,75 @@ def _escape(s: str) -> bytes:
     ).encode("latin-1", errors="replace")
 
 
-def encode(pages: list[list[str]], flate: bool = True) -> bytes:
-    """pages = list of pages, each a list of text lines -> PDF bytes."""
+def _tounicode_cmap(codes: dict[str, int]) -> bytes:
+    """Generated subset ToUnicode CMap (the Adobe-Identity-UCS layout
+    real subset embedders emit; bfchar blocks capped at 100 entries per
+    the CMap spec)."""
+    items = sorted(codes.items(), key=lambda kv: kv[1])
+    out = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        b"/Supplement 0 >> def",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    for i in range(0, len(items), 100):
+        chunk = items[i : i + 100]
+        out.append(b"%d beginbfchar" % len(chunk))
+        for ch, code in chunk:
+            out.append(
+                b"<%04X> <%s>"
+                % (code, ch.encode("utf-16-be").hex().upper().encode())
+            )
+        out.append(b"endbfchar")
+    out += [b"endcmap", b"CMapName currentdict /CMap defineresource pop",
+            b"end", b"end"]
+    return b"\n".join(out)
+
+
+def encode(
+    pages: list[list[str]], flate: bool = True, cid: bool = False
+) -> bytes:
+    """pages = list of pages, each a list of text lines -> PDF bytes.
+
+    ``cid=True`` emits an Identity-H Type0 font with a generated subset
+    ToUnicode CMap and hex-CID text: codes are sequential subset
+    indexes (NOT character values), so extract_text must actually apply
+    the CMap to invert — and any unicode text becomes representable."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
         objects.append(body)
         return len(objects)  # 1-based object number
 
-    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    codes: dict[str, int] = {}
+    if cid:
+        for lines in pages:
+            for line in lines:
+                for ch in line:
+                    codes.setdefault(ch, len(codes) + 1)
+        cmap = _tounicode_cmap(codes)
+        if flate:
+            cmap_z = zlib.compress(cmap)
+            cmap_id = add(
+                b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(cmap_z)
+                + cmap_z + b"\nendstream"
+            )
+        else:
+            cmap_id = add(
+                b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+            )
+        font = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Subset-Font "
+            b"/Encoding /Identity-H /ToUnicode %d 0 R >>" % cmap_id
+        )
+    else:
+        font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     page_ids = []
     content_ids = []
     for lines in pages:
@@ -159,7 +304,11 @@ def encode(pages: list[list[str]], flate: bool = True) -> bytes:
         for i, line in enumerate(lines):
             if i:
                 ops.append(b"0 -14 Td")
-            ops.append(b"(" + _escape(line) + b") Tj")
+            if cid:
+                hx = b"".join(b"%04X" % codes[ch] for ch in line)
+                ops.append(b"<" + hx + b"> Tj")
+            else:
+                ops.append(b"(" + _escape(line) + b") Tj")
         ops.append(b"ET")
         stream = b"\n".join(ops)
         if flate:

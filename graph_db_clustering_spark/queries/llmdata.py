@@ -1188,7 +1188,11 @@ def pdf_extract(spark, sf_dir):
     Flate-compressed PDF executor-side, and the extractor must invert it
     EXACTLY — md5 against the source table (ground truth, the
     html_extract pattern). Exercises content-stream decompression, Tj
-    parsing, and the paren/backslash escaping both directions."""
+    parsing, and the paren/backslash escaping both directions; every
+    other selected document (doc_id % 10 == 0) routes through the
+    round-7 CID path instead — Identity-H Type0 font, generated
+    subset ToUnicode CMap, hex-CID text — so the driver gate also
+    scores the CMap machinery."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -1202,7 +1206,10 @@ def pdf_extract(spark, sf_dir):
                 {
                     "doc_id": b["doc_id"],
                     "content": [
-                        bytearray(pdf_codec.encode([[str(t)]])) for t in b["text"]
+                        bytearray(pdf_codec.encode(
+                            [[str(t)]], cid=(int(d) % 10 == 0)
+                        ))
+                        for d, t in zip(b["doc_id"], b["text"])
                     ],
                 }
             )

@@ -132,3 +132,51 @@ def test_hex_string_literals():
             b"\nendstream")
     # odd-digit hex pads a trailing zero: <41> -> 'A'; <2062> -> ' b'
     assert pdf.extract_text(body) == "Hello\na bc\nA"
+
+
+# --- CID / Type0 / ToUnicode (round 7) --------------------------------------
+
+
+def test_cid_roundtrip_unicode():
+    """Identity-H Type0 + generated subset ToUnicode CMap: codes are
+    sequential subset indexes, so extraction passing proves the CMap
+    is applied — and non-Latin text (incl. an astral-plane char, a
+    UTF-16 surrogate pair in the CMap dst) survives exactly."""
+    pages = [["héllo wörld", "日本語テキスト 🚀", "plain ascii"],
+             ["второй страницы"]]
+    want = "\n".join("\n".join(p) for p in pages)
+    for flate in (True, False):
+        assert pdf.extract_text(pdf.encode(pages, flate=flate, cid=True)) == want
+
+
+def test_cid_bfrange_forms():
+    """Both bfrange forms decode: <lo> <hi> <dstStart> increments, and
+    the [<dst> ...] array form maps per entry."""
+    cmap = (b"2 beginbfrange\n"
+            b"<0001> <0003> <0041>\n"
+            b"<0010> <0011> [<00E9> <D83DDE80>]\n"  # surrogate pair\n           
+            b"endbfrange")
+    doc = (b"%PDF-1.4\n"
+           b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+           + cmap + b"\nendstream\n"
+           b"<< /Length 40 >>\nstream\n"
+           b"BT <000100020003> Tj T* <00100011> Tj ET\nendstream\n"
+           b"trailer\n<< /Size 2 /Root 1 0 R >>")
+    got = pdf.extract_text(doc)
+    assert got == "ABC\né\U0001F680"
+
+
+def test_cid_unmapped_code_is_replacement_char():
+    cmap = b"1 beginbfchar\n<0001> <0041>\nendbfchar"
+    doc = (b"%PDF-1.4\n"
+           b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+           + cmap + b"\nendstream\n"
+           b"<< /Length 19 >>\nstream\nBT <00010099> Tj ET\nendstream\n"
+           b"trailer\n<< /Size 2 /Root 1 0 R >>")
+    assert pdf.extract_text(doc) == "A�"
+
+
+def test_hex_without_cmap_stays_latin1():
+    doc = (b"%PDF-1.4\n<< /Length 20 >>\nstream\nBT <414243> Tj ET"
+           b"\nendstream\ntrailer\n<< /Size 2 /Root 1 0 R >>")
+    assert pdf.extract_text(doc) == "ABC"
