@@ -15,8 +15,11 @@ keep the single-byte Latin-1 interpretation. Known simplification,
 documented: per-string font state (Tf) is not tracked, so multi-font
 documents whose CMaps assign CONFLICTING meanings to the same 2-byte
 code pick the first-registered mapping; unmapped codes decode to
-U+FFFD. Out of scope — documented, not silent: encrypted PDFs
-(ValueError), LZW streams (NotImplementedError). For those, a real
+U+FFFD. Round 7 also decrypts standard-security-handler PDFs with
+an empty user password (RC4 revision 2/3, the owner-restricted
+profile — see the handler section below); genuinely
+password-protected files raise ValueError and AESV2+/crypt filters
+raise NotImplementedError, as do LZW streams. For those, a real
 deployment plugs a full parser into the same Arrow-batched operator
 (operators/text.extract_pdf_text); this module makes the common case
 REAL end to end and testable.
@@ -147,6 +150,171 @@ def _collect_cid_maps(data: bytes) -> dict[int, str]:
     return cmap
 
 
+# --- standard security handler (RC4, empty user password) -------------------
+#
+# The PDF 1.7 §7.6.3 standard security handler with revision 2 (40-bit)
+# or 3 (128-bit) RC4 — the "owner-restricted but readable" profile that
+# covers most encrypted PDFs in the wild (print/copy restrictions, no
+# user password). The famous 32-byte padding constant and the MD5/RC4
+# key-derivation algorithms 2-5 are spec text; the /U entry check
+# verifies the empty user password, so a genuinely password-protected
+# file still raises ValueError, and AESV2+/crypt-filter revisions stay
+# gated with NotImplementedError.
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_pwd(pwd: bytes) -> bytes:
+    return (pwd + _PAD)[:32]
+
+
+def _file_key(
+    user_pwd: bytes, o: bytes, p: int, id0: bytes, r: int, keylen: int
+) -> bytes:
+    import hashlib
+    import struct as _struct
+
+    h = hashlib.md5(
+        _pad_pwd(user_pwd) + o[:32] + _struct.pack("<i", p) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    return h[:keylen]
+
+
+def _owner_entry(owner_pwd: bytes, user_pwd: bytes, r: int, keylen: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(_pad_pwd(owner_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    rc4key = h[:keylen]
+    o = _rc4(rc4key, _pad_pwd(user_pwd))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def _user_entry(key: bytes, id0: bytes, r: int) -> bytes:
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PAD)
+    u = _rc4(key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _object_key(key: bytes, num: int, gen: int) -> bytes:
+    import hashlib
+
+    ext = key + bytes(
+        [num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF,
+         gen & 0xFF, (gen >> 8) & 0xFF]
+    )
+    return hashlib.md5(ext).digest()[: min(len(key) + 5, 16)]
+
+
+def _pdf_string_bytes(tok: bytes) -> bytes:
+    """A PDF string token (literal or hex) -> raw bytes."""
+    if tok[:1] == b"<":
+        hx = re.sub(rb"\s", b"", tok[1:-1])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    return _unescape(tok[1:-1])
+
+
+def _decrypt_pdf(data: bytes, trailer: bytes) -> bytes:
+    """Standard-security-handler decrypt (empty user password) -> a
+    plaintext copy of the document with the /Encrypt marker removed."""
+    em = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", trailer)
+    if not em:
+        raise ValueError("PDF /Encrypt entry is not an indirect reference")
+    enc_num = int(em.group(1))
+    om = re.search(
+        rb"\b%d\s+%d\s+obj\s*"
+        rb"<<((?:[^<>]|<<[^<>]*>>|<[0-9A-Fa-f\s]*>)*)>>"
+        % (enc_num, int(em.group(2))),
+        data,
+    )
+    if not om:
+        raise ValueError("PDF /Encrypt dictionary object not found")
+    ed = om.group(1)
+    if b"/Standard" not in ed:
+        raise NotImplementedError("PDF: only the Standard security handler")
+    v = int((re.search(rb"/V\s+(\d+)", ed) or [None, b"0"])[1])
+    r = int((re.search(rb"/R\s+(\d+)", ed) or [None, b"2"])[1])
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"PDF: encryption V={v}/R={r} not supported (RC4 V1/V2 only — "
+            "AESV2+ and crypt filters need a full parser)"
+        )
+    bits = int((re.search(rb"/Length\s+(\d+)", ed) or [None, b"40"])[1])
+    keylen = bits // 8
+    pm = re.search(rb"/P\s+(-?\d+)", ed)
+    osm = re.search(rb"/O\s*(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]+>)", ed)
+    usm = re.search(rb"/U\s*(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]+>)", ed)
+    if not (pm and osm and usm):
+        raise ValueError("PDF /Encrypt dictionary missing O/U/P")
+    idm = re.search(
+        rb"/ID\s*\[\s*(<[0-9A-Fa-f\s]*>|\((?:\\.|[^\\()])*\))", trailer
+    )
+    id0 = _pdf_string_bytes(idm.group(1)) if idm else b""
+    o = _pdf_string_bytes(osm.group(1))
+    u = _pdf_string_bytes(usm.group(1))
+    key = _file_key(b"", o, int(pm.group(1)), id0, r, keylen)
+    want_u = _user_entry(key, id0, r)
+    cmp_len = 32 if r == 2 else 16
+    if want_u[:cmp_len] != u[:cmp_len]:
+        raise ValueError(
+            "PDF is password-protected (empty user password rejected)"
+        )
+
+    def decrypt_obj(m: re.Match) -> bytes:
+        num, gen, body = int(m.group(1)), int(m.group(2)), m.group(3)
+        if num == enc_num:
+            return m.group(0)  # the Encrypt dict itself is never encrypted
+        sm = re.search(rb"stream\r?\n(.*?)(\r?\nendstream|endstream)", body, re.S)
+        if not sm:
+            return m.group(0)
+        okey = _object_key(key, num, gen)
+        plain = _rc4(okey, sm.group(1))
+        new_body = body[: sm.start(1)] + plain + body[sm.end(1):]
+        return b"%d %d obj" % (num, gen) + new_body + b"endobj"
+
+    out = re.sub(
+        rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", decrypt_obj, data, flags=re.S
+    )
+    # drop the marker so the re-entrant extract pass treats it as plain
+    return out.replace(b"/Encrypt %d %d R" % (enc_num, int(em.group(2))), b"")
+
+
 def extract_text(data: bytes) -> str:
     """PDF bytes -> extracted text (one line per Td/TD/T* break)."""
     if not data.startswith(b"%PDF-"):
@@ -154,10 +322,10 @@ def extract_text(data: bytes) -> str:
     # /Encrypt is meaningful only inside the TRAILER dictionary — a
     # content stream mentioning the literal string must not be rejected
     tm = None
-    for tm in re.finditer(rb"trailer\s*<<((?:[^<>]|<<[^<>]*>>)*)>>", data):
+    for tm in re.finditer(rb"trailer\s*<<((?:[^<>]|<<[^<>]*>>|<[0-9A-Fa-f\s]*>)*)>>", data):
         pass  # keep the LAST trailer (incremental updates)
     if tm is not None and b"/Encrypt" in tm.group(1):
-        raise ValueError("PDF is encrypted; extraction needs the decryption key")
+        data = _decrypt_pdf(data, tm.group(1))
     cid_map = _collect_cid_maps(data)
     pieces: list[str] = []
     for m in _STREAM_RE.finditer(data):
@@ -260,14 +428,22 @@ def _tounicode_cmap(codes: dict[str, int]) -> bytes:
 
 
 def encode(
-    pages: list[list[str]], flate: bool = True, cid: bool = False
+    pages: list[list[str]],
+    flate: bool = True,
+    cid: bool = False,
+    encrypt: int | None = None,
 ) -> bytes:
     """pages = list of pages, each a list of text lines -> PDF bytes.
 
     ``cid=True`` emits an Identity-H Type0 font with a generated subset
     ToUnicode CMap and hex-CID text: codes are sequential subset
     indexes (NOT character values), so extract_text must actually apply
-    the CMap to invert — and any unicode text becomes representable."""
+    the CMap to invert — and any unicode text becomes representable.
+
+    ``encrypt=40|128`` applies the standard security handler (RC4,
+    revision 2/3, empty user AND owner password) — the fixture side of
+    the decrypt path, exercising key derivation, the /O and /U entries,
+    and per-object stream encryption."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -336,6 +512,36 @@ def encode(
         raise RuntimeError(f"pdf writer object numbering drifted: {got_id}")
     catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
 
+    extra_trailer = b""
+    if encrypt is not None:
+        if encrypt not in (40, 128):
+            raise ValueError("encrypt must be 40 or 128 (RC4 key bits)")
+        keylen = encrypt // 8
+        r, v = (2, 1) if encrypt == 40 else (3, 2)
+        id0 = b"gdc-fixture-id-0"
+        o = _owner_entry(b"", b"", r, keylen)
+        p = -4
+        key = _file_key(b"", o, p, id0, r, keylen)
+        u = _user_entry(key, id0, r)
+        srch = re.compile(rb"stream\n(.*?)\nendstream", re.S)
+        for idx in range(len(objects)):
+            sm = srch.search(objects[idx])
+            if sm:
+                cipher = _rc4(_object_key(key, idx + 1, 0), sm.group(1))
+                objects[idx] = (
+                    objects[idx][: sm.start(1)]
+                    + cipher
+                    + objects[idx][sm.end(1):]
+                )
+        enc_id = add(
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+            b"/O <%s> /U <%s> >>"
+            % (v, r, encrypt, p, o.hex().encode(), u.hex().encode())
+        )
+        extra_trailer = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_id, id0.hex().encode(), id0.hex().encode(),
+        )
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objects, start=1):
@@ -347,7 +553,7 @@ def encode(
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
     out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, catalog, xref_at)
+        b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, catalog, extra_trailer, xref_at)
     )
     return bytes(out)

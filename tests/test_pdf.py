@@ -29,7 +29,8 @@ def test_tj_array_concatenates():
 def test_gates():
     with pytest.raises(ValueError, match="not a PDF"):
         pdf.extract_text(b"hello")
-    with pytest.raises(ValueError, match="encrypted"):
+    with pytest.raises(ValueError, match="Encrypt dictionary"):
+        # /Encrypt pointing at a missing object is corrupt, not gated
         pdf.extract_text(b"%PDF-1.4\ntrailer\n<< /Size 2 /Encrypt 5 0 R >>")
     # /Encrypt mentioned in CONTENT is not encryption (review finding)
     doc = (b"%PDF-1.4\n<< /Length 30 >>\nstream\n"
@@ -180,3 +181,30 @@ def test_hex_without_cmap_stays_latin1():
     doc = (b"%PDF-1.4\n<< /Length 20 >>\nstream\nBT <414243> Tj ET"
            b"\nendstream\ntrailer\n<< /Size 2 /Root 1 0 R >>")
     assert pdf.extract_text(doc) == "ABC"
+
+
+# --- standard security handler (round 7) ------------------------------------
+
+
+@pytest.mark.parametrize("bits", [40, 128])
+@pytest.mark.parametrize("cid", [False, True])
+def test_encrypted_roundtrip(bits, cid):
+    """RC4 revision 2 (40-bit) and 3 (128-bit) with empty user+owner
+    passwords decrypt transparently — key derivation (algorithm 2),
+    /O (3), /U (4/5), and per-object stream keys all exercised; the
+    CID variant proves the ToUnicode CMap stream decrypts too."""
+    pages = [["secret line one", "ligne deux"], ["page two"]]
+    blob = pdf.encode(pages, cid=cid, encrypt=bits)
+    assert b"secret" not in blob  # the text really is encrypted
+    assert pdf.extract_text(blob) == "\n".join("\n".join(p) for p in pages)
+
+
+def test_encrypted_wrong_password_and_aes_gate():
+    blob = bytearray(pdf.encode([["x"]], encrypt=128))
+    i = blob.find(b"/U <")
+    blob[i + 4 : i + 8] = b"0000"
+    with pytest.raises(ValueError, match="password-protected"):
+        pdf.extract_text(bytes(blob))
+    aes = pdf.encode([["x"]], encrypt=128).replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(NotImplementedError, match="not supported"):
+        pdf.extract_text(aes)
