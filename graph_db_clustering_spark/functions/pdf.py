@@ -19,7 +19,9 @@ U+FFFD. Round 7 also decrypts standard-security-handler PDFs with
 an empty user password (RC4 revision 2/3, the owner-restricted
 profile — see the handler section below); genuinely
 password-protected files raise ValueError and AESV2+/crypt filters
-raise NotImplementedError, as do LZW streams. For those, a real
+raise NotImplementedError; LZWDecode streams decode via the TIFF
+early-change LZW decoder (only LZW-with-predictor stays gated). For
+the remaining gates, a real
 deployment plugs a full parser into the same Arrow-batched operator
 (operators/text.extract_pdf_text); this module makes the common case
 REAL end to end and testable.
@@ -347,7 +349,23 @@ def extract_text(data: bytes) -> str:
             except zlib.error as e:
                 raise ValueError(f"PDF: corrupt Flate stream ({e!r})")
         elif b"/LZWDecode" in head:
-            raise NotImplementedError("PDF LZWDecode streams not supported")
+            # PDF LZW IS TIFF's early-change variant (PDF 32000 §7.4.4
+            # defines it by reference to the TIFF spec): MSB-first,
+            # 9-bit initial width, 256=Clear / 257=EOD — the decoder
+            # functions/simple_images already carries. Predictors on a
+            # TEXT stream are unheard of; gate them loudly.
+            if re.search(rb"/Predictor\s+(?!1\b)\d", head):
+                raise NotImplementedError(
+                    "PDF LZWDecode with a predictor not supported"
+                )
+            from graph_db_clustering_spark.functions.simple_images import (
+                _lzw_tiff_decode,
+            )
+
+            try:
+                body = _lzw_tiff_decode(body)
+            except ValueError as e:
+                raise ValueError(f"PDF: corrupt LZW stream ({e})")
         elif b"/Filter" in head:
             continue  # image/other filtered streams carry no text ops
         line: list[str] = []

@@ -37,10 +37,10 @@ def test_gates():
            b"BT (the /Encrypt key spec) Tj ET\nendstream\n"
            b"trailer\n<< /Size 2 /Root 1 0 R >>")
     assert pdf.extract_text(doc) == "the /Encrypt key spec"
-    lzw = (b"%PDF-1.4\n<< /Filter /LZWDecode /Length 4 >>\nstream\nXXXX"
-           b"\nendstream")
-    with pytest.raises(NotImplementedError, match="LZW"):
-        pdf.extract_text(lzw)
+    lzw_pred = (b"%PDF-1.4\n<< /Filter /LZWDecode /Predictor 12 "
+                b"/Length 4 >>\nstream\nXXXX\nendstream")
+    with pytest.raises(NotImplementedError, match="predictor"):
+        pdf.extract_text(lzw_pred)
     with pytest.raises(ValueError, match="Flate"):
         pdf.extract_text(
             b"%PDF-1.4\n<< /Filter /FlateDecode /Length 4 >>\nstream\nXXXX"
@@ -208,3 +208,17 @@ def test_encrypted_wrong_password_and_aes_gate():
     aes = pdf.encode([["x"]], encrypt=128).replace(b"/V 2 /R 3", b"/V 4 /R 4")
     with pytest.raises(NotImplementedError, match="not supported"):
         pdf.extract_text(aes)
+
+
+def test_lzw_stream_decodes():
+    """PDF LZWDecode = the TIFF early-change LZW the image path already
+    implements (round 7: the gate drops; only predictors stay gated)."""
+    from graph_db_clustering_spark.functions.simple_images import (
+        _lzw_tiff_encode,
+    )
+
+    body = _lzw_tiff_encode(b"BT (lzw text works) Tj ET")
+    doc = (b"%PDF-1.4\n<< /Filter /LZWDecode /Length "
+           + str(len(body)).encode() + b" >>\nstream\n" + body
+           + b"\nendstream\ntrailer\n<< /Size 2 /Root 1 0 R >>")
+    assert pdf.extract_text(doc) == "lzw text works"
