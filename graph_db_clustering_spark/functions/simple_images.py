@@ -12,12 +12,58 @@ import numpy as np
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24-bit
-    BI_RGB) -> HxWx3 RGB uint8. Other bit depths / compressions raise."""
+    """BMP (BITMAPFILEHEADER + BITMAPINFOHEADER) -> HxWx3 RGB uint8.
+    Round 7 widens the profile: 24-bit BI_RGB, 32-bit BGRA (alpha
+    dropped), and 8-bit palette images both uncompressed and BI_RLE8
+    (runs, absolute mode with word alignment, EOL/EOF/delta escapes,
+    undefined skipped pixels zero-indexed per the spec). 1/4/16-bit
+    and OS/2 core headers stay gated."""
     try:
         return _decode_bmp_inner(data)
     except (IndexError, struct.error) as e:
         raise ValueError(f"BMP: truncated or corrupt file ({e!r})")
+
+
+def _unrle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 -> HxW palette-index raster (bottom-up source order).
+    Escapes: 0,0 = end of line; 0,1 = end of bitmap; 0,2,dx,dy = delta;
+    0,n>=3 = n absolute bytes (padded to 2-byte alignment); count,val =
+    run of count copies."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0  # bottom-up: y counts from the bottom row
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        a, b = data[i], data[i + 1]
+        i += 2
+        if a > 0:  # run
+            end = min(x + a, w)
+            out[h - 1 - y, x:end] = b
+            x = end
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif b == 1:  # end of bitmap
+            break
+        elif b == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("BMP RLE8: truncated delta")
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: b literal bytes, word-aligned
+            if i + b > n:
+                raise ValueError("BMP RLE8: truncated absolute run")
+            end = min(x + b, w)
+            out[h - 1 - y, x:end] = np.frombuffer(
+                data[i : i + (end - x)], dtype=np.uint8
+            )
+            x = end
+            i += b + (b & 1)
+        if y >= h:
+            break
+    return out
 
 
 def _decode_bmp_inner(data: bytes) -> np.ndarray:
@@ -32,12 +78,46 @@ def _decode_bmp_inner(data: bytes) -> np.ndarray:
     w, h = struct.unpack("<ii", data[18:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
     (comp,) = struct.unpack("<I", data[30:34])
-    if comp != 0 or bpp != 24:
-        raise NotImplementedError(
-            f"BMP: only uncompressed 24-bit BI_RGB supported (got "
-            f"compression={comp}, bpp={bpp})"
-        )
-    return _decode_dib(data[pixel_off:], w, h)
+    (clr_used,) = struct.unpack("<I", data[46:50])
+    if bpp == 24 and comp == 0:
+        return _decode_dib(data[pixel_off:], w, h)
+    flip = h > 0
+    ah = abs(h)
+    if bpp == 32 and comp == 0:
+        # BGRA rows (no padding needed: already 4-aligned); alpha dropped
+        need = w * ah * 4
+        if len(data) - pixel_off < need:
+            raise ValueError("BMP: 32-bit raster shorter than w*h*4")
+        px = np.frombuffer(data, np.uint8, need, pixel_off).reshape(ah, w, 4)
+        img = px[:, :, 2::-1]  # BGRA -> RGB
+        return (img[::-1] if flip else img).copy()
+    if bpp == 8 and comp in (0, 1):
+        n_colors = clr_used or 256
+        pal_off = 14 + hdr_size
+        if len(data) < pal_off + n_colors * 4:
+            raise ValueError("BMP: truncated palette")
+        pal = np.frombuffer(
+            data, np.uint8, n_colors * 4, pal_off
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
+        if comp == 1:  # BI_RLE8 (bottom-up by definition)
+            if h < 0:
+                raise ValueError("BMP: RLE8 cannot be top-down")
+            idx = _unrle8(data[pixel_off:], w, ah)
+        else:
+            stride = (w + 3) & ~3
+            if len(data) - pixel_off < stride * ah:
+                raise ValueError("BMP: 8-bit raster shorter than stride*h")
+            rows = np.frombuffer(
+                data, np.uint8, stride * ah, pixel_off
+            ).reshape(ah, stride)[:, :w]
+            idx = rows[::-1] if flip else rows
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP: palette index out of range")
+        return pal[idx].copy()
+    raise NotImplementedError(
+        f"BMP: unsupported variant (compression={comp}, bpp={bpp}; "
+        "supported: 24/32-bit BI_RGB, 8-bit palette BI_RGB/BI_RLE8)"
+    )
 
 
 def pnm_header(data: bytes) -> tuple[int, int, int, int]:

@@ -31,8 +31,11 @@ def test_bmp_gates():
     with pytest.raises(ValueError, match="BM"):
         simple_images.decode_bmp(b"XX")
     data = bytearray(make_bmp(np.zeros((2, 2, 3), np.uint8)))
-    data[28:30] = struct.pack("<H", 8)  # bpp=8
-    with pytest.raises(NotImplementedError, match="24-bit"):
+    data[28:30] = struct.pack("<H", 4)  # bpp=4 stays gated
+    with pytest.raises(NotImplementedError, match="bpp=4"):
+        simple_images.decode_bmp(bytes(data))
+    data[28:30] = struct.pack("<H", 8)  # 8-bit without a palette: corrupt
+    with pytest.raises(ValueError, match="palette"):
         simple_images.decode_bmp(bytes(data))
 
 
@@ -456,3 +459,67 @@ def test_tiff_planar2_tiled_roundtrip(comp):
         rgb, compression=comp, tile=(8, 8), planar=2
     )
     assert np.array_equal(simple_images.decode_tiff(blob), rgb)
+
+
+# --- BMP beyond 24-bit (round 7) -------------------------------------------
+
+
+def _bmp_header(w, h, bpp, comp, pixel_off, pal=b""):
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, 0, 0, 0,
+        len(pal) // 4, 0,
+    )
+    head = b"BM" + struct.pack("<IHHI", 0, 0, 0, pixel_off)
+    return head + info + pal
+
+
+def test_bmp_8bit_palette_roundtrip():
+    rng = np.random.default_rng(3)
+    w, h = 7, 5
+    pal_rgb = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in pal_rgb)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    stride = (w + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, :w] = idx[::-1]  # bottom-up
+    blob = _bmp_header(w, h, 8, 0, 14 + 40 + len(pal), pal) + raster.tobytes()
+    got = simple_images.decode_bmp(blob)
+    assert np.array_equal(got, pal_rgb[idx])
+
+
+def test_bmp_rle8_all_escape_modes():
+    # palette: index i -> gray i*16
+    pal = b"".join(bytes([i * 16] * 3 + [0]) for i in range(16))
+    w, h = 8, 3
+    # bottom row: run of 8 x idx1; middle: 4 absolute bytes then EOL;
+    # top: delta skip (2,0) then run 3 x idx2, then EOF
+    rle = bytes(
+        [8, 1, 0, 0]                      # row 0 (bottom): run, EOL
+        + [0, 4, 2, 3, 4, 5, 0, 0]        # row 1: absolute 4 (even, no pad), EOL
+        + [0, 2, 2, 0, 3, 2]              # row 2: delta +2, run 3 x idx2
+        + [0, 1]                          # end of bitmap
+    )
+    blob = _bmp_header(w, h, 8, 1, 14 + 40 + len(pal), pal) + rle
+    got = simple_images.decode_bmp(blob)
+    assert got.shape == (3, 8, 3)
+    assert (got[2, :, 0] == 16).all()                      # bottom row
+    assert list(got[1, :4, 0]) == [32, 48, 64, 80]         # absolute
+    assert (got[1, 4:, 0] == 0).all()                      # rest zero-filled
+    assert list(got[0, 2:5, 0]) == [32, 32, 32]            # delta then run
+    assert (got[0, :2, 0] == 0).all()
+
+
+def test_bmp_32bit_bgra_drops_alpha():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    rows = np.zeros((4, 6, 4), dtype=np.uint8)
+    rows[:, :, :3] = img[::-1, :, ::-1]  # bottom-up BGR
+    rows[:, :, 3] = 123
+    blob = _bmp_header(6, 4, 32, 0, 14 + 40) + rows.tobytes()
+    assert np.array_equal(simple_images.decode_bmp(blob), img)
+
+
+def test_bmp_unsupported_variant_still_gated():
+    blob = _bmp_header(4, 4, 16, 0, 14 + 40) + b"\x00" * 64
+    with pytest.raises(NotImplementedError, match="bpp=16"):
+        simple_images.decode_bmp(blob)
