@@ -1595,3 +1595,68 @@ SELECT id, CAST(MAX(depth) AS INT) AS depth FROM walk
 GROUP BY id ORDER BY id""",
         c=e,
     )
+
+
+@declared(
+    "events_abtest",
+    """WITH g AS (
+  SELECT user_id % 2 AS grp, value FROM events
+  WHERE event_type = 'purchase'),
+s AS (SELECT grp, COUNT(*) AS n, AVG(value) AS m,
+             VAR_SAMP(value) AS v
+      FROM g GROUP BY grp),
+w AS (SELECT
+        MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 0 THEN m END) AS m0,
+        MAX(CASE WHEN grp = 1 THEN m END) AS m1,
+        MAX(CASE WHEN grp = 0 THEN v END) AS v0,
+        MAX(CASE WHEN grp = 1 THEN v END) AS v1
+      FROM s)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND(m0 - m1, 4) AS mean_diff,
+       ROUND((m0 - m1) / SQRT(v0 / n0 + v1 / n1), 4) AS t_stat,
+       ROUND(POW(v0 / n0 + v1 / n1, 2)
+             / (POW(v0 / n0, 2) / (n0 - 1)
+                + POW(v1 / n1, 2) / (n1 - 1)), 4) AS dof
+FROM w""",
+)
+def events_abtest(spark, sf_dir):
+    """Welch's unequal-variance t-test between two user cohorts on
+    purchase values (round 7) — the A/B readout every events warehouse
+    computes, expressed as ONE aggregation pass (count/mean/var_samp
+    per group, then the closed forms for the t statistic and the
+    Welch-Satterthwaite degrees of freedom). No sampling, no SciPy —
+    the statistic is pure SQL, and DuckDB recomputes it exactly."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = (
+        e.select((F.col("user_id") % 2).alias("grp"), "value")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("grp") == g, F.col(c))).alias(f"{c}{g}")
+            for c in ("n", "m", "v")
+            for g in (0, 1)
+        ]
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    return w.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(F.col("m0") - F.col("m1"), 4).alias("mean_diff"),
+        F.round((F.col("m0") - F.col("m1")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+                + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+            ),
+            4,
+        ).alias("dof"),
+    )

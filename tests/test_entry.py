@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 181
-DOCUMENTED_ORACLES = 158
+DOCUMENTED_QUERIES = 182
+DOCUMENTED_ORACLES = 159
 
 
 def test_ledger_counts_match():

@@ -725,3 +725,32 @@ def test_funnel_plan_is_linear_in_steps(spark):
     n = len(steps)
     assert plan.count("LogicalRDD") <= (n * (n + 1)) // 2 + n + 2
     assert "Union" not in plan
+
+
+def test_abtest_entry_matches_numpy_welch(spark):
+    """The events_abtest entry's t statistic and Welch-Satterthwaite
+    dof equal a direct NumPy computation on the same cohort split."""
+    import numpy as np
+
+    from graph_db_clustering_spark.queries.corpus import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    row = QUERIES["events_abtest"](spark, sf).collect()[0]
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    vals = {
+        g: np.array(
+            [r.value for r in e.filter(
+                (F.col("event_type") == "purchase")
+                & (F.col("user_id") % 2 == g)
+            ).collect()]
+        )
+        for g in (0, 1)
+    }
+    v0, v1 = vals[0].var(ddof=1), vals[1].var(ddof=1)
+    n0, n1 = len(vals[0]), len(vals[1])
+    se2 = v0 / n0 + v1 / n1
+    t = (vals[0].mean() - vals[1].mean()) / np.sqrt(se2)
+    dof = se2**2 / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
+    assert row.n0 == n0 and row.n1 == n1
+    assert row.t_stat == pytest.approx(round(float(t), 4), abs=2e-4)
+    assert row.dof == pytest.approx(round(float(dof), 4), abs=2e-4)
