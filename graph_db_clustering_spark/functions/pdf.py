@@ -18,8 +18,11 @@ code pick the first-registered mapping; unmapped codes decode to
 U+FFFD. Round 7 also decrypts standard-security-handler PDFs with
 an empty user password (RC4 revision 2/3, the owner-restricted
 profile — see the handler section below); genuinely
-password-protected files raise ValueError and AESV2+/crypt filters
-raise NotImplementedError; LZWDecode streams decode via the TIFF
+password-protected files raise ValueError; V4/AESV2 crypt-filter
+documents decrypt through the pure-Python FIPS-197 AES
+(functions/aes, known-answer pinned) with the sAlT object keys and
+IV-prefixed CBC bodies; AESV3/R6 (the SHA-2 handler) stays gated
+with NotImplementedError; LZWDecode streams decode via the TIFF
 early-change LZW decoder (only LZW-with-predictor stays gated). For
 the remaining gates, a real
 deployment plugs a full parser into the same Arrow-batched operator
@@ -192,14 +195,21 @@ def _pad_pwd(pwd: bytes) -> bytes:
 
 
 def _file_key(
-    user_pwd: bytes, o: bytes, p: int, id0: bytes, r: int, keylen: int
+    user_pwd: bytes,
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    keylen: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     import hashlib
     import struct as _struct
 
-    h = hashlib.md5(
-        _pad_pwd(user_pwd) + o[:32] + _struct.pack("<i", p) + id0
-    ).digest()
+    seed = _pad_pwd(user_pwd) + o[:32] + _struct.pack("<i", p) + id0
+    if r >= 4 and not encrypt_metadata:
+        seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:keylen]).digest()
@@ -232,13 +242,15 @@ def _user_entry(key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16
 
 
-def _object_key(key: bytes, num: int, gen: int) -> bytes:
+def _object_key(key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
     import hashlib
 
     ext = key + bytes(
         [num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF,
          gen & 0xFF, (gen >> 8) & 0xFF]
     )
+    if aes:
+        ext += b"sAlT"  # the AESV2 salt (PDF 32000 algorithm 1, step b)
     return hashlib.md5(ext).digest()[: min(len(key) + 5, 16)]
 
 
@@ -260,8 +272,10 @@ def _decrypt_pdf(data: bytes, trailer: bytes) -> bytes:
         raise ValueError("PDF /Encrypt entry is not an indirect reference")
     enc_num = int(em.group(1))
     om = re.search(
+        # two dict-nesting levels (the V4 /CF << /StdCF << .. >> >> form)
+        # plus hex-string members
         rb"\b%d\s+%d\s+obj\s*"
-        rb"<<((?:[^<>]|<<[^<>]*>>|<[0-9A-Fa-f\s]*>)*)>>"
+        rb"<<((?:[^<>]|<[0-9A-Fa-f\s]*>|<<(?:[^<>]|<[0-9A-Fa-f\s]*>|<<[^<>]*>>)*>>)*)>>"
         % (enc_num, int(em.group(2))),
         data,
     )
@@ -272,10 +286,20 @@ def _decrypt_pdf(data: bytes, trailer: bytes) -> bytes:
         raise NotImplementedError("PDF: only the Standard security handler")
     v = int((re.search(rb"/V\s+(\d+)", ed) or [None, b"0"])[1])
     r = int((re.search(rb"/R\s+(\d+)", ed) or [None, b"2"])[1])
-    if v not in (1, 2) or r not in (2, 3):
+    aes_mode = False
+    if v == 4 and r == 4:
+        # crypt filters: only the standard StdCF/AESV2 stream filter
+        # profile decodes (what Acrobat 7+ writes); V2-CFM = plain RC4
+        if b"/AESV2" in ed:
+            aes_mode = True
+        elif b"/V2" not in ed:
+            raise NotImplementedError(
+                "PDF: V=4 crypt filter other than AESV2/V2 not supported"
+            )
+    elif v not in (1, 2) or r not in (2, 3):
         raise NotImplementedError(
-            f"PDF: encryption V={v}/R={r} not supported (RC4 V1/V2 only — "
-            "AESV2+ and crypt filters need a full parser)"
+            f"PDF: encryption V={v}/R={r} not supported (RC4 V1/V2 and "
+            "V4 AESV2 only — AESV3/R6 needs the SHA-2 handler)"
         )
     bits = int((re.search(rb"/Length\s+(\d+)", ed) or [None, b"40"])[1])
     keylen = bits // 8
@@ -290,7 +314,10 @@ def _decrypt_pdf(data: bytes, trailer: bytes) -> bytes:
     id0 = _pdf_string_bytes(idm.group(1)) if idm else b""
     o = _pdf_string_bytes(osm.group(1))
     u = _pdf_string_bytes(usm.group(1))
-    key = _file_key(b"", o, int(pm.group(1)), id0, r, keylen)
+    no_meta = re.search(rb"/EncryptMetadata\s+false", ed) is not None
+    key = _file_key(
+        b"", o, int(pm.group(1)), id0, r, keylen, encrypt_metadata=not no_meta
+    )
     want_u = _user_entry(key, id0, r)
     cmp_len = 32 if r == 2 else 16
     if want_u[:cmp_len] != u[:cmp_len]:
@@ -305,9 +332,29 @@ def _decrypt_pdf(data: bytes, trailer: bytes) -> bytes:
         sm = re.search(rb"stream\r?\n(.*?)(\r?\nendstream|endstream)", body, re.S)
         if not sm:
             return m.group(0)
-        okey = _object_key(key, num, gen)
-        plain = _rc4(okey, sm.group(1))
+        okey = _object_key(key, num, gen, aes=aes_mode)
+        raw = sm.group(1)
+        if aes_mode:
+            from graph_db_clustering_spark.functions import aes as _aes
+
+            if len(raw) < 16:
+                raise ValueError("PDF: AES stream shorter than its IV")
+            try:
+                plain = _aes.cbc_decrypt(okey, raw[:16], raw[16:])
+            except _aes.AesError as e:
+                raise ValueError(f"PDF: corrupt AES stream ({e})")
+        else:
+            plain = _rc4(okey, raw)
         new_body = body[: sm.start(1)] + plain + body[sm.end(1):]
+        if aes_mode:
+            # the declared /Length is the ENCRYPTED length (IV+padding);
+            # restamp it so downstream trimming keeps the plain body
+            new_body = re.sub(
+                rb"/Length\s+\d+",
+                b"/Length %d" % len(plain),
+                new_body,
+                count=1,
+            )
         return b"%d %d obj" % (num, gen) + new_body + b"endobj"
 
     out = re.sub(
@@ -532,10 +579,17 @@ def encode(
 
     extra_trailer = b""
     if encrypt is not None:
-        if encrypt not in (40, 128):
-            raise ValueError("encrypt must be 40 or 128 (RC4 key bits)")
-        keylen = encrypt // 8
-        r, v = (2, 1) if encrypt == 40 else (3, 2)
+        aes_mode = encrypt == "aes128"
+        if not aes_mode and encrypt not in (40, 128):
+            raise ValueError(
+                "encrypt must be 40, 128 (RC4 key bits) or 'aes128'"
+            )
+        bits = 128 if aes_mode else encrypt
+        keylen = bits // 8
+        if aes_mode:
+            r, v = 4, 4
+        else:
+            r, v = (2, 1) if encrypt == 40 else (3, 2)
         id0 = b"gdc-fixture-id-0"
         o = _owner_entry(b"", b"", r, keylen)
         p = -4
@@ -544,17 +598,41 @@ def encode(
         srch = re.compile(rb"stream\n(.*?)\nendstream", re.S)
         for idx in range(len(objects)):
             sm = srch.search(objects[idx])
-            if sm:
-                cipher = _rc4(_object_key(key, idx + 1, 0), sm.group(1))
-                objects[idx] = (
-                    objects[idx][: sm.start(1)]
-                    + cipher
-                    + objects[idx][sm.end(1):]
+            if not sm:
+                continue
+            okey = _object_key(key, idx + 1, 0, aes=aes_mode)
+            if aes_mode:
+                import hashlib as _hl
+
+                from graph_db_clustering_spark.functions import aes as _aes
+
+                iv = _hl.md5(b"gdc-iv-%d" % (idx + 1)).digest()
+                cipher = iv + _aes.cbc_encrypt(okey, iv, sm.group(1))
+            else:
+                cipher = _rc4(okey, sm.group(1))
+            body = (
+                objects[idx][: sm.start(1)]
+                + cipher
+                + objects[idx][sm.end(1):]
+            )
+            if aes_mode:  # the stored /Length covers IV + padding
+                body = re.sub(
+                    rb"/Length\s+\d+",
+                    b"/Length %d" % len(cipher),
+                    body,
+                    count=1,
                 )
+            objects[idx] = body
+        cf = (
+            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+            if aes_mode
+            else b""
+        )
         enc_id = add(
-            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d %s"
             b"/O <%s> /U <%s> >>"
-            % (v, r, encrypt, p, o.hex().encode(), u.hex().encode())
+            % (v, r, bits, p, cf, o.hex().encode(), u.hex().encode())
         )
         extra_trailer = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
             enc_id, id0.hex().encode(), id0.hex().encode(),

@@ -222,3 +222,20 @@ def test_lzw_stream_decodes():
            + str(len(body)).encode() + b" >>\nstream\n" + body
            + b"\nendstream\ntrailer\n<< /Size 2 /Root 1 0 R >>")
     assert pdf.extract_text(doc) == "lzw text works"
+
+
+@pytest.mark.parametrize("cid", [False, True])
+def test_aesv2_encrypted_roundtrip(cid):
+    """V4/R4 AESV2 crypt-filter documents decrypt (round 7): the MD5
+    sAlT object keys, IV-prefixed CBC stream bodies, PKCS#7 padding,
+    and the /Length restamp (declared length covers IV+padding) all
+    exercised; AESV3/R6 stays gated."""
+    pages = [["aes secret line", "deuxième"], ["page two"]]
+    blob = pdf.encode(pages, cid=cid, encrypt="aes128")
+    assert b"aes secret" not in blob
+    assert pdf.extract_text(blob) == "\n".join("\n".join(p) for p in pages)
+    gated = pdf.encode(pages, encrypt="aes128").replace(
+        b"/V 4 /R 4", b"/V 5 /R 6"
+    )
+    with pytest.raises(NotImplementedError, match="not supported"):
+        pdf.extract_text(gated)
