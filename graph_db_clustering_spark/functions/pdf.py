@@ -21,8 +21,12 @@ profile — see the handler section below); genuinely
 password-protected files raise ValueError; V4/AESV2 crypt-filter
 documents decrypt through the pure-Python FIPS-197 AES
 (functions/aes, known-answer pinned) with the sAlT object keys and
-IV-prefixed CBC bodies; AESV3/R6 (the SHA-2 handler) stays gated
-with NotImplementedError; LZWDecode streams decode via the TIFF
+IV-prefixed CBC bodies; V5/AESV3 revision 6 decrypts too — the
+SHA-2 iterated KDF (algorithm 2.B) validates the empty user
+password against /U and unwraps the file key from /UE, with the
+safe failure property that any KDF drift rejects the password
+loudly instead of decoding garbage; LZWDecode streams decode via
+the TIFF
 early-change LZW decoder (only LZW-with-predictor stays gated). For
 the remaining gates, a real
 deployment plugs a full parser into the same Arrow-batched operator
@@ -254,6 +258,62 @@ def _object_key(key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
     return hashlib.md5(ext).digest()[: min(len(key) + 5, 16)]
 
 
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 algorithm 2.B (the R6 iterated KDF): SHA-256 seed,
+    then rounds of AES-128-CBC over 64 copies of (pwd + K + udata) with
+    the digest choosing SHA-256/384/512, until round >= 64 and the last
+    cipher byte <= round - 32. Wrong-implementation failure mode is
+    LOUD: the /U validation below simply rejects the password."""
+    import hashlib
+
+    from graph_db_clustering_spark.functions import aes as _aes
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        # AES-128-CBC, no padding, key/iv from K
+        prev = k[16:32]
+        e = bytearray()
+        key = k[:16]
+        for i in range(0, len(k1), 16):
+            blk = bytes(a ^ b for a, b in zip(k1[i : i + 16], prev))
+            prev = _aes.encrypt_block(key, blk)
+            e += prev
+        e = bytes(e)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _r6_file_key(u: bytes, ue: bytes) -> bytes:
+    """R6 empty-user-password flow: validate against /U (48 bytes =
+    hash(32) + validation salt(8) + key salt(8)), then unwrap the file
+    key from /UE with AES-256-CBC-NoPad."""
+    from graph_db_clustering_spark.functions import aes as _aes
+
+    if len(u) < 48 or len(ue) != 32:
+        raise ValueError("PDF R6: malformed /U or /UE entry")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if _hash_2b(b"", vsalt) != u[:32]:
+        raise ValueError(
+            "PDF is password-protected (empty user password rejected)"
+        )
+    ikey = _hash_2b(b"", ksalt)
+    # AES-256-CBC decrypt with zero IV, NO padding
+    prev = b"\x00" * 16
+    out = bytearray()
+    for i in range(0, 32, 16):
+        blk = ue[i : i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes.decrypt_block(ikey, blk), prev)
+        )
+        prev = blk
+    return bytes(out)
+
+
 def _pdf_string_bytes(tok: bytes) -> bytes:
     """A PDF string token (literal or hex) -> raw bytes."""
     if tok[:1] == b"<":
@@ -287,7 +347,14 @@ def _decrypt_pdf(data: bytes, trailer: bytes) -> bytes:
     v = int((re.search(rb"/V\s+(\d+)", ed) or [None, b"0"])[1])
     r = int((re.search(rb"/R\s+(\d+)", ed) or [None, b"2"])[1])
     aes_mode = False
-    if v == 4 and r == 4:
+    r6_mode = False
+    if v == 5 and r in (5, 6):
+        if b"/AESV3" not in ed:
+            raise NotImplementedError(
+                "PDF: V=5 crypt filter other than AESV3 not supported"
+            )
+        aes_mode = r6_mode = True
+    elif v == 4 and r == 4:
         # crypt filters: only the standard StdCF/AESV2 stream filter
         # profile decodes (what Acrobat 7+ writes); V2-CFM = plain RC4
         if b"/AESV2" in ed:
@@ -314,16 +381,25 @@ def _decrypt_pdf(data: bytes, trailer: bytes) -> bytes:
     id0 = _pdf_string_bytes(idm.group(1)) if idm else b""
     o = _pdf_string_bytes(osm.group(1))
     u = _pdf_string_bytes(usm.group(1))
-    no_meta = re.search(rb"/EncryptMetadata\s+false", ed) is not None
-    key = _file_key(
-        b"", o, int(pm.group(1)), id0, r, keylen, encrypt_metadata=not no_meta
-    )
-    want_u = _user_entry(key, id0, r)
-    cmp_len = 32 if r == 2 else 16
-    if want_u[:cmp_len] != u[:cmp_len]:
-        raise ValueError(
-            "PDF is password-protected (empty user password rejected)"
+    if r6_mode:
+        uem = re.search(
+            rb"/UE\s*(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]+>)", ed
         )
+        if not uem:
+            raise ValueError("PDF R6: /UE entry missing")
+        key = _r6_file_key(u, _pdf_string_bytes(uem.group(1)))
+    else:
+        no_meta = re.search(rb"/EncryptMetadata\s+false", ed) is not None
+        key = _file_key(
+            b"", o, int(pm.group(1)), id0, r, keylen,
+            encrypt_metadata=not no_meta,
+        )
+        want_u = _user_entry(key, id0, r)
+        cmp_len = 32 if r == 2 else 16
+        if want_u[:cmp_len] != u[:cmp_len]:
+            raise ValueError(
+                "PDF is password-protected (empty user password rejected)"
+            )
 
     def decrypt_obj(m: re.Match) -> bytes:
         num, gen, body = int(m.group(1)), int(m.group(2)), m.group(3)
@@ -332,7 +408,9 @@ def _decrypt_pdf(data: bytes, trailer: bytes) -> bytes:
         sm = re.search(rb"stream\r?\n(.*?)(\r?\nendstream|endstream)", body, re.S)
         if not sm:
             return m.group(0)
-        okey = _object_key(key, num, gen, aes=aes_mode)
+        # V5 streams use the FILE key directly; V4/AESV2 derives per
+        # object with the sAlT extension
+        okey = key if r6_mode else _object_key(key, num, gen, aes=aes_mode)
         raw = sm.group(1)
         if aes_mode:
             from graph_db_clustering_spark.functions import aes as _aes
@@ -580,28 +658,66 @@ def encode(
     extra_trailer = b""
     if encrypt is not None:
         aes_mode = encrypt == "aes128"
-        if not aes_mode and encrypt not in (40, 128):
+        r6_mode = encrypt == "aes256"
+        if not (aes_mode or r6_mode) and encrypt not in (40, 128):
             raise ValueError(
-                "encrypt must be 40, 128 (RC4 key bits) or 'aes128'"
+                "encrypt must be 40, 128 (RC4 key bits), 'aes128' or "
+                "'aes256'"
             )
-        bits = 128 if aes_mode else encrypt
+        bits = 256 if r6_mode else 128 if aes_mode else encrypt
         keylen = bits // 8
-        if aes_mode:
+        if r6_mode:
+            r, v = 6, 5
+        elif aes_mode:
             r, v = 4, 4
         else:
             r, v = (2, 1) if encrypt == 40 else (3, 2)
         id0 = b"gdc-fixture-id-0"
-        o = _owner_entry(b"", b"", r, keylen)
         p = -4
-        key = _file_key(b"", o, p, id0, r, keylen)
-        u = _user_entry(key, id0, r)
+        if r6_mode:
+            import hashlib as _hl
+
+            from graph_db_clustering_spark.functions import aes as _aes
+
+            key = _hl.sha256(b"gdc-r6-file-key").digest()  # fixture key
+            vsalt = b"vsalt-00"
+            ksalt = b"ksalt-00"
+            u = _hash_2b(b"", vsalt) + vsalt + ksalt
+            ikey = _hash_2b(b"", ksalt)
+            prev = b"\x00" * 16
+            ue = bytearray()
+            for i in range(0, 32, 16):
+                blk = bytes(
+                    a ^ b for a, b in zip(key[i : i + 16], prev)
+                )
+                prev = _aes.encrypt_block(ikey, blk)
+                ue += prev
+            ue = bytes(ue)
+            # owner entries mirror the user ones with /U as udata
+            ovs, oks = b"Ovsalt-0", b"Oksalt-0"
+            o = _hash_2b(b"", ovs, u) + ovs + oks
+            oe_key = _hash_2b(b"", oks, u)
+            prev = b"\x00" * 16
+            oe = bytearray()
+            for i in range(0, 32, 16):
+                blk = bytes(a ^ b for a, b in zip(key[i : i + 16], prev))
+                prev = _aes.encrypt_block(oe_key, blk)
+                oe += prev
+            oe = bytes(oe)
+        else:
+            o = _owner_entry(b"", b"", r, keylen)
+            key = _file_key(b"", o, p, id0, r, keylen)
+            u = _user_entry(key, id0, r)
         srch = re.compile(rb"stream\n(.*?)\nendstream", re.S)
         for idx in range(len(objects)):
             sm = srch.search(objects[idx])
             if not sm:
                 continue
-            okey = _object_key(key, idx + 1, 0, aes=aes_mode)
-            if aes_mode:
+            okey = (
+                key if r6_mode
+                else _object_key(key, idx + 1, 0, aes=aes_mode)
+            )
+            if aes_mode or r6_mode:
                 import hashlib as _hl
 
                 from graph_db_clustering_spark.functions import aes as _aes
@@ -615,7 +731,7 @@ def encode(
                 + cipher
                 + objects[idx][sm.end(1):]
             )
-            if aes_mode:  # the stored /Length covers IV + padding
+            if aes_mode or r6_mode:  # stored /Length covers IV+padding
                 body = re.sub(
                     rb"/Length\s+\d+",
                     b"/Length %d" % len(cipher),
@@ -623,16 +739,27 @@ def encode(
                     count=1,
                 )
             objects[idx] = body
-        cf = (
-            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
-            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
-            if aes_mode
-            else b""
-        )
+        if r6_mode:
+            cf = (
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            )
+            extra = b"/UE <%s> /OE <%s> " % (
+                ue.hex().encode(), oe.hex().encode(),
+            )
+        elif aes_mode:
+            cf = (
+                b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+            )
+            extra = b""
+        else:
+            cf = b""
+            extra = b""
         enc_id = add(
-            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d %s"
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d %s%s"
             b"/O <%s> /U <%s> >>"
-            % (v, r, bits, p, cf, o.hex().encode(), u.hex().encode())
+            % (v, r, bits, p, cf, extra, o.hex().encode(), u.hex().encode())
         )
         extra_trailer = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
             enc_id, id0.hex().encode(), id0.hex().encode(),

@@ -239,3 +239,25 @@ def test_aesv2_encrypted_roundtrip(cid):
     )
     with pytest.raises(NotImplementedError, match="not supported"):
         pdf.extract_text(gated)
+
+
+@pytest.mark.parametrize("cid", [False, True])
+def test_aesv3_r6_encrypted_roundtrip(cid):
+    """V5/R6 AESV3: the SHA-2 iterated KDF (algorithm 2.B) validates
+    the empty user password against /U's validation salt, unwraps the
+    file key from /UE with AES-256-CBC-NoPad, and streams decrypt with
+    the file key directly. Self-consistency caveat documented in the
+    module: a 2.B drift fails LOUDLY at the /U check (password
+    rejection), never as silent garbage."""
+    pages = [["r6 secret line", "deuxième"], ["page two"]]
+    blob = pdf.encode(pages, cid=cid, encrypt="aes256")
+    assert b"r6 secret" not in blob
+    assert pdf.extract_text(blob) == "\n".join("\n".join(p) for p in pages)
+
+
+def test_aesv3_password_rejection():
+    blob = bytearray(pdf.encode([["x"]], encrypt="aes256"))
+    i = blob.find(b"/U <")
+    blob[i + 4 : i + 8] = b"0000"
+    with pytest.raises(ValueError, match="password-protected"):
+        pdf.extract_text(bytes(blob))
