@@ -91,8 +91,10 @@ def _decode_bmp_inner(data: bytes) -> np.ndarray:
         px = np.frombuffer(data, np.uint8, need, pixel_off).reshape(ah, w, 4)
         img = px[:, :, 2::-1]  # BGRA -> RGB
         return (img[::-1] if flip else img).copy()
-    if bpp == 8 and comp in (0, 1):
-        n_colors = clr_used or 256
+    if bpp in (1, 4, 8) and comp in (0, 1):
+        if bpp != 8 and comp == 1:
+            raise NotImplementedError("BMP: RLE4 not supported")
+        n_colors = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         if len(data) < pal_off + n_colors * 4:
             raise ValueError("BMP: truncated palette")
@@ -104,19 +106,29 @@ def _decode_bmp_inner(data: bytes) -> np.ndarray:
                 raise ValueError("BMP: RLE8 cannot be top-down")
             idx = _unrle8(data[pixel_off:], w, ah)
         else:
-            stride = (w + 3) & ~3
+            stride = ((w * bpp + 31) // 32) * 4  # rows pad to 4 bytes
             if len(data) - pixel_off < stride * ah:
-                raise ValueError("BMP: 8-bit raster shorter than stride*h")
+                raise ValueError("BMP: raster shorter than stride*h")
             rows = np.frombuffer(
                 data, np.uint8, stride * ah, pixel_off
-            ).reshape(ah, stride)[:, :w]
-            idx = rows[::-1] if flip else rows
+            ).reshape(ah, stride)
+            if bpp == 8:
+                idx = rows[:, :w]
+            elif bpp == 4:  # high nibble first
+                nib = np.empty((ah, stride * 2), dtype=np.uint8)
+                nib[:, 0::2] = rows >> 4
+                nib[:, 1::2] = rows & 0x0F
+                idx = nib[:, :w]
+            else:  # 1-bit, MSB first
+                idx = np.unpackbits(rows, axis=1)[:, :w]
+            idx = idx[::-1] if flip else idx
         if int(idx.max(initial=0)) >= n_colors:
             raise ValueError("BMP: palette index out of range")
         return pal[idx].copy()
     raise NotImplementedError(
         f"BMP: unsupported variant (compression={comp}, bpp={bpp}; "
-        "supported: 24/32-bit BI_RGB, 8-bit palette BI_RGB/BI_RLE8)"
+        "supported: 24/32-bit BI_RGB, 1/4/8-bit palette BI_RGB, "
+        "8-bit BI_RLE8)"
     )
 
 
@@ -431,7 +443,7 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
     comp = one("compression", 1)
     spp = one("spp", 1)
     bits_list = tags.get("bits", [8])
-    if len(set(bits_list)) != 1 or bits_list[0] not in (8, 16):
+    if len(set(bits_list)) != 1 or bits_list[0] not in (1, 8, 16):
         raise NotImplementedError(f"TIFF bits-per-sample {bits_list} unsupported")
     bits = bits_list[0]
     planar = one("planar", 1)
@@ -470,6 +482,12 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
     predictor = one("predictor", 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    if bits == 1 and (spp != 1 or tiled or planar == 2 or comp == 7
+                      or predictor != 1):
+        raise NotImplementedError(
+            "TIFF 1-bit supported for chunky single-sample strip "
+            "layouts with byte codecs only"
+        )
 
     def undiff(seg: np.ndarray) -> np.ndarray:
         # horizontal differencing: samples store deltas to the left
@@ -497,7 +515,19 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
             segs.append(seg)
         dt = np.dtype(bo + ("u2" if bits == 16 else "u1"))
         out_t = np.uint16 if bits == 16 else np.uint8
-        if tiled:
+        if bits == 1:
+            # bilevel: MSB-first packed rows, each row padded to a byte
+            # boundary (scanned-document TIFFs; CCITT G3/G4 stay gated
+            # — their code tables are spec lookup data)
+            stride = (w + 7) // 8
+            raw = b"".join(segs)
+            if len(raw) < stride * h:
+                raise ValueError("TIFF 1-bit raster shorter than stride*h")
+            packed = np.frombuffer(raw, np.uint8, stride * h).reshape(
+                h, stride
+            )
+            img = np.unpackbits(packed, axis=1)[:, :w]
+        elif tiled:
             tw, th = one("tile_width"), one("tile_length")
             across = (w + tw - 1) // tw
             down = (h + th - 1) // th
@@ -572,6 +602,10 @@ def _decode_tiff_inner(data: bytes) -> np.ndarray:
         img = np.stack([cm[c][img] for c in range(3)], axis=2)
     elif photometric == 0:  # WhiteIsZero: invert
         img = ((1 << bits) - 1) - img
+    if bits == 1 and img.ndim == 2:
+        # bilevel grayscale scales to full range AFTER inversion /
+        # unless a 2-color palette already mapped the indexes to RGB
+        img = (img.astype(np.uint8) * 255)
     return img
 
 
@@ -595,7 +629,8 @@ def encode_tiff(
     img = np.asarray(img)
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
-    bits = 16 if img.dtype == np.uint16 else 8
+    bilevel = img.dtype == np.bool_
+    bits = 1 if bilevel else 16 if img.dtype == np.uint16 else 8
     rows_per_strip = rows_per_strip or h
 
     def pack(raw: bytes) -> bytes:
@@ -648,6 +683,15 @@ def encode_tiff(
                 strips.append(
                     pack(img[y0 : y0 + rows_per_strip, :, p].astype(dt).tobytes())
                 )
+    elif bilevel:
+        strips = [
+            pack(
+                np.packbits(
+                    img[y0 : y0 + rows_per_strip].astype(np.uint8), axis=1
+                ).tobytes()
+            )
+            for y0 in range(0, h, rows_per_strip)
+        ]
     else:
         strips = [
             pack(img[y0 : y0 + rows_per_strip].astype(dt).tobytes())

@@ -31,8 +31,8 @@ def test_bmp_gates():
     with pytest.raises(ValueError, match="BM"):
         simple_images.decode_bmp(b"XX")
     data = bytearray(make_bmp(np.zeros((2, 2, 3), np.uint8)))
-    data[28:30] = struct.pack("<H", 4)  # bpp=4 stays gated
-    with pytest.raises(NotImplementedError, match="bpp=4"):
+    data[28:30] = struct.pack("<H", 16)  # bpp=16 stays gated
+    with pytest.raises(NotImplementedError, match="bpp=16"):
         simple_images.decode_bmp(bytes(data))
     data[28:30] = struct.pack("<H", 8)  # 8-bit without a palette: corrupt
     with pytest.raises(ValueError, match="palette"):
@@ -523,3 +523,50 @@ def test_bmp_unsupported_variant_still_gated():
     blob = _bmp_header(4, 4, 16, 0, 14 + 40) + b"\x00" * 64
     with pytest.raises(NotImplementedError, match="bpp=16"):
         simple_images.decode_bmp(blob)
+
+
+def test_bmp_1bit_and_4bit_palette():
+    rng = _rng()
+    # 1-bit: 2-color palette, MSB-first rows padded to 4 bytes
+    pal2 = b"\x00\x00\x00\x00" + b"\xff\xff\xff\x00"  # black, white
+    bits = rng.integers(0, 2, (5, 11), dtype=np.uint8)
+    stride = ((11 * 1 + 31) // 32) * 4
+    rows = np.zeros((5, stride), dtype=np.uint8)
+    rows[:, : (11 + 7) // 8] = np.packbits(bits[::-1], axis=1)
+    blob = _bmp_header(11, 5, 1, 0, 14 + 40 + len(pal2), pal2) + rows.tobytes()
+    got = simple_images.decode_bmp(blob)
+    assert np.array_equal(got[:, :, 0], bits * 255)
+    # 4-bit: 16-gray palette, high nibble first
+    pal16 = b"".join(bytes([i * 17] * 3 + [0]) for i in range(16))
+    idx = rng.integers(0, 16, (3, 7), dtype=np.uint8)
+    stride = ((7 * 4 + 31) // 32) * 4
+    rows = np.zeros((3, stride), dtype=np.uint8)
+    packed = np.zeros((3, (7 + 1) // 2), dtype=np.uint8)
+    src = idx[::-1]
+    packed[:, :] = (src[:, 0::2] << 4)
+    packed[:, : src[:, 1::2].shape[1]] |= src[:, 1::2]
+    rows[:, : packed.shape[1]] = packed
+    blob = _bmp_header(7, 3, 4, 0, 14 + 40 + len(pal16), pal16) + rows.tobytes()
+    got = simple_images.decode_bmp(blob)
+    assert np.array_equal(got[:, :, 0], idx * 17)
+    # RLE4 stays gated
+    blob4 = _bmp_header(7, 3, 4, 2, 14 + 40 + len(pal16), pal16)
+    with pytest.raises(NotImplementedError, match="bpp=4"):
+        simple_images.decode_bmp(blob4 + b"\x00\x01")
+
+
+def test_tiff_1bit_bilevel_roundtrip():
+    rng = _rng()
+    bw = rng.integers(0, 2, (13, 21)).astype(bool)
+    for comp in (1, 5, 8, 32773):
+        got = simple_images.decode_tiff(
+            simple_images.encode_tiff(bw, compression=comp, rows_per_strip=5)
+        )
+        assert got.dtype == np.uint8
+        assert np.array_equal(got, bw.astype(np.uint8) * 255)
+    # CCITT fax stays gated (code tables are spec lookup data)
+    blob = bytearray(simple_images.encode_tiff(bw))
+    idx = blob.find(b"\x03\x01\x03\x00\x01\x00\x00\x00\x01\x00")
+    blob[idx + 8] = 4  # compression 4 = CCITT G4
+    with pytest.raises(NotImplementedError, match="compression 4"):
+        simple_images.decode_tiff(bytes(blob))
