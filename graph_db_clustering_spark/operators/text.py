@@ -514,6 +514,75 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Interpolated bigram-LM mean log-probability per document — one
+    rung up the KenLM ladder from `unigram_logprob_scores`: P(w|prev) =
+    lam * c(prev,w)/c(prev,*) + (1-lam) * P_add-k-unigram(w). Word salad
+    that sneaks past a unigram filter (real words, impossible
+    transitions) sits in the low tail here.
+
+    Returns (id_col, n_bigrams, avg_logprob); documents with fewer than
+    two tokens carry no bigram and drop out.
+
+    Scale shape: the bigram positions come from ONE codegen pass
+    (arrays_zip of the two token-array slices, then explode — no
+    self-join, no window). The model tables — bigram counts, left-context
+    totals, unigram counts — are each a hash aggregate of that pass, and
+    every score lookup is a TERM-KEYED shuffle join: a web-scale bigram
+    table is far too big to broadcast, and nothing here assumes it fits
+    anywhere. Only the 1-row (total, vocab) aggregate broadcasts."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("w")
+    )
+    n = F.size("w")
+    base = toks.filter(n >= 2).select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, n - 1).alias("prev"),
+                F.slice("w", 2, n - 1).alias("cur"),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    big = base.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    ctx = base.groupBy("prev").agg(F.count("*").alias("cctx"))
+    uni = (
+        toks.select(F.explode("w").alias("cur"))
+        .groupBy("cur")
+        .agg(F.count("*").alias("c1"))
+    )
+    totals = uni.agg(F.sum("c1").alias("total"), F.count("*").alias("vocab"))
+    scored = (
+        base.join(big, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni, "cur")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "logp",
+            F.log(
+                F.lit(lam) * F.col("c2") / F.col("cctx")
+                + F.lit(1.0 - lam)
+                * (F.col("c1") + F.lit(smoothing))
+                / (F.col("total") + F.lit(smoothing) * F.col("vocab"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_logprob")
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer — train on a distributed word-frequency table, encode in
 # Arrow batches

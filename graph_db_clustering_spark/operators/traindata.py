@@ -714,3 +714,64 @@ def interleave_corpora(
     return ordered.withColumn(
         "train_order", (F.col("__ord") - 1).cast("int")
     ).drop("__one", "__ord", "__vt")
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """Cumulative split weights -> [(split_name, 8-hex-digit upper bound)].
+
+    The bound for cumulative fraction f is hex(floor(f * 16^8)) zero-padded
+    to 8 lowercase digits. Lowercase hex of uniform bytes is
+    order-isomorphic to the integer it encodes, so a plain string
+    comparison against an md5 prefix buckets keys with 32-bit resolution
+    (~2.3e-10 fraction granularity) — in ANY engine that can compare
+    strings, which is what makes the split portable to the DuckDB oracle
+    and to whatever system consumes the published split downstream."""
+    if not weights:
+        raise ValueError("train_test_split needs at least one split")
+    bad = {k: w for k, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"split weights must be positive: {bad}")
+    total = float(sum(weights.values()))
+    out, cum = [], 0.0
+    for name, w in weights.items():
+        cum += float(w) / total
+        out.append((name, format(min(int(cum * 16**8), 16**8 - 1), "08x")))
+    return out
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic split -> df + `out` column (split name).
+
+    Every row whose `key_col` is equal lands in the SAME split — pass the
+    grouping key that bounds leakage (domain/source for near-duplicate
+    pages, patient id for medical records, repo for code), not the row
+    id. The assignment is substr(md5(key || salt), 1, 8) compared against
+    the cumulative-weight thresholds of `split_thresholds`, so it is a
+    pure function of the key: independent of partitioning, cluster
+    shape, row order, and engine. Re-running on 100 TB after adding a
+    shard reassigns NOTHING that was already assigned — the property a
+    seeded sample() cannot give once partitioning changes. `salt` names
+    the experiment: different salts draw independent splits.
+
+    Pure codegen projection (md5 + substring + CASE), zero shuffle.
+
+    Reference scope: the reference pipeline trains on everything it
+    ingests (train.py runs clustering over the full graph); a held-out
+    split is table stakes for the evaluation story it never built.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bounds = split_thresholds(weights)
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    # nested CASE, first bound that exceeds the hash wins
+    expr = F.lit(bounds[-1][0])
+    for name, bound in reversed(bounds[:-1]):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)

@@ -1660,3 +1660,109 @@ def events_abtest(spark, sf_dir):
             4,
         ).alias("dof"),
     )
+
+
+@declared(
+    "events_anomaly",
+    """WITH w AS (
+  SELECT user_id, event_id, value,
+    AVG(value) OVER tw AS mu, STDDEV_SAMP(value) OVER tw AS sd,
+    COUNT(value) OVER tw AS n
+  FROM events
+  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id, value, ROUND((value - mu) / sd, 4) AS zscore
+FROM w WHERE n >= 10 AND sd > 0 AND ABS((value - mu) / sd) > 3
+ORDER BY user_id, event_id""",
+)
+def events_anomaly(spark, sf_dir):
+    """Trailing-window z-score anomaly detection (round 7): flag events
+    whose value sits more than 3 sample standard deviations from the
+    mean of the SAME user's previous 20 events — the telemetry-outlier
+    readout. The frame excludes the current row (20 PRECEDING .. 1
+    PRECEDING) so a spike can't mask itself, and needs >= 10 trailing
+    events before it speaks. One window pass partitioned by user — at
+    100 TB this shuffles once on user_id and never widens; no
+    self-join, no Python."""
+    e = _t(spark, sf_dir, "events")
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(tw)) / F.stddev_samp(
+        "value"
+    ).over(tw)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round(z, 4).alias("zscore"),
+            F.count("value").over(tw).alias("__n"),
+            F.stddev_samp("value").over(tw).alias("__sd"),
+        )
+        .filter(
+            (F.col("__n") >= 10) & (F.col("__sd") > 0) & (F.abs("zscore") > 3)
+        )
+        .drop("__n", "__sd")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@declared(
+    "events_cusum",
+    """WITH p AS (
+  SELECT user_id, event_id, ts,
+    SUM(value - 75.0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS pref
+  FROM events),
+s AS (
+  SELECT user_id, event_id,
+    pref - MIN(pref) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM p)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE cusum > 150.0) AS BIGINT) AS n_alarms,
+       MIN(event_id) FILTER (WHERE cusum > 150.0) AS first_alarm,
+       ROUND(MAX(cusum), 4) AS peak_cusum
+FROM s GROUP BY user_id ORDER BY user_id""",
+)
+def events_cusum(spark, sf_dir):
+    """CUSUM drift detection per user (round 7): the one-sided
+    cumulative-sum statistic S_i = max(0, S_{i-1} + (x_i - k)) flags a
+    sustained upward shift in event values long before any single point
+    is an outlier. The recursion is NOT expressible as a window
+    function directly — but its closed form is: S_i = P_i - min(P_j,
+    j <= i) where P is the running sum of (value - k). Two stacked
+    windows over the SAME (user_id, ts) ordering — Spark plans ONE
+    shuffle and one sort for both, which is the whole trick; the naive
+    per-user loop (applyInPandasWithState-style) would work but buys
+    nothing in batch. k=75 (target + slack), alarm at h=150."""
+    e = _t(spark, sf_dir, "events")
+    cw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value") - F.lit(75.0)).over(cw).alias("pref"),
+    )
+    s = p.select(
+        "user_id",
+        "event_id",
+        (F.col("pref") - F.min("pref").over(cw)).alias("cusum"),
+    )
+    alarmed = F.col("cusum") > 150.0
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.when(alarmed, 1)).cast("long").alias("n_alarms"),
+            F.min(F.when(alarmed, F.col("event_id"))).alias("first_alarm"),
+            F.round(F.max("cusum"), 4).alias("peak_cusum"),
+        )
+        .orderBy("user_id")
+    )

@@ -1478,3 +1478,83 @@ def dsir_weights(spark, sf_dir):
         .select("doc_id", "n_feats", F.round("log_weight", 4).alias("log_weight"))
         .orderBy("doc_id")
     )
+
+
+@declared(
+    "train_split",
+    """SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM (SELECT doc_id, source,
+             CASE WHEN substr(md5(source || 'r7'), 1, 8) < 'cccccccc'
+                  THEN 'train'
+                  WHEN substr(md5(source || 'r7'), 1, 8) < 'e6666666'
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents)
+GROUP BY split ORDER BY split""",
+)
+def train_split(spark, sf_dir):
+    """Leakage-safe 80/10/10 split keyed on `source`
+    (operators/traindata.train_test_split): every document of a source
+    lands in the same split — the grouping that keeps near-duplicate
+    pages from straddling train and test. The assignment is
+    substr(md5(key || salt), 1, 8) against cumulative-weight hex
+    thresholds: a pure function of the key, independent of
+    partitioning, cluster shape, and engine — DuckDB recomputes the
+    identical assignment, which is the point (the published split must
+    be reproducible by ANY downstream consumer). Pure codegen
+    projection, zero shuffle before the readout aggregate."""
+    from graph_db_clustering_spark.operators.traindata import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "source", salt="r7")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
+@declared(
+    "bigram_logprob",
+    r"""WITH toks AS (
+  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS w
+  FROM documents),
+base AS (
+  SELECT doc_id, w[t.i - 1] AS prev, w[t.i] AS cur
+  FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(2, LEN(w))) AS i) t
+  WHERE LEN(w) >= 2),
+big AS (SELECT prev, cur, COUNT(*) AS c2 FROM base GROUP BY prev, cur),
+ctx AS (SELECT prev, COUNT(*) AS cctx FROM base GROUP BY prev),
+uni AS (
+  SELECT u.term AS cur, COUNT(*) AS c1
+  FROM toks, LATERAL (SELECT UNNEST(w) AS term) u
+  GROUP BY u.term),
+tot AS (SELECT SUM(c1) AS total, COUNT(*) AS vocab FROM uni)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LN(0.7 * b.c2 / x.cctx
+                    + 0.3 * (u.c1 + 1.0) / (s.total + 1.0 * s.vocab))), 6)
+           AS avg_logprob
+FROM base JOIN big b USING (prev, cur) JOIN ctx x USING (prev)
+     JOIN uni u USING (cur) CROSS JOIN tot s
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def bigram_logprob_q(spark, sf_dir):
+    """Interpolated bigram-LM scoring (round 7,
+    operators/text.bigram_logprob_scores): P(w|prev) = 0.7 * MLE-bigram
+    + 0.3 * add-1-unigram, mean log-prob per document — catches
+    real-words-impossible-transitions salad the unigram filter passes.
+    Bigram positions are one arrays_zip-of-slices codegen pass; all
+    model lookups are term-keyed shuffle joins (a web-scale bigram
+    table broadcasts nowhere); only the 1-row (total, vocab) aggregate
+    broadcasts. DuckDB retrains the identical model and recomputes the
+    identical interpolation."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.bigram_logprob_scores(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    ).orderBy("doc_id")

@@ -754,3 +754,50 @@ def test_abtest_entry_matches_numpy_welch(spark):
     assert row.n0 == n0 and row.n1 == n1
     assert row.t_stat == pytest.approx(round(float(t), 4), abs=2e-4)
     assert row.dof == pytest.approx(round(float(dof), 4), abs=2e-4)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Interpolated bigram LM on a 2-doc corpus, scores verified by
+    hand; a short document (< 2 tokens) drops out entirely."""
+    import math
+
+    from graph_db_clustering_spark.operators.text import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bigram_logprob_scores(docs, "doc_id", "text").collect()
+    }
+    assert 3 not in out  # one token, no bigram
+    # bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,a)
+    # c2: (a,b)=2, (b,a)=1, (a,a)=1; cctx: a=3, b=1
+    # unigrams over ALL tokens: a=4, b=2, z=1; total=7, vocab=3
+    pu = lambda f: (f + 1) / 10.0
+    lp = lambda c2, cctx, fu: math.log(0.7 * c2 / cctx + 0.3 * pu(fu))
+    want1 = (2 * lp(2, 3, 2) + lp(1, 1, 4)) / 3
+    want2 = lp(1, 3, 4)
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+    assert abs(out[1].avg_logprob - want1) < 1e-9
+    assert abs(out[2].avg_logprob - want2) < 1e-9
+
+
+def test_bigram_logprob_flags_shuffled_text(spark):
+    """The discriminative property the operator exists for: shuffling a
+    repetitive corpus's word order tanks the bigram score while leaving
+    every unigram count identical."""
+    from graph_db_clustering_spark.operators.text import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    natural = "the cat sat on the mat " * 5
+    shuffled = "the the cat on sat mat the cat mat on sat the " * 2 + "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(1, natural.strip()), (2, shuffled.strip())],
+        "doc_id long, text string",
+    )
+    bi = {r.doc_id: r.avg_logprob for r in bigram_logprob_scores(docs, "doc_id", "text").collect()}
+    assert bi[2] < bi[1]  # impossible transitions sit in the low tail

@@ -386,3 +386,45 @@ def test_harmonic_centrality_bfs_is_aggregate_shaped(spark):
     plan = plan_of(QUERIES["graph_harmonic"](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_train_split_assignment_is_pure_codegen(spark):
+    """train_test_split's assignment is md5+substring+CASE — a pure
+    projection: no Exchange, no Python, no join before the entry's
+    readout aggregate."""
+    from graph_db_clustering_spark.operators.traindata import train_test_split
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(train_test_split(docs, "source", salt="r7"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.lstrip().startswith("*(1) Project")  # one codegen stage
+
+
+def test_cusum_and_anomaly_share_one_user_shuffle(spark):
+    """events_cusum stacks two windows over the SAME (user_id, ts)
+    ordering — Spark must plan exactly ONE hash exchange on user_id for
+    the window pass (the readout aggregate may add its own), and
+    events_anomaly's single window likewise; neither may sort globally
+    or call Python."""
+    for key in ("events_cusum", "events_anomaly"):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+        assert "SinglePartition" not in plan.split("TakeOrdered")[0], key
+        n_user_exchanges = plan.count("Exchange hashpartitioning(user_id")
+        assert n_user_exchanges == 1, (key, n_user_exchanges)
+
+
+def test_bigram_logprob_joins_are_term_keyed_equi_joins(spark):
+    """bigram_logprob's model lookups are EQUI-joins on the term keys —
+    Catalyst may broadcast them at toy scale (size-based, fine) but
+    nothing in the operator forces it: the only EXPLICIT broadcast is
+    the 1-row (total, vocab) cross join, and there is no non-equi join
+    anywhere else."""
+    plan = plan_of(QUERIES["bigram_logprob"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the sole nested-loop join is the 1-row totals cross-broadcast
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # every model lookup is an equi-join keyed on prev/cur
+    for key in ("[prev", "[cur"):
+        assert key in plan

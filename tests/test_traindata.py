@@ -553,3 +553,75 @@ def test_interleave_corpora_stride_schedule(spark):
     assert [r.doc_id for r in out.collect()] == [r.doc_id for r in out2.collect()]
     with pytest.raises(ValueError, match="positive weights"):
         td.interleave_corpora([(a, 0.0)], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# train_test_split (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_split_thresholds_normalize_and_validate():
+    got = traindata.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert got == [
+        ("train", "cccccccc"),
+        ("val", "e6666666"),
+        ("test", "ffffffff"),
+    ]
+    # weights need not sum to 1: ratios are what count
+    assert traindata.split_thresholds({"a": 8, "b": 2}) == [
+        ("a", "cccccccc"),
+        ("b", "ffffffff"),
+    ]
+    with pytest.raises(ValueError, match="positive"):
+        traindata.split_thresholds({"a": 0.5, "b": 0.0})
+    with pytest.raises(ValueError, match="at least one"):
+        traindata.split_thresholds({})
+
+
+def test_train_test_split_group_level_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 37}") for i in range(2000)], "id long, key string"
+    )
+    out = traindata.train_test_split(df, "key", salt="s1")
+    # leakage-safety: one split per key, always
+    per_key = out.groupBy("key").agg(
+        F.countDistinct("split").alias("k")
+    ).agg(F.max("k")).collect()[0][0]
+    assert per_key == 1
+    # pure function of the key: hostile repartition changes nothing
+    again = {
+        (r["id"], r["split"])
+        for r in traindata.train_test_split(
+            df.repartition(13), "key", salt="s1"
+        ).collect()
+    }
+    assert again == {(r["id"], r["split"]) for r in out.collect()}
+
+
+def test_train_test_split_fractions_converge(spark):
+    # row-level split over many keys: empirical fractions near weights
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    got = {
+        r["split"]: r["n"]
+        for r in traindata.train_test_split(
+            df, "k", {"train": 0.9, "test": 0.1}
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert abs(got["train"] / 20000 - 0.9) < 0.01
+    assert got["train"] + got["test"] == 20000
+
+
+def test_train_test_split_salt_draws_independent_splits(spark):
+    df = spark.range(500).withColumnRenamed("id", "k")
+    a = traindata.train_test_split(df, "k", salt="expA")
+    b = traindata.train_test_split(df, "k", salt="expB").withColumnRenamed(
+        "split", "split_b"
+    )
+    moved = (
+        a.join(b, "k").filter(F.col("split") != F.col("split_b")).count()
+    )
+    # two salts agree only by chance (~0.66 for 80/10/10), never fully
+    assert 0 < moved < 500
