@@ -878,6 +878,10 @@ def _decode_wav_inner(content: bytes) -> tuple[int, np.ndarray]:
     import struct as _struct
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        if content[:4] == b"fLaC":
+            from graph_db_clustering_spark.functions import flac as _flac
+
+            return _flac.decode(content)
         if content[:3] == b"ID3" or (
             len(content) >= 2
             and content[0] == 0xFF
@@ -887,9 +891,10 @@ def _decode_wav_inner(content: bytes) -> tuple[int, np.ndarray]:
 
             return _mp3.decode(content)
         raise NotImplementedError(
-            "audio decode: WAV (PCM/float/IMA-ADPCM) and MP3 (MPEG-1 "
-            "Layer III mono/stereo) are supported codec-free; AAC/OGG need "
-            "audio library (not installed)"
+            "audio decode: WAV (PCM/float/IMA-ADPCM), MP3 (MPEG-1 "
+            "Layer III mono/stereo), and FLAC (8/16/24-bit, mono/stereo) "
+            "are supported codec-free; AAC/OGG need an audio library "
+            "(not installed)"
         )
     pos, n = 12, len(content)
     fmt = None
