@@ -182,6 +182,90 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    graph: Graph,
+    sources: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 30,
+    tol: float = 1e-12,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns to the SOURCE set
+    instead of everywhere — the "related to these items" ranking a
+    recommendation/entity-resolution pipeline runs (Jeh & Widom 2003).
+
+    Same per-iteration plan as `pagerank` (contribution join + inflow
+    aggregate, localCheckpoint per round), with two changes: the
+    (1-d) teleport and the dangling mass both land uniformly on the
+    source vertices only. Mass is conserved at exactly 1 each
+    iteration, so on well-connected graphs the error contracts with
+    the spectral gap, not just the damping factor. `sources` is a
+    DataFrame of vertex ids — it joins, never collects: a million-seed
+    personalization costs the same plan as one seed. Returns (id,
+    rank) over ALL vertices; off-component vertices hold exact 0."""
+    v = graph.vertices.select(VERTEX_ID)
+    src = sources.select(VERTEX_ID).distinct()
+    s = src.count()
+    if s == 0:
+        raise ValueError("personalized_pagerank needs a non-empty source set")
+    out_deg = graph.edges.groupBy(F.col(EDGE_SRC).alias(VERTEX_ID)).agg(
+        F.count("*").alias("deg")
+    )
+    base = (
+        v.join(out_deg, VERTEX_ID, "left")
+        .join(src.withColumn("__is_src", F.lit(1)), VERTEX_ID, "left")
+        .select(
+            VERTEX_ID,
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.coalesce("__is_src", F.lit(0)).alias("is_src"),
+        )
+        .cache()
+    )
+    edges = graph.edges.select(EDGE_SRC, EDGE_DST).cache()
+    ranks = base.select(
+        VERTEX_ID, (F.col("is_src") / F.lit(float(s))).alias("rank")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        with_deg = ranks.join(base, VERTEX_ID)
+        dangling = (
+            with_deg.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0]
+            or 0.0
+        )
+        contribs = (
+            edges.join(with_deg, edges[EDGE_SRC] == with_deg[VERTEX_ID])
+            .select(
+                F.col(EDGE_DST).alias(VERTEX_ID),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy(VERTEX_ID)
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = (
+            base.join(contribs, VERTEX_ID, "left")
+            .select(
+                VERTEX_ID,
+                (
+                    F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + F.col("is_src")
+                    * F.lit(1.0 / s)
+                    * (F.lit(1.0 - damping) + F.lit(damping) * F.lit(dangling))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), VERTEX_ID)
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    base.unpersist()
+    edges.unpersist()
+    return ranks
+
+
 def degree_oriented_edges(edges: DataFrame) -> DataFrame:
     """Orient each undirected edge from its lower-(degree, id) endpoint to
     the higher one: (src, dst, dst_rank) with dst_rank = struct(deg, id)

@@ -1050,3 +1050,55 @@ def graph_closeness(spark, sf_dir):
                 "eccentricity", "reached")
         .orderBy("id")
     )
+
+
+@declared(
+    "graph_ppr",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation
+           FROM customer WHERE c_custkey < {_CAP}),
+x AS (SELECT COUNT(*) AS n FROM v WHERE nation = 19),
+src AS (SELECT COUNT(*) AS s FROM v WHERE nation = 19 AND id < 100)
+SELECT id,
+  ROUND(CASE WHEN nation = 19 THEN
+      ((CASE WHEN id < 100 THEN 0.15 / src.s ELSE 0.0 END)
+        + 0.85 / (x.n - 1)) / (1 + 0.85 / (x.n - 1))
+    ELSE 0.0 END, 8) AS rank
+FROM v, x, src ORDER BY id""",
+)
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank with a CLOSED-FORM oracle (round 7,
+    operators/graph_algos.personalized_pagerank): teleport to the
+    source set only — seeds are the nation-19 clique members with
+    id < 100, a STRICT subset of their clique. On a complete graph the
+    fixpoint splits into exactly two classes (seed / non-seed member)
+    with r = ((1-d)/s*[seed] + d/(n-1)) / (1 + d/(n-1)), and every
+    OTHER component holds exact 0.0 — which only happens if the
+    personalization is implemented correctly: global teleport (plain
+    PageRank) would leak mass to every clique. Mass conservation puts
+    the iteration error in the clique's -1/(n-1) eigenspace, so 30
+    damped iterations sit far below the round-8 oracle precision."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        personalized_pagerank,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nation")
+        )
+    )
+    a = c.select(F.col("id").alias("src"), "nation")
+    b = c.select(F.col("id").alias("dst"), "nation")
+    edges = (
+        a.join(b, "nation")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.lit("same_nation").alias("relationship"))
+    )
+    seeds = c.filter((F.col("nation") == 19) & (F.col("id") < 100)).select("id")
+    g = Graph(c.select("id"), edges)
+    return (
+        personalized_pagerank(g, seeds, max_iter=30)
+        .select("id", F.round("rank", 8).alias("rank"))
+        .orderBy("id")
+    )

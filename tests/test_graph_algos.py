@@ -635,3 +635,56 @@ def test_closeness_and_eccentricity_closed_forms(spark):
     got = {r.id: r for r in closeness_centrality(d).collect()}
     assert got[2].closeness == 0.0 and got[2].eccentricity == 0
     assert got[0].reached == 2  # its own component only
+
+
+def test_personalized_pagerank_matches_power_iteration(spark):
+    """PPR vs a driver-side power iteration with teleport-to-seeds and
+    dangling-to-seeds on a random directed graph (round 7)."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        personalized_pagerank,
+    )
+
+    rng = np.random.RandomState(9)
+    n = 20
+    edges = list({(int(a), int(b)) for a, b in rng.randint(0, n, (60, 2)) if a != b})
+    seeds = [0, 3, 7]
+    g = _graph(spark, n, edges)
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {
+        r.id: r.rank
+        for r in personalized_pagerank(g, sdf, max_iter=80, tol=1e-13).collect()
+    }
+    d, s = 0.85, len(seeds)
+    out = {i: [] for i in range(n)}
+    for a, b in edges:
+        out[a].append(b)
+    r = np.zeros(n)
+    r[seeds] = 1.0 / s
+    for _ in range(80):
+        nxt = np.zeros(n)
+        dangling = sum(r[i] for i in range(n) if not out[i])
+        nxt[seeds] += (1 - d) / s + d * dangling / s
+        for i in range(n):
+            for j in out[i]:
+                nxt[j] += d * r[i] / len(out[i])
+        r = nxt
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-9), i
+
+
+def test_personalized_pagerank_confines_mass_to_seed_component(spark):
+    """Two disconnected triangles; seeds in the first: the second holds
+    exact 0.0 — the property that separates PPR from global PageRank."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        personalized_pagerank,
+    )
+
+    tri = lambda o: [(o, o + 1), (o + 1, o + 2), (o + 2, o)]
+    g = _graph(spark, 6, tri(0) + tri(3))
+    sdf = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.rank for r in personalized_pagerank(g, sdf, max_iter=40).collect()}
+    assert got[3] == got[4] == got[5] == 0.0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(g, sdf.filter(F.col("id") > 99)).collect()
