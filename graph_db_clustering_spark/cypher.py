@@ -1290,11 +1290,15 @@ class CypherSession:
 
     def run(self, query: str, **params) -> DataFrame | None:
         stripped = query.lstrip()
-        if stripped[:8].upper() == "EXPLAIN " or stripped[:8].upper() == "EXPLAIN\n":
+        # \b + \s* so any whitespace after the keyword works (tab,
+        # CRLF, multiple spaces) — the old "first 8 chars" check let
+        # 'EXPLAIN\tMATCH ...' fall through and execute (round-7 advice)
+        explain_m = re.match(r"EXPLAIN\b\s*", stripped, re.IGNORECASE)
+        if explain_m:
             # Neo4j's EXPLAIN prefix: compile, don't execute — one row
             # per line of the Catalyst-optimized + physical plan, the
             # first-session tool a migrating user reaches for
-            lines = self.explain(stripped[8:], **params).splitlines()
+            lines = self.explain(stripped[explain_m.end():], **params).splitlines()
             spark = self.graph.vertices.sparkSession
             return spark.createDataFrame(
                 [(i, ln) for i, ln in enumerate(lines)], "line int, plan string"

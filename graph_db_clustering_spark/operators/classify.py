@@ -170,16 +170,26 @@ def nb_predict(
     text_col: str,
 ) -> DataFrame:
     """Argmax row per document: (id_col, label, logscore). Ties break
-    on label ascending (deterministic, partitioning-invariant) via
-    max_by over a (logscore, reversed-label) struct-free two-key
-    ordering: max logscore first, then MIN label among exact ties."""
+    on label ascending (deterministic, partitioning-invariant).
+
+    One aggregation pass over a SINGLE evaluation of the score frame:
+    min_by over the composite ordering (-logscore, label) picks the max
+    logscore and, among exact ties, the MIN label. The previous shape
+    (groupBy-max then equi-join back on the float logscore) evaluated
+    the scores twice, and a float F.sum's combine order isn't
+    guaranteed identical across the two evaluations — an ulp-level
+    divergence could silently drop a document (round-7 advice)."""
     m = nb_score(docs, term_model, label_model, id_col, text_col)
-    best = m.groupBy(id_col).agg(F.max("logscore").alias("logscore"))
     return (
-        m.join(best, [id_col, "logscore"])
-        .groupBy(id_col, "logscore")
-        .agg(F.min("label").alias("label"))
-        .select(id_col, "label", "logscore")
+        m.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("label", "logscore"),
+                F.struct((-F.col("logscore")).alias("neg"), F.col("label")),
+            ).alias("best")
+        )
+        .select(id_col, F.col("best.label").alias("label"),
+                F.col("best.logscore").alias("logscore"))
     )
 
 

@@ -1693,19 +1693,23 @@ def events_anomaly(spark, sf_dir):
     z = (F.col("value") - F.avg("value").over(tw)) / F.stddev_samp(
         "value"
     ).over(tw)
+    # filter on the UNROUNDED z (matching the declared SQL exactly);
+    # round only in the projected output column — filtering on the
+    # rounded value suppressed true |z| in (3.0, 3.00005] (round-7 advice)
     return (
         e.select(
             "user_id",
             "event_id",
             "value",
             F.round(z, 4).alias("zscore"),
+            z.alias("__z"),
             F.count("value").over(tw).alias("__n"),
             F.stddev_samp("value").over(tw).alias("__sd"),
         )
         .filter(
-            (F.col("__n") >= 10) & (F.col("__sd") > 0) & (F.abs("zscore") > 3)
+            (F.col("__n") >= 10) & (F.col("__sd") > 0) & (F.abs("__z") > 3)
         )
-        .drop("__n", "__sd")
+        .drop("__z", "__n", "__sd")
         .orderBy("user_id", "event_id")
     )
 
@@ -1719,8 +1723,8 @@ def events_anomaly(spark, sf_dir):
   FROM events),
 s AS (
   SELECT user_id, event_id,
-    pref - MIN(pref) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS cusum
+    pref - LEAST(0, MIN(pref) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)) AS cusum
   FROM p)
 SELECT user_id,
        CAST(COUNT(*) FILTER (WHERE cusum > 150.0) AS BIGINT) AS n_alarms,
@@ -1738,7 +1742,13 @@ def events_cusum(spark, sf_dir):
     windows over the SAME (user_id, ts) ordering — Spark plans ONE
     shuffle and one sort for both, which is the whole trick; the naive
     per-user loop (applyInPandasWithState-style) would work but buys
-    nothing in batch. k=75 (target + slack), alarm at h=150."""
+    nothing in batch. k=75 (target + slack), alarm at h=150.
+
+    The running min includes the implicit zero prefix P_0 = 0 (via
+    LEAST(0, ...)): without it, S_i was forced to 0 on each user's
+    first row and understated whenever every prefix sum is positive —
+    delayed alarms that the oracle couldn't catch because both engines
+    shared the formula (round-7 advice)."""
     e = _t(spark, sf_dir, "events")
     cw = (
         Window.partitionBy("user_id")
@@ -1754,7 +1764,10 @@ def events_cusum(spark, sf_dir):
     s = p.select(
         "user_id",
         "event_id",
-        (F.col("pref") - F.min("pref").over(cw)).alias("cusum"),
+        (
+            F.col("pref")
+            - F.least(F.lit(0.0), F.min("pref").over(cw))
+        ).alias("cusum"),
     )
     alarmed = F.col("cusum") > 150.0
     return (

@@ -1414,3 +1414,9 @@ def test_explain_compiles_without_executing(spark):
     with pytest.raises(ValueError, match="read-only"):
         session.explain("CREATE (x:Ghost {id: 999999})")
     assert session.graph.vertices.count() == n_before  # nothing mutated
+    # any whitespace after the keyword compiles-only too — the old
+    # first-8-chars check let EXPLAIN\t fall through and execute
+    for sep in ("\t", "\r\n", "  "):
+        out = session.run(f"EXPLAIN{sep}MATCH (n) RETURN ID(n) AS id")
+        assert out.columns == ["line", "plan"]
+        assert "Physical Plan" in "\n".join(r.plan for r in out.collect())

@@ -801,3 +801,34 @@ def test_bigram_logprob_flags_shuffled_text(spark):
     )
     bi = {r.doc_id: r.avg_logprob for r in bigram_logprob_scores(docs, "doc_id", "text").collect()}
     assert bi[2] < bi[1]  # impossible transitions sit in the low tail
+
+
+def test_events_cusum_counts_the_implicit_zero_prefix(spark, tmp_path):
+    """The CUSUM closed form is S_i = P_i - min(0, min_{j<=i} P_j): the
+    running min must include the implicit P_0 = 0, or a user whose
+    every prefix sum is positive gets S forced to 0 on their first row
+    and alarms arrive late (round-7 advice). A first event of value 300
+    (pref = 225 > 0) must alarm immediately with peak 225."""
+    import datetime as _dt
+
+    from __spark_entry__ import queries
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 300.0, "{}"),                            # pref 225
+        (2, t0 + _dt.timedelta(minutes=1), 1, "click", 75.0, "{}"),  # pref 225
+        (3, t0, 2, "click", 70.0, "{}"),                             # pref -5
+        (4, t0 + _dt.timedelta(minutes=1), 2, "click", 80.0, "{}"),  # pref 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: r
+        for r in queries()["events_cusum"](spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_alarms == 2 and out[1].first_alarm == 1  # both prefs stay 225
+    assert abs(out[1].peak_cusum - 225.0) < 1e-9
+    assert out[2].n_alarms == 0 and abs(out[2].peak_cusum - 5.0) < 1e-9
