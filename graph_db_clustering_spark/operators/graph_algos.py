@@ -860,3 +860,270 @@ def closeness_centrality(
             F.coalesce("reached", F.lit(0)).cast("long").alias("reached"),
         )
     )
+
+
+def local_clustering_coefficient(graph: Graph) -> DataFrame:
+    """Per-vertex local clustering coefficient C_v = 2*T_v / (d_v*(d_v-1))
+    (Watts & Strogatz 1998), with C_v = 0 for degree < 2. Returns
+    (id, degree, triangles, clustcoef).
+
+    Plan: triangle_count's degree-ordered wedge join (one pass, hub-safe
+    fan-out bounded at O(sqrt(m))) joined to the degree aggregate — no
+    neighborhood materialization per vertex, so a 10M-degree hub costs
+    its edge rows, never its neighborhood square."""
+    und = _undirected_edges(graph.edges)
+    deg = und.groupBy(F.col("a").alias(VERTEX_ID)).agg(F.count("*").alias("degree"))
+    tri = triangle_count(graph)
+    d = F.col("degree").cast("double")
+    return (
+        tri.join(deg, VERTEX_ID, "left")
+        .select(
+            VERTEX_ID,
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            "triangles",
+            F.when(
+                F.coalesce("degree", F.lit(0)) >= 2,
+                2.0 * F.col("triangles") / (d * (d - 1.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustcoef"),
+        )
+    )
+
+
+def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a vertex partition, undirected, unweighted:
+    Q = sum over communities c of [ m_c/m - (d_c/(2m))^2 ] where m is the
+    total edge count, m_c the intra-community edge count, and d_c the
+    total degree of c's members. `labels` is (id, community). Returns a
+    single row (modularity double).
+
+    Plan: one join of the (a < b) edge list against the label frame on
+    each endpoint (labels is vertex-sized — AQE broadcasts it when small,
+    shuffles on id otherwise), then two fixed-size aggregates. Nothing
+    is quadratic in community size; the per-community frame has at most
+    |V| rows."""
+    lab = labels.select(VERTEX_ID, "community")
+    e = _undirected_edges(graph.edges).filter(F.col("a") < F.col("b"))
+    both = (
+        e.join(lab.select(F.col(VERTEX_ID).alias("a"), F.col("community").alias("ca")), "a")
+        .join(lab.select(F.col(VERTEX_ID).alias("b"), F.col("community").alias("cb")), "b")
+    )
+    intra = (
+        both.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("m_c"))
+    )
+    und = _undirected_edges(graph.edges)
+    deg = und.groupBy(F.col("a").alias(VERTEX_ID)).agg(F.count("*").alias("deg"))
+    d_c = (
+        lab.join(deg, VERTEX_ID, "left")
+        .groupBy("community")
+        .agg(F.sum(F.coalesce("deg", F.lit(0))).alias("d_c"))
+    )
+    m = e.count()
+    if m == 0:
+        spark = graph.vertices.sparkSession
+        return spark.createDataFrame([(0.0,)], "modularity double")
+    per_c = d_c.join(intra, "community", "left").select(
+        (
+            F.coalesce("m_c", F.lit(0)) / F.lit(float(m))
+            - (F.col("d_c") / F.lit(2.0 * m)) ** 2
+        ).alias("q_c")
+    )
+    return per_c.agg(F.sum("q_c").alias("modularity"))
+
+
+def degree_assortativity(graph: Graph) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of the degrees at the two ends of every edge, computed
+    over the DIRECTED closure of the undirected edge list (each edge
+    contributes both (d_a, d_b) and (d_b, d_a), the standard undirected
+    convention). Returns one row (assortativity double).
+
+    One degree aggregate, two vertex-keyed joins, one corr() — all
+    JVM-side, no Python."""
+    und = _undirected_edges(graph.edges)
+    deg = und.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg"))
+    pairs = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    # corr() under ANSI mode throws DIVIDE_BY_ZERO on constant-degree
+    # graphs (regular graphs, cycles); compute Pearson explicitly with
+    # try_divide so those return NULL like DuckDB's CORR
+    stats = pairs.agg(
+        F.covar_pop("da", "db").alias("c"),
+        F.stddev_pop("da").alias("sa"),
+        F.stddev_pop("db").alias("sb"),
+    )
+    return stats.select(
+        F.try_divide(F.col("c"), F.col("sa") * F.col("sb")).alias("assortativity")
+    )
+
+
+def louvain(graph: Graph, max_sweeps: int = 10, max_levels: int = 3) -> DataFrame:
+    """Louvain-style modularity community detection (Blondel et al.
+    2008), distributed. Returns (id, community).
+
+    Phase 1 (local moves) is made synchronous-safe with a MONOTONE move
+    rule: in each sweep every vertex evaluates the standard Louvain gain
+    dQ = k_i,c / m - deg_i * Sigma_tot(c) / (2 m^2) for each neighboring
+    community c and its own, and may adopt the best community only if
+    the gain beats staying AND the target community id is SMALLER than
+    its current one. Labels are ids, each move strictly decreases a
+    vertex's label, so synchronous sweeps cannot oscillate and
+    terminate without any vertex-coloring machinery; ties break on
+    smallest community id (deterministic, partitioning-invariant).
+
+    Phase 2 contracts communities to supernodes (community-pair edge
+    aggregate with multiplicity as weight, self-loops kept for the gain
+    denominator) and repeats up to max_levels. Each sweep is one
+    edges->labels join + two bounded aggregates; per-level state is one
+    row per (super)vertex. The down-map joins compose labels back to
+    the original ids."""
+    spark = graph.vertices.sparkSession
+    # weighted undirected edge list for the current level; weight = 1.0
+    cur = (
+        _undirected_edges(graph.edges)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1.0).alias("w"))
+    )
+    # vertex -> community mapping at the ORIGINAL level, composed down
+    mapping = graph.vertices.select(VERTEX_ID, F.col(VERTEX_ID).alias("community"))
+    for _level in range(max_levels):
+        verts = (
+            cur.select(F.col("a").alias(VERTEX_ID))
+            .unionAll(cur.select(F.col("b").alias(VERTEX_ID)))
+            .distinct()
+        )
+        labels, moved = _louvain_sweeps(verts, cur, max_sweeps)
+        mapping = (
+            mapping.join(
+                labels.select(
+                    F.col(VERTEX_ID).alias("community"),
+                    F.col("new_c").alias("_nc"),
+                ),
+                "community",
+                "left",
+            )
+            .select(VERTEX_ID, F.coalesce("_nc", "community").alias("community"))
+            .localCheckpoint()
+        )
+        if not moved:
+            break
+        relabeled = (
+            cur.join(
+                labels.select(F.col(VERTEX_ID).alias("a"), F.col("new_c").alias("ca")),
+                "a",
+            )
+            .join(
+                labels.select(F.col(VERTEX_ID).alias("b"), F.col("new_c").alias("cb")),
+                "b",
+            )
+        )
+        cur = (
+            relabeled.select(
+                F.least("ca", "cb").alias("a"),
+                F.greatest("ca", "cb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
+        # all contracted into isolated supernodes -> nothing left to merge
+        if cur.filter(F.col("a") != F.col("b")).limit(1).count() == 0:
+            break
+    return mapping.orderBy(VERTEX_ID)
+
+
+def _louvain_sweeps(verts: DataFrame, wedges: DataFrame, max_sweeps: int):
+    """Phase-1 sweeps on one level. `wedges` is (a <= b, w) with
+    self-loops allowed (contracted levels). Returns (labels with
+    columns (id, new_c), any_moved)."""
+    # directed closure WITHOUT duplicating self-loops; self-loop weight
+    # counts 2x toward degree (standard convention k_i = 2*w_ii + ...)
+    fwd = wedges.filter(F.col("a") != F.col("b"))
+    directed = fwd.unionAll(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    self_loops = wedges.filter(F.col("a") == F.col("b"))
+    deg = (
+        directed.groupBy("a")
+        .agg(F.sum("w").alias("deg"))
+        .unionAll(self_loops.select("a", (2.0 * F.col("w")).alias("deg")))
+        .groupBy("a")
+        .agg(F.sum("deg").alias("deg"))
+    )
+    two_m = deg.agg(F.sum("deg")).first()[0] or 0.0
+    if two_m == 0.0:
+        return verts.select(VERTEX_ID, F.col(VERTEX_ID).alias("new_c")), False
+    labels = verts.select(VERTEX_ID, F.col(VERTEX_ID).alias("new_c")).localCheckpoint()
+    any_moved = False
+    for _ in range(max_sweeps):
+        lab_a = labels.select(F.col(VERTEX_ID).alias("a"), F.col("new_c").alias("c_a"))
+        lab_b = labels.select(F.col(VERTEX_ID).alias("b"), F.col("new_c").alias("c_b"))
+        sigma = (
+            labels.join(deg.withColumnRenamed("a", VERTEX_ID), VERTEX_ID, "left")
+            .groupBy("new_c")
+            .agg(F.sum(F.coalesce("deg", F.lit(0.0))).alias("sigma"))
+        )
+        # k_i,c: weight from each vertex into each neighboring community
+        k_ic = (
+            directed.join(lab_b, "b")
+            .groupBy(F.col("a").alias(VERTEX_ID), F.col("c_b").alias("cand"))
+            .agg(F.sum("w").alias("k_ic"))
+        )
+        own = labels.join(deg.withColumnRenamed("a", VERTEX_ID), VERTEX_ID, "left").select(
+            VERTEX_ID,
+            F.col("new_c").alias("cur_c"),
+            F.coalesce("deg", F.lit(0.0)).alias("k_i"),
+        )
+        cands = (
+            k_ic.join(own, VERTEX_ID)
+            .join(sigma.withColumnRenamed("new_c", "cand"), "cand")
+            .select(
+                VERTEX_ID,
+                "cur_c",
+                "cand",
+                # gain of being in `cand` vs alone; Sigma excludes i itself
+                (
+                    F.col("k_ic") / F.lit(two_m / 2.0)
+                    - F.col("k_i")
+                    * (F.col("sigma") - F.when(F.col("cand") == F.col("cur_c"), F.col("k_i")).otherwise(F.lit(0.0)))
+                    / F.lit(two_m * two_m / 2.0)
+                ).alias("gain"),
+            )
+        )
+        best = (
+            cands.groupBy(VERTEX_ID, "cur_c")
+            .agg(F.min(F.struct((-F.col("gain")).alias("ng"), F.col("cand"))).alias("m"))
+            .select(
+                VERTEX_ID,
+                "cur_c",
+                F.col("m.cand").alias("target"),
+                (-F.col("m.ng")).alias("gain"),
+            )
+        )
+        moves = best.filter(
+            (F.col("target") < F.col("cur_c")) & (F.col("gain") > 1e-12)
+        ).select(VERTEX_ID, F.col("target"))
+        new_labels = (
+            labels.join(moves, VERTEX_ID, "left")
+            .select(VERTEX_ID, F.coalesce("target", "new_c").alias("new_c"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), VERTEX_ID)
+            .filter(F.col("n.new_c") != F.col("o.new_c"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed:
+            any_moved = True
+        else:
+            break
+    return labels, any_moved

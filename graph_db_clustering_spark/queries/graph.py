@@ -1102,3 +1102,150 @@ def graph_ppr(spark, sf_dir):
         .select("id", F.round("rank", 8).alias("rank"))
         .orderBy("id")
     )
+
+
+def _banded_graph(spark, sf_dir) -> Graph:
+    """A sparser derived graph for the structure-sensitive round-8
+    entries: same-nation edges restricted to |dst - src| <= 3, i.e. a
+    banded near-path graph per nation. Unlike the clique graph it has
+    non-trivial clustering coefficients, degree variance, and open
+    wedges — so the oracles below must genuinely compute structure,
+    not a closed form that any partition-aware query could fake."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nation"))
+    )
+    a = c.select(F.col("id").alias("src"), "nation")
+    b = c.select(F.col("id").alias("dst"), "nation")
+    edges = (
+        a.join(b, "nation")
+        .filter((F.col("src") < F.col("dst")) & (F.col("dst") - F.col("src") <= 3))
+        .select("src", "dst", F.lit("near_key").alias("relationship"))
+    )
+    return Graph(c, edges)
+
+
+_BANDED_SQL = f"""v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+       WHERE c_custkey < {_CAP}),
+e AS (SELECT a.id AS a, b.id AS b FROM v a JOIN v b
+       ON a.nation = b.nation AND a.id < b.id AND b.id - a.id <= 3),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS id, COUNT(*) AS degree FROM und GROUP BY a)"""
+
+
+@declared(
+    "graph_clustcoef",
+    f"""WITH {_BANDED_SQL},
+tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+         JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+corners AS (SELECT x AS id FROM tris UNION ALL SELECT y FROM tris
+            UNION ALL SELECT z FROM tris),
+pert AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id)
+SELECT v.id, COALESCE(deg.degree, 0) AS degree,
+       COALESCE(pert.triangles, 0) AS triangles,
+       ROUND(CASE WHEN COALESCE(deg.degree, 0) >= 2
+         THEN 2.0 * COALESCE(pert.triangles, 0)
+              / (deg.degree * (deg.degree - 1.0))
+         ELSE 0.0 END, 6) AS clustcoef
+FROM v LEFT JOIN deg ON v.id = deg.id LEFT JOIN pert ON v.id = pert.id
+ORDER BY v.id""",
+)
+def graph_clustcoef(spark, sf_dir):
+    """Local clustering coefficient per vertex (round 8) on the banded
+    near-key graph — real open wedges, so C_v spans (0, 1] instead of
+    the clique graph's constant 1. Spark side: the degree-ordered
+    triangle pass (hub-safe, O(sqrt(m)) wedge fan-out) + one degree
+    aggregate; the oracle recomputes triangles from scratch with
+    generic SQL self-joins."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        local_clustering_coefficient,
+    )
+
+    g = _banded_graph(spark, sf_dir)
+    return (
+        local_clustering_coefficient(g)
+        .select("id", "degree", "triangles",
+                F.round("clustcoef", 6).alias("clustcoef"))
+        .orderBy("id")
+    )
+
+
+@declared(
+    "graph_modularity",
+    f"""WITH {_BANDED_SQL},
+m AS (SELECT COUNT(*) AS m FROM e),
+intra AS (SELECT a.nation AS community, COUNT(*) AS m_c
+          FROM e JOIN v a ON e.a = a.id GROUP BY a.nation),
+dsum AS (SELECT v.nation AS community, SUM(COALESCE(deg.degree, 0)) AS d_c
+         FROM v LEFT JOIN deg ON v.id = deg.id GROUP BY v.nation)
+SELECT ROUND(SUM(COALESCE(intra.m_c, 0) * 1.0 / m.m
+             - (dsum.d_c / (2.0 * m.m)) ^ 2), 6) AS modularity
+FROM dsum LEFT JOIN intra ON dsum.community = intra.community, m""",
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the partition-by-nation on the banded graph
+    (round 8, operators/graph_algos.modularity): one scalar, computed
+    from the per-community intra-edge and degree aggregates — never a
+    per-pair materialization. The nation partition has NO
+    inter-community edges here, so Q = 1 - sum((d_c/2m)^2) exactly;
+    the oracle still computes the general formula."""
+    from graph_db_clustering_spark.operators.graph_algos import modularity
+
+    g = _banded_graph(spark, sf_dir)
+    labels = g.vertices.select("id", F.col("nation").alias("community"))
+    return modularity(g, labels).select(
+        F.round("modularity", 6).alias("modularity")
+    )
+
+
+@declared(
+    "graph_assortativity",
+    f"""WITH {_BANDED_SQL},
+pairs AS (SELECT da.degree AS d_a, db.degree AS d_b
+          FROM und JOIN deg da ON und.a = da.id JOIN deg db ON und.b = db.id)
+SELECT ROUND(CORR(d_a, d_b), 6) AS assortativity FROM pairs""",
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the banded graph: Pearson
+    correlation of endpoint degrees over the directed edge closure.
+    Near-path graphs assort positively (interior vertices of equal
+    degree link each other; the low-degree chain ends link interiors),
+    and the value is structure-sensitive — any error in the degree
+    aggregate or closure convention moves it. One corr() aggregate,
+    all JVM-side."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        degree_assortativity,
+    )
+
+    g = _banded_graph(spark, sf_dir)
+    return degree_assortativity(g).select(
+        F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+@declared(
+    "graph_louvain",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+       WHERE c_custkey < {_CAP})
+SELECT id, MIN(id) OVER (PARTITION BY nation) AS community
+FROM v ORDER BY id""",
+)
+def graph_louvain(spark, sf_dir):
+    """Louvain community detection (round 8,
+    operators/graph_algos.louvain) on the same-nation clique graph.
+    The oracle is closed-form BECAUSE the algorithm is correct: on
+    disjoint cliques every first sweep's modularity gains tie across
+    all singleton neighbor communities, the smallest-id tie-break sends
+    every vertex to its clique minimum, and the monotone move rule
+    (targets only smaller community ids — each move strictly decreases
+    a label, so synchronous sweeps terminate without coloring) freezes
+    the fixpoint there; phase-2 contraction then finds zero
+    inter-community edges and stops. General-graph behavior (bridged
+    cliques staying separate, Q never below the singleton partition)
+    is pinned in tests/test_graph_algos.py."""
+    from graph_db_clustering_spark.operators.graph_algos import louvain
+
+    g = _customer_graph(spark, sf_dir)
+    return louvain(g).orderBy("id")

@@ -688,3 +688,148 @@ def test_personalized_pagerank_confines_mass_to_seed_component(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     with pytest.raises(ValueError, match="non-empty"):
         personalized_pagerank(g, sdf.filter(F.col("id") > 99)).collect()
+
+
+def test_clustering_coefficient_known_shapes(spark):
+    """Triangle + pendant: the triangle's corners have C = 1 except the
+    one carrying the pendant (deg 3, 1 triangle -> 1/3); the pendant and
+    any square's corners are 0 (open wedges only)."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        local_clustering_coefficient,
+    )
+
+    g = _graph(spark, 4, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    got = {r.id: r for r in local_clustering_coefficient(g).collect()}
+    assert got[0].clustcoef == 1.0 and got[1].clustcoef == 1.0
+    assert abs(got[2].clustcoef - 1 / 3) < 1e-12 and got[2].degree == 3
+    assert got[3].clustcoef == 0.0 and got[3].degree == 1
+    sq = _graph(spark, 4, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert all(
+        r.clustcoef == 0.0 for r in local_clustering_coefficient(sq).collect()
+    )
+
+
+def test_modularity_two_triangles_closed_form(spark):
+    """Two disjoint triangles partitioned by triangle: m = 6, each
+    community has m_c = 3, d_c = 6 -> Q = 2 * (3/6 - (6/12)^2) = 0.5;
+    merging everything into ONE community gives exactly 0 (one term,
+    m_c = m, d_c = 2m)."""
+    from graph_db_clustering_spark.operators.graph_algos import modularity
+
+    g = _graph(spark, 6, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)])
+    labels = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "id long, community long"
+    )
+    assert abs(modularity(g, labels).first().modularity - 0.5) < 1e-12
+    one = spark.createDataFrame([(i, 0) for i in range(6)], "id long, community long")
+    assert abs(modularity(g, one).first().modularity - 0.0) < 1e-12
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """A star graph is perfectly disassortative: every edge joins the
+    hub (deg n-1) to a leaf (deg 1) -> corr = -1. A cycle has constant
+    degree -> corr undefined (null)."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        degree_assortativity,
+    )
+
+    star = _graph(spark, 5, [(0, i) for i in range(1, 5)])
+    assert abs(degree_assortativity(star).first().assortativity + 1.0) < 1e-12
+    cyc = _graph(spark, 4, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert degree_assortativity(cyc).first().assortativity is None
+
+
+def test_louvain_separates_bridged_cliques(spark):
+    """Two 4-cliques joined by one bridge: Louvain must keep them as two
+    communities (merging across the bridge lowers Q), label each by its
+    minimum member id, and IMPROVE modularity vs the singleton
+    partition."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        louvain,
+        modularity,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([0, 1, 2, 3]) + clique([4, 5, 6, 7]) + [(3, 4)]
+    g = _graph(spark, 8, edges)
+    got = {r.id: r.community for r in louvain(g).collect()}
+    assert {got[i] for i in (0, 1, 2, 3)} == {0}
+    assert {got[i] for i in (4, 5, 6, 7)} == {4}
+    labels = spark.createDataFrame(
+        [(i, c) for i, c in got.items()], "id long, community long"
+    )
+    singleton = spark.createDataFrame(
+        [(i, i) for i in range(8)], "id long, community long"
+    )
+    q_l = modularity(g, labels).first().modularity
+    q_s = modularity(g, singleton).first().modularity
+    assert q_l > q_s
+
+
+def test_louvain_contraction_merges_ring_of_cliques(spark):
+    """The contraction level must do real work: on a ring of 12
+    triangles joined by single bridges, phase 1 resolves exactly the 12
+    triangles (Q = 2/3), and merging ADJACENT triangle pairs only pays
+    at this ring size (dQ = 1/4m - 2/nt^2 > 0 for nt > 8) — a merge
+    only the CONTRACTED level can see. Pin: max_levels=1 yields 12
+    intact triangles; max_levels=3 coarsens to 6 pair-communities with
+    strictly higher Q and every triangle still intact (the down-map
+    composed correctly)."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        louvain,
+        modularity,
+    )
+
+    tris = [[3 * k, 3 * k + 1, 3 * k + 2] for k in range(12)]
+    edges = []
+    for t in tris:
+        edges += [(t[0], t[1]), (t[1], t[2]), (t[0], t[2])]
+    for k in range(12):
+        edges.append((tris[k][2], tris[(k + 1) % 12][0]))
+    g = _graph(spark, 36, edges)
+
+    def run(levels):
+        got = {r.id: r.community for r in louvain(g, max_levels=levels).collect()}
+        labels = spark.createDataFrame(
+            [(i, c) for i, c in got.items()], "id long, community long"
+        )
+        return got, modularity(g, labels).first().modularity
+
+    got1, q1 = run(1)
+    assert len(set(got1.values())) == 12
+    assert abs(q1 - 2 / 3) < 1e-9
+    got3, q3 = run(3)
+    assert len(set(got3.values())) == 6
+    assert q3 > q1
+    for t in tris:
+        assert len({got3[i] for i in t}) == 1, (t, got3)
+
+
+def test_louvain_partitioning_invariant(spark):
+    """Same graph, hostile repartition -> identical communities (the
+    move rule is argmin over a struct with deterministic tie-break;
+    nothing depends on row order)."""
+    from graph_db_clustering_spark.operators.graph_algos import louvain
+
+    rng = np.random.default_rng(8)
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, 30, size=(120, 2))
+            if a < b
+        }
+    )
+    g1 = _graph(spark, 30, edges)
+    base = {r.id: r.community for r in louvain(g1).collect()}
+    v2 = spark.createDataFrame([(i,) for i in range(30)], "id long").repartition(7)
+    e2 = (
+        spark.createDataFrame(
+            [(a, b, "e") for a, b in edges],
+            "src long, dst long, relationship string",
+        )
+        .repartition(11)
+    )
+    got = {r.id: r.community for r in louvain(Graph(v2, e2)).collect()}
+    assert got == base

@@ -428,3 +428,15 @@ def test_bigram_logprob_joins_are_term_keyed_equi_joins(spark):
     # every model lookup is an equi-join keyed on prev/cur
     for key in ("[prev", "[cur"):
         assert key in plan
+
+
+def test_round8_graph_entries_stay_jvm_side(spark):
+    """The round-8 structure entries (clustering coefficient,
+    modularity, assortativity) never call Python, never sort globally
+    before their final ORDER BY, and the wedge join in graph_clustcoef
+    stays an equi-join (SortMerge/Hash) — no cartesian product even
+    though the banded graph's oracle-side definition is a theta join."""
+    for key in ("graph_clustcoef", "graph_modularity", "graph_assortativity"):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+        assert "CartesianProduct" not in plan, key
