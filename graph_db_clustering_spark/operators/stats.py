@@ -1,0 +1,160 @@
+"""Distributed statistics over vector columns: PCA (moment aggregation),
+correlation, and the two-sample Kolmogorov-Smirnov statistic.
+
+PCA follows the classic tall-skinny design (the same shape MLlib's
+RowMatrix.computePrincipalComponents uses): the executors reduce the data
+to d-dimensional first and second moments — one pass, one d*d partial per
+Arrow batch — and only the d x d Gram matrix ever reaches the driver,
+where the eigendecomposition is O(d^3) on 64-ish dims. Nothing row-sized
+is ever collected: at 100 TB the reduce tree moves a few KB per task.
+
+Reference scope: the reference engine (brianreicher/graph-db-clustering)
+stops at k-means over raw image vectors; PCA is the standard companion
+(decorrelate/compress before clustering) and an explicit north-star
+"embedding analytics" op.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class PcaModel:
+    """Fitted PCA: mean (d,), components (d, k) column-orthonormal,
+    explained_var (k,) descending sample variances along components."""
+
+    def __init__(self, mean: np.ndarray, components: np.ndarray, explained_var: np.ndarray):
+        self.mean = mean
+        self.components = components
+        self.explained_var = explained_var
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> PcaModel:
+    """One distributed pass for (n, sum, X^T X), driver-side eigh.
+
+    The mapInPandas stage emits ONE row per Arrow batch: (count, sum,
+    flattened d*d cross-product). Spark's reduce is then a trivial
+    aggregation over #batches rows — the only driver-side numerics is
+    the d x d symmetric eigendecomposition. Deterministic across
+    partitionings: float summation is reassociated, but the test pins
+    tolerance against exact numpy, not bitwise equality; the SIGN of
+    each component is canonicalized (largest-|loading| entry positive),
+    so downstream projections are partitioning-stable."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pca_fit: empty input")
+    d = first["d"]
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            if len(x) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    agg = (
+        df.select(F.col(vec_col).alias("v"))
+        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in agg)
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 rows")
+    s = np.sum([np.asarray(r["s"]) for r in agg], axis=0)
+    ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in agg], axis=0)
+    mean = s / n
+    cov = (ss - np.outer(s, mean)) / (n - 1)  # sample covariance, ddof=1
+    cov = (cov + cov.T) / 2.0
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]
+    # canonical sign: the largest-|loading| coordinate of each component
+    # is positive (ties to the lowest index via argmax)
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    flips[flips == 0] = 1.0
+    comps = comps * flips
+    return PcaModel(mean, comps, np.maximum(w[order], 0.0))
+
+
+def pca_transform(df: DataFrame, vec_col: str, model: PcaModel, out_col: str = "pc") -> DataFrame:
+    """Project each vector onto the fitted components: out = (x - mean) @ W.
+    The (d x k) matrix rides a closure broadcast into an Arrow-batched
+    pandas iterator — executor-side matmul per batch, never per row."""
+    mean = model.mean.copy()
+    comps = model.components.copy()
+    passthrough = [c for c in df.columns if c != vec_col]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != vec_col
+    )
+    schema = (schema + ", " if schema else "") + f"{out_col} array<double>"
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            out = pdf[passthrough].copy()
+            if len(x):
+                out[out_col] = list((x - mean) @ comps)
+            else:
+                out[out_col] = []
+            yield out
+
+    return df.withColumnRenamed(vec_col, "__v").mapInPandas(project, schema)
+
+
+def ks_statistic(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D = sup_x |F0(x) - F1(x)| between
+    the rows where group_col = 0 and = 1. Returns one row
+    (n0 long, n1 long, ks_d double).
+
+    Plan: reduce to per-DISTINCT-value counts first (the heavy
+    aggregation, fully parallel), then one ordered prefix-sum window
+    over the distinct values. The window is a single-partition pass by
+    construction — over the distinct-value frame, NOT the raw data; for
+    a measurement column that's bounded by the value resolution. At
+    100 TB with near-continuous doubles, swap the final pass for a
+    repartitionByRange prefix-sum (same counts frame); the aggregate
+    stage is unchanged."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(value_col).alias("v"), F.col(group_col).alias("g"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = counts.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    cum = counts.select(
+        F.sum("c0").over(w).alias("a0"), F.sum("c1").over(w).alias("a1")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n0",
+            "n1",
+            F.abs(
+                F.col("a0") / F.col("n0") - F.col("a1") / F.col("n1")
+            ).alias("diff"),
+        )
+        .groupBy("n0", "n1")
+        .agg(F.max("diff").alias("ks_d"))
+    )

@@ -1779,3 +1779,71 @@ def events_cusum(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@declared(
+    "events_ks",
+    """WITH p AS (SELECT value AS v, CAST(user_id % 2 AS INT) AS g FROM events),
+counts AS (SELECT v,
+    SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c0,
+    SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1
+  FROM p GROUP BY v),
+tot AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM counts),
+cum AS (SELECT
+    SUM(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS a0,
+    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS a1
+  FROM counts)
+SELECT CAST(tot.n0 AS BIGINT) AS n0, CAST(tot.n1 AS BIGINT) AS n1,
+       ROUND(MAX(ABS(a0 * 1.0 / tot.n0 - a1 * 1.0 / tot.n1)), 6) AS ks_d
+FROM cum, tot GROUP BY tot.n0, tot.n1""",
+)
+def events_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov (round 8, operators/stats
+    .ks_statistic) between the even- and odd-user event-value
+    distributions: D = sup |F0 - F1| over the pooled ECDFs. The heavy
+    reduction (per-distinct-value counts) is a fully parallel
+    aggregate; only the distinct-value prefix-sum is an ordered pass —
+    over values, not rows — with the range-partitioned variant as the
+    documented 100 TB path. Ties are handled exactly: counts collapse
+    per distinct value BEFORE the cumulative sums, so the ECDF is
+    evaluated after each tie group (row-level windows would be
+    nondeterministic within ties)."""
+    from graph_db_clustering_spark.operators.stats import ks_statistic
+
+    e = _t(spark, sf_dir, "events").select(
+        "value", (F.col("user_id") % 2).cast("int").alias("grp")
+    )
+    return ks_statistic(e, "value", "grp").select(
+        "n0", "n1", F.round("ks_d", 6).alias("ks_d")
+    )
+
+
+@declared(
+    "lineitem_corr",
+    """SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(CORR(l_quantity, l_discount), 6) AS corr_qty_disc,
+       ROUND(CORR(l_quantity, l_tax), 6) AS corr_qty_tax,
+       ROUND(CORR(l_extendedprice, l_discount), 6) AS corr_price_disc,
+       ROUND(CORR(l_extendedprice, l_tax), 6) AS corr_price_tax,
+       ROUND(CORR(l_discount, l_tax), 6) AS corr_disc_tax
+FROM lineitem""",
+)
+def lineitem_corr(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of the four lineitem
+    measures in ONE aggregation pass (round 8): six corr() aggregates
+    share a single scan and a single partial/final HashAggregate —
+    the profiling query a feature-engineering pipeline runs before
+    picking decorrelated inputs. At 100 TB this is still one
+    map-side-combined pass; nothing is quadratic in rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice", "corr_qty_price"),
+        ("l_quantity", "l_discount", "corr_qty_disc"),
+        ("l_quantity", "l_tax", "corr_qty_tax"),
+        ("l_extendedprice", "l_discount", "corr_price_disc"),
+        ("l_extendedprice", "l_tax", "corr_price_tax"),
+        ("l_discount", "l_tax", "corr_disc_tax"),
+    ]
+    return li.agg(
+        *[F.round(F.corr(a, b), 6).alias(n) for a, b, n in pairs]
+    )

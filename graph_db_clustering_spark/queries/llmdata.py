@@ -1558,3 +1558,51 @@ def bigram_logprob_q(spark, sf_dir):
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.round("avg_logprob", 6).alias("avg_logprob"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "embedding_dim_stats",
+    """WITH flat AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                     UNNEST(embedding) AS x FROM embeddings)
+SELECT pos, ROUND(AVG(x), 6) AS mu, ROUND(STDDEV_SAMP(x), 6) AS sd,
+       ROUND(MIN(x), 6) AS lo, ROUND(MAX(x), 6) AS hi
+FROM flat GROUP BY pos ORDER BY pos""",
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension moments of the embedding corpus (round 8): the
+    sanity profile run before PCA/ANN (dead dims, scale skew,
+    clipping). posexplode -> one partial-aggregated groupBy(pos); the
+    shuffle carries 64 keys regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    return (
+        flat.groupBy("pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.stddev_samp("x"), 6).alias("sd"),
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
+        )
+        .orderBy("pos")
+    )
+
+
+@declared("pca_embed")  # linear algebra + eigh: not ANSI-SQL-expressible
+def pca_embed(spark, sf_dir):
+    """Distributed PCA (round 8, operators/stats.pca_fit/pca_transform):
+    project every embedding onto the top-4 principal components. The fit
+    is ONE executor pass reducing to d-dim moments (a d*d partial per
+    Arrow batch, few KB per task at any scale); only the 64x64 Gram
+    matrix reaches the driver for eigh. Rows-only at the oracle gate
+    (eigendecomposition isn't SQL); numpy parity, orthonormality,
+    variance ordering, and partitioning invariance are pinned in
+    tests/test_stats.py."""
+    from graph_db_clustering_spark.operators.stats import pca_fit, pca_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=4)
+    out = pca_transform(emb.select("vec_id", "embedding"), "embedding", model)
+    return out.select(
+        "vec_id",
+        *[F.round(F.col("pc")[i], 6).alias(f"pc{i + 1}") for i in range(4)],
+    ).orderBy("vec_id")

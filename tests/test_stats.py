@@ -1,0 +1,94 @@
+"""operators/stats: PCA moment aggregation and the two-sample KS
+statistic — numpy/closed-form parity, determinism, partitioning
+invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.operators.stats import (
+    ks_statistic,
+    pca_fit,
+    pca_transform,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _np_pca(x, k):
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(k)])
+    flips[flips == 0] = 1.0
+    return mean, comps * flips, w[order]
+
+
+def test_pca_matches_numpy_exactly(spark):
+    emb = load_table(spark, SF, "embeddings")
+    x = np.asarray([list(r.embedding) for r in emb.select("embedding").collect()], dtype=np.float64)
+    model = pca_fit(emb, "embedding", k=4)
+    mean, comps, var = _np_pca(x, 4)
+    assert np.allclose(model.mean, mean, atol=1e-10)
+    assert np.allclose(model.components, comps, atol=1e-8)
+    assert np.allclose(model.explained_var, var, rtol=1e-10)
+    # explained variance is sorted descending and components orthonormal
+    assert np.all(np.diff(model.explained_var) <= 1e-12)
+    assert np.allclose(model.components.T @ model.components, np.eye(4), atol=1e-10)
+
+
+def test_pca_transform_projects_and_preserves_columns(spark):
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    model = pca_fit(emb, "embedding", k=2)
+    out = pca_transform(emb, "embedding", model)
+    assert out.columns == ["vec_id", "pc"]
+    got = {r.vec_id: np.asarray(r.pc) for r in out.collect()}
+    x = {r.vec_id: np.asarray(list(r.embedding), dtype=np.float64) for r in emb.collect()}
+    for vid, v in list(x.items())[:20]:
+        want = (v - model.mean) @ model.components
+        assert np.allclose(got[vid], want, atol=1e-10)
+
+
+def test_pca_partitioning_invariant(spark):
+    emb = load_table(spark, SF, "embeddings")
+    m1 = pca_fit(emb, "embedding", k=3)
+    m2 = pca_fit(emb.repartition(13), "embedding", k=3)
+    assert np.allclose(m1.components, m2.components, atol=1e-8)
+    assert np.allclose(m1.explained_var, m2.explained_var, rtol=1e-9)
+
+
+def test_pca_empty_and_tiny_inputs_raise(spark):
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="empty"):
+        pca_fit(emb.filter(F.lit(False)), "embedding", k=2)
+    with pytest.raises(ValueError, match="at least 2"):
+        pca_fit(emb.limit(1), "embedding", k=2)
+
+
+def test_ks_statistic_known_and_ties(spark):
+    """Hand-computed: g0 = {1, 2, 3}, g1 = {2, 3, 4, 4}. Distinct values
+    1,2,3,4 -> F0 = 1/3, 2/3, 1, 1; F1 = 0, 1/4, 2/4, 1. Sup diff is
+    at v=3: |1 - 1/2| = 1/2. The tie at 4 must collapse BEFORE the
+    cumulative pass (a row-window would see an intermediate 3/4)."""
+    rows = [(1.0, 0), (2.0, 0), (3.0, 0), (2.0, 1), (3.0, 1), (4.0, 1), (4.0, 1)]
+    df = spark.createDataFrame(rows, "value double, grp int")
+    r = ks_statistic(df, "value", "grp").first()
+    assert r.n0 == 3 and r.n1 == 4
+    assert abs(r.ks_d - 0.5) < 1e-12
+
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    same = spark.createDataFrame(
+        [(float(v), g) for v in range(10) for g in (0, 1)], "value double, grp int"
+    )
+    assert ks_statistic(same, "value", "grp").first().ks_d == 0.0
+    apart = spark.createDataFrame(
+        [(float(v), 0) for v in range(5)] + [(float(v + 100), 1) for v in range(5)],
+        "value double, grp int",
+    )
+    assert ks_statistic(apart, "value", "grp").first().ks_d == 1.0
