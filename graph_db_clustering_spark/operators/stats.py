@@ -20,7 +20,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -157,4 +157,52 @@ def ks_statistic(
         )
         .groupBy("n0", "n1")
         .agg(F.max("diff").alias("ks_d"))
+    )
+
+
+def contingency_stats(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Independence statistics for two categorical columns in one
+    aggregation tree: chi-squared, degrees of freedom, Cramer's V, and
+    mutual information (nats). Returns one row
+    (n long, chi2 double, dof long, cramers_v double, mi double).
+
+    Plan: ONE groupBy(a, b) over the data (the only data-sized
+    aggregate — map-side combined, shuffle keyed by the pair); the
+    contingency table is then cells-sized (|A|*|B| rows), and the
+    marginals/statistics are aggregates over cells. Nothing data-sized
+    ever reaches the driver; at 100 TB the heavy stage is exactly one
+    partial-aggregated shuffle."""
+    joint = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("o"))
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    cells = joint.select(
+        "o",
+        F.sum("o").over(wa).alias("ra"),
+        F.sum("o").over(wb).alias("cb"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    p = F.col("o") / F.col("n")
+    stats = cells.agg(
+        F.first("n").alias("n"),
+        F.sum((F.col("o") - e) ** 2 / e).alias("chi2"),
+        F.sum(p * F.log(F.col("o").cast("double") * F.col("n") / (F.col("ra") * F.col("cb")))).alias("mi"),
+    )
+    dims = joint.agg(
+        F.countDistinct("a").alias("ka"), F.countDistinct("b").alias("kb")
+    )
+    return stats.crossJoin(F.broadcast(dims)).select(
+        F.col("n").cast("long").alias("n"),
+        "chi2",
+        ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("dof"),
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * F.least(F.col("ka") - 1, F.col("kb") - 1))
+        ).alias("cramers_v"),
+        "mi",
     )

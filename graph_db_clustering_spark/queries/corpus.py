@@ -1847,3 +1847,46 @@ def lineitem_corr(spark, sf_dir):
     return li.agg(
         *[F.round(F.corr(a, b), 6).alias(n) for a, b, n in pairs]
     )
+
+
+@declared(
+    "orders_independence",
+    """WITH joint AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+       COUNT(*) AS o FROM orders GROUP BY a, b),
+cells AS (SELECT o,
+    SUM(o) OVER (PARTITION BY a) AS ra,
+    SUM(o) OVER (PARTITION BY b) AS cb,
+    SUM(o) OVER () AS n
+  FROM joint),
+dims AS (SELECT COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb FROM joint),
+s AS (SELECT MAX(n) AS n,
+    SUM(POWER(o - ra * 1.0 * cb / n, 2) / (ra * 1.0 * cb / n)) AS chi2,
+    SUM((o * 1.0 / n) * LN(o * 1.0 * n / (ra * 1.0 * cb))) AS mi
+  FROM cells)
+SELECT CAST(s.n AS BIGINT) AS n, ROUND(s.chi2, 4) AS chi2,
+       CAST((dims.ka - 1) * (dims.kb - 1) AS BIGINT) AS dof,
+       ROUND(SQRT(s.chi2 / (s.n * LEAST(dims.ka - 1, dims.kb - 1))), 6)
+           AS cramers_v,
+       ROUND(s.mi, 6) AS mi
+FROM s, dims""",
+)
+def orders_independence(spark, sf_dir):
+    """Chi-squared independence test + Cramer's V + mutual information
+    between order status and priority (round 8,
+    operators/stats.contingency_stats) — the feature-selection
+    profiling pass of a labeling pipeline. ONE data-sized
+    groupBy(a, b) (map-side combined); every other step aggregates the
+    cells frame (|A| x |B| rows). On independent TPC-H-ish columns the
+    statistics hover near 0 — the oracle recomputes the identical
+    definitions, so any drift in marginal handling shows as a hash
+    mismatch."""
+    from graph_db_clustering_spark.operators.stats import contingency_stats
+
+    o = _t(spark, sf_dir, "orders")
+    return contingency_stats(o, "o_orderstatus", "o_orderpriority").select(
+        "n",
+        F.round("chi2", 4).alias("chi2"),
+        "dof",
+        F.round("cramers_v", 6).alias("cramers_v"),
+        F.round("mi", 6).alias("mi"),
+    )

@@ -92,3 +92,47 @@ def test_ks_statistic_identical_and_disjoint(spark):
         "value double, grp int",
     )
     assert ks_statistic(apart, "value", "grp").first().ks_d == 1.0
+
+
+def test_contingency_stats_known_table(spark):
+    """Hand-computed 2x2: a=x rows (10, 20), a=y rows (30, 40).
+    n=100; row sums 30, 70; col sums 40, 60. E = [[12,18],[28,42]];
+    chi2 = 4/12 + 4/18 + 4/28 + 4/42 = 0.7936...; dof 1;
+    V = sqrt(chi2/n); MI = sum p ln(p/(pa pb))."""
+    import math
+
+    from graph_db_clustering_spark.operators.stats import contingency_stats
+
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 30 + [("y", "v")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = contingency_stats(df, "a", "b").first()
+    chi2 = 4 / 12 + 4 / 18 + 4 / 28 + 4 / 42
+    mi = sum(
+        p * math.log(p / (pa * pb))
+        for p, pa, pb in [
+            (0.1, 0.3, 0.4),
+            (0.2, 0.3, 0.6),
+            (0.3, 0.7, 0.4),
+            (0.4, 0.7, 0.6),
+        ]
+    )
+    assert r.n == 100 and r.dof == 1
+    assert abs(r.chi2 - chi2) < 1e-9
+    assert abs(r.cramers_v - math.sqrt(chi2 / 100)) < 1e-9
+    assert abs(r.mi - mi) < 1e-12
+
+
+def test_contingency_stats_independent_is_zero(spark):
+    """A perfectly independent (product-form) table has chi2 = 0 and
+    MI = 0 exactly."""
+    from graph_db_clustering_spark.operators.stats import contingency_stats
+
+    rows = []
+    for a, na in (("x", 2), ("y", 3)):
+        for b, nb in (("u", 4), ("v", 6)):
+            rows += [(a, b)] * (na * nb)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = contingency_stats(df, "a", "b").first()
+    assert abs(r.chi2) < 1e-9 and abs(r.mi) < 1e-12 and abs(r.cramers_v) < 1e-9
