@@ -177,3 +177,38 @@ def cohort_retention(
         active.groupBy("cohort_date", "day_offset")
         .agg(F.count_distinct(user_col).alias("users"))
     )
+
+
+def decayed_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    halflife_s: float = 3600.0,
+) -> DataFrame:
+    """Exponentially-decayed event counts per key, evaluated at each
+    key's LAST event: sum over events of 2^(-(T_key - t) / halflife).
+    The recency-weighted popularity readout (trending topics, hot
+    shards) — a full count forgets nothing, a window forgets abruptly;
+    half-life decay is the standard compromise. Returns
+    (key_col, n_events long, decayed double).
+
+    One partial-aggregated groupBy: max(ts) and the decayed sum fold in
+    the same pass because the sum telescopes — partials computed
+    against a local reference fold exactly into the global one (the
+    identity the streaming form in streaming/stateful.py relies on
+    per micro-batch). Exponents use exact epoch-microsecond integers so
+    the batch and DuckDB forms agree bit-for-bit before rounding."""
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col)
+    per = events.select(
+        key_col, us.alias("us"), F.max(us).over(w).alias("T")
+    )
+    return (
+        per.groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.pow(F.lit(0.5), (F.col("T") - F.col("us")) / F.lit(halflife_s * 1e6))
+            ).alias("decayed"),
+        )
+    )

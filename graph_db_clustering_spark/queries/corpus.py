@@ -1890,3 +1890,30 @@ def orders_independence(spark, sf_dir):
         F.round("cramers_v", 6).alias("cramers_v"),
         F.round("mi", 6).alias("mi"),
     )
+
+
+@declared(
+    "events_decay",
+    """WITH per AS (SELECT event_type, epoch_us(ts) AS us,
+       MAX(epoch_us(ts)) OVER (PARTITION BY event_type) AS T FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(POWER(0.5, (T - us) / (3600.0 * 1000000))), 6) AS decayed
+FROM per GROUP BY event_type ORDER BY event_type""",
+)
+def events_decay(spark, sf_dir):
+    """Half-life-decayed event counts per type (round 8,
+    operators/timeseries.decayed_counts): recency-weighted popularity
+    evaluated at each key's last event, halflife 1 h. Exponents are
+    built from exact epoch-microsecond integers so both engines feed
+    POWER identical doubles. The streaming incremental form
+    (streaming/stateful.decayed_counts_stream) is pinned equal to this
+    batch form by replay in tests/test_streaming.py."""
+    from graph_db_clustering_spark.operators.timeseries import decayed_counts
+
+    e = _t(spark, sf_dir, "events")
+    out = decayed_counts(e, "event_type", "ts", 3600.0)
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("decayed", 6).alias("decayed"),
+    ).orderBy("event_type")

@@ -410,3 +410,71 @@ def anomaly_zscore_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DECAY_OUT_SCHEMA = "event_type string, n_events bigint, decayed double, asof_us bigint"
+DECAY_STATE_SCHEMA = "cnt bigint, dec double, last_us bigint"
+
+
+def decayed_counts_stream(
+    events: DataFrame, halflife_s: float = 3600.0
+) -> DataFrame:
+    """Streaming half-life-decayed counts per event_type (the
+    operators/timeseries.decayed_counts batch form, incrementalized).
+
+    State per key is (n_events, decayed_at_last, last_us) — O(1) per
+    key regardless of stream length, the whole point: the decayed sum
+    telescopes, so folding each micro-batch against its own max
+    timestamp and then re-basing the carried state by
+    2^(-(T_new - T_old)/hl) reproduces the batch sum exactly (up to
+    float associativity). Emits the updated running row per key per
+    micro-batch (update semantics); the latest asof_us row per key is
+    the live readout."""
+    hl_us = halflife_s * 1e6
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.hasTimedOut:  # no timeouts configured; defensive
+            return
+        ts_us = [
+            int(t.value) // 1000
+            for pdf in pdfs
+            for t in pd.to_datetime(pdf["ts"])
+        ]
+        if not ts_us:
+            return
+        t_new = max(ts_us)
+        batch_dec = sum(0.5 ** ((t_new - t) / hl_us) for t in ts_us)
+        if state.exists:
+            cnt, dec, last_us = state.get
+            if last_us > t_new:
+                # late batch: re-base the BATCH onto the carried asof
+                batch_dec *= 0.5 ** ((last_us - t_new) / hl_us)
+                t_new = last_us
+            else:
+                dec *= 0.5 ** ((t_new - last_us) / hl_us)
+        else:
+            cnt, dec = 0, 0.0
+        cnt += len(ts_us)
+        dec += batch_dec
+        state.update((cnt, dec, t_new))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_events": [cnt],
+                "decayed": [dec],
+                "asof_us": [t_new],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        DECAY_OUT_SCHEMA,
+        DECAY_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 197
-DOCUMENTED_ORACLES = 173
+DOCUMENTED_QUERIES = 198
+DOCUMENTED_ORACLES = 174
 
 
 def test_ledger_counts_match():

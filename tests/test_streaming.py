@@ -807,3 +807,37 @@ def test_cdc_stream_matches_batch_apply(spark, tmp_path):
     assert sorted((r.key, r.segment) for r in v1.collect()) == sorted(
         (r.key, r.segment) for r in snap.collect()
     )
+
+
+def test_decayed_counts_stream_matches_batch(spark, replay_dir, tmp_path):
+    """decayed_counts_stream folded over a 4-chunk replay equals the
+    batch telescoped sum per event_type — the O(1)-state re-basing
+    (dec *= 2^(-dt/hl)) must reproduce the single-pass batch result."""
+    from graph_db_clustering_spark.operators.timeseries import decayed_counts
+    from graph_db_clustering_spark.streaming.stateful import decayed_counts_stream
+
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=1)
+    res = run_available_now(
+        decayed_counts_stream(stream, 3600.0),
+        "update",
+        "decay_final",
+        str(tmp_path),
+    )
+    # update mode emits one row per key per touched micro-batch; the
+    # live readout is the row with the max asof_us (ties: max n_events)
+    final = {}
+    for r in res.collect():
+        cur = final.get(r.event_type)
+        if cur is None or (r.asof_us, r.n_events) > (cur.asof_us, cur.n_events):
+            final[r.event_type] = r
+    batch = {
+        r.event_type: r
+        for r in decayed_counts(
+            load_table(spark, SF, "events"), "event_type", "ts", 3600.0
+        ).collect()
+    }
+    assert set(final) == set(batch) and len(batch) > 0
+    for k, b in batch.items():
+        s = final[k]
+        assert s.n_events == b.n_events, k
+        assert abs(s.decayed - b.decayed) < 1e-9 * max(1.0, b.decayed), k
