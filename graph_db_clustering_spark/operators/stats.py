@@ -206,3 +206,61 @@ def contingency_stats(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         ).alias("cramers_v"),
         "mi",
     )
+
+
+def simplified_silhouette(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """Simplified silhouette (centroid-based, the O(N*k) form MLlib's
+    ClusteringEvaluator also uses instead of the O(N^2) classic): per
+    row, a = euclidean distance to the OWN cluster centroid, b = min
+    distance to any other centroid, s = (b - a) / max(a, b). Returns
+    (id_col, label_col, a double, b double, silhouette double).
+
+    Plan: centroids are one k*d-key partial aggregate collected to the
+    driver (tiny), then inlined as array literals — the per-row
+    distance block is pure whole-stage codegen over higher-order
+    functions, no join against the centroid frame and no Python. At
+    100 TB the data-sized work is exactly two scans: the centroid
+    aggregate and the scoring pass."""
+    cent_rows = (
+        df.select(F.col(label_col).alias("l"), F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("l", "pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    cents: dict = {}
+    for r in cent_rows:
+        cents.setdefault(r["l"], {})[r["pos"]] = r["m"]
+    if len(cents) < 2:
+        raise ValueError("simplified_silhouette: need at least 2 clusters")
+    labels = sorted(cents)
+    dist_structs = []
+    for lbl in labels:
+        vec = cents[lbl]
+        arr = F.array(*[F.lit(float(vec[p])) for p in range(len(vec))])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, m: (x - m) * (x - m)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist_structs.append(
+            F.struct(F.lit(lbl).alias("lbl"), F.sqrt(d2).alias("dist"))
+        )
+    ds = F.array(*dist_structs)
+    own = F.element_at(
+        F.filter(ds, lambda s: s["lbl"] == F.col(label_col)), 1
+    )["dist"]
+    other = F.array_min(
+        F.transform(
+            F.filter(ds, lambda s: s["lbl"] != F.col(label_col)),
+            lambda s: s["dist"],
+        )
+    )
+    return df.select(
+        id_col,
+        label_col,
+        own.alias("a"),
+        other.alias("b"),
+        ((other - own) / F.greatest(own, other)).alias("silhouette"),
+    )

@@ -1606,3 +1606,74 @@ def pca_embed(spark, sf_dir):
         "vec_id",
         *[F.round(F.col("pc")[i], 6).alias(f"pc{i + 1}") for i in range(4)],
     ).orderBy("vec_id")
+
+
+@declared("gmm_embed")  # iterative EM: not ANSI-SQL-expressible
+def gmm_embed(spark, sf_dir):
+    """Diagonal-covariance GMM posteriors over the embedding corpus
+    (round 8, operators/gmm): soft clustering — k-means' hard argmin
+    relaxed to responsibilities, the density model a curation pipeline
+    uses for outlier scoring (low mixture log-density = off-manifold
+    sample). Deterministic init (Knuth-hash k-sample), 5 EM rounds;
+    every E-step is pure codegen (parameters inlined as array
+    literals), every M-step one k*d-key aggregate. Rows-only at the
+    gate; numpy-EM parity, monotone log-likelihood, and invariance are
+    pinned in tests/test_gmm.py."""
+    from graph_db_clustering_spark.operators.gmm import gmm_fit, gmm_predict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = gmm_fit(emb, "embedding", k=4, max_iter=5, tol=1e-6)
+    return (
+        gmm_predict(emb, "embedding", model)
+        .select(
+            "vec_id",
+            "cid",
+            F.round("prob", 6).alias("prob"),
+            F.round("loglik", 4).alias("loglik"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@declared(
+    "embedding_silhouette",
+    """WITH flat AS (SELECT vec_id, vec_id % 4 AS c,
+       generate_subscripts(embedding, 1) - 1 AS pos, UNNEST(embedding) AS x
+     FROM embeddings),
+cent AS (SELECT c, pos, AVG(x) AS m FROM flat GROUP BY c, pos),
+dists AS (SELECT f.vec_id, f.c AS own, cent.c AS cc,
+            SQRT(SUM(POWER(f.x - cent.m, 2))) AS dist
+          FROM flat f JOIN cent ON f.pos = cent.pos
+          GROUP BY f.vec_id, f.c, cent.c),
+ab AS (SELECT vec_id, own,
+         MAX(CASE WHEN cc = own THEN dist END) AS a,
+         MIN(CASE WHEN cc <> own THEN dist END) AS b
+       FROM dists GROUP BY vec_id, own)
+SELECT own AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG((b - a) / GREATEST(a, b)), 6) AS avg_silhouette
+FROM ab GROUP BY own ORDER BY own""",
+)
+def embedding_silhouette(spark, sf_dir):
+    """Per-cluster simplified silhouette (round 8,
+    operators/stats.simplified_silhouette) over the deterministic
+    vec_id % 4 partition — the cluster-quality readout of the
+    clustering family, centroid-based O(N*k) like MLlib's evaluator.
+    Spark inlines the collected centroids as literals (pure codegen
+    scoring pass, zero joins); the oracle recomputes centroids,
+    distances, and the (b-a)/max(a,b) definition from scratch in SQL.
+    A hash partition has silhouette ~< 0 — the metric correctly calls
+    unclustered data unclustered."""
+    from graph_db_clustering_spark.operators.stats import simplified_silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 4).alias("cluster")
+    )
+    s = simplified_silhouette(emb, "vec_id", "embedding", "cluster")
+    return (
+        s.groupBy(F.col("cluster"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("silhouette"), 6).alias("avg_silhouette"),
+        )
+        .orderBy("cluster")
+    )

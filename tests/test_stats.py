@@ -136,3 +136,27 @@ def test_contingency_stats_independent_is_zero(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     r = contingency_stats(df, "a", "b").first()
     assert abs(r.chi2) < 1e-9 and abs(r.mi) < 1e-12 and abs(r.cramers_v) < 1e-9
+
+
+def test_simplified_silhouette_blobs_and_validation(spark):
+    """Well-separated blobs labeled correctly -> silhouette near 1;
+    the same blobs labeled RANDOMLY -> near 0 or below; <2 clusters
+    raises."""
+    import numpy as np
+
+    from graph_db_clustering_spark.operators.stats import simplified_silhouette
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0.0, 0.05, size=(40, 3))
+    b = rng.normal(3.0, 0.05, size=(40, 3))
+    rows = [(i, v.tolist(), int(i >= 40)) for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+    good = simplified_silhouette(df, "vec_id", "embedding", "cluster")
+    assert good.agg(F.avg("silhouette")).first()[0] > 0.95
+    shuffled = df.withColumn("cluster", (F.col("vec_id") % 2).cast("int"))
+    bad = simplified_silhouette(shuffled, "vec_id", "embedding", "cluster")
+    assert bad.agg(F.avg("silhouette")).first()[0] < 0.2
+    with pytest.raises(ValueError, match="at least 2"):
+        simplified_silhouette(
+            df.withColumn("cluster", F.lit(0)), "vec_id", "embedding", "cluster"
+        )
