@@ -126,9 +126,9 @@ def ks_statistic(
     over the distinct values. The window is a single-partition pass by
     construction — over the distinct-value frame, NOT the raw data; for
     a measurement column that's bounded by the value resolution. At
-    100 TB with near-continuous doubles, swap the final pass for a
-    repartitionByRange prefix-sum (same counts frame); the aggregate
-    stage is unchanged."""
+    100 TB with near-continuous doubles, use ks_statistic_scale below —
+    the range-partitioned prefix-sum form of the same counts frame
+    (identical result, equality test-pinned)."""
     from pyspark.sql import Window
 
     counts = (
@@ -263,4 +263,66 @@ def simplified_silhouette(
         own.alias("a"),
         other.alias("b"),
         ((other - own) / F.greatest(own, other)).alias("silhouette"),
+    )
+
+
+def ks_statistic_scale(
+    df: DataFrame, value_col: str, group_col: str, partitions: int = 32
+) -> DataFrame:
+    """Exact two-sample KS without any single-partition pass — the
+    100 TB form of ks_statistic (identical result; equality is
+    test-pinned).
+
+    The distinct-value counts frame is range-partitioned on the value,
+    so each partition owns a contiguous value interval. Global prefix
+    sums then decompose into (sum of whole partitions before mine) +
+    (my within-partition prefix): the per-partition totals are a
+    PARTITIONS-row aggregate whose cumulative offsets broadcast-join
+    back, and the within-partition prefix is a window PARTITIONED BY
+    the range bucket — parallel across buckets, never a global sort.
+    Ties are safe: equal values land in one range bucket, and the
+    counts frame is per-distinct-value to begin with."""
+    counts = (
+        df.select(F.col(value_col).alias("v"), F.col(group_col).alias("g"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+        )
+        .repartitionByRange(partitions, "v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin the bucket assignment across the two reads
+    )
+    per_part = (
+        counts.groupBy("pid")
+        .agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    )
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_part.select(
+        "pid",
+        F.coalesce(F.sum("t0").over(wo), F.lit(0)).alias("o0"),
+        F.coalesce(F.sum("t1").over(wo), F.lit(0)).alias("o1"),
+    )
+    tot = counts.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    wl = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        counts.join(F.broadcast(offsets), "pid")
+        .select(
+            (F.col("o0") + F.sum("c0").over(wl)).alias("a0"),
+            (F.col("o1") + F.sum("c1").over(wl)).alias("a1"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n0",
+            "n1",
+            F.abs(
+                F.col("a0") / F.col("n0") - F.col("a1") / F.col("n1")
+            ).alias("diff"),
+        )
+        .groupBy("n0", "n1")
+        .agg(F.max("diff").alias("ks_d"))
     )

@@ -1799,21 +1799,22 @@ FROM cum, tot GROUP BY tot.n0, tot.n1""",
 )
 def events_ks(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov (round 8, operators/stats
-    .ks_statistic) between the even- and odd-user event-value
+    .ks_statistic_scale) between the even- and odd-user event-value
     distributions: D = sup |F0 - F1| over the pooled ECDFs. The heavy
     reduction (per-distinct-value counts) is a fully parallel
-    aggregate; only the distinct-value prefix-sum is an ordered pass —
-    over values, not rows — with the range-partitioned variant as the
-    documented 100 TB path. Ties are handled exactly: counts collapse
-    per distinct value BEFORE the cumulative sums, so the ECDF is
-    evaluated after each tie group (row-level windows would be
-    nondeterministic within ties)."""
-    from graph_db_clustering_spark.operators.stats import ks_statistic
+    aggregate; the prefix sums run on the RANGE-PARTITIONED scale path
+    (ks_statistic_scale): per-bucket windows plus a partitions-row
+    offset broadcast — no global sort, no single-partition pass
+    anywhere. Ties are handled exactly: counts collapse per distinct
+    value BEFORE the cumulative sums, so the ECDF is evaluated after
+    each tie group (row-level windows would be nondeterministic within
+    ties)."""
+    from graph_db_clustering_spark.operators.stats import ks_statistic_scale
 
     e = _t(spark, sf_dir, "events").select(
         "value", (F.col("user_id") % 2).cast("int").alias("grp")
     )
-    return ks_statistic(e, "value", "grp").select(
+    return ks_statistic_scale(e, "value", "grp").select(
         "n0", "n1", F.round("ks_d", 6).alias("ks_d")
     )
 

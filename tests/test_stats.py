@@ -160,3 +160,27 @@ def test_simplified_silhouette_blobs_and_validation(spark):
         simplified_silhouette(
             df.withColumn("cluster", F.lit(0)), "vec_id", "embedding", "cluster"
         )
+
+
+def test_ks_scale_path_equals_reference_form(spark):
+    """ks_statistic_scale (range-partitioned prefix sums, no global
+    window) must equal ks_statistic exactly — on real events data and
+    on a tie-heavy synthetic set, across partition counts."""
+    import numpy as np
+
+    from graph_db_clustering_spark.operators.stats import ks_statistic_scale
+
+    ev = load_table(spark, SF, "events").select(
+        "value", (F.col("user_id") % 2).cast("int").alias("grp")
+    )
+    want = ks_statistic(ev, "value", "grp").first()
+    for p in (2, 7, 32):
+        got = ks_statistic_scale(ev, "value", "grp", partitions=p).first()
+        assert (got.n0, got.n1) == (want.n0, want.n1)
+        assert abs(got.ks_d - want.ks_d) < 1e-12, p
+    rng = np.random.default_rng(3)
+    rows = [(float(v), int(g)) for v, g in zip(rng.integers(0, 20, 500), rng.integers(0, 2, 500))]
+    df = spark.createDataFrame(rows, "value double, grp int")
+    w2 = ks_statistic(df, "value", "grp").first()
+    g2 = ks_statistic_scale(df, "value", "grp", partitions=5).first()
+    assert abs(g2.ks_d - w2.ks_d) < 1e-12
