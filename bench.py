@@ -44,6 +44,9 @@ HEADLINE = [
     "bpe_tokens",  # BPE train (word-count shuffle) + Arrow encode pass
     "nb_language",  # Naive Bayes train + score (token-stream aggregates)
     "dsir_weights",  # DSIR hashed-feature distributions + per-doc weights
+    "pca_embed",  # one moments pass + driver eigh + codegen projection
+    "gmm_embed",  # 5 EM rounds: codegen E-step, k*d-key M-step aggregate
+    "graph_louvain",  # modularity sweeps + community contraction levels
 ]
 
 

@@ -1918,3 +1918,99 @@ def events_decay(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         F.round("decayed", 6).alias("decayed"),
     ).orderBy("event_type")
+
+
+@declared(
+    "events_markov",
+    """WITH seq AS (SELECT user_id, event_type,
+       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS prev
+     FROM events)
+SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev), 6) AS p
+FROM seq WHERE prev IS NOT NULL
+GROUP BY prev, next ORDER BY prev, next""",
+)
+def events_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (round 8): P(next | prev) with counts — the
+    session-model readout behind next-action prediction and anomaly
+    screens. One user-keyed window (lag) + one (prev, next) aggregate;
+    the normalizing row sums come from a window over the
+    |types|^2-row transition frame, so nothing data-sized moves after
+    the first shuffle."""
+    e = _t(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(uw).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    pw = Window.partitionBy("prev")
+    return (
+        seq.groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "prev",
+            "next",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.sum("n").over(pw), 6).alias("p"),
+        )
+        .orderBy("prev", "next")
+    )
+
+
+@declared(
+    "customer_rfm",
+    """WITH base AS (SELECT o_custkey, MAX(o_orderdate) AS last_dt,
+       COUNT(*) AS freq, SUM(o_totalprice) AS mon
+     FROM orders GROUP BY o_custkey),
+mx AS (SELECT MAX(o_orderdate) AS ref FROM orders)
+SELECT o_custkey, CAST(date_diff('day', last_dt, ref) AS BIGINT)
+         AS recency_days,
+       CAST(freq AS BIGINT) AS frequency, ROUND(mon, 2) AS monetary,
+       CAST(NTILE(5) OVER (ORDER BY last_dt DESC, o_custkey) AS BIGINT)
+         AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT)
+         AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY mon DESC, o_custkey) AS BIGINT)
+         AS m_score
+FROM base, mx ORDER BY o_custkey""",
+)
+def customer_rfm(spark, sf_dir):
+    """RFM (recency / frequency / monetary) quintile scoring per
+    customer (round 8) — the canonical cohort-segmentation readout.
+    The data-sized work is one groupBy(custkey); the three NTILE
+    windows run over the CUSTOMER-sized aggregate with deterministic
+    (metric, custkey) tie-breaks. The global NTILEs are a
+    single-partition pass over customers — fine for a dimension-sized
+    frame; at billions of customers swap them for fixed quantile
+    boundaries from approx_percentile (the scale variant of every
+    global-rank scoring)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("mon"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref"))
+    return (
+        base.crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("ref"), F.col("last_dt")).cast("long").alias("recency_days"),
+            F.col("freq").cast("long").alias("frequency"),
+            F.round("mon", 2).alias("monetary"),
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("last_dt"), F.asc("o_custkey")))
+            .cast("long")
+            .alias("r_score"),
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+            .cast("long")
+            .alias("f_score"),
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("mon"), F.asc("o_custkey")))
+            .cast("long")
+            .alias("m_score"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -1249,3 +1249,37 @@ def graph_louvain(spark, sf_dir):
 
     g = _customer_graph(spark, sf_dir)
     return louvain(g).orderBy("id")
+
+
+@declared(
+    "graph_linkpred",
+    f"""WITH {_BANDED_SQL},
+wedge AS (SELECT u1.a AS x, u2.a AS y, COUNT(*) AS common
+          FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.a < u2.a
+          GROUP BY u1.a, u2.a),
+fresh AS (SELECT w.* FROM wedge w
+          LEFT JOIN e ON w.x = e.a AND w.y = e.b WHERE e.a IS NULL)
+SELECT f.x, f.y, CAST(f.common AS BIGINT) AS common,
+       ROUND(f.common * 1.0 / (dx.degree + dy.degree - f.common), 6)
+         AS jaccard
+FROM fresh f JOIN deg dx ON f.x = dx.id JOIN deg dy ON f.y = dy.id
+ORDER BY f.x, f.y""",
+)
+def graph_linkpred(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction (round 8,
+    operators/graph_algos.common_neighbor_link_prediction) on the
+    banded graph — non-adjacent same-nation pairs within hop-2 get
+    scored by neighborhood overlap. The banded structure gives real
+    open wedges (candidates the clique graph can't produce); the
+    oracle re-derives candidates, the anti-join, and the Jaccard
+    denominator from scratch."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        common_neighbor_link_prediction,
+    )
+
+    g = _banded_graph(spark, sf_dir)
+    return (
+        common_neighbor_link_prediction(g)
+        .select("x", "y", "common", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("x", "y")
+    )

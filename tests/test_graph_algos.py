@@ -833,3 +833,28 @@ def test_louvain_partitioning_invariant(spark):
     )
     got = {r.id: r.community for r in louvain(Graph(v2, e2)).collect()}
     assert got == base
+
+
+def test_link_prediction_known_path_and_hub_guard(spark):
+    """Path 0-1-2-3: candidates are (0,2) and (1,3), each with 1 common
+    neighbor; Jaccard = 1/(d0+d2-1). With max_center_degree=1 every
+    wedge center (degree 2) is dropped -> empty. A hub star's leaf
+    pairs all appear without the guard."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        common_neighbor_link_prediction,
+    )
+
+    path = _graph(spark, 4, [(0, 1), (1, 2), (2, 3)])
+    got = {
+        (r.x, r.y): (r.common, round(r.jaccard, 6))
+        for r in common_neighbor_link_prediction(path).collect()
+    }
+    assert got == {(0, 2): (1, 0.5), (1, 3): (1, 0.5)}
+    assert (
+        common_neighbor_link_prediction(path, max_center_degree=1).count() == 0
+    )
+    star = _graph(spark, 5, [(0, i) for i in range(1, 5)])
+    leaves = common_neighbor_link_prediction(star).collect()
+    assert len(leaves) == 6  # C(4,2) leaf pairs through the hub
+    assert all(r.common == 1 and abs(r.jaccard - 1.0) < 1e-12 for r in leaves)
+    assert common_neighbor_link_prediction(star, max_center_degree=3).count() == 0
