@@ -326,3 +326,59 @@ def ks_statistic_scale(
         .groupBy("n0", "n1")
         .agg(F.max("diff").alias("ks_d"))
     )
+
+
+def cluster_medoids(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """Medoid per cluster: the member minimizing the SUM of euclidean
+    distances to its cluster's other members — k-medoids' (PAM) update
+    step, the robust-to-outliers alternative to the centroid. Returns
+    (label_col, medoid_id, avg_dist) with ties on the smallest id.
+
+    Plan: the pair join is keyed by the cluster label, so per-key work
+    is quadratic in CLUSTER size, never corpus size — exactly PAM's
+    stated cost. The distance is a zip_with/aggregate codegen
+    expression; per-member sums partial-aggregate map-side and the
+    final argmin is one min_by struct per cluster. For web-scale
+    clusters use CLARA-style sampling per cluster first (the published
+    mitigation); the join shape is unchanged."""
+    a = df.select(
+        F.col(label_col).alias("l"),
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+    )
+    b = df.select(
+        F.col(label_col).alias("l"),
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v1"), F.col("v2"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sums = (
+        a.join(b, "l")
+        .filter(F.col("id1") != F.col("id2"))
+        .select("l", "id1", F.sqrt(d2).alias("d"))
+        .groupBy("l", "id1")
+        .agg(F.sum("d").alias("total"), F.count("*").alias("m"))
+    )
+    return (
+        sums.groupBy("l")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("id1").alias("medoid_id"),
+                    (F.col("total") / F.col("m")).alias("avg_dist"),
+                ),
+                F.struct(F.col("total"), F.col("id1")),
+            ).alias("best")
+        )
+        .select(
+            F.col("l").alias(label_col),
+            F.col("best.medoid_id").alias("medoid_id"),
+            F.col("best.avg_dist").alias("avg_dist"),
+        )
+    )

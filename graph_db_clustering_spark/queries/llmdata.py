@@ -1677,3 +1677,40 @@ def embedding_silhouette(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+@declared(
+    "embedding_medoids",
+    """WITH flat AS (SELECT vec_id, vec_id % 4 AS c,
+       generate_subscripts(embedding, 1) - 1 AS pos, UNNEST(embedding) AS x
+     FROM embeddings),
+pair AS (SELECT f1.c, f1.vec_id AS id1, f2.vec_id AS id2,
+           SQRT(SUM(POWER(f1.x - f2.x, 2))) AS d
+         FROM flat f1 JOIN flat f2
+           ON f1.c = f2.c AND f1.pos = f2.pos AND f1.vec_id <> f2.vec_id
+         GROUP BY f1.c, f1.vec_id, f2.vec_id),
+sums AS (SELECT c, id1, SUM(d) AS total, COUNT(*) AS m
+         FROM pair GROUP BY c, id1),
+best AS (SELECT c, id1 AS medoid_id, total * 1.0 / m AS avg_dist,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY total, id1) AS rn
+         FROM sums)
+SELECT c AS cluster, medoid_id, ROUND(avg_dist, 6) AS avg_dist
+FROM best WHERE rn = 1 ORDER BY cluster""",
+)
+def embedding_medoids(spark, sf_dir):
+    """Per-cluster medoid over the deterministic vec_id % 4 partition
+    (round 8, operators/stats.cluster_medoids) — k-medoids' PAM update
+    step: the member minimizing total distance to its cluster. The
+    cluster-keyed pair join bounds work at cluster size squared (PAM's
+    stated cost; CLARA sampling is the web-scale variant); the oracle
+    re-derives every pairwise distance from unnested components."""
+    from graph_db_clustering_spark.operators.stats import cluster_medoids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 4).alias("cluster")
+    )
+    return (
+        cluster_medoids(emb, "vec_id", "embedding", "cluster")
+        .select("cluster", "medoid_id", F.round("avg_dist", 6).alias("avg_dist"))
+        .orderBy("cluster")
+    )

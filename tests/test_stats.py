@@ -184,3 +184,22 @@ def test_ks_scale_path_equals_reference_form(spark):
     w2 = ks_statistic(df, "value", "grp").first()
     g2 = ks_statistic_scale(df, "value", "grp", partitions=5).first()
     assert abs(g2.ks_d - w2.ks_d) < 1e-12
+
+
+def test_cluster_medoids_known_and_tiebreak(spark):
+    """1-D clusters: cluster 0 = {0, 10, 11} -> medoid 10 (total
+    |10-0|+|10-11| = 11 beats 0's 21 and 11's 13); cluster 1 = two
+    equidistant points -> tie broken to the smaller id."""
+    from graph_db_clustering_spark.operators.stats import cluster_medoids
+
+    rows = [
+        (1, [0.0], 0),
+        (2, [10.0], 0),
+        (3, [11.0], 0),
+        (7, [5.0], 1),
+        (8, [9.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+    got = {r.cluster: r for r in cluster_medoids(df, "vec_id", "embedding", "cluster").collect()}
+    assert got[0].medoid_id == 2 and abs(got[0].avg_dist - 11 / 2) < 1e-12
+    assert got[1].medoid_id == 7 and abs(got[1].avg_dist - 4.0) < 1e-12
