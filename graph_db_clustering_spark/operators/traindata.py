@@ -775,3 +775,43 @@ def train_test_split(
     for name, bound in reversed(bounds[:-1]):
         expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 8,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis (2006) exponential-race key ln(u_i) / w_i with
+    the k LARGEST keys selected, where u_i is a hash-uniform in (0, 1)
+    derived from (seed, id) — reproducible across runs, engines, and
+    partitionings, unlike rand(). The standard one-pass distributed
+    weighted draw for data mixing (pick k docs proportional to
+    quality/domain weight).
+
+    Plan: the key is a codegen md5/ln expression; selection is
+    ORDER BY key LIMIT k = TakeOrderedAndProject (per-partition top-k,
+    k-row merge — no global sort). Engine-portable u: the first 8 md5
+    hex digits as a 32-bit integer, (h + 1) / (2^32 + 1)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967297.0)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("skey", key)
+        .orderBy(F.desc("skey"), F.col(id_col))
+        .limit(k)
+    )

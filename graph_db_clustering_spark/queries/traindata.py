@@ -471,3 +471,30 @@ def cdc_apply_q(spark, sf_dir):
     return out.select(
         "key", "segment", F.round("bal", 2).alias("bal")
     ).orderBy("key")
+
+
+@declared(
+    "weighted_sample",
+    """WITH keyed AS (SELECT doc_id, n_chars,
+    LN((('0x' || substr(md5('8:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        + 1.0) / 4294967297.0) / n_chars AS skey
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, ROUND(skey, 6) AS skey
+FROM keyed ORDER BY skey DESC, doc_id LIMIT 50""",
+)
+def weighted_sample_q(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (round 8,
+    operators/traindata.weighted_sample): 50 documents drawn with
+    probability proportional to length via the Efraimidis-Spirakis
+    exponential race, seeded by an engine-portable md5-uniform — the
+    reproducible data-mixing draw (same sample on every run, every
+    engine, every partitioning; rand() gives none of those). Selection
+    plans as TakeOrderedAndProject, never a global sort."""
+    from graph_db_clustering_spark.operators.traindata import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 50).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("skey", 6).alias("skey"),
+    )

@@ -832,3 +832,25 @@ def test_events_cusum_counts_the_implicit_zero_prefix(spark, tmp_path):
     assert out[1].n_alarms == 2 and out[1].first_alarm == 1  # both prefs stay 225
     assert abs(out[1].peak_cusum - 225.0) < 1e-9
     assert out[2].n_alarms == 0 and abs(out[2].peak_cusum - 5.0) < 1e-9
+
+
+def test_weighted_sample_bias_and_invariance(spark):
+    """Efraimidis-Spirakis: 20-of-200 draw where half the items carry
+    9x weight — across 40 seeds the heavy half must dominate the
+    sample (~86% expected; assert > 70%), the same seed must return
+    the IDENTICAL sample under hostile repartitioning, and zero-weight
+    rows never appear."""
+    from graph_db_clustering_spark.operators.traindata import weighted_sample
+
+    rows = [(i, 9.0 if i < 100 else 1.0) for i in range(200)] + [(999, 0.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    heavy = total = 0
+    for seed in range(40):
+        got = [r.id for r in weighted_sample(df, "id", "w", 20, seed=seed).collect()]
+        assert len(got) == 20 and 999 not in got
+        heavy += sum(1 for i in got if i < 100)
+        total += 20
+    assert heavy / total > 0.70, heavy / total
+    a = [r.id for r in weighted_sample(df, "id", "w", 20, seed=5).collect()]
+    b = [r.id for r in weighted_sample(df.repartition(17), "id", "w", 20, seed=5).collect()]
+    assert a == b
