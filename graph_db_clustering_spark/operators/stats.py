@@ -382,3 +382,61 @@ def cluster_medoids(
             F.col("best.avg_dist").alias("avg_dist"),
         )
     )
+
+
+def ols_fit(df: DataFrame, feature_cols: list, target_col: str) -> dict:
+    """Ordinary least squares by the normal equations, distributed the
+    same way as pca_fit: one mapInPandas pass reduces the data to the
+    (p+1)x(p+1) Gram matrix of the intercept-augmented design and the
+    (p+1) moment vector X'y (a few hundred bytes per Arrow batch);
+    the driver solves the tiny symmetric system. Returns
+    {"coef": np.ndarray(p), "intercept": float, "r2": float, "n": int}.
+
+    Exact (no iteration, no learning rate) and one data pass —
+    the right tool for p in the hundreds; beyond that use iterative
+    solvers. R^2 comes from the same pass's y-moments."""
+    p = len(feature_cols)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = pdf[feature_cols].to_numpy(dtype=np.float64)
+            y = pdf["__y"].to_numpy(dtype=np.float64)
+            a = np.hstack([x, np.ones((len(x), 1))])
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "g": [(a.T @ a).ravel().tolist()],
+                    "xy": [(a.T @ y).tolist()],
+                    "yy": [float(y @ y)],
+                    "ys": [float(y.sum())],
+                }
+            )
+
+    agg = (
+        df.select(*feature_cols, F.col(target_col).cast("double").alias("__y"))
+        .mapInPandas(
+            partials,
+            "n long, g array<double>, xy array<double>, yy double, ys double",
+        )
+        .collect()
+    )
+    n = sum(r["n"] for r in agg)
+    if n <= p:
+        raise ValueError(f"ols_fit: need more than {p} rows")
+    g = np.sum([np.asarray(r["g"]).reshape(p + 1, p + 1) for r in agg], axis=0)
+    xy = np.sum([np.asarray(r["xy"]) for r in agg], axis=0)
+    yy = sum(r["yy"] for r in agg)
+    ys = sum(r["ys"] for r in agg)
+    beta = np.linalg.solve(g, xy)
+    # SSE = y'y - 2 b'X'y + b'Gb ; SST = y'y - n*mean^2
+    sse = yy - 2.0 * beta @ xy + beta @ g @ beta
+    sst = yy - ys * ys / n
+    r2 = 1.0 - sse / sst if sst > 0 else float("nan")
+    return {
+        "coef": beta[:p],
+        "intercept": float(beta[p]),
+        "r2": float(r2),
+        "n": int(n),
+    }

@@ -2014,3 +2014,38 @@ def customer_rfm(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+@declared(
+    "lineitem_ols",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice)
+             / VAR_POP(l_quantity), 4) AS slope,
+       ROUND(AVG(l_extendedprice)
+             - COVAR_POP(l_quantity, l_extendedprice) / VAR_POP(l_quantity)
+               * AVG(l_quantity), 4) AS intercept,
+       ROUND(POWER(CORR(l_quantity, l_extendedprice), 2), 6) AS r2
+FROM lineitem""",
+)
+def lineitem_ols(spark, sf_dir):
+    """Least-squares regression of extended price on quantity (round 8,
+    operators/stats.ols_fit): the normal-equation solve over ONE
+    moments pass — the distributed exact-OLS shape (Gram matrix per
+    Arrow batch, driver solves the (p+1)-dim system). The oracle is
+    the closed single-feature form (slope = cov/var, r2 = corr^2),
+    which the general matrix path must reproduce to rounding."""
+    from graph_db_clustering_spark.operators.stats import ols_fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = ols_fit(li, ["l_quantity"], "l_extendedprice")
+    return spark.createDataFrame(
+        [
+            (
+                m["n"],
+                round(float(m["coef"][0]), 4),
+                round(m["intercept"], 4),
+                round(m["r2"], 6),
+            )
+        ],
+        "n long, slope double, intercept double, r2 double",
+    )

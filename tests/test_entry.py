@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 205
-DOCUMENTED_ORACLES = 180
+DOCUMENTED_QUERIES = 206
+DOCUMENTED_ORACLES = 181
 
 
 def test_ledger_counts_match():

@@ -203,3 +203,27 @@ def test_cluster_medoids_known_and_tiebreak(spark):
     got = {r.cluster: r for r in cluster_medoids(df, "vec_id", "embedding", "cluster").collect()}
     assert got[0].medoid_id == 2 and abs(got[0].avg_dist - 11 / 2) < 1e-12
     assert got[1].medoid_id == 7 and abs(got[1].avg_dist - 4.0) < 1e-12
+
+
+def test_ols_matches_numpy_lstsq_multifeature(spark):
+    """3-feature OLS on lineitem vs numpy.linalg.lstsq on the collected
+    design — coefficients, intercept, and R^2."""
+    from graph_db_clustering_spark.operators.stats import ols_fit
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    )
+    feats = ["l_quantity", "l_discount", "l_tax"]
+    m = ols_fit(li, feats, "l_extendedprice")
+    pdf = li.toPandas()
+    a = np.hstack([pdf[feats].to_numpy(), np.ones((len(pdf), 1))])
+    y = pdf["l_extendedprice"].to_numpy()
+    beta, *_ = np.linalg.lstsq(a, y, rcond=None)
+    assert np.allclose(m["coef"], beta[:3], rtol=1e-8)
+    assert abs(m["intercept"] - beta[3]) < 1e-6 * max(1, abs(beta[3]))
+    pred = a @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(m["r2"] - r2) < 1e-9
+    assert m["n"] == len(pdf)
+    with pytest.raises(ValueError, match="need more than"):
+        ols_fit(li.limit(3), feats, "l_extendedprice")
