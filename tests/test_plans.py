@@ -432,11 +432,42 @@ def test_bigram_logprob_joins_are_term_keyed_equi_joins(spark):
 
 def test_round8_graph_entries_stay_jvm_side(spark):
     """The round-8 structure entries (clustering coefficient,
-    modularity, assortativity) never call Python, never sort globally
-    before their final ORDER BY, and the wedge join in graph_clustcoef
-    stays an equi-join (SortMerge/Hash) — no cartesian product even
-    though the banded graph's oracle-side definition is a theta join."""
-    for key in ("graph_clustcoef", "graph_modularity", "graph_assortativity"):
+    modularity, assortativity, link prediction) never call Python and
+    never plan a cartesian product — the wedge joins stay equi-joins
+    even though the banded graph's oracle-side definition is a theta
+    join."""
+    for key in (
+        "graph_clustcoef",
+        "graph_modularity",
+        "graph_assortativity",
+        "graph_linkpred",
+    ):
         plan = plan_of(QUERIES[key](spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
         assert "CartesianProduct" not in plan, key
+
+
+def test_round8_stats_entries_plan_shape(spark):
+    """events_markov / customer_rfm / events_decay / lineitem_corr /
+    orders_independence: pure Catalyst (no Python), and the
+    aggregation-shaped ones partial-aggregate map-side. events_ks uses
+    the range-partitioned path: its plan must contain a range
+    partitioning and no single-partition window over the counts frame.
+    weighted_sample must select via TakeOrderedAndProject."""
+    for key in (
+        "events_markov",
+        "customer_rfm",
+        "events_decay",
+        "lineitem_corr",
+        "orders_independence",
+        "events_ks",
+    ):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+    assert "partial" in plan_of(QUERIES["events_decay"](spark, SF))
+    # the data-sized ECDF window is partitioned by the range bucket (the
+    # localCheckpoint hides the rangepartitioning exchange itself); the
+    # only SinglePartition window allowed is the PARTITIONS-row offsets
+    ks_plan = plan_of(QUERIES["events_ks"](spark, SF))
+    assert "hashpartitioning(pid" in ks_plan
+    assert "TakeOrderedAndProject" in plan_of(QUERIES["weighted_sample"](spark, SF))
