@@ -2049,3 +2049,45 @@ def lineitem_ols(spark, sf_dir):
         ],
         "n long, slope double, intercept double, r2 double",
     )
+
+
+@declared(
+    "events_seasonal",
+    """WITH base AS (SELECT event_type, DATE_PART('dow', ts) AS dow, value
+       FROM events),
+prof AS (SELECT event_type, dow, COUNT(*) AS n, AVG(value) AS dow_avg
+         FROM base GROUP BY event_type, dow),
+tot AS (SELECT event_type, AVG(value) AS type_avg FROM base
+        GROUP BY event_type)
+SELECT p.event_type, CAST(p.dow AS BIGINT) AS dow,
+       CAST(p.n AS BIGINT) AS n, ROUND(p.dow_avg, 4) AS dow_avg,
+       ROUND(p.dow_avg - t.type_avg, 4) AS seasonal_dev
+FROM prof p JOIN tot t USING (event_type)
+ORDER BY p.event_type, dow""",
+)
+def events_seasonal(spark, sf_dir):
+    """Day-of-week seasonal profile per event type (round 8): the
+    additive-seasonality readout (which weekdays run hot) as two
+    partial-aggregated groupBys over one scan — the type-level means
+    join back against the |types|*7-row profile, so nothing data-sized
+    moves twice. dow is 0=Sunday..6 in both engines (Spark's
+    1-based dayofweek shifted)."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow"), "value"
+    )
+    prof = base.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), F.avg("value").alias("dow_avg")
+    )
+    tot = base.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    return (
+        prof.join(tot, "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n").cast("long").alias("n"),
+            F.round("dow_avg", 4).alias("dow_avg"),
+            F.round(F.col("dow_avg") - F.col("type_avg"), 4).alias("seasonal_dev"),
+        )
+        .orderBy("event_type", "dow")
+    )
