@@ -44,6 +44,8 @@ HEAVY = [
     "pipeline_corpus",
     "nb_language",
     "dsir_weights",
+    "pca_embed",
+    "gmm_embed",
 ]
 
 _VERSION = "v1"  # bump to invalidate cached corpora

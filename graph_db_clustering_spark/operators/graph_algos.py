@@ -1179,3 +1179,43 @@ def common_neighbor_link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def conductance(graph: Graph, labels: DataFrame) -> DataFrame:
+    """Per-community conductance phi(C) = cut(C) / min(vol(C), 2m - vol(C)):
+    the fraction of a community's edge volume that leaks out — LOW is a
+    good cut, the complement readout to modularity (which rewards
+    density; conductance punishes leakage). `labels` is (id, community).
+    Returns (community, vol long, cut long, conductance double);
+    communities spanning the whole volume (2m - vol = 0) yield NULL.
+
+    Same plan skeleton as modularity: label both endpoints of the
+    directed edge closure (two vertex-keyed joins), then ONE aggregate
+    keyed by the source's community counting total vs crossing ends.
+    Nothing is quadratic in community size."""
+    lab = labels.select(VERTEX_ID, "community")
+    und = _undirected_edges(graph.edges)
+    both = (
+        und.join(
+            lab.select(F.col(VERTEX_ID).alias("a"), F.col("community").alias("ca")),
+            "a",
+        )
+        .join(
+            lab.select(F.col(VERTEX_ID).alias("b"), F.col("community").alias("cb")),
+            "b",
+        )
+    )
+    per_c = both.groupBy(F.col("ca").alias("community")).agg(
+        F.count("*").alias("vol"),
+        F.sum(F.when(F.col("ca") != F.col("cb"), 1).otherwise(0)).alias("cut"),
+    )
+    total = und.count()  # = 2m
+    return per_c.select(
+        "community",
+        F.col("vol").cast("long").alias("vol"),
+        F.col("cut").cast("long").alias("cut"),
+        F.try_divide(
+            F.col("cut").cast("double"),
+            F.least(F.col("vol"), F.lit(total) - F.col("vol")).cast("double"),
+        ).alias("conductance"),
+    )

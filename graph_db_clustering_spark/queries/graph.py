@@ -1283,3 +1283,39 @@ def graph_linkpred(spark, sf_dir):
         .select("x", "y", "common", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("x", "y")
     )
+
+
+@declared(
+    "graph_conductance",
+    f"""WITH {_BANDED_SQL},
+lab AS (SELECT id, nation AS community FROM v),
+both_ends AS (SELECT la.community AS ca, lb.community AS cb
+              FROM und JOIN lab la ON und.a = la.id
+                       JOIN lab lb ON und.b = lb.id),
+tot AS (SELECT COUNT(*) AS t FROM und),
+per_c AS (SELECT ca AS community, COUNT(*) AS vol,
+            SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS cut
+          FROM both_ends GROUP BY ca)
+SELECT community, CAST(vol AS BIGINT) AS vol, CAST(cut AS BIGINT) AS cut,
+       ROUND(cut * 1.0 / NULLIF(LEAST(vol, tot.t - vol), 0), 6)
+         AS conductance
+FROM per_c, tot ORDER BY community""",
+)
+def graph_conductance(spark, sf_dir):
+    """Per-community conductance of the nation partition on the banded
+    graph (round 8, operators/graph_algos.conductance): cut volume over
+    community volume — the leakage complement to graph_modularity. The
+    nation partition has zero crossing edges here, so every cut is 0
+    and the metric certifies the partition perfectly separable; the
+    oracle recomputes volumes, cuts, and the min(vol, 2m-vol)
+    denominator from scratch."""
+    from graph_db_clustering_spark.operators.graph_algos import conductance
+
+    g = _banded_graph(spark, sf_dir)
+    labels = g.vertices.select("id", F.col("nation").alias("community"))
+    return (
+        conductance(g, labels)
+        .select("community", "vol", "cut",
+                F.round("conductance", 6).alias("conductance"))
+        .orderBy("community")
+    )

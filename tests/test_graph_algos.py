@@ -858,3 +858,22 @@ def test_link_prediction_known_path_and_hub_guard(spark):
     assert len(leaves) == 6  # C(4,2) leaf pairs through the hub
     assert all(r.common == 1 and abs(r.jaccard - 1.0) < 1e-12 for r in leaves)
     assert common_neighbor_link_prediction(star, max_center_degree=3).count() == 0
+
+
+def test_conductance_known_cut(spark):
+    """Two triangles joined by one bridge, partitioned by triangle:
+    2m = 14, each community vol = 7, cut = 1 -> phi = 1/7. The
+    all-in-one partition spans the full volume -> NULL conductance."""
+    from graph_db_clustering_spark.operators.graph_algos import conductance
+
+    g = _graph(spark, 6, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)])
+    labels = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "id long, community long"
+    )
+    got = {r.community: r for r in conductance(g, labels).collect()}
+    for c in (0, 1):
+        assert got[c].vol == 7 and got[c].cut == 1
+        assert abs(got[c].conductance - 1 / 7) < 1e-12
+    one = spark.createDataFrame([(i, 0) for i in range(6)], "id long, community long")
+    r = conductance(g, one).first()
+    assert r.cut == 0 and r.conductance is None
