@@ -227,3 +227,53 @@ def test_ols_matches_numpy_lstsq_multifeature(spark):
     assert m["n"] == len(pdf)
     with pytest.raises(ValueError, match="need more than"):
         ols_fit(li.limit(3), feats, "l_extendedprice")
+
+
+def test_ks_random_vs_numpy_ecdf(spark):
+    """Randomized cross-check: D from the distributed form equals the
+    numpy two-sided ECDF sup over the pooled support, including heavy
+    ties."""
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        v0 = rng.integers(0, 15, size=rng.integers(5, 60)).astype(float)
+        v1 = rng.integers(0, 15, size=rng.integers(5, 60)).astype(float)
+        rows = [(float(x), 0) for x in v0] + [(float(x), 1) for x in v1]
+        df = spark.createDataFrame(rows, "value double, grp int")
+        got = ks_statistic(df, "value", "grp").first()
+        support = np.unique(np.concatenate([v0, v1]))
+        f0 = (v0[:, None] <= support[None, :]).mean(axis=0)
+        f1 = (v1[:, None] <= support[None, :]).mean(axis=0)
+        want = np.abs(f0 - f1).max()
+        assert abs(got.ks_d - want) < 1e-12, trial
+
+
+def test_contingency_random_vs_numpy(spark):
+    """Randomized cross-check of chi2 / MI / Cramer's V against direct
+    numpy formulas on random contingency tables."""
+    import math
+
+    from graph_db_clustering_spark.operators.stats import contingency_stats
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        ka, kb = rng.integers(2, 5), rng.integers(2, 5)
+        table = rng.integers(1, 30, size=(ka, kb))
+        rows = [
+            (f"a{i}", f"b{j}")
+            for i in range(ka)
+            for j in range(kb)
+            for _ in range(table[i, j])
+        ]
+        df = spark.createDataFrame(rows, "a string, b string").repartition(5)
+        r = contingency_stats(df, "a", "b").first()
+        n = table.sum()
+        ra = table.sum(axis=1, keepdims=True)
+        cb = table.sum(axis=0, keepdims=True)
+        e = ra * cb / n
+        chi2 = ((table - e) ** 2 / e).sum()
+        p = table / n
+        mi = (p * np.log(table * n / (ra * cb))).sum()
+        assert r.n == n and r.dof == (ka - 1) * (kb - 1)
+        assert abs(r.chi2 - chi2) < 1e-9
+        assert abs(r.mi - mi) < 1e-9
+        assert abs(r.cramers_v - math.sqrt(chi2 / (n * (min(ka, kb) - 1)))) < 1e-9
