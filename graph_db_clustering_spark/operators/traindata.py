@@ -783,6 +783,7 @@ def weighted_sample(
     weight_col: str,
     k: int,
     seed: int = 8,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement, deterministic: the
     Efraimidis-Spirakis (2006) exponential-race key ln(u_i) / w_i with
@@ -795,7 +796,14 @@ def weighted_sample(
     Plan: the key is a codegen md5/ln expression; selection is
     ORDER BY key LIMIT k = TakeOrderedAndProject (per-partition top-k,
     k-row merge — no global sort). Engine-portable u: the first 8 md5
-    hex digits as a 32-bit integer, (h + 1) / (2^32 + 1)."""
+    hex digits as a 32-bit integer, (h + 1) / (2^32 + 1).
+
+    ``quantize``: round the key to that many decimals before ordering
+    (ties then break on id). libm's ln differs across engines in the
+    last ulp, so EXACT keys can order near-equal items differently on
+    different engines; the quantized race is reproducible everywhere
+    at the cost of coarsening vanishingly-close ties — the declared
+    oracle entry uses quantize=6."""
     u = (
         F.conv(
             F.substring(
@@ -809,6 +817,8 @@ def weighted_sample(
         + 1.0
     ) / F.lit(4294967297.0)
     key = F.log(u) / F.col(weight_col)
+    if quantize is not None:
+        key = F.round(key, quantize)
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("skey", key)

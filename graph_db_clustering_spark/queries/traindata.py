@@ -476,10 +476,10 @@ def cdc_apply_q(spark, sf_dir):
 @declared(
     "weighted_sample",
     """WITH keyed AS (SELECT doc_id, n_chars,
-    LN((('0x' || substr(md5('8:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-        + 1.0) / 4294967297.0) / n_chars AS skey
+    ROUND(LN((('0x' || substr(md5('8:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              ::UBIGINT + 1.0) / 4294967297.0) / n_chars, 6) AS skey
   FROM documents WHERE n_chars > 0)
-SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, ROUND(skey, 6) AS skey
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, skey
 FROM keyed ORDER BY skey DESC, doc_id LIMIT 50""",
 )
 def weighted_sample_q(spark, sf_dir):
@@ -493,8 +493,6 @@ def weighted_sample_q(spark, sf_dir):
     from graph_db_clustering_spark.operators.traindata import weighted_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    return weighted_sample(docs, "doc_id", "n_chars", 50).select(
-        "doc_id",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.round("skey", 6).alias("skey"),
+    return weighted_sample(docs, "doc_id", "n_chars", 50, quantize=6).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "skey"
     )
