@@ -134,8 +134,12 @@ def gmm_fit(
                 F.sum(rj * F.col("x")).alias(f"s{j}"),
                 F.sum(rj * F.col("x") * F.col("x")).alias(f"q{j}"),
             ]
+        # the log-likelihood rides the SAME aggregate: each original row
+        # appears once per pos group, so sum(_lse) within any pos equals
+        # the row-level total — one Spark job per iteration, not two
+        aggs.append(F.sum("_lse").alias("lsum"))
         per_dim = flat.groupBy("pos").agg(*aggs).orderBy("pos").collect()
-        ll = r.agg(F.sum("_lse")).first()[0]
+        ll = per_dim[0]["lsum"]
         history.append({"iter": it, "ll": ll})
         new_means = np.empty_like(means)
         new_vars = np.empty_like(variances)

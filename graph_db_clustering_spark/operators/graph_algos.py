@@ -1108,24 +1108,17 @@ def _louvain_sweeps(verts: DataFrame, wedges: DataFrame, max_sweeps: int):
         )
         moves = best.filter(
             (F.col("target") < F.col("cur_c")) & (F.col("gain") > 1e-12)
-        ).select(VERTEX_ID, F.col("target"))
-        new_labels = (
+        ).select(VERTEX_ID, F.col("target")).localCheckpoint()
+        # the moves frame IS the change set — counting it replaces the
+        # old separate new-vs-old join (one Spark job fewer per sweep)
+        if moves.count() == 0:
+            break
+        any_moved = True
+        labels = (
             labels.join(moves, VERTEX_ID, "left")
             .select(VERTEX_ID, F.coalesce("target", "new_c").alias("new_c"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), VERTEX_ID)
-            .filter(F.col("n.new_c") != F.col("o.new_c"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed:
-            any_moved = True
-        else:
-            break
     return labels, any_moved
 
 
