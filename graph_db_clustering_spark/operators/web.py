@@ -125,3 +125,134 @@ def sitemap_urls(spark, path: str):
         "changefreq",
         "priority",
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) evaluation
+# ---------------------------------------------------------------------------
+
+
+def parse_robots_rules(text: str) -> dict:
+    """Parse a robots.txt body into {user_agent_token: [(allow, path), ...]}
+    per RFC 9309: groups are runs of user-agent lines followed by rules;
+    a rule line before any user-agent line is ignored; tokens and field
+    names are case-insensitive; empty Disallow means allow-everything
+    (contributes no rule). Unknown fields (crawl-delay, sitemap, host)
+    are skipped without ending a group — the RFC 9309 §2.2.4 behavior
+    most crawlers honor. Returns rules in file order (matching applies
+    longest-match, so order only breaks exact ties the RFC leaves open;
+    this parser keeps first-wins for identical patterns)."""
+    groups: dict[str, list] = {}
+    current: list[str] = []
+    rules_started = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if rules_started:
+                current = []
+                rules_started = False
+            tok = value.lower()
+            current.append(tok)
+            groups.setdefault(tok, [])
+        elif field in ("allow", "disallow"):
+            rules_started = True
+            if not current:
+                continue  # rule before any user-agent: ignored
+            if field == "disallow" and value == "":
+                continue  # empty Disallow = allow everything
+            if field == "allow" and value == "":
+                continue
+            for tok in current:
+                groups[tok].append((field == "allow", value))
+        # other fields: skipped, group continues
+    return groups
+
+
+def _robots_pattern_matches(pattern: str, path: str) -> int:
+    """RFC 9309 path matching: '*' matches any run (incl. empty), '$'
+    at the end anchors. Returns the MATCH PRIORITY (number of pattern
+    characters, the RFC's longest-match measure) + 1, or 0 for no
+    match — so callers can max() over rules directly."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    rx = "^" + rx + ("$" if anchored else "")
+    return (len(pattern) + 1) if _re.match(rx, path) else 0
+
+
+def robots_decision(groups: dict, agent: str, path: str) -> bool:
+    """True = fetch allowed. Group selection per RFC 9309 §2.2.1: the
+    group whose user-agent token is the longest case-insensitive
+    substring-prefix match of the product token, else the '*' group,
+    else allow. Within the group: longest-match rule wins; on a
+    priority tie, Allow wins."""
+    agent = agent.lower()
+    best_tok, best_len = None, -1
+    for tok in groups:
+        if tok == "*":
+            continue
+        if tok in agent and len(tok) > best_len:
+            best_tok, best_len = tok, len(tok)
+    rules = groups.get(best_tok if best_tok is not None else "*", None)
+    if rules is None:
+        rules = groups.get("*", [])
+    best_pri, best_allow = 0, True
+    for allow, pattern in rules:
+        pri = _robots_pattern_matches(pattern, path)
+        if pri > best_pri or (pri == best_pri and pri > 0 and allow and not best_allow):
+            best_pri, best_allow = pri, allow
+    return best_allow if best_pri > 0 else True
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Evaluate every URL against its host's robots.txt (RFC 9309):
+    adds a boolean `allowed` column. `urls` must carry url_col and
+    host_col; `robots` is one row per host (host_col, body_col).
+
+    Plan: the robots side is host-keyed and tiny relative to the URL
+    corpus — the join broadcasts when small (AQE's call); parsing is
+    memoized PER PANDAS BATCH via a host->rules dict, so a batch with
+    one hot host parses its robots.txt once, not per row. The matcher
+    is pure Python over Arrow batches (regex per rule) — the right
+    trade for a control-plane decision that gates the actual fetch
+    I/O."""
+    import pandas as pd
+
+    joined = urls.join(robots.select(host_col, body_col), host_col, "left")
+    cols = joined.columns
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields
+        if f.name != body_col
+    ) + ", allowed boolean"
+
+    def evaluate(batches):
+        for pdf in batches:
+            cache: dict = {}
+            out_allowed = []
+            for body, url in zip(pdf[body_col], pdf[url_col]):
+                if body is None:
+                    out_allowed.append(True)  # no robots.txt = allowed
+                    continue
+                if body not in cache:
+                    cache[body] = parse_robots_rules(body)
+                path = "/" + url.split("://", 1)[-1].split("/", 1)[-1] if "/" in url.split("://", 1)[-1] else "/"
+                out_allowed.append(robots_decision(cache[body], agent, path))
+            out = pdf.drop(columns=[body_col])
+            out["allowed"] = pd.Series(out_allowed, dtype="boolean")
+            yield out
+
+    return joined.mapInPandas(evaluate, schema)

@@ -1714,3 +1714,64 @@ def embedding_medoids(spark, sf_dir):
         .select("cluster", "medoid_id", F.round("avg_dist", 6).alias("avg_dist"))
         .orderBy("cluster")
     )
+
+
+@declared(
+    "robots_filter",
+    """WITH urls AS (SELECT doc_id, source,
+       '/' || lang || '/doc' || CAST(doc_id AS VARCHAR) AS path
+     FROM documents),
+hosts AS (SELECT DISTINCT source FROM documents),
+rules AS (
+  SELECT source, FALSE AS allow, '/de/' AS pattern FROM hosts
+  UNION ALL SELECT source, TRUE, '/de/doc1' FROM hosts
+  UNION ALL SELECT source, FALSE, '/es/doc' FROM hosts
+    WHERE CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 1),
+m AS (SELECT u.doc_id, r.allow, LENGTH(r.pattern) AS pri
+      FROM urls u JOIN rules r ON u.source = r.source
+       AND u.path LIKE r.pattern || '%'),
+best AS (SELECT doc_id, MAX(pri) AS mp FROM m GROUP BY doc_id),
+dec AS (SELECT m.doc_id, BOOL_OR(m.allow) AS allowed
+        FROM m JOIN best ON m.doc_id = best.doc_id AND m.pri = best.mp
+        GROUP BY m.doc_id)
+SELECT u.doc_id, u.path, COALESCE(dec.allowed, TRUE) AS allowed
+FROM urls u LEFT JOIN dec ON u.doc_id = dec.doc_id ORDER BY u.doc_id""",
+)
+def robots_filter_q(spark, sf_dir):
+    """RFC 9309 robots.txt evaluation (round 8,
+    operators/web.robots_filter): every synthesized page URL is gated
+    by its host's robots.txt for agent 'graftbot/1.0' — German pages
+    disallowed except the /de/doc1* prefix, Spanish doc pages
+    additionally blocked on odd-numbered hosts, a catch-all '*' group
+    that denies everything (and must NOT apply: the specific graftbot
+    group wins per §2.2.1). The full parser handles wildcards/$/group
+    merging (unit-tested against the RFC examples); the declared rules
+    here are prefix-only so the DuckDB oracle can replay the
+    longest-match + allow-on-tie decision with LIKE and lengths."""
+    from graph_db_clustering_spark.operators.web import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("/"), F.col("lang"), F.lit("/doc"), F.col("doc_id").cast("string")
+        ).alias("path"),
+    ).withColumn(
+        "url",
+        F.concat(F.lit("http://"), F.col("host"), F.lit(".example"), F.col("path")),
+    )
+    hosts = docs.select(F.col("source").alias("host")).distinct()
+    odd = (
+        F.regexp_extract(F.col("host"), r"(\d+)", 1).cast("int") % 2 == 1
+    )
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: graftbot\nDisallow: /de/\nAllow: /de/doc1\n"),
+            F.when(odd, F.lit("Disallow: /es/doc\n")).otherwise(F.lit("")),
+            F.lit("User-agent: *\nDisallow: /\n"),
+        ).alias("robots_txt"),
+    )
+    out = robots_filter(urls, robots, "graftbot/1.0")
+    return out.select("doc_id", "path", "allowed").orderBy("doc_id")

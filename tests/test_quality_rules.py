@@ -286,3 +286,67 @@ def test_column_stats_empty_frame(spark):
     got = {r.column: r for r in maintenance.column_stats(df, ["k", "s"]).collect()}
     assert got["k"].n_rows == 0 and got["k"].n_null == 0
     assert got["k"].n_distinct == 0 and got["k"].min_value is None
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309)
+# ---------------------------------------------------------------------------
+
+
+def test_robots_rfc_semantics():
+    """The RFC 9309 worked examples: longest-match, allow-on-tie,
+    wildcard + $ anchoring, group selection (specific beats *), merged
+    user-agent lines, empty Disallow, pre-group rules ignored."""
+    from graph_db_clustering_spark.operators.web import (
+        parse_robots_rules,
+        robots_decision,
+    )
+
+    g = parse_robots_rules(
+        "User-Agent: *\nAllow: /example/page/\nDisallow: /example/\n"
+    )
+    assert robots_decision(g, "FooBot", "/example/page/")
+    assert not robots_decision(g, "FooBot", "/example/other")
+    assert robots_decision(g, "FooBot", "/else")
+
+    tie = parse_robots_rules("User-agent: *\nAllow: /page\nDisallow: /page")
+    assert robots_decision(tie, "x", "/page")
+
+    star = parse_robots_rules("User-agent: *\nDisallow: /*.gif$")
+    assert not robots_decision(star, "x", "/a/pic.gif")
+    assert robots_decision(star, "x", "/a/pic.gif?x=1")
+
+    sel = parse_robots_rules(
+        "User-agent: googlebot\nDisallow: /private/\nUser-agent: *\nDisallow: /\n"
+    )
+    assert robots_decision(sel, "Googlebot/2.1", "/public")
+    assert not robots_decision(sel, "Googlebot/2.1", "/private/x")
+    assert not robots_decision(sel, "OtherBot", "/public")
+
+    merged = parse_robots_rules(
+        "User-agent: a\nUser-agent: b\nDisallow: /x\nUser-agent: c\nDisallow: /y\n"
+    )
+    assert not robots_decision(merged, "a", "/x")
+    assert not robots_decision(merged, "b", "/x")
+    assert robots_decision(merged, "b", "/y")
+    assert not robots_decision(merged, "c", "/y")
+    assert robots_decision(merged, "c", "/x")
+
+    loose = parse_robots_rules("Disallow: /ignored\nUser-agent: *\nDisallow:\n")
+    assert robots_decision(loose, "x", "/anything")
+
+
+def test_robots_filter_missing_robots_allows(spark):
+    """A host with no robots.txt row allows everything (left join ->
+    NULL body -> allowed)."""
+    from graph_db_clustering_spark.operators.web import robots_filter
+
+    urls = spark.createDataFrame(
+        [("h1", "http://h1/x", "/x"), ("h2", "http://h2/x", "/x")],
+        "host string, url string, path string",
+    )
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: *\nDisallow: /x")], "host string, robots_txt string"
+    )
+    got = {r.host: r.allowed for r in robots_filter(urls, robots, "bot").collect()}
+    assert got == {"h1": False, "h2": True}
