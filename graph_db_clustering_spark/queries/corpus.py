@@ -2091,3 +2091,94 @@ def events_seasonal(spark, sf_dir):
         )
         .orderBy("event_type", "dow")
     )
+
+
+@declared(
+    "events_mad",
+    """WITH med AS (SELECT event_type,
+       PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) AS m
+     FROM events GROUP BY event_type),
+dev AS (SELECT e.event_type, ABS(e.value - med.m) AS ad, med.m
+        FROM events e JOIN med ON e.event_type = med.event_type),
+mad AS (SELECT event_type, MAX(m) AS m,
+          PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+        FROM dev GROUP BY event_type)
+SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       ROUND(MAX(mad.mad), 4) AS mad
+FROM dev d JOIN mad ON d.event_type = mad.event_type
+WHERE d.ad > 3.5 * 1.4826 * mad.mad
+GROUP BY d.event_type ORDER BY d.event_type""",
+)
+def events_mad(spark, sf_dir):
+    """Robust outlier counts per event type via the median absolute
+    deviation (round 8): |x - median| > 3.5 * 1.4826 * MAD — the
+    estimator that survives the very outliers a stddev-based z-score
+    lets poison its own threshold (1.4826 scales MAD to sigma under
+    normality). Two grouped exact-percentile aggregates + one
+    type-keyed join back; the |types|-row medians frame broadcasts."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") > 3.5 * 1.4826 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_outliers"),
+            F.round(F.max("mad"), 4).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "user_streaks",
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+       FROM events),
+grp AS (SELECT user_id, d,
+       CAST(d AS DATE) - CAST(ROW_NUMBER() OVER
+         (PARTITION BY user_id ORDER BY d) AS INT) AS island
+     FROM days),
+streaks AS (SELECT user_id, island, COUNT(*) AS len, MIN(d) AS start_d
+            FROM grp GROUP BY user_id, island),
+best AS (SELECT user_id, MAX(len) AS longest FROM streaks GROUP BY user_id)
+SELECT s.user_id, CAST(b.longest AS BIGINT) AS longest_streak,
+       STRFTIME(MIN(s.start_d), '%Y-%m-%d') AS streak_start
+FROM streaks s JOIN best b ON s.user_id = b.user_id AND s.len = b.longest
+GROUP BY s.user_id, b.longest ORDER BY s.user_id""",
+)
+def user_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user (round 8): the
+    classic gaps-and-islands — date minus dense row number is constant
+    exactly within a run of consecutive days. Distinct (user, day),
+    one user-keyed window, two aggregates; earliest start wins a
+    length tie. At 100 TB the distinct collapses events to user-days
+    before anything else runs."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("d").alias("start_d")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("longest_streak"))
+    return (
+        streaks.join(best, "user_id")
+        .filter(F.col("len") == F.col("longest_streak"))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.date_format(F.min("start_d"), "yyyy-MM-dd").alias("streak_start"),
+        )
+        .select("user_id", "longest_streak", "streak_start")
+        .orderBy("user_id")
+    )

@@ -1775,3 +1775,41 @@ def robots_filter_q(spark, sf_dir):
     )
     out = robots_filter(urls, robots, "graftbot/1.0")
     return out.select("doc_id", "path", "allowed").orderBy("doc_id")
+
+
+@declared(
+    "frontier_schedule",
+    """WITH urls AS (SELECT doc_id, source AS host,
+       '/' || lang || '/doc' || CAST(doc_id AS VARCHAR) AS path
+     FROM documents),
+ranked AS (SELECT doc_id, host, path,
+       ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS slot
+     FROM urls)
+SELECT doc_id, host, path, CAST(slot AS BIGINT) AS slot,
+       CAST((slot - 1) * 2 AS BIGINT) AS fetch_offset_s
+FROM ranked ORDER BY host, slot""",
+)
+def frontier_schedule(spark, sf_dir):
+    """Politeness-scheduled crawl frontier (round 8): per-host fetch
+    slots with a 2-second delay between same-host requests — the
+    scheduling step between robots_filter and the fetch pool. One
+    host-partitioned window; hosts schedule independently, so the
+    shuffle is host-keyed and a million-host frontier parallelizes
+    per host (the hot-host ceiling is the politeness delay itself,
+    not the plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("/"), F.col("lang"), F.lit("/doc"), F.col("doc_id").cast("string")
+        ).alias("path"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        urls.withColumn("slot", F.row_number().over(w).cast("long"))
+        .withColumn("fetch_offset_s", ((F.col("slot") - 1) * 2).cast("long"))
+        .orderBy("host", "slot")
+    )
