@@ -2182,3 +2182,105 @@ def user_streaks(spark, sf_dir):
         .select("user_id", "longest_streak", "streak_start")
         .orderBy("user_id")
     )
+
+
+@declared(
+    "attribution",
+    """WITH p AS (SELECT user_id, event_id, ts FROM events
+       WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM events
+      WHERE event_type = 'click')
+SELECT p.user_id, p.event_id,
+  (SELECT c.click_id FROM c
+    WHERE c.user_id = p.user_id AND c.cts <= p.ts
+      AND c.cts >= p.ts - INTERVAL 7 DAY
+    ORDER BY c.cts DESC, c.click_id DESC LIMIT 1) AS click_id
+FROM p ORDER BY p.user_id, p.event_id""",
+)
+def attribution(spark, sf_dir):
+    """Last-touch attribution (round 8): each purchase credits the
+    user's most recent click within a 7-day lookback — the
+    marketing-analytics as-of pattern. One user-keyed equi-join with
+    a range predicate, then a max_by((ts, id)) argmax per purchase
+    (deterministic tie-break on the larger click id, matching the
+    oracle's ORDER BY ... DESC LIMIT 1); unattributed purchases stay
+    as NULL via the left join. Work is bounded by clicks-per-user per
+    purchase window, never a cross join."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    matched = (
+        p.join(c, "user_id")
+        .filter(
+            (F.col("cts") <= F.col("ts"))
+            & (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id", "event_id")
+        .agg(
+            F.max_by(
+                F.col("click_id"), F.struct(F.col("cts"), F.col("click_id"))
+            ).alias("click_id")
+        )
+    )
+    return (
+        p.join(matched, ["user_id", "event_id"], "left")
+        .select("user_id", "event_id", "click_id")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@declared(
+    "basket_lift",
+    """WITH baskets AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+       event_type FROM events),
+nb AS (SELECT COUNT(DISTINCT (user_id, d)) AS n
+       FROM baskets),
+sup AS (SELECT event_type, COUNT(*) AS s FROM baskets GROUP BY event_type),
+pairs AS (SELECT a.event_type AS x, b.event_type AS y, COUNT(*) AS sxy
+          FROM baskets a JOIN baskets b
+            ON a.user_id = b.user_id AND a.d = b.d
+           AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type)
+SELECT p.x, p.y, CAST(p.sxy AS BIGINT) AS n_both,
+       ROUND(p.sxy * 1.0 * nb.n / (sa.s * sb.s), 6) AS lift
+FROM pairs p JOIN sup sa ON p.x = sa.event_type
+     JOIN sup sb ON p.y = sb.event_type, nb
+ORDER BY p.x, p.y""",
+)
+def basket_lift(spark, sf_dir):
+    """Market-basket lift between event types co-occurring in the same
+    (user, day) basket (round 8): lift = P(x,y) / (P(x) P(y)) over
+    baskets — the association readout behind 'users who X also Y'.
+    The basket frame collapses events to distinct (user, day, type)
+    FIRST (the 100 TB reduction); the pair join is keyed by the
+    basket, so per-basket work is |types-in-basket|^2, bounded by the
+    type vocabulary, never raw event counts."""
+    e = _t(spark, sf_dir, "events")
+    baskets = e.select(
+        "user_id", F.col("ts").cast("date").alias("d"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "d").distinct().count()
+    sup = baskets.groupBy("event_type").agg(F.count("*").alias("s"))
+    a = baskets.select("user_id", "d", F.col("event_type").alias("x"))
+    b = baskets.select("user_id", "d", F.col("event_type").alias("y"))
+    pairs = (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("sxy"))
+    )
+    return (
+        pairs.join(F.broadcast(sup.select(F.col("event_type").alias("x"), F.col("s").alias("sa"))), "x")
+        .join(F.broadcast(sup.select(F.col("event_type").alias("y"), F.col("s").alias("sb"))), "y")
+        .select(
+            "x",
+            "y",
+            F.col("sxy").cast("long").alias("n_both"),
+            F.round(F.col("sxy") * F.lit(float(nb)) / (F.col("sa") * F.col("sb")), 6).alias("lift"),
+        )
+        .orderBy("x", "y")
+    )
