@@ -1813,3 +1813,57 @@ def frontier_schedule(spark, sf_dir):
         .withColumn("fetch_offset_s", ((F.col("slot") - 1) * 2).cast("long"))
         .orderBy("host", "slot")
     )
+
+
+@declared(
+    "cms_counts",
+    """WITH keys AS (SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR)
+       AS k FROM events),
+cells AS (SELECT t.j,
+    ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || k), 1, 8))::UBIGINT
+      % 64 AS b,
+    COUNT(*) AS c
+  FROM keys, generate_series(0, 3) t(j) GROUP BY t.j, b),
+ks AS (SELECT k, COUNT(*) AS exact FROM keys GROUP BY k),
+probes AS (SELECT ks.k, ks.exact, t.j,
+    ('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || ks.k), 1, 8))::UBIGINT
+      % 64 AS b
+  FROM ks, generate_series(0, 3) t(j)),
+est AS (SELECT p.k, MAX(p.exact) AS exact, MIN(COALESCE(cells.c, 0)) AS est
+        FROM probes p LEFT JOIN cells ON p.j = cells.j AND p.b = cells.b
+        GROUP BY p.k)
+SELECT k, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS cms_est,
+       CAST(est - exact AS BIGINT) AS overcount
+FROM est ORDER BY k""",
+)
+def cms_counts(spark, sf_dir):
+    """Count-Min Sketch frequency estimates (round 8,
+    operators/sketches): 4x64 deterministic-md5 sketch over
+    (event_type, user-decile) keys, estimates joined against exact
+    counts — overcount >= 0 on EVERY key is the CMS one-sided
+    guarantee made visible. Deterministic hashing means the oracle
+    rebuilds the identical sketch cell-for-cell; most CMS impls are
+    seeded-random and uncheckable from outside."""
+    from graph_db_clustering_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"), F.lit(":"), (F.col("user_id") % 10).cast("string")
+        ).alias("k")
+    )
+    cms = cms_build(e, "k")
+    exact = e.groupBy("k").agg(F.count("*").alias("exact"))
+    est = cms_estimate(exact.select("k"), cms, "k")
+    return (
+        exact.join(est, "k")
+        .select(
+            "k",
+            F.col("exact").cast("long").alias("exact"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact")).cast("long").alias("overcount"),
+        )
+        .orderBy("k")
+    )

@@ -277,3 +277,39 @@ def test_contingency_random_vs_numpy(spark):
         assert abs(r.chi2 - chi2) < 1e-9
         assert abs(r.mi - mi) < 1e-9
         assert abs(r.cramers_v - math.sqrt(chi2 / (n * (min(ka, kb) - 1)))) < 1e-9
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """CMS guarantees: estimate >= exact for EVERY key; a sketch built
+    on the whole equals the cell-wise sum of sketches built on splits
+    (mergeability); a narrow sketch still never undercounts."""
+    from graph_db_clustering_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(200)] + [("hot",)] * 100
+    df = spark.createDataFrame(rows, "k string")
+    exact = {r.k: r.c for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    for width in (64, 4):  # 4 forces collisions
+        cms = cms_build(df, "k", depth=4, width=width)
+        est = {
+            r.k: r.cms_est
+            for r in cms_estimate(
+                df.select("k").distinct(), cms, "k", depth=4, width=width
+            ).collect()
+        }
+        assert set(est) == set(exact)
+        for k in exact:
+            assert est[k] >= exact[k], (width, k)
+    a = spark.createDataFrame(rows[:150], "k string")
+    b = spark.createDataFrame(rows[150:], "k string")
+    merged = (
+        cms_build(a, "k").unionAll(cms_build(b, "k"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(df, "k")
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    want = {(r.row, r.bucket): r.cnt for r in whole.collect()}
+    assert got == want
