@@ -440,3 +440,93 @@ def ols_fit(df: DataFrame, feature_cols: list, target_col: str) -> dict:
         "r2": float(r2),
         "n": int(n),
     }
+
+
+def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """ROC AUC via the Mann-Whitney U statistic with exact tie
+    handling: AUC = [sum over distinct scores of pos_at * (negs_below
+    + negs_at / 2)] / (P * N). Returns one row
+    (n_pos long, n_neg long, auc double).
+
+    Plan: the data-sized work is ONE groupBy(score) counting positives
+    and negatives per distinct score; the cumulative pass runs over
+    the distinct-score frame (value-resolution bounded, same posture
+    as ks_statistic — swap in the range-partitioned prefix sum at
+    100 TB). No per-pair work: the U statistic makes the O(P*N)
+    pairwise definition a linear scan."""
+    counts = (
+        df.select(
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("p"),
+            F.sum(F.lit(1) - F.col("y")).alias("n"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "p",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("n_below"),
+    )
+    return (
+        cum.agg(
+            F.sum("p").alias("n_pos"),
+            F.sum("n").alias("n_neg"),
+            F.sum(F.col("p") * (F.col("n_below") + F.col("n") / 2.0)).alias("u"),
+        )
+        .select(
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            F.try_divide(F.col("u"), F.col("n_pos") * F.col("n_neg")).alias("auc"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    split_predicate,
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between the reference population
+    (rows where split_predicate is true) and the current one:
+    PSI = sum over bins of (p_cur - p_ref) * ln(p_cur / p_ref), with
+    bin edges the reference's exact quantiles and add-smoothing on the
+    counts so empty bins stay finite. The standard drift gate
+    (folklore thresholds: < 0.1 stable, > 0.25 drifted). Returns one
+    row (n_ref long, n_cur long, psi double).
+
+    Plan: one exact-percentile aggregate over the reference for the
+    n_bins-1 edges (collected — it's an O(bins) scalar list), then one
+    pass bucketing every row via a codegen CASE chain and one
+    bins-sized aggregate."""
+    tagged = df.select(
+        F.col(value_col).alias("v"), split_predicate.alias("is_ref")
+    )
+    ref = tagged.filter("is_ref")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = ref.agg(
+        F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("e")
+    ).first()["e"]
+    bin_expr = F.lit(0)
+    for e in edges:
+        bin_expr = bin_expr + F.when(F.col("v") > float(e), 1).otherwise(0)
+    binned = tagged.select("is_ref", bin_expr.alias("b"))
+    cells = binned.groupBy("b").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("r"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c"),
+    )
+    tot = cells.agg(F.sum("r").alias("nr"), F.sum("c").alias("nc")).first()
+    nr, nc = tot["nr"], tot["nc"]
+    k = float(smoothing)
+    pr = (F.col("r") + k) / F.lit(nr + k * n_bins)
+    pc = (F.col("c") + k) / F.lit(nc + k * n_bins)
+    return cells.agg(
+        F.lit(nr).cast("long").alias("n_ref"),
+        F.lit(nc).cast("long").alias("n_cur"),
+        F.sum((pc - pr) * F.log(pc / pr)).alias("psi"),
+    )

@@ -2284,3 +2284,73 @@ def basket_lift(spark, sf_dir):
         )
         .orderBy("x", "y")
     )
+
+
+@declared(
+    "doc_auc",
+    """WITH s AS (SELECT n_chars AS sc,
+       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+counts AS (SELECT sc, SUM(y) AS p, SUM(1 - y) AS n FROM s GROUP BY sc),
+cum AS (SELECT p, n,
+       SUM(n) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) - n AS nb
+     FROM counts)
+SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg,
+       ROUND(SUM(p * (nb + n / 2.0)) / (SUM(p) * SUM(n)), 6) AS auc
+FROM cum""",
+)
+def doc_auc(spark, sf_dir):
+    """ROC AUC of document length as an is-English classifier
+    (round 8, operators/stats.auc_score): the Mann-Whitney U form with
+    exact tie credit (ties count half) — no O(P*N) pair
+    materialization, one groupBy(score) plus a distinct-score
+    cumulative pass (ks_statistic's posture; range-partitioned prefix
+    sum is the 100 TB swap). AUC near 0.5 = length carries little
+    language signal, which is itself the check: both engines must
+    agree to 6 decimals on a statistic built from every rank."""
+    from graph_db_clustering_spark.operators.stats import auc_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return auc_score(d, "n_chars", "y").select(
+        "n_pos", "n_neg", F.round("auc", 6).alias("auc")
+    )
+
+
+@declared(
+    "events_psi",
+    """WITH t AS (SELECT value AS v,
+       ts < TIMESTAMP '2024-01-15' AS is_ref FROM events),
+e AS (SELECT UNNEST(quantile_cont(v,
+       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS edge
+     FROM t WHERE is_ref),
+g AS (SELECT v, is_ref, COUNT(*) AS cnt FROM t GROUP BY v, is_ref),
+bg AS (SELECT g.is_ref, g.cnt,
+       SUM(CASE WHEN g.v > e.edge THEN 1 ELSE 0 END) AS bin
+     FROM g CROSS JOIN e GROUP BY g.v, g.is_ref, g.cnt),
+cells AS (SELECT bin,
+       SUM(CASE WHEN is_ref THEN cnt ELSE 0 END) AS r,
+       SUM(CASE WHEN NOT is_ref THEN cnt ELSE 0 END) AS c
+     FROM bg GROUP BY bin),
+tot AS (SELECT SUM(r) AS nr, SUM(c) AS nc FROM cells)
+SELECT CAST(tot.nr AS BIGINT) AS n_ref, CAST(tot.nc AS BIGINT) AS n_cur,
+       ROUND(SUM(((c + 0.5) / (tot.nc + 5.0) - (r + 0.5) / (tot.nr + 5.0))
+             * LN(((c + 0.5) / (tot.nc + 5.0))
+                  / ((r + 0.5) / (tot.nr + 5.0)))), 6) AS psi
+FROM cells, tot GROUP BY tot.nr, tot.nc""",
+)
+def events_psi(spark, sf_dir):
+    """Population Stability Index of event values, first two weeks of
+    January as the reference population vs the rest (round 8,
+    operators/stats.psi_drift): decile bins from the reference's EXACT
+    quantiles, add-0.5 smoothing so empty bins stay finite — the
+    standard model-input drift gate (<0.1 stable, >0.25 drifted).
+    One exact-percentile aggregate for the 9 edges, one codegen CASE
+    bucketing pass, one bins-sized aggregate."""
+    from graph_db_clustering_spark.operators.stats import psi_drift
+
+    e = _t(spark, sf_dir, "events")
+    out = psi_drift(
+        e, "value", F.col("ts") < F.lit("2024-01-15").cast("timestamp"), 10, 0.5
+    )
+    return out.select("n_ref", "n_cur", F.round("psi", 6).alias("psi"))

@@ -313,3 +313,71 @@ def test_cms_one_sided_and_mergeable(spark):
     got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
     want = {(r.row, r.bucket): r.cnt for r in whole.collect()}
     assert got == want
+
+
+def test_auc_known_values(spark):
+    """Perfect separation -> 1.0; reversed -> 0.0; all ties -> 0.5;
+    a hand-computed mixed case with a tie."""
+    from graph_db_clustering_spark.operators.stats import auc_score
+
+    perfect = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int"
+    )
+    assert auc_score(perfect, "s", "y").first().auc == 1.0
+    reverse = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)], "s double, y int"
+    )
+    assert auc_score(reverse, "s", "y").first().auc == 0.0
+    ties = spark.createDataFrame(
+        [(5.0, 1), (5.0, 0), (5.0, 1), (5.0, 0)], "s double, y int"
+    )
+    assert auc_score(ties, "s", "y").first().auc == 0.5
+    # pos scores {2, 3}, neg {1, 3}: pairs (2>1)=1, (2 vs 3)=0,
+    # (3>1)=1, (3==3)=0.5 -> U=2.5, AUC=2.5/4
+    mixed = spark.createDataFrame(
+        [(2.0, 1), (3.0, 1), (1.0, 0), (3.0, 0)], "s double, y int"
+    )
+    r = mixed_r = auc_score(mixed, "s", "y").first()
+    assert r.n_pos == 2 and r.n_neg == 2
+    assert abs(mixed_r.auc - 0.625) < 1e-12
+
+
+def test_auc_matches_pairwise_reference(spark):
+    """Randomized cross-check vs the O(P*N) pairwise definition."""
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        from graph_db_clustering_spark.operators.stats import auc_score
+
+        s = rng.integers(0, 12, 80).astype(float)
+        y = rng.integers(0, 2, 80)
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(s, y)], "s double, y int"
+        )
+        pos, neg = s[y == 1], s[y == 0]
+        want = (
+            (pos[:, None] > neg[None, :]).sum()
+            + 0.5 * (pos[:, None] == neg[None, :]).sum()
+        ) / (len(pos) * len(neg))
+        got = auc_score(df, "s", "y").first().auc
+        assert abs(got - want) < 1e-12, trial
+
+
+def test_psi_identical_and_shifted(spark):
+    """Same distribution both sides -> PSI ~ 0 (smoothing keeps it
+    tiny, not exactly 0); a hard mean shift -> large PSI."""
+    from graph_db_clustering_spark.operators.stats import psi_drift
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(50, 10, 2000)
+    same = spark.createDataFrame(
+        [(float(v), i < 1000) for i, v in enumerate(base)], "v double, ref boolean"
+    )
+    r = psi_drift(same, "v", F.col("ref")).first()
+    assert r.n_ref == 1000 and r.n_cur == 1000
+    assert abs(r.psi) < 0.05
+    shifted = spark.createDataFrame(
+        [(float(v), True) for v in base[:1000]]
+        + [(float(v + 30), False) for v in base[1000:]],
+        "v double, ref boolean",
+    )
+    assert psi_drift(shifted, "v", F.col("ref")).first().psi > 0.5
