@@ -2354,3 +2354,133 @@ def events_psi(spark, sf_dir):
         e, "value", F.col("ts") < F.lit("2024-01-15").cast("timestamp"), 10, 0.5
     )
     return out.select("n_ref", "n_cur", F.round("psi", 6).alias("psi"))
+
+
+@declared(
+    "customer_gini",
+    """WITH spend AS (SELECT o_custkey, SUM(o_totalprice) AS x
+       FROM orders GROUP BY o_custkey),
+ranked AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+             COUNT(*) OVER () AS n, SUM(x) OVER () AS tot
+           FROM spend)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(2.0 * SUM(i * x) / (MAX(n) * MAX(tot))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+FROM ranked""",
+)
+def customer_gini(spark, sf_dir):
+    """Gini coefficient of customer spend concentration (round 8): the
+    closed rank form G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over
+    ascending-sorted totals — the inequality readout behind 'top 20%
+    of customers drive X% of revenue'. The data-sized work is one
+    groupBy(custkey); the rank window runs over the customer-sized
+    aggregate (same posture as customer_rfm, with the same
+    approx-quantile swap at billions of customers)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = spend.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("x").over(Window.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@declared(
+    "doc_readability",
+    """WITH m AS (SELECT doc_id,
+    ARRAY_LENGTH(regexp_extract_all(LOWER(text), '[a-z]+')) AS words,
+    GREATEST(ARRAY_LENGTH(regexp_extract_all(text, '[.!?]+')), 1)
+      AS sentences,
+    ARRAY_LENGTH(regexp_extract_all(LOWER(text), '[aeiouy]+')) AS syllables
+  FROM documents)
+SELECT doc_id, CAST(words AS BIGINT) AS words,
+       CAST(sentences AS BIGINT) AS sentences,
+       CAST(syllables AS BIGINT) AS syllables,
+       ROUND(206.835 - 1.015 * words / sentences
+             - 84.6 * syllables / GREATEST(words, 1), 4) AS flesch
+FROM m WHERE words > 0 ORDER BY doc_id""",
+)
+def doc_readability(spark, sf_dir):
+    """Flesch reading-ease per document (round 8): 206.835 -
+    1.015*(words/sentences) - 84.6*(syllables/words), with the
+    standard vowel-group syllable heuristic — the readability axis of
+    text-quality filtering (too-hard and too-trivial text both
+    correlate with low training value). Three regexp_extract_all
+    counts in one codegen pass; both engines run the identical
+    regexes."""
+    d = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    words = F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), F.lit(0)))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    syllables = F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), F.lit(0)))
+    return (
+        d.select(
+            "doc_id",
+            words.cast("long").alias("words"),
+            sentences.cast("long").alias("sentences"),
+            syllables.cast("long").alias("syllables"),
+        )
+        .filter(F.col("words") > 0)
+        .select(
+            "doc_id",
+            "words",
+            "sentences",
+            "syllables",
+            F.round(
+                206.835
+                - 1.015 * F.col("words") / F.col("sentences")
+                - 84.6 * F.col("syllables") / F.greatest(F.col("words"), F.lit(1)),
+                4,
+            ).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared(
+    "corpus_zipf",
+    """WITH terms AS (SELECT UNNEST(string_split_regex(LOWER(TRIM(text)),
+       '\\s+')) AS w FROM documents),
+freq AS (SELECT w, COUNT(*) AS f FROM terms WHERE w <> '' GROUP BY w),
+ranked AS (SELECT LN(ROW_NUMBER() OVER (ORDER BY f DESC, w)) AS lr,
+             LN(f) AS lf
+           FROM freq)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(COVAR_POP(lr, lf) / VAR_POP(lr), 4) AS zipf_slope,
+       ROUND(POWER(CORR(lr, lf), 2), 4) AS r2
+FROM ranked""",
+)
+def corpus_zipf(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary (round 8): OLS slope
+    of ln(frequency) on ln(rank) — natural text sits near -1; token
+    salad and boilerplate-heavy corpora bend away, making the slope a
+    corpus-health readout. One term-count aggregate (the data-sized
+    work), one vocabulary-sized rank window, closed-form cov/var
+    slope — no iteration."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = terms.groupBy("w").agg(F.count("*").alias("f"))
+    w = Window.orderBy(F.desc("f"), "w")
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("f").cast("double")).alias("lf"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 4).alias("zipf_slope"),
+        F.round(F.pow(F.corr("lr", "lf"), 2), 4).alias("r2"),
+    )
