@@ -329,7 +329,11 @@ def ks_statistic_scale(
 
 
 def cluster_medoids(
-    df: DataFrame, id_col: str, vec_col: str, label_col: str
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    sample_per_cluster: int | None = None,
 ) -> DataFrame:
     """Medoid per cluster: the member minimizing the SUM of euclidean
     distances to its cluster's other members — k-medoids' (PAM) update
@@ -340,15 +344,33 @@ def cluster_medoids(
     is quadratic in CLUSTER size, never corpus size — exactly PAM's
     stated cost. The distance is a zip_with/aggregate codegen
     expression; per-member sums partial-aggregate map-side and the
-    final argmin is one min_by struct per cluster. For web-scale
-    clusters use CLARA-style sampling per cluster first (the published
-    mitigation); the join shape is unchanged."""
-    a = df.select(
+    final argmin is one min_by struct per cluster.
+
+    ``sample_per_cluster``: the CLARA bound (Kaufman & Rousseeuw 1990)
+    made real — each cluster is first cut to its m members with the
+    smallest Knuth-hash key (deterministic, partitioning-invariant,
+    the repo's k-sample idiom), and the medoid is chosen among and
+    against the sample, capping pair work at k*m^2 regardless of
+    cluster size. Exact (None) and any m >= cluster size coincide —
+    test-pinned."""
+    base = df
+    if sample_per_cluster is not None:
+        from graph_db_clustering_spark.operators.kmeans import KNUTH, MOD
+
+        wsamp = Window.partitionBy(label_col).orderBy(
+            (F.col(id_col) * F.lit(KNUTH)) % F.lit(MOD), F.col(id_col)
+        )
+        base = (
+            df.withColumn("__rk", F.row_number().over(wsamp))
+            .filter(F.col("__rk") <= sample_per_cluster)
+            .drop("__rk")
+        )
+    a = base.select(
         F.col(label_col).alias("l"),
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),
     )
-    b = df.select(
+    b = base.select(
         F.col(label_col).alias("l"),
         F.col(id_col).alias("id2"),
         F.col(vec_col).alias("v2"),

@@ -714,3 +714,76 @@ def test_bipartite_project_invariant_at_10x_hub_scale(spark):
     assert got.n_pairs == n_items
     assert got.sum_common == n_items and got.max_common == 1
     assert got.key_sum == sum(2 * j + 1 for j in range(n_items))
+
+
+def test_basket_lift_hot_basket_bounded_by_vocab(spark):
+    """basket_lift's pair join is keyed by (user, day): a single hot
+    basket containing EVERY event type contributes |vocab|^2 pairs,
+    not events^2 — 10x more raw events in the hot basket must not
+    change the result at all (the distinct collapse runs first)."""
+    import datetime
+
+    from graph_db_clustering_spark.queries.corpus import QUERIES
+
+    t0 = datetime.datetime(2024, 3, 1)
+    types = [f"t{i}" for i in range(8)]
+
+    def events(rep):
+        rows = []
+        eid = 0
+        # hot user 1: every type, `rep` duplicate events per type
+        for t in types:
+            for _ in range(rep):
+                rows.append((eid, t0, 1, t, 1.0, "{}")); eid += 1
+        # background users with two types each
+        for u in range(2, 30):
+            rows.append((eid, t0, u, types[u % 4], 1.0, "{}")); eid += 1
+            rows.append((eid, t0, u, types[4 + u % 4], 1.0, "{}")); eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    import tempfile
+
+    outs = []
+    for rep in (1, 10):
+        with tempfile.TemporaryDirectory() as d:
+            events(rep).write.parquet(d + "/events.parquet")
+            outs.append(
+                sorted(
+                    (r.x, r.y, r.n_both, r.lift)
+                    for r in QUERIES["basket_lift"](spark, d).collect()
+                )
+            )
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_attribution_hot_user_invariant_under_repartition(spark):
+    """attribution's per-purchase argmax must be deterministic for a
+    hot user with many equal-timestamp clicks (max_by struct tie-break
+    on the larger click id), regardless of partitioning."""
+    import datetime
+    import tempfile
+
+    from graph_db_clustering_spark.queries.corpus import QUERIES
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for _ in range(200):  # 200 clicks at the SAME instant
+        rows.append((eid, t0, 7, "click", 1.0, "{}")); eid += 1
+    rows.append((eid, t0 + datetime.timedelta(hours=1), 7, "purchase", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = []
+    for parts in (1, 13):
+        with tempfile.TemporaryDirectory() as d:
+            df.repartition(parts).write.parquet(d + "/events.parquet")
+            got.append([tuple(r) for r in QUERIES["attribution"](spark, d).collect()])
+    assert got[0] == got[1]
+    assert got[0][0][2] == 199  # the largest click id wins the tie

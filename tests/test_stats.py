@@ -381,3 +381,25 @@ def test_psi_identical_and_shifted(spark):
         "v double, ref boolean",
     )
     assert psi_drift(shifted, "v", F.col("ref")).first().psi > 0.5
+
+
+def test_cluster_medoids_clara_sampling(spark):
+    """sample_per_cluster >= cluster size coincides with exact; a
+    small sample is deterministic under hostile repartitioning and
+    still a cluster member near the center for a tight blob."""
+    from graph_db_clustering_spark.operators.stats import cluster_medoids
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), (rng.normal(c * 10, 0.5, 3)).tolist(), int(c))
+        for c in (0, 1)
+        for i in range(c * 100, c * 100 + 40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+    exact = {r.cluster: r.medoid_id for r in cluster_medoids(df, "vec_id", "embedding", "cluster").collect()}
+    full = {r.cluster: r.medoid_id for r in cluster_medoids(df, "vec_id", "embedding", "cluster", sample_per_cluster=1000).collect()}
+    assert exact == full
+    s1 = {r.cluster: r.medoid_id for r in cluster_medoids(df, "vec_id", "embedding", "cluster", sample_per_cluster=10).collect()}
+    s2 = {r.cluster: r.medoid_id for r in cluster_medoids(df.repartition(13), "vec_id", "embedding", "cluster", sample_per_cluster=10).collect()}
+    assert s1 == s2
+    assert 0 <= s1[0] < 40 and 100 <= s1[1] < 140  # a member of its cluster
