@@ -295,3 +295,73 @@ def interval_overlap_join(
         .distinct()
         .drop("__ls", "__le", "__rs", "__re")
     )
+
+
+def grid_radius_join(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+) -> DataFrame:
+    """All pairs of points within euclidean `radius` in 2-D, by grid
+    bucketing: each point lands in cell (floor(x/r), floor(y/r)); a
+    point can only be within r of points in its own or the 8 adjacent
+    cells, so the probe side replicates 9x onto those cells and joins
+    the build side's SINGLE home cell — an equi-join on the cell key,
+    never a cross join. Each unordered pair is found exactly once: it
+    surfaces from the lower-id endpoint's probe (probe.id < build.id
+    filters the mirror image), so no distinct pass is needed. Returns
+    (id1, id2, dist) with id1 < id2.
+
+    The 2-D analog of range_join's 1-D bucketing, and the standard
+    spatial-join shape: per-cell work is bounded by cell occupancy
+    (~density * r^2), shuffles are keyed by cell, and a dense hot cell
+    degrades to its own occupancy squared — the semantics' true cost —
+    without touching any other cell."""
+    r = float(radius)
+    cx = F.floor(F.col(x_col) / r).cast("long")
+    cy = F.floor(F.col(y_col) / r).cast("long")
+    home = points.select(
+        F.col(id_col).alias("id2"),
+        F.col(x_col).alias("x2"),
+        F.col(y_col).alias("y2"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = (
+        points.select(
+            F.col(id_col).alias("id1"),
+            F.col(x_col).alias("x1"),
+            F.col(y_col).alias("y1"),
+            cx.alias("pcx"),
+            cy.alias("pcy"),
+        )
+        .select("*", F.explode(offsets).alias("o"))
+        .select(
+            "id1",
+            "x1",
+            "y1",
+            (F.col("pcx") + F.col("o.dx")).alias("cx"),
+            (F.col("pcy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    dx = F.col("x1") - F.col("x2")
+    dy = F.col("y1") - F.col("y2")
+    # explicit products, not pow(): IEEE multiply and sqrt are exactly
+    # rounded in every engine, while pow(x, 2) may differ in the last
+    # ulp between libm implementations (breaks cross-engine checks)
+    d2 = dx * dx + dy * dy
+    return (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.sqrt(d2).alias("dist"))
+        .filter(F.col("dist") <= r)
+    )

@@ -1867,3 +1867,37 @@ def cms_counts(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+@declared(
+    "spatial_pairs",
+    """WITH pts AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+       CAST(embedding[2] AS DOUBLE) AS y FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)), 6)
+         AS dist
+FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+WHERE SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 0.05
+ORDER BY id1, id2""",
+)
+def spatial_pairs(spark, sf_dir):
+    """Grid-bucketed 2-D radius join (round 8,
+    operators/joins.grid_radius_join) over the first two embedding
+    dimensions: all pairs within L2 0.05. The engine probes 9 grid
+    cells per point and equi-joins on the cell key — per-cell work is
+    occupancy-bounded, no cross join anywhere; the oracle brute-forces
+    the O(N^2) theta join to certify every pair found and none
+    invented."""
+    from graph_db_clustering_spark.operators.joins import grid_radius_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    return (
+        grid_radius_join(pts, "vec_id", "x", "y", 0.05)
+        .select("id1", "id2", F.round("dist", 6).alias("dist"))
+        .orderBy("id1", "id2")
+    )

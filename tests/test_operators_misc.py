@@ -854,3 +854,32 @@ def test_weighted_sample_bias_and_invariance(spark):
     a = [r.id for r in weighted_sample(df, "id", "w", 20, seed=5).collect()]
     b = [r.id for r in weighted_sample(df.repartition(17), "id", "w", 20, seed=5).collect()]
     assert a == b
+
+
+def test_grid_radius_join_exact_and_boundary(spark):
+    """Grid join == brute force on random points (every pair found
+    once, none invented), including pairs straddling cell boundaries
+    and the dist == radius edge."""
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(0, 1, size=(120, 2))
+    pts[5] = [0.0999999, 0.5]   # straddle: cells differ, dist < r
+    pts[6] = [0.1000001, 0.5]
+    pts[7] = [0.30, 0.5]        # exactly r from pts[8] -> included
+    pts[8] = [0.35, 0.5]
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "id long, x double, y double",
+    )
+    from graph_db_clustering_spark.operators.joins import grid_radius_join
+
+    r = 0.05
+    got = {
+        (row.id1, row.id2) for row in grid_radius_join(df, "id", "x", "y", r).collect()
+    }
+    want = set()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            if float(np.sqrt(((pts[i] - pts[j]) ** 2).sum())) <= r:
+                want.add((i, j))
+    assert got == want
+    assert (5, 6) in got and (7, 8) in got
