@@ -552,3 +552,72 @@ def psi_drift(
         F.lit(nc).cast("long").alias("n_cur"),
         F.sum((pc - pr) * F.log(pc / pr)).alias("psi"),
     )
+
+
+def dbscan_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int,
+) -> DataFrame:
+    """Distributed DBSCAN over 2-D points (Ester et al. 1996), the
+    deterministic DBSCAN* border variant: core points have >= min_pts
+    neighbors within eps (the point itself counts); clusters are the
+    connected components of the core-core eps-graph, labeled by their
+    minimum core id; a border (non-core) point joins the MINIMUM-label
+    cluster among its core neighbors (classic DBSCAN leaves border
+    assignment scan-order-dependent — the min rule makes it a pure
+    function of the data); everything else is noise (label -1).
+    Returns (id_col, label long, is_core boolean).
+
+    Composition of two scale-shaped primitives: the eps-neighbor pairs
+    come from joins.grid_radius_join (cell-keyed equi-join, occupancy-
+    bounded) and the clustering from graph_algos.connected_components
+    (min-label propagation, O(cluster diameter) rounds). No new
+    shuffle shapes — that's the point: DBSCAN at 100 TB is exactly a
+    spatial join plus a components pass."""
+    from graph_db_clustering_spark.operators.graph import Graph
+    from graph_db_clustering_spark.operators.graph_algos import (
+        connected_components,
+    )
+    from graph_db_clustering_spark.operators.joins import grid_radius_join
+
+    pts = points.select(F.col(id_col).alias("id"), x_col, y_col)
+    pairs = grid_radius_join(pts, "id", x_col, y_col, eps).select("id1", "id2")
+    und = pairs.unionAll(
+        pairs.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    )
+    ncount = und.groupBy(F.col("id1").alias("id")).agg(
+        (F.count("*") + 1).alias("n")
+    )
+    flagged = pts.select("id").join(ncount, "id", "left").select(
+        "id", (F.coalesce("n", F.lit(1)) >= min_pts).alias("is_core")
+    )
+    cores = flagged.filter("is_core").select("id")
+    core_edges = (
+        und.join(cores.withColumnRenamed("id", "id1"), "id1", "left_semi")
+        .join(cores.withColumnRenamed("id", "id2"), "id2", "left_semi")
+        .select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .withColumn("relationship", F.lit("eps"))
+    )
+    comp = connected_components(Graph(cores.select(F.col("id")), core_edges))
+    border = (
+        und.join(flagged.filter(~F.col("is_core")).select("id").withColumnRenamed("id", "id1"), "id1", "left_semi")
+        .join(
+            comp.select(F.col("id").alias("id2"), F.col("component")),
+            "id2",
+        )
+        .groupBy(F.col("id1").alias("id"))
+        .agg(F.min("component").alias("blabel"))
+    )
+    return (
+        flagged.join(comp.select("id", "component"), "id", "left")
+        .join(border, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", "blabel", F.lit(-1)).cast("long").alias("label"),
+            "is_core",
+        )
+    )

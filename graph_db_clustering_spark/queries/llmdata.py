@@ -1901,3 +1901,57 @@ def spatial_pairs(spark, sf_dir):
         .select("id1", "id2", F.round("dist", 6).alias("dist"))
         .orderBy("id1", "id2")
     )
+
+
+@declared(
+    "dbscan_embed",
+    """WITH RECURSIVE
+pts AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+e AS (SELECT a.vec_id AS ex, b.vec_id AS ey FROM pts a JOIN pts b
+      ON a.vec_id <> b.vec_id
+     AND SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 0.02),
+nc AS (SELECT ex, COUNT(*) + 1 AS n FROM e GROUP BY ex),
+core AS (SELECT p.vec_id FROM pts p LEFT JOIN nc ON p.vec_id = nc.ex
+         WHERE COALESCE(nc.n, 1) >= 5),
+ce AS (SELECT e.ex, e.ey FROM e
+       JOIN core c1 ON e.ex = c1.vec_id JOIN core c2 ON e.ey = c2.vec_id),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM core
+  UNION
+  SELECT r.a, ce.ey FROM reach r JOIN ce ON r.b = ce.ex),
+comp AS (SELECT a AS vec_id, MIN(b) AS label FROM reach GROUP BY a),
+border AS (SELECT e.ex AS vec_id, MIN(comp.label) AS label
+           FROM e JOIN comp ON e.ey = comp.vec_id
+           WHERE e.ex NOT IN (SELECT vec_id FROM core)
+           GROUP BY e.ex)
+SELECT p.vec_id, CAST(COALESCE(c.label, b.label, -1) AS BIGINT) AS label,
+       (c.vec_id IS NOT NULL) AS is_core
+FROM pts p LEFT JOIN comp c ON p.vec_id = c.vec_id
+     LEFT JOIN border b ON p.vec_id = b.vec_id
+ORDER BY p.vec_id""",
+)
+def dbscan_embed(spark, sf_dir):
+    """Distributed DBSCAN (round 8, operators/stats.dbscan_2d) over
+    the first two embedding dimensions, eps 0.02 / min_pts 5: the
+    deterministic DBSCAN* border variant — clusters are min-id-labeled
+    components of the core-core eps-graph, borders join their
+    minimum-label core neighbor, noise is -1. The engine composes
+    grid_radius_join (cell-keyed neighbor pairs) with
+    connected_components (min-label propagation); the oracle
+    re-derives everything from the brute-force neighbor join and a
+    RECURSIVE transitive closure — an iterative graph algorithm
+    certified by SQL's one recursive construct."""
+    from graph_db_clustering_spark.operators.stats import dbscan_2d
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    return (
+        dbscan_2d(pts, "vec_id", "x", "y", 0.02, 5)
+        .select("vec_id", "label", "is_core")
+        .orderBy("vec_id")
+    )

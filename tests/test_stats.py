@@ -403,3 +403,35 @@ def test_cluster_medoids_clara_sampling(spark):
     s2 = {r.cluster: r.medoid_id for r in cluster_medoids(df.repartition(13), "vec_id", "embedding", "cluster", sample_per_cluster=10).collect()}
     assert s1 == s2
     assert 0 <= s1[0] < 40 and 100 <= s1[1] < 140  # a member of its cluster
+
+
+def test_dbscan_blobs_border_and_noise(spark):
+    """Two tight blobs + one isolated point: blobs become two clusters
+    labeled by their min core id, the straggler is noise (-1); a
+    border point within eps of cores from ONE blob joins that blob
+    without being core itself."""
+    from graph_db_clustering_spark.operators.stats import dbscan_2d
+
+    rng = np.random.default_rng(13)
+    blob_a = rng.uniform(0, 0.01, size=(10, 2))
+    blob_b = rng.uniform(0, 0.01, size=(10, 2)) + 5.0
+    rows = (
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(blob_a)]
+        + [(100 + i, float(x), float(y)) for i, (x, y) in enumerate(blob_b)]
+        + [(500, 2.5, 2.5)]                 # noise
+        + [(501, float(blob_a[0][0] + 0.018), float(blob_a[0][1]))]  # border-ish
+    )
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r.id: (r.label, r.is_core) for r in dbscan_2d(df, "id", "x", "y", 0.02, 5).collect()}
+    assert got[500] == (-1, False)
+    labels_a = {got[i][0] for i in range(10)}
+    labels_b = {got[100 + i][0] for i in range(10)}
+    assert labels_a == {0} and labels_b == {100}
+    assert all(got[i][1] for i in range(10))
+    assert got[501][0] == 0  # joins blob A via a core neighbor
+    # invariance under hostile repartition
+    got2 = {
+        r.id: (r.label, r.is_core)
+        for r in dbscan_2d(df.repartition(7), "id", "x", "y", 0.02, 5).collect()
+    }
+    assert got2 == got
