@@ -1955,3 +1955,110 @@ def dbscan_embed(spark, sf_dir):
         .select("vec_id", "label", "is_core")
         .orderBy("vec_id")
     )
+
+
+@declared(
+    "knn_outliers",
+    """WITH pts AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+        CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+d AS (SELECT a.vec_id,
+        SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+      FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, dist,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, vec_id) AS rn
+      FROM d)
+SELECT vec_id, ROUND(dist, 6) AS knn_dist
+FROM r WHERE rn = 5 ORDER BY knn_dist DESC, vec_id LIMIT 20""",
+)
+def knn_outliers(spark, sf_dir):
+    """k-distance outlier scores (round 8): each point's distance to
+    its 5th nearest neighbor in the 2-D projection — the classic
+    density-based outlier readout (kNN outlier detection, Ramaswamy et
+    al. 2000); the top-20 list is the triage queue. The engine finds
+    5-NN WITHOUT the O(N^2) join: grid_radius_join at an eps chosen to
+    cover 5 neighbors everywhere (radius doubling would make this
+    adaptive), then a per-point k-th-smallest aggregate and a global
+    TakeOrdered top-20. The oracle brute-forces all pairs to certify
+    the same 5th distances."""
+    from graph_db_clustering_spark.operators.joins import grid_radius_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    # eps wide enough that every point has >= 5 neighbors inside
+    # (validated by the oracle match: a too-small eps would LOSE
+    # neighbors and inflate knn_dist)
+    pairs = grid_radius_join(pts, "vec_id", "x", "y", 0.6)
+    und = pairs.unionAll(
+        pairs.select(
+            F.col("id2").alias("id1"), F.col("id1").alias("id2"), "dist"
+        )
+    )
+    kth = (
+        und.groupBy(F.col("id1").alias("vec_id"))
+        .agg(F.sort_array(F.collect_list("dist")).alias("ds"))
+        .select("vec_id", F.element_at("ds", 5).alias("knn_dist"))
+    )
+    return (
+        kth.select("vec_id", F.round("knn_dist", 6).alias("knn_dist"))
+        .orderBy(F.desc("knn_dist"), "vec_id")
+        .limit(20)
+    )
+
+
+@declared(
+    "item_cooccurrence",
+    """WITH ui AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+cnt AS (SELECT i, COUNT(*) AS n FROM ui GROUP BY i),
+co AS (SELECT a.i AS i1, b.i AS i2, COUNT(*) AS nb
+       FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+       GROUP BY a.i, b.i),
+scored AS (SELECT co.i1, co.i2, co.nb,
+       co.nb / SQRT(c1.n * 1.0 * c2.n) AS cosine
+     FROM co JOIN cnt c1 ON co.i1 = c1.i JOIN cnt c2 ON co.i2 = c2.i)
+SELECT i1, i2, CAST(nb AS BIGINT) AS n_both, ROUND(cosine, 6) AS cosine
+FROM scored ORDER BY cosine DESC, i1, i2 LIMIT 100""",
+)
+def item_cooccurrence(spark, sf_dir):
+    """Item-item collaborative filtering (round 8): cosine similarity
+    over binary user-item vectors — cooc / sqrt(n_a * n_b) — the
+    'customers who bought X also bought Y' readout. The user-item
+    frame collapses to DISTINCT (customer, part) first; the pair join
+    is keyed by customer, so per-user work is basket-size squared (cap
+    hot baskets by sampling at web scale — same guard family as
+    link prediction's max_center_degree); top-100 plans as
+    TakeOrdered."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    cnt = ui.groupBy("i").agg(F.count("*").alias("n"))
+    a = ui.select("u", F.col("i").alias("i1"))
+    b = ui.select("u", F.col("i").alias("i2"))
+    co = (
+        a.join(b, "u")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        co.join(cnt.select(F.col("i").alias("i1"), F.col("n").alias("n1")), "i1")
+        .join(cnt.select(F.col("i").alias("i2"), F.col("n").alias("n2")), "i2")
+        .select(
+            "i1",
+            "i2",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both") / F.sqrt(F.col("n1") * 1.0 * F.col("n2")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "i1", "i2")
+        .limit(100)
+    )
