@@ -2484,3 +2484,121 @@ def corpus_zipf(spark, sf_dir):
         F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 4).alias("zipf_slope"),
         F.round(F.pow(F.corr("lr", "lf"), 2), 4).alias("r2"),
     )
+
+
+@declared(
+    "conversion_lag",
+    """WITH f AS (SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+  FROM events GROUP BY user_id),
+lag AS (SELECT (epoch_us(first_buy) - epoch_us(first_view)) / 3600e6
+          AS hours
+        FROM f WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+          AND first_buy >= first_view)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY hours), 4) AS p50_h,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY hours), 4) AS p90_h,
+       ROUND(AVG(hours), 4) AS mean_h
+FROM lag""",
+)
+def conversion_lag(spark, sf_dir):
+    """Time-to-convert distribution (round 8): hours from a user's
+    first view to their first purchase (converters only, purchase not
+    before view), summarized as p50/p90/mean — the funnel-latency
+    readout. One conditional-min aggregate per user, one exact
+    percentile pass over the users-sized lag frame; epoch microseconds
+    feed both engines identical doubles."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fb"),
+    )
+    lag = (
+        f.filter(
+            F.col("fv").isNotNull()
+            & F.col("fb").isNotNull()
+            & (F.col("fb") >= F.col("fv"))
+        )
+        .select(
+            ((F.unix_micros("fb") - F.unix_micros("fv")) / 3600e6).alias("hours")
+        )
+    )
+    return lag.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.percentile("hours", F.lit(0.5)), 4).alias("p50_h"),
+        F.round(F.percentile("hours", F.lit(0.9)), 4).alias("p90_h"),
+        F.round(F.avg("hours"), 4).alias("mean_h"),
+    )
+
+
+@declared(
+    "survival_km",
+    """WITH span AS (SELECT user_id,
+    date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+      AS lifetime,
+    MAX(CAST(ts AS DATE)) >= DATE '2024-01-28' AS censored
+  FROM events GROUP BY user_id),
+ev AS (SELECT lifetime AS t,
+         SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
+         COUNT(*) AS leaving
+       FROM span GROUP BY lifetime),
+ord AS (SELECT t, d,
+         SUM(leaving) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+           AS at_risk
+        FROM ev),
+km AS (SELECT t, d, at_risk,
+         EXP(SUM(LN(1.0 - d * 1.0 / at_risk))
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+       FROM ord WHERE d > 0)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(d AS BIGINT) AS churned,
+       CAST(at_risk AS BIGINT) AS at_risk, ROUND(s, 6) AS survival
+FROM km ORDER BY t_days""",
+)
+def survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve of user lifetimes (round 8):
+    lifetime = days between a user's first and last event; users still
+    active in the final observed days (last event on/after Jan 28) are
+    right-CENSORED — they leave the risk set without counting as
+    churn, the estimator's whole point. S(t) = prod over event times
+    <= t of (1 - d_i / n_i), computed as exp(cumsum(ln)) over the
+    distinct-lifetime frame; the at-risk counts come from one
+    descending cumulative sum. Two user-sized aggregates, two
+    windows over the lifetime-resolution frame."""
+    e = _t(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("lifetime"),
+        (F.max(F.col("ts").cast("date")) >= F.lit("2024-01-28").cast("date")).alias(
+            "censored"
+        ),
+    )
+    ev = span.groupBy("lifetime").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    wdesc = Window.orderBy(F.desc("lifetime")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ordd = ev.select(
+        "lifetime", "d", F.sum("leaving").over(wdesc).alias("at_risk")
+    )
+    wasc = Window.orderBy("lifetime").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        ordd.filter(F.col("d") > 0)
+        .select(
+            "lifetime",
+            "d",
+            "at_risk",
+            F.exp(
+                F.sum(F.log(1.0 - F.col("d") / F.col("at_risk"))).over(wasc)
+            ).alias("s"),
+        )
+    )
+    return km.select(
+        F.col("lifetime").cast("long").alias("t_days"),
+        F.col("d").cast("long").alias("churned"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("t_days")
