@@ -2602,3 +2602,48 @@ def survival_km(spark, sf_dir):
         F.col("at_risk").cast("long").alias("at_risk"),
         F.round("s", 6).alias("survival"),
     ).orderBy("t_days")
+
+
+@declared(
+    "orders_benford",
+    """WITH digits AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+       AS VARCHAR), 1, 1) AS INT) AS d
+     FROM orders WHERE o_totalprice >= 1),
+obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT SUM(n) AS t FROM obs)
+SELECT obs.d AS digit, CAST(obs.n AS BIGINT) AS n,
+       ROUND(obs.n * 1.0 / tot.t, 6) AS observed,
+       ROUND(LOG10(1.0 + 1.0 / obs.d), 6) AS benford,
+       ROUND(obs.n * 1.0 / tot.t - LOG10(1.0 + 1.0 / obs.d), 6) AS dev
+FROM obs, tot ORDER BY digit""",
+)
+def orders_benford(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals (round 8):
+    observed leading-digit frequencies vs log10(1 + 1/d) — the
+    fraud/data-fabrication screen (organic monetary amounts follow
+    Benford; synthetic uniform-ish ones deviate visibly, which this
+    testdata indeed does — the deviation column IS the signal). One
+    digit-keyed aggregate; the leading digit is integer/string
+    slicing via an explicit FLOOR (DuckDB ROUNDS double->BIGINT where
+    Spark truncates — the repo's cross-engine cast rule), no float log
+    tricks that could diverge between engines."""
+    o = _t(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("t"), 6).alias("observed"),
+            F.round(benford, 6).alias("benford"),
+            F.round(F.col("n") / F.col("t") - benford, 6).alias("dev"),
+        )
+        .orderBy("digit")
+    )

@@ -2062,3 +2062,63 @@ def item_cooccurrence(spark, sf_dir):
         .orderBy(F.desc("cosine"), "i1", "i2")
         .limit(100)
     )
+
+
+@declared(
+    "inverted_postings",
+    """WITH terms AS (SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)),
+       '\\s+')) AS w FROM documents),
+tf AS (SELECT w, doc_id, COUNT(*) AS f FROM terms WHERE w <> ''
+       GROUP BY w, doc_id),
+df AS (SELECT w, COUNT(*) AS docfreq, SUM(f) AS cf FROM tf GROUP BY w),
+top AS (SELECT w, docfreq, cf FROM df
+        ORDER BY cf DESC, w LIMIT 20)
+SELECT t.w AS term, CAST(t.docfreq AS BIGINT) AS doc_freq,
+       CAST(t.cf AS BIGINT) AS corpus_freq,
+       ARRAY_TO_STRING(LIST_SORT(LIST(tf.doc_id || ':' || tf.f)), '|')
+         AS postings
+FROM top t JOIN tf ON t.w = tf.w
+GROUP BY t.w, t.docfreq, t.cf ORDER BY corpus_freq DESC, term""",
+)
+def inverted_postings(spark, sf_dir):
+    """Inverted-index construction (round 8): term -> sorted posting
+    list (doc:tf pairs) for the 20 highest-corpus-frequency terms —
+    the physical structure BM25/TF-IDF retrieval serves from. One
+    term-keyed tf aggregate (the data-sized work), a 20-row top-k,
+    and a semi-join back to collect only the selected terms' postings
+    (never materializing the full index to the driver)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = terms.groupBy("w", "doc_id").agg(F.count("*").alias("f"))
+    df_ = tf.groupBy("w").agg(
+        F.count("*").alias("doc_freq"), F.sum("f").alias("corpus_freq")
+    )
+    top = df_.orderBy(F.desc("corpus_freq"), "w").limit(20)
+    return (
+        top.join(tf, "w")
+        .groupBy("w", "doc_freq", "corpus_freq")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("f").cast("string"),
+                        )
+                    )
+                ),
+                "|",
+            ).alias("postings")
+        )
+        .select(
+            F.col("w").alias("term"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("corpus_freq").cast("long").alias("corpus_freq"),
+            "postings",
+        )
+        .orderBy(F.desc("corpus_freq"), "term")
+    )
