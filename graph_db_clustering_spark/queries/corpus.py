@@ -2647,3 +2647,49 @@ def orders_benford(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@declared(
+    "events_ffill",
+    """WITH masked AS (SELECT user_id, event_id, ts,
+       CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+     FROM events)
+SELECT user_id, event_id,
+       ROUND(COALESCE(LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING), -1.0), 4) AS filled
+FROM masked ORDER BY user_id, event_id""",
+)
+def events_ffill(spark, sf_dir):
+    """Forward-fill imputation (round 8): error events' readings are
+    treated as missing and take the user's most recent valid value —
+    the gap-filling pass sensor/telemetry pipelines run before any
+    aggregate (leaving nulls biases means; global fills leak across
+    users). One user-keyed ordered window with last_value(ignorenulls);
+    users whose FIRST readings are missing fill with the -1 sentinel
+    so the imputation boundary stays visible."""
+    e = _t(spark, sf_dir, "events")
+    masked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        masked.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.coalesce(
+                    F.last("v", ignorenulls=True).over(w), F.lit(-1.0)
+                ),
+                4,
+            ).alias("filled"),
+        )
+        .orderBy("user_id", "event_id")
+    )

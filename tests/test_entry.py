@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 228
-DOCUMENTED_ORACLES = 203
+DOCUMENTED_QUERIES = 229
+DOCUMENTED_ORACLES = 204
 
 
 def test_ledger_counts_match():
