@@ -471,3 +471,21 @@ def test_round8_stats_entries_plan_shape(spark):
     ks_plan = plan_of(QUERIES["events_ks"](spark, SF))
     assert "hashpartitioning(pid" in ks_plan
     assert "TakeOrderedAndProject" in plan_of(QUERIES["weighted_sample"](spark, SF))
+
+
+def test_round8_join_and_ml_entries_no_cartesian_no_python(spark):
+    """spatial_pairs / dbscan_embed / knn_outliers run the grid join as
+    a cell-keyed EQUI-join (no CartesianProduct despite the O(N^2)
+    oracle definition); attribution / basket_lift / item_cooccurrence
+    are key-joined too; none of them call Python."""
+    for key in (
+        "spatial_pairs",
+        "knn_outliers",
+        "attribution",
+        "basket_lift",
+        "item_cooccurrence",
+        "inverted_postings",
+    ):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "CartesianProduct" not in plan, key
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
