@@ -2693,3 +2693,80 @@ def events_ffill(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@declared(
+    "events_trend",
+    """SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(REGR_SLOPE(value, epoch_us(ts) / 3600e6), 6) AS slope_per_hour,
+       ROUND(REGR_INTERCEPT(value, epoch_us(ts) / 3600e6), 4) AS intercept,
+       ROUND(REGR_R2(value, epoch_us(ts) / 3600e6), 6) AS r2
+FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def events_trend(spark, sf_dir):
+    """Per-type linear trend of event values over time (round 8): one
+    grouped REGR_SLOPE/INTERCEPT/R2 aggregate — the drift detector's
+    first derivative, cheaper than any model. Time enters as exact
+    epoch-microsecond hours so both engines regress on identical
+    doubles; everything partial-aggregates map-side (regr_* are
+    moment-fold aggregates like corr)."""
+    e = _t(spark, sf_dir, "events")
+    h = F.unix_micros("ts") / 3600e6
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.regr_slope(F.col("value"), h), 6).alias("slope_per_hour"),
+            F.round(F.regr_intercept(F.col("value"), h), 4).alias("intercept"),
+            F.round(F.regr_r2(F.col("value"), h), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "events_rolling_corr",
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS buys
+  FROM events GROUP BY d)
+SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+       CAST(clicks AS BIGINT) AS clicks, CAST(buys AS BIGINT) AS buys,
+       ROUND(CORR(clicks, buys) OVER (ORDER BY d
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS corr7
+FROM daily ORDER BY day""",
+)
+def events_rolling_corr(spark, sf_dir):
+    """7-day rolling correlation between daily click and purchase
+    volumes (round 8): the co-movement monitor behind 'did the funnel
+    decouple this week'. The data-sized work is one daily conditional
+    aggregate; the rolling corr runs over the DAYS-sized frame. Spark
+    lacks corr as a window function — the window folds the five
+    moments (n, sums, product sums) and closes the Pearson formula
+    explicitly, which is exactly what CORR OVER does inside DuckDB."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("buys"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    n = F.count("clicks").over(w)
+    sx = F.sum("clicks").over(w)
+    sy = F.sum("buys").over(w)
+    sxx = F.sum(F.col("clicks") * F.col("clicks")).over(w)
+    syy = F.sum(F.col("buys") * F.col("buys")).over(w)
+    sxy = F.sum(F.col("clicks") * F.col("buys")).over(w)
+    corr = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+    )
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("clicks").cast("long").alias("clicks"),
+            F.col("buys").cast("long").alias("buys"),
+            F.round(corr, 6).alias("corr7"),
+        )
+        .orderBy("day")
+    )
