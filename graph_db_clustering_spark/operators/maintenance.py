@@ -379,3 +379,120 @@ def cdc_apply(
     touched = latest.select(key_col)
     kept = snapshot.join(touched, key_col, "left_anti")
     return kept.unionByName(upserts.select(key_col, *attrs))
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list,
+) -> DataFrame:
+    """Row-level diff between two snapshot versions: (change, keys...)
+    with change in {'added', 'removed', 'changed'} — the audit readout
+    a time-travel store owes its users ("what did yesterday's load
+    actually do"). Rows are compared by an md5 over the full row's
+    canonical JSON (sorted column order), so any non-key column change
+    counts; the diff itself is one full-outer join keyed by key_cols —
+    never a row-by-row driver loop."""
+    from pyspark.sql import functions as F
+
+    old = snapshot_read(spark, path, v_old)
+    new = snapshot_read(spark, path, v_new)
+    cols = sorted(old.columns)
+
+    def fingerprint(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]))).alias(f"_h_{tag}"),
+        )
+
+    j = fingerprint(old, "o").join(fingerprint(new, "n"), key_cols, "full_outer")
+    return (
+        j.select(
+            F.when(F.col("_h_o").isNull(), F.lit("added"))
+            .when(F.col("_h_n").isNull(), F.lit("removed"))
+            .when(F.col("_h_o") != F.col("_h_n"), F.lit("changed"))
+            .alias("change"),
+            *key_cols,
+        )
+        .filter(F.col("change").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized aggregate
+# ---------------------------------------------------------------------------
+
+_MV_FNS = {"sum", "count", "min", "max"}
+
+
+def mv_build(
+    df: DataFrame,
+    path: str,
+    keys: list,
+    measures: dict,
+) -> None:
+    """Materialize an aggregate view: measures maps output name ->
+    (source column, fn) with fn in {sum, count, min, max} — the
+    ALGEBRAIC aggregates, chosen precisely because partial states merge
+    by a pure function (sum/count add, min/max fold), which is what
+    makes mv_apply_delta possible without re-reading the fact table.
+    (avg = sum/count at read time; holistic aggregates — median,
+    distinct — need sketches, not this.)"""
+    _mv_agg(df, keys, measures).write.mode("overwrite").parquet(path)
+
+
+def _mv_agg(df: DataFrame, keys: list, measures: dict) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for name, (col, fn) in measures.items():
+        if fn not in _MV_FNS:
+            raise ValueError(f"mv: unsupported aggregate {fn!r}")
+        if fn == "count":
+            aggs.append(F.count(col).alias(name))
+        else:
+            aggs.append(getattr(F, fn)(col).alias(name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def mv_apply_delta(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list,
+    measures: dict,
+) -> None:
+    """Fold an INSERT delta into the materialized view: aggregate the
+    delta (small), full-outer-merge with the state by key, combine
+    per-measure (sum/count add, min/max fold via least/greatest), and
+    COW-swap the state dir. Cost scales with delta + state size, never
+    the history — the whole point of maintaining the view."""
+    from pyspark.sql import functions as F
+
+    state = spark.read.parquet(path)
+    d = _mv_agg(delta, keys, measures)
+    merged = state.alias("s").join(d.alias("d"), keys, "full_outer")
+    exprs = []
+    for name, (_, fn) in measures.items():
+        s, dd = F.col(f"s.{name}"), F.col(f"d.{name}")
+        if fn in ("sum", "count"):
+            exprs.append(
+                (F.coalesce(s, F.lit(0)) + F.coalesce(dd, F.lit(0))).alias(name)
+            )
+        elif fn == "min":
+            # Spark's least/greatest skip NULL inputs (a key absent from
+            # one side has a NULL partial); coalesce is belt-and-braces
+            # for the all-null case
+            exprs.append(F.coalesce(F.least(s, dd), s, dd).alias(name))
+        else:
+            exprs.append(F.coalesce(F.greatest(s, dd), s, dd).alias(name))
+    out = merged.select(*keys, *exprs)
+    tmp = path + ".tmp_swap"
+    out.write.mode("overwrite").parquet(tmp)
+    _cow_swap(path, tmp)
+
+
+def mv_read(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -496,3 +496,54 @@ def weighted_sample_q(spark, sf_dir):
     return weighted_sample(docs, "doc_id", "n_chars", 50, quantize=6).select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "skey"
     )
+
+
+@declared(
+    "mv_incremental",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def mv_incremental(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance (round 8,
+    operators/maintenance.mv_build / mv_apply_delta): the view is
+    BUILT from the first half of January only, then the second half
+    folds in as an insert delta — algebraic partials merge (sum/count
+    add, min/max fold) in one full-outer join against the state, cost
+    scaling with delta + state, never the re-read history. The oracle
+    computes the whole-table aggregate directly: the maintained state
+    must be indistinguishable from a from-scratch rebuild."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.operators.maintenance import (
+        mv_apply_delta,
+        mv_build,
+        mv_read,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    measures = {
+        "n_events": ("value", "count"),
+        "total_value": ("value", "sum"),
+        "min_value": ("value", "min"),
+        "max_value": ("value", "max"),
+    }
+    root = os.path.join(tempfile.gettempdir(), f"gdc_mv_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "mv_events")
+    mv_build(e.filter(F.col("ts") < cut), path, ["event_type"], measures)
+    mv_apply_delta(spark, path, e.filter(F.col("ts") >= cut), ["event_type"], measures)
+    mv = mv_read(spark, path)
+    return mv.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 4).alias("total_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    ).orderBy("event_type")

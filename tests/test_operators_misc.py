@@ -883,3 +883,53 @@ def test_grid_radius_join_exact_and_boundary(spark):
                 want.add((i, j))
     assert got == want
     assert (5, 6) in got and (7, 8) in got
+
+
+def test_mv_incremental_multi_delta_and_diff(spark, tmp_path):
+    """Three insert deltas folded one at a time equal a from-scratch
+    rebuild (including a delta introducing a NEW key); snapshot_diff
+    classifies added/removed/changed rows between versions."""
+    from graph_db_clustering_spark.operators.maintenance import (
+        mv_apply_delta,
+        mv_build,
+        mv_read,
+        snapshot_diff,
+        snapshot_write,
+    )
+
+    measures = {
+        "n": ("v", "count"),
+        "s": ("v", "sum"),
+        "lo": ("v", "min"),
+        "hi": ("v", "max"),
+    }
+    batches = [
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)],
+        [("b", -1.0), ("a", 0.5)],
+        [("c", 9.0)],  # brand-new key arrives by delta
+    ]
+    dfs = [spark.createDataFrame(b, "k string, v double") for b in batches]
+    path = str(tmp_path / "mv")
+    mv_build(dfs[0], path, ["k"], measures)
+    for d in dfs[1:]:
+        mv_apply_delta(spark, path, d, ["k"], measures)
+    got = {r.k: (r.n, r.s, r.lo, r.hi) for r in mv_read(spark, path).collect()}
+    want_rows = [x for b in batches for x in b]
+    import collections
+
+    agg = collections.defaultdict(list)
+    for k, v in want_rows:
+        agg[k].append(v)
+    want = {k: (len(vs), sum(vs), min(vs), max(vs)) for k, vs in agg.items()}
+    assert got == want
+
+    snap = str(tmp_path / "snap")
+    v1 = snapshot_write(spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, s string"), snap)
+    v2 = snapshot_write(spark.createDataFrame(
+        [(1, "x"), (2, "CHANGED"), (4, "new")], "id long, s string"), snap)
+    diff = {
+        (r.change, r.id)
+        for r in snapshot_diff(spark, snap, v1, v2, ["id"]).collect()
+    }
+    assert diff == {("changed", 2), ("removed", 3), ("added", 4)}
