@@ -841,3 +841,56 @@ def test_decayed_counts_stream_matches_batch(spark, replay_dir, tmp_path):
         s = final[k]
         assert s.n_events == b.n_events, k
         assert abs(s.decayed - b.decayed) < 1e-9 * max(1.0, b.decayed), k
+
+
+def test_mv_maintained_by_foreachbatch_matches_batch(spark, replay_dir, tmp_path):
+    """The incremental materialized aggregate driven from a STREAM:
+    foreachBatch folds every micro-batch into the state with
+    mv_apply_delta; after the replay drains, the view equals the
+    from-scratch batch aggregate — the streaming maintenance story for
+    the warehouse layer."""
+    from graph_db_clustering_spark.operators.maintenance import (
+        mv_apply_delta,
+        mv_build,
+        mv_read,
+    )
+
+    measures = {
+        "n_events": ("value", "count"),
+        "total_value": ("value", "sum"),
+        "max_value": ("value", "max"),
+    }
+    path = str(tmp_path / "mv_stream")
+    mv_build(
+        load_table(spark, SF, "events").limit(0), path, ["event_type"], measures
+    )
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        mv_apply_delta(spark, path, batch_df, ["event_type"], measures)
+
+    stream = read_events_stream(spark, replay_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_type: (r.n_events, round(r.total_value, 6), r.max_value)
+        for r in mv_read(spark, path).collect()
+    }
+    want = {
+        r.event_type: (r.n_events, round(r.total_value, 6), r.max_value)
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
