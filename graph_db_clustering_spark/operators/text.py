@@ -1023,3 +1023,45 @@ def decode_bytes(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     return narrow.mapInPandas(decode, out_schema).select(
         F.col("id").alias(id_col), "encoding", "text"
     )
+
+
+def edit1_pairs(terms: DataFrame, term_col: str) -> DataFrame:
+    """All UNORDERED pairs of distinct terms at Levenshtein distance
+    exactly 1, by deletion-neighborhood blocking (the FastSS family,
+    Bocek et al. 2007): every term emits itself plus each
+    delete-one-character variant as a blocking key; two terms within
+    one edit ALWAYS share a key (substitution -> the common deletion,
+    insert/delete -> the shorter term itself), so the equi-join on the
+    key is a complete candidate generator and the exact levenshtein
+    filter only confirms. Returns (t1, t2, dist=1) with t1 < t2.
+
+    Scale shape: a term of length L emits L+1 keys — the candidate
+    join is keyed by short strings with vocabulary-bounded fan-out,
+    never the all-pairs product the naive fuzzy join pays. The
+    levenshtein() confirm runs only on candidates."""
+    t = terms.select(F.col(term_col).alias("t")).distinct()
+    keys = t.select(
+        "t",
+        F.explode(
+            F.concat(
+                F.array(F.col("t")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t")),
+                    lambda i: F.concat(
+                        F.substring(F.col("t"), F.lit(1), i - 1),
+                        F.col("t").substr(i + 1, F.length("t")),
+                    ),
+                ),
+            )
+        ).alias("k"),
+    ).distinct()
+    a = keys.select(F.col("t").alias("t1"), "k")
+    b = keys.select(F.col("t").alias("t2"), "k")
+    return (
+        a.join(b, "k")
+        .filter(F.col("t1") < F.col("t2"))
+        .select("t1", "t2")
+        .distinct()
+        .filter(F.levenshtein("t1", "t2") == 1)
+        .select("t1", "t2", F.lit(1).alias("dist"))
+    )

@@ -2122,3 +2122,51 @@ def inverted_postings(spark, sf_dir):
         )
         .orderBy(F.desc("corpus_freq"), "term")
     )
+
+
+@declared(
+    "fuzzy_terms",
+    """WITH terms AS (SELECT DISTINCT UNNEST(string_split_regex(
+       LOWER(TRIM(text)), '\\s+')) AS w FROM documents),
+vocab AS (SELECT w FROM terms WHERE LENGTH(w) >= 3
+          UNION
+          SELECT substr(w, 1, LENGTH(w) - 1) || 'x' FROM terms
+          WHERE LENGTH(w) >= 3)
+SELECT a.w AS t1, b.w AS t2, CAST(1 AS INT) AS dist
+FROM vocab a JOIN vocab b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+ORDER BY t1, t2""",
+)
+def fuzzy_terms(spark, sf_dir):
+    """Edit-distance-1 term pairs over the long-word vocabulary
+    (round 8, operators/text.edit1_pairs): the typo/variant detector a
+    normalization pipeline runs before merging token statistics.
+    Deletion-neighborhood blocking makes the candidate join complete
+    by construction; the brute-force levenshtein oracle certifies no
+    pair was missed and none invented. The vocabulary is augmented
+    with deterministic last-char typos on BOTH sides (this synthetic
+    corpus's 31-word vocabulary contains no natural edit-1 pairs)."""
+    from graph_db_clustering_spark.operators.text import edit1_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") >= 3)
+        .distinct()
+    )
+    # deterministic 'typo' augmentation (last char -> x), mirrored in
+    # the oracle: the synthetic vocabulary is too clean to contain
+    # natural edit-1 pairs, so the detector gets real work
+    vocab = words.unionByName(
+        words.select(
+            F.concat(
+                F.substring(F.col("w"), 1, F.length("w") - 1), F.lit("x")
+            ).alias("w")
+        )
+    ).distinct()
+    return (
+        edit1_pairs(vocab, "w")
+        .select(F.col("t1"), F.col("t2"), F.col("dist").cast("int").alias("dist"))
+        .orderBy("t1", "t2")
+    )

@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 232
-DOCUMENTED_ORACLES = 207
+DOCUMENTED_QUERIES = 233
+DOCUMENTED_ORACLES = 208
 
 
 def test_ledger_counts_match():

@@ -933,3 +933,33 @@ def test_mv_incremental_multi_delta_and_diff(spark, tmp_path):
         for r in snapshot_diff(spark, snap, v1, v2, ["id"]).collect()
     }
     assert diff == {("changed", 2), ("removed", 3), ("added", 4)}
+
+
+def test_edit1_pairs_complete_vs_bruteforce(spark):
+    """Deletion-neighborhood blocking finds EXACTLY the brute-force
+    levenshtein==1 pairs on a vocabulary with substitutions,
+    insertions, deletions, and decoys at distance 2."""
+    words = [
+        "spark", "spork", "sparks", "park", "stark", "sharc",
+        "table", "cable", "tale", "tables", "maple", "apple",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {(r.t1, r.t2) for r in text_ops.edit1_pairs(df, "w").collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        tuple(sorted((x, y)))
+        for i, x in enumerate(words)
+        for y in words[i + 1:]
+        if lev(x, y) == 1
+    }
+    assert got == want and ("spark", "spork") in got and ("spark", "stark") in got
+    assert ("spark", "sparks") in got and ("park", "spark") in got
+    assert ("apple", "maple") not in got  # distance 2
