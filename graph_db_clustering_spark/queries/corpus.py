@@ -2770,3 +2770,167 @@ def events_rolling_corr(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@declared(
+    "events_trimmed",
+    """WITH b AS (SELECT event_type,
+    PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+    PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY value) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       ROUND(AVG(e.value), 4) AS mean,
+       ROUND(AVG(CASE WHEN e.value BETWEEN b.lo AND b.hi
+                      THEN e.value END), 4) AS trimmed_mean,
+       ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 4)
+         AS winsorized_mean
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type ORDER BY e.event_type""",
+)
+def events_trimmed(spark, sf_dir):
+    """Robust central tendency per event type (round 8): the 5-95
+    trimmed mean (drop the tails) and winsorized mean (clamp the
+    tails) next to the plain mean — the robust aggregates a metrics
+    pipeline swaps in when outliers poison averages. One exact
+    percentile pass for the bounds (|types| rows, broadcast back),
+    one conditional aggregate."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    j = e.join(F.broadcast(b), "event_type")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("mean"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("value").between(F.col("lo"), F.col("hi")),
+                        F.col("value"),
+                    )
+                ),
+                4,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.avg(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))),
+                4,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared(
+    "source_overlap",
+    """WITH tw AS (SELECT DISTINCT source, UNNEST(string_split_regex(
+       LOWER(TRIM(text)), '\\s+')) AS w FROM documents),
+sizes AS (SELECT source, COUNT(*) AS n FROM tw GROUP BY source),
+inter AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS i
+          FROM tw a JOIN tw b ON a.w = b.w AND a.source < b.source
+          GROUP BY a.source, b.source)
+SELECT inter.s1, inter.s2, CAST(inter.i AS BIGINT) AS n_shared,
+       ROUND(inter.i * 1.0 / (sa.n + sb.n - inter.i), 6) AS jaccard
+FROM inter JOIN sizes sa ON inter.s1 = sa.source
+     JOIN sizes sb ON inter.s2 = sb.source
+ORDER BY s1, s2""",
+)
+def source_overlap(spark, sf_dir):
+    """Vocabulary Jaccard between every source pair (round 8): the
+    corpus-comparison readout behind domain-mixing decisions (near-1
+    overlap = redundant sources; low overlap = complementary). The
+    (source, term) frame collapses to distinct FIRST; the pair
+    intersection is a term-keyed self-join — work per term is bounded
+    by how many sources share it, never |sources|^2 * |vocab|."""
+    d = _t(spark, sf_dir, "documents")
+    tw = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = tw.groupBy("source").agg(F.count("*").alias("n"))
+    a = tw.select(F.col("source").alias("s1"), "w")
+    b = tw.select(F.col("source").alias("s2"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("s1"), F.col("n").alias("na"))), "s1"
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("s2"), F.col("n").alias("nb"))), "s2"
+        )
+        .select(
+            "s1",
+            "s2",
+            F.col("i").cast("long").alias("n_shared"),
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+@declared(
+    "corpus_heaps",
+    """WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)),
+       '\\s+')) AS w FROM documents),
+firsts AS (SELECT w, MIN(doc_id) AS fd FROM toks WHERE w <> '' GROUP BY w),
+dtok AS (SELECT doc_id, COUNT(*) AS nt FROM toks WHERE w <> ''
+         GROUP BY doc_id),
+cp AS (SELECT c.c AS checkpoint,
+    (SELECT SUM(nt) FROM dtok WHERE doc_id < c.c) AS tokens,
+    (SELECT COUNT(*) FROM firsts WHERE fd < c.c) AS vocab
+  FROM (VALUES (100), (200), (300), (400), (500)) c(c))
+SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+       CAST(tokens AS BIGINT) AS tokens, CAST(vocab AS BIGINT) AS vocab,
+       ROUND(LN(vocab) / LN(tokens), 6) AS heaps_beta_point
+FROM cp ORDER BY checkpoint""",
+)
+def corpus_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary growth (round 8): vocabulary size when
+    the corpus is cut at doc-id checkpoints, with the pointwise
+    beta = ln V / ln N — the companion to corpus_zipf (sub-linear
+    vocab growth is what makes hash-feature sizes like DSIR's
+    plannable). Each term contributes only its FIRST document (one
+    min aggregate); checkpoints then read cumulative counts — no
+    per-checkpoint corpus rescan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    dtok = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    cps = spark.createDataFrame(
+        [(c,) for c in (100, 200, 300, 400, 500)], "checkpoint long"
+    )
+    tokens = (
+        cps.join(dtok, F.col("doc_id") < F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.sum("nt").alias("tokens"))
+    )
+    vocab = (
+        cps.join(firsts, F.col("fd") < F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.count("*").alias("vocab"))
+    )
+    return (
+        tokens.join(vocab, "checkpoint")
+        .select(
+            F.col("checkpoint").cast("long").alias("checkpoint"),
+            F.col("tokens").cast("long").alias("tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.round(F.log("vocab") / F.log("tokens"), 6).alias("heaps_beta_point"),
+        )
+        .orderBy("checkpoint")
+    )
