@@ -1319,3 +1319,45 @@ def graph_conductance(spark, sf_dir):
                 F.round("conductance", 6).alias("conductance"))
         .orderBy("community")
     )
+
+
+@declared(
+    "graph_squares",
+    f"""WITH {_BANDED_SQL},
+codeg AS (SELECT u1.a AS x, u2.a AS y, COUNT(*) AS cn
+          FROM und u1 JOIN und u2 ON u1.b = u2.b AND u1.a < u2.a
+          GROUP BY u1.a, u2.a)
+SELECT CAST(SUM(cn * (cn - 1) / 2) / 2 AS BIGINT) AS n_squares,
+       CAST(COUNT(*) AS BIGINT) AS n_codeg_pairs,
+       CAST(MAX(cn) AS BIGINT) AS max_codegree
+FROM codeg""",
+)
+def graph_squares(spark, sf_dir):
+    """Exact 4-cycle count of the banded graph (round 8): the
+    co-degree identity #C4 = (1/2) * sum over vertex pairs of
+    C(codeg, 2) — every square is counted once per diagonal pair. One
+    wedge self-join (shared-center equi-join, the linkpred shape) and
+    one aggregate; squares join triangles as the motif census the
+    clustering family reads structure from. The banded graph has real
+    squares (consecutive key chains) the clique graph's formula would
+    trivialize."""
+    g = _banded_graph(spark, sf_dir)
+    from graph_db_clustering_spark.operators.graph_algos import (
+        _undirected_edges,
+    )
+
+    und = _undirected_edges(g.edges)
+    centers = und.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    codeg = (
+        centers.join(centers.select("w", F.col("x").alias("y")), "w")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cn"))
+    )
+    return codeg.agg(
+        (F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2)
+        .cast("long")
+        .alias("n_squares"),
+        F.count("*").cast("long").alias("n_codeg_pairs"),
+        F.max("cn").cast("long").alias("max_codegree"),
+    )

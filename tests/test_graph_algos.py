@@ -877,3 +877,30 @@ def test_conductance_known_cut(spark):
     one = spark.createDataFrame([(i, 0) for i in range(6)], "id long, community long")
     r = conductance(g, one).first()
     assert r.cut == 0 and r.conductance is None
+
+
+def test_square_count_codegree_identity(spark):
+    """A plain 4-cycle has exactly 1 square; K4 has 3 (each pair of
+    disjoint edges closes one); a path has 0 — computed via the
+    co-degree identity the graph_squares entry uses."""
+    from graph_db_clustering_spark.operators.graph_algos import _undirected_edges
+
+    def squares(n, edges):
+        g = _graph(spark, n, edges)
+        und = _undirected_edges(g.edges)
+        c = und.select(F.col("b").alias("w"), F.col("a").alias("x"))
+        codeg = (
+            c.join(c.select("w", F.col("x").alias("y")), "w")
+            .filter(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.count("*").alias("cn"))
+        )
+        r = codeg.agg(
+            (F.sum(F.col("cn") * (F.col("cn") - 1) / 2) / 2).alias("s")
+        ).first()
+        return r.s or 0.0
+
+    assert squares(4, [(0, 1), (1, 2), (2, 3), (3, 0)]) == 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert squares(4, k4) == 3.0
+    assert squares(4, [(0, 1), (1, 2), (2, 3)]) == 0.0
