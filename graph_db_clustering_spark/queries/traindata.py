@@ -547,3 +547,69 @@ def mv_incremental(spark, sf_dir):
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("event_type")
+
+
+@declared(
+    "delta_roundtrip",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_quantity < 25
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def delta_roundtrip(spark, sf_dir):
+    """Delta-protocol interop (round 8, sources/delta): a Delta table
+    is synthesized from lineitem — commit 0 adds a low-quantity and a
+    high-quantity file, commit 1 REMOVES the high file — then read
+    back through the transaction-log replay (no delta-spark anywhere).
+    The latest snapshot must therefore contain exactly the
+    l_quantity < 25 rows, which is what the oracle aggregates
+    directly: a wrong log replay (remove ignored, stale checkpoint)
+    shifts every group's count."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.delta import read_delta
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_delta_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    table = os.path.join(root, "dt")
+    os.makedirs(table, exist_ok=True)
+    for name, df in (
+        ("low.parquet", li.filter(F.col("l_quantity") < 25)),
+        ("high.parquet", li.filter(F.col("l_quantity") >= 25)),
+    ):
+        stage = os.path.join(root, "stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(stage, part), os.path.join(table, name))
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+
+    def commit(v, actions):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"add": {"path": "low.parquet", "partitionValues": {}, "dataChange": True}},
+        {"add": {"path": "high.parquet", "partitionValues": {}, "dataChange": True}},
+    ])
+    commit(1, [{"remove": {"path": "high.parquet", "dataChange": True}}])
+    dt = read_delta(spark, table)
+    return (
+        dt.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
