@@ -613,3 +613,106 @@ def delta_roundtrip(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "iceberg_roundtrip",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_quantity < 25 OR l_quantity >= 40
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def iceberg_roundtrip(spark, sf_dir):
+    """Iceberg-protocol interop (round 8, sources/iceberg): a table is
+    synthesized with the repo's OWN Avro encoder — snapshot 1's
+    manifest adds a <25 file and a 25-40 file; snapshot 2's manifest
+    keeps the first (EXISTING), marks the second DELETED, and adds a
+    >=40 file — then read back through the
+    metadata -> manifest-list -> manifest replay. The live set is
+    therefore exactly (<25 or >=40), the oracle's direct filter; a
+    replay that ignores DELETED entries or reads the wrong snapshot
+    shifts every group."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.avro import encode_container
+    from graph_db_clustering_spark.sources.iceberg import read_iceberg
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    root = os.path.join(tempfile.gettempdir(), f"gdc_iceberg_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    os.makedirs(os.path.join(t, "metadata"))
+    os.makedirs(os.path.join(t, "data"))
+    paths = {}
+    for name, df in (
+        ("lo", li.filter(F.col("l_quantity") < 25)),
+        ("mid", li.filter((F.col("l_quantity") >= 25) & (F.col("l_quantity") < 40))),
+        ("hi", li.filter(F.col("l_quantity") >= 40)),
+    ):
+        stage = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+        dest = os.path.join(t, "data", f"{name}.parquet")
+        os.replace(os.path.join(stage, part), dest)
+        paths[name] = dest
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    list_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+        ]}
+
+    def entry(status, name):
+        return {"status": status, "data_file": {
+            "file_path": paths[name], "file_format": "PARQUET",
+            "record_count": 1}}
+
+    def avro(p, schema, rows):
+        with open(p, "wb") as f:
+            f.write(encode_container(schema, rows, codec="null"))
+
+    m1 = os.path.join(t, "metadata", "m1.avro")
+    avro(m1, man_schema, [entry(1, "lo"), entry(1, "mid")])
+    ml1 = os.path.join(t, "metadata", "snap-1.avro")
+    avro(ml1, list_schema, [{"manifest_path": m1, "manifest_length": 1}])
+    m2 = os.path.join(t, "metadata", "m2.avro")
+    avro(m2, man_schema, [entry(0, "lo"), entry(2, "mid"), entry(1, "hi")])
+    ml2 = os.path.join(t, "metadata", "snap-2.avro")
+    avro(ml2, list_schema, [{"manifest_path": m2, "manifest_length": 1}])
+    meta = {
+        "format-version": 1, "current-snapshot-id": 2,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [
+            {"snapshot-id": 1, "manifest-list": ml1},
+            {"snapshot-id": 2, "manifest-list": ml2},
+        ]}
+    with open(os.path.join(t, "metadata", "v2.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    dt = read_iceberg(spark, t)
+    return (
+        dt.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
