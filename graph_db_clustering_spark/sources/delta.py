@@ -124,3 +124,149 @@ def read_delta(
     if not rel:
         raise DeltaError(f"delta: version has no live files at {path}")
     return spark.read.parquet(*[os.path.join(path, p) for p in rel])
+
+
+def delta_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_cols: list | None = None,
+) -> int:
+    """Append `df` to a Delta table as one commit (single-writer
+    contract, like maintenance.snapshot_write): the data lands as
+    parquet part files under the table root, then one JSON commit
+    records an `add` per file — with per-file min/max/nullCount STATS
+    for `stats_cols`, the metadata that makes file skipping work.
+    Creates the table (protocol + metaData actions) on first commit.
+    Returns the committed version."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    try:
+        versions = _commit_versions(path)
+    except DeltaError:
+        versions = []
+    version = (versions[-1] + 1) if versions else 0
+    import uuid
+
+    stage = os.path.join(path, f".stage_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(stage)
+    actions = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                }
+            }
+        )
+    import pyarrow.parquet as pq
+
+    for fname in sorted(os.listdir(stage)):
+        if not fname.endswith(".parquet"):
+            continue
+        final = f"part-{version:05d}-{fname}"
+        src = os.path.join(stage, fname)
+        add = {
+            "path": final,
+            "partitionValues": {},
+            "size": os.path.getsize(src),
+            "dataChange": True,
+        }
+        if stats_cols:
+            md = pq.read_metadata(src)
+            mins: dict = {}
+            maxs: dict = {}
+            nulls: dict = {}
+            names = md.schema.to_arrow_schema().names
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = names[ci] if ci < len(names) else col.path_in_schema
+                    if name not in stats_cols or col.statistics is None:
+                        continue
+                    st = col.statistics
+                    if st.min is not None:
+                        mins[name] = min(mins.get(name, st.min), st.min)
+                    if st.max is not None:
+                        maxs[name] = max(maxs.get(name, st.max), st.max)
+                    nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            add["stats"] = json.dumps(
+                {
+                    "numRecords": md.num_rows,
+                    "minValues": mins,
+                    "maxValues": maxs,
+                    "nullCount": nulls,
+                }
+            )
+        actions.append({"add": add})
+        os.replace(src, os.path.join(path, final))
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)  # _SUCCESS markers etc.
+    commit = os.path.join(_log_dir(path), f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, commit)
+    return version
+
+
+def delta_file_stats(path: str, version: int | None = None) -> list[dict]:
+    """Per-live-file stats from the log: [{'path', 'numRecords',
+    'minValues', 'maxValues', 'nullCount'}] (stats-less files carry
+    None). This is the file-skipping substrate."""
+    live = set(delta_live_files(path, version))
+    out: dict = {}
+    versions = _commit_versions(path)
+    target = versions[-1] if version is None else version
+    for v in versions:
+        if v > target:
+            continue
+        with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                a = act.get("add")
+                if a and a["path"] in live:
+                    st = json.loads(a["stats"]) if a.get("stats") else None
+                    out[a["path"]] = {"path": a["path"], **(st or {
+                        "numRecords": None, "minValues": None,
+                        "maxValues": None, "nullCount": None})}
+    return [out[p] for p in sorted(out)]
+
+
+def read_delta_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """File skipping: read only the live files whose [min, max] range
+    for `column` intersects [lo, hi] (files without stats are kept —
+    skipping must never drop unknown data). Returns (df, files_read,
+    files_skipped); the caller still applies the row-level filter —
+    this prunes I/O, it does not replace the predicate. The 100 TB
+    win: a range query on a clustered column opens a handful of files
+    instead of the table."""
+    stats = delta_file_stats(path, version)
+    keep, skipped = [], 0
+    for s in stats:
+        mv, xv = s.get("minValues") or {}, s.get("maxValues") or {}
+        if column in mv and column in xv and (xv[column] < lo or mv[column] > hi):
+            skipped += 1
+            continue
+        keep.append(s["path"])
+    if not keep:
+        raise DeltaError("delta: every file pruned — empty selection")
+    df = spark.read.parquet(*[os.path.join(path, p) for p in keep])
+    return df, len(keep), skipped

@@ -114,3 +114,46 @@ def test_delta_gates_and_errors(spark, tmp_path):
     _write_commit(table3, 0, [_add("a.parquet")])
     with pytest.raises(DeltaError, match="version 5"):
         delta_live_files(table3, 5)
+
+
+def test_delta_append_roundtrip_and_file_skipping(spark, tmp_path):
+    """Writer -> reader roundtrip across two commits; stats-based file
+    skipping prunes non-intersecting files and NEVER drops stats-less
+    ones."""
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        delta_file_stats,
+        read_delta_pruned,
+    )
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    table = str(tmp_path / "wt")
+    v0 = delta_append(
+        spark,
+        li.filter(F.col("l_quantity") < 10).repartition(1),
+        table,
+        stats_cols=["l_quantity"],
+    )
+    v1 = delta_append(
+        spark,
+        li.filter(F.col("l_quantity") >= 40).repartition(1),
+        table,
+        stats_cols=["l_quantity"],
+    )
+    assert (v0, v1) == (0, 1)
+    whole = read_delta(spark, table)
+    want = li.filter((F.col("l_quantity") < 10) | (F.col("l_quantity") >= 40))
+    assert whole.exceptAll(want).count() == 0 and want.exceptAll(whole).count() == 0
+    # time travel back to v0
+    assert read_delta(spark, table, 0).count() == li.filter(F.col("l_quantity") < 10).count()
+
+    stats = delta_file_stats(table)
+    assert len(stats) == 2 and all(s["minValues"] for s in stats)
+    # a query for quantity in [1, 5] must skip the >= 40 file
+    df, read, skipped = read_delta_pruned(spark, table, "l_quantity", 1, 5)
+    assert read == 1 and skipped == 1
+    assert df.filter(F.col("l_quantity") > 10).count() == 0
+    # stats-less commit: its file must never be skipped
+    delta_append(spark, li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 40)).repartition(1), table)
+    df2, read2, skipped2 = read_delta_pruned(spark, table, "l_quantity", 1, 5)
+    assert read2 == 2 and skipped2 == 1  # stats-less file kept
