@@ -2934,3 +2934,131 @@ def corpus_heaps(spark, sf_dir):
         )
         .orderBy("checkpoint")
     )
+
+
+@declared(
+    "orders_pareto",
+    """WITH spend AS (SELECT o_custkey, SUM(o_totalprice) AS x
+       FROM orders GROUP BY o_custkey),
+r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, o_custkey) AS rk,
+        COUNT(*) OVER () AS n, SUM(x) OVER () AS tot
+      FROM spend),
+c AS (SELECT rk, n,
+        SUM(x) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) / tot AS share
+      FROM r)
+SELECT CAST(MIN(rk) AS BIGINT) AS customers_for_80pct,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(MIN(rk) * 1.0 / MAX(n), 6) AS fraction
+FROM c WHERE share >= 0.8""",
+)
+def orders_pareto(spark, sf_dir):
+    """Pareto concentration (round 8): the smallest top-spender prefix
+    covering 80% of revenue — 'how true is the 80/20 rule here'. One
+    customer aggregate, one rank + cumulative-share window over the
+    customer-sized frame, one scalar readout."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    wr = Window.orderBy(F.desc("x"), "o_custkey")
+    wall = Window.partitionBy()
+    r = spend.select(
+        "x",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("x").over(wall).alias("tot"),
+    )
+    c = r.select(
+        "rk",
+        "n",
+        (
+            F.sum("x").over(
+                Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            / F.col("tot")
+        ).alias("share"),
+    )
+    return c.filter(F.col("share") >= 0.8).agg(
+        F.min("rk").cast("long").alias("customers_for_80pct"),
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(F.min("rk") / F.max("n"), 6).alias("fraction"),
+    )
+
+
+@declared(
+    "events_new_returning",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+firsts AS (SELECT user_id, MIN(d) AS fd FROM ud GROUP BY user_id)
+SELECT STRFTIME(ud.d, '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN ud.d > f.fd THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM ud JOIN firsts f ON ud.user_id = f.user_id
+GROUP BY ud.d ORDER BY day""",
+)
+def events_new_returning(spark, sf_dir):
+    """Daily new vs returning active users (round 8): each (user, day)
+    classifies by whether the day is the user's first — the growth
+    accountant's split of every DAU curve. The events collapse to the
+    distinct user-day frame first; first-seen days are one aggregate
+    joined back user-keyed."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("d").alias("fd"))
+    return (
+        ud.join(firsts, "user_id")
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("fd"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("d") > F.col("fd"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "new_users", "returning_users")
+        .orderBy("day")
+    )
+
+
+@declared(
+    "events_stickiness",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+mau AS (SELECT days.d, COUNT(DISTINCT ud.user_id) AS mau
+        FROM days JOIN ud ON ud.d BETWEEN days.d - 29 AND days.d
+        GROUP BY days.d)
+SELECT STRFTIME(dau.d, '%Y-%m-%d') AS day, CAST(dau.dau AS BIGINT) AS dau,
+       CAST(mau.mau AS BIGINT) AS mau,
+       ROUND(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+FROM dau JOIN mau ON dau.d = mau.d ORDER BY day""",
+)
+def events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day (round 8): daily actives over
+    trailing-30-day actives — the engagement ratio product teams
+    steer by. Exact windowed DISTINCT doesn't fold into a window
+    function, so the 30-day membership is a day-grid range join over
+    the (small) distinct user-day frame; at extreme scale swap the
+    exact MAU for an HLL union over daily sketches (the documented
+    sketch path, cardinality_sketch's machinery)."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    grid = days.alias("g").join(
+        ud.alias("u"),
+        (F.col("u.d") >= F.date_sub(F.col("g.d"), 29))
+        & (F.col("u.d") <= F.col("g.d")),
+    )
+    mau = grid.groupBy(F.col("g.d").alias("d")).agg(
+        F.countDistinct("u.user_id").alias("mau")
+    )
+    return (
+        dau.join(mau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 239
-DOCUMENTED_ORACLES = 214
+DOCUMENTED_QUERIES = 242
+DOCUMENTED_ORACLES = 217
 
 
 def test_ledger_counts_match():
