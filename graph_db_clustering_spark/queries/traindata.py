@@ -716,3 +716,52 @@ def iceberg_roundtrip(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "arrow_roundtrip",
+    """SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_custkey % 3 = 0
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def arrow_roundtrip(spark, sf_dir):
+    """Arrow IPC (Feather v2) interop (round 8, sources/arrow_ipc): a
+    slice of orders is written as TWO .arrow files with pyarrow, read
+    back through the distributed binaryFile + per-task pyarrow decode,
+    and aggregated — the oracle computes the same aggregate from the
+    source rows directly. The driver touches only the first file's
+    schema header; data decodes executor-side, columnar end to end."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from graph_db_clustering_spark.sources.arrow_ipc import read_arrow_ipc
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 3 == 0
+    ).select("o_orderpriority", "o_totalprice", "o_custkey")
+    root = os.path.join(tempfile.gettempdir(), f"gdc_arrow_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    pdf = o.toPandas()
+    half = len(pdf) // 2
+    for i, part in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        with ipc.new_file(os.path.join(root, f"part{i}.arrow"), tbl.schema) as w:
+            w.write_table(tbl)
+    back = read_arrow_ipc(spark, root)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -59,3 +59,45 @@ def test_xml_source_roundtrip(spark, tmp_path):
     write_xml(df, str(out), row_tag="doc")
     back = read_xml(spark, str(out), "doc", "id long, title string, score double")
     assert sorted(map(tuple, back.collect())) == rows
+
+
+def test_arrow_ipc_roundtrip_and_gate(spark, tmp_path):
+    """Two multi-batch .arrow files round-trip exactly; an unmapped
+    Arrow type raises loudly; empty dir raises."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pytest as _pytest
+
+    from graph_db_clustering_spark.sources.arrow_ipc import read_arrow_ipc
+
+    rows = [(i, f"s{i}", float(i) / 4) for i in range(100)]
+    tbl = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "s": pa.array([r[1] for r in rows], pa.string()),
+            "v": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    d = tmp_path / "arrow"
+    d.mkdir()
+    for i, sl in enumerate((tbl.slice(0, 60), tbl.slice(60))):
+        with ipc.new_file(str(d / f"f{i}.arrow"), tbl.schema) as w:
+            # two batches per file to exercise the batch loop
+            w.write_table(sl, max_chunksize=25)
+    df = read_arrow_ipc(spark, str(d))
+    assert df.count() == 100
+    got = {(r.id, r.s, r.v) for r in df.collect()}
+    assert got == set(rows)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "double",
+    ]
+
+    weird = pa.table({"m": pa.array([[("a", 1)]], pa.map_(pa.string(), pa.int64()))})
+    d2 = tmp_path / "weird"
+    d2.mkdir()
+    with ipc.new_file(str(d2 / "w.arrow"), weird.schema) as w:
+        w.write_table(weird)
+    with _pytest.raises(NotImplementedError, match="unmapped"):
+        read_arrow_ipc(spark, str(d2))
+    with _pytest.raises(ValueError, match="no files"):
+        read_arrow_ipc(spark, str(tmp_path / "arrow"), glob="*.nope")
