@@ -765,3 +765,61 @@ def arrow_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@declared(
+    "xlsx_roundtrip",
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name""",
+)
+def xlsx_roundtrip(spark, sf_dir):
+    """XLSX interop (round 8, sources/xlsx): the supplier-per-nation
+    report is exported to TWO spreadsheet workbooks (shared-string +
+    numeric cells, the repo's minimal ECMA-376 writer), read back
+    through the distributed ZIP+SpreadsheetML parser, cast from the
+    all-strings contract, and re-aggregated — the oracle computes the
+    same join directly. The driver parses one header; every workbook
+    decodes in its own task."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.xlsx import (
+        read_xlsx,
+        write_xlsx_fixture,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name", "s_acctbal"
+    )
+    rows = [
+        {"s_suppkey": r.s_suppkey, "n_name": r.n_name, "s_acctbal": r.s_acctbal}
+        for r in joined.collect()
+    ]
+    root = os.path.join(tempfile.gettempdir(), f"gdc_xlsx_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    half = len(rows) // 2
+    cols = ["s_suppkey", "n_name", "s_acctbal"]
+    write_xlsx_fixture(rows[:half], cols, os.path.join(root, "a.xlsx"))
+    write_xlsx_fixture(rows[half:], cols, os.path.join(root, "b.xlsx"))
+    back = read_xlsx(spark, root)
+    return (
+        back.select(
+            "n_name", F.col("s_acctbal").cast("double").alias("bal")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )

@@ -101,3 +101,57 @@ def test_arrow_ipc_roundtrip_and_gate(spark, tmp_path):
         read_arrow_ipc(spark, str(d2))
     with _pytest.raises(ValueError, match="no files"):
         read_arrow_ipc(spark, str(tmp_path / "arrow"), glob="*.nope")
+
+
+def test_xlsx_reader_cell_types_and_sheets(spark, tmp_path):
+    """Hand-built workbook: shared strings, inline strings, booleans,
+    sparse rows (skipped cells stay None), named-sheet selection, and
+    the missing-sheet error."""
+    import zipfile
+
+    import pytest as _pytest
+
+    from graph_db_clustering_spark.sources.xlsx import XlsxError, read_xlsx
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    wb = (
+        f'<?xml version="1.0"?><workbook xmlns="{ns}"><sheets>'
+        '<sheet name="Data" sheetId="1"/><sheet name="Other" sheetId="2"/>'
+        "</sheets></workbook>"
+    )
+    sheet1 = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>42</v></c>'
+        '<c r="C2" t="b"><v>1</v></c></row>'
+        '<row r="3"><c r="A3" t="inlineStr"><is><t>in</t><t>line</t></is></c>'
+        '<c r="C3" t="b"><v>0</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sheet2 = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2"><v>7</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    ss = (
+        f'<?xml version="1.0"?><sst xmlns="{ns}" count="4" uniqueCount="4">'
+        "<si><t>name</t></si><si><t>num</t></si><si><t>flag</t></si>"
+        "<si><t>x</t></si></sst>"
+    )
+    d = tmp_path / "xl"
+    d.mkdir()
+    with zipfile.ZipFile(str(d / "t.xlsx"), "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet1)
+        zf.writestr("xl/worksheets/sheet2.xml", sheet2)
+        zf.writestr("xl/sharedStrings.xml", ss)
+    df = read_xlsx(spark, str(d))
+    rows = {tuple(str(v) for v in r) for r in df.collect()}
+    assert df.columns == ["name", "num", "flag"]
+    assert rows == {("x", "42", "true"), ("inline", "None", "false")}
+    other = read_xlsx(spark, str(d), sheet="Other")
+    assert [r.name for r in other.collect()] == ["7"]
+    with _pytest.raises(XlsxError, match="not in"):
+        read_xlsx(spark, str(d), sheet="Nope")
