@@ -823,3 +823,60 @@ def xlsx_roundtrip(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@declared(
+    "sqlite_roundtrip",
+    """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(p_retailprice), 2) AS total,
+       ROUND(AVG(p_size), 4) AS avg_size
+FROM part GROUP BY p_brand ORDER BY p_brand""",
+)
+def sqlite_roundtrip(spark, sf_dir):
+    """SQLite interop (round 8, sources/sqlite): the part table is
+    loaded into a REAL SQLite database (stdlib sqlite3 — the actual
+    engine, not a fixture imitation), read back through the
+    pure-Python b-tree walk (multi-page interior/leaf pages, rowid
+    aliasing for the INTEGER PRIMARY KEY), and re-aggregated; the
+    oracle aggregates the source directly. Any record-decode or
+    page-walk defect shifts counts or sums."""
+    import atexit
+    import os
+    import shutil
+    import sqlite3
+    import tempfile
+
+    from graph_db_clustering_spark.sources.sqlite import read_sqlite
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_sqlite_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    dbp = os.path.join(root, "part.sqlite")
+    con = sqlite3.connect(dbp)
+    con.execute(
+        "CREATE TABLE part (p_partkey INTEGER PRIMARY KEY, p_brand TEXT,"
+        " p_size INTEGER, p_retailprice REAL)"
+    )
+    con.executemany(
+        "INSERT INTO part VALUES (?,?,?,?)",
+        [
+            (r.p_partkey, r.p_brand, r.p_size, r.p_retailprice)
+            for r in p.collect()
+        ],
+    )
+    con.commit()
+    con.close()
+    back = read_sqlite(spark, root, "part")
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("total"),
+            F.round(F.avg("p_size"), 4).alias("avg_size"),
+        )
+        .orderBy("p_brand")
+    )

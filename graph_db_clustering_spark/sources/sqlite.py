@@ -1,0 +1,263 @@
+"""SQLite database source: pure-Python b-tree walk, no drivers.
+
+The SQLite file format (sqlite.org/fileformat2.html — public, frozen)
+is a paged b-tree: a 100-byte header fixes the page size, page 1 holds
+the `sqlite_master` catalog (table name -> root page + CREATE sql),
+and each table is a b-tree of leaf cells carrying (rowid, record),
+records self-describing via serial-type codes. This reader walks
+interior/leaf table pages, follows overflow chains, decodes records,
+and aliases INTEGER PRIMARY KEY columns to the rowid (the format
+stores them as NULL) — enough to lift ordinary tables out of the
+billions of .sqlite files in the wild.
+
+Unlike the repo's self-paired codecs, the FIXTURES here come from the
+real engine: tests build databases with Python's stdlib sqlite3 and
+this reader must agree — external validation, not roundtrip
+self-consistency.
+
+Distribution: binaryFile (one task per database) + mapInPandas; each
+task decodes its own blob. Gates: WAL-mode files with a non-empty WAL
+are rejected (the main file alone is stale), as are WITHOUT ROWID
+tables (index-organized, different cell layout).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from graph_db_clustering_spark.sources.files import read_binary_dir
+
+
+class SqliteError(ValueError):
+    pass
+
+
+def _varint(b: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    for i in range(8):
+        byte = b[pos + i]
+        v = (v << 7) | (byte & 0x7F)
+        if not byte & 0x80:
+            return v, pos + i + 1
+    return (v << 8) | b[pos + 8], pos + 9
+
+
+class _Db:
+    def __init__(self, blob: bytes):
+        if blob[:16] != b"SQLite format 3\x00":
+            raise SqliteError("sqlite: bad magic")
+        self.blob = blob
+        self.page_size = struct.unpack(">H", blob[16:18])[0]
+        if self.page_size == 1:
+            self.page_size = 65536
+        self.reserved = blob[20]
+        self.usable = self.page_size - self.reserved
+        if blob[18] == 2:  # WAL mode: file alone may be stale
+            raise NotImplementedError(
+                "sqlite: WAL-mode database (checkpoint it first)"
+            )
+        enc = struct.unpack(">I", blob[56:60])[0]
+        if enc not in (0, 1):
+            raise NotImplementedError(f"sqlite: text encoding {enc} (UTF-8 only)")
+
+    def page(self, n: int) -> bytes:
+        off = (n - 1) * self.page_size
+        return self.blob[off : off + self.page_size]
+
+    # -- record decoding ----------------------------------------------------
+
+    def _payload(self, page: bytes, pos: int, plen: int, base_off: int) -> bytes:
+        """Assemble a cell payload, following the overflow chain."""
+        u = self.usable
+        x = u - 35
+        if plen <= x:
+            return self.blob[base_off + pos : base_off + pos + plen]
+        m = ((u - 12) * 32) // 255 - 23
+        k = m + (plen - m) % (u - 4)
+        local = k if k <= x else m
+        out = bytearray(self.blob[base_off + pos : base_off + pos + local])
+        nxt = struct.unpack(
+            ">I", self.blob[base_off + pos + local : base_off + pos + local + 4]
+        )[0]
+        while nxt and len(out) < plen:
+            pg = self.page(nxt)
+            nxt = struct.unpack(">I", pg[:4])[0]
+            out += pg[4 : 4 + min(u - 4, plen - len(out))]
+        return bytes(out)
+
+    def _record(self, payload: bytes, rowid: int) -> list:
+        hlen, pos = _varint(payload, 0)
+        types = []
+        while pos < hlen:
+            t, pos = _varint(payload, pos)
+            types.append(t)
+        out = []
+        for t in types:
+            if t == 0:
+                out.append(None)
+            elif 1 <= t <= 6:
+                n = {1: 1, 2: 2, 3: 3, 4: 4, 5: 6, 6: 8}[t]
+                out.append(int.from_bytes(payload[pos : pos + n], "big", signed=True))
+                pos += n
+            elif t == 7:
+                out.append(struct.unpack(">d", payload[pos : pos + 8])[0])
+                pos += 8
+            elif t in (8, 9):
+                out.append(t - 8)
+            elif t >= 12 and t % 2 == 0:
+                n = (t - 12) // 2
+                out.append(payload[pos : pos + n])
+                pos += n
+            elif t >= 13:
+                n = (t - 13) // 2
+                out.append(payload[pos : pos + n].decode("utf-8"))
+                pos += n
+            else:
+                raise SqliteError(f"sqlite: reserved serial type {t}")
+        return out
+
+    # -- b-tree walk --------------------------------------------------------
+
+    def rows(self, root: int):
+        """Yield (rowid, values) for every row of the table b-tree."""
+        stack = [root]
+        while stack:
+            pno = stack.pop()
+            base = (pno - 1) * self.page_size
+            pg = self.page(pno)
+            hdr = 100 if pno == 1 else 0
+            ptype = pg[hdr]
+            ncells = struct.unpack(">H", pg[hdr + 3 : hdr + 5])[0]
+            ptr0 = hdr + (12 if ptype in (2, 5) else 8)
+            ptrs = [
+                struct.unpack(">H", pg[ptr0 + 2 * i : ptr0 + 2 * i + 2])[0]
+                for i in range(ncells)
+            ]
+            if ptype == 5:  # interior table page
+                for p in ptrs:
+                    stack.append(struct.unpack(">I", pg[p : p + 4])[0])
+                stack.append(struct.unpack(">I", pg[hdr + 8 : hdr + 12])[0])
+            elif ptype == 13:  # leaf table page
+                for p in ptrs:
+                    plen, pos = _varint(pg, p)
+                    rowid, pos = _varint(pg, pos)
+                    payload = self._payload(pg, pos, plen, base)
+                    yield rowid, self._record(payload, rowid)
+            else:
+                raise SqliteError(f"sqlite: unexpected page type {ptype}")
+
+    def master(self) -> list[tuple]:
+        """(type, name, rootpage, sql) rows from sqlite_master."""
+        out = []
+        for _rid, rec in self.rows(1):
+            out.append((rec[0], rec[1], rec[3], rec[4]))
+        return out
+
+
+def _table_info(db: _Db, table: str) -> tuple[int, list[str], int | None]:
+    for typ, name, root, sql in db.master():
+        if typ == "table" and name == table:
+            if sql and re.search(r"WITHOUT\s+ROWID", sql, re.I):
+                raise NotImplementedError("sqlite: WITHOUT ROWID tables")
+            cols = _parse_columns(sql or "")
+            ipk = next(
+                (
+                    i
+                    for i, (cname, ctype) in enumerate(cols)
+                    if re.fullmatch(r"INTEGER", ctype.split()[0] or "", re.I)
+                    and re.search(r"PRIMARY\s+KEY", ctype, re.I)
+                ),
+                None,
+            )
+            return root, [c for c, _ in cols], ipk
+    raise SqliteError(f"sqlite: table {table!r} not found")
+
+
+def _parse_columns(sql: str) -> list[tuple[str, str]]:
+    """CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT, ...) -> column
+    (name, tail) pairs — depth-aware comma split, table constraints
+    (PRIMARY KEY(..), UNIQUE(..), CHECK, FOREIGN KEY) skipped."""
+    body = sql[sql.index("(") + 1 : sql.rindex(")")]
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    cols = []
+    for p in parts:
+        p = p.strip()
+        if re.match(r"(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\b", p, re.I):
+            continue
+        m = re.match(r'(?:"([^"]+)"|\[([^\]]+)\]|`([^`]+)`|(\w+))\s*(.*)', p, re.S)
+        name = next(g for g in m.groups()[:4] if g is not None)
+        cols.append((name, m.group(5) or ""))
+    return cols
+
+
+def read_sqlite(
+    spark: SparkSession, path: str, table: str, glob: str = "*.sqlite*"
+) -> DataFrame:
+    """Read `table` from every SQLite file under `path` as one
+    all-strings-free DataFrame: columns surface with their decoded
+    Python types mapped to (long/double/string/binary) per SQLite's
+    dynamic typing — a column mixing ints and text raises (pick one).
+    The driver decodes only the FIRST file's catalog; table pages
+    decode in each file's own executor task."""
+    files = read_binary_dir(spark, path, glob)
+    first = files.select("content").orderBy("path").first()
+    if first is None:
+        raise SqliteError(f"sqlite: no files matching {glob!r} under {path}")
+    db0 = _Db(bytes(first["content"]))
+    root0, cols, ipk = _table_info(db0, table)
+    sample = []
+    for _rid, rec in db0.rows(root0):
+        sample.append(rec)
+        if len(sample) >= 100:
+            break
+    types = []
+    for i, c in enumerate(cols):
+        vals = [r[i] for r in sample if i < len(r) and r[i] is not None]
+        if i == ipk:
+            types.append("long")
+        elif all(isinstance(v, int) for v in vals) and vals:
+            types.append("long")
+        elif all(isinstance(v, (int, float)) for v in vals) and vals:
+            types.append("double")
+        elif all(isinstance(v, bytes) for v in vals) and vals:
+            types.append("binary")
+        else:
+            types.append("string")
+    ddl = ", ".join(f"{c} {t}" for c, t in zip(cols, types))
+    n_cols = len(cols)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                db = _Db(bytes(blob))
+                root, _cols, ipk_i = _table_info(db, table)
+                data = []
+                for rowid, rec in db.rows(root):
+                    rec = (rec + [None] * n_cols)[:n_cols]
+                    if ipk_i is not None:
+                        rec[ipk_i] = rowid
+                    data.append(rec)
+                out = pd.DataFrame(data, columns=cols, dtype=object)
+                for c, t in zip(cols, types):
+                    if t == "double":
+                        out[c] = out[c].astype("float64")
+                yield out
+
+    return files.select("content").mapInPandas(decode, ddl)
