@@ -170,7 +170,8 @@ def _table_info(db: _Db, table: str) -> tuple[int, list[str], int | None]:
                 (
                     i
                     for i, (cname, ctype) in enumerate(cols)
-                    if re.fullmatch(r"INTEGER", ctype.split()[0] or "", re.I)
+                    if ctype.split()
+                    and re.fullmatch(r"INTEGER", ctype.split()[0], re.I)
                     and re.search(r"PRIMARY\s+KEY", ctype, re.I)
                 ),
                 None,

@@ -101,3 +101,18 @@ def test_sqlite_gates(spark, tmp_path):
         read_sqlite(spark, str(tmp_path), "t2", glob="wr.sqlite")
     with pytest.raises(SqliteError, match="not found"):
         read_sqlite(spark, str(tmp_path), "nope", glob="wr.sqlite")
+
+
+def test_sqlite_typeless_columns(spark, tmp_path):
+    """SQLite allows columns with NO declared type; the parser must not
+    crash and values surface via sampling-inferred types."""
+    p = str(tmp_path / "nt.sqlite")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE t (a, b)")
+    con.execute("INSERT INTO t VALUES ('x', 1)")
+    con.execute("INSERT INTO t VALUES ('y', 2)")
+    con.commit()
+    con.close()
+    df = read_sqlite(spark, str(tmp_path), "t", glob="nt.sqlite")
+    got = sorted((r.a, r.b) for r in df.collect())
+    assert got == [("x", 1), ("y", 2)]
