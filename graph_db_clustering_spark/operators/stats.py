@@ -534,6 +534,8 @@ def psi_drift(
     edges = ref.agg(
         F.percentile("v", F.array(*[F.lit(q) for q in qs])).alias("e")
     ).first()["e"]
+    if edges is None:
+        raise ValueError("psi_drift: reference population is empty")
     bin_expr = F.lit(0)
     for e in edges:
         bin_expr = bin_expr + F.when(F.col("v") > float(e), 1).otherwise(0)

@@ -3062,3 +3062,44 @@ def events_stickiness(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@declared(
+    "skew_report",
+    """WITH k AS (SELECT o_custkey AS key, COUNT(*) AS n FROM orders
+       GROUP BY o_custkey),
+s AS (SELECT COUNT(*) AS n_keys, AVG(n) AS avg_n, MAX(n) AS max_n,
+        SUM(n) AS total FROM k),
+top AS (SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk
+        FROM k)
+SELECT top.rk, top.key, CAST(top.n AS BIGINT) AS n,
+       ROUND(top.n * 1.0 / s.avg_n, 4) AS x_avg,
+       ROUND(s.max_n * 1.0 / s.avg_n, 4) AS skew_factor
+FROM top, s WHERE top.rk <= 10 ORDER BY top.rk""",
+)
+def skew_report(spark, sf_dir):
+    """Join-key skew report for orders.o_custkey (round 8): the top-10
+    heaviest keys with their multiple of the mean, plus the global
+    skew factor max/avg — the diagnostic run BEFORE choosing between a
+    plain shuffle join, salting (joins.salted_join), or an AQE skew
+    split. One key-count aggregate, one key-sized top-k window."""
+    o = _t(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count("*").alias("n"))
+    s = k.agg(
+        F.avg("n").alias("avg_n"), F.max("n").alias("max_n")
+    )
+    w = Window.orderBy(F.desc("n"), "key")
+    top = k.select("key", "n", F.row_number().over(w).alias("rk")).filter(
+        F.col("rk") <= 10
+    )
+    return (
+        top.crossJoin(F.broadcast(s))
+        .select(
+            "rk",
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("avg_n"), 4).alias("x_avg"),
+            F.round(F.col("max_n") / F.col("avg_n"), 4).alias("skew_factor"),
+        )
+        .orderBy("rk")
+    )
