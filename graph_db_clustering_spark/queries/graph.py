@@ -1361,3 +1361,58 @@ def graph_squares(spark, sf_dir):
         F.count("*").cast("long").alias("n_codeg_pairs"),
         F.max("cn").cast("long").alias("max_codegree"),
     )
+
+
+@declared(
+    "neo4j_import",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation FROM customer
+       WHERE c_custkey < {_CAP}),
+e AS (SELECT a.id AS src, b.id AS dst FROM v a JOIN v b
+       ON a.nation = b.nation AND a.id < b.id AND b.id - a.id <= 3),
+und AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+SELECT v.id, v.nation, CAST(COUNT(und.id) AS BIGINT) AS degree
+FROM v LEFT JOIN und ON v.id = und.id
+GROUP BY v.id, v.nation ORDER BY v.id""",
+)
+def neo4j_import(spark, sf_dir):
+    """Neo4j admin-import CSV migration path (round 8,
+    sources/neo4j_csv): the banded graph is exported to the EXACT
+    neo4j-admin header convention (`custkey:ID`, `nation:int`,
+    `:START_ID`/`:END_ID`/`:TYPE`), re-imported through the loader,
+    and queried for per-vertex degree via the engine's Cypher session
+    — CSV parse, header typing, Graph construction, and the Cypher
+    compiler all on the hot path; the oracle computes degrees straight
+    from the relational definition."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.cypher import CypherSession
+    from graph_db_clustering_spark.sources.neo4j_csv import read_neo4j_graph
+
+    g = _banded_graph(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"gdc_neo4j_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    nodes_p = os.path.join(root, "nodes")
+    rels_p = os.path.join(root, "rels")
+    g.vertices.select(
+        F.col("id").alias("custkey:ID"), F.col("nation").alias("nation:int")
+    ).write.option("header", True).csv(nodes_p)
+    g.edges.select(
+        F.col("src").alias(":START_ID"),
+        F.col("dst").alias(":END_ID"),
+        F.col("relationship").alias(":TYPE"),
+    ).write.option("header", True).csv(rels_p)
+    imported = read_neo4j_graph(spark, nodes_p, rels_p)
+    session = CypherSession(imported)
+    out = session.run(
+        "MATCH (n) OPTIONAL MATCH (n)-[r]-() "
+        "RETURN ID(n) AS id, n.nation AS nation, COUNT(r) AS degree "
+        "ORDER BY id"
+    )
+    return out.select(
+        "id", F.col("nation").cast("long").alias("nation"),
+        F.col("degree").cast("long").alias("degree"),
+    )

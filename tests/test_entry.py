@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 246
-DOCUMENTED_ORACLES = 221
+DOCUMENTED_QUERIES = 247
+DOCUMENTED_ORACLES = 222
 
 
 def test_ledger_counts_match():

@@ -155,3 +155,35 @@ def test_xlsx_reader_cell_types_and_sheets(spark, tmp_path):
     assert [r.name for r in other.collect()] == ["7"]
     with _pytest.raises(XlsxError, match="not in"):
         read_xlsx(spark, str(d), sheet="Nope")
+
+
+def test_neo4j_csv_header_convention(spark, tmp_path):
+    """Typed properties cast per the admin-import suffixes; missing
+    :TYPE defaults; bad type and missing :ID raise."""
+    import pytest as _pytest
+
+    from graph_db_clustering_spark.sources.neo4j_csv import read_neo4j_graph
+
+    nd = tmp_path / "nodes"
+    rd = tmp_path / "rels"
+    nd.mkdir(); rd.mkdir()
+    (nd / "n.csv").write_text(
+        "pid:ID,name:string,age:int,score:float,vip:boolean\n"
+        "1,alice,30,1.5,true\n2,bob,41,2.25,false\n"
+    )
+    (rd / "r.csv").write_text(":START_ID,:END_ID,since:int\n1,2,2020\n")
+    g = read_neo4j_graph(spark, str(nd), str(rd))
+    v = {r.id: (r.name, r.age, r.score, r.vip) for r in g.vertices.collect()}
+    assert v == {1: ("alice", 30, 1.5, True), 2: ("bob", 41, 2.25, False)}
+    assert [f.dataType.simpleString() for f in g.vertices.schema.fields] == [
+        "bigint", "string", "bigint", "double", "boolean",
+    ]
+    e = g.edges.first()
+    assert (e.src, e.dst, e.relationship, e.since) == (1, 2, "RELATED", 2020)
+
+    (nd / "n.csv").write_text("pid:ID,weird:tensor\n1,x\n")
+    with _pytest.raises(ValueError, match="unsupported property type"):
+        read_neo4j_graph(spark, str(nd), str(rd))
+    (nd / "n.csv").write_text("pid,name:string\n1,x\n")
+    with _pytest.raises(ValueError, match="missing \\['id'\\]"):
+        read_neo4j_graph(spark, str(nd), str(rd))
