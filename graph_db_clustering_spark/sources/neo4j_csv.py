@@ -85,3 +85,44 @@ def read_neo4j_graph(
     if "relationship" not in rels.columns:
         rels = rels.withColumn("relationship", F.lit("RELATED"))
     return Graph(nodes, rels)
+
+
+def write_neo4j_csv(graph: Graph, nodes_path: str, rels_path: str) -> None:
+    """The inverse: export a Graph to admin-import CSVs (the files
+    `neo4j-admin database import` consumes), typing property columns
+    by their Spark types. Distributed CSV writes; the id/src/dst/
+    relationship columns map back to :ID/:START_ID/:END_ID/:TYPE."""
+    _SUFFIX = {
+        "bigint": "int",
+        "int": "int",
+        "double": "float",
+        "float": "float",
+        "boolean": "boolean",
+        "string": "string",
+    }
+
+    def out_name(field, special):
+        if field.name in special:
+            return special[field.name]
+        t = _SUFFIX.get(field.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                f"neo4j_csv: cannot export column {field.name!r} of type "
+                f"{field.dataType.simpleString()}"
+            )
+        return f"{field.name}:{t}"
+
+    v_special = {"id": "id:ID", "label": ":LABEL"}
+    graph.vertices.select(
+        *[
+            F.col(f.name).alias(out_name(f, v_special))
+            for f in graph.vertices.schema.fields
+        ]
+    ).write.mode("overwrite").option("header", True).csv(nodes_path)
+    e_special = {"src": ":START_ID", "dst": ":END_ID", "relationship": ":TYPE"}
+    graph.edges.select(
+        *[
+            F.col(f.name).alias(out_name(f, e_special))
+            for f in graph.edges.schema.fields
+        ]
+    ).write.mode("overwrite").option("header", True).csv(rels_path)

@@ -187,3 +187,27 @@ def test_neo4j_csv_header_convention(spark, tmp_path):
     (nd / "n.csv").write_text("pid,name:string\n1,x\n")
     with _pytest.raises(ValueError, match="missing \\['id'\\]"):
         read_neo4j_graph(spark, str(nd), str(rd))
+
+
+def test_neo4j_csv_export_import_roundtrip(spark, tmp_path):
+    """write_neo4j_csv -> read_neo4j_graph is the identity on
+    vertices/edges (typed properties included)."""
+    from graph_db_clustering_spark.operators.graph import Graph
+    from graph_db_clustering_spark.sources.neo4j_csv import (
+        read_neo4j_graph,
+        write_neo4j_csv,
+    )
+
+    v = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", 2.0, False)],
+        "id long, name string, score double, vip boolean",
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "KNOWS", 2020)], "src long, dst long, relationship string, since long"
+    )
+    g = Graph(v, e)
+    np_, rp_ = str(tmp_path / "n"), str(tmp_path / "r")
+    write_neo4j_csv(g, np_, rp_)
+    back = read_neo4j_graph(spark, np_, rp_)
+    assert {tuple(r) for r in back.vertices.collect()} == {tuple(r) for r in v.collect()}
+    assert {tuple(r) for r in back.edges.collect()} == {tuple(r) for r in e.collect()}
