@@ -406,7 +406,9 @@ def cluster_medoids(
     )
 
 
-def ols_fit(df: DataFrame, feature_cols: list, target_col: str) -> dict:
+def ols_fit(
+    df: DataFrame, feature_cols: list, target_col: str, l2: float = 0.0
+) -> dict:
     """Ordinary least squares by the normal equations, distributed the
     same way as pca_fit: one mapInPandas pass reduces the data to the
     (p+1)x(p+1) Gram matrix of the intercept-augmented design and the
@@ -416,7 +418,9 @@ def ols_fit(df: DataFrame, feature_cols: list, target_col: str) -> dict:
 
     Exact (no iteration, no learning rate) and one data pass —
     the right tool for p in the hundreds; beyond that use iterative
-    solvers. R^2 comes from the same pass's y-moments."""
+    solvers. R^2 comes from the same pass's y-moments. ``l2`` adds
+    ridge regularization (coefficients only, intercept unpenalized) —
+    the same Gram matrix, one diagonal added."""
     p = len(feature_cols)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -451,6 +455,9 @@ def ols_fit(df: DataFrame, feature_cols: list, target_col: str) -> dict:
     xy = np.sum([np.asarray(r["xy"]) for r in agg], axis=0)
     yy = sum(r["yy"] for r in agg)
     ys = sum(r["ys"] for r in agg)
+    if l2:
+        # ridge: penalize coefficients, never the intercept (standard)
+        g = g + l2 * np.diag([1.0] * p + [0.0])
     beta = np.linalg.solve(g, xy)
     # SSE = y'y - 2 b'X'y + b'Gb ; SST = y'y - n*mean^2
     sse = yy - 2.0 * beta @ xy + beta @ g @ beta
@@ -623,3 +630,105 @@ def dbscan_2d(
             "is_core",
         )
     )
+
+
+def logreg_fit(
+    df: DataFrame,
+    feature_cols: list,
+    label_col: str,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+    l2: float = 0.0,
+) -> dict:
+    """Binary logistic regression by distributed Newton / IRLS: each
+    iteration is ONE mapInPandas pass reducing the data to the
+    weighted Gram matrix X'WX and gradient X'(y - p) (a (p+1)^2 block
+    per Arrow batch, exactly ols_fit's shape with per-row weights),
+    and the driver solves the tiny system. Converges quadratically —
+    a handful of passes where SGD takes epochs. Returns
+    {"coef", "intercept", "n", "iterations", "converged",
+    "log_likelihood"}.
+
+    ``l2`` regularizes coefficients (not the intercept); besides the
+    statistical role it guarantees a solvable system under perfect
+    separation (where unpenalized ML diverges)."""
+    p = len(feature_cols)
+    beta = np.zeros(p + 1)
+
+    def make_pass(b):
+        bb = b.copy()
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = pdf[feature_cols].to_numpy(dtype=np.float64)
+                y = pdf["__y"].to_numpy(dtype=np.float64)
+                a = np.hstack([x, np.ones((len(x), 1))])
+                z = np.clip(a @ bb, -35, 35)
+                mu = 1.0 / (1.0 + np.exp(-z))
+                w = mu * (1.0 - mu)
+                yield pd.DataFrame(
+                    {
+                        "n": [len(x)],
+                        "g": [((a * w[:, None]).T @ a).ravel().tolist()],
+                        "grad": [(a.T @ (y - mu)).tolist()],
+                        "ll": [
+                            float(
+                                np.sum(y * z - np.log1p(np.exp(z)))
+                            )
+                        ],
+                    }
+                )
+
+        return partials
+
+    base = df.select(
+        *feature_cols, F.col(label_col).cast("double").alias("__y")
+    )
+    n = 0
+    ll = -np.inf
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        agg = base.mapInPandas(
+            make_pass(beta),
+            "n long, g array<double>, grad array<double>, ll double",
+        ).collect()
+        n = sum(r["n"] for r in agg)
+        if n == 0:
+            raise ValueError("logreg_fit: empty input")
+        g = np.sum([np.asarray(r["g"]).reshape(p + 1, p + 1) for r in agg], axis=0)
+        grad = np.sum([np.asarray(r["grad"]) for r in agg], axis=0)
+        new_ll = sum(r["ll"] for r in agg)
+        if l2:
+            pen = np.diag([l2] * p + [0.0])
+            g = g + pen
+            grad = grad - pen @ beta
+            new_ll -= 0.5 * l2 * float(beta[:p] @ beta[:p])
+        step = np.linalg.solve(g, grad)
+        beta = beta + step
+        if abs(new_ll - ll) < tol * max(1.0, abs(new_ll)):
+            converged = True
+            ll = new_ll
+            break
+        ll = new_ll
+    return {
+        "coef": beta[:p],
+        "intercept": float(beta[p]),
+        "n": int(n),
+        "iterations": it,
+        "converged": converged,
+        "log_likelihood": float(ll),
+    }
+
+
+def logreg_predict(
+    df: DataFrame, feature_cols: list, model: dict, out_col: str = "prob"
+) -> DataFrame:
+    """Score rows with a fitted model as a pure codegen expression:
+    sigmoid(x . coef + intercept) — no Python on the scoring path."""
+    z = F.lit(float(model["intercept"]))
+    for c, b in zip(feature_cols, model["coef"]):
+        z = z + F.col(c) * float(b)
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

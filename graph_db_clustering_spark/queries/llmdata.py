@@ -2170,3 +2170,37 @@ def fuzzy_terms(spark, sf_dir):
         .select(F.col("t1"), F.col("t2"), F.col("dist").cast("int").alias("dist"))
         .orderBy("t1", "t2")
     )
+
+
+@declared("doc_logreg")  # IRLS: iterative, not ANSI-SQL-expressible
+def doc_logreg(spark, sf_dir):
+    """Distributed logistic regression (round 8,
+    operators/stats.logreg_fit): is-English classified from two cheap
+    text statistics (length, word count) — the supervised counterpart
+    of doc_auc's rank test. Each Newton/IRLS iteration is one
+    mapInPandas moments pass (the ols_fit shape with per-row weights);
+    the scoring pass is a pure codegen sigmoid. Rows-only at the gate;
+    driver-Newton parity, separation handling, and codegen scoring
+    are pinned in tests/test_stats.py."""
+    from graph_db_clustering_spark.operators.stats import (
+        logreg_fit,
+        logreg_predict,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("n_words"),
+    )
+    m = logreg_fit(d, ["n_chars", "n_words"], "y", l2=1e-6)
+    return (
+        logreg_predict(d, ["n_chars", "n_words"], m)
+        .select(
+            "doc_id",
+            "y",
+            F.round("prob", 6).alias("prob"),
+            (F.col("prob") >= 0.5).alias("pred"),
+        )
+        .orderBy("doc_id")
+    )

@@ -9,7 +9,7 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 247
+DOCUMENTED_QUERIES = 248
 DOCUMENTED_ORACLES = 222
 
 

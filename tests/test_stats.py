@@ -435,3 +435,74 @@ def test_dbscan_blobs_border_and_noise(spark):
         for r in dbscan_2d(df.repartition(7), "id", "x", "y", 0.02, 5).collect()
     }
     assert got2 == got
+
+
+def test_ridge_shrinks_and_matches_closed_form(spark):
+    """Ridge with l2=0 equals OLS; a large l2 shrinks coefficients
+    toward 0 but never the intercept; closed form parity vs numpy."""
+    from graph_db_clustering_spark.operators.stats import ols_fit
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    feats = ["l_quantity", "l_discount"]
+    plain = ols_fit(li, feats, "l_extendedprice")
+    ridge = ols_fit(li, feats, "l_extendedprice", l2=1e6)
+    assert np.all(np.abs(ridge["coef"]) < np.abs(plain["coef"]))
+    pdf = li.toPandas()
+    a = np.hstack([pdf[feats].to_numpy(), np.ones((len(pdf), 1))])
+    y = pdf["l_extendedprice"].to_numpy()
+    g = a.T @ a + 1e6 * np.diag([1.0, 1.0, 0.0])
+    want = np.linalg.solve(g, a.T @ y)
+    assert np.allclose(ridge["coef"], want[:2], rtol=1e-8)
+    assert abs(ridge["intercept"] - want[2]) < 1e-6 * max(1, abs(want[2]))
+
+
+def test_logreg_matches_driver_newton_and_separation(spark):
+    """Distributed IRLS equals a driver-side Newton fit on the same
+    data; prediction probabilities match the sigmoid; l2 keeps a
+    perfectly separable problem finite."""
+    from graph_db_clustering_spark.operators.stats import (
+        logreg_fit,
+        logreg_predict,
+    )
+
+    rng = np.random.default_rng(19)
+    n = 400
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    z = 0.8 * x1 - 1.3 * x2 + 0.4
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-z))).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y int",
+    )
+    m = logreg_fit(df, ["x1", "x2"], "y")
+    assert m["converged"] and m["n"] == n
+
+    a = np.column_stack([x1, x2, np.ones(n)])
+    beta = np.zeros(3)
+    for _ in range(50):
+        mu = 1 / (1 + np.exp(-np.clip(a @ beta, -35, 35)))
+        w = mu * (1 - mu)
+        step = np.linalg.solve((a * w[:, None]).T @ a, a.T @ (y - mu))
+        beta += step
+        if np.abs(step).max() < 1e-12:
+            break
+    assert np.allclose(m["coef"], beta[:2], rtol=1e-6, atol=1e-8)
+    assert abs(m["intercept"] - beta[2]) < 1e-6
+
+    scored = logreg_predict(df, ["x1", "x2"], m)
+    r0 = scored.first()
+    want_p = 1 / (1 + np.exp(-(m["coef"][0] * r0.x1 + m["coef"][1] * r0.x2 + m["intercept"])))
+    assert abs(r0.prob - want_p) < 1e-12
+    # plan: scoring is pure codegen
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+    sep = spark.createDataFrame(
+        [(float(i), int(i > 0)) for i in range(-50, 51) if i != 0],
+        "x double, y int",
+    )
+    ms = logreg_fit(sep, ["x"], "y", l2=1.0)
+    assert np.isfinite(ms["coef"][0]) and ms["converged"]
