@@ -3103,3 +3103,85 @@ def skew_report(spark, sf_dir):
         )
         .orderBy("rk")
     )
+
+
+@declared(
+    "user_entropy",
+    """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events
+       GROUP BY user_id, event_type),
+t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id),
+h AS (SELECT c.user_id,
+        -SUM((c.n * 1.0 / t.tot) * LN(c.n * 1.0 / t.tot)) AS ent,
+        MAX(t.tot) AS n_events
+      FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(ent, 6) AS entropy
+FROM h ORDER BY entropy DESC, user_id LIMIT 25""",
+)
+def user_entropy(spark, sf_dir):
+    """Behavioral diversity per user (round 8): Shannon entropy of
+    each user's event-type distribution, top-25 most-diverse — the
+    exploration/specialization readout (bots and single-purpose
+    scripts sit near 0; organic users spread). Two user-keyed
+    aggregates; the top-k is TakeOrdered."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("tot").cast("long").alias("n_events"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .orderBy(F.desc("entropy"), "user_id")
+        .limit(25)
+    )
+
+
+@declared(
+    "nation_rank_moves",
+    """WITH rev AS (SELECT c_nationkey AS nation,
+    SUM(CASE WHEN o_orderdate <  TIMESTAMP '2024-01-16' THEN o_totalprice
+             ELSE 0 END) AS rev_a,
+    SUM(CASE WHEN o_orderdate >= TIMESTAMP '2024-01-16' THEN o_totalprice
+             ELSE 0 END) AS rev_b
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey),
+rk AS (SELECT nation,
+        RANK() OVER (ORDER BY rev_a DESC, nation) AS rank_a,
+        RANK() OVER (ORDER BY rev_b DESC, nation) AS rank_b
+       FROM rev)
+SELECT nation, CAST(rank_a AS BIGINT) AS rank_a,
+       CAST(rank_b AS BIGINT) AS rank_b,
+       CAST(rank_a - rank_b AS BIGINT) AS moved_up
+FROM rk ORDER BY nation""",
+)
+def nation_rank_moves(spark, sf_dir):
+    """Revenue-rank movement per nation between the two halves of the
+    order window (round 8): the movers-and-shakers BI readout. One
+    conditional-sum join aggregate over the fact table; both rank
+    windows run over the 25-row nation frame."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(F.when(F.col("o_orderdate") < cut, F.col("o_totalprice")).otherwise(0)).alias("rev_a"),
+            F.sum(F.when(F.col("o_orderdate") >= cut, F.col("o_totalprice")).otherwise(0)).alias("rev_b"),
+        )
+    )
+    wa = Window.orderBy(F.desc("rev_a"), "nation")
+    wb = Window.orderBy(F.desc("rev_b"), "nation")
+    return (
+        rev.select(
+            "nation",
+            F.rank().over(wa).cast("long").alias("rank_a"),
+            F.rank().over(wb).cast("long").alias("rank_b"),
+        )
+        .withColumn("moved_up", (F.col("rank_a") - F.col("rank_b")).cast("long"))
+        .orderBy("nation")
+    )
