@@ -262,7 +262,14 @@ def read_delta_pruned(
     keep, skipped = [], 0
     for s in stats:
         mv, xv = s.get("minValues") or {}, s.get("maxValues") or {}
-        if column in mv and column in xv and (xv[column] < lo or mv[column] > hi):
+        try:
+            disjoint = (
+                column in mv and column in xv
+                and (xv[column] < lo or mv[column] > hi)
+            )
+        except TypeError:
+            disjoint = False  # incomparable stat types: never skip
+        if disjoint:
             skipped += 1
             continue
         keep.append(s["path"])
