@@ -64,24 +64,39 @@ def read_arrow_ipc(
     """Read a directory of Arrow IPC files as one DataFrame. The
     driver opens only the first file's SCHEMA; every file's data
     decodes executor-side in its own task."""
-    import pyarrow.ipc as ipc
-
     files = read_binary_dir(spark, path, glob)
     first = files.select("path").orderBy("path").first()
     if first is None:
         raise ValueError(f"arrow_ipc: no files matching {glob!r} under {path}")
     local = first["path"].removeprefix("file:")
     with open(local, "rb") as f:
-        schema = ipc.open_file(f).schema
+        schema = _open_any(f.read()).schema
     ddl = _spark_ddl_for(schema)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pyarrow.ipc as _ipc
-
         for pdf in batches:
             for blob in pdf["content"]:
-                rd = _ipc.open_file(io.BytesIO(bytes(blob)))
-                for i in range(rd.num_record_batches):
-                    yield rd.get_batch(i).to_pandas()
+                rd = _open_any(bytes(blob))
+                for batch in _iter_batches(rd):
+                    yield batch.to_pandas()
 
     return files.select("content").mapInPandas(decode, ddl)
+
+
+def _open_any(blob: bytes):
+    """File format (magic 'ARROW1') or the bare stream format — both
+    are legal on-disk encodings in the wild (streams come out of
+    socket dumps and `pa.ipc.new_stream`)."""
+    import pyarrow.ipc as ipc
+
+    if blob[:6] == b"ARROW1":
+        return ipc.open_file(io.BytesIO(blob))
+    return ipc.open_stream(io.BytesIO(blob))
+
+
+def _iter_batches(rd):
+    if hasattr(rd, "num_record_batches"):  # file reader
+        for i in range(rd.num_record_batches):
+            yield rd.get_batch(i)
+    else:  # stream reader
+        yield from rd

@@ -211,3 +211,20 @@ def test_neo4j_csv_export_import_roundtrip(spark, tmp_path):
     back = read_neo4j_graph(spark, np_, rp_)
     assert {tuple(r) for r in back.vertices.collect()} == {tuple(r) for r in v.collect()}
     assert {tuple(r) for r in back.edges.collect()} == {tuple(r) for r in e.collect()}
+
+
+def test_arrow_ipc_stream_format(spark, tmp_path):
+    """Bare stream-format files (no ARROW1 footer) decode through the
+    same source."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from graph_db_clustering_spark.sources.arrow_ipc import read_arrow_ipc
+
+    tbl = pa.table({"id": pa.array(range(30), pa.int64())})
+    d = tmp_path / "stream"
+    d.mkdir()
+    with ipc.new_stream(str(d / "s.arrow"), tbl.schema) as w:
+        w.write_table(tbl, max_chunksize=7)
+    df = read_arrow_ipc(spark, str(d))
+    assert df.count() == 30 and df.agg({"id": "sum"}).first()[0] == sum(range(30))
