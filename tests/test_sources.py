@@ -228,3 +228,69 @@ def test_arrow_ipc_stream_format(spark, tmp_path):
         w.write_table(tbl, max_chunksize=7)
     df = read_arrow_ipc(spark, str(d))
     assert df.count() == 30 and df.agg({"id": "sum"}).first()[0] == sum(range(30))
+
+
+def test_graphml_roundtrip_and_algorithms(spark, tmp_path):
+    """write_graphml -> read_graphml is the identity (typed node/edge
+    attrs, XML escaping); the imported graph runs the algorithm
+    library; non-integer ids and unknown attr types raise."""
+    import pytest as _pytest
+
+    from graph_db_clustering_spark.operators.graph import Graph
+    from graph_db_clustering_spark.operators.graph_algos import (
+        connected_components,
+    )
+    from graph_db_clustering_spark.sources.graphml import (
+        read_graphml,
+        write_graphml,
+    )
+
+    v = spark.createDataFrame(
+        [(0, "a<b", 1.5, True), (1, "y&z", 2.0, False), (2, None, None, None)],
+        "id long, name string, score double, vip boolean",
+    )
+    e = spark.createDataFrame(
+        [(0, 1, "KNOWS", 7)], "src long, dst long, relationship string, w long"
+    )
+    p = str(tmp_path / "g.graphml")
+    write_graphml(Graph(v, e), p)
+    back = read_graphml(spark, p)
+    assert {tuple(r) for r in back.vertices.collect()} == {
+        tuple(r) for r in v.collect()
+    }
+    assert {tuple(r) for r in back.edges.select("src", "dst", "relationship", "w").collect()} == {
+        (0, 1, "KNOWS", 7)
+    }
+    comp = {r.id: r.component for r in connected_components(back).collect()}
+    assert comp == {0: 0, 1: 0, 2: 2}
+
+    bad = tmp_path / "bad.graphml"
+    bad.write_text(
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'
+        '<graph><node id="alpha"/></graph></graphml>'
+    )
+    with _pytest.raises(ValueError, match="non-integer"):
+        read_graphml(spark, str(bad))
+
+
+def test_graphml_reads_networkx_style_document(spark, tmp_path):
+    """A hand-written document in the exact shape nx.write_graphml
+    emits (n-prefixed ids, keys d0/d1, default-typed string) parses."""
+    from graph_db_clustering_spark.sources.graphml import read_graphml
+
+    doc = """<?xml version='1.0' encoding='utf-8'?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <key id="d1" for="edge" attr.name="weight" attr.type="double" />
+  <key id="d0" for="node" attr.name="color" attr.type="string" />
+  <graph edgedefault="undirected">
+    <node id="n0"><data key="d0">red</data></node>
+    <node id="n1"><data key="d0">blue</data></node>
+    <edge source="n0" target="n1"><data key="d1">0.5</data></edge>
+  </graph>
+</graphml>"""
+    p = tmp_path / "nx.graphml"
+    p.write_text(doc)
+    g = read_graphml(spark, str(p))
+    assert {(r.id, r.color) for r in g.vertices.collect()} == {(0, "red"), (1, "blue")}
+    r = g.edges.first()
+    assert (r.src, r.dst, r.weight, r.relationship) == (0, 1, 0.5, "RELATED")
