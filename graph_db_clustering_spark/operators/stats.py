@@ -732,3 +732,95 @@ def logreg_predict(
     for c, b in zip(feature_cols, model["coef"]):
         z = z + F.col(c) * float(b)
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def pic_cluster(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    k: int = 2,
+    iters: int = 15,
+) -> DataFrame:
+    """Power Iteration Clustering (Lin & Cohen 2010) over the sparse
+    eps-neighborhood affinity graph: iterate v <- W v on the
+    row-normalized affinities (Gaussian weights exp(-d^2 / eps^2)),
+    whose mixing dynamics collapse each well-separated cluster onto
+    its own value of the pseudo-eigenvector, then 1-D k-means the
+    final v. The spectral-clustering result without an
+    eigendecomposition — every iteration is one edge-keyed join + one
+    vertex aggregate (the pagerank shape), and the affinity graph
+    comes from joins.grid_radius_join, so nothing is ever N^2.
+    Returns (id_col, cid)."""
+    from graph_db_clustering_spark.operators.joins import grid_radius_join
+
+    pts = points.select(F.col(id_col).alias("id"), x_col, y_col)
+    pairs = grid_radius_join(pts, "id", x_col, y_col, eps)
+    w = pairs.select(
+        "id1", "id2", F.exp(-(F.col("dist") ** 2) / (eps * eps)).alias("w")
+    )
+    und = w.unionAll(
+        w.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"), "w")
+    ).localCheckpoint()
+    deg = und.groupBy("id1").agg(F.sum("w").alias("d"))
+    total = deg.agg(F.sum("d")).first()[0] or 1.0
+    # v0 = degree / volume (the paper's init), isolated points get 0
+    v = (
+        pts.select("id")
+        .join(deg.withColumnRenamed("id1", "id"), "id", "left")
+        .select("id", (F.coalesce("d", F.lit(0.0)) / total).alias("v"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        msg = (
+            und.join(v.withColumnRenamed("id", "id2"), "id2")
+            .groupBy(F.col("id1").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("v")).alias("num"))
+        )
+        nxt = (
+            v.select("id")
+            .join(msg, "id", "left")
+            .join(deg.withColumnRenamed("id1", "id"), "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("num") / F.col("d"), F.lit(0.0)).alias("v"),
+            )
+        )
+        norm = nxt.agg(F.sum(F.abs("v"))).first()[0] or 1.0
+        v = nxt.select("id", (F.col("v") / norm).alias("v")).localCheckpoint()
+    # 1-D Lloyd with QUANTILE init (cosine is degenerate in 1-D and a
+    # hash-sample init can draw two near-identical consensus values);
+    # k scalars per iteration on the driver, assignment is codegen
+    cents = [
+        float(c)
+        for c in v.agg(
+            F.percentile(
+                "v", F.array(*[F.lit((i + 0.5) / k) for i in range(k)])
+            )
+        ).first()[0]
+    ]
+    for _ in range(25):
+        dists = [(F.col("v") - c) * (F.col("v") - c) for c in cents]
+        best = F.least(*dists) if k > 1 else dists[0]
+        cid = F.lit(k - 1)
+        for j in range(k - 2, -1, -1):
+            cid = F.when(dists[j] == best, j).otherwise(cid)
+        stats_rows = (
+            v.select(cid.alias("cid"), "v")
+            .groupBy("cid")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = dict((r["cid"], r["m"]) for r in stats_rows)
+        nxt = [new.get(j, cents[j]) for j in range(k)]
+        if all(abs(a - b) < 1e-15 for a, b in zip(nxt, cents)):
+            cents = nxt
+            break
+        cents = nxt
+    dists = [(F.col("v") - c) * (F.col("v") - c) for c in cents]
+    best = F.least(*dists) if k > 1 else dists[0]
+    cid = F.lit(k - 1)
+    for j in range(k - 2, -1, -1):
+        cid = F.when(dists[j] == best, j).otherwise(cid)
+    return v.select(F.col("id").alias(id_col), cid.cast("int").alias("cid"))

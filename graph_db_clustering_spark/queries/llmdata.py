@@ -2204,3 +2204,23 @@ def doc_logreg(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@declared("pic_embed")  # power iteration: iterative, not ANSI-SQL
+def pic_embed(spark, sf_dir):
+    """Power Iteration Clustering (round 8, operators/stats
+    .pic_cluster) over the 2-D embedding projection: the spectral-
+    clustering result without an eigendecomposition — v <- W v over
+    the sparse eps-affinity graph (pagerank-shaped iterations), then
+    a quantile-initialized 1-D Lloyd on the pseudo-eigenvector.
+    Rows-only; blob separation and partitioning invariance are pinned
+    in tests/test_stats.py."""
+    from graph_db_clustering_spark.operators.stats import pic_cluster
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    return pic_cluster(pts, "vec_id", "x", "y", eps=0.05, k=3).orderBy("vec_id")

@@ -506,3 +506,29 @@ def test_logreg_matches_driver_newton_and_separation(spark):
     )
     ms = logreg_fit(sep, ["x"], "y", l2=1.0)
     assert np.isfinite(ms["coef"][0]) and ms["converged"]
+
+
+def test_pic_separates_blobs_like_dbscan(spark):
+    """Two well-separated 2-D blobs: PIC's pseudo-eigenvector k-means
+    recovers the same two groups DBSCAN finds, deterministically."""
+    from graph_db_clustering_spark.operators.stats import pic_cluster
+
+    rng = np.random.default_rng(21)
+    # asymmetric blobs: PIC separates via per-cluster consensus VALUES,
+    # which coincide for perfectly identical twins (size/density is the
+    # signal, exactly as in the paper's volume argument)
+    a = rng.uniform(0, 0.05, size=(20, 2))
+    b = rng.uniform(0, 0.12, size=(45, 2)) + 2.0
+    rows = [
+        (i, float(x), float(y)) for i, (x, y) in enumerate(np.vstack([a, b]))
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r.id: r.cid for r in pic_cluster(df, "id", "x", "y", eps=0.12, k=2).collect()}
+    ca = {got[i] for i in range(20)}
+    cb = {got[i] for i in range(20, 65)}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+    got2 = {
+        r.id: r.cid
+        for r in pic_cluster(df.repartition(7), "id", "x", "y", eps=0.12, k=2).collect()
+    }
+    assert got2 == got
