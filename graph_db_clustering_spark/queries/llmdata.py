@@ -2224,3 +2224,100 @@ def pic_embed(spark, sf_dir):
         F.col("embedding")[1].cast("double").alias("y"),
     )
     return pic_cluster(pts, "vec_id", "x", "y", eps=0.05, k=3).orderBy("vec_id")
+
+
+@declared("nb_crossval")  # 3 trained models: not one ANSI-SQL query
+def nb_crossval(spark, sf_dir):
+    """3-fold cross-validated Naive Bayes language ID (round 8): folds
+    are hash-deterministic (doc_id % 3 — reproducible, partition-
+    invariant, leak-free), each fold is scored by a model trained on
+    the other two, and per-fold accuracy comes back as the eval-report
+    row — the measurement loop every classifier in the repo should be
+    judged by. Rows-only (three trained models aren't one SQL query);
+    determinism follows from nb_train/nb_predict being pure
+    aggregations."""
+    from functools import reduce
+
+    from graph_db_clustering_spark.operators.classify import (
+        nb_predict,
+        nb_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("lang").alias("label")
+    )
+    outs = []
+    for fold in range(3):
+        train = docs.filter(F.col("doc_id") % 3 != fold)
+        test = docs.filter(F.col("doc_id") % 3 == fold)
+        tm, lm = nb_train(train, "doc_id", "text", "label")
+        pred = nb_predict(test, tm, lm, "doc_id", "text").select(
+            "doc_id", F.col("label").alias("pred")
+        )
+        scored = test.join(pred, "doc_id").select(
+            F.lit(fold).alias("fold"),
+            (F.col("label") == F.col("pred")).cast("int").alias("hit"),
+        )
+        outs.append(
+            scored.groupBy("fold").agg(
+                F.count("*").cast("long").alias("n"),
+                F.round(F.avg("hit"), 6).alias("accuracy"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), outs).orderBy("fold")
+
+
+@declared("textrank_terms")  # pagerank over co-occurrence: iterative
+def textrank_terms(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — round 8:
+    terms are vertices, co-occurrence within a 2-token window makes
+    edges, and PageRank over that graph ranks keywords. Pure
+    composition: the co-occurrence edges are one arrays_zip pass over
+    tokenized text, the ranking is the engine's existing distributed
+    pagerank — graph machinery applied to text, which is the whole
+    point of a graph+corpus engine. Rows-only (iterative); parity with
+    a driver-side power iteration is pinned in pagerank's own tests."""
+    from graph_db_clustering_spark.operators.graph import Graph
+    from graph_db_clustering_spark.operators.graph_algos import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.expr("slice(ws, 2, size(ws) - 1)"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        .filter((F.col("a") != "") & (F.col("b") != "") & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    vocab = (
+        pairs.select(F.col("a").alias("w"))
+        .unionAll(pairs.select("b"))
+        .distinct()
+        .withColumn("id", F.conv(F.substring(F.md5("w"), 1, 14), 16, 10).cast("long"))
+    )
+    edges = (
+        pairs.join(vocab.select(F.col("w").alias("a"), F.col("id").alias("src")), "a")
+        .join(vocab.select(F.col("w").alias("b"), F.col("id").alias("dst")), "b")
+        .select("src", "dst", F.lit("cooc").alias("relationship"))
+    )
+    und = edges.unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "relationship"
+        )
+    )
+    g = Graph(vocab.select("id"), und)
+    ranks = pagerank(g, max_iter=25)
+    return (
+        ranks.join(vocab, "id")
+        .select("w", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "w")
+        .limit(15)
+    )

@@ -9,7 +9,7 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 251
+DOCUMENTED_QUERIES = 253
 DOCUMENTED_ORACLES = 224
 
 
