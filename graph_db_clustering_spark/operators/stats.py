@@ -824,3 +824,75 @@ def pic_cluster(
     for j in range(k - 2, -1, -1):
         cid = F.when(dists[j] == best, j).otherwise(cid)
     return v.select(F.col("id").alias(id_col), cid.cast("int").alias("cid"))
+
+
+def poisson_fit(
+    df: DataFrame,
+    feature_cols: list,
+    target_col: str,
+    max_iter: int = 25,
+    tol: float = 1e-8,
+) -> dict:
+    """Poisson regression (log link) by the same distributed Newton
+    shape as logreg_fit: mu = exp(x.b), weights W = mu, gradient
+    X'(y - mu) — counts regressed on covariates, the third member of
+    the GLM triple (gaussian=ols_fit, binomial=logreg_fit). One
+    weighted-moments mapInPandas pass per iteration."""
+    p = len(feature_cols)
+    beta = np.zeros(p + 1)
+
+    def make_pass(b):
+        bb = b.copy()
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = pdf[feature_cols].to_numpy(dtype=np.float64)
+                y = pdf["__y"].to_numpy(dtype=np.float64)
+                a = np.hstack([x, np.ones((len(x), 1))])
+                z = np.clip(a @ bb, -30, 30)
+                mu = np.exp(z)
+                yield pd.DataFrame(
+                    {
+                        "n": [len(x)],
+                        "g": [((a * mu[:, None]).T @ a).ravel().tolist()],
+                        "grad": [(a.T @ (y - mu)).tolist()],
+                        "ll": [float(np.sum(y * z - mu))],
+                    }
+                )
+
+        return partials
+
+    base = df.select(
+        *feature_cols, F.col(target_col).cast("double").alias("__y")
+    )
+    ll = -np.inf
+    converged = False
+    n = 0
+    it = 0
+    for it in range(1, max_iter + 1):
+        agg = base.mapInPandas(
+            make_pass(beta),
+            "n long, g array<double>, grad array<double>, ll double",
+        ).collect()
+        n = sum(r["n"] for r in agg)
+        if n == 0:
+            raise ValueError("poisson_fit: empty input")
+        g = np.sum([np.asarray(r["g"]).reshape(p + 1, p + 1) for r in agg], axis=0)
+        grad = np.sum([np.asarray(r["grad"]) for r in agg], axis=0)
+        new_ll = sum(r["ll"] for r in agg)
+        beta = beta + np.linalg.solve(g, grad)
+        if abs(new_ll - ll) < tol * max(1.0, abs(new_ll)):
+            converged = True
+            ll = new_ll
+            break
+        ll = new_ll
+    return {
+        "coef": beta[:p],
+        "intercept": float(beta[p]),
+        "n": int(n),
+        "iterations": it,
+        "converged": converged,
+        "log_likelihood": float(ll),
+    }

@@ -532,3 +532,31 @@ def test_pic_separates_blobs_like_dbscan(spark):
         for r in pic_cluster(df.repartition(7), "id", "x", "y", eps=0.12, k=2).collect()
     }
     assert got2 == got
+
+
+def test_poisson_matches_driver_newton(spark):
+    """Distributed Poisson IRLS equals a driver-side Newton fit and
+    recovers the generating rates."""
+    from graph_db_clustering_spark.operators.stats import poisson_fit
+
+    rng = np.random.default_rng(29)
+    n = 600
+    x = rng.normal(0, 0.5, n)
+    lam = np.exp(0.7 * x + 1.2)
+    y = rng.poisson(lam)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(x, y)], "x double, y int"
+    )
+    m = poisson_fit(df, ["x"], "y")
+    assert m["converged"]
+    a = np.column_stack([x, np.ones(n)])
+    beta = np.zeros(2)
+    for _ in range(60):
+        mu = np.exp(np.clip(a @ beta, -30, 30))
+        step = np.linalg.solve((a * mu[:, None]).T @ a, a.T @ (y - mu))
+        beta += step
+        if np.abs(step).max() < 1e-13:
+            break
+    assert np.allclose(m["coef"], beta[:1], rtol=1e-8)
+    assert abs(m["intercept"] - beta[1]) < 1e-8
+    assert abs(m["coef"][0] - 0.7) < 0.1 and abs(m["intercept"] - 1.2) < 0.1
