@@ -3185,3 +3185,83 @@ def nation_rank_moves(spark, sf_dir):
         .withColumn("moved_up", (F.col("rank_a") - F.col("rank_b")).cast("long"))
         .orderBy("nation")
     )
+
+
+_POIS_CDF = (0.36788, 0.73576, 0.9197, 0.98101, 0.99634, 0.99941, 0.99992)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@declared(
+    "bootstrap_ci",
+    f"""WITH reps AS (SELECT UNNEST(generate_series(0, 49)) AS r),
+w AS (SELECT e.event_type, e.value, reps.r,
+    {_pois_case_sql("(('0x' || substr(md5(CAST(reps.r AS VARCHAR) || ':' ||"
+                    " CAST(e.event_id AS VARCHAR)), 1, 8))::UBIGINT + 1.0)"
+                    " / 4294967297.0")} AS wt
+  FROM events e CROSS JOIN reps),
+m AS (SELECT event_type, r, SUM(wt * value) / SUM(wt) AS mean_r
+      FROM w GROUP BY event_type, r),
+ci AS (SELECT event_type,
+    PERCENTILE_CONT(0.025) WITHIN GROUP (ORDER BY mean_r) AS lo,
+    PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY mean_r) AS mid,
+    PERCENTILE_CONT(0.975) WITHIN GROUP (ORDER BY mean_r) AS hi
+  FROM m GROUP BY event_type)
+SELECT event_type, ROUND(lo, 4) AS ci_lo, ROUND(mid, 4) AS ci_mid,
+       ROUND(hi, 4) AS ci_hi
+FROM ci ORDER BY event_type""",
+)
+def bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% confidence interval for the mean value
+    per event type (round 8): each of 50 replicates reweights every
+    row by a Poisson(1) draw — the bootstrap that distributes (Chamandy
+    et al. 2012, 'Estimating uncertainty for massive data streams':
+    no resampled copies, one weighted aggregate per replicate, and the
+    replicate axis is just one more GROUP BY key). The draws are
+    DETERMINISTIC: an md5-uniform per (replicate, row) inverted
+    through the Poisson(1) CDF — so the oracle rebuilds the identical
+    resamples and the identical interval."""
+    e = _t(spark, sf_dir, "events")
+    reps = spark.range(50).select(F.col("id").cast("int").alias("r"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967297.0)
+    wt = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wt = F.when(u < _POIS_CDF[k], k).otherwise(wt)
+    m = (
+        e.select("event_type", "value", "event_id")
+        .crossJoin(F.broadcast(reps))
+        .select("event_type", "r", "value", wt.alias("wt"))
+        .groupBy("event_type", "r")
+        .agg((F.sum(F.col("wt") * F.col("value")) / F.sum("wt")).alias("mean_r"))
+    )
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("mean_r", F.lit(0.025)), 4).alias("ci_lo"),
+            F.round(F.percentile("mean_r", F.lit(0.5)), 4).alias("ci_mid"),
+            F.round(F.percentile("mean_r", F.lit(0.975)), 4).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
