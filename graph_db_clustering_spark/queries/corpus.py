@@ -3265,3 +3265,47 @@ def bootstrap_ci(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "lineitem_vif",
+    """WITH c AS (SELECT
+    CORR(l_quantity, l_extendedprice) AS r12,
+    CORR(l_quantity, l_discount) AS r13,
+    CORR(l_extendedprice, l_discount) AS r23
+  FROM lineitem)
+SELECT
+  ROUND(1.0 / (1.0 - (r12*r12 + r13*r13 - 2*r12*r13*r23) / (1.0 - r23*r23)), 6)
+    AS vif_quantity,
+  ROUND(1.0 / (1.0 - (r12*r12 + r23*r23 - 2*r12*r23*r13) / (1.0 - r13*r13)), 6)
+    AS vif_extendedprice,
+  ROUND(1.0 / (1.0 - (r13*r13 + r23*r23 - 2*r13*r23*r12) / (1.0 - r12*r12)), 6)
+    AS vif_discount
+FROM c""",
+)
+def lineitem_vif(spark, sf_dir):
+    """Variance inflation factors for the three lineitem regressors
+    (round 8): VIF_j = 1 / (1 - R^2_j) with R^2_j the fit of feature j
+    on the others — the multicollinearity screen run before trusting
+    ols_fit's coefficients. For p = 3 the R^2s close over the three
+    pairwise correlations, so ONE corr aggregate feeds everything and
+    the oracle replays the identical algebra; for larger p, invert the
+    correlation matrix from pca_fit's moments (driver-side, p x p)."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("r12"),
+        F.corr("l_quantity", "l_discount").alias("r13"),
+        F.corr("l_extendedprice", "l_discount").alias("r23"),
+    )
+    r12, r13, r23 = F.col("r12"), F.col("r13"), F.col("r23")
+
+    def vif(a, b, rho):
+        return F.round(
+            1.0 / (1.0 - (a * a + b * b - 2 * a * b * rho) / (1.0 - rho * rho)), 6
+        )
+
+    return c.select(
+        vif(r12, r13, r23).alias("vif_quantity"),
+        vif(r12, r23, r13).alias("vif_extendedprice"),
+        vif(r13, r23, r12).alias("vif_discount"),
+    )
