@@ -3309,3 +3309,52 @@ def lineitem_vif(spark, sf_dir):
         vif(r12, r23, r13).alias("vif_extendedprice"),
         vif(r13, r23, r12).alias("vif_discount"),
     )
+
+
+@declared(
+    "events_acf",
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+       FROM events GROUP BY d),
+lagged AS (SELECT l.lag, d.n AS x,
+    LAG(d.n, l.lag) OVER (PARTITION BY l.lag ORDER BY d.d) AS y
+  FROM daily d CROSS JOIN (SELECT UNNEST(generate_series(1, 7)) AS lag) l)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(COUNT(y) AS BIGINT) AS n_pairs,
+       ROUND(CORR(x, y), 6) AS acf
+FROM lagged WHERE y IS NOT NULL GROUP BY lag ORDER BY lag""",
+)
+def events_acf(spark, sf_dir):
+    """Autocorrelation of daily event volume at lags 1-7 (round 8):
+    the seasonality fingerprint (a weekly cycle puts a spike at lag
+    7) read straight off pairwise correlations of the series with its
+    shifts. The data-sized work is one daily aggregate; the lag
+    machinery runs over the days-sized frame replicated 7x — one lag
+    window per replica, one corr per lag."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    # Spark's lag() needs a constant offset — one window per lag,
+    # unioned (7 constants; the frame is days-sized, this is cheap)
+    w = Window.orderBy("d")
+    parts = [
+        daily.select(
+            F.lit(k).alias("lag"),
+            F.col("n").alias("x"),
+            F.lag("n", k).over(w).alias("y"),
+        )
+        for k in range(1, 8)
+    ]
+    from functools import reduce
+
+    lagged = reduce(lambda a, b: a.unionAll(b), parts)
+    return (
+        lagged.filter(F.col("y").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count("y").cast("long").alias("n_pairs"),
+            F.round(F.corr("x", "y"), 6).alias("acf"),
+        )
+        .select(F.col("lag").cast("long").alias("lag"), "n_pairs", "acf")
+        .orderBy("lag")
+    )

@@ -1416,3 +1416,47 @@ def neo4j_import(spark, sf_dir):
         "id", F.col("nation").cast("long").alias("nation"),
         F.col("degree").cast("long").alias("degree"),
     )
+
+
+@declared(
+    "graph_richclub",
+    f"""WITH {_BANDED_SQL},
+rich AS (SELECT id FROM deg WHERE degree > 4),
+re AS (SELECT e.a, e.b FROM e
+       JOIN rich r1 ON e.a = r1.id JOIN rich r2 ON e.b = r2.id)
+SELECT CAST((SELECT COUNT(*) FROM rich) AS BIGINT) AS n_rich,
+       CAST((SELECT COUNT(*) FROM re) AS BIGINT) AS rich_edges,
+       ROUND((SELECT COUNT(*) FROM re) * 2.0 /
+             ((SELECT COUNT(*) FROM rich)
+              * ((SELECT COUNT(*) FROM rich) - 1)), 6) AS phi""",
+)
+def graph_richclub(spark, sf_dir):
+    """Rich-club coefficient at k = 4 on the banded graph (round 8):
+    the edge density among vertices of degree > k — do the well-
+    connected connect to each other (social/citation graphs: yes;
+    engineered meshes: no)? Two semi-joins against the degree filter
+    and one scalar; the banded structure gives a non-trivial rich set
+    (interior vertices) with real density below 1."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        _undirected_edges,
+    )
+
+    g = _banded_graph(spark, sf_dir)
+    und = _undirected_edges(g.edges)
+    deg = und.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("degree"))
+    rich = deg.filter(F.col("degree") > 4).select("id")
+    e = und.filter(F.col("a") < F.col("b"))
+    re_ = (
+        e.join(rich.withColumnRenamed("id", "a"), "a", "left_semi")
+        .join(rich.withColumnRenamed("id", "b"), "b", "left_semi")
+    )
+    n_rich = rich.count()
+    rich_edges = re_.count()
+    phi = (
+        round(rich_edges * 2.0 / (n_rich * (n_rich - 1)), 6)
+        if n_rich > 1
+        else None
+    )
+    return spark.createDataFrame(
+        [(n_rich, rich_edges, phi)], "n_rich long, rich_edges long, phi double"
+    )
