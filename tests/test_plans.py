@@ -471,6 +471,24 @@ def test_round8_stats_entries_plan_shape(spark):
     ks_plan = plan_of(QUERIES["events_ks"](spark, SF))
     assert "hashpartitioning(pid" in ks_plan
     assert "TakeOrderedAndProject" in plan_of(QUERIES["weighted_sample"](spark, SF))
+    # late-round-8 additions: all pure Catalyst, no cartesian leaks
+    for key in (
+        "bootstrap_ci",
+        "lineitem_vif",
+        "events_acf",
+        "graph_richclub",
+        "user_entropy",
+        "nation_rank_moves",
+        "events_trimmed",
+        "source_overlap",
+        "corpus_heaps",
+        "customer_gini",
+        "doc_readability",
+        "corpus_zipf",
+    ):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+        assert "CartesianProduct" not in plan, key
 
 
 def test_round8_join_and_ml_entries_no_cartesian_no_python(spark):
