@@ -1065,3 +1065,37 @@ def edit1_pairs(terms: DataFrame, term_col: str) -> DataFrame:
         .filter(F.levenshtein("t1", "t2") == 1)
         .select("t1", "t2", F.lit(1).alias("dist"))
     )
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    CCNet-family quality signal: repetitive boilerplate and generated
+    spam compress far harder than natural prose, so a LOW ratio flags
+    junk a perplexity filter misses. Arrow-batched (zlib per document
+    inside mapInPandas; the codec is the work, Python is not the
+    bottleneck). Returns (id_col, raw_len, comp_len, ratio)."""
+    import zlib as _zlib
+
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            raw = [len(t.encode("utf-8")) if t else 0 for t in pdf[text_col]]
+            comp = [
+                len(_zlib.compress(t.encode("utf-8"), 6)) if t else 0
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_len": raw,
+                    "comp_len": comp,
+                    "ratio": [
+                        (c / r) if r else None for c, r in zip(comp, raw)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        score, f"{id_col} long, raw_len long, comp_len long, ratio double"
+    )

@@ -3358,3 +3358,70 @@ def events_acf(spark, sf_dir):
         .select(F.col("lag").cast("long").alias("lag"), "n_pairs", "acf")
         .orderBy("lag")
     )
+
+
+@declared(
+    "orders_interarrival",
+    """WITH g AS (SELECT o_custkey,
+    epoch_us(o_orderdate) - epoch_us(LAG(o_orderdate) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS gap_us
+  FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap_us) / 86400e6,
+             4) AS median_gap_days,
+       ROUND(AVG(gap_us) / 86400e6, 4) AS mean_gap_days,
+       ROUND(MAX(gap_us) / 86400e6, 4) AS max_gap_days
+FROM g WHERE gap_us IS NOT NULL""",
+)
+def orders_interarrival(spark, sf_dir):
+    """Customer order inter-arrival distribution (round 8): gaps
+    between consecutive orders per customer via one customer-keyed lag
+    window, summarized over all gaps — the purchase-cadence readout
+    feeding churn models (a customer 3x past their median gap is
+    'overdue'). Exact epoch microseconds keep both engines on
+    identical doubles."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        (
+            F.unix_micros("o_orderdate")
+            - F.unix_micros(F.lag("o_orderdate").over(w))
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    day = 86400e6
+    return g.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / day, 4).alias("median_gap_days"),
+        F.round(F.avg("gap_us") / day, 4).alias("mean_gap_days"),
+        F.round(F.max("gap_us") / day, 4).alias("max_gap_days"),
+    )
+
+
+@declared(
+    "events_burstiness",
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+       COUNT(*) AS n FROM events GROUP BY event_type, d)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(n), 4) AS mean_daily,
+       ROUND(VAR_SAMP(n) / AVG(n), 6) AS fano
+FROM daily GROUP BY event_type ORDER BY event_type""",
+)
+def events_burstiness(spark, sf_dir):
+    """Burstiness (Fano factor) of daily volume per event type
+    (round 8): variance-to-mean of daily counts — 1 under a Poisson
+    null, above 1 when traffic clumps (incidents, campaigns), below 1
+    when it's throttled. Two tiny aggregates over the (type, day)
+    frame."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.round(F.avg("n"), 4).alias("mean_daily"),
+            F.round(F.var_samp("n") / F.avg("n"), 6).alias("fano"),
+        )
+        .orderBy("event_type")
+    )

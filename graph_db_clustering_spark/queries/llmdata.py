@@ -2321,3 +2321,21 @@ def textrank_terms(spark, sf_dir):
         .orderBy(F.desc("rank"), "w")
         .limit(15)
     )
+
+
+@declared("doc_compressibility")  # zlib: no ANSI-SQL form
+def doc_compressibility(spark, sf_dir):
+    """zlib compression ratio per document (round 8,
+    operators/text.compression_ratio): the CCNet-style junk signal —
+    repetitive text compresses much harder than prose, so the LOW tail
+    of this ratio is the cleanup queue. Rows-only (no SQL zlib);
+    monotonicity (repetition -> lower ratio) and exact zlib parity are
+    pinned in tests."""
+    from graph_db_clustering_spark.operators.text import compression_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        compression_ratio(d, "doc_id", "text")
+        .select("doc_id", "raw_len", "comp_len", F.round("ratio", 6).alias("ratio"))
+        .orderBy("doc_id")
+    )

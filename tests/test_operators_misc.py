@@ -963,3 +963,24 @@ def test_edit1_pairs_complete_vs_bruteforce(spark):
     assert got == want and ("spark", "spork") in got and ("spark", "stark") in got
     assert ("spark", "sparks") in got and ("park", "spark") in got
     assert ("apple", "maple") not in got  # distance 2
+
+
+def test_compression_ratio_flags_repetition(spark):
+    """Repeated boilerplate compresses far harder than varied prose;
+    values match driver-side zlib exactly."""
+    import zlib
+
+    varied = " ".join(f"token{i*i % 9973}" for i in range(400))
+    junk = "buy cheap now " * 100
+    df = spark.createDataFrame(
+        [(1, varied), (2, junk), (3, None)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in text_ops.compression_ratio(df, "doc_id", "text").collect()
+    }
+    assert got[2].ratio < got[1].ratio * 0.5
+    for i, t in ((1, varied), (2, junk)):
+        assert got[i].raw_len == len(t.encode())
+        assert got[i].comp_len == len(zlib.compress(t.encode(), 6))
+    assert got[3].ratio is None and got[3].raw_len == 0
