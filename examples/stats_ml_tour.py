@@ -17,6 +17,12 @@ all on the synthetic testdata tables:
                 popularity (traindata.weighted_sample,
                 timeseries.decayed_counts)
 
+Later round-8 family members not toured here (see their entries and
+tests): DBSCAN + Power Iteration Clustering (stats.dbscan_2d /
+pic_cluster), the GLM triple (ols_fit+ridge, logreg_fit,
+poisson_fit), AUC/PSI/bootstrap-CI evaluation metrics, and the
+CMS sketch.
+
 Run:  python examples/stats_ml_tour.py [sf_dir]
 """
 
