@@ -34,6 +34,30 @@ class PcaModel:
         self.explained_var = explained_var
 
 
+def _reduce_moments(df: DataFrame, partials, length: int) -> np.ndarray | None:
+    """Sum per-batch moment partials JVM-side before the driver sees
+    them. The mapInPandas stage emits ONE flat array<double> per Arrow
+    batch; posexplode -> groupBy(pos) partial-aggregates map-side, so
+    the driver receives exactly `length` rows REGARDLESS of partition
+    count (round-9 fix: the fits used to collect one (d+1)^2 partial
+    per partition — O(partitions * d^2) driver traffic at cluster
+    scale; now the shuffle tree does the merge and driver traffic is
+    O(d^2) flat). Returns the summed vector, or None on empty input."""
+    rows = (
+        df.mapInPandas(partials, "m array<double>")
+        .select(F.posexplode("m").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"))
+        .collect()
+    )
+    if not rows:
+        return None
+    out = np.zeros(length)
+    for r in rows:
+        out[r["pos"]] = r["s"]
+    return out
+
+
 def pca_fit(df: DataFrame, vec_col: str, k: int) -> PcaModel:
     """One distributed pass for (n, sum, X^T X), driver-side eigh.
 
@@ -55,24 +79,19 @@ def pca_fit(df: DataFrame, vec_col: str, k: int) -> PcaModel:
             x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             if len(x) == 0:
                 continue
-            yield pd.DataFrame(
-                {
-                    "n": [len(x)],
-                    "s": [x.sum(axis=0).tolist()],
-                    "ss": [(x.T @ x).ravel().tolist()],
-                }
+            flat = np.concatenate(
+                [[float(len(x))], x.sum(axis=0), (x.T @ x).ravel()]
             )
+            yield pd.DataFrame({"m": [flat.tolist()]})
 
-    agg = (
-        df.select(F.col(vec_col).alias("v"))
-        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
-        .collect()
+    vec = _reduce_moments(
+        df.select(F.col(vec_col).alias("v")), partials, 1 + d + d * d
     )
-    n = sum(r["n"] for r in agg)
+    n = 0 if vec is None else int(round(vec[0]))
     if n < 2:
         raise ValueError("pca_fit: need at least 2 rows")
-    s = np.sum([np.asarray(r["s"]) for r in agg], axis=0)
-    ss = np.sum([np.asarray(r["ss"]).reshape(d, d) for r in agg], axis=0)
+    s = vec[1 : 1 + d]
+    ss = vec[1 + d :].reshape(d, d)
     mean = s / n
     cov = (ss - np.outer(s, mean)) / (n - 1)  # sample covariance, ddof=1
     cov = (cov + cov.T) / 2.0
@@ -430,37 +449,37 @@ def ols_fit(
             x = pdf[feature_cols].to_numpy(dtype=np.float64)
             y = pdf["__y"].to_numpy(dtype=np.float64)
             a = np.hstack([x, np.ones((len(x), 1))])
-            yield pd.DataFrame(
-                {
-                    "n": [len(x)],
-                    "g": [(a.T @ a).ravel().tolist()],
-                    "xy": [(a.T @ y).tolist()],
-                    "yy": [float(y @ y)],
-                    "ys": [float(y.sum())],
-                }
+            flat = np.concatenate(
+                [
+                    [float(len(x)), float(y @ y), float(y.sum())],
+                    (a.T @ a).ravel(),
+                    a.T @ y,
+                ]
             )
+            yield pd.DataFrame({"m": [flat.tolist()]})
 
-    agg = (
-        df.select(*feature_cols, F.col(target_col).cast("double").alias("__y"))
-        .mapInPandas(
-            partials,
-            "n long, g array<double>, xy array<double>, yy double, ys double",
-        )
-        .collect()
+    q = p + 1
+    vec = _reduce_moments(
+        df.select(*feature_cols, F.col(target_col).cast("double").alias("__y")),
+        partials,
+        3 + q * q + q,
     )
-    n = sum(r["n"] for r in agg)
+    n = 0 if vec is None else int(round(vec[0]))
     if n <= p:
         raise ValueError(f"ols_fit: need more than {p} rows")
-    g = np.sum([np.asarray(r["g"]).reshape(p + 1, p + 1) for r in agg], axis=0)
-    xy = np.sum([np.asarray(r["xy"]) for r in agg], axis=0)
-    yy = sum(r["yy"] for r in agg)
-    ys = sum(r["ys"] for r in agg)
+    yy = vec[1]
+    ys = vec[2]
+    g0 = vec[3 : 3 + q * q].reshape(q, q)
+    xy = vec[3 + q * q :]
+    g = g0
     if l2:
         # ridge: penalize coefficients, never the intercept (standard)
-        g = g + l2 * np.diag([1.0] * p + [0.0])
+        g = g0 + l2 * np.diag([1.0] * p + [0.0])
     beta = np.linalg.solve(g, xy)
-    # SSE = y'y - 2 b'X'y + b'Gb ; SST = y'y - n*mean^2
-    sse = yy - 2.0 * beta @ xy + beta @ g @ beta
+    # SSE = y'y - 2 b'X'y + b'G0 b ; SST = y'y - n*mean^2. The SSE uses
+    # the UNPENALIZED Gram g0 — evaluating it with the ridge-penalized
+    # matrix inflates SSE by l2*||coef||^2 and deflates r2 (ADVICE r8).
+    sse = yy - 2.0 * beta @ xy + beta @ g0 @ beta
     sst = yy - ys * ys / n
     r2 = 1.0 - sse / sst if sst > 0 else float("nan")
     return {
@@ -668,18 +687,17 @@ def logreg_fit(
                 z = np.clip(a @ bb, -35, 35)
                 mu = 1.0 / (1.0 + np.exp(-z))
                 w = mu * (1.0 - mu)
-                yield pd.DataFrame(
-                    {
-                        "n": [len(x)],
-                        "g": [((a * w[:, None]).T @ a).ravel().tolist()],
-                        "grad": [(a.T @ (y - mu)).tolist()],
-                        "ll": [
-                            float(
-                                np.sum(y * z - np.log1p(np.exp(z)))
-                            )
+                flat = np.concatenate(
+                    [
+                        [
+                            float(len(x)),
+                            float(np.sum(y * z - np.log1p(np.exp(z)))),
                         ],
-                    }
+                        ((a * w[:, None]).T @ a).ravel(),
+                        a.T @ (y - mu),
+                    ]
                 )
+                yield pd.DataFrame({"m": [flat.tolist()]})
 
         return partials
 
@@ -690,17 +708,15 @@ def logreg_fit(
     ll = -np.inf
     converged = False
     it = 0
+    q = p + 1
     for it in range(1, max_iter + 1):
-        agg = base.mapInPandas(
-            make_pass(beta),
-            "n long, g array<double>, grad array<double>, ll double",
-        ).collect()
-        n = sum(r["n"] for r in agg)
+        vec = _reduce_moments(base, make_pass(beta), 2 + q * q + q)
+        n = 0 if vec is None else int(round(vec[0]))
         if n == 0:
             raise ValueError("logreg_fit: empty input")
-        g = np.sum([np.asarray(r["g"]).reshape(p + 1, p + 1) for r in agg], axis=0)
-        grad = np.sum([np.asarray(r["grad"]) for r in agg], axis=0)
-        new_ll = sum(r["ll"] for r in agg)
+        new_ll = vec[1]
+        g = vec[2 : 2 + q * q].reshape(q, q)
+        grad = vec[2 + q * q :]
         if l2:
             pen = np.diag([l2] * p + [0.0])
             g = g + pen
@@ -853,14 +869,14 @@ def poisson_fit(
                 a = np.hstack([x, np.ones((len(x), 1))])
                 z = np.clip(a @ bb, -30, 30)
                 mu = np.exp(z)
-                yield pd.DataFrame(
-                    {
-                        "n": [len(x)],
-                        "g": [((a * mu[:, None]).T @ a).ravel().tolist()],
-                        "grad": [(a.T @ (y - mu)).tolist()],
-                        "ll": [float(np.sum(y * z - mu))],
-                    }
+                flat = np.concatenate(
+                    [
+                        [float(len(x)), float(np.sum(y * z - mu))],
+                        ((a * mu[:, None]).T @ a).ravel(),
+                        a.T @ (y - mu),
+                    ]
                 )
+                yield pd.DataFrame({"m": [flat.tolist()]})
 
         return partials
 
@@ -871,17 +887,15 @@ def poisson_fit(
     converged = False
     n = 0
     it = 0
+    q = p + 1
     for it in range(1, max_iter + 1):
-        agg = base.mapInPandas(
-            make_pass(beta),
-            "n long, g array<double>, grad array<double>, ll double",
-        ).collect()
-        n = sum(r["n"] for r in agg)
+        vec = _reduce_moments(base, make_pass(beta), 2 + q * q + q)
+        n = 0 if vec is None else int(round(vec[0]))
         if n == 0:
             raise ValueError("poisson_fit: empty input")
-        g = np.sum([np.asarray(r["g"]).reshape(p + 1, p + 1) for r in agg], axis=0)
-        grad = np.sum([np.asarray(r["grad"]) for r in agg], axis=0)
-        new_ll = sum(r["ll"] for r in agg)
+        new_ll = vec[1]
+        g = vec[2 : 2 + q * q].reshape(q, q)
+        grad = vec[2 + q * q :]
         beta = beta + np.linalg.solve(g, grad)
         if abs(new_ll - ll) < tol * max(1.0, abs(new_ll)):
             converged = True

@@ -616,6 +616,66 @@ def delta_roundtrip(spark, sf_dir):
 
 
 @declared(
+    "delta_partitioned",
+    """SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_orderpriority <= '2-HIGH'
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def delta_partitioned(spark, sf_dir):
+    """Partitioned Delta tables (round 9, sources/delta): orders is
+    written as a hive-partitioned Delta table by the repo's OWN writer
+    (partition column dropped from the data files, recorded as
+    partitionValues per the spec), then read back through
+    read_delta_pruned on the PARTITION column — the reader must both
+    re-inject the column as a typed literal and prune the non-matching
+    partition directories without opening them (the query raises if
+    nothing was skipped, so partition pruning is asserted inside the
+    entry, not just in tests). The oracle filters orders directly: a
+    reader that drops partition rows, mistypes the injected column, or
+    reads a pruned partition shifts the counts."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        read_delta_pruned,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_deltap_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    table = os.path.join(root, "pt")
+    delta_append(
+        spark,
+        o.repartition(2),
+        table,
+        stats_cols=["o_totalprice"],
+        partition_by=["o_orderpriority"],
+    )
+    dt, _nread, nskip = read_delta_pruned(
+        spark, table, "o_orderpriority", "1-URGENT", "2-HIGH"
+    )
+    if nskip == 0:
+        raise AssertionError("delta_partitioned: partition pruning skipped 0 files")
+    return (
+        dt.filter(F.col("o_orderpriority") <= "2-HIGH")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
     "iceberg_roundtrip",
     """SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,

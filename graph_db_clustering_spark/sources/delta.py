@@ -1,4 +1,4 @@
-"""Minimal Delta Lake table READER: transaction-log replay, no
+"""Minimal Delta Lake table READER/WRITER: transaction-log replay, no
 delta-spark dependency.
 
 The Delta protocol (delta.io, PROTOCOL.md — public spec) stores a table
@@ -9,17 +9,24 @@ commits 0..N. Optional parquet checkpoints compact the log; the
 `_last_checkpoint` pointer names the newest one.
 
 Scope (loud gates, not silent wrong answers):
-- unpartitioned tables (an `add` carrying non-empty partitionValues
-  raises NotImplementedError — partition-column injection needs
-  per-file column synthesis)
+- partitioned tables ARE supported (round 9): each add's
+  `partitionValues` is injected into the scan as literal columns typed
+  from the metaData schemaString, one parquet read per distinct
+  partition tuple, unioned by name. Partition-value pruning composes
+  with stats-based file skipping in `read_delta_pruned`.
 - reader protocol 1 (deletion vectors / column mapping raise)
-- checkpoint files ARE supported (single-part classic checkpoints)
+- single-part classic checkpoints ARE supported and participate in
+  BOTH the live-file replay and the per-file stats (a live file whose
+  add action survives only in the checkpoint still carries its stats);
+  multi-part checkpoints raise a loud NotImplementedError.
 
 This is the interop path for "my corpus is a Delta table": list the
 live files from the log, then hand the parquet paths to Spark's native
 reader — the scan itself stays fully distributed and pruned; only the
 log replay (KBs of JSON per commit) happens on the driver, exactly as
-delta-spark's own Snapshot computation does.
+delta-spark's own Snapshot computation does. At 100 TB the per-file
+work here is one dict entry per add action — the same O(files) driver
+cost every Delta client pays.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class DeltaError(ValueError):
@@ -50,27 +58,38 @@ def _commit_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def _checkpoint_version(path: str) -> int | None:
+def _last_checkpoint(path: str) -> dict | None:
+    """The `_last_checkpoint` pointer, or None. Multi-part checkpoints
+    (a 'parts' field; files named NNN.checkpoint.<i>.<n>.parquet) gate
+    loudly instead of failing with a raw FileNotFoundError."""
     try:
         with open(os.path.join(_log_dir(path), "_last_checkpoint")) as f:
-            return int(json.load(f)["version"])
+            lc = json.load(f)
     except FileNotFoundError:
         return None
+    if lc.get("parts"):
+        raise NotImplementedError(
+            "delta: multi-part checkpoints not supported "
+            f"(parts={lc['parts']})"
+        )
+    return lc
 
 
-def _apply_action(act: dict, files: dict) -> None:
+def _checkpoint_version(path: str) -> int | None:
+    lc = _last_checkpoint(path)
+    return int(lc["version"]) if lc else None
+
+
+def _apply_action(act: dict, files: dict, meta: list) -> None:
     if "add" in act and act["add"] is not None:
         a = act["add"]
-        if a.get("partitionValues"):
-            raise NotImplementedError(
-                "delta: partitioned tables not supported (partitionValues "
-                f"present on {a['path']!r})"
-            )
         if a.get("deletionVector"):
             raise NotImplementedError("delta: deletion vectors not supported")
-        files[a["path"]] = True
+        files[a["path"]] = a
     if "remove" in act and act["remove"] is not None:
         files.pop(act["remove"]["path"], None)
+    if "metaData" in act and act["metaData"] is not None:
+        meta[0] = act["metaData"]
     if "protocol" in act and act["protocol"] is not None:
         if act["protocol"].get("minReaderVersion", 1) > 1:
             raise NotImplementedError(
@@ -79,28 +98,37 @@ def _apply_action(act: dict, files: dict) -> None:
             )
 
 
-def delta_live_files(path: str, version: int | None = None) -> list[str]:
-    """Replay the log (checkpoint + JSON commits) up to `version`
-    (default: latest) and return the live data-file paths, table-
-    relative, sorted."""
+def _replay(path: str, version: int | None = None) -> tuple[dict, dict | None]:
+    """Replay checkpoint + JSON commits up to `version` (default:
+    latest). Returns ({path: add-action}, metaData-action-or-None).
+    The add actions keep their partitionValues and stats, so ONE
+    replay feeds live-file listing, stats, and partition injection —
+    the round-8 bug where stats ignored the checkpoint cannot recur
+    structurally."""
     versions = _commit_versions(path)
-    if not versions:
-        raise DeltaError(f"no _delta_log commits under {path}")
-    target = versions[-1] if version is None else version
-    if version is not None and version not in versions:
-        cp = _checkpoint_version(path)
-        if cp is None or version < cp:
-            raise DeltaError(f"delta: version {version} not in log {versions}")
-    files: dict = {}
-    start = 0
     cp = _checkpoint_version(path)
+    if not versions and cp is None:
+        raise DeltaError(f"no _delta_log commits under {path}")
+    known_max = max(versions[-1] if versions else -1, -1 if cp is None else cp)
+    if version is not None:
+        if version > known_max:
+            raise DeltaError(
+                f"delta: version {version} beyond latest {known_max}"
+            )
+        if version not in versions and (cp is None or version < cp):
+            raise DeltaError(f"delta: version {version} not in log {versions}")
+    target = known_max if version is None else version
+    files: dict = {}
+    meta: list = [None]
+    start = 0
     if cp is not None and cp <= target:
         import pyarrow.parquet as pq
 
         cp_file = os.path.join(_log_dir(path), f"{cp:020d}.checkpoint.parquet")
-        tbl = pq.read_table(cp_file).to_pylist()
-        for row in tbl:
-            _apply_action({k: v for k, v in row.items() if v is not None}, files)
+        for row in pq.read_table(cp_file).to_pylist():
+            _apply_action(
+                {k: v for k, v in row.items() if v is not None}, files, meta
+            )
         start = cp + 1
     for v in versions:
         if v < start or v > target:
@@ -109,8 +137,60 @@ def delta_live_files(path: str, version: int | None = None) -> list[str]:
             for line in f:
                 line = line.strip()
                 if line:
-                    _apply_action(json.loads(line), files)
+                    _apply_action(json.loads(line), files, meta)
+    return files, meta[0]
+
+
+def delta_live_files(path: str, version: int | None = None) -> list[str]:
+    """Replay the log (checkpoint + JSON commits) up to `version`
+    (default: latest) and return the live data-file paths, table-
+    relative, sorted."""
+    files, _ = _replay(path, version)
     return sorted(files)
+
+
+def _partition_types(meta: dict | None) -> dict:
+    """partition column -> Spark DataType, typed from the metaData
+    schemaString; string when the schema is absent or silent."""
+    from pyspark.sql.types import StringType, StructType
+
+    cols = (meta or {}).get("partitionColumns") or []
+    types: dict = {}
+    if meta and meta.get("schemaString"):
+        st = StructType.fromJson(json.loads(meta["schemaString"]))
+        for f in st.fields:
+            types[f.name] = f.dataType
+    return {c: types.get(c, StringType()) for c in cols}
+
+
+def _read_adds(
+    spark: SparkSession, path: str, adds: list, meta: dict | None
+) -> DataFrame:
+    """Scan a set of add actions: files sharing a partition tuple read
+    in one native parquet scan (distributed, pruned); the partition
+    columns — which Delta keeps OUT of the data files — come back as
+    typed literals. One union branch per distinct partition tuple
+    (bounded by the table's partition count, not its file count)."""
+    if not adds:
+        raise DeltaError(f"delta: selection has no live files at {path}")
+    groups: dict = {}
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        key = tuple((k, pv[k]) for k in sorted(pv))
+        groups.setdefault(key, []).append(a["path"])
+    if list(groups) == [()]:
+        return spark.read.parquet(*[os.path.join(path, p) for p in groups[()]])
+    ptypes = _partition_types(meta)
+    out = None
+    for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        df = spark.read.parquet(*[os.path.join(path, p) for p in paths])
+        for col, val in key:
+            df = df.withColumn(
+                col, F.lit(val).cast(ptypes[col]) if val is not None
+                else F.lit(None).cast(ptypes[col])
+            )
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def read_delta(
@@ -119,11 +199,10 @@ def read_delta(
     """Read a Delta table at `version` (time travel; default latest) by
     handing the log's live file list to the native parquet reader —
     the scan stays distributed/pruned; only the log replays on the
-    driver."""
-    rel = delta_live_files(path, version)
-    if not rel:
-        raise DeltaError(f"delta: version has no live files at {path}")
-    return spark.read.parquet(*[os.path.join(path, p) for p in rel])
+    driver. Partitioned tables get their partition columns injected
+    as typed literals per file group."""
+    files, meta = _replay(path, version)
+    return _read_adds(spark, path, [files[p] for p in sorted(files)], meta)
 
 
 def delta_append(
@@ -131,24 +210,37 @@ def delta_append(
     df: DataFrame,
     path: str,
     stats_cols: list | None = None,
+    partition_by: list | None = None,
 ) -> int:
     """Append `df` to a Delta table as one commit (single-writer
     contract, like maintenance.snapshot_write): the data lands as
     parquet part files under the table root, then one JSON commit
     records an `add` per file — with per-file min/max/nullCount STATS
-    for `stats_cols`, the metadata that makes file skipping work.
+    for `stats_cols`, the metadata that makes file skipping work, and
+    with hive-style `partitionValues` when `partition_by` is given
+    (partition columns are dropped from the data files, per the spec).
     Creates the table (protocol + metaData actions) on first commit.
-    Returns the committed version."""
+    The next version is max(latest JSON commit, checkpoint) + 1, so a
+    log whose old JSON commits were retention-cleaned never restarts
+    at 0 and overwrites history. Returns the committed version."""
+    import urllib.parse
+    import uuid
+
     os.makedirs(_log_dir(path), exist_ok=True)
     try:
         versions = _commit_versions(path)
     except DeltaError:
         versions = []
-    version = (versions[-1] + 1) if versions else 0
-    import uuid
+    cp = _checkpoint_version(path)
+    version = max(
+        versions[-1] if versions else -1, -1 if cp is None else cp
+    ) + 1
 
     stage = os.path.join(path, f".stage_{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(stage)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
     actions = []
     if version == 0:
         actions.append(
@@ -160,51 +252,75 @@ def delta_append(
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": list(partition_by or []),
                 }
             }
         )
     import pyarrow.parquet as pq
 
-    for fname in sorted(os.listdir(stage)):
-        if not fname.endswith(".parquet"):
-            continue
-        final = f"part-{version:05d}-{fname}"
-        src = os.path.join(stage, fname)
-        add = {
-            "path": final,
-            "partitionValues": {},
-            "size": os.path.getsize(src),
-            "dataChange": True,
-        }
-        if stats_cols:
-            md = pq.read_metadata(src)
-            mins: dict = {}
-            maxs: dict = {}
-            nulls: dict = {}
-            names = md.schema.to_arrow_schema().names
-            for rg in range(md.num_row_groups):
-                for ci in range(md.num_columns):
-                    col = md.row_group(rg).column(ci)
-                    name = names[ci] if ci < len(names) else col.path_in_schema
-                    if name not in stats_cols or col.statistics is None:
-                        continue
-                    st = col.statistics
-                    if st.min is not None:
-                        mins[name] = min(mins.get(name, st.min), st.min)
-                    if st.max is not None:
-                        maxs[name] = max(maxs.get(name, st.max), st.max)
-                    nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
-            add["stats"] = json.dumps(
-                {
-                    "numRecords": md.num_rows,
-                    "minValues": mins,
-                    "maxValues": maxs,
-                    "nullCount": nulls,
-                }
+    def _stats(src: str) -> str | None:
+        if not stats_cols:
+            return None
+        md = pq.read_metadata(src)
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        names = md.schema.to_arrow_schema().names
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = names[ci] if ci < len(names) else col.path_in_schema
+                if name not in stats_cols or col.statistics is None:
+                    continue
+                st = col.statistics
+                if st.min is not None:
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                if st.max is not None:
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+                nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+        return json.dumps(
+            {
+                "numRecords": md.num_rows,
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            }
+        )
+
+    for dirpath, _dirs, fnames in sorted(os.walk(stage)):
+        relsub = os.path.relpath(dirpath, stage)
+        pvals: dict = {}
+        if relsub != ".":
+            for seg in relsub.split(os.sep):
+                k, _, v = seg.partition("=")
+                pvals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
+        for fname in sorted(fnames):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, fname)
+            rel = (
+                fname if relsub == "." else f"{relsub}/{fname}"
+            ).replace(os.sep, "/")
+            final_rel = (
+                f"part-{version:05d}-{fname}" if relsub == "."
+                else f"{relsub}/part-{version:05d}-{fname}".replace(os.sep, "/")
             )
-        actions.append({"add": add})
-        os.replace(src, os.path.join(path, final))
+            add = {
+                "path": final_rel,
+                "partitionValues": pvals,
+                "size": os.path.getsize(src),
+                "dataChange": True,
+            }
+            st = _stats(src)
+            if st:
+                add["stats"] = st
+            actions.append({"add": add})
+            dest = os.path.join(path, *final_rel.split("/"))
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(src, dest)
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)  # _SUCCESS markers etc.
@@ -218,29 +334,27 @@ def delta_append(
 
 
 def delta_file_stats(path: str, version: int | None = None) -> list[dict]:
-    """Per-live-file stats from the log: [{'path', 'numRecords',
+    """Per-live-file stats from the log replay — checkpoint add rows
+    included, so files whose commits were retention-cleaned still
+    carry their stats: [{'path', 'partitionValues', 'numRecords',
     'minValues', 'maxValues', 'nullCount'}] (stats-less files carry
     None). This is the file-skipping substrate."""
-    live = set(delta_live_files(path, version))
-    out: dict = {}
-    versions = _commit_versions(path)
-    target = versions[-1] if version is None else version
-    for v in versions:
-        if v > target:
-            continue
-        with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                act = json.loads(line)
-                a = act.get("add")
-                if a and a["path"] in live:
-                    st = json.loads(a["stats"]) if a.get("stats") else None
-                    out[a["path"]] = {"path": a["path"], **(st or {
-                        "numRecords": None, "minValues": None,
-                        "maxValues": None, "nullCount": None})}
-    return [out[p] for p in sorted(out)]
+    files, _ = _replay(path, version)
+    out = []
+    for p in sorted(files):
+        a = files[p]
+        st = json.loads(a["stats"]) if a.get("stats") else None
+        out.append(
+            {
+                "path": p,
+                "partitionValues": a.get("partitionValues") or {},
+                **(st or {
+                    "numRecords": None, "minValues": None,
+                    "maxValues": None, "nullCount": None,
+                }),
+            }
+        )
+    return out
 
 
 def read_delta_pruned(
@@ -252,28 +366,36 @@ def read_delta_pruned(
     version: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """File skipping: read only the live files whose [min, max] range
-    for `column` intersects [lo, hi] (files without stats are kept —
-    skipping must never drop unknown data). Returns (df, files_read,
-    files_skipped); the caller still applies the row-level filter —
-    this prunes I/O, it does not replace the predicate. The 100 TB
-    win: a range query on a clustered column opens a handful of files
-    instead of the table."""
-    stats = delta_file_stats(path, version)
+    for `column` intersects [lo, hi]. Two pruning signals compose:
+    per-file parquet stats from the add actions, and the partition
+    VALUE itself when `column` is a partition column (a partition
+    value is an exact point — min == max). Files with neither signal
+    are kept — skipping must never drop unknown data, and the keep
+    list starts from the full live-file replay (checkpoint included),
+    so a stats-less live file is read, not dropped. Returns (df,
+    files_read, files_skipped); the caller still applies the row-level
+    filter — this prunes I/O, it does not replace the predicate. The
+    100 TB win: a range query on a clustered/partitioned column opens
+    a handful of files instead of the table."""
+    files, meta = _replay(path, version)
     keep, skipped = [], 0
-    for s in stats:
-        mv, xv = s.get("minValues") or {}, s.get("maxValues") or {}
+    for p in sorted(files):
+        a = files[p]
+        st = json.loads(a["stats"]) if a.get("stats") else None
+        mv = (st or {}).get("minValues") or {}
+        xv = (st or {}).get("maxValues") or {}
+        pv = a.get("partitionValues") or {}
+        disjoint = False
         try:
-            disjoint = (
-                column in mv and column in xv
-                and (xv[column] < lo or mv[column] > hi)
-            )
+            if column in mv and column in xv:
+                disjoint = xv[column] < lo or mv[column] > hi
+            elif column in pv and pv[column] is not None:
+                disjoint = pv[column] < lo or pv[column] > hi
         except TypeError:
             disjoint = False  # incomparable stat types: never skip
         if disjoint:
             skipped += 1
             continue
-        keep.append(s["path"])
-    if not keep:
-        raise DeltaError("delta: every file pruned — empty selection")
-    df = spark.read.parquet(*[os.path.join(path, p) for p in keep])
+        keep.append(a)
+    df = _read_adds(spark, path, keep, meta)
     return df, len(keep), skipped

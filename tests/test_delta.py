@@ -98,12 +98,6 @@ def test_delta_checkpoint_path(spark, tmp_path):
 
 
 def test_delta_gates_and_errors(spark, tmp_path):
-    table = str(tmp_path / "bad")
-    _write_commit(table, 0, [
-        {"add": {"path": "x.parquet", "partitionValues": {"day": "2024-01-01"}}},
-    ])
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        delta_live_files(table)
     table2 = str(tmp_path / "bad2")
     _write_commit(table2, 0, [{"protocol": {"minReaderVersion": 3}}])
     with pytest.raises(NotImplementedError, match="protocol"):
@@ -114,6 +108,31 @@ def test_delta_gates_and_errors(spark, tmp_path):
     _write_commit(table3, 0, [_add("a.parquet")])
     with pytest.raises(DeltaError, match="version 5"):
         delta_live_files(table3, 5)
+    # multi-part checkpoints gate loudly, not FileNotFoundError
+    table4 = str(tmp_path / "bad4")
+    _write_commit(table4, 0, [_add("a.parquet")])
+    with open(os.path.join(table4, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0, "size": 2, "parts": 2}, f)
+    with pytest.raises(NotImplementedError, match="multi-part"):
+        delta_live_files(table4)
+
+
+def test_delta_version_beyond_latest_raises_with_checkpoint(spark, tmp_path):
+    """ADVICE r8 (medium): with a checkpoint present, asking for a
+    version beyond the latest must raise, not silently return the
+    latest state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table, _parts = _make_table(spark, tmp_path)
+    pq.write_table(
+        pa.Table.from_pylist([{"add": {"path": "a.parquet"}, "remove": None}]),
+        os.path.join(table, "_delta_log", f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(table, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 1}, f)
+    with pytest.raises(DeltaError, match="version 7 beyond latest 1"):
+        delta_live_files(table, 7)
 
 
 def test_delta_append_roundtrip_and_file_skipping(spark, tmp_path):
@@ -157,3 +176,114 @@ def test_delta_append_roundtrip_and_file_skipping(spark, tmp_path):
     delta_append(spark, li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 40)).repartition(1), table)
     df2, read2, skipped2 = read_delta_pruned(spark, table, "l_quantity", 1, 5)
     assert read2 == 2 and skipped2 == 1  # stats-less file kept
+
+
+def test_delta_partitioned_write_read_and_prune(spark, tmp_path):
+    """Round 9: partitioned tables. The writer lays files out
+    hive-style with partitionValues in the add actions and the
+    partition column REMOVED from the data files (per the spec); the
+    reader injects it back as a typed literal, and read_delta_pruned
+    prunes on the partition value itself."""
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        delta_file_stats,
+        read_delta_pruned,
+    )
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    table = str(tmp_path / "pt")
+    delta_append(
+        spark,
+        o.repartition(2),
+        table,
+        stats_cols=["o_totalprice"],
+        partition_by=["o_orderpriority"],
+    )
+    # data files must NOT contain the partition column
+    stats = delta_file_stats(table)
+    assert all(s["partitionValues"].get("o_orderpriority") for s in stats)
+    back = read_delta(spark, table)
+    assert back.schema["o_orderpriority"].dataType.simpleString() == "string"
+    assert back.count() == o.count()
+    assert back.exceptAll(o).count() == 0 and o.exceptAll(back).count() == 0
+    # partition-value pruning: only the 1-URGENT files are read
+    df, nread, nskip = read_delta_pruned(
+        spark, table, "o_orderpriority", "1-URGENT", "1-URGENT"
+    )
+    n_parts = o.select("o_orderpriority").distinct().count()
+    assert nread < nread + nskip and nread + nskip == len(stats)
+    assert df.select("o_orderpriority").distinct().count() == 1
+    want = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    assert df.count() == want.count()
+    # stats pruning still composes within partitions (wide range keeps all)
+    df2, nread2, _ = read_delta_pruned(spark, table, "o_totalprice", 0.0, 1e12)
+    assert nread2 == len(stats) and df2.count() == o.count()
+    # a range below every file's min prunes everything -> loud error
+    with pytest.raises(DeltaError, match="no live files"):
+        read_delta_pruned(spark, table, "o_totalprice", 0.0, 1.0)
+    assert n_parts >= 2
+
+
+def test_delta_checkpoint_carries_stats_and_append_version(spark, tmp_path):
+    """ADVICE r8 (high + medium): after log retention cleans the JSON
+    commits behind a checkpoint, (1) delta_file_stats must still see
+    the checkpoint-only files' stats so read_delta_pruned keeps ALL
+    live rows, and (2) delta_append must continue the version sequence
+    from the checkpoint, never restart at 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        delta_file_stats,
+        read_delta,
+        read_delta_pruned,
+    )
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    table = str(tmp_path / "cp")
+    delta_append(spark, li.filter(F.col("l_quantity") < 10).repartition(1),
+                 table, stats_cols=["l_quantity"])
+    delta_append(spark, li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 25)).repartition(1),
+                 table, stats_cols=["l_quantity"])
+    # build a checkpoint at version 1 from the add actions themselves
+    rows = []
+    log = os.path.join(table, "_delta_log")
+    for v in (0, 1):
+        with open(os.path.join(log, f"{v:020d}.json")) as f:
+            for line in f:
+                act = json.loads(line)
+                if "add" in act:
+                    # pyarrow can't write an empty struct; a real
+                    # checkpoint stores partitionValues as a map —
+                    # dropping the empty dict is equivalent here
+                    add = {k: v for k, v in act["add"].items()
+                           if k != "partitionValues"}
+                    rows.append({"add": add, "remove": None})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": len(rows)}, f)
+    # retention: expire the JSON commits covered by the checkpoint
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    # one live JSON commit after the checkpoint
+    v2 = delta_append(spark, li.filter(F.col("l_quantity") >= 40).repartition(1),
+                      table, stats_cols=["l_quantity"])
+    assert v2 == 2  # NOT 0: version continues from the checkpoint
+    want = li.filter((F.col("l_quantity") < 25) | (F.col("l_quantity") >= 40))
+    got = read_delta(spark, table)
+    assert got.count() == want.count()
+    # stats rows exist for the checkpoint-only files too
+    stats = delta_file_stats(table)
+    assert len(stats) == 3 and all(s["minValues"] for s in stats)
+    # pruned read over [1, 5] keeps the <10 file, skips the other two,
+    # and crucially does NOT silently drop the checkpoint-only files
+    df, nread, nskip = read_delta_pruned(spark, table, "l_quantity", 1, 5)
+    assert (nread, nskip) == (1, 2)
+    assert df.count() == li.filter(F.col("l_quantity") < 10).count()
+    # a pruned read whose range spans everything reads all three
+    _, nread_all, nskip_all = read_delta_pruned(spark, table, "l_quantity", 0, 100)
+    assert (nread_all, nskip_all) == (3, 0)

