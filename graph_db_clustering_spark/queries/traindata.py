@@ -779,6 +779,142 @@ def iceberg_roundtrip(spark, sf_dir):
 
 
 @declared(
+    "iceberg_deletes",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE (l_quantity < 25 AND l_returnflag <> 'R' AND l_orderkey % 7 <> 0)
+   OR l_quantity >= 40
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def iceberg_deletes(spark, sf_dir):
+    """Iceberg format-v2 row-level deletes (round 9, sources/iceberg):
+    the table holds a <25 data file at sequence 1 and a >=40 file at
+    sequence 3; sequence 2 carries an EQUALITY delete (l_returnflag =
+    'R', field-id resolved through the schema) and a POSITION delete
+    listing the exact (file, row_index) pairs of the <25 file's
+    l_orderkey % 7 = 0 rows. Merge-on-read must therefore remove R
+    rows and %7 rows from the OLD file only — the seq-3 file keeps its
+    R rows (strictly-older rule). The oracle states the surviving set
+    directly; a reader that ignores either delete kind, applies the
+    equality delete to the newer file, or mismatches file paths shifts
+    the counts."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.avro import encode_container
+    from graph_db_clustering_spark.sources.iceberg import read_iceberg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_icedel_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    os.makedirs(os.path.join(t, "metadata"))
+    os.makedirs(os.path.join(t, "data"))
+    paths = {}
+
+    def land(name, df):
+        stage = os.path.join(root, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+        dest = os.path.join(t, "data", f"{name}.parquet")
+        os.replace(os.path.join(stage, part), dest)
+        paths[name] = dest
+
+    land("old", li.filter(F.col("l_quantity") < 25))
+    land("new", li.filter(F.col("l_quantity") >= 40))
+    # equality delete (seq 2): one row, returnflag R (field id 3)
+    land("ed", spark.createDataFrame([("R",)], "l_returnflag string"))
+    # position delete (seq 2): the old file's %7 rows by ACTUAL row index
+    pos = (
+        spark.read.parquet(paths["old"])
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "l_orderkey",
+        )
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            F.regexp_replace("fp", "^file:/{0,2}", "/").alias("file_path"),
+            "pos",
+        )
+    )
+    land("pd", pos)
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "content", "type": "int"},
+                    {"name": "equality_ids",
+                     "type": {"type": "array", "items": "int"}},
+                ]}},
+        ]}
+    list_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+        ]}
+
+    def entry(name, seq, content, eq_ids=()):
+        return {"status": 1, "sequence_number": seq, "data_file": {
+            "file_path": paths[name], "file_format": "PARQUET",
+            "record_count": 1, "content": content,
+            "equality_ids": list(eq_ids)}}
+
+    def avro(p, schema, rows):
+        with open(p, "wb") as f:
+            f.write(encode_container(schema, rows, codec="null"))
+
+    m = os.path.join(t, "metadata", "m1.avro")
+    avro(m, man_schema, [
+        entry("old", 1, 0),
+        entry("new", 3, 0),
+        entry("ed", 2, 2, eq_ids=[3]),
+        entry("pd", 2, 1),
+    ])
+    ml = os.path.join(t, "metadata", "snap-1.avro")
+    avro(ml, list_schema, [{"manifest_path": m, "manifest_length": 1}])
+    meta = {
+        "format-version": 2, "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "l_orderkey", "type": "long"},
+            {"id": 2, "name": "l_quantity", "type": "double"},
+            {"id": 3, "name": "l_returnflag", "type": "string"},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(t, "metadata", "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    dt = read_iceberg(spark, t)
+    return (
+        dt.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
     "arrow_roundtrip",
     """SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n,

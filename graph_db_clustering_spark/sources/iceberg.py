@@ -10,10 +10,26 @@ drop out. All the Avro plumbing is the repo's own pure-Python
 object-container codec (sources/avro) — the same machinery that makes
 the Avro source work makes Iceberg's metadata readable.
 
-Scope (loud gates): unpartitioned specs only, data files only
-(position/equality DELETE files -> NotImplementedError — correct
-merge-on-read needs the delete application the spec defines),
-parquet file format only.
+Row-level deletes (round 9, format v2 merge-on-read):
+- POSITION deletes (data_file.content == 1): parquet files of
+  (file_path, pos) pairs; applied as a broadcast anti-join against the
+  scan's hidden `_metadata` (file_path, row_index) columns — the scan
+  stays one distributed parquet read, the delete side is the small one.
+- EQUALITY deletes (content == 2): parquet files whose `equality_ids`
+  name schema field-ids; a row is deleted when an older data file's
+  row matches a delete row on those columns (null-safe) AND the data
+  file's sequence number is strictly below the delete's. The scan is
+  grouped by data sequence number (one union branch per distinct seq,
+  bounded by commit count, not file count) so the inequality rides the
+  anti-join condition JVM-side.
+
+Partitioning: IDENTITY-transform partition specs are supported — per
+the spec, Iceberg data files RETAIN partition columns (unlike hive
+layouts), so reads need no column injection; non-identity transforms
+(bucket/truncate/day/...) raise loudly.
+
+Remaining loud gates: parquet file format only; non-identity
+transforms.
 
 Like sources/delta: only the KB-scale metadata replays on the driver;
 the data scan is handed to the native parquet reader, fully
@@ -27,6 +43,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from graph_db_clustering_spark.sources.avro import decode_container
 
@@ -63,15 +80,39 @@ def _avro_rows(path: str) -> list[dict]:
     return rows
 
 
-def iceberg_live_files(path: str, snapshot_id: int | None = None) -> list[str]:
-    """Replay metadata -> manifest list -> manifests into the live
-    data-file paths (absolute, scheme-stripped) for the current or a
-    pinned snapshot (time travel)."""
+def _field_names_by_id(meta: dict) -> dict:
+    """schema field-id -> column name, from the current schema (v2
+    `schemas` list) or the v1 inline `schema`."""
+    fields = None
+    schemas = meta.get("schemas")
+    if schemas:
+        cur = meta.get("current-schema-id")
+        sch = next(
+            (s for s in schemas if s.get("schema-id") == cur), schemas[-1]
+        )
+        fields = sch.get("fields")
+    elif meta.get("schema"):
+        fields = meta["schema"].get("fields")
+    return {f["id"]: f["name"] for f in (fields or [])}
+
+
+def _snapshot_entries(
+    path: str, snapshot_id: int | None = None
+) -> tuple[list, list, dict]:
+    """Replay metadata -> manifest list -> manifests. Returns
+    (data_files, delete_files, metadata-json): each file is
+    {'path', 'seq', 'content', 'equality_ids'} with sequence numbers
+    inherited from the manifest-list entry when the manifest entry
+    leaves them null (v2 inheritance rule)."""
     with open(_metadata_file(path)) as f:
         meta = json.load(f)
     for spec in meta.get("partition-specs", []) or []:
-        if spec.get("fields"):
-            raise NotImplementedError("iceberg: partitioned tables not supported")
+        for fld in spec.get("fields") or []:
+            if fld.get("transform") != "identity":
+                raise NotImplementedError(
+                    "iceberg: partition transform "
+                    f"{fld.get('transform')!r} not supported (identity only)"
+                )
     snaps = meta.get("snapshots", []) or []
     if not snaps:
         raise IcebergError(f"iceberg: no snapshots in {path}")
@@ -83,33 +124,130 @@ def iceberg_live_files(path: str, snapshot_id: int | None = None) -> list[str]:
     snap = next((s for s in snaps if s["snapshot-id"] == target), None)
     if snap is None:
         raise IcebergError(f"iceberg: snapshot {target} not found")
-    out = []
+    data, dels = [], []
     for m in _avro_rows(snap["manifest-list"]):
-        if m.get("content", 0) not in (0, None):
-            raise NotImplementedError(
-                "iceberg: delete manifests not supported (merge-on-read)"
-            )
+        mseq = m.get("sequence_number")
+        mseq = 0 if mseq is None else mseq
         for entry in _avro_rows(m["manifest_path"]):
-            if entry.get("status") == 2:  # DELETED
+            if entry.get("status") == 2:  # DELETED entry: drops out
                 continue
-            df = entry["data_file"]
-            if df.get("content", 0) not in (0, None):
-                raise NotImplementedError(
-                    "iceberg: delete files not supported (merge-on-read)"
-                )
-            fmt = (df.get("file_format") or "").upper()
+            dfile = entry["data_file"]
+            fmt = (dfile.get("file_format") or "").upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(f"iceberg: file format {fmt!r}")
-            out.append(_strip_scheme(df["file_path"]))
-    return sorted(set(out))
+            seq = entry.get("sequence_number")
+            seq = mseq if seq is None else seq
+            content = dfile.get("content") or 0
+            rec = {
+                "path": _strip_scheme(dfile["file_path"]),
+                "seq": seq,
+                "content": content,
+                "equality_ids": dfile.get("equality_ids"),
+            }
+            if content == 0:
+                data.append(rec)
+            elif content in (1, 2):
+                dels.append(rec)
+            else:
+                raise IcebergError(f"iceberg: unknown content {content}")
+    return data, dels, meta
+
+
+def iceberg_live_files(path: str, snapshot_id: int | None = None) -> list[str]:
+    """Replay metadata -> manifest list -> manifests into the live
+    DATA-file paths (absolute, scheme-stripped) for the current or a
+    pinned snapshot (time travel). Delete files don't appear here —
+    they are applied by read_iceberg, not listed as data."""
+    data, _dels, _meta = _snapshot_entries(path, snapshot_id)
+    return sorted({d["path"] for d in data})
+
+
+_FP_NORM = r"^file:/{0,2}"
 
 
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """Read an Iceberg table at the current (or pinned) snapshot via
-    native parquet scans over the manifest-resolved live files."""
-    files = iceberg_live_files(path, snapshot_id)
-    if not files:
+    native parquet scans over the manifest-resolved live files, with
+    v2 position and equality delete files applied merge-on-read style
+    (broadcast anti-joins; the big data scan never re-shuffles)."""
+    data, dels, meta = _snapshot_entries(path, snapshot_id)
+    if not data:
         raise IcebergError(f"iceberg: snapshot has no data files at {path}")
-    return spark.read.parquet(*files)
+    pos_dels = [d for d in dels if d["content"] == 1]
+    eq_dels = [d for d in dels if d["content"] == 2]
+    if not dels:
+        return spark.read.parquet(*sorted({d["path"] for d in data}))
+
+    def scan_with_meta(paths: list) -> DataFrame:
+        df = spark.read.parquet(*sorted(set(paths)))
+        return df.withColumns(
+            {
+                "__fp": F.regexp_replace(
+                    F.col("_metadata.file_path"), _FP_NORM, "/"
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+
+    if eq_dels:
+        # equality deletes see only STRICTLY OLDER data: group the scan
+        # by data sequence number (one branch per distinct seq — commit-
+        # bounded) so `data_seq < delete_seq` rides the join condition.
+        by_seq: dict = {}
+        for d in data:
+            by_seq.setdefault(d["seq"], []).append(d["path"])
+        scan = None
+        for seq, paths in sorted(by_seq.items()):
+            part = scan_with_meta(paths).withColumn(
+                "__seq", F.lit(int(seq)).cast("long")
+            )
+            scan = part if scan is None else scan.unionByName(part)
+    else:
+        scan = scan_with_meta([d["path"] for d in data])
+
+    if pos_dels:
+        # (file_path, pos) pairs; normalized the same way as _metadata
+        pd_df = (
+            spark.read.parquet(*sorted({d["path"] for d in pos_dels}))
+            .select(
+                F.regexp_replace(F.col("file_path"), _FP_NORM, "/").alias(
+                    "__dfp"
+                ),
+                F.col("pos").alias("__dpos"),
+            )
+        )
+        scan = scan.join(
+            F.broadcast(pd_df),
+            (F.col("__fp") == F.col("__dfp"))
+            & (F.col("__pos") == F.col("__dpos")),
+            "left_anti",
+        )
+
+    if eq_dels:
+        names = _field_names_by_id(meta)
+        for d in eq_dels:
+            ids = d["equality_ids"] or []
+            if not ids:
+                raise IcebergError(
+                    f"iceberg: equality delete {d['path']} missing equality_ids"
+                )
+            cols = []
+            for fid in ids:
+                if fid not in names:
+                    raise IcebergError(
+                        f"iceberg: equality field id {fid} not in schema"
+                    )
+                cols.append(names[fid])
+            del_df = (
+                spark.read.parquet(d["path"])
+                .select(*[F.col(c).alias(f"__d_{c}") for c in cols])
+                .withColumn("__dseq", F.lit(int(d["seq"])).cast("long"))
+            )
+            cond = F.col("__seq") < F.col("__dseq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+            scan = scan.join(F.broadcast(del_df), cond, "left_anti")
+
+    return scan.drop("__fp", "__pos", "__seq")

@@ -131,7 +131,153 @@ def test_iceberg_gates(spark, tmp_path):
         {"spec-id": 0, "fields": [{"name": "day", "transform": "day"}]}
     ]
     json.dump(meta, open(meta_path, "w"))
-    with pytest.raises(NotImplementedError, match="partitioned"):
+    with pytest.raises(NotImplementedError, match="transform"):
         iceberg_live_files(root)
     with pytest.raises(IcebergError, match="no metadata directory"):
         iceberg_live_files(str(tmp_path / "nope"))
+
+
+MANIFEST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "content", "type": "int"},
+                    {"name": "equality_ids", "type": {"type": "array", "items": "int"}},
+                ],
+            },
+        },
+    ],
+}
+
+
+def test_iceberg_position_and_equality_deletes(spark, tmp_path):
+    """Format-v2 merge-on-read: a position-delete file removes exact
+    (file, row_index) pairs; an equality delete removes matching rows
+    from STRICTLY OLDER data files only (sequence-number rule) — a
+    newer data file keeps rows the delete would otherwise match."""
+    root = str(tmp_path / "v2t")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    files = {}
+    for name, df in (
+        ("a", li.filter(F.col("l_quantity") < 25)),      # seq 1
+        ("b", li.filter(F.col("l_quantity") >= 25)),     # seq 3
+    ):
+        stage = str(tmp_path / f"stage2_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+        dest = os.path.join(root, "data", f"{name}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        files[name] = dest
+
+    # keys present in BOTH files (multi-line orders span quantities)
+    a_keys = {r[0] for r in spark.read.parquet(files["a"]).select("l_orderkey").collect()}
+    b_keys = {r[0] for r in spark.read.parquet(files["b"]).select("l_orderkey").collect()}
+    shared = sorted(a_keys & b_keys)[:3]
+    assert len(shared) == 3
+
+    # equality delete (seq 2) on l_orderkey (field id 1)
+    ed_stage = str(tmp_path / "stage2_ed")
+    spark.createDataFrame([(int(k),) for k in shared], "l_orderkey bigint") \
+        .coalesce(1).write.parquet(ed_stage)
+    part = [p for p in os.listdir(ed_stage) if p.endswith(".parquet")][0]
+    files["ed"] = os.path.join(root, "data", "ed.parquet")
+    os.rename(os.path.join(ed_stage, part), files["ed"])
+
+    # position delete (seq 2): the first 3 rows of file a
+    pd_stage = str(tmp_path / "stage2_pd")
+    spark.createDataFrame(
+        [(files["a"], i) for i in range(3)], "file_path string, pos bigint"
+    ).coalesce(1).write.parquet(pd_stage)
+    part = [p for p in os.listdir(pd_stage) if p.endswith(".parquet")][0]
+    files["pd"] = os.path.join(root, "data", "pd.parquet")
+    os.rename(os.path.join(pd_stage, part), files["pd"])
+
+    def entry(status, name, seq, content, eq_ids=()):
+        return {
+            "status": status,
+            "sequence_number": seq,
+            "data_file": {
+                "file_path": files[name],
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "content": content,
+                "equality_ids": list(eq_ids),
+            },
+        }
+
+    m = os.path.join(root, "metadata", "m-v2.avro")
+    _write_avro(m, MANIFEST_SCHEMA_V2, [
+        entry(1, "a", 1, 0),
+        entry(1, "b", 3, 0),
+        entry(1, "ed", 2, 2, eq_ids=[1]),
+        entry(1, "pd", 2, 1),
+    ])
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(ml, LIST_SCHEMA, [{"manifest_path": m, "manifest_length": 1}])
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "l_orderkey", "type": "long"},
+                {"id": 2, "name": "l_quantity", "type": "double"},
+            ],
+        }],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+    got = read_iceberg(spark, root)
+    # expectation built directly: file a minus pos 0-2 minus shared keys,
+    # plus ALL of file b (seq 3 > delete seq 2: kept)
+    a_df = spark.read.parquet(files["a"]).select(
+        "l_orderkey", "l_quantity", F.col("_metadata.row_index").alias("ri")
+    )
+    keep_a = a_df.filter(
+        (F.col("ri") >= 3) & (~F.col("l_orderkey").isin(shared))
+    ).drop("ri")
+    want = keep_a.unionByName(spark.read.parquet(files["b"]))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # b retains the shared keys (newer than the equality delete)
+    assert got.filter(
+        F.col("l_orderkey").isin(shared) & (F.col("l_quantity") >= 25)
+    ).count() > 0
+    # live data files exclude the delete files
+    assert len(iceberg_live_files(root)) == 2
+
+
+def test_iceberg_identity_partition_spec_accepted(spark, tmp_path):
+    """Identity-transform partition specs read fine: Iceberg data files
+    RETAIN partition columns, so no injection is needed; non-identity
+    transforms still gate (see test_iceberg_gates)."""
+    root, li = _make_table(spark, tmp_path)
+    meta_path = os.path.join(root, "metadata", "v2.metadata.json")
+    meta = json.load(open(meta_path))
+    meta["partition-specs"] = [{
+        "spec-id": 0,
+        "fields": [{"name": "l_orderkey", "transform": "identity",
+                    "source-id": 1, "field-id": 1000}],
+    }]
+    json.dump(meta, open(meta_path, "w"))
+    latest = read_iceberg(spark, root)
+    want = li.filter((F.col("l_quantity") < 10) | (F.col("l_quantity") >= 25))
+    assert latest.count() == want.count()
