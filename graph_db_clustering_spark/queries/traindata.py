@@ -1076,3 +1076,70 @@ def sqlite_roundtrip(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+@declared(
+    "sqlite_wal",
+    """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(p_retailprice), 2) AS total
+FROM part WHERE p_size <> 25 OR p_partkey > 1000
+GROUP BY p_brand ORDER BY p_brand""",
+)
+def sqlite_wal(spark, sf_dir):
+    """SQLite WAL mode (round 9, sources/sqlite): the part table lands
+    in a REAL journal_mode=WAL database with wal_autocheckpoint=0 —
+    the first half is checkpointed into the main file, the second half
+    plus a targeted DELETE are committed but live ONLY in the -wal
+    sibling (files copied while the writing connection is still open).
+    read_sqlite must pair the database with its -wal and replay the
+    frame chain (a read-only checkpoint); a reader that sees the stale
+    main image alone loses half the rows and keeps the deleted ones.
+    The oracle states the post-delete content directly."""
+    import atexit
+    import os
+    import shutil
+    import sqlite3
+    import tempfile
+
+    from graph_db_clustering_spark.sources.sqlite import read_sqlite
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_sqlwal_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "live"))
+    dbp = os.path.join(root, "part.sqlite")
+    con = sqlite3.connect(dbp)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute(
+        "CREATE TABLE part (p_partkey INTEGER PRIMARY KEY, p_brand TEXT,"
+        " p_size INTEGER, p_retailprice REAL)"
+    )
+    rows = [
+        (r.p_partkey, r.p_brand, r.p_size, r.p_retailprice)
+        for r in p.collect()
+    ]
+    rows.sort()
+    half = len(rows) // 2
+    con.executemany("INSERT INTO part VALUES (?,?,?,?)", rows[:half])
+    con.commit()
+    con.execute("PRAGMA wal_checkpoint(TRUNCATE)")  # base image = 1st half
+    con.executemany("INSERT INTO part VALUES (?,?,?,?)", rows[half:])
+    con.execute("DELETE FROM part WHERE p_size = 25 AND p_partkey <= 1000")
+    con.commit()
+    # copy main + wal with the connection still open: frames unflushed
+    shutil.copy(dbp, os.path.join(root, "live", "part.sqlite"))
+    shutil.copy(dbp + "-wal", os.path.join(root, "live", "part.sqlite-wal"))
+    con.close()
+    back = read_sqlite(spark, os.path.join(root, "live"), "part")
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("total"),
+        )
+        .orderBy("p_brand")
+    )

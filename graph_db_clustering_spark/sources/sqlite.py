@@ -15,10 +15,22 @@ real engine: tests build databases with Python's stdlib sqlite3 and
 this reader must agree — external validation, not roundtrip
 self-consistency.
 
-Distribution: binaryFile (one task per database) + mapInPandas; each
-task decodes its own blob. Gates: WAL-mode files with a non-empty WAL
-are rejected (the main file alone is stale), as are WITHOUT ROWID
-tables (index-organized, different cell layout).
+WAL mode (round 9): a database in journal_mode=WAL keeps committed-but
+-not-yet-checkpointed pages in a sibling `<db>-wal` file
+(sqlite.org/walformat.html — public, frozen). The reader pairs each
+database with its -wal sibling and replays the valid frame chain — a
+read-only checkpoint: salts must match the WAL header, the cumulative
+s0/s1 checksum chain must hold (byte order per the magic), frames past
+the last commit frame are discarded, and the last commit frame's
+db-size truncates/extends the page image. A WAL-mode database with no
+(or an empty/invalid-header) -wal file reads from the main file alone,
+exactly as SQLite itself does.
+
+Distribution: binaryFile + a groupBy(database-stem) applyInPandas so a
+database and its -wal land in the same task; each task decodes its own
+blob(s). Gates: WITHOUT ROWID tables (index-organized, different cell
+layout); hot -journal siblings are ignored (rollback journals carry
+pre-images, not new data).
 """
 
 from __future__ import annotations
@@ -48,20 +60,84 @@ def _varint(b: bytes, pos: int) -> tuple[int, int]:
     return (v << 8) | b[pos + 8], pos + 9
 
 
+def _wal_cksum(data: bytes, s0: int, s1: int, big: bool) -> tuple[int, int]:
+    """The WAL cumulative checksum: pairs of u32 words (byte order per
+    the WAL magic), s0 += x0 + s1; s1 += x1 + s0, mod 2^32."""
+    fmt = ">II" if big else "<II"
+    for i in range(0, len(data), 8):
+        x0, x1 = struct.unpack(fmt, data[i : i + 8])
+        s0 = (s0 + x0 + s1) & 0xFFFFFFFF
+        s1 = (s1 + x1 + s0) & 0xFFFFFFFF
+    return s0, s1
+
+
+def _wal_replay(wal: bytes, page_size: int) -> tuple[dict, int | None]:
+    """Parse a -wal file into {page_number: page_bytes} for every frame
+    in the valid committed chain, plus the final committed database
+    size in pages (None if no commit frame). Invalid header / salt
+    mismatch / broken checksum chain ends the chain, per the format:
+    such frames were never committed."""
+    if len(wal) < 32:
+        return {}, None
+    magic, _ver, psz, _ckpt, salt1, salt2, c1, c2 = struct.unpack(
+        ">8I", wal[:32]
+    )
+    if magic not in (0x377F0682, 0x377F0683):
+        raise SqliteError(f"sqlite: bad WAL magic {magic:#x}")
+    big = magic == 0x377F0683
+    if psz != page_size:
+        raise SqliteError(
+            f"sqlite: WAL page size {psz} != database page size {page_size}"
+        )
+    s0, s1 = _wal_cksum(wal[:24], 0, 0, big)
+    if (s0, s1) != (c1, c2):
+        return {}, None  # stale/zeroed header: WAL holds nothing live
+    pages: dict = {}
+    pending: dict = {}
+    dbsize = None
+    off = 32
+    while off + 24 + psz <= len(wal):
+        pno, dbs, fs1, fs2, fc1, fc2 = struct.unpack(">6I", wal[off : off + 24])
+        if (fs1, fs2) != (salt1, salt2):
+            break
+        s0, s1 = _wal_cksum(wal[off : off + 8], s0, s1, big)
+        s0, s1 = _wal_cksum(wal[off + 24 : off + 24 + psz], s0, s1, big)
+        if (s0, s1) != (fc1, fc2):
+            break
+        pending[pno] = wal[off + 24 : off + 24 + psz]
+        if dbs:  # commit frame: everything pending becomes durable
+            pages.update(pending)
+            pending = {}
+            dbsize = dbs
+        off += 24 + psz
+    return pages, dbsize
+
+
 class _Db:
-    def __init__(self, blob: bytes):
+    def __init__(self, blob: bytes, wal: bytes | None = None):
         if blob[:16] != b"SQLite format 3\x00":
             raise SqliteError("sqlite: bad magic")
-        self.blob = blob
         self.page_size = struct.unpack(">H", blob[16:18])[0]
         if self.page_size == 1:
             self.page_size = 65536
+        if blob[18] == 2 and wal:  # WAL mode with live frames: replay
+            pages, dbsize = _wal_replay(wal, self.page_size)
+            if pages:
+                npages = max(
+                    dbsize or 0,
+                    len(blob) // self.page_size,
+                    max(pages),
+                )
+                img = bytearray(npages * self.page_size)
+                img[: len(blob)] = blob
+                for pno, data in pages.items():
+                    img[(pno - 1) * self.page_size : pno * self.page_size] = data
+                if dbsize:
+                    img = img[: dbsize * self.page_size]
+                blob = bytes(img)
+        self.blob = blob
         self.reserved = blob[20]
         self.usable = self.page_size - self.reserved
-        if blob[18] == 2:  # WAL mode: file alone may be stale
-            raise NotImplementedError(
-                "sqlite: WAL-mode database (checkpoint it first)"
-            )
         enc = struct.unpack(">I", blob[56:60])[0]
         if enc not in (0, 1):
             raise NotImplementedError(f"sqlite: text encoding {enc} (UTF-8 only)")
@@ -208,6 +284,9 @@ def _parse_columns(sql: str) -> list[tuple[str, str]]:
     return cols
 
 
+_SIBLING_RE = r"(-wal|-shm|-journal)$"
+
+
 def read_sqlite(
     spark: SparkSession, path: str, table: str, glob: str = "*.sqlite*"
 ) -> DataFrame:
@@ -216,12 +295,33 @@ def read_sqlite(
     Python types mapped to (long/double/string/binary) per SQLite's
     dynamic typing — a column mixing ints and text raises (pick one).
     The driver decodes only the FIRST file's catalog; table pages
-    decode in each file's own executor task."""
+    decode in each file's own executor task. A database and its -wal
+    sibling are grouped into the same task (groupBy on the filename
+    stem) so WAL frames replay next to their main file; -shm files
+    (just an index over the -wal) and -journal files (rollback
+    pre-images) are ignored."""
+    from pyspark.sql import functions as F
+
     files = read_binary_dir(spark, path, glob)
-    first = files.select("content").orderBy("path").first()
-    if first is None:
+    firsts = (
+        files.filter(~F.col("path").rlike(_SIBLING_RE))
+        .select("path", "content")
+        .orderBy("path")
+        .limit(1)
+        .collect()
+    )
+    if not firsts:
         raise SqliteError(f"sqlite: no files matching {glob!r} under {path}")
-    db0 = _Db(bytes(first["content"]))
+    first = firsts[0]
+    wal0 = (
+        files.filter(F.col("path") == first["path"] + "-wal")
+        .select("content")
+        .first()
+    )
+    db0 = _Db(
+        bytes(first["content"]),
+        wal=bytes(wal0["content"]) if wal0 else None,
+    )
     root0, cols, ipk = _table_info(db0, table)
     sample = []
     for _rid, rec in db0.rows(root0):
@@ -244,21 +344,34 @@ def read_sqlite(
     ddl = ", ".join(f"{c} {t}" for c, t in zip(cols, types))
     n_cols = len(cols)
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for blob in pdf["content"]:
-                db = _Db(bytes(blob))
-                root, _cols, ipk_i = _table_info(db, table)
-                data = []
-                for rowid, rec in db.rows(root):
-                    rec = (rec + [None] * n_cols)[:n_cols]
-                    if ipk_i is not None:
-                        rec[ipk_i] = rowid
-                    data.append(rec)
-                out = pd.DataFrame(data, columns=cols, dtype=object)
-                for c, t in zip(cols, types):
-                    if t == "double":
-                        out[c] = out[c].astype("float64")
-                yield out
+    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        main = wal = None
+        for p, blob in zip(pdf["path"], pdf["content"]):
+            if p.endswith("-wal"):
+                wal = bytes(blob)
+            elif p.endswith("-shm") or p.endswith("-journal"):
+                continue
+            else:
+                main = bytes(blob)
+        if main is None:  # orphan sibling files: nothing to read
+            return pd.DataFrame({c: [] for c in cols})
+        db = _Db(main, wal=wal)
+        root, _cols, ipk_i = _table_info(db, table)
+        data = []
+        for rowid, rec in db.rows(root):
+            rec = (rec + [None] * n_cols)[:n_cols]
+            if ipk_i is not None:
+                rec[ipk_i] = rowid
+            data.append(rec)
+        out = pd.DataFrame(data, columns=cols, dtype=object)
+        for c, t in zip(cols, types):
+            if t == "double":
+                out[c] = out[c].astype("float64")
+        return out
 
-    return files.select("content").mapInPandas(decode, ddl)
+    grouped = files.select(
+        F.regexp_replace("path", _SIBLING_RE, "").alias("stem"),
+        "path",
+        "content",
+    )
+    return grouped.groupBy("stem").applyInPandas(decode_group, ddl)

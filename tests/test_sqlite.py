@@ -87,10 +87,10 @@ def test_sqlite_gates(spark, tmp_path):
     con.execute("INSERT INTO t VALUES (1)")
     con.commit()
     con.close()
-    with open(p, "rb") as f:
-        blob = f.read()
-    with pytest.raises(NotImplementedError, match="WAL"):
-        _Db(blob)
+    # a checkpointed WAL-mode database (close() checkpoints) reads from
+    # the main file alone — exactly SQLite's own behavior
+    df = read_sqlite(spark, str(tmp_path), "t", glob="w.sqlite*")
+    assert [r.a for r in df.collect()] == [1]
     p2 = str(tmp_path / "wr.sqlite")
     con = sqlite3.connect(p2)
     con.execute("CREATE TABLE t2 (a TEXT PRIMARY KEY, b INT) WITHOUT ROWID")
@@ -116,3 +116,92 @@ def test_sqlite_typeless_columns(spark, tmp_path):
     df = read_sqlite(spark, str(tmp_path), "t", glob="nt.sqlite")
     got = sorted((r.a, r.b) for r in df.collect())
     assert got == [("x", 1), ("y", 2)]
+
+
+def test_sqlite_wal_replay_matches_checkpointed_form(spark, tmp_path):
+    """A LIVE WAL-mode database written by the real engine — frames
+    committed but NOT checkpointed — must read identically to its
+    checkpointed form: the pure-Python frame replay IS the read-only
+    checkpoint. Covers multi-commit chains, page overwrites (UPDATE),
+    deletes, and growth beyond the main file's page count."""
+    import shutil
+
+    src = str(tmp_path / "live.sqlite")
+    con = sqlite3.connect(src)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT, c REAL)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, f"row{i}", i * 0.5) for i in range(1, 201)],
+    )
+    con.commit()
+    # force a checkpoint so the BASE image holds the first 200 rows
+    con.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+    # now mutate WITHOUT checkpointing: these pages live only in -wal
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, f"row{i}", i * 0.5) for i in range(201, 901)],
+    )
+    con.execute("UPDATE t SET b = 'patched' WHERE a <= 10")
+    con.execute("DELETE FROM t WHERE a BETWEEN 50 AND 60")
+    con.commit()
+    want = sorted(con.execute("SELECT a, b, c FROM t").fetchall())
+    # copy main + wal while the connection is still open (unflushed)
+    live_dir = tmp_path / "livecopy"
+    live_dir.mkdir()
+    shutil.copy(src, live_dir / "live.sqlite")
+    shutil.copy(src + "-wal", live_dir / "live.sqlite-wal")
+    import os as _os
+    assert _os.path.getsize(src + "-wal") > 32, "fixture must carry frames"
+    # sanity: the stale main file ALONE lacks the new rows
+    with open(live_dir / "live.sqlite", "rb") as f:
+        stale = _Db(f.read())
+    sroot, _, _ = __import__(
+        "graph_db_clustering_spark.sources.sqlite", fromlist=["_table_info"]
+    )._table_info(stale, "t")
+    stale_n = sum(1 for _ in stale.rows(sroot))
+    assert stale_n == 200
+
+    df = read_sqlite(spark, str(live_dir), "t", glob="live.sqlite*")
+    got = sorted((r.a, r.b, r.c) for r in df.collect())
+    assert len(got) == len(want) == 889
+    assert got == [tuple(w) for w in want]
+    assert got[0][1] == "patched"
+    con.close()
+
+
+def test_sqlite_wal_ignores_uncommitted_tail(spark, tmp_path):
+    """Frames after the last commit frame (or salt/checksum breaks) are
+    not durable — a torn WAL tail must not surface phantom rows."""
+    import shutil
+    import struct as _struct
+
+    src = str(tmp_path / "torn.sqlite")
+    con = sqlite3.connect(src)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, f"r{i}") for i in range(1, 51)]
+    )
+    con.commit()
+    live_dir = tmp_path / "torncopy"
+    live_dir.mkdir()
+    shutil.copy(src, live_dir / "torn.sqlite")
+    with open(src + "-wal", "rb") as f:
+        wal = bytearray(f.read())
+    # corrupt the LAST frame's checksum: the chain must stop before it
+    psz = _struct.unpack(">I", wal[8:12])[0]
+    last = len(wal) - (24 + psz)
+    wal[last + 16] ^= 0xFF
+    with open(live_dir / "torn.sqlite-wal", "wb") as f:
+        f.write(bytes(wal))
+    df = read_sqlite(spark, str(live_dir), "t", glob="torn.sqlite*")
+    n = df.count()
+    # strictly fewer rows than committed (the torn commit dropped), and
+    # no crash; with the intact wal the full 50 surface
+    shutil.copy(src + "-wal", live_dir / "torn.sqlite-wal")
+    assert read_sqlite(spark, str(live_dir), "t", glob="torn.sqlite*").count() == 50
+    assert n < 50
+    con.close()
