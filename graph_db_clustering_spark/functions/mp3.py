@@ -1,32 +1,34 @@
 """Pure-NumPy MPEG-1 Audio Layer III (MP3) decoder + fixture encoder.
 
-Scope (round 7 — the VERDICT r6 "mono CBR first" item, extended to
-stereo the same round): MPEG-1 Layer III, mono/stereo/dual-channel/
-MS joint stereo, long blocks. The decode chain is the full spec
-pipeline — frame sync + header, side info (17 bytes mono / 32 bytes
-two-channel, wire order gr0ch0 gr0ch1 gr1ch0 gr1ch1), per-channel
-bit-reservoir main-data assembly across frames (main_data_begin),
-MS reconstruction li=(mi+si)/sqrt2 ri=(mi-si)/sqrt2 on the
-requantized spectra, scalefactor decode
-(slen1/slen2 table, scfsi granule-1 reuse), Huffman-coded spectrum,
-requantization (global_gain / scalefac_scale / preflag / pretab),
-alias-reduction butterflies, 36-point IMDCT with the sine window,
-frequency inversion, and the spec's V/U/W polyphase synthesis
+Scope (rounds 7-9): MPEG-1 Layer III, mono/stereo/dual-channel/
+MS joint stereo, long AND short/mixed blocks. The decode chain is the
+full spec pipeline — frame sync + header, side info (17 bytes mono /
+32 bytes two-channel, wire order gr0ch0 gr0ch1 gr1ch0 gr1ch1),
+per-channel bit-reservoir main-data assembly across frames
+(main_data_begin), MS reconstruction li=(mi+si)/sqrt2 ri=(mi-si)/sqrt2
+on the requantized spectra, scalefactor decode (slen1/slen2 table,
+scfsi granule-1 reuse; short 12x3 and mixed 8-long+short layouts),
+Huffman-coded spectrum, requantization (global_gain / scalefac_scale /
+preflag / pretab / per-window subblock_gain), short-block reorder,
+alias-reduction butterflies (all boundaries long, the long pair only
+for mixed, none for pure short), the hybrid IMDCT (36-point with the
+long/start/stop windows; three 12-point transforms per subband for
+short), frequency inversion, and the spec's V/U/W polyphase synthesis
 structure (ISO/IEC 11172-3 figure 3-A.2).
 
-Two pieces of the standard are LOOKUP DATA that cannot be derived and
-is not bundled here, and each is handled loudly rather than guessed:
+The entropy layer (round 9): big-values Huffman tables 1-3 and 5-9
+plus BOTH count1 tables are bundled — transcriptions of the public
+spec's Table B.7, each VALIDATED at import to be a complete prefix
+code (Kraft sum exactly 1, no code a prefix of another), so a
+transcription slip in the lengths cannot ship silently. The 8x8 and
+16x16/linbits escape tables (10-31) are NOT bundled: this environment
+has no reference decoder to cross-check a ~900-number transcription
+against, and a wrong Huffman table decodes *garbage without erroring*
+— the worst failure mode for a data pipeline — so selecting one
+raises NotImplementedError naming the table. Practical consequence: a
+real-world MP3 whose frames stay within tables 0-9 decodes fully;
+typical music encodes mostly with the escape tables and still gates.
 
-* **Big-values Huffman tables (Table B.7) and count1 table A.** A
-  wrong Huffman table decodes *garbage without erroring* — the worst
-  failure mode for a data pipeline — so table selects other than the
-  supported subset raise NotImplementedError naming the table. The
-  supported subset is exactly the part of the entropy layer that IS
-  derivable from the spec's structure: table 0 (the all-zero region:
-  no bits read) for big-values regions, and count1 table B (the
-  fixed-length table: every (v,w,x,y) quadruple is coded in 4 bits as
-  the one's complement of its value bits). Frames produced by this
-  module's own encoder use only that subset.
 * **The 512-coefficient synthesis window (Table B.3).** The window is
   a tabulated prototype lowpass with no closed form. This module
   substitutes a DESIGNED near-perfect-reconstruction PQMF prototype
@@ -38,7 +40,7 @@ is not bundled here, and each is handled loudly rather than guessed:
   a small spectral ripple; the structure, phases, and every other
   stage are the spec's.
 
-Intensity stereo, MPEG-2/2.5, short/mixed blocks, and free-format
+Intensity stereo, MPEG-2/2.5, Huffman tables 10-31, and free-format
 bitrate raise scoped NotImplementedError; truncated/corrupt input
 raises ValueError (repo-wide corrupt-input contract).
 
@@ -66,6 +68,80 @@ SLEN = (
 
 # preflag pretab, one entry per long scalefactor band [2.4.3.4.2.1]
 PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+# --- Layer III Huffman tables [Table B.7] -----------------------------------
+# Round 9: the bundled subset of the spec's big-values code tables —
+# (xlen, linbits, codes row-major x*xlen+y, lengths). Public standard
+# data (ISO/IEC 11172-3 Table B.7, reproduced in every Layer III
+# implementation). Every bundled table is VALIDATED structurally at
+# import: prefix-free and Kraft-complete (sum 2^-len == 1) — a
+# transcription slip in the lengths cannot ship silently (garbage-
+# without-erroring is the worst failure mode for a data pipeline).
+# Tables 10-31 (the 8x8 and 16x16/linbits escape tables) are NOT
+# bundled: their transcriptions did not pass validation in this
+# environment (no reference decoder exists here to cross-check
+# against), so selecting them raises a loud NotImplementedError naming
+# the table rather than risking silent mis-decode.
+HUFF_BIG: dict = {
+    1: (2, 0, (1, 1, 1, 0), (1, 3, 2, 3)),
+    2: (3, 0, (1, 2, 1, 3, 1, 1, 3, 2, 0), (1, 3, 6, 3, 3, 5, 5, 5, 6)),
+    3: (3, 0, (3, 2, 1, 1, 1, 1, 3, 2, 0), (2, 2, 6, 3, 2, 5, 5, 5, 6)),
+    5: (4, 0,
+        (1, 2, 6, 5, 3, 1, 4, 4, 7, 5, 7, 1, 6, 1, 1, 0),
+        (1, 3, 6, 7, 3, 3, 6, 7, 6, 6, 7, 8, 7, 6, 7, 8)),
+    6: (4, 0,
+        (7, 3, 5, 1, 6, 2, 3, 2, 5, 4, 4, 1, 3, 3, 2, 0),
+        (3, 3, 5, 7, 3, 2, 4, 5, 4, 4, 5, 6, 6, 5, 6, 7)),
+    7: (6, 0,
+        (1, 2, 10, 19, 16, 10, 3, 3, 7, 10, 5, 3, 11, 4, 13, 17, 8, 4,
+         12, 11, 18, 15, 11, 2, 7, 6, 9, 14, 3, 1, 6, 4, 5, 3, 2, 0),
+        (1, 3, 6, 8, 8, 9, 3, 4, 6, 7, 7, 8, 6, 5, 7, 8, 8, 9,
+         7, 7, 8, 9, 9, 9, 7, 7, 8, 9, 9, 10, 8, 8, 9, 10, 10, 10)),
+    8: (6, 0,
+        (3, 4, 6, 18, 12, 5, 5, 1, 2, 16, 9, 3, 7, 3, 5, 14, 7, 3,
+         19, 17, 15, 13, 10, 4, 13, 5, 8, 11, 5, 1, 12, 4, 4, 1, 1, 0),
+        (2, 3, 6, 8, 8, 9, 3, 2, 4, 8, 8, 8, 6, 4, 6, 8, 8, 9,
+         8, 8, 8, 9, 9, 10, 8, 7, 8, 9, 10, 10, 9, 8, 9, 9, 11, 11)),
+    9: (6, 0,
+        (7, 5, 9, 14, 15, 7, 6, 4, 5, 5, 6, 7, 7, 6, 8, 8, 8, 5,
+         15, 6, 9, 10, 5, 1, 11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0),
+        (3, 3, 5, 6, 8, 9, 3, 3, 4, 5, 6, 8, 4, 4, 5, 6, 7, 8,
+         6, 5, 6, 7, 7, 8, 7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9)),
+}
+
+# count1 table A [Table B.7]: 16 codes indexed by the (v w x y) bit
+# pattern; table B is the fixed 4-bit one's-complement code (derivable,
+# handled inline). Validated at import like HUFF_BIG.
+COUNT1_A = (
+    (1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1),
+    (1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6),
+)
+
+
+def _validate_huffman(codes: tuple, lens: tuple, name: str) -> None:
+    if abs(sum(2.0 ** -l for l in lens) - 1.0) > 1e-12:
+        raise AssertionError(f"mp3 table {name}: Kraft sum != 1")
+    pairs = sorted(zip(lens, codes))
+    for i, (l1, c1) in enumerate(pairs):
+        if c1 >= (1 << l1):
+            raise AssertionError(f"mp3 table {name}: code overflow")
+        for l2, c2 in pairs[i + 1:]:
+            if (c2 >> (l2 - l1)) == c1:
+                raise AssertionError(f"mp3 table {name}: prefix clash")
+
+
+for _tid, (_xl, _lb, _hc, _hl) in HUFF_BIG.items():
+    _validate_huffman(_hc, _hl, str(_tid))
+_validate_huffman(COUNT1_A[0], COUNT1_A[1], "count1A")
+
+# (length, code) -> symbol reverse maps, built once
+_REV_BIG = {
+    tid: {(l, c): i for i, (c, l) in enumerate(zip(hc, hl))}
+    for tid, (_x, _lb, hc, hl) in HUFF_BIG.items()
+}
+_REV_C1A = {
+    (l, c): i for i, (c, l) in enumerate(zip(COUNT1_A[0], COUNT1_A[1]))
+}
 
 # long-block scalefactor band boundaries (start index per band + 576 cap)
 # per sampling rate [Table B.8]
@@ -197,6 +273,31 @@ _IMDCT36 = np.cos(
 )
 _WIN_LONG = np.sin(np.pi / 36.0 * (np.arange(36) + 0.5))
 
+# short-block windows and transforms (round 9) [2.4.3.4.10.2/3]
+_WIN_SHORT = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
+# block_type 1 (start): long rise, flat, short fall, zero tail
+_WIN_START = np.concatenate([
+    _WIN_LONG[:18], np.ones(6),
+    np.sin(np.pi / 12.0 * (np.arange(6) + 6 + 0.5)), np.zeros(6),
+])
+# block_type 3 (stop): zero head, short rise, flat, long fall
+_WIN_STOP = np.concatenate([
+    np.zeros(6), np.sin(np.pi / 12.0 * (np.arange(6) + 0.5)),
+    np.ones(6), _WIN_LONG[18:],
+])
+_IMDCT12 = np.cos(
+    np.pi / 24.0
+    * np.outer(2 * np.arange(12) + 1 + 6, 2 * np.arange(6) + 1)
+)
+
+# short-block scalefactor band boundaries per window (13 bands) per
+# sampling rate [Table B.8]
+SFB_SHORT = {
+    44100: (0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    48000: (0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    32000: (0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192),
+}
+
 
 # --- header / side info ----------------------------------------------------
 
@@ -278,14 +379,18 @@ def _parse_granule(b: _Bits) -> dict:
     }
     if g["window_switching"]:
         g["block_type"] = b.read(2)
+        if g["block_type"] == 0:
+            raise Mp3Error("mp3: window_switching with block_type 0 is invalid")
         g["mixed_block"] = b.read(1)
         g["table_select"] = [b.read(5) for _ in range(2)]
         g["subblock_gain"] = [b.read(3) for _ in range(3)]
-        # spec-fixed region split for switched LONG (start/stop) blocks;
-        # pure-short blocks use a different value per ISO 11172-3, but
-        # block_type == 2 is gated in the decode loop before this is
-        # ever used — revisit when short blocks land
-        g["region0_count"] = 7
+        # spec-fixed region split for switched granules: region0 ends
+        # at spectral line 36 in every case (long sfb[8] for start/
+        # stop/mixed with region0_count=7; short sfb[3]*3 for pure
+        # short with region0_count=8), region1 covers the rest
+        g["region0_count"] = (
+            8 if g["block_type"] == 2 and not g["mixed_block"] else 7
+        )
         g["region1_count"] = 36
     else:
         g["block_type"] = 0
@@ -302,10 +407,30 @@ def _parse_granule(b: _Bits) -> dict:
 # --- granule decode --------------------------------------------------------
 
 
-def _decode_scalefactors(bits: _Bits, g: dict, prev_sf, scfsi) -> list[int]:
-    """Long-block scalefactors (21 bands); scfsi group reuse from
-    granule 0 where flagged."""
+def _decode_scalefactors(bits: _Bits, g: dict, prev_sf, scfsi):
+    """Scalefactors. Long blocks: 21 bands with scfsi group reuse from
+    granule 0 where flagged. Short blocks: 12 bands x 3 windows (scfsi
+    never applies, per the spec encoders must clear it for short).
+    Mixed: 8 long bands then short bands 3-11. Returns (sf_long,
+    sf_short) — the unused member is None for pure long/short."""
     slen1, slen2 = SLEN[g["scalefac_compress"]]
+    if g["block_type"] == 2 and not g["mixed_block"]:
+        sfs = [[0] * 3 for _ in range(13)]
+        for band in range(12):
+            slen = slen1 if band < 6 else slen2
+            for w in range(3):
+                sfs[band][w] = bits.read(slen) if slen else 0
+        return None, sfs
+    if g["block_type"] == 2:  # mixed: 8 long bands + short bands 3..11
+        sf = [0] * 21
+        for band in range(8):
+            sf[band] = bits.read(slen1) if slen1 else 0
+        sfs = [[0] * 3 for _ in range(13)]
+        for band in range(3, 12):
+            slen = slen1 if band < 6 else slen2
+            for w in range(3):
+                sfs[band][w] = bits.read(slen) if slen else 0
+        return sf, sfs
     groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2)]
     sf = [0] * 21
     for gi, (lo, hi, slen) in enumerate(groups):
@@ -314,45 +439,93 @@ def _decode_scalefactors(bits: _Bits, g: dict, prev_sf, scfsi) -> list[int]:
         else:
             for i in range(lo, hi):
                 sf[i] = bits.read(slen) if slen else 0
-    return sf
+    return sf, None
+
+
+def _huff_symbol(bits: _Bits, rev: dict, end_bit: int, name: str) -> int:
+    """Read one variable-length codeword (MSB-first) via a (len, code)
+    reverse map. Max Layer III code length is 19 bits."""
+    code = 0
+    for ln in range(1, 20):
+        if bits.pos >= end_bit:
+            raise Mp3Error(f"mp3: Huffman code ({name}) past part2_3_length")
+        code = (code << 1) | bits.read(1)
+        sym = rev.get((ln, code))
+        if sym is not None:
+            return sym
+    raise Mp3Error(f"mp3: invalid Huffman code ({name})")
 
 
 def _decode_huffman(bits: _Bits, g: dict, sfb: tuple, end_bit: int) -> np.ndarray:
-    """Spectral integer values for one granule. Supported entropy
-    subset: big-values regions with table 0 (all zero, zero bits) and
-    the count1 region with table B (fixed 4-bit complement codes);
-    anything else raises naming the table (see module docstring)."""
+    """Spectral integer values for one granule. Bundled entropy
+    subset (round 9): big-values tables 0-3 and 5-9 (validated
+    transcriptions of Table B.7) and BOTH count1 tables; the unbundled
+    8x8/16x16 escape tables (10-31) raise naming the table (see module
+    docstring)."""
     iv = np.zeros(576, dtype=np.float64)
     big = 2 * g["big_values"]
     if big > 576:
         raise Mp3Error(f"mp3: big_values {g['big_values']} exceeds 288")
-    # region boundaries (long blocks): region0_count+1 bands, then
-    # region1_count+1 more, remainder is region 2
-    r0_end = sfb[min(g["region0_count"] + 1, len(sfb) - 1)]
-    r1_end = sfb[min(g["region0_count"] + 1 + g["region1_count"] + 1, len(sfb) - 1)]
+    if g.get("window_switching", 0):
+        # spec-fixed split: region0 = first 36 lines, region1 = rest
+        r0_end, r1_end = 36, 576
+    else:
+        # region0_count+1 bands, then region1_count+1 more, rest region 2
+        r0_end = sfb[min(g["region0_count"] + 1, len(sfb) - 1)]
+        r1_end = sfb[
+            min(g["region0_count"] + 1 + g["region1_count"] + 1, len(sfb) - 1)
+        ]
     regions = ((0, min(r0_end, big)), (min(r0_end, big), min(r1_end, big)),
                (min(r1_end, big), big))
     for ridx, (lo, hi) in enumerate(regions):
         if hi <= lo:
             continue
+        # window-switching granules carry 2 table_selects; their region
+        # 2 is empty by construction (r1_end = 576), so ridx <= 1 there
         table = g["table_select"][ridx]
         if table == 0:
             continue  # table 0: region decodes to zeros, no bits read
-        raise NotImplementedError(
-            f"mp3: Layer III big-values Huffman table {table} not bundled "
-            "(spec Table B.7 lookup data); supported entropy subset is "
-            "table 0 regions + count1 table B"
-        )
-    if g["count1table_select"] == 0:
-        if bits.pos < end_bit:
+        if table in (4, 14):
+            raise Mp3Error(f"mp3: reserved Huffman table {table}")
+        if table not in HUFF_BIG:
             raise NotImplementedError(
-                "mp3: count1 Huffman table A not bundled; only the "
-                "fixed-length table B (count1table_select=1) decodes"
+                f"mp3: Layer III big-values Huffman table {table} not "
+                "bundled (validated subset is 0-3 and 5-9; the 8x8/16x16 "
+                "escape tables 10-31 await a cross-checkable transcription)"
             )
+        xlen, linbits, _hc, _hl = HUFF_BIG[table]
+        rev = _REV_BIG[table]
+        for pos in range(lo, hi, 2):
+            sym = _huff_symbol(bits, rev, end_bit, f"table {table}")
+            x, y = divmod(sym, xlen)
+            if x == 15 and linbits:
+                x += bits.read(linbits)
+            if x:
+                iv[pos] = -float(x) if bits.read(1) else float(x)
+            if y == 15 and linbits:
+                y += bits.read(linbits)
+            if y:
+                iv[pos + 1] = -float(y) if bits.read(1) else float(y)
+    # count1 region: quadruples until the granule's bits run out
+    idx = big
+    if g["count1table_select"] == 0:
+        while bits.pos < end_bit and idx <= 572:
+            q = _huff_symbol(bits, _REV_C1A, end_bit, "count1 A")
+            for j, bit in enumerate(
+                (q >> 3 & 1, q >> 2 & 1, q >> 1 & 1, q & 1)
+            ):
+                if bit:
+                    if bits.pos >= end_bit:
+                        raise Mp3Error(
+                            "mp3: count1 sign bit past part2_3_length"
+                        )
+                    iv[idx + j] = -1.0 if bits.read(1) else 1.0
+            idx += 4
+        if bits.pos > end_bit:
+            raise Mp3Error("mp3: Huffman data overran part2_3_length")
         return iv
     # count1 table B: 4 bits = one's complement of (v w x y), then one
     # sign bit per nonzero value (1 = negative)
-    idx = big
     while bits.pos < end_bit and idx <= 572:
         q = bits.read(4) ^ 0xF
         for j, bit in enumerate((q >> 3 & 1, q >> 2 & 1, q >> 1 & 1, q & 1)):
@@ -366,26 +539,76 @@ def _decode_huffman(bits: _Bits, g: dict, sfb: tuple, end_bit: int) -> np.ndarra
     return iv
 
 
-def _requantize(iv: np.ndarray, g: dict, sf: list[int], sfb: tuple) -> np.ndarray:
-    """iv -> real spectral values xr [2.4.3.4.7.1, long blocks]."""
+def _requantize(
+    iv: np.ndarray,
+    g: dict,
+    sf: list[int] | None,
+    sfb: tuple,
+    sfs=None,
+    sfb_s: tuple | None = None,
+) -> np.ndarray:
+    """iv -> real spectral values xr [2.4.3.4.7.1]. Long blocks scale
+    per long band (preflag/pretab applies); short blocks scale per
+    (band, window) in the DECODED (band-major) order with the window's
+    subblock_gain; mixed granules apply the long rule to lines 0-35
+    and the short rule from band 3 up."""
     gain = 2.0 ** (0.25 * (g["global_gain"] - 210))
     xr = np.sign(iv) * np.abs(iv) ** (4.0 / 3.0) * gain
     step = 1.0 if g["scalefac_scale"] else 0.5
-    for band in range(len(sfb) - 1):
-        s = sf[band] if band < len(sf) else 0
-        if g["preflag"]:
-            s += PRETAB[band]
-        if s:
-            xr[sfb[band]: sfb[band + 1]] *= 2.0 ** (-step * s)
+    short = g.get("block_type", 0) == 2
+    if not short or g.get("mixed_block", 0):
+        n_long = 8 if short else len(sfb) - 1
+        for band in range(n_long):
+            s = sf[band] if band < len(sf) else 0
+            if g["preflag"]:
+                s += PRETAB[band]
+            if s:
+                xr[sfb[band]: sfb[band + 1]] *= 2.0 ** (-step * s)
+        if not short:
+            return xr
+    first_band = 3 if g.get("mixed_block", 0) else 0
+    sbg = g["subblock_gain"]
+    for band in range(first_band, len(sfb_s) - 1):
+        width = sfb_s[band + 1] - sfb_s[band]
+        base = 3 * sfb_s[band]
+        for w in range(3):
+            s = sfs[band][w] if band < len(sfs) else 0
+            factor = 2.0 ** (-2.0 * sbg[w] - step * s)
+            if factor != 1.0:
+                lo = base + w * width
+                xr[lo: lo + width] *= factor
     return xr
 
 
-def _alias_reduce(xr: np.ndarray, inverse: bool = False) -> np.ndarray:
+def _reorder_short(xr: np.ndarray, sfb_s: tuple, mixed: bool) -> np.ndarray:
+    """Short-block reorder [2.4.3.4.8]: Huffman-decoded order is
+    (scalefactor band, window, line); the filterbank wants each
+    subband's 18 lines as (window, line-within-window) — global
+    frequency line k of window w lands at (k//6)*18 + w*6 + k%6.
+    Mixed granules keep lines 0-35 (the 2 long subbands) in place and
+    reorder from short band 3 (line 36) up."""
+    out = xr.copy()
+    first_band = 3 if mixed else 0
+    for band in range(first_band, len(sfb_s) - 1):
+        width = sfb_s[band + 1] - sfb_s[band]
+        base = 3 * sfb_s[band]
+        for w in range(3):
+            for i in range(width):
+                k = sfb_s[band] + i
+                out[(k // 6) * 18 + w * 6 + (k % 6)] = xr[base + w * width + i]
+    return out
+
+
+def _alias_reduce(
+    xr: np.ndarray, inverse: bool = False, n_sb: int = 32
+) -> np.ndarray:
     """8 butterflies across each adjacent-subband boundary. The decoder
     direction is the spec's; inverse=True applies the transpose (used by
-    the fixture encoder)."""
+    the fixture encoder). Long granules reduce all 31 boundaries; a
+    MIXED granule only the boundary between its two long subbands
+    (n_sb=2); pure short granules skip aliasing entirely."""
     out = xr.copy()
-    for sb in range(1, 32):
+    for sb in range(1, n_sb):
         base = sb * 18
         for i in range(8):
             a = out[base - 1 - i]
@@ -400,15 +623,40 @@ def _alias_reduce(xr: np.ndarray, inverse: bool = False) -> np.ndarray:
     return out
 
 
-def _imdct_granule(xr: np.ndarray, overlap: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Long-block IMDCT per subband + overlap-add.
+def _imdct_short_sb(x18: np.ndarray) -> np.ndarray:
+    """One subband's short-block hybrid synthesis: three 12-point
+    IMDCTs (lines window-major: w*6+i), each windowed by the short sine
+    window and overlap-assembled at 6-sample hops into the 36-sample
+    output frame [2.4.3.4.10.2]."""
+    x36 = np.zeros(36)
+    for w in range(3):
+        x12 = (_IMDCT12 @ x18[w * 6: w * 6 + 6]) * _WIN_SHORT
+        x36[6 + 6 * w: 18 + 6 * w] += x12
+    return x36
+
+
+_WINDOWS_BY_TYPE = {0: _WIN_LONG, 1: _WIN_START, 3: _WIN_STOP}
+
+
+def _imdct_granule(
+    xr: np.ndarray, overlap: np.ndarray, g: dict | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hybrid IMDCT per subband + overlap-add, window per the granule's
+    block_type (long / start / stop / short, mixed = 2 long subbands +
+    30 short ones).
 
     Returns (subband_samples[18,32], new_overlap[32,18])."""
+    bt = 0 if g is None else g.get("block_type", 0)
+    mixed = 0 if g is None else g.get("mixed_block", 0)
     X = xr.reshape(32, 18)
     out = np.empty((18, 32))
     new_overlap = np.empty((32, 18))
     for sb in range(32):
-        x36 = (_IMDCT36 @ X[sb]) * _WIN_LONG
+        if bt == 2 and (not mixed or sb >= 2):
+            x36 = _imdct_short_sb(X[sb])
+        else:
+            win = _WINDOWS_BY_TYPE[0 if (bt == 2 and mixed) else bt]
+            x36 = (_IMDCT36 @ X[sb]) * win
         out[:, sb] = x36[:18] + overlap[sb]
         new_overlap[sb] = x36[18:]
     # frequency inversion: odd subbands, odd time samples
@@ -489,31 +737,38 @@ def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
         )
         bits = _Bits(data)
         sfb = SFB_LONG[rate]
+        sfb_s = SFB_SHORT[rate]
         prev_sf: list = [None] * nch
         for gi, chans in enumerate(si["granules"]):
             xrs = []
             for ch, g in enumerate(chans):
-                if g["window_switching"] and g["block_type"] == 2:
-                    raise NotImplementedError(
-                        "mp3: short/mixed blocks not supported (long blocks only)"
-                    )
                 start = bits.pos
                 end_bit = start + g["part2_3_length"]
-                sf = _decode_scalefactors(
+                sf, sfs = _decode_scalefactors(
                     bits, g, prev_sf[ch] if gi == 1 else None, si["scfsi"][ch]
                 )
-                prev_sf[ch] = sf
+                if g["block_type"] != 2:
+                    prev_sf[ch] = sf
                 iv = _decode_huffman(bits, g, sfb, end_bit)
                 bits.pos = end_bit  # skip ancillary/stuffing in the granule
-                xrs.append(_requantize(iv, g, sf, sfb))
+                xr = _requantize(iv, g, sf, sfb, sfs, sfb_s)
+                if g["block_type"] == 2:
+                    xr = _reorder_short(xr, sfb_s, bool(g["mixed_block"]))
+                xrs.append(xr)
             if hdr["ms_stereo"]:
                 m, s = xrs
                 r2 = np.sqrt(2.0)
                 xrs = [(m + s) / r2, (m - s) / r2]
             subs = []
             for ch in range(nch):
-                xr = _alias_reduce(xrs[ch])
-                sub, overlap[ch] = _imdct_granule(xr, overlap[ch])
+                g = chans[ch]
+                if g["block_type"] == 2 and not g["mixed_block"]:
+                    xr = xrs[ch]  # pure short: no alias reduction
+                elif g["block_type"] == 2:
+                    xr = _alias_reduce(xrs[ch], n_sb=2)  # mixed: long pair
+                else:
+                    xr = _alias_reduce(xrs[ch])
+                sub, overlap[ch] = _imdct_granule(xr, overlap[ch], g)
                 subs.append(sub)
             for t in range(18):
                 if nch == 1:
@@ -567,6 +822,12 @@ class _BitWriter:
     def bitlen(self) -> int:
         return len(self.buf) * 8 + self.nbits
 
+    def extend(self, other: "_BitWriter") -> None:
+        for byte in other.buf:
+            self.write(byte, 8)
+        if other.nbits:
+            self.write(other.acc, other.nbits)
+
 
 def _analysis(x: np.ndarray) -> np.ndarray:
     """Spec analysis filterbank (figure C.4): PCM -> subband samples
@@ -596,31 +857,109 @@ def _mdct_granule(sub: np.ndarray, prev: np.ndarray) -> tuple[np.ndarray, np.nda
     return X.reshape(576), cur.T.copy()  # [32,18] per-subband history
 
 
-def _quantize_granule(w: _BitWriter, X: np.ndarray) -> tuple[int, int]:
-    """Quantize one granule's 576 spectral lines to the supported
-    entropy subset (count1 table B: {-1, 0, +1}) and write its main
-    data. Returns (bits_written, global_gain)."""
+def _quantize_iv(X: np.ndarray, vmax: int) -> tuple[np.ndarray, int]:
+    """Quantize 576 spectral lines to integers with |iv| <= vmax,
+    choosing global_gain so the largest line lands near vmax (the
+    decoder reconstructs |iv|^(4/3) * 2^(0.25*(gg-210)))."""
     amax = np.abs(X).max()
     if amax <= 0:
-        gg = 0
-        iv = np.zeros(576, dtype=np.int64)
-    else:
+        return np.zeros(576, dtype=np.int64), 0
+    if vmax <= 1:
         gg = max(0, min(255, int(round(210 + 4 * np.log2(amax)))))
         scale = 2.0 ** (0.25 * (gg - 210))
-        iv = np.where(np.abs(X) > scale / 2, np.sign(X), 0).astype(np.int64)
-    start = w.bitlen()
+        return np.where(np.abs(X) > scale / 2, np.sign(X), 0).astype(np.int64), gg
+    gain = amax / ((vmax + 0.49) ** (4.0 / 3.0))
+    gg = max(0, min(255, int(round(210 + 4 * np.log2(gain)))))
+    scale = 2.0 ** (0.25 * (gg - 210))
+    mag = np.minimum(np.round(np.abs(X / scale) ** 0.75), vmax)
+    return (np.sign(X) * mag).astype(np.int64), gg
+
+
+def _encode_granule_bits(
+    iv: np.ndarray, count1_a: bool = False
+) -> tuple[_BitWriter, dict]:
+    """Entropy-code one granule's integer spectrum: the big-values
+    region (everything up to the last |v| > 1, pair-coded with the
+    smallest bundled Table B.7 table that covers its max) then the
+    count1 region (quadruples of |v| <= 1, table A or B). Returns the
+    bit payload and the side-info fields it implies."""
+    w = _BitWriter()
+    idx_gt1 = np.flatnonzero(np.abs(iv) > 1)
+    big_end = 0
+    if len(idx_gt1):
+        big_end = int(idx_gt1[-1]) + 1
+        big_end += big_end % 2
+    vmax = int(np.abs(iv[:big_end]).max()) if big_end else 0
+    if vmax > 5:
+        raise Mp3Error(f"mp3 encoder: |value| {vmax} exceeds bundled tables")
+    table = 0 if vmax == 0 else (
+        1 if vmax <= 1 else 2 if vmax <= 2 else 5 if vmax <= 3 else 7
+    )
+    if table:
+        xlen, _lb, hc, hl = HUFF_BIG[table]
+        for pos in range(0, big_end, 2):
+            x, y = int(abs(iv[pos])), int(abs(iv[pos + 1]))
+            sym = x * xlen + y
+            w.write(hc[sym], hl[sym])
+            if x:
+                w.write(1 if iv[pos] < 0 else 0, 1)
+            if y:
+                w.write(1 if iv[pos + 1] < 0 else 0, 1)
     nz_top = int(np.flatnonzero(iv)[-1]) if iv.any() else -1
-    n_quads = min(144, (nz_top // 4) + 1) if nz_top >= 0 else 0
+    n_quads = 0
+    if nz_top >= big_end:
+        n_quads = min((576 - big_end) // 4, (nz_top - big_end) // 4 + 1)
     for q in range(n_quads):
-        vals = iv[q * 4: q * 4 + 4]
+        vals = iv[big_end + q * 4: big_end + q * 4 + 4]
         code = 0
         for v in vals:
             code = (code << 1) | (1 if v != 0 else 0)
-        w.write(code ^ 0xF, 4)
+        if count1_a:
+            w.write(COUNT1_A[0][code], COUNT1_A[1][code])
+        else:
+            w.write(code ^ 0xF, 4)
         for v in vals:
             if v != 0:
                 w.write(1 if v < 0 else 0, 1)
-    return w.bitlen() - start, gg
+    return w, {
+        "big_values": big_end // 2,
+        "table": table,
+        "c1sel": 0 if count1_a else 1,
+    }
+
+
+def _mdct_granule_short(
+    sub: np.ndarray, prev: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Forward short-block hybrid MDCT: per subband, three windowed
+    12-point MDCTs at 6-sample hops over (prev 18 + cur 18) samples —
+    the exact transpose of _imdct_short_sb with the TDAC gain N/4 = 3
+    folded in. Output is in FILTERBANK order (subband-major,
+    window-major within subband)."""
+    cur = sub.copy()
+    cur[1::2, 1::2] *= -1.0  # frequency inversion (self-inverse)
+    X = np.empty((32, 18))
+    for sb in range(32):
+        z = np.concatenate([prev[sb], cur[:, sb]])
+        for w in range(3):
+            seg = z[6 + 6 * w: 18 + 6 * w] * _WIN_SHORT
+            X[sb, w * 6: w * 6 + 6] = (seg @ _IMDCT12) / 3.0
+    return X.reshape(576), cur.T.copy()
+
+
+def _short_perm(sfb_s: tuple) -> np.ndarray:
+    """perm[decoded_index] = filterbank_index — the inverse of the
+    decoder's _reorder_short, used by the encoder to write short-block
+    spectra in the wire (scalefactor-band, window, line) order."""
+    perm = np.empty(576, dtype=np.int64)
+    for band in range(len(sfb_s) - 1):
+        width = sfb_s[band + 1] - sfb_s[band]
+        base = 3 * sfb_s[band]
+        for w in range(3):
+            for i in range(width):
+                k = sfb_s[band] + i
+                perm[base + w * width + i] = (k // 6) * 18 + w * 6 + (k % 6)
+    return perm
 
 
 def encode(
@@ -628,18 +967,27 @@ def encode(
     rate: int = 44100,
     bitrate: int = 160_000,
     ms_stereo: bool = False,
+    count1_a: bool = False,
+    block_type: str = "long",
 ) -> bytes:
     """Float PCM ([n] mono or [n, 2] stereo) -> MPEG-1 Layer III CBR
-    frames, using the supported entropy subset only: every granule is
-    big_values=0 + count1 table B, i.e. the whole spectrum quantizes to
-    {-1, 0, +1} scaled by the granule's global_gain (coarse "1.5-bit"
-    quantization — a fixture/roundtrip encoder, not a perceptual one;
-    roundtrip SNR on narrowband signals is pinned by test). Stereo
-    input writes mode=stereo frames, or — with ms_stereo=True — joint
-    stereo with the MS matrix (mi=(li+ri)/sqrt2, si=(li-ri)/sqrt2),
-    exercising the decoder's MS reconstruction. Frames carry
+    frames using the bundled entropy layer (round 9): each granule
+    quantizes to |iv| <= 5 and pair-codes its big-values region with
+    the smallest covering Table B.7 table (1/2/5/7), falling back to
+    coarser quantization ({-1,0,+1}, count1-only) granule-by-granule
+    when the frame budget is tight; the count1 region uses table B, or
+    table A with ``count1_a=True``. ``block_type="short"`` writes every
+    granule as a pure short block (window_switching, block_type 2,
+    three windowed 12-point MDCTs per subband, spectra reordered to
+    the wire order) — the decoder's short path round-trips it. A
+    fixture/roundtrip encoder, not a perceptual one; roundtrip SNR on
+    narrowband signals is pinned by test. Stereo input writes
+    mode=stereo frames, or — with ms_stereo=True — joint stereo with
+    the MS matrix (mi=(li+ri)/sqrt2, si=(li-ri)/sqrt2). Frames carry
     main_data_begin=0 (no reservoir borrowing) and pad part2_3_length
     with stuffing zeros the decoder skips."""
+    if block_type not in ("long", "short"):
+        raise Mp3Error(f"mp3: unsupported encoder block_type {block_type!r}")
     if rate not in SAMPLE_RATES_V1:
         raise Mp3Error(f"mp3: unsupported sample rate {rate}")
     sr_idx = SAMPLE_RATES_V1.index(rate)
@@ -678,6 +1026,12 @@ def encode(
     else:
         mode_byte = 0 << 6  # stereo
 
+    short = block_type == "short"
+    perm = _short_perm(SFB_SHORT[rate]) if short else None
+    si_len = 17 if nch == 1 else 32
+    # per-granule bit budget within the CBR frame (equal split)
+    budget = (frame_len - 4 - si_len) * 8 // (2 * nch)
+
     out = bytearray()
     prev = [np.zeros((32, 18)) for _ in range(nch)]
     for f in range(n_gran // 2):
@@ -685,12 +1039,30 @@ def encode(
         # order (gr0ch0 gr0ch1 gr1ch0 gr1ch1) — the spec does not
         # byte-align the boundaries; the decoder walks part2_3_length
         w = _BitWriter()
-        granule_meta = []  # [(bits, gg)] in wire order
+        granule_meta = []  # [(bits, gg, meta)] in wire order
         for gi in range(2):
             g0 = (f * 2 + gi) * 18
             for ch in range(nch):
-                X, prev[ch] = _mdct_granule(subs[ch][g0: g0 + 18], prev[ch])
-                granule_meta.append(_quantize_granule(w, X))
+                if short:
+                    X, prev[ch] = _mdct_granule_short(
+                        subs[ch][g0: g0 + 18], prev[ch]
+                    )
+                else:
+                    X, prev[ch] = _mdct_granule(subs[ch][g0: g0 + 18], prev[ch])
+                # finest quantization whose payload fits the budget
+                for vmax in (5, 3, 2, 1):
+                    iv, gg = _quantize_iv(X, vmax)
+                    if short:
+                        iv = iv[perm]  # wire order (band, window, line)
+                    gw, meta = _encode_granule_bits(iv, count1_a=count1_a)
+                    if gw.bitlen() <= budget and gw.bitlen() <= 4095:
+                        break
+                else:
+                    raise Mp3Error(
+                        "mp3: granule does not fit frame — raise bitrate"
+                    )
+                granule_meta.append((gw.bitlen(), gg, meta))
+                w.extend(gw)
         w.pad()
         main = bytes(w.buf)
         hdr = bytes(
@@ -706,21 +1078,30 @@ def encode(
         side.write(0, 5 if nch == 1 else 3)  # private
         for _ in range(4 * nch):
             side.write(0, 1)  # scfsi
-        for used_bits, gg in granule_meta:
+        for used_bits, gg, meta in granule_meta:
             side.write(used_bits, 12)  # part2_3_length (scalefacs 0 bits)
-            side.write(0, 9)  # big_values
+            side.write(meta["big_values"], 9)
             side.write(gg, 8)
             side.write(0, 4)  # scalefac_compress -> slen 0/0
-            side.write(0, 1)  # window_switching: long block
-            for _ in range(3):
-                side.write(0, 5)  # table_select: all region 0 (zeros)
-            side.write(0, 4)  # region0_count
-            side.write(0, 3)  # region1_count
+            if short:
+                side.write(1, 1)  # window_switching
+                side.write(2, 2)  # block_type = short
+                side.write(0, 1)  # mixed_block = 0
+                for _ in range(2):
+                    side.write(meta["table"], 5)
+                for _ in range(3):
+                    side.write(0, 3)  # subblock_gain
+            else:
+                side.write(0, 1)  # window_switching: long block
+                for _ in range(3):
+                    side.write(meta["table"], 5)
+                side.write(7, 4)  # region0_count (same table everywhere)
+                side.write(7, 3)  # region1_count
             side.write(0, 1)  # preflag
             side.write(0, 1)  # scalefac_scale
-            side.write(1, 1)  # count1table_select = table B
+            side.write(meta["c1sel"], 1)  # count1table_select
         side.pad()
-        assert len(side.buf) == (17 if nch == 1 else 32)
+        assert len(side.buf) == si_len
         body = hdr + bytes(side.buf) + main
         if len(body) > frame_len:
             raise Mp3Error(

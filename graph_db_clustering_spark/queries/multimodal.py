@@ -131,7 +131,15 @@ def audio_mp3(spark, sf_dir):
                 n = 1152 * (1 + int(did) % 3)
                 t = np.arange(n) / 44100.0
                 pcm = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
-                out.append((int(did), bytearray(mp3_codec.encode(pcm))))
+                # round 9: alternate the new entropy/window paths so the
+                # oracle-checked entry exercises table-coded big values,
+                # count1 table A, and short-block frames — the decode
+                # GEOMETRY (the oracle) is identical across all of them
+                out.append((int(did), bytearray(mp3_codec.encode(
+                    pcm,
+                    count1_a=bool(int(did) % 3 == 0),
+                    block_type="short" if int(did) % 2 else "long",
+                ))))
             yield pd.DataFrame(out, columns=["audio_id", "content"])
 
     clips = docs.select("doc_id").mapInPandas(

@@ -159,10 +159,14 @@ def test_side_info_roundtrip_through_parser():
     assert si["main_data_begin"] == 0
     for chans in si["granules"]:
         for g in chans:
-            assert g["big_values"] == 0
+            # round 9: granules with energy carry real big-values
+            # regions coded with a bundled table; count1 defaults to B
             assert g["count1table_select"] == 1
             assert g["window_switching"] == 0
-            assert g["table_select"] == [0, 0, 0]
+            t = g["table_select"]
+            assert t[0] == t[1] == t[2] and t[0] in (0, 1, 2, 5, 7)
+            if g["big_values"]:
+                assert t[0] != 0
 
 
 # --- end-to-end ------------------------------------------------------------
@@ -254,8 +258,9 @@ def test_gates_raise_loudly():
 
 
 def test_unsupported_huffman_table_raises_by_name():
-    """A frame whose side info selects big-values table 7 must raise
-    naming the table — never decode garbage silently."""
+    """A frame whose side info selects an UNBUNDLED big-values table
+    (13, one of the 16x16 set) must raise naming the table — never
+    decode garbage silently. Tables 1-9 are bundled as of round 9."""
     x = _sine(secs=0.05)
     blob = bytearray(mp3.encode(x, rate=44100, bitrate=160_000))
     # rebuild side info with big_values=1, table_select[0]=7
@@ -270,7 +275,7 @@ def test_unsupported_huffman_table_raises_by_name():
         w.write(210, 8)
         w.write(0, 4)
         w.write(0, 1)
-        w.write(7, 5)  # table_select[0] = 7  <- the gate
+        w.write(13, 5)  # table_select[0] = 13  <- the gate
         w.write(0, 5)
         w.write(0, 5)
         w.write(0, 4)
@@ -280,7 +285,7 @@ def test_unsupported_huffman_table_raises_by_name():
         w.write(1, 1)
     w.pad()
     blob[4: 4 + 17] = bytes(w.buf)
-    with pytest.raises(NotImplementedError, match="table 7"):
+    with pytest.raises(NotImplementedError, match="table 13"):
         mp3.decode(bytes(blob))
 
 
@@ -382,3 +387,142 @@ def test_dual_channel_mode_decodes_as_stereo():
         blob[pos + 3] = (blob[pos + 3] & 0x0F) | (2 << 6)
     rate, y = mp3.decode_pcm(bytes(blob))
     assert y.ndim == 2 and y.shape[1] == 2
+
+
+# --- round 9: bundled Huffman tables + short blocks -------------------------
+
+
+def test_bundled_tables_prefix_free_and_complete():
+    """Every bundled Table B.7 code table is a COMPLETE prefix code:
+    Kraft sum exactly 1 and no codeword a prefix of another (the
+    import-time validator enforces this; re-asserted here so a data
+    edit can't slip through with validation removed)."""
+    for tid, (xlen, linbits, hc, hl) in mp3.HUFF_BIG.items():
+        assert len(hc) == len(hl) == xlen * xlen
+        mp3._validate_huffman(hc, hl, str(tid))
+        assert linbits == 0  # escape tables not bundled yet
+    mp3._validate_huffman(mp3.COUNT1_A[0], mp3.COUNT1_A[1], "A")
+
+
+@pytest.mark.parametrize("tid", sorted(mp3.HUFF_BIG))
+def test_every_bigvalues_symbol_roundtrips(tid):
+    """For each bundled table: every (x, y) pair (all sign
+    combinations) written by the encoder decodes back bit-exactly
+    through _decode_huffman."""
+    xlen = mp3.HUFF_BIG[tid][0]
+    vals = []
+    for x in range(xlen):
+        for y in range(xlen):
+            sx = -1 if (x + y) % 2 else 1
+            vals += [sx * x, -y]
+    iv = np.zeros(576)
+    iv[:len(vals)] = vals
+    big_end = len(vals) + (len(vals) % 2)
+    w, meta = mp3._encode_granule_bits(iv.astype(np.int64))
+    nbits = w.bitlen()  # part2_3_length: payload only, pad excluded
+    w.pad()
+    g = {"big_values": meta["big_values"], "count1table_select": 1,
+         "table_select": [meta["table"]] * 3,
+         "region0_count": 7, "region1_count": 7}
+    bits = mp3._Bits(bytes(w.buf))
+    got = mp3._decode_huffman(bits, g, mp3.SFB_LONG[44100], end_bit=nbits)
+    assert list(got[:big_end]) == list(iv[:big_end])
+
+
+def test_count1_table_a_roundtrip_matches_table_b():
+    """The SAME quantized spectrum coded through count1 table A and
+    table B decodes to identical PCM — only the bit layout differs."""
+    x = _sine(secs=0.2)
+    _, ya = mp3.decode(mp3.encode(x, rate=44100, bitrate=160_000, count1_a=True))
+    _, yb = mp3.decode(mp3.encode(x, rate=44100, bitrate=160_000))
+    assert np.allclose(ya, yb, atol=1e-12)
+    # and table A genuinely appears on the wire (count1table_select=0)
+    blob = mp3.encode(x, rate=44100, bitrate=160_000, count1_a=True)
+    si = mp3._parse_side_info(blob[4: 4 + 17])
+    assert all(g["count1table_select"] == 0
+               for chans in si["granules"] for g in chans)
+
+
+def test_short_block_stream_roundtrips():
+    """block_type="short" frames carry window_switching/block_type 2 on
+    the wire and decode through the 12-point IMDCT path with SNR
+    comparable to the long path."""
+    rate = 44100
+    f = (40 + 0.5) * rate / 1152
+    x = _sine(freq=f, secs=0.5, rate=rate)
+    blob = mp3.encode(x, rate=rate, bitrate=160_000, block_type="short")
+    si = mp3._parse_side_info(blob[4: 4 + 17])
+    for chans in si["granules"]:
+        for g in chans:
+            assert g["window_switching"] == 1 and g["block_type"] == 2
+            assert g["mixed_block"] == 0
+            assert len(g["table_select"]) == 2
+    r, y = mp3.decode(blob)
+    assert r == rate
+    d, snr, gain = _best_snr(x, y)
+    assert snr >= 10.0, (d, snr, gain)
+    assert 0.7 < abs(gain) < 1.3
+
+
+def test_short_reorder_is_inverse_of_encoder_perm():
+    """_reorder_short (decoder) is the exact inverse of _short_perm
+    (encoder wire order) for every sampling rate, pure-short and the
+    mixed tail."""
+    for rate, sfb_s in mp3.SFB_SHORT.items():
+        perm = mp3._short_perm(sfb_s)
+        assert sorted(perm) == list(range(576))
+        fb = np.arange(576, dtype=np.float64)
+        wire = fb[perm]
+        back = mp3._reorder_short(wire, sfb_s, mixed=False)
+        assert np.array_equal(back, fb)
+        # mixed: first 36 lines pass through untouched
+        wire_m = fb.copy()
+        wire_m[36:] = fb[perm][36:] if False else wire_m[36:]
+        got = mp3._reorder_short(fb, sfb_s, mixed=True)
+        assert np.array_equal(got[:36], fb[:36])
+
+
+def test_short_imdct_tdac_reconstructs():
+    """Forward short MDCT -> inverse short IMDCT with overlap-add
+    reconstructs the interior of a random subband signal exactly
+    (TDAC), matching the long path's exactness guarantee."""
+    rng = np.random.default_rng(7)
+    n_gran = 6
+    sub = rng.normal(size=(n_gran * 18, 32))
+    prev_f = np.zeros((32, 18))
+    specs = []
+    for gidx in range(n_gran):
+        X, prev_f = mp3._mdct_granule_short(sub[gidx * 18:(gidx + 1) * 18], prev_f)
+        specs.append(X)
+    overlap = np.zeros((32, 18))
+    outs = []
+    g = {"block_type": 2, "mixed_block": 0}
+    for X in specs:
+        o, overlap = mp3._imdct_granule(X, overlap, g)
+        outs.append(o)
+    got = np.concatenate(outs)  # [n_gran*18, 32]
+    # one-granule delay, and the first/last 6 samples of the stream
+    # fall outside any window pair — compare the interior
+    want = sub[18:(n_gran - 1) * 18]
+    have = got[36:n_gran * 18]
+    assert want.shape == have.shape
+    err = np.abs(want - have).max()
+    assert err < 1e-9, err
+
+
+def test_subblock_gain_attenuates_its_window():
+    """Requantization applies 2^(-2*subblock_gain[w]) to window w of
+    every short band — per-window, not per-granule."""
+    iv = np.zeros(576)
+    sfb_s = mp3.SFB_SHORT[44100]
+    # one value in each window of short band 4 (width 6, base 66)
+    base, width = 3 * sfb_s[4], sfb_s[5] - sfb_s[4]
+    for w in range(3):
+        iv[base + w * width] = 1.0
+    g = {"global_gain": 210, "scalefac_scale": 0, "preflag": 0,
+         "block_type": 2, "mixed_block": 0, "subblock_gain": [0, 1, 2]}
+    sfs = [[0] * 3 for _ in range(13)]
+    xr = mp3._requantize(iv, g, None, mp3.SFB_LONG[44100], sfs, sfb_s)
+    assert xr[base] == 1.0
+    assert xr[base + width] == 0.25
+    assert xr[base + 2 * width] == 0.0625
