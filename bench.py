@@ -167,17 +167,31 @@ def main() -> None:
     serve_index = ivfpq_serve_setup(spark, sf_dir)
     queries = dict(QUERIES)
     queries["ann_ivfpq_serve"] = ivfpq_serve_query(serve_index)
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def time_query(name: str, n: int) -> tuple[float, float]:
         samples = []
-        for _ in range(heavy_runs if name in HEAVY else runs):
+        for _ in range(n):
             t0 = time.perf_counter()
             materialize(queries[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
-        spreads[name] = round(max(samples) / min(samples), 2)
+        return round(min(samples), 3), round(max(samples) / min(samples), 2)
 
+    # CONTROL row (VERDICT r8 Next #1): a pinned trivial query — the q01
+    # full node scan, code frozen since round 1 — timed min-of-3 BEFORE
+    # and AFTER the headline set. Its anchor is committed in BASELINE.md;
+    # an adjudicator divides each headline ratio by the control ratio to
+    # separate ambient host drift (which inflates the control equally)
+    # from a real plan regression (which doesn't touch the control).
+    control_first, control_first_spread = time_query("q01", runs)
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name], spreads[name] = time_query(
+            name, heavy_runs if name in HEAVY else runs
+        )
+
+    control_last, control_last_spread = time_query("q01", runs)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -187,6 +201,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "control": {
+                    "query": "q01",
+                    "first": control_first,
+                    "first_spread": control_first_spread,
+                    "last": control_last,
+                    "last_spread": control_last_spread,
+                },
                 "sf": sf,
                 "method": f"min_of_{runs}_runs_heavy_{heavy_runs}",
                 "loadavg_before": [round(x, 2) for x in load_before],
