@@ -89,6 +89,10 @@ message — gates are test-pinned in tests/test_cypher.py):
       columns, no mixing — the Neo4j rules)      + distinct for bare UNION)
     CALL db.labels() / db.relationshipTypes()  yes (distinct metadata
       / db.propertyKeys() [YIELD col [AS x]]     scans / schema keys)
+    CALL db.createLabel/createProperty/        yes (round 9: validated,
+      createRelationshipType/awaitIndex(es)/     then a NO-OP — tokens/
+      resampleIndex(es) (void procedures)        indexes are implicit here;
+                                                 bindings pass through)
     other CALL procedures (apoc.*, write/       no — ValueError with the
       admin)                                     supported list
     [p =] shortestPath((a)-[:T*..k]->(b))      yes (layered BFS over
@@ -337,6 +341,7 @@ class CallC:
 class ProcC:
     name: str  # dotted procedure name (db.labels, ...)
     yields: list | None  # [(column, alias|None)] from YIELD, or None = all
+    args: list = field(default_factory=list)  # void-procedure arguments
 
 
 @dataclass
@@ -404,6 +409,23 @@ _PROCEDURES = {
     ),
     "db.schema.visualization": ("srcLabel", "relationship", "dstLabel"),
     "dbms.components": ("name", "version", "edition"),
+}
+
+# schema-management VOID procedures (round 9): scripts migrating from
+# Neo4j routinely pre-create label/property/relationship tokens and
+# await index builds before querying. Tokens are implicit in a
+# DataFrame engine and scans need no index warm-up, so these validate
+# their argument shape and then do NOTHING — the binding table passes
+# through unchanged (Neo4j: void procedures yield zero columns).
+# name -> expected argument count (None = any, incl. zero)
+_NOOP_PROCEDURES = {
+    "db.createLabel": 1,
+    "db.createProperty": 1,
+    "db.createRelationshipType": 1,
+    "db.awaitIndex": None,
+    "db.awaitIndexes": None,
+    "db.resampleIndex": None,
+    "db.resampleOutdatedIndexes": None,
 }
 
 
@@ -756,10 +778,32 @@ class _Parser:
             self.next()
             name_parts.append(self.ident())
         name = ".".join(name_parts)
+        if name in _NOOP_PROCEDURES:
+            self.expect("op", "(")
+            args = []
+            if self.peek() != ("op", ")"):
+                while True:
+                    args.append(self.expr())
+                    if self.peek() == ("op", ","):
+                        self.next()
+                        continue
+                    break
+            self.expect("op", ")")
+            want = _NOOP_PROCEDURES[name]
+            if want is not None and len(args) != want:
+                raise ValueError(
+                    f"cypher: {name}() takes {want} argument(s), got {len(args)}"
+                )
+            t = self.peek()
+            if t[0] == "ident" and t[1].lower() == "yield":
+                raise ValueError(
+                    f"cypher: {name}() is a void procedure — nothing to YIELD"
+                )
+            return ProcC(name, None, args)
         if name not in _PROCEDURES:
             raise ValueError(
                 f"cypher: procedure {name}() is not supported — available: "
-                + ", ".join(sorted(_PROCEDURES))
+                + ", ".join(sorted(set(_PROCEDURES) | set(_NOOP_PROCEDURES)))
                 + " (write/admin procedures have no Spark analog)"
             )
         self.expect("op", "(")
@@ -1416,8 +1460,17 @@ class CypherSession:
             i += 1
         if result is None and clauses and isinstance(clauses[-1], ProcC):
             # standalone procedure CALL: its rows ARE the result (Neo4j
-            # allows omitting RETURN for a trailing procedure call)
-            result = ctx.df
+            # allows omitting RETURN for a trailing procedure call); a
+            # standalone VOID procedure returns the Neo4j "no records"
+            # shape — zero rows, zero columns
+            if ctx.df is None:
+                from pyspark.sql import types as _T
+
+                result = self.graph.vertices.sparkSession.createDataFrame(
+                    [], _T.StructType([])
+                )
+            else:
+                result = ctx.df
         return result
 
     # -- MATCH --------------------------------------------------------------
@@ -2350,6 +2403,11 @@ class CypherSession:
         joined to the bindings like an uncorrelated CALL subquery."""
         g = self.graph
         spark = g.vertices.sparkSession
+        if c.name in _NOOP_PROCEDURES:
+            # void schema-management shim: tokens/indexes are implicit
+            # in this engine — validated at parse, nothing to execute,
+            # bindings pass through untouched
+            return
         if c.name == "db.labels":
             df = (
                 g.vertices.select(F.col(LABEL_COL).alias("label"))

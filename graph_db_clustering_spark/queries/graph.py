@@ -917,6 +917,34 @@ def cypher_schema(spark, sf_dir):
 
 
 @declared(
+    "cypher_schema_noop",
+    f"""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey < {_CAP}
+GROUP BY c_mktsegment ORDER BY segment""",
+)
+def cypher_schema_noop(spark, sf_dir):
+    """Void schema-management procedures as no-ops (round 9): a
+    migration-shaped script that pre-creates tokens and awaits indexes
+    (db.createLabel / db.createProperty / db.awaitIndexes) before
+    reading must produce exactly the read's result — the void calls
+    validate and pass the binding table through untouched. The oracle
+    is the plain relational aggregate; any leakage of the void calls
+    into the bindings (extra rows, dropped rows, phantom columns)
+    breaks the hash."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_labeled_graph(spark, sf_dir))
+    return s.run(
+        "CALL db.createLabel('Customer') "
+        "CALL db.createProperty('mktsegment') "
+        "CALL db.awaitIndexes() "
+        "MATCH (c:Customer) "
+        "CALL db.resampleOutdatedIndexes() "
+        "RETURN c.mktsegment AS segment, count(*) AS n ORDER BY segment"
+    )
+
+
+@declared(
     "graph_harmonic",
     f"""WITH v AS (
   SELECT c_custkey AS id,

@@ -91,6 +91,28 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
 # unions use the ("union", ...) rep.
 
 
+class _Lazy:
+    """A recursive named-type reference: resolves through the shared
+    name registry after the named type finishes parsing. A class (not a
+    tuple) so the rep graph's reference cycle pickles to executors —
+    pickle memoizes mutable objects, letting the cycle close."""
+
+    __slots__ = ("names", "key")
+
+    def __init__(self, names: dict, key: str):
+        self.names = names
+        self.key = key
+
+    def resolve(self):
+        rep = self.names.get(self.key)
+        if rep is None:
+            raise AvroError(f"avro: unresolved recursive type {self.key!r}")
+        return rep
+
+    def __repr__(self) -> str:  # debugging aid; avoids cycling
+        return f"_Lazy({self.key!r})"
+
+
 def _parse_type(t, names: dict, parsing: set, ns: str | None = None):
     """Avro type decl (JSON value) -> rep. ``names`` registers named
     record/enum/fixed declarations for later by-name references;
@@ -105,11 +127,14 @@ def _parse_type(t, names: dict, parsing: set, ns: str | None = None):
             return names[t]
         if ns and f"{ns}.{t}" in names:  # relative reference
             return names[f"{ns}.{t}"]
-        if t in parsing:
-            raise NotImplementedError(
-                f"avro: recursive type {t!r} not supported (no finite "
-                "Spark schema exists for a self-referential record)"
-            )
+        if t in parsing or (ns and f"{ns}.{t}" in parsing):
+            # recursive reference (round 9): a LAZY rep that resolves
+            # through the registry once the named type finishes parsing.
+            # Decoding/encoding recurse unboundedly (the DATA is always
+            # finite); only the Spark schema needs the depth bound —
+            # spark_schema_for unrolls recursive_max_depth times, the
+            # same contract spark-avro's recursiveFieldMaxDepth defines.
+            return _Lazy(names, t if t in parsing else f"{ns}.{t}")
         raise AvroError(f"avro: undefined named type {t!r}")
     if isinstance(t, list):
         non_null = [x for x in t if x != "null"]
@@ -209,6 +234,8 @@ def _decode_typed(data: bytes, pos: int, rep):
     """Decode one value of any rep at ``pos`` -> (value, new_pos)."""
     if isinstance(rep, str):
         return _decode_value(data, pos, rep)
+    if isinstance(rep, _Lazy):
+        return _decode_typed(data, pos, rep.resolve())
     tag = rep[0]
     if tag == "union":
         _, null_idx, inner = rep
@@ -313,45 +340,142 @@ def parse_schema(schema_json: str | dict) -> list[tuple[str, object, int | None]
     return out
 
 
-def _spark_type(rep) -> T.DataType:
+def _spark_type(rep, counts: dict | None = None, max_depth: int = 0):
+    """rep -> Spark DataType, or None when the (sub)type consists of a
+    recursive reference past its unroll budget and must be DROPPED from
+    the schema — the spark-avro recursiveFieldMaxDepth contract. With
+    max_depth 0 (the default) a recursive schema raises loudly."""
     if isinstance(rep, str):
         if rep == "null":
             return T.NullType()
         return _PRIMITIVE_SPARK[rep]
+    if isinstance(rep, _Lazy):
+        if max_depth <= 0:
+            raise NotImplementedError(
+                f"avro: recursive type {rep.key!r} has no finite Spark "
+                "schema — pass recursive_max_depth=N to unroll N levels "
+                "(deeper values are dropped, as spark-avro's "
+                "recursiveFieldMaxDepth does)"
+            )
+        counts = counts if counts is not None else {}
+        c = counts.get(rep.key, 0)
+        if c >= max_depth:
+            return None  # unroll budget spent: drop this field
+        counts[rep.key] = c + 1
+        try:
+            return _spark_type(rep.resolve(), counts, max_depth)
+        finally:
+            counts[rep.key] = c
     tag = rep[0]
     if tag == "union":
-        return _spark_type(rep[2])
+        inner = _spark_type(rep[2], counts, max_depth)
+        return inner
     if tag == "gunion":
         _, _, branches, mode = rep
         if mode == "promote_long":
             return T.LongType()
         if mode == "promote_double":
             return T.DoubleType()
-        return T.StructType(
-            [
-                T.StructField(f"member{k}", _spark_type(brep), True)
-                for k, (_, brep) in enumerate(branches)
-            ]
-        )
+        fields = []
+        for k, (_, brep) in enumerate(branches):
+            bt = _spark_type(brep, counts, max_depth)
+            if bt is None:
+                return None
+            fields.append(T.StructField(f"member{k}", bt, True))
+        return T.StructType(fields)
     if tag == "array":
-        return T.ArrayType(_spark_type(rep[1]), True)
+        inner = _spark_type(rep[1], counts, max_depth)
+        return None if inner is None else T.ArrayType(inner, True)
     if tag == "map":
-        return T.MapType(T.StringType(), _spark_type(rep[1]), True)
+        inner = _spark_type(rep[1], counts, max_depth)
+        return None if inner is None else T.MapType(T.StringType(), inner, True)
     if tag == "enum":
         return T.StringType()
     if tag == "fixed":
         return T.BinaryType()
     if tag == "record":
-        return T.StructType(
-            [T.StructField(n, _spark_type(r), True) for n, r in rep[1]]
-        )
+        fields = []
+        for n, r in rep[1]:
+            ft = _spark_type(r, counts, max_depth)
+            if ft is not None:  # dropped recursive tail: omit the field
+                fields.append(T.StructField(n, ft, True))
+        return T.StructType(fields)
     raise AvroError(f"avro: unknown rep {rep!r}")
 
 
-def spark_schema_for(fields: list[tuple[str, object, int | None]]) -> T.StructType:
-    return T.StructType(
-        [T.StructField(name, _spark_type(rep), True) for name, rep, _ in fields]
-    )
+def spark_schema_for(
+    fields: list[tuple[str, object, int | None]],
+    recursive_max_depth: int = 0,
+) -> T.StructType:
+    out = []
+    for name, rep, _ in fields:
+        ft = _spark_type(rep, {}, recursive_max_depth)
+        if ft is not None:
+            out.append(T.StructField(name, ft, True))
+    return T.StructType(out)
+
+
+_DROP = object()
+
+
+def _prune_recursive(v, rep, counts: dict, max_depth: int):
+    """Mirror _spark_type's drop decisions on a DECODED value: values
+    under a recursive reference past the unroll budget return _DROP and
+    vanish from their parent record, so rows match the bounded schema
+    exactly. The walk shares _spark_type's per-name counting."""
+    if isinstance(rep, str):
+        return v
+    if isinstance(rep, _Lazy):
+        c = counts.get(rep.key, 0)
+        if c >= max_depth:
+            return _DROP
+        counts[rep.key] = c + 1
+        try:
+            return _prune_recursive(v, rep.resolve(), counts, max_depth)
+        finally:
+            counts[rep.key] = c
+    tag = rep[0]
+    if tag == "union":
+        if _spark_type(rep[2], dict(counts), max_depth) is None:
+            return _DROP
+        return v if v is None else _prune_recursive(v, rep[2], counts, max_depth)
+    if tag == "gunion":
+        if _spark_type(rep, dict(counts), max_depth) is None:
+            return _DROP
+        _, _, branches, mode = rep
+        if mode != "struct" or v is None:
+            return v
+        return {
+            f"member{k}": _prune_recursive(
+                v.get(f"member{k}"), brep, counts, max_depth
+            )
+            for k, (_, brep) in enumerate(branches)
+        }
+    if tag == "array":
+        if _spark_type(rep, dict(counts), max_depth) is None:
+            return _DROP
+        if v is None:
+            return v
+        return [_prune_recursive(x, rep[1], counts, max_depth) for x in v]
+    if tag == "map":
+        if _spark_type(rep, dict(counts), max_depth) is None:
+            return _DROP
+        if v is None:
+            return v
+        return {
+            k: _prune_recursive(x, rep[1], counts, max_depth)
+            for k, x in v.items()
+        }
+    if tag == "record":
+        if v is None:
+            return v
+        out = {}
+        for fname, frep in rep[1]:
+            r = _prune_recursive(v.get(fname), frep, counts, max_depth)
+            if r is not _DROP:
+                out[fname] = r
+        return out
+    return v
 
 
 def read_header(blob: bytes):
@@ -501,6 +625,8 @@ def _encode_typed(rep, v) -> bytes:
     """Encode one value of any rep (single-block array/map form)."""
     if isinstance(rep, str):
         return _encode_value(rep, v)
+    if isinstance(rep, _Lazy):
+        return _encode_typed(rep.resolve(), v)
     tag = rep[0]
     if tag == "union":
         _, null_idx, inner = rep
@@ -619,12 +745,20 @@ def encode_container(
 
 
 def parse_avro_blobs(
-    blobs: DataFrame, fields: list[tuple[str, object, int | None]]
+    blobs: DataFrame,
+    fields: list[tuple[str, object, int | None]],
+    recursive_max_depth: int = 0,
 ) -> DataFrame:
     """DataFrame with a `content: binary` column of container blobs ->
     decoded rows. Every blob must carry the given field layout (enforced
-    per blob inside the task, so mixed-schema inputs fail loudly)."""
-    out_schema = spark_schema_for(fields)
+    per blob inside the task, so mixed-schema inputs fail loudly).
+    Recursive schemas need recursive_max_depth > 0: the Spark schema
+    unrolls that many levels and deeper values are dropped (the
+    spark-avro recursiveFieldMaxDepth contract); decode itself walks
+    the actual data depth regardless."""
+    out_schema = spark_schema_for(fields, recursive_max_depth)
+    kept = {f.name for f in out_schema.fields}
+    out_fields = [f for f in fields if f[0] in kept]
     names = [f[0] for f in fields]
 
     # nullable integer columns must NOT fall to float64 (a null beside a
@@ -643,6 +777,16 @@ def parse_avro_blobs(
                         f"differ from the expected {names}"
                     )
                 all_rows.extend(rows)
+            if recursive_max_depth > 0:
+                all_rows = [
+                    {
+                        name: _prune_recursive(
+                            r.get(name), rep, {}, recursive_max_depth
+                        )
+                        for name, rep, _ in out_fields
+                    }
+                    for r in all_rows
+                ]
             cols = {
                 name: pd.array(
                     [r.get(name) for r in all_rows],
@@ -650,15 +794,18 @@ def parse_avro_blobs(
                     if isinstance(rep, str)
                     else object,
                 )
-                for name, rep, _ in fields
+                for name, rep, _ in out_fields
             }
-            yield pd.DataFrame(cols, columns=names)
+            yield pd.DataFrame(cols, columns=[f[0] for f in out_fields])
 
     return blobs.select("content").mapInPandas(decode, out_schema)
 
 
 def read_avro(
-    spark: SparkSession, path: str, glob: str = "*.avro"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.avro",
+    recursive_max_depth: int = 0,
 ) -> DataFrame:
     """Directory of Avro object-container files -> DataFrame. The result
     schema comes from the FIRST file's embedded writer schema (one tiny
@@ -686,4 +833,4 @@ def read_avro(
             .content
         )
         fields, _, _, _ = read_header(bytes(blob))
-    return parse_avro_blobs(binaries, fields)
+    return parse_avro_blobs(binaries, fields, recursive_max_depth)

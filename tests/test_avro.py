@@ -60,10 +60,13 @@ def test_gates():
                 b"\x0edeflate", b"\x12zstandard"
             )
         )
+    # round 9: recursion PARSES (lazy reps); only the Spark-schema
+    # surface gates when no unroll depth is given
     recursive = {"type": "record", "name": "Tree",
                  "fields": [{"name": "child", "type": ["null", "Tree"]}]}
-    with pytest.raises(NotImplementedError, match="recursive"):
-        avro.parse_schema(recursive)
+    fields = avro.parse_schema(recursive)
+    with pytest.raises(NotImplementedError, match="recursive_max_depth"):
+        avro.spark_schema_for(fields)
     with pytest.raises(avro.AvroError, match="non-nullable"):
         avro.encode_container(SCHEMA, [{**ROWS[0], "id": None}])
 
@@ -339,3 +342,90 @@ def test_nested_named_type_inherits_namespace():
     row = {"a": {"v": 1}, "b": {"v": 2}, "c": {"v": 3}}
     _, got = avro.decode_container(avro.encode_container(sch, [row]))
     assert got == [row]
+
+
+# --- round 9: recursive type definitions ------------------------------------
+
+REC_SCHEMA = {
+    "type": "record",
+    "name": "Node",
+    "namespace": "tree",
+    "fields": [
+        {"name": "value", "type": "long"},
+        {"name": "next", "type": ["null", "Node"]},
+    ],
+}
+
+
+def _chain(vals):
+    node = None
+    for v in reversed(vals):
+        node = {"value": v, "next": node}
+    return node
+
+
+def test_recursive_schema_roundtrips_pure_python():
+    """A self-referential record (linked list) encodes and decodes
+    through the lazy-reference rep with NO depth limit — the data is
+    finite even though the schema is not."""
+    rows = [_chain([1, 2, 3]), _chain([7]), {"value": 9, "next": None}]
+    blob = avro.encode_container(REC_SCHEMA, rows, codec="null")
+    fields, back = avro.decode_container(blob)
+    assert [f[0] for f in fields] == ["value", "next"]
+    assert back == rows
+    # mutual recursion parses too (A -> B -> A)
+    mut = {
+        "type": "record", "name": "A",
+        "fields": [
+            {"name": "b", "type": ["null", {
+                "type": "record", "name": "B",
+                "fields": [{"name": "a", "type": ["null", "A"]}],
+            }]},
+        ],
+    }
+    v = {"b": {"a": {"b": {"a": None}}}}
+    blob2 = avro.encode_container(mut, [v], codec="null")
+    _, back2 = avro.decode_container(blob2)
+    assert back2 == [v]
+
+
+def test_recursive_schema_gates_without_depth(spark, tmp_path):
+    """Without recursive_max_depth the Spark surface still raises the
+    loud gate (no finite schema), mentioning the escape hatch."""
+    d = tmp_path / "rec"
+    d.mkdir()
+    blob = avro.encode_container(REC_SCHEMA, [_chain([1, 2])], codec="null")
+    (d / "a.avro").write_bytes(blob)
+    with pytest.raises(NotImplementedError, match="recursive_max_depth"):
+        avro.read_avro(spark, str(d)).collect()
+
+
+def test_recursive_schema_unrolls_to_depth(spark, tmp_path):
+    """recursive_max_depth=N keeps N levels of the recursion in the
+    Spark schema and DROPS deeper values — spark-avro's
+    recursiveFieldMaxDepth contract — while shallow rows survive
+    intact."""
+    d = tmp_path / "recd"
+    d.mkdir()
+    rows = [_chain([1, 2, 3, 4]), _chain([10, 20]), _chain([5])]
+    blob = avro.encode_container(REC_SCHEMA, rows, codec="null")
+    (d / "a.avro").write_bytes(blob)
+    df = avro.read_avro(spark, str(d), recursive_max_depth=2)
+    # schema: value, next.value (+ next.next pruned at depth 2's tail)
+    got = sorted(df.collect(), key=lambda r: r.value)
+    assert [r.value for r in got] == [1, 5, 10]
+    assert got[0].next.value == 2          # level 2 kept
+    assert got[1].next is None             # short chain: genuine null
+    assert got[2].next.value == 20
+    # the depth-2 struct must NOT contain a 3rd level
+    next_type = dict(zip(df.schema.names, df.schema.fields))["next"].dataType
+    inner_names = [f.name for f in next_type.fields]
+    assert "value" in inner_names
+    if "next" in inner_names:
+        # a 3rd-level struct would itself carry no recursive tail
+        lvl3 = dict(
+            (f.name, f.dataType) for f in next_type.fields
+        )["next"]
+        assert "next" not in [f.name for f in lvl3.fields]
+    # deep chain truncated, not errored: row 1 exists with its 2 levels
+    assert got[0].asDict(True)["next"] is not None

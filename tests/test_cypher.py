@@ -1420,3 +1420,38 @@ def test_explain_compiles_without_executing(spark):
         out = session.run(f"EXPLAIN{sep}MATCH (n) RETURN ID(n) AS id")
         assert out.columns == ["line", "plan"]
         assert "Physical Plan" in "\n".join(r.plan for r in out.collect())
+
+
+def test_void_schema_procedures_are_noops(spark):
+    """Round 9: db.createLabel / db.createProperty /
+    db.createRelationshipType / db.awaitIndex(es) / db.resampleIndex
+    parse, validate arity, and do NOTHING — migrating scripts that
+    pre-create tokens or await indexes run unchanged. Bindings pass
+    through; a standalone void CALL returns Neo4j's no-records shape."""
+    v = spark.createDataFrame(
+        [(0, "Customer", "a"), (1, "Order", "b")],
+        "id long, label string, name string",
+    )
+    e = spark.createDataFrame(
+        [(0, 1, "PLACED")], "src long, dst long, relationship string"
+    )
+    s = CypherSession(Graph(v, e))
+    # standalone: zero rows, zero columns (Neo4j: "no changes, no records")
+    out = s.run("CALL db.createLabel('Thing')")
+    assert out.count() == 0 and out.columns == []
+    assert s.run("CALL db.awaitIndexes()").count() == 0
+    # mid-query: the binding table passes through unchanged
+    out = s.run(
+        "MATCH (n:Customer) CALL db.createProperty('x') "
+        "CALL db.resampleOutdatedIndexes() RETURN n.name AS name"
+    )
+    assert [r.name for r in out.collect()] == ["a"]
+    # arity validated
+    with pytest.raises(ValueError, match="takes 1 argument"):
+        s.run("CALL db.createLabel()")
+    # void procedures have nothing to YIELD
+    with pytest.raises(ValueError, match="void"):
+        s.run("CALL db.createLabel('X') YIELD label RETURN label")
+    # unknown procedures still list the full supported set
+    with pytest.raises(ValueError, match="db.createLabel"):
+        s.run("CALL apoc.load.json('x')")
