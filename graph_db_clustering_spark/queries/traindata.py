@@ -676,6 +676,79 @@ def delta_partitioned(spark, sf_dir):
 
 
 @declared(
+    "delta_optimize",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_quantity < 40
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def delta_optimize(spark, sf_dir):
+    """Delta table maintenance end to end (round 9, sources/delta):
+    three small commits land lineitem slices, OPTIMIZE-style compaction
+    rewrites them into ONE file (dataChange=false swap — the entry
+    raises unless the live-file count actually drops), a classic
+    checkpoint is written, every JSON commit it covers is
+    retention-deleted, and the table is read back through the
+    checkpoint alone with stats-based file skipping still active. The
+    oracle aggregates the equivalent filter directly: losing rows in
+    the compaction swap, replaying the checkpoint wrong, or dropping
+    checkpoint stats all shift the groups."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        delta_checkpoint,
+        delta_compact,
+        delta_live_files,
+        read_delta_pruned,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_deltaopt_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    table = os.path.join(root, "t")
+    for lo, hi in ((0, 10), (10, 25), (25, 40)):
+        delta_append(
+            spark,
+            li.filter(
+                (F.col("l_quantity") >= lo) & (F.col("l_quantity") < hi)
+            ).repartition(1),
+            table,
+            stats_cols=["l_quantity"],
+        )
+    n_before = len(delta_live_files(table))
+    delta_compact(spark, table, stats_cols=["l_quantity"])
+    n_after = len(delta_live_files(table))
+    if not n_after < n_before:
+        raise AssertionError("delta_optimize: compaction reduced nothing")
+    cp = delta_checkpoint(table)
+    log = os.path.join(table, "_delta_log")
+    for v in range(cp + 1):  # retention: expire covered JSON commits
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    dt, _nread, _nskip = read_delta_pruned(
+        spark, table, "l_quantity", 0.0, 39.5
+    )
+    return (
+        dt.filter(F.col("l_quantity") < 40)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@declared(
     "iceberg_roundtrip",
     """SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,

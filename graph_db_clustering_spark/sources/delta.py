@@ -82,7 +82,7 @@ def _checkpoint_version(path: str) -> int | None:
 
 def _apply_action(act: dict, files: dict, meta: list) -> None:
     if "add" in act and act["add"] is not None:
-        a = act["add"]
+        a = _normalize_add(act["add"])
         if a.get("deletionVector"):
             raise NotImplementedError("delta: deletion vectors not supported")
         files[a["path"]] = a
@@ -96,6 +96,17 @@ def _apply_action(act: dict, files: dict, meta: list) -> None:
                 "delta: reader protocol "
                 f"{act['protocol']['minReaderVersion']} not supported"
             )
+
+
+def _normalize_add(a: dict) -> dict:
+    """Checkpoint add rows come back from pyarrow with map-typed
+    partitionValues as [(k, v), ...] — normalize to the dict the JSON
+    commits carry."""
+    pv = a.get("partitionValues")
+    if isinstance(pv, list):
+        a = dict(a)
+        a["partitionValues"] = dict(pv)
+    return a
 
 
 def _replay(path: str, version: int | None = None) -> tuple[dict, dict | None]:
@@ -399,3 +410,170 @@ def read_delta_pruned(
         keep.append(a)
     df = _read_adds(spark, path, keep, meta)
     return df, len(keep), skipped
+
+
+def delta_checkpoint(path: str) -> int:
+    """Write a classic single-part checkpoint at the latest version and
+    point `_last_checkpoint` at it — the log-compaction step that lets
+    old JSON commits expire under retention without losing state. One
+    parquet row per action: protocol, metaData (when known), and an
+    `add` per live file with its stats and partitionValues intact (the
+    round-9 high-severity fix made the read side use checkpoint stats;
+    this is the writer that produces them). Returns the checkpointed
+    version. At 100 TB this is O(live files) driver work — the same
+    cost delta-spark's own checkpointing pays."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    versions = _commit_versions(path)
+    cp = _checkpoint_version(path)
+    if not versions and cp is None:
+        raise DeltaError(f"no _delta_log commits under {path}")
+    version = max(versions[-1] if versions else -1, -1 if cp is None else cp)
+    files, meta = _replay(path, version)
+
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+    ])
+    rows_proto: list = [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    rows_meta: list = [None]
+    if meta is not None:
+        rows_meta = [None, {
+            "id": meta.get("id"),
+            "schemaString": meta.get("schemaString"),
+            "partitionColumns": meta.get("partitionColumns") or [],
+        }]
+        rows_proto.append(None)
+    adds: list = [None] * len(rows_proto)
+    for p in sorted(files):
+        a = files[p]
+        rows_proto.append(None)
+        rows_meta.append(None)
+        adds.append({
+            "path": p,
+            "partitionValues": list((a.get("partitionValues") or {}).items()),
+            "size": a.get("size"),
+            "dataChange": False,
+            "stats": a.get("stats"),
+        })
+    tbl = pa.table({
+        "protocol": pa.array(rows_proto, type=proto_t),
+        "metaData": pa.array(rows_meta, type=meta_t),
+        "add": pa.array(adds, type=add_t),
+    })
+    cp_file = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+    tmp = cp_file + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, cp_file)
+    lc = os.path.join(_log_dir(path), "_last_checkpoint")
+    tmp = lc + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": tbl.num_rows}, f)
+    os.replace(tmp, lc)
+    return version
+
+
+def delta_compact(
+    spark: SparkSession, path: str, stats_cols: list | None = None
+) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite each partition's
+    live files into one file and commit the swap (adds + removes,
+    dataChange=False — readers see identical rows before and after, the
+    Delta OPTIMIZE contract). Stats for `stats_cols` are recomputed on
+    the compacted files so file skipping keeps working. Returns the
+    committed version. The rewrite itself is a distributed read +
+    write per partition group; only the commit assembly runs on the
+    driver."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    files, meta = _replay(path)
+    if not files:
+        raise DeltaError(f"delta: nothing to compact at {path}")
+    versions = _commit_versions(path)
+    cp = _checkpoint_version(path)
+    version = max(
+        versions[-1] if versions else -1, -1 if cp is None else cp
+    ) + 1
+    groups: dict = {}
+    for p, a in files.items():
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple((k, pv[k]) for k in sorted(pv)), []).append(p)
+
+    def _stats(src: str) -> str | None:
+        if not stats_cols:
+            return None
+        md = pq.read_metadata(src)
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        names = md.schema.to_arrow_schema().names
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = names[ci] if ci < len(names) else col.path_in_schema
+                if name not in stats_cols or col.statistics is None:
+                    continue
+                st = col.statistics
+                if st.min is not None:
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                if st.max is not None:
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+                nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+        return json.dumps({
+            "numRecords": md.num_rows, "minValues": mins,
+            "maxValues": maxs, "nullCount": nulls,
+        })
+
+    actions = []
+    for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        if len(paths) <= 1:
+            continue  # already one file: nothing to gain
+        subdir = "/".join(f"{k}={v}" for k, v in key) if key else ""
+        stage = os.path.join(path, f".compact_{uuid.uuid4().hex[:8]}")
+        spark.read.parquet(
+            *[os.path.join(path, p) for p in paths]
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        rel = (f"{subdir}/" if subdir else "") + f"part-{version:05d}-{part}"
+        dest = os.path.join(path, *rel.split("/"))
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(os.path.join(stage, part), dest)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        add = {
+            "path": rel,
+            "partitionValues": dict(key),
+            "size": os.path.getsize(dest),
+            "dataChange": False,
+        }
+        st = _stats(dest)
+        if st:
+            add["stats"] = st
+        actions.append({"add": add})
+        for p in sorted(paths):
+            actions.append({"remove": {"path": p, "dataChange": False}})
+    if not actions:
+        return version - 1  # nothing rewritten: no commit
+    commit = os.path.join(_log_dir(path), f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp, commit)
+    return version
