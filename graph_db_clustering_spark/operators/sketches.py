@@ -80,3 +80,53 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
+
+
+def hll_build(
+    df: DataFrame, key_col: str, group_cols: list, p: int = 6
+) -> DataFrame:
+    """Deterministic HyperLogLog registers (Flajolet et al. 2007) per
+    group: m = 2^p registers; a key's bucket is the first 8 md5 hex
+    digits mod m, its rank rho the 1-based position of the first 1 bit
+    in the NEXT 13 hex digits (52 bits; all-zero caps at 53). Registers
+    are max-merged — the sketch is mergeable by cell-wise MAX, and the
+    md5 idiom makes it externally rebuildable (the DuckDB oracle
+    reproduces every register). One partial-aggregated groupBy builds
+    all groups' registers at once; memory is m cells per group."""
+    m = 1 << p
+    key = F.col(key_col).cast("string")
+    h = F.md5(key)
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    x = F.conv(F.substring(h, 9, 13), 16, 10).cast("long")
+    rho = F.when(x == 0, F.lit(53)).otherwise(
+        F.instr(F.lpad(F.bin(x), 52, "0"), "1")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("b"), rho.alias("rho"))
+        .groupBy(*group_cols, "b")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list, p: int = 6) -> DataFrame:
+    """Registers -> per-group cardinality estimate: the raw HLL
+    harmonic mean alpha*m^2 / sum(2^-M[b]) (absent registers contribute
+    2^0 = 1 each), with the paper's small-range correction
+    m*ln(m/V) when E <= 2.5m and V (zero registers) > 0. alpha is the
+    spec constant for the register count (0.709 at m = 64)."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))) + (m - F.count("*"))
+        ).alias("z"),
+        (m - F.count("*")).alias("v"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("z")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v") > 0),
+        m * F.log(F.lit(float(m)) / F.col("v")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias("hll_est"))

@@ -3425,3 +3425,115 @@ def events_burstiness(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@declared(
+    "events_ets",
+    """WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY d),
+idx AS (SELECT d, n, ROW_NUMBER() OVER (ORDER BY d) AS t FROM daily),
+ses AS (
+  SELECT t, d, n, n AS s FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.t, i.d, i.n, 0.3 * i.n + 0.7 * ses.s
+  FROM idx i JOIN ses ON i.t = ses.t + 1)
+SELECT CAST(d AS VARCHAR) AS d, CAST(n AS BIGINT) AS n,
+       ROUND(s, 6) AS smoothed
+FROM ses ORDER BY d""",
+)
+def events_ets(spark, sf_dir):
+    """Simple exponential smoothing (alpha=0.3) over daily event volume
+    (round 9): s_1 = n_1, s_t = a*n_t + (1-a)*s_{t-1} — the
+    level-tracking forecast baseline (the next-day forecast IS the
+    last smoothed value). The recurrence is inherently sequential, so
+    it runs where sequential work belongs at scale: the data-sized
+    pass is the daily aggregate; the smoothing runs per SERIES inside
+    one applyInPandas task over the days-sized frame (one task per
+    series — here one global series; a per-key forecast would
+    partition by key and parallelize across series). The oracle
+    replays the identical recurrence with a recursive CTE."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        s = []
+        prev = None
+        for v in pdf["n"]:
+            prev = v if prev is None else 0.3 * v + 0.7 * prev
+            s.append(prev)
+        pdf["smoothed"] = [round(x, 6) for x in s]
+        return pdf
+
+    return (
+        daily.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(smooth, "__g int, d date, n double, smoothed double")
+        .select(
+            F.col("d").cast("string").alias("d"),
+            F.col("n").cast("long").alias("n"),
+            "smoothed",
+        )
+        .orderBy("d")
+    )
+
+
+@declared(
+    "events_decompose",
+    """WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY d),
+tr AS (
+  SELECT d, n,
+         AVG(n) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend,
+         COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS w
+  FROM daily),
+det AS (SELECT isodow(d) AS dow, n - trend AS r FROM tr WHERE w = 7),
+s AS (SELECT dow, AVG(r) AS raw, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM det GROUP BY dow)
+SELECT CAST(dow AS BIGINT) AS dow,
+       ROUND(raw - (SELECT AVG(raw) FROM s), 6) AS seasonal,
+       n_days
+FROM s ORDER BY dow""",
+)
+def events_decompose(spark, sf_dir):
+    """Classical seasonal decomposition of daily volume (round 9):
+    trend = centered 7-day moving average (full windows only),
+    residual = volume - trend, weekly seasonal index = mean residual
+    per ISO day-of-week, centered to sum to zero — the additive
+    trend/seasonal split behind every weekly-cycle dashboard. All
+    window + aggregate work over the days-sized frame; the oracle
+    restates it verbatim."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "n", F.avg("n").over(w).alias("trend"),
+        F.count("*").over(w).alias("w"),
+    )
+    det = tr.filter(F.col("w") == 7).select(
+        (F.weekday("d") + 1).alias("dow"), (F.col("n") - F.col("trend")).alias("r")
+    )
+    s = det.groupBy("dow").agg(
+        F.avg("r").alias("raw"), F.count("*").cast("long").alias("n_days")
+    )
+    from pyspark.sql.window import Window as W2
+
+    allw = W2.partitionBy()
+    return (
+        s.select(
+            F.col("dow").cast("long").alias("dow"),
+            F.round(F.col("raw") - F.avg("raw").over(allw), 6).alias("seasonal"),
+            "n_days",
+        )
+        .orderBy("dow")
+    )

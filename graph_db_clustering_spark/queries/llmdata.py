@@ -2339,3 +2339,55 @@ def doc_compressibility(spark, sf_dir):
         .select("doc_id", "raw_len", "comp_len", F.round("ratio", 6).alias("ratio"))
         .orderBy("doc_id")
     )
+
+
+@declared(
+    "hll_distinct",
+    """WITH keys AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k
+       FROM events),
+hs AS (SELECT event_type,
+    ('0x' || substr(md5(k), 1, 8))::UBIGINT % 64 AS b,
+    ('0x' || substr(md5(k), 9, 13))::UBIGINT AS x
+  FROM keys),
+regs AS (SELECT event_type, b,
+    MAX(CASE WHEN x = 0 THEN 53
+        ELSE strpos(lpad(bin(x), 52, '0'), '1') END) AS rho
+  FROM hs GROUP BY event_type, b),
+agg AS (SELECT event_type,
+    SUM(POWER(2.0, -rho)) + (64 - COUNT(*)) AS z,
+    64 - COUNT(*) AS v
+  FROM regs GROUP BY event_type),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       FROM events GROUP BY event_type)
+SELECT ex.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       ROUND(CASE WHEN 0.709 * 4096 / z <= 160.0 AND v > 0
+                  THEN 64 * LN(64.0 / v)
+                  ELSE 0.709 * 4096 / z END, 4) AS hll_est
+FROM agg JOIN ex USING (event_type) ORDER BY event_type""",
+)
+def hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-user estimates per event type (round 9,
+    operators/sketches.hll_build/hll_estimate): 64 deterministic-md5
+    registers, raw harmonic-mean estimator with the paper's
+    small-range correction, joined against exact COUNT(DISTINCT). The
+    builtins already give approx_count_distinct; this is the
+    from-first-principles MERGEABLE sketch (registers max-merge), and
+    the deterministic hashing lets the oracle rebuild every register
+    — the estimate matches to the digit, not within a tolerance
+    band."""
+    from graph_db_clustering_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = hll_build(e, "user_id", ["event_type"], p=6)
+    est = hll_estimate(regs, ["event_type"], p=6)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "n_exact", F.round("hll_est", 4).alias("hll_est"))
+        .orderBy("event_type")
+    )

@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 265
-DOCUMENTED_ORACLES = 235
+DOCUMENTED_QUERIES = 268
+DOCUMENTED_ORACLES = 238
 
 
 def test_ledger_counts_match():
