@@ -1099,3 +1099,96 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(
         score, f"{id_col} long, raw_len long, comp_len long, ratio double"
     )
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity (the standard variant: matching window
+    max(|a|,|b|)/2 - 1, transpositions halved, prefix bonus up to 4
+    chars * 0.1 applied when jaro > 0.7) — implemented from the public
+    definition; the test suite pins it against DuckDB's independent
+    jaro_winkler_similarity to the last double."""
+    n1, n2 = len(s1), len(s2)
+    if not n1 or not n2:
+        return 0.0  # DuckDB's convention: an empty side scores 0
+    if s1 == s2:
+        return 1.0
+    window = max(max(n1, n2) // 2 - 1, 0)
+    m1 = [False] * n1
+    m2 = [False] * n2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(n1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (matches / n1 + matches / n2 + (matches - t) / matches) / 3
+    if j > 0.7:
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        j = j + l * 0.1 * (1 - j)
+    return j
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    block_cols: list,
+    min_sim: float = 0.88,
+) -> DataFrame:
+    """Blocked fuzzy-duplicate candidates: self-join on the blocking
+    key (never all-pairs — the 100 TB posture is that the block bounds
+    the quadratic term), score each in-block pair with Jaro-Winkler in
+    an Arrow-batched pandas UDF, keep pairs at or above `min_sim`
+    (compared on the 6-decimal rounding so an engine's last-ulp
+    difference cannot flap the boundary). Returns (key_1, key_2, sim),
+    each unordered pair once (key_1 < key_2)."""
+    import pandas as pd
+
+    left = df.select(
+        F.col(key_col).alias("key_1"),
+        F.col(name_col).alias("__n1"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    right = df.select(
+        F.col(key_col).alias("key_2"),
+        F.col(name_col).alias("__n2"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+    )
+    pairs = left.join(
+        right,
+        on=[f"__b_{c}" for c in block_cols],
+        how="inner",
+    ).filter(F.col("key_1") < F.col("key_2"))
+
+    def score(batches):
+        for pdf in batches:
+            sims = [
+                round(jaro_winkler(a or "", b or ""), 6)
+                for a, b in zip(pdf["__n1"], pdf["__n2"])
+            ]
+            out = pd.DataFrame(
+                {"key_1": pdf["key_1"], "key_2": pdf["key_2"], "sim": sims}
+            )
+            yield out[out["sim"] >= min_sim]
+
+    return pairs.select("key_1", "key_2", "__n1", "__n2").mapInPandas(
+        score, "key_1 long, key_2 long, sim double"
+    )

@@ -2391,3 +2391,36 @@ def hll_distinct(spark, sf_dir):
         .select("event_type", "n_exact", F.round("hll_est", 4).alias("hll_est"))
         .orderBy("event_type")
     )
+
+
+@declared(
+    "fuzzy_names",
+    """WITH pr AS (SELECT p_partkey, p_name, p_brand FROM part)
+SELECT a.p_partkey AS key_1, b.p_partkey AS key_2,
+       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+FROM pr a JOIN pr b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88
+ORDER BY key_1, key_2""",
+)
+def fuzzy_names(spark, sf_dir):
+    """Blocked Jaro-Winkler fuzzy matching (round 9,
+    operators/text.jaro_winkler / fuzzy_name_pairs): part names
+    scored pairwise WITHIN (brand, size) blocks — the classic
+    record-linkage shape where blocking bounds the quadratic term and
+    a string-similarity scorer ranks candidates. The scorer is
+    implemented from the public definition (matching window,
+    transposition halving, 4-char prefix bonus above 0.7) and the
+    oracle uses DuckDB's INDEPENDENT jaro_winkler_similarity builtin —
+    two separate implementations of the metric must agree pair-for-
+    pair to 6 decimals for the hash to match."""
+    from graph_db_clustering_spark.operators.text import fuzzy_name_pairs
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    return (
+        fuzzy_name_pairs(p, "p_partkey", "p_name", ["p_brand"], min_sim=0.88)
+        .orderBy("key_1", "key_2")
+    )

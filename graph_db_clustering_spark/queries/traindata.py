@@ -1216,3 +1216,54 @@ def sqlite_wal(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+@declared(
+    "parquet_prune",
+    """SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_totalprice BETWEEN 1000 AND 20000
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def parquet_prune(spark, sf_dir):
+    """Footer-statistics file skipping over a PLAIN parquet directory
+    (round 9, sources/parquet_stats — no table format at all): orders
+    is written range-clustered on o_totalprice (repartitionByRange),
+    then a range query reads back through read_parquet_pruned, which
+    reads the FOOTERS distributed (one stats row per file to the
+    driver) and opens only intersecting files — the entry raises if
+    nothing was skipped, so pruning is asserted inside the query. The
+    oracle filters orders directly; a pruner that drops a live file or
+    mis-reads a footer min/max shifts the groups."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.parquet_stats import (
+        read_parquet_pruned,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_pqprune_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    d = os.path.join(root, "orders")
+    o.repartitionByRange(8, "o_totalprice").write.parquet(d)
+    df, _nread, nskip = read_parquet_pruned(
+        spark, d, "o_totalprice", 1000.0, 20000.0
+    )
+    if nskip == 0:
+        raise AssertionError("parquet_prune: skipped 0 files")
+    return (
+        df.filter(F.col("o_totalprice").between(1000.0, 20000.0))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

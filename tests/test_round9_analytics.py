@@ -67,3 +67,79 @@ def test_events_decompose_seasonal_centered(spark):
     assert {r.dow for r in rows} <= set(range(1, 8))
     assert abs(sum(r.seasonal for r in rows)) < 1e-4  # centered to ~0
     assert all(r.n_days >= 1 for r in rows)
+
+
+def test_jaro_winkler_matches_duckdb_builtin(spark):
+    """Two independent implementations of the metric agree to the last
+    double: ours (operators/text.jaro_winkler, from the public
+    definition) vs DuckDB's jaro_winkler_similarity, over every part
+    name pair in a brand block plus adversarial short strings."""
+    import duckdb
+
+    from graph_db_clustering_spark.operators.text import jaro_winkler
+
+    con = duckdb.connect()
+    cases = [
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("", ""), ("", "x"),
+        ("a", "a"), ("ab", "ba"), ("aaaa", "aaa"), ("crate", "trace"),
+        ("jellyfish", "smellyfish"), ("prefixmatch", "prefixmxtch"),
+    ]
+    p = load_table(spark, SF, "part").select("p_name").limit(40).collect()
+    names = [r.p_name for r in p]
+    cases += [(names[i], names[j]) for i in range(10) for j in range(10)]
+    for a, b in cases:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - want) < 1e-12, (a, b)
+
+
+def test_fuzzy_name_pairs_blocked_and_symmetric(spark):
+    from graph_db_clustering_spark.operators.text import fuzzy_name_pairs
+
+    p = load_table(spark, SF, "part").select("p_partkey", "p_name", "p_brand")
+    pairs = fuzzy_name_pairs(p, "p_partkey", "p_name", ["p_brand"], 0.88)
+    rows = pairs.collect()
+    assert rows and all(r.key_1 < r.key_2 for r in rows)
+    assert all(r.sim >= 0.88 for r in rows)
+    # blocking respected: every pair shares a brand
+    brands = {r.p_partkey: r.p_brand for r in p.collect()}
+    assert all(brands[r.key_1] == brands[r.key_2] for r in rows)
+    # partitioning invariance (deterministic scoring)
+    again = fuzzy_name_pairs(
+        p.repartition(13), "p_partkey", "p_name", ["p_brand"], 0.88
+    )
+    assert sorted((r.key_1, r.key_2, r.sim) for r in again.collect()) == \
+        sorted((r.key_1, r.key_2, r.sim) for r in rows)
+
+
+def test_parquet_footer_pruning(spark, tmp_path):
+    """Range-clustered files prune by footer stats; a shuffled layout
+    (overlapping ranges) keeps everything; content is never lost."""
+    from graph_db_clustering_spark.sources.parquet_stats import (
+        ParquetStatsError,
+        parquet_file_stats,
+        read_parquet_pruned,
+    )
+    import pytest as _pytest
+
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    d1 = str(tmp_path / "clustered")
+    o.repartitionByRange(6, "o_totalprice").write.parquet(d1)
+    stats = parquet_file_stats(spark, d1, ["o_totalprice"])
+    assert len(stats) == 6 and all(s["min_values"] for s in stats)
+    lo, hi = 1000.0, 20000.0
+    df, nread, nskip = read_parquet_pruned(spark, d1, "o_totalprice", lo, hi)
+    assert nskip > 0 and nread + nskip == 6
+    want = o.filter(F.col("o_totalprice").between(lo, hi))
+    got = df.filter(F.col("o_totalprice").between(lo, hi))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # shuffled layout: ranges overlap everywhere -> nothing skippable
+    d2 = str(tmp_path / "shuffled")
+    o.repartition(6).write.parquet(d2)
+    _, nread2, nskip2 = read_parquet_pruned(spark, d2, "o_totalprice", lo, hi)
+    assert (nread2, nskip2) == (6, 0)
+    # fully disjoint range: loud error, not a silent empty frame
+    with _pytest.raises(ParquetStatsError, match="every file pruned"):
+        read_parquet_pruned(spark, d1, "o_totalprice", -100.0, -50.0)
