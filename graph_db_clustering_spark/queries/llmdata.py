@@ -2424,3 +2424,48 @@ def fuzzy_names(spark, sf_dir):
         fuzzy_name_pairs(p, "p_partkey", "p_name", ["p_brand"], min_sim=0.88)
         .orderBy("key_1", "key_2")
     )
+
+
+@declared(
+    "entity_resolution",
+    """WITH RECURSIVE
+pr AS (SELECT p_partkey, p_name, p_brand FROM part WHERE p_partkey < 400),
+pairs AS (
+  SELECT a.p_partkey AS id1, b.p_partkey AS id2
+  FROM pr a JOIN pr b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.88),
+edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+reach(node, lbl) AS (
+  SELECT p_partkey, p_partkey FROM pr
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node AS p_partkey, MIN(lbl) AS canonical_id
+         FROM reach GROUP BY node),
+csz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY canonical_id)
+SELECT c.p_partkey, c.canonical_id, s.cluster_size,
+       c.p_partkey = c.canonical_id AS keep
+FROM comp c JOIN csz s USING (canonical_id) ORDER BY c.p_partkey""",
+)
+def entity_resolution(spark, sf_dir):
+    """Entity resolution end to end (round 9): blocked Jaro-Winkler
+    candidate pairs (operators/text.fuzzy_name_pairs, brand blocks,
+    two independent metric implementations per the fuzzy_names entry)
+    -> undirected connected components -> canonical survivor per
+    entity cluster (operators/dedup.cluster_pairs) — the classic
+    record-linkage pipeline: block, score, transitively close, pick a
+    golden record. The oracle rebuilds the pairs with DuckDB's own
+    jaro_winkler_similarity and closes them with a recursive CTE, so
+    the driver gate scores blocking, scoring, AND the component
+    machinery together."""
+    from graph_db_clustering_spark.operators.text import fuzzy_name_pairs
+
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") < 400
+    ).select("p_partkey", "p_name", "p_brand")
+    pairs = fuzzy_name_pairs(
+        p, "p_partkey", "p_name", ["p_brand"], min_sim=0.88
+    ).select(F.col("key_1").alias("id1"), F.col("key_2").alias("id2"))
+    return dedup.cluster_pairs(p, "p_partkey", pairs).orderBy("p_partkey")

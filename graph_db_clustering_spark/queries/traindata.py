@@ -1267,3 +1267,119 @@ def parquet_prune(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@declared(
+    "iceberg_partitioned",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_returnflag <= 'O'
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def iceberg_partitioned(spark, sf_dir):
+    """Identity-partitioned Iceberg with manifest partition pruning
+    (round 9, sources/iceberg.read_iceberg_pruned): one data file per
+    l_returnflag value, each manifest entry carrying its identity
+    partition value; a range query over the partition column must skip
+    the non-intersecting files at the MANIFEST level (the entry raises
+    if nothing was skipped) while the data files retain the column per
+    the spec — no injection. The oracle filters lineitem directly."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.avro import encode_container
+    from graph_db_clustering_spark.sources.iceberg import read_iceberg_pruned
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_icepart_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    os.makedirs(os.path.join(t, "metadata"))
+    os.makedirs(os.path.join(t, "data"))
+    flags = sorted(r[0] for r in li.select("l_returnflag").distinct().collect())
+    paths = {}
+    for flag in flags:
+        stage = os.path.join(root, f"stage_{flag}")
+        li.filter(F.col("l_returnflag") == flag).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+        dest = os.path.join(t, "data", f"{flag}.parquet")
+        os.replace(os.path.join(stage, part), dest)
+        paths[flag] = dest
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "content", "type": "int"},
+                    {"name": "equality_ids",
+                     "type": {"type": "array", "items": "int"}},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": [{"name": "l_returnflag",
+                                    "type": "string"}]}},
+                ]}},
+        ]}
+    list_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+        ]}
+
+    def avro(p, schema, rows):
+        with open(p, "wb") as f:
+            f.write(encode_container(schema, rows, codec="null"))
+
+    m = os.path.join(t, "metadata", "m1.avro")
+    avro(m, man_schema, [
+        {"status": 1, "sequence_number": 1, "data_file": {
+            "file_path": paths[f], "file_format": "PARQUET",
+            "record_count": 1, "content": 0, "equality_ids": [],
+            "partition": {"l_returnflag": f}}}
+        for f in flags
+    ])
+    ml = os.path.join(t, "metadata", "snap-1.avro")
+    avro(ml, list_schema, [{"manifest_path": m, "manifest_length": 1}])
+    meta = {
+        "format-version": 2, "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "l_orderkey", "type": "long"},
+            {"id": 2, "name": "l_quantity", "type": "double"},
+            {"id": 3, "name": "l_returnflag", "type": "string"},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "l_returnflag", "transform": "identity",
+             "source-id": 3, "field-id": 1000}]}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(t, "metadata", "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    dt, _nread, nskip = read_iceberg_pruned(spark, t, "l_returnflag", "A", "O")
+    if nskip == 0:
+        raise AssertionError("iceberg_partitioned: pruning skipped 0 files")
+    return (
+        dt.filter(F.col("l_returnflag") <= "O")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

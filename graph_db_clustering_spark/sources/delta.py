@@ -577,3 +577,59 @@ def delta_compact(
             f.write(json.dumps(a) + "\n")
     os.replace(tmp, commit)
     return version
+
+
+def delta_vacuum(path: str, dry_run: bool = False) -> list[str]:
+    """VACUUM: delete data files under the table root that no action in
+    the VISIBLE log (checkpoint + retained JSON commits, adds AND
+    removes, at every version) references — the physical-deletion step
+    after compaction + checkpointing + log retention. Referencing
+    removes keeps a file while any retained commit still mentions it,
+    so time travel into the retained window never dangles; once the
+    checkpoint subsumes history and old commits expire, the orphans
+    become deletable. Returns the table-relative paths removed (or
+    that WOULD be removed with dry_run). Never touches _delta_log."""
+    referenced: set = set()
+    versions = _commit_versions(path)
+    cp = _checkpoint_version(path)
+    if cp is not None:
+        import pyarrow.parquet as pq
+
+        cp_file = os.path.join(_log_dir(path), f"{cp:020d}.checkpoint.parquet")
+        for row in pq.read_table(cp_file).to_pylist():
+            a = row.get("add")
+            if a:
+                referenced.add(_normalize_add(a)["path"])
+            r = row.get("remove")
+            if r:
+                referenced.add(r["path"])
+    for v in versions:
+        with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if act.get("add"):
+                    referenced.add(act["add"]["path"])
+                if act.get("remove"):
+                    referenced.add(act["remove"]["path"])
+    victims = []
+    for dirpath, dirs, fnames in os.walk(path):
+        rel_dir = os.path.relpath(dirpath, path)
+        if rel_dir.split(os.sep)[0] == "_delta_log":
+            continue
+        dirs[:] = [d for d in dirs if d != "_delta_log" and not d.startswith(".")]
+        for fname in fnames:
+            if not fname.endswith(".parquet"):
+                continue
+            rel = (
+                fname if rel_dir == "." else f"{rel_dir}/{fname}"
+            ).replace(os.sep, "/")
+            if rel not in referenced:
+                victims.append(rel)
+    victims.sort()
+    if not dry_run:
+        for rel in victims:
+            os.remove(os.path.join(path, *rel.split("/")))
+    return victims

@@ -143,6 +143,7 @@ def _snapshot_entries(
                 "seq": seq,
                 "content": content,
                 "equality_ids": dfile.get("equality_ids"),
+                "partition": dfile.get("partition") or {},
             }
             if content == 0:
                 data.append(rec)
@@ -173,6 +174,47 @@ def read_iceberg(
     v2 position and equality delete files applied merge-on-read style
     (broadcast anti-joins; the big data scan never re-shuffles)."""
     data, dels, meta = _snapshot_entries(path, snapshot_id)
+    return _scan_with_deletes(spark, path, data, dels, meta)
+
+
+def read_iceberg_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Partition pruning for identity-partitioned tables: keep only the
+    data files whose manifest-entry `partition` value for `column`
+    lies in [lo, hi] (an identity partition value is an exact point —
+    min == max); files without a value for the column are always kept.
+    Delete files are NOT pruned — a position delete aimed at a pruned
+    file simply matches nothing, and equality deletes still apply to
+    the surviving scan, so merge-on-read semantics are preserved.
+    Returns (df, files_read, files_skipped). The 100 TB win is the
+    manifest's: the pruned files never become scan tasks."""
+    data, dels, meta = _snapshot_entries(path, snapshot_id)
+    keep, skipped = [], 0
+    for rec in data:
+        v = (rec.get("partition") or {}).get(column)
+        disjoint = False
+        if v is not None:
+            try:
+                disjoint = v < lo or v > hi
+            except TypeError:
+                disjoint = False  # incomparable: never skip
+        if disjoint:
+            skipped += 1
+        else:
+            keep.append(rec)
+    df = _scan_with_deletes(spark, path, keep, dels, meta)
+    return df, len(keep), skipped
+
+
+def _scan_with_deletes(
+    spark: SparkSession, path: str, data: list, dels: list, meta: dict
+) -> DataFrame:
     if not data:
         raise IcebergError(f"iceberg: snapshot has no data files at {path}")
     pos_dels = [d for d in dels if d["content"] == 1]

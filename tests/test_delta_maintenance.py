@@ -124,3 +124,42 @@ def test_compact_partitioned_one_file_per_partition(spark, tmp_path):
     back = read_delta(spark, t)
     assert back.count() == o.count()
     assert back.exceptAll(o).count() == 0 and o.exceptAll(back).count() == 0
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    """The full maintenance lifecycle: append -> compact -> vacuum is a
+    NO-OP while history still references the old files -> checkpoint +
+    retention-expire the log -> vacuum now removes exactly the
+    compacted-away files; the table reads identically throughout."""
+    from graph_db_clustering_spark.sources.delta import delta_vacuum
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    t = str(tmp_path / "vac")
+    for lo, hi in ((0, 10), (10, 25), (25, 100)):
+        delta_append(
+            spark,
+            li.filter((F.col("l_quantity") >= lo) & (F.col("l_quantity") < hi)).repartition(1),
+            t, stats_cols=["l_quantity"],
+        )
+    n = read_delta(spark, t).count()
+    old_files = set(delta_live_files(t))
+    delta_compact(spark, t, stats_cols=["l_quantity"])
+    # history (the JSON commits) still references the pre-compaction
+    # files via their adds/removes: vacuum must not touch them
+    assert delta_vacuum(t, dry_run=True) == []
+    # checkpoint subsumes history; expire the covered commits
+    cp = delta_checkpoint(t)
+    log = os.path.join(t, "_delta_log")
+    for v in range(cp + 1):
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    planned = delta_vacuum(t, dry_run=True)
+    assert set(planned) == old_files  # exactly the compacted-away files
+    removed = delta_vacuum(t)
+    assert removed == planned
+    for rel in removed:
+        assert not os.path.exists(os.path.join(t, rel))
+    assert read_delta(spark, t).count() == n
+    # idempotent
+    assert delta_vacuum(t) == []

@@ -281,3 +281,89 @@ def test_iceberg_identity_partition_spec_accepted(spark, tmp_path):
     latest = read_iceberg(spark, root)
     want = li.filter((F.col("l_quantity") < 10) | (F.col("l_quantity") >= 25))
     assert latest.count() == want.count()
+
+
+MANIFEST_SCHEMA_PART = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "content", "type": "int"},
+                    {"name": "equality_ids", "type": {"type": "array", "items": "int"}},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": [{"name": "l_returnflag", "type": "string"}],
+                    }},
+                ],
+            },
+        },
+    ],
+}
+
+
+def test_iceberg_identity_partition_pruning(spark, tmp_path):
+    """read_iceberg_pruned keeps only files whose identity partition
+    value intersects the range — and the data files RETAIN the column,
+    so no injection is needed."""
+    root = str(tmp_path / "ppt")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+    flags = sorted(r[0] for r in li.select("l_returnflag").distinct().collect())
+    files = {}
+    for flag in flags:
+        stage = str(tmp_path / f"stage_p_{flag}")
+        li.filter(F.col("l_returnflag") == flag).coalesce(1).write.parquet(stage)
+        part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+        dest = os.path.join(root, "data", f"{flag}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        files[flag] = dest
+
+    def entry(flag):
+        return {"status": 1, "sequence_number": 1, "data_file": {
+            "file_path": files[flag], "file_format": "PARQUET",
+            "record_count": 1, "content": 0, "equality_ids": [],
+            "partition": {"l_returnflag": flag}}}
+
+    m = os.path.join(root, "metadata", "mp.avro")
+    _write_avro(m, MANIFEST_SCHEMA_PART, [entry(f) for f in flags])
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(ml, LIST_SCHEMA, [{"manifest_path": m, "manifest_length": 1}])
+    meta = {
+        "format-version": 2, "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "l_orderkey", "type": "long"},
+            {"id": 2, "name": "l_quantity", "type": "double"},
+            {"id": 3, "name": "l_returnflag", "type": "string"},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "l_returnflag", "transform": "identity",
+             "source-id": 3, "field-id": 1000},
+        ]}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+    from graph_db_clustering_spark.sources.iceberg import read_iceberg_pruned
+
+    df, nread, nskip = read_iceberg_pruned(spark, root, "l_returnflag", "R", "R")
+    assert nread == 1 and nskip == len(flags) - 1
+    want = li.filter(F.col("l_returnflag") == "R")
+    assert df.count() == want.count()
+    assert df.select("l_returnflag").distinct().collect()[0][0] == "R"
+    # full range keeps everything; whole-table read agrees with source
+    df2, nread2, nskip2 = read_iceberg_pruned(spark, root, "l_returnflag", "A", "Z")
+    assert (nread2, nskip2) == (len(flags), 0)
+    assert df2.count() == li.count()
