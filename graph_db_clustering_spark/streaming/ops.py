@@ -125,6 +125,7 @@ def click_purchase_join(
     events: DataFrame,
     max_delay: str = "2 hours",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: each click paired with the same user's
     purchases within [click_ts, click_ts + max_delay] — the canonical
@@ -138,6 +139,13 @@ def click_purchase_join(
     range predicate becomes a plain theta-join filter.
 
     Output: (user_id, click_id, purchase_id, click_ts, purchase_ts).
+
+    ``how="leftOuter"`` (round 9) emits UNMATCHED clicks too — with
+    null purchase columns — but only once the watermark passes
+    click_ts + max_delay (the engine must prove no purchase can still
+    arrive before it may declare the click unconverted; that proof is
+    exactly the watermark). Batch form: a plain left join. This is the
+    abandonment/no-conversion readout the inner join cannot express.
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -162,6 +170,6 @@ def click_purchase_join(
         & (purchases["purchase_ts"] >= clicks["click_ts"])
         & (purchases["purchase_ts"] <= clicks["click_ts"] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return clicks.join(purchases, cond, "inner").select(
+    return clicks.join(purchases, cond, how).select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
     )

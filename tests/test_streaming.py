@@ -894,3 +894,97 @@ def test_mv_maintained_by_foreachbatch_matches_batch(spark, replay_dir, tmp_path
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Round 9: the left-outer watermarked stream-stream join. A click
+    with no purchase in its window may only surface (with null purchase
+    columns) once the watermark PASSES click_ts + max_delay — so a
+    later batch whose events push the watermark forward flushes the
+    unconverted clicks from state. Matched pairs behave as in the inner
+    join; the final replay output equals the batch LEFT join."""
+    import datetime as dt
+    import os
+
+    from graph_db_clustering_spark.streaming import click_purchase_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click, never purchases (the row the inner join loses)
+        (1, t0, 1, "click", 1.0),
+        # user 2: click + purchase 10 min later (matched pair)
+        (2, t0, 2, "click", 1.0),
+        (3, t0 + dt.timedelta(minutes=10), 2, "purchase", 5.0),
+    ]
+    # pusher batches must advance BOTH sides' watermarks (the global
+    # watermark is the MIN over the two withWatermark nodes), so each
+    # carries a click AND an unrelated purchase
+    late = [
+        (4, t0 + dt.timedelta(days=1), 9, "click", 1.0),
+        (14, t0 + dt.timedelta(days=1), 8, "purchase", 1.0),
+    ]
+    later = [
+        # the watermark a batch produces only takes effect at the NEXT
+        # trigger, and this engine applies it with one further batch of
+        # lag — two extra pusher chunks give it the triggers it needs
+        # to evict user 1's click and emit it with nulls
+        (5, t0 + dt.timedelta(days=2), 9, "click", 1.0),
+        (15, t0 + dt.timedelta(days=2), 8, "purchase", 1.0),
+    ]
+    latest = [
+        (6, t0 + dt.timedelta(days=3), 9, "click", 1.0),
+        (16, t0 + dt.timedelta(days=3), 8, "purchase", 1.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    replay = str(tmp_path / "replay_outer")
+    os.makedirs(replay)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "b1")
+    )
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(
+        str(tmp_path / "b2")
+    )
+    spark.createDataFrame(later, schema).coalesce(1).write.parquet(
+        str(tmp_path / "b3")
+    )
+    spark.createDataFrame(latest, schema).coalesce(1).write.parquet(
+        str(tmp_path / "b4")
+    )
+    import shutil
+    import time as _time
+
+    for i, src in enumerate(("b1", "b2", "b3", "b4")):
+        part = [
+            f for f in os.listdir(tmp_path / src) if f.endswith(".parquet")
+        ][0]
+        dest = os.path.join(replay, f"chunk-{i}.parquet")
+        shutil.copy(str(tmp_path / src / part), dest)
+        os.utime(dest, (int(_time.time()) - 4 + i,) * 2)
+
+    stream = read_events_stream(spark, replay, max_files_per_trigger=1)
+    res = run_available_now(
+        click_purchase_join(
+            stream, max_delay="2 hours", watermark="5 minutes", how="leftOuter"
+        ),
+        "append",
+        "ss_outer_final",
+        str(tmp_path),
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id) for r in res.collect()
+    }
+    # matched pair present; user 1's click present with NULL purchase
+    assert (2, 2, 3) in got
+    assert (1, 1, None) in got
+    # batch parity: identical expression as a batch left join
+    batch = spark.createDataFrame(rows + late + later + latest, schema)
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in click_purchase_join(batch, how="leftOuter").collect()
+    }
+    # the streaming output may still hold back rows the watermark has
+    # not cleared (the final click at t0+1d has no flush after it)
+    assert got <= want
+    assert {(1, 1, None), (2, 2, 3)} <= got
