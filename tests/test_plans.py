@@ -507,3 +507,27 @@ def test_round8_join_and_ml_entries_no_cartesian_no_python(spark):
         plan = plan_of(QUERIES[key](spark, SF))
         assert "CartesianProduct" not in plan, key
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+
+
+def test_round9_entries_plan_shape(spark):
+    """Round-9 entries: the pure-Catalyst ones (HLL registers/estimate,
+    seasonal decomposition) never call Python and never plan a
+    cartesian; fuzzy_names' blocked linkage joins on the block key (an
+    equi-join, no CartesianProduct despite the pairwise definition) and
+    crosses into Python only via Arrow (mapInPandas, never
+    row-at-a-time BatchEvalPython); hll_distinct partial-aggregates
+    map-side."""
+    for key in ("hll_distinct", "events_decompose"):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, key
+        assert "CartesianProduct" not in plan, key
+    assert "partial" in plan_of(QUERIES["hll_distinct"](spark, SF))
+    for key in ("fuzzy_names", "entity_resolution"):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "CartesianProduct" not in plan, key
+        assert "BatchEvalPython" not in plan, key  # Arrow only
+    # events_ets: the sequential recurrence is ONE grouped Arrow
+    # crossing over the days-sized aggregate, not a per-row UDF
+    ets_plan = plan_of(QUERIES["events_ets"](spark, SF))
+    assert "FlatMapGroupsInPandas" in ets_plan or "ArrowEvalPython" in ets_plan
+    assert "BatchEvalPython" not in ets_plan
