@@ -2469,3 +2469,63 @@ def entity_resolution(spark, sf_dir):
         p, "p_partkey", "p_name", ["p_brand"], min_sim=0.88
     ).select(F.col("key_1").alias("id1"), F.col("key_2").alias("id2"))
     return dedup.cluster_pairs(p, "p_partkey", pairs).orderBy("p_partkey")
+
+
+@declared(
+    "hard_negatives",
+    """WITH e AS (SELECT vec_id, label, embedding,
+       SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * x)))
+         AS nrm
+  FROM embeddings WHERE vec_id < 300),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+             i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+           / (a.nrm * b.nrm), 6) AS cos
+  FROM e a JOIN e b ON a.label <> b.label),
+rk AS (SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
+       FROM pairs)
+SELECT qid, nid AS hard_neg, cos AS sim FROM rk WHERE r = 1 ORDER BY qid""",
+)
+def hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training data (round 9):
+    for each anchor embedding, the single most-similar vector with a
+    DIFFERENT label — the pairs a contrastive loss learns most from
+    (easy negatives are already far; hard ones sit just across the
+    boundary). Brute-force cosine over a capped anchor set is the
+    exact baseline (the same contract as similarity_topk); the
+    ANN-accelerated swap at 100 TB is ivfpq_search with a
+    label-mismatch post-filter over a deeper shortlist. Ranking
+    happens on the 6-decimal-rounded similarity so the two engines'
+    float summation order cannot flap the argmax; ties break on the
+    lower vec_id in both."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", "label", "embedding"
+    )
+    a = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("ne"),
+    )
+    from graph_db_clustering_spark.functions.vectors import cosine_similarity
+
+    pairs = a.join(b, F.col("qlabel") != F.col("nlabel")).select(
+        "qid", "nid",
+        F.round(cosine_similarity(F.col("qe"), F.col("ne")), 6).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("qid", F.col("nid").alias("hard_neg"), F.col("cos").alias("sim"))
+        .orderBy("qid")
+    )
