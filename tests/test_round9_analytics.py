@@ -143,3 +143,34 @@ def test_parquet_footer_pruning(spark, tmp_path):
     # fully disjoint range: loud error, not a silent empty frame
     with _pytest.raises(ParquetStatsError, match="every file pruned"):
         read_parquet_pruned(spark, d1, "o_totalprice", -100.0, -50.0)
+
+
+def test_hard_negatives_planted_geometry(spark):
+    """A vector nearly identical to an anchor but carrying a different
+    label MUST be that anchor's hard negative; a same-label twin must
+    not be (label mismatch is part of the contract)."""
+    from graph_db_clustering_spark.queries.corpus import QUERIES as LQ
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    rows = []
+    # anchor 0 (label 0); 1 = near-twin with label 1 (the hard negative);
+    # 2 = exact-twin with label 0 (same label: must be ignored);
+    # 3..20 = far random vectors with label 1
+    rows.append((0, [float(x) for x in base], 0))
+    rows.append((1, [float(x) for x in base + 0.01 * rng.normal(size=64)], 1))
+    rows.append((2, [float(x) for x in base], 0))
+    for i in range(3, 21):
+        rows.append((i, [float(x) for x in rng.normal(size=64)], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    # reuse the declared entry against the synthetic dir (catalog reads
+    # <dir>/embeddings.parquet)
+    out = {r.qid: (r.hard_neg, r.sim) for r in LQ["hard_negatives"](spark, d).collect()}
+    assert out[0][0] == 1 and out[0][1] > 0.99
+    assert out[2][0] == 1  # the exact same-label twin is skipped
