@@ -3537,3 +3537,55 @@ def events_decompose(spark, sf_dir):
         )
         .orderBy("dow")
     )
+
+
+@declared(
+    "orders_cohort",
+    """WITH fo AS (SELECT o_custkey,
+       DATE_TRUNC('month', MIN(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey),
+act AS (SELECT DISTINCT o.o_custkey, f.cohort,
+        (EXTRACT(YEAR FROM o.o_orderdate) - EXTRACT(YEAR FROM f.cohort)) * 12
+        + (EXTRACT(MONTH FROM o.o_orderdate) - EXTRACT(MONTH FROM f.cohort))
+          AS offs
+  FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey)
+SELECT CAST(cohort AS VARCHAR) AS cohort_month,
+       CAST(offs AS BIGINT) AS month_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM act WHERE offs <= 6
+GROUP BY cohort, offs ORDER BY cohort, offs""",
+)
+def orders_cohort(spark, sf_dir):
+    """Monthly cohort retention (round 9): customers grouped by their
+    FIRST order's month, then counted distinct per (cohort, month
+    offset) for the first 6 offsets — the classic retention triangle
+    behind every growth dashboard. Two hash aggregates and one
+    customer-keyed join; the cohort frame is customer-sized, the
+    triangle months-sized."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    fo = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    act = (
+        o.join(fo, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).alias("offs"),
+        )
+        .distinct()
+    )
+    return (
+        act.filter(F.col("offs") <= 6)
+        .groupBy("cohort", "offs")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(
+            F.col("cohort").cast("string").alias("cohort_month"),
+            F.col("offs").cast("long").alias("month_offset"),
+            "n_customers",
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
