@@ -3589,3 +3589,67 @@ def orders_cohort(spark, sf_dir):
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@declared(
+    "scd2_intervals",
+    """WITH o AS (SELECT user_id, event_type, ts, event_id,
+       CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+            THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (SELECT user_id, event_type, ts,
+       SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS run
+  FROM o),
+runs AS (SELECT user_id, event_type, run, MIN(ts) AS valid_from
+         FROM r GROUP BY user_id, event_type, run),
+iv AS (SELECT user_id, event_type, valid_from,
+        LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          AS valid_to
+  FROM runs)
+SELECT user_id, event_type,
+       STRFTIME(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       COALESCE(STRFTIME(valid_to, '%Y-%m-%d %H:%M:%S.%f'), 'current')
+         AS valid_to
+FROM iv ORDER BY user_id, valid_from""",
+)
+def scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type-2 interval builder (round 9):
+    each user's event stream collapses into runs of constant
+    event_type (gaps-and-islands: a change flag per row, running sum =
+    run id), each run becoming one SCD2 row with [valid_from,
+    valid_to) — valid_to = the next run's start, 'current' for the
+    open run. The warehouse-standard history compaction: one window
+    pass + one aggregate, all user-partitioned (no global window at
+    100 TB)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+        ).otherwise(1),
+    )
+    r = o.withColumn(
+        "run",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = r.groupBy("user_id", "event_type", "run").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("valid_from", fmt).alias("valid_from"),
+            F.coalesce(
+                F.date_format("valid_to", fmt), F.lit("current")
+            ).alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

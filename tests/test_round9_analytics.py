@@ -174,3 +174,31 @@ def test_hard_negatives_planted_geometry(spark):
     out = {r.qid: (r.hard_neg, r.sim) for r in LQ["hard_negatives"](spark, d).collect()}
     assert out[0][0] == 1 and out[0][1] > 0.99
     assert out[2][0] == 1  # the exact same-label twin is skipped
+
+
+def test_jaro_winkler_property_parity_with_duckdb():
+    """Property test: on RANDOM strings (including repeats, empties,
+    and shared prefixes) our scorer and DuckDB's builtin agree to the
+    last double — the strongest external check available for a metric
+    with fiddly window/transposition rules."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graph_db_clustering_spark.operators.text import jaro_winkler
+
+    con = duckdb.connect()
+    alphabet = st.sampled_from("abcxy z")
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet=alphabet, max_size=12),
+        st.text(alphabet=alphabet, max_size=12),
+    )
+    def check(a, b):
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - want) < 1e-12, (a, b)
+
+    check()
