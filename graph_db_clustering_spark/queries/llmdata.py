@@ -2529,3 +2529,117 @@ def hard_negatives(spark, sf_dir):
         .select("qid", F.col("nid").alias("hard_neg"), F.col("cos").alias("sim"))
         .orderBy("qid")
     )
+
+
+@declared(
+    "minhash_estimate",
+    """WITH d AS (SELECT doc_id,
+       LIST_DISTINCT(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS toks
+  FROM documents WHERE doc_id < 80),
+sg AS (SELECT doc_id, toks,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('0:' || t))) AS s0,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('1:' || t))) AS s1,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('2:' || t))) AS s2,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('3:' || t))) AS s3,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('4:' || t))) AS s4,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('5:' || t))) AS s5,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('6:' || t))) AS s6,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('7:' || t))) AS s7,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('8:' || t))) AS s8,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('9:' || t))) AS s9,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('10:' || t))) AS s10,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('11:' || t))) AS s11,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('12:' || t))) AS s12,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('13:' || t))) AS s13,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('14:' || t))) AS s14,
+    LIST_MIN(LIST_TRANSFORM(toks, t -> md5('15:' || t))) AS s15 FROM d),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         (CASE WHEN a.s0 = b.s0 THEN 1 ELSE 0 END
+         + CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END
+         + CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END
+         + CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END
+         + CASE WHEN a.s4 = b.s4 THEN 1 ELSE 0 END
+         + CASE WHEN a.s5 = b.s5 THEN 1 ELSE 0 END
+         + CASE WHEN a.s6 = b.s6 THEN 1 ELSE 0 END
+         + CASE WHEN a.s7 = b.s7 THEN 1 ELSE 0 END
+         + CASE WHEN a.s8 = b.s8 THEN 1 ELSE 0 END
+         + CASE WHEN a.s9 = b.s9 THEN 1 ELSE 0 END
+         + CASE WHEN a.s10 = b.s10 THEN 1 ELSE 0 END
+         + CASE WHEN a.s11 = b.s11 THEN 1 ELSE 0 END
+         + CASE WHEN a.s12 = b.s12 THEN 1 ELSE 0 END
+         + CASE WHEN a.s13 = b.s13 THEN 1 ELSE 0 END
+         + CASE WHEN a.s14 = b.s14 THEN 1 ELSE 0 END
+         + CASE WHEN a.s15 = b.s15 THEN 1 ELSE 0 END) / 16.0 AS est,
+         LEN(LIST_INTERSECT(a.toks, b.toks))
+           / CAST(LEN(a.toks) + LEN(b.toks)
+                  - LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE) AS exact
+  FROM sg a JOIN sg b ON a.doc_id < b.doc_id)
+SELECT id1, id2, ROUND(est, 4) AS est_jaccard, ROUND(exact, 6) AS exact_jaccard
+FROM pairs WHERE exact >= 0.5 ORDER BY id1, id2""",
+)
+def minhash_estimate(spark, sf_dir):
+    """MinHash Jaccard ESTIMATION accuracy made visible (round 9): 16
+    deterministic md5 min-hashes per document over its distinct token
+    set; for every capped pair the estimate (matching signature rows /
+    16) sits beside the exact Jaccard — the unbiasedness the LSH dedup
+    tier banks on, as data instead of as a citation. Deterministic
+    hashing means the oracle rebuilds every signature row byte-for-
+    byte (the estimate matches exactly, not within a tolerance band);
+    the exact side filters the pair set so both engines select
+    identical rows (integer-ratio Jaccard is float-stable)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("toks"),
+        )
+    )
+    # NB: a two-parameter lambda in F.transform means (element, INDEX) —
+    # a default-arg closure (lambda t, j=j: ...) silently receives the
+    # array index as j. A one-arg factory avoids the trap.
+    def _hash_j(j):
+        return lambda t: F.md5(F.concat(F.lit(f"{j}:"), t))
+
+    sig = d.select(
+        "doc_id",
+        "toks",
+        *[
+            F.array_min(F.transform("toks", _hash_j(j))).alias(f"s{j}")
+            for j in range(16)
+        ],
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id1"),
+        F.col("toks").alias("t1"),
+        *[F.col(f"s{j}").alias(f"a{j}") for j in range(16)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id2"),
+        F.col("toks").alias("t2"),
+        *[F.col(f"s{j}").alias(f"b{j}") for j in range(16)],
+    )
+    inter = F.size(F.array_intersect("t1", "t2")).cast("double")
+    exact = inter / (F.size("t1") + F.size("t2") - inter)
+    est = sum(
+        [
+            F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+            for j in range(16)
+        ],
+        F.lit(0),
+    ) / 16.0
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            exact.alias("__exact_raw"),
+        )
+        .filter(F.col("__exact_raw") >= 0.5)
+        .drop("__exact_raw")
+        .orderBy("id1", "id2")
+    )
