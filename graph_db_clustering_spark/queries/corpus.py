@@ -3654,74 +3654,3 @@ def scd2_intervals(spark, sf_dir):
         .orderBy("user_id", "valid_from")
     )
 
-
-@declared(
-    "events_pivot",
-    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
-       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
-       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
-       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
-       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
-       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
-FROM events GROUP BY CAST(ts AS DATE) ORDER BY d""",
-)
-def events_pivot(spark, sf_dir):
-    """PIVOT — long-to-wide reshaping (round 9): daily counts fanned
-    into one column per event type via the native groupBy().pivot()
-    with an EXPLICIT value list (the two-pass distinct-scan form is a
-    scale anti-pattern; naming the values keeps it one aggregate with
-    map-side partials). The oracle states the same table as
-    conditional aggregates — the engine-portable pivot."""
-    e = _t(spark, sf_dir, "events")
-    types = ["click", "error", "purchase", "signup", "view"]
-    return (
-        e.groupBy(F.col("ts").cast("date").alias("d"))
-        .pivot("event_type", types)
-        .count()
-        .select(
-            F.col("d").cast("string").alias("d"),
-            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
-        )
-        .orderBy("d")
-    )
-
-
-@declared(
-    "lineitem_unpivot",
-    """SELECT l_orderkey, l_linenumber, measure, value FROM (
-  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
-         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
-  UNION ALL
-  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
-  UNION ALL
-  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
-  UNION ALL
-  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
-WHERE l_orderkey < 40 ORDER BY l_orderkey, l_linenumber, measure""",
-)
-def lineitem_unpivot(spark, sf_dir):
-    """UNPIVOT / melt — wide-to-long reshaping (round 9): the four
-    lineitem measures become (measure, value) rows via the native
-    unpivot() (STACK under the hood: a generator expression, NO
-    shuffle and no data blow-up beyond the 4x row fan-out). The
-    oracle is the portable UNION ALL statement of the same melt."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") < 40)
-        .select(
-            "l_orderkey", "l_linenumber",
-            F.col("l_quantity").cast("double").alias("quantity"),
-            F.col("l_extendedprice").alias("extendedprice"),
-            F.col("l_discount").alias("discount"),
-            F.col("l_tax").alias("tax"),
-        )
-    )
-    return (
-        li.unpivot(
-            ["l_orderkey", "l_linenumber"],
-            ["quantity", "extendedprice", "discount", "tax"],
-            "measure",
-            "value",
-        )
-        .orderBy("l_orderkey", "l_linenumber", "measure")
-    )
