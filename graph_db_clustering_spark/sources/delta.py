@@ -174,6 +174,37 @@ def _partition_types(meta: dict | None) -> dict:
     return {c: types.get(c, StringType()) for c in cols}
 
 
+def _pv_python(val: str, dtype) -> object:
+    """Cast a partition VALUE string from the log to the Python analog
+    of its schema type, so pruning comparisons are typed — raw-string
+    compares against numeric bounds either never fire (TypeError) or
+    fire wrongly (lexicographic '10' < '2'). Raises on malformed input;
+    callers treat any failure as keep-the-file."""
+    from pyspark.sql import types as T
+
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return int(val)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(val)
+    if isinstance(dtype, T.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(val)
+    if isinstance(dtype, T.BooleanType):
+        return val.lower() == "true"
+    if isinstance(dtype, T.DateType):
+        import datetime
+
+        return datetime.date.fromisoformat(val)
+    if isinstance(dtype, T.TimestampType):
+        import datetime
+
+        return datetime.datetime.fromisoformat(val)
+    return val
+
+
 def _read_adds(
     spark: SparkSession, path: str, adds: list, meta: dict | None
 ) -> DataFrame:
@@ -201,6 +232,22 @@ def _read_adds(
                 else F.lit(None).cast(ptypes[col])
             )
         out = df if out is None else out.unionByName(df)
+    # Injected partition columns land AFTER the data-file columns;
+    # restore the metaData schemaString order so partitioned and
+    # unpartitioned reads of the same schema agree positionally
+    # (exceptAll, positional writes, hash compares).
+    if meta and meta.get("schemaString"):
+        from pyspark.sql.types import StructType
+
+        declared = [
+            f.name
+            for f in StructType.fromJson(
+                json.loads(meta["schemaString"])
+            ).fields
+            if f.name in out.columns
+        ]
+        extra = [c for c in out.columns if c not in declared]
+        out = out.select(*declared, *extra)
     return out
 
 
@@ -389,6 +436,7 @@ def read_delta_pruned(
     100 TB win: a range query on a clustered/partitioned column opens
     a handful of files instead of the table."""
     files, meta = _replay(path, version)
+    ptypes = _partition_types(meta)
     keep, skipped = [], 0
     for p in sorted(files):
         a = files[p]
@@ -401,9 +449,18 @@ def read_delta_pruned(
             if column in mv and column in xv:
                 disjoint = xv[column] < lo or mv[column] > hi
             elif column in pv and pv[column] is not None:
-                disjoint = pv[column] < lo or pv[column] > hi
-        except TypeError:
-            disjoint = False  # incomparable stat types: never skip
+                # Log partitionValues are always strings: type them from
+                # the schema before comparing, else numeric bounds never
+                # match (TypeError) and string bounds compare
+                # lexicographically and can wrongly DROP a live file.
+                v = (
+                    _pv_python(pv[column], ptypes[column])
+                    if column in ptypes
+                    else pv[column]
+                )
+                disjoint = v < lo or v > hi
+        except (TypeError, ValueError, ArithmeticError):
+            disjoint = False  # unconvertible/incomparable: never skip
         if disjoint:
             skipped += 1
             continue

@@ -303,6 +303,15 @@ def read_sqlite(
     from pyspark.sql import functions as F
 
     files = read_binary_dir(spark, path, glob)
+    if glob and not glob.endswith("*"):
+        # A glob like '*.db' lists main files but NOT their 'x.db-wal'
+        # siblings; without the WAL a live database silently reads its
+        # stale pre-checkpoint image (committed rows missing, deleted
+        # rows resurrected). List the -wal siblings explicitly and
+        # union; dropDuplicates keeps globs that already matched them
+        # (the default '*.sqlite*') from double-counting.
+        wal_sibs = read_binary_dir(spark, path, glob + "-wal")
+        files = files.unionByName(wal_sibs).dropDuplicates(["path"])
     firsts = (
         files.filter(~F.col("path").rlike(_SIBLING_RE))
         .select("path", "content")

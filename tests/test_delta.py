@@ -287,3 +287,61 @@ def test_delta_checkpoint_carries_stats_and_append_version(spark, tmp_path):
     # a pruned read whose range spans everything reads all three
     _, nread_all, nskip_all = read_delta_pruned(spark, table, "l_quantity", 0, 100)
     assert (nread_all, nskip_all) == (3, 0)
+
+
+def test_delta_pruned_typed_partition_values(spark, tmp_path):
+    """ADVICE r9: log partitionValues are strings; pruning must compare
+    them TYPED. The trap: value '10' vs range 3..11 is lexicographically
+    disjoint ('10' < '3') — an untyped compare silently DROPS the
+    partition's rows; a numeric-bound compare on raw strings never
+    prunes at all (TypeError keep-path)."""
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        delta_file_stats,
+        read_delta_pruned,
+    )
+
+    # integer partition column with values whose string forms sort
+    # differently than their numeric forms would need: include 10
+    src = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_linenumber")
+        .withColumn(
+            "bucket",
+            F.when(F.col("l_linenumber") <= 2, F.col("l_linenumber") * 2)
+            .otherwise(F.lit(10)),
+        )
+    )
+    table = str(tmp_path / "ipt")
+    delta_append(spark, src, table, partition_by=["bucket"])
+    stats = delta_file_stats(table)
+    pv = {s["partitionValues"]["bucket"] for s in stats}
+    assert "10" in pv and "2" in pv  # string-typed in the log, per spec
+    # numeric range [3, 11]: partition 10 MUST be kept (lexicographic
+    # '10' < '3' would drop it), partition 2 skipped
+    df, nread, nskip = read_delta_pruned(spark, table, "bucket", 3, 11)
+    assert nskip > 0  # typed compare actually fires on numeric bounds
+    want = src.filter(F.col("bucket").between(3, 11))
+    assert df.filter(F.col("bucket").between(3, 11)).count() == want.count()
+    assert want.filter(F.col("bucket") == 10).count() > 0
+    # exact numeric point read on the trap value
+    df10, nread10, nskip10 = read_delta_pruned(spark, table, "bucket", 10, 10)
+    assert nskip10 >= 2
+    assert df10.count() == src.filter(F.col("bucket") == 10).count()
+
+
+def test_delta_partitioned_column_order_matches_schema(spark, tmp_path):
+    """ADVICE r9: injected partition columns must come back in the
+    metaData schemaString position (here: the MIDDLE column), not
+    appended last — positional consumers see one schema regardless of
+    partitioning."""
+    from graph_db_clustering_spark.sources.delta import delta_append
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = str(tmp_path / "ord")
+    delta_append(spark, o, table, partition_by=["o_orderpriority"])
+    back = read_delta(spark, table)
+    assert back.columns == ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    assert back.exceptAll(o).count() == 0 and o.exceptAll(back).count() == 0

@@ -205,3 +205,38 @@ def test_sqlite_wal_ignores_uncommitted_tail(spark, tmp_path):
     assert read_sqlite(spark, str(live_dir), "t", glob="torn.sqlite*").count() == 50
     assert n < 50
     con.close()
+
+
+def test_sqlite_wal_sibling_found_with_narrow_glob(spark, tmp_path):
+    """ADVICE r9: a glob like '*.db' lists main files but not their
+    'x.db-wal' siblings; the reader must load the -wal explicitly or a
+    live database silently reads its stale pre-checkpoint image."""
+    import shutil
+
+    src = str(tmp_path / "live.db")
+    con = sqlite3.connect(src)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute("CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, f"r{i}") for i in range(1, 51)]
+    )
+    con.commit()
+    con.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+    # frames that live ONLY in the -wal sibling
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, f"r{i}") for i in range(51, 101)]
+    )
+    con.execute("DELETE FROM t WHERE a <= 5")
+    con.commit()
+    want = sorted(con.execute("SELECT a, b FROM t").fetchall())
+    d = tmp_path / "narrow"
+    d.mkdir()
+    shutil.copy(src, d / "live.db")
+    shutil.copy(src + "-wal", d / "live.db-wal")
+    con.close()
+    # the narrow glob does NOT match the -wal name itself
+    df = read_sqlite(spark, str(d), "t", glob="*.db")
+    got = sorted((r.a, r.b) for r in df.collect())
+    assert got == [tuple(w) for w in want]
+    assert len(got) == 95 and got[0][0] == 6
