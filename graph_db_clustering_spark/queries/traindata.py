@@ -1383,3 +1383,88 @@ def iceberg_partitioned(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "iceberg_transforms",
+    """SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS sd,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_shipdate IN (SELECT DISTINCT l_shipdate FROM lineitem
+                     ORDER BY l_shipdate LIMIT 4 OFFSET 2)
+  AND l_quantity < 45
+GROUP BY 1 ORDER BY 1""",
+)
+def iceberg_transforms(spark, sf_dir):
+    """Iceberg non-identity partition transforms end-to-end (round 10,
+    sources/iceberg): a day(l_shipdate) x bucket[2](l_suppkey) table
+    over lineitem's 8 earliest ship days, written by the repo's OWN
+    writer (write_iceberg: one partitionBy job, spec Murmur3 buckets),
+    then a position-delete snapshot removes every l_quantity >= 45 row
+    (iceberg_add_position_deletes), then a PRUNED read maps the date
+    bounds through the day transform — the entry raises if the
+    manifest pruned nothing — and the surviving scan must still apply
+    the deletes. The oracle filters lineitem directly: the middle 4
+    ship days, quantity < 45."""
+    import atexit
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_add_position_deletes,
+        read_iceberg_pruned,
+        write_iceberg,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    dates = sorted(
+        r[0]
+        for r in li.select("l_shipdate")
+        .distinct()
+        .orderBy("l_shipdate")
+        .limit(8)
+        .collect()
+    )
+    li8 = li.filter(F.col("l_shipdate").isin(dates))
+    root = os.path.join(tempfile.gettempdir(), f"gdc_icetrf_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    write_iceberg(
+        spark, li8, t,
+        partition_by=[
+            ("sd_day", "day", "l_shipdate"),
+            ("sk_bucket", "bucket[2]", "l_suppkey"),
+        ],
+    )
+    dels = (
+        spark.read.parquet(
+            *sorted(_glob.glob(os.path.join(t, "data", "*.parquet")))
+        )
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "l_quantity",
+        )
+        .filter(F.col("l_quantity") >= 45)
+        .select("file_path", "pos")
+    )
+    iceberg_add_position_deletes(spark, t, dels)
+    lo, hi = dates[2], dates[5]
+    dt, _nread, nskip = read_iceberg_pruned(spark, t, "l_shipdate", lo, hi)
+    if nskip == 0:
+        raise AssertionError("iceberg_transforms: day pruning skipped 0 files")
+    return (
+        dt.filter(F.col("l_shipdate").between(lo, hi))
+        .groupBy(F.to_date("l_shipdate").cast("string").alias("sd"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("sd")
+    )

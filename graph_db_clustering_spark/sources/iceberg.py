@@ -23,13 +23,18 @@ Row-level deletes (round 9, format v2 merge-on-read):
   bounded by commit count, not file count) so the inequality rides the
   anti-join condition JVM-side.
 
-Partitioning: IDENTITY-transform partition specs are supported — per
-the spec, Iceberg data files RETAIN partition columns (unlike hive
-layouts), so reads need no column injection; non-identity transforms
-(bucket/truncate/day/...) raise loudly.
+Partitioning (round 10): identity AND the spec's non-identity
+transforms are supported — `bucket[N]` (32-bit Murmur3 over the
+spec's per-type byte encodings, Appendix B), `truncate[W]`,
+`year`/`month`/`day`/`hour` (epoch ordinals), and `void`. Per the
+spec, Iceberg data files RETAIN source columns (unlike hive layouts),
+so reads need no column injection regardless of transform; the
+transform matters for PRUNING: `read_iceberg_pruned` maps source
+bounds through monotonic transforms (truncate, time ordinals) to
+manifest-value bounds, and point queries through `bucket`. Unknown
+transforms still raise loudly.
 
-Remaining loud gates: parquet file format only; non-identity
-transforms.
+Remaining loud gates: parquet file format only; unknown transforms.
 
 Like sources/delta: only the KB-scale metadata replays on the driver;
 the data scan is handed to the native parquet reader, fully
@@ -53,7 +58,180 @@ class IcebergError(ValueError):
 
 
 def _strip_scheme(p: str) -> str:
-    return re.sub(r"^file:/{0,2}", "/", p) if p.startswith("file:") else p
+    # Collapse ANY number of scheme slashes (file:/x, file:///x) to one
+    # canonical leading slash so both sides of a delete-file anti-join
+    # normalize identically regardless of the writer's URI rendering.
+    return re.sub(r"^file:/*", "/", p) if p.startswith("file:") else p
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public-domain algorithm; the hash the
+    Iceberg spec's bucket transform mandates, Appendix B). Returns the
+    SIGNED int32, matching the spec's published test vectors."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4 :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= 1 << 31 else h
+
+
+def _bucket_bytes(v) -> bytes:
+    """The spec's per-type byte encoding for bucket hashing (Appendix
+    B): int/long/date/time/timestamp as the little-endian 8-byte long,
+    string as UTF-8, decimal as minimal big-endian two's complement of
+    the unscaled value, uuid as its 16 bytes, binary raw; double bits
+    for floats (-0.0 normalized)."""
+    import datetime
+    import struct
+    import uuid as _uuid
+    from decimal import Decimal
+
+    if isinstance(v, bool):
+        raise NotImplementedError("iceberg: bucket over boolean")
+    if isinstance(v, int):
+        return (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        micros = (v - epoch) // datetime.timedelta(microseconds=1)
+        return (micros & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    if isinstance(v, datetime.date):
+        days = (v - datetime.date(1970, 1, 1)).days
+        return (days & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    if isinstance(v, Decimal):
+        unscaled = int(v.scaleb(-v.as_tuple().exponent).to_integral_value())
+        for length in range(1, 33):
+            try:
+                return unscaled.to_bytes(length, "big", signed=True)
+            except OverflowError:
+                continue
+        raise IcebergError("iceberg: decimal unscaled value too wide")
+    if isinstance(v, float):
+        if v == 0.0:
+            v = 0.0  # normalize -0.0, per spec
+        (bits,) = struct.unpack("<q", struct.pack("<d", v))
+        return (bits & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    if isinstance(v, _uuid.UUID):
+        return v.bytes
+    raise NotImplementedError(f"iceberg: bucket over {type(v).__name__}")
+
+
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNC_RE = re.compile(r"^truncate\[(\d+)\]$")
+_TIME_TRANSFORMS = {
+    "year": "year", "years": "year",
+    "month": "month", "months": "month",
+    "day": "day", "days": "day",
+    "hour": "hour", "hours": "hour",
+}
+
+
+def iceberg_transform(transform: str, v):
+    """Apply a partition transform to a source VALUE, per the spec:
+    identity; void -> null; bucket[N] = (murmur3 & MAX_INT) % N over
+    the type's byte encoding; truncate[W] floors ints to W-multiples
+    and prefixes strings/binary to W units; year/month/day/hour map
+    date/timestamp to their ordinal since epoch (floored, so pre-1970
+    values are negative). Used by pruning to map query bounds into
+    manifest partition-value space."""
+    import datetime
+
+    if v is None:
+        return None
+    if transform == "identity":
+        return v
+    if transform == "void":
+        return None
+    m = _BUCKET_RE.match(transform)
+    if m:
+        return (_murmur3_32(_bucket_bytes(v)) & 0x7FFFFFFF) % int(m.group(1))
+    m = _TRUNC_RE.match(transform)
+    if m:
+        w = int(m.group(1))
+        if w <= 0:
+            raise IcebergError(f"iceberg: truncate width {w}")
+        if isinstance(v, bool):
+            raise NotImplementedError("iceberg: truncate over boolean")
+        if isinstance(v, int):
+            return v - (v % w)  # Python % is floored: spec semantics
+        if isinstance(v, str):
+            return v[:w]
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)[:w]
+        from decimal import Decimal
+
+        if isinstance(v, Decimal):
+            scale = -v.as_tuple().exponent
+            unscaled = int(v.scaleb(scale).to_integral_value())
+            return Decimal(unscaled - (unscaled % w)).scaleb(-scale)
+        raise NotImplementedError(
+            f"iceberg: truncate over {type(v).__name__}"
+        )
+    gran = _TIME_TRANSFORMS.get(transform)
+    if gran:
+        if isinstance(v, datetime.datetime):
+            d, hh = v.date(), v.hour
+        elif isinstance(v, datetime.date):
+            d, hh = v, 0
+        else:
+            raise NotImplementedError(
+                f"iceberg: {transform} over {type(v).__name__}"
+            )
+        if gran == "year":
+            return d.year - 1970
+        if gran == "month":
+            return (d.year - 1970) * 12 + (d.month - 1)
+        days = (d - datetime.date(1970, 1, 1)).days
+        return days if gran == "day" else days * 24 + hh
+    raise NotImplementedError(
+        f"iceberg: partition transform {transform!r} not supported"
+    )
+
+
+def _validate_transform(transform: str) -> None:
+    if (
+        transform in ("identity", "void")
+        or transform in _TIME_TRANSFORMS
+        or _BUCKET_RE.match(transform)
+        or _TRUNC_RE.match(transform)
+    ):
+        return
+    raise NotImplementedError(
+        f"iceberg: partition transform {transform!r} not supported"
+    )
+
+
+def _spec_fields(meta: dict) -> list[dict]:
+    """Partition-spec fields of the table's default (or only) spec."""
+    specs = meta.get("partition-specs") or []
+    if not specs:
+        return []
+    sid = meta.get("default-spec-id")
+    spec = next((s for s in specs if s.get("spec-id") == sid), specs[-1])
+    return spec.get("fields") or []
 
 
 def _metadata_file(path: str) -> str:
@@ -108,11 +286,7 @@ def _snapshot_entries(
         meta = json.load(f)
     for spec in meta.get("partition-specs", []) or []:
         for fld in spec.get("fields") or []:
-            if fld.get("transform") != "identity":
-                raise NotImplementedError(
-                    "iceberg: partition transform "
-                    f"{fld.get('transform')!r} not supported (identity only)"
-                )
+            _validate_transform(fld.get("transform") or "identity")
     snaps = meta.get("snapshots", []) or []
     if not snaps:
         raise IcebergError(f"iceberg: no snapshots in {path}")
@@ -163,7 +337,7 @@ def iceberg_live_files(path: str, snapshot_id: int | None = None) -> list[str]:
     return sorted({d["path"] for d in data})
 
 
-_FP_NORM = r"^file:/{0,2}"
+_FP_NORM = r"^file:/*"
 
 
 def read_iceberg(
@@ -185,25 +359,59 @@ def read_iceberg_pruned(
     hi,
     snapshot_id: int | None = None,
 ) -> tuple[DataFrame, int, int]:
-    """Partition pruning for identity-partitioned tables: keep only the
-    data files whose manifest-entry `partition` value for `column`
-    lies in [lo, hi] (an identity partition value is an exact point —
-    min == max); files without a value for the column are always kept.
-    Delete files are NOT pruned — a position delete aimed at a pruned
-    file simply matches nothing, and equality deletes still apply to
-    the surviving scan, so merge-on-read semantics are preserved.
+    """Manifest-level partition pruning by SOURCE column bounds: a data
+    file is skipped when its manifest-entry `partition` value proves
+    no row can satisfy `column` in [lo, hi]:
+    - identity: the value is an exact point — skip if outside [lo, hi];
+    - truncate / year / month / day / hour (monotonic transforms): map
+      the bounds through the transform and skip if the stored value
+      falls outside [t(lo), t(hi)];
+    - bucket[N] (not order-preserving): point queries only — when
+      lo == hi, skip every file whose value != bucket(lo);
+    - void (or any conversion failure): never skip.
+    Files without a value are always kept — skipping must never drop
+    unknown data. Delete files are NOT pruned — a position delete
+    aimed at a pruned file matches nothing, and equality deletes still
+    apply to the surviving scan, so merge-on-read is preserved.
     Returns (df, files_read, files_skipped). The 100 TB win is the
     manifest's: the pruned files never become scan tasks."""
     data, dels, meta = _snapshot_entries(path, snapshot_id)
+    names = _field_names_by_id(meta)
+    # partition fields computed FROM `column` (source-id match); fall
+    # back to a same-named identity field when the spec is silent
+    pfields = [
+        {
+            "name": f.get("name"),
+            "transform": f.get("transform") or "identity",
+        }
+        for f in _spec_fields(meta)
+        if names.get(f.get("source-id")) == column
+    ] or [{"name": column, "transform": "identity"}]
     keep, skipped = [], 0
     for rec in data:
-        v = (rec.get("partition") or {}).get(column)
+        pv = rec.get("partition") or {}
         disjoint = False
-        if v is not None:
+        for f in pfields:
+            v = pv.get(f["name"])
+            if v is None:
+                continue
+            t = f["transform"]
             try:
-                disjoint = v < lo or v > hi
-            except TypeError:
-                disjoint = False  # incomparable: never skip
+                if t == "identity":
+                    disjoint = v < lo or v > hi
+                elif _BUCKET_RE.match(t):
+                    if lo == hi:  # bucket prunes point queries only
+                        disjoint = v != iceberg_transform(t, lo)
+                elif t != "void":
+                    tlo, thi = (
+                        iceberg_transform(t, lo),
+                        iceberg_transform(t, hi),
+                    )
+                    disjoint = v < tlo or v > thi
+            except (TypeError, ValueError, NotImplementedError):
+                disjoint = False  # unconvertible: never skip
+            if disjoint:
+                break
         if disjoint:
             skipped += 1
         else:
@@ -293,3 +501,383 @@ def _scan_with_deletes(
             scan = scan.join(F.broadcast(del_df), cond, "left_anti")
 
     return scan.drop("__fp", "__pos", "__seq")
+
+
+def iceberg_add_position_deletes(
+    spark: SparkSession, path: str, deletes: DataFrame
+) -> int:
+    """Commit a new snapshot whose manifest carries the current data
+    files (EXISTING) plus one v2 POSITION-delete file built from
+    `deletes` — a DataFrame of (file_path string, pos bigint) pairs,
+    typically produced by scanning the table with `_metadata` and
+    filtering. The delete parquet is data-sized work done by Spark;
+    only the manifest/metadata rewrite is driver-side. Mirrors
+    sources/delta's single-writer commit contract. Returns the new
+    snapshot id."""
+    data, dels, meta = _snapshot_entries(path)
+    if set(deletes.columns) != {"file_path", "pos"}:
+        raise IcebergError(
+            "iceberg: deletes must be (file_path string, pos bigint)"
+        )
+    snaps = meta.get("snapshots") or []
+    new_id = max(s["snapshot-id"] for s in snaps) + 1
+    max_seq = max([d["seq"] for d in data + dels] or [0])
+
+    stage = os.path.join(path, f".stage_del_{new_id}")
+    deletes.coalesce(1).write.mode("overwrite").parquet(stage)
+    src = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+    dest = os.path.join(path, "data", f"delete-{new_id:05d}.parquet")
+    os.replace(os.path.join(stage, src), dest)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    import pyarrow.parquet as pq
+
+    def _avro_val_type(v):
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        return "string"
+
+    # one partition-record schema spanning every live file's tuple
+    pnames: list = []
+    ptypes: dict = {}
+    for rec in data + dels:
+        for k, v in (rec.get("partition") or {}).items():
+            if k not in ptypes:
+                pnames.append(k)
+                ptypes[k] = _avro_val_type(v)
+    entry_fields = [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file", "fields": [
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "content", "type": "int"},
+                {"name": "equality_ids",
+                 "type": {"type": "array", "items": "int"}},
+            ] + ([{"name": "partition", "type": {
+                "type": "record", "name": "r102", "fields": [
+                    {"name": n, "type": ["null", ptypes[n]]}
+                    for n in pnames
+                ]}}] if pnames else []),
+        }},
+    ]
+
+    def _entry(rec, status):
+        e = {
+            "status": status, "sequence_number": rec["seq"],
+            "data_file": {
+                "file_path": rec["path"], "file_format": "PARQUET",
+                "record_count": rec.get("record_count") or 1,
+                "content": rec["content"],
+                "equality_ids": rec.get("equality_ids") or [],
+            }}
+        if pnames:
+            pv = rec.get("partition") or {}
+            e["data_file"]["partition"] = {
+                n: pv.get(n) for n in pnames
+            }
+        return e
+
+    rows = [_entry(r, 0) for r in data] + [_entry(r, 0) for r in dels]
+    rows.append(_entry({
+        "path": dest, "seq": max_seq + 1, "content": 1,
+        "record_count": pq.read_metadata(dest).num_rows,
+        "equality_ids": [], "partition": {},
+    }, 1))
+
+    from graph_db_clustering_spark.sources.avro import encode_container
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": entry_fields,
+    }
+    m = os.path.join(path, "metadata", f"m-del-{new_id:05d}.avro")
+    with open(m, "wb") as f:
+        f.write(encode_container(man_schema, rows, codec="null"))
+    ml = os.path.join(path, "metadata", f"snap-{new_id}.avro")
+    with open(ml, "wb") as f:
+        f.write(encode_container(
+            {"type": "record", "name": "manifest_file", "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+            ]},
+            [{"manifest_path": m, "manifest_length": os.path.getsize(m)}],
+            codec="null",
+        ))
+    meta = dict(meta)
+    meta["snapshots"] = snaps + [
+        {"snapshot-id": new_id, "manifest-list": ml}
+    ]
+    meta["current-snapshot-id"] = new_id
+    mfile = _metadata_file(path)
+    ver = int(re.match(r"v(\d+)", os.path.basename(mfile)).group(1)) + 1
+    with open(
+        os.path.join(path, "metadata", f"v{ver}.metadata.json"), "w"
+    ) as f:
+        json.dump(meta, f)
+    with open(
+        os.path.join(path, "metadata", "version-hint.text"), "w"
+    ) as f:
+        f.write(str(ver))
+    return new_id
+
+
+_SPARK_TO_ICE = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "long",
+    "float": "float", "double": "double", "string": "string",
+    "boolean": "boolean", "binary": "binary", "date": "date",
+    "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+}
+
+_SPARK_TO_AVRO = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "long",
+    "float": "float", "double": "double", "string": "string",
+    "boolean": "boolean", "binary": "bytes",
+}
+
+
+def _transform_expr(transform: str, src: str, dtype: str):
+    """Spark Column computing `transform(src)` JVM-side, or None when
+    the transform needs the spec's Murmur3 (bucket — computed via a
+    small broadcast mapping instead)."""
+    if transform == "identity":
+        return F.col(src)
+    if transform == "void":
+        return F.lit(None).cast("int")
+    gran = _TIME_TRANSFORMS.get(transform)
+    if gran:
+        epoch = F.lit("1970-01-01").cast("date")
+        if gran == "year":
+            return (F.year(src) - F.lit(1970)).cast("int")
+        if gran == "month":
+            return (
+                (F.year(src) - F.lit(1970)) * 12 + F.month(src) - 1
+            ).cast("int")
+        days = F.datediff(F.col(src).cast("date"), epoch)
+        if gran == "day":
+            return days.cast("int")
+        return (days * 24 + F.hour(src)).cast("int")
+    m = _TRUNC_RE.match(transform)
+    if m:
+        w = int(m.group(1))
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            return F.col(src) - F.pmod(F.col(src), F.lit(w))
+        if dtype == "string":
+            return F.substring(F.col(src), 1, w)
+        raise NotImplementedError(
+            f"iceberg: writer truncate over {dtype}"
+        )
+    if _BUCKET_RE.match(transform):
+        return None
+    raise NotImplementedError(f"iceberg: transform {transform!r}")
+
+
+def write_iceberg(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list | None = None,
+) -> int:
+    """CREATE an Iceberg v2 table at `path` from `df` — parquet data
+    files + repo-written Avro manifests + vN.metadata.json. This is an
+    interchange/fixture writer (single snapshot, create-only), the
+    mirror of sources/delta.delta_append: big-table appends belong to
+    a real catalog; the READ side is the scale path.
+
+    `partition_by`: [(partition_field_name, transform, source_col)].
+    Transforms compute JVM-side (`_transform_expr`) except bucket[N],
+    whose spec-mandated Murmur3 is applied to the DISTINCT source
+    values on the driver and broadcast back — bounded by the bucketed
+    column's cardinality, which a sane bucket spec keeps small
+    relative to the data. One data file per distinct partition tuple;
+    data files RETAIN source columns per the spec."""
+    import pyarrow.parquet as pq
+
+    partition_by = list(partition_by or [])
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    dtypes = dict(df.dtypes)
+    cols = df.columns
+
+    def _ice_type(dtype: str) -> str:
+        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", dtype)
+        if m:
+            return f"decimal({m.group(1)}, {m.group(2)})"
+        t = _SPARK_TO_ICE.get(dtype)
+        if t is None:
+            raise NotImplementedError(f"iceberg: writer type {dtype}")
+        return t
+
+    schema_fields = [
+        {"id": i + 1, "name": c, "type": _ice_type(dtypes[c]),
+         "required": False}
+        for i, c in enumerate(cols)
+    ]
+
+    work, pcols, pspec, ptypes = df, [], [], []
+    for i, (pname, transform, src) in enumerate(partition_by):
+        _validate_transform(transform)
+        if src not in dtypes:
+            raise IcebergError(f"iceberg: partition source {src!r}")
+        pc = f"__p{i}"
+        expr = _transform_expr(transform, src, dtypes[src])
+        if expr is None:  # bucket[N]: Murmur3 via broadcast mapping
+            vals = [r[0] for r in df.select(src).distinct().collect()]
+            mapping = spark.createDataFrame(
+                [(v, iceberg_transform(transform, v)) for v in vals],
+                f"`{src}__k` {dtypes[src]}, `{pc}` int",
+            )
+            work = work.join(
+                F.broadcast(mapping),
+                F.col(src).eqNullSafe(F.col(f"{src}__k")),
+                "left",
+            ).drop(f"{src}__k")
+            avro_t = "int"
+        elif transform == "identity" or _TRUNC_RE.match(transform):
+            work = work.withColumn(pc, expr)
+            avro_t = _SPARK_TO_AVRO.get(dtypes[src])
+            if avro_t is None:
+                raise NotImplementedError(
+                    f"iceberg: writer partition over {dtypes[src]}"
+                )
+        else:  # time ordinals / void -> int
+            work = work.withColumn(pc, expr)
+            avro_t = "int"
+        pcols.append(pc)
+        ptypes.append(avro_t)
+        pspec.append({
+            "name": pname, "transform": transform,
+            "source-id": cols.index(src) + 1, "field-id": 1000 + i,
+        })
+
+    entry_fields = [
+        {"name": "status", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file", "fields": [
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "content", "type": "int"},
+                {"name": "equality_ids",
+                 "type": {"type": "array", "items": "int"}},
+            ] + ([{"name": "partition", "type": {
+                "type": "record", "name": "r102", "fields": [
+                    {"name": f["name"], "type": ["null", t]}
+                    for f, t in zip(pspec, ptypes)
+                ]}}] if pspec else []),
+        }},
+    ]
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": entry_fields,
+    }
+    list_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+        ],
+    }
+
+    entries = []
+    if pspec:
+        # ONE partitionBy job writes every partition; the computed
+        # __p columns are hive-layout keys (dropped from the data
+        # files), while the SOURCE columns stay in the files per the
+        # Iceberg spec. Partition values are harvested back from the
+        # directory names — no per-tuple job, no driver enumeration
+        # of tuples before the write.
+        import shutil
+        import urllib.parse
+
+        stage = os.path.join(path, ".stage_w")
+        work.write.mode("overwrite").partitionBy(*pcols).parquet(stage)
+        j = 0
+        for dirpath, dirnames, filenames in os.walk(stage):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(dirpath, stage)
+                kv = {}
+                for comp in rel.split(os.sep):
+                    if "=" in comp:
+                        k, _, v = comp.partition("=")
+                        v = urllib.parse.unquote(v)
+                        kv[k] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        )
+                record = {}
+                for pc, f, t in zip(pcols, pspec, ptypes):
+                    v = kv.get(pc)
+                    if v is not None and t in ("int", "long"):
+                        v = int(v)
+                    elif v is not None and t in ("float", "double"):
+                        v = float(v)
+                    elif v is not None and t == "boolean":
+                        v = v == "true"
+                    record[f["name"]] = v
+                dest = os.path.join(path, "data", f"{j:05d}.parquet")
+                os.replace(os.path.join(dirpath, fn), dest)
+                j += 1
+                entries.append({
+                    "status": 1, "sequence_number": 1, "data_file": {
+                        "file_path": dest, "file_format": "PARQUET",
+                        "record_count": pq.read_metadata(dest).num_rows,
+                        "content": 0, "equality_ids": [],
+                        "partition": record,
+                    }})
+        shutil.rmtree(stage, ignore_errors=True)
+    else:
+        stage = os.path.join(path, ".stage_0")
+        work.write.mode("overwrite").parquet(stage)
+        for j, p in enumerate(
+            sorted(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        ):
+            dest = os.path.join(path, "data", f"{j:05d}.parquet")
+            os.replace(os.path.join(stage, p), dest)
+            entries.append({
+                "status": 1, "sequence_number": 1, "data_file": {
+                    "file_path": dest, "file_format": "PARQUET",
+                    "record_count": pq.read_metadata(dest).num_rows,
+                    "content": 0, "equality_ids": [],
+                }})
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+
+    from graph_db_clustering_spark.sources.avro import encode_container
+
+    m = os.path.join(path, "metadata", "m-00000.avro")
+    with open(m, "wb") as f:
+        f.write(encode_container(man_schema, entries, codec="null"))
+    ml = os.path.join(path, "metadata", "snap-1.avro")
+    with open(ml, "wb") as f:
+        f.write(encode_container(
+            list_schema,
+            [{"manifest_path": m, "manifest_length": os.path.getsize(m)}],
+            codec="null",
+        ))
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": schema_fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": pspec}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(path, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(
+        os.path.join(path, "metadata", "version-hint.text"), "w"
+    ) as f:
+        f.write("1")
+    return 1

@@ -128,11 +128,22 @@ def test_iceberg_gates(spark, tmp_path):
     meta_path = os.path.join(root, "metadata", "v2.metadata.json")
     meta = json.load(open(meta_path))
     meta["partition-specs"] = [
-        {"spec-id": 0, "fields": [{"name": "day", "transform": "day"}]}
+        {"spec-id": 0, "fields": [{"name": "g", "transform": "geohash[4]"}]}
     ]
     json.dump(meta, open(meta_path, "w"))
     with pytest.raises(NotImplementedError, match="transform"):
         iceberg_live_files(root)
+    # round 10: the spec's real transforms no longer gate
+    meta["partition-specs"] = [
+        {"spec-id": 0, "fields": [
+            {"name": "d", "transform": "day"},
+            {"name": "b", "transform": "bucket[8]"},
+            {"name": "t", "transform": "truncate[4]"},
+            {"name": "v", "transform": "void"},
+        ]}
+    ]
+    json.dump(meta, open(meta_path, "w"))
+    assert len(iceberg_live_files(root)) == 2
     with pytest.raises(IcebergError, match="no metadata directory"):
         iceberg_live_files(str(tmp_path / "nope"))
 
@@ -367,3 +378,229 @@ def test_iceberg_identity_partition_pruning(spark, tmp_path):
     df2, nread2, nskip2 = read_iceberg_pruned(spark, root, "l_returnflag", "A", "Z")
     assert (nread2, nskip2) == (len(flags), 0)
     assert df2.count() == li.count()
+
+
+def test_iceberg_delete_path_uri_forms(spark, tmp_path):
+    """ADVICE r9: a foreign writer may store delete-file `file_path`s
+    as 'file:///x' (triple slash) while the scan's _metadata.file_path
+    renders 'file:/x' or '/x'. Both sides must normalize to ONE
+    canonical form or the position-delete anti-join silently matches
+    nothing and deleted rows reappear."""
+    root = str(tmp_path / "urit")
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    stage = str(tmp_path / "stage_uri")
+    li.filter(F.col("l_quantity") < 15).coalesce(1).write.parquet(stage)
+    part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+    data_file = os.path.join(root, "data", "a.parquet")
+    os.rename(os.path.join(stage, part), data_file)
+    n_all = spark.read.parquet(data_file).count()
+    assert n_all > 10
+
+    # position delete stored with a TRIPLE-SLASH file URI
+    pd_stage = str(tmp_path / "stage_uri_pd")
+    spark.createDataFrame(
+        [("file://" + data_file, i) for i in range(5)],
+        "file_path string, pos bigint",
+    ).coalesce(1).write.parquet(pd_stage)
+    part = [p for p in os.listdir(pd_stage) if p.endswith(".parquet")][0]
+    del_file = os.path.join(root, "data", "pd.parquet")
+    os.rename(os.path.join(pd_stage, part), del_file)
+
+    def entry(status, fp, seq, content):
+        return {
+            "status": status,
+            "sequence_number": seq,
+            "data_file": {
+                # data file itself ALSO uri-form, single slash
+                "file_path": fp,
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "content": content,
+                "equality_ids": [],
+            },
+        }
+
+    m = os.path.join(root, "metadata", "m-uri.avro")
+    _write_avro(m, MANIFEST_SCHEMA_V2, [
+        entry(1, "file:" + data_file, 1, 0),
+        entry(1, "file://" + del_file, 2, 1),
+    ])
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(ml, LIST_SCHEMA, [{"manifest_path": m, "manifest_length": 1}])
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "l_orderkey", "type": "long"},
+                {"id": 2, "name": "l_quantity", "type": "double"},
+            ],
+        }],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+    got = read_iceberg(spark, root)
+    assert got.count() == n_all - 5  # deletes applied across URI forms
+
+
+def test_iceberg_transform_spec_vectors():
+    """The spec's published Appendix-B hash vectors and transform
+    semantics, pinned: Murmur3 over the per-type byte encodings."""
+    import datetime
+    import uuid
+    from decimal import Decimal
+
+    from graph_db_clustering_spark.sources.iceberg import (
+        _bucket_bytes,
+        _murmur3_32,
+        iceberg_transform,
+    )
+
+    h = lambda v: _murmur3_32(_bucket_bytes(v))  # noqa: E731
+    assert h(34) == 2017239379                       # int == long
+    assert h("iceberg") == 1210000089
+    assert h(datetime.date(2017, 11, 16)) == -653330422
+    assert h(datetime.datetime(2017, 11, 16, 22, 31, 8)) == -2047944441
+    assert h(Decimal("14.20")) == -500754589
+    assert h(uuid.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7")) == 1488055340
+    assert h(1.0) == -142385009                      # double bits
+    assert h(-0.0) == h(0.0)                         # -0.0 normalized
+    # transforms
+    d = datetime.date(2017, 11, 16)
+    assert iceberg_transform("day", d) == 17486
+    assert iceberg_transform("month", d) == (2017 - 1970) * 12 + 10
+    assert iceberg_transform("year", d) == 47
+    assert iceberg_transform(
+        "hour", datetime.datetime(2017, 11, 16, 22, 31, 8)
+    ) == 17486 * 24 + 22
+    # pre-epoch values floor to NEGATIVE ordinals
+    assert iceberg_transform("day", datetime.date(1969, 12, 31)) == -1
+    assert iceberg_transform("month", datetime.date(1969, 12, 31)) == -1
+    assert iceberg_transform("truncate[10]", -1) == -10   # floored
+    assert iceberg_transform("truncate[10]", 17) == 10
+    assert iceberg_transform("truncate[3]", "iceberg") == "ice"
+    assert iceberg_transform("truncate[10]", Decimal("24.46")) == Decimal(
+        "24.40"
+    )
+    assert iceberg_transform("void", 42) is None
+    assert iceberg_transform("bucket[16]", None) is None
+    with pytest.raises(NotImplementedError, match="transform"):
+        iceberg_transform("geohash[4]", 1)
+
+
+def test_iceberg_transform_partitioned_write_read_prune(spark, tmp_path):
+    """Round 10: a bucket[4](o_custkey) x day(o_orderdate) partitioned
+    table written by the repo's own writer. Reads need no injection
+    (data files retain source columns); pruning maps source bounds
+    through the transforms — day ranges prune at the manifest, bucket
+    prunes point queries only, and a RANGE over the bucketed column
+    must keep everything (hash order proves nothing)."""
+    import datetime
+
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_transform,
+        read_iceberg_pruned,
+        write_iceberg,
+    )
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    dates = sorted(
+        r[0] for r in o.select("o_orderdate").distinct().limit(4).collect()
+    )
+    o = o.filter(F.col("o_orderdate").isin(dates))
+    n_src = o.count()
+    root = str(tmp_path / "trt")
+    write_iceberg(
+        spark, o, root,
+        partition_by=[
+            ("o_orderdate_day", "day", "o_orderdate"),
+            ("o_custkey_bucket", "bucket[4]", "o_custkey"),
+        ],
+    )
+    # plain read: everything back, source columns intact
+    back = read_iceberg(spark, root)
+    assert back.count() == n_src
+    assert back.exceptAll(o).count() == 0 and o.exceptAll(back).count() == 0
+
+    # day-transform range pruning: only dates[0]'s files survive
+    d0 = dates[0]
+    if isinstance(d0, datetime.datetime):
+        d0 = d0.date()
+    df, nread, nskip = read_iceberg_pruned(spark, root, "o_orderdate", d0, d0)
+    assert nskip > 0
+    want = o.filter(F.col("o_orderdate") == dates[0])
+    assert df.count() == want.count()
+
+    # bucket point query: files of other buckets pruned
+    ck = o.select("o_custkey").first()[0]
+    dfb, nreadb, nskipb = read_iceberg_pruned(spark, root, "o_custkey", ck, ck)
+    assert nskipb > 0
+    assert dfb.filter(F.col("o_custkey") == ck).count() == o.filter(
+        F.col("o_custkey") == ck
+    ).count()
+    # every surviving file holds only custkeys hashing to bucket b
+    b = iceberg_transform("bucket[4]", ck)
+    assert {
+        iceberg_transform("bucket[4]", r[0])
+        for r in dfb.select("o_custkey").distinct().collect()
+    } == {b}
+
+    # a RANGE over the bucketed column keeps ALL files (no false prune)
+    _, nread_all, nskip_all = read_iceberg_pruned(
+        spark, root, "o_custkey", 0, 10**9
+    )
+    assert nskip_all == 0 and nread_all == nread + nskip
+
+
+def test_iceberg_writer_position_delete_commit(spark, tmp_path):
+    """iceberg_add_position_deletes commits a NEW snapshot (v2
+    position-delete file + EXISTING data entries); the old snapshot
+    still time-travels to the undeleted form, and deletes survive
+    PRUNED scans."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_add_position_deletes,
+        read_iceberg_pruned,
+        write_iceberg,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = str(tmp_path / "pdel")
+    write_iceberg(
+        spark, li, root,
+        partition_by=[("flag", "identity", "l_returnflag")],
+    )
+    import glob as g
+
+    scan = spark.read.parquet(
+        *sorted(g.glob(os.path.join(root, "data", "*.parquet")))
+    ).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "l_quantity",
+    )
+    dels = scan.filter(F.col("l_quantity") >= 45).select("file_path", "pos")
+    n_del = dels.count()
+    assert n_del > 0
+    sid = iceberg_add_position_deletes(spark, root, dels)
+    assert sid == 2
+    after = read_iceberg(spark, root)
+    want = li.filter(F.col("l_quantity") < 45)
+    assert after.count() == want.count()
+    assert after.exceptAll(want).count() == 0
+    # time travel: snapshot 1 is still the undeleted table
+    assert read_iceberg(spark, root, snapshot_id=1).count() == li.count()
+    # deletes survive a pruned scan (identity partition on returnflag)
+    df, nread, nskip = read_iceberg_pruned(spark, root, "l_returnflag", "R", "R")
+    assert nskip > 0
+    assert df.count() == want.filter(F.col("l_returnflag") == "R").count()
