@@ -1468,3 +1468,74 @@ def iceberg_transforms(spark, sf_dir):
         )
         .orderBy("sd")
     )
+
+
+@declared(
+    "delta_deletes",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_quantity < 45
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def delta_deletes(spark, sf_dir):
+    """Delta deletion vectors end-to-end (round 10, sources/delta +
+    functions/roaring): lineitem lands as a returnflag-partitioned
+    Delta table, then ONE DV commit marks every l_quantity >= 45 row
+    deleted — positions found by a distributed _metadata scan, folded
+    into portable 64-bit roaring bitmaps in a shared
+    deletion_vector_<uuid>.bin, protocol upgraded to table features
+    (3/7 deletionVectors). The read replays the log, accepts the v3
+    protocol, resolves + checksums the bitmap, and anti-joins the
+    marked row indexes Arrow-side — no data file is rewritten (the
+    entry raises if the DV file is missing or the parquet set
+    changed). The oracle filters lineitem directly."""
+    import atexit
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_add_deletion_vectors,
+        delta_append,
+        delta_live_files,
+        read_delta,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_dv_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    delta_append(
+        spark, li, t, stats_cols=["l_quantity"],
+        partition_by=["l_returnflag"],
+    )
+    before = sorted(delta_live_files(t))
+    dels = (
+        spark.read.parquet(*[os.path.join(t, p) for p in before])
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "l_quantity",
+        )
+        .filter(F.col("l_quantity") >= 45)
+        .select("file_path", "pos")
+    )
+    delta_add_deletion_vectors(spark, t, dels)
+    if not _glob.glob(os.path.join(t, "deletion_vector_*.bin")):
+        raise AssertionError("delta_deletes: no DV file written")
+    if sorted(delta_live_files(t)) != before:
+        raise AssertionError("delta_deletes: data files were rewritten")
+    return (
+        read_delta(spark, t)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

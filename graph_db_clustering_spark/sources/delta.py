@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,32 +81,50 @@ def _checkpoint_version(path: str) -> int | None:
     return int(lc["version"]) if lc else None
 
 
+# Reader features this reader actually implements; a v3 protocol whose
+# readerFeatures are a subset of these is safe to read. Anything else
+# (columnMapping, v2Checkpoint, ...) still gates loudly.
+_READER_FEATURES = {"deletionVectors", "timestampNtz"}
+
+
 def _apply_action(act: dict, files: dict, meta: list) -> None:
     if "add" in act and act["add"] is not None:
         a = _normalize_add(act["add"])
-        if a.get("deletionVector"):
-            raise NotImplementedError("delta: deletion vectors not supported")
         files[a["path"]] = a
     if "remove" in act and act["remove"] is not None:
         files.pop(act["remove"]["path"], None)
     if "metaData" in act and act["metaData"] is not None:
         meta[0] = act["metaData"]
     if "protocol" in act and act["protocol"] is not None:
-        if act["protocol"].get("minReaderVersion", 1) > 1:
+        p = act["protocol"]
+        v = p.get("minReaderVersion", 1)
+        feats = p.get("readerFeatures")
+        if (
+            v == 3
+            and feats is not None  # spec: v3 MUST list readerFeatures
+            and set(feats) <= _READER_FEATURES
+        ):
+            return  # table-features protocol, all features implemented
+        feats = set(feats or [])
+        if v > 1:
             raise NotImplementedError(
-                "delta: reader protocol "
-                f"{act['protocol']['minReaderVersion']} not supported"
+                f"delta: reader protocol {v} with features "
+                f"{sorted(feats) or '(none listed)'} not supported"
             )
 
 
 def _normalize_add(a: dict) -> dict:
     """Checkpoint add rows come back from pyarrow with map-typed
-    partitionValues as [(k, v), ...] — normalize to the dict the JSON
-    commits carry."""
+    partitionValues as [(k, v), ...] and with absent struct fields as
+    all-None structs — normalize to the shapes the JSON commits
+    carry (dict partitionValues; deletionVector absent when empty)."""
+    a = dict(a)
     pv = a.get("partitionValues")
     if isinstance(pv, list):
-        a = dict(a)
         a["partitionValues"] = dict(pv)
+    dv = a.get("deletionVector")
+    if isinstance(dv, dict) and dv.get("storageType") is None:
+        a["deletionVector"] = None
     return a
 
 
@@ -205,6 +224,87 @@ def _pv_python(val: str, dtype) -> object:
     return val
 
 
+def _dv_blob(path: str, dv: dict) -> bytes:
+    """Resolve a deletionVector descriptor to its serialized
+    RoaringBitmapArray bytes (checksum-verified for on-disk storage).
+    storageType 'u': pathOrInlineDv is [prefix +] a 20-char Base85
+    (RFC 1924 alphabet — Python's b85) encoding of the DV file's UUID,
+    named deletion_vector_<uuid>.bin under the table root (or prefix);
+    'p': absolute path; 'i': the blob itself, Base85-inline."""
+    import base64
+    import uuid as _uuid
+
+    from graph_db_clustering_spark.functions.roaring import unpack_dv_blob
+
+    st = dv.get("storageType")
+    enc = dv.get("pathOrInlineDv") or ""
+    if st == "i":
+        blob = base64.b85decode(enc)
+        if len(blob) != dv.get("sizeInBytes", len(blob)):
+            raise DeltaError("delta dv: inline size mismatch")
+        return blob
+    if st == "u":
+        prefix, tail = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=base64.b85decode(tail))
+        fpath = os.path.join(path, prefix, f"deletion_vector_{u}.bin")
+    elif st == "p":
+        fpath = re.sub(r"^file:/*", "/", enc) if enc.startswith(
+            "file:"
+        ) else enc
+    else:
+        raise NotImplementedError(f"delta dv: storageType {st!r}")
+    with open(fpath, "rb") as f:
+        data = f.read()
+    if dv.get("offset") is None:
+        raise DeltaError(f"delta dv: descriptor for {fpath} missing offset")
+    return unpack_dv_blob(data, dv["offset"], dv["sizeInBytes"])
+
+
+_FP_CANON = r"^file:/*"
+
+
+def _apply_dvs(
+    spark: SparkSession, path: str, adds: list, df: DataFrame
+) -> DataFrame:
+    """Anti-join away DV-marked row positions. The KB-scale bitmap
+    BYTES are resolved on the driver (same class of work as the log
+    replay), but their EXPANSION to row indexes happens on executors
+    via Arrow (a DV can mark millions of rows at 100 TB — those
+    positions never transit the driver); the scan side keeps its
+    hidden _metadata columns, so the big read stays one distributed
+    parquet scan plus a broadcast anti-join."""
+    import pandas as pd
+
+    pairs = [
+        (
+            os.path.abspath(os.path.join(path, a["path"])),
+            _dv_blob(path, a["deletionVector"]),
+        )
+        for a in adds
+        if a.get("deletionVector")
+    ]
+    bdf = spark.createDataFrame(pairs, "__dfp string, __blob binary")
+
+    def expand(it):
+        from graph_db_clustering_spark.functions.roaring import (
+            decode_rbm_array,
+        )
+
+        for pdf in it:
+            for fp, blob in zip(pdf["__dfp"], pdf["__blob"]):
+                yield pd.DataFrame(
+                    {"__dfp": fp, "__dpos": decode_rbm_array(bytes(blob))}
+                )
+
+    pos = bdf.mapInPandas(expand, "__dfp string, __dpos long")
+    return df.join(
+        F.broadcast(pos),
+        (F.col("__fp") == F.col("__dfp"))
+        & (F.col("__pos") == F.col("__dpos")),
+        "left_anti",
+    ).drop("__fp", "__pos")
+
+
 def _read_adds(
     spark: SparkSession, path: str, adds: list, meta: dict | None
 ) -> DataFrame:
@@ -215,23 +315,41 @@ def _read_adds(
     (bounded by the table's partition count, not its file count)."""
     if not adds:
         raise DeltaError(f"delta: selection has no live files at {path}")
+    has_dv = any(a.get("deletionVector") for a in adds)
+
+    def _scan(paths: list) -> DataFrame:
+        df = spark.read.parquet(*paths)
+        if has_dv:
+            # hidden metadata cols MUST come off the fresh scan, before
+            # any union; normalized to one canonical slash form
+            df = df.withColumns({
+                "__fp": F.regexp_replace(
+                    F.col("_metadata.file_path"), _FP_CANON, "/"
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            })
+        return df
+
     groups: dict = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
         key = tuple((k, pv[k]) for k in sorted(pv))
         groups.setdefault(key, []).append(a["path"])
     if list(groups) == [()]:
-        return spark.read.parquet(*[os.path.join(path, p) for p in groups[()]])
+        out = _scan([os.path.join(path, p) for p in groups[()]])
+        return _apply_dvs(spark, path, adds, out) if has_dv else out
     ptypes = _partition_types(meta)
     out = None
     for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-        df = spark.read.parquet(*[os.path.join(path, p) for p in paths])
+        df = _scan([os.path.join(path, p) for p in paths])
         for col, val in key:
             df = df.withColumn(
                 col, F.lit(val).cast(ptypes[col]) if val is not None
                 else F.lit(None).cast(ptypes[col])
             )
         out = df if out is None else out.unionByName(df)
+    if has_dv:
+        out = _apply_dvs(spark, path, adds, out)
     # Injected partition columns land AFTER the data-file columns;
     # restore the metaData schemaString order so partitioned and
     # unpartitioned reads of the same schema agree positionally
@@ -489,23 +607,40 @@ def delta_checkpoint(path: str) -> int:
     version = max(versions[-1] if versions else -1, -1 if cp is None else cp)
     files, meta = _replay(path, version)
 
+    dv_t = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
     add_t = pa.struct([
         ("path", pa.string()),
         ("partitionValues", pa.map_(pa.string(), pa.string())),
         ("size", pa.int64()),
         ("dataChange", pa.bool_()),
         ("stats", pa.string()),
+        ("deletionVector", dv_t),
     ])
     proto_t = pa.struct([
         ("minReaderVersion", pa.int32()),
         ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
     ])
     meta_t = pa.struct([
         ("id", pa.string()),
         ("schemaString", pa.string()),
         ("partitionColumns", pa.list_(pa.string())),
     ])
-    rows_proto: list = [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    if any(files[p].get("deletionVector") for p in files):
+        rows_proto: list = [{
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }]
+    else:
+        rows_proto = [{"minReaderVersion": 1, "minWriterVersion": 2}]
     rows_meta: list = [None]
     if meta is not None:
         rows_meta = [None, {
@@ -525,6 +660,10 @@ def delta_checkpoint(path: str) -> int:
             "size": a.get("size"),
             "dataChange": False,
             "stats": a.get("stats"),
+            # DV descriptors survive checkpointing — dropping one here
+            # would silently RESURRECT its deleted rows after the JSON
+            # commits expire under retention
+            "deletionVector": a.get("deletionVector"),
         })
     tbl = pa.table({
         "protocol": pa.array(rows_proto, type=proto_t),
@@ -602,9 +741,19 @@ def delta_compact(
             continue  # already one file: nothing to gain
         subdir = "/".join(f"{k}={v}" for k, v in key) if key else ""
         stage = os.path.join(path, f".compact_{uuid.uuid4().hex[:8]}")
-        spark.read.parquet(
-            *[os.path.join(path, p) for p in paths]
-        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        group_adds = [files[p] for p in paths]
+        src_df = spark.read.parquet(*[os.path.join(path, p) for p in paths])
+        if any(a.get("deletionVector") for a in group_adds):
+            # a DV-bearing file compacts to its SURVIVING rows — reading
+            # it raw would resurrect the deleted ones
+            src_df = src_df.withColumns({
+                "__fp": F.regexp_replace(
+                    F.col("_metadata.file_path"), _FP_CANON, "/"
+                ),
+                "__pos": F.col("_metadata.row_index"),
+            })
+            src_df = _apply_dvs(spark, path, group_adds, src_df)
+        src_df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
         rel = (f"{subdir}/" if subdir else "") + f"part-{version:05d}-{part}"
         dest = os.path.join(path, *rel.split("/"))
@@ -690,3 +839,91 @@ def delta_vacuum(path: str, dry_run: bool = False) -> list[str]:
         for rel in victims:
             os.remove(os.path.join(path, *rel.split("/")))
     return victims
+
+
+def delta_add_deletion_vectors(
+    spark: SparkSession, path: str, deletes: DataFrame
+) -> int:
+    """Mark rows DELETED without rewriting data files — the protocol's
+    deletion-vector path (PROTOCOL.md "Deletion Vectors"). `deletes`
+    is (file_path string, pos bigint) pairs, typically produced by
+    scanning the table with `_metadata` and filtering. Per affected
+    file the positions are folded into a roaring bitmap (merged with
+    any EXISTING DV — re-deleting is idempotent), all bitmaps land in
+    ONE `deletion_vector_<uuid>.bin` under the table root, and one
+    commit upgrades the protocol to table features (3/7,
+    deletionVectors) and swaps each file's add action for one carrying
+    the DV descriptor (storageType 'u', Base85 uuid, offset into the
+    shared file). Bitmap assembly is per-file driver work bounded by
+    delete cardinality — the same cost delta-spark's own DV writer
+    pays; the position SCAN that usually feeds `deletes` stays
+    distributed. Returns the committed version."""
+    import base64
+    import uuid as _uuid
+
+    from graph_db_clustering_spark.functions.roaring import (
+        decode_rbm_array,
+        encode_rbm_array,
+        pack_dv_file,
+    )
+
+    files, meta = _replay(path)
+    root = os.path.abspath(path)
+    by_rel: dict = {}
+    for fp, ps in (
+        deletes.groupBy("file_path")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        .collect()
+    ):
+        ap = re.sub(r"^file:/*", "/", fp) if fp.startswith("file:") else fp
+        rel = os.path.relpath(os.path.abspath(ap), root)
+        if rel.startswith(".."):
+            raise DeltaError(f"delta dv: {fp} not under table {path}")
+        rel = rel.replace(os.sep, "/")
+        if rel not in files:
+            raise DeltaError(f"delta dv: {rel} is not a live file")
+        by_rel[rel] = list(ps)
+    if not by_rel:
+        raise DeltaError("delta dv: no rows to delete")
+
+    rels = sorted(by_rel)
+    blobs = []
+    for rel in rels:
+        pos = set(by_rel[rel])
+        old_dv = files[rel].get("deletionVector")
+        if old_dv:
+            pos.update(decode_rbm_array(_dv_blob(path, old_dv)))
+        by_rel[rel] = sorted(pos)
+        blobs.append(encode_rbm_array(by_rel[rel]))
+    data, offsets = pack_dv_file(blobs)
+    u = _uuid.uuid4()
+    with open(os.path.join(path, f"deletion_vector_{u}.bin"), "wb") as f:
+        f.write(data)
+    enc = base64.b85encode(u.bytes).decode()
+
+    versions = _commit_versions(path)
+    cp = _checkpoint_version(path)
+    version = max(
+        versions[-1] if versions else -1, -1 if cp is None else cp
+    ) + 1
+    actions = [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }}]
+    for rel, blob, off in zip(rels, blobs, offsets):
+        a = dict(files[rel])
+        actions.append({"remove": {"path": rel, "dataChange": True}})
+        a["deletionVector"] = {
+            "storageType": "u", "pathOrInlineDv": enc, "offset": off,
+            "sizeInBytes": len(blob), "cardinality": len(by_rel[rel]),
+        }
+        a["dataChange"] = True
+        actions.append({"add": a})
+    commit = os.path.join(_log_dir(path), f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as f:
+        for act in actions:
+            f.write(json.dumps(act) + "\n")
+    os.replace(tmp, commit)
+    return version

@@ -345,3 +345,167 @@ def test_delta_partitioned_column_order_matches_schema(spark, tmp_path):
     back = read_delta(spark, table)
     assert back.columns == ["o_orderkey", "o_orderpriority", "o_totalprice"]
     assert back.exceptAll(o).count() == 0 and o.exceptAll(back).count() == 0
+
+
+def test_roaring_codec_roundtrip_and_run_containers():
+    """functions/roaring: portable RoaringBitmapArray round-trips
+    across container types and 32-bit bucket boundaries; the decoder
+    also accepts the run-container form real engines emit (hand-built
+    cookie-12347 stream); the DV file wrapper checksums."""
+    import random
+    import struct
+
+    from graph_db_clustering_spark.functions.roaring import (
+        RoaringError,
+        decode_rbm_array,
+        encode_rbm_array,
+        pack_dv_file,
+        unpack_dv_blob,
+    )
+
+    random.seed(7)
+    cases = [
+        [], [0], [1, 2, 3], list(range(5000)),      # array->bitmap edge
+        list(range(0, 200000, 3)),                   # multi-container
+        [2**32, 2**32 + 1, 2**33 + 77, 5],           # multi-bucket
+        sorted(random.sample(range(2**20), 10000)),
+        [2**40 + i for i in range(100)],
+    ]
+    for vals in cases:
+        assert decode_rbm_array(encode_rbm_array(vals)) == sorted(set(vals))
+    blobs = [encode_rbm_array([1, 5, 9]), encode_rbm_array(range(10000))]
+    data, offs = pack_dv_file(blobs)
+    for b, o in zip(blobs, offs):
+        assert unpack_dv_blob(data, o, len(b)) == b
+    # corrupt one payload byte -> checksum failure, loud
+    bad = bytearray(data)
+    bad[offs[0] + 4] ^= 0xFF
+    with pytest.raises(RoaringError, match="checksum"):
+        unpack_dv_blob(bytes(bad), offs[0], len(blobs[0]))
+    # run-container decode (cookie 12347, 2 runs)
+    rb = struct.pack("<i", (0 << 16) | 12347) + b"\x01"
+    rb += struct.pack("<HH", 0, 9)
+    rb += struct.pack("<H", 2)
+    rb += struct.pack("<HH", 3, 4) + struct.pack("<HH", 100, 4)
+    arr = struct.pack("<iqi", 1681511377, 1, 0) + rb
+    assert decode_rbm_array(arr) == [3, 4, 5, 6, 7, 100, 101, 102, 103, 104]
+
+
+def test_delta_deletion_vectors_lifecycle(spark, tmp_path):
+    """Round 10: DVs end to end — write, merged re-delete, time travel,
+    checkpoint survival after JSON retention, pruned reads, and
+    OPTIMIZE folding the DV into the compacted file."""
+    import glob as g
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_add_deletion_vectors,
+        delta_checkpoint,
+        delta_compact,
+        delta_live_files,
+        read_delta_pruned,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    t = str(tmp_path / "dvt")
+    from graph_db_clustering_spark.sources.delta import delta_append
+
+    delta_append(
+        spark, li, t, stats_cols=["l_quantity"],
+        partition_by=["l_returnflag"],
+    )
+
+    def _positions(pred):
+        files = delta_live_files(t)
+        return (
+            spark.read.parquet(*[os.path.join(t, p) for p in files])
+            .select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                "l_quantity",
+            )
+            .filter(pred)
+            .select("file_path", "pos")
+        )
+
+    v = delta_add_deletion_vectors(
+        spark, t, _positions(F.col("l_quantity") >= 45)
+    )
+    assert v == 1
+    want45 = li.filter(F.col("l_quantity") < 45)
+    assert read_delta(spark, t).count() == want45.count()
+    assert read_delta(spark, t).exceptAll(want45).count() == 0
+    # version 0 still time-travels to the undeleted table
+    assert read_delta(spark, t, version=0).count() == li.count()
+    # second DV commit MERGES with the existing bitmaps (idempotent)
+    delta_add_deletion_vectors(
+        spark, t, _positions(F.col("l_quantity") >= 40)
+    )
+    want40 = li.filter(F.col("l_quantity") < 40)
+    got = read_delta(spark, t)
+    assert got.count() == want40.count()
+    assert got.exceptAll(want40).count() == 0
+    # checkpoint carries the descriptors; expire the JSON commits
+    delta_checkpoint(t)
+    for j in sorted(g.glob(os.path.join(t, "_delta_log", "*.json"))):
+        os.remove(j)
+    assert read_delta(spark, t).count() == want40.count()
+    # partition-pruned read still applies DVs
+    df, _nr, ns = read_delta_pruned(spark, t, "l_returnflag", "R", "R")
+    assert ns > 0
+    assert df.count() == want40.filter(F.col("l_returnflag") == "R").count()
+    # OPTIMIZE folds DVs into the rewrite instead of resurrecting rows
+    delta_compact(spark, t, stats_cols=["l_quantity"])
+    after = read_delta(spark, t)
+    assert after.count() == want40.count()
+    assert after.exceptAll(want40).count() == 0
+
+
+def test_delta_dv_inline_and_protocol_gates(spark, tmp_path):
+    """Inline ('i') DV descriptors decode from Base85; v3 protocols
+    with unknown reader features, or v3 missing the feature list,
+    still gate loudly."""
+    import base64
+
+    from graph_db_clustering_spark.functions.roaring import (
+        encode_rbm_array,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).limit(50)
+    rows = li.collect()
+    t = str(tmp_path / "inl")
+    stage = str(tmp_path / "inl_stage")
+    li.coalesce(1).write.parquet(stage)
+    part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+    os.makedirs(t)
+    os.replace(os.path.join(stage, part), os.path.join(t, "a.parquet"))
+    blob = encode_rbm_array([0, 1, 2])  # delete the first 3 rows
+    _write_commit(t, 0, [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }},
+        {"metaData": {"id": "x", "partitionColumns": []}},
+        {"add": {
+            "path": "a.parquet", "dataChange": True,
+            "partitionValues": {},
+            "deletionVector": {
+                "storageType": "i",
+                "pathOrInlineDv": base64.b85encode(blob).decode(),
+                "sizeInBytes": len(blob), "cardinality": 3,
+            },
+        }},
+    ])
+    got = read_delta(spark, t)
+    assert got.count() == len(rows) - 3
+    # unknown v3 feature -> loud gate
+    t2 = str(tmp_path / "feat")
+    _write_commit(t2, 0, [{"protocol": {
+        "minReaderVersion": 3, "readerFeatures": ["columnMapping"],
+    }}])
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        delta_live_files(t2)
