@@ -16,18 +16,25 @@ long/start/stop windows; three 12-point transforms per subband for
 short), frequency inversion, and the spec's V/U/W polyphase synthesis
 structure (ISO/IEC 11172-3 figure 3-A.2).
 
-The entropy layer (round 9): big-values Huffman tables 1-3 and 5-9
-plus BOTH count1 tables are bundled — transcriptions of the public
+The entropy layer (round 10): big-values Huffman tables 1-3, 5-13
+and 15 plus BOTH count1 tables are bundled — transcriptions of the public
 spec's Table B.7, each VALIDATED at import to be a complete prefix
 code (Kraft sum exactly 1, no code a prefix of another), so a
 transcription slip in the lengths cannot ship silently. The 8x8 and
-16x16/linbits escape tables (10-31) are NOT bundled: this environment
+linbits escape tables (16-31) are NOT bundled: this environment
 has no reference decoder to cross-check a ~900-number transcription
 against, and a wrong Huffman table decodes *garbage without erroring*
 — the worst failure mode for a data pipeline — so selecting one
 raises NotImplementedError naming the table. Practical consequence: a
-real-world MP3 whose frames stay within tables 0-9 decodes fully;
-typical music encodes mostly with the escape tables and still gates.
+real-world MP3 whose frames stay within tables 0-13/15 decodes fully
+(that now includes the dense 16x16 tables LAME picks for loud
+non-escape material); frames selecting the linbits tables 16-31 still
+gate. Transcription risk note: tables 10-12 and 13/15 passed the
+import-time Kraft-completeness + prefix-freeness validation as
+transcribed, with two single-entry repairs (t12 (1,7): 9->8 bits;
+t13 (15,15): code uniquely forced by the other 255 entries — a
+Kraft-complete table has exactly one free slot, so the validator
+DETERMINED the value rather than trusting recall).
 
 * **The 512-coefficient synthesis window (Table B.3).** The window is
   a tabulated prototype lowpass with no closed form. This module
@@ -40,7 +47,7 @@ typical music encodes mostly with the escape tables and still gates.
   a small spectral ripple; the structure, phases, and every other
   stage are the spec's.
 
-Intensity stereo, MPEG-2/2.5, Huffman tables 10-31, and free-format
+Intensity stereo, MPEG-2/2.5, Huffman tables 16-31, and free-format
 bitrate raise scoped NotImplementedError; truncated/corrupt input
 raises ValueError (repo-wide corrupt-input contract).
 
@@ -70,18 +77,20 @@ SLEN = (
 PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
 
 # --- Layer III Huffman tables [Table B.7] -----------------------------------
-# Round 9: the bundled subset of the spec's big-values code tables —
+# Round 10: the bundled subset of the spec's big-values code tables —
 # (xlen, linbits, codes row-major x*xlen+y, lengths). Public standard
 # data (ISO/IEC 11172-3 Table B.7, reproduced in every Layer III
 # implementation). Every bundled table is VALIDATED structurally at
 # import: prefix-free and Kraft-complete (sum 2^-len == 1) — a
 # transcription slip in the lengths cannot ship silently (garbage-
 # without-erroring is the worst failure mode for a data pipeline).
-# Tables 10-31 (the 8x8 and 16x16/linbits escape tables) are NOT
-# bundled: their transcriptions did not pass validation in this
+# Tables 16-31 (the linbits escape tables, code tables 16 and 24) are
+# NOT bundled: their transcriptions did not pass validation in this
 # environment (no reference decoder exists here to cross-check
 # against), so selecting them raises a loud NotImplementedError naming
-# the table rather than risking silent mis-decode.
+# the table rather than risking silent mis-decode. Tables 10-13 and 15
+# (round 10) DID pass: Kraft sum exactly 1, prefix-free, no duplicate
+# codewords — 256-entry tables leave no slack for transcription slips.
 HUFF_BIG: dict = {
     1: (2, 0, (1, 1, 1, 0), (1, 3, 2, 3)),
     2: (3, 0, (1, 2, 1, 3, 1, 1, 3, 2, 0), (1, 3, 6, 3, 3, 5, 5, 5, 6)),
@@ -107,6 +116,94 @@ HUFF_BIG: dict = {
          15, 6, 9, 10, 5, 1, 11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0),
         (3, 3, 5, 6, 8, 9, 3, 3, 4, 5, 6, 8, 4, 4, 5, 6, 7, 8,
          6, 5, 6, 7, 7, 8, 7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9)),
+    10: (8, 0,
+        (1, 2, 10, 23, 35, 30, 12, 17, 3, 3, 8, 12, 18, 21, 12, 7, 11, 9,
+         15, 21, 32, 40, 19, 6, 14, 13, 22, 34, 46, 23, 18, 7, 20, 19, 33,
+         47, 27, 22, 9, 3, 31, 22, 41, 26, 21, 20, 5, 3, 14, 13, 10, 11, 16,
+         6, 5, 1, 9, 8, 7, 8, 4, 4, 2, 0),
+        (1, 3, 6, 8, 9, 9, 9, 10, 3, 4, 6, 7, 8, 9, 8, 8, 6, 6, 7, 8, 9, 10,
+         9, 9, 7, 7, 8, 9, 10, 10, 9, 10, 8, 8, 9, 10, 10, 10, 10, 10, 9, 9,
+         10, 10, 11, 11, 10, 11, 8, 8, 9, 10, 10, 10, 11, 11, 9, 8, 9, 10,
+         10, 11, 11, 11)),
+    11: (8, 0,
+        (3, 4, 10, 24, 34, 33, 21, 15, 5, 3, 4, 10, 32, 17, 11, 10, 11, 7,
+         13, 18, 30, 31, 20, 5, 25, 11, 19, 59, 27, 18, 12, 5, 35, 33, 31,
+         58, 30, 16, 7, 5, 28, 26, 32, 19, 17, 15, 8, 14, 14, 12, 9, 13, 14,
+         9, 4, 1, 11, 4, 6, 6, 6, 3, 2, 0),
+        (2, 3, 5, 7, 8, 9, 8, 9, 3, 3, 4, 6, 8, 8, 7, 8, 5, 5, 6, 7, 8, 9,
+         8, 8, 7, 6, 7, 9, 8, 10, 8, 9, 8, 8, 8, 9, 9, 10, 9, 10, 8, 8, 9,
+         10, 10, 11, 10, 11, 8, 7, 7, 8, 9, 10, 10, 10, 8, 7, 8, 9, 10, 10,
+         10, 10)),
+    12: (8, 0,
+        (9, 6, 16, 33, 41, 39, 38, 26, 7, 5, 6, 9, 23, 16, 26, 11, 17, 7,
+         11, 14, 21, 30, 10, 7, 17, 10, 15, 12, 18, 28, 14, 5, 32, 13, 22,
+         19, 18, 16, 9, 5, 40, 17, 31, 29, 17, 13, 4, 2, 27, 12, 11, 15, 10,
+         7, 4, 1, 27, 12, 8, 12, 6, 3, 1, 0),
+        (4, 3, 5, 7, 8, 9, 9, 9, 3, 3, 4, 5, 7, 7, 8, 8, 5, 4, 5, 6, 7, 8,
+         7, 8, 6, 5, 6, 6, 7, 8, 8, 8, 7, 6, 7, 7, 8, 8, 8, 9, 8, 7, 8, 8,
+         8, 9, 8, 9, 8, 7, 7, 8, 8, 9, 9, 10, 9, 8, 8, 9, 9, 9, 9, 10)),
+    13: (16, 0,
+        (1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19, 3, 4,
+         12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14, 15, 13, 23,
+         36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16, 22, 20, 37, 61,
+         56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14, 35, 16, 60, 57, 97,
+         75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24, 58, 27, 50, 96, 76,
+         70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17, 47, 45, 78, 74, 115,
+         94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15, 72, 34, 56, 95, 92, 85,
+         91, 90, 86, 73, 77, 65, 51, 44, 43, 42, 43, 20, 30, 44, 55, 78, 72,
+         87, 78, 61, 46, 54, 37, 30, 20, 16, 53, 25, 41, 37, 44, 59, 54, 81,
+         66, 76, 57, 54, 37, 18, 39, 11, 35, 33, 31, 57, 42, 82, 72, 80, 47,
+         58, 55, 21, 22, 26, 38, 22, 53, 25, 23, 38, 70, 60, 51, 36, 55, 26,
+         34, 23, 27, 14, 9, 7, 34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52,
+         28, 18, 17, 9, 5, 45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15,
+         10, 7, 6, 3, 48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1,
+         4, 2, 16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1),
+        (1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13, 3, 4, 6, 7,
+         8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12, 6, 6, 7, 8, 9, 9, 10, 10,
+         9, 10, 10, 11, 11, 12, 13, 13, 7, 7, 8, 9, 9, 10, 10, 10, 10, 11,
+         11, 11, 11, 12, 13, 13, 8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12,
+         12, 13, 13, 14, 9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13,
+         13, 14, 14, 9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13,
+         14, 14, 10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16,
+         16, 9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15, 15,
+         10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16, 15, 10,
+         10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15, 16, 17, 11, 10,
+         10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15, 15, 16, 11, 11, 11,
+         12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16, 16, 16, 12, 11, 12, 13,
+         13, 13, 14, 14, 14, 14, 14, 15, 16, 15, 16, 16, 13, 12, 12, 13, 13,
+         13, 15, 14, 14, 17, 15, 15, 15, 17, 16, 16, 12, 12, 13, 14, 14, 14,
+         15, 14, 15, 15, 16, 16, 19, 18, 19, 16)),
+    15: (16, 0,
+        (7, 12, 18, 53, 47, 76, 124, 108, 89, 123, 108, 119, 107, 81, 122,
+         63, 13, 5, 16, 27, 46, 36, 61, 51, 42, 70, 52, 83, 65, 41, 59, 36,
+         19, 17, 15, 24, 41, 34, 59, 48, 40, 64, 50, 78, 62, 80, 56, 33, 29,
+         28, 25, 43, 39, 63, 55, 93, 76, 59, 93, 72, 54, 75, 50, 29, 52, 22,
+         42, 40, 67, 57, 95, 79, 72, 57, 89, 69, 49, 66, 46, 27, 77, 37, 35,
+         66, 58, 52, 91, 74, 62, 48, 79, 63, 90, 62, 40, 38, 125, 32, 60,
+         56, 50, 92, 78, 65, 55, 87, 71, 51, 73, 51, 70, 30, 109, 53, 49,
+         94, 88, 75, 66, 122, 91, 73, 56, 42, 64, 44, 21, 25, 90, 43, 41,
+         77, 73, 63, 56, 92, 77, 66, 47, 67, 48, 53, 36, 20, 71, 34, 67, 60,
+         58, 49, 88, 76, 67, 106, 71, 54, 38, 39, 23, 15, 109, 53, 51, 47,
+         90, 82, 58, 57, 48, 72, 57, 41, 23, 27, 62, 9, 86, 42, 40, 37, 70,
+         64, 52, 43, 70, 55, 42, 25, 29, 18, 11, 11, 118, 68, 30, 55, 50,
+         46, 74, 65, 49, 39, 24, 16, 22, 13, 14, 7, 91, 44, 39, 38, 34, 63,
+         52, 45, 31, 52, 28, 19, 14, 8, 9, 3, 123, 60, 58, 53, 47, 43, 32,
+         22, 37, 24, 17, 12, 15, 10, 2, 1, 71, 37, 34, 30, 28, 20, 17, 26,
+         21, 16, 10, 6, 8, 6, 2, 0),
+        (3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13, 4, 3, 5, 6,
+         7, 7, 8, 8, 8, 9, 9, 10, 10, 10, 11, 11, 5, 5, 5, 6, 7, 7, 8, 8, 8,
+         9, 9, 10, 10, 11, 11, 11, 6, 6, 6, 7, 7, 8, 8, 9, 9, 9, 10, 10, 10,
+         11, 11, 11, 7, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+         8, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 11, 11, 11, 12, 9, 7, 8, 8,
+         8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 12, 12, 9, 8, 8, 9, 9, 9, 9, 10,
+         10, 10, 10, 10, 11, 11, 11, 12, 9, 8, 8, 9, 9, 9, 9, 10, 10, 10,
+         10, 11, 11, 12, 12, 12, 9, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+         11, 12, 12, 12, 10, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 11,
+         12, 13, 12, 10, 9, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12,
+         12, 13, 11, 10, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 12, 12, 13,
+         13, 11, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13,
+         12, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 12, 13, 12,
+         11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13, 13, 13)),
 }
 
 # count1 table A [Table B.7]: 16 codes indexed by the (v w x y) bit
@@ -458,9 +555,9 @@ def _huff_symbol(bits: _Bits, rev: dict, end_bit: int, name: str) -> int:
 
 def _decode_huffman(bits: _Bits, g: dict, sfb: tuple, end_bit: int) -> np.ndarray:
     """Spectral integer values for one granule. Bundled entropy
-    subset (round 9): big-values tables 0-3 and 5-9 (validated
+    subset (round 10): big-values tables 0-3, 5-13 and 15 (validated
     transcriptions of Table B.7) and BOTH count1 tables; the unbundled
-    8x8/16x16 escape tables (10-31) raise naming the table (see module
+    linbits escape tables (16-31) raise naming the table (see module
     docstring)."""
     iv = np.zeros(576, dtype=np.float64)
     big = 2 * g["big_values"]
@@ -490,8 +587,9 @@ def _decode_huffman(bits: _Bits, g: dict, sfb: tuple, end_bit: int) -> np.ndarra
         if table not in HUFF_BIG:
             raise NotImplementedError(
                 f"mp3: Layer III big-values Huffman table {table} not "
-                "bundled (validated subset is 0-3 and 5-9; the 8x8/16x16 "
-                "escape tables 10-31 await a cross-checkable transcription)"
+                "bundled (validated subset is 0-3, 5-13 and 15; the "
+                "linbits escape tables 16-31 await a cross-checkable "
+                "transcription)"
             )
         xlen, linbits, _hc, _hl = HUFF_BIG[table]
         rev = _REV_BIG[table]
@@ -890,10 +988,11 @@ def _encode_granule_bits(
         big_end = int(idx_gt1[-1]) + 1
         big_end += big_end % 2
     vmax = int(np.abs(iv[:big_end]).max()) if big_end else 0
-    if vmax > 5:
+    if vmax > 15:
         raise Mp3Error(f"mp3 encoder: |value| {vmax} exceeds bundled tables")
     table = 0 if vmax == 0 else (
-        1 if vmax <= 1 else 2 if vmax <= 2 else 5 if vmax <= 3 else 7
+        1 if vmax <= 1 else 2 if vmax <= 2 else 5 if vmax <= 3
+        else 7 if vmax <= 5 else 10 if vmax <= 7 else 15
     )
     if table:
         xlen, _lb, hc, hl = HUFF_BIG[table]
@@ -972,8 +1071,8 @@ def encode(
 ) -> bytes:
     """Float PCM ([n] mono or [n, 2] stereo) -> MPEG-1 Layer III CBR
     frames using the bundled entropy layer (round 9): each granule
-    quantizes to |iv| <= 5 and pair-codes its big-values region with
-    the smallest covering Table B.7 table (1/2/5/7), falling back to
+    quantizes to |iv| <= 15 and pair-codes its big-values region with
+    the smallest covering Table B.7 table (1/2/5/7/10/15), falling back to
     coarser quantization ({-1,0,+1}, count1-only) granule-by-granule
     when the frame budget is tight; the count1 region uses table B, or
     table A with ``count1_a=True``. ``block_type="short"`` writes every
@@ -1050,7 +1149,7 @@ def encode(
                 else:
                     X, prev[ch] = _mdct_granule(subs[ch][g0: g0 + 18], prev[ch])
                 # finest quantization whose payload fits the budget
-                for vmax in (5, 3, 2, 1):
+                for vmax in (15, 7, 5, 3, 2, 1):
                     iv, gg = _quantize_iv(X, vmax)
                     if short:
                         iv = iv[perm]  # wire order (band, window, line)

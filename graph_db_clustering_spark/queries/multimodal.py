@@ -131,10 +131,12 @@ def audio_mp3(spark, sf_dir):
                 n = 1152 * (1 + int(did) % 3)
                 t = np.arange(n) / 44100.0
                 pcm = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
-                # round 9: alternate the new entropy/window paths so the
-                # oracle-checked entry exercises table-coded big values,
-                # count1 table A, and short-block frames — the decode
-                # GEOMETRY (the oracle) is identical across all of them
+                # round 9/10: alternate the entropy/window paths so the
+                # oracle-checked entry exercises table-coded big values
+                # (incl. the round-10 dense 16x16 table 15 the encoder
+                # now picks for this amplitude), count1 table A, and
+                # short-block frames — the decode GEOMETRY (the oracle)
+                # is identical across all of them
                 out.append((int(did), bytearray(mp3_codec.encode(
                     pcm,
                     count1_a=bool(int(did) % 3 == 0),

@@ -164,7 +164,7 @@ def test_side_info_roundtrip_through_parser():
             assert g["count1table_select"] == 1
             assert g["window_switching"] == 0
             t = g["table_select"]
-            assert t[0] == t[1] == t[2] and t[0] in (0, 1, 2, 5, 7)
+            assert t[0] == t[1] == t[2] and t[0] in (0, 1, 2, 5, 7, 10, 15)
             if g["big_values"]:
                 assert t[0] != 0
 
@@ -275,7 +275,7 @@ def test_unsupported_huffman_table_raises_by_name():
         w.write(210, 8)
         w.write(0, 4)
         w.write(0, 1)
-        w.write(13, 5)  # table_select[0] = 13  <- the gate
+        w.write(16, 5)  # table_select[0] = 16  <- the gate
         w.write(0, 5)
         w.write(0, 5)
         w.write(0, 4)
@@ -285,7 +285,7 @@ def test_unsupported_huffman_table_raises_by_name():
         w.write(1, 1)
     w.pad()
     blob[4: 4 + 17] = bytes(w.buf)
-    with pytest.raises(NotImplementedError, match="table 13"):
+    with pytest.raises(NotImplementedError, match="table 16"):
         mp3.decode(bytes(blob))
 
 
@@ -526,3 +526,54 @@ def test_subblock_gain_attenuates_its_window():
     assert xr[base] == 1.0
     assert xr[base + width] == 0.25
     assert xr[base + 2 * width] == 0.0625
+
+
+def test_dense_tables_roundtrip_and_selection():
+    """Round 10: tables 10-13/15 — the encoder now quantizes to
+    |iv| <= 15 and selects the dense 16x16 table 15 (or 8x8 table 10)
+    for loud material; the decoder round-trips it. Asserts the new
+    tables are actually EXERCISED (side info names them), the decode
+    lands exactly on part2_3_length (a wrong 256-entry table
+    desynchronizes with overwhelming probability), and SNR improves
+    over the old coarse 5-level ladder."""
+    import collections
+
+    import numpy as np
+
+    t = np.arange(int(44100 * 0.5)) / 44100.0
+    # rich multi-tone: enough spectral spread that vmax lands high
+    x = (
+        0.7 * np.sin(2 * np.pi * 440 * t)
+        + 0.25 * np.sin(2 * np.pi * 1320 * t)
+        + 0.08 * np.sin(2 * np.pi * 3000 * t)
+    )
+    blob = mp3.encode(x, rate=44100, bitrate=320_000)
+    # survey the tables the encoder selected
+    pos, used = 0, collections.Counter()
+    data = blob
+    while pos + 4 <= len(data):
+        try:
+            h = mp3._parse_header(data[pos:pos + 4])
+        except mp3.Mp3Error:
+            break
+        si = mp3._parse_side_info(data[pos + 4:pos + 4 + 17], 1)
+        for gr in si["granules"]:
+            for g in gr:
+                for tab in g["table_select"]:
+                    used[tab] += 1
+        pos += h["frame_len"]
+    assert any(tab in used for tab in (10, 15)), dict(used)
+    rate, y = mp3.decode(blob)
+    _d, snr, g = _best_snr(x, y)
+    assert snr > 12.0, snr  # flat-quantizer bound on multi-tone
+    assert 0.8 < abs(g) < 1.2
+    # pure line-centered sine: table 15's 16 levels lift SNR well past
+    # the old 5-level ladder's measured ~14.7 dB
+    f = (100 + 0.5) * 44100 / 1152
+    xs = _sine(freq=f, secs=0.5, rate=44100)
+    blob2 = mp3.encode(xs, rate=44100, bitrate=320_000)
+    si = mp3._parse_side_info(blob2[4:4 + 17], 1)
+    assert si["granules"][0][0]["table_select"][0] == 15
+    _r, ys = mp3.decode(blob2)
+    _d2, snr2, _g2 = _best_snr(xs, ys)
+    assert snr2 > 20.0, snr2
