@@ -28,9 +28,12 @@ exactly as SQLite itself does.
 
 Distribution: binaryFile + a groupBy(database-stem) applyInPandas so a
 database and its -wal land in the same task; each task decodes its own
-blob(s). Gates: WITHOUT ROWID tables (index-organized, different cell
-layout); hot -journal siblings are ignored (rollback journals carry
-pre-images, not new data).
+blob(s). WITHOUT ROWID tables (round 10) read too: they live in an
+INDEX b-tree (interior cells carry real records — each key appears
+exactly once in the tree) whose record order is PRIMARY KEY columns
+first; the reader permutes back to declared order. Hot -journal
+siblings are ignored (rollback journals carry pre-images, not new
+data).
 """
 
 from __future__ import annotations
@@ -148,10 +151,16 @@ class _Db:
 
     # -- record decoding ----------------------------------------------------
 
-    def _payload(self, page: bytes, pos: int, plen: int, base_off: int) -> bytes:
-        """Assemble a cell payload, following the overflow chain."""
+    def _payload(
+        self, page: bytes, pos: int, plen: int, base_off: int,
+        index: bool = False,
+    ) -> bytes:
+        """Assemble a cell payload, following the overflow chain. The
+        max-local threshold X differs by tree kind (fileformat2 §B-tree
+        Pages): table leaves spill past U-35; INDEX pages (both levels)
+        past ((U-12)*64/255)-23."""
         u = self.usable
-        x = u - 35
+        x = ((u - 12) * 64) // 255 - 23 if index else u - 35
         if plen <= x:
             return self.blob[base_off + pos : base_off + pos + plen]
         m = ((u - 12) * 32) // 255 - 23
@@ -225,6 +234,20 @@ class _Db:
                     rowid, pos = _varint(pg, pos)
                     payload = self._payload(pg, pos, plen, base)
                     yield rowid, self._record(payload, rowid)
+            elif ptype == 2:  # interior INDEX page (WITHOUT ROWID)
+                # index b-trees store each key exactly ONCE: interior
+                # cells carry real records too, not just separators
+                for p in ptrs:
+                    stack.append(struct.unpack(">I", pg[p : p + 4])[0])
+                    plen, pos = _varint(pg, p + 4)
+                    payload = self._payload(pg, pos, plen, base, index=True)
+                    yield None, self._record(payload, 0)
+                stack.append(struct.unpack(">I", pg[hdr + 8 : hdr + 12])[0])
+            elif ptype == 10:  # leaf INDEX page (WITHOUT ROWID)
+                for p in ptrs:
+                    plen, pos = _varint(pg, p)
+                    payload = self._payload(pg, pos, plen, base, index=True)
+                    yield None, self._record(payload, 0)
             else:
                 raise SqliteError(f"sqlite: unexpected page type {ptype}")
 
@@ -236,12 +259,31 @@ class _Db:
         return out
 
 
-def _table_info(db: _Db, table: str) -> tuple[int, list[str], int | None]:
+def _table_info(
+    db: _Db, table: str
+) -> tuple[int, list[str], int | None, list[int] | None]:
+    """-> (root page, declared column names, integer-pk index or None,
+    record-order permutation or None). Ordinary tables store records
+    in declared order (perm None) with the INTEGER PRIMARY KEY
+    aliased to the rowid (ipk). WITHOUT ROWID tables store rows in an
+    INDEX b-tree whose record puts the PRIMARY KEY columns FIRST (in
+    PK-declaration order) followed by the rest in declared order —
+    perm[i] = the declared position of record column i; no rowid
+    aliasing exists there."""
     for typ, name, root, sql in db.master():
         if typ == "table" and name == table:
-            if sql and re.search(r"WITHOUT\s+ROWID", sql, re.I):
-                raise NotImplementedError("sqlite: WITHOUT ROWID tables")
             cols = _parse_columns(sql or "")
+            names = [c for c, _ in cols]
+            if sql and re.search(r"WITHOUT\s+ROWID", sql, re.I):
+                pk = _pk_columns(sql, cols)
+                if not pk:
+                    raise SqliteError(
+                        f"sqlite: WITHOUT ROWID table {table!r} has no "
+                        "parseable PRIMARY KEY"
+                    )
+                order = pk + [c for c in names if c not in pk]
+                perm = [names.index(c) for c in order]
+                return root, names, None, perm
             ipk = next(
                 (
                     i
@@ -252,8 +294,43 @@ def _table_info(db: _Db, table: str) -> tuple[int, list[str], int | None]:
                 ),
                 None,
             )
-            return root, [c for c, _ in cols], ipk
+            return root, names, ipk, None
     raise SqliteError(f"sqlite: table {table!r} not found")
+
+
+def _pk_columns(sql: str, cols: list[tuple[str, str]]) -> list[str]:
+    """PRIMARY KEY column names in PK order: a table-level
+    PRIMARY KEY(a, b ...) constraint wins; else the column-level
+    marker. DESC/ASC/COLLATE decorations are stripped."""
+    body = sql[sql.index("(") + 1 : sql.rindex(")")]
+    m = re.search(
+        r"(?:CONSTRAINT\s+\S+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)", body, re.I
+    )
+    if m:
+        out = []
+        for part in m.group(1).split(","):
+            name = part.strip().split()[0]
+            out.append(name.strip('"`[]'))
+        return out
+    return [
+        c
+        for c, ctype in cols
+        if re.search(r"PRIMARY\s+KEY", ctype, re.I)
+    ]
+
+
+def _apply_perm(rec: list, perm: list | None, n: int) -> list:
+    """Record -> declared order, padded: ordinary tables (perm None)
+    pass through; WITHOUT ROWID records are PK-first and permute back.
+    Missing trailing columns (added by ALTER, or NULL-suppressed) pad
+    as None."""
+    rec = (rec + [None] * n)[:n]
+    if perm is None:
+        return rec
+    out = [None] * n
+    for rpos, dpos in enumerate(perm):
+        out[dpos] = rec[rpos]
+    return out
 
 
 def _parse_columns(sql: str) -> list[tuple[str, str]]:
@@ -331,10 +408,10 @@ def read_sqlite(
         bytes(first["content"]),
         wal=bytes(wal0["content"]) if wal0 else None,
     )
-    root0, cols, ipk = _table_info(db0, table)
+    root0, cols, ipk, perm0 = _table_info(db0, table)
     sample = []
     for _rid, rec in db0.rows(root0):
-        sample.append(rec)
+        sample.append(_apply_perm(rec, perm0, len(cols)))
         if len(sample) >= 100:
             break
     types = []
@@ -365,11 +442,11 @@ def read_sqlite(
         if main is None:  # orphan sibling files: nothing to read
             return pd.DataFrame({c: [] for c in cols})
         db = _Db(main, wal=wal)
-        root, _cols, ipk_i = _table_info(db, table)
+        root, _cols, ipk_i, perm_i = _table_info(db, table)
         data = []
         for rowid, rec in db.rows(root):
-            rec = (rec + [None] * n_cols)[:n_cols]
-            if ipk_i is not None:
+            rec = _apply_perm(rec, perm_i, n_cols)
+            if ipk_i is not None and rowid is not None:
                 rec[ipk_i] = rowid
             data.append(rec)
         out = pd.DataFrame(data, columns=cols, dtype=object)

@@ -97,8 +97,9 @@ def test_sqlite_gates(spark, tmp_path):
     con.execute("INSERT INTO t2 VALUES ('x', 1)")
     con.commit()
     con.close()
-    with pytest.raises(NotImplementedError, match="WITHOUT ROWID"):
-        read_sqlite(spark, str(tmp_path), "t2", glob="wr.sqlite")
+    # round 10: WITHOUT ROWID reads (index b-tree, PK-first records)
+    df2 = read_sqlite(spark, str(tmp_path), "t2", glob="wr.sqlite")
+    assert [(r.a, r.b) for r in df2.collect()] == [("x", 1)]
     with pytest.raises(SqliteError, match="not found"):
         read_sqlite(spark, str(tmp_path), "nope", glob="wr.sqlite")
 
@@ -157,7 +158,7 @@ def test_sqlite_wal_replay_matches_checkpointed_form(spark, tmp_path):
     # sanity: the stale main file ALONE lacks the new rows
     with open(live_dir / "live.sqlite", "rb") as f:
         stale = _Db(f.read())
-    sroot, _, _ = __import__(
+    sroot, _, _, _ = __import__(
         "graph_db_clustering_spark.sources.sqlite", fromlist=["_table_info"]
     )._table_info(stale, "t")
     stale_n = sum(1 for _ in stale.rows(sroot))
@@ -240,3 +241,65 @@ def test_sqlite_wal_sibling_found_with_narrow_glob(spark, tmp_path):
     got = sorted((r.a, r.b) for r in df.collect())
     assert got == [tuple(w) for w in want]
     assert len(got) == 95 and got[0][0] == 6
+
+
+def test_sqlite_without_rowid_matches_rowid_twin(spark, tmp_path):
+    """Round 10: a WITHOUT ROWID table written by the real engine reads
+    identically to its rowid twin — multi-page index b-tree (interior
+    cells carry real records), composite PRIMARY KEY declared mid-table
+    (record order is PK-first; the reader permutes back), overflow
+    payloads, WAL frames included."""
+    import shutil
+
+    p = str(tmp_path / "wor.db")
+    con = sqlite3.connect(p)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    # PK columns NOT first in declaration, composite, table-level
+    con.execute(
+        "CREATE TABLE t (v TEXT, k1 INTEGER, w REAL, k2 TEXT, big BLOB,"
+        " PRIMARY KEY (k1, k2)) WITHOUT ROWID"
+    )
+    con.execute(
+        "CREATE TABLE twin (v TEXT, k1 INTEGER, w REAL, k2 TEXT, big BLOB,"
+        " PRIMARY KEY (k1, k2))"
+    )
+    rows = [
+        (
+            f"val{i}" * (i % 4),
+            i,
+            i / 3.0,
+            f"k{i % 997}",
+            b"\x01\x02" * (2000 if i % 251 == 0 else i % 7),  # overflow
+        )
+        for i in range(1, 1501)
+    ]
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    con.executemany("INSERT INTO twin VALUES (?,?,?,?,?)", rows)
+    con.commit()
+    con.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+    # WAL-only mutations on the WITHOUT ROWID tree too
+    con.execute("DELETE FROM t WHERE k1 BETWEEN 100 AND 120")
+    con.execute("DELETE FROM twin WHERE k1 BETWEEN 100 AND 120")
+    con.execute("UPDATE t SET v = 'patched' WHERE k1 <= 5")
+    con.execute("UPDATE twin SET v = 'patched' WHERE k1 <= 5")
+    con.commit()
+    want = sorted(con.execute("SELECT v, k1, w, k2, big FROM t").fetchall())
+    d = tmp_path / "live"
+    d.mkdir()
+    shutil.copy(p, d / "wor.db")
+    shutil.copy(p + "-wal", d / "wor.db-wal")
+    con.close()
+
+    got_t = read_sqlite(spark, str(d), "t", glob="*.db")
+    got_twin = read_sqlite(spark, str(d), "twin", glob="*.db")
+    t_rows = sorted(
+        (r.v, r.k1, r.w, r.k2, bytes(r.big)) for r in got_t.collect()
+    )
+    twin_rows = sorted(
+        (r.v, r.k1, r.w, r.k2, bytes(r.big)) for r in got_twin.collect()
+    )
+    assert len(t_rows) == len(want) == 1479
+    assert t_rows == [tuple(w) for w in want]
+    assert t_rows == twin_rows
+    assert got_t.columns == ["v", "k1", "w", "k2", "big"]
