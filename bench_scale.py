@@ -46,9 +46,28 @@ HEAVY = [
     "dsir_weights",
     "pca_embed",
     "gmm_embed",
+    "fuzzy_names_5k",
 ]
 
-_VERSION = "v1"  # bump to invalidate cached corpora
+
+def fuzzy_names_5k(spark, sf_dir):
+    """The record-linkage scale row (VERDICT r9 Next #8): blocked
+    Jaro-Winkler over a FIXED 5k-per-replica part slice — the same
+    fuzzy_name_pairs plan as the oracle entry (brand blocks, common-
+    char prefilter, Arrow-batched scorer), bounded so the 10x run
+    stays a minutes-scale artifact. Replica brands are disjoint by
+    construction, so 10x data = 10x blocks of constant size; growth
+    near 1x-per-data-x means the quadratic term stayed inside the
+    block. Unlike the other HEAVY rows its sf0.1 baseline is measured
+    IN this run (it is not in the bench.py set)."""
+    from graph_db_clustering_spark.operators.text import fuzzy_name_pairs
+
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") % 1_000_000) < 5000
+    ).select("p_partkey", "p_name", "p_brand")
+    return fuzzy_name_pairs(part, "p_partkey", "p_name", ["p_brand"])
+
+_VERSION = "v2"  # bump to invalidate cached corpora
 
 
 def build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
@@ -92,6 +111,31 @@ def build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
         os.path.join(out_dir, "embeddings.parquet")
     )
 
+    # round 10: the record-linkage tier (fuzzy_names) blocks on
+    # p_brand. Clones get per-replica BRAND prefixes: more data means
+    # more distinct blocks (like a real corpus growing new entities),
+    # not 10x-bigger blocks — the same design choice as the token-
+    # prefixed documents. Within-block pair cost therefore scales
+    # linearly with rows; an accidental cross-replica block merge
+    # would show up as quadratic growth in this row.
+    part = load_table(spark, src_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    big_part = part.crossJoin(reps).select(
+        (F.col("__rep") * 1_000_000 + F.col("p_partkey")).alias("p_partkey"),
+        F.when(F.col("__rep") == 0, F.col("p_name")).otherwise(
+            F.concat(F.lit("x"), F.col("__rep").cast("string"),
+                     F.lit(" "), F.col("p_name"))
+        ).alias("p_name"),
+        F.when(F.col("__rep") == 0, F.col("p_brand")).otherwise(
+            F.concat(F.lit("x"), F.col("__rep").cast("string"),
+                     F.col("p_brand"))
+        ).alias("p_brand"),
+    )
+    big_part.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "part.parquet")
+    )
+
 
 def ensure_scale_corpus(spark, src_dir: str, factor: int) -> str:
     out_dir = os.environ.get(
@@ -126,7 +170,7 @@ def main() -> None:
 
     spark = get_spark("gdc-spark-bench-scale")
     sf_dir = ensure_scale_corpus(spark, src_dir, factor)
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "part"):
         load_table(spark, sf_dir, t).count()
     warm_python_workers(spark)
 
@@ -137,6 +181,14 @@ def main() -> None:
     serve_index = ivfpq_serve_setup(spark, sf_dir)
     queries = dict(QUERIES)
     queries["ann_ivfpq_serve"] = ivfpq_serve_query(serve_index)
+    queries["fuzzy_names_5k"] = fuzzy_names_5k
+    # in-run sf0.1 baseline for the linkage row (not in bench.py's set)
+    base_samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        materialize(fuzzy_names_5k(spark, src_dir))
+        base_samples.append(time.perf_counter() - t0)
+    fuzzy_base = round(min(base_samples), 3)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEAVY:
@@ -161,6 +213,7 @@ def main() -> None:
                 "base_sf_dir": src_dir,
                 "scale_dir": sf_dir,
                 "method": f"min_of_{runs}_runs",
+                "fuzzy_names_5k_base_sf01": fuzzy_base,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "cpus": os.cpu_count(),

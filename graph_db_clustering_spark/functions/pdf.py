@@ -442,6 +442,52 @@ def _decrypt_pdf(data: bytes, trailer: bytes) -> bytes:
     return out.replace(b"/Encrypt %d %d R" % (enc_num, int(em.group(2))), b"")
 
 
+def _apply_predictor(body: bytes, head: bytes) -> bytes:
+    """Undo a stream dictionary's /Predictor (PDF 32000 §7.4.4.4):
+    1 = none, 2 = TIFF horizontal differencing, 10-15 = the PNG row
+    filters (each row prefixed by its filter-type byte; 10-15 all
+    decode identically because the byte, not the dict value, names the
+    per-row filter — the PNG machinery in functions/png is reused
+    verbatim). /Colors, /BitsPerComponent, /Columns default 1/8/1."""
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    pred = int(pm.group(1)) if pm else 1
+    if pred == 1:
+        return body
+    import numpy as np
+
+    def _param(name, default):
+        m = re.search(rb"/" + name + rb"\s+(\d+)", head)
+        return int(m.group(1)) if m else default
+
+    colors = _param(b"Colors", 1)
+    bpc = _param(b"BitsPerComponent", 8)
+    cols = _param(b"Columns", 1)
+    stride = (colors * bpc * cols + 7) // 8
+    bpp = max(1, (colors * bpc) // 8)
+    if pred == 2:
+        if bpc != 8:
+            raise NotImplementedError(
+                f"PDF: TIFF predictor with BitsPerComponent {bpc}"
+            )
+        height = len(body) // stride
+        arr = np.frombuffer(
+            body[: height * stride], dtype=np.uint8
+        ).reshape(height, cols, colors).astype(np.int64)
+        out = (np.cumsum(arr, axis=1) % 256).astype(np.uint8)
+        return out.tobytes() + body[height * stride :]
+    if 10 <= pred <= 15:
+        from graph_db_clustering_spark.functions.png import _unfilter
+
+        height = len(body) // (stride + 1)
+        if height * (stride + 1) != len(body):
+            raise ValueError(
+                "PDF: predictor stream length not a whole number of rows"
+            )
+        raw = np.frombuffer(body, dtype=np.uint8)
+        return _unfilter(raw, height, stride, bpp).tobytes()
+    raise ValueError(f"PDF: unknown predictor {pred}")
+
+
 def extract_text(data: bytes) -> str:
     """PDF bytes -> extracted text (one line per Td/TD/T* break)."""
     if not data.startswith(b"%PDF-"):
@@ -473,16 +519,13 @@ def extract_text(data: bytes) -> str:
                 body = zlib.decompress(body)
             except zlib.error as e:
                 raise ValueError(f"PDF: corrupt Flate stream ({e!r})")
+            body = _apply_predictor(body, head)
         elif b"/LZWDecode" in head:
             # PDF LZW IS TIFF's early-change variant (PDF 32000 §7.4.4
             # defines it by reference to the TIFF spec): MSB-first,
             # 9-bit initial width, 256=Clear / 257=EOD — the decoder
-            # functions/simple_images already carries. Predictors on a
-            # TEXT stream are unheard of; gate them loudly.
-            if re.search(rb"/Predictor\s+(?!1\b)\d", head):
-                raise NotImplementedError(
-                    "PDF LZWDecode with a predictor not supported"
-                )
+            # functions/simple_images already carries. Predictors
+            # (round 10) undo after decompression, same as Flate.
             from graph_db_clustering_spark.functions.simple_images import (
                 _lzw_tiff_decode,
             )
@@ -491,6 +534,7 @@ def extract_text(data: bytes) -> str:
                 body = _lzw_tiff_decode(body)
             except ValueError as e:
                 raise ValueError(f"PDF: corrupt LZW stream ({e})")
+            body = _apply_predictor(body, head)
         elif b"/Filter" in head:
             continue  # image/other filtered streams carry no text ops
         line: list[str] = []

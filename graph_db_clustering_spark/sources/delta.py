@@ -15,10 +15,12 @@ Scope (loud gates, not silent wrong answers):
   partition tuple, unioned by name. Partition-value pruning composes
   with stats-based file skipping in `read_delta_pruned`.
 - reader protocol 1 (deletion vectors / column mapping raise)
-- single-part classic checkpoints ARE supported and participate in
-  BOTH the live-file replay and the per-file stats (a live file whose
-  add action survives only in the checkpoint still carries its stats);
-  multi-part checkpoints raise a loud NotImplementedError.
+- classic checkpoints ARE supported — single-part AND multi-part
+  (round 10: NNN.checkpoint.<i>.<n>.parquet parts concatenate into the
+  same replay; a missing part raises rather than silently dropping
+  live files) — and participate in BOTH the live-file replay and the
+  per-file stats (a live file whose add action survives only in the
+  checkpoint still carries its stats).
 
 This is the interop path for "my corpus is a Delta table": list the
 live files from the log, then hand the parquet paths to Spark's native
@@ -61,19 +63,37 @@ def _commit_versions(path: str) -> list[int]:
 
 def _last_checkpoint(path: str) -> dict | None:
     """The `_last_checkpoint` pointer, or None. Multi-part checkpoints
-    (a 'parts' field; files named NNN.checkpoint.<i>.<n>.parquet) gate
-    loudly instead of failing with a raw FileNotFoundError."""
+    (a 'parts' field; files named NNN.checkpoint.<i>.<n>.parquet, i
+    1-based) are supported: `_checkpoint_files` resolves the part list
+    and raises loudly if any part is missing — a partial checkpoint
+    read would silently drop live files."""
     try:
         with open(os.path.join(_log_dir(path), "_last_checkpoint")) as f:
-            lc = json.load(f)
+            return json.load(f)
     except FileNotFoundError:
         return None
-    if lc.get("parts"):
-        raise NotImplementedError(
-            "delta: multi-part checkpoints not supported "
-            f"(parts={lc['parts']})"
+
+
+def _checkpoint_files(path: str, lc: dict) -> list[str]:
+    """The parquet file(s) of the checkpoint `lc` points at, in part
+    order. Classic single-part: NNN.checkpoint.parquet. Multi-part:
+    every NNN.checkpoint.<i>.<n>.parquet for i in 1..n must exist."""
+    v = int(lc["version"])
+    parts = lc.get("parts")
+    if not parts:
+        return [os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")]
+    n = int(parts)
+    out = []
+    for i in range(1, n + 1):
+        f = os.path.join(
+            _log_dir(path), f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
         )
-    return lc
+        if not os.path.exists(f):
+            raise DeltaError(
+                f"delta: multi-part checkpoint part {i}/{n} missing: {f}"
+            )
+        out.append(f)
+    return out
 
 
 def _checkpoint_version(path: str) -> int | None:
@@ -154,11 +174,12 @@ def _replay(path: str, version: int | None = None) -> tuple[dict, dict | None]:
     if cp is not None and cp <= target:
         import pyarrow.parquet as pq
 
-        cp_file = os.path.join(_log_dir(path), f"{cp:020d}.checkpoint.parquet")
-        for row in pq.read_table(cp_file).to_pylist():
-            _apply_action(
-                {k: v for k, v in row.items() if v is not None}, files, meta
-            )
+        for cp_file in _checkpoint_files(path, _last_checkpoint(path)):
+            for row in pq.read_table(cp_file).to_pylist():
+                _apply_action(
+                    {k: v for k, v in row.items() if v is not None},
+                    files, meta,
+                )
         start = cp + 1
     for v in versions:
         if v < start or v > target:
@@ -801,14 +822,14 @@ def delta_vacuum(path: str, dry_run: bool = False) -> list[str]:
     if cp is not None:
         import pyarrow.parquet as pq
 
-        cp_file = os.path.join(_log_dir(path), f"{cp:020d}.checkpoint.parquet")
-        for row in pq.read_table(cp_file).to_pylist():
-            a = row.get("add")
-            if a:
-                referenced.add(_normalize_add(a)["path"])
-            r = row.get("remove")
-            if r:
-                referenced.add(r["path"])
+        for cp_file in _checkpoint_files(path, _last_checkpoint(path)):
+            for row in pq.read_table(cp_file).to_pylist():
+                a = row.get("add")
+                if a:
+                    referenced.add(_normalize_add(a)["path"])
+                r = row.get("remove")
+                if r:
+                    referenced.add(r["path"])
     for v in versions:
         with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
             for line in f:

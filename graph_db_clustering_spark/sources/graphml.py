@@ -115,10 +115,21 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
     return Graph(v, e)
 
 
-def write_graphml(graph: Graph, path: str) -> None:
+def write_graphml(graph: Graph, path: str, max_rows: int = 1_000_000) -> None:
     """Graph -> one .graphml document (driver-side serialization —
     interchange files are for humans and tools, not for 100 TB; the
-    big-graph export is write_neo4j_csv)."""
+    big-graph export is write_neo4j_csv). The driver-side contract is
+    ENFORCED, not trusted: a graph whose nodes+edges exceed `max_rows`
+    (default 1M; raise it deliberately if you truly want a larger
+    file) errors before any collect, pointing at write_neo4j_csv."""
+    total = graph.vertices.count() + graph.edges.count()
+    if total > max_rows:
+        raise ValueError(
+            f"graphml: {total} nodes+edges exceeds max_rows={max_rows}; "
+            "GraphML is a driver-side interchange format — export big "
+            "graphs with write_neo4j_csv, or pass a larger max_rows "
+            "deliberately"
+        )
     _SUFFIX = {
         "bigint": "long",
         "int": "int",

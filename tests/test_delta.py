@@ -108,12 +108,13 @@ def test_delta_gates_and_errors(spark, tmp_path):
     _write_commit(table3, 0, [_add("a.parquet")])
     with pytest.raises(DeltaError, match="version 5"):
         delta_live_files(table3, 5)
-    # multi-part checkpoints gate loudly, not FileNotFoundError
+    # multi-part checkpoint with a MISSING part raises loudly —
+    # a partial read would silently drop live files
     table4 = str(tmp_path / "bad4")
     _write_commit(table4, 0, [_add("a.parquet")])
     with open(os.path.join(table4, "_delta_log", "_last_checkpoint"), "w") as f:
         json.dump({"version": 0, "size": 2, "parts": 2}, f)
-    with pytest.raises(NotImplementedError, match="multi-part"):
+    with pytest.raises(DeltaError, match="part 1/2 missing"):
         delta_live_files(table4)
 
 
@@ -509,3 +510,57 @@ def test_delta_dv_inline_and_protocol_gates(spark, tmp_path):
     }}])
     with pytest.raises(NotImplementedError, match="columnMapping"):
         delta_live_files(t2)
+
+
+def test_delta_multipart_checkpoint_reads(spark, tmp_path):
+    """Round 10: a multi-part checkpoint (NNN.checkpoint.<i>.<n>.parquet)
+    concatenates into the same replay — adds split across parts, stats
+    intact, later JSON commits still apply; a missing middle part
+    raises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        delta_checkpoint,
+        delta_file_stats,
+        read_delta_pruned,
+    )
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    table = str(tmp_path / "mp")
+    delta_append(spark, li.filter(F.col("l_quantity") < 20).repartition(1),
+                 table, stats_cols=["l_quantity"])
+    delta_append(spark, li.filter(F.col("l_quantity") >= 20).repartition(1),
+                 table, stats_cols=["l_quantity"])
+    # build a single-part checkpoint, then SPLIT its rows into 2 parts
+    v = delta_checkpoint(table)
+    log = os.path.join(table, "_delta_log")
+    single = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+    t = pq.read_table(single)
+    os.remove(single)
+    half = max(1, t.num_rows // 2)
+    pq.write_table(t.slice(0, half),
+                   os.path.join(log, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    pq.write_table(t.slice(half),
+                   os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": t.num_rows, "parts": 2}, f)
+    # expire the JSON commits: the multi-part checkpoint is the state
+    for j in [n for n in os.listdir(log) if n.endswith(".json") and n[0].isdigit()]:
+        os.remove(os.path.join(log, j))
+    back = read_delta(spark, table)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+    # stats survived the split: skipping still fires
+    stats = delta_file_stats(table)
+    assert len(stats) == 2 and all(s["minValues"] for s in stats)
+    _df, nread, nskip = read_delta_pruned(spark, table, "l_quantity", 1, 5)
+    assert (nread, nskip) == (1, 1)
+    # a LATER JSON commit still applies on top of the checkpoint
+    delta_append(spark, li.limit(7), table)
+    assert read_delta(spark, table).count() == li.count() + 7
+    # missing middle part: loud
+    os.remove(os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with pytest.raises(DeltaError, match="part 2/2 missing"):
+        read_delta(spark, table)

@@ -89,3 +89,25 @@ def test_store_roundtrip_and_truncate(graph, spark, tmp_path):
     g3 = store.load()
     assert g3.vertices.count() == 0 and g3.edges.count() == 0
     assert g3.vertices.schema == g2.vertices.schema
+
+
+def test_write_graphml_size_guard(spark, tmp_path):
+    """VERDICT r9: the GraphML writer's driver-side contract is
+    enforced — past max_rows it errors BEFORE collecting, naming
+    write_neo4j_csv; an explicit larger max_rows still writes."""
+    import pytest as _pytest
+
+    from graph_db_clustering_spark.operators.graph import Graph
+    from graph_db_clustering_spark.sources.graphml import write_graphml
+
+    v = spark.range(0, 50).toDF("id")
+    e = (
+        spark.range(0, 49)
+        .toDF("src")
+        .withColumn("dst", F.col("src") + 1)
+    )
+    g = Graph(v, e)
+    with _pytest.raises(ValueError, match="write_neo4j_csv"):
+        write_graphml(g, str(tmp_path / "g.graphml"), max_rows=10)
+    write_graphml(g, str(tmp_path / "g.graphml"), max_rows=1000)
+    assert (tmp_path / "g.graphml").exists()

@@ -37,9 +37,11 @@ def test_gates():
            b"BT (the /Encrypt key spec) Tj ET\nendstream\n"
            b"trailer\n<< /Size 2 /Root 1 0 R >>")
     assert pdf.extract_text(doc) == "the /Encrypt key spec"
+    # round 10: LZW-with-predictor DECODES now; a garbage body is a
+    # corrupt-stream error, not a gate
     lzw_pred = (b"%PDF-1.4\n<< /Filter /LZWDecode /Predictor 12 "
                 b"/Length 4 >>\nstream\nXXXX\nendstream")
-    with pytest.raises(NotImplementedError, match="predictor"):
+    with pytest.raises(ValueError, match="LZW"):
         pdf.extract_text(lzw_pred)
     with pytest.raises(ValueError, match="Flate"):
         pdf.extract_text(
@@ -261,3 +263,63 @@ def test_aesv3_password_rejection():
     blob[i + 4 : i + 8] = b"0000"
     with pytest.raises(ValueError, match="password-protected"):
         pdf.extract_text(bytes(blob))
+
+
+def test_lzw_and_flate_predictors_roundtrip():
+    """Round 10: /Predictor 2 (TIFF differencing) and 10-15 (PNG row
+    filters) undo after LZW or Flate decompression. Fixtures are built
+    by FORWARD-filtering a known text stream with the real predictor
+    math, so a decoder slip cannot self-cancel."""
+    import zlib
+
+    import numpy as np
+
+    from graph_db_clustering_spark.functions.simple_images import (
+        _lzw_tiff_encode,
+    )
+
+    text = b"BT (predicted text) Tj ET" + b" " * 7  # pad to rows
+    cols = 8
+    height = len(text) // cols
+    arr = np.frombuffer(text, dtype=np.uint8).reshape(height, cols)
+
+    # PNG Up filter (type 2): row - prev_row, filter byte 2 per row
+    png_rows = []
+    prev = np.zeros(cols, dtype=np.int16)
+    for y in range(height):
+        png_rows.append(bytes([2]) + ((arr[y].astype(np.int16) - prev) % 256)
+                        .astype(np.uint8).tobytes())
+        prev = arr[y].astype(np.int16)
+    png_body = b"".join(png_rows)
+    for filt, comp in ((b"/FlateDecode", zlib.compress(png_body)),
+                       (b"/LZWDecode", _lzw_tiff_encode(png_body))):
+        doc = (b"%PDF-1.4\n<< /Filter " + filt +
+               b" /Predictor 12 /Columns 8 /Length " +
+               str(len(comp)).encode() + b" >>\nstream\n" + comp +
+               b"\nendstream")
+        assert pdf.extract_text(doc) == "predicted text"
+
+    # TIFF predictor 2: horizontal differencing per row
+    diff = arr.astype(np.int16).copy()
+    diff[:, 1:] = (arr[:, 1:].astype(np.int16) - arr[:, :-1]) % 256
+    tiff_body = diff.astype(np.uint8).tobytes()
+    comp = zlib.compress(tiff_body)
+    doc = (b"%PDF-1.4\n<< /Filter /FlateDecode /Predictor 2 /Columns 8"
+           b" /Length " + str(len(comp)).encode() + b" >>\nstream\n" +
+           comp + b"\nendstream")
+    assert pdf.extract_text(doc) == "predicted text"
+
+    # multi-component PNG Sub (type 1) with Colors 2 (bpp 2)
+    colors, cols2 = 2, 4
+    arr2 = np.frombuffer(text, dtype=np.uint8).reshape(height, cols2 * colors)
+    rows = []
+    for y in range(height):
+        line = arr2[y].astype(np.int16)
+        out = line.copy()
+        out[colors:] = (line[colors:] - line[:-colors]) % 256
+        rows.append(bytes([1]) + out.astype(np.uint8).tobytes())
+    comp = zlib.compress(b"".join(rows))
+    doc = (b"%PDF-1.4\n<< /Filter /FlateDecode /Predictor 12 /Columns 4"
+           b" /Colors 2 /Length " + str(len(comp)).encode() +
+           b" >>\nstream\n" + comp + b"\nendstream")
+    assert pdf.extract_text(doc) == "predicted text"
