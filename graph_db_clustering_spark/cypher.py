@@ -99,7 +99,10 @@ message — gates are test-pinned in tests/test_cypher.py):
       + length(p)                                distinct pairs: one row
                                                  per endpoint pair at its
                                                  minimal hop count)
-    allShortestPaths / general path vars       no — ValueError (use
+    [p =] allShortestPaths((a)-[:T*..k]->(b))  yes (BFS + per-layer
+                                                 path counting; one row
+                                                 per minimal path)
+    general path vars                           no — ValueError (use
       (p = (a)-->(b))                            graph_algos.shortest_paths)
     list comprehension [x IN l WHERE p | e]    yes (filter/transform
       (+ range(a, b[, step]))                    HOFs; lambda scoping)
@@ -266,6 +269,7 @@ class PathPat:
     nodes: list
     edges: list  # len(nodes) == len(edges) + 1
     shortest: bool = False  # wrapped in shortestPath(...)
+    all_shortest: bool = False  # allShortestPaths(...): one row PER path
     pathvar: str | None = None  # p = shortestPath(...); length(p) resolves
 
 
@@ -920,12 +924,6 @@ class _Parser:
         t = self.peek()
         if t[0] == "ident" and t[1].lower() in ("shortestpath", "allshortestpaths"):
             fn = self.next()[1]
-            if fn.lower() == "allshortestpaths":
-                raise ValueError(
-                    "cypher: allShortestPaths is not supported — "
-                    "shortestPath() already yields ONE row per endpoint "
-                    "pair (distinct-pairs semantics, no per-path rows)"
-                )
             self.expect("op", "(")
             p = self.path()
             self.expect("op", ")")
@@ -935,6 +933,7 @@ class _Parser:
                     "relationship, e.g. shortestPath((a)-[:T*..5]->(b))"
                 )
             p.shortest = True
+            p.all_shortest = fn.lower() == "allshortestpaths"
             p.pathvar = pathvar
             return p
         if pathvar is not None:
@@ -1613,6 +1612,57 @@ class CypherSession:
             ).localCheckpoint(eager=True)
         return known.filter(F.col("src") != F.col("dst"))
 
+    def _all_shortest_pairs(self, epat: EdgePat, params) -> DataFrame:
+        """(src, dst, dist, npaths) for allShortestPaths: the same
+        layered BFS as _shortest_pairs, additionally counting the
+        DISTINCT minimal paths per endpoint pair. Every predecessor of
+        a pair first reached at layer k sits at distance exactly k-1
+        (prefixes of shortest paths are shortest paths), so the count
+        is the layer-(k-1) counts summed over extending edges — one
+        groupBy per layer instead of one distinct. Minimal-length walks
+        are necessarily simple, so walk counting IS path counting.
+        Parallel edges are collapsed by _edge_step (the same
+        distinct-pairs convention every varlength form here uses)."""
+        lo, hi = epat.hops
+        if lo != 1:
+            raise ValueError(
+                "cypher: allShortestPaths supports a lower bound of 1 "
+                f"(got *{lo}..{'' if hi is None else hi}); zero-length "
+                "self-paths are not modeled"
+            )
+        if hi is not None and hi > self._VARLEN_MAX_HOPS:
+            raise ValueError(
+                f"cypher: variable-length range *{lo}..{hi} exceeds max "
+                f"hops ({self._VARLEN_MAX_HOPS})"
+            )
+        hi = hi if hi is not None else self._VARLEN_MAX_HOPS
+        step = self._edge_step(epat, params)
+        known = (
+            step.withColumn("dist", F.lit(1))
+            .withColumn("npaths", F.lit(1).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = known.select("src", "dst", "npaths")
+        for k in range(2, hi + 1):
+            frontier = (
+                frontier.alias("f")
+                .join(step.alias("s"), F.col("f.dst") == F.col("s.src"))
+                .groupBy(
+                    F.col("f.src").alias("src"), F.col("s.dst").alias("dst")
+                )
+                .agg(F.sum("npaths").alias("npaths"))
+                .join(known.select("src", "dst"), ["src", "dst"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                break
+            known = known.unionAll(
+                frontier.select(
+                    "src", "dst", F.lit(k).alias("dist"), "npaths"
+                )
+            ).localCheckpoint(eager=True)
+        return known.filter(F.col("src") != F.col("dst"))
+
     def _match(self, ctx: _Ctx, c: MatchC, params) -> None:
         def fresh(prefix):
             self._anon += 1
@@ -1655,7 +1705,24 @@ class CypherSession:
                         )
                     ename = fresh("r")
                     if path.shortest:
-                        ef = self._shortest_pairs(epat, params).select(
+                        pairs = (
+                            self._all_shortest_pairs(epat, params)
+                            if path.all_shortest
+                            else self._shortest_pairs(epat, params)
+                        )
+                        if path.all_shortest:
+                            # openCypher: one row PER minimal path — the
+                            # pair repeats npaths times (all its bindings
+                            # are identical; only the multiplicity is
+                            # observable through this length-only
+                            # path surface)
+                            pairs = pairs.withColumn(
+                                "__dup",
+                                F.explode(
+                                    F.sequence(F.lit(1), F.col("npaths"))
+                                ),
+                            )
+                        ef = pairs.select(
                             F.struct(
                                 F.col("src"), F.col("dst"), F.col("dist")
                             ).alias(ename)

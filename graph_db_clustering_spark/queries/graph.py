@@ -1488,3 +1488,62 @@ def graph_richclub(spark, sf_dir):
     return spark.createDataFrame(
         [(n_rich, rich_edges, phi)], "n_rich long, rich_edges long, phi double"
     )
+
+
+@declared(
+    "cypher_allshortest",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+       FROM customer WHERE c_custkey < {_CAP}),
+pairs AS (
+  SELECT a.id AS aid, b.id AS bid, b.pos - a.pos AS k
+  FROM v a JOIN v b ON a.nation = b.nation
+  WHERE b.pos - a.pos BETWEEN 1 AND 6)
+SELECT aid, bid,
+       CAST((k + 1) // 2 AS INT) AS d,
+       CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE (k + 1) // 2 END AS BIGINT)
+         AS npaths
+FROM pairs ORDER BY aid, bid""",
+)
+def cypher_allshortest(spark, sf_dir):
+    """allShortestPaths through the Cypher front-end (round 10,
+    cypher._all_shortest_pairs: the shortestPath layered BFS plus
+    per-layer path counting — every minimal path's prefix is minimal,
+    so layer-k counts are layer-(k-1) counts summed over extending
+    edges). Graph: per-nation custkey chains with BOTH +1 and +2
+    edges, so a gap of k positions has ceil(k/2) minimal hops and a
+    CLOSED-FORM path count — 1 for even k (all 2-steps), (k+1)/2 for
+    odd k (choose where the single 1-step goes). The entry groups the
+    per-path rows back to (pair, d, npaths), which the DuckDB oracle
+    states directly from the position arithmetic."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    edges = None
+    for step in (1, 2):
+        nxt = (
+            c.withColumn("nxt", F.lead("id", step).over(w))
+            .filter(F.col("nxt").isNotNull())
+            .select(
+                F.col("id").alias("src"),
+                F.col("nxt").alias("dst"),
+                F.lit("NEXT").alias("relationship"),
+            )
+        )
+        edges = nxt if edges is None else edges.unionByName(nxt)
+    s = CypherSession(Graph(c.drop("nation"), edges))
+    return s.run(
+        """MATCH p = allShortestPaths((a:Customer)-[:NEXT*..3]->(b:Customer))
+           RETURN a.id AS aid, b.id AS bid, length(p) AS d,
+                  count(*) AS npaths
+           ORDER BY aid, bid"""
+    )

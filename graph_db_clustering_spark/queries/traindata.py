@@ -1539,3 +1539,67 @@ def delta_deletes(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "sqlite_without_rowid",
+    """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(p_retailprice), 2) AS total
+FROM part WHERE NOT (p_size = 30 AND p_partkey <= 800)
+GROUP BY p_brand ORDER BY p_brand""",
+)
+def sqlite_without_rowid(spark, sf_dir):
+    """SQLite WITHOUT ROWID tables (round 10, sources/sqlite): the part
+    table lands in a real index-organized table whose composite
+    PRIMARY KEY (p_brand, p_partkey) is declared AFTER the data
+    columns — rows live in an INDEX b-tree (interior cells carry real
+    records) with PK columns FIRST in each record, so the reader must
+    walk both page kinds and permute the record back to declared
+    order; a targeted DELETE is committed only to the -wal sibling, so
+    WAL replay composes with the index-tree walk. The oracle states
+    the post-delete content directly."""
+    import atexit
+    import os
+    import shutil
+    import sqlite3
+    import tempfile
+
+    from graph_db_clustering_spark.sources.sqlite import read_sqlite
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_sqlwor_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "live"))
+    dbp = os.path.join(root, "part.db")
+    con = sqlite3.connect(dbp)
+    con.execute("PRAGMA journal_mode=WAL")
+    con.execute("PRAGMA wal_autocheckpoint=0")
+    con.execute(
+        "CREATE TABLE part (p_retailprice REAL, p_size INTEGER,"
+        " p_partkey INTEGER, p_brand TEXT,"
+        " PRIMARY KEY (p_brand, p_partkey)) WITHOUT ROWID"
+    )
+    rows = sorted(
+        (r.p_retailprice, r.p_size, r.p_partkey, r.p_brand)
+        for r in p.collect()
+    )
+    con.executemany("INSERT INTO part VALUES (?,?,?,?)", rows)
+    con.commit()
+    con.execute("PRAGMA wal_checkpoint(TRUNCATE)")
+    con.execute("DELETE FROM part WHERE p_size = 30 AND p_partkey <= 800")
+    con.commit()
+    shutil.copy(dbp, os.path.join(root, "live", "part.db"))
+    shutil.copy(dbp + "-wal", os.path.join(root, "live", "part.db-wal"))
+    con.close()
+    back = read_sqlite(spark, os.path.join(root, "live"), "part", glob="*.db")
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("total"),
+        )
+        .orderBy("p_brand")
+    )

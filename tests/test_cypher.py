@@ -1077,8 +1077,8 @@ def test_shortest_path_gates(spark):
     s = CypherSession(_chain_graph(spark))
     with pytest.raises(ValueError, match="single variable-length"):
         s.run("MATCH p = shortestPath((a)-[:NEXT]->(b)) RETURN 1")
-    with pytest.raises(ValueError, match="allShortestPaths"):
-        s.run("MATCH p = allShortestPaths((a)-[:NEXT*..3]->(b)) RETURN 1")
+    with pytest.raises(ValueError, match="single variable-length"):
+        s.run("MATCH p = allShortestPaths((a)-[:NEXT]->(b)) RETURN 1")
     with pytest.raises(ValueError, match="only supported with shortestPath"):
         s.run("MATCH p = (a)-[:NEXT]->(b) RETURN 1")
     with pytest.raises(ValueError, match="lower bound of 1"):
@@ -1455,3 +1455,55 @@ def test_void_schema_procedures_are_noops(spark):
     # unknown procedures still list the full supported set
     with pytest.raises(ValueError, match="db.createLabel"):
         s.run("CALL apoc.load.json('x')")
+
+
+def test_all_shortest_paths(spark):
+    """allShortestPaths (round 10): one row PER minimal path — the
+    diamond 0->{1,2}->3 has TWO 2-hop paths, so (n0,n3) appears twice
+    while shortestPath keeps one; counts multiply along layers
+    (0..4 via the double diamond = 4 paths)."""
+    v = spark.createDataFrame(
+        [(i, "N", f"n{i}") for i in range(7)],
+        "id long, label string, name string",
+    )
+    # diamond 0->1->3, 0->2->3; second diamond 3->4->6, 3->5->6
+    e = spark.createDataFrame(
+        [(0, 1, "NEXT"), (0, 2, "NEXT"), (1, 3, "NEXT"), (2, 3, "NEXT"),
+         (3, 4, "NEXT"), (3, 5, "NEXT"), (4, 6, "NEXT"), (5, 6, "NEXT")],
+        "src long, dst long, relationship string",
+    )
+    s = CypherSession(Graph(v, e))
+    out = s.run(
+        """MATCH p = allShortestPaths((a:N)-[:NEXT*..6]->(b:N))
+           WHERE a.name = 'n0' AND b.name IN ['n3', 'n6']
+           RETURN b.name AS bn, length(p) AS d ORDER BY bn"""
+    )
+    rows = [(r.bn, r.d) for r in out.collect()]
+    assert rows == [("n3", 2), ("n3", 2), ("n6", 4), ("n6", 4),
+                    ("n6", 4), ("n6", 4)]
+    # shortestPath on the same pattern: one row per pair
+    one = s.run(
+        """MATCH p = shortestPath((a:N)-[:NEXT*..6]->(b:N))
+           WHERE a.name = 'n0' AND b.name IN ['n3', 'n6']
+           RETURN b.name AS bn, length(p) AS d ORDER BY bn"""
+    )
+    assert [(r.bn, r.d) for r in one.collect()] == [("n3", 2), ("n6", 4)]
+    # aggregating the multiplicity is the natural consumption
+    cnt = s.run(
+        """MATCH p = allShortestPaths((a:N)-[:NEXT*..6]->(b:N))
+           WHERE a.name = 'n0'
+           RETURN b.name AS bn, count(*) AS npaths ORDER BY bn"""
+    )
+    assert [(r.bn, r.npaths) for r in cnt.collect()] == [
+        ("n1", 1), ("n2", 1), ("n3", 2), ("n4", 2), ("n5", 2), ("n6", 4),
+    ]
+    # a shortcut edge kills the longer alternatives entirely
+    e2 = e.unionByName(spark.createDataFrame(
+        [(0, 3, "NEXT")], "src long, dst long, relationship string"))
+    s2 = CypherSession(Graph(v, e2))
+    cnt2 = s2.run(
+        """MATCH p = allShortestPaths((a:N)-[:NEXT*..6]->(b:N))
+           WHERE a.name = 'n0' AND b.name = 'n3'
+           RETURN count(*) AS npaths, max(length(p)) AS d"""
+    )
+    assert [(r.npaths, r.d) for r in cnt2.collect()] == [(1, 1)]
