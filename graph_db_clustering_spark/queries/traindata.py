@@ -1603,3 +1603,123 @@ def sqlite_without_rowid(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+@declared(
+    "delta_column_mapping",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_quantity BETWEEN 5 AND 40
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def delta_column_mapping(spark, sf_dir):
+    """Delta column mapping, reader protocol 2 (round 10,
+    sources/delta): the table's data files store PHYSICAL column names
+    (col-<uuid>), add-action partitionValues and stats key by them,
+    and the metaData's delta.columnMapping.* field metadata carries
+    the logical mapping — the shape every Databricks-created table has
+    had since column mapping became a default. The reader renames back
+    to logical names, injects the partition column logically, and
+    PRUNES on logical bounds against physically-keyed stats (the entry
+    raises if stats-based skipping never fired). The oracle filters
+    lineitem directly."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.delta import (
+        read_delta,
+        read_delta_pruned,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("col-aaa111"),
+        F.col("l_quantity").alias("col-bbb222"),
+        F.col("l_returnflag").alias("col-ccc333"),
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_dcm_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm", "partitionColumns": ["l_returnflag"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "schemaString": _json.dumps({
+                "type": "struct",
+                "fields": [
+                    {"name": "l_orderkey", "type": "long",
+                     "nullable": True, "metadata": {
+                         "delta.columnMapping.id": 1,
+                         "delta.columnMapping.physicalName": "col-aaa111"}},
+                    {"name": "l_quantity", "type": "double",
+                     "nullable": True, "metadata": {
+                         "delta.columnMapping.id": 2,
+                         "delta.columnMapping.physicalName": "col-bbb222"}},
+                    {"name": "l_returnflag", "type": "string",
+                     "nullable": True, "metadata": {
+                         "delta.columnMapping.id": 3,
+                         "delta.columnMapping.physicalName": "col-ccc333"}},
+                ],
+            }),
+        }},
+    ]
+    import pyarrow.parquet as pq
+
+    for flag in sorted(
+        r[0] for r in li.select("col-ccc333").distinct().collect()
+    ):
+        stage = os.path.join(root, f"stage_{flag}")
+        part_df = li.filter(F.col("col-ccc333") == flag).drop("col-ccc333")
+        part_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+        rel = f"f={flag}/{part}"
+        os.makedirs(os.path.join(t, f"f={flag}"), exist_ok=True)
+        src = os.path.join(stage, part)
+        # per-file stats keyed by PHYSICAL name, straight off the footer
+        md = pq.read_metadata(src)
+        qmin = min(
+            md.row_group(i).column(1).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        qmax = max(
+            md.row_group(i).column(1).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        os.replace(src, os.path.join(t, *rel.split("/")))
+        actions.append({"add": {
+            "path": rel, "dataChange": True,
+            "partitionValues": {"col-ccc333": flag},
+            "stats": _json.dumps({
+                "numRecords": md.num_rows,
+                "minValues": {"col-bbb222": qmin},
+                "maxValues": {"col-bbb222": qmax},
+                "nullCount": {"col-bbb222": 0},
+            }),
+        }})
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    # partition-value pruning on the LOGICAL column name against the
+    # physically-keyed partitionValues
+    dt, _nread, nskip = read_delta_pruned(spark, t, "l_returnflag", "A", "N")
+    if nskip == 0:
+        raise AssertionError("delta_column_mapping: pruning skipped 0 files")
+    dt = read_delta(spark, t)
+    if dt.columns != ["l_orderkey", "l_quantity", "l_returnflag"]:
+        raise AssertionError(f"delta_column_mapping: columns {dt.columns}")
+    return (
+        dt.filter(F.col("l_quantity").between(5, 40))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

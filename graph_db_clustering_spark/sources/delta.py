@@ -14,7 +14,10 @@ Scope (loud gates, not silent wrong answers):
   from the metaData schemaString, one parquet read per distinct
   partition tuple, unioned by name. Partition-value pruning composes
   with stats-based file skipping in `read_delta_pruned`.
-- reader protocol 1 (deletion vectors / column mapping raise)
+- reader protocols 1, 2 (column mapping: name/id-mode physical
+  columns rename back to logical; stats/partitionValues translate),
+  and 3 when every listed readerFeature is implemented
+  (deletionVectors, columnMapping, timestampNtz)
 - classic checkpoints ARE supported — single-part AND multi-part
   (round 10: NNN.checkpoint.<i>.<n>.parquet parts concatenate into the
   same replay; a missing part raises rather than silently dropping
@@ -104,7 +107,7 @@ def _checkpoint_version(path: str) -> int | None:
 # Reader features this reader actually implements; a v3 protocol whose
 # readerFeatures are a subset of these is safe to read. Anything else
 # (columnMapping, v2Checkpoint, ...) still gates loudly.
-_READER_FEATURES = {"deletionVectors", "timestampNtz"}
+_READER_FEATURES = {"deletionVectors", "timestampNtz", "columnMapping"}
 
 
 def _apply_action(act: dict, files: dict, meta: list) -> None:
@@ -126,6 +129,8 @@ def _apply_action(act: dict, files: dict, meta: list) -> None:
         ):
             return  # table-features protocol, all features implemented
         feats = set(feats or [])
+        if v == 2:
+            return  # protocol 2 requires column mapping, implemented
         if v > 1:
             raise NotImplementedError(
                 f"delta: reader protocol {v} with features "
@@ -198,6 +203,28 @@ def delta_live_files(path: str, version: int | None = None) -> list[str]:
     relative, sorted."""
     files, _ = _replay(path, version)
     return sorted(files)
+
+
+def _column_mapping(meta: dict | None) -> dict:
+    """physical column name -> logical name, from the metaData's
+    delta.columnMapping.* field metadata when configuration sets
+    columnMapping.mode to name/id; empty dict when mapping is off.
+    (In id mode the parquet files ALSO carry field ids, but they store
+    the same physicalName — name-based rename reads both modes.)"""
+    conf = (meta or {}).get("configuration") or {}
+    if isinstance(conf, list):  # checkpoint map type -> [(k, v), ...]
+        conf = dict(conf)
+    if conf.get("delta.columnMapping.mode", "none") == "none":
+        return {}
+    out: dict = {}
+    if meta and meta.get("schemaString"):
+        for f in json.loads(meta["schemaString"]).get("fields", []):
+            phys = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName"
+            )
+            if phys:
+                out[phys] = f["name"]
+    return out
 
 
 def _partition_types(meta: dict | None) -> dict:
@@ -351,19 +378,30 @@ def _read_adds(
             })
         return df
 
+    mapping = _column_mapping(meta)  # physical -> logical
+
+    def _rename(df: DataFrame) -> DataFrame:
+        for phys, log in mapping.items():
+            if phys in df.columns and phys != log:
+                df = df.withColumnRenamed(phys, log)
+        return df
+
     groups: dict = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
         key = tuple((k, pv[k]) for k in sorted(pv))
         groups.setdefault(key, []).append(a["path"])
     if list(groups) == [()]:
-        out = _scan([os.path.join(path, p) for p in groups[()]])
+        out = _rename(_scan([os.path.join(path, p) for p in groups[()]]))
         return _apply_dvs(spark, path, adds, out) if has_dv else out
     ptypes = _partition_types(meta)
     out = None
     for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-        df = _scan([os.path.join(path, p) for p in paths])
+        df = _rename(_scan([os.path.join(path, p) for p in paths]))
         for col, val in key:
+            # add-action partitionValues key by PHYSICAL name under
+            # column mapping; inject under the logical name
+            col = mapping.get(col, col)
             df = df.withColumn(
                 col, F.lit(val).cast(ptypes[col]) if val is not None
                 else F.lit(None).cast(ptypes[col])
@@ -576,6 +614,10 @@ def read_delta_pruned(
     a handful of files instead of the table."""
     files, meta = _replay(path, version)
     ptypes = _partition_types(meta)
+    # under column mapping, stats and partitionValues key by PHYSICAL
+    # name; `column` arrives logical — translate once
+    inv = {v: k for k, v in _column_mapping(meta).items()}
+    pcol = inv.get(column, column)
     keep, skipped = [], 0
     for p in sorted(files):
         a = files[p]
@@ -585,17 +627,17 @@ def read_delta_pruned(
         pv = a.get("partitionValues") or {}
         disjoint = False
         try:
-            if column in mv and column in xv:
-                disjoint = xv[column] < lo or mv[column] > hi
-            elif column in pv and pv[column] is not None:
+            if pcol in mv and pcol in xv:
+                disjoint = xv[pcol] < lo or mv[pcol] > hi
+            elif pcol in pv and pv[pcol] is not None:
                 # Log partitionValues are always strings: type them from
                 # the schema before comparing, else numeric bounds never
                 # match (TypeError) and string bounds compare
                 # lexicographically and can wrongly DROP a live file.
                 v = (
-                    _pv_python(pv[column], ptypes[column])
+                    _pv_python(pv[pcol], ptypes[column])
                     if column in ptypes
-                    else pv[column]
+                    else pv[pcol]
                 )
                 disjoint = v < lo or v > hi
         except (TypeError, ValueError, ArithmeticError):
@@ -653,21 +695,34 @@ def delta_checkpoint(path: str) -> int:
         ("id", pa.string()),
         ("schemaString", pa.string()),
         ("partitionColumns", pa.list_(pa.string())),
+        # dropping configuration would silently lose columnMapping.mode
+        # after JSON retention -> physical names would leak to readers
+        ("configuration", pa.map_(pa.string(), pa.string())),
     ])
+    conf0 = (meta or {}).get("configuration") or {}
+    if isinstance(conf0, list):
+        conf0 = dict(conf0)
+    has_cm = conf0.get("delta.columnMapping.mode", "none") != "none"
     if any(files[p].get("deletionVector") for p in files):
         rows_proto: list = [{
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["deletionVectors"],
             "writerFeatures": ["deletionVectors"],
         }]
+    elif has_cm:
+        rows_proto = [{"minReaderVersion": 2, "minWriterVersion": 5}]
     else:
         rows_proto = [{"minReaderVersion": 1, "minWriterVersion": 2}]
     rows_meta: list = [None]
     if meta is not None:
+        conf = meta.get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
         rows_meta = [None, {
             "id": meta.get("id"),
             "schemaString": meta.get("schemaString"),
             "partitionColumns": meta.get("partitionColumns") or [],
+            "configuration": list(conf.items()),
         }]
         rows_proto.append(None)
     adds: list = [None] * len(rows_proto)

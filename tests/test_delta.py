@@ -503,12 +503,13 @@ def test_delta_dv_inline_and_protocol_gates(spark, tmp_path):
     ])
     got = read_delta(spark, t)
     assert got.count() == len(rows) - 3
-    # unknown v3 feature -> loud gate
+    # unknown v3 feature -> loud gate (columnMapping/DVs/timestampNtz
+    # are implemented; v2Checkpoint is not)
     t2 = str(tmp_path / "feat")
     _write_commit(t2, 0, [{"protocol": {
-        "minReaderVersion": 3, "readerFeatures": ["columnMapping"],
+        "minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"],
     }}])
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         delta_live_files(t2)
 
 
@@ -564,3 +565,81 @@ def test_delta_multipart_checkpoint_reads(spark, tmp_path):
     os.remove(os.path.join(log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
     with pytest.raises(DeltaError, match="part 2/2 missing"):
         read_delta(spark, table)
+
+
+def test_delta_column_mapping(spark, tmp_path):
+    """Round 10: column mapping (reader protocol 2) — data files store
+    PHYSICAL names (col-<uuid>), partitionValues and stats key by them,
+    and the reader renames back to the schemaString's logical names,
+    injects partition columns logically, prunes on logical bounds, and
+    keeps the mapping alive through a checkpoint after JSON retention."""
+    import glob as g
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_checkpoint,
+        read_delta_pruned,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("col-aaa111"),
+        F.col("l_quantity").alias("col-bbb222"),
+        F.col("l_returnflag").alias("col-ccc333"),
+    )
+    t = str(tmp_path / "cm")
+    os.makedirs(t)
+    # hive-style physical layout, partitioned by the flag column
+    flags = [r[0] for r in li.select("col-ccc333").distinct().collect()]
+    adds = []
+    for flag in sorted(flags):
+        stage = str(tmp_path / f"cm_stage_{flag}")
+        li.filter(F.col("col-ccc333") == flag).drop("col-ccc333") \
+          .coalesce(1).write.parquet(stage)
+        part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+        rel = f"f={flag}/{part}"
+        os.makedirs(os.path.join(t, f"f={flag}"))
+        os.replace(os.path.join(stage, part), os.path.join(t, *rel.split("/")))
+        adds.append({"add": {
+            "path": rel, "dataChange": True,
+            "partitionValues": {"col-ccc333": flag},
+        }})
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "l_orderkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa111"}},
+            {"name": "l_quantity", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb222"}},
+            {"name": "l_returnflag", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-ccc333"}},
+        ],
+    }
+    _write_commit(t, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm", "schemaString": json.dumps(schema),
+            "partitionColumns": ["l_returnflag"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+        }},
+    ] + adds)
+    back = read_delta(spark, t)
+    assert back.columns == ["l_orderkey", "l_quantity", "l_returnflag"]
+    want = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    assert back.count() == want.count()
+    assert back.exceptAll(want).count() == 0
+    # pruning on the LOGICAL partition column
+    df, nread, nskip = read_delta_pruned(spark, t, "l_returnflag", "R", "R")
+    assert nskip > 0
+    assert df.count() == want.filter(F.col("l_returnflag") == "R").count()
+    # mapping survives checkpoint + JSON retention (configuration row)
+    delta_checkpoint(t)
+    for j in sorted(g.glob(os.path.join(t, "_delta_log", "*.json"))):
+        os.remove(j)
+    back2 = read_delta(spark, t)
+    assert back2.columns == ["l_orderkey", "l_quantity", "l_returnflag"]
+    assert back2.count() == want.count()
