@@ -1723,3 +1723,79 @@ def delta_column_mapping(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "iceberg_maintenance",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_quantity < 45
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def iceberg_maintenance(spark, sf_dir):
+    """The Iceberg maintenance triad end to end (round 10,
+    sources/iceberg — the mirror of delta_optimize's triad): a
+    returnflag-partitioned table gets a position-delete snapshot
+    (l_quantity >= 45), iceberg_compact rewrites each partition with
+    the deletes FOLDED IN (the entry raises if delete files are still
+    live or the file count did not drop), and iceberg_expire_snapshots
+    removes the pre-compaction snapshots plus every file only they
+    referenced (raises if nothing was physically deleted). The read
+    after all three must equal the oracle's direct filter."""
+    import atexit
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_add_position_deletes,
+        iceberg_compact,
+        iceberg_expire_snapshots,
+        iceberg_live_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_icemnt_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    write_iceberg(
+        spark, li.repartition(4), t,
+        partition_by=[("flag", "identity", "l_returnflag")],
+    )
+    n_before = len(iceberg_live_files(t))
+    dels = (
+        spark.read.parquet(
+            *sorted(_glob.glob(os.path.join(t, "data", "*.parquet")))
+        )
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "l_quantity",
+        )
+        .filter(F.col("l_quantity") >= 45)
+        .select("file_path", "pos")
+    )
+    iceberg_add_position_deletes(spark, t, dels)
+    iceberg_compact(spark, t)
+    live = iceberg_live_files(t)
+    if not (len(live) < n_before and all("compact-" in p for p in live)):
+        raise AssertionError("iceberg_maintenance: compaction did not fold")
+    victims = iceberg_expire_snapshots(t, keep_last=1)
+    if not victims:
+        raise AssertionError("iceberg_maintenance: expiry deleted nothing")
+    return (
+        read_iceberg(spark, t)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

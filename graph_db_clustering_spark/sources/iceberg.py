@@ -881,3 +881,172 @@ def write_iceberg(
     ) as f:
         f.write("1")
     return 1
+
+
+def iceberg_compact(spark: SparkSession, path: str) -> int:
+    """OPTIMIZE-style compaction: rewrite the current snapshot's data
+    files (deletes applied merge-on-read during the rewrite, one
+    output file per partition tuple) and commit a new snapshot whose
+    manifest carries ONLY the compacted files — position/equality
+    delete files are folded in and drop out of the live set. Older
+    snapshots still time-travel to the uncompacted form until
+    iceberg_expire_snapshots removes them. The rewrite is distributed;
+    only the manifest/metadata assembly is driver work. Returns the
+    new snapshot id."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    data, dels, meta = _snapshot_entries(path)
+    snaps = meta.get("snapshots") or []
+    new_id = max(s["snapshot-id"] for s in snaps) + 1
+    max_seq = max([d["seq"] for d in data + dels] or [0])
+
+    groups: dict = {}
+    for rec in data:
+        key = tuple(sorted((rec.get("partition") or {}).items()))
+        groups.setdefault(key, []).append(rec)
+
+    def _avro_val_type(v):
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        return "string"
+
+    entries, pnames, ptypes = [], [], {}
+    for key, recs in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        for k, v in key:
+            if k not in ptypes:
+                pnames.append(k)
+                ptypes[k] = _avro_val_type(v)
+    j = 0
+    for key, recs in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+        df = _scan_with_deletes(spark, path, recs, dels, meta)
+        stage = os.path.join(path, f".compact_{new_id}_{j}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+        dest = os.path.join(path, "data", f"compact-{new_id}-{j:05d}.parquet")
+        os.replace(os.path.join(stage, part), dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        e = {
+            "status": 1, "sequence_number": max_seq + 1, "data_file": {
+                "file_path": dest, "file_format": "PARQUET",
+                "record_count": pq.read_metadata(dest).num_rows,
+                "content": 0, "equality_ids": [],
+            }}
+        if pnames:
+            pv = dict(key)
+            e["data_file"]["partition"] = {n: pv.get(n) for n in pnames}
+        entries.append(e)
+        j += 1
+
+    from graph_db_clustering_spark.sources.avro import encode_container
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "content", "type": "int"},
+                    {"name": "equality_ids",
+                     "type": {"type": "array", "items": "int"}},
+                ] + ([{"name": "partition", "type": {
+                    "type": "record", "name": "r102", "fields": [
+                        {"name": n, "type": ["null", ptypes[n]]}
+                        for n in pnames
+                    ]}}] if pnames else []),
+            }},
+        ]}
+    m = os.path.join(path, "metadata", f"m-compact-{new_id:05d}.avro")
+    with open(m, "wb") as f:
+        f.write(encode_container(man_schema, entries, codec="null"))
+    ml = os.path.join(path, "metadata", f"snap-{new_id}.avro")
+    with open(ml, "wb") as f:
+        f.write(encode_container(
+            {"type": "record", "name": "manifest_file", "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+            ]},
+            [{"manifest_path": m, "manifest_length": os.path.getsize(m)}],
+            codec="null",
+        ))
+    meta = dict(meta)
+    meta["snapshots"] = snaps + [
+        {"snapshot-id": new_id, "manifest-list": ml}
+    ]
+    meta["current-snapshot-id"] = new_id
+    mfile = _metadata_file(path)
+    ver = int(re.match(r"v(\d+)", os.path.basename(mfile)).group(1)) + 1
+    with open(
+        os.path.join(path, "metadata", f"v{ver}.metadata.json"), "w"
+    ) as f:
+        json.dump(meta, f)
+    with open(
+        os.path.join(path, "metadata", "version-hint.text"), "w"
+    ) as f:
+        f.write(str(ver))
+    return new_id
+
+
+def iceberg_expire_snapshots(
+    path: str, keep_last: int = 1, dry_run: bool = False
+) -> list[str]:
+    """Expire all but the newest `keep_last` snapshots: rewrite the
+    metadata with the retained snapshot list, then physically delete
+    every file under data/ and metadata/ that no RETAINED snapshot
+    references (data files, delete files, manifests, manifest lists) —
+    the Iceberg analog of delta_vacuum after retention. Time travel
+    into retained snapshots keeps working; expired ids raise. Returns
+    the deleted paths (or those that WOULD be, with dry_run)."""
+    with open(_metadata_file(path)) as f:
+        meta = json.load(f)
+    snaps = meta.get("snapshots") or []
+    if keep_last < 1:
+        raise IcebergError("iceberg: keep_last must be >= 1")
+    keep = snaps[-keep_last:]
+    referenced: set = set()
+    for s in keep:
+        ml = s["manifest-list"]
+        referenced.add(os.path.abspath(_strip_scheme(ml)))
+        for m in _avro_rows(ml):
+            referenced.add(
+                os.path.abspath(_strip_scheme(m["manifest_path"]))
+            )
+            for entry in _avro_rows(m["manifest_path"]):
+                referenced.add(os.path.abspath(
+                    _strip_scheme(entry["data_file"]["file_path"])
+                ))
+    victims = []
+    for sub in ("data", "metadata"):
+        d = os.path.join(path, sub)
+        for fn in sorted(os.listdir(d)):
+            full = os.path.abspath(os.path.join(d, fn))
+            if fn.endswith(".metadata.json") or fn == "version-hint.text":
+                continue  # metadata versions are their own history
+            if full not in referenced:
+                victims.append(full)
+    if not dry_run:
+        meta = dict(meta)
+        meta["snapshots"] = keep
+        mfile = _metadata_file(path)
+        ver = int(re.match(r"v(\d+)", os.path.basename(mfile)).group(1)) + 1
+        with open(
+            os.path.join(path, "metadata", f"v{ver}.metadata.json"), "w"
+        ) as f:
+            json.dump(meta, f)
+        with open(
+            os.path.join(path, "metadata", "version-hint.text"), "w"
+        ) as f:
+            f.write(str(ver))
+        for v in victims:
+            os.remove(v)
+    return victims

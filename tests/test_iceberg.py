@@ -604,3 +604,70 @@ def test_iceberg_writer_position_delete_commit(spark, tmp_path):
     df, nread, nskip = read_iceberg_pruned(spark, root, "l_returnflag", "R", "R")
     assert nskip > 0
     assert df.count() == want.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_iceberg_compact_and_expire(spark, tmp_path):
+    """Round 10 maintenance triad: iceberg_compact rewrites the live
+    files with deletes FOLDED IN (new snapshot, delete files drop out
+    of the live set; older snapshots still time-travel), then
+    iceberg_expire_snapshots removes expired snapshots and physically
+    deletes everything only they referenced — reads after expiry see
+    the compacted content."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_add_position_deletes,
+        iceberg_compact,
+        iceberg_expire_snapshots,
+        write_iceberg,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = str(tmp_path / "maint")
+    # repartition first: several files PER partition, so compaction has
+    # something to collapse
+    write_iceberg(
+        spark, li.repartition(4), root,
+        partition_by=[("flag", "identity", "l_returnflag")],
+    )
+    import glob as g
+
+    scan = spark.read.parquet(
+        *sorted(g.glob(os.path.join(root, "data", "*.parquet")))
+    ).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "l_quantity",
+    )
+    iceberg_add_position_deletes(
+        spark, root, scan.filter(F.col("l_quantity") >= 45)
+        .select("file_path", "pos")
+    )
+    want = li.filter(F.col("l_quantity") < 45)
+    n_files_before = len(iceberg_live_files(root))
+
+    sid = iceberg_compact(spark, root)
+    assert sid == 3
+    got = read_iceberg(spark, root)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    live = iceberg_live_files(root)
+    assert all("compact-" in p for p in live)
+    assert len(live) == li.select("l_returnflag").distinct().count()
+    # snapshot 1 still time-travels to the pre-delete table
+    assert read_iceberg(spark, root, snapshot_id=1).count() == li.count()
+
+    # expire everything but the compacted snapshot
+    victims = iceberg_expire_snapshots(root, keep_last=1, dry_run=True)
+    assert len(victims) > 0
+    on_disk_before = set(os.listdir(os.path.join(root, "data")))
+    iceberg_expire_snapshots(root, keep_last=1)
+    on_disk = set(os.listdir(os.path.join(root, "data")))
+    assert on_disk < on_disk_before
+    assert all("compact-" in p for p in on_disk)
+    after = read_iceberg(spark, root)
+    assert after.count() == want.count()
+    assert after.exceptAll(want).count() == 0
+    with pytest.raises(IcebergError, match="snapshot 1"):
+        read_iceberg(spark, root, snapshot_id=1)
+    assert n_files_before > len(live)
