@@ -47,7 +47,14 @@ DETERMINED the value rather than trusting recall).
   a small spectral ripple; the structure, phases, and every other
   stage are the spec's.
 
-Intensity stereo, MPEG-2/2.5, Huffman tables 16-31, and free-format
+MPEG-2 LSF (round 10): the low-sampling-frequency extension decodes
+and encodes — 22.05/24/16 kHz, one 576-sample granule per frame,
+8-bit main_data_begin, 9-bit scalefac_compress with the 4-partition
+slen algorithm (preflag implied by the 500-511 row), no scfsi, LSF
+band tables; validated by encoder/decoder roundtrip at all three
+rates (long + short blocks) and by a REAL LAME-encoded MPEG-2 file on
+this host decoding to its exact frame-quantized silence.
+Intensity stereo, MPEG-2.5, Huffman tables 16-31, and free-format
 bitrate raise scoped NotImplementedError; truncated/corrupt input
 raises ValueError (repo-wide corrupt-input contract).
 
@@ -62,6 +69,10 @@ import numpy as np
 
 # --- constants -------------------------------------------------------------
 
+SAMPLE_RATES_V2 = (22050, 24000, 16000)
+BITRATES_V2L3 = (
+    None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+)
 BITRATES_V1L3 = (
     0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
 )  # kbit/s, index 0 = free format (unsupported), 15 = invalid
@@ -248,7 +259,14 @@ SFB_LONG = {
     48000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
             128, 156, 190, 230, 276, 330, 384, 576),
     32000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
-            156, 194, 240, 296, 364, 448, 576),
+            156, 194, 240, 296, 364, 448, 550, 576),
+    # MPEG-2 LSF rates (ISO 13818-3 Table B.2)
+    22050: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
+            200, 238, 284, 336, 396, 464, 522, 576),
+    24000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136, 162,
+            194, 232, 278, 332, 394, 464, 540, 576),
+    16000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
+            200, 238, 284, 336, 396, 464, 522, 576),
 }
 
 # alias-reduction butterfly coefficients [2.4.3.4.10.1]
@@ -393,6 +411,10 @@ SFB_SHORT = {
     44100: (0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
     48000: (0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
     32000: (0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192),
+    # MPEG-2 LSF rates (ISO 13818-3 Table B.2)
+    22050: (0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192),
+    24000: (0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192),
+    16000: (0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192),
 }
 
 
@@ -414,8 +436,13 @@ def _parse_header(h: bytes) -> dict:
         raise Mp3Error("mp3: lost frame sync")
     version = (h[1] >> 3) & 3
     layer = (h[1] >> 1) & 3
-    if version != 3:
-        raise NotImplementedError("mp3: MPEG-2/2.5 not supported (MPEG-1 only)")
+    if version == 0:
+        raise NotImplementedError(
+            "mp3: MPEG-2.5 not supported (MPEG-1 and MPEG-2 LSF are)"
+        )
+    if version == 1:
+        raise Mp3Error("mp3: reserved version bits")
+    lsf = version == 2  # MPEG-2 low-sampling-frequency extension
     if layer != 1:  # '01' = Layer III
         raise NotImplementedError("mp3: only Layer III is supported")
     protection = h[1] & 1  # 0 = CRC present
@@ -436,9 +463,15 @@ def _parse_header(h: bytes) -> dict:
             "mp3: intensity stereo not supported (MS joint stereo is)"
         )
     nch = 1 if mode == 3 else 2
-    bitrate = BITRATES_V1L3[br_idx] * 1000
-    rate = SAMPLE_RATES_V1[sr_idx]
-    frame_len = 144 * bitrate // rate + padding
+    if lsf:
+        bitrate = BITRATES_V2L3[br_idx] * 1000
+        rate = SAMPLE_RATES_V2[sr_idx]
+        # LSF frames carry ONE granule (576 samples): half the slots
+        frame_len = 72 * bitrate // rate + padding
+    else:
+        bitrate = BITRATES_V1L3[br_idx] * 1000
+        rate = SAMPLE_RATES_V1[sr_idx]
+        frame_len = 144 * bitrate // rate + padding
     return {
         "bitrate": bitrate,
         "rate": rate,
@@ -446,15 +479,27 @@ def _parse_header(h: bytes) -> dict:
         "crc": protection == 0,
         "frame_len": frame_len,
         "nch": nch,
+        "lsf": lsf,
         "ms_stereo": mode == 1 and bool(mode_ext & 2),
     }
 
 
-def _parse_side_info(raw: bytes, nch: int = 1) -> dict:
-    """MPEG-1 side info (17 bytes mono / 32 bytes stereo) -> dict.
-    ``granules`` is [granule][channel] (the wire order: gr0ch0 gr0ch1
-    gr1ch0 gr1ch1); ``scfsi`` is per channel."""
+def _parse_side_info(raw: bytes, nch: int = 1, lsf: bool = False) -> dict:
+    """Side info -> dict. MPEG-1: 17 bytes mono / 32 stereo, 9-bit
+    main_data_begin, scfsi, TWO granules. MPEG-2 LSF: 9 / 17 bytes,
+    8-bit main_data_begin, no scfsi, ONE granule (and a 9-bit
+    scalefac_compress inside the granule). ``granules`` is
+    [granule][channel] in wire order; ``scfsi`` is per channel (all
+    zeros for LSF — the reuse mechanism does not exist there)."""
     b = _Bits(raw)
+    if lsf:
+        si = {
+            "main_data_begin": b.read(8),
+            "private": b.read(1 if nch == 1 else 2),
+            "scfsi": [[0] * 4 for _ in range(nch)],
+            "granules": [[_parse_granule(b, lsf=True) for _ in range(nch)]],
+        }
+        return si
     si = {
         "main_data_begin": b.read(9),
         "private": b.read(5 if nch == 1 else 3),
@@ -466,13 +511,14 @@ def _parse_side_info(raw: bytes, nch: int = 1) -> dict:
     return si
 
 
-def _parse_granule(b: _Bits) -> dict:
+def _parse_granule(b: _Bits, lsf: bool = False) -> dict:
     g = {
         "part2_3_length": b.read(12),
         "big_values": b.read(9),
         "global_gain": b.read(8),
-        "scalefac_compress": b.read(4),
+        "scalefac_compress": b.read(9 if lsf else 4),
         "window_switching": b.read(1),
+        "lsf": lsf,
     }
     if g["window_switching"]:
         g["block_type"] = b.read(2)
@@ -495,13 +541,69 @@ def _parse_granule(b: _Bits) -> dict:
         g["table_select"] = [b.read(5) for _ in range(3)]
         g["region0_count"] = b.read(4)
         g["region1_count"] = b.read(3)
-    g["preflag"] = b.read(1)
+    # LSF granules carry no preflag bit: it is implied by the
+    # scalefac_compress row (set during scalefactor decode)
+    g["preflag"] = 0 if lsf else b.read(1)
     g["scalefac_scale"] = b.read(1)
     g["count1table_select"] = b.read(1)
     return g
 
 
 # --- granule decode --------------------------------------------------------
+
+
+# LSF scalefactor partitioning (ISO 13818-3 §2.4.3.2): the 9-bit
+# scalefac_compress selects a (slen[4], nsfb-row) pair; rows are
+# (long, short, mixed) scalefactor COUNTS per partition. Rows 0-2
+# cover the non-intensity case (intensity stereo is gated upstream).
+_LSF_NSFB = (
+    ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
+    ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
+    ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
+)
+
+
+def _decode_scalefactors_lsf(bits: _Bits, g: dict):
+    """MPEG-2 LSF scalefactors: 4 partitions of (count, width) derived
+    from the 9-bit scalefac_compress; sets g['preflag'] for the
+    500..512 row. Returns (sf_long, sf_short) like the MPEG-1 path."""
+    sfc = g["scalefac_compress"]
+    if sfc < 400:
+        slen = ((sfc >> 4) // 5, (sfc >> 4) % 5, (sfc % 16) >> 2, sfc % 4)
+        row = 0
+    elif sfc < 500:
+        c = sfc - 400
+        slen = ((c >> 2) // 5, (c >> 2) % 5, c % 4, 0)
+        row = 1
+    else:
+        c = sfc - 500
+        slen = (c // 3, c % 3, 0, 0)
+        row = 2
+        g["preflag"] = 1
+    short = g["block_type"] == 2 and not g.get("mixed_block", 0)
+    mixed = g["block_type"] == 2 and g.get("mixed_block", 0)
+    nsfb = _LSF_NSFB[row][1 if short else 2 if mixed else 0]
+    vals: list = []
+    for n, width in zip(nsfb, slen):
+        for _ in range(n):
+            vals.append(bits.read(width) if width else 0)
+    if g["block_type"] != 2:
+        sf = (vals + [0] * 21)[:21]
+        return sf, None
+    sfs = [[0] * 3 for _ in range(13)]
+    if mixed:  # 6 long bands (lines 0-35 at LSF rates), short 3..11
+        sf = [0] * 21
+        sf[:6] = vals[:6]
+        it = iter(vals[6:])
+        for band in range(3, 12):
+            for w in range(3):
+                sfs[band][w] = next(it, 0)
+        return sf, sfs
+    it = iter(vals)
+    for band in range(12):
+        for w in range(3):
+            sfs[band][w] = next(it, 0)
+    return None, sfs
 
 
 def _decode_scalefactors(bits: _Bits, g: dict, prev_sf, scfsi):
@@ -655,7 +757,9 @@ def _requantize(
     step = 1.0 if g["scalefac_scale"] else 0.5
     short = g.get("block_type", 0) == 2
     if not short or g.get("mixed_block", 0):
-        n_long = 8 if short else len(sfb) - 1
+        # mixed: the long rule covers lines 0-35 — 8 bands at MPEG-1
+        # rates, 6 at LSF rates; the table itself says where 36 falls
+        n_long = sfb.index(36) if short else len(sfb) - 1
         for band in range(n_long):
             s = sf[band] if band < len(sf) else 0
             if g["preflag"]:
@@ -815,11 +919,14 @@ def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
         if len(frame) < hdr["frame_len"]:
             raise Mp3Error("mp3: truncated final frame")
         off = 4 + (2 if hdr["crc"] else 0)
-        si_len = 17 if nch == 1 else 32
+        if hdr["lsf"]:
+            si_len = 9 if nch == 1 else 17
+        else:
+            si_len = 17 if nch == 1 else 32
         side = frame[off: off + si_len]
         if len(side) < si_len:
             raise Mp3Error("mp3: truncated side info")
-        si = _parse_side_info(side, nch)
+        si = _parse_side_info(side, nch, lsf=hdr["lsf"])
         main = frame[off + si_len:]
         # bit reservoir: this frame's granules start main_data_begin
         # bytes BEFORE the end of the accumulated previous main data
@@ -842,9 +949,13 @@ def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
             for ch, g in enumerate(chans):
                 start = bits.pos
                 end_bit = start + g["part2_3_length"]
-                sf, sfs = _decode_scalefactors(
-                    bits, g, prev_sf[ch] if gi == 1 else None, si["scfsi"][ch]
-                )
+                if g.get("lsf"):
+                    sf, sfs = _decode_scalefactors_lsf(bits, g)
+                else:
+                    sf, sfs = _decode_scalefactors(
+                        bits, g,
+                        prev_sf[ch] if gi == 1 else None, si["scfsi"][ch],
+                    )
                 if g["block_type"] != 2:
                     prev_sf[ch] = sf
                 iv = _decode_huffman(bits, g, sfb, end_bit)
@@ -1087,14 +1198,23 @@ def encode(
     with stuffing zeros the decoder skips."""
     if block_type not in ("long", "short"):
         raise Mp3Error(f"mp3: unsupported encoder block_type {block_type!r}")
-    if rate not in SAMPLE_RATES_V1:
+    lsf = rate in SAMPLE_RATES_V2  # MPEG-2 LSF: 1 granule per frame
+    if not lsf and rate not in SAMPLE_RATES_V1:
         raise Mp3Error(f"mp3: unsupported sample rate {rate}")
-    sr_idx = SAMPLE_RATES_V1.index(rate)
-    try:
-        br_idx = BITRATES_V1L3.index(bitrate // 1000)
-    except ValueError:
-        raise Mp3Error(f"mp3: unsupported bitrate {bitrate}")
-    frame_len = 144 * bitrate // rate  # padding bit unused (fixture CBR)
+    if lsf:
+        sr_idx = SAMPLE_RATES_V2.index(rate)
+        try:
+            br_idx = BITRATES_V2L3.index(bitrate // 1000)
+        except ValueError:
+            raise Mp3Error(f"mp3: unsupported LSF bitrate {bitrate}")
+        frame_len = 72 * bitrate // rate
+    else:
+        sr_idx = SAMPLE_RATES_V1.index(rate)
+        try:
+            br_idx = BITRATES_V1L3.index(bitrate // 1000)
+        except ValueError:
+            raise Mp3Error(f"mp3: unsupported bitrate {bitrate}")
+        frame_len = 144 * bitrate // rate  # padding bit unused (fixture CBR)
 
     pcm = np.asarray(pcm, dtype=np.float64)
     nch = 2 if pcm.ndim == 2 else 1
@@ -1102,8 +1222,8 @@ def encode(
         raise Mp3Error("mp3: ms_stereo needs 2-channel input")
     n = pcm.shape[0]
     n_gran = max(1, -(-n // 576))
-    if n_gran % 2:
-        n_gran += 1
+    if not lsf and n_gran % 2:
+        n_gran += 1  # MPEG-1 frames carry two granules
     if nch == 1:
         chans = [np.zeros(n_gran * 576)]
         chans[0][:n] = pcm
@@ -1127,20 +1247,24 @@ def encode(
 
     short = block_type == "short"
     perm = _short_perm(SFB_SHORT[rate]) if short else None
-    si_len = 17 if nch == 1 else 32
+    gran_per_frame = 1 if lsf else 2
+    if lsf:
+        si_len = 9 if nch == 1 else 17
+    else:
+        si_len = 17 if nch == 1 else 32
     # per-granule bit budget within the CBR frame (equal split)
-    budget = (frame_len - 4 - si_len) * 8 // (2 * nch)
+    budget = (frame_len - 4 - si_len) * 8 // (gran_per_frame * nch)
 
     out = bytearray()
     prev = [np.zeros((32, 18)) for _ in range(nch)]
-    for f in range(n_gran // 2):
+    for f in range(n_gran // gran_per_frame):
         # all granule/channel main data streams into ONE writer in wire
         # order (gr0ch0 gr0ch1 gr1ch0 gr1ch1) — the spec does not
         # byte-align the boundaries; the decoder walks part2_3_length
         w = _BitWriter()
         granule_meta = []  # [(bits, gg, meta)] in wire order
-        for gi in range(2):
-            g0 = (f * 2 + gi) * 18
+        for gi in range(gran_per_frame):
+            g0 = (f * gran_per_frame + gi) * 18
             for ch in range(nch):
                 if short:
                     X, prev[ch] = _mdct_granule_short(
@@ -1164,24 +1288,30 @@ def encode(
                 w.extend(gw)
         w.pad()
         main = bytes(w.buf)
+        version_bits = 2 if lsf else 3
         hdr = bytes(
             [
                 0xFF,
-                0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG-1, Layer III, no CRC
+                0xE0 | (version_bits << 3) | (1 << 1) | 1,  # L III, no CRC
                 (br_idx << 4) | (sr_idx << 2) | (0 << 1),
                 mode_byte,
             ]
         )
         side = _BitWriter()
-        side.write(0, 9)  # main_data_begin
-        side.write(0, 5 if nch == 1 else 3)  # private
-        for _ in range(4 * nch):
-            side.write(0, 1)  # scfsi
+        if lsf:
+            side.write(0, 8)  # main_data_begin
+            side.write(0, 1 if nch == 1 else 2)  # private; no scfsi
+        else:
+            side.write(0, 9)  # main_data_begin
+            side.write(0, 5 if nch == 1 else 3)  # private
+            for _ in range(4 * nch):
+                side.write(0, 1)  # scfsi
         for used_bits, gg, meta in granule_meta:
             side.write(used_bits, 12)  # part2_3_length (scalefacs 0 bits)
             side.write(meta["big_values"], 9)
             side.write(gg, 8)
-            side.write(0, 4)  # scalefac_compress -> slen 0/0
+            # scalefac_compress 0 -> all-zero slens in BOTH variants
+            side.write(0, 9 if lsf else 4)
             if short:
                 side.write(1, 1)  # window_switching
                 side.write(2, 2)  # block_type = short
@@ -1196,7 +1326,8 @@ def encode(
                     side.write(meta["table"], 5)
                 side.write(7, 4)  # region0_count (same table everywhere)
                 side.write(7, 3)  # region1_count
-            side.write(0, 1)  # preflag
+            if not lsf:
+                side.write(0, 1)  # preflag (absent in LSF side info)
             side.write(0, 1)  # scalefac_scale
             side.write(meta["c1sel"], 1)  # count1table_select
         side.pad()

@@ -243,11 +243,11 @@ def test_gates_raise_loudly():
     intensity[3] = (intensity[3] & 0x0F) | (1 << 6) | (1 << 4)
     with pytest.raises(NotImplementedError, match="intensity"):
         mp3.decode(bytes(intensity))
-    # MPEG-2 (version bits 10)
-    v2 = bytearray(blob)
-    v2[1] &= ~0x08
-    with pytest.raises(NotImplementedError, match="MPEG-2"):
-        mp3.decode(bytes(v2))
+    # MPEG-2.5 (version bits 00) stays gated; MPEG-2 LSF decodes now
+    v25 = bytearray(blob)
+    v25[1] &= ~0x18
+    with pytest.raises(NotImplementedError, match="MPEG-2.5"):
+        mp3.decode(bytes(v25))
     # free-format bitrate
     free = bytearray(blob)
     free[2] &= 0x0F
@@ -577,3 +577,56 @@ def test_dense_tables_roundtrip_and_selection():
     _r, ys = mp3.decode(blob2)
     _d2, snr2, _g2 = _best_snr(xs, ys)
     assert snr2 > 20.0, snr2
+
+
+def test_mpeg2_lsf_roundtrip():
+    """Round 10: MPEG-2 LSF — 1 granule per frame, 8-bit
+    main_data_begin, 9-bit scalefac_compress, no scfsi/preflag bits,
+    LSF band tables. The fixture encoder's LSF mode round-trips long
+    AND short blocks at every LSF rate, exercising the same Huffman
+    tables as MPEG-1 under the LSF framing."""
+    for rate in (22050, 24000, 16000):
+        f = (100 + 0.5) * rate / 1152
+        x = _sine(freq=f, secs=0.4, rate=rate) * 1.2  # drive vmax high
+        x = np.clip(x, -0.95, 0.95)
+        blob = mp3.encode(x, rate=rate, bitrate=64_000)
+        h = mp3._parse_header(blob[:4])
+        assert h["lsf"] and h["rate"] == rate
+        r, y = mp3.decode(blob)
+        assert r == rate
+        assert len(y) == -(-len(x) // 576) * 576  # 576/frame, 1 granule
+        _d, snr, g = _best_snr(x, y, d_lo=400, d_hi=1400, a=1000, b=5000)
+        assert snr > 18.0, (rate, snr)
+    # short blocks through the LSF short-band tables
+    x = _sine(freq=1000.0, secs=0.3, rate=22050)
+    r, y = mp3.decode(
+        mp3.encode(x, rate=22050, bitrate=64_000, block_type="short")
+    )
+    _d, snr, _g = _best_snr(x, y, d_lo=400, d_hi=1400, a=1000, b=5000)
+    assert snr > 15.0, snr
+    # stereo LSF side info is 17 bytes
+    xs = np.stack([x, x * 0.5], axis=1)
+    r2, y2 = mp3.decode_pcm(mp3.encode(xs, rate=22050, bitrate=128_000))
+    assert y2.shape[1] == 2
+
+
+def test_mpeg2_real_world_file_decodes():
+    """A REAL MPEG-2 file from this machine (LAME-encoded, 22.05 kHz
+    mono, 45 frames of digital silence): every granule must land
+    exactly on its part2_3_length through the LSF side-info layout —
+    and silence must decode to silence with the exact frame-quantized
+    duration. Skipped when the host file is absent."""
+    import os
+
+    path = (
+        "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+        "test_data/test.mp3"
+    )
+    if not os.path.exists(path):
+        pytest.skip("host fixture not present")
+    with open(path, "rb") as fh:
+        data = fh.read()
+    rate, x = mp3.decode(data)
+    assert rate == 22050
+    assert len(x) == 45 * 576  # 45 single-granule LSF frames
+    assert float(np.abs(x).max()) == 0.0  # digital silence in == out
