@@ -531,3 +531,27 @@ def test_round9_entries_plan_shape(spark):
     ets_plan = plan_of(QUERIES["events_ets"](spark, SF))
     assert "FlatMapGroupsInPandas" in ets_plan or "ArrowEvalPython" in ets_plan
     assert "BatchEvalPython" not in ets_plan
+
+
+def test_round10_entries_plan_shape(spark):
+    """Round-10 entries: the lakehouse reads stay native parquet scans
+    with broadcast anti-joins for row-level deletes (no cartesian, no
+    row-at-a-time Python; the only Python crossing is the Arrow
+    mapInPandas that expands DV bitmaps to positions), and
+    cypher_allshortest's BFS layers are hash joins."""
+    from graph_db_clustering_spark.queries.corpus import QUERIES as Q
+
+    for key in (
+        "delta_deletes",
+        "iceberg_transforms",
+        "delta_column_mapping",
+        "iceberg_maintenance",
+        "cypher_allshortest",
+        "sqlite_without_rowid",
+    ):
+        plan = plan_of(Q[key](spark, SF))
+        assert "CartesianProduct" not in plan, key
+        assert "BatchEvalPython" not in plan, key  # Arrow only, if any
+    # the DV read is an anti-join against a BROADCAST position set
+    dv_plan = plan_of(Q["delta_deletes"](spark, SF))
+    assert "LeftAnti" in dv_plan and "Broadcast" in dv_plan
