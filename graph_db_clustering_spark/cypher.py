@@ -102,7 +102,9 @@ message — gates are test-pinned in tests/test_cypher.py):
     [p =] allShortestPaths((a)-[:T*..k]->(b))  yes (BFS + per-layer
                                                  path counting; one row
                                                  per minimal path)
-    general path vars                           no — ValueError (use
+    p = (a)-[r]->(b)...  fixed-length          yes (length/nodes/
+                                                 relationships arrays)
+    varlength path vars outside shortestPath    no — ValueError (use
       (p = (a)-->(b))                            graph_algos.shortest_paths)
     list comprehension [x IN l WHERE p | e]    yes (filter/transform
       (+ range(a, b[, step]))                    HOFs; lambda scoping)
@@ -936,12 +938,28 @@ class _Parser:
             p.all_shortest = fn.lower() == "allshortestpaths"
             p.pathvar = pathvar
             return p
+        p = self.path()
         if pathvar is not None:
-            raise ValueError(
-                "cypher: path variables (p = ...) are only supported with "
-                "shortestPath(...)"
-            )
-        return self.path()
+            # general path variable (round 10): fixed-length patterns
+            # only — every node and relationship is individually bound,
+            # so nodes(p)/relationships(p)/length(p) are exact arrays.
+            if any(e.hops is not None for e in p.edges):
+                raise ValueError(
+                    "cypher: a path variable over a variable-length "
+                    "relationship is only supported with "
+                    "shortestPath()/allShortestPaths() (reachability "
+                    "pairs carry no per-path bindings)"
+                )
+            if any(
+                n.var is None and n.label is None and not n.props
+                for n in p.nodes
+            ):
+                raise ValueError(
+                    "cypher: a path variable needs every node bindable — "
+                    "name or constrain the anonymous () nodes"
+                )
+            p.pathvar = pathvar
+        return p
 
     def path(self):
         nodes, edges = [self.node_pat()], []
@@ -1787,6 +1805,35 @@ class CypherSession:
                     f"__plen_{path.pathvar}",
                     F.col(plen_src).getField("dist"),
                 )
+            elif path.pathvar is not None:
+                # general fixed-length path variable (round 10): the
+                # parser guaranteed every node/edge is bound, so the
+                # path is EXACT — length is the edge count and
+                # nodes()/relationships() are arrays of the bound
+                # structs, surfaced as hidden columns the expression
+                # compiler resolves
+                # anonymous-but-constrained nodes got fresh names in
+                # bound_here order: nodes appear at 0, 2, 4, ...
+                ordered = [bound_here[0]] + [
+                    bound_here[i] for i in range(2, len(bound_here), 2)
+                ]
+                edge_names = [
+                    bound_here[i] for i in range(1, len(bound_here), 2)
+                ]
+                pv = path.pathvar
+                pdf = pdf.withColumn(
+                    f"__plen_{pv}", F.lit(len(path.edges))
+                )
+                if ordered and all(c in pdf.columns for c in ordered):
+                    pdf = pdf.withColumn(
+                        f"__pnodes_{pv}", F.array(*ordered)
+                    )
+                if edge_names and all(
+                    c in pdf.columns for c in edge_names
+                ):
+                    pdf = pdf.withColumn(
+                        f"__prels_{pv}", F.array(*edge_names)
+                    )
 
             # combine with the clause-local frame on shared variables
             if local is None:
@@ -3003,9 +3050,23 @@ class CypherSession:
                 ):
                     return F.col(f"__plen_{a.name}")
                 raise ValueError(
-                    "cypher: length() is supported for shortestPath path "
-                    "variables (p = shortestPath(...)); use size() for "
+                    "cypher: length() is supported for path variables "
+                    "(p = ..., p = shortestPath(...)); use size() for "
                     "strings and lists"
+                )
+            if name in ("nodes", "relationships", "rels"):
+                a = e.args[0]
+                col = (
+                    f"__pnodes_{a.name}"
+                    if name == "nodes"
+                    else f"__prels_{a.name}"
+                )
+                if isinstance(a, Var) and df is not None and col in df.columns:
+                    return F.col(col)
+                raise ValueError(
+                    f"cypher: {name}() needs a general path variable "
+                    "(p = (a)-[r]->(b); shortestPath paths expose only "
+                    "length())"
                 )
             if name in ("isnull", "isnotnull"):
                 c = self._expr(e.args[0], df, params)

@@ -1547,3 +1547,50 @@ def cypher_allshortest(spark, sf_dir):
                   count(*) AS npaths
            ORDER BY aid, bid"""
     )
+
+
+@declared(
+    "cypher_pathvar",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+       FROM customer WHERE c_custkey < {_CAP})
+SELECT a.id AS aid, b.id AS mid, c.id AS cid,
+       CAST(2 AS INT) AS d, CAST(3 AS INT) AS nn
+FROM v a JOIN v b ON a.nation = b.nation AND b.pos = a.pos + 1
+         JOIN v c ON b.nation = c.nation AND c.pos = b.pos + 1
+ORDER BY aid""",
+)
+def cypher_pathvar(spark, sf_dir):
+    """General path variables (round 10, cypher): p = (a)-->(b)-->(c)
+    binds the WHOLE fixed-length path — length(p) is the edge count,
+    nodes(p) the array of bound node structs (the middle node surfaces
+    through nodes(p)[1], not through its own name). The oracle is the
+    two-hop chain join on consecutive per-nation positions."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    edges = (
+        c.withColumn("nxt", F.lead("id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("NEXT").alias("relationship"),
+        )
+    )
+    s = CypherSession(Graph(c.drop("nation"), edges))
+    return s.run(
+        """MATCH p = (a:Customer)-[:NEXT]->(b:Customer)-[:NEXT]->(c:Customer)
+           RETURN a.id AS aid, nodes(p)[1].id AS mid, c.id AS cid,
+                  length(p) AS d, size(nodes(p)) AS nn
+           ORDER BY aid"""
+    )

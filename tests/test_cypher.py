@@ -1079,11 +1079,15 @@ def test_shortest_path_gates(spark):
         s.run("MATCH p = shortestPath((a)-[:NEXT]->(b)) RETURN 1")
     with pytest.raises(ValueError, match="single variable-length"):
         s.run("MATCH p = allShortestPaths((a)-[:NEXT]->(b)) RETURN 1")
-    with pytest.raises(ValueError, match="only supported with shortestPath"):
-        s.run("MATCH p = (a)-[:NEXT]->(b) RETURN 1")
+    # round 10: general FIXED-LENGTH path variables bind now; only a
+    # varlength pattern without shortestPath stays gated
+    with pytest.raises(ValueError, match="shortestPath"):
+        s.run("MATCH p = (a)-[:NEXT*1..2]->(b) RETURN 1")
+    with pytest.raises(ValueError, match="anonymous"):
+        s.run("MATCH p = (a)-[:NEXT]->() RETURN 1")
     with pytest.raises(ValueError, match="lower bound of 1"):
         s.run("MATCH p = shortestPath((a)-[:NEXT*2..3]->(b)) RETURN 1")
-    with pytest.raises(ValueError, match="shortestPath path variables"):
+    with pytest.raises(ValueError, match="path variables"):
         s.run("MATCH (a) RETURN length(a.name)")
 
 
@@ -1507,3 +1511,40 @@ def test_all_shortest_paths(spark):
            RETURN count(*) AS npaths, max(length(p)) AS d"""
     )
     assert [(r.npaths, r.d) for r in cnt2.collect()] == [(1, 1)]
+
+
+def test_general_path_variables(spark):
+    """Round 10: p = (a)-[r:NEXT]->(b)-[:NEXT]->(c) binds a REAL path —
+    length(p) is the edge count, nodes(p)/relationships(p) are arrays
+    of the bound structs (anonymous-but-constrained hops included)."""
+    v = spark.createDataFrame(
+        [(i, "N", f"n{i}") for i in range(4)],
+        "id long, label string, name string",
+    )
+    e = spark.createDataFrame(
+        [(0, 1, "NEXT"), (1, 2, "NEXT"), (2, 3, "NEXT")],
+        "src long, dst long, relationship string",
+    )
+    s = CypherSession(Graph(v, e))
+    out = s.run(
+        """MATCH p = (a:N)-[:NEXT]->(:N)-[:NEXT]->(c:N)
+           RETURN a.name AS an, c.name AS cn, length(p) AS d,
+                  size(nodes(p)) AS nn, size(relationships(p)) AS nr
+           ORDER BY an"""
+    )
+    assert [(r.an, r.cn, r.d, r.nn, r.nr) for r in out.collect()] == [
+        ("n0", "n2", 2, 3, 2),
+        ("n1", "n3", 2, 3, 2),
+    ]
+    # element access: the middle node's name via nodes(p)[1]
+    out2 = s.run(
+        """MATCH p = (a:N)-[:NEXT]->(b:N)
+           WHERE a.name = 'n0'
+           RETURN nodes(p)[1].name AS mid, length(p) AS d"""
+    )
+    assert [(r.mid, r.d) for r in out2.collect()] == [("n1", 1)]
+    # single-node path: length 0
+    out3 = s.run(
+        "MATCH p = (a:N) WHERE a.name = 'n2' RETURN length(p) AS d"
+    )
+    assert [r.d for r in out3.collect()] == [0]
