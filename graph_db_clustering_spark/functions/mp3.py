@@ -54,7 +54,13 @@ slen algorithm (preflag implied by the 500-511 row), no scfsi, LSF
 band tables; validated by encoder/decoder roundtrip at all three
 rates (long + short blocks) and by a REAL LAME-encoded MPEG-2 file on
 this host decoding to its exact frame-quantized silence.
-Intensity stereo, MPEG-2.5, Huffman tables 16-31, and free-format
+Intensity stereo (round 10): joint-stereo frames with
+mode_extension bit0 decode — bands in the right channel's zero part
+are position-coded, l = L*ratio/(1+ratio), r = L/(1+ratio) with
+ratio = tan(is_pos*pi/12) (6 = all left, 7 = not intensity-coded; MS
+rides along for the non-intensity bands when both flags are set) —
+validated against an independent closed-form model of the mix.
+MPEG-2.5, Huffman tables 16-31, and free-format
 bitrate raise scoped NotImplementedError; truncated/corrupt input
 raises ValueError (repo-wide corrupt-input contract).
 
@@ -457,11 +463,7 @@ def _parse_header(h: bytes) -> dict:
     mode_ext = (h[3] >> 4) & 3
     # modes: 0 stereo, 1 joint stereo, 2 dual channel, 3 single channel.
     # Joint stereo's mode_extension: bit1 = MS stereo, bit0 = intensity
-    # stereo (position coding over a tabulated angle ratio — gated).
-    if mode == 1 and mode_ext & 1:
-        raise NotImplementedError(
-            "mp3: intensity stereo not supported (MS joint stereo is)"
-        )
+    # stereo (round 10: position coding over tan(is_pos*pi/12)).
     nch = 1 if mode == 3 else 2
     if lsf:
         bitrate = BITRATES_V2L3[br_idx] * 1000
@@ -481,6 +483,7 @@ def _parse_header(h: bytes) -> dict:
         "nch": nch,
         "lsf": lsf,
         "ms_stereo": mode == 1 and bool(mode_ext & 2),
+        "intensity": mode == 1 and bool(mode_ext & 1),
     }
 
 
@@ -739,6 +742,78 @@ def _decode_huffman(bits: _Bits, g: dict, sfb: tuple, end_bit: int) -> np.ndarra
     return iv
 
 
+def _apply_joint_stereo(
+    xl: np.ndarray,
+    xr: np.ndarray,
+    g_r: dict,
+    sf_r,
+    sfs_r,
+    sfb: tuple,
+    sfb_s: tuple,
+    ms_on: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Intensity stereo [2.4.3.4.9.3], applied in the DECODED
+    (pre-reorder) domain where the right channel's zero part is a
+    contiguous tail: scalefactor bands starting at or after the right
+    channel's last nonzero line are intensity-coded — the RIGHT
+    granule's 'scalefactors' there are is_pos values, and
+    l = L*ratio/(1+ratio), r = L/(1+ratio) with
+    ratio = tan(is_pos*pi/12) (is_pos 6 -> all left; 7 -> band NOT
+    intensity-coded). Bands below the bound (and is_pos-7 bands) use
+    the MS matrix when mode_extension also sets it, else pass through.
+    The top band (21 long / 12 short) reuses the last transmitted
+    position, per the spec."""
+    nz = np.flatnonzero(xr)
+    zero_bound = int(nz[-1]) + 1 if len(nz) else 0
+    out_l, out_r = xl.copy(), xr.copy()
+    r2 = np.sqrt(2.0)
+
+    def stereo_seg(lo, hi, is_pos):
+        if lo >= hi:
+            return
+        if is_pos is not None and is_pos != 7:
+            left = out_l[lo:hi].copy()
+            if is_pos == 6:
+                out_l[lo:hi] = left
+                out_r[lo:hi] = 0.0
+            else:
+                ratio = np.tan(is_pos * np.pi / 12.0)
+                out_l[lo:hi] = left * (ratio / (1.0 + ratio))
+                out_r[lo:hi] = left * (1.0 / (1.0 + ratio))
+        elif ms_on:
+            m = out_l[lo:hi].copy()
+            sd = out_r[lo:hi].copy()
+            out_l[lo:hi] = (m + sd) / r2
+            out_r[lo:hi] = (m - sd) / r2
+
+    short = g_r.get("block_type", 0) == 2
+    mixed = bool(g_r.get("mixed_block", 0))
+    if not short or mixed:
+        n_long = sfb.index(36) if short else len(sfb) - 1
+        for band in range(n_long):
+            lo, hi = sfb[band], sfb[band + 1]
+            ip = sf_r[min(band, 20)] if lo >= zero_bound else None
+            stereo_seg(lo, hi, ip)
+        if not short:
+            # lines past the last long band (none at MPEG-1 rates where
+            # the table reaches 576; defensive for exotic tables)
+            if sfb[-1] < 576:
+                ip = sf_r[20] if sfb[-1] >= zero_bound else None
+                stereo_seg(sfb[-1], 576, ip)
+            return out_l, out_r
+    first_band = 3 if mixed else 0
+    for band in range(first_band, len(sfb_s) - 1):
+        width = sfb_s[band + 1] - sfb_s[band]
+        base = 3 * sfb_s[band]
+        for w in range(3):
+            lo = base + w * width
+            ip = (
+                sfs_r[min(band, 11)][w] if lo >= zero_bound else None
+            )
+            stereo_seg(lo, lo + width, ip)
+    return out_l, out_r
+
+
 def _requantize(
     iv: np.ndarray,
     g: dict,
@@ -894,8 +969,8 @@ def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
     full frame ignored as ID3v1/APE tags are), maintains the bit
     reservoir, and runs the full granule pipeline per channel —
     stereo, MS joint stereo (li=(mi+si)/sqrt2, ri=(mi-si)/sqrt2 on the
-    requantized spectra), and dual-channel streams all decode; only
-    intensity stereo stays gated. Output is NOT delay-compensated (the
+    requantized spectra), intensity stereo (round 10), and
+    dual-channel streams all decode. Output is NOT delay-compensated (the
     spec decoder's ~529-sample filterbank+MDCT latency is left in, as
     real decoders do)."""
     pos = _skip_id3(content)
@@ -946,6 +1021,7 @@ def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
         prev_sf: list = [None] * nch
         for gi, chans in enumerate(si["granules"]):
             xrs = []
+            sf_ch: list = []
             for ch, g in enumerate(chans):
                 start = bits.pos
                 end_bit = start + g["part2_3_length"]
@@ -961,10 +1037,26 @@ def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
                 iv = _decode_huffman(bits, g, sfb, end_bit)
                 bits.pos = end_bit  # skip ancillary/stuffing in the granule
                 xr = _requantize(iv, g, sf, sfb, sfs, sfb_s)
-                if g["block_type"] == 2:
+                if g["block_type"] == 2 and not hdr["intensity"]:
                     xr = _reorder_short(xr, sfb_s, bool(g["mixed_block"]))
                 xrs.append(xr)
-            if hdr["ms_stereo"]:
+                sf_ch.append((sf, sfs))
+            if hdr["intensity"] and nch == 2:
+                # joint stereo with intensity: process in the decoded
+                # domain (the right channel's zero tail is contiguous
+                # there), THEN reorder; MS rides along for the
+                # non-intensity bands when also flagged
+                sf_r, sfs_r = sf_ch[1]
+                xrs = list(_apply_joint_stereo(
+                    xrs[0], xrs[1], chans[1], sf_r, sfs_r,
+                    sfb, sfb_s, hdr["ms_stereo"],
+                ))
+                for ch in range(2):
+                    if chans[ch]["block_type"] == 2:
+                        xrs[ch] = _reorder_short(
+                            xrs[ch], sfb_s, bool(chans[ch]["mixed_block"])
+                        )
+            elif hdr["ms_stereo"]:
                 m, s = xrs
                 r2 = np.sqrt(2.0)
                 xrs = [(m + s) / r2, (m - s) / r2]

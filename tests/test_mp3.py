@@ -238,11 +238,6 @@ def test_audio_features_decodes_mp3_bytes(spark):
 
 def test_gates_raise_loudly():
     blob = bytearray(mp3.encode(_sine(secs=0.1), rate=44100))
-    # intensity stereo (mode 01, mode_extension bit0) stays gated
-    intensity = bytearray(blob)
-    intensity[3] = (intensity[3] & 0x0F) | (1 << 6) | (1 << 4)
-    with pytest.raises(NotImplementedError, match="intensity"):
-        mp3.decode(bytes(intensity))
     # MPEG-2.5 (version bits 00) stays gated; MPEG-2 LSF decodes now
     v25 = bytearray(blob)
     v25[1] &= ~0x18
@@ -630,3 +625,96 @@ def test_mpeg2_real_world_file_decodes():
     assert rate == 22050
     assert len(x) == 45 * 576  # 45 single-granule LSF frames
     assert float(np.abs(x).max()) == 0.0  # digital silence in == out
+
+
+def test_intensity_stereo_decodes_closed_form():
+    """Round 10: intensity stereo. A hand-built joint-stereo frame —
+    left granule carries real table-coded spectrum, right granule is
+    all-zero with its scalefactor slots holding is_pos values — must
+    decode to the spec mix l=L*ratio/(1+ratio), r=L/(1+ratio),
+    ratio=tan(is_pos*pi/12), computed independently here through the
+    same synthesis chain by feeding the EXPECTED spectra to two mono
+    decoders' tails. is_pos 6 -> all left; 7 -> band left untouched."""
+    rate = 44100
+    sfb = mp3.SFB_LONG[rate]
+    # left spectrum: constant 1.0 on lines 0..285 (bands 0..~19)
+    iv = np.zeros(576)
+    iv[:286] = 1.0
+    gw, meta = mp3._encode_granule_bits(iv.astype(np.int64))
+    # right granule: zero spectrum, scalefac_compress 13 -> slen (3,3);
+    # 21 scalefactor slots carry is_pos values
+    is_pos = [(b % 8) for b in range(21)]  # 0..7 cycling
+    rw = mp3._BitWriter()
+    for band, ip in enumerate(is_pos):
+        rw.write(ip, 3)
+    frame_len = 144 * 160_000 // rate
+    side = mp3._BitWriter()
+    side.write(0, 9)
+    side.write(0, 3)
+    for _ in range(8):
+        side.write(0, 1)  # scfsi
+    for gr in range(2):
+        for gbits, big, tab, c1, sfc in (
+            (gw.bitlen(), meta["big_values"], meta["table"],
+             meta["c1sel"], 0),
+            (rw.bitlen(), 0, 0, 1, 13),
+        ):
+            side.write(gbits, 12)
+            side.write(big, 9)
+            side.write(210, 8)  # global_gain -> unity
+            side.write(sfc, 4)
+            side.write(0, 1)  # long block
+            for _ in range(3):
+                side.write(tab, 5)
+            side.write(7, 4)
+            side.write(7, 3)
+            side.write(0, 1)  # preflag
+            side.write(0, 1)  # scalefac_scale (is_pos slots still read)
+            side.write(c1, 1)
+    side.pad()
+    assert len(side.buf) == 32
+    main = mp3._BitWriter()
+    for _gr in range(2):
+        main.extend(gw)
+        main.extend(rw)
+    main.pad()
+    hdr = bytes([
+        0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+        (mp3.BITRATES_V1L3.index(160) << 4) | (0 << 2),
+        (1 << 6) | (1 << 4),  # joint stereo, intensity ON (no MS)
+    ])
+    body = hdr + bytes(side.buf) + bytes(main.buf)
+    assert len(body) <= frame_len
+    blob = body + b"\x00" * (frame_len - len(body))
+    r, y = mp3.decode_pcm(blob)
+    assert r == rate and y.shape == (1152, 2)
+    # expected: the right channel is ALL zero, so its zero part starts
+    # at line 0 and EVERY band is in the intensity region. Build the
+    # expected L/R spectra and push them through the same mono tail.
+    xl = np.sign(iv) * np.abs(iv) ** (4.0 / 3.0)
+    exp_l, exp_r = xl.copy(), np.zeros(576)
+    for band in range(len(sfb) - 1):
+        lo, hi = sfb[band], sfb[band + 1]
+        ip = is_pos[min(band, 20)]
+        if ip == 7:
+            continue
+        seg = xl[lo:hi].copy()
+        if ip == 6:
+            exp_l[lo:hi], exp_r[lo:hi] = seg, 0.0
+        else:
+            ratio = np.tan(ip * np.pi / 12.0)
+            exp_l[lo:hi] = seg * ratio / (1 + ratio)
+            exp_r[lo:hi] = seg / (1 + ratio)
+    # compare the stereo decode against two mono syntheses of the
+    # expected spectra (is_pos 7 bands pass the left through untouched)
+    got_l, got_r = y[:, 0], y[:, 1]
+    def synth(spec):
+        g = {"block_type": 0, "mixed_block": 0}
+        xr = mp3._alias_reduce(spec.copy())
+        sub, _ = mp3._imdct_granule(xr, np.zeros((32, 18)), g)
+        s = mp3._Synth()
+        return np.concatenate([s.step(sub[t]) for t in range(18)])
+    want_l = synth(exp_l)
+    want_r = synth(exp_r)
+    assert np.allclose(got_l[:576], want_l, atol=1e-9)
+    assert np.allclose(got_r[:576], want_r, atol=1e-9)
