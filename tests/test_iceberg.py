@@ -671,3 +671,20 @@ def test_iceberg_compact_and_expire(spark, tmp_path):
     with pytest.raises(IcebergError, match="snapshot 1"):
         read_iceberg(spark, root, snapshot_id=1)
     assert n_files_before > len(live)
+
+
+def test_write_iceberg_unpartitioned_roundtrip(spark, tmp_path):
+    """write_iceberg without a partition spec: multiple part files,
+    one manifest, read-back identical; live-file count matches the
+    parquet files on disk."""
+    from graph_db_clustering_spark.sources.iceberg import write_iceberg
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    root = str(tmp_path / "unp")
+    write_iceberg(spark, li.repartition(3), root)
+    back = read_iceberg(spark, root)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+    files = iceberg_live_files(root)
+    assert len(files) == 3
+    assert all(os.path.exists(p) for p in files)

@@ -276,3 +276,25 @@ def test_binary_decoders_fail_controlled_on_garbage(blob, which):
     assert isinstance(c, str)
     c2, *_ = M._image_probe_one(blob)
     assert isinstance(c2, str)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**20),
+            st.integers(min_value=0, max_value=2**40),
+        ),
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_roaring_roundtrip_property(vals):
+    """functions/roaring: encode->decode is identity on any sorted
+    de-duplicated 64-bit value set (array containers, bucket splits,
+    empty set)."""
+    from graph_db_clustering_spark.functions.roaring import (
+        decode_rbm_array,
+        encode_rbm_array,
+    )
+
+    assert decode_rbm_array(encode_rbm_array(vals)) == sorted(set(vals))
