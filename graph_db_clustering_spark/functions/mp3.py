@@ -1041,6 +1041,11 @@ def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
                     xr = _reorder_short(xr, sfb_s, bool(g["mixed_block"]))
                 xrs.append(xr)
                 sf_ch.append((sf, sfs))
+            if hdr["intensity"] and hdr["lsf"]:
+                raise NotImplementedError(
+                    "mp3: MPEG-2 LSF intensity stereo not supported (its "
+                    "position coding differs from the MPEG-1 tan table)"
+                )
             if hdr["intensity"] and nch == 2:
                 # joint stereo with intensity: process in the decoded
                 # domain (the right channel's zero tail is contiguous

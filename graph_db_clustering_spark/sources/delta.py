@@ -704,10 +704,11 @@ def delta_checkpoint(path: str) -> int:
         conf0 = dict(conf0)
     has_cm = conf0.get("delta.columnMapping.mode", "none") != "none"
     if any(files[p].get("deletionVector") for p in files):
+        feats = ["deletionVectors"] + (["columnMapping"] if has_cm else [])
         rows_proto: list = [{
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
-            "writerFeatures": ["deletionVectors"],
+            "readerFeatures": feats,
+            "writerFeatures": feats,
         }]
     elif has_cm:
         rows_proto = [{"minReaderVersion": 2, "minWriterVersion": 5}]

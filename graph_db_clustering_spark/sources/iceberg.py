@@ -1032,6 +1032,8 @@ def iceberg_expire_snapshots(
             full = os.path.abspath(os.path.join(d, fn))
             if fn.endswith(".metadata.json") or fn == "version-hint.text":
                 continue  # metadata versions are their own history
+            if not os.path.isfile(full):
+                continue  # never recurse into foreign sub-layouts
             if full not in referenced:
                 victims.append(full)
     if not dry_run:
