@@ -18,10 +18,13 @@ Scope (loud gates, not silent wrong answers):
   columns rename back to logical; stats/partitionValues translate),
   and 3 when every listed readerFeature is implemented
   (deletionVectors, columnMapping, timestampNtz)
-- classic checkpoints ARE supported — single-part AND multi-part
-  (round 10: NNN.checkpoint.<i>.<n>.parquet parts concatenate into the
-  same replay; a missing part raises rather than silently dropping
-  live files) — and participate in BOTH the live-file replay and the
+- checkpoints ARE supported in all three shapes (round 10): classic
+  single-part, multi-part (NNN.checkpoint.<i>.<n>.parquet parts
+  concatenate into the same replay; a missing part raises rather than
+  silently dropping live files), and V2 (UUID-named top-level parquet
+  or ndjson whose `sidecar` actions resolve into
+  _delta_log/_sidecars/ parquet files; protocol feature v2Checkpoint
+  accepted) — all participating in BOTH the live-file replay and the
   per-file stats (a live file whose add action survives only in the
   checkpoint still carries its stats).
 
@@ -78,25 +81,81 @@ def _last_checkpoint(path: str) -> dict | None:
 
 
 def _checkpoint_files(path: str, lc: dict) -> list[str]:
-    """The parquet file(s) of the checkpoint `lc` points at, in part
-    order. Classic single-part: NNN.checkpoint.parquet. Multi-part:
-    every NNN.checkpoint.<i>.<n>.parquet for i in 1..n must exist."""
+    """The file(s) of the checkpoint `lc` points at, in order.
+    Classic single-part: NNN.checkpoint.parquet. Multi-part: every
+    NNN.checkpoint.<i>.<n>.parquet for i in 1..n must exist. V2
+    (UUID-named, round 10): NNN.checkpoint.<uuid>.{parquet|json} —
+    its `sidecar` actions are resolved by `_checkpoint_rows`."""
     v = int(lc["version"])
     parts = lc.get("parts")
-    if not parts:
-        return [os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")]
-    n = int(parts)
-    out = []
-    for i in range(1, n + 1):
-        f = os.path.join(
-            _log_dir(path), f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
-        )
-        if not os.path.exists(f):
-            raise DeltaError(
-                f"delta: multi-part checkpoint part {i}/{n} missing: {f}"
+    if parts:
+        n = int(parts)
+        out = []
+        for i in range(1, n + 1):
+            f = os.path.join(
+                _log_dir(path),
+                f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet",
             )
-        out.append(f)
-    return out
+            if not os.path.exists(f):
+                raise DeltaError(
+                    f"delta: multi-part checkpoint part {i}/{n} missing: {f}"
+                )
+            out.append(f)
+        return out
+    classic = os.path.join(_log_dir(path), f"{v:020d}.checkpoint.parquet")
+    if os.path.exists(classic):
+        return [classic]
+    # v2 naming: one top-level file with a writer-chosen unique id
+    import glob as _glob
+
+    cands = sorted(
+        _glob.glob(
+            os.path.join(_log_dir(path), f"{v:020d}.checkpoint.*.parquet")
+        )
+    ) + sorted(
+        _glob.glob(
+            os.path.join(_log_dir(path), f"{v:020d}.checkpoint.*.json")
+        )
+    )
+    # multi-part names also match the glob: exclude i-of-n shapes
+    cands = [
+        c for c in cands
+        if not re.fullmatch(
+            r"\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet",
+            os.path.basename(c),
+        )
+    ]
+    if not cands:
+        return [classic]  # let the reader raise FileNotFoundError loudly
+    return [cands[0]]
+
+
+def _checkpoint_rows(path: str, lc: dict):
+    """Yield action dicts from the checkpoint, following V2 `sidecar`
+    actions into _delta_log/_sidecars/ (each sidecar is a parquet of
+    add/remove actions). Classic/multi-part checkpoints simply have no
+    sidecar rows. JSON-format V2 top-level files are ndjson."""
+    import pyarrow.parquet as pq
+
+    sidecars: list[str] = []
+    for cp_file in _checkpoint_files(path, lc):
+        if cp_file.endswith(".json"):
+            with open(cp_file) as f:
+                rows = [json.loads(ln) for ln in f if ln.strip()]
+        else:
+            rows = pq.read_table(cp_file).to_pylist()
+        for row in rows:
+            sc = row.get("sidecar")
+            if sc is not None and sc.get("path"):
+                sidecars.append(sc["path"])
+                continue
+            yield {k: v for k, v in row.items() if v is not None}
+    for rel in sidecars:
+        sf = os.path.join(_log_dir(path), "_sidecars", rel)
+        if not os.path.exists(sf):
+            raise DeltaError(f"delta: checkpoint sidecar missing: {sf}")
+        for row in pq.read_table(sf).to_pylist():
+            yield {k: v for k, v in row.items() if v is not None}
 
 
 def _checkpoint_version(path: str) -> int | None:
@@ -107,7 +166,9 @@ def _checkpoint_version(path: str) -> int | None:
 # Reader features this reader actually implements; a v3 protocol whose
 # readerFeatures are a subset of these is safe to read. Anything else
 # (columnMapping, v2Checkpoint, ...) still gates loudly.
-_READER_FEATURES = {"deletionVectors", "timestampNtz", "columnMapping"}
+_READER_FEATURES = {
+    "deletionVectors", "timestampNtz", "columnMapping", "v2Checkpoint",
+}
 
 
 def _apply_action(act: dict, files: dict, meta: list) -> None:
@@ -177,14 +238,8 @@ def _replay(path: str, version: int | None = None) -> tuple[dict, dict | None]:
     meta: list = [None]
     start = 0
     if cp is not None and cp <= target:
-        import pyarrow.parquet as pq
-
-        for cp_file in _checkpoint_files(path, _last_checkpoint(path)):
-            for row in pq.read_table(cp_file).to_pylist():
-                _apply_action(
-                    {k: v for k, v in row.items() if v is not None},
-                    files, meta,
-                )
+        for act in _checkpoint_rows(path, _last_checkpoint(path)):
+            _apply_action(act, files, meta)
         start = cp + 1
     for v in versions:
         if v < start or v > target:
@@ -876,16 +931,13 @@ def delta_vacuum(path: str, dry_run: bool = False) -> list[str]:
     versions = _commit_versions(path)
     cp = _checkpoint_version(path)
     if cp is not None:
-        import pyarrow.parquet as pq
-
-        for cp_file in _checkpoint_files(path, _last_checkpoint(path)):
-            for row in pq.read_table(cp_file).to_pylist():
-                a = row.get("add")
-                if a:
-                    referenced.add(_normalize_add(a)["path"])
-                r = row.get("remove")
-                if r:
-                    referenced.add(r["path"])
+        for act in _checkpoint_rows(path, _last_checkpoint(path)):
+            a = act.get("add")
+            if a:
+                referenced.add(_normalize_add(a)["path"])
+            r = act.get("remove")
+            if r:
+                referenced.add(r["path"])
     for v in versions:
         with open(os.path.join(_log_dir(path), f"{v:020d}.json")) as f:
             for line in f:

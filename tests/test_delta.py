@@ -503,13 +503,13 @@ def test_delta_dv_inline_and_protocol_gates(spark, tmp_path):
     ])
     got = read_delta(spark, t)
     assert got.count() == len(rows) - 3
-    # unknown v3 feature -> loud gate (columnMapping/DVs/timestampNtz
-    # are implemented; v2Checkpoint is not)
+    # unknown v3 feature -> loud gate (columnMapping/DVs/timestampNtz/
+    # v2Checkpoint are implemented; typeWidening is not)
     t2 = str(tmp_path / "feat")
     _write_commit(t2, 0, [{"protocol": {
-        "minReaderVersion": 3, "readerFeatures": ["v2Checkpoint"],
+        "minReaderVersion": 3, "readerFeatures": ["typeWidening"],
     }}])
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         delta_live_files(t2)
 
 
@@ -643,3 +643,141 @@ def test_delta_column_mapping(spark, tmp_path):
     back2 = read_delta(spark, t)
     assert back2.columns == ["l_orderkey", "l_quantity", "l_returnflag"]
     assert back2.count() == want.count()
+
+
+def test_delta_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """Round 10: V2 checkpoints — a UUID-named top-level file whose
+    add/remove actions live in _delta_log/_sidecars/ parquet files
+    (`sidecar` actions point at them), protocol v3 + v2Checkpoint.
+    Reads must resolve the sidecars after JSON retention; a missing
+    sidecar raises. A JSON-format top-level file works too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_db_clustering_spark.sources.delta import delta_append
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    table = str(tmp_path / "v2cp")
+    delta_append(spark, li.filter(F.col("l_quantity") < 20).repartition(1),
+                 table, stats_cols=["l_quantity"])
+    delta_append(spark, li.filter(F.col("l_quantity") >= 20).repartition(1),
+                 table, stats_cols=["l_quantity"])
+    log = os.path.join(table, "_delta_log")
+
+    # harvest the adds from the JSON commits, split them into 2 sidecars
+    adds = []
+    meta_act = proto_act = None
+    for vf in sorted(p for p in os.listdir(log) if p.endswith(".json")):
+        with open(os.path.join(log, vf)) as f:
+            for line in f:
+                act = json.loads(line)
+                if act.get("add"):
+                    adds.append(act["add"])
+                if act.get("metaData"):
+                    meta_act = act["metaData"]
+                if act.get("protocol"):
+                    proto_act = act["protocol"]
+    assert len(adds) == 2 and meta_act is not None
+    os.makedirs(os.path.join(log, "_sidecars"))
+    add_t = pa.struct([
+        ("path", pa.string()), ("size", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string()),
+    ])
+    for i, a in enumerate(adds):
+        pq.write_table(
+            pa.table({"add": pa.array([{
+                "path": a["path"], "size": a.get("size"),
+                "dataChange": False, "stats": a.get("stats"),
+            }], type=add_t)}),
+            os.path.join(log, "_sidecars", f"sc-{i}.parquet"),
+        )
+    top_t = {
+        "checkpointMetadata": pa.array(
+            [{"version": 1}, None, None, None],
+            type=pa.struct([("version", pa.int64())])),
+        "protocol": pa.array(
+            [None, {"minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"]}, None, None],
+            type=pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ])),
+        "metaData": pa.array(
+            [None, None, {
+                "id": meta_act.get("id"),
+                "schemaString": meta_act.get("schemaString"),
+                "partitionColumns": [],
+            }, None],
+            type=pa.struct([
+                ("id", pa.string()), ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+            ])),
+        "sidecar": pa.array(
+            [None, None, None, {"path": "sc-0.parquet",
+                                "sizeInBytes": 1}],
+            type=pa.struct([
+                ("path", pa.string()), ("sizeInBytes", pa.int64()),
+            ])),
+    }
+    # second sidecar row via a second record
+    top = pa.table(top_t)
+    extra = pa.table({
+        "checkpointMetadata": pa.array([None], top_t["checkpointMetadata"].type),
+        "protocol": pa.array([None], top_t["protocol"].type),
+        "metaData": pa.array([None], top_t["metaData"].type),
+        "sidecar": pa.array([{"path": "sc-1.parquet", "sizeInBytes": 1}],
+                            top_t["sidecar"].type),
+    })
+    top = pa.concat_tables([top, extra])
+    pq.write_table(top, os.path.join(
+        log, f"{1:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+    ))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": top.num_rows}, f)
+    for vf in [p for p in os.listdir(log) if p.endswith(".json") and p[0].isdigit()]:
+        os.remove(os.path.join(log, vf))
+
+    back = read_delta(spark, table)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+    # stats survived through the sidecars
+    from graph_db_clustering_spark.sources.delta import read_delta_pruned
+
+    _df, nread, nskip = read_delta_pruned(spark, table, "l_quantity", 1, 5)
+    assert (nread, nskip) == (1, 1)
+    # a LATER JSON commit still applies
+    delta_append(spark, li.limit(5), table)
+    assert read_delta(spark, table).count() == li.count() + 5
+    # missing sidecar: loud
+    os.remove(os.path.join(log, "_sidecars", "sc-1.parquet"))
+    with pytest.raises(DeltaError, match="sidecar missing"):
+        read_delta(spark, table)
+
+
+def test_delta_v2_checkpoint_json_toplevel(spark, tmp_path):
+    """V2 checkpoints may write the TOP-LEVEL file as ndjson; the adds
+    ride inline (no sidecars) in this variant."""
+    from graph_db_clustering_spark.sources.delta import delta_append
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    table = str(tmp_path / "v2j")
+    delta_append(spark, li.repartition(1), table)
+    log = os.path.join(table, "_delta_log")
+    acts = []
+    for vf in sorted(p for p in os.listdir(log) if p.endswith(".json")):
+        with open(os.path.join(log, vf)) as f:
+            acts.extend(json.loads(ln) for ln in f if ln.strip())
+    with open(os.path.join(
+        log, f"{0:020d}.checkpoint.11111111-2222-3333-4444-555555555555.json"
+    ), "w") as f:
+        f.write(json.dumps({"checkpointMetadata": {"version": 0}}) + "\n")
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0, "size": len(acts) + 1}, f)
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    back = read_delta(spark, table)
+    assert back.count() == li.count()
