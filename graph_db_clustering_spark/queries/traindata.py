@@ -1799,3 +1799,120 @@ def iceberg_maintenance(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "delta_v2_checkpoint",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def delta_v2_checkpoint(spark, sf_dir):
+    """Delta V2 checkpoints (round 10, sources/delta): the table's
+    state is rebuilt from a UUID-named top-level checkpoint whose add
+    actions live in _delta_log/_sidecars/ parquet files referenced by
+    `sidecar` actions — the shape modern Databricks writes with the
+    v2Checkpoint table feature — after every JSON commit has been
+    retention-expired. The entry raises if any JSON commit survived
+    (proving the read really came through the V2 path). The oracle
+    aggregates lineitem directly."""
+    import atexit
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        read_delta,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_v2cp_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    delta_append(spark, li.filter(F.col("l_quantity") < 25).repartition(1), t)
+    delta_append(spark, li.filter(F.col("l_quantity") >= 25).repartition(1), t)
+    log = os.path.join(t, "_delta_log")
+    adds, meta_act = [], None
+    for vf in sorted(p for p in os.listdir(log) if p.endswith(".json")):
+        with open(os.path.join(log, vf)) as f:
+            for line in f:
+                act = _json.loads(line)
+                if act.get("add"):
+                    adds.append(act["add"])
+                if act.get("metaData"):
+                    meta_act = act["metaData"]
+    os.makedirs(os.path.join(log, "_sidecars"))
+    add_t = pa.struct([
+        ("path", pa.string()), ("size", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ])
+    for i, a in enumerate(adds):
+        pq.write_table(
+            pa.table({"add": pa.array(
+                [{"path": a["path"], "size": a.get("size"),
+                  "dataChange": False}], type=add_t)}),
+            os.path.join(log, "_sidecars", f"sc-{i}.parquet"),
+        )
+    sidecar_t = pa.struct([
+        ("path", pa.string()), ("sizeInBytes", pa.int64()),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()), ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+    ])
+    nrows = 2 + len(adds)
+    proto_rows = [{"minReaderVersion": 3, "minWriterVersion": 7,
+                   "readerFeatures": ["v2Checkpoint"],
+                   "writerFeatures": ["v2Checkpoint"]}] + [None] * (nrows - 1)
+    meta_rows = [None, {
+        "id": meta_act.get("id"),
+        "schemaString": meta_act.get("schemaString"),
+        "partitionColumns": [],
+    }] + [None] * (nrows - 2)
+    sc_rows = [None, None] + [
+        {"path": f"sc-{i}.parquet", "sizeInBytes": 1}
+        for i in range(len(adds))
+    ]
+    top = pa.table({
+        "protocol": pa.array(proto_rows, type=proto_t),
+        "metaData": pa.array(meta_rows, type=meta_t),
+        "sidecar": pa.array(sc_rows, type=sidecar_t),
+    })
+    pq.write_table(top, os.path.join(
+        log,
+        f"{1:020d}.checkpoint.3f1e2d3c-0000-4000-8000-000000000042.parquet",
+    ))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        _json.dump({"version": 1, "size": nrows}, f)
+    for vf in [p for p in os.listdir(log)
+               if p.endswith(".json") and p[0].isdigit()]:
+        os.remove(os.path.join(log, vf))
+    if any(p.endswith(".json") and p[0].isdigit() for p in os.listdir(log)):
+        raise AssertionError("delta_v2_checkpoint: JSON commits survived")
+    if not _glob.glob(os.path.join(log, "_sidecars", "*.parquet")):
+        raise AssertionError("delta_v2_checkpoint: no sidecars written")
+    return (
+        read_delta(spark, t)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
