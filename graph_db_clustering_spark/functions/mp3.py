@@ -436,8 +436,11 @@ def _skip_id3(data: bytes) -> int:
     return 0
 
 
-def _parse_header(h: bytes) -> dict:
-    """4 header bytes -> field dict; raises on unsupported variants."""
+def _parse_header(h: bytes, free_len: int | None = None) -> dict:
+    """4 header bytes -> field dict; raises on unsupported variants.
+    Free-format streams (bitrate_index 0) carry no bitrate — the
+    caller measures the constant frame length from the distance
+    between syncwords and passes it as `free_len` (round 10)."""
     if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
         raise Mp3Error("mp3: lost frame sync")
     version = (h[1] >> 3) & 3
@@ -454,8 +457,10 @@ def _parse_header(h: bytes) -> dict:
     protection = h[1] & 1  # 0 = CRC present
     br_idx = (h[2] >> 4) & 0xF
     sr_idx = (h[2] >> 2) & 3
-    if br_idx == 0:
-        raise NotImplementedError("mp3: free-format bitrate not supported")
+    if br_idx == 0 and free_len is None:
+        raise NotImplementedError(
+            "mp3: free-format bitrate needs a sync-derived frame length"
+        )
     if br_idx == 15 or sr_idx == 3:
         raise Mp3Error("mp3: invalid bitrate/samplerate index")
     padding = (h[2] >> 1) & 1
@@ -466,14 +471,22 @@ def _parse_header(h: bytes) -> dict:
     # stereo (round 10: position coding over tan(is_pos*pi/12)).
     nch = 1 if mode == 3 else 2
     if lsf:
-        bitrate = BITRATES_V2L3[br_idx] * 1000
         rate = SAMPLE_RATES_V2[sr_idx]
-        # LSF frames carry ONE granule (576 samples): half the slots
-        frame_len = 72 * bitrate // rate + padding
+        if br_idx == 0:
+            frame_len = free_len + padding
+            bitrate = free_len * rate // 72
+        else:
+            bitrate = BITRATES_V2L3[br_idx] * 1000
+            # LSF frames carry ONE granule (576 samples): half the slots
+            frame_len = 72 * bitrate // rate + padding
     else:
-        bitrate = BITRATES_V1L3[br_idx] * 1000
         rate = SAMPLE_RATES_V1[sr_idx]
-        frame_len = 144 * bitrate // rate + padding
+        if br_idx == 0:
+            frame_len = free_len + padding
+            bitrate = free_len * rate // 144
+        else:
+            bitrate = BITRATES_V1L3[br_idx] * 1000
+            frame_len = 144 * bitrate // rate + padding
     return {
         "bitrate": bitrate,
         "rate": rate,
@@ -961,6 +974,32 @@ class _Synth:
 # --- the decoder -----------------------------------------------------------
 
 
+def _measure_free_format(content: bytes, pos: int) -> int:
+    """Free-format streams: the frame length (without the padding
+    slot) is the distance between the first two syncwords whose
+    version/layer/rate/mode fields MATCH the first header — Huffman
+    payload can contain 0xFF bytes, so every candidate is verified
+    against the next expected sync too [ISO 11172-3 §2.4.2.3]."""
+    h0 = content[pos: pos + 4]
+    pad0 = (h0[2] >> 1) & 1
+    key = (h0[1], h0[2] & 0x0C, h0[3] & 0xC0)
+    for cand in range(pos + 21, min(pos + 5761, len(content) - 4)):
+        c = content[cand: cand + 4]
+        if c[0] != 0xFF or (c[1] & 0xE0) != 0xE0:
+            continue
+        if (c[1], c[2] & 0x0C, c[3] & 0xC0) != key:
+            continue
+        flen = (cand - pos) - pad0  # padding belongs to frame 0
+        # double-check: the sync after the CANDIDATE frame also lands
+        pad1 = (c[2] >> 1) & 1
+        nxt = cand + flen + pad1
+        if nxt + 2 <= len(content):
+            if content[nxt] != 0xFF or (content[nxt + 1] & 0xE0) != 0xE0:
+                continue
+        return flen
+    raise Mp3Error("mp3: free-format stream: no second syncword found")
+
+
 def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
     """MP3 bytes -> (sample_rate, float64 samples [n] mono / [n, 2]
     stereo).
@@ -976,6 +1015,13 @@ def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
     pos = _skip_id3(content)
     rate = None
     nch = None
+    free_len = None
+    if (
+        pos + 4 <= len(content)
+        and content[pos] == 0xFF
+        and (content[pos + 2] >> 4) & 0xF == 0
+    ):
+        free_len = _measure_free_format(content, pos)
     reservoir = b""
     overlap = synths = None
     pcm: list[np.ndarray] = []
@@ -983,7 +1029,7 @@ def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             break  # trailing tag/garbage after last frame
-        hdr = _parse_header(content[pos: pos + 4])
+        hdr = _parse_header(content[pos: pos + 4], free_len=free_len)
         if rate is None:
             rate, nch = hdr["rate"], hdr["nch"]
             overlap = [np.zeros((32, 18)) for _ in range(nch)]
