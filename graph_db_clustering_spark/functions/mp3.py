@@ -76,6 +76,7 @@ import numpy as np
 # --- constants -------------------------------------------------------------
 
 SAMPLE_RATES_V2 = (22050, 24000, 16000)
+SAMPLE_RATES_V25 = (11025, 12000, 8000)
 BITRATES_V2L3 = (
     None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
 )
@@ -273,6 +274,14 @@ SFB_LONG = {
             194, 232, 278, 332, 394, 464, 540, 576),
     16000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
             200, 238, 284, 336, 396, 464, 522, 576),
+    # MPEG-2.5 rates (the Fraunhofer LSF extension; tables as shipped
+    # by every fielded decoder)
+    11025: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
+            200, 238, 284, 336, 396, 464, 522, 576),
+    12000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
+            200, 238, 284, 336, 396, 464, 522, 576),
+    8000: (0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232, 280,
+           336, 400, 476, 566, 568, 570, 572, 574, 576),
 }
 
 # alias-reduction butterfly coefficients [2.4.3.4.10.1]
@@ -421,6 +430,10 @@ SFB_SHORT = {
     22050: (0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192),
     24000: (0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192),
     16000: (0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192),
+    # MPEG-2.5 rates
+    11025: (0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192),
+    12000: (0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192),
+    8000: (0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192),
 }
 
 
@@ -445,13 +458,9 @@ def _parse_header(h: bytes, free_len: int | None = None) -> dict:
         raise Mp3Error("mp3: lost frame sync")
     version = (h[1] >> 3) & 3
     layer = (h[1] >> 1) & 3
-    if version == 0:
-        raise NotImplementedError(
-            "mp3: MPEG-2.5 not supported (MPEG-1 and MPEG-2 LSF are)"
-        )
     if version == 1:
         raise Mp3Error("mp3: reserved version bits")
-    lsf = version == 2  # MPEG-2 low-sampling-frequency extension
+    lsf = version != 3  # MPEG-2 / MPEG-2.5: low-sampling-frequency
     if layer != 1:  # '01' = Layer III
         raise NotImplementedError("mp3: only Layer III is supported")
     protection = h[1] & 1  # 0 = CRC present
@@ -471,7 +480,9 @@ def _parse_header(h: bytes, free_len: int | None = None) -> dict:
     # stereo (round 10: position coding over tan(is_pos*pi/12)).
     nch = 1 if mode == 3 else 2
     if lsf:
-        rate = SAMPLE_RATES_V2[sr_idx]
+        rate = (SAMPLE_RATES_V25 if version == 0 else SAMPLE_RATES_V2)[
+            sr_idx
+        ]
         if br_idx == 0:
             frame_len = free_len + padding
             bitrate = free_len * rate // 72
@@ -1341,11 +1352,16 @@ def encode(
     with stuffing zeros the decoder skips."""
     if block_type not in ("long", "short"):
         raise Mp3Error(f"mp3: unsupported encoder block_type {block_type!r}")
-    lsf = rate in SAMPLE_RATES_V2  # MPEG-2 LSF: 1 granule per frame
+    v25 = rate in SAMPLE_RATES_V25
+    lsf = v25 or rate in SAMPLE_RATES_V2  # LSF: 1 granule per frame
     if not lsf and rate not in SAMPLE_RATES_V1:
         raise Mp3Error(f"mp3: unsupported sample rate {rate}")
     if lsf:
-        sr_idx = SAMPLE_RATES_V2.index(rate)
+        sr_idx = (
+            SAMPLE_RATES_V25.index(rate)
+            if v25
+            else SAMPLE_RATES_V2.index(rate)
+        )
         try:
             br_idx = BITRATES_V2L3.index(bitrate // 1000)
         except ValueError:
@@ -1431,7 +1447,7 @@ def encode(
                 w.extend(gw)
         w.pad()
         main = bytes(w.buf)
-        version_bits = 2 if lsf else 3
+        version_bits = 0 if v25 else 2 if lsf else 3
         hdr = bytes(
             [
                 0xFF,

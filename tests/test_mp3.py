@@ -238,11 +238,11 @@ def test_audio_features_decodes_mp3_bytes(spark):
 
 def test_gates_raise_loudly():
     blob = bytearray(mp3.encode(_sine(secs=0.1), rate=44100))
-    # MPEG-2.5 (version bits 00) stays gated; MPEG-2 LSF decodes now
-    v25 = bytearray(blob)
-    v25[1] &= ~0x18
-    with pytest.raises(NotImplementedError, match="MPEG-2.5"):
-        mp3.decode(bytes(v25))
+    # reserved version bits (01) raise as corrupt
+    vres = bytearray(blob)
+    vres[1] = (vres[1] & ~0x18) | 0x08
+    with pytest.raises(mp3.Mp3Error, match="reserved version"):
+        mp3.decode(bytes(vres))
     # free-format with NO second syncword to measure against: loud
     flen = 144 * 160_000 // 44100
     free = bytearray(blob[:flen])  # one frame only
@@ -741,3 +741,21 @@ def test_free_format_bitrate_decodes():
     # the back-derived bitrate is slot-quantized (free format exists
     # precisely for nonstandard rates): within 1% here
     assert abs(h["bitrate"] - 160_000) < 1600 and h["frame_len"] == flen
+
+
+def test_mpeg25_roundtrip():
+    """Round 10: MPEG-2.5 (version bits 00) — LSF framing at
+    11025/12000/8000 Hz with the extension's band tables (8 kHz has
+    the distinctive packed-top long row). Roundtrip at every rate."""
+    for rate in (11025, 12000, 8000):
+        f = (60 + 0.5) * rate / 1152
+        x = _sine(freq=f, secs=0.6, rate=rate) * 0.6
+        blob = mp3.encode(x, rate=rate, bitrate=64_000)
+        h = mp3._parse_header(blob[:4])
+        assert h["lsf"] and h["rate"] == rate
+        assert (blob[1] >> 3) & 3 == 0  # version bits 00
+        r, y = mp3.decode(blob)
+        assert r == rate
+        assert len(y) == -(-len(x) // 576) * 576
+        _d, snr, _g = _best_snr(x, y, d_lo=400, d_hi=1400, a=800, b=4000)
+        assert snr > 18.0, (rate, snr)
