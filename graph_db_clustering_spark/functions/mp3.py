@@ -75,6 +75,10 @@ import numpy as np
 
 # --- constants -------------------------------------------------------------
 
+BITRATES_V1L1 = (
+    None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+    416, 448,
+)
 SAMPLE_RATES_V2 = (22050, 24000, 16000)
 SAMPLE_RATES_V25 = (11025, 12000, 8000)
 BITRATES_V2L3 = (
@@ -461,8 +465,15 @@ def _parse_header(h: bytes, free_len: int | None = None) -> dict:
     if version == 1:
         raise Mp3Error("mp3: reserved version bits")
     lsf = version != 3  # MPEG-2 / MPEG-2.5: low-sampling-frequency
-    if layer != 1:  # '01' = Layer III
-        raise NotImplementedError("mp3: only Layer III is supported")
+    if layer == 0:
+        raise Mp3Error("mp3: reserved layer bits")
+    if layer == 2:  # '10' = Layer II
+        raise NotImplementedError(
+            "mp3: Layer II is not supported (Layers I and III are)"
+        )
+    layer1 = layer == 3  # '11' = Layer I (round 10)
+    if layer1 and lsf:
+        raise NotImplementedError("mp3: LSF Layer I not supported")
     protection = h[1] & 1  # 0 = CRC present
     br_idx = (h[2] >> 4) & 0xF
     sr_idx = (h[2] >> 2) & 3
@@ -479,6 +490,22 @@ def _parse_header(h: bytes, free_len: int | None = None) -> dict:
     # Joint stereo's mode_extension: bit1 = MS stereo, bit0 = intensity
     # stereo (round 10: position coding over tan(is_pos*pi/12)).
     nch = 1 if mode == 3 else 2
+    if layer1:
+        if br_idx == 0:
+            raise NotImplementedError("mp3: free-format Layer I")
+        if mode == 1:
+            raise NotImplementedError(
+                "mp3: Layer I intensity (bound) mode not supported"
+            )
+        bitrate = BITRATES_V1L1[br_idx] * 1000
+        rate = SAMPLE_RATES_V1[sr_idx]
+        return {
+            "bitrate": bitrate, "rate": rate, "padding": padding,
+            "crc": protection == 0,
+            "frame_len": (12 * bitrate // rate + padding) * 4,
+            "nch": nch, "lsf": False, "layer1": True,
+            "ms_stereo": False, "intensity": False,
+        }
     if lsf:
         rate = (SAMPLE_RATES_V25 if version == 0 else SAMPLE_RATES_V2)[
             sr_idx
@@ -508,6 +535,7 @@ def _parse_header(h: bytes, free_len: int | None = None) -> dict:
         "lsf": lsf,
         "ms_stereo": mode == 1 and bool(mode_ext & 2),
         "intensity": mode == 1 and bool(mode_ext & 1),
+        "layer1": False,
     }
 
 
@@ -1011,6 +1039,138 @@ def _measure_free_format(content: bytes, pos: int) -> int:
     raise Mp3Error("mp3: free-format stream: no second syncword found")
 
 
+# Layer I/II scalefactor table [Table B.1]: 2.0 * 2^(-idx/3)
+_L1_SCF = tuple(2.0 * 2.0 ** (-i / 3.0) for i in range(63))
+
+
+def _decode_layer1_frame(frame: bytes, hdr: dict, synths: list):
+    """One Layer I frame -> [384, nch] PCM through the shared synthesis
+    filterbank [2.4.1.5/2.4.2.5]: 4-bit allocation per subband (nb =
+    alloc + 1 bits, 2..15), 6-bit scalefactor per allocated subband,
+    then 12 sample rows; requantize
+    s = ((2x + 1 - 2^nb) / 2^nb) * (2^nb / (2^nb - 1)) * scf."""
+    nch = hdr["nch"]
+    off = 4 + (2 if hdr["crc"] else 0)
+    bits = _Bits(frame[off:])
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            a = bits.read(4)
+            if a == 15:
+                raise Mp3Error("mp3: Layer I allocation 15 is forbidden")
+            alloc[ch][sb] = a
+    scf = [[0.0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scf[ch][sb] = _L1_SCF[bits.read(6)]
+    out = []
+    rows = [np.zeros((12, 32)) for _ in range(nch)]
+    for t in range(12):
+        for sb in range(32):
+            for ch in range(nch):
+                a = alloc[ch][sb]
+                if not a:
+                    continue
+                nb = a + 1
+                x = bits.read(nb)
+                frac = (2.0 * x + 1.0 - 2.0 ** nb) / 2.0 ** nb
+                rows[ch][t, sb] = (
+                    frac * (2.0 ** nb / (2.0 ** nb - 1.0)) * scf[ch][sb]
+                )
+    for t in range(12):
+        if nch == 1:
+            out.append(synths[0].step(rows[0][t]))
+        else:
+            out.append(np.stack(
+                [synths[ch].step(rows[ch][t]) for ch in range(nch)],
+                axis=1,
+            ))
+    return out
+
+
+def encode_layer1(
+    pcm: np.ndarray, rate: int = 44100, bitrate: int = 256_000
+) -> bytes:
+    """Float PCM -> MPEG-1 Layer I frames (fixture encoder, mono or
+    stereo): per frame, per-subband scalefactors from the 12-row max
+    and a uniform 11-bit allocation where the budget allows (dropped
+    subband-by-subband from the top until the frame fits)."""
+    if rate not in SAMPLE_RATES_V1:
+        raise Mp3Error(f"mp3: unsupported sample rate {rate}")
+    try:
+        br_idx = BITRATES_V1L1.index(bitrate // 1000)
+    except ValueError:
+        raise Mp3Error(f"mp3: unsupported Layer I bitrate {bitrate}")
+    frame_len = (12 * bitrate // rate) * 4
+    pcm = np.asarray(pcm, dtype=np.float64)
+    nch = 2 if pcm.ndim == 2 else 1
+    n = pcm.shape[0]
+    n_frames = max(1, -(-n // 384))
+    chans = []
+    for ch in range(nch):
+        x = np.zeros(n_frames * 384)
+        x[:n] = pcm[:, ch] if nch == 2 else pcm
+        chans.append(_analysis(x))  # [n_frames*12, 32]
+    mode_byte = (3 if nch == 1 else 0) << 6
+    hdr = bytes([
+        0xFF, 0xE0 | (3 << 3) | (3 << 1) | 1,  # MPEG-1, Layer I, no CRC
+        (br_idx << 4) | (SAMPLE_RATES_V1.index(rate) << 2),
+        mode_byte,
+    ])
+    nb = 11  # uniform allocation; alloc code = nb - 1
+    # budget check: header + alloc + scf + samples must fit the frame
+    need = 4 + (32 * 4 * nch + 32 * 6 * nch + 12 * 32 * nb * nch + 7) // 8
+    n_sb = 32
+    while need > frame_len and n_sb > 1:
+        n_sb -= 1
+        need = 4 + (
+            32 * 4 * nch + n_sb * 6 * nch + 12 * n_sb * nb * nch + 7
+        ) // 8
+    if need > frame_len:
+        raise Mp3Error("mp3: Layer I frame does not fit — raise bitrate")
+    out = bytearray()
+    for f in range(n_frames):
+        rows = [c[f * 12: (f + 1) * 12] for c in chans]
+        scf_idx = [[0] * 32 for _ in range(nch)]
+        scf_val = [[0.0] * 32 for _ in range(nch)]
+        for ch in range(nch):
+            for sb in range(n_sb):
+                m = float(np.abs(rows[ch][:, sb]).max())
+                idx = 62
+                for i in range(63):
+                    if _L1_SCF[i] >= m or abs(_L1_SCF[i] - m) < 1e-12:
+                        idx = i
+                    else:
+                        break
+                scf_idx[ch][sb] = idx
+                scf_val[ch][sb] = _L1_SCF[idx]
+        w = _BitWriter()
+        for sb in range(32):
+            for ch in range(nch):
+                w.write(nb - 1 if sb < n_sb else 0, 4)
+        for sb in range(n_sb):
+            for ch in range(nch):
+                w.write(scf_idx[ch][sb], 6)
+        steps = 2 ** nb
+        for t in range(12):
+            for sb in range(n_sb):
+                for ch in range(nch):
+                    v = rows[ch][t, sb] / scf_val[ch][sb]
+                    # invert the decode mapping: x = round((s*(2^nb-1)
+                    # /2^nb * 2^nb - 1 + 2^nb) / 2)
+                    x = int(round(
+                        (v * (steps - 1.0) - 1.0 + steps) / 2.0
+                    ))
+                    w.write(max(0, min(steps - 1, x)), nb)
+        w.pad()
+        body = hdr + bytes(w.buf)
+        if len(body) > frame_len:
+            raise Mp3Error("mp3: Layer I frame overflow")
+        out += body + b"\x00" * (frame_len - len(body))
+    return bytes(out)
+
+
 def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
     """MP3 bytes -> (sample_rate, float64 samples [n] mono / [n, 2]
     stereo).
@@ -1050,6 +1210,11 @@ def decode_pcm(content: bytes) -> tuple[int, np.ndarray]:
         frame = content[pos: pos + hdr["frame_len"]]
         if len(frame) < hdr["frame_len"]:
             raise Mp3Error("mp3: truncated final frame")
+        if hdr["layer1"]:
+            pcm.extend(_decode_layer1_frame(frame, hdr, synths))
+            pos += hdr["frame_len"]
+            n_frames += 1
+            continue
         off = 4 + (2 if hdr["crc"] else 0)
         if hdr["lsf"]:
             si_len = 9 if nch == 1 else 17

@@ -759,3 +759,33 @@ def test_mpeg25_roundtrip():
         assert len(y) == -(-len(x) // 576) * 576
         _d, snr, _g = _best_snr(x, y, d_lo=400, d_hi=1400, a=800, b=4000)
         assert snr > 18.0, (rate, snr)
+
+
+def test_layer1_roundtrip_and_gates():
+    """Round 10: MPEG-1 Layer I — 384-sample frames, 4-byte slots,
+    uniform fixture allocation, spec requantization, the SAME
+    synthesis filterbank as Layer III. Stereo works; Layer II and
+    Layer I bound-intensity mode still gate by name."""
+    x = _sine(secs=0.3)
+    blob = mp3.encode_layer1(x, rate=44100, bitrate=256_000)
+    h = mp3._parse_header(blob[:4])
+    assert h["layer1"] and h["frame_len"] == (12 * 256_000 // 44100) * 4
+    r, y = mp3.decode(blob)
+    assert r == 44100 and len(y) == -(-len(x) // 384) * 384
+    _d, snr, g = _best_snr(x, y, d_lo=200, d_hi=600, a=1000, b=8000)
+    assert snr > 40.0, snr  # 11-bit uniform quantization
+    # stereo
+    xs = np.stack([x, 0.5 * x], axis=1)
+    r2, y2 = mp3.decode_pcm(mp3.encode_layer1(xs, rate=44100,
+                                              bitrate=448_000))
+    assert y2.shape == (len(y), 2)
+    # Layer II gate, by name
+    l2 = bytearray(blob)
+    l2[1] = (l2[1] & ~0x06) | (2 << 1)
+    with pytest.raises(NotImplementedError, match="Layer II"):
+        mp3.decode(bytes(l2))
+    # forbidden allocation 15 raises
+    bad = bytearray(blob)
+    bad[4] |= 0xF0  # first subband alloc -> 15
+    with pytest.raises(mp3.Mp3Error, match="allocation 15"):
+        mp3.decode(bytes(bad))
