@@ -298,3 +298,41 @@ def test_roaring_roundtrip_property(vals):
     )
 
     assert decode_rbm_array(encode_rbm_array(vals)) == sorted(set(vals))
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(max_codepoint=0x2FF),
+            min_size=0, max_size=24,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_fuzzy_prefilter_never_drops_true_pairs(names):
+    """operators/text round 10: the vectorized common-char prefilter in
+    fuzzy_name_pairs uses the NECESSARY bound c/n1 + c/n2 >= 5*s - 3
+    (c = common byte-bucket count, n = codepoint length). Property: for
+    ANY strings — multibyte unicode included, where byte counts exceed
+    codepoint lengths and the 127-clamp merges buckets — no pair at
+    jw >= 0.88 is ever filtered out (merging buckets and counting
+    bytes only LOOSEN the bound)."""
+    from graph_db_clustering_spark.operators.text import jaro_winkler
+
+    min_sim = 0.88
+    bound = 5.0 * min_sim - 3.0
+
+    def counts(s):
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        return np.bincount(np.minimum(b, 127), minlength=128)
+
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            jw = jaro_winkler(a, b)
+            if jw < min_sim:
+                continue
+            if not a or not b:
+                continue
+            c = np.minimum(counts(a), counts(b)).sum()
+            assert c / len(a) + c / len(b) >= bound, (a, b, jw)
