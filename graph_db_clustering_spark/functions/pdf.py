@@ -442,6 +442,77 @@ def _decrypt_pdf(data: bytes, trailer: bytes) -> bytes:
     return out.replace(b"/Encrypt %d %d R" % (enc_num, int(em.group(2))), b"")
 
 
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
+def _run_filters(body: bytes, head: bytes) -> bytes | None:
+    """Apply the stream's /Filter pipeline in order (single name or
+    array): the ASCII transports (ASCIIHexDecode, ASCII85Decode — a
+    round-10 fix: these TEXT streams were silently skipped before),
+    RunLengthDecode, FlateDecode and LZWDecode (each followed by the
+    /Predictor undo; PDF LZW is TIFF's early-change variant). Returns
+    None for pipelines containing image/unknown filters (DCTDecode,
+    CCITT, JBIG2...) — those streams carry no text operators."""
+    m = _FILTER_RE.search(head)
+    if not m:
+        return body
+    names = re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+    for f in names:
+        if f in (b"ASCIIHexDecode", b"AHx"):
+            data = body.split(b">", 1)[0]
+            hx = re.sub(rb"\s", b"", data)
+            if len(hx) % 2:
+                hx += b"0"  # odd digit count pads a zero, per spec
+            try:
+                body = bytes.fromhex(hx.decode("ascii"))
+            except (ValueError, UnicodeDecodeError) as e:
+                raise ValueError(f"PDF: corrupt ASCIIHex stream ({e})")
+        elif f in (b"ASCII85Decode", b"A85"):
+            import base64
+
+            data = re.sub(rb"\s", b"", body)
+            if data.startswith(b"<~"):
+                data = data[2:]
+            if data.endswith(b"~>"):
+                data = data[:-2]
+            try:
+                body = base64.a85decode(data, adobe=False)
+            except ValueError as e:
+                raise ValueError(f"PDF: corrupt ASCII85 stream ({e})")
+        elif f in (b"RunLengthDecode", b"RL"):
+            out, i = bytearray(), 0
+            while i < len(body):
+                n = body[i]
+                if n == 128:
+                    break  # EOD
+                if n < 128:
+                    out += body[i + 1: i + 2 + n]
+                    i += 2 + n
+                else:
+                    out += body[i + 1: i + 2] * (257 - n)
+                    i += 2
+            body = bytes(out)
+        elif f in (b"FlateDecode", b"Fl"):
+            try:
+                body = zlib.decompress(body)
+            except zlib.error as e:
+                raise ValueError(f"PDF: corrupt Flate stream ({e!r})")
+            body = _apply_predictor(body, head)
+        elif f in (b"LZWDecode", b"LZW"):
+            from graph_db_clustering_spark.functions.simple_images import (
+                _lzw_tiff_decode,
+            )
+
+            try:
+                body = _lzw_tiff_decode(body)
+            except ValueError as e:
+                raise ValueError(f"PDF: corrupt LZW stream ({e})")
+            body = _apply_predictor(body, head)
+        else:
+            return None  # image/unknown filter: no text to extract
+    return body
+
+
 def _apply_predictor(body: bytes, head: bytes) -> bytes:
     """Undo a stream dictionary's /Predictor (PDF 32000 §7.4.4.4):
     1 = none, 2 = TIFF horizontal differencing, 10-15 = the PNG row
@@ -514,28 +585,8 @@ def extract_text(data: bytes) -> str:
             body = body[:-2]
         elif body.endswith(b"\n") or body.endswith(b"\r"):
             body = body[:-1]
-        if b"/FlateDecode" in head:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error as e:
-                raise ValueError(f"PDF: corrupt Flate stream ({e!r})")
-            body = _apply_predictor(body, head)
-        elif b"/LZWDecode" in head:
-            # PDF LZW IS TIFF's early-change variant (PDF 32000 §7.4.4
-            # defines it by reference to the TIFF spec): MSB-first,
-            # 9-bit initial width, 256=Clear / 257=EOD — the decoder
-            # functions/simple_images already carries. Predictors
-            # (round 10) undo after decompression, same as Flate.
-            from graph_db_clustering_spark.functions.simple_images import (
-                _lzw_tiff_decode,
-            )
-
-            try:
-                body = _lzw_tiff_decode(body)
-            except ValueError as e:
-                raise ValueError(f"PDF: corrupt LZW stream ({e})")
-            body = _apply_predictor(body, head)
-        elif b"/Filter" in head:
+        body = _run_filters(body, head)
+        if body is None:
             continue  # image/other filtered streams carry no text ops
         line: list[str] = []
         for op in _TJ_RE.finditer(body):

@@ -323,3 +323,40 @@ def test_lzw_and_flate_predictors_roundtrip():
            b" /Colors 2 /Length " + str(len(comp)).encode() +
            b" >>\nstream\n" + comp + b"\nendstream")
     assert pdf.extract_text(doc) == "predicted text"
+
+
+def test_ascii_and_runlength_filters_and_chains():
+    """Round 10: ASCIIHexDecode / ASCII85Decode / RunLengthDecode text
+    streams extract (they were silently skipped before), and filter
+    CHAINS apply in order ([/ASCII85Decode /FlateDecode]); image
+    filters (DCTDecode) still skip."""
+    import base64
+    import zlib
+
+    text = b"BT (filtered text) Tj ET"
+    # ASCIIHex with whitespace and odd-digit padding
+    hx = text.hex().encode()
+    hx = b" ".join(hx[i:i + 4] for i in range(0, len(hx), 4)) + b">"
+    doc = (b"%PDF-1.4\n<< /Filter /ASCIIHexDecode /Length " +
+           str(len(hx)).encode() + b" >>\nstream\n" + hx + b"\nendstream")
+    assert pdf.extract_text(doc) == "filtered text"
+    # ASCII85 with the ~> terminator
+    a85 = base64.a85encode(text) + b"~>"
+    doc = (b"%PDF-1.4\n<< /Filter /ASCII85Decode /Length " +
+           str(len(a85)).encode() + b" >>\nstream\n" + a85 + b"\nendstream")
+    assert pdf.extract_text(doc) == "filtered text"
+    # RunLength: literal run + repeat run + EOD
+    rl = bytes([len(text) - 1]) + text + bytes([257 - 4]) + b" " + b"\x80"
+    doc = (b"%PDF-1.4\n<< /Filter /RunLengthDecode /Length " +
+           str(len(rl)).encode() + b" >>\nstream\n" + rl + b"\nendstream")
+    assert pdf.extract_text(doc) == "filtered text"
+    # chain: Flate THEN ASCII85 transport (decode order: A85 -> Flate)
+    chained = base64.a85encode(zlib.compress(text)) + b"~>"
+    doc = (b"%PDF-1.4\n<< /Filter [/ASCII85Decode /FlateDecode] /Length " +
+           str(len(chained)).encode() + b" >>\nstream\n" + chained +
+           b"\nendstream")
+    assert pdf.extract_text(doc) == "filtered text"
+    # image filters still skip silently
+    doc = (b"%PDF-1.4\n<< /Filter /DCTDecode /Length 4 >>\nstream\n"
+           b"\xff\xd8\xff\xe0\nendstream")
+    assert pdf.extract_text(doc) == ""
