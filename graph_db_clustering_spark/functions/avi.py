@@ -74,7 +74,21 @@ def _video_format(
         b = strf[0]
         w, h = struct.unpack("<ii", data[b + 4 : b + 12])
         comp = data[b + 16 : b + 20]
-        return idx, w, h, comp
+        # 8-bit palette (BGRX quads after the 40-byte header), if any
+        bpp = struct.unpack("<H", data[b + 14 : b + 16])[0]
+        n_colors = struct.unpack("<I", data[b + 32 : b + 36])[0]
+        if bpp == 8 and not n_colors:
+            n_colors = 256
+        pal = None
+        if bpp == 8 and strf[1] >= 40 + 4 * n_colors:
+            import numpy as _np
+
+            quads = _np.frombuffer(
+                data[b + 40 : b + 40 + 4 * n_colors], dtype=_np.uint8
+            ).reshape(-1, 4)
+            pal = _np.zeros((256, 3), dtype=_np.uint8)
+            pal[:n_colors] = quads[:, [2, 1, 0]]  # BGRX -> RGB
+        return idx, w, h, comp, pal
     raise AviError("no video ('vids') stream in AVI")
 
 
@@ -109,13 +123,19 @@ def _frames_inner(data: bytes) -> list[np.ndarray]:
     movi = next(iter(_find_lists(data, *top, b"movi")), None)
     if hdrl is None or movi is None:
         raise AviError("AVI missing hdrl/movi list")
-    sidx, w, h, comp = _video_format(data, hdrl)
+    sidx, w, h, comp, pal = _video_format(data, hdrl)
     is_mjpg = comp in _MJPG_FOURCCS
-    if not is_mjpg and struct.unpack("<I", comp)[0] != _BI_RGB:
+    comp_val = struct.unpack("<I", comp)[0] if not is_mjpg else None
+    is_rle8 = comp_val == 1 or comp in (b"mrle", b"MRLE", b"RLE8")
+    if is_rle8 and pal is None:
+        raise AviError("AVI MS-RLE8 stream without an 8-bit palette")
+    if not is_mjpg and not is_rle8 and comp_val != _BI_RGB:
         raise NotImplementedError(
-            f"AVI codec {comp!r}: only MJPG and uncompressed BI_RGB decode "
-            "natively; interframe codecs need a codec library (PyAV/ffmpeg)"
+            f"AVI codec {comp!r}: MJPG, uncompressed BI_RGB and MS-RLE8 "
+            "decode natively; other interframe codecs need a codec "
+            "library (PyAV/ffmpeg)"
         )
+    rle_canvas = [None]  # MS-RLE interframes update the prior raster
     vid_id = b"%02d" % sidx  # movi chunk prefix for the video stream
     out: list[np.ndarray] = []
 
@@ -135,6 +155,15 @@ def _frames_inner(data: bytes) -> list[np.ndarray]:
                 if img.ndim == 2:
                     img = np.repeat(img[:, :, None], 3, axis=2)
                 out.append(img)
+            elif is_rle8:
+                from graph_db_clustering_spark.functions.simple_images import (
+                    _unrle8,
+                )
+
+                rle_canvas[0] = _unrle8(
+                    bytes(payload), w, abs(h), canvas=rle_canvas[0]
+                )
+                out.append(pal[rle_canvas[0]])
             else:
                 out.append(_decode_dib(payload, w, h))
 

@@ -24,12 +24,18 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError(f"BMP: truncated or corrupt file ({e!r})")
 
 
-def _unrle8(data: bytes, w: int, h: int) -> np.ndarray:
+def _unrle8(
+    data: bytes, w: int, h: int, canvas: np.ndarray | None = None
+) -> np.ndarray:
     """BI_RLE8 -> HxW palette-index raster (bottom-up source order).
     Escapes: 0,0 = end of line; 0,1 = end of bitmap; 0,2,dx,dy = delta;
     0,n>=3 = n absolute bytes (padded to 2-byte alignment); count,val =
-    run of count copies."""
-    out = np.zeros((h, w), dtype=np.uint8)
+    run of count copies. `canvas` (round 10) seeds the raster with the
+    PREVIOUS frame for AVI MS-RLE interframes: skipped pixels (EOL,
+    delta jumps) keep their prior values instead of zero."""
+    out = (
+        canvas.copy() if canvas is not None else np.zeros((h, w), np.uint8)
+    )
     x = y = 0  # bottom-up: y counts from the bottom row
     i = 0
     n = len(data)

@@ -185,3 +185,59 @@ def test_audio_first_stream_and_rec_lists():
     assert len(got) == 3
     for a, b in zip(got, want):
         assert np.array_equal(a, b)
+
+
+def test_msrle8_keyframe_and_interframe():
+    """Round 10: MS-RLE8 video (biCompression 1, 8-bit palette) — a
+    full-coverage keyframe, then an INTERFRAME that repaints only one
+    run and skips everything else (EOL/EOB escapes): untouched pixels
+    must keep the prior frame's values."""
+    from graph_db_clustering_spark.functions.avi import _chunk, _list
+
+    w, h = 6, 4
+    # palette: index i -> (i, 2i, 3i) RGB
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes([(3 * i) % 256, (2 * i) % 256, i % 256, 0])  # BGRX
+    # keyframe: each row y filled with index (y+1), bottom-up rows
+    key = bytearray()
+    for y in range(h):  # y counts from BOTTOM row in RLE space
+        key += bytes([w, y + 1])  # one full-row run
+        key += b"\x00\x00"  # EOL
+    key += b"\x00\x01"  # EOB
+    # interframe: skip row 0, repaint 3 px of row 1 (bottom-up) at x=2
+    # via delta jump, keep the rest
+    inter = bytearray()
+    inter += b"\x00\x00"              # EOL: skip bottom row entirely
+    inter += b"\x00\x02\x02\x00"      # delta: move to x=2 (same row)
+    inter += bytes([3, 9])            # run: 3 px of palette index 9
+    inter += b"\x00\x01"              # EOB: rest untouched
+    avih = struct.pack("<14I", 100_000, 0, 0, 0x10, 2, 0, 1, 64,
+                       w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"mrle"
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 10, 0, 2, 64, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 8,
+                       struct.pack("<I", 1), 64, 0, 0, 256, 0) + bytes(pal)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi = _list(b"movi", _chunk(b"00dc", bytes(key))
+                 + _chunk(b"00dc", bytes(inter)))
+    body = b"AVI " + hdrl + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    frames = avi.frames(data)
+    assert len(frames) == 2
+    # expected keyframe: top-down row r has palette index (h - r)
+    idx0 = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        idx0[h - 1 - y, :] = y + 1
+    pal_rgb = np.zeros((256, 3), dtype=np.uint8)
+    for i in range(256):
+        pal_rgb[i] = (i % 256, (2 * i) % 256, (3 * i) % 256)
+    assert np.array_equal(frames[0], pal_rgb[idx0])
+    # expected interframe: same, but bottom-up row 1, x 2..5 -> index 9
+    idx1 = idx0.copy()
+    idx1[h - 1 - 1, 2:5] = 9
+    assert np.array_equal(frames[1], pal_rgb[idx1])
