@@ -72,6 +72,54 @@ def _unrle8(
     return out
 
 
+def _unrle4(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE4 -> HxW palette-index raster (round 10): the nibble
+    variant of _unrle8 — runs ALTERNATE the value byte's high/low
+    nibbles, absolute mode packs two pixels per byte (word-aligned)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        a, b = data[i], data[i + 1]
+        i += 2
+        if a > 0:  # run: alternate high/low nibble
+            hi, lo = b >> 4, b & 0x0F
+            for k in range(a):
+                if x >= w:
+                    break
+                out[h - 1 - y, x] = hi if k % 2 == 0 else lo
+                x += 1
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= h:
+                break
+        elif b == 1:  # end of bitmap
+            break
+        elif b == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("BMP RLE4: truncated delta")
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute: b nibbles, rounded up to bytes, word-aligned
+            nbytes = (b + 1) // 2
+            if i + nbytes > n:
+                raise ValueError("BMP RLE4: truncated absolute run")
+            for k in range(b):
+                if x >= w:
+                    break
+                byte = data[i + k // 2]
+                out[h - 1 - y, x] = (byte >> 4) if k % 2 == 0 else (
+                    byte & 0x0F
+                )
+                x += 1
+            i += nbytes + (nbytes & 1)
+        if y >= h:
+            break
+    return out
+
+
 def _decode_bmp_inner(data: bytes) -> np.ndarray:
     from graph_db_clustering_spark.functions.avi import _decode_dib
 
@@ -79,8 +127,39 @@ def _decode_bmp_inner(data: bytes) -> np.ndarray:
         raise ValueError("not a BMP (missing 'BM' magic)")
     (pixel_off,) = struct.unpack("<I", data[10:14])
     (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size == 12:  # OS/2 BITMAPCOREHEADER (round 10)
+        w, h = struct.unpack("<HH", data[18:22])
+        planes, bpp = struct.unpack("<HH", data[22:26])
+        comp, clr_used = 0, 0  # core headers are always uncompressed
+        if bpp in (1, 4, 8):
+            # 3-byte BGR palette entries: rewrite into the modern BGRX
+            # shape so the shared palette path below applies unchanged
+            n_colors = 1 << bpp
+            pal3 = np.frombuffer(
+                data, np.uint8, n_colors * 3, 14 + 12
+            ).reshape(n_colors, 3)
+            pal = pal3[:, 2::-1]
+            stride = ((w * bpp + 31) // 32) * 4
+            rows = np.frombuffer(
+                data, np.uint8, stride * h, pixel_off
+            ).reshape(h, stride)
+            if bpp == 8:
+                idx = rows[:, :w]
+            elif bpp == 4:
+                nib = np.empty((h, stride * 2), dtype=np.uint8)
+                nib[:, 0::2] = rows >> 4
+                nib[:, 1::2] = rows & 0x0F
+                idx = nib[:, :w]
+            else:
+                idx = np.unpackbits(rows, axis=1)[:, :w]
+            return pal[idx[::-1]].copy()  # core bitmaps are bottom-up
+        if bpp == 24:
+            return _decode_dib(data[pixel_off:], w, h)
+        raise NotImplementedError(f"BMP core header: bpp {bpp}")
     if hdr_size < 40:
-        raise NotImplementedError("BMP core-header (OS/2) variant not supported")
+        raise NotImplementedError(
+            f"BMP: header size {hdr_size} not supported"
+        )
     w, h = struct.unpack("<ii", data[18:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
     (comp,) = struct.unpack("<I", data[30:34])
@@ -97,9 +176,11 @@ def _decode_bmp_inner(data: bytes) -> np.ndarray:
         px = np.frombuffer(data, np.uint8, need, pixel_off).reshape(ah, w, 4)
         img = px[:, :, 2::-1]  # BGRA -> RGB
         return (img[::-1] if flip else img).copy()
-    if bpp in (1, 4, 8) and comp in (0, 1):
-        if bpp != 8 and comp == 1:
-            raise NotImplementedError("BMP: RLE4 not supported")
+    if bpp in (1, 4, 8) and comp in (0, 1, 2):
+        if comp == 2 and bpp != 4:
+            raise ValueError("BMP: BI_RLE4 requires 4-bit pixels")
+        if comp == 1 and bpp != 8:
+            raise ValueError("BMP: BI_RLE8 requires 8-bit pixels")
         n_colors = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         if len(data) < pal_off + n_colors * 4:
@@ -107,10 +188,11 @@ def _decode_bmp_inner(data: bytes) -> np.ndarray:
         pal = np.frombuffer(
             data, np.uint8, n_colors * 4, pal_off
         ).reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
-        if comp == 1:  # BI_RLE8 (bottom-up by definition)
+        if comp in (1, 2):  # BI_RLE8 / BI_RLE4 (bottom-up by definition)
             if h < 0:
-                raise ValueError("BMP: RLE8 cannot be top-down")
-            idx = _unrle8(data[pixel_off:], w, ah)
+                raise ValueError("BMP: RLE cannot be top-down")
+            un = _unrle8 if comp == 1 else _unrle4
+            idx = un(data[pixel_off:], w, ah)
         else:
             stride = ((w * bpp + 31) // 32) * 4  # rows pad to 4 bytes
             if len(data) - pixel_off < stride * ah:
@@ -134,7 +216,7 @@ def _decode_bmp_inner(data: bytes) -> np.ndarray:
     raise NotImplementedError(
         f"BMP: unsupported variant (compression={comp}, bpp={bpp}; "
         "supported: 24/32-bit BI_RGB, 1/4/8-bit palette BI_RGB, "
-        "8-bit BI_RLE8)"
+        "8-bit BI_RLE8, 4-bit BI_RLE4, OS/2 core headers)"
     )
 
 

@@ -858,7 +858,8 @@ AUDIO_FEATURE_NAMES = (
 def _decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     """Audio container dispatch -> (sample_rate, mono float64 samples).
 
-    WAV (PCM 8/16/32-bit int, 32/64-bit float, IMA ADPCM format tag 17)
+    WAV (PCM 8/16/32-bit int, 32/64-bit float, IMA ADPCM format tag 17,
+    G.711 A-law/mu-law tags 6/7 — round 10)
     decodes via pure struct + NumPy; MP3 (MPEG-1 Layer III mono/
     stereo/MS-joint-stereo, downmixed to channel mean, ID3v2
     tags skipped) via the pure-NumPy functions/mp3 decoder — round 7,
@@ -934,11 +935,42 @@ def _decode_wav_inner(content: bytes) -> tuple[int, np.ndarray]:
         x = _decode_ima_adpcm(data, channels, block_align).astype(np.float64) / 32768.0
         if fact_samples is not None:
             x = x[: fact_samples * channels]  # drop final-block padding
+    elif audio_fmt in (6, 7):  # G.711 A-law / mu-law (round 10)
+        codes = np.frombuffer(data, dtype=np.uint8)
+        table = _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
+        x = table[codes].astype(np.float64) / 32768.0
     else:
         raise NotImplementedError(f"WAV: compressed format tag {audio_fmt} unsupported")
     if channels > 1:
         x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
     return rate, x
+
+
+def _g711_tables():
+    """G.711 decode tables, computed from the public companding
+    definitions (ITU-T G.711): A-law (even-bit inversion, 8 segments)
+    and mu-law (bias 0x84, complemented codes) -> int16 per 8-bit code."""
+    alaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        seg = (a & 0x70) >> 4
+        mant = a & 0x0F
+        if seg == 0:
+            val = (mant << 4) + 8
+        else:
+            val = ((mant << 4) + 0x108) << (seg - 1)
+        alaw[code] = -val if a & 0x80 == 0 else val
+    mulaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        seg = (u & 0x70) >> 4
+        mant = u & 0x0F
+        val = (((mant << 3) + 0x84) << seg) - 0x84
+        mulaw[code] = -val if u & 0x80 else val
+    return alaw, mulaw
+
+
+_ALAW_TABLE, _MULAW_TABLE = _g711_tables()
 
 
 def _audio_feature_row(rate: int, x: np.ndarray) -> list[float]:

@@ -13,7 +13,7 @@ Scope: record schemas over the primitive types, nullable unions, and —
 round 7 — the full complex-type set: nested records, arrays, maps,
 enums, fixed, and named-type references (a record/enum/fixed defined
 once and referenced by name later in the schema), plus all three
-spec-required-or-recommended codecs: null, deflate, and snappy (the
+spec codecs: null, deflate, snappy, bzip2, xz (round 10; the
 latter via the pure-Python functions/snappy block codec, with the
 Avro-mandated big-endian CRC32-of-uncompressed trailer verified per
 block), and general unions via the public spark-avro mapping
@@ -508,8 +508,12 @@ def _read_header_inner(blob: bytes):
             meta[key] = blob[pos : pos + vlen]
             pos += vlen
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
+    if codec == "zstandard":
+        # spec-listed but no stdlib decoder exists here; keep it a
+        # loud gate rather than a silent misread
+        raise NotImplementedError("avro codec 'zstandard' not supported")
     if "avro.schema" not in meta:
         raise AvroError("avro: container metadata missing avro.schema")
     fields = parse_schema(meta["avro.schema"].decode())
@@ -554,6 +558,14 @@ def _decode_blocks(blob, fields, codec, sync, pos) -> list[dict]:
         pos += 16
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
+        elif codec == "bzip2":
+            import bz2
+
+            block = bz2.decompress(block)
+        elif codec == "xz":
+            import lzma
+
+            block = lzma.decompress(block)
         elif codec == "snappy":
             # Avro snappy framing: raw-snappy body + 4-byte big-endian
             # CRC32 of the UNCOMPRESSED data (Avro spec, file container
@@ -719,6 +731,14 @@ def encode_container(
     if codec == "deflate":
         c = zlib.compressobj(6, zlib.DEFLATED, -15)
         block = c.compress(block) + c.flush()
+    elif codec == "bzip2":
+        import bz2
+
+        block = bz2.compress(block)
+    elif codec == "xz":
+        import lzma
+
+        block = lzma.compress(block)
     elif codec == "snappy":
         from graph_db_clustering_spark.functions import snappy as _sn
 

@@ -4,7 +4,8 @@ The SQLite file format (sqlite.org/fileformat2.html — public, frozen)
 is a paged b-tree: a 100-byte header fixes the page size, page 1 holds
 the `sqlite_master` catalog (table name -> root page + CREATE sql),
 and each table is a b-tree of leaf cells carrying (rowid, record),
-records self-describing via serial-type codes. This reader walks
+records self-describing via serial-type codes (text in the header's
+declared encoding — UTF-8 or UTF-16le/be, round 10). This reader walks
 interior/leaf table pages, follows overflow chains, decodes records,
 and aliases INTEGER PRIMARY KEY columns to the rowid (the format
 stores them as NULL) — enough to lift ordinary tables out of the
@@ -142,8 +143,10 @@ class _Db:
         self.reserved = blob[20]
         self.usable = self.page_size - self.reserved
         enc = struct.unpack(">I", blob[56:60])[0]
-        if enc not in (0, 1):
-            raise NotImplementedError(f"sqlite: text encoding {enc} (UTF-8 only)")
+        if enc not in (0, 1, 2, 3):
+            raise SqliteError(f"sqlite: unknown text encoding {enc}")
+        # 1 = UTF-8 (0 only in empty/legacy headers), 2/3 = UTF-16le/be
+        self.text_enc = {2: "utf-16-le", 3: "utf-16-be"}.get(enc, "utf-8")
 
     def page(self, n: int) -> bytes:
         off = (n - 1) * self.page_size
@@ -201,7 +204,7 @@ class _Db:
                 pos += n
             elif t >= 13:
                 n = (t - 13) // 2
-                out.append(payload[pos : pos + n].decode("utf-8"))
+                out.append(payload[pos : pos + n].decode(self.text_enc))
                 pos += n
             else:
                 raise SqliteError(f"sqlite: reserved serial type {t}")

@@ -429,3 +429,26 @@ def test_recursive_schema_unrolls_to_depth(spark, tmp_path):
         assert "next" not in [f.name for f in lvl3.fields]
     # deep chain truncated, not errored: row 1 exists with its 2 levels
     assert got[0].asDict(True)["next"] is not None
+
+
+def test_bzip2_and_xz_codecs_roundtrip():
+    """Round 10: the spec's bzip2 and xz container codecs (stdlib
+    decoders) round-trip; zstandard stays a loud gate."""
+    from graph_db_clustering_spark.sources.avro import (
+        decode_container,
+        encode_container,
+    )
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"},
+    ]}
+    rows = [{"a": i, "b": f"s{i}" * (i % 5)} for i in range(200)]
+    for codec in ("bzip2", "xz"):
+        blob = encode_container(schema, rows, codec=codec)
+        _f, got = decode_container(blob)
+        assert got == rows, codec
+    with pytest.raises(NotImplementedError, match="zstandard"):
+        blob = bytearray(encode_container(schema, rows, codec="null"))
+        # rewrite the codec metadata value in place
+        blob2 = bytes(blob).replace(b"\x08null", b"\x12zstandard")
+        decode_container(blob2)

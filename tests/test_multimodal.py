@@ -670,3 +670,53 @@ def test_image_near_dups_pigeonhole_and_verify(spark, images):
     ), pairs
     with pytest.raises(ValueError, match="pigeonhole"):
         image_near_dups(hashes, max_hamming=4, bands=4)
+
+
+def test_wav_g711_alaw_mulaw_decode():
+    """Round 10: G.711 A-law/mu-law WAV (format tags 6/7). The decode
+    tables are pinned BYTE-FOR-BYTE against the stdlib's independent
+    audioop implementation, and a mu-law WAV built with audioop
+    round-trips through the normal audio path."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from graph_db_clustering_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _MULAW_TABLE,
+        _decode_wav,
+    )
+
+    codes = bytes(range(256))
+    assert np.array_equal(
+        _ALAW_TABLE, np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    )
+    assert np.array_equal(
+        _MULAW_TABLE, np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    )
+
+    def wav(fmt_tag, payload, rate=8000, channels=1, bits=8):
+        fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate,
+                          rate * channels, channels, bits)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    t = np.arange(8000) / 8000.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    ulaw = audioop.lin2ulaw(x.tobytes(), 2)
+    r, y = _decode_wav(wav(7, ulaw))
+    assert r == 8000 and len(y) == 8000
+    err = y - x.astype(np.float64) / 32768.0
+    snr = 10 * np.log10(
+        float(np.mean((x / 32768.0) ** 2)) / float(np.mean(err ** 2))
+    )
+    assert snr > 30.0, snr  # 8-bit companded
+    alaw = audioop.lin2alaw(x.tobytes(), 2)
+    r2, y2 = _decode_wav(wav(6, alaw))
+    assert r2 == 8000 and len(y2) == 8000

@@ -549,10 +549,19 @@ def test_bmp_1bit_and_4bit_palette():
     blob = _bmp_header(7, 3, 4, 0, 14 + 40 + len(pal16), pal16) + rows.tobytes()
     got = simple_images.decode_bmp(blob)
     assert np.array_equal(got[:, :, 0], idx * 17)
-    # RLE4 stays gated
-    blob4 = _bmp_header(7, 3, 4, 2, 14 + 40 + len(pal16), pal16)
-    with pytest.raises(NotImplementedError, match="bpp=4"):
-        simple_images.decode_bmp(blob4 + b"\x00\x01")
+    # round 10: RLE4 decodes — alternating-nibble run + absolute mode
+    rle = bytes([5, 0x12])          # 5 px: 1,2,1,2,1
+    rle += bytes([0, 4, 0x34, 0x50])  # absolute: 3,4,5,0 (2 bytes, aligned)
+    rle += b"\x00\x00"            # EOL -> next row untouched (zeros)
+    rle += bytes([7, 0x9A])         # full row: 9,10,9,10,9,10,9
+    rle += b"\x00\x01"            # EOB
+    blob4 = _bmp_header(7, 3, 4, 2, 14 + 40 + len(pal16), pal16) + rle
+    got4 = simple_images.decode_bmp(blob4)
+    idx4 = np.zeros((3, 7), dtype=np.uint8)
+    idx4[2] = [1, 2, 1, 2, 1, 3, 4]  # bottom row (RLE is bottom-up);
+    # the absolute run's trailing 5,0 nibbles fall past w and are clipped
+    idx4[1] = [9, 10, 9, 10, 9, 10, 9]
+    assert np.array_equal(got4[:, :, 0], (idx4 * 17) % 256)
 
 
 def test_tiff_1bit_bilevel_roundtrip():
@@ -570,3 +579,36 @@ def test_tiff_1bit_bilevel_roundtrip():
     blob[idx + 8] = 4  # compression 4 = CCITT G4
     with pytest.raises(NotImplementedError, match="compression 4"):
         simple_images.decode_tiff(bytes(blob))
+
+
+def test_bmp_os2_core_header():
+    """Round 10: OS/2 BITMAPCOREHEADER (size 12, u16 dimensions,
+    3-byte palette entries, always uncompressed) — 8-bit palette and
+    24-bit variants decode."""
+    import struct
+
+    w, h = 5, 3
+    idx = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    pal = b"".join(bytes([3 * i % 256, 2 * i % 256, i % 256])
+                   for i in range(256))  # BGR triples
+    stride = ((w * 8 + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = idx[::-1]  # bottom-up
+    pixel_off = 14 + 12 + len(pal)
+    core = struct.pack("<IHHHH", 12, w, h, 1, 8)
+    blob = (b"BM" + struct.pack("<IHHI", 0, 0, 0, pixel_off) + core
+            + pal + rows.tobytes())
+    got = simple_images.decode_bmp(blob)
+    assert got.shape == (h, w, 3)
+    want = np.stack([idx % 256, (2 * idx) % 256, (3 * idx) % 256], axis=2)
+    assert np.array_equal(got, want)
+    # 24-bit core header
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride24 = (w * 3 + 3) & ~3
+    rows24 = np.zeros((h, stride24), dtype=np.uint8)
+    rows24[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    core24 = struct.pack("<IHHHH", 12, w, h, 1, 24)
+    blob24 = (b"BM" + struct.pack("<IHHI", 0, 0, 0, 14 + 12) + core24
+              + rows24.tobytes())
+    got24 = simple_images.decode_bmp(blob24)
+    assert np.array_equal(got24, rgb)

@@ -303,3 +303,21 @@ def test_sqlite_without_rowid_matches_rowid_twin(spark, tmp_path):
     assert t_rows == [tuple(w) for w in want]
     assert t_rows == twin_rows
     assert got_t.columns == ["v", "k1", "w", "k2", "big"]
+
+
+def test_sqlite_utf16_encodings(spark, tmp_path):
+    """Round 10: databases created with PRAGMA encoding='UTF-16le/be'
+    (the real engine writes genuinely UTF-16 records) read identically
+    to their UTF-8 twin, non-ASCII text included."""
+    rows = [(i, f"näme-{i}-é中") for i in range(1, 101)]
+    for enc in ("UTF-16le", "UTF-16be", "UTF-8"):
+        p = str(tmp_path / f"e_{enc}.db")
+        con = sqlite3.connect(p)
+        con.execute(f"PRAGMA encoding='{enc}'")
+        con.execute("CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        con.commit()
+        con.close()
+        df = read_sqlite(spark, str(tmp_path), "t", glob=f"e_{enc}.db")
+        got = sorted((r.a, r.b) for r in df.collect())
+        assert got == rows, enc
