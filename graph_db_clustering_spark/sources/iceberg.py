@@ -34,7 +34,9 @@ bounds through monotonic transforms (truncate, time ordinals) to
 manifest-value bounds, and point queries through `bucket`. Unknown
 transforms still raise loudly.
 
-Remaining loud gates: parquet file format only; unknown transforms.
+Remaining loud gates: ORC data files; AVRO data files mixed with
+deletes or parquet (pure-Avro snapshots read through the repo's own
+distributed Avro decoder, round 10); unknown transforms.
 
 Like sources/delta: only the KB-scale metadata replays on the driver;
 the data scan is handed to the native parquet reader, fully
@@ -307,7 +309,7 @@ def _snapshot_entries(
                 continue
             dfile = entry["data_file"]
             fmt = (dfile.get("file_format") or "").upper()
-            if fmt != "PARQUET":
+            if fmt not in ("PARQUET", "AVRO"):
                 raise NotImplementedError(f"iceberg: file format {fmt!r}")
             seq = entry.get("sequence_number")
             seq = mseq if seq is None else seq
@@ -316,6 +318,7 @@ def _snapshot_entries(
                 "path": _strip_scheme(dfile["file_path"]),
                 "seq": seq,
                 "content": content,
+                "fmt": fmt,
                 "equality_ids": dfile.get("equality_ids"),
                 "partition": dfile.get("partition") or {},
             }
@@ -420,6 +423,22 @@ def read_iceberg_pruned(
     return df, len(keep), skipped
 
 
+def _read_avro_files(spark: SparkSession, paths: list) -> DataFrame:
+    """AVRO-format data files (round 10) scan through the repo's own
+    distributed container decoder: schema probed from the first file's
+    header, every file row-decoded executor-side."""
+    from graph_db_clustering_spark.sources.avro import (
+        parse_avro_blobs,
+        read_header,
+    )
+
+    paths = sorted(set(paths))
+    with open(paths[0], "rb") as f:
+        fields, _c, _sync, _pos = read_header(f.read(1 << 20))
+    blobs = spark.read.format("binaryFile").load(paths)
+    return parse_avro_blobs(blobs, fields)
+
+
 def _scan_with_deletes(
     spark: SparkSession, path: str, data: list, dels: list, meta: dict
 ) -> DataFrame:
@@ -427,6 +446,16 @@ def _scan_with_deletes(
         raise IcebergError(f"iceberg: snapshot has no data files at {path}")
     pos_dels = [d for d in dels if d["content"] == 1]
     eq_dels = [d for d in dels if d["content"] == 2]
+    avro = [d for d in data if d.get("fmt") == "AVRO"]
+    if avro:
+        # scoped: whole-table Avro scans without row-level deletes (a
+        # position delete needs the parquet scan's _metadata.row_index)
+        if dels or len(avro) != len(data):
+            raise NotImplementedError(
+                "iceberg: AVRO data files cannot be mixed with deletes "
+                "or parquet files in one snapshot"
+            )
+        return _read_avro_files(spark, [d["path"] for d in avro])
     if not dels:
         return spark.read.parquet(*sorted({d["path"] for d in data}))
 

@@ -688,3 +688,80 @@ def test_write_iceberg_unpartitioned_roundtrip(spark, tmp_path):
     files = iceberg_live_files(root)
     assert len(files) == 3
     assert all(os.path.exists(p) for p in files)
+
+
+def test_iceberg_avro_data_files(spark, tmp_path):
+    """Round 10: a snapshot whose data files are AVRO containers reads
+    through the repo's own distributed Avro decoder; mixing Avro with
+    deletes (or parquet) gates loudly."""
+    from graph_db_clustering_spark.sources.avro import encode_container
+
+    root = str(tmp_path / "avro_t")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    rows = [
+        {"l_orderkey": r[0], "l_quantity": float(r[1])} for r in li.collect()
+    ]
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "l_orderkey", "type": "long"},
+        {"name": "l_quantity", "type": "double"},
+    ]}
+    half = len(rows) // 2
+    files = {}
+    for name, part in (("a", rows[:half]), ("b", rows[half:])):
+        dest = os.path.join(root, "data", f"{name}.avro")
+        with open(dest, "wb") as f:
+            f.write(encode_container(schema, part, codec="deflate"))
+        files[name] = dest
+
+    def entry(name):
+        return {"status": 1, "sequence_number": 1, "data_file": {
+            "file_path": files[name], "file_format": "AVRO",
+            "record_count": 1, "content": 0, "equality_ids": []}}
+
+    m = os.path.join(root, "metadata", "m1.avro")
+    _write_avro(m, MANIFEST_SCHEMA_V2, [entry("a"), entry("b")])
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(ml, LIST_SCHEMA, [{"manifest_path": m, "manifest_length": 1}])
+    meta = {
+        "format-version": 2, "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "l_orderkey", "type": "long"},
+            {"id": 2, "name": "l_quantity", "type": "double"},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+    got = read_iceberg(spark, root)
+    assert got.count() == li.count()
+    assert got.exceptAll(li).count() == 0
+    assert li.exceptAll(got).count() == 0
+    # avro + a delete file -> loud gate
+    pd_stage = str(tmp_path / "avro_pd")
+    spark.createDataFrame([(files["a"], 0)], "file_path string, pos bigint") \
+        .coalesce(1).write.parquet(pd_stage)
+    part = [p for p in os.listdir(pd_stage) if p.endswith(".parquet")][0]
+    delf = os.path.join(root, "data", "pd.parquet")
+    os.rename(os.path.join(pd_stage, part), delf)
+    m2 = os.path.join(root, "metadata", "m2.avro")
+    _write_avro(m2, MANIFEST_SCHEMA_V2, [
+        entry("a"), entry("b"),
+        {"status": 1, "sequence_number": 2, "data_file": {
+            "file_path": delf, "file_format": "PARQUET",
+            "record_count": 1, "content": 1, "equality_ids": []}},
+    ])
+    ml2 = os.path.join(root, "metadata", "snap-2.avro")
+    _write_avro(ml2, LIST_SCHEMA, [{"manifest_path": m2, "manifest_length": 1}])
+    meta["snapshots"].append({"snapshot-id": 2, "manifest-list": ml2})
+    meta["current-snapshot-id"] = 2
+    with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("2")
+    with pytest.raises(NotImplementedError, match="AVRO data files"):
+        read_iceberg(spark, root)
