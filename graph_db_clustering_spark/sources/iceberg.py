@@ -34,9 +34,11 @@ bounds through monotonic transforms (truncate, time ordinals) to
 manifest-value bounds, and point queries through `bucket`. Unknown
 transforms still raise loudly.
 
-Remaining loud gates: ORC data files; AVRO data files mixed with
-deletes or parquet (pure-Avro snapshots read through the repo's own
-distributed Avro decoder, round 10); unknown transforms.
+Remaining loud gates: row-level deletes over non-PARQUET data files
+(Spark's _metadata.row_index is parquet-only; delete-free ORC
+snapshots scan natively and delete-free AVRO snapshots read through
+the repo's own distributed Avro decoder, round 10); mixed-format
+snapshots; unknown transforms.
 
 Like sources/delta: only the KB-scale metadata replays on the driver;
 the data scan is handed to the native parquet reader, fully
@@ -309,7 +311,7 @@ def _snapshot_entries(
                 continue
             dfile = entry["data_file"]
             fmt = (dfile.get("file_format") or "").upper()
-            if fmt not in ("PARQUET", "AVRO"):
+            if fmt not in ("PARQUET", "ORC", "AVRO"):
                 raise NotImplementedError(f"iceberg: file format {fmt!r}")
             seq = entry.get("sequence_number")
             seq = mseq if seq is None else seq
@@ -446,21 +448,36 @@ def _scan_with_deletes(
         raise IcebergError(f"iceberg: snapshot has no data files at {path}")
     pos_dels = [d for d in dels if d["content"] == 1]
     eq_dels = [d for d in dels if d["content"] == 2]
-    avro = [d for d in data if d.get("fmt") == "AVRO"]
-    if avro:
+    fmts = {d.get("fmt", "PARQUET") for d in data}
+    if len(fmts) > 1:
+        raise NotImplementedError(
+            f"iceberg: mixed data-file formats in one snapshot ({fmts})"
+        )
+    fmt = fmts.pop()
+    if fmt == "AVRO":
         # scoped: whole-table Avro scans without row-level deletes (a
-        # position delete needs the parquet scan's _metadata.row_index)
-        if dels or len(avro) != len(data):
+        # position delete needs a native scan's _metadata.row_index)
+        if dels:
             raise NotImplementedError(
-                "iceberg: AVRO data files cannot be mixed with deletes "
-                "or parquet files in one snapshot"
+                "iceberg: row-level deletes over AVRO data files"
             )
-        return _read_avro_files(spark, [d["path"] for d in avro])
+        return _read_avro_files(spark, [d["path"] for d in data])
+    # PARQUET and ORC (round 10) both scan natively; row-level deletes
+    # need the parquet scan's _metadata.row_index (ORC's _metadata has
+    # no row_index in Spark), so deletes over ORC gate loudly
+    native = (
+        spark.read.parquet if fmt == "PARQUET" else spark.read.orc
+    )
     if not dels:
-        return spark.read.parquet(*sorted({d["path"] for d in data}))
+        return native(*sorted({d["path"] for d in data}))
+    if fmt != "PARQUET":
+        raise NotImplementedError(
+            f"iceberg: row-level deletes over {fmt} data files "
+            "(_metadata.row_index is parquet-only)"
+        )
 
     def scan_with_meta(paths: list) -> DataFrame:
-        df = spark.read.parquet(*sorted(set(paths)))
+        df = native(*sorted(set(paths)))
         return df.withColumns(
             {
                 "__fp": F.regexp_replace(

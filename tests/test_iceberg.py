@@ -765,3 +765,69 @@ def test_iceberg_avro_data_files(spark, tmp_path):
         f.write("2")
     with pytest.raises(NotImplementedError, match="AVRO data files"):
         read_iceberg(spark, root)
+
+
+def test_iceberg_orc_data_files(spark, tmp_path):
+    """Round 10: delete-free ORC-format data files scan natively; a
+    snapshot adding a delete file over ORC gates loudly (Spark's
+    _metadata.row_index is parquet-only)."""
+    root = str(tmp_path / "orc_t")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    stage = str(tmp_path / "orc_stage")
+    li.coalesce(1).write.orc(stage)
+    part = [p for p in os.listdir(stage) if p.endswith(".orc")][0]
+    data_file = os.path.join(root, "data", "a.orc")
+    os.rename(os.path.join(stage, part), data_file)
+
+    # position delete: first 7 rows of the ORC file
+    pd_stage = str(tmp_path / "orc_pd")
+    spark.createDataFrame(
+        [(data_file, i) for i in range(7)], "file_path string, pos bigint"
+    ).coalesce(1).write.parquet(pd_stage)
+    part = [p for p in os.listdir(pd_stage) if p.endswith(".parquet")][0]
+    del_file = os.path.join(root, "data", "pd.parquet")
+    os.rename(os.path.join(pd_stage, part), del_file)
+
+    def entry(fp, fmt, seq, content):
+        return {"status": 1, "sequence_number": seq, "data_file": {
+            "file_path": fp, "file_format": fmt, "record_count": 1,
+            "content": content, "equality_ids": []}}
+
+    m = os.path.join(root, "metadata", "m1.avro")
+    _write_avro(m, MANIFEST_SCHEMA_V2, [
+        entry(data_file, "ORC", 1, 0),
+        entry(del_file, "PARQUET", 2, 1),
+    ])
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(ml, LIST_SCHEMA, [{"manifest_path": m, "manifest_length": 1}])
+    meta = {
+        "format-version": 2, "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "l_orderkey", "type": "long"},
+            {"id": 2, "name": "l_quantity", "type": "double"},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(NotImplementedError, match="row-level deletes over ORC"):
+        read_iceberg(spark, root)
+    # delete-free ORC snapshot: manifest without the delete entry
+    m2 = os.path.join(root, "metadata", "m2.avro")
+    _write_avro(m2, MANIFEST_SCHEMA_V2, [entry(data_file, "ORC", 1, 0)])
+    ml2 = os.path.join(root, "metadata", "snap-2.avro")
+    _write_avro(ml2, LIST_SCHEMA,
+                [{"manifest_path": m2, "manifest_length": 1}])
+    meta["snapshots"].append({"snapshot-id": 2, "manifest-list": ml2})
+    meta["current-snapshot-id"] = 2
+    with open(os.path.join(root, "metadata", "v2.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("2")
+    got = read_iceberg(spark, root)
+    assert got.count() == li.count()
+    assert got.exceptAll(li).count() == 0
