@@ -171,7 +171,9 @@ _READER_FEATURES = {
 }
 
 
-def _apply_action(act: dict, files: dict, meta: list) -> None:
+def _apply_action(
+    act: dict, files: dict, meta: list, proto: list | None = None
+) -> None:
     if "add" in act and act["add"] is not None:
         a = _normalize_add(act["add"])
         files[a["path"]] = a
@@ -181,6 +183,16 @@ def _apply_action(act: dict, files: dict, meta: list) -> None:
         meta[0] = act["metaData"]
     if "protocol" in act and act["protocol"] is not None:
         p = act["protocol"]
+        if proto is not None:
+            # tracked so delta_checkpoint can PRESERVE the declared
+            # protocol instead of recomputing one from DV/CM presence
+            # (ADVICE r10: a 3/x+timestampNtz table must not lose its
+            # feature gate when JSON commits expire under retention)
+            proto[0] = {
+                k: (list(v) if isinstance(v, list) else v)
+                for k, v in p.items()
+                if v is not None
+            }
         v = p.get("minReaderVersion", 1)
         feats = p.get("readerFeatures")
         if (
@@ -216,11 +228,20 @@ def _normalize_add(a: dict) -> dict:
 
 def _replay(path: str, version: int | None = None) -> tuple[dict, dict | None]:
     """Replay checkpoint + JSON commits up to `version` (default:
-    latest). Returns ({path: add-action}, metaData-action-or-None).
-    The add actions keep their partitionValues and stats, so ONE
-    replay feeds live-file listing, stats, and partition injection —
-    the round-8 bug where stats ignored the checkpoint cannot recur
-    structurally."""
+    latest). Returns ({path: add-action}, metaData-action-or-None)."""
+    files, meta, _proto = _replay_full(path, version)
+    return files, meta
+
+
+def _replay_full(
+    path: str, version: int | None = None
+) -> tuple[dict, dict | None, dict | None]:
+    """Replay checkpoint + JSON commits up to `version` (default:
+    latest). Returns ({path: add-action}, metaData-action-or-None,
+    protocol-action-or-None). The add actions keep their
+    partitionValues and stats, so ONE replay feeds live-file listing,
+    stats, and partition injection — the round-8 bug where stats
+    ignored the checkpoint cannot recur structurally."""
     versions = _commit_versions(path)
     cp = _checkpoint_version(path)
     if not versions and cp is None:
@@ -236,10 +257,11 @@ def _replay(path: str, version: int | None = None) -> tuple[dict, dict | None]:
     target = known_max if version is None else version
     files: dict = {}
     meta: list = [None]
+    proto: list = [None]
     start = 0
     if cp is not None and cp <= target:
         for act in _checkpoint_rows(path, _last_checkpoint(path)):
-            _apply_action(act, files, meta)
+            _apply_action(act, files, meta, proto)
         start = cp + 1
     for v in versions:
         if v < start or v > target:
@@ -248,8 +270,8 @@ def _replay(path: str, version: int | None = None) -> tuple[dict, dict | None]:
             for line in f:
                 line = line.strip()
                 if line:
-                    _apply_action(json.loads(line), files, meta)
-    return files, meta[0]
+                    _apply_action(json.loads(line), files, meta, proto)
+    return files, meta[0], proto[0]
 
 
 def delta_live_files(path: str, version: int | None = None) -> list[str]:
@@ -330,25 +352,29 @@ def _pv_python(val: str, dtype) -> object:
 def _dv_blob(path: str, dv: dict) -> bytes:
     """Resolve a deletionVector descriptor to its serialized
     RoaringBitmapArray bytes (checksum-verified for on-disk storage).
-    storageType 'u': pathOrInlineDv is [prefix +] a 20-char Base85
-    (RFC 1924 alphabet — Python's b85) encoding of the DV file's UUID,
-    named deletion_vector_<uuid>.bin under the table root (or prefix);
-    'p': absolute path; 'i': the blob itself, Base85-inline."""
-    import base64
+    storageType 'u': pathOrInlineDv is [prefix +] a 20-char Z85
+    (ZeroMQ spec 32 alphabet — delta-io Base85Codec, NOT Python's
+    RFC-1924 b85) encoding of the DV file's UUID, named
+    deletion_vector_<uuid>.bin under the table root (or prefix);
+    'p': absolute path; 'i': the blob itself, Z85-inline
+    (zero-padded to the 4-byte boundary, truncated via sizeInBytes)."""
     import uuid as _uuid
 
     from graph_db_clustering_spark.functions.roaring import unpack_dv_blob
+    from graph_db_clustering_spark.functions.z85 import z85_decode
 
     st = dv.get("storageType")
     enc = dv.get("pathOrInlineDv") or ""
     if st == "i":
-        blob = base64.b85decode(enc)
-        if len(blob) != dv.get("sizeInBytes", len(blob)):
-            raise DeltaError("delta dv: inline size mismatch")
+        size = dv.get("sizeInBytes")
+        try:
+            blob = z85_decode(enc, size)
+        except ValueError as e:
+            raise DeltaError(f"delta dv: inline blob: {e}") from None
         return blob
     if st == "u":
         prefix, tail = enc[:-20], enc[-20:]
-        u = _uuid.UUID(bytes=base64.b85decode(tail))
+        u = _uuid.UUID(bytes=z85_decode(tail, 16))
         fpath = os.path.join(path, prefix, f"deletion_vector_{u}.bin")
     elif st == "p":
         fpath = re.sub(r"^file:/*", "/", enc) if enc.startswith(
@@ -723,7 +749,7 @@ def delta_checkpoint(path: str) -> int:
     if not versions and cp is None:
         raise DeltaError(f"no _delta_log commits under {path}")
     version = max(versions[-1] if versions else -1, -1 if cp is None else cp)
-    files, meta = _replay(path, version)
+    files, meta, proto0 = _replay_full(path, version)
 
     dv_t = pa.struct([
         ("storageType", pa.string()),
@@ -758,12 +784,39 @@ def delta_checkpoint(path: str) -> int:
     if isinstance(conf0, list):
         conf0 = dict(conf0)
     has_cm = conf0.get("delta.columnMapping.mode", "none") != "none"
-    if any(files[p].get("deletionVector") for p in files):
-        feats = ["deletionVectors"] + (["columnMapping"] if has_cm else [])
-        rows_proto: list = [{
+    need_dv = any(files[p].get("deletionVector") for p in files)
+    # Preserve the REPLAYED protocol action (ADVICE r10): a writer that
+    # declared 3/x with timestampNtz must keep that feature gate after
+    # JSON retention. Only upgrade when the checkpointed state needs
+    # features the declared protocol doesn't carry (DVs/columnMapping
+    # written by a pre-feature protocol — pathological, but never
+    # downgrade below what the state requires).
+    proto = dict(proto0) if proto0 else None
+    if proto is not None:
+        satisfies_dv = not need_dv or (
+            proto.get("minReaderVersion", 1) == 3
+            and "deletionVectors" in (proto.get("readerFeatures") or [])
+        )
+        satisfies_cm = not has_cm or proto.get(
+            "minReaderVersion", 1
+        ) >= 2
+        if not (satisfies_dv and satisfies_cm):
+            proto = None  # fall through to the synthesized upgrade
+    if proto is not None:
+        rows_proto: list = [proto]
+    elif need_dv:
+        feats = sorted(
+            {"deletionVectors"}
+            | ({"columnMapping"} if has_cm else set())
+            | set((proto0 or {}).get("readerFeatures") or [])
+        )
+        wfeats = sorted(set(feats) | set(
+            (proto0 or {}).get("writerFeatures") or []
+        ))
+        rows_proto = [{
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": feats,
-            "writerFeatures": feats,
+            "writerFeatures": wfeats,
         }]
     elif has_cm:
         rows_proto = [{"minReaderVersion": 2, "minWriterVersion": 5}]
@@ -982,12 +1035,12 @@ def delta_add_deletion_vectors(
     ONE `deletion_vector_<uuid>.bin` under the table root, and one
     commit upgrades the protocol to table features (3/7,
     deletionVectors) and swaps each file's add action for one carrying
-    the DV descriptor (storageType 'u', Base85 uuid, offset into the
-    shared file). Bitmap assembly is per-file driver work bounded by
-    delete cardinality — the same cost delta-spark's own DV writer
-    pays; the position SCAN that usually feeds `deletes` stays
-    distributed. Returns the committed version."""
-    import base64
+    the DV descriptor (storageType 'u', Z85 uuid — the delta-spark
+    Base85Codec alphabet — offset into the shared file). Bitmap
+    assembly is per-file driver work bounded by delete cardinality —
+    the same cost delta-spark's own DV writer pays; the position SCAN
+    that usually feeds `deletes` stays distributed. Returns the
+    committed version."""
     import uuid as _uuid
 
     from graph_db_clustering_spark.functions.roaring import (
@@ -995,6 +1048,7 @@ def delta_add_deletion_vectors(
         encode_rbm_array,
         pack_dv_file,
     )
+    from graph_db_clustering_spark.functions.z85 import z85_encode
 
     files, meta = _replay(path)
     root = os.path.abspath(path)
@@ -1028,7 +1082,7 @@ def delta_add_deletion_vectors(
     u = _uuid.uuid4()
     with open(os.path.join(path, f"deletion_vector_{u}.bin"), "wb") as f:
         f.write(data)
-    enc = base64.b85encode(u.bytes).decode()
+    enc = z85_encode(u.bytes)
 
     versions = _commit_versions(path)
     cp = _checkpoint_version(path)

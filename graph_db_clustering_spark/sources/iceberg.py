@@ -119,7 +119,16 @@ def _bucket_bytes(v) -> bytes:
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
     if isinstance(v, datetime.datetime):
-        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        # timestamptz hashes as micros since the UTC epoch (spec
+        # Appendix B): an aware value with a +05:00 offset must NOT be
+        # differenced against a +05:00 epoch, which would shift the
+        # micros by the offset (ADVICE r10). Naive values stay naive.
+        if v.tzinfo is not None:
+            epoch = datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            )
+        else:
+            epoch = datetime.datetime(1970, 1, 1)
         micros = (v - epoch) // datetime.timedelta(microseconds=1)
         return (micros & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
     if isinstance(v, datetime.date):
@@ -618,10 +627,16 @@ def iceberg_add_position_deletes(
     ]
 
     def _entry(rec, status):
+        # Carry the entry's ACTUAL format: _snapshot_entries accepts
+        # ORC/AVRO data files, and rewriting them as "PARQUET" here
+        # would corrupt the new snapshot's metadata and bypass the
+        # non-parquet row-level-delete gate on every future read
+        # (ADVICE r10).
         e = {
             "status": status, "sequence_number": rec["seq"],
             "data_file": {
-                "file_path": rec["path"], "file_format": "PARQUET",
+                "file_path": rec["path"],
+                "file_format": rec.get("fmt", "PARQUET"),
                 "record_count": rec.get("record_count") or 1,
                 "content": rec["content"],
                 "equality_ids": rec.get("equality_ids") or [],

@@ -463,15 +463,60 @@ def test_delta_deletion_vectors_lifecycle(spark, tmp_path):
     assert after.exceptAll(want40).count() == 0
 
 
-def test_delta_dv_inline_and_protocol_gates(spark, tmp_path):
-    """Inline ('i') DV descriptors decode from Base85; v3 protocols
-    with unknown reader features, or v3 missing the feature list,
-    still gate loudly."""
+def test_z85_codec_spec_vectors():
+    """Round 11 (ADVICE r10): Delta descriptors use the Z85 alphabet
+    (ZeroMQ spec 32 / delta-io Base85Codec), NOT RFC 1924 b85. Pin the
+    two public spec test vectors — they are independent of this repo's
+    implementation — plus the Delta-style unaligned pad/truncate path
+    and the divergence from base64.b85encode."""
     import base64
 
+    from graph_db_clustering_spark.functions.z85 import (
+        z85_decode,
+        z85_encode,
+    )
+
+    # ZeroMQ RFC 32 "HelloWorld" vector
+    hw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(hw) == "HelloWorld"
+    assert z85_decode("HelloWorld") == hw
+    # ZeroMQ RFC 32 CURVE key vector (exercises the symbol tail)
+    key = bytes([
+        0x8E, 0x0B, 0xDD, 0x69, 0x76, 0x28, 0xB9, 0x1D,
+        0x8F, 0x24, 0x55, 0x87, 0xEE, 0x95, 0xC5, 0xB0,
+        0x4D, 0x48, 0x96, 0x3F, 0x79, 0x25, 0x98, 0x77,
+        0xB4, 0x9C, 0xD9, 0x06, 0x3A, 0xEA, 0xD3, 0xB7,
+    ])
+    assert z85_encode(key) == "JTKVSB%%)wK0E.X)V>+}o?pNmC{O&4W4b!Ni{Lh6"
+    assert z85_decode(z85_encode(key), 32) == key
+    # same input, different alphabet: a b85-decoded Z85 string is wrong
+    assert base64.b85encode(hw).decode() != "HelloWorld"
+    # Delta Base85Codec pads unaligned input with zeros and truncates
+    # on decode via the declared output length
+    raw = b"\x01\x02\x03\x04\x05"
+    enc = z85_encode(raw)
+    assert len(enc) == 10  # padded to 8 bytes -> 2 frames
+    assert z85_decode(enc, 5) == raw
+    import uuid
+
+    u = uuid.UUID("00000000-0000-0000-0000-000000000000")
+    assert z85_encode(u.bytes) == "0" * 20  # all-zero frames
+    with pytest.raises(ValueError):
+        z85_decode("abc")  # not a multiple of 5
+    with pytest.raises(ValueError):
+        z85_decode("#####")  # frame > 2^32-1
+    with pytest.raises(ValueError):
+        z85_decode("ab~de")  # '~' not in the Z85 alphabet
+
+
+def test_delta_dv_inline_and_protocol_gates(spark, tmp_path):
+    """Inline ('i') DV descriptors decode from Z85; v3 protocols
+    with unknown reader features, or v3 missing the feature list,
+    still gate loudly."""
     from graph_db_clustering_spark.functions.roaring import (
         encode_rbm_array,
     )
+    from graph_db_clustering_spark.functions.z85 import z85_encode
 
     li = load_table(spark, SF, "lineitem").select(
         "l_orderkey", "l_quantity"
@@ -496,7 +541,7 @@ def test_delta_dv_inline_and_protocol_gates(spark, tmp_path):
             "partitionValues": {},
             "deletionVector": {
                 "storageType": "i",
-                "pathOrInlineDv": base64.b85encode(blob).decode(),
+                "pathOrInlineDv": z85_encode(blob),
                 "sizeInBytes": len(blob), "cardinality": 3,
             },
         }},
@@ -781,3 +826,51 @@ def test_delta_v2_checkpoint_json_toplevel(spark, tmp_path):
     os.remove(os.path.join(log, f"{0:020d}.json"))
     back = read_delta(spark, table)
     assert back.count() == li.count()
+
+
+def test_delta_checkpoint_preserves_declared_protocol(spark, tmp_path):
+    """Round 11 (ADVICE r10): delta_checkpoint writes through the
+    table's REPLAYED protocol action instead of recomputing one from
+    DV/CM presence — a 3/7 + timestampNtz declaration must survive
+    JSON-commit expiry, and a DV table's checkpoint must keep extra
+    declared features alongside deletionVectors."""
+    import glob as g
+
+    from graph_db_clustering_spark.sources.delta import (
+        _checkpoint_rows,
+        _last_checkpoint,
+        delta_append,
+        delta_checkpoint,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity").limit(30)
+    t = str(tmp_path / "proto_t")
+    delta_append(spark, li, t)
+    # writer-declared protocol: 3/7 with timestampNtz (accepted by
+    # _READER_FEATURES, but NOT derivable from DV/CM presence)
+    decl = {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["timestampNtz"],
+        "writerFeatures": ["timestampNtz"],
+    }
+    _write_commit(t, 1, [{"protocol": decl}])
+    v = delta_checkpoint(t)
+    for j in sorted(g.glob(os.path.join(t, "_delta_log", "*.json"))):
+        if not j.endswith("_last_checkpoint"):
+            os.remove(j)
+    got = [
+        r["protocol"] for r in _checkpoint_rows(t, _last_checkpoint(t))
+        if r.get("protocol") and r["protocol"].get("minReaderVersion")
+    ]
+    assert got == [decl]
+    assert read_delta(spark, t).count() == 30
+    # and a feature-bearing protocol still checkpoint-replays: second
+    # checkpoint built ON TOP of the first keeps the declaration
+    v2 = delta_checkpoint(t)
+    assert v2 == v
+    got2 = [
+        r["protocol"] for r in _checkpoint_rows(t, _last_checkpoint(t))
+        if r.get("protocol") and r["protocol"].get("minReaderVersion")
+    ]
+    assert got2 == [decl]

@@ -468,6 +468,16 @@ def test_iceberg_transform_spec_vectors():
     assert h("iceberg") == 1210000089
     assert h(datetime.date(2017, 11, 16)) == -653330422
     assert h(datetime.datetime(2017, 11, 16, 22, 31, 8)) == -2047944441
+    # timestamptz hashes as UTC micros (ADVICE r10): the same instant
+    # expressed in ANY offset must hash identically to its UTC form —
+    # 22:31:08Z == 03:31:08+05:00 (next day) == 17:31:08-05:00
+    utc = datetime.timezone.utc
+    base = datetime.datetime(2017, 11, 16, 22, 31, 8, tzinfo=utc)
+    for off_h in (5, -5, 9, -3):
+        off = datetime.timezone(datetime.timedelta(hours=off_h))
+        assert h(base.astimezone(off)) == h(base), off_h
+    # and a UTC-aware value hashes the same as the spec's naive micros
+    assert h(base) == -2047944441
     assert h(Decimal("14.20")) == -500754589
     assert h(uuid.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7")) == 1488055340
     assert h(1.0) == -142385009                      # double bits
@@ -831,3 +841,59 @@ def test_iceberg_orc_data_files(spark, tmp_path):
     got = read_iceberg(spark, root)
     assert got.count() == li.count()
     assert got.exceptAll(li).count() == 0
+
+
+def test_iceberg_position_delete_commit_preserves_format(spark, tmp_path):
+    """Round 11 (ADVICE r10): iceberg_add_position_deletes must carry
+    each existing entry's ACTUAL file_format into the new manifest —
+    committing deletes over an ORC-backed table may not silently
+    rewrite the recorded format to PARQUET (which would bypass the
+    non-parquet delete gate and scan ORC with spark.read.parquet)."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_add_position_deletes,
+    )
+
+    root = str(tmp_path / "orc_pdel")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity").limit(40)
+    stage = str(tmp_path / "orc_stage2")
+    li.coalesce(1).write.orc(stage)
+    part = [p for p in os.listdir(stage) if p.endswith(".orc")][0]
+    data_file = os.path.join(root, "data", "a.orc")
+    os.rename(os.path.join(stage, part), data_file)
+
+    m = os.path.join(root, "metadata", "m1.avro")
+    _write_avro(m, MANIFEST_SCHEMA_V2, [
+        {"status": 1, "sequence_number": 1, "data_file": {
+            "file_path": data_file, "file_format": "ORC",
+            "record_count": 40, "content": 0, "equality_ids": []}},
+    ])
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(ml, LIST_SCHEMA,
+                [{"manifest_path": m, "manifest_length": 1}])
+    meta = {
+        "format-version": 2, "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "l_orderkey", "type": "long"},
+            {"id": 2, "name": "l_quantity", "type": "double"},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    assert read_iceberg(spark, root).count() == 40
+
+    dels = spark.createDataFrame(
+        [(data_file, 0), (data_file, 1)], "file_path string, pos bigint")
+    iceberg_add_position_deletes(spark, root, dels)
+    # the new snapshot must still know the data file is ORC: the
+    # deletes-over-ORC gate fires instead of a bogus parquet scan
+    with pytest.raises(NotImplementedError,
+                       match="row-level deletes over ORC"):
+        read_iceberg(spark, root)
