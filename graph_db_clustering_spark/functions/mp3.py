@@ -34,7 +34,14 @@ import-time Kraft-completeness + prefix-freeness validation as
 transcribed, with two single-entry repairs (t12 (1,7): 9->8 bits;
 t13 (15,15): code uniquely forced by the other 255 entries — a
 Kraft-complete table has exactly one free slot, so the validator
-DETERMINED the value rather than trusting recall).
+DETERMINED the value rather than trusting recall). Round 11
+(ADVICE r10): structural completeness cannot rule out COMPENSATING
+transcription errors, so the two repaired leaves are gated at decode
+time — a bitstream that actually lands on t12 (1,7) or t13 (15,15)
+raises NotImplementedError until an independent transcription or
+reference decoder exists to cross-check them; all other codewords of
+those tables (matched by their own transcribed patterns) decode, and
+the repo's encoder never selects t12/t13.
 
 * **The 512-coefficient synthesis window (Table B.3).** The window is
   a tabulated prototype lowpass with no closed form. This module
@@ -258,6 +265,19 @@ _REV_BIG = {
     tid: {(l, c): i for i, (c, l) in enumerate(zip(hc, hl))}
     for tid, (_x, _lb, hc, hl) in HUFF_BIG.items()
 }
+
+# Round 11 (ADVICE r10): the two entries the round-10 validator
+# REPAIRED rather than transcribed — t12 (1,7) (length 9->8) and
+# t13 (15,15) (code forced by the other 255 entries). The repair is
+# provably correct IF every other entry is right, but structural
+# completeness can't rule out compensating transcription errors, and
+# no independent transcription or reference decoder exists in this
+# environment to cross-check. Decoding a stream that actually LANDS on
+# one of these leaves therefore gates loudly instead of risking
+# silent mis-decode; every other codeword of t12/t13 (matched by its
+# own independently transcribed pattern) keeps decoding. The repo's
+# encoder never selects t12/t13, so roundtrips are unaffected.
+_REPAIRED_LEAVES = {12: {1 * 8 + 7}, 13: {15 * 16 + 15}}
 _REV_C1A = {
     (l, c): i for i, (c, l) in enumerate(zip(COUNT1_A[0], COUNT1_A[1]))
 }
@@ -750,8 +770,16 @@ def _decode_huffman(bits: _Bits, g: dict, sfb: tuple, end_bit: int) -> np.ndarra
             )
         xlen, linbits, _hc, _hl = HUFF_BIG[table]
         rev = _REV_BIG[table]
+        repaired = _REPAIRED_LEAVES.get(table, ())
         for pos in range(lo, hi, 2):
             sym = _huff_symbol(bits, rev, end_bit, f"table {table}")
+            if sym in repaired:
+                raise NotImplementedError(
+                    f"mp3: table {table} codeword {divmod(sym, xlen)} "
+                    "was validator-REPAIRED, not transcribed; decoding "
+                    "through it awaits an independent cross-check "
+                    "(ADVICE r10)"
+                )
             x, y = divmod(sym, xlen)
             if x == 15 and linbits:
                 x += bits.read(linbits)

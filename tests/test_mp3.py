@@ -789,3 +789,49 @@ def test_layer1_roundtrip_and_gates():
     bad[4] |= 0xF0  # first subband alloc -> 15
     with pytest.raises(mp3.Mp3Error, match="allocation 15"):
         mp3.decode(bytes(bad))
+
+
+def test_repaired_huffman_leaves_gate_loudly():
+    """Round 11 (ADVICE r10): the two validator-REPAIRED Table B.7
+    entries — t12 (1,7) and t13 (15,15) — cannot be cross-checked in
+    this environment, so a bitstream that lands on one of those leaves
+    raises instead of risking silent mis-decode. Every OTHER codeword
+    of the same tables (independently transcribed) still decodes."""
+    import numpy as np
+
+    sfb = mp3.SFB_LONG[44100]
+
+    def decode_pair(table, x, y, extra_pairs=()):
+        xlen, _lb, hc, hl = mp3.HUFF_BIG[table]
+        w = mp3._BitWriter()
+        pairs = [(x, y), *extra_pairs]
+        nbits = 0
+        for px, py in pairs:
+            sym = px * xlen + py
+            w.write(hc[sym], hl[sym])
+            nbits += hl[sym]
+            if px:
+                w.write(0, 1)
+                nbits += 1
+            if py:
+                w.write(0, 1)
+                nbits += 1
+        w.write(0, 32)  # slack
+        g = {
+            "big_values": len(pairs), "window_switching": 0,
+            "region0_count": 15, "region1_count": 7,
+            "table_select": [table, 0, 0], "count1table_select": 1,
+        }
+        bits = mp3._Bits(bytes(w.buf) + b"\x00" * 4)
+        return mp3._decode_huffman(bits, g, sfb, end_bit=nbits)
+
+    # non-repaired codewords of t12 and t13 decode fine
+    iv12 = decode_pair(12, 3, 2)
+    assert iv12[0] == 3.0 and iv12[1] == 2.0
+    iv13 = decode_pair(13, 14, 15)
+    assert iv13[0] == 14.0 and iv13[1] == 15.0
+    # the repaired leaves gate loudly
+    with pytest.raises(NotImplementedError, match="REPAIRED"):
+        decode_pair(12, 1, 7)
+    with pytest.raises(NotImplementedError, match="REPAIRED"):
+        decode_pair(13, 15, 15)
