@@ -289,3 +289,49 @@ def encode(
         out.append(0)
     out.append(0x3B)
     return bytes(out)
+
+
+def frame_count_and_duration(data: bytes) -> tuple[int, float | None]:
+    """Header-only frame count + total duration (sum of GCE delays,
+    1/100 s units; None when no frame carries a delay): walks the block
+    structure skipping LZW sub-blocks WITHOUT decoding — the
+    video_probe path for animated GIFs."""
+    if data[:6] not in (_SIG87, _SIG89):
+        raise ValueError("GIF: bad signature")
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    n, total_cs, any_delay = 0, 0, False
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:
+                size = data[pos]
+                delay = struct.unpack("<H", data[pos + 2 : pos + 4])[0]
+                if delay:
+                    any_delay = True
+                total_cs += delay
+                pos += 1 + size
+            else:
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{block:02x}")
+        iflags = data[pos + 8]
+        pos += 9
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x07))
+        pos += 1  # LZW min code size
+        while data[pos] != 0:
+            pos += 1 + data[pos]
+        pos += 1
+        n += 1
+    return n, (total_cs / 100.0) if any_delay else None

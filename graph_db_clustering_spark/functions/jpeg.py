@@ -653,3 +653,145 @@ def _decode_sequential_scan(
             pred[comp["id"]] = _read_baseline_block(
                 reader, huff[(0, td)], huff[(1, ta)], blk, pred[comp["id"]]
             )
+
+
+# --- baseline grayscale ENCODER (round 11) ----------------------------------
+# Fixture-grade but REAL: full DCT + quantization + T.81 F.1 Huffman
+# entropy coding with the Annex K.3 typical tables (public spec
+# constants). Exists so MP4/AVI MJPEG fixtures can be synthesized
+# entirely in-package; decode(encode_gray(x)) is the package's own
+# decoder, so roundtrip tests bound the quantization error, and flat
+# 8x8 tiles roundtrip EXACTLY at the default quant=8 (a flat block's
+# DCT is DC-only with F00 = 8*(v-128), divisible by 8).
+
+_ENC_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = bytes(range(12))
+_ENC_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_ENC_AC_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+class _EncBitWriter:
+    __slots__ = ("bits",)
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        bits = self.bits + [1] * (-len(self.bits) % 8)  # T.81: pad 1s
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        return bytes(out)
+
+
+def _enc_codes(bits, vals):
+    return {
+        sym: (code, ln)
+        for (ln, code), sym in _build_huffman(bits, vals).items()
+    }
+
+
+def _enc_category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_gray(img: np.ndarray, quant: int = 8) -> bytes:
+    """HxW uint8 grayscale -> baseline JFIF bytes (single component,
+    uniform quantization table `quant`, Annex K.3 Huffman tables).
+    Edge-replicates to 8x8 tiles; the SOF records the true size."""
+    img = np.asarray(img)
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise JpegError("encode_gray wants an HxW uint8 array")
+    h, w = img.shape
+    if not (1 <= quant <= 255):
+        raise JpegError("quant must be a 1..255 table constant")
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    hb, wb = img.shape[0] // 8, img.shape[1] // 8
+    blocks = (
+        img.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8).astype(np.float64) - 128.0
+    )
+    # DCT-II with the decoder's transpose convention: F = D x D^T where
+    # D[u,x] = C(u)/2 cos((2x+1)u pi/16) — the exact inverse of
+    # _idct_blocks' basis, so DC-only blocks roundtrip bit-exactly
+    F = np.einsum("ux,nxy,vy->nuv", _IDCT_1D.T, blocks, _IDCT_1D.T,
+                  optimize=True)
+    q = np.rint(F / float(quant)).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, ZIGZAG]
+
+    dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    wtr = _EncBitWriter()
+    pred = 0
+    for blk in zz:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        s = _enc_category(diff)
+        code, ln = dc_codes[s]
+        wtr.write(code, ln)
+        if s:
+            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.flatnonzero(blk[1:])
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                wtr.write(code, ln)
+                run -= 16
+            s = _enc_category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            wtr.write(code, ln)
+            wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            wtr.write(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qtab = np.empty(64, dtype=np.uint8)
+    qtab[:] = quant
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + qtab.tobytes())
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS
+        + bytes([0x10]) + bytes(_ENC_AC_BITS) + _ENC_AC_VALS,
+    )
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += wtr.tobytes()
+    out += b"\xff\xd9"
+    return bytes(out)

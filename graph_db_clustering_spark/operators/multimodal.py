@@ -561,12 +561,15 @@ def frame_sample(
 ) -> DataFrame:
     """Frame sampling over animated containers: one row per every_n-th
     frame, each frame re-encoded as a self-describing lossless PNG
-    (RGB). REAL for animated GIFs (functions/gif — pure-Python LZW) and
+    (RGB). REAL for animated GIFs (functions/gif — pure-Python LZW),
     for AVI containers carrying MJPEG or uncompressed BI_RGB frames
     (functions/avi walks the RIFF chunks; MJPEG payloads feed the
-    package's own JPEG decoder), so both pipelines run fully in this
-    environment; interframe-coded containers (mp4/webm/...) still raise
-    until a codec (e.g. PyAV) is installed — the schema, batching, and
+    package's own JPEG decoder), and — round 11 — for MP4/ISO-BMFF
+    movies with Motion-JPEG video tracks (functions/mp4 walks
+    stsc/stsz/stco to each sample's byte range, same JPEG decoder), so
+    all three pipelines run fully in this environment; interframe
+    codecs (H.264/VP9/AV1 in mp4/webm) raise naming the codec until a
+    codec library (e.g. PyAV) is installed — the schema, batching, and
     explode shape are the same either way."""
     out_schema = T.StructType(
         [
@@ -587,11 +590,16 @@ def frame_sample(
                     decoded = gif.frames(raw)
                 elif raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
                     decoded = avi.frames(raw)
+                elif raw[4:8] == b"ftyp":
+                    from graph_db_clustering_spark.functions import mp4
+
+                    decoded = mp4.frames(raw)
                 else:
                     raise NotImplementedError(
-                        "frame_sample decodes animated GIF and MJPEG/BI_RGB "
-                        "AVI natively; other video containers need a codec "
-                        "(PyAV/ffmpeg), not installed. Contract: one row per "
+                        "frame_sample decodes animated GIF, MJPEG/BI_RGB "
+                        "AVI, and MJPEG-in-MP4 natively; interframe codecs "
+                        "(H.264/H.265/VP9/AV1) need a codec (PyAV/ffmpeg), "
+                        "not installed. Contract: one row per "
                         f"every {every_n}th frame (id, frame_index, "
                         "frame=PNG bytes)"
                     )
@@ -1506,3 +1514,155 @@ def image_near_dups(
     return cands.select(
         "id1", "id2", ham.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def _video_probe_one(
+    content: bytes,
+) -> tuple[str, str | None, int | None, int | None, int | None, float | None]:
+    """-> (container, codec, width, height, n_frames, duration_s) from
+    container headers only — no frame decode (MP4 probe never touches
+    mdat). Corrupt/truncated input classifies as ('corrupt', ...)."""
+    import struct as _struct
+
+    try:
+        if content[4:8] == b"ftyp":
+            from graph_db_clustering_spark.functions import mp4
+
+            meta = mp4.probe(content)
+            vids = [
+                t for t in meta["tracks"] if t.get("handler") == "vide"
+            ]
+            t = vids[0] if vids else (
+                meta["tracks"][0] if meta["tracks"] else {}
+            )
+            return (
+                "mp4", t.get("codec"), t.get("width"), t.get("height"),
+                t.get("n_samples"), meta["duration_s"],
+            )
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            from graph_db_clustering_spark.functions import avi as _avi
+
+            top = (12, 8 + _struct.unpack("<I", content[4:8])[0])
+            hdrl = next(iter(_avi._find_lists(content, *top, b"hdrl")), None)
+            if hdrl is None:
+                return "avi", None, None, None, None, None
+            usec, n_frames = _struct.unpack("<I", content[hdrl[0] + 8:hdrl[0] + 12])[0], _struct.unpack(
+                "<I", content[hdrl[0] + 8 + 16:hdrl[0] + 8 + 20])[0]
+            _idx, w, h, comp = _avi._video_format(content, hdrl)[:4]
+            codec = "mjpeg" if comp in _avi._MJPG_FOURCCS else (
+                "rawvideo" if comp == b"\x00" * 4 else
+                comp.decode("latin-1").strip())
+            return ("avi", codec, w, abs(h), n_frames,
+                    n_frames * usec / 1e6 if usec else None)
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            from graph_db_clustering_spark.functions import gif as _gif
+
+            w, h = _struct.unpack("<HH", content[6:10])
+            n, dur = _gif.frame_count_and_duration(content)
+            return "gif", "gif-lzw", w, h, n, dur
+        return "unknown", None, None, None, None, None
+    except (ValueError, IndexError, KeyError, _struct.error):
+        return "corrupt", None, None, None, None, None
+
+
+def video_probe(
+    df: DataFrame, id_col: str = "video_id", content_col: str = "content"
+) -> DataFrame:
+    """Video metadata probe -> (id, container, codec, width, height,
+    n_frames, duration_s) from headers only. The filter-before-decode
+    step for the dominant crawled-video container (MP4/ISO-BMFF: ftyp
+    brand, mvhd duration, tkhd dims, stsd codec fourcc, stsz sample
+    count — never reads mdat), plus AVI (avih/strf) and animated GIF
+    (block walk, no LZW decode). At 100 TB this reads a few hundred
+    header bytes per blob and lets the pipeline route by codec before
+    paying for any decoder."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("container", T.StringType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                c, codec, w, h, n, dur = _video_probe_one(bytes(content))
+                rows.append((int(rid), c, codec, w, h, n, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "container", "codec", "width", "height",
+                    "n_frames", "duration_s",
+                ],
+            )
+
+    narrow = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+    return narrow.mapInPandas(probe, out_schema)
+
+
+def synthetic_mp4s_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 4,
+    side: int = 8,
+    fps: int = 5,
+) -> DataFrame:
+    """Deterministic MP4 fixture (the synthetic_avis_from_documents
+    recipe, third container): keyed-md5 byte planes become side*side
+    gray frames, each REAL-JPEG-encoded (functions/jpeg.encode_gray)
+    and muxed into an ISO-BMFF movie with a 'jpeg' sample entry
+    (functions/mp4.encode). md5 chain in Catalyst, JPEG + container
+    assembly in the Arrow batch."""
+    from graph_db_clustering_spark.functions import jpeg as jpeg_codec
+    from graph_db_clustering_spark.functions import mp4 as mp4_codec
+
+    need = side * side
+    frames_bytes = []
+    for f in range(n_frames):
+        parts = [
+            F.unhex(F.md5(F.concat(F.col(text_col), F.lit(f"#m{f}.{i}"))))
+            for i in range(need // 16 + 1)
+        ]
+        frames_bytes.append(F.substring(F.concat(*parts), 1, need))
+    narrow = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("video_id"),
+        F.array(*frames_bytes).alias("raw_frames"),
+    )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for rid, raw in zip(pdf["video_id"], pdf["raw_frames"]):
+                jps = [
+                    jpeg_codec.encode_gray(
+                        np.frombuffer(bytes(fb), dtype=np.uint8).reshape(
+                            side, side
+                        )
+                    )
+                    for fb in raw
+                ]
+                rows.append((
+                    int(rid),
+                    bytearray(
+                        mp4_codec.encode(jps, width=side, height=side,
+                                         fps=fps)
+                    ),
+                ))
+        yield pd.DataFrame(rows, columns=["video_id", "content"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("video_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return narrow.mapInPandas(assemble, out_schema)

@@ -208,6 +208,60 @@ def frame_sample_avi(spark, sf_dir):
     )
 
 
+@declared("frame_sample_mp4")
+def frame_sample_mp4(spark, sf_dir):
+    """The same every-2nd-frame video path over the THIRD real
+    container (round 11): MP4/ISO-BMFF movies with Motion-JPEG tracks,
+    synthesized deterministically from documents
+    (operators/multimodal.synthetic_mp4s_from_documents — real JPEG
+    encode per frame, real ISO-BMFF mux), then stsc/stsz/stco-walked
+    and JPEG-decoded by functions/mp4, PNG re-encoded — all
+    executor-side. Rows-only like frame_sample (binary payloads); the
+    declared surface returns frame byte lengths."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    vids = multimodal.synthetic_mp4s_from_documents(docs, "doc_id", "text")
+    sampled = multimodal.frame_sample(vids, every_n=2)
+    return sampled.select(
+        "id", "frame_index", F.length("frame").alias("png_bytes")
+    )
+
+
+@declared(
+    "video_probe",
+    "SELECT doc_id AS video_id, 'mp4' AS container, 'jpeg' AS codec, "
+    "CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
+    "CAST(4 AS INT) AS n_frames, CAST(0.8 AS DOUBLE) AS duration_s "
+    "FROM documents WHERE doc_id % 20 = 0 ORDER BY video_id",
+)
+def video_probe(spark, sf_dir):
+    """Video metadata probe (operators/multimodal.video_probe) over the
+    deterministic MP4 fixture: brand/duration from mvhd, dims from the
+    stsd visual sample entry, codec fourcc, sample count from stsz —
+    header-only (mdat never read), all in closed form (8x8, 4 frames at
+    5 fps -> 0.8 s). AVI/GIF probing is pinned by the multi-container
+    unit test; interframe-codec fourccs classify (not decode) by
+    design."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    vids = multimodal.synthetic_mp4s_from_documents(docs, "doc_id", "text")
+    return (
+        multimodal.video_probe(vids)
+        .select(
+            F.col("id").alias("video_id"),
+            "container",
+            "codec",
+            "width",
+            "height",
+            "n_frames",
+            F.round("duration_s", 6).alias("duration_s"),
+        )
+        .orderBy("video_id")
+    )
+
+
 @declared(
     "audio_probe",
     "SELECT doc_id AS audio_id, 'wav' AS container, "

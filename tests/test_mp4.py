@@ -1,0 +1,230 @@
+"""functions/mp4 (ISO-BMFF) + the round-11 JPEG encoder and
+video_probe operator: box walk, sample-table resolution, MJPEG frame
+extraction, codec gates, and the multi-container probe."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from graph_db_clustering_spark.functions import avi, gif, jpeg, mp4
+
+
+def _gray_frames(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    # flat 8x8 tiles -> encode_gray roundtrips EXACTLY at quant=8
+    return [
+        np.repeat(
+            np.repeat(
+                rng.integers(0, 256, (h // 8, w // 8), dtype=np.uint8), 8, 0
+            ),
+            8,
+            1,
+        )
+        for _ in range(n)
+    ]
+
+
+def test_encode_gray_flat_tiles_roundtrip_exact():
+    for img in _gray_frames(3, 16, 24, seed=1):
+        assert np.array_equal(jpeg.decode(jpeg.encode_gray(img)), img)
+
+
+def test_encode_gray_arbitrary_content_bounded_error():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (24, 17), dtype=np.uint8)  # odd width: pad
+    dec = jpeg.decode(jpeg.encode_gray(img))
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 16
+    smooth = np.clip(
+        np.add.outer(np.arange(64) * 2, np.arange(40)), 0, 255
+    ).astype(np.uint8)
+    dec2 = jpeg.decode(jpeg.encode_gray(smooth))
+    assert int(np.abs(dec2.astype(int) - smooth.astype(int)).max()) <= 8
+
+
+def test_encode_gray_rejects_bad_input():
+    with pytest.raises(jpeg.JpegError, match="uint8"):
+        jpeg.encode_gray(np.zeros((8, 8), dtype=np.float64))
+    with pytest.raises(jpeg.JpegError, match="quant"):
+        jpeg.encode_gray(np.zeros((8, 8), dtype=np.uint8), quant=0)
+
+
+def _mux(n=4, h=16, w=24, fps=5, seed=3):
+    frames = _gray_frames(n, h, w, seed=seed)
+    jps = [jpeg.encode_gray(f) for f in frames]
+    return mp4.encode(jps, width=w, height=h, fps=fps), frames
+
+
+def test_mp4_probe_fields():
+    data, _ = _mux(n=4, h=16, w=24, fps=5)
+    p = mp4.probe(data)
+    assert p["container"] == "mp4" and p["brand"] == "isom"
+    assert p["n_tracks"] == 1
+    t = p["tracks"][0]
+    assert t["handler"] == "vide" and t["codec"] == "jpeg"
+    assert (t["width"], t["height"]) == (24, 16)
+    assert t["n_samples"] == 4
+    assert p["duration_s"] == pytest.approx(0.8)
+    assert t["duration_s"] == pytest.approx(0.8)
+
+
+def test_mp4_frames_decode_exactly():
+    data, frames = _mux(n=5, h=8, w=8, seed=4)
+    got = mp4.frames(data)
+    assert len(got) == 5
+    for g, f in zip(got, frames):
+        assert np.array_equal(g, np.repeat(f[:, :, None], 3, axis=2))
+
+
+def test_mp4_multi_chunk_and_co64():
+    """Hand-rebuild the sample table: two chunks (3+2 samples) via two
+    stsc runs, then the same layout with a co64 offset table — the
+    stsc x stco walk must resolve identical byte ranges."""
+    frames = _gray_frames(5, 8, 8, seed=5)
+    jps = [jpeg.encode_gray(f) for f in frames]
+    data, _ = _mux(n=5, h=8, w=8, seed=5)
+    # locate the original one-chunk tables
+    base = mp4.encode(jps, width=8, height=8)
+    first_off = base.find(b"mdat") + 4  # abs offset of sample 0
+    sizes = [len(j) for j in jps]
+    off2 = first_off + sum(sizes[:3])
+
+    def full(btype, body):
+        return struct.pack(">I", 12 + len(body)) + btype + b"\x00" * 4 + body
+
+    stsc2 = full(b"stsc", struct.pack(">I", 2)
+                 + struct.pack(">III", 1, 3, 1)
+                 + struct.pack(">III", 2, 2, 1))
+    stco2 = full(b"stco", struct.pack(">III", 2, first_off, off2))
+    co64_2 = full(b"co64", struct.pack(">I", 2)
+                  + struct.pack(">QQ", first_off, off2))
+    old_stsc = full(b"stsc", struct.pack(">IIII", 1, 1, 5, 1))
+    old_stco = full(b"stco", struct.pack(">II", 1, first_off))
+    assert base.count(old_stsc) == 1 and base.count(old_stco) == 1
+    # same total bytes: stsc grows 12, stco grows 4 -> adjust by rebuild
+    for repl_stco in (stco2, co64_2):
+        patched = base.replace(old_stsc, stsc2).replace(old_stco, repl_stco)
+        # fix every enclosing box length (moov/trak/mdia/minf/stbl grew)
+        grew = (len(stsc2) - len(old_stsc)) + (len(repl_stco) - len(old_stco))
+        out = bytearray(patched)
+        for btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            i = out.find(btype)
+            (sz,) = struct.unpack(">I", out[i - 4 : i])
+            out[i - 4 : i] = struct.pack(">I", sz + grew)
+        got = mp4.frames(bytes(out))
+        assert len(got) == 5
+        for g, f in zip(got, frames):
+            assert np.array_equal(g, np.repeat(f[:, :, None], 3, axis=2))
+
+
+def test_mp4_interframe_codec_gates_loudly():
+    data, _ = _mux(n=2, h=8, w=8)
+    patched = data.replace(b"jpeg", b"avc1", 1)  # stsd sample entry
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mp4.frames(patched)
+    # probe still classifies without decoding
+    p = mp4.probe(patched)
+    assert p["tracks"][0]["codec"] == "avc1"
+
+
+def test_mp4_fragmented_gate_and_corrupt():
+    data, _ = _mux(n=2, h=8, w=8)
+    moof = struct.pack(">I", 8) + b"moof"
+    with pytest.raises(NotImplementedError, match="moof"):
+        mp4.frames(data + moof)
+    with pytest.raises(ValueError):
+        mp4.probe(b"\x00" * 8)
+    # box overrun: declared size beyond the buffer
+    bad = struct.pack(">I", 10_000) + b"moov" + b"\x00" * 16
+    with pytest.raises(mp4.Mp4Error, match="overruns"):
+        list(mp4._boxes(bad, 0, len(bad)))
+    with pytest.raises(mp4.Mp4Error, match="no moov"):
+        mp4.probe(struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4)
+
+
+def test_mp4_largesize_box():
+    """A 64-bit largesize mdat resolves the same sample ranges."""
+    frames = _gray_frames(2, 8, 8, seed=6)
+    jps = [jpeg.encode_gray(f) for f in frames]
+    data = mp4.encode(jps, width=8, height=8)
+    i = data.find(b"mdat") - 4
+    (sz,) = struct.unpack(">I", data[i : i + 4])
+    big = (
+        data[:i]
+        + struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", sz + 8)
+        + data[i + 8 : i + sz]
+        + data[i + sz :]
+    )
+    # stco offsets shifted by the 8 extra largesize bytes: rebuild stco
+    old = struct.pack(">II", 1, data.find(b"mdat") + 4)
+    new = struct.pack(">II", 1, data.find(b"mdat") + 12)
+    big = big.replace(old, new)
+    got = mp4.frames(big)
+    assert len(got) == 2
+    assert np.array_equal(got[0][:, :, 0], frames[0])
+
+
+def test_gif_frame_count_and_duration():
+    idx = [np.zeros((4, 4), dtype=np.uint8) for _ in range(3)]
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    n, dur = gif.frame_count_and_duration(gif.encode(idx, pal))
+    assert n == 3 and dur is None  # encoder writes no delays
+    with pytest.raises(ValueError):
+        gif.frame_count_and_duration(b"NOTAGIF")
+
+
+def test_video_probe_operator_multi_container(spark):
+    from graph_db_clustering_spark.operators import multimodal
+
+    rng = np.random.default_rng(7)
+    rgb = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(5)]
+    mp4_bytes, _ = _mux(n=4, h=8, w=8, fps=5)
+    avi_bytes = avi.encode(rgb, fps=10)
+    idx = [rng.integers(0, 4, (8, 8)).astype(np.uint8) for _ in range(3)]
+    pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    gif_bytes = gif.encode(idx, pal)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(mp4_bytes)),
+            (2, bytearray(avi_bytes)),
+            (3, bytearray(gif_bytes)),
+            (4, bytearray(b"\xff" * 40)),
+        ],
+        "video_id long, content binary",
+    )
+    rows = {
+        r["id"]: r
+        for r in multimodal.video_probe(df).collect()
+    }
+    assert rows[1]["container"] == "mp4" and rows[1]["codec"] == "jpeg"
+    assert rows[1]["n_frames"] == 4
+    assert rows[1]["duration_s"] == pytest.approx(0.8)
+    assert rows[2]["container"] == "avi" and rows[2]["codec"] == "rawvideo"
+    assert rows[2]["n_frames"] == 5
+    assert rows[3]["container"] == "gif" and rows[3]["n_frames"] == 3
+    assert rows[4]["container"] == "unknown"
+
+
+def test_frame_sample_mp4_end_to_end(spark):
+    from graph_db_clustering_spark.functions import png
+    from graph_db_clustering_spark.operators import multimodal
+
+    frames = _gray_frames(5, 8, 8, seed=8)
+    jps = [jpeg.encode_gray(f) for f in frames]
+    data = mp4.encode(jps, width=8, height=8)
+    df = spark.createDataFrame(
+        [(9, bytearray(data))], "video_id long, content binary"
+    )
+    got = multimodal.frame_sample(df, every_n=2).collect()
+    assert [(r["id"], r["frame_index"]) for r in got] == [
+        (9, 0), (9, 2), (9, 4)
+    ]
+    for r in got:
+        arr = png.decode(bytes(r["frame"]))
+        k = r["frame_index"]
+        assert np.array_equal(
+            arr, np.repeat(frames[k][:, :, None], 3, axis=2)
+        )
