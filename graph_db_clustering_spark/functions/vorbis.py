@@ -921,3 +921,228 @@ def decode(data: bytes) -> tuple[int, np.ndarray]:
     functions/flac; multichannel downmixes to the channel mean."""
     info, pcm = decode_pcm(data)
     return info["rate"], pcm.mean(axis=1) if pcm.ndim == 2 else pcm
+
+
+# --- fixture encoder ---------------------------------------------------------
+
+
+def _write_codeword(w: _BitWriter, code: int, length: int) -> None:
+    for k in range(length - 1, -1, -1):
+        w.write((code >> k) & 1, 1)
+
+
+class _EncBooks:
+    """The fixture setup's three codebooks, mirrored encoder-side."""
+
+    def __init__(self, delta: float):
+        self.floor_lens = [1, 1]
+        self.class_lens = [4] * 16
+        self.value_lens = [6] * 64
+        self.floor_codes = make_codewords(self.floor_lens)
+        self.class_codes = make_codewords(self.class_lens)
+        self.value_codes = make_codewords(self.value_lens)
+        self.delta = delta
+        self.vmin = -32.0 * delta
+
+
+def _write_setup(channels: int, delta: float, rtype: int, end: int) -> bytes:
+    eb = _EncBooks(delta)
+    w = _BitWriter()
+    w.write(3 - 1, 8)  # codebook count
+    # book 0: floor posts (2 entries, scalar)
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(2, 24)
+    w.write(0, 1)  # unordered
+    w.write(0, 1)  # not sparse
+    for ln in eb.floor_lens:
+        w.write(ln - 1, 5)
+    w.write(0, 4)  # lookup 0
+    # book 1: residue classbook (dims 4, 16 entries, scalar)
+    w.write(0x564342, 24)
+    w.write(4, 16)
+    w.write(16, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for ln in eb.class_lens:
+        w.write(ln - 1, 5)
+    w.write(0, 4)
+    # book 2: residue values (dims 1, 64 entries, lookup 2 grid)
+    w.write(0x564342, 24)
+    w.write(1, 16)
+    w.write(64, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for ln in eb.value_lens:
+        w.write(ln - 1, 5)
+    w.write(2, 4)  # lookup type 2
+    w.write(float32_pack(eb.vmin), 32)
+    w.write(float32_pack(delta), 32)
+    w.write(6 - 1, 4)  # value_bits
+    w.write(0, 1)  # sequence_p
+    for i in range(64):
+        w.write(i, 6)
+    # time transforms
+    w.write(0, 6)
+    w.write(0, 16)
+    # floor1
+    w.write(0, 6)  # floor count - 1
+    w.write(1, 16)  # type 1
+    w.write(1, 5)  # partitions
+    w.write(0, 4)  # partition class
+    w.write(2 - 1, 3)  # class dim 2
+    w.write(0, 2)  # subclasses
+    w.write(0 + 1, 8)  # subclass book 0 -> floor book index 0 (+1)
+    w.write(0, 2)  # multiplier - 1 = 0 -> range 256
+    w.write(6, 4)  # rangebits
+    w.write(20, 6)
+    w.write(40, 6)
+    # residue
+    w.write(0, 6)  # residue count - 1
+    w.write(rtype, 16)
+    w.write(0, 24)  # begin
+    w.write(end, 24)
+    w.write(32 - 1, 24)  # partition size
+    w.write(2 - 1, 6)  # classifications
+    w.write(1, 8)  # classbook = book 1
+    w.write(0, 3)
+    w.write(0, 1)  # class 0 cascade 0
+    w.write(1, 3)
+    w.write(0, 1)  # class 1 cascade pass-0
+    w.write(2, 8)  # class 1 pass 0 book = book 2
+    # mapping
+    w.write(0, 6)
+    w.write(0, 16)  # type 0
+    w.write(0, 1)  # submaps flag -> 1 submap
+    w.write(0, 1)  # coupling flag -> 0 steps
+    w.write(0, 2)  # reserved
+    w.write(0, 8)  # time placeholder
+    w.write(0, 8)  # floor 0
+    w.write(0, 8)  # residue 0
+    # modes
+    w.write(0, 6)
+    w.write(0, 1)  # blockflag 0
+    w.write(0, 16)
+    w.write(0, 16)
+    w.write(0, 8)  # mapping 0
+    w.write(1, 1)  # framing
+    return b"\x05vorbis" + w.tobytes()
+
+
+def _encode_packet(
+    spectra: np.ndarray, eb: _EncBooks, rtype: int
+) -> bytes:
+    """One audio packet for (channels, n2) integer grid indices
+    (0..63, 32 = zero)."""
+    w = _BitWriter()
+    w.write(0, 1)  # audio packet
+    # mode number: 0 bits (single mode); blockflag 0 -> no window flags
+    nch, n2 = spectra.shape
+    for _ in range(nch):  # floor per channel: flat at y=255
+        w.write(1, 1)  # nonzero
+        w.write(255, 8)  # y0 (range 256 -> 8 bits)
+        w.write(255, 8)  # y1
+        # partition 0, class 0, subclasses 0: two posts from book 0,
+        # value 0 (-> step2 false, pure prediction = flat)
+        _write_codeword(w, eb.floor_codes[0], eb.floor_lens[0])
+        _write_codeword(w, eb.floor_codes[0], eb.floor_lens[0])
+    if rtype == 2:
+        vecs = [np.empty(n2 * nch, dtype=np.int64)]
+        for c in range(nch):
+            vecs[0][c::nch] = spectra[c]
+    else:
+        vecs = [spectra[c] for c in range(nch)]
+    psize, cpc, n_class = 32, 4, 2
+    for v in vecs:
+        parts = len(v) // psize
+        classes = [
+            0 if not v[p * psize : (p + 1) * psize].any() else 1
+            for p in range(parts)
+        ]
+        # interleaved order: classword then its cpc partitions (one
+        # decode "channel" per vector here, so order is sequential)
+        for g in range(0, parts, cpc):
+            temp = 0
+            for k in range(cpc):
+                temp = temp * n_class + (
+                    classes[g + k] if g + k < parts else 0
+                )
+            _write_codeword(w, eb.class_codes[temp], eb.class_lens[temp])
+            for p in range(g, min(g + cpc, parts)):
+                if classes[p] == 0:
+                    continue
+                for i in range(p * psize, (p + 1) * psize):
+                    idx = int(v[i])
+                    _write_codeword(
+                        w, eb.value_codes[idx], eb.value_lens[idx]
+                    )
+    return w.tobytes()
+
+
+def encode(
+    x: np.ndarray, rate: int, blocksize: int = 256
+) -> bytes:
+    """Float samples in [-1, 1] (shape (n,) or (n, channels)) -> Ogg
+    Vorbis bytes. Fixture-grade but SPEC-VALID: forward MDCT, spectra
+    quantized onto the value book's 64-step grid (delta auto-scaled to
+    the signal, packed exactly), flat unit floor, residue type 1
+    (mono) / type 2 (multichannel), uniform blocksize. decode() of the
+    result reproduces the windowed-OLA reconstruction of the quantized
+    spectra; for band-limited signals the roundtrip SNR is bounded in
+    tests."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    if n == 0:
+        raise VorbisError("vorbis: empty signal")
+    N = blocksize
+    n2 = N // 2
+    if N & (N - 1) or not (64 <= N <= 8192):
+        raise VorbisError("vorbis: blocksize must be a power of 2 in 64..8192")
+    n_pad = -n % n2
+    xp = np.pad(x, ((n2, n2 + n_pad), (0, 0)))
+    n_blocks = (len(xp) - N) // n2 + 1
+    w = _window(N, N, 0, 0, 0)
+    M = _IMDCT_CACHE.get(N)
+    if M is None:
+        M = _imdct_matrix(N)
+        _IMDCT_CACHE[N] = M
+    X = np.empty((n_blocks, nch, n2))
+    for b in range(n_blocks):
+        seg = xp[b * n2 : b * n2 + N]
+        X[b] = ((4.0 / N) * (M.T @ (seg * w[:, None]))).T
+    peak = float(np.abs(X).max())
+    delta = 2.0 ** max(-20, int(np.ceil(np.log2(max(peak, 1e-12) / 31.0))))
+    idx = np.clip(np.rint(X / delta), -32, 31).astype(np.int64) + 32
+    rtype = 1 if nch == 1 else 2
+    end = n2 * nch if rtype == 2 else n2
+    eb = _EncBooks(delta)
+    log2n = N.bit_length() - 1
+    idw = _BitWriter()
+    idw.write(0, 32)
+    idw.write(nch, 8)
+    idw.write(rate, 32)
+    idw.write(0, 32)
+    idw.write(0, 32)
+    idw.write(0, 32)
+    idw.write(log2n, 4)
+    idw.write(log2n, 4)
+    idw.write(1, 1)
+    id_pkt = b"\x01vorbis" + idw.tobytes()
+    cw = _BitWriter()
+    vendor = b"graph_db_clustering_spark fixture"
+    cw.write(len(vendor), 32)
+    for byte in vendor:
+        cw.write(byte, 8)
+    cw.write(0, 32)  # no user comments
+    cw.write(1, 1)
+    comment_pkt = b"\x03vorbis" + cw.tobytes()
+    setup_pkt = _write_setup(nch, delta, rtype, end)
+    packets = [id_pkt, comment_pkt, setup_pkt]
+    granules = [0, 0, 0]
+    for b in range(n_blocks):
+        packets.append(_encode_packet(idx[b], eb, rtype))
+        granules.append(min(b * n2, n))  # emitted after this packet
+    granules[-1] = n  # exact trim point
+    return ogg_pages(packets, granules=granules)

@@ -872,7 +872,9 @@ def _decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     stereo/MS-joint-stereo, downmixed to channel mean, ID3v2
     tags skipped) via the pure-NumPy functions/mp3 decoder — round 7,
     VERDICT r6 Next #4; its remaining entropy-table gates are
-    documented in that module. AAC/OGG raise NotImplementedError
+    documented in that module. Ogg Vorbis (round 11) via
+    functions/vorbis — every codebook arrives in the stream itself, so
+    no memorized-table gate applies. AAC raises NotImplementedError
     (scoped gate); truncated/corrupt files raise ValueError, never a
     bare struct.error."""
     import struct as _struct
@@ -899,11 +901,15 @@ def _decode_wav_inner(content: bytes) -> tuple[int, np.ndarray]:
             from graph_db_clustering_spark.functions import mp3 as _mp3
 
             return _mp3.decode(content)
+        if content[:4] == b"OggS":
+            from graph_db_clustering_spark.functions import vorbis as _vorbis
+
+            return _vorbis.decode(content)
         raise NotImplementedError(
             "audio decode: WAV (PCM/float/IMA-ADPCM), MP3 (MPEG-1 "
-            "Layer III mono/stereo), and FLAC (8/16/24-bit, mono/stereo) "
-            "are supported codec-free; AAC/OGG need an audio library "
-            "(not installed)"
+            "Layer III mono/stereo), FLAC (8/16/24-bit, mono/stereo), "
+            "and Ogg Vorbis (round 11, functions/vorbis) are supported "
+            "codec-free; AAC needs an audio library (not installed)"
         )
     pos, n = 12, len(content)
     fmt = None
@@ -1193,8 +1199,8 @@ def _probe_one(content: bytes) -> tuple[str, int | None, int | None, float | Non
       MP3  (MPEG-1 Layer III): first frame header's bitrate/rate fields;
            duration ~= bytes / byterate (CBR assumption, documented).
       FLAC: STREAMINFO block carries exact rate/channels/total samples.
-      OGG:  Vorbis identification header rate/channels (no duration
-            without walking to the last page; returns None).
+      OGG:  Vorbis identification header rate/channels; duration from
+            the final page's granule position (header-only tail scan).
     Unknown magic -> ('unknown', None, None, None)."""
     import struct as _struct
 
@@ -1229,7 +1235,16 @@ def _probe_one_inner(content: bytes) -> tuple[str, int | None, int | None, float
         if i >= 0 and i + 16 <= len(content):
             channels = content[i + 11]
             (rate,) = _struct.unpack("<I", content[i + 12 : i + 16])
-            return "ogg", rate, channels, None
+            # duration from the LAST page's granule position (total
+            # decoded samples, per the Vorbis granule convention) —
+            # still header-only, no packet decode
+            dur = None
+            j = content.rfind(b"OggS")
+            if rate and j >= 0 and j + 14 <= len(content):
+                (gran,) = _struct.unpack("<q", content[j + 6 : j + 14])
+                if gran > 0:
+                    dur = gran / rate
+            return "ogg", rate, channels, dur
         return "ogg", None, None, None
     # MP3: optional ID3v2 tag, then the first 0xFFE-synced frame
     pos = 0

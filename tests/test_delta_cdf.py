@@ -1,0 +1,168 @@
+"""Delta Change Data Feed + protocol MERGE (round 11, VERDICT r10
+#3/#4): change-file writes, add/remove fallback, the DV-vs-rewrite
+strategy switch, and the loud gates."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.catalog import load_table
+from graph_db_clustering_spark.sources.delta import (
+    DeltaError,
+    delta_add_deletion_vectors,
+    delta_append,
+    delta_live_files,
+    delta_merge,
+    delta_table_changes,
+    read_delta,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def test_merge_dv_strategy_and_cdf_lifecycle(spark, tmp_path):
+    t = str(tmp_path / "t")
+    o = _orders(spark).filter(F.col("o_orderkey") % 10 < 5)
+    assert delta_append(spark, o, t) == 0
+    v0_files = set(delta_live_files(t))
+
+    upd = o.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    new = _orders(spark).filter(F.col("o_orderkey") % 10 == 7)
+    res = delta_merge(spark, t, upd.unionByName(new), "o_orderkey")
+    assert res["version"] == 1
+    # small touched fraction -> merge-on-read: DVs, NO rewrite — every
+    # original file is still live (carrying a DV), plus one merge file
+    assert res["strategy"] == "dv"
+    live = set(delta_live_files(t))
+    assert v0_files <= live
+    assert len(live - v0_files) == 1
+
+    # merged state == the closed-form upsert
+    want = (
+        o.filter(~((F.col("o_orderkey") % 20 == 0)))
+        .unionByName(upd)
+        .unionByName(new)
+    )
+    got = read_delta(spark, t)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # CDF replay: v0 inserts via add-fallback, v1 via change files
+    ch = delta_table_changes(spark, t, 0, 1)
+    counts = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n0 = o.count()
+    n_upd = upd.count()
+    assert counts == {
+        (0, "insert"): n0,
+        (1, "update_preimage"): n_upd,
+        (1, "update_postimage"): n_upd,
+        (1, "insert"): new.count(),
+    }
+    # postimage rows carry the NEW values
+    post = ch.filter(
+        (F.col("_change_type") == "update_postimage")
+    )
+    assert post.agg(F.min("o_totalprice"), F.max("o_totalprice")).first() == (
+        1.0, 1.0,
+    )
+    # preimage rows carry the OLD values
+    pre = ch.filter(F.col("_change_type") == "update_preimage").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 20 == 0)
+    assert pre.exceptAll(old).count() == 0
+
+    # a DV delete with cdf=True: its deleted rows replay as 'delete'
+    files = delta_live_files(t)
+    scan = spark.read.parquet(
+        *[os.path.join(t, p) for p in files]
+    ).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "o_orderkey",
+    )
+    dels = scan.filter(F.col("o_orderkey") % 10 == 7).select(
+        "file_path", "pos"
+    )
+    v2 = delta_add_deletion_vectors(spark, t, dels, cdf=True)
+    ch2 = delta_table_changes(spark, t, v2, v2)
+    assert ch2.filter(F.col("_change_type") == "delete").count() == (
+        new.count()
+    )
+    assert read_delta(spark, t).count() == want.count() - new.count()
+
+
+def test_merge_rewrite_strategy_when_touch_fraction_large(spark, tmp_path):
+    t = str(tmp_path / "rw")
+    o = _orders(spark).filter(F.col("o_orderkey") % 10 < 5)
+    delta_append(spark, o, t)
+    v0_files = set(delta_live_files(t))
+    # touch ~80% of rows -> rewrite path
+    feed = o.filter(F.col("o_orderkey") % 5 < 4).withColumn(
+        "o_totalprice", F.lit(2.0)
+    )
+    res = delta_merge(spark, t, feed, "o_orderkey", dv_threshold=0.5)
+    assert res["strategy"] == "rewrite"
+    assert not (set(delta_live_files(t)) & v0_files)  # originals gone
+    got = read_delta(spark, t)
+    want = o.filter(F.col("o_orderkey") % 5 >= 4).unionByName(feed)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # CDF still replays the rewrite as pre/postimage, not file churn
+    ch = delta_table_changes(spark, t, res["version"], res["version"])
+    assert (
+        ch.filter(F.col("_change_type") == "update_postimage").count()
+        == feed.count()
+    )
+
+
+def test_cdf_gates(spark, tmp_path):
+    t = str(tmp_path / "g")
+    o = _orders(spark).filter(F.col("o_orderkey") % 10 == 0)
+    delta_append(spark, o, t)
+    # duplicate source keys rejected
+    dup = o.limit(5).unionByName(o.limit(5))
+    with pytest.raises(DeltaError, match="duplicate"):
+        delta_merge(spark, t, dup, "o_orderkey")
+    # DV commit without change files is ambiguous to the CDF reader
+    files = delta_live_files(t)
+    scan = spark.read.parquet(
+        *[os.path.join(t, p) for p in files]
+    ).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    v = delta_add_deletion_vectors(spark, t, scan.limit(3))  # cdf=False
+    with pytest.raises(DeltaError, match="without change files"):
+        delta_table_changes(spark, t, v, v)
+    # empty range
+    with pytest.raises(DeltaError, match="no commits"):
+        delta_table_changes(spark, t, v + 5)
+    # partitioned target gate
+    t2 = str(tmp_path / "p")
+    delta_append(
+        spark,
+        _orders(spark).withColumn("b", F.col("o_orderkey") % 2),
+        t2,
+        partition_by=["b"],
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        delta_merge(spark, t2, _orders(spark).limit(1).withColumn(
+            "b", F.lit(0)
+        ), "o_orderkey")

@@ -345,8 +345,12 @@ def test_wav_odd_chunk_padding_and_extra_chunks():
 
 
 def test_wav_error_gates():
-    with pytest.raises(NotImplementedError, match="AAC/OGG"):
-        M._decode_wav(b"OggS" + b"\x00" * 64)  # OGG stays gated
+    # round 11: OGG now dispatches to functions/vorbis — a corrupt
+    # Ogg stream is a ValueError (CRC/sync), no longer a gate
+    with pytest.raises(ValueError):
+        M._decode_wav(b"OggS" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="AAC"):
+        M._decode_wav(b"\xde\xad\xbe\xef" + b"\x00" * 64)
     with pytest.raises(ValueError, match="no frames"):
         # MP3 now dispatches to functions/mp3; an ID3 tag followed by
         # garbage is a corrupt MP3, not a gate
