@@ -1,0 +1,802 @@
+"""Pure-Python Zstandard frame DECODER (RFC 8878) + raw/RLE encoder.
+
+Round 11 (VERDICT r10 #6): closes the `sources/avro.py` zstandard
+gate. RFC 8878 is public and complete — FSE and Huffman tables are
+both constructed from the frame's own bytes (in-stream normalized
+counts / weights) or from the RFC's predefined distributions, and —
+unlike the MP3 escape tables — everything here is CROSS-CHECKED
+against a genuinely independent implementation: the test suite
+round-trips hundreds of payloads through pyarrow's bundled libzstd
+encoder (raw, RLE, Huffman 1/4-stream literals, predefined and
+FSE-coded sequences, repeat offsets and repeat table modes, multiple
+blocks, every compression level), plus xxhash64 content-checksum
+verification when the frame carries one.
+
+Decode surface:
+- frame header (magic 0xFD2FB528, single-segment / FCS fields,
+  window descriptor, dictionary gate), skippable frames, multi-frame
+  concatenation;
+- raw / RLE / compressed blocks;
+- literals: raw, RLE, Huffman-compressed (tree from direct 4-bit
+  weights or FSE-compressed weights; 1 or 4 interleaved backward
+  streams), treeless (reuses the previous block's table);
+- sequences: predefined / RLE / FSE-coded / repeat table modes for
+  the literals-length, offset and match-length codes, the backward
+  interleaved 3-state decode, extra-bit baselines (derived by
+  accumulation per the RFC), and the 3-slot repeat-offset history
+  with its litLength-0 shift rule;
+- sequence execution with overlapping-match copy semantics.
+
+The ENCODER side stays deliberately minimal (raw/RLE blocks only,
+optional checksum) — the repo needs self-contained fixtures, not a
+competitive compressor; real compressed fixtures come from pyarrow's
+libzstd in tests.
+
+Predefined-distribution transcriptions are VALIDATED at import: each
+must sum exactly to its table size (counting the RFC's "less-than-one"
+-1 entries as 1) — and then again, behaviorally, by the libzstd
+round-trips.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class ZstdError(ValueError):
+    pass
+
+
+MAGIC = 0xFD2FB528
+_SKIPPABLE_LO = 0x184D2A50
+
+# --- RFC 8878 predefined FSE distributions (normalized counts) ---------------
+
+_LL_DEFAULT = (
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1,
+)
+_LL_DEFAULT_AL = 6
+_ML_DEFAULT = (
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1, -1, -1, -1,
+)
+_ML_DEFAULT_AL = 6
+_OF_DEFAULT = (
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1,
+)
+_OF_DEFAULT_AL = 5
+
+for _name, _dist, _al in (
+    ("LL", _LL_DEFAULT, _LL_DEFAULT_AL),
+    ("ML", _ML_DEFAULT, _ML_DEFAULT_AL),
+    ("OF", _OF_DEFAULT, _OF_DEFAULT_AL),
+):
+    if sum(max(c, 1) for c in _dist) != 1 << _al:
+        raise AssertionError(
+            f"zstd predefined {_name} distribution does not sum to "
+            f"2^{_al} — transcription slip"
+        )
+
+# LL code -> (baseline, extra bits); 0-15 literal, then accumulated
+_LL_EXTRA = (1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15, 16)
+
+
+def _ll_table():
+    base = [(i, 0) for i in range(16)]
+    b = 16
+    for nb in _LL_EXTRA:
+        base.append((b, nb))
+        b += 1 << nb
+    return tuple(base)
+
+
+_ML_EXTRA = (1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12,
+             13, 14, 15, 16)
+
+
+def _ml_table():
+    base = [(i + 3, 0) for i in range(32)]
+    b = 35
+    for nb in _ML_EXTRA:
+        base.append((b, nb))
+        b += 1 << nb
+    return tuple(base)
+
+
+_LL_BASE = _ll_table()
+_ML_BASE = _ml_table()
+
+
+# --- bitstreams --------------------------------------------------------------
+
+
+class _BackBits:
+    """zstd backward bitstream: bytes are read from the END; the last
+    byte's highest set bit is a padding sentinel. Bits are then read
+    most-recently-written first."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ZstdError("zstd: empty bitstream")
+        last = data[-1]
+        if last == 0:
+            raise ZstdError("zstd: bitstream with zero padding byte")
+        self.data = data
+        # total bits = 8*len - (8 - position of sentinel) - 1
+        self.bitpos = 8 * len(data) - (8 - last.bit_length())
+        self.bitpos -= 1  # drop the sentinel itself
+
+    @property
+    def remaining(self) -> int:
+        return self.bitpos
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if n > self.bitpos:
+            raise ZstdError("zstd: bitstream exhausted")
+        self.bitpos -= n
+        v = 0
+        d = self.data
+        p = self.bitpos
+        for i in range(n - 1, -1, -1):
+            bit = (d[(p + i) >> 3] >> ((p + i) & 7)) & 1
+            v = (v << 1) | bit
+        return v
+
+
+class _FwdBits:
+    """Forward little-endian bitstream (FSE table descriptions)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        d = self.data
+        for i in range(n):
+            p = self.pos + i
+            if p >= 8 * len(d):
+                raise ZstdError("zstd: FSE description overruns")
+            v |= ((d[p >> 3] >> (p & 7)) & 1) << i
+        self.pos += n
+        return v
+
+
+# --- FSE ----------------------------------------------------------------------
+
+
+def _fse_build(counts, accuracy_log: int):
+    """Normalized counts -> decode table: per state (symbol, nbits,
+    baseline) per RFC 8878 4.1.1 table construction."""
+    size = 1 << accuracy_log
+    symbols = np.zeros(size, dtype=np.int64)
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(counts):
+        for _ in range(max(c, 0)):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ZstdError("zstd: FSE table construction desync")
+    next_state = [max(c, 0) if c != -1 else 1 for c in counts]
+    # -1 symbols restart from state 'size-...' with full bits
+    for s, c in enumerate(counts):
+        if c == -1:
+            next_state[s] = 1
+    nbits = np.zeros(size, dtype=np.int64)
+    base = np.zeros(size, dtype=np.int64)
+    for st in range(size):
+        s = int(symbols[st])
+        nx = next_state[s]
+        next_state[s] += 1
+        nb = accuracy_log - (nx.bit_length() - 1)
+        nbits[st] = nb
+        base[st] = (nx << nb) - size
+    return symbols, nbits, base
+
+
+def _fse_read_description(fwd: _FwdBits, max_symbols: int):
+    """In-stream normalized counts (RFC 4.1.1): each count uses
+    ceil(log2(remaining+2)) bits, with the small-value range saving
+    one bit, plus the repeat-zeros escape. Returns
+    (counts, accuracy_log)."""
+    al = fwd.read(4) + 5
+    if al > 9:
+        raise ZstdError(f"zstd: FSE accuracy log {al} > 9")
+    remaining = 1 << al
+    counts: list[int] = []
+    while remaining > 0 and len(counts) <= max_symbols:
+        bits = (remaining + 1).bit_length()
+        threshold = (1 << bits) - 1 - (remaining + 1)
+        low = fwd.read(bits - 1)
+        if low < threshold:
+            val = low
+        else:
+            val = low + (fwd.read(1) << (bits - 1))
+            if val > (1 << (bits - 1)) - 1:
+                val -= threshold
+        prob = val - 1
+        counts.append(prob)
+        remaining -= -prob if prob < 0 else prob
+        if prob == 0:
+            # repeat flags: 2 bits each, value 3 chains another flag
+            while True:
+                rep = fwd.read(2)
+                counts.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining != 0:
+        raise ZstdError("zstd: FSE counts do not fill the table")
+    if len(counts) > max_symbols:
+        raise ZstdError("zstd: FSE description has too many symbols")
+    return counts, al
+
+
+# --- Huffman ------------------------------------------------------------------
+
+
+def _huf_build(weights: list[int]):
+    """Weights -> (symbol_lut, nbits_lut, max_bits): a 2^max_bits
+    lookup table; lowest-weight (longest) codes occupy the low
+    indices (libzstd HUF_readDTableX1 layout)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ZstdError("zstd: huffman with no used symbols")
+    # infer the implicit LAST weight: tableLog = highbit(total) + 1
+    # (one ABOVE the current power even when total is already one),
+    # and the remainder must itself be a power of 2
+    tbl_log = total.bit_length()
+    rest = (1 << tbl_log) - total
+    last_w = rest.bit_length()
+    if rest <= 0 or (1 << (last_w - 1)) != rest:
+        raise ZstdError("zstd: corrupted huffman weights")
+    weights = weights + [last_w]
+    max_bits = tbl_log
+    if max_bits > 11:
+        raise ZstdError(f"zstd: huffman table log {max_bits} > 11")
+    size = 1 << max_bits
+    sym_lut = np.zeros(size, dtype=np.int64)
+    nb_lut = np.zeros(size, dtype=np.int64)
+    # rank starts: weight 1 first (longest codes at index 0)
+    rank_count = {}
+    for w in weights:
+        if w > 0:
+            rank_count[w] = rank_count.get(w, 0) + (1 << (w - 1))
+    start = 0
+    rank_start = {}
+    for w in sorted(rank_count):
+        rank_start[w] = start
+        start += rank_count[w]
+    if start != size:
+        raise ZstdError("zstd: huffman weights do not fill the table")
+    for s, w in enumerate(weights):
+        if w == 0:
+            continue
+        ln = 1 << (w - 1)
+        st = rank_start[w]
+        sym_lut[st : st + ln] = s
+        nb_lut[st : st + ln] = max_bits + 1 - w
+        rank_start[w] += ln
+    return sym_lut, nb_lut, max_bits
+
+
+def _huf_read_weights(data: bytes):
+    """Huffman tree description -> (weights list, bytes consumed)."""
+    hdr = data[0]
+    if hdr >= 128:
+        n = hdr - 127
+        nbytes = (n + 1) // 2
+        weights = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+        return weights, 1 + nbytes
+    # FSE-compressed weights
+    comp = data[1 : 1 + hdr]
+    fwd = _FwdBits(comp)
+    counts, al = _fse_read_description(fwd, 256)
+    syms, nbits, base = _fse_build(counts, al)
+    stream = comp[(fwd.pos + 7) // 8 :]
+    bits = _BackBits(stream)
+    s1 = bits.read(al)
+    s2 = bits.read(al)
+    out: list[int] = []
+    while True:
+        if len(out) > 255:
+            raise ZstdError("zstd: huffman weight stream runaway")
+        out.append(int(syms[s1]))
+        if bits.remaining < nbits[s1]:
+            out.append(int(syms[s2]))
+            break
+        s1 = int(base[s1]) + bits.read(int(nbits[s1]))
+        out.append(int(syms[s2]))
+        if bits.remaining < nbits[s2]:
+            out.append(int(syms[s1]))
+            break
+        s2 = int(base[s2]) + bits.read(int(nbits[s2]))
+    return out, 1 + hdr
+
+
+def _huf_decode_stream(data: bytes, lut, n_out: int) -> bytearray:
+    sym_lut, nb_lut, max_bits = lut
+    bits = _BackBits(data)
+    out = bytearray()
+    for _ in range(n_out):
+        rem = bits.remaining
+        if rem >= max_bits:
+            peek = bits.read(max_bits)
+            idx = peek
+            consumed = int(nb_lut[idx])
+            # un-read the bits we over-consumed
+            bits.bitpos += max_bits - consumed
+        else:
+            peek = bits.read(rem) << (max_bits - rem) if rem else 0
+            idx = peek
+            consumed = int(nb_lut[idx])
+            if consumed > rem:
+                consumed = rem  # final zero-padded symbol
+            bits.bitpos += rem - consumed
+        out.append(int(sym_lut[idx]))
+    return out
+
+
+# --- literals -----------------------------------------------------------------
+
+
+def _decode_literals(block: bytes, pos: int, state: dict):
+    b0 = block[pos]
+    lit_type = b0 & 3
+    size_format = (b0 >> 2) & 3
+    if lit_type in (0, 1):  # raw / RLE
+        if size_format in (0, 2):
+            rsize = b0 >> 3
+            pos += 1
+        elif size_format == 1:
+            rsize = (b0 >> 4) | (block[pos + 1] << 4)
+            pos += 2
+        else:
+            rsize = (
+                (b0 >> 4)
+                | (block[pos + 1] << 4)
+                | (block[pos + 2] << 12)
+            )
+            pos += 3
+        if lit_type == 0:
+            lits = bytes(block[pos : pos + rsize])
+            if len(lits) != rsize:
+                raise ZstdError("zstd: raw literals overrun")
+            return lits, pos + rsize
+        return bytes([block[pos]]) * rsize, pos + 1
+    # compressed (2) / treeless (3)
+    if size_format == 0:
+        rsize = (b0 >> 4) | ((block[pos + 1] & 0x3F) << 4)
+        csize = (block[pos + 1] >> 6) | (block[pos + 2] << 2)
+        pos += 3
+        streams = 1
+    elif size_format == 1:
+        rsize = (b0 >> 4) | ((block[pos + 1] & 0x3F) << 4)
+        csize = (block[pos + 1] >> 6) | (block[pos + 2] << 2)
+        pos += 3
+        streams = 4
+    elif size_format == 2:
+        rsize = (
+            (b0 >> 4)
+            | (block[pos + 1] << 4)
+            | ((block[pos + 2] & 3) << 12)
+        )
+        csize = (
+            (block[pos + 2] >> 2) | (block[pos + 3] << 6)
+        )
+        pos += 4
+        streams = 4
+    else:
+        rsize = (
+            (b0 >> 4)
+            | (block[pos + 1] << 4)
+            | ((block[pos + 2] & 0x3F) << 12)
+        )
+        csize = (
+            (block[pos + 2] >> 6)
+            | (block[pos + 3] << 2)
+            | (block[pos + 4] << 10)
+        )
+        pos += 5
+        streams = 4
+    payload = bytes(block[pos : pos + csize])
+    if len(payload) != csize:
+        raise ZstdError("zstd: compressed literals overrun")
+    pos += csize
+    off = 0
+    if lit_type == 2:
+        weights, consumed = _huf_read_weights(payload)
+        state["huf"] = _huf_build(weights)
+        off = consumed
+    elif state.get("huf") is None:
+        raise ZstdError("zstd: treeless literals with no previous table")
+    lut = state["huf"]
+    body = payload[off:]
+    if streams == 1:
+        return bytes(_huf_decode_stream(body, lut, rsize)), pos
+    if len(body) < 6:
+        raise ZstdError("zstd: 4-stream jump table overrun")
+    s1, s2, s3 = struct.unpack("<HHH", body[:6])
+    seg = body[6:]
+    sizes = [s1, s2, s3, len(seg) - s1 - s2 - s3]
+    if sizes[3] <= 0:
+        raise ZstdError("zstd: 4-stream sizes inconsistent")
+    per = (rsize + 3) // 4
+    outs = []
+    o = 0
+    for i, sz in enumerate(sizes):
+        n = per if i < 3 else rsize - 3 * per
+        outs.append(_huf_decode_stream(seg[o : o + sz], lut, n))
+        o += sz
+    return bytes(b"".join(outs)), pos
+
+
+# --- sequences ----------------------------------------------------------------
+
+
+def _seq_table(mode: int, fwd_data: bytes, fpos: int, max_sym: int,
+               default, default_al: int, state_key: str, state: dict):
+    """Resolve one of LL/OF/ML per its 2-bit compression mode.
+    Returns ((symbols, nbits, base, accuracy_log) | ('rle', symbol),
+    new byte position)."""
+    if mode == 0:  # predefined
+        tbl = state.get("_pre_" + state_key)
+        if tbl is None:
+            tbl = (*_fse_build(default, default_al), default_al)
+            state["_pre_" + state_key] = tbl
+        state[state_key] = tbl
+        return tbl, fpos
+    if mode == 1:  # RLE: one byte symbol, zero bits per state
+        sym = fwd_data[fpos]
+        tbl = ("rle", sym)
+        state[state_key] = tbl
+        return tbl, fpos + 1
+    if mode == 2:  # FSE description
+        fwd = _FwdBits(fwd_data[fpos:])
+        counts, al = _fse_read_description(fwd, max_sym + 1)
+        tbl = (*_fse_build(counts, al), al)
+        state[state_key] = tbl
+        return tbl, fpos + (fwd.pos + 7) // 8
+    prev = state.get(state_key)  # mode 3: repeat
+    if prev is None:
+        raise ZstdError("zstd: repeat sequence table with no previous")
+    return prev, fpos
+
+
+class _SeqState:
+    __slots__ = ("tbl", "state")
+
+    def __init__(self, tbl, bits: _BackBits):
+        self.tbl = tbl
+        if isinstance(tbl[0], str):
+            self.state = 0
+        else:
+            self.state = bits.read(tbl[3])
+
+    def symbol(self) -> int:
+        if isinstance(self.tbl[0], str):
+            return self.tbl[1]
+        return int(self.tbl[0][self.state])
+
+    def update(self, bits: _BackBits) -> None:
+        if isinstance(self.tbl[0], str):
+            return
+        syms, nbits, base, _al = self.tbl
+        self.state = int(base[self.state]) + bits.read(int(nbits[self.state]))
+
+
+def _decode_sequences(block: bytes, pos: int, state: dict):
+    """-> (list of (lit_len, match_len, offset_value), end pos)."""
+    b0 = block[pos]
+    if b0 == 0:
+        return [], pos + 1
+    if b0 < 128:
+        nseq = b0
+        pos += 1
+    elif b0 < 255:
+        nseq = ((b0 - 128) << 8) + block[pos + 1]
+        pos += 2
+    else:
+        nseq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
+        pos += 3
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ZstdError("zstd: reserved sequence mode bits set")
+    ll_mode = (modes >> 6) & 3
+    of_mode = (modes >> 4) & 3
+    ml_mode = (modes >> 2) & 3
+    ll_tbl, pos = _seq_table(ll_mode, block, pos, 35, _LL_DEFAULT,
+                             _LL_DEFAULT_AL, "ll", state)
+    of_tbl, pos = _seq_table(of_mode, block, pos, 31, _OF_DEFAULT,
+                             _OF_DEFAULT_AL, "of", state)
+    ml_tbl, pos = _seq_table(ml_mode, block, pos, 52, _ML_DEFAULT,
+                             _ML_DEFAULT_AL, "ml", state)
+    bits = _BackBits(bytes(block[pos:]))
+    ll = _SeqState(ll_tbl, bits)
+    of = _SeqState(of_tbl, bits)
+    ml = _SeqState(ml_tbl, bits)
+    out = []
+    for i in range(nseq):
+        of_code = of.symbol()
+        if of_code > 31:
+            raise ZstdError("zstd: offset code out of range")
+        of_value = (1 << of_code) + (bits.read(of_code) if of_code else 0)
+        ml_code = ml.symbol()
+        ml_base, ml_bits = _ML_BASE[ml_code]
+        mlen = ml_base + (bits.read(ml_bits) if ml_bits else 0)
+        ll_code = ll.symbol()
+        ll_base, ll_bits = _LL_BASE[ll_code]
+        llen = ll_base + (bits.read(ll_bits) if ll_bits else 0)
+        out.append((llen, mlen, of_value))
+        if i + 1 < nseq:
+            ll.update(bits)
+            ml.update(bits)
+            of.update(bits)
+    return out, len(block)
+
+
+def _execute(literals: bytes, seqs: list, out: bytearray,
+             reps: list[int]) -> None:
+    lp = 0
+    for llen, mlen, of_value in seqs:
+        out += literals[lp : lp + llen]
+        lp += llen
+        # repeat-offset resolution (RFC 3.1.1.5)
+        if of_value > 3:
+            offset = of_value - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = offset
+        else:
+            idx = of_value - 1
+            if llen == 0:
+                idx += 1
+            if idx == 0:
+                offset = reps[0]
+            elif idx < 3:
+                offset = reps[idx]
+                if idx == 2:
+                    reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            else:  # of_value == 3 with llen == 0
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ZstdError("zstd: repeat offset underflow")
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        if offset > len(out):
+            raise ZstdError("zstd: match offset beyond history")
+        start = len(out) - offset
+        if offset >= mlen:
+            out += out[start : start + mlen]
+        else:
+            for k in range(mlen):  # overlapping copy semantics
+                out.append(out[start + k])
+    out += literals[lp:]
+
+
+# --- xxhash64 (public algorithm; content checksum) ---------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i + 32 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j : i + 8 * j + 8],
+                                      "little")
+                v = (v + lane * _P2) & _M
+                v = (_rotl(v, 31) * _P1) & _M
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            # mergeRound: round(0, lane) = rotl31(lane*P2)*P1
+            v = (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h ^= v
+            h = (h * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((lane * _P2) & _M, 31) * _P1) & _M
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+# --- frames -------------------------------------------------------------------
+
+
+def _decode_frame(data: bytes, pos: int) -> tuple[bytes, int]:
+    fhd = data[pos]
+    pos += 1
+    dict_flag = fhd & 3
+    checksum = (fhd >> 2) & 1
+    if (fhd >> 3) & 1:
+        raise ZstdError("zstd: reserved frame-header bit set")
+    single_segment = (fhd >> 5) & 1
+    fcs_field = (fhd >> 6) & 3
+    if dict_flag:
+        raise NotImplementedError(
+            "zstd: dictionary-compressed frames not supported"
+        )
+    if not single_segment:
+        pos += 1  # window descriptor (history always kept in full here)
+    fcs = None
+    fcs_bytes = {0: 1 if single_segment else 0, 1: 2, 2: 4, 3: 8}[fcs_field]
+    if fcs_bytes:
+        fcs = int.from_bytes(data[pos : pos + fcs_bytes], "little")
+        if fcs_field == 1:
+            fcs += 256
+        pos += fcs_bytes
+    out = bytearray()
+    reps = [1, 4, 8]
+    state: dict = {}
+    while True:
+        if pos + 3 > len(data):
+            raise ZstdError("zstd: truncated block header")
+        hdr = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        last = hdr & 1
+        btype = (hdr >> 1) & 3
+        bsize = hdr >> 3
+        if btype == 0:  # raw
+            out += data[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE
+            out += bytes([data[pos]]) * bsize
+            pos += 1
+        elif btype == 2:
+            block = data[pos : pos + bsize]
+            if len(block) != bsize:
+                raise ZstdError("zstd: truncated compressed block")
+            pos += bsize
+            lits, lpos = _decode_literals(block, 0, state)
+            seqs, _ = _decode_sequences(block, lpos, state)
+            _execute(lits, seqs, out, reps)
+        else:
+            raise ZstdError("zstd: reserved block type")
+        if last:
+            break
+    if checksum:
+        want = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        got = xxh64(bytes(out)) & 0xFFFFFFFF
+        if got != want:
+            raise ZstdError(
+                f"zstd: content checksum mismatch "
+                f"(got {got:08x}, frame says {want:08x})"
+            )
+    if fcs is not None and len(out) != fcs:
+        raise ZstdError(
+            f"zstd: frame content size {fcs} != decoded {len(out)}"
+        )
+    return bytes(out), pos
+
+
+def decompress(data: bytes) -> bytes:
+    """Zstandard bytes (one or more concatenated frames, skippable
+    frames ignored) -> decompressed payload."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    if n < 4:
+        raise ZstdError("zstd: input shorter than a magic number")
+    while pos < n:
+        if pos + 4 > n:
+            raise ZstdError("zstd: trailing garbage after last frame")
+        magic = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if (magic & 0xFFFFFFF0) == _SKIPPABLE_LO:
+            size = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4 + size
+            continue
+        if magic != MAGIC:
+            raise ZstdError(f"zstd: bad magic 0x{magic:08x}")
+        frame, pos = _decode_frame(data, pos)
+        out += frame
+    return bytes(out)
+
+
+def compress(data: bytes, checksum: bool = True) -> bytes:
+    """Minimal VALID encoder: raw blocks (RLE for uniform runs), one
+    frame, single-segment when small, frame-content-size recorded,
+    optional xxhash64 checksum. Fixture-grade — real compression comes
+    from libzstd; this exists so the repo can WRITE zstd-framed
+    containers self-contained."""
+    out = bytearray(struct.pack("<I", MAGIC))
+    n = len(data)
+    if n <= 255:
+        fhd = (0 << 6) | (1 << 5)  # single segment, 1-byte FCS
+        out.append(fhd | (4 if checksum else 0))
+        out.append(n)
+    else:
+        fhd = (3 << 6) | (1 << 5)  # single segment, 8-byte FCS
+        out.append(fhd | (4 if checksum else 0))
+        out += struct.pack("<Q", n)
+    max_block = 128 * 1024
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # empty raw last block
+    pos = 0
+    while pos < n:
+        chunk = data[pos : pos + max_block]
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        if len(chunk) >= 16 and chunk.count(chunk[0:1]) == len(chunk):
+            hdr = (len(chunk) << 3) | (1 << 1) | last
+            out += hdr.to_bytes(3, "little")
+            out.append(chunk[0])
+        else:
+            hdr = (len(chunk) << 3) | (0 << 1) | last
+            out += hdr.to_bytes(3, "little")
+            out += chunk
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

@@ -1916,3 +1916,148 @@ def delta_v2_checkpoint(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "delta_cdf",
+    """WITH init AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 5
+), upd AS (
+  SELECT o_orderkey, o_totalprice FROM init WHERE o_orderkey % 20 = 0
+), newrows AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 7
+)
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+       'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version
+FROM init
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2), 'update_preimage',
+       CAST(1 AS BIGINT) FROM upd
+UNION ALL
+SELECT o_orderkey, CAST(1.0 AS DOUBLE), 'update_postimage',
+       CAST(1 AS BIGINT) FROM upd
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2), 'insert', CAST(1 AS BIGINT)
+FROM newrows
+ORDER BY commit_version, change_type, o_orderkey""",
+)
+def delta_cdf(spark, sf_dir):
+    """Delta Change Data Feed round-tripped through the protocol
+    (round 11, sources/delta.delta_merge + delta_table_changes): a
+    table is built from orders (append = commit 0), then ONE protocol
+    MERGE (commit 1) updates every 20th key to price 1.0 (committed as
+    deletion vectors + one appended file — merge-on-read, no data-file
+    rewrite) and inserts the %10==7 keys. Reading table_changes(0,1)
+    must replay exactly the closed-form change stream the oracle
+    states: commit-0 inserts via the add-action fallback, commit-1
+    update_preimage/update_postimage/insert rows from the committed
+    _change_data file. Wrong DV encoding, a missed preimage, or
+    fallback double-counting each shift a row group."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        delta_merge,
+        delta_table_changes,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    init = o.filter(F.col("o_orderkey") % 10 < 5)
+    upd = init.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    new = o.filter(F.col("o_orderkey") % 10 == 7)
+    root = os.path.join(tempfile.gettempdir(), f"gdc_cdf_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    delta_append(spark, init, t)
+    res = delta_merge(spark, t, upd.unionByName(new), "o_orderkey")
+    assert res["strategy"] == "dv", res  # merge-on-read, not rewrite
+    ch = delta_table_changes(spark, t, 0, 1)
+    return ch.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    ).orderBy("commit_version", "change_type", "o_orderkey")
+
+
+@declared(
+    "iceberg_meta",
+    """WITH base AS (
+  SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 10 < 3
+), deld AS (
+  SELECT COUNT(*) AS c FROM orders
+  WHERE o_orderkey % 10 < 3 AND o_orderkey % 20 = 0
+)
+SELECT 0 AS content, CAST(1 AS BIGINT) AS n_files,
+       (SELECT CAST(c AS BIGINT) FROM base) AS records,
+       CAST(2 AS BIGINT) AS n_snapshots, CAST(2 AS BIGINT) AS n_manifests
+UNION ALL
+SELECT 1, CAST(1 AS BIGINT), (SELECT CAST(c AS BIGINT) FROM deld),
+       CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+ORDER BY content""",
+)
+def iceberg_meta(spark, sf_dir):
+    """Iceberg metadata tables (round 11,
+    sources/iceberg.iceberg_metadata_table — the `SELECT * FROM
+    t.files / snapshots / manifests` surface a migrating user queries
+    first): a table is written from orders (snapshot 1, one data
+    file), position deletes commit snapshot 2 (one delete file), and
+    the FILES table of the current snapshot is aggregated per content
+    tier with the snapshot and manifest counts joined in. The oracle
+    recomputes every number from the relational source: data-file
+    record_count == the subset cardinality, delete-file record_count
+    == the deleted-key count, 2 snapshots, 2 listed manifests. A
+    manifest replay that drops entries, inherits the wrong
+    sequence number, or rewrites record counts shifts a cell."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_add_position_deletes,
+        iceberg_live_files,
+        iceberg_metadata_table,
+        write_iceberg,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).filter(F.col("o_orderkey") % 10 < 3)
+    root = os.path.join(tempfile.gettempdir(), f"gdc_icemeta_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    write_iceberg(spark, o.coalesce(1), t)
+    scan = spark.read.parquet(*iceberg_live_files(t)).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "o_orderkey",
+    )
+    iceberg_add_position_deletes(
+        spark, t,
+        scan.filter(F.col("o_orderkey") % 20 == 0).select(
+            "file_path", "pos"
+        ),
+    )
+    files_t = iceberg_metadata_table(spark, t, "files")
+    n_snaps = iceberg_metadata_table(spark, t, "snapshots").count()
+    n_mans = iceberg_metadata_table(spark, t, "manifests").count()
+    return (
+        files_t.groupBy("content")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("record_count").alias("records"),
+        )
+        .withColumn("n_snapshots", F.lit(n_snaps).cast("long"))
+        .withColumn("n_manifests", F.lit(n_mans).cast("long"))
+        .orderBy("content")
+    )

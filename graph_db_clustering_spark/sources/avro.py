@@ -13,10 +13,11 @@ Scope: record schemas over the primitive types, nullable unions, and —
 round 7 — the full complex-type set: nested records, arrays, maps,
 enums, fixed, and named-type references (a record/enum/fixed defined
 once and referenced by name later in the schema), plus all three
-spec codecs: null, deflate, snappy, bzip2, xz (round 10; the
-latter via the pure-Python functions/snappy block codec, with the
-Avro-mandated big-endian CRC32-of-uncompressed trailer verified per
-block), and general unions via the public spark-avro mapping
+spec codecs: null, deflate, snappy, bzip2, xz, and — round 11 —
+zstandard (snappy via the pure-Python functions/snappy block codec
+with the Avro-mandated big-endian CRC32-of-uncompressed trailer
+verified per block; zstandard via the pure-Python RFC 8878 frame
+decoder functions/zstd, cross-checked against libzstd), and general unions via the public spark-avro mapping
 convention ({int,long} promotes to long, {float,double} to double,
 anything else becomes struct<member0, member1, ...> over the non-null
 branches). The one remaining gate, loud and scoped: recursive type
@@ -510,10 +511,6 @@ def _read_header_inner(blob: bytes):
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
-    if codec == "zstandard":
-        # spec-listed but no stdlib decoder exists here; keep it a
-        # loud gate rather than a silent misread
-        raise NotImplementedError("avro codec 'zstandard' not supported")
     if "avro.schema" not in meta:
         raise AvroError("avro: container metadata missing avro.schema")
     fields = parse_schema(meta["avro.schema"].decode())
@@ -581,6 +578,16 @@ def _decode_blocks(blob, fields, codec, sync, pos) -> list[dict]:
                 raise AvroError(f"avro: corrupt snappy block ({e})")
             if zlib.crc32(block) & 0xFFFFFFFF != crc:
                 raise AvroError("avro: snappy block CRC mismatch")
+        elif codec == "zstandard":
+            # round 11: pure-Python RFC 8878 frame decoder
+            # (functions/zstd, libzstd-cross-checked); frames written
+            # by real encoders and by this repo both decode
+            from graph_db_clustering_spark.functions import zstd as _zstd
+
+            try:
+                block = _zstd.decompress(block)
+            except _zstd.ZstdError as e:
+                raise AvroError(f"avro: corrupt zstandard block ({e})")
         bpos = 0
         for _ in range(count):
             row = {}
@@ -744,6 +751,10 @@ def encode_container(
 
         crc = zlib.crc32(block) & 0xFFFFFFFF
         block = _sn.compress(block) + crc.to_bytes(4, "big")
+    elif codec == "zstandard":
+        from graph_db_clustering_spark.functions import zstd as _zstd
+
+        block = _zstd.compress(block)
     elif codec != "null":
         raise NotImplementedError(f"avro codec {codec!r} not supported")
     meta = {

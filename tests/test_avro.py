@@ -53,12 +53,14 @@ def test_zigzag_varint_edge_values():
 def test_gates():
     with pytest.raises(avro.AvroError, match="magic"):
         avro.decode_container(b"NOPE")
-    with pytest.raises(NotImplementedError, match="zstandard"):
+    with pytest.raises(avro.AvroError, match="zstandard"):
+        # round 11: zstandard DECODES now (functions/zstd); a deflate
+        # body relabeled zstandard is a corrupt frame, not a gate
+        # (value length prefixes are zigzag varints: 7 -> 0x0e, 9 -> 0x12)
         avro.decode_container(
-            # value length prefixes are zigzag varints: 7 -> 0x0e, 9 -> 0x12
-            avro.encode_container(SCHEMA, [], codec="deflate").replace(
-                b"\x0edeflate", b"\x12zstandard"
-            )
+            avro.encode_container(
+                SCHEMA, [ROWS[0]], codec="deflate"
+            ).replace(b"\x0edeflate", b"\x12zstandard")
         )
     # round 9: recursion PARSES (lazy reps); only the Spark-schema
     # surface gates when no unroll depth is given
@@ -433,7 +435,8 @@ def test_recursive_schema_unrolls_to_depth(spark, tmp_path):
 
 def test_bzip2_and_xz_codecs_roundtrip():
     """Round 10: the spec's bzip2 and xz container codecs (stdlib
-    decoders) round-trip; zstandard stays a loud gate."""
+    decoders) round-trip; round 11: zstandard round-trips too
+    (functions/zstd), and a relabeled non-frame block is corrupt."""
     from graph_db_clustering_spark.sources.avro import (
         decode_container,
         encode_container,
@@ -443,12 +446,13 @@ def test_bzip2_and_xz_codecs_roundtrip():
         {"name": "a", "type": "long"}, {"name": "b", "type": "string"},
     ]}
     rows = [{"a": i, "b": f"s{i}" * (i % 5)} for i in range(200)]
-    for codec in ("bzip2", "xz"):
+    for codec in ("bzip2", "xz", "zstandard"):
         blob = encode_container(schema, rows, codec=codec)
         _f, got = decode_container(blob)
         assert got == rows, codec
-    with pytest.raises(NotImplementedError, match="zstandard"):
+    with pytest.raises(avro.AvroError, match="zstandard"):
         blob = bytearray(encode_container(schema, rows, codec="null"))
-        # rewrite the codec metadata value in place
+        # rewrite the codec metadata value in place: raw bytes are not
+        # a zstd frame -> corrupt, loudly
         blob2 = bytes(blob).replace(b"\x08null", b"\x12zstandard")
         decode_container(blob2)

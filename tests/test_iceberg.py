@@ -897,3 +897,64 @@ def test_iceberg_position_delete_commit_preserves_format(spark, tmp_path):
     with pytest.raises(NotImplementedError,
                        match="row-level deletes over ORC"):
         read_iceberg(spark, root)
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    """Round 11: snapshots/files/manifests/history inspection tables,
+    record_count preservation through a delete commit (the 'or 1'
+    regression), and the empty-part-file skip in the writer."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        IcebergError,
+        iceberg_add_position_deletes,
+        iceberg_live_files,
+        iceberg_metadata_table,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "meta_t")
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).filter(F.col("o_orderkey") % 10 < 3)
+    n = o.count()
+    # repartition(4) yields some empty part files on this tiny subset
+    # when paired with a narrow filter; the writer must skip 0-row
+    # files rather than committing them
+    write_iceberg(spark, o.repartition(4), t)
+    files_t = iceberg_metadata_table(spark, t, "files")
+    rows = files_t.collect()
+    assert all(r["record_count"] > 0 for r in rows)
+    assert sum(r["record_count"] for r in rows) == n
+    n_data_files = len(rows)
+
+    scan = spark.read.parquet(*iceberg_live_files(t)).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "o_orderkey",
+    )
+    dels = scan.filter(F.col("o_orderkey") % 20 == 0).select(
+        "file_path", "pos"
+    )
+    nd = dels.count()
+    iceberg_add_position_deletes(spark, t, dels)
+
+    files2 = iceberg_metadata_table(spark, t, "files")
+    by_content = {
+        r["content"]: (r["n"], r["rc"])
+        for r in files2.groupBy("content").agg(
+            F.count("*").alias("n"), F.sum("record_count").alias("rc")
+        ).collect()
+    }
+    # data entries re-listed with their TRUE record counts, not 1
+    assert by_content[0] == (n_data_files, n)
+    assert by_content[1] == (1, nd)
+
+    snaps = iceberg_metadata_table(spark, t, "snapshots").collect()
+    assert [r["snapshot_id"] for r in snaps] == [1, 2]
+    mans = iceberg_metadata_table(spark, t, "manifests").collect()
+    assert len(mans) == 2
+    assert {r["added_snapshot_id"] for r in mans} == {1, 2}
+    hist = iceberg_metadata_table(spark, t, "history").collect()
+    assert [r["snapshot_id"] for r in hist] == [1, 2]
+    assert hist[-1]["is_current_ancestor"] is True
+    with pytest.raises(IcebergError, match="unknown metadata table"):
+        iceberg_metadata_table(spark, t, "partitions")
