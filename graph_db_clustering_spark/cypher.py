@@ -1709,10 +1709,26 @@ class CypherSession:
             prev_node, prev_bound = name0, nf0 is not None
             for epat, npat in zip(path.edges, path.nodes[1:]):
                 nname = npat.var or fresh("n")
+                # repeated variable within one path ((a)-[:T]->(a), the
+                # TCK self-loop shape): constrain against the EXISTING
+                # binding instead of re-joining a second frame under
+                # the same name (which is an ambiguous self-join)
+                repeated = npat.var is not None and npat.var in (
+                    [name0] + bound_here
+                )
+                if repeated and (npat.label is not None or npat.props):
+                    raise ValueError(
+                        f"cypher: variable {npat.var!r} is already bound "
+                        "in this pattern; restate constraints in WHERE"
+                    )
                 unconstrained = (
                     npat.var is None and npat.label is None and not npat.props
                 )
-                nf = None if unconstrained else self._node_frame(npat, nname, params)
+                nf = (
+                    None
+                    if unconstrained or repeated
+                    else self._node_frame(npat, nname, params)
+                )
 
                 if epat.hops is not None:
                     if epat.var is not None:
@@ -1775,7 +1791,11 @@ class CypherSession:
                                 ],
                             ).alias(ename)
                         )
-                        ef = fwd.unionByName(rev) if prev_bound or nf is not None else fwd
+                        ef = (
+                            fwd.unionByName(rev)
+                            if prev_bound or nf is not None or repeated
+                            else fwd
+                        )
                         lcol, rcol = (
                             F.col(ename).getField("src"),
                             F.col(ename).getField("dst"),
@@ -1791,7 +1811,11 @@ class CypherSession:
                     pdf = pdf.crossJoin(ef)
                 if nf is not None:
                     pdf = pdf.join(nf, rcol == F.col(nname).getField("id"))
-                prev_node, prev_bound = nname, nf is not None
+                elif repeated:
+                    pdf = pdf.filter(
+                        rcol == F.col(nname).getField("id")
+                    )
+                prev_node, prev_bound = nname, nf is not None or repeated
                 bound_here.extend([ename, nname])
 
             if pdf is None:
@@ -2291,45 +2315,157 @@ class CypherSession:
 
     def _create(self, ctx: _Ctx, c: CreateC, params) -> None:
         base = ctx.df if ctx.df is not None else None
+
+        def _bound(var):
+            return (
+                var is not None
+                and base is not None
+                and var in base.columns
+            )
+
+        simple = all(
+            len(p.nodes) == 1
+            or (
+                len(p.nodes) == 2
+                and len(p.edges) == 1
+                and _bound(p.nodes[0].var)
+                and _bound(p.nodes[1].var)
+            )
+            for p in c.paths
+        )
+        if simple:
+            for path in c.paths:
+                if len(path.nodes) == 1:
+                    pat = path.nodes[0]
+                    props = {
+                        k: self._expr(e, base, params)
+                        for k, e in pat.props.items()
+                    }
+                    cols = [col.alias(k) for k, col in props.items()]
+                    if pat.label is not None:
+                        cols.append(F.lit(pat.label).alias(LABEL_COL))
+                    rows = (
+                        base.select(*cols)
+                        if base is not None
+                        else self._one_row().select(*cols)
+                    )
+                    pc = _PendingCreate("node", rows)
+                    if pat.var:
+                        ctx.created[pat.var] = pc
+                    ctx.ops.append(pc)
+                else:
+                    a, epat, b = path.nodes[0], path.edges[0], path.nodes[1]
+                    if epat.direction == "in":
+                        a, b = b, a
+                    props = {
+                        k: self._expr(e, base, params)
+                        for k, e in epat.props.items()
+                    }
+                    rows = base.select(
+                        F.col(a.var).getField("id").alias("src"),
+                        F.col(b.var).getField("id").alias("dst"),
+                        F.lit(epat.rel).alias("relationship"),
+                        *[col.alias(k) for k, col in props.items()],
+                    )
+                    pc = _PendingCreate("edge", rows)
+                    if epat.var:
+                        ctx.created[epat.var] = pc
+                    ctx.ops.append(pc)
+            return
+        # Full-pattern CREATE (round 11, openCypher TCK setup shape):
+        # `CREATE (a:A)-[:T]->(b:B), (b)-[:S]->(c)` — inline nodes get
+        # sequential SLOT numbers resolved to real ids at apply time
+        # (id = offset + rid*k + slot), so edges between not-yet-created
+        # endpoints resolve batch-side with zero driver loops.
+        work = base if base is not None else self._one_row()
+        order = work.columns if work.columns else [F.lit(1)]
+        rid = F.row_number().over(Window.orderBy(*order)) - 1
+        work = work.withColumn("__rid", rid.cast("long"))
+        slots: dict[str, int] = {}
+        inline: list = []  # (slot, NodePat)
+        node_ref: dict = {}
+
         for path in c.paths:
-            if len(path.nodes) == 1:
-                pat = path.nodes[0]
-                props = {
-                    k: self._expr(e, base, params) for k, e in pat.props.items()
-                }
-                cols = [col.alias(k) for k, col in props.items()]
-                if pat.label is not None:
-                    cols.append(F.lit(pat.label).alias(LABEL_COL))
-                rows = (
-                    base.select(*cols)
-                    if base is not None
-                    else self._one_row().select(*cols)
-                )
-                pc = _PendingCreate("node", rows)
-                if pat.var:
-                    ctx.created[pat.var] = pc
-                ctx.ops.append(pc)
-            else:
-                if len(path.nodes) != 2 or len(path.edges) != 1:
-                    raise ValueError("cypher: CREATE supports single-hop paths")
-                a, epat, b = path.nodes[0], path.edges[0], path.nodes[1]
-                if a.var is None or b.var is None:
-                    raise ValueError("cypher: CREATE edge endpoints must be bound")
+            for np_ in path.nodes:
+                key = id(np_)
+                if _bound(np_.var):
+                    node_ref[key] = ("bound", np_.var)
+                    continue
+                if np_.var is not None and np_.var in slots:
+                    if np_.label is not None or np_.props:
+                        raise ValueError(
+                            f"cypher: CREATE variable {np_.var!r} "
+                            "already bound in this statement"
+                        )
+                    node_ref[key] = ("new", slots[np_.var])
+                    continue
+                slot = len(inline)
+                inline.append(np_)
+                if np_.var is not None:
+                    slots[np_.var] = slot
+                node_ref[key] = ("new", slot)
+        k = max(len(inline), 1)
+        node_rows = None
+        for slot, np_ in enumerate(inline):
+            cols = [
+                self._expr(e, work, params).alias(kk)
+                for kk, e in np_.props.items()
+            ]
+            if np_.label is not None:
+                cols.append(F.lit(np_.label).alias(LABEL_COL))
+            r = work.select(
+                (F.col("__rid") * k + slot).alias("__seq"), *cols
+            )
+            node_rows = (
+                r
+                if node_rows is None
+                else node_rows.unionByName(r, allowMissingColumns=True)
+            )
+        edge_rows = None
+        for path in c.paths:
+            for j, epat in enumerate(path.edges):
+                if epat.rel is None:
+                    raise ValueError(
+                        "cypher: CREATE edge needs a relationship type"
+                    )
+                a_i, b_i = path.nodes[j], path.nodes[j + 1]
                 if epat.direction == "in":
-                    a, b = b, a
+                    a_i, b_i = b_i, a_i
+
+                def _endpoint(np_):
+                    kind, v = node_ref[id(np_)]
+                    if kind == "bound":
+                        return (
+                            F.col(v).getField("id").cast("long"),
+                            F.lit(None).cast("long"),
+                        )
+                    return (
+                        F.lit(None).cast("long"),
+                        (F.col("__rid") * k + v).cast("long"),
+                    )
+
+                sa, ss = _endpoint(a_i)
+                da, ds = _endpoint(b_i)
                 props = {
-                    k: self._expr(e, base, params) for k, e in epat.props.items()
+                    kk: self._expr(e, work, params)
+                    for kk, e in epat.props.items()
                 }
-                rows = base.select(
-                    F.col(a.var).getField("id").alias("src"),
-                    F.col(b.var).getField("id").alias("dst"),
+                r = work.select(
+                    sa.alias("__src_abs"),
+                    ss.alias("__src_seq"),
+                    da.alias("__dst_abs"),
+                    ds.alias("__dst_seq"),
                     F.lit(epat.rel).alias("relationship"),
-                    *[col.alias(k) for k, col in props.items()],
+                    *[col.alias(kk) for kk, col in props.items()],
                 )
-                pc = _PendingCreate("edge", rows)
-                if epat.var:
-                    ctx.created[epat.var] = pc
-                ctx.ops.append(pc)
+                edge_rows = (
+                    r
+                    if edge_rows is None
+                    else edge_rows.unionByName(
+                        r, allowMissingColumns=True
+                    )
+                )
+        ctx.ops.append(_PendingCreate("pattern", (node_rows, edge_rows)))
 
     def _merge(self, ctx: _Ctx, c: MergeC, params) -> None:
         """MERGE = match-or-create, compiled as an upsert over the pattern's
@@ -2760,6 +2896,46 @@ class CypherSession:
                         "id", (F.row_number().over(w) + offset - 1).cast("long")
                     )
                     g = g.add_vertices(rows)
+                elif op.kind == "pattern":
+                    node_rows, edge_rows = op.df
+                    offset = (
+                        g.vertices.agg(F.max("id")).collect()[0][0] or 0
+                    ) + 1
+                    if node_rows is not None:
+                        rows = node_rows.withColumn(
+                            "id", (F.col("__seq") + offset).cast("long")
+                        ).drop("__seq")
+                        g = g.add_vertices(rows)
+                    if edge_rows is not None:
+                        eoff = (
+                            g.edges.agg(F.max("eid")).collect()[0][0] or 0
+                        ) + 1
+                        src = F.coalesce(
+                            F.col("__src_abs"),
+                            F.col("__src_seq") + offset,
+                        ).cast("long")
+                        dst = F.coalesce(
+                            F.col("__dst_abs"),
+                            F.col("__dst_seq") + offset,
+                        ).cast("long")
+                        keep = [
+                            c for c in edge_rows.columns
+                            if not c.startswith("__")
+                        ]
+                        erows = edge_rows.select(
+                            src.alias("src"), dst.alias("dst"), *keep
+                        )
+                        w = Window.orderBy("src", "dst", "relationship")
+                        erows = erows.withColumn(
+                            "eid",
+                            (F.row_number().over(w) + eoff - 1).cast("long"),
+                        )
+                        g = Graph(
+                            g.vertices,
+                            g.edges.unionByName(
+                                erows, allowMissingColumns=True
+                            ),
+                        )
                 else:
                     offset = (g.edges.agg(F.max("eid")).collect()[0][0] or 0) + 1
                     w = Window.orderBy("src", "dst")
@@ -2897,6 +3073,19 @@ class CypherSession:
                 return self._lambda_env[e.name]
             return F.col(e.name)
         if isinstance(e, Prop):
+            # openCypher: accessing a property a node/edge does not HAVE
+            # is null, not an error — when the base is a plain bound
+            # variable whose struct schema lacks the field entirely
+            # (no node in the whole graph carries it), compile to null
+            if (
+                isinstance(e.base, Var)
+                and e.base.name not in self._lambda_env
+                and df is not None
+                and e.base.name in df.columns
+            ):
+                dt = df.schema[e.base.name].dataType
+                if isinstance(dt, T.StructType) and e.name not in dt.names:
+                    return F.lit(None)
             return self._expr(e.base, df, params).getField(e.name)
         if isinstance(e, Index):
             return self._expr(e.base, df, params).getItem(e.idx)
