@@ -47,7 +47,92 @@ HEAVY = [
     "pca_embed",
     "gmm_embed",
     "fuzzy_names_5k",
+    # round 11 (VERDICT r10 #8): the three heaviest round-8/9 families
+    # without a measured growth bound — the point-mass collapse, the
+    # banded hamming join, and the contraction loop
+    "semantic_dedup_5k",
+    "image_near_dups_3k",
+    "graph_louvain_3k",
 ]
+
+
+def semantic_dedup_5k(spark, sf_dir):
+    """SemDeDup scale row (VERDICT r10 #8): per-replica slice of 500
+    vectors (5k at 10x). Replica embeddings carry per-replica SIGN
+    patterns (see build_scale_corpus), so cross-replica cosines land
+    near 0 and the dup structure stays within-replica — growth
+    measures the PLAN (cluster join, point-mass collapse, CC loop),
+    not an artificial dup explosion. k scales with N (constant ~64
+    expected cluster size, the SemDeDup paper's trade), exactly how
+    the operator is meant to be driven at 100 TB."""
+    from graph_db_clustering_spark.operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") % 1_000_000) < 500
+    )
+    n = emb.count()
+    return dedup.semantic_dedup(
+        emb, k=max(8, n // 64), threshold=0.95, max_iter=10
+    )
+
+
+def image_near_dups_3k(spark, sf_dir):
+    """Perceptual-dedup scale row: the image_near_dups entry's planted
+    within-replica dup groups over 300 docs PER replica (3k at 10x) —
+    dhash, banding, and the hamming candidate join. Replica texts are
+    token-prefixed, so images (a pure function of text) never collide
+    across replicas: candidate growth must stay ~linear."""
+    from graph_db_clustering_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 1_000_000) < 300
+    )
+    leaders = docs.select(
+        F.col("doc_id").alias("leader_id"),
+        F.col("text").alias("leader_text"),
+    )
+    grouped = docs.select(
+        "doc_id",
+        (
+            F.floor((F.col("doc_id") % 1_000_000) / 3) * 3
+            + (F.col("doc_id") - F.col("doc_id") % 1_000_000)
+        ).alias("leader_id"),
+    ).join(leaders, "leader_id")
+    imgs = multimodal.synthetic_images_from_documents(
+        grouped.select("doc_id", F.col("leader_text").alias("text")),
+        "doc_id",
+        "text",
+        side=16,
+    )
+    hashes = multimodal.dhash(imgs)
+    return multimodal.image_near_dups(hashes, max_hamming=0)
+
+
+def graph_louvain_3k(spark, sf_dir):
+    """Louvain scale row: same-nation cliques over 300 customers PER
+    replica (3k vertices / 10x cliques at 10x — replica nations are
+    offset, so cliques stay disjoint). Growth watches the modularity
+    sweep + contraction loop, the shape most likely to hide a
+    super-linear term."""
+    from graph_db_clustering_spark.operators.graph import Graph
+    from graph_db_clustering_spark.operators.graph_algos import louvain
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 1_000_000) < 300)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    a = c.select(F.col("id").alias("src"), F.col("nation"))
+    b = c.select(F.col("id").alias("dst"), F.col("nation"))
+    edges = (
+        a.join(b, "nation")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.lit("same_nation").alias("relationship"))
+    )
+    return louvain(Graph(c, edges))
 
 
 def fuzzy_names_5k(spark, sf_dir):
@@ -67,7 +152,7 @@ def fuzzy_names_5k(spark, sf_dir):
     ).select("p_partkey", "p_name", "p_brand")
     return fuzzy_name_pairs(part, "p_partkey", "p_name", ["p_brand"])
 
-_VERSION = "v2"  # bump to invalidate cached corpora
+_VERSION = "v3"  # bump to invalidate cached corpora
 
 
 def build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
@@ -96,11 +181,24 @@ def build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
     )
 
     emb = load_table(spark, src_dir, "embeddings")
+    # round 11 (v3): per-replica deterministic SIGN patterns replace the
+    # old scale-and-shift perturbation. Within a replica every cosine is
+    # unchanged (coordinates flip together); ACROSS replicas the sign
+    # patterns differ per coordinate, scrambling cosines toward 0 — so
+    # semantic-dedup structure stays within-replica (the old scheme's
+    # near-colinear clones would have made every clone a 0.95-cosine
+    # dup of its source, an artificial quadratic dup mass). Replica 0
+    # stays byte-identical.
     perturbed = F.transform(
         "embedding",
-        lambda x: (
-            x * (1.0 + F.col("__rep") * 0.003) + F.col("__rep") * 0.0011
-        ).cast("float"),
+        lambda x, i: F.when(F.col("__rep") == 0, x).otherwise(
+            x
+            * (
+                1
+                - 2 * ((i * 7 + F.col("__rep") * 13) % 2)
+            ).cast("float")
+            * (1.0 + F.col("__rep") * 0.003).cast("float")
+        ),
     )
     big_emb = emb.crossJoin(reps).select(
         (F.col("__rep") * 1_000_000 + F.col("vec_id")).alias("vec_id"),
@@ -109,6 +207,22 @@ def build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
     )
     big_emb.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
+    )
+
+    # round 11: customer feeds the graph_louvain_3k row; per-replica
+    # NATION offsets keep the same-nation cliques disjoint across
+    # replicas (10x data = 10x cliques of constant size)
+    cust = load_table(spark, src_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    big_cust = cust.crossJoin(reps).select(
+        (F.col("__rep") * 1_000_000 + F.col("c_custkey")).alias(
+            "c_custkey"
+        ),
+        (F.col("__rep") * 100 + F.col("c_nationkey")).alias("c_nationkey"),
+    )
+    big_cust.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "customer.parquet")
     )
 
     # round 10: the record-linkage tier (fuzzy_names) blocks on
@@ -170,7 +284,7 @@ def main() -> None:
 
     spark = get_spark("gdc-spark-bench-scale")
     sf_dir = ensure_scale_corpus(spark, src_dir, factor)
-    for t in ("documents", "embeddings", "part"):
+    for t in ("documents", "embeddings", "part", "customer"):
         load_table(spark, sf_dir, t).count()
     warm_python_workers(spark)
 
@@ -181,14 +295,23 @@ def main() -> None:
     serve_index = ivfpq_serve_setup(spark, sf_dir)
     queries = dict(QUERIES)
     queries["ann_ivfpq_serve"] = ivfpq_serve_query(serve_index)
-    queries["fuzzy_names_5k"] = fuzzy_names_5k
-    # in-run sf0.1 baseline for the linkage row (not in bench.py's set)
-    base_samples = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        materialize(fuzzy_names_5k(spark, src_dir))
-        base_samples.append(time.perf_counter() - t0)
-    fuzzy_base = round(min(base_samples), 3)
+    extra = {
+        "fuzzy_names_5k": fuzzy_names_5k,
+        "semantic_dedup_5k": semantic_dedup_5k,
+        "image_near_dups_3k": image_near_dups_3k,
+        "graph_louvain_3k": graph_louvain_3k,
+    }
+    queries.update(extra)
+    # in-run sf0.1 baselines for rows not in bench.py's set
+    extra_base: dict[str, float] = {}
+    for name, fn in extra.items():
+        base_samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            materialize(fn(spark, src_dir))
+            base_samples.append(time.perf_counter() - t0)
+        extra_base[name] = round(min(base_samples), 3)
+    fuzzy_base = extra_base["fuzzy_names_5k"]
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEAVY:
@@ -214,6 +337,7 @@ def main() -> None:
                 "scale_dir": sf_dir,
                 "method": f"min_of_{runs}_runs",
                 "fuzzy_names_5k_base_sf01": fuzzy_base,
+                "extra_base_sf01": extra_base,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "cpus": os.cpu_count(),
