@@ -2061,3 +2061,148 @@ def iceberg_meta(spark, sf_dir):
         .withColumn("n_manifests", F.lit(n_mans).cast("long"))
         .orderBy("content")
     )
+
+
+@declared(
+    "iceberg_deletes_orc",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE (l_quantity < 25 AND l_returnflag <> 'R' AND l_orderkey % 7 <> 0)
+   OR l_quantity >= 40
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def iceberg_deletes_orc(spark, sf_dir):
+    """Round 11 (VERDICT r10 #10 stretch): the iceberg_deletes
+    semantics — equality delete on 'R' at seq 2 hitting only the seq-1
+    file, position delete on the old file's %7 rows — but the DATA
+    files are ORC, whose Spark scan exposes no _metadata.row_index.
+    Per-file ordinals are SYNTHESIZED from split-block offsets
+    (sources/iceberg._orc_scan_with_pos, equality-with-parquet pinned
+    by a property test). The old file is written in a deterministic
+    sort order so the position-delete pairs are computable without
+    reading the file back; delete files stay parquet per the spec."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from graph_db_clustering_spark.sources.avro import encode_container
+    from graph_db_clustering_spark.sources.iceberg import read_iceberg
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"gdc_icedelorc_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    os.makedirs(os.path.join(t, "metadata"))
+    os.makedirs(os.path.join(t, "data"))
+    paths = {}
+    sort_keys = ["l_orderkey", "l_quantity", "l_returnflag"]
+
+    def land(name, df, fmt):
+        stage = os.path.join(root, f"stage_{name}")
+        w = df.repartition(1)
+        if fmt == "orc":
+            w = w.sortWithinPartitions(*sort_keys)
+            w.write.mode("overwrite").orc(stage)
+        else:
+            w.write.mode("overwrite").parquet(stage)
+        part = [
+            p for p in os.listdir(stage) if p.endswith(f".{fmt}")
+        ][0]
+        dest = os.path.join(t, "data", f"{name}.{fmt}")
+        os.replace(os.path.join(stage, part), dest)
+        paths[name] = dest
+
+    old = li.filter(F.col("l_quantity") < 25)
+    land("old", old, "orc")
+    land("new", li.filter(F.col("l_quantity") >= 40), "orc")
+    land("ed", spark.createDataFrame([("R",)], "l_returnflag string"),
+         "parquet")
+    # position delete: ordinals of the %7 rows in the SORTED order the
+    # old file was written in (identical rows tie-break arbitrarily but
+    # share the predicate, so the position SET is well-defined)
+    pos = (
+        old.withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy(*sort_keys)) - 1,
+        )
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(F.lit(paths["old"]).alias("file_path"),
+                F.col("pos").cast("long"))
+    )
+    land("pd", pos, "parquet")
+
+    man_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "content", "type": "int"},
+                    {"name": "equality_ids",
+                     "type": {"type": "array", "items": "int"}},
+                ]}},
+        ]}
+    list_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+        ]}
+
+    def entry(name, seq, content, fmt, eq_ids=()):
+        return {"status": 1, "sequence_number": seq, "data_file": {
+            "file_path": paths[name], "file_format": fmt,
+            "record_count": 1, "content": content,
+            "equality_ids": list(eq_ids)}}
+
+    def avro(p, schema, rows):
+        with open(p, "wb") as f:
+            f.write(encode_container(schema, rows, codec="null"))
+
+    m = os.path.join(t, "metadata", "m1.avro")
+    avro(m, man_schema, [
+        entry("old", 1, 0, "ORC"),
+        entry("new", 3, 0, "ORC"),
+        entry("ed", 2, 2, "PARQUET", eq_ids=[3]),
+        entry("pd", 2, 1, "PARQUET"),
+    ])
+    ml = os.path.join(t, "metadata", "snap-1.avro")
+    avro(ml, list_schema, [{"manifest_path": m, "manifest_length": 1}])
+    meta = {
+        "format-version": 2, "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "l_orderkey", "type": "long"},
+            {"id": 2, "name": "l_quantity", "type": "double"},
+            {"id": 3, "name": "l_returnflag", "type": "string"},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(t, "metadata", "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    dt = read_iceberg(spark, t)
+    return (
+        dt.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -34,11 +34,12 @@ bounds through monotonic transforms (truncate, time ordinals) to
 manifest-value bounds, and point queries through `bucket`. Unknown
 transforms still raise loudly.
 
-Remaining loud gates: row-level deletes over non-PARQUET data files
-(Spark's _metadata.row_index is parquet-only; delete-free ORC
-snapshots scan natively and delete-free AVRO snapshots read through
-the repo's own distributed Avro decoder, round 10); mixed-format
-snapshots; unknown transforms.
+Round 11: row-level deletes over ORC data files WORK — per-file row
+ordinals are synthesized from split-block offsets
+(_orc_scan_with_pos; proven equal to parquet's real row_index by a
+property test). Remaining loud gates: row-level deletes over AVRO
+data files (the repo's Avro decode path has no per-file ordinal
+surface yet); mixed-format snapshots; unknown transforms.
 
 Like sources/delta: only the KB-scale metadata replays on the driver;
 the data scan is handed to the native parquet reader, fully
@@ -453,6 +454,65 @@ def _read_avro_files(spark: SparkSession, paths: list) -> DataFrame:
     return parse_avro_blobs(blobs, fields)
 
 
+def _orc_scan_with_pos(spark: SparkSession, paths: list) -> DataFrame:
+    """Native ORC scan with SYNTHESIZED per-file row ordinals
+    (`__fp`, `__pos` — the columns parquet gets from
+    _metadata.row_index, which Spark's ORC reader does not expose).
+
+    Two passes over the data: (1) per-(file, split-block) row counts
+    aggregate to the driver — O(splits), the same scale class as the
+    manifest replay — and cumulative offsets per file broadcast back;
+    (2) an Arrow-batched pass attaches block-local running indexes on
+    executors. Correct iff the reader emits each split's rows in file
+    order, which Spark's ORC scan does for filterless scans (stripes
+    stream sequentially); the property is PINNED by a test comparing
+    the synthesized ordinals against a parquet twin's real row_index
+    on identical data (tests/test_iceberg.py) — if a Spark upgrade
+    ever reorders, that test fails before any silent wrong delete."""
+    # NB: unlike read.parquet(*paths), read.orc's extra POSITIONAL
+    # args are option values (mergeSchema, ...) — pass ONE list
+    base = spark.read.orc(sorted(set(paths))).withColumns({
+        "__fp": F.regexp_replace(
+            F.col("_metadata.file_path"), _FP_NORM, "/"
+        ),
+        "__blk": F.col("_metadata.file_block_start"),
+    })
+    counts = base.groupBy("__fp", "__blk").count().collect()
+    by_fp: dict = {}
+    for r in counts:
+        by_fp.setdefault(r["__fp"], []).append((r["__blk"], r["count"]))
+    offsets: dict = {}
+    for fp, blocks in by_fp.items():
+        run = 0
+        for blk, cnt in sorted(blocks):
+            offsets[(fp, blk)] = run
+            run += cnt
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [f for f in base.schema.fields if f.name != "__blk"]
+        + [StructField("__pos", LongType())]
+    )
+
+    def attach(it):
+        import numpy as np
+
+        seen: dict = {}
+        for pdf in it:
+            pos = np.empty(len(pdf), dtype=np.int64)
+            groups = pdf.groupby(["__fp", "__blk"], sort=False).indices
+            for key, idx in groups.items():
+                done = seen.get(key, 0)
+                pos[idx] = offsets[key] + done + np.arange(len(idx))
+                seen[key] = done + len(idx)
+            out = pdf.drop(columns=["__blk"])
+            out["__pos"] = pos
+            yield out
+
+    return base.mapInPandas(attach, schema)
+
+
 def _scan_with_deletes(
     spark: SparkSession, path: str, data: list, dels: list, meta: dict
 ) -> DataFrame:
@@ -475,20 +535,22 @@ def _scan_with_deletes(
             )
         return _read_avro_files(spark, [d["path"] for d in data])
     # PARQUET and ORC (round 10) both scan natively; row-level deletes
-    # need the parquet scan's _metadata.row_index (ORC's _metadata has
-    # no row_index in Spark), so deletes over ORC gate loudly
+    # need per-file row ordinals — parquet's _metadata.row_index, or
+    # (round 11, VERDICT r10 #10) a SYNTHESIZED ordinal for ORC, whose
+    # _metadata carries no row_index in Spark
     native = (
         spark.read.parquet if fmt == "PARQUET" else spark.read.orc
     )
     if not dels:
-        return native(*sorted({d["path"] for d in data}))
-    if fmt != "PARQUET":
-        raise NotImplementedError(
-            f"iceberg: row-level deletes over {fmt} data files "
-            "(_metadata.row_index is parquet-only)"
-        )
+        # read.orc treats extra positional args as OPTIONS, not paths
+        # (latent multi-file bug found by the round-11 property test) —
+        # it takes ONE path-or-list; read.parquet takes *paths
+        paths = sorted({d["path"] for d in data})
+        return native(*paths) if fmt == "PARQUET" else native(paths)
 
     def scan_with_meta(paths: list) -> DataFrame:
+        if fmt == "ORC":
+            return _orc_scan_with_pos(spark, paths)
         df = native(*sorted(set(paths)))
         return df.withColumns(
             {
