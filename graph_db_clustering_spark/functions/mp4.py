@@ -144,9 +144,12 @@ def _esds_oti(data: bytes, start: int, end: int) -> int | None:
     return None
 
 
-def _sample_entry(data: bytes, stsd_body: int, stsd_end: int):
+def _sample_entry(data: bytes, stsd_body: int, stsd_end: int,
+                  handler: str | None = None):
     """First stsd sample entry -> (fourcc, width, height, resolved
-    codec name). Visual entries carry 16-bit dims at a fixed offset."""
+    codec name, sample_rate, channels). Visual entries carry 16-bit
+    dims at a fixed offset; audio entries (round 11, m4a probe)
+    carry channelcount and a 16.16 sample rate."""
     _v, _f, p = _fullbox(data, stsd_body)
     (count,) = struct.unpack(">I", data[p : p + 4])
     if count == 0:
@@ -157,6 +160,25 @@ def _sample_entry(data: bytes, stsd_body: int, stsd_end: int):
     fourcc, body, box_end = entries[0]
     codec = fourcc.decode("latin-1").strip()
     width = height = None
+    sample_rate = channels = None
+    if handler == "soun" and box_end - body >= 28:
+        # AudioSampleEntry: 8 (reserved+dref) + 8 reserved +
+        # channelcount(2) samplesize(2) pre_defined(2) reserved(2) +
+        # samplerate (16.16)
+        channels = struct.unpack(">H", data[body + 16 : body + 18])[0]
+        sample_rate = (
+            struct.unpack(">I", data[body + 24 : body + 28])[0] / 65536.0
+        )
+        if fourcc == b"mp4a":
+            esds = _child(data, body + 28, box_end, b"esds")
+            if esds is not None:
+                _v2, _f2, pp = _fullbox(data, esds[0])
+                oti = _esds_oti(data, pp, esds[1])
+                if oti == 0x40:
+                    codec = "mp4a/aac"
+                elif oti is not None:
+                    codec = f"mp4a/oti_0x{oti:02x}"
+        return fourcc, width, height, codec, sample_rate, channels
     if box_end - body >= 78:  # VisualSampleEntry fixed part (78 bytes)
         # 6 reserved + 2 dref idx + 2+2 pre/reserved + 12 pre_defined
         width, height = struct.unpack(">HH", data[body + 24 : body + 28])
@@ -170,7 +192,7 @@ def _sample_entry(data: bytes, stsd_body: int, stsd_end: int):
                     codec = "mp4v/jpeg"
                 elif oti is not None:
                     codec = f"mp4v/oti_0x{oti:02x}"
-    return fourcc, width, height, codec
+    return fourcc, width, height, codec, sample_rate, channels
 
 
 def _u32s(data: bytes, pos: int, n: int) -> np.ndarray:
@@ -265,9 +287,12 @@ def _tracks(data: bytes):
             t["stbl"] = stbl
             stsd = _child(data, stbl[0], stbl[1], b"stsd")
             if stsd is not None:
-                ent = _sample_entry(data, stsd[0], stsd[1])
+                ent = _sample_entry(
+                    data, stsd[0], stsd[1], t.get("handler")
+                )
                 if ent is not None:
-                    t["fourcc"], w, h, t["codec"] = ent
+                    (t["fourcc"], w, h, t["codec"],
+                     t["sample_rate"], t["channels"]) = ent
                     if t.get("width") in (None, 0.0) and w:
                         t["width"], t["height"] = float(w), float(h)
             stsz = _child(data, stbl[0], stbl[1], b"stsz")
@@ -300,6 +325,8 @@ def probe(data: bytes) -> dict:
             "codec": t.get("codec"),
             "width": int(t["width"]) if t.get("width") else None,
             "height": int(t["height"]) if t.get("height") else None,
+            "sample_rate": t.get("sample_rate"),
+            "channels": t.get("channels"),
             "n_samples": t.get("n_samples"),
             "duration_s": (dur / ts) if dur is not None else None,
         })
@@ -415,6 +442,68 @@ def encode(
                  + _full(b"url ", 0, 1, b""))
     dinf = _box(b"dinf", dref)
     minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def encode_audio_stub(
+    rate: int = 44100,
+    channels: int = 2,
+    duration_s: float = 1.0,
+    oti: int = 0x40,
+) -> bytes:
+    """Minimal M4A skeleton for PROBE fixtures: ftyp M4A + moov with
+    one mp4a audio track (AudioSampleEntry + esds declaring `oti`,
+    default 0x40 = AAC) and an empty mdat. Carries no samples — AAC
+    decode stays gated; this exists so the header-only audio probe has
+    a spec-shaped input."""
+    timescale = rate
+    duration = int(round(duration_s * timescale))
+    ftyp = _box(b"ftyp", b"M4A " + struct.pack(">I", 512) + b"isomiso2")
+    mdat = _box(b"mdat", b"")
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration
+    ) + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(
+        ">IIII", 0, 0, 1, 0
+    ) + struct.pack(">I", duration) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", 0, 0))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0
+    ))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun"
+                 + b"\x00" * 12 + b"Audio Handler\x00")
+    # esds: ES_Descriptor(3) > DecoderConfigDescriptor(4) with the OTI
+    dcd = bytes([0x04, 13, oti, 0x15]) + b"\x00" * 11
+    es = bytes([0x03, 3 + len(dcd), 0x00, 0x01, 0x00]) + dcd
+    esds = _full(b"esds", 0, 0, es)
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", channels, 16, 0, 0)
+        + struct.pack(">I", rate << 16)
+        + esds
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _box(b"mp4a", entry))
+    stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", smhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)

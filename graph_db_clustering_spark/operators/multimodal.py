@@ -1230,7 +1230,38 @@ def _probe_one_inner(content: bytes) -> tuple[str, int | None, int | None, float
         channels = ((body[12] >> 1) & 0x07) + 1
         total = ((body[13] & 0x0F) << 32) | _struct.unpack(">I", body[14:18])[0]
         return "flac", rate, channels, (total / rate) if rate else None
+    if content[4:8] == b"ftyp":
+        # M4A / audio-in-MP4 (round 11): header-only via functions/mp4
+        from graph_db_clustering_spark.functions import mp4 as _mp4
+
+        meta = _mp4.probe(content)
+        auds = [
+            t for t in meta["tracks"] if t.get("handler") == "soun"
+        ]
+        if not auds:
+            return "mp4", None, None, meta.get("duration_s")
+        t = auds[0]
+        rate = t.get("sample_rate")
+        return (
+            "m4a",
+            int(rate) if rate else None,
+            t.get("channels"),
+            t.get("duration_s") or meta.get("duration_s"),
+        )
     if content[:4] == b"OggS":
+        j = content.find(b"OpusHead")
+        if 0 <= j <= 200 and j + 16 <= len(content):
+            # Ogg Opus id header: version(1) channels(1) preskip(2)
+            # input_rate(4 LE); granules tick at 48 kHz regardless
+            channels = content[j + 9]
+            (rate,) = _struct.unpack("<I", content[j + 12 : j + 16])
+            dur = None
+            k = content.rfind(b"OggS")
+            if k >= 0 and k + 14 <= len(content):
+                (gran,) = _struct.unpack("<q", content[k + 6 : k + 14])
+                if gran > 0:
+                    dur = gran / 48000.0
+            return "ogg-opus", rate or None, channels, dur
         i = content.find(b"\x01vorbis")
         if i >= 0 and i + 16 <= len(content):
             channels = content[i + 11]
@@ -1575,6 +1606,20 @@ def _video_probe_one(
             w, h = _struct.unpack("<HH", content[6:10])
             n, dur = _gif.frame_count_and_duration(content)
             return "gif", "gif-lzw", w, h, n, dur
+        if content[:4] == b"\x1aE\xdf\xa3":  # EBML: WebM / Matroska
+            from graph_db_clustering_spark.functions import matroska as _mk
+
+            meta = _mk.probe(content)
+            vids = [
+                t for t in meta["tracks"] if t.get("type") == "video"
+            ]
+            t = vids[0] if vids else (
+                meta["tracks"][0] if meta["tracks"] else {}
+            )
+            return (
+                meta["container"], t.get("codec"), t.get("width"),
+                t.get("height"), None, meta["duration_s"],
+            )
         return "unknown", None, None, None, None, None
     except (ValueError, IndexError, KeyError, _struct.error):
         return "corrupt", None, None, None, None, None

@@ -228,3 +228,67 @@ def test_frame_sample_mp4_end_to_end(spark):
         assert np.array_equal(
             arr, np.repeat(frames[k][:, :, None], 3, axis=2)
         )
+
+
+def test_matroska_probe_and_video_probe_dispatch():
+    """Round 11: WebM/Matroska header-only probe — EBML walk stops at
+    the first Cluster, doctype distinguishes webm from mkv, and the
+    operator-level dispatch classifies without decoding."""
+    from graph_db_clustering_spark.functions import matroska as mk
+    from graph_db_clustering_spark.operators.multimodal import (
+        _video_probe_one,
+    )
+
+    data = mk.encode(codec="V_VP9", width=1280, height=720,
+                     duration_s=2.5)
+    p = mk.probe(data)
+    assert p["container"] == "webm" and p["duration_s"] == 2.5
+    t = p["tracks"][0]
+    assert (t["type"], t["codec"], t["width"], t["height"]) == (
+        "video", "V_VP9", 1280, 720,
+    )
+    assert _video_probe_one(data) == (
+        "webm", "V_VP9", 1280, 720, None, 2.5,
+    )
+    mkv = mk.encode(codec="V_MPEG4/ISO/AVC", doctype="matroska",
+                    width=320, height=240, duration_s=1.0)
+    assert _video_probe_one(mkv)[0] == "matroska"
+    # probe never needs cluster bytes: truncate AFTER Tracks and the
+    # header fields still come back
+    cut = data.find(b"\x1f\x43\xb6\x73")  # Cluster id
+    assert cut > 0
+    p2 = mk.probe(data[:cut])
+    assert p2["tracks"][0]["codec"] == "V_VP9"
+    with pytest.raises(ValueError):
+        mk.probe(b"NOTEBML" + b"\x00" * 20)
+    # corrupt EBML classifies as corrupt at the operator level
+    assert _video_probe_one(b"\x1aE\xdf\xa3" + b"\xff" * 4)[0] in (
+        "corrupt", "matroska",
+    )
+
+
+def test_m4a_and_opus_audio_probe():
+    """Round 11: header-only audio probing for the other two dominant
+    crawled-audio containers — M4A (mp4a sample entry: channels,
+    16.16 sample rate, esds OTI naming AAC) and Ogg Opus (OpusHead:
+    channels, input rate; duration from the 48 kHz granule)."""
+    import struct as _struct
+
+    from graph_db_clustering_spark.functions import vorbis
+    from graph_db_clustering_spark.operators.multimodal import _probe_one
+
+    m4a = mp4.encode_audio_stub(rate=22050, channels=1, duration_s=3.0)
+    t = mp4.probe(m4a)["tracks"][0]
+    assert t["codec"] == "mp4a/aac"
+    assert _probe_one(m4a) == ("m4a", 22050, 1, 3.0)
+
+    # minimal Ogg Opus: id-header packet + an EOS page with a granule
+    opus_head = (
+        b"OpusHead" + bytes([1, 2]) + _struct.pack("<H", 312)
+        + _struct.pack("<I", 48000) + _struct.pack("<h", 0) + bytes([0])
+    )
+    data = vorbis.ogg_pages(
+        [opus_head, b"OpusTags\x00\x00\x00\x00\x00\x00\x00\x00", b"\x00"],
+        granules=[0, 0, 96000],
+    )
+    assert _probe_one(data) == ("ogg-opus", 48000, 2, 2.0)
