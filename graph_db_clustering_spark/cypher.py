@@ -2138,7 +2138,12 @@ class CypherSession:
                     col = F.col(ob_cols[i])
                 else:
                     col = self._expr(e, out, params)
-                sort_cols.append(col if asc else col.desc())
+                # openCypher/Neo4j null ordering: nulls sort LAST on
+                # ASC and FIRST on DESC — the opposite of Spark's
+                # default (nulls first on asc)
+                sort_cols.append(
+                    col.asc_nulls_last() if asc else col.desc_nulls_first()
+                )
             ctx.sort = list(c.order_by)
             if not hidden:
                 out = out.orderBy(*sort_cols)

@@ -1726,3 +1726,42 @@ def synthetic_mp4s_from_documents(
         ]
     )
     return narrow.mapInPandas(assemble, out_schema)
+
+
+def synthetic_webms_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic WebM fixture (round 11): per-document metadata
+    skeletons from functions/matroska.encode — a real EBML container
+    (head, Segment, Info, Tracks, empty Cluster) with doc-derived
+    codec/dims/duration and NO media payload, exactly what the
+    header-only probe path consumes. VP8/VP9 alternate by id so the
+    probe's codec surface is exercised."""
+    from graph_db_clustering_spark.functions import matroska as mk_codec
+
+    narrow = docs.select(F.col(id_col).alias("video_id"))
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for rid in pdf["video_id"]:
+                rid = int(rid)
+                rows.append((
+                    rid,
+                    bytearray(mk_codec.encode(
+                        codec="V_VP9" if rid % 2 == 0 else "V_VP8",
+                        width=320 + 16 * (rid % 4),
+                        height=180 + 9 * (rid % 4),
+                        duration_s=1.0 + 0.5 * (rid % 3),
+                    )),
+                ))
+        yield pd.DataFrame(rows, columns=["video_id", "content"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("video_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return narrow.mapInPandas(assemble, out_schema)

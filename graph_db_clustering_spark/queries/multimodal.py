@@ -578,3 +578,39 @@ def audio_vorbis(spark, sf_dir):
         F.col("n_samples").cast("long").alias("n_samples"),
         F.round(F.col("duration_s"), 4).alias("duration_s"),
     ).orderBy("doc_id")
+
+
+@declared(
+    "video_probe_webm",
+    "SELECT doc_id AS video_id, 'webm' AS container, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END AS codec, "
+    "CAST(320 + 16 * (doc_id % 4) AS INT) AS width, "
+    "CAST(180 + 9 * (doc_id % 4) AS INT) AS height, "
+    "CAST(1.0 + 0.5 * (doc_id % 3) AS DOUBLE) AS duration_s "
+    "FROM documents WHERE doc_id % 25 = 0 ORDER BY video_id",
+)
+def video_probe_webm(spark, sf_dir):
+    """The video probe over the OTHER dominant crawled container
+    (round 11, functions/matroska): deterministic WebM skeletons —
+    real EBML structure, doc-derived codec/dims/duration — probed
+    header-only (the EBML walk stops before any Cluster). Everything
+    the probe reports is closed-form from the construction; a vint
+    mis-parse, a wrong default timescale, or reading dims from the
+    wrong track element shifts a cell. Interframe WebM codecs stay
+    classify-not-decode by design."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 25 == 0
+    )
+    vids = multimodal.synthetic_webms_from_documents(docs, "doc_id")
+    return (
+        multimodal.video_probe(vids)
+        .select(
+            F.col("id").alias("video_id"),
+            "container",
+            "codec",
+            "width",
+            "height",
+            F.round("duration_s", 6).alias("duration_s"),
+        )
+        .orderBy("video_id")
+    )

@@ -172,6 +172,18 @@ SCENARIOS = [
      ["CREATE (:O {v: -3}), (:O {v: 2})"],
      "MATCH (n:O) WITH n.v AS v RETURN v ORDER BY abs(v)",
      [{"v": 2}, {"v": -3}], True),
+    ("OrderBy", "nulls sort LAST ascending",
+     ["CREATE (:O {v: 2}), (:O), (:O {v: 1})"],
+     "MATCH (n:O) RETURN n.v AS v ORDER BY v",
+     [{"v": 1}, {"v": 2}, {"v": None}], True),
+    ("OrderBy", "nulls sort FIRST descending",
+     ["CREATE (:O {v: 2}), (:O), (:O {v: 1})"],
+     "MATCH (n:O) RETURN n.v AS v ORDER BY v DESC",
+     [{"v": None}, {"v": 2}, {"v": 1}], True),
+    ("OrderBy", "ORDER BY strings",
+     ["CREATE (:S {t: 'b'}), (:S {t: 'a'}), (:S {t: 'c'})"],
+     "MATCH (n:S) RETURN n.t AS t ORDER BY t",
+     [{"t": "a"}, {"t": "b"}, {"t": "c"}], True),
     # ---- Aggregation --------------------------------------------------
     ("Aggregation", "count(*) counts rows, count(x) skips nulls",
      ["CREATE (:A {v: 1}), (:A)"],
