@@ -2206,3 +2206,56 @@ def iceberg_deletes_orc(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "iceberg_eq_delete_write",
+    """SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey % 10 < 3 AND o_orderpriority <> '1-URGENT'
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def iceberg_eq_delete_write(spark, sf_dir):
+    """Round 11: the EQUALITY-delete writer round-tripped through the
+    repo's own reader (sources/iceberg.iceberg_add_equality_deletes):
+    a table is created from orders, one equality delete commits
+    `o_orderpriority = '1-URGENT'` (column name resolved to its schema
+    field id, sequence number above every current file), and the
+    merge-on-read scan must drop exactly the urgent rows — which the
+    oracle states relationally. A wrong field-id mapping, a delete
+    sequenced at-or-below the data, or a null-unsafe match condition
+    all shift the group counts."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_add_equality_deletes,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).filter(F.col("o_orderkey") % 10 < 3)
+    root = os.path.join(tempfile.gettempdir(), f"gdc_iceeqw_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    write_iceberg(spark, o.coalesce(1), t)
+    iceberg_add_equality_deletes(
+        spark, t,
+        spark.createDataFrame([("1-URGENT",)], "o_orderpriority string"),
+    )
+    return (
+        read_iceberg(spark, t)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

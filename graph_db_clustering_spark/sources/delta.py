@@ -1200,6 +1200,47 @@ def delta_add_deletion_vectors(
     return version
 
 
+def _land_stage(
+    path: str, stage: str, version: int, tag: str
+) -> list:
+    """Move a staged (possibly hive-partitioned) parquet write into the
+    table root and return its add actions — the same walk delta_append
+    performs, shared by delta_merge's survivor/source landings."""
+    import shutil
+    import urllib.parse
+
+    actions = []
+    for dirpath, _dirs, fnames in sorted(os.walk(stage)):
+        relsub = os.path.relpath(dirpath, stage)
+        pvals: dict = {}
+        if relsub != ".":
+            for seg in relsub.split(os.sep):
+                k, _, v = seg.partition("=")
+                pvals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__"
+                    else urllib.parse.unquote(v)
+                )
+        for fname in sorted(fnames):
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, fname)
+            final_rel = (
+                f"part-{version:05d}-{tag}-{fname}" if relsub == "."
+                else f"{relsub}/part-{version:05d}-{tag}-{fname}".replace(
+                    os.sep, "/"
+                )
+            )
+            actions.append({"add": {
+                "path": final_rel, "partitionValues": pvals,
+                "size": os.path.getsize(src), "dataChange": True,
+            }})
+            dest = os.path.join(path, *final_rel.split("/"))
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(src, dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    return actions
+
+
 def delta_merge(
     spark: SparkSession,
     path: str,
@@ -1224,18 +1265,35 @@ def delta_merge(
     `_metadata` positions; only the per-file bitmap fold and the
     commit assembly run on the driver. `source` must carry the table's
     columns with unique `key` values (enforced). Partitioned targets
-    keep a loud gate for now. Returns {version, strategy, n_updated,
-    n_inserted}."""
+    are supported (round 11): partition columns are restored per file
+    from the add actions for matching/CDF, and merge/survivor files
+    land hive-partitioned with real partitionValues so pruning keeps
+    working; merging ON a partition column, and column-mapped
+    partitioned targets, gate loudly. Returns {version, strategy,
+    n_updated, n_inserted}."""
     files, meta = _replay(path)
-    if meta and meta.get("partitionColumns"):
-        raise NotImplementedError(
-            "delta_merge: partitioned targets not supported yet "
-            "(the appended merge file would break partition pruning)"
-        )
+    pcols = (meta or {}).get("partitionColumns") or []
+    if pcols:
+        # round 11: partitioned targets supported — the appended merge
+        # and survivor files are written hive-partitioned with real
+        # partitionValues, so pruning keeps working. Two narrow gates:
+        if _column_mapping(meta):
+            raise NotImplementedError(
+                "delta_merge: partitioned targets under column mapping"
+            )
+        if key in pcols:
+            raise NotImplementedError(
+                "delta_merge: merge key cannot be a partition column"
+            )
     if source.groupBy(key).count().filter(F.col("count") > 1).limit(
         1
     ).count():
         raise DeltaError(f"delta_merge: duplicate {key} values in source")
+    missing = [c for c in pcols if c not in source.columns]
+    if missing:
+        raise DeltaError(
+            f"delta_merge: source missing partition columns {missing}"
+        )
     paths = [os.path.join(path, *p.split("/")) for p in sorted(files)]
     scan = spark.read.parquet(*paths).withColumns({
         "__fp": F.regexp_replace(
@@ -1244,6 +1302,30 @@ def delta_merge(
         "__pos": F.col("_metadata.row_index"),
     })
     adds = [files[p] for p in sorted(files)]
+    if pcols:
+        # partition columns live OUTSIDE the data files: restore them
+        # per file from the add actions (broadcast file->tuple map), so
+        # matched/preimage/survivor rows carry full schemas
+        ptypes = _partition_types(meta)
+        pmap_rows = [
+            (
+                os.path.abspath(os.path.join(path, a["path"])),
+                *[
+                    (a.get("partitionValues") or {}).get(c)
+                    for c in pcols
+                ],
+            )
+            for a in adds
+        ]
+        pmap = spark.createDataFrame(
+            pmap_rows,
+            ", ".join(["__pfp string"] + [f"`{c}` string" for c in pcols]),
+        )
+        for c in pcols:
+            pmap = pmap.withColumn(c, F.col(c).cast(ptypes[c]))
+        scan = scan.join(
+            F.broadcast(pmap), F.col("__fp") == F.col("__pfp")
+        ).drop("__pfp")
     if any(a.get("deletionVector") for a in adds):
         # drop already-deleted positions but KEEP __fp/__pos
         import pandas as pd
@@ -1336,40 +1418,20 @@ def delta_merge(
             stage = os.path.join(
                 path, f".stage_mrg_{_uuid.uuid4().hex[:8]}"
             )
-            survivors.coalesce(1).write.mode("overwrite").parquet(stage)
-            for fname in sorted(os.listdir(stage)):
-                if not fname.endswith(".parquet"):
-                    continue
-                rel = f"part-{version:05d}-rw-{fname}"
-                os.replace(
-                    os.path.join(stage, fname), os.path.join(path, rel)
-                )
-                actions.append({"add": {
-                    "path": rel, "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(path, rel)),
-                    "dataChange": True,
-                }})
-            import shutil
-
-            shutil.rmtree(stage, ignore_errors=True)
+            writer = survivors.coalesce(1).write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(stage)
+            actions.extend(_land_stage(path, stage, version, "rw"))
     # the merged/inserted rows: ONE appended file with all source rows
     import uuid as _uuid
 
     stage = os.path.join(path, f".stage_src_{_uuid.uuid4().hex[:8]}")
-    src.coalesce(1).write.mode("overwrite").parquet(stage)
-    for fname in sorted(os.listdir(stage)):
-        if not fname.endswith(".parquet"):
-            continue
-        rel = f"part-{version:05d}-merge-{fname}"
-        os.replace(os.path.join(stage, fname), os.path.join(path, rel))
-        actions.append({"add": {
-            "path": rel, "partitionValues": {},
-            "size": os.path.getsize(os.path.join(path, rel)),
-            "dataChange": True,
-        }})
-    import shutil
-
-    shutil.rmtree(stage, ignore_errors=True)
+    writer = src.coalesce(1).write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(stage)
+    actions.extend(_land_stage(path, stage, version, "merge"))
     if cdf:
         pre = matched.drop("__fp", "__pos")
         post = src.join(

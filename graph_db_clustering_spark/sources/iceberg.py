@@ -634,11 +634,45 @@ def iceberg_add_position_deletes(
     only the manifest/metadata rewrite is driver-side. Mirrors
     sources/delta's single-writer commit contract. Returns the new
     snapshot id."""
-    data, dels, meta = _snapshot_entries(path)
     if set(deletes.columns) != {"file_path", "pos"}:
         raise IcebergError(
             "iceberg: deletes must be (file_path string, pos bigint)"
         )
+    return _commit_delete_snapshot(spark, path, deletes, 1, [])
+
+
+def iceberg_add_equality_deletes(
+    spark: SparkSession, path: str, deletes: DataFrame
+) -> int:
+    """Round 11: the write-side twin for EQUALITY deletes — `deletes`
+    carries key-column VALUES (column names resolved to schema field
+    ids); the committed delete file applies to every STRICTLY OLDER
+    data file (its sequence number is max_seq+1, so all current files
+    qualify; files added later do not — the v2 rule the reader
+    enforces). Returns the new snapshot id."""
+    _data, _dels, meta = _snapshot_entries(path)
+    names = _field_names_by_id(meta)
+    by_name = {v: k for k, v in names.items()}
+    ids = []
+    for c in deletes.columns:
+        if c not in by_name:
+            raise IcebergError(
+                f"iceberg: equality-delete column {c!r} not in schema"
+            )
+        ids.append(by_name[c])
+    if not ids:
+        raise IcebergError("iceberg: equality delete needs key columns")
+    return _commit_delete_snapshot(spark, path, deletes, 2, ids)
+
+
+def _commit_delete_snapshot(
+    spark: SparkSession,
+    path: str,
+    deletes: DataFrame,
+    content: int,
+    equality_ids: list,
+) -> int:
+    data, dels, meta = _snapshot_entries(path)
     snaps = meta.get("snapshots") or []
     new_id = max(s["snapshot-id"] for s in snaps) + 1
     max_seq = max([d["seq"] for d in data + dels] or [0])
@@ -721,9 +755,9 @@ def iceberg_add_position_deletes(
 
     rows = [_entry(r, 0) for r in data] + [_entry(r, 0) for r in dels]
     rows.append(_entry({
-        "path": dest, "seq": max_seq + 1, "content": 1,
+        "path": dest, "seq": max_seq + 1, "content": content,
         "record_count": pq.read_metadata(dest).num_rows,
-        "equality_ids": [], "partition": {},
+        "equality_ids": list(equality_ids), "partition": {},
     }, 1))
 
     from graph_db_clustering_spark.sources.avro import encode_container

@@ -154,7 +154,7 @@ def test_cdf_gates(spark, tmp_path):
     # empty range
     with pytest.raises(DeltaError, match="no commits"):
         delta_table_changes(spark, t, v + 5)
-    # partitioned target gate
+    # merging ON a partition column stays gated
     t2 = str(tmp_path / "p")
     delta_append(
         spark,
@@ -162,7 +162,65 @@ def test_cdf_gates(spark, tmp_path):
         t2,
         partition_by=["b"],
     )
-    with pytest.raises(NotImplementedError, match="partitioned"):
+    with pytest.raises(NotImplementedError, match="partition column"):
         delta_merge(spark, t2, _orders(spark).limit(1).withColumn(
             "b", F.lit(0)
-        ), "o_orderkey")
+        ), "b")
+
+
+def test_merge_partitioned_target(spark, tmp_path):
+    """Round 11: MERGE into a hive-partitioned Delta table — partition
+    columns restored per file for matching and CDF, merge/survivor
+    files land partitioned (partitionValues in the adds, so pruned
+    reads keep working)."""
+    from graph_db_clustering_spark.sources.delta import read_delta_pruned
+
+    t = str(tmp_path / "pm")
+    o = _orders(spark).filter(F.col("o_orderkey") % 10 < 5).withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("string")
+    )
+    delta_append(spark, o, t, partition_by=["bucket"])
+
+    upd = o.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "o_totalprice", F.lit(7.0)
+    )
+    new = _orders(spark).filter(F.col("o_orderkey") % 10 == 7).withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("string")
+    )
+    res = delta_merge(spark, t, upd.unionByName(new), "o_orderkey")
+    assert res["strategy"] == "dv"
+    want = (
+        o.filter(~(F.col("o_orderkey") % 20 == 0))
+        .unionByName(upd)
+        .unionByName(new)
+    )
+    got = read_delta(spark, t)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # partition pruning still works after the merge: bucket='1' scan
+    df, nread, nskip = read_delta_pruned(spark, t, "bucket", "1", "1")
+    assert nskip > 0
+    assert df.count() == want.filter(F.col("bucket") == "1").count()
+    # CDF preimage/postimage rows carry the partition column
+    ch = delta_table_changes(spark, t, res["version"], res["version"])
+    assert "bucket" in ch.columns
+    assert (
+        ch.filter(F.col("_change_type") == "update_postimage")
+        .filter(F.col("bucket").isNull())
+        .count()
+        == 0
+    )
+    # rewrite strategy on a partitioned table
+    feed = (
+        read_delta(spark, t)
+        .filter(F.col("o_orderkey") % 5 < 4)
+        .withColumn("o_totalprice", F.lit(9.0))
+    )
+    res2 = delta_merge(spark, t, feed, "o_orderkey", dv_threshold=0.3)
+    assert res2["strategy"] == "rewrite"
+    got2 = read_delta(spark, t)
+    want2 = (
+        got.filter(F.col("o_orderkey") % 5 >= 4).unionByName(feed)
+    )
+    assert got2.count() == want2.count()
+    assert got2.exceptAll(want2).count() == 0

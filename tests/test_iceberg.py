@@ -1040,3 +1040,37 @@ def test_orc_synthesized_row_index_matches_parquet(spark, tmp_path):
     # same ordinal for the same row; file identity maps 1:1 by index
     mismatch = j.filter(F.col("__pos") != F.col("ppos")).count()
     assert mismatch == 0
+
+
+def test_iceberg_equality_delete_writer(spark, tmp_path):
+    """Round 11: iceberg_add_equality_deletes — key VALUES resolve to
+    schema field ids, the committed delete applies to all CURRENT
+    files (strictly-older rule), and files appended AFTER the delete
+    keep matching rows."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        IcebergError,
+        iceberg_add_equality_deletes,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "eqw")
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).filter(F.col("o_orderkey") % 10 < 3)
+    write_iceberg(spark, o.coalesce(1), t)
+    n = o.count()
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert urgent > 0
+    sid = iceberg_add_equality_deletes(
+        spark, t,
+        spark.createDataFrame([("1-URGENT",)], "o_orderpriority string"),
+    )
+    got = read_iceberg(spark, t)
+    assert got.count() == n - urgent
+    assert got.filter(F.col("o_orderpriority") == "1-URGENT").count() == 0
+    # time travel to the pre-delete snapshot still sees everything
+    assert read_iceberg(spark, t, snapshot_id=sid - 1).count() == n
+    with pytest.raises(IcebergError, match="not in schema"):
+        iceberg_add_equality_deletes(
+            spark, t, spark.createDataFrame([(1,)], "nope int")
+        )
