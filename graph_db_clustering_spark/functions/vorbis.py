@@ -1080,7 +1080,8 @@ def _encode_packet(
 
 
 def encode(
-    x: np.ndarray, rate: int, blocksize: int = 256
+    x: np.ndarray, rate: int, blocksize: int = 256,
+    tags: dict | None = None,
 ) -> bytes:
     """Float samples in [-1, 1] (shape (n,) or (n, channels)) -> Ogg
     Vorbis bytes. Fixture-grade but SPEC-VALID: forward MDCT, spectra
@@ -1135,7 +1136,14 @@ def encode(
     cw.write(len(vendor), 32)
     for byte in vendor:
         cw.write(byte, 8)
-    cw.write(0, 32)  # no user comments
+    entries = [
+        f"{k}={v}".encode("utf-8") for k, v in (tags or {}).items()
+    ]
+    cw.write(len(entries), 32)
+    for ent in entries:
+        cw.write(len(ent), 32)
+        for byte in ent:
+            cw.write(byte, 8)
     cw.write(1, 1)
     comment_pkt = b"\x03vorbis" + cw.tobytes()
     setup_pkt = _write_setup(nch, delta, rtype, end)

@@ -1765,3 +1765,57 @@ def synthetic_webms_from_documents(
         ]
     )
     return narrow.mapInPandas(assemble, out_schema)
+
+
+def audio_tags(
+    df: DataFrame, id_col: str = "audio_id", content_col: str = "content"
+) -> DataFrame:
+    """Normalized audio metadata -> (id, container, title, artist,
+    album, year) from TAG HEADERS only (functions/tags: ID3v2, Vorbis
+    comments / OpusTags, MP4 ilst). The filter/derive-before-decode
+    metadata surface: at 100 TB a pipeline derives labels and dedup
+    keys from tags without paying for a single sample decode."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("container", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("artist", T.StringType()),
+            T.StructField("album", T.StringType()),
+            T.StructField("year", T.StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graph_db_clustering_spark.functions import tags as tag_codec
+
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf["id"], pdf["content"]):
+                raw = bytes(content)
+                if raw[:3] == b"ID3":
+                    container = "mp3"
+                elif raw[:4] == b"OggS":
+                    container = "ogg"
+                elif raw[4:8] == b"ftyp":
+                    container = "m4a"
+                else:
+                    container = "unknown"
+                try:
+                    t = tag_codec.audio_tags(raw)
+                except ValueError:
+                    container, t = "corrupt", {}
+                rows.append((
+                    int(rid), container, t.get("title"), t.get("artist"),
+                    t.get("album"), t.get("year"),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "container", "title", "artist", "album",
+                         "year"],
+            )
+
+    narrow = df.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+    return narrow.mapInPandas(extract, out_schema)

@@ -614,3 +614,87 @@ def video_probe_webm(spark, sf_dir):
         )
         .orderBy("video_id")
     )
+
+
+@declared(
+    "audio_tags",
+    "SELECT doc_id AS audio_id, "
+    "CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg' "
+    "ELSE 'm4a' END AS container, "
+    "'track-' || CAST(doc_id AS VARCHAR) AS title, "
+    "'artist-' || CAST(doc_id % 5 AS VARCHAR) AS artist, "
+    "CAST(1990 + doc_id % 30 AS VARCHAR) AS year "
+    "FROM documents WHERE doc_id % 15 = 0 ORDER BY audio_id",
+)
+def audio_tags_q(spark, sf_dir):
+    """Audio metadata tags across all three dominant tag formats
+    (round 11, functions/tags -> operators/multimodal.audio_tags):
+    every 15th document becomes a tagged clip rotating ID3v2-on-MP3 /
+    Vorbis-comments-in-Ogg / MP4 ilst by doc_id, with doc-derived
+    title/artist/year. The probe is header-only (no sample decode);
+    the oracle states every field in closed form — a synchsafe-size
+    slip, a UTF-8/UTF-16 encoding-byte mix-up, or a wrong ilst data
+    offset shifts a cell."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.functions import mp4 as mp4_codec
+    from graph_db_clustering_spark.functions import tags as tag_codec
+    from graph_db_clustering_spark.functions import vorbis as vorbis_codec
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 15 == 0
+    )
+
+    def build(batches):
+        for b in batches:
+            out = []
+            for did in b["doc_id"]:
+                did = int(did)
+                vals = {
+                    "title": f"track-{did}",
+                    "artist": f"artist-{did % 5}",
+                    "year": str(1990 + did % 30),
+                }
+                kind = did % 3
+                if kind == 0:
+                    blob = tag_codec.write_id3v2(
+                        b"\xff\xfb" + b"\x00" * 16, **vals
+                    )
+                elif kind == 1:
+                    x = 0.2 * np.sin(
+                        2 * np.pi * 220.0 * np.arange(400) / 8000.0
+                    )
+                    blob = vorbis_codec.encode(x, 8000, tags={
+                        "TITLE": vals["title"],
+                        "ARTIST": vals["artist"],
+                        "DATE": vals["year"],
+                    })
+                else:
+                    blob = tag_codec.write_m4a_ilst(
+                        mp4_codec.encode_audio_stub(
+                            rate=8000, channels=1, duration_s=0.5
+                        ),
+                        **vals,
+                    )
+                out.append((did, bytearray(blob)))
+            yield pd.DataFrame(out, columns=["audio_id", "content"])
+
+    clips = docs.select("doc_id").mapInPandas(
+        build,
+        T.StructType(
+            [
+                T.StructField("audio_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        multimodal.audio_tags(clips)
+        .select(
+            F.col("id").alias("audio_id"),
+            "container", "title", "artist", "year",
+        )
+        .orderBy("audio_id")
+    )
