@@ -2259,3 +2259,92 @@ def iceberg_eq_delete_write(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@declared(
+    "delta_cdf_stream",
+    """WITH init AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 5
+), upd AS (
+  SELECT o_orderkey, o_totalprice FROM init WHERE o_orderkey % 20 = 0
+), newrows AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 7
+)
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+       'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version
+FROM init
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2), 'update_preimage',
+       CAST(1 AS BIGINT) FROM upd
+UNION ALL
+SELECT o_orderkey, CAST(1.0 AS DOUBLE), 'update_postimage',
+       CAST(1 AS BIGINT) FROM upd
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2), 'insert', CAST(1 AS BIGINT)
+FROM newrows
+ORDER BY commit_version, change_type, o_orderkey""",
+)
+def delta_cdf_stream(spark, sf_dir):
+    """The delta_cdf change stream consumed through REAL Structured
+    Streaming (round 11, streaming/delta_cdf_source — a Spark 4
+    Python DataSource: commit-version offsets, one input partition per
+    change file, pyarrow Arrow-batch reads ON EXECUTORS). Same table
+    construction and the SAME closed-form oracle as the batch
+    delta_cdf entry: the micro-batch union drained into a memory sink
+    must replay the identical change stream — if the streaming offsets
+    skip or double-read a commit, or the arrow column order drifts
+    from the declared schema, rows shift."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        delta_merge,
+    )
+    from graph_db_clustering_spark.streaming.delta_cdf_source import (
+        DeltaCdfDataSource,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    init = o.filter(F.col("o_orderkey") % 10 < 5)
+    upd = init.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    new = o.filter(F.col("o_orderkey") % 10 == 7)
+    root = os.path.join(
+        tempfile.gettempdir(), f"gdc_cdfstream_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    delta_append(spark, init, t)
+    delta_merge(spark, t, upd.unionByName(new), "o_orderkey")
+
+    spark.dataSource.register(DeltaCdfDataSource)
+    qname = f"gdc_cdf_sink_{os.getpid()}"
+    stream = spark.readStream.format("delta_cdf").option("path", t).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .orderBy("commit_version", "change_type", "o_orderkey")
+        .localCheckpoint()
+    )
