@@ -368,6 +368,10 @@ class PatternComp:
 @dataclass
 class PatternPred:
     path: object  # PathPat inside exists(); >=1 node var must be bound
+    # EXISTS { MATCH p1, p2 WHERE pred } subquery form (round 11):
+    # extra paths beyond `path`, and the subquery's own WHERE
+    more_paths: tuple = ()
+    where: object = None
 
 
 @dataclass
@@ -1215,6 +1219,23 @@ class _Parser:
             self.expect("op", "]")
             return ListLit(items)
         if t[0] == "ident":
+            if t[1].lower() == "exists" and self.peek() == ("op", "{"):
+                # EXISTS { [MATCH] p1[, p2 ...] [WHERE pred] } — the
+                # openCypher existential subquery (round 11); compiles
+                # to the same flag-column join as exists(<pattern>)
+                self.next()  # {
+                if self.at_kw("match"):
+                    self.next()
+                paths = [self.path()]
+                while self.peek() == ("op", ","):
+                    self.next()
+                    paths.append(self.path())
+                where = None
+                if self.at_kw("where"):
+                    self.next()
+                    where = self.expr()
+                self.expect("op", "}")
+                return PatternPred(paths[0], tuple(paths[1:]), where)
             if self.peek() == ("op", "("):
                 self.next()
                 # exists((a)-[:R]->(b)): pattern predicate (backtracking —
@@ -1945,7 +1966,10 @@ class CypherSession:
         the pattern become the join key (so exists((a)-[:R]->(b)) with
         BOTH bound checks that specific edge); unbound ones are
         existential."""
-        node_vars = [n.var for n in pp.path.nodes if n.var]
+        all_paths = [pp.path, *pp.more_paths]
+        node_vars = [
+            n.var for p in all_paths for n in p.nodes if n.var
+        ]
         bound = [v for v in node_vars if v in frame.columns]
         if not bound:
             raise ValueError(
@@ -1953,7 +1977,7 @@ class CypherSession:
                 "bound by the enclosing MATCH"
             )
         sub = _Ctx()
-        self._match(sub, MatchC([pp.path], None, False), params)
+        self._match(sub, MatchC(all_paths, pp.where, False), params)
         ids = (
             sub.df.select(
                 *[

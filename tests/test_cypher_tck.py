@@ -33,7 +33,6 @@ UNSUPPORTED = {
     "dynamic property access": "n[key] on nodes",
     "temporal types": "date()/datetime()/duration()",
     "point/spatial": "point(), distance()",
-    "existential subqueries": "WHERE EXISTS { MATCH ... }",
     "quantified path patterns": "((a)-[:R]->(b)){1,3}",
 }
 
@@ -322,6 +321,22 @@ SCENARIOS = [
      ["CREATE (a:A {v: 1}), (b:A {v: 2}), (c:B), (a)-[:T]->(c)"],
      "MATCH (n:A) WHERE NOT exists((n)-[:T]->()) RETURN n.v AS v",
      [{"v": 2}], False),
+    ("Exists", "existential subquery with WHERE",
+     ["CREATE (a:A {v: 1}), (b:A {v: 2}), (c:B {w: 5}), (d:B {w: 1}), "
+      "(a)-[:T]->(c), (b)-[:T]->(d)"],
+     "MATCH (n:A) WHERE EXISTS { MATCH (n)-[:T]->(m:B) WHERE m.w > 3 } "
+     "RETURN n.v AS v",
+     [{"v": 1}], False),
+    ("Exists", "NOT EXISTS subquery",
+     ["CREATE (a:A {v: 1}), (b:A {v: 2}), (c:B {w: 5}), (d:B {w: 1}), "
+      "(a)-[:T]->(c), (b)-[:T]->(d)"],
+     "MATCH (n:A) WHERE NOT EXISTS { (n)-[:T]->(m:B) WHERE m.w > 3 } "
+     "RETURN n.v AS v",
+     [{"v": 2}], False),
+    ("Exists", "existential subquery without MATCH keyword",
+     ["CREATE (a:A {v: 1}), (b:B), (a)-[:T]->(b)"],
+     "MATCH (n:A) WHERE EXISTS { (n)-[:T]->() } RETURN n.v AS v",
+     [{"v": 1}], False),
 ]
 
 
@@ -361,7 +376,7 @@ def test_tck_scenario(spark, feature, name, setup, query, expected,
 def test_unsupported_features_documented():
     """The skip-list is the gate inventory: every family must raise a
     loud error, not return wrong rows."""
-    assert len(UNSUPPORTED) == 8
+    assert len(UNSUPPORTED) == 7
 
 
 def test_gate_bare_pattern_predicate(spark):
