@@ -730,6 +730,8 @@ def _parse_setup(pkt: bytes, channels: int) -> dict:
             if submaps > 1
             else [0] * channels
         )
+        if any(m >= submaps for m in mux):
+            raise VorbisError("vorbis: mapping mux exceeds submap count")
         sub = []
         for _ in range(submaps):
             bits.read(8)  # unused time config

@@ -352,7 +352,11 @@ def _huf_decode_stream(data: bytes, lut, n_out: int) -> bytearray:
             # un-read the bits we over-consumed
             bits.bitpos += max_bits - consumed
         else:
-            peek = bits.read(rem) << (max_bits - rem) if rem else 0
+            if rem == 0:
+                raise ZstdError(
+                    "zstd: huffman stream exhausted with symbols owed"
+                )
+            peek = bits.read(rem) << (max_bits - rem)
             idx = peek
             consumed = int(nb_lut[idx])
             if consumed > rem:
@@ -755,8 +759,12 @@ def decompress(data: bytes) -> bytes:
         magic = int.from_bytes(data[pos : pos + 4], "little")
         pos += 4
         if (magic & 0xFFFFFFF0) == _SKIPPABLE_LO:
+            if pos + 4 > n:
+                raise ZstdError("zstd: truncated skippable frame")
             size = int.from_bytes(data[pos : pos + 4], "little")
             pos += 4 + size
+            if pos > n:
+                raise ZstdError("zstd: skippable frame overruns input")
             continue
         if magic != MAGIC:
             raise ZstdError(f"zstd: bad magic 0x{magic:08x}")
