@@ -1277,6 +1277,21 @@ def _probe_one_inner(content: bytes) -> tuple[str, int | None, int | None, float
                     dur = gran / rate
             return "ogg", rate, channels, dur
         return "ogg", None, None, None
+    if content[:4] == b"\x1aE\xdf\xa3":  # EBML: WebM/Matroska audio
+        from graph_db_clustering_spark.functions import matroska as _mk
+
+        meta = _mk.probe(content)
+        auds = [t for t in meta["tracks"] if t.get("type") == "audio"]
+        if not auds:
+            return meta["container"], None, None, meta.get("duration_s")
+        t = auds[0]
+        rate = t.get("sample_rate")
+        return (
+            meta["container"],
+            int(rate) if rate else None,
+            t.get("channels"),
+            meta.get("duration_s"),
+        )
     # MP3: optional ID3v2 tag, then the first 0xFFE-synced frame
     pos = 0
     if content[:3] == b"ID3":
@@ -1391,9 +1406,20 @@ def _image_probe_one_inner(content: bytes) -> tuple[str, int | None, int | None]
         top = (12, 8 + _struct.unpack("<I", content[4:8])[0])
         hdrl = next(iter(_avi._find_lists(content, *top, b"hdrl")), None)
         if hdrl:
-            _, w, h, _ = _avi._video_format(content, hdrl)
+            # NB: _video_format grew a 5th element in round 10; a
+            # 4-tuple unpack here silently classified every AVI as
+            # 'corrupt' (caught round 11) — slice, don't unpack
+            _, w, h, _ = _avi._video_format(content, hdrl)[:4]
             return "avi", w, abs(h)
         return "avi", None, None
+    if content[:4] == b"\x1aE\xdf\xa3":  # EBML: WebM / Matroska
+        from graph_db_clustering_spark.functions import matroska as _mk
+
+        meta = _mk.probe(content)
+        vids = [t for t in meta["tracks"] if t.get("type") == "video"]
+        if vids:
+            return meta["container"], vids[0]["width"], vids[0]["height"]
+        return meta["container"], None, None
     return "unknown", None, None
 
 

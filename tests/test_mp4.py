@@ -292,3 +292,42 @@ def test_m4a_and_opus_audio_probe():
         granules=[0, 0, 96000],
     )
     assert _probe_one(data) == ("ogg-opus", 48000, 2, 2.0)
+
+
+def test_image_probe_avi_regression_and_webm_audio_probe():
+    """Round 11: image_probe over AVI silently classified every file
+    as 'corrupt' after _video_format grew a 5th element (4-tuple
+    unpack) — pinned fixed; EBML containers probe dims too, and webm
+    AUDIO tracks flow through audio_probe."""
+    from graph_db_clustering_spark.functions import matroska as mk
+    from graph_db_clustering_spark.operators.multimodal import (
+        _image_probe_one,
+        _probe_one,
+    )
+
+    fr = [np.zeros((8, 6, 3), dtype=np.uint8) for _ in range(2)]
+    assert _image_probe_one(avi.encode(fr)) == ("avi", 6, 8)
+    webm = mk.encode(codec="V_VP9", width=64, height=36, duration_s=1.0)
+    assert _image_probe_one(webm) == ("webm", 64, 36)
+    # audio-in-webm: hand-build a TrackEntry with an Audio element
+    audio_track = mk._el(mk.TRACKS, mk._el(mk.TRACK_ENTRY, b"".join([
+        mk._el_uint(0xD7, 1), mk._el_uint(0x73C5, 1),
+        mk._el_uint(mk.TRACK_TYPE, 2),
+        mk._el(mk.CODEC_ID, b"A_OPUS"),
+        mk._el(mk.AUDIO,
+               mk._el(mk.SAMPLING_FREQ, __import__("struct").pack(
+                   ">f", 48000.0))
+               + mk._el_uint(mk.CHANNELS, 2)),
+    ])))
+    import struct as _s
+
+    info = mk._el(mk.INFO, mk._el_uint(mk.TIMECODE_SCALE, 1_000_000)
+                  + mk._el(mk.DURATION, _s.pack(">d", 1500.0)))
+    head = mk.encode()[:0]  # reuse nothing; build head fresh below
+    data = mk.encode(doctype="webm")  # base head+segment (video)
+    # simplest: fresh container with ONLY the audio track
+    head = data[: data.find(mk.SEGMENT.to_bytes(4, "big"))]
+    seg = mk._el(mk.SEGMENT, info + audio_track)
+    blob = head + seg
+    got = _probe_one(blob)
+    assert got == ("webm", 48000, 2, 1.5)
