@@ -117,8 +117,10 @@ message — gates are test-pinned in tests/test_cypher.py):
                                                  leaves order unspecified)
     exists((a)-[:R]->(b)) WHERE predicate      yes (flag-column join —
       (+ legacy exists(n.prop) = IS NOT NULL)    composes with NOT/OR)
-    bare pattern predicates                    no — SyntaxError
-      ((a)-->() without exists)
+    bare pattern predicates ((a)-->())         yes (round 11:
+      + EXISTS { MATCH ... WHERE ... }            compiles as exists();
+      existential subqueries                      RETURN-position
+                                                  patterns stay errors)
     CASE (simple + searched, no ELSE -> null)  yes (F.when chain)
     IS [NOT] NULL, x IN list, STARTS WITH /    yes (=~ anchored to the
       ENDS WITH / CONTAINS, =~ regex             whole string, as Neo4j)
@@ -1158,6 +1160,19 @@ class _Parser:
         if t[0] == "kw" and t[1].lower() == "null":
             return Lit(None)
         if t[0] == "op" and t[1] == "(":
+            # bare pattern predicate (round 11, openCypher legacy
+            # form): WHERE (n)-[:T]->() is exists(<pattern>). Probe by
+            # backtracking — a path with >=1 edge is unambiguous (a
+            # parenthesized expression can never continue with -[ / <-)
+            save = self.i
+            self.i -= 1  # re-include the '(' for path()
+            try:
+                cand = self.path()
+                if len(cand.edges) >= 1:
+                    return PatternPred(cand)
+            except (SyntaxError, ValueError):
+                pass
+            self.i = save
             e = self.expr()
             self.expect("op", ")")
             return e

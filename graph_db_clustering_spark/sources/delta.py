@@ -1365,10 +1365,11 @@ def delta_merge(
         eager=False
     )
     n_updated = matched.count()
+    # inserted = source keys NOT present in the target. Derive it from
+    # the MATCHED side (bounded by the source) — never broadcast the
+    # target's key set, which is corpus-sized at 100 TB
     n_inserted = (
-        src.join(
-            F.broadcast(scan.select(key).distinct()), key, "left_anti"
-        ).count()
+        src.count() - matched.select(key).distinct().count()
     )
     version = _next_version(path)
     actions: list = []

@@ -27,7 +27,6 @@ from graph_db_clustering_spark.operators.graph import Graph
 # TCK feature families the compiler intentionally does NOT support —
 # pinned here so the gate inventory is explicit and test-visible.
 UNSUPPORTED = {
-    "bare pattern predicates": "WHERE (a)-->() needs exists(...)",
     "varlength path variables": "p = (a)-[*]->(b) outside shortestPath",
     "multiple labels per node": "(n:A:B) — single-label vertex column",
     "dynamic property access": "n[key] on nodes",
@@ -376,14 +375,27 @@ def test_tck_scenario(spark, feature, name, setup, query, expected,
 def test_unsupported_features_documented():
     """The skip-list is the gate inventory: every family must raise a
     loud error, not return wrong rows."""
-    assert len(UNSUPPORTED) == 7
+    assert len(UNSUPPORTED) == 6
 
 
-def test_gate_bare_pattern_predicate(spark):
+def test_bare_pattern_predicate_supported(spark):
+    """Round 11: the legacy bare form WHERE (n)-[:T]->() is
+    exists(<pattern>) — positive + negated, and parenthesized
+    arithmetic still parses as an expression."""
     s = _session(spark)
-    s.run("CREATE (a:A)-[:T]->(:B)")
-    with pytest.raises((ValueError, SyntaxError)):
-        s.run("MATCH (n:A) WHERE (n)-->() RETURN n")
+    s.run("CREATE (a:A {v: 1}), (b:A {v: 2}), (c:B), (a)-[:T]->(c)")
+    got = s.run(
+        "MATCH (n:A) WHERE (n)-[:T]->() RETURN n.v AS v"
+    ).collect()
+    assert [r["v"] for r in got] == [1]
+    got = s.run(
+        "MATCH (n:A) WHERE NOT (n)-[:T]->() RETURN n.v AS v"
+    ).collect()
+    assert [r["v"] for r in got] == [2]
+    got = s.run(
+        "MATCH (n:A) WHERE (n.v + 1) = 2 RETURN n.v AS v"
+    ).collect()
+    assert [r["v"] for r in got] == [1]
 
 
 def test_gate_varlength_path_variable(spark):
