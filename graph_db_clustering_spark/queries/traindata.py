@@ -2348,3 +2348,167 @@ def delta_cdf_stream(spark, sf_dir):
         .orderBy("commit_version", "change_type", "o_orderkey")
         .localCheckpoint()
     )
+
+
+# ---------------------------------------------------------------------------
+# Apache Hudi (round 11 extension, sources/hudi.py) — the third
+# lakehouse interchange format beside Delta and Iceberg
+# ---------------------------------------------------------------------------
+
+
+def _build_hudi_orders(spark, sf_dir, tag):
+    """Shared fixture: a partitioned CoW Hudi table from orders with a
+    create → upsert → delete commit history. Returns (path, [i1, i2,
+    i3]). init = %10<5; upsert sets price 1.0 on %20==0 and inserts
+    %10==7; delete removes %10==3 and %40==20 (the latter hits rows
+    the upsert just touched, pinning updated-then-deleted)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_create,
+        hudi_delete,
+        hudi_upsert,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("pb", (F.col("o_orderkey") % 4).cast("int"))
+    init = o.filter(F.col("o_orderkey") % 10 < 5)
+    upd = init.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    new = o.filter(F.col("o_orderkey") % 10 == 7)
+    del_keys = o.filter(
+        (F.col("o_orderkey") % 10 == 3) | (F.col("o_orderkey") % 40 == 20)
+    ).select("o_orderkey")
+    root = os.path.join(
+        tempfile.gettempdir(), f"gdc_hudi_{tag}_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    i1 = hudi_create(
+        spark, init, t, "o_orderkey",
+        partition_field="pb", n_file_groups=2,
+    )
+    i2 = hudi_upsert(spark, t, upd.unionByName(new))
+    i3 = hudi_delete(spark, t, del_keys)
+    return t, [i1, i2, i3]
+
+
+_HUDI_SNAPSHOT_SQL = """WITH init AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 5
+), merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 20 = 0 THEN 1.0
+              ELSE o_totalprice END AS price
+  FROM init
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 7
+)
+SELECT o_orderkey, ROUND(price, 2) AS price
+FROM merged
+WHERE o_orderkey % 10 <> 3 AND o_orderkey % 40 <> 20
+ORDER BY o_orderkey"""
+
+
+@declared("hudi_snapshot", _HUDI_SNAPSHOT_SQL)
+def hudi_snapshot(spark, sf_dir):
+    """Apache Hudi CoW snapshot read (sources/hudi.py — the third
+    lakehouse format beside Delta/Iceberg): a partitioned table built
+    from orders through create → upsert (update + insert) → delete
+    commits, then read at the latest instant. Visibility is purely
+    timeline-driven (completed instants, latest slice per file group);
+    the oracle reconstructs the same latest-wins state relationally. A
+    reader that sees a stale slice, a pending write, or a survivor
+    dropped by the copy-on-write rewrite shifts rows."""
+    from graph_db_clustering_spark.sources.hudi import read_hudi
+
+    t, _ = _build_hudi_orders(spark, sf_dir, "snap")
+    return (
+        read_hudi(spark, t, drop_meta=True)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "hudi_incremental",
+    """SELECT o_orderkey, 1.0 AS price
+FROM orders
+WHERE o_orderkey % 10 < 5 AND o_orderkey % 20 = 0
+  AND o_orderkey % 40 <> 20
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders WHERE o_orderkey % 10 = 7 AND o_orderkey % 40 <> 20
+ORDER BY o_orderkey""",
+)
+def hudi_incremental(spark, sf_dir):
+    """Hudi incremental query (sources/hudi.read_hudi_incremental):
+    the latest state of records written AFTER the create commit — the
+    upsert's updates and inserts, MINUS the keys the later delete
+    removed. Exactness hangs on the copy-on-write rewrite PRESERVING
+    `_hoodie_commit_time` on carried-over rows: if survivors were
+    restamped, every untouched row of every touched file group would
+    leak into the pull."""
+    from graph_db_clustering_spark.sources.hudi import (
+        read_hudi_incremental,
+    )
+
+    t, (i1, _i2, _i3) = _build_hudi_orders(spark, sf_dir, "inc")
+    return (
+        read_hudi_incremental(spark, t, i1)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "hudi_time_travel",
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders WHERE o_orderkey % 10 < 5
+ORDER BY o_orderkey""",
+)
+def hudi_time_travel(spark, sf_dir):
+    """Hudi time travel: the same table as hudi_snapshot read AS OF
+    the create instant — later upsert/delete slices must be invisible
+    even though their (newer) base files sit in the same partition
+    directories. The instant embedded in each file NAME against the
+    completed-timeline set is the whole mechanism."""
+    from graph_db_clustering_spark.sources.hudi import read_hudi
+
+    t, (i1, _i2, _i3) = _build_hudi_orders(spark, sf_dir, "tt")
+    return (
+        read_hudi(spark, t, as_of=i1, drop_meta=True)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+@declared("hudi_clustered", _HUDI_SNAPSHOT_SQL)
+def hudi_clustered(spark, sf_dir):
+    """Hudi clustering as a replacecommit (sources/hudi.hudi_cluster):
+    after the create/upsert/delete history, every live file group is
+    rewritten into one group per partition and the old groups retired
+    via partitionToReplaceFileIds. The snapshot must be IDENTICAL to
+    hudi_snapshot's (same oracle), and the file count must drop to the
+    partition count — a replace rule that leaks an old group doubles
+    rows, one that over-applies loses the replacement files."""
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_cluster,
+        hudi_live_files,
+        read_hudi,
+    )
+
+    t, _ = _build_hudi_orders(spark, sf_dir, "clu")
+    hudi_cluster(spark, t)
+    n = len(hudi_live_files(t))
+    assert n == 4, f"expected one file group per pb partition, got {n}"
+    return (
+        read_hudi(spark, t, drop_meta=True)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )

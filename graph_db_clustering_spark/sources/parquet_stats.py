@@ -37,11 +37,14 @@ def parquet_file_stats(
     must widen, never narrow, the keep-set)."""
     import fnmatch
 
-    names = sorted(
-        os.path.join(path, n)
-        for n in os.listdir(path)
-        if fnmatch.fnmatch(n, glob)
-    )
+    if isinstance(path, (list, tuple)):  # explicit file list (hudi reuse)
+        names = sorted(path)
+    else:
+        names = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if fnmatch.fnmatch(n, glob)
+        )
     if not names:
         raise ParquetStatsError(f"no files matching {glob!r} under {path}")
 
