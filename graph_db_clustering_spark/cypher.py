@@ -104,8 +104,13 @@ message — gates are test-pinned in tests/test_cypher.py):
                                                  per minimal path)
     p = (a)-[r]->(b)...  fixed-length          yes (length/nodes/
                                                  relationships arrays)
-    varlength path vars outside shortestPath    no — ValueError (use
-      (p = (a)-->(b))                            graph_algos.shortest_paths)
+    p = (a)-[:T*lo..hi]->(b)  varlength path   yes (round 11: per-PATH
+      vars (one relationship in the pattern)     enumeration w/ relationship
+                                                 uniqueness — one row per
+                                                 path, exact length/nodes/
+                                                 relationships; varlength
+                                                 mixed with more edges
+                                                 stays a ValueError)
     list comprehension [x IN l WHERE p | e]    yes (filter/transform
       (+ range(a, b[, step]))                    HOFs; lambda scoping)
     all/any/none/single(x IN l WHERE p)        yes (forall/exists HOFs)
@@ -946,16 +951,22 @@ class _Parser:
             return p
         p = self.path()
         if pathvar is not None:
-            # general path variable (round 10): fixed-length patterns
-            # only — every node and relationship is individually bound,
-            # so nodes(p)/relationships(p)/length(p) are exact arrays.
+            # general path variable (round 10): fixed-length patterns —
+            # every node and relationship is individually bound, so
+            # nodes(p)/relationships(p)/length(p) are exact arrays.
+            # Round 11: ALSO a single variable-length relationship
+            # (p = (a)-[:T*1..3]->(b)) — per-path enumeration with
+            # relationship uniqueness (_varlength_paths), one row PER
+            # path, exact nodes()/relationships()/length().
             if any(e.hops is not None for e in p.edges):
-                raise ValueError(
-                    "cypher: a path variable over a variable-length "
-                    "relationship is only supported with "
-                    "shortestPath()/allShortestPaths() (reachability "
-                    "pairs carry no per-path bindings)"
-                )
+                if len(p.edges) != 1:
+                    raise ValueError(
+                        "cypher: a path variable over a variable-length "
+                        "relationship supports exactly one relationship "
+                        "in the pattern (p = (a)-[:T*1..3]->(b))"
+                    )
+                p.pathvar = pathvar
+                return p
             if any(
                 n.var is None and n.label is None and not n.props
                 for n in p.nodes
@@ -1601,6 +1612,153 @@ class CypherSession:
             return step.limit(0)
         return acc.filter(F.col("src") != F.col("dst")).distinct()
 
+    def _varlength_paths(self, epat: EdgePat, params) -> DataFrame:
+        """Per-PATH variable-length enumeration for a bound path
+        variable (p = (a)-[:T*lo..hi]->(b)): one row per distinct path
+        under openCypher's RELATIONSHIP-uniqueness rule (nodes may
+        repeat — cycles are real paths; an edge may not, and an
+        undirected step may not reuse the edge it just traversed,
+        because the edge identity is orientation-independent).
+
+        Returns (src, dst, nodes: array<long>, eids: array<struct>)
+        where eids holds the full stored edge struct plus a __dup
+        ordinal distinguishing parallel duplicates. Same iterated
+        hash-join frontier plan as _varlength_pairs (eager
+        localCheckpoint per hop, early convergence, capped hops) —
+        no distinct: paths are unique by construction, and the eids
+        array IS the path identity. Unlike the bare (reachability)
+        form, self pairs are KEPT: edge tracking makes genuine cycles
+        distinguishable."""
+        lo, hi = epat.hops
+        if lo < 1 or (hi is not None and lo > hi):
+            raise ValueError(f"cypher: bad variable-length range *{lo}..{hi}")
+        if lo > self._VARLEN_MAX_HOPS or (
+            hi is not None and hi > self._VARLEN_MAX_HOPS
+        ):
+            raise ValueError(
+                f"cypher: variable-length range *{lo}.."
+                f"{'' if hi is None else hi} exceeds max hops "
+                f"({self._VARLEN_MAX_HOPS})"
+            )
+        hi = hi if hi is not None else self._VARLEN_MAX_HOPS
+
+        # Spark 4.1: localCheckpoint preserves the ORIGIN plan's
+        # constraints on the LogicalRDD, and a self-join-derived
+        # frontier can carry a constraint referencing an attribute not
+        # in its own output — Union.rewriteConstraints then dies with
+        # "key not found: <attr>" on some downstream shapes. Build the
+        # whole iteration with constraint propagation off (the
+        # checkpointed frames then carry empty constraints and stay
+        # safe after the conf is restored).
+        sess = self.graph.edges.sparkSession
+        ckey = "spark.sql.constraintPropagation.enabled"
+        prev = sess.conf.get(ckey, "true")
+        sess.conf.set(ckey, "false")
+        try:
+            return self._varlength_paths_inner(epat, params, lo, hi)
+        finally:
+            sess.conf.set(ckey, prev)
+
+    def _varlength_paths_inner(
+        self, epat: EdgePat, params, lo: int, hi: int
+    ) -> DataFrame:
+        from pyspark.sql import Window
+
+        e = self.graph.edges
+        if epat.rel is not None:
+            e = e.filter(F.col("relationship") == epat.rel)
+        for k, ex in epat.props.items():
+            e = e.filter(F.col(k) == self._expr(ex, None, params))
+        ecols = self.graph.edges.columns
+        # parallel duplicates get an ordinal so each is its own edge;
+        # identical rows are interchangeable, so the row_number tie-break
+        # is WLOG deterministic
+        w = Window.partitionBy(*ecols).orderBy(F.lit(1))
+        ee = e.withColumn("__dup", F.row_number().over(w))
+        eid = F.struct(*[F.col(c) for c in ecols], F.col("__dup"))
+        fwd = ee.select(
+            F.col("src").alias("_s"), F.col("dst").alias("_d"),
+            eid.alias("_e"),
+        )
+        rev = ee.select(
+            F.col("dst").alias("_s"), F.col("src").alias("_d"),
+            eid.alias("_e"),
+        )
+        if epat.direction == "out":
+            step = fwd
+        elif epat.direction == "in":
+            step = rev
+        else:
+            step = fwd.unionAll(rev)
+        step = step.localCheckpoint(eager=True)
+
+        frontier = step.select(
+            F.col("_s").alias("src"), F.col("_d").alias("dst"),
+            F.array("_s", "_d").alias("nodes"),
+            F.array("_e").alias("eids"),
+        ).localCheckpoint(eager=True)
+        acc = frontier if lo <= 1 else None
+        for k in range(2, hi + 1):
+            frontier = (
+                frontier.alias("f")
+                .join(step.alias("s"), F.col("f.dst") == F.col("s._s"))
+                .filter(
+                    ~F.array_contains(F.col("f.eids"), F.col("s._e"))
+                )
+                .select(
+                    F.col("f.src").alias("src"),
+                    F.col("s._d").alias("dst"),
+                    F.concat(
+                        F.col("f.nodes"), F.array(F.col("s._d"))
+                    ).alias("nodes"),
+                    F.concat(
+                        F.col("f.eids"), F.array(F.col("s._e"))
+                    ).alias("eids"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                break
+            if k >= lo:
+                acc = frontier if acc is None else acc.unionAll(frontier)
+        if acc is None:
+            return frontier.limit(0)
+        # collapse the frontier union into one materialized frame: the
+        # enrichment aggregate on top of a Union of checkpointed
+        # frontiers trips Spark's union constraint rewrite (key-not-
+        # found on a child attribute); one flat scan also keeps the
+        # downstream join/groupBy plan shallow
+        return acc.localCheckpoint(eager=True)
+
+    def _enrich_path_nodes(self, paths: DataFrame) -> DataFrame:
+        """Resolve a path frame's node-id array into full vertex
+        structs (same shape as fixed-length __pnodes_ arrays): one
+        posexplode → one equi-join on id → regroup on the eids array,
+        which uniquely identifies the path, with array_sort restoring
+        traversal order. Adds `pnodes: array<struct>`."""
+        v = self.graph.vertices
+        vstruct = F.struct(*[F.col(c) for c in v.columns])
+        lookup = v.select(
+            F.col("id").alias("_nid"), vstruct.alias("_nstruct")
+        )
+        ex = paths.select(
+            "src", "dst", "nodes", "eids",
+            F.posexplode("nodes").alias("_pos", "_nid"),
+        )
+        j = ex.join(lookup, "_nid", "left")
+        return (
+            j.groupBy("src", "dst", "nodes", "eids")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_nstruct"))
+                ).alias("_ord")
+            )
+            .withColumn(
+                "pnodes", F.transform("_ord", lambda s: s["_nstruct"])
+            )
+            .drop("_ord")
+        )
+
     def _edge_step(self, epat: EdgePat, params) -> DataFrame:
         """One-hop (src, dst) step frame for a var-length pattern:
         type/prop-filtered, orientation-normalized, distinct."""
@@ -1798,6 +1956,27 @@ class CypherSession:
                             ).alias(ename)
                         )
                         plen_src = ename
+                    elif path.pathvar is not None:
+                        # round 11: varlength PATH VARIABLE — per-path
+                        # rows with exact nodes/relationships/length
+                        pv = path.pathvar
+                        ecols = self.graph.edges.columns
+                        enriched = self._enrich_path_nodes(
+                            self._varlength_paths(epat, params)
+                        )
+                        ef = enriched.select(
+                            F.struct(F.col("src"), F.col("dst")).alias(
+                                ename
+                            ),
+                            F.col("pnodes").alias(f"__pnodes_{pv}"),
+                            F.transform(
+                                "eids",
+                                lambda s: F.struct(
+                                    *[s[c].alias(c) for c in ecols]
+                                ),
+                            ).alias(f"__prels_{pv}"),
+                            F.size("eids").alias(f"__plen_{pv}"),
+                        )
                     else:
                         ef = self._varlength_pairs(epat, params).select(
                             F.struct(F.col("src"), F.col("dst")).alias(ename)
@@ -1865,6 +2044,11 @@ class CypherSession:
                     f"__plen_{path.pathvar}",
                     F.col(plen_src).getField("dist"),
                 )
+            elif (
+                path.pathvar is not None
+                and f"__plen_{path.pathvar}" in pdf.columns
+            ):
+                pass  # varlength path variable: columns rode in on ef
             elif path.pathvar is not None:
                 # general fixed-length path variable (round 10): the
                 # parser guaranteed every node/edge is bound, so the

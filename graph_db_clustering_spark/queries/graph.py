@@ -1594,3 +1594,69 @@ def cypher_pathvar(spark, sf_dir):
                   length(p) AS d, size(nodes(p)) AS nn
            ORDER BY aid"""
     )
+
+
+@declared(
+    "cypher_varlen_paths",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+           FROM customer WHERE c_custkey < {_CAP})
+SELECT aid, bid, len FROM (
+  SELECT a.id AS aid, b.id AS bid, 1 AS len
+  FROM v a JOIN v b
+    ON a.nation = b.nation AND b.pos - a.pos IN (1, 2)
+  UNION ALL
+  SELECT a.id, b.id, 2
+  FROM v a JOIN v m
+    ON a.nation = m.nation AND m.pos - a.pos IN (1, 2)
+  JOIN v b
+    ON m.nation = b.nation AND b.pos - m.pos IN (1, 2)
+) ORDER BY aid, bid, len""",
+)
+def cypher_varlen_paths(spark, sf_dir):
+    """Variable-length PATH VARIABLE (round 11,
+    cypher._varlength_paths): p = (a)-[:NEXT*1..2]->(b) enumerates one
+    row PER PATH under openCypher relationship uniqueness — unlike the
+    bare form's documented reachability dedup (cypher_varlen). The
+    graph is the per-nation custkey chain PLUS skip-one edges, so a
+    pair two positions apart is reachable by BOTH the direct skip edge
+    (length 1) and two chain hops (length 2): the oracle enumerates
+    every 1-hop and 2-hop edge composition relationally, duplicates
+    included. A dedup anywhere in the path plan collapses those rows;
+    a broken uniqueness filter invents extra ones."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    hops = c.withColumn("nxt", F.lead("id", 1).over(w)).withColumn(
+        "skp", F.lead("id", 2).over(w)
+    )
+    edges = (
+        hops.filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("NEXT").alias("relationship"),
+        )
+        .unionByName(
+            hops.filter(F.col("skp").isNotNull()).select(
+                F.col("id").alias("src"),
+                F.col("skp").alias("dst"),
+                F.lit("NEXT").alias("relationship"),
+            )
+        )
+    )
+    s = CypherSession(Graph(c.drop("nation"), edges))
+    return s.run(
+        """MATCH p = (a:Customer)-[:NEXT*1..2]->(b:Customer)
+           RETURN a.id AS aid, b.id AS bid, length(p) AS len
+           ORDER BY aid, bid, len"""
+    )

@@ -1079,10 +1079,11 @@ def test_shortest_path_gates(spark):
         s.run("MATCH p = shortestPath((a)-[:NEXT]->(b)) RETURN 1")
     with pytest.raises(ValueError, match="single variable-length"):
         s.run("MATCH p = allShortestPaths((a)-[:NEXT]->(b)) RETURN 1")
-    # round 10: general FIXED-LENGTH path variables bind now; only a
-    # varlength pattern without shortestPath stays gated
-    with pytest.raises(ValueError, match="shortestPath"):
-        s.run("MATCH p = (a)-[:NEXT*1..2]->(b) RETURN 1")
+    # round 10: general FIXED-LENGTH path variables bind; round 11:
+    # single-relationship VARLENGTH path variables bind too — only a
+    # varlength edge mixed with further pattern edges stays gated
+    with pytest.raises(ValueError, match="exactly one relationship"):
+        s.run("MATCH p = (a)-[:NEXT*1..2]->(b)-[:NEXT]->(c) RETURN 1")
     with pytest.raises(ValueError, match="anonymous"):
         s.run("MATCH p = (a)-[:NEXT]->() RETURN 1")
     with pytest.raises(ValueError, match="lower bound of 1"):

@@ -27,7 +27,9 @@ from graph_db_clustering_spark.operators.graph import Graph
 # TCK feature families the compiler intentionally does NOT support —
 # pinned here so the gate inventory is explicit and test-visible.
 UNSUPPORTED = {
-    "varlength path variables": "p = (a)-[*]->(b) outside shortestPath",
+    "bare varlength multiplicity": "(a)-[*]->(b) WITHOUT a path "
+    "variable dedupes to reachability pairs (documented scale choice); "
+    "bind p = (a)-[*]->(b) for openCypher per-path rows",
     "multiple labels per node": "(n:A:B) — single-label vertex column",
     "dynamic property access": "n[key] on nodes",
     "temporal types": "date()/datetime()/duration()",
@@ -336,6 +338,36 @@ SCENARIOS = [
      ["CREATE (a:A {v: 1}), (b:B), (a)-[:T]->(b)"],
      "MATCH (n:A) WHERE EXISTS { (n)-[:T]->() } RETURN n.v AS v",
      [{"v": 1}], False),
+    # ---- MatchPath: varlength path variables (round 11) -------------
+    ("MatchPath", "one row per path through a diamond",
+     ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(d:E {v: 4})",
+      "MATCH (a:S), (d:E) CREATE (a)-[:T]->(c:M {v: 3})-[:T]->(d)"],
+     "MATCH p = (a:S)-[:T*1..2]->(b:E) RETURN length(p) AS l",
+     [{"l": 2}, {"l": 2}], False),
+    ("MatchPath", "nodes(p) in traversal order",
+     ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(d:E {v: 4})",
+      "MATCH (a:S), (d:E) CREATE (a)-[:T]->(c:M {v: 3})-[:T]->(d)"],
+     "MATCH p = (a:S)-[:T*2..2]->(b:E) "
+     "RETURN [n IN nodes(p) | n.v] AS vs",
+     [{"vs": [1, 2, 4]}, {"vs": [1, 3, 4]}], False),
+    ("MatchPath", "relationship uniqueness forbids edge reuse",
+     ["CREATE (a:A {v: 1})-[:T]->(b:B {v: 2})"],
+     "MATCH p = (x:A)-[:T*2..2]-(y) RETURN length(p) AS l",
+     [], False),
+    ("MatchPath", "cycles are real paths under edge uniqueness",
+     ["CREATE (a:A {v: 1})-[:T]->(b:B {v: 2})-[:T]->(a)"],
+     "MATCH p = (x:A)-[:T*2..2]->(x2:A) "
+     "RETURN length(p) AS l, [n IN nodes(p) | n.v] AS vs",
+     [{"l": 2, "vs": [1, 2, 1]}], False),
+    ("MatchPath", "size of relationships(p) equals length(p)",
+     ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(c:E {v: 3})"],
+     "MATCH p = (a:S)-[:T*1..3]->(b) "
+     "RETURN size(relationships(p)) AS n, b.v AS bv ORDER BY bv",
+     [{"n": 1, "bv": 2}, {"n": 2, "bv": 3}], True),
+    ("MatchPath", "lower bound filters short paths",
+     ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(c:E {v: 3})"],
+     "MATCH p = (a:S)-[:T*2..]->(b) RETURN b.v AS bv",
+     [{"bv": 3}], False),
 ]
 
 
@@ -398,8 +430,11 @@ def test_bare_pattern_predicate_supported(spark):
     assert [r["v"] for r in got] == [1]
 
 
-def test_gate_varlength_path_variable(spark):
+def test_gate_varlength_path_variable_multi_edge(spark):
+    # round 11: single-relationship varlength path variables are
+    # SUPPORTED (see the MatchPath scenarios); mixing a varlength
+    # relationship with further pattern edges still gates loudly
     s = _session(spark)
     s.run("CREATE (a:A)-[:T]->(:B)")
-    with pytest.raises(ValueError):
-        s.run("MATCH p = (a:A)-[:T*1..2]->(b) RETURN length(p)")
+    with pytest.raises(ValueError, match="exactly one relationship"):
+        s.run("MATCH p = (a:A)-[:T*1..2]->(b)-[:X]->(c) RETURN length(p)")

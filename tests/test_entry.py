@@ -9,8 +9,8 @@ import re
 import __spark_entry__ as E
 
 # The documented ledger numbers — keep in lockstep with SURVEY.md §8.
-DOCUMENTED_QUERIES = 298
-DOCUMENTED_ORACLES = 267
+DOCUMENTED_QUERIES = 299
+DOCUMENTED_ORACLES = 268
 
 
 def test_ledger_counts_match():
