@@ -640,6 +640,42 @@ def duplicate_spans(
     )
 
 
+def duplicate_span_ranges(
+    df: DataFrame, id_col: str, text_col: str, span: int = 20
+) -> DataFrame:
+    """MAXIMAL duplicated spans — the second half of the Lee et al.
+    2022 exact-substring dedup: :func:`duplicate_spans` flags every
+    duplicated `span`-token window position; here runs of CONSECUTIVE
+    anchor positions within a document merge into maximal ranges
+    (doc, span_start, span_end, n_tokens), 0-based token offsets with
+    span_end inclusive of the final window's tail — the row a
+    downstream cut-duplicated-text pass consumes directly.
+
+    Plan: gaps-and-islands — anchors sort per document under ONE window
+    (pos - row_number is constant exactly on a consecutive run), then
+    one hash aggregate per island. Both shuffles key on the document
+    id, so the heavy gram aggregate in duplicate_spans stays the only
+    corpus-sized stage."""
+    from pyspark.sql import Window
+
+    anchors = duplicate_spans(df, id_col, text_col, span).select(
+        F.col(id_col), F.col("pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        anchors.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + span - 1).alias("span_end"),
+        )
+        .drop("_grp")
+        .withColumn(
+            "n_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+    )
+
+
 def temperature_weights(
     counts: dict[str, int], alpha: float = 0.7
 ) -> dict[str, float]:

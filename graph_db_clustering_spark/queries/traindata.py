@@ -302,6 +302,43 @@ def duplicate_spans(spark, sf_dir):
 
 
 @declared(
+    "dup_span_ranges",
+    f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+             md5(ARRAY_TO_STRING(toks[i:i+7], ' ')) AS gram_md5
+      FROM t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 7, 0))) u(i)),
+d AS (SELECT gram_md5 FROM g GROUP BY gram_md5 HAVING COUNT(*) > 1),
+a AS (SELECT doc_id, pos FROM g JOIN d USING (gram_md5)),
+i AS (SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM a)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + 7 AS INT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + 8 AS INT) AS n_tokens
+FROM i GROUP BY doc_id, grp
+ORDER BY doc_id, span_start""",
+)
+def dup_span_ranges(spark, sf_dir):
+    """Maximal duplicated 8-token spans
+    (operators/traindata.duplicate_span_ranges — the merge half of the
+    Lee et al. 2022 exact-substring dedup): consecutive duplicated
+    window positions fold into one (span_start, span_end, n_tokens)
+    range per island via gaps-and-islands. The oracle recomputes the
+    anchors AND the island merge relationally — an off-by-one in the
+    tail extension (span-1), a row_number tie, or a lost anchor all
+    shift a range boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    r = traindata.duplicate_span_ranges(d, "doc_id", "text", span=8)
+    return r.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    ).orderBy("doc_id", "span_start")
+
+
+@declared(
     "interleave_corpora",
     """WITH a AS (SELECT doc_id,
           (ROW_NUMBER() OVER (ORDER BY doc_id)) / 2.0 AS vt

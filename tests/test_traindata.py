@@ -625,3 +625,39 @@ def test_train_test_split_salt_draws_independent_splits(spark):
     )
     # two salts agree only by chance (~0.66 for 80/10/10), never fully
     assert 0 < moved < 500
+
+
+def test_duplicate_span_ranges_merges_consecutive_anchors(spark):
+    """duplicate_span_ranges: a shared 6-token run anchors 3-gram
+    positions 2..5 in doc 1 (0-based) and 0..3 in doc 2; islands merge
+    to maximal ranges with the span-1 tail extension."""
+    td = traindata
+    df = spark.createDataFrame(
+        [(1, "x y a b c d e f q r"),
+         (2, "a b c d e f z"),
+         (3, "unique words only here none")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in td.duplicate_span_ranges(
+            df, "doc_id", "text", span=3
+        ).collect()
+    )
+    assert got == [(1, 2, 7, 6), (2, 0, 5, 6)], got
+
+
+def test_duplicate_span_ranges_disjoint_islands(spark):
+    td = traindata
+    df = spark.createDataFrame(
+        [(1, "a b c GAP1 GAP2 d e f tail"),
+         (2, "a b c X Y d e f Z")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in td.duplicate_span_ranges(
+            df, "doc_id", "text", span=3
+        ).collect()
+    )
+    assert got == [(1, 0, 2), (1, 5, 7), (2, 0, 2), (2, 5, 7)], got
