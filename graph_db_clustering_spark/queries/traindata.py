@@ -2549,3 +2549,80 @@ def hudi_clustered(spark, sf_dir):
         .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
         .orderBy("o_orderkey")
     )
+
+
+@declared(
+    "iceberg_dv",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey % 7 <> 0 AND l_quantity < 45
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def iceberg_dv(spark, sf_dir):
+    """Iceberg format-v3 DELETION VECTORS (round 11 continuation,
+    sources/iceberg.iceberg_add_deletion_vectors + functions/puffin):
+    a lineitem table takes TWO DV commits — %7 orderkeys, then
+    quantity >= 45 on the same files, which must MERGE into the
+    existing vectors and supersede them (single-live-DV-per-file
+    invariant). Positions live as delete-vector-v1 roaring blobs
+    inside Puffin files (framing byte-identical to one Delta DV
+    record); the scan expands them executor-side into the same
+    anti-join the v2 parquet position deletes use. The oracle is the
+    surviving set stated relationally — a mis-framed blob, a dropped
+    merge, or an off-by-one in the bitmap shifts the counts. The
+    entry also asserts no parquet delete file was written and the
+    metadata advanced to format-version 3."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.iceberg import (
+        _snapshot_entries,
+        iceberg_add_deletion_vectors,
+        iceberg_live_files,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_icedv_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    write_iceberg(spark, li.coalesce(2), t)
+    scan = spark.read.parquet(*iceberg_live_files(t)).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "l_orderkey", "l_quantity",
+    )
+    iceberg_add_deletion_vectors(
+        spark, t,
+        scan.filter(F.col("l_orderkey") % 7 == 0).select(
+            "file_path", "pos"
+        ),
+    )
+    iceberg_add_deletion_vectors(
+        spark, t,
+        scan.filter(F.col("l_quantity") >= 45).select("file_path", "pos"),
+    )
+    _data, dels, meta = _snapshot_entries(t)
+    assert meta["format-version"] == 3, meta.get("format-version")
+    dvs = [d for d in dels if d.get("fmt") == "PUFFIN"]
+    assert dvs and all(d["path"].endswith(".puffin") for d in dvs), dels
+    assert not [d for d in dels if d.get("fmt") == "PARQUET"], dels
+    refs = [d["referenced_data_file"] for d in dvs]
+    assert len(refs) == len(set(refs)), refs  # merged, not stacked
+    return (
+        read_iceberg(spark, t)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -321,11 +321,19 @@ def _snapshot_entries(
                 continue
             dfile = entry["data_file"]
             fmt = (dfile.get("file_format") or "").upper()
-            if fmt not in ("PARQUET", "ORC", "AVRO"):
-                raise NotImplementedError(f"iceberg: file format {fmt!r}")
             seq = entry.get("sequence_number")
             seq = mseq if seq is None else seq
             content = dfile.get("content") or 0
+            if fmt == "PUFFIN":
+                # format v3: a deletion vector — valid ONLY as a
+                # position-delete entry referencing a data file
+                if content != 1 or not dfile.get("referenced_data_file"):
+                    raise IcebergError(
+                        "iceberg: PUFFIN entry must be a position "
+                        "delete with referenced_data_file (v3 DV)"
+                    )
+            elif fmt not in ("PARQUET", "ORC", "AVRO"):
+                raise NotImplementedError(f"iceberg: file format {fmt!r}")
             rec = {
                 "path": _strip_scheme(dfile["file_path"]),
                 "seq": seq,
@@ -337,6 +345,12 @@ def _snapshot_entries(
                 "file_size": dfile.get("file_size_in_bytes"),
                 "manifest": m["manifest_path"],
             }
+            if dfile.get("referenced_data_file"):
+                rec["referenced_data_file"] = _strip_scheme(
+                    dfile["referenced_data_file"]
+                )
+                rec["content_offset"] = dfile.get("content_offset")
+                rec["content_size"] = dfile.get("content_size_in_bytes")
             if content == 0:
                 data.append(rec)
             elif content in (1, 2):
@@ -513,13 +527,79 @@ def _orc_scan_with_pos(spark: SparkSession, paths: list) -> DataFrame:
     return base.mapInPandas(attach, schema)
 
 
+def _dv_pairs_df(spark: SparkSession, dvs: list) -> DataFrame:
+    """Expand v3 deletion vectors into (__dfp, __dpos) pairs ON THE
+    EXECUTORS: the descriptor frame (one row per DV — puffin path,
+    offset, length, referenced file) is metadata-sized; each task
+    reads its blobs' byte ranges and decodes the roaring bitmap where
+    the rows are needed, so the driver never holds positions (the
+    shape sources/delta's DV expansion uses)."""
+    rows = [
+        (
+            d["path"],
+            int(d["content_offset"]),
+            int(d["content_size"]),
+            "/" + d["referenced_data_file"].lstrip("/"),
+        )
+        for d in dvs
+    ]
+    desc = spark.createDataFrame(
+        rows, "puffin string, off long, size long, ref string"
+    )
+
+    def expand(batches):
+        import pandas as pd
+
+        from graph_db_clustering_spark.functions.puffin import (
+            decode_dv_blob,
+        )
+
+        for pdf in batches:
+            refs, poss = [], []
+            for puffin, off, size, ref in pdf.itertuples(index=False):
+                with open(puffin, "rb") as f:
+                    f.seek(off)
+                    blob = f.read(size)
+                for pos in decode_dv_blob(blob):
+                    refs.append(ref)
+                    poss.append(pos)
+            yield pd.DataFrame(
+                {
+                    "__dfp": pd.Series(refs, dtype="object"),
+                    "__dpos": pd.Series(poss, dtype="int64"),
+                }
+            )
+
+    return desc.mapInPandas(expand, "__dfp string, __dpos long")
+
+
 def _scan_with_deletes(
     spark: SparkSession, path: str, data: list, dels: list, meta: dict
 ) -> DataFrame:
     if not data:
         raise IcebergError(f"iceberg: snapshot has no data files at {path}")
-    pos_dels = [d for d in dels if d["content"] == 1]
+    dv_dels = [
+        d for d in dels
+        if d["content"] == 1 and d.get("fmt") == "PUFFIN"
+    ]
+    pos_dels = [
+        d for d in dels
+        if d["content"] == 1 and d.get("fmt") != "PUFFIN"
+    ]
     eq_dels = [d for d in dels if d["content"] == 2]
+    if dv_dels:
+        # format v3 invariant: at most ONE live DV per data file — a
+        # writer must merge (iceberg_add_deletion_vectors does); two
+        # live DVs for one file is a corrupt table, not a union
+        by_ref: dict = {}
+        for d in dv_dels:
+            by_ref.setdefault(d["referenced_data_file"], []).append(d)
+        multi = {k: v for k, v in by_ref.items() if len(v) > 1}
+        if multi:
+            raise IcebergError(
+                "iceberg: multiple live deletion vectors reference "
+                f"{sorted(multi)[0]!r} — v3 requires writers to merge"
+            )
     fmts = {d.get("fmt", "PARQUET") for d in data}
     if len(fmts) > 1:
         raise NotImplementedError(
@@ -577,17 +657,22 @@ def _scan_with_deletes(
     else:
         scan = scan_with_meta([d["path"] for d in data])
 
-    if pos_dels:
+    if pos_dels or dv_dels:
         # (file_path, pos) pairs; normalized the same way as _metadata
-        pd_df = (
-            spark.read.parquet(*sorted({d["path"] for d in pos_dels}))
-            .select(
-                F.regexp_replace(F.col("file_path"), _FP_NORM, "/").alias(
-                    "__dfp"
-                ),
-                F.col("pos").alias("__dpos"),
+        pd_df = None
+        if pos_dels:
+            pd_df = (
+                spark.read.parquet(*sorted({d["path"] for d in pos_dels}))
+                .select(
+                    F.regexp_replace(
+                        F.col("file_path"), _FP_NORM, "/"
+                    ).alias("__dfp"),
+                    F.col("pos").alias("__dpos"),
+                )
             )
-        )
+        if dv_dels:
+            dv_df = _dv_pairs_df(spark, dv_dels)
+            pd_df = dv_df if pd_df is None else pd_df.unionByName(dv_df)
         scan = scan.join(
             F.broadcast(pd_df),
             (F.col("__fp") == F.col("__dfp"))
@@ -687,6 +772,128 @@ def _commit_delete_snapshot(
     shutil.rmtree(stage, ignore_errors=True)
     import pyarrow.parquet as pq
 
+    new_rec = {
+        "path": dest, "seq": max_seq + 1, "content": content,
+        "fmt": "PARQUET",
+        "record_count": pq.read_metadata(dest).num_rows,
+        "equality_ids": list(equality_ids), "partition": {},
+    }
+    return _write_delete_commit(path, meta, data, dels, [new_rec], new_id)
+
+
+def iceberg_add_deletion_vectors(
+    spark: SparkSession, path: str, deletes: DataFrame
+) -> int:
+    """Commit format-v3 DELETION VECTORS for `deletes` — a DataFrame
+    of (file_path string, pos bigint) pairs, the same contract as
+    iceberg_add_position_deletes, but the positions land as one
+    roaring bitmap PER DATA FILE inside a single Puffin file
+    (delete-vector-v1 blobs), and the manifest entries carry
+    referenced_data_file + content_offset/content_size instead of a
+    parquet delete scan. An existing live DV on a touched file is
+    MERGED into the new one and superseded (the v3 single-DV-per-file
+    invariant the reader enforces); parquet position deletes and
+    equality deletes are carried unchanged. The commit bumps the
+    table's format-version to 3. Positions fold on the driver —
+    bounded by the DELETED row count, the same posture as
+    sources/delta.delta_add_deletion_vectors. Returns the snapshot id."""
+    if set(deletes.columns) != {"file_path", "pos"}:
+        raise IcebergError(
+            "iceberg: deletes must be (file_path string, pos bigint)"
+        )
+    from graph_db_clustering_spark.functions.puffin import (
+        decode_dv_blob,
+        encode_dv_blob,
+        write_puffin,
+    )
+
+    data, dels, meta = _snapshot_entries(path)
+    snaps = meta.get("snapshots") or []
+    new_id = max(s["snapshot-id"] for s in snaps) + 1
+    max_seq = max([d["seq"] for d in data + dels] or [0])
+    live = {d["path"] for d in data}
+
+    pairs = (
+        deletes.withColumn(
+            "file_path",
+            F.regexp_replace(F.col("file_path"), _FP_NORM, "/"),
+        )
+        .groupBy("file_path")
+        .agg(F.collect_set("pos").alias("positions"))
+        .collect()
+    )
+    by_file = {r["file_path"]: sorted(r["positions"]) for r in pairs}
+    unknown = sorted(set(by_file) - live)
+    if unknown:
+        raise IcebergError(
+            f"iceberg: DV references non-live data file {unknown[0]!r}"
+        )
+
+    # merge + supersede existing DVs on the touched files
+    carried, merged_from = [], {}
+    for d in dels:
+        ref = d.get("referenced_data_file")
+        if d.get("fmt") == "PUFFIN" and ref in by_file:
+            with open(d["path"], "rb") as f:
+                f.seek(int(d["content_offset"]))
+                blob = f.read(int(d["content_size"]))
+            merged_from[ref] = d["path"]
+            by_file[ref] = sorted(
+                set(by_file[ref]) | set(decode_dv_blob(blob))
+            )
+        else:
+            carried.append(d)
+
+    puffin_path = os.path.join(path, "data", f"dv-{new_id:05d}.puffin")
+    blobs = [
+        {
+            "type": "deletion-vector-v1",
+            "data": encode_dv_blob(poss),
+            "snapshot_id": new_id,
+            "sequence_number": max_seq + 1,
+            "properties": {
+                "referenced-data-file": ref,
+                "cardinality": str(len(poss)),
+            },
+        }
+        for ref, poss in sorted(by_file.items())
+    ]
+    entries = write_puffin(path=puffin_path, blobs=blobs)
+    new_recs = [
+        {
+            "path": puffin_path,
+            "seq": max_seq + 1,
+            "content": 1,
+            "fmt": "PUFFIN",
+            "record_count": int(e["properties"]["cardinality"]),
+            "equality_ids": [],
+            "partition": {},
+            "referenced_data_file": e["properties"][
+                "referenced-data-file"
+            ],
+            "content_offset": e["offset"],
+            "content_size": e["length"],
+        }
+        for e in entries
+    ]
+    return _write_delete_commit(
+        path, meta, data, carried, new_recs, new_id, format_version=3
+    )
+
+
+def _write_delete_commit(
+    path: str,
+    meta: dict,
+    data: list,
+    dels: list,
+    new_recs: list,
+    new_id: int,
+    format_version: int | None = None,
+) -> int:
+    """Shared tail of a row-level-delete commit: relist every carried
+    entry plus `new_recs` into one manifest, write the manifest list,
+    and roll the metadata file forward."""
+
     def _avro_val_type(v):
         if isinstance(v, bool):
             return "boolean"
@@ -701,7 +908,7 @@ def _commit_delete_snapshot(
     # one partition-record schema spanning every live file's tuple
     pnames: list = []
     ptypes: dict = {}
-    for rec in data + dels:
+    for rec in data + dels + new_recs:
         for k, v in (rec.get("partition") or {}).items():
             if k not in ptypes:
                 pnames.append(k)
@@ -717,6 +924,14 @@ def _commit_delete_snapshot(
                 {"name": "content", "type": "int"},
                 {"name": "equality_ids",
                  "type": {"type": "array", "items": "int"}},
+                # format v3 deletion-vector fields (null for all
+                # non-DV entries; field ids 143-145 in the spec)
+                {"name": "referenced_data_file",
+                 "type": ["null", "string"], "default": None},
+                {"name": "content_offset",
+                 "type": ["null", "long"], "default": None},
+                {"name": "content_size_in_bytes",
+                 "type": ["null", "long"], "default": None},
             ] + ([{"name": "partition", "type": {
                 "type": "record", "name": "r102", "fields": [
                     {"name": n, "type": ["null", ptypes[n]]}
@@ -745,6 +960,9 @@ def _commit_delete_snapshot(
                 ),
                 "content": rec["content"],
                 "equality_ids": rec.get("equality_ids") or [],
+                "referenced_data_file": rec.get("referenced_data_file"),
+                "content_offset": rec.get("content_offset"),
+                "content_size_in_bytes": rec.get("content_size"),
             }}
         if pnames:
             pv = rec.get("partition") or {}
@@ -754,11 +972,7 @@ def _commit_delete_snapshot(
         return e
 
     rows = [_entry(r, 0) for r in data] + [_entry(r, 0) for r in dels]
-    rows.append(_entry({
-        "path": dest, "seq": max_seq + 1, "content": content,
-        "record_count": pq.read_metadata(dest).num_rows,
-        "equality_ids": list(equality_ids), "partition": {},
-    }, 1))
+    rows += [_entry(r, 1) for r in new_recs]
 
     from graph_db_clustering_spark.sources.avro import encode_container
 
@@ -779,10 +993,15 @@ def _commit_delete_snapshot(
             codec="null",
         ))
     meta = dict(meta)
+    snaps = meta.get("snapshots") or []
     meta["snapshots"] = snaps + [
         {"snapshot-id": new_id, "manifest-list": ml}
     ]
     meta["current-snapshot-id"] = new_id
+    if format_version is not None:
+        meta["format-version"] = max(
+            int(meta.get("format-version") or 2), format_version
+        )
     mfile = _metadata_file(path)
     ver = int(re.match(r"v(\d+)", os.path.basename(mfile)).group(1)) + 1
     with open(
