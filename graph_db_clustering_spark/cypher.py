@@ -111,6 +111,11 @@ message — gates are test-pinned in tests/test_cypher.py):
                                                  relationships; varlength
                                                  mixed with more edges
                                                  stays a ValueError)
+    date()/datetime()/localdatetime()/         yes (round 11: string/map
+      duration() + accessors, comparisons,       construction, type-aware
+      date +/- duration                          accessors, make_interval;
+                                                 time()/timezones/duration
+                                                 accessors gate loudly)
     list comprehension [x IN l WHERE p | e]    yes (filter/transform
       (+ range(a, b[, step]))                    HOFs; lambda scoping)
     all/any/none/single(x IN l WHERE p)        yes (forall/exists HOFs)
@@ -3289,6 +3294,101 @@ class CypherSession:
         # unbound variable `id` silently resolve to 0 (round-6 review)
         return self.graph.vertices.sparkSession.range(1).select()
 
+    def _dtype_of(self, col: Column, df: DataFrame | None):
+        """Best-effort Spark type of a compiled column against the
+        current frame — None when it cannot be resolved (lambda scope,
+        no frame). Analysis only, no job."""
+        if df is None:
+            return None
+        try:
+            return df.select(col).schema[0].dataType
+        except Exception:
+            return None
+
+    # Neo4j temporal accessor -> Spark function (ISO week rules match;
+    # Spark's dayofweek is Sunday=1, Neo4j's is ISO Monday=1)
+    _DATE_ACCESSORS = {
+        "year": F.year,
+        "quarter": F.quarter,
+        "month": F.month,
+        "week": F.weekofyear,
+        "day": F.dayofmonth,
+        "ordinalDay": F.dayofyear,
+        "dayOfWeek": lambda c: ((F.dayofweek(c) + 5) % 7) + 1,
+    }
+    _TIME_ACCESSORS = {
+        "hour": F.hour,
+        "minute": F.minute,
+        "second": F.second,
+    }
+
+    def _temporal_accessor(self, base: Column, name: str, dt) -> Column:
+        """date/datetime component access (d.year, ts.minute, ...)."""
+        if name in self._DATE_ACCESSORS:
+            return self._DATE_ACCESSORS[name](base).cast("long")
+        timelike = isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+        if name in self._TIME_ACCESSORS:
+            if not timelike:
+                raise ValueError(
+                    f"cypher: .{name} needs a datetime, not a date"
+                )
+            return self._TIME_ACCESSORS[name](base).cast("long")
+        if name == "epochSeconds" and timelike:
+            return F.unix_seconds(base.cast("timestamp"))
+        if name == "epochMillis" and timelike:
+            return F.unix_millis(base.cast("timestamp"))
+        raise ValueError(
+            f"cypher: unsupported temporal accessor .{name} "
+            "(year/quarter/month/week/day/ordinalDay/dayOfWeek"
+            "/hour/minute/second/epochSeconds/epochMillis)"
+        )
+
+    _ISO_DURATION = re.compile(
+        r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+        r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+    )
+
+    def _duration_col(self, arg, df, params) -> Column:
+        """duration({...}) / duration('P1DT2H') -> a make_interval
+        column. Component maps take expressions; the string form must
+        be a literal (it parses driver-side)."""
+        zero = F.lit(0)
+        if isinstance(arg, MapLit):
+            allowed = (
+                "years", "months", "weeks", "days",
+                "hours", "minutes", "seconds",
+            )
+            bad = set(arg.items) - set(allowed)
+            if bad:
+                raise ValueError(
+                    f"cypher: duration() component(s) {sorted(bad)} "
+                    f"unsupported (use {'/'.join(allowed)})"
+                )
+            parts = {
+                k: self._expr(v, df, params) for k, v in arg.items.items()
+            }
+            return F.make_interval(
+                *[parts.get(k, zero) for k in allowed]
+            )
+        if isinstance(arg, Lit) and isinstance(arg.value, str):
+            m = self._ISO_DURATION.match(arg.value)
+            if not m or arg.value in ("P", "PT"):
+                raise ValueError(
+                    f"cypher: bad ISO-8601 duration {arg.value!r}"
+                )
+            y, mo, w, d, h, mi, s = (
+                (float(g) if g and "." in g else int(g or 0))
+                for g in m.groups()
+            )
+            return F.make_interval(
+                F.lit(y), F.lit(mo), F.lit(w), F.lit(d),
+                F.lit(h), F.lit(mi), F.lit(s),
+            )
+        raise ValueError(
+            "cypher: duration() takes a component map or a string "
+            "LITERAL"
+        )
+
     def _expr(self, e, df: DataFrame | None, params) -> Column:
         if isinstance(e, Lit):
             return F.lit(e.value)
@@ -3314,7 +3414,13 @@ class CypherSession:
                 dt = df.schema[e.base.name].dataType
                 if isinstance(dt, T.StructType) and e.name not in dt.names:
                     return F.lit(None)
-            return self._expr(e.base, df, params).getField(e.name)
+            base = self._expr(e.base, df, params)
+            bdt = self._dtype_of(base, df)
+            if isinstance(
+                bdt, (T.DateType, T.TimestampType, T.TimestampNTZType)
+            ):
+                return self._temporal_accessor(base, e.name, bdt)
+            return base.getField(e.name)
         if isinstance(e, Index):
             return self._expr(e.base, df, params).getItem(e.idx)
         if isinstance(e, MapLit):
@@ -3632,5 +3738,66 @@ class CypherSession:
                     ),
                     lambda x: x.isNotNull(),
                 )
+            if name in ("date", "datetime", "localdatetime"):
+                # round 11 temporal subset: construction from an ISO
+                # string or a component map; accessors via Prop,
+                # comparisons native, +/- duration() via make_interval.
+                # time()/localtime()/timezones stay gated.
+                if len(e.args) != 1:
+                    raise ValueError(
+                        f"cypher: {e.name}() takes exactly one argument "
+                        "(string or component map; current-time forms "
+                        "are unsupported)"
+                    )
+                a = e.args[0]
+                target = (
+                    "date" if name == "date"
+                    else "timestamp_ntz" if name == "localdatetime"
+                    else "timestamp"
+                )
+                if isinstance(a, MapLit):
+                    allowed = (
+                        ("year", "month", "day") if name == "date"
+                        else ("year", "month", "day",
+                              "hour", "minute", "second")
+                    )
+                    bad = set(a.items) - set(allowed)
+                    if bad:
+                        raise ValueError(
+                            f"cypher: {e.name}() component(s) "
+                            f"{sorted(bad)} unsupported"
+                        )
+                    if "year" not in a.items:
+                        raise ValueError(
+                            f"cypher: {e.name}() map needs a year"
+                        )
+
+                    def comp(k, dflt):
+                        if k in a.items:
+                            return self._expr(
+                                a.items[k], df, params
+                            ).cast("int")
+                        return F.lit(dflt)
+
+                    d = F.make_date(
+                        comp("year", 0), comp("month", 1), comp("day", 1)
+                    )
+                    if name == "date":
+                        return d
+                    ts = F.to_timestamp(d).cast(
+                        "timestamp_ntz"
+                    ) + F.make_interval(
+                        F.lit(0), F.lit(0), F.lit(0), F.lit(0),
+                        comp("hour", 0), comp("minute", 0),
+                        comp("second", 0),
+                    )
+                    return ts.cast(target)
+                return self._expr(a, df, params).cast(target)
+            if name == "duration":
+                if len(e.args) != 1:
+                    raise ValueError(
+                        "cypher: duration() takes exactly one argument"
+                    )
+                return self._duration_col(e.args[0], df, params)
             raise ValueError(f"cypher: unsupported function {e.name}()")
         raise ValueError(f"cypher: cannot compile expression {e}")

@@ -1660,3 +1660,50 @@ def cypher_varlen_paths(spark, sf_dir):
            RETURN a.id AS aid, b.id AS bid, length(p) AS len
            ORDER BY aid, bid, len"""
     )
+
+
+@declared(
+    "cypher_temporal",
+    f"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderkey < {_CAP * 10}
+  AND o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1995-01-01' + INTERVAL 6 MONTH
+GROUP BY y, q ORDER BY y, q""",
+)
+def cypher_temporal(spark, sf_dir):
+    """Cypher temporal subset (round 11): date() construction from a
+    string, date comparison in WHERE, date + duration({months}) as the
+    window's upper bound, and .year/.quarter accessors in the implicit
+    aggregation — over Order vertices carrying a real DATE property.
+    The oracle restates the same half-year window with SQL EXTRACT; a
+    wrong dayOfWeek-style off-by-one, a duration that adds days
+    instead of months, or an accessor reading the wrong component
+    moves rows between groups."""
+    from graph_db_clustering_spark.cypher import CypherSession
+    from graph_db_clustering_spark.operators.graph import Graph
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < _CAP * 10)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.lit("Order").alias("label"),
+            F.col("o_orderdate").alias("odate"),
+        )
+    )
+    s = CypherSession(Graph(
+        o, o.sparkSession.createDataFrame(
+            [], "src long, dst long, relationship string"
+        ),
+    ))
+    return s.run(
+        """MATCH (o:Order)
+           WHERE o.odate >= date('1995-01-01')
+             AND o.odate < date('1995-01-01') + duration({months: 6})
+           RETURN o.odate.year AS y, o.odate.quarter AS q,
+                  count(*) AS n
+           ORDER BY y, q"""
+    )

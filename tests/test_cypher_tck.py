@@ -32,7 +32,10 @@ UNSUPPORTED = {
     "bind p = (a)-[*]->(b) for openCypher per-path rows",
     "multiple labels per node": "(n:A:B) — single-label vertex column",
     "dynamic property access": "n[key] on nodes",
-    "temporal types": "date()/datetime()/duration()",
+    "temporal residue": "time()/localtime(), timezones, duration "
+    "accessors/between(); date()/datetime()/localdatetime()/duration() "
+    "construction, accessors, comparisons and date +/- duration WORK "
+    "(round 11)",
     "point/spatial": "point(), distance()",
     "quantified path patterns": "((a)-[:R]->(b)){1,3}",
 }
@@ -368,6 +371,35 @@ SCENARIOS = [
      ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(c:E {v: 3})"],
      "MATCH p = (a:S)-[:T*2..]->(b) RETURN b.v AS bv",
      [{"bv": 3}], False),
+    # ---- Temporal: construction/accessors/comparison (round 11) -----
+    ("Temporal", "date from string and from component map",
+     [],
+     "RETURN date('1984-10-11') = date({year: 1984, month: 10, "
+     "day: 11}) AS eq, date({year: 1984}) AS dflt",
+     [{"eq": True, "dflt": __import__("datetime").date(1984, 1, 1)}],
+     False),
+    ("Temporal", "date accessors incl. ISO dayOfWeek",
+     [],
+     "WITH date('2015-07-21') AS d RETURN d.year AS y, d.month AS m, "
+     "d.day AS dd, d.dayOfWeek AS dw, d.ordinalDay AS od",
+     [{"y": 2015, "m": 7, "dd": 21, "dw": 2, "od": 202}], False),
+    ("Temporal", "localdatetime accessors",
+     [],
+     "WITH localdatetime('2015-07-21T21:40:32') AS t "
+     "RETURN t.hour AS h, t.minute AS mi, t.second AS s",
+     [{"h": 21, "mi": 40, "s": 32}], False),
+    ("Temporal", "date comparison orders chronologically",
+     ["CREATE (:D {s: '2024-03-01'}), (:D {s: '2023-12-31'}), "
+      "(:D {s: '2024-01-15'})"],
+     "MATCH (n:D) WHERE date(n.s) > date('2024-01-01') "
+     "RETURN n.s AS s ORDER BY s",
+     [{"s": "2024-01-15"}, {"s": "2024-03-01"}], True),
+    ("Temporal", "date plus duration",
+     [],
+     "RETURN date('2015-07-21') + duration({days: 3}) AS a, "
+     "date('2015-01-30') + duration('P1M2D') AS b",
+     [{"a": __import__("datetime").date(2015, 7, 24),
+       "b": __import__("datetime").date(2015, 3, 2)}], False),
 ]
 
 
