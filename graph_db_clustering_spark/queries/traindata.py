@@ -2626,3 +2626,63 @@ def iceberg_dv(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "hudi_incremental_stream",
+    """SELECT o_orderkey, 1.0 AS price
+FROM orders
+WHERE o_orderkey % 10 < 5 AND o_orderkey % 20 = 0
+  AND o_orderkey % 40 <> 20
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders WHERE o_orderkey % 10 = 7 AND o_orderkey % 40 <> 20
+ORDER BY o_orderkey""",
+)
+def hudi_incremental_stream(spark, sf_dir):
+    """The hudi_incremental pull consumed through REAL Structured
+    Streaming (streaming/hudi_source — a Spark 4 Python DataSource:
+    completed-instant offsets, one input partition per in-range base
+    file, pyarrow reads + commit-time range filter ON EXECUTORS).
+    Same table construction and the SAME oracle as the batch
+    hudi_incremental entry: a single micro-batch over (create, latest]
+    must equal the batch pull — carried survivors excluded by their
+    preserved commit times, updated-then-deleted keys dropped because
+    the delete's slice supersedes the upsert's within the range."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.streaming.hudi_source import (
+        HudiIncrementalDataSource,
+    )
+
+    t, (i1, _i2, _i3) = _build_hudi_orders(spark, sf_dir, "incstream")
+    spark.dataSource.register(HudiIncrementalDataSource)
+    qname = f"gdc_hudi_sink_{os.getpid()}"
+    stream = (
+        spark.readStream.format("hudi_incremental")
+        .option("path", t)
+        .option("startingInstant", i1)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+        .localCheckpoint()
+    )

@@ -386,3 +386,93 @@ def test_random_sequence_matches_dict_replay(spark, tmp_path):
         for r in read_hudi(spark, t, drop_meta=True).collect()
     }
     assert got == state
+
+
+# ---- streaming source (streaming/hudi_source.py) ----------------------
+
+
+def _drain(spark, t, starting, qname):
+    from graph_db_clustering_spark.streaming.hudi_source import (
+        HudiIncrementalDataSource,
+    )
+
+    spark.dataSource.register(HudiIncrementalDataSource)
+    reader = spark.readStream.format("hudi_incremental").option("path", t)
+    if starting is not None:
+        reader = reader.option("startingInstant", starting)
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+def test_stream_emits_upsert_batch(spark, table):
+    t, i1 = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 99.0, 0), (100, "n", 1.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    got = sorted(
+        (r["id"], r["price"])
+        for r in _drain(spark, t, i1, "hudi_b1").select(
+            "id", "price"
+        ).collect()
+    )
+    assert got == [(0, 99.0), (100, 1.0)], got
+
+
+def test_stream_delete_emits_nothing(spark, table):
+    t, _ = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 99.0, 0)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    hudi_delete(spark, t, spark.createDataFrame([(0,), (7,)], "id long"))
+    assert _drain(spark, t, i2, "hudi_b2").count() == 0
+
+
+def test_stream_whole_range_matches_batch_incremental(spark, table):
+    """A single micro-batch over (i1, latest] must equal
+    read_hudi_incremental(i1): insert-then-deleted rows drop, carried
+    survivors are excluded by their preserved commit time."""
+    t, i1 = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 99.0, 0), (100, "n", 1.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    hudi_delete(spark, t, spark.createDataFrame([(100,)], "id long"))
+    stream = sorted(
+        (r["id"], r["price"])
+        for r in _drain(spark, t, i1, "hudi_b3").select(
+            "id", "price"
+        ).collect()
+    )
+    batch = sorted(
+        (r["id"], r["price"])
+        for r in read_hudi_incremental(spark, t, i1).select(
+            "id", "price"
+        ).collect()
+    )
+    assert stream == batch == [(0, 99.0)], (stream, batch)
+
+
+def test_stream_from_table_start_covers_bulk_insert(spark, table):
+    t, _ = table
+    assert _drain(spark, t, None, "hudi_b4").count() == 20
