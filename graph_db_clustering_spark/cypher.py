@@ -111,6 +111,12 @@ message — gates are test-pinned in tests/test_cypher.py):
                                                  relationships; varlength
                                                  mixed with more edges
                                                  stays a ValueError)
+    (x) (()-[:R]->()){lo,hi} (y) / (...)+      yes (round 11: quantified
+      quantified path patterns                   path patterns — per-path
+                                                 rows, inner patterns
+                                                 constrain every step;
+                                                 zero-length / group vars
+                                                 / multi-rel bodies gate)
     date()/datetime()/localdatetime()/         yes (round 11: string/map
       duration() + accessors, comparisons,       construction, type-aware
       date +/- duration                          accessors, make_interval;
@@ -276,6 +282,11 @@ class EdgePat:
     props: dict
     direction: str  # 'out' | 'in' | 'any'
     hops: tuple | None = None  # (min, max|None) for variable-length -[*1..3]-
+    # quantified path pattern (round 11): ((a)-[:R]->(b)){lo,hi} —
+    # inner node constraints applied at EVERY step of the expansion
+    qpp: bool = False
+    qpp_src: object = None  # NodePat | None
+    qpp_dst: object = None  # NodePat | None
 
 
 @dataclass
@@ -950,6 +961,11 @@ class _Parser:
                     "cypher: shortestPath needs a single variable-length "
                     "relationship, e.g. shortestPath((a)-[:T*..5]->(b))"
                 )
+            if p.edges[0].qpp:
+                raise ValueError(
+                    "cypher: shortestPath over a quantified path "
+                    "pattern is unsupported — use -[:T*lo..hi]->"
+                )
             p.shortest = True
             p.all_shortest = fn.lower() == "allshortestpaths"
             p.pathvar = pathvar
@@ -985,10 +1001,90 @@ class _Parser:
 
     def path(self):
         nodes, edges = [self.node_pat()], []
-        while self.peek()[0] == "arrow" and self.peek()[1] in ("-[", "<-["):
-            edges.append(self.edge_pat())
-            nodes.append(self.node_pat())
+        while True:
+            t = self.peek()
+            if t[0] == "arrow" and t[1] in ("-[", "<-["):
+                edges.append(self.edge_pat())
+                nodes.append(self.node_pat())
+                continue
+            if t == ("op", "("):
+                # juxtaposed group = quantified path pattern (round 11):
+                # (x) ((a)-[:R]->(b)){1,3} (y)
+                edges.append(self.qpp_group())
+                nodes.append(self.node_pat())
+                continue
+            break
         return PathPat(nodes, edges)
+
+    def qpp_group(self):
+        """((a)-[:R]->(b)){lo,hi} / + / {n} — openCypher quantified
+        path pattern, scoped to a single-relationship body. The inner
+        node patterns become per-step constraints (every step's source
+        satisfies the left pattern, every step's target the right one —
+        interior nodes therefore satisfy both, which is exactly the
+        unification juxtaposition implies). Inner VARIABLES are group
+        variables (list bindings) and stay gated; `*`/{0,..} include
+        the zero-length path and stay gated too."""
+        self.expect("op", "(")
+        inner = self.path()
+        self.expect("op", ")")
+        if len(inner.edges) != 1:
+            raise ValueError(
+                "cypher: quantified path patterns support a "
+                "single-relationship body (((a)-[:R]->(b)){1,3})"
+            )
+        left, right = inner.nodes
+        epat = inner.edges[0]
+        if left.var or right.var or epat.var:
+            raise ValueError(
+                "cypher: group variables inside a quantified path "
+                "pattern are not exportable — use anonymous or "
+                "label/property-constrained inner patterns"
+            )
+        if epat.hops is not None:
+            raise ValueError(
+                "cypher: a variable-length relationship cannot be "
+                "nested inside a quantified path pattern"
+            )
+        t = self.peek()
+        if t == ("op", "+"):
+            self.next()
+            lo, hi = 1, None
+        elif t == ("op", "*"):
+            raise ValueError(
+                "cypher: zero-length quantified path patterns "
+                "((...)* / {0,n}) are unsupported — use (...)+ or a "
+                "lower bound of 1"
+            )
+        elif t == ("op", "{"):
+            self.next()
+            lo = int(self.next()[1]) if self.peek()[0] == "num" else 0
+            if self.peek() == ("op", ","):
+                self.next()
+                hi = (
+                    int(self.next()[1])
+                    if self.peek()[0] == "num" else None
+                )
+            else:
+                hi = lo
+            self.expect("op", "}")
+            if lo < 1:
+                raise ValueError(
+                    "cypher: zero-length quantified path patterns "
+                    "((...)* / {0,n}) are unsupported — use (...)+ or "
+                    "a lower bound of 1"
+                )
+        else:
+            raise SyntaxError(
+                f"cypher: expected a quantifier after the pattern "
+                f"group, got {t}"
+            )
+        qsrc = left if (left.label or left.props) else None
+        qdst = right if (right.label or right.props) else None
+        return EdgePat(
+            None, epat.rel, epat.props, epat.direction, (lo, hi),
+            qpp=True, qpp_src=qsrc, qpp_dst=qdst,
+        )
 
     def node_pat(self):
         self.expect("op", "(")
@@ -1695,6 +1791,20 @@ class CypherSession:
             step = rev
         else:
             step = fwd.unionAll(rev)
+        # quantified path pattern: inner node constraints hold at EVERY
+        # step — source side satisfies the left inner pattern, target
+        # side the right one (interior nodes therefore satisfy both)
+        for npat, col in ((epat.qpp_src, "_s"), (epat.qpp_dst, "_d")):
+            if npat is None:
+                continue
+            v = self.graph.vertices
+            if npat.label is not None:
+                v = v.filter(F.col("label") == npat.label)
+            for k, ex in npat.props.items():
+                v = v.filter(F.col(k) == self._expr(ex, None, params))
+            step = step.join(
+                v.select(F.col("id").alias(col)), col, "semi"
+            )
         step = step.localCheckpoint(eager=True)
 
         frontier = step.select(
@@ -1961,27 +2071,38 @@ class CypherSession:
                             ).alias(ename)
                         )
                         plen_src = ename
-                    elif path.pathvar is not None:
-                        # round 11: varlength PATH VARIABLE — per-path
-                        # rows with exact nodes/relationships/length
+                    elif path.pathvar is not None or epat.qpp:
+                        # round 11: varlength PATH VARIABLE and/or a
+                        # quantified path pattern — per-path rows
+                        # (openCypher row multiplicity); exact
+                        # nodes/relationships/length when bound to p
                         pv = path.pathvar
-                        ecols = self.graph.edges.columns
-                        enriched = self._enrich_path_nodes(
-                            self._varlength_paths(epat, params)
-                        )
-                        ef = enriched.select(
-                            F.struct(F.col("src"), F.col("dst")).alias(
-                                ename
-                            ),
-                            F.col("pnodes").alias(f"__pnodes_{pv}"),
-                            F.transform(
-                                "eids",
-                                lambda s: F.struct(
-                                    *[s[c].alias(c) for c in ecols]
-                                ),
-                            ).alias(f"__prels_{pv}"),
-                            F.size("eids").alias(f"__plen_{pv}"),
-                        )
+                        if pv is None:
+                            ef = self._varlength_paths(
+                                epat, params
+                            ).select(
+                                F.struct(
+                                    F.col("src"), F.col("dst")
+                                ).alias(ename)
+                            )
+                        else:
+                            ecols = self.graph.edges.columns
+                            enriched = self._enrich_path_nodes(
+                                self._varlength_paths(epat, params)
+                            )
+                            ef = enriched.select(
+                                F.struct(
+                                    F.col("src"), F.col("dst")
+                                ).alias(ename),
+                                F.col("pnodes").alias(f"__pnodes_{pv}"),
+                                F.transform(
+                                    "eids",
+                                    lambda s: F.struct(
+                                        *[s[c].alias(c) for c in ecols]
+                                    ),
+                                ).alias(f"__prels_{pv}"),
+                                F.size("eids").alias(f"__plen_{pv}"),
+                            )
                     else:
                         ef = self._varlength_pairs(epat, params).select(
                             F.struct(F.col("src"), F.col("dst")).alias(ename)

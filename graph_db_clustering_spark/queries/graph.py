@@ -1707,3 +1707,61 @@ def cypher_temporal(spark, sf_dir):
                   count(*) AS n
            ORDER BY y, q"""
     )
+
+
+@declared(
+    "cypher_qpp",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+           FROM customer WHERE c_custkey < {_CAP})
+SELECT a.id AS aid, b.id AS bid
+FROM v a JOIN v m
+  ON a.nation = m.nation AND m.pos - a.pos IN (1, 2)
+JOIN v b
+  ON m.nation = b.nation AND b.pos - m.pos IN (1, 2)
+ORDER BY aid, bid""",
+)
+def cypher_qpp(spark, sf_dir):
+    """Quantified path patterns (round 11, cypher.qpp_group +
+    _varlength_paths): (a) (()-[:NEXT]->()){2} (b) over the chain+skip
+    graph — openCypher QPP row multiplicity means one row PER two-step
+    edge composition, so a pair 3 positions apart appears TWICE
+    (chain+skip and skip+chain) and a pair 4 apart once (skip+skip).
+    The oracle enumerates the compositions relationally with
+    duplicates; reachability-dedup semantics (the bare varlength
+    form) would collapse them."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    hops = c.withColumn("nxt", F.lead("id", 1).over(w)).withColumn(
+        "skp", F.lead("id", 2).over(w)
+    )
+    edges = (
+        hops.filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("NEXT").alias("relationship"),
+        )
+        .unionByName(
+            hops.filter(F.col("skp").isNotNull()).select(
+                F.col("id").alias("src"),
+                F.col("skp").alias("dst"),
+                F.lit("NEXT").alias("relationship"),
+            )
+        )
+    )
+    s = CypherSession(Graph(c.drop("nation"), edges))
+    return s.run(
+        """MATCH (a:Customer) (()-[:NEXT]->()){2} (b:Customer)
+           RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"""
+    )

@@ -37,7 +37,10 @@ UNSUPPORTED = {
     "construction, accessors, comparisons and date +/- duration WORK "
     "(round 11)",
     "point/spatial": "point(), distance()",
-    "quantified path patterns": "((a)-[:R]->(b)){1,3}",
+    "QPP residue": "zero-length quantifiers ((...)* / {0,n}), group "
+    "variables ((a)-[:R]->(b) with names), multi-relationship bodies; "
+    "single-relationship anonymous/constrained QPP with +/{n}/{lo,hi} "
+    "WORKS (round 11)",
 }
 
 
@@ -371,6 +374,26 @@ SCENARIOS = [
      ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(c:E {v: 3})"],
      "MATCH p = (a:S)-[:T*2..]->(b) RETURN b.v AS bv",
      [{"bv": 3}], False),
+    # ---- QPP: quantified path patterns (round 11) --------------------
+    ("QPP", "one row per path through a diamond",
+     ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(d:E {v: 4})",
+      "MATCH (a:S), (d:E) CREATE (a)-[:T]->(c:M {v: 3})-[:T]->(d)"],
+     "MATCH (x:S) (()-[:T]->()){1,2} (y:E) RETURN y.v AS v",
+     [{"v": 4}, {"v": 4}], False),
+    ("QPP", "plus quantifier reaches every depth",
+     ["CREATE (:S {v: 1})-[:T]->(:M {v: 2})-[:T]->(:E {v: 3})"],
+     "MATCH (x:S) (()-[:T]->())+ (y) RETURN y.v AS v",
+     [{"v": 2}, {"v": 3}], False),
+    ("QPP", "inner node pattern constrains every step",
+     ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(d:E {v: 4})",
+      "MATCH (a:S), (d:E) CREATE (a)-[:T]->(c:X {v: 3})-[:T]->(d)"],
+     "MATCH (x:S) (()-[:T]->(:M)){1} (y) RETURN y.v AS v",
+     [{"v": 2}], False),
+    ("QPP", "path variable over a quantified pattern",
+     ["CREATE (:S {v: 1})-[:T]->(:M {v: 2})-[:T]->(:E {v: 3})"],
+     "MATCH p = (x:S) (()-[:T]->()){2} (y) "
+     "RETURN length(p) AS l, [n IN nodes(p) | n.v] AS vs",
+     [{"l": 2, "vs": [1, 2, 3]}], False),
     # ---- Temporal: construction/accessors/comparison (round 11) -----
     ("Temporal", "date from string and from component map",
      [],
