@@ -115,6 +115,11 @@ def read_puffin(path: str) -> tuple[dict, bytes]:
 
 
 def puffin_blob(raw: bytes, entry: dict) -> bytes:
+    codec = entry.get("compression-codec")
+    if codec:
+        raise NotImplementedError(
+            f"puffin: blob compression-codec {codec!r} not supported"
+        )
     off, length = entry["offset"], entry["length"]
     return raw[off : off + length]
 

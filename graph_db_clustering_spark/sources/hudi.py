@@ -76,7 +76,7 @@ _META_COLS = [
 _COMPLETED_RE = re.compile(
     r"^(\d{10,})(?:_(\d+))?\."
     r"(commit|replacecommit|deltacommit|clean|rollback|savepoint|"
-    r"compaction|indexing)$"
+    r"restore|compaction|logcompaction|indexing)$"
 )
 
 # base file: <fileId>_<writeToken>_<instant>.parquet — fileId may
@@ -126,7 +126,7 @@ def hudi_timeline(path: str) -> list[dict]:
         if not m:
             continue
         action = m.group(3)
-        if action in ("deltacommit", "compaction"):
+        if action in ("deltacommit", "compaction", "logcompaction"):
             raise NotImplementedError(
                 "hudi: MERGE_ON_READ timeline action "
                 f"{action!r} ({fname}) — only COPY_ON_WRITE tables are "
@@ -509,6 +509,24 @@ def _stage_write(
     return _land_hudi_stage(path, stage, instant)
 
 
+def _check_partition_values(df: DataFrame, partition_field: str) -> None:
+    """Hive-style partition paths are built verbatim (`field=value/`):
+    NULL values would silently land under __HIVE_DEFAULT_PARTITION__
+    and re-land at the table root, and separator characters would
+    corrupt the directory layout — both gate loudly instead. One
+    early-exit filter job, metadata-scale next to the write itself."""
+    bad = df.filter(
+        F.col(partition_field).isNull()
+        | F.col(partition_field).cast("string").rlike("[/=%\\n\\r]")
+    ).limit(1)
+    if bad.count():
+        raise HudiError(
+            f"hudi: partition value of {partition_field!r} is NULL or "
+            "contains one of / = % newline — hive-style escaping is "
+            "not implemented; clean or recode the partition column"
+        )
+
+
 def _with_meta(
     df: DataFrame,
     instant: str,
@@ -562,6 +580,7 @@ def hudi_create(
     user_cols = df.columns
     key_col = F.col(record_key)
     if partition_field is not None:
+        _check_partition_values(df, partition_field)
         pp_col = F.concat(
             F.lit(f"{partition_field}="),
             F.col(partition_field).cast("string"),
@@ -741,6 +760,7 @@ def _apply_row_changes(
         )
         if n_ins:
             if partition_field is not None:
+                _check_partition_values(inserts, partition_field)
                 pp_col = F.concat(
                     F.lit(f"{partition_field}="),
                     F.col(partition_field).cast("string"),

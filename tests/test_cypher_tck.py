@@ -374,6 +374,50 @@ SCENARIOS = [
      ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(c:E {v: 3})"],
      "MATCH p = (a:S)-[:T*2..]->(b) RETURN b.v AS bv",
      [{"bv": 3}], False),
+    # ---- Comparability / three-valued logic (TCK emphasis) -----------
+    ("Comparability", "comparing number to null is null, filtered out",
+     ["CREATE (:N {v: 1}), (:N), (:N {v: 3})"],
+     "MATCH (n:N) WHERE n.v > 0 RETURN n.v AS v",
+     [{"v": 1}, {"v": 3}], False),
+    ("Comparability", "NOT of null comparison is still filtered",
+     ["CREATE (:N {v: 1}), (:N), (:N {v: 3})"],
+     "MATCH (n:N) WHERE NOT (n.v > 2) RETURN n.v AS v",
+     [{"v": 1}], False),
+    ("Comparability", "IS NULL vs comparison-null",
+     ["CREATE (:N {v: 1}), (:N)"],
+     "MATCH (n:N) WHERE n.v IS NULL RETURN count(*) AS c",
+     [{"c": 1}], False),
+    ("Comparability", "IN list containing null: match is true",
+     ["CREATE (:N {v: 1}), (:N {v: 2})"],
+     "MATCH (n:N) WHERE n.v IN [1, null] RETURN n.v AS v",
+     [{"v": 1}], False),
+    ("Comparability", "OR with null operand keeps true rows",
+     ["CREATE (:N {v: 5}), (:N {w: 5}), (:N {v: 0})"],
+     "MATCH (n:N) WHERE n.v = 5 OR n.w = 5 RETURN count(*) AS c",
+     [{"c": 2}], False),
+    # ---- Case expressions ---------------------------------------------
+    ("Case", "searched case with else",
+     ["CREATE (:N {v: 1}), (:N {v: 5}), (:N {v: 9})"],
+     "MATCH (n:N) RETURN CASE WHEN n.v < 3 THEN 'lo' "
+     "WHEN n.v < 7 THEN 'mid' ELSE 'hi' END AS b ORDER BY b",
+     [{"b": "hi"}, {"b": "lo"}, {"b": "mid"}], True),
+    ("Case", "simple case without else yields null",
+     ["CREATE (:N {v: 1}), (:N {v: 2})"],
+     "MATCH (n:N) RETURN CASE n.v WHEN 1 THEN 'one' END AS b",
+     [{"b": "one"}, {"b": None}], False),
+    # ---- Aggregation nulls ---------------------------------------------
+    ("Aggregation", "count(prop) skips nulls, count(*) does not",
+     ["CREATE (:N {v: 1}), (:N), (:N {v: 3})"],
+     "MATCH (n:N) RETURN count(n.v) AS cv, count(*) AS ca",
+     [{"cv": 2, "ca": 3}], False),
+    ("Aggregation", "avg and sum ignore nulls",
+     ["CREATE (:N {v: 2}), (:N), (:N {v: 4})"],
+     "MATCH (n:N) RETURN avg(n.v) AS a, sum(n.v) AS s",
+     [{"a": 3.0, "s": 6}], False),
+    ("Aggregation", "collect skips nulls",
+     ["CREATE (:N {v: 2}), (:N), (:N {v: 4})"],
+     "MATCH (n:N) WITH n.v AS v ORDER BY v RETURN collect(v) AS l",
+     [{"l": [2, 4]}], False),
     # ---- QPP: quantified path patterns (round 11) --------------------
     ("QPP", "one row per path through a diamond",
      ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(d:E {v: 4})",

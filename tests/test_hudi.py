@@ -476,3 +476,30 @@ def test_stream_whole_range_matches_batch_incremental(spark, table):
 def test_stream_from_table_start_covers_bulk_insert(spark, table):
     t, _ = table
     assert _drain(spark, t, None, "hudi_b4").count() == 20
+
+
+def test_partition_value_guards(spark, tmp_path):
+    t = str(tmp_path / "t")
+    bad = spark.createDataFrame(
+        [(1, "a/b"), (2, "ok")], "id long, part string"
+    )
+    with pytest.raises(HudiError, match="hive-style"):
+        hudi_create(spark, bad, t, "id", partition_field="part")
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "ok")], "id long, part string"
+    )
+    with pytest.raises(HudiError, match="hive-style"):
+        hudi_create(spark, nulls, t, "id", partition_field="part")
+
+
+def test_restore_and_logcompaction_actions(spark, table):
+    t, _ = table
+    # restore is visibility-neutral (files are physically gone)
+    open(os.path.join(t, ".hoodie", "20991231000000002.restore"),
+         "w").close()
+    assert read_hudi(spark, t).count() == 20
+    # logcompaction is a MERGE_ON_READ action: gate
+    lc = os.path.join(t, ".hoodie", "20991231000000003.logcompaction")
+    open(lc, "w").close()
+    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+        read_hudi(spark, t)

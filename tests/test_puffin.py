@@ -251,3 +251,13 @@ def test_iceberg_dv_multiple_data_files(spark, tmp_path):
     assert len(touched) >= 4  # every partition contributed
     assert touched <= {d["path"] for d in data}
     assert len({d["path"] for d in dvs}) == 1  # all in ONE puffin
+
+
+def test_puffin_blob_compression_codec_gates(tmp_path):
+    p = str(tmp_path / "c.puffin")
+    write_puffin(p, [{"type": "t", "data": b"x"}])
+    footer, raw = read_puffin(p)
+    entry = dict(footer["blobs"][0])
+    entry["compression-codec"] = "zstd"
+    with pytest.raises(NotImplementedError, match="compression-codec"):
+        puffin_blob(raw, entry)
