@@ -2686,3 +2686,39 @@ def hudi_incremental_stream(spark, sf_dir):
         .orderBy("o_orderkey")
         .localCheckpoint()
     )
+
+
+@declared("hudi_maintenance", _HUDI_SNAPSHOT_SQL)
+def hudi_maintenance(spark, sf_dir):
+    """Hudi maintenance (sources/hudi.hudi_clean + hudi_rollback): the
+    create/upsert/delete history takes one extra throwaway commit,
+    which is ROLLED BACK (its slices deleted, its timeline triplet
+    removed), then CLEAN retains only the newest slice per file group
+    (superseded upsert/delete inputs physically deleted). The snapshot
+    must be IDENTICAL to hudi_snapshot's (same oracle): a rollback
+    that leaves its files visible, or a clean that deletes a LIVE
+    slice instead of a superseded one, shifts rows."""
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_clean,
+        hudi_rollback,
+        hudi_upsert,
+        read_hudi,
+    )
+
+    t, _ = _build_hudi_orders(spark, sf_dir, "maint")
+    extra = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("pb", (F.col("o_orderkey") % 4).cast("int"))
+        .filter(F.col("o_orderkey") % 10 == 1)
+        .withColumn("o_totalprice", F.lit(123.0))
+    )
+    hudi_upsert(spark, t, extra)
+    hudi_rollback(t)
+    deleted = hudi_clean(t, retain_slices=1)
+    assert deleted, "clean found nothing superseded to delete"
+    return (
+        read_hudi(spark, t, drop_meta=True)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )

@@ -876,6 +876,81 @@ def hudi_cluster(spark: SparkSession, path: str) -> str:
     return instant
 
 
+def hudi_clean(path: str, retain_slices: int = 1) -> list[str]:
+    """CLEAN: physically delete superseded base-file slices, keeping
+    the newest `retain_slices` committed slices per file group (plus
+    any files of pending instants, which are not ours to judge), and
+    land a completed `<instant>.clean` on the timeline. Time travel to
+    instants older than the retained window stops working — that is
+    what cleaning means; snapshot and incremental reads of the
+    retained window are untouched. Driver-side O(files) like every
+    other timeline op. Returns the deleted paths."""
+    if retain_slices < 1:
+        raise HudiError("hudi: clean must retain at least one slice")
+    timeline = hudi_timeline(path)
+    valid = {
+        t["instant"] for t in timeline
+        if t["action"] in ("commit", "replacecommit")
+    }
+    groups: dict = {}
+    for bf in _list_base_files(path):
+        if bf["instant"] not in valid:
+            continue  # pending/foreign: leave alone
+        groups.setdefault((bf["pp"], bf["file_id"]), []).append(bf)
+    deleted = []
+    for _k, slices in sorted(groups.items()):
+        slices.sort(key=lambda b: b["instant"], reverse=True)
+        for bf in slices[retain_slices:]:
+            os.remove(bf["abs"])
+            deleted.append(bf["abs"])
+    instant = _next_instant(path)
+    hd = os.path.join(path, ".hoodie")
+    open(os.path.join(hd, f"{instant}.clean.requested"), "w").close()
+    open(os.path.join(hd, f"{instant}.clean.inflight"), "w").close()
+    with open(os.path.join(hd, f"{instant}.clean"), "w") as f:
+        json.dump({
+            "totalFilesDeleted": len(deleted),
+            "policy": "KEEP_LATEST_FILE_VERSIONS",
+            "retained": retain_slices,
+        }, f)
+    return deleted
+
+
+def hudi_rollback(path: str) -> str:
+    """ROLLBACK the latest completed commit: its base-file slices are
+    deleted (older slices become the live ones again), its timeline
+    triplet is removed, and a completed `<instant>.rollback` records
+    the action. Replacecommits are not rolled back (their replaced
+    groups' visibility cannot be restored once a clean may have run) —
+    gate loudly. Returns the rolled-back instant."""
+    timeline = hudi_timeline(path)
+    commits = [t for t in timeline if t["action"] in ("commit",
+                                                      "replacecommit")]
+    if not commits:
+        raise HudiError("hudi: nothing to roll back")
+    last = commits[-1]
+    if last["action"] == "replacecommit":
+        raise NotImplementedError(
+            "hudi: rollback of a replacecommit is not supported "
+            "(replaced-group visibility cannot be safely restored)"
+        )
+    if len(commits) == 1:
+        raise HudiError("hudi: will not roll back the table's only commit")
+    target = last["instant"]
+    for bf in _list_base_files(path):
+        if bf["instant"] == target:
+            os.remove(bf["abs"])
+    hd = os.path.join(path, ".hoodie")
+    for fname in list(os.listdir(hd)):
+        m = re.match(r"^(\d{10,})(?:_(\d+))?\.", fname)
+        if m and m.group(1) == target:
+            os.remove(os.path.join(hd, fname))
+    instant = _next_instant(path)
+    with open(os.path.join(hd, f"{instant}.rollback"), "w") as f:
+        json.dump({"rolledBackInstant": target}, f)
+    return target
+
+
 def hudi_upsert(spark: SparkSession, path: str, df: DataFrame) -> str:
     """UPSERT into a CoW table: matched keys replace their stored row
     inside their existing file group (copy-on-write rewrite of ONLY
