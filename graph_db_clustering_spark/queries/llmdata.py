@@ -2643,3 +2643,83 @@ def minhash_estimate(spark, sf_dir):
         .drop("__exact_raw")
         .orderBy("id1", "id2")
     )
+
+
+@declared(
+    "avro_logical",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS total,
+       CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS first_day
+FROM orders WHERE o_orderkey % 5 = 0
+GROUP BY y ORDER BY y""",
+)
+def avro_logical(spark, sf_dir):
+    """Avro LOGICAL TYPES end to end (round 11, sources/avro): order
+    dates ride `{"type": "int", "logicalType": "date"}` and prices a
+    bytes-backed decimal(12,2); containers are built executor-side and
+    decode back into TYPED Spark columns (DateType / DecimalType) that
+    the year-bucketed aggregate consumes directly. A shifted epoch, a
+    sign-extension bug in the two's-complement unscaled value, or a
+    scale mix-up moves the sums."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from graph_db_clustering_spark.sources import avro as pyavro
+
+    schema = {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderdate",
+             "type": {"type": "int", "logicalType": "date"}},
+            {"name": "o_totalprice",
+             "type": {"type": "bytes", "logicalType": "decimal",
+                      "precision": 12, "scale": 2}},
+        ],
+    }
+    fields = pyavro.parse_schema(schema)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(12,2)").alias(
+                "o_totalprice"
+            ),
+            F.pmod(F.col("o_orderkey"), F.lit(8)).alias("shard"),
+        )
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        rows = [
+            {
+                "o_orderkey": int(r.o_orderkey),
+                "o_orderdate": r.o_orderdate,
+                "o_totalprice": r.o_totalprice,
+            }
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            {"content": [bytearray(pyavro.encode_container(schema, rows))]}
+        )
+
+    blobs = o.repartition("shard").groupBy("shard").applyInPandas(
+        build, T.StructType([T.StructField("content", T.BinaryType())])
+    )
+    back = pyavro.parse_avro_blobs(blobs, fields)
+    return (
+        back.groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("o_totalprice").cast("double"), 2).alias(
+                "total"
+            ),
+            F.min("o_orderdate").cast("string").alias("first_day"),
+        )
+        .orderBy("y")
+    )

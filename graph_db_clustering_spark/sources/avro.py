@@ -164,6 +164,36 @@ def _parse_type(t, names: dict, parsing: set, ns: str | None = None):
         return ("gunion", null_idx, branches, mode)
     if isinstance(t, dict):
         kind = t["type"]
+        lt = t.get("logicalType")
+        if lt:
+            # Avro spec: a reader that doesn't recognize a logical
+            # type falls back to the base type — so every branch
+            # below either returns a typed ("logical", ...) rep for a
+            # KNOWN (logicalType, base) pair or the plain base rep.
+            if lt == "decimal" and kind in ("bytes", "fixed"):
+                prec = int(t.get("precision") or 0)
+                scale = int(t.get("scale") or 0)
+                if prec >= 1 and 0 <= scale <= prec:
+                    base = (
+                        "bytes" if kind == "bytes"
+                        else _parse_type(
+                            {k: v for k, v in t.items()
+                             if k not in ("logicalType",
+                                          "precision", "scale")},
+                            names, parsing, ns,
+                        )
+                    )
+                    return ("logical", "decimal", base, prec, scale)
+            elif (lt, kind) in (
+                ("date", "int"),
+                ("timestamp-millis", "long"),
+                ("timestamp-micros", "long"),
+                ("local-timestamp-millis", "long"),
+                ("local-timestamp-micros", "long"),
+            ):
+                return ("logical", lt, kind, None, None)
+            # uuid(string), time-* and unknown logical types: base
+            # type (time-* documented — Spark has no TIME type)
         if kind in _PRIMITIVE_SPARK or kind == "null":
             return kind  # {"type": "int", "logicalType": ...} — raw base type
         if kind == "array":
@@ -311,6 +341,25 @@ def _decode_typed(data: bytes, pos: int, rep):
         for fname, frep in rep[1]:
             row[fname], pos = _decode_typed(data, pos, frep)
         return row, pos
+    if tag == "logical":
+        import datetime as _dt
+        from decimal import Decimal
+
+        _, lt, base, _prec, scale = rep
+        v, pos = _decode_typed(data, pos, base)
+        if lt == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=v), pos
+        if lt == "decimal":
+            unscaled = int.from_bytes(v, "big", signed=True)
+            return Decimal(unscaled).scaleb(-scale), pos
+        unit = 1_000 if lt.endswith("millis") else 1_000_000
+        delta = _dt.timedelta(microseconds=v * (1_000_000 // unit))
+        epoch = (
+            _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            if lt.startswith("timestamp-")
+            else _dt.datetime(1970, 1, 1)
+        )
+        return epoch + delta, pos
     raise AvroError(f"avro: unknown rep {rep!r}")
 
 
@@ -401,6 +450,15 @@ def _spark_type(rep, counts: dict | None = None, max_depth: int = 0):
             if ft is not None:  # dropped recursive tail: omit the field
                 fields.append(T.StructField(n, ft, True))
         return T.StructType(fields)
+    if tag == "logical":
+        _, lt, _base, prec, scale = rep
+        if lt == "date":
+            return T.DateType()
+        if lt == "decimal":
+            return T.DecimalType(prec, scale)
+        if lt.startswith("timestamp-"):
+            return T.TimestampType()
+        return T.TimestampNTZType()  # local-timestamp-*
     raise AvroError(f"avro: unknown rep {rep!r}")
 
 
@@ -711,6 +769,38 @@ def _encode_typed(rep, v) -> bytes:
                 raise AvroError(f"null in non-nullable field {fname!r}")
             out += _encode_typed(frep, fv)
         return bytes(out)
+    if tag == "logical":
+        import datetime as _dt
+        from decimal import Decimal
+
+        _, lt, base, _prec, scale = rep
+        if lt == "date":
+            if isinstance(v, _dt.datetime):  # pandas Timestamp included
+                v = v.date()
+            if isinstance(v, _dt.date):
+                v = (v - _dt.date(1970, 1, 1)).days
+            return _encode_typed(base, int(v))
+        if lt == "decimal":
+            unscaled = (
+                int(Decimal(v).scaleb(scale).to_integral_value())
+                if not isinstance(v, int) else v
+            )
+            if isinstance(base, tuple) and base[0] == "fixed":
+                raw = unscaled.to_bytes(base[1], "big", signed=True)
+            else:
+                length = max(1, (unscaled.bit_length() + 8) // 8)
+                raw = unscaled.to_bytes(length, "big", signed=True)
+            return _encode_typed(base, raw)
+        unit = 1_000 if lt.endswith("millis") else 1_000_000
+        if isinstance(v, _dt.datetime):
+            epoch = (
+                _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                if v.tzinfo is not None
+                else _dt.datetime(1970, 1, 1)
+            )
+            micros = (v - epoch) // _dt.timedelta(microseconds=1)
+            v = micros // (1_000_000 // unit)
+        return _encode_typed(base, int(v))
     raise AvroError(f"avro: unknown rep {rep!r}")
 
 

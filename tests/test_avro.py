@@ -456,3 +456,59 @@ def test_bzip2_and_xz_codecs_roundtrip():
         # a zstd frame -> corrupt, loudly
         blob2 = bytes(blob).replace(b"\x08null", b"\x12zstandard")
         decode_container(blob2)
+
+
+def test_logical_types_roundtrip_and_spark_read(spark, tmp_path):
+    """Avro logical types (round 11): date, timestamp-millis/micros,
+    local-timestamp, decimal over bytes AND fixed — typed Python
+    values through encode/decode and typed Spark columns through
+    read_avro. uuid and time-* stay at their base types per the
+    spec's unknown-logical-type fallback rule (Spark has no TIME)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {
+            "type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "lts", "type": {
+            "type": "long", "logicalType": "local-timestamp-micros"}},
+        {"name": "dec", "type": {
+            "type": "bytes", "logicalType": "decimal",
+            "precision": 12, "scale": 2}},
+        {"name": "decf", "type": {
+            "type": "fixed", "name": "f8", "size": 8,
+            "logicalType": "decimal", "precision": 18, "scale": 4}},
+        {"name": "tm", "type": {
+            "type": "long", "logicalType": "time-micros"}},
+        {"name": "nd", "type": [
+            "null", {"type": "int", "logicalType": "date"}]},
+    ]}
+    rows = [
+        {"d": dt.date(2024, 3, 1),
+         "ts": dt.datetime(2024, 3, 1, 12, 30, 45, 123456,
+                           tzinfo=dt.timezone.utc),
+         "lts": dt.datetime(2024, 3, 1, 6, 0, 0),
+         "dec": Decimal("12345.67"), "decf": Decimal("-9.0001"),
+         "tm": 123, "nd": None},
+        {"d": dt.date(1969, 12, 31),
+         "ts": dt.datetime(1960, 1, 1, tzinfo=dt.timezone.utc),
+         "lts": dt.datetime(1950, 6, 1, 1, 2, 3),
+         "dec": Decimal("-0.01"), "decf": Decimal("0.0000"),
+         "tm": 5, "nd": dt.date(2000, 1, 1)},
+    ]
+    blob = avro.encode_container(schema, rows, codec="null")
+    fields, out = avro.decode_container(blob)
+    assert out == rows  # negative decimals, pre-epoch dates included
+    with open(tmp_path / "lt.avro", "wb") as f:
+        f.write(blob)
+    df = avro.read_avro(spark, str(tmp_path))
+    ss = df.schema.simpleString()
+    assert "d:date" in ss and "ts:timestamp," in ss
+    assert "lts:timestamp_ntz" in ss
+    assert "dec:decimal(12,2)" in ss and "decf:decimal(18,4)" in ss
+    assert "tm:bigint" in ss
+    got = sorted(df.collect(), key=lambda r: r["d"])
+    assert got[0]["dec"] == Decimal("-0.01")
+    assert got[1]["ts"] == dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    assert got[0]["nd"] == dt.date(2000, 1, 1)
