@@ -2722,3 +2722,114 @@ def hudi_maintenance(spark, sf_dir):
         .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
         .orderBy("o_orderkey")
     )
+
+
+@declared(
+    "iceberg_partitions",
+    """SELECT 'pb=' || CAST(o_orderkey % 4 AS VARCHAR) AS part,
+       CAST(COUNT(*) AS BIGINT) AS records,
+       CAST(1 AS BIGINT) AS files
+FROM orders WHERE o_orderkey % 10 < 5
+GROUP BY part ORDER BY part""",
+)
+def iceberg_partitions(spark, sf_dir):
+    """The Iceberg PARTITIONS metadata table (round 11,
+    iceberg_metadata_table('partitions') — `SELECT * FROM
+    t.partitions`): per-partition-tuple record/file counts rolled up
+    from the live manifest entries. The table is written with one file
+    per tuple (repartition on the partition source before the write),
+    so the oracle states exact counts relationally; an entry dropped
+    from the manifest replay or a record_count rewrite shifts a row."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_metadata_table,
+        write_iceberg,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 < 5)
+        .select(
+            "o_orderkey", "o_totalprice",
+            (F.col("o_orderkey") % 4).cast("int").alias("pb"),
+        )
+        .repartition("pb")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"gdc_icepart_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    write_iceberg(spark, o, t, partition_by=[("pb", "identity", "pb")])
+    parts = iceberg_metadata_table(spark, t, "partitions")
+    return parts.select(
+        F.concat(
+            F.lit("pb="),
+            F.get_json_object("partition", "$.pb").cast("string"),
+        ).alias("part"),
+        F.col("record_count").alias("records"),
+        F.col("file_count").alias("files"),
+    ).orderBy("part")
+
+
+@declared(
+    "hudi_commits_meta",
+    """SELECT 'pb=' || CAST(o_orderkey % 4 AS VARCHAR) AS part,
+       CAST(2 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS records
+FROM orders WHERE o_orderkey % 10 < 5
+GROUP BY part ORDER BY part""",
+)
+def hudi_commits_meta(spark, sf_dir):
+    """The Hudi COMMITS metadata table (sources/hudi.
+    hudi_metadata_table — the `call show_commits` surface): the bulk
+    insert's per-partition write stats aggregated per partition path.
+    With 2 file groups per partition, each pb partition must show
+    exactly 2 files and the relational record count; a write stat
+    recorded against the wrong partition or a numWrites drift shifts a
+    row."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_create,
+        hudi_metadata_table,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 < 5)
+        .select(
+            "o_orderkey", "o_totalprice",
+            (F.col("o_orderkey") % 4).cast("int").alias("pb"),
+        )
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"gdc_hudimeta_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    hudi_create(
+        spark, o, t, "o_orderkey",
+        partition_field="pb", n_file_groups=2,
+    )
+    commits = hudi_metadata_table(spark, t, "commits")
+    files = hudi_metadata_table(spark, t, "files")
+    assert files.count() == 8  # 4 partitions x 2 groups
+    return (
+        commits.groupBy(F.col("partition").alias("part"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("num_writes").alias("records"),
+        )
+        .orderBy("part")
+    )

@@ -876,6 +876,76 @@ def hudi_cluster(spark: SparkSession, path: str) -> str:
     return instant
 
 
+def hudi_metadata_table(
+    spark: SparkSession, path: str, name: str
+) -> DataFrame:
+    """Inspection tables (the `call show_commits` / timeline surface a
+    migrating Hudi user queries first; the Hudi twin of
+    iceberg_metadata_table). Driver-side work proportional to the
+    TIMELINE, never touching data bytes.
+
+    - timeline: instant, action, operation type
+    - commits: one row per write-stat of each completed
+      commit/replacecommit — instant, partition, file_id, path,
+      num_writes, num_inserts, num_update_writes, bytes
+    - files: the CURRENT snapshot's live base files — partition,
+      file_id, instant (of the live slice), path, size
+    """
+    if name == "timeline":
+        rows = []
+        for t in hudi_timeline(path):
+            op = None
+            if t["action"] in ("commit", "replacecommit"):
+                op = _commit_meta(path, t["instant"], t["action"]).get(
+                    "operationType"
+                )
+            rows.append((t["instant"], t["action"], op))
+        return spark.createDataFrame(
+            rows, "instant string, action string, operation string"
+        )
+    if name == "commits":
+        rows = []
+        for t in hudi_timeline(path):
+            if t["action"] not in ("commit", "replacecommit"):
+                continue
+            meta = _commit_meta(path, t["instant"], t["action"])
+            for pp, stats in sorted(
+                (meta.get("partitionToWriteStats") or {}).items()
+            ):
+                for s in stats:
+                    rows.append((
+                        t["instant"], pp, s.get("fileId"),
+                        s.get("path"), s.get("numWrites"),
+                        s.get("numInserts"), s.get("numUpdateWrites"),
+                        s.get("totalWriteBytes"),
+                    ))
+        return spark.createDataFrame(
+            rows,
+            "instant string, partition string, file_id string, "
+            "path string, num_writes long, num_inserts long, "
+            "num_update_writes long, bytes long",
+        )
+    if name == "files":
+        rows = []
+        for p in hudi_live_files(path):
+            rel = os.path.relpath(p, path).replace(os.sep, "/")
+            fname = rel.rsplit("/", 1)[-1]
+            m = _BASE_RE.match(fname)
+            pp = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            rows.append((
+                pp, m.group(1), m.group(3), rel, os.path.getsize(p),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "partition string, file_id string, instant string, "
+            "path string, size long",
+        )
+    raise HudiError(
+        f"hudi: unknown metadata table {name!r} "
+        "(timeline | commits | files)"
+    )
+
+
 def hudi_clean(path: str, retain_slices: int = 1) -> list[str]:
     """CLEAN: physically delete superseded base-file slices, keeping
     the newest `retain_slices` committed slices per file group (plus

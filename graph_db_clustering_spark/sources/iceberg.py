@@ -1506,6 +1506,34 @@ def iceberg_metadata_table(
             "record_count long, file_size_in_bytes long, "
             "sequence_number long, partition string",
         )
+    if name == "partitions":
+        # per-partition-tuple rollup of the CURRENT snapshot's live
+        # entries — `SELECT * FROM t.partitions`: data record/file
+        # counts plus delete-file counts per tuple (round 11)
+        data, dels, _meta = _snapshot_entries(path)
+        agg: dict = {}
+        for r in data:
+            key = json.dumps(r.get("partition") or {}, sort_keys=True)
+            a = agg.setdefault(
+                key, {"records": 0, "files": 0, "dels": 0}
+            )
+            a["records"] += int(r.get("record_count") or 0)
+            a["files"] += 1
+        for r in dels:
+            key = json.dumps(r.get("partition") or {}, sort_keys=True)
+            a = agg.setdefault(
+                key, {"records": 0, "files": 0, "dels": 0}
+            )
+            a["dels"] += 1
+        rows = [
+            (k, v["records"], v["files"], v["dels"])
+            for k, v in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition string, record_count long, file_count long, "
+            "delete_file_count long",
+        )
     if name == "manifests":
         rows = []
         for s in snaps:
@@ -1546,5 +1574,5 @@ def iceberg_metadata_table(
         )
     raise IcebergError(
         f"iceberg: unknown metadata table {name!r} "
-        "(snapshots | files | manifests | history)"
+        "(snapshots | files | partitions | manifests | history)"
     )
