@@ -83,8 +83,11 @@ message — gates are test-pinned in tests/test_cypher.py):
       read-only; per-row aggregates,             distinct import combos,
       per-row ORDER BY/SKIP/LIMIT,               null-safe equi-join back;
       empty-group defaults 0/[]/0)               never per-row execution)
-    list literals [..], map literals {..},     yes
-      x[i], $params
+    list literals [..], map literals {..},    yes (round 11: x[expr]
+      x[i] / x[$k] / x['key'] / x[i + 1],        computed list/map
+      $params                                    subscripts; node props
+                                                 via literal/param keys —
+                                                 runtime node keys gate)
     UNION / UNION ALL (RETURN parts, same      yes (unionByName,
       columns, no mixing — the Neo4j rules)      + distinct for bare UNION)
     CALL db.labels() / db.relationshipTypes()  yes (distinct metadata
@@ -1230,7 +1233,15 @@ class _Parser:
                 e = Prop(e, self.ident())
             elif t == ("op", "["):
                 self.next()
-                e = Index(e, int(self.expect("num")[1]))
+                if (
+                    self.peek()[0] == "num"
+                    and self.peek(1) == ("op", "]")
+                ):
+                    e = Index(e, int(self.next()[1]))
+                else:
+                    # round 11: general subscript — x[$key], x['name'],
+                    # x[i + 1]
+                    e = Index(e, self.expr())
                 self.expect("op", "]")
             else:
                 return e
@@ -3543,7 +3554,41 @@ class CypherSession:
                 return self._temporal_accessor(base, e.name, bdt)
             return base.getField(e.name)
         if isinstance(e, Index):
-            return self._expr(e.base, df, params).getItem(e.idx)
+            base = self._expr(e.base, df, params)
+            if isinstance(e.idx, int):
+                return base.getItem(e.idx)
+            # round 11: dynamic subscript — a literal/parameter key is
+            # known at compile time, so node/relationship structs
+            # resolve through getField (absent property -> null, the
+            # openCypher rule); anything else subscripts JVM-side
+            key = None
+            if isinstance(e.idx, Lit):
+                key = e.idx.value
+            elif isinstance(e.idx, Param):
+                if e.idx.name not in params:
+                    raise KeyError(
+                        f"cypher: missing parameter ${e.idx.name}"
+                    )
+                key = params[e.idx.name]
+            if isinstance(key, int) and not isinstance(key, bool):
+                return base.getItem(key)
+            if isinstance(key, str):
+                bdt = self._dtype_of(base, df)
+                if isinstance(bdt, T.StructType):
+                    if key not in bdt.names:
+                        return F.lit(None)
+                    return base.getField(key)
+                return base.getItem(key)  # map subscript
+            idx_col = self._expr(e.idx, df, params)
+            bdt = self._dtype_of(base, df)
+            if isinstance(bdt, T.StructType):
+                raise ValueError(
+                    "cypher: dynamic property access on a node/"
+                    "relationship needs a literal or parameter key "
+                    "(runtime keys have no single column type over "
+                    "heterogeneous properties)"
+                )
+            return base[idx_col]
         if isinstance(e, MapLit):
             return F.struct(
                 *[

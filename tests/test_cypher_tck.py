@@ -31,7 +31,10 @@ UNSUPPORTED = {
     "variable dedupes to reachability pairs (documented scale choice); "
     "bind p = (a)-[*]->(b) for openCypher per-path rows",
     "multiple labels per node": "(n:A:B) — single-label vertex column",
-    "dynamic property access": "n[key] on nodes",
+    "dynamic property residue": "n[k] with a RUNTIME-computed key on a "
+    "node/relationship (heterogeneous property types have no single "
+    "column type); literal and parameter keys (n['name'], n[$k]) and "
+    "all list/map subscripts incl. computed indexes WORK (round 11)",
     "temporal residue": "time()/localtime(), timezones, duration "
     "accessors/between(); date()/datetime()/localdatetime()/duration() "
     "construction, accessors, comparisons and date +/- duration WORK "
@@ -374,6 +377,24 @@ SCENARIOS = [
      ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(c:E {v: 3})"],
      "MATCH p = (a:S)-[:T*2..]->(b) RETURN b.v AS bv",
      [{"bv": 3}], False),
+    # ---- Dynamic subscripts (round 11) --------------------------------
+    ("Subscript", "literal string key on a node",
+     ["CREATE (:P {name: 'ada', age: 36}), (:P {name: 'bob'})"],
+     "MATCH (n:P) RETURN n['name'] AS v ORDER BY v",
+     [{"v": "ada"}, {"v": "bob"}], True),
+    ("Subscript", "absent literal key is null",
+     ["CREATE (:P {name: 'ada'})"],
+     "MATCH (n:P) RETURN n['nope'] AS v",
+     [{"v": None}], False),
+    ("Subscript", "computed list index is zero-based",
+     [],
+     "WITH [10, 20, 30] AS l, 1 AS i "
+     "RETURN l[i] AS a, l[i + 1] AS b, l[0] AS c",
+     [{"a": 20, "b": 30, "c": 10}], False),
+    ("Subscript", "map subscript by string key",
+     [],
+     "WITH {x: 1, y: 2} AS m RETURN m['y'] AS v",
+     [{"v": 2}], False),
     # ---- Comparability / three-valued logic (TCK emphasis) -----------
     ("Comparability", "comparing number to null is null, filtered out",
      ["CREATE (:N {v: 1}), (:N), (:N {v: 3})"],
@@ -537,3 +558,21 @@ def test_gate_varlength_path_variable_multi_edge(spark):
     s.run("CREATE (a:A)-[:T]->(:B)")
     with pytest.raises(ValueError, match="exactly one relationship"):
         s.run("MATCH p = (a:A)-[:T*1..2]->(b)-[:X]->(c) RETURN length(p)")
+
+
+def test_parameter_key_subscript(spark):
+    s = _session(spark)
+    s.run("CREATE (:P {name: 'ada', age: 36}), (:P {name: 'bob'})")
+    rows = [r.asDict() for r in s.run(
+        "MATCH (n:P) RETURN n[$k] AS v", k="age"
+    ).collect()]
+    assert sorted(
+        (r["v"] for r in rows), key=lambda x: (x is None, x)
+    ) == [36, None]
+
+
+def test_runtime_node_key_gates(spark):
+    s = _session(spark)
+    s.run("CREATE (:P {name: 'ada'})")
+    with pytest.raises(ValueError, match="literal or parameter key"):
+        s.run("MATCH (n:P) RETURN n[n.name]")
