@@ -114,6 +114,9 @@ message — gates are test-pinned in tests/test_cypher.py):
                                                  relationships; varlength
                                                  mixed with more edges
                                                  stays a ValueError)
+    point({x, y[, z]}) + distance()            yes (round 11: cartesian
+                                                 structs + euclidean;
+                                                 WGS-84 gates loudly)
     (x) (()-[:R]->()){lo,hi} (y) / (...)+      yes (round 11: quantified
       quantified path patterns                   path patterns — per-path
                                                  rows, inner patterns
@@ -3965,5 +3968,46 @@ class CypherSession:
                         "cypher: duration() takes exactly one argument"
                     )
                 return self._duration_col(e.args[0], df, params)
+            if name == "point":
+                # round 11 spatial subset: CARTESIAN points only —
+                # a typed struct {x, y[, z], crs}; geographic
+                # (longitude/latitude) CRS needs a great-circle model
+                # and gates loudly
+                if len(e.args) != 1 or not isinstance(e.args[0], MapLit):
+                    raise ValueError(
+                        "cypher: point() takes one component map"
+                    )
+                items = e.args[0].items
+                if {"longitude", "latitude"} & set(items):
+                    raise ValueError(
+                        "cypher: geographic (WGS-84) points are "
+                        "unsupported — cartesian x/y[/z] only"
+                    )
+                bad = set(items) - {"x", "y", "z"}
+                if bad or not {"x", "y"} <= set(items):
+                    raise ValueError(
+                        "cypher: point() needs x and y (optional z), "
+                        f"got {sorted(items)}"
+                    )
+                cols = [
+                    self._expr(items[k], df, params)
+                    .cast("double").alias(k)
+                    for k in ("x", "y", "z")
+                    if k in items
+                ]
+                crs = "cartesian-3d" if "z" in items else "cartesian"
+                return F.struct(*cols, F.lit(crs).alias("crs"))
+            if name in ("distance", "point.distance"):
+                if len(e.args) != 2:
+                    raise ValueError(
+                        "cypher: distance() takes two points"
+                    )
+                a = self._expr(e.args[0], df, params)
+                b = self._expr(e.args[1], df, params)
+                d2 = (a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2
+                adt = self._dtype_of(a, df)
+                if isinstance(adt, T.StructType) and "z" in adt.names:
+                    d2 = d2 + (a["z"] - b["z"]) ** 2
+                return F.sqrt(d2)
             raise ValueError(f"cypher: unsupported function {e.name}()")
         raise ValueError(f"cypher: cannot compile expression {e}")

@@ -39,7 +39,9 @@ UNSUPPORTED = {
     "accessors/between(); date()/datetime()/localdatetime()/duration() "
     "construction, accessors, comparisons and date +/- duration WORK "
     "(round 11)",
-    "point/spatial": "point(), distance()",
+    "spatial residue": "geographic (WGS-84) CRS, point comparisons, "
+    "withinBBox; CARTESIAN point({x, y[, z]}) construction, accessors "
+    "and distance() WORK (round 11)",
     "QPP residue": "zero-length quantifiers ((...)* / {0,n}), group "
     "variables ((a)-[:R]->(b) with names), multi-relationship bodies; "
     "single-relationship anonymous/constrained QPP with +/{n}/{lo,hi} "
@@ -377,6 +379,21 @@ SCENARIOS = [
      ["CREATE (a:S {v: 1})-[:T]->(b:M {v: 2})-[:T]->(c:E {v: 3})"],
      "MATCH p = (a:S)-[:T*2..]->(b) RETURN b.v AS bv",
      [{"bv": 3}], False),
+    # ---- Spatial: cartesian points (round 11) --------------------------
+    ("Spatial", "cartesian distance",
+     [],
+     "RETURN distance(point({x: 0, y: 0}), point({x: 3, y: 4})) AS d",
+     [{"d": 5.0}], False),
+    ("Spatial", "3d distance and accessors",
+     [],
+     "RETURN distance(point({x: 0, y: 0, z: 0}), "
+     "point({x: 2, y: 3, z: 6})) AS d, point({x: 1, y: 2}).x AS px",
+     [{"d": 7.0, "px": 1.0}], False),
+    ("Spatial", "distance over node properties in WHERE",
+     ["CREATE (:L {x: 0, y: 0}), (:L {x: 10, y: 0}), (:L {x: 1, y: 1})"],
+     "MATCH (n:L) WHERE distance(point({x: n.x, y: n.y}), "
+     "point({x: 0, y: 0})) < 2 RETURN count(*) AS c",
+     [{"c": 2}], False),
     # ---- Dynamic subscripts (round 11) --------------------------------
     ("Subscript", "literal string key on a node",
      ["CREATE (:P {name: 'ada', age: 36}), (:P {name: 'bob'})"],
