@@ -521,6 +521,51 @@ def read_delta(
     return _read_adds(spark, path, [files[p] for p in sorted(files)], meta)
 
 
+def delta_version_at_timestamp(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution, per the Delta protocol's rule: a
+    commit's timestamp is its log file's modification time unless the
+    commit carries `commitInfo.inCommitTimestamp` (the
+    inCommitTimestamps table feature), which takes precedence. Returns
+    the latest version whose timestamp is <= `ts` (epoch seconds);
+    raises when the table's FIRST commit is already later — the same
+    contract as delta-spark's timestamp travel."""
+    best = None
+    first_ts = None
+    for v in _commit_versions(path):
+        f = os.path.join(_log_dir(path), f"{v:020d}.json")
+        cts = os.path.getmtime(f)
+        with open(f, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                ict = (a.get("commitInfo") or {}).get(
+                    "inCommitTimestamp"
+                )
+                if ict is not None:
+                    cts = float(ict) / 1000.0
+                break  # commitInfo, when present, is the first action
+        if first_ts is None:
+            first_ts = cts
+        if cts <= ts:
+            best = v
+    if best is None:
+        raise DeltaError(
+            f"delta: timestamp {ts} predates the first commit "
+            f"({first_ts})"
+        )
+    return best
+
+
+def read_delta_at_timestamp(
+    spark: SparkSession, path: str, ts: float
+) -> DataFrame:
+    """`TIMESTAMP AS OF` read: resolve the version with
+    delta_version_at_timestamp, then the normal versioned replay."""
+    return read_delta(spark, path, delta_version_at_timestamp(path, ts))
+
+
 def delta_append(
     spark: SparkSession,
     df: DataFrame,

@@ -874,3 +874,43 @@ def test_delta_checkpoint_preserves_declared_protocol(spark, tmp_path):
         if r.get("protocol") and r["protocol"].get("minReaderVersion")
     ]
     assert got2 == [decl]
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: log-file mtime rule with inCommitTimestamp
+    precedence (sources/delta.delta_version_at_timestamp)."""
+    import os
+
+    from graph_db_clustering_spark.sources.delta import (
+        DeltaError,
+        delta_append,
+        delta_version_at_timestamp,
+        read_delta_at_timestamp,
+    )
+
+    t = str(tmp_path / "t")
+    for k in range(3):
+        delta_append(
+            spark,
+            spark.createDataFrame([(k, k * 10)], "v int, x int"),
+            t,
+        )
+    log = os.path.join(t, "_delta_log")
+    for v, ts in ((0, 1000.0), (1, 2000.0), (2, 3000.0)):
+        os.utime(os.path.join(log, f"{v:020d}.json"), (ts, ts))
+    assert delta_version_at_timestamp(t, 1000.0) == 0
+    assert delta_version_at_timestamp(t, 2999.0) == 1
+    assert delta_version_at_timestamp(t, 10_000.0) == 2
+    assert read_delta_at_timestamp(spark, t, 2500.0).count() == 2
+    with pytest.raises(DeltaError, match="predates"):
+        delta_version_at_timestamp(t, 10.0)
+    # inCommitTimestamp beats the file mtime when present
+    f = os.path.join(log, f"{1:020d}.json")
+    body = open(f).read()
+    with open(f, "w") as fh:
+        fh.write(
+            '{"commitInfo": {"inCommitTimestamp": 9000000}}\n' + body
+        )
+    os.utime(f, (2000.0, 2000.0))
+    assert delta_version_at_timestamp(t, 2999.0) == 0  # v1 now at 9000s
+    assert delta_version_at_timestamp(t, 9001.0) == 2
