@@ -27,10 +27,16 @@ Decode surface:
   with its litLength-0 shift rule;
 - sequence execution with overlapping-match copy semantics.
 
-The ENCODER side stays deliberately minimal (raw/RLE blocks only,
-optional checksum) — the repo needs self-contained fixtures, not a
-competitive compressor; real compressed fixtures come from pyarrow's
-libzstd in tests.
+The ENCODER is a real compressor (round 11 continuation): greedy LZ77
+(min match 4, single-segment window) emitting raw-literal +
+predefined-FSE-sequence compressed blocks, with per-block raw/RLE
+fallback whenever that wins; backward ANS encoding walks the SAME
+decode tables in reverse (one symbol's state windows tile the state
+space, so each backward step is a binary search). Its output is
+cross-checked byte-for-byte through libzstd decode in the test suite
+— the same independence standard the decoder holds itself to.
+Throughput is fixture-grade (pure-Python match loop); decode is the
+hot path.
 
 Predefined-distribution transcriptions are VALIDATED at import: each
 must sum exactly to its table size (counting the RFC's "less-than-one"
@@ -773,12 +779,209 @@ def decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def compress(data: bytes, checksum: bool = True) -> bytes:
-    """Minimal VALID encoder: raw blocks (RLE for uniform runs), one
-    frame, single-segment when small, frame-content-size recorded,
-    optional xxhash64 checksum. Fixture-grade — real compression comes
-    from libzstd; this exists so the repo can WRITE zstd-framed
-    containers self-contained."""
+# --- encoder ------------------------------------------------------------------
+
+
+class _BitWriter:
+    """Backward-bitstream builder: values appended here in WRITE order
+    come back out of _BackBits most-recently-written-first, which is
+    exactly the FSE bitstream contract. finish() adds the 1-bit
+    padding sentinel."""
+
+    __slots__ = ("vals",)
+
+    def __init__(self):
+        self.vals: list = []
+
+    def write(self, v: int, n: int) -> None:
+        if n:
+            self.vals.append((v & ((1 << n) - 1), n))
+
+    def finish(self) -> bytes:
+        total = sum(n for _, n in self.vals)
+        arr = bytearray((total + 1 + 7) // 8)
+        c = 0
+        for v, n in self.vals:
+            for j in range(n):
+                if (v >> j) & 1:
+                    arr[(c + j) >> 3] |= 1 << ((c + j) & 7)
+            c += n
+        arr[c >> 3] |= 1 << (c & 7)  # sentinel
+        return bytes(arr)
+
+
+def _fse_encoder(counts, al: int) -> dict:
+    """Encode-side view of an FSE table: per symbol, its decode states
+    sorted by baseline. The windows [base, base + 2^nbits) of one
+    symbol's states tile the whole state space exactly once, so for
+    any required next-state there is exactly ONE predecessor state of
+    that symbol — backward ANS encoding is a binary search."""
+    syms, nbits, base = _fse_build(counts, al)
+    per: dict = {}
+    for st in range(1 << al):
+        s = int(syms[st])
+        per.setdefault(s, []).append(
+            (int(base[st]), st, int(nbits[st]))
+        )
+    for s in per:
+        per[s].sort()
+    return per
+
+
+def _fse_pick(per: dict, symbol: int, next_state: int):
+    """-> (state, extra_bits_value, n_bits) with
+    base(state) <= next_state < base(state) + 2^n_bits."""
+    import bisect
+
+    lst = per[symbol]
+    i = bisect.bisect_right(lst, (next_state, 1 << 62, 0)) - 1
+    b, st, nb = lst[i]
+    if not b <= next_state < b + (1 << nb):
+        raise ZstdError("zstd: FSE encoder window desync")
+    return st, next_state - b, nb
+
+
+def _chain_states(per: dict, codes: list):
+    """Backward-encode one FSE channel: -> (init_state,
+    [(bits, n)] transition list where entry i moves state i -> i+1)."""
+    state = per[codes[-1]][0][1]  # any state decoding the last symbol
+    ups: list = [None] * (len(codes) - 1)
+    for i in range(len(codes) - 2, -1, -1):
+        state, x, nb = _fse_pick(per, codes[i], state)
+        ups[i] = (x, nb)
+    return state, ups
+
+
+def _code_of(bases: list, value: int) -> int:
+    import bisect
+
+    return bisect.bisect_right(bases, value) - 1
+
+
+_ENC_TABLES: dict = {}
+
+
+def _enc_tables():
+    if not _ENC_TABLES:
+        _ENC_TABLES["ll"] = _fse_encoder(_LL_DEFAULT, _LL_DEFAULT_AL)
+        _ENC_TABLES["of"] = _fse_encoder(_OF_DEFAULT, _OF_DEFAULT_AL)
+        _ENC_TABLES["ml"] = _fse_encoder(_ML_DEFAULT, _ML_DEFAULT_AL)
+        _ENC_TABLES["ll_bases"] = [b for b, _ in _LL_BASE]
+        _ENC_TABLES["ml_bases"] = [b for b, _ in _ML_BASE]
+    return _ENC_TABLES
+
+
+def _lz_parse(chunk: bytes):
+    """Greedy hash-chain-of-one LZ77 parse: -> (literals, [(lit_len,
+    match_len, offset)]). Min match 4, offsets within the chunk (the
+    frame is single-segment, so the whole chunk is window)."""
+    n = len(chunk)
+    seqs: list = []
+    lits = bytearray()
+    table: dict = {}
+    i = 0
+    anchor = 0
+    while i + 4 <= n:
+        key = chunk[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is None:
+            i += 1
+            continue
+        m = 4
+        while i + m < n and chunk[j + m] == chunk[i + m]:
+            m += 1
+        lit = chunk[anchor:i]
+        lits += lit
+        seqs.append((len(lit), m, i - j))
+        i += m
+        anchor = i
+    lits += chunk[anchor:]
+    return bytes(lits), seqs
+
+
+def _encode_block_compressed(chunk: bytes) -> bytes | None:
+    """One RFC 8878 Compressed_Block body (raw literals + predefined-
+    table FSE sequences), or None when it wouldn't beat a raw block."""
+    lits, seqs = _lz_parse(chunk)
+    if not seqs:
+        return None
+    t = _enc_tables()
+    # literals section: RAW type, size-format by magnitude
+    nlit = len(lits)
+    out = bytearray()
+    if nlit <= 31:
+        out.append((nlit << 3) | (0 << 2) | 0)
+    elif nlit <= 4095:
+        out.append(((nlit & 0xF) << 4) | (1 << 2) | 0)
+        out.append(nlit >> 4)
+    else:
+        out.append(((nlit & 0xF) << 4) | (3 << 2) | 0)
+        out.append((nlit >> 4) & 0xFF)
+        out.append(nlit >> 12)
+    out += lits
+    # sequences header: count + modes byte (all predefined)
+    nseq = len(seqs)
+    if nseq < 128:
+        out.append(nseq)
+    elif nseq < 0x7F00:
+        out.append(128 + (nseq >> 8))
+        out.append(nseq & 0xFF)
+    else:
+        out.append(255)
+        out.append((nseq - 0x7F00) & 0xFF)
+        out.append((nseq - 0x7F00) >> 8)
+    out.append(0)  # LL/OF/ML all mode 0 = predefined
+    # per-sequence codes + extra bits
+    ll_codes, of_codes, ml_codes = [], [], []
+    ll_x, of_x, ml_x = [], [], []
+    for llen, mlen, offset in seqs:
+        of_value = offset + 3  # never the repeat-offset slots
+        of_code = of_value.bit_length() - 1
+        of_codes.append(of_code)
+        of_x.append((of_value - (1 << of_code), of_code))
+        ml_code = _code_of(t["ml_bases"], mlen)
+        ml_codes.append(ml_code)
+        mb, mbits = _ML_BASE[ml_code]
+        ml_x.append((mlen - mb, mbits))
+        ll_code = _code_of(t["ll_bases"], llen)
+        ll_codes.append(ll_code)
+        lb, lbits = _LL_BASE[ll_code]
+        ll_x.append((llen - lb, lbits))
+    l0, l_ups = _chain_states(t["ll"], ll_codes)
+    o0, o_ups = _chain_states(t["of"], of_codes)
+    m0, m_ups = _chain_states(t["ml"], ml_codes)
+    # write order = reverse of the decoder's read order
+    w = _BitWriter()
+    w.write(*ll_x[nseq - 1])
+    w.write(*ml_x[nseq - 1])
+    w.write(*of_x[nseq - 1])
+    for i in range(nseq - 2, -1, -1):
+        w.write(*o_ups[i])
+        w.write(*m_ups[i])
+        w.write(*l_ups[i])
+        w.write(*ll_x[i])
+        w.write(*ml_x[i])
+        w.write(*of_x[i])
+    w.write(m0, _ML_DEFAULT_AL)
+    w.write(o0, _OF_DEFAULT_AL)
+    w.write(l0, _LL_DEFAULT_AL)
+    out += w.finish()
+    if len(out) >= len(chunk):
+        return None
+    return bytes(out)
+
+
+def compress(data: bytes, checksum: bool = True, store: bool = False) -> bytes:
+    """RFC 8878 encoder. Default mode is a REAL compressor: greedy
+    LZ77 (min match 4, single-segment window) with raw literals and
+    the RFC's predefined FSE distributions for the sequence codes —
+    every block independently falls back to raw/RLE when that wins.
+    ``store=True`` keeps the round-10 raw/RLE-only behavior.
+    Cross-checked like the decoder: the test suite decodes this
+    encoder's output with libzstd (via pyarrow) byte-for-byte.
+    Fixture-grade throughput — the pure-Python match loop is not a hot
+    path; decode is."""
     out = bytearray(struct.pack("<I", MAGIC))
     n = len(data)
     if n <= 255:
@@ -801,6 +1004,12 @@ def compress(data: bytes, checksum: bool = True) -> bytes:
             hdr = (len(chunk) << 3) | (1 << 1) | last
             out += hdr.to_bytes(3, "little")
             out.append(chunk[0])
+            continue
+        body = None if store else _encode_block_compressed(chunk)
+        if body is not None:
+            hdr = (len(body) << 3) | (2 << 1) | last
+            out += hdr.to_bytes(3, "little")
+            out += body
         else:
             hdr = (len(chunk) << 3) | (0 << 1) | last
             out += hdr.to_bytes(3, "little")
