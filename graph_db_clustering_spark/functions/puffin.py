@@ -11,8 +11,10 @@ Puffin layout:
   snapshot-id, sequence-number, offset, length, properties}, ...],
   "properties": {...}}`` — offsets are absolute file positions.
 - FooterPayloadSize is a 4-byte little-endian int; Flags is 4 bytes
-  (bit 0 of byte 0: payload LZ4-compressed — gated loudly here, the
-  writer always emits uncompressed).
+  (bit 0 of byte 0: payload LZ4-frame-compressed — READ support via
+  functions/lz4; the writer emits uncompressed). Blob-level
+  `compression-codec` lz4/zstd decode through the repo's own frame
+  codecs; unknown codecs gate loudly.
 
 delete-vector-v1 blob layout (format v3 deletion vectors): the blob
 deliberately matches ONE Delta Lake deletion-vector record so DV
@@ -100,28 +102,42 @@ def read_puffin(path: str) -> tuple[dict, bytes]:
     if raw[:4] != MAGIC or raw[-4:] != MAGIC:
         raise PuffinError(f"puffin: bad magic in {path}")
     flags = raw[-8:-4]
-    if flags[0] & 0x01:
-        raise NotImplementedError(
-            "puffin: LZ4-compressed footer payload not supported"
-        )
     if flags[0] & ~0x01 or any(flags[1:]):
         raise PuffinError(f"puffin: unknown footer flags {flags.hex()}")
     (size,) = struct.unpack_from("<i", raw, len(raw) - 12)
     start = len(raw) - 12 - size
     if raw[start - 4 : start] != MAGIC:
         raise PuffinError("puffin: footer start magic missing")
-    footer = json.loads(raw[start : start + size].decode("utf-8"))
+    payload = raw[start : start + size]
+    if flags[0] & 0x01:  # footer payload LZ4-frame-compressed
+        from graph_db_clustering_spark.functions.lz4 import (
+            frame_decompress,
+        )
+
+        payload = frame_decompress(payload)
+    footer = json.loads(payload.decode("utf-8"))
     return footer, raw
 
 
 def puffin_blob(raw: bytes, entry: dict) -> bytes:
-    codec = entry.get("compression-codec")
-    if codec:
-        raise NotImplementedError(
-            f"puffin: blob compression-codec {codec!r} not supported"
-        )
     off, length = entry["offset"], entry["length"]
-    return raw[off : off + length]
+    body = raw[off : off + length]
+    codec = entry.get("compression-codec")
+    if not codec:
+        return body
+    if codec == "lz4":  # single LZ4 frame per the spec
+        from graph_db_clustering_spark.functions.lz4 import (
+            frame_decompress,
+        )
+
+        return frame_decompress(body)
+    if codec == "zstd":  # single zstd frame
+        from graph_db_clustering_spark.functions.zstd import decompress
+
+        return decompress(body)
+    raise NotImplementedError(
+        f"puffin: blob compression-codec {codec!r} not supported"
+    )
 
 
 def encode_dv_blob(positions) -> bytes:
