@@ -341,6 +341,30 @@ def read_hudi_incremental(
         k = (bf["pp"], bf["file_id"])
         if k not in best or bf["instant"] > best[k]["instant"]:
             best[k] = bf
+    # clean-safety: a slice written by an in-range commit may have been
+    # physically cleaned; that is fine ONLY when a LATER in-range slice
+    # of the same group carries its rows (commit times are preserved).
+    # A cleaned slice with no in-range successor would silently drop
+    # changes — raise instead, like Hudi's incremental-beyond-retained
+    # contract.
+    for t in sorted(in_range):
+        meta = _commit_meta(
+            path, t,
+            next(
+                e["action"] for e in timeline if e["instant"] == t
+            ),
+        )
+        for pp, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for s in stats:
+                k = (pp, s.get("fileId"))
+                got = best.get(k)
+                if got is None or got["instant"] < t:
+                    raise HudiError(
+                        f"hudi: commit {t}'s slice of file group "
+                        f"{k} was cleaned and no later in-range slice "
+                        "covers it — the incremental range exceeds "
+                        "the retained history"
+                    )
     if not best:
         raise HudiError("hudi: in-range commits wrote no base files")
     df = spark.read.parquet(*sorted(b["abs"] for b in best.values()))
@@ -742,10 +766,15 @@ def _apply_row_changes(
     n_upd = n_ins = 0
     if upserts is not None:
         # plain equi-join: `located` is bounded by the incoming key
-        # count, which may itself be large — let AQE pick the strategy
-        tagged = upserts.withColumn(
-            "_k", F.col(record_key).cast("string")
-        ).join(located, "_k", "left")
+        # count, which may itself be large — let AQE pick the strategy.
+        # Lazily checkpointed: the frame feeds the update/insert counts
+        # AND the landing write — without the barrier the tagging join
+        # would recompute three times.
+        tagged = (
+            upserts.withColumn("_k", F.col(record_key).cast("string"))
+            .join(located, "_k", "left")
+            .localCheckpoint(eager=False)
+        )
         updates = tagged.filter(F.col("_fid").isNotNull()).drop("_k")
         inserts = tagged.filter(F.col("_fid").isNull()).drop(
             "_k", "_pp", "_fid"
@@ -1007,6 +1036,25 @@ def hudi_rollback(path: str) -> str:
     if len(commits) == 1:
         raise HudiError("hudi: will not roll back the table's only commit")
     target = last["instant"]
+    # clean-safety: rolling back a commit whose PREDECESSOR slices were
+    # cleaned would leave touched file groups with no slice at all —
+    # silent data loss. A group is safe when the commit CREATED it
+    # (prevCommit "null") or an older slice still exists on disk.
+    meta = _commit_meta(path, target, "commit")
+    older: set = set()
+    for bf in _list_base_files(path):
+        if bf["instant"] < target:
+            older.add((bf["pp"], bf["file_id"]))
+    for pp, stats in (meta.get("partitionToWriteStats") or {}).items():
+        for s in stats:
+            if s.get("prevCommit") != "null" and (
+                (pp, s.get("fileId")) not in older
+            ):
+                raise HudiError(
+                    f"hudi: cannot roll back {target} — file group "
+                    f"({pp!r}, {s.get('fileId')}) has no older slice "
+                    "left (cleaned); rollback would lose its rows"
+                )
     for bf in _list_base_files(path):
         if bf["instant"] == target:
             os.remove(bf["abs"])
@@ -1026,7 +1074,13 @@ def hudi_upsert(spark: SparkSession, path: str, df: DataFrame) -> str:
     inside their existing file group (copy-on-write rewrite of ONLY
     the touched groups), unmatched keys land in fresh file groups.
     Incoming duplicates resolve latest-wins on the table's precombine
-    field (duplicates without one raise). Returns the commit instant."""
+    field (duplicates without one raise). Like Hudi's default
+    (non-partition-updating) index, an update whose PAYLOAD changes
+    the partition column keeps its original placement: the row stays
+    in its file group and `_hoodie_partition_path`, so a
+    partition-pruned read can miss its new value — recode the key or
+    delete+insert to genuinely move partitions. Returns the commit
+    instant."""
     return _apply_row_changes(spark, path, df, None, "UPSERT")
 
 

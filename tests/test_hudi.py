@@ -563,3 +563,53 @@ def test_rollback_guards(spark, table):
         hudi_rollback(t)
     with pytest.raises(HudiError, match="retain at least one"):
         hudi_clean(t, retain_slices=0)
+
+
+def test_incremental_raises_when_range_cleaned(spark, table):
+    """A cleaned slice with no later in-range successor must RAISE,
+    not silently drop changes (Hudi's incremental-beyond-retained
+    contract)."""
+    from graph_db_clustering_spark.sources.hudi import hudi_clean
+
+    t, i1 = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 9.0, 0)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    i3 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "v", 10.0, 0)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    hudi_clean(t, retain_slices=1)  # i2's slice of the group is gone
+    # full range: i3's slice covers i2's rows -> fine
+    assert read_hudi_incremental(spark, t, i1).count() == 1
+    # but (i1, i2] needs the cleaned slice -> loud error
+    with pytest.raises(HudiError, match="cleaned"):
+        read_hudi_incremental(spark, t, i1, i2)
+
+
+def test_rollback_raises_after_clean(spark, table):
+    """Rolling back a commit whose predecessor slices were cleaned
+    would leave the group with no slice — gate loudly."""
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_clean,
+        hudi_rollback,
+    )
+
+    t, _ = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 9.0, 0)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    hudi_clean(t, retain_slices=1)
+    with pytest.raises(HudiError, match="no older slice"):
+        hudi_rollback(t)
