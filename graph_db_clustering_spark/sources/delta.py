@@ -535,17 +535,21 @@ def delta_version_at_timestamp(path: str, ts: float) -> int:
         f = os.path.join(_log_dir(path), f"{v:020d}.json")
         cts = os.path.getmtime(f)
         with open(f, encoding="utf-8") as fh:
+            # commitInfo is CONVENTIONALLY the first action but the
+            # protocol does not mandate its position — scan the commit
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
                 a = json.loads(line)
+                if "commitInfo" not in a:
+                    continue
                 ict = (a.get("commitInfo") or {}).get(
                     "inCommitTimestamp"
                 )
                 if ict is not None:
                     cts = float(ict) / 1000.0
-                break  # commitInfo, when present, is the first action
+                break
         if first_ts is None:
             first_ts = cts
         if cts <= ts:

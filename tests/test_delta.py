@@ -905,11 +905,13 @@ def test_timestamp_time_travel(spark, tmp_path):
     with pytest.raises(DeltaError, match="predates"):
         delta_version_at_timestamp(t, 10.0)
     # inCommitTimestamp beats the file mtime when present
+    # commitInfo appended LAST: position is conventional, not mandated
     f = os.path.join(log, f"{1:020d}.json")
     body = open(f).read()
     with open(f, "w") as fh:
         fh.write(
-            '{"commitInfo": {"inCommitTimestamp": 9000000}}\n' + body
+            body.rstrip("\n")
+            + '\n{"commitInfo": {"inCommitTimestamp": 9000000}}\n'
         )
     os.utime(f, (2000.0, 2000.0))
     assert delta_version_at_timestamp(t, 2999.0) == 0  # v1 now at 9000s
