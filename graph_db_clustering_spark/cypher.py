@@ -3550,11 +3550,19 @@ class CypherSession:
                 if isinstance(dt, T.StructType) and e.name not in dt.names:
                     return F.lit(None)
             base = self._expr(e.base, df, params)
-            bdt = self._dtype_of(base, df)
-            if isinstance(
-                bdt, (T.DateType, T.TimestampType, T.TimestampNTZType)
+            # the dtype probe costs one analysis pass — only pay it for
+            # names that could be temporal accessors at all
+            if (
+                e.name in self._DATE_ACCESSORS
+                or e.name in self._TIME_ACCESSORS
+                or e.name in ("epochSeconds", "epochMillis")
             ):
-                return self._temporal_accessor(base, e.name, bdt)
+                bdt = self._dtype_of(base, df)
+                if isinstance(
+                    bdt,
+                    (T.DateType, T.TimestampType, T.TimestampNTZType),
+                ):
+                    return self._temporal_accessor(base, e.name, bdt)
             return base.getField(e.name)
         if isinstance(e, Index):
             base = self._expr(e.base, df, params)
