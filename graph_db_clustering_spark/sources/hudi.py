@@ -975,14 +975,67 @@ def hudi_metadata_table(
     )
 
 
+def hudi_savepoint(path: str, instant: str) -> None:
+    """SAVEPOINT a completed commit: `<instant>.savepoint` lands on
+    the timeline and hudi_clean then PRESERVES, per file group, the
+    latest slice at-or-before every savepoint — so time travel to a
+    savepointed instant survives cleaning (Hudi's savepoint
+    contract). Restore back to it with hudi_restore."""
+    timeline = hudi_timeline(path)
+    if not any(
+        t["instant"] == str(instant)
+        and t["action"] in ("commit", "replacecommit")
+        for t in timeline
+    ):
+        raise HudiError(
+            f"hudi: {instant} is not a completed commit to savepoint"
+        )
+    with open(
+        os.path.join(_hoodie_dir(path), f"{instant}.savepoint"), "w"
+    ) as f:
+        json.dump({"savepointedInstant": str(instant)}, f)
+
+
+def hudi_restore(spark_or_path, path: str | None = None) -> list[str]:
+    """RESTORE the table to its latest SAVEPOINT: every base file of a
+    commit later than the savepoint is deleted, those commits'
+    timeline files are removed, and a completed `<instant>.restore`
+    records the action. Requires a savepoint (that is what makes the
+    pre-image guaranteed present under cleaning). Accepts (path) or
+    (spark, path) for API symmetry. Returns the deleted paths."""
+    p = path if path is not None else spark_or_path
+    timeline = hudi_timeline(p)
+    sps = [t["instant"] for t in timeline if t["action"] == "savepoint"]
+    if not sps:
+        raise HudiError("hudi: restore needs a savepoint")
+    sp = max(sps)
+    deleted = []
+    for bf in _list_base_files(p):
+        if bf["instant"] > sp:
+            os.remove(bf["abs"])
+            deleted.append(bf["abs"])
+    hd = _hoodie_dir(p)
+    for fname in list(os.listdir(hd)):
+        m = re.match(r"^(\d{10,})(?:_(\d+))?\.(\w+)", fname)
+        if m and m.group(1) > sp and m.group(3) not in (
+            "savepoint", "clean", "rollback", "restore"
+        ):
+            os.remove(os.path.join(hd, fname))
+    instant = _next_instant(p)
+    with open(os.path.join(hd, f"{instant}.restore"), "w") as f:
+        json.dump({"restoredToSavepoint": sp}, f)
+    return deleted
+
+
 def hudi_clean(path: str, retain_slices: int = 1) -> list[str]:
     """CLEAN: physically delete superseded base-file slices, keeping
     the newest `retain_slices` committed slices per file group (plus
-    any files of pending instants, which are not ours to judge), and
-    land a completed `<instant>.clean` on the timeline. Time travel to
-    instants older than the retained window stops working — that is
-    what cleaning means; snapshot and incremental reads of the
-    retained window are untouched. Driver-side O(files) like every
+    any files of pending instants, which are not ours to judge) AND,
+    per savepoint, the group's latest slice at-or-before it. Lands a
+    completed `<instant>.clean` on the timeline. Time travel to
+    unprotected instants older than the retained window stops working
+    — that is what cleaning means; snapshot and incremental reads of
+    the retained window are untouched. Driver-side O(files) like every
     other timeline op. Returns the deleted paths."""
     if retain_slices < 1:
         raise HudiError("hudi: clean must retain at least one slice")
@@ -991,6 +1044,9 @@ def hudi_clean(path: str, retain_slices: int = 1) -> list[str]:
         t["instant"] for t in timeline
         if t["action"] in ("commit", "replacecommit")
     }
+    savepoints = sorted(
+        t["instant"] for t in timeline if t["action"] == "savepoint"
+    )
     groups: dict = {}
     for bf in _list_base_files(path):
         if bf["instant"] not in valid:
@@ -999,7 +1055,14 @@ def hudi_clean(path: str, retain_slices: int = 1) -> list[str]:
     deleted = []
     for _k, slices in sorted(groups.items()):
         slices.sort(key=lambda b: b["instant"], reverse=True)
+        protected = set()
+        for sp in savepoints:
+            eligible = [b["instant"] for b in slices if b["instant"] <= sp]
+            if eligible:
+                protected.add(max(eligible))
         for bf in slices[retain_slices:]:
+            if bf["instant"] in protected:
+                continue
             os.remove(bf["abs"])
             deleted.append(bf["abs"])
     instant = _next_instant(path)

@@ -613,3 +613,57 @@ def test_rollback_raises_after_clean(spark, table):
     hudi_clean(t, retain_slices=1)
     with pytest.raises(HudiError, match="no older slice"):
         hudi_rollback(t)
+
+
+def test_savepoint_protects_clean_and_restore(spark, table):
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_clean,
+        hudi_restore,
+        hudi_savepoint,
+    )
+
+    t, i1 = table
+    hudi_savepoint(t, i1)
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 9.0, 0), (100, "n", 1.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    i3 = hudi_delete(spark, t, spark.createDataFrame([(4,)], "id long"))
+    deleted = hudi_clean(t, retain_slices=1)
+    # the savepointed i1 slices survive even where superseded twice
+    assert read_hudi(spark, t, as_of=i1).count() == 20
+    assert all(f"_{i1}." not in d for d in deleted)
+    # restore: i2/i3 files + timeline gone, snapshot == savepoint state
+    removed = hudi_restore(t)
+    assert removed
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    assert snap.filter("id = 0").collect()[0]["name"] == "n0"
+    assert {e["instant"] for e in hudi_timeline(t)
+            if e["action"] == "commit"} == {i1}
+    assert any(e["action"] == "restore" for e in hudi_timeline(t))
+    # and the table keeps working after restore
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(7, "x", 1.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    assert read_hudi(spark, t).filter("id = 7").collect()[0]["name"] == "x"
+
+
+def test_savepoint_and_restore_guards(spark, table):
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_restore,
+        hudi_savepoint,
+    )
+
+    t, _ = table
+    with pytest.raises(HudiError, match="not a completed commit"):
+        hudi_savepoint(t, "29990101000000000")
+    with pytest.raises(HudiError, match="needs a savepoint"):
+        hudi_restore(t)
