@@ -971,8 +971,13 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     hist = iceberg_metadata_table(spark, t, "history").collect()
     assert [r["snapshot_id"] for r in hist] == [1, 2]
     assert hist[-1]["is_current_ancestor"] is True
+    # round 11: `partitions` is a real table now — per-tuple rollup
+    parts = iceberg_metadata_table(spark, t, "partitions").collect()
+    assert sum(r["record_count"] for r in parts) == n
+    assert sum(r["file_count"] for r in parts) == n_data_files
+    assert sum(r["delete_file_count"] for r in parts) == 1
     with pytest.raises(IcebergError, match="unknown metadata table"):
-        iceberg_metadata_table(spark, t, "partitions")
+        iceberg_metadata_table(spark, t, "refs")
 
 
 def test_orc_synthesized_row_index_matches_parquet(spark, tmp_path):
