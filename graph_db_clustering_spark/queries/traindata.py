@@ -2833,3 +2833,64 @@ def hudi_commits_meta(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+@declared(
+    "iceberg_refs",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def iceberg_refs(spark, sf_dir):
+    """Iceberg branch/tag refs (round 11, iceberg_set_ref /
+    read_iceberg(ref=...)): the table is TAGGED at its first snapshot,
+    rows are then deleted via a DV commit AND the untagged history is
+    expired — the tag must still resolve to the pre-delete state (the
+    expiry guard pins ref'd snapshots). Oracle = the FULL original
+    table; reading through the tag after expiry is the entire point."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_add_deletion_vectors,
+        iceberg_expire_snapshots,
+        iceberg_live_files,
+        iceberg_set_ref,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    root = os.path.join(tempfile.gettempdir(), f"gdc_iceref_{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    write_iceberg(spark, li.coalesce(1), t)
+    iceberg_set_ref(t, "baseline", ref_type="tag")
+    scan = spark.read.parquet(*iceberg_live_files(t)).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "l_orderkey",
+    )
+    iceberg_add_deletion_vectors(
+        spark, t,
+        scan.filter(F.col("l_orderkey") % 3 == 0).select(
+            "file_path", "pos"
+        ),
+    )
+    iceberg_expire_snapshots(t, keep_last=1)
+    return (
+        read_iceberg(spark, t, ref="baseline")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -372,13 +372,74 @@ def iceberg_live_files(path: str, snapshot_id: int | None = None) -> list[str]:
 _FP_NORM = r"^file:/*"
 
 
+def iceberg_resolve_ref(path: str, ref: str) -> int:
+    """Resolve a named BRANCH or TAG (the metadata `refs` map —
+    `VERSION AS OF 'tag'` / branch reads) to its snapshot id."""
+    with open(_metadata_file(path)) as f:
+        meta = json.load(f)
+    refs = meta.get("refs") or {}
+    if ref not in refs:
+        raise IcebergError(
+            f"iceberg: no branch or tag {ref!r} "
+            f"(known: {sorted(refs) or 'none'})"
+        )
+    return int(refs[ref]["snapshot-id"])
+
+
+def iceberg_set_ref(
+    path: str, name: str, snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> int:
+    """CREATE/UPDATE a named ref (tag or branch) pointing at
+    `snapshot_id` (default: the current snapshot). Rolls the metadata
+    file forward like every other commit; snapshot expiry must keep
+    ref'd snapshots alive (iceberg_expire_snapshots enforces that)."""
+    if ref_type not in ("tag", "branch"):
+        raise IcebergError(f"iceberg: ref type {ref_type!r}")
+    mfile = _metadata_file(path)
+    with open(mfile) as f:
+        meta = json.load(f)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta["current-snapshot-id"])
+    )
+    if sid not in snaps:
+        raise IcebergError(f"iceberg: snapshot {sid} does not exist")
+    meta = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    meta["refs"] = refs
+    ver = int(re.match(r"v(\d+)", os.path.basename(mfile)).group(1)) + 1
+    with open(
+        os.path.join(path, "metadata", f"v{ver}.metadata.json"), "w"
+    ) as f:
+        json.dump(meta, f)
+    with open(
+        os.path.join(path, "metadata", "version-hint.text"), "w"
+    ) as f:
+        f.write(str(ver))
+    return sid
+
+
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at the current (or pinned) snapshot via
     native parquet scans over the manifest-resolved live files, with
     v2 position and equality delete files applied merge-on-read style
-    (broadcast anti-joins; the big data scan never re-shuffles)."""
+    (broadcast anti-joins; the big data scan never re-shuffles).
+    `ref` names a branch/tag (mutually exclusive with snapshot_id)."""
+    if ref is not None:
+        if snapshot_id is not None:
+            raise IcebergError(
+                "iceberg: pass snapshot_id OR ref, not both"
+            )
+        snapshot_id = iceberg_resolve_ref(path, ref)
     data, dels, meta = _snapshot_entries(path, snapshot_id)
     return _scan_with_deletes(spark, path, data, dels, meta)
 
@@ -1402,7 +1463,16 @@ def iceberg_expire_snapshots(
     snaps = meta.get("snapshots") or []
     if keep_last < 1:
         raise IcebergError("iceberg: keep_last must be >= 1")
-    keep = snaps[-keep_last:]
+    # named refs (branches/tags) pin their snapshots: a tag must keep
+    # resolving after expiry, like Iceberg's own expire_snapshots
+    ref_ids = {
+        int(r["snapshot-id"])
+        for r in (meta.get("refs") or {}).values()
+    }
+    keep = [
+        s for s in snaps
+        if s in snaps[-keep_last:] or s["snapshot-id"] in ref_ids
+    ]
     referenced: set = set()
     for s in keep:
         ml = s["manifest-list"]
@@ -1534,6 +1604,14 @@ def iceberg_metadata_table(
             "partition string, record_count long, file_count long, "
             "delete_file_count long",
         )
+    if name == "refs":
+        rows = [
+            (n, r.get("type"), int(r["snapshot-id"]))
+            for n, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
     if name == "manifests":
         rows = []
         for s in snaps:
@@ -1574,5 +1652,5 @@ def iceberg_metadata_table(
         )
     raise IcebergError(
         f"iceberg: unknown metadata table {name!r} "
-        "(snapshots | files | partitions | manifests | history)"
+        "(snapshots | files | partitions | refs | manifests | history)"
     )

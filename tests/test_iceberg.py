@@ -977,7 +977,7 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     assert sum(r["file_count"] for r in parts) == n_data_files
     assert sum(r["delete_file_count"] for r in parts) == 1
     with pytest.raises(IcebergError, match="unknown metadata table"):
-        iceberg_metadata_table(spark, t, "refs")
+        iceberg_metadata_table(spark, t, "entries")
 
 
 def test_orc_synthesized_row_index_matches_parquet(spark, tmp_path):
@@ -1079,3 +1079,50 @@ def test_iceberg_equality_delete_writer(spark, tmp_path):
         iceberg_add_equality_deletes(
             spark, t, spark.createDataFrame([(1,)], "nope int")
         )
+
+
+def test_refs_tag_read_and_expiry_protection(spark, tmp_path):
+    """Branch/tag refs (round 11): a tag resolves through read_iceberg
+    and PINS its snapshot against expire_snapshots."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_add_position_deletes,
+        iceberg_expire_snapshots,
+        iceberg_live_files,
+        iceberg_metadata_table,
+        iceberg_resolve_ref,
+        iceberg_set_ref,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "id long, val string"
+    )
+    write_iceberg(spark, df.coalesce(1), t)
+    iceberg_set_ref(t, "v1", ref_type="tag")  # current = snapshot 1
+    scan = spark.read.parquet(*iceberg_live_files(t)).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "id",
+    )
+    iceberg_add_position_deletes(
+        spark, t,
+        scan.filter(F.col("id") % 5 == 0).select("file_path", "pos"),
+    )
+    assert read_iceberg(spark, t).count() == 40
+    assert read_iceberg(spark, t, ref="v1").count() == 50
+    assert iceberg_resolve_ref(t, "v1") == 1
+    refs = iceberg_metadata_table(spark, t, "refs").collect()
+    assert [(r["name"], r["type"], r["snapshot_id"]) for r in refs] \
+        == [("v1", "tag", 1)]
+    # expiry keeps the tagged snapshot alive
+    iceberg_expire_snapshots(t, keep_last=1)
+    assert read_iceberg(spark, t, ref="v1").count() == 50
+    assert read_iceberg(spark, t).count() == 40
+    with pytest.raises(IcebergError, match="no branch or tag"):
+        read_iceberg(spark, t, ref="nope")
+    with pytest.raises(IcebergError, match="not both"):
+        read_iceberg(spark, t, snapshot_id=1, ref="v1")
+    with pytest.raises(IcebergError, match="does not exist"):
+        iceberg_set_ref(t, "bad", snapshot_id=999)
