@@ -1057,11 +1057,11 @@ class _Parser:
             self.next()
             lo, hi = 1, None
         elif t == ("op", "*"):
-            raise ValueError(
-                "cypher: zero-length quantified path patterns "
-                "((...)* / {0,n}) are unsupported — use (...)+ or a "
-                "lower bound of 1"
-            )
+            # round 12: zero-length included — the zero repetition
+            # unifies the juxtaposed outer nodes (no inner constraints
+            # apply, per openCypher's GPM semantics)
+            self.next()
+            lo, hi = 0, None
         elif t == ("op", "{"):
             self.next()
             lo = int(self.next()[1]) if self.peek()[0] == "num" else 0
@@ -1074,12 +1074,6 @@ class _Parser:
             else:
                 hi = lo
             self.expect("op", "}")
-            if lo < 1:
-                raise ValueError(
-                    "cypher: zero-length quantified path patterns "
-                    "((...)* / {0,n}) are unsupported — use (...)+ or "
-                    "a lower bound of 1"
-                )
         else:
             raise SyntaxError(
                 f"cypher: expected a quantifier after the pattern "
@@ -1360,6 +1354,18 @@ class _Parser:
             self.expect("op", "]")
             return ListLit(items)
         if t[0] == "ident":
+            if (
+                t[1].lower() in ("duration", "point")
+                and self.peek() == ("op", ".")
+                and self.peek(1)[0] == "ident"
+                and self.peek(2) == ("op", "(")
+            ):
+                # namespaced builtin call: duration.between(...) /
+                # point.distance(...) — scoped to the known namespaces
+                # so property access on a call result stays a Prop
+                self.next()  # .
+                member = self.next()[1]
+                t = (t[0], f"{t[1]}.{member}")
             if t[1].lower() == "exists" and self.peek() == ("op", "{"):
                 # EXISTS { [MATCH] p1[, p2 ...] [WHERE pred] } — the
                 # openCypher existential subquery (round 11); compiles
@@ -1743,9 +1749,14 @@ class CypherSession:
         no distinct: paths are unique by construction, and the eids
         array IS the path identity. Unlike the bare (reachability)
         form, self pairs are KEPT: edge tracking makes genuine cycles
-        distinguishable."""
+        distinguishable. A zero lower bound (QPP (...)* / {0,n},
+        round 12) contributes ONE zero-length row per graph vertex —
+        src = dst, nodes = [v], no edges, no inner constraints (the
+        zero repetition imposes none, per openCypher GPM) — unioned
+        with the 1..hi enumeration."""
         lo, hi = epat.hops
-        if lo < 1 or (hi is not None and lo > hi):
+        min_lo = 0 if epat.qpp else 1
+        if lo < min_lo or (hi is not None and lo > hi):
             raise ValueError(f"cypher: bad variable-length range *{lo}..{hi}")
         if lo > self._VARLEN_MAX_HOPS or (
             hi is not None and hi > self._VARLEN_MAX_HOPS
@@ -1770,7 +1781,26 @@ class CypherSession:
         prev = sess.conf.get(ckey, "true")
         sess.conf.set(ckey, "false")
         try:
-            return self._varlength_paths_inner(epat, params, lo, hi)
+            zero = None
+            if lo == 0:
+                ecols = self.graph.edges.columns
+                estruct = T.StructType(
+                    list(self.graph.edges.schema.fields)
+                    + [T.StructField("__dup", T.IntegerType(), False)]
+                )
+                zero = self.graph.vertices.select(
+                    F.col("id").alias("src"),
+                    F.col("id").alias("dst"),
+                    F.array("id").alias("nodes"),
+                    F.array().cast(T.ArrayType(estruct)).alias("eids"),
+                ).localCheckpoint(eager=True)
+                if hi == 0:
+                    return zero
+                lo = 1
+            walked = self._varlength_paths_inner(epat, params, lo, hi)
+            if zero is None:
+                return walked
+            return zero.unionByName(walked).localCheckpoint(eager=True)
         finally:
             sess.conf.set(ckey, prev)
 
@@ -3483,10 +3513,49 @@ class CypherSession:
         r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
     )
 
+    # durations compile to Neo4j's own internal model — a struct of
+    # (months, days, seconds) — so accessors and duration.between()
+    # are plain field reads/arithmetic; conversion to a Spark interval
+    # happens only at temporal +/- sites (_interval_from_duration).
+    _DUR_FIELDS = ("months", "days", "seconds")
+
+    @classmethod
+    def _is_duration_dt(cls, dt) -> bool:
+        return (
+            isinstance(dt, T.StructType)
+            and tuple(dt.names) == cls._DUR_FIELDS
+        )
+
+    @staticmethod
+    def _duration_struct(months, days, seconds) -> Column:
+        return F.struct(
+            months.cast("long").alias("months"),
+            days.cast("long").alias("days"),
+            seconds.cast("double").alias("seconds"),
+        )
+
+    @staticmethod
+    def _interval_from_duration(c: Column) -> Column:
+        z = F.lit(0)
+        return F.make_interval(
+            z, c["months"], z, c["days"], z, z, c["seconds"]
+        )
+
+    @staticmethod
+    def _maybe_duration(e) -> bool:
+        """Cheap AST test for 'could compile to a duration struct' —
+        gates the +/- dtype probe (one analysis pass) to candidates:
+        duration()/duration.between() calls and bound variables (a
+        WITH-aliased duration). Literals, properties and everything
+        else can't be durations (vertex columns are primitive)."""
+        if isinstance(e, Func):
+            return e.name.lower() in ("duration", "duration.between")
+        return isinstance(e, Var)
+
     def _duration_col(self, arg, df, params) -> Column:
-        """duration({...}) / duration('P1DT2H') -> a make_interval
-        column. Component maps take expressions; the string form must
-        be a literal (it parses driver-side)."""
+        """duration({...}) / duration('P1DT2H') -> a duration struct.
+        Component maps take expressions; the string form must be a
+        literal (it parses driver-side)."""
         zero = F.lit(0)
         if isinstance(arg, MapLit):
             allowed = (
@@ -3499,11 +3568,17 @@ class CypherSession:
                     f"cypher: duration() component(s) {sorted(bad)} "
                     f"unsupported (use {'/'.join(allowed)})"
                 )
-            parts = {
+            p = {
                 k: self._expr(v, df, params) for k, v in arg.items.items()
             }
-            return F.make_interval(
-                *[parts.get(k, zero) for k in allowed]
+
+            def g(k):
+                return p.get(k, zero)
+
+            return self._duration_struct(
+                g("years") * 12 + g("months"),
+                g("weeks") * 7 + g("days"),
+                g("hours") * 3600 + g("minutes") * 60 + g("seconds"),
             )
         if isinstance(arg, Lit) and isinstance(arg.value, str):
             m = self._ISO_DURATION.match(arg.value)
@@ -3515,14 +3590,70 @@ class CypherSession:
                 (float(g) if g and "." in g else int(g or 0))
                 for g in m.groups()
             )
-            return F.make_interval(
-                F.lit(y), F.lit(mo), F.lit(w), F.lit(d),
-                F.lit(h), F.lit(mi), F.lit(s),
+            return self._duration_struct(
+                F.lit(y * 12 + mo),
+                F.lit(w * 7 + d),
+                F.lit(h * 3600 + mi * 60 + s),
             )
         raise ValueError(
             "cypher: duration() takes a component map or a string "
             "LITERAL"
         )
+
+    def _duration_between(self, a: Column, b: Column, adt, bdt) -> Column:
+        """duration.between(a, b): Neo4j's (months, days, seconds)
+        decomposition — the largest whole-month count m with
+        add_months(a, m) not past b, then whole days, then leftover
+        seconds (timestamps only). floor(months_between) can be off by
+        one in either direction (it assumes 31-day months), so both
+        corrections are applied explicitly."""
+        datelike = isinstance(adt, T.DateType) and isinstance(
+            bdt, T.DateType
+        )
+        if datelike:
+            m0 = F.floor(F.months_between(b, a)).cast("int")
+            m = (
+                m0
+                + F.when(F.add_months(a, m0 + 1) <= b, 1).otherwise(0)
+                - F.when(F.add_months(a, m0) > b, 1).otherwise(0)
+            )
+            days = F.datediff(b, F.add_months(a, m))
+            return self._duration_struct(m, days, F.lit(0))
+        # timestamp / timestamp_ntz: the month count compares ANCHORED
+        # timestamps (time-of-day matters — Jan-15 10:00 to Feb-15
+        # 09:00 is zero whole months)
+        ts_a, ts_b = a.cast("timestamp"), b.cast("timestamp")
+        z = F.lit(0)
+
+        def addm(k):
+            return ts_a + F.make_interval(z, k, z, z, z, z, z)
+
+        m0 = F.floor(F.months_between(ts_b, ts_a)).cast("int")
+        m = (
+            m0
+            + F.when(addm(m0 + 1) <= ts_b, 1).otherwise(0)
+            - F.when(addm(m0) > ts_b, 1).otherwise(0)
+        )
+        total = F.unix_seconds(ts_b) - F.unix_seconds(addm(m))
+        days = F.floor(total / 86400).cast("long")
+        secs = (total - days * 86400).cast("double")
+        return self._duration_struct(m, days, secs)
+
+    # Neo4j duration accessor -> (field, transform)
+    _DURATION_ACCESSORS = {
+        "years": lambda c: F.floor(c["months"] / 12),
+        "months": lambda c: c["months"],
+        "monthsOfYear": lambda c: c["months"] % 12,
+        "weeks": lambda c: F.floor(c["days"] / 7),
+        "days": lambda c: c["days"],
+        "daysOfWeek": lambda c: c["days"] % 7,
+        "hours": lambda c: F.floor(c["seconds"] / 3600),
+        "minutes": lambda c: F.floor(c["seconds"] / 60),
+        "seconds": lambda c: F.floor(c["seconds"]),
+        "minutesOfHour": lambda c: F.floor(c["seconds"] / 60) % 60,
+        "secondsOfMinute": lambda c: F.floor(c["seconds"]) % 60,
+        "milliseconds": lambda c: F.floor(c["seconds"] * 1000),
+    }
 
     def _expr(self, e, df: DataFrame | None, params) -> Column:
         if isinstance(e, Lit):
@@ -3547,11 +3678,27 @@ class CypherSession:
                 and e.base.name in df.columns
             ):
                 dt = df.schema[e.base.name].dataType
-                if isinstance(dt, T.StructType) and e.name not in dt.names:
+                if (
+                    isinstance(dt, T.StructType)
+                    and e.name not in dt.names
+                    and not (
+                        # derived duration accessors (.years, .hours,
+                        # ...) are not struct fields — let them reach
+                        # the _DURATION_ACCESSORS hook below
+                        self._is_duration_dt(dt)
+                        and e.name in self._DURATION_ACCESSORS
+                    )
+                ):
                     return F.lit(None)
             base = self._expr(e.base, df, params)
             # the dtype probe costs one analysis pass — only pay it for
-            # names that could be temporal accessors at all
+            # names that could be temporal/duration accessors at all
+            if e.name in self._DURATION_ACCESSORS:
+                ddt = self._dtype_of(base, df)
+                if self._is_duration_dt(ddt):
+                    return self._DURATION_ACCESSORS[e.name](
+                        base
+                    ).cast("long")
             if (
                 e.name in self._DATE_ACCESSORS
                 or e.name in self._TIME_ACCESSORS
@@ -3671,6 +3818,26 @@ class CypherSession:
                 return F.regexp_like(
                     l, F.concat(F.lit("^(?:"), r, F.lit(")$"))
                 )
+            if e.op in ("+", "-") and (
+                self._maybe_duration(e.left)
+                or self._maybe_duration(e.right)
+            ):
+                ldt = self._dtype_of(l, df)
+                rdt = self._dtype_of(r, df)
+                ldur = self._is_duration_dt(ldt)
+                rdur = self._is_duration_dt(rdt)
+                if ldur and rdur:
+                    sign = 1 if e.op == "+" else -1
+                    return self._duration_struct(
+                        l["months"] + sign * r["months"],
+                        l["days"] + sign * r["days"],
+                        l["seconds"] + sign * r["seconds"],
+                    )
+                if rdur:  # temporal +/- duration
+                    iv = self._interval_from_duration(r)
+                    return (l + iv) if e.op == "+" else (l - iv)
+                if ldur and e.op == "+":  # duration + temporal
+                    return r + self._interval_from_duration(l)
             return {
                 "=": l == r,
                 "<>": l != r,
@@ -3976,6 +4143,75 @@ class CypherSession:
                         "cypher: duration() takes exactly one argument"
                     )
                 return self._duration_col(e.args[0], df, params)
+            if name == "duration.between":
+                if len(e.args) != 2:
+                    raise ValueError(
+                        "cypher: duration.between() takes two temporals"
+                    )
+                a = self._expr(e.args[0], df, params)
+                b = self._expr(e.args[1], df, params)
+                return self._duration_between(
+                    a, b, self._dtype_of(a, df), self._dtype_of(b, df)
+                )
+            if name in ("time", "localtime"):
+                # round 12: clock values ride a timestamp_ntz anchored
+                # at 1970-01-01 — accessors (.hour/.minute/.second) and
+                # comparisons fall out of the existing machinery.
+                # Offsets/timezones stay gated (Spark has no TIME type
+                # with zone); time() without an offset equals
+                # localtime() under the session's UTC convention.
+                if len(e.args) != 1:
+                    raise ValueError(
+                        f"cypher: {e.name}() takes exactly one argument "
+                        "(string or component map; current-time forms "
+                        "are unsupported)"
+                    )
+                a = e.args[0]
+                if isinstance(a, MapLit):
+                    if "timezone" in a.items:
+                        raise ValueError(
+                            f"cypher: {e.name}() timezone component is "
+                            "unsupported (UTC-convention clock values "
+                            "only)"
+                        )
+                    bad = set(a.items) - {"hour", "minute", "second"}
+                    if bad:
+                        raise ValueError(
+                            f"cypher: {e.name}() component(s) "
+                            f"{sorted(bad)} unsupported"
+                        )
+
+                    def tcomp(k):
+                        if k in a.items:
+                            return self._expr(
+                                a.items[k], df, params
+                            ).cast("int")
+                        return F.lit(0)
+
+                    return (
+                        F.to_timestamp(F.lit("1970-01-01"))
+                        .cast("timestamp_ntz")
+                        + F.make_interval(
+                            F.lit(0), F.lit(0), F.lit(0), F.lit(0),
+                            tcomp("hour"), tcomp("minute"),
+                            tcomp("second"),
+                        )
+                    )
+                if isinstance(a, Lit) and isinstance(a.value, str):
+                    if "+" in a.value or a.value.endswith("Z") or (
+                        "[" in a.value
+                    ):
+                        raise ValueError(
+                            f"cypher: {e.name}() with an explicit "
+                            "offset/zone is unsupported"
+                        )
+                    return F.lit(
+                        f"1970-01-01T{a.value}"
+                    ).cast("timestamp_ntz")
+                return F.concat(
+                    F.lit("1970-01-01T"),
+                    self._expr(a, df, params).cast("string"),
+                ).cast("timestamp_ntz")
             if name == "point":
                 # round 11 spatial subset: CARTESIAN points only —
                 # a typed struct {x, y[, z], crs}; geographic
@@ -4012,9 +4248,16 @@ class CypherSession:
                     )
                 a = self._expr(e.args[0], df, params)
                 b = self._expr(e.args[1], df, params)
-                d2 = (a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2
                 adt = self._dtype_of(a, df)
-                if isinstance(adt, T.StructType) and "z" in adt.names:
+                bdt = self._dtype_of(b, df)
+                a3 = isinstance(adt, T.StructType) and "z" in adt.names
+                b3 = isinstance(bdt, T.StructType) and "z" in bdt.names
+                if a3 != b3:
+                    # Neo4j: distance between points of different
+                    # CRS/dimension is null, not an error
+                    return F.lit(None).cast("double")
+                d2 = (a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2
+                if a3:
                     d2 = d2 + (a["z"] - b["z"]) ** 2
                 return F.sqrt(d2)
             raise ValueError(f"cypher: unsupported function {e.name}()")

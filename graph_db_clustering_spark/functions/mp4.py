@@ -20,9 +20,14 @@ surfaces, mirroring functions/avi:
 
 The :func:`encode` muxer writes a minimal valid unfragmented MP4
 (ftyp + mdat + moov with a single MJPEG video track) for fixtures and
-re-containerization. Box layouts follow the published ISO base-media
-spec; fragmented movies (moof) and edit lists are out of scope and
-gate loudly when they would change sample resolution.
+re-containerization; :func:`encode_fragmented` (round 12) writes the
+CMAF-shaped moof/mdat variant. FRAGMENTED movies read fully: probe
+stitches duration/sample counts from every moof's trun (mvhd zeros
+ignored), and frames() resolves samples via the traf/tfhd/trun walk
+with trun -> tfhd -> trex default resolution (ISO 14496-12 §8.8).
+Box layouts follow the published ISO base-media spec; edit lists and
+truns without a data-offset are out of scope and gate loudly when
+they would change sample resolution.
 
 Reference note: the reference repo has no video path at all; this
 module is north-star scope (multimodal columns for training-data
@@ -316,10 +321,25 @@ def probe(data: bytes) -> dict:
         else None
     )
     timescale, duration, tracks = _tracks(data)
+    # fragmented movies: moov's duration fields are typically 0 — the
+    # truth is stitched from every moof's trun (round 12)
+    frag = (
+        _fragment_runs(data)
+        if _child(data, 0, len(data), b"moof") is not None else {}
+    )
     out_tracks = []
+    movie_dur_s = duration / timescale
     for t in tracks:
         ts = t.get("media_timescale") or timescale
         dur = t.get("media_duration")
+        n = t.get("n_samples")
+        fr = frag.get(t.get("track_id"))
+        if fr is not None:
+            n = (n or 0) + fr["n"]
+            dur = (dur or 0) + fr["duration"]
+        dur_s = (dur / ts) if dur is not None else None
+        if dur_s is not None:
+            movie_dur_s = max(movie_dur_s, dur_s)
         out_tracks.append({
             "handler": t.get("handler"),
             "codec": t.get("codec"),
@@ -327,28 +347,131 @@ def probe(data: bytes) -> dict:
             "height": int(t["height"]) if t.get("height") else None,
             "sample_rate": t.get("sample_rate"),
             "channels": t.get("channels"),
-            "n_samples": t.get("n_samples"),
-            "duration_s": (dur / ts) if dur is not None else None,
+            "n_samples": n,
+            "duration_s": dur_s,
         })
     return {
         "container": "mp4",
         "brand": brand,
-        "duration_s": duration / timescale,
+        "duration_s": movie_dur_s,
         "n_tracks": len(out_tracks),
         "tracks": out_tracks,
     }
 
 
+# --- fragmented movies (moof/traf/trun — ISO 14496-12 §8.8, round 12)
+
+
+def _fragment_runs(data: bytes) -> dict:
+    """Walk every top-level moof and stitch the per-track sample
+    tables across fragments: {track_id: {'n', 'duration' (media
+    timescale), 'samples': [(abs_off, size)]}}. Defaults resolve
+    trun -> tfhd -> trex, per spec. Sample base: explicit
+    base-data-offset (tfhd flag 0x1) or the moof's first byte
+    (default-base-is-moof 0x20000; also the first-traf default)."""
+    trex: dict = {}
+    moov = _child(data, 0, len(data), b"moov")
+    if moov is not None:
+        mvex = _child(data, moov[0], moov[1], b"mvex")
+        if mvex is not None:
+            for tb, te in _children(data, mvex[0], mvex[1], b"trex"):
+                _v, _f, p = _fullbox(data, tb)
+                tid, _sdi, ddur, dsize, _dflags = struct.unpack(
+                    ">5I", data[p:p + 20]
+                )
+                trex[tid] = (ddur, dsize)
+    out: dict = {}
+    pos = 0
+    end = len(data)
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        btype = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[body:body + 8])
+            body += 8
+            box_end = pos + size
+        elif size == 0:
+            box_end = end
+        else:
+            box_end = pos + size
+        if box_end < body or box_end > end:
+            raise Mp4Error(f"mp4: box {btype!r} overruns container")
+        if btype == b"moof":
+            _walk_moof(data, pos, body, box_end, trex, out)
+        pos = box_end
+    return out
+
+
+def _walk_moof(data, moof_start, body, box_end, trex, out) -> None:
+    for tb, te in _children(data, body, box_end, b"traf"):
+        tfhd = _child(data, tb, te, b"tfhd")
+        if tfhd is None:
+            raise Mp4Error("mp4: traf without tfhd")
+        _v, flags, p = _fullbox(data, tfhd[0])
+        (tid,) = struct.unpack(">I", data[p:p + 4])
+        p += 4
+        base = moof_start
+        if flags & 0x1:
+            (base,) = struct.unpack(">Q", data[p:p + 8])
+            p += 8
+        if flags & 0x2:
+            p += 4
+        ddur, dsize = trex.get(tid, (0, 0))
+        if flags & 0x8:
+            (ddur,) = struct.unpack(">I", data[p:p + 4])
+            p += 4
+        if flags & 0x10:
+            (dsize,) = struct.unpack(">I", data[p:p + 4])
+            p += 4
+        rec = out.setdefault(
+            tid, {"n": 0, "duration": 0, "samples": []}
+        )
+        for rb, re_ in _children(data, tb, te, b"trun"):
+            v, tf, q = _fullbox(data, rb)
+            (count,) = struct.unpack(">I", data[q:q + 4])
+            q += 4
+            if not tf & 0x1:
+                raise NotImplementedError(
+                    "mp4: trun without a data-offset (implicit "
+                    "contiguous runs) is not supported"
+                )
+            (doff,) = struct.unpack(">i", data[q:q + 4])
+            q += 4
+            if tf & 0x4:
+                q += 4  # first-sample-flags
+            off = base + doff
+            for _ in range(count):
+                sdur, ssize = ddur, dsize
+                if tf & 0x100:
+                    (sdur,) = struct.unpack(">I", data[q:q + 4])
+                    q += 4
+                if tf & 0x200:
+                    (ssize,) = struct.unpack(">I", data[q:q + 4])
+                    q += 4
+                if tf & 0x400:
+                    q += 4
+                if tf & 0x800:
+                    q += 4
+                if not ssize:
+                    raise Mp4Error(
+                        "mp4: fragment sample with no size (trun, "
+                        "tfhd and trex all silent)"
+                    )
+                rec["samples"].append((off, ssize))
+                rec["n"] += 1
+                rec["duration"] += sdur
+                off += ssize
+
+
 def frames(data: bytes) -> list[np.ndarray]:
     """Decode every sample of the FIRST video track -> list of HxWx3
     uint8 arrays. MJPEG tracks only (see module docstring); anything
-    interframe names its codec in a NotImplementedError."""
+    interframe names its codec in a NotImplementedError. Fragmented
+    movies (round 12) resolve samples via the stitched moof/traf/trun
+    walk instead of the (empty) stbl."""
     from graph_db_clustering_spark.functions import jpeg
 
-    if _child(data, 0, len(data), b"moof") is not None:
-        raise NotImplementedError(
-            "mp4: fragmented movies (moof) not supported"
-        )
     _ts, _dur, tracks = _tracks(data)
     video = [t for t in tracks if t.get("handler") == "vide"]
     if not video:
@@ -364,8 +487,13 @@ def frames(data: bytes) -> list[np.ndarray]:
         )
     if "stbl" not in t:
         raise Mp4Error("mp4: video track without sample table")
+    samples = _stbl_samples(data, t["stbl"])
+    if _child(data, 0, len(data), b"moof") is not None:
+        frag = _fragment_runs(data).get(t.get("track_id"))
+        if frag is not None:
+            samples = samples + frag["samples"]
     out = []
-    for off, size in _stbl_samples(data, t["stbl"]):
+    for off, size in samples:
         if off + size > len(data):
             raise Mp4Error("mp4: sample range beyond file end")
         img = jpeg.decode(data[off : off + size])
@@ -446,6 +574,98 @@ def encode(
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def encode_fragmented(
+    jpeg_frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    frames_per_fragment: int = 2,
+) -> bytes:
+    """Mux JPEG byte strings into a FRAGMENTED MP4 (CMAF-shaped):
+    ftyp + moov(mvhd dur 0, trak with an empty stbl, mvex/trex) then
+    one [moof + mdat] pair per fragment — tfhd default-base-is-moof,
+    tfdt decode times, trun with data-offset + per-sample duration and
+    size. The fixture generator for the round-12 fragmented read
+    path."""
+    if not jpeg_frames:
+        raise Mp4Error("mp4: cannot mux an empty frame list")
+    timescale = 1000
+    delta = timescale // fps
+
+    ftyp = _box(
+        b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5iso6mp41"
+    )
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, 0
+    ) + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(
+        ">IIII", 0, 0, 1, 0
+    ) + struct.pack(">I", 0) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", width << 16, height << 16))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0
+    ))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"MJPEG Video Handler\x00")
+    entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + bytes([4]) + b"jpeg" + b"\x00" * 27
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _box(b"jpeg", entry))
+    stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full(b"trex", 0, 0, struct.pack(">5I", 1, 1, delta, 0, 0))
+    mvex = _box(b"mvex", trex)
+    moov = _box(b"moov", mvhd + trak + mvex)
+
+    out = bytearray(ftyp + moov)
+    seq = 0
+    t = 0
+    for i in range(0, len(jpeg_frames), frames_per_fragment):
+        chunk = [bytes(f) for f in jpeg_frames[i:i + frames_per_fragment]]
+        seq += 1
+
+        def build_moof(doff: int) -> bytes:
+            mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+            # tfhd: default-base-is-moof (0x20000), track 1
+            tfhd = _full(b"tfhd", 0, 0x20000, struct.pack(">I", 1))
+            tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", t))
+            # trun flags: data-offset | duration | size
+            body = struct.pack(">Ii", len(chunk), doff)
+            for f in chunk:
+                body += struct.pack(">II", delta, len(f))
+            trun = _full(b"trun", 0, 0x301, body)
+            return _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun))
+
+        moof_len = len(build_moof(0))
+        moof = build_moof(moof_len + 8)  # payload starts after mdat hdr
+        out += moof + _box(b"mdat", b"".join(chunk))
+        t += delta * len(chunk)
+    return bytes(out)
 
 
 def encode_audio_stub(

@@ -1183,6 +1183,11 @@ _MP3_BITRATES_V1L3 = (
     0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320
 )
 _MP3_RATES_V1 = (44100, 48000, 32000)
+# ADTS sampling_frequency_index table (ISO 14496-3 §1.6.3.4)
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+)
 
 
 def _probe_one(content: bytes) -> tuple[str, int | None, int | None, float | None]:
@@ -1292,6 +1297,41 @@ def _probe_one_inner(content: bytes) -> tuple[str, int | None, int | None, float
             t.get("channels"),
             meta.get("duration_s"),
         )
+    # AAC in ADTS (round 12, VERDICT r11 Next #6 — PROBE only, the
+    # entropy decode stays gated): syncword 0xFFF with layer bits 00.
+    # Header fields per ISO 13818-7 / 14496-3; duration is exact from
+    # walking every frame_length (1024 samples per raw data block).
+    if (
+        len(content) >= 7
+        and content[0] == 0xFF
+        and (content[1] & 0xF6) == 0xF0
+    ):
+        sr_idx = (content[2] >> 2) & 0x0F
+        if sr_idx < len(_ADTS_RATES):
+            profile = (content[2] >> 6) & 0x03
+            rate = _ADTS_RATES[sr_idx]
+            channels = ((content[2] & 0x01) << 2) | (content[3] >> 6)
+            samples = 0
+            i = 0
+            while i + 7 <= len(content):
+                if not (
+                    content[i] == 0xFF
+                    and (content[i + 1] & 0xF6) == 0xF0
+                ):
+                    break
+                flen = (
+                    ((content[i + 3] & 0x03) << 11)
+                    | (content[i + 4] << 3)
+                    | (content[i + 5] >> 5)
+                )
+                if flen < 7:
+                    break
+                blocks = (content[i + 6] & 0x03) + 1
+                samples += 1024 * blocks
+                i += flen
+            dur = (samples / rate) if samples else None
+            prof = ("main", "lc", "ssr", "ltp")[profile]
+            return f"aac-{prof}", rate, channels or None, dur
     # MP3: optional ID3v2 tag, then the first 0xFFE-synced frame
     pos = 0
     if content[:3] == b"ID3":
@@ -1701,15 +1741,22 @@ def synthetic_mp4s_from_documents(
     n_frames: int = 4,
     side: int = 8,
     fps: int = 5,
+    fragmented: bool = False,
 ) -> DataFrame:
     """Deterministic MP4 fixture (the synthetic_avis_from_documents
     recipe, third container): keyed-md5 byte planes become side*side
     gray frames, each REAL-JPEG-encoded (functions/jpeg.encode_gray)
     and muxed into an ISO-BMFF movie with a 'jpeg' sample entry
-    (functions/mp4.encode). md5 chain in Catalyst, JPEG + container
-    assembly in the Arrow batch."""
+    (functions/mp4.encode; ``fragmented=True`` muxes moof/mdat CMAF
+    fragments via functions/mp4.encode_fragmented instead — round
+    12). md5 chain in Catalyst, JPEG + container assembly in the
+    Arrow batch."""
     from graph_db_clustering_spark.functions import jpeg as jpeg_codec
     from graph_db_clustering_spark.functions import mp4 as mp4_codec
+
+    mux = (
+        mp4_codec.encode_fragmented if fragmented else mp4_codec.encode
+    )
 
     need = side * side
     frames_bytes = []
@@ -1739,8 +1786,7 @@ def synthetic_mp4s_from_documents(
                 rows.append((
                     int(rid),
                     bytearray(
-                        mp4_codec.encode(jps, width=side, height=side,
-                                         fps=fps)
+                        mux(jps, width=side, height=side, fps=fps)
                     ),
                 ))
         yield pd.DataFrame(rows, columns=["video_id", "content"])

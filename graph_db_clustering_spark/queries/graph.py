@@ -1666,22 +1666,27 @@ def cypher_varlen_paths(spark, sf_dir):
     "cypher_temporal",
     f"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
        CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+       CAST(EXTRACT(year FROM o_orderdate) * 12
+            + EXTRACT(month FROM o_orderdate)
+            - (1995 * 12 + 1) AS BIGINT) AS dm,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM orders
 WHERE o_orderkey < {_CAP * 10}
   AND o_orderdate >= DATE '1995-01-01'
   AND o_orderdate < DATE '1995-01-01' + INTERVAL 6 MONTH
-GROUP BY y, q ORDER BY y, q""",
+GROUP BY y, q, dm ORDER BY y, q, dm""",
 )
 def cypher_temporal(spark, sf_dir):
-    """Cypher temporal subset (round 11): date() construction from a
-    string, date comparison in WHERE, date + duration({months}) as the
-    window's upper bound, and .year/.quarter accessors in the implicit
-    aggregation — over Order vertices carrying a real DATE property.
-    The oracle restates the same half-year window with SQL EXTRACT; a
-    wrong dayOfWeek-style off-by-one, a duration that adds days
-    instead of months, or an accessor reading the wrong component
-    moves rows between groups."""
+    """Cypher temporal subset (rounds 11-12): date() construction from
+    a string, date comparison in WHERE, date + duration({months}) as
+    the window's upper bound, .year/.quarter accessors in the implicit
+    aggregation, and duration.between(...).months (round 12 — whole
+    months since the window anchor; with a day-1 anchor this equals
+    the month-boundary count the oracle states arithmetically) — over
+    Order vertices carrying a real DATE property. A wrong
+    dayOfWeek-style off-by-one, a duration that adds days instead of
+    months, an accessor reading the wrong component, or an off-by-one
+    in the whole-month decomposition moves rows between groups."""
     from graph_db_clustering_spark.cypher import CypherSession
     from graph_db_clustering_spark.operators.graph import Graph
 
@@ -1704,8 +1709,10 @@ def cypher_temporal(spark, sf_dir):
            WHERE o.odate >= date('1995-01-01')
              AND o.odate < date('1995-01-01') + duration({months: 6})
            RETURN o.odate.year AS y, o.odate.quarter AS q,
+                  duration.between(date('1995-01-01'), o.odate).months
+                    AS dm,
                   count(*) AS n
-           ORDER BY y, q"""
+           ORDER BY y, q, dm"""
     )
 
 
@@ -1763,5 +1770,70 @@ def cypher_qpp(spark, sf_dir):
     s = CypherSession(Graph(c.drop("nation"), edges))
     return s.run(
         """MATCH (a:Customer) (()-[:NEXT]->()){2} (b:Customer)
+           RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"""
+    )
+
+
+@declared(
+    "cypher_qpp_zero",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+           FROM customer WHERE c_custkey < {_CAP})
+SELECT aid, bid FROM (
+  SELECT a.id AS aid, a.id AS bid FROM v a
+  UNION ALL
+  SELECT a.id, b.id FROM v a JOIN v b
+    ON a.nation = b.nation AND b.pos - a.pos IN (1, 2)
+  UNION ALL
+  SELECT a.id, b.id
+  FROM v a JOIN v m
+    ON a.nation = m.nation AND m.pos - a.pos IN (1, 2)
+  JOIN v b
+    ON m.nation = b.nation AND b.pos - m.pos IN (1, 2)
+) ORDER BY aid, bid""",
+)
+def cypher_qpp_zero(spark, sf_dir):
+    """ZERO-length quantified path pattern (round 12, VERDICT r11 Next
+    #9): (a) (()-[:NEXT]->()){0,2} (b) over the same chain+skip graph
+    as cypher_qpp. The zero repetition unifies a with b — one aid=bid
+    row per Customer, with NO inner constraints applied — on top of
+    the one-step rows (one per edge) and the two-step compositions
+    (with their QPP duplicate multiplicity). The oracle states all
+    three tiers as UNION ALL; losing the identity tier, deduping the
+    compositions, or applying step constraints to the zero case each
+    shifts the rowset."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    hops = c.withColumn("nxt", F.lead("id", 1).over(w)).withColumn(
+        "skp", F.lead("id", 2).over(w)
+    )
+    edges = (
+        hops.filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("NEXT").alias("relationship"),
+        )
+        .unionByName(
+            hops.filter(F.col("skp").isNotNull()).select(
+                F.col("id").alias("src"),
+                F.col("skp").alias("dst"),
+                F.lit("NEXT").alias("relationship"),
+            )
+        )
+    )
+    s = CypherSession(Graph(c.drop("nation"), edges))
+    return s.run(
+        """MATCH (a:Customer) (()-[:NEXT]->()){0,2} (b:Customer)
            RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"""
     )

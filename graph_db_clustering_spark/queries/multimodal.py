@@ -228,6 +228,65 @@ def frame_sample_mp4(spark, sf_dir):
     )
 
 
+@declared("frame_sample_fmp4")
+def frame_sample_fmp4(spark, sf_dir):
+    """Every-2nd-frame sampling over FRAGMENTED MP4s (round 12,
+    VERDICT r11 Next #2): the same deterministic MJPEG frames muxed as
+    CMAF-shaped moof/mdat fragments (functions/mp4.encode_fragmented),
+    then resolved by the stitched moof/traf/trun sample walk instead
+    of the (empty) stbl and JPEG-decoded — all executor-side.
+    Rows-only like frame_sample (binary payloads); the declared
+    surface returns frame byte lengths, which must equal the
+    unfragmented frame_sample_mp4's exactly (same frames, different
+    container)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    vids = multimodal.synthetic_mp4s_from_documents(
+        docs, "doc_id", "text", fragmented=True
+    )
+    sampled = multimodal.frame_sample(vids, every_n=2)
+    return sampled.select(
+        "id", "frame_index", F.length("frame").alias("png_bytes")
+    )
+
+
+@declared(
+    "video_probe_fmp4",
+    "SELECT doc_id AS video_id, 'mp4' AS container, 'jpeg' AS codec, "
+    "CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
+    "CAST(4 AS INT) AS n_frames, CAST(0.8 AS DOUBLE) AS duration_s "
+    "FROM documents WHERE doc_id % 20 = 0 ORDER BY video_id",
+)
+def video_probe_fmp4(spark, sf_dir):
+    """video_probe over FRAGMENTED MP4s (round 12): moov's duration
+    fields are zero in a fragmented movie, so duration and sample
+    count must be stitched from every moof's trun entries
+    (functions/mp4._fragment_runs — trun -> tfhd -> trex default
+    resolution). Same closed form as the unfragmented video_probe
+    (8x8, 4 frames at 5 fps -> 0.8 s): a walk that trusts mvhd
+    reports 0.0 s and 0 samples and hash-mismatches."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    vids = multimodal.synthetic_mp4s_from_documents(
+        docs, "doc_id", "text", fragmented=True
+    )
+    return (
+        multimodal.video_probe(vids)
+        .select(
+            F.col("id").alias("video_id"),
+            "container",
+            "codec",
+            "width",
+            "height",
+            "n_frames",
+            F.round("duration_s", 6).alias("duration_s"),
+        )
+        .orderBy("video_id")
+    )
+
+
 @declared(
     "video_probe",
     "SELECT doc_id AS video_id, 'mp4' AS container, 'jpeg' AS codec, "

@@ -648,23 +648,33 @@ def _decode_blocks(blob, fields, codec, sync, pos) -> list[dict]:
                 raise AvroError(f"avro: corrupt zstandard block ({e})")
         bpos = 0
         for _ in range(count):
-            row = {}
-            for name, rep, null_idx in fields:
-                if null_idx is not None:
-                    idx, bpos = _read_varint(block, bpos)
-                    if idx == null_idx:
-                        row[name] = None
-                        continue
-                    if idx != 1 - null_idx:
-                        raise AvroError(
-                            f"avro: union branch index {idx} out of range "
-                            f"(valid: {null_idx} = null, "
-                            f"{1 - null_idx} = value)"
-                        )
-                v, bpos = _decode_typed(block, bpos, rep)
-                row[name] = v
+            row, bpos = decode_record(block, bpos, fields)
             rows.append(row)
     return rows
+
+
+def decode_record(
+    data: bytes, pos: int, fields
+) -> tuple[dict, int]:
+    """One Avro BINARY-encoded record (no container framing) ->
+    (row dict, new pos). `fields` is parse_schema() output. Public so
+    record-level consumers (Hudi log blocks) share the codec."""
+    row = {}
+    for name, rep, null_idx in fields:
+        if null_idx is not None:
+            idx, pos = _read_varint(data, pos)
+            if idx == null_idx:
+                row[name] = None
+                continue
+            if idx != 1 - null_idx:
+                raise AvroError(
+                    f"avro: union branch index {idx} out of range "
+                    f"(valid: {null_idx} = null, "
+                    f"{1 - null_idx} = value)"
+                )
+        v, pos = _decode_typed(data, pos, rep)
+        row[name] = v
+    return row, pos
 
 
 # --- write side (fixtures / sinks) -----------------------------------------
@@ -781,10 +791,9 @@ def _encode_typed(rep, v) -> bytes:
                 v = (v - _dt.date(1970, 1, 1)).days
             return _encode_typed(base, int(v))
         if lt == "decimal":
-            unscaled = (
-                int(Decimal(v).scaleb(scale).to_integral_value())
-                if not isinstance(v, int) else v
-            )
+            # ints scale like Decimal/float: value 5 at scale 2 is
+            # unscaled 500 (5.00), never raw-unscaled 5 (= 0.05)
+            unscaled = int(Decimal(v).scaleb(scale).to_integral_value())
             if isinstance(base, tuple) and base[0] == "fixed":
                 raw = unscaled.to_bytes(base[1], "big", signed=True)
             else:
@@ -804,6 +813,26 @@ def _encode_typed(rep, v) -> bytes:
     raise AvroError(f"avro: unknown rep {rep!r}")
 
 
+def encode_record(fields, row: dict) -> bytes:
+    """One row dict -> Avro BINARY record bytes (no container
+    framing). `fields` is parse_schema() output. Public mirror of
+    decode_record for record-level consumers (Hudi log blocks)."""
+    body = bytearray()
+    for name, rep, null_idx in fields:
+        v = row.get(name)
+        if null_idx is not None:
+            if v is None:
+                body += _write_varint(null_idx)
+                continue
+            body += _write_varint(1 - null_idx)
+        elif v is None and rep != "null" and not (
+            isinstance(rep, tuple) and rep[0] == "gunion"
+        ):
+            raise AvroError(f"null in non-nullable field {name!r}")
+        body += _encode_typed(rep, v)
+    return bytes(body)
+
+
 def encode_container(
     schema: dict, rows: list[dict], codec: str = "deflate", sync: bytes = b"\x07" * 16
 ) -> bytes:
@@ -812,18 +841,7 @@ def encode_container(
     fields = parse_schema(schema)
     body = bytearray()
     for row in rows:
-        for name, rep, null_idx in fields:
-            v = row.get(name)
-            if null_idx is not None:
-                if v is None:
-                    body += _write_varint(null_idx)
-                    continue
-                body += _write_varint(1 - null_idx)
-            elif v is None and rep != "null" and not (
-                isinstance(rep, tuple) and rep[0] == "gunion"
-            ):
-                raise AvroError(f"null in non-nullable field {name!r}")
-            body += _encode_typed(rep, v)
+        body += encode_record(fields, row)
     block = bytes(body)
     if codec == "deflate":
         c = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -869,6 +887,7 @@ def parse_avro_blobs(
     blobs: DataFrame,
     fields: list[tuple[str, object, int | None]],
     recursive_max_depth: int = 0,
+    with_pos: bool = False,
 ) -> DataFrame:
     """DataFrame with a `content: binary` column of container blobs ->
     decoded rows. Every blob must carry the given field layout (enforced
@@ -876,11 +895,19 @@ def parse_avro_blobs(
     Recursive schemas need recursive_max_depth > 0: the Spark schema
     unrolls that many levels and deeper values are dropped (the
     spark-avro recursiveFieldMaxDepth contract); decode itself walks
-    the actual data depth regardless."""
+    the actual data depth regardless. ``with_pos`` (round 12) appends
+    `__fp` (the blob's `path` column, required then) and `__pos` (the
+    EXACT per-file row ordinal — container decode order IS file order)
+    for consumers that anti-join position deletes (sources/iceberg)."""
     out_schema = spark_schema_for(fields, recursive_max_depth)
     kept = {f.name for f in out_schema.fields}
     out_fields = [f for f in fields if f[0] in kept]
     names = [f[0] for f in fields]
+    if with_pos:
+        out_schema = T.StructType(list(out_schema.fields) + [
+            T.StructField("__fp", T.StringType(), False),
+            T.StructField("__pos", T.LongType(), False),
+        ])
 
     # nullable integer columns must NOT fall to float64 (a null beside a
     # value > 2^53 would silently round it) — build columns explicitly
@@ -890,13 +917,19 @@ def parse_avro_blobs(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             all_rows: list[dict] = []
-            for content in pdf["content"]:
+            fps: list = []
+            poss: list = []
+            paths = pdf["path"] if with_pos else [None] * len(pdf)
+            for fp, content in zip(paths, pdf["content"]):
                 f_fields, rows = decode_container(bytes(content))
                 if [x[0] for x in f_fields] != names:
                     raise AvroError(
                         f"avro: file schema fields {[x[0] for x in f_fields]} "
                         f"differ from the expected {names}"
                     )
+                if with_pos:
+                    fps.extend([fp] * len(rows))
+                    poss.extend(range(len(rows)))
                 all_rows.extend(rows)
             if recursive_max_depth > 0:
                 all_rows = [
@@ -917,9 +950,15 @@ def parse_avro_blobs(
                 )
                 for name, rep, _ in out_fields
             }
-            yield pd.DataFrame(cols, columns=[f[0] for f in out_fields])
+            out_names = [f[0] for f in out_fields]
+            if with_pos:
+                cols["__fp"] = pd.array(fps, dtype=object)
+                cols["__pos"] = pd.array(poss, dtype="Int64")
+                out_names += ["__fp", "__pos"]
+            yield pd.DataFrame(cols, columns=out_names)
 
-    return blobs.select("content").mapInPandas(decode, out_schema)
+    sel = ["path", "content"] if with_pos else ["content"]
+    return blobs.select(*sel).mapInPandas(decode, out_schema)
 
 
 def read_avro(

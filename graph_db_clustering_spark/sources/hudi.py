@@ -118,20 +118,24 @@ def hudi_properties(path: str) -> dict:
 
 def hudi_timeline(path: str) -> list[dict]:
     """Completed instants, ascending: [{'instant', 'action'}].
-    Pending (.requested/.inflight) and auxiliary dirs are skipped;
-    MERGE_ON_READ actions gate loudly (CoW-only module)."""
+    Pending (.requested/.inflight) and auxiliary dirs are skipped.
+    ``deltacommit`` (MERGE_ON_READ) is returned since round 12
+    (sources/hudi_mor.py consumes it); a completed LOG-compaction
+    still gates — merged log files carry COMPACTED_BLOCK_TIMES
+    semantics this reader does not implement."""
     out = []
     for fname in sorted(os.listdir(_hoodie_dir(path))):
         m = _COMPLETED_RE.match(fname)
         if not m:
             continue
         action = m.group(3)
-        if action in ("deltacommit", "compaction", "logcompaction"):
+        if action in ("compaction", "logcompaction"):
             raise NotImplementedError(
-                "hudi: MERGE_ON_READ timeline action "
-                f"{action!r} ({fname}) — only COPY_ON_WRITE tables are "
-                "supported; compact the table with a real Hudi writer "
-                "first"
+                "hudi: timeline action "
+                f"{action!r} ({fname}) — log compaction rewrites log "
+                "files with COMPACTED_BLOCK_TIMES semantics that this "
+                "reader does not implement (full compaction completes "
+                "as a plain 'commit' and IS supported)"
             )
         out.append({"instant": m.group(1), "action": action})
     out.sort(key=lambda r: r["instant"])
@@ -165,9 +169,12 @@ def _next_instant(path: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _list_base_files(path: str) -> list[dict]:
+def _list_base_files(path: str, allow_logs: bool = False) -> list[dict]:
     """Walk partition dirs (everything but .hoodie/) for base files:
-    [{'pp', 'file_id', 'instant', 'abs'}]. ``.log.`` siblings gate."""
+    [{'pp', 'file_id', 'instant', 'abs'}]. ``.log.`` siblings gate on
+    CoW-only call sites (``allow_logs=False``); the MERGE_ON_READ
+    reader (sources/hudi_mor.py) passes ``allow_logs=True`` and lists
+    log files separately via ``_list_log_files``."""
     out = []
     for dirpath, dirnames, filenames in os.walk(path):
         # dot-dirs: .hoodie (timeline) and transient .stage_* writes
@@ -176,10 +183,14 @@ def _list_base_files(path: str) -> list[dict]:
         pp = "" if rel == "." else rel.replace(os.sep, "/")
         for fname in sorted(filenames):
             if ".log." in fname:
+                if allow_logs:
+                    continue
                 raise NotImplementedError(
                     "hudi: MERGE_ON_READ log file "
-                    f"{fname!r} under {pp or '<root>'} — only "
-                    "COPY_ON_WRITE tables are supported"
+                    f"{fname!r} under {pp or '<root>'} — this "
+                    "operation supports only COPY_ON_WRITE tables "
+                    "(snapshot/incremental MoR reads live in "
+                    "sources/hudi_mor.py)"
                 )
             if fname.startswith("."):
                 continue
@@ -195,6 +206,45 @@ def _list_base_files(path: str) -> list[dict]:
     return out
 
 
+# MoR log file: .<fileId>_<baseInstant>.log.<version>_<writeToken>
+_LOG_RE = re.compile(r"^\.(.+)_(\d+)\.log\.(\d+)_(.+)$")
+
+
+def _list_log_files(path: str) -> list[dict]:
+    """Walk partition dirs for MERGE_ON_READ log files:
+    [{'pp', 'file_id', 'base_instant', 'version', 'abs'}]."""
+    out = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = sorted(d for d in dirnames if not d.startswith("."))
+        rel = os.path.relpath(dirpath, path)
+        pp = "" if rel == "." else rel.replace(os.sep, "/")
+        for fname in sorted(filenames):
+            m = _LOG_RE.match(fname)
+            if not m:
+                continue
+            out.append({
+                "pp": pp,
+                "file_id": m.group(1),
+                "base_instant": m.group(2),
+                "version": int(m.group(3)),
+                "abs": os.path.join(dirpath, fname),
+            })
+    return out
+
+
+def _table_type(path: str) -> str:
+    return hudi_properties(path).get("hoodie.table.type", "COPY_ON_WRITE")
+
+
+def _require_cow(path: str, op: str) -> None:
+    if _table_type(path) == "MERGE_ON_READ":
+        raise NotImplementedError(
+            f"hudi: {op} on a MERGE_ON_READ table — only snapshot/"
+            "incremental reads, upsert/delete (log blocks) and "
+            "compaction are implemented for MoR (sources/hudi_mor.py)"
+        )
+
+
 def hudi_live_files(path: str, as_of: str | None = None) -> list[str]:
     """Latest committed base file per file group at ``as_of``
     (inclusive; default latest): the snapshot file list."""
@@ -204,7 +254,10 @@ def hudi_live_files(path: str, as_of: str | None = None) -> list[str]:
     for t in timeline:
         if as_of is not None and t["instant"] > str(as_of):
             break
-        if t["action"] in ("commit", "replacecommit"):
+        # deltacommit accepted for cross-type robustness: a proper
+        # CoW table has none, and MoR snapshot reads dispatch to
+        # sources/hudi_mor before reaching here
+        if t["action"] in ("commit", "replacecommit", "deltacommit"):
             valid.add(t["instant"])
         if t["action"] == "replacecommit":
             meta = _commit_meta(path, t["instant"], "replacecommit")
@@ -231,10 +284,18 @@ def read_hudi(
     as_of: str | None = None,
     drop_meta: bool = False,
 ) -> DataFrame:
-    """Snapshot read of a CoW Hudi table (optionally time-travelled to
-    the completed instant ``as_of``). Only the timeline replay and the
-    file-group resolution run on the driver — the scan is Spark's
-    native parquet reader over the resolved live set."""
+    """Snapshot read of a Hudi table (optionally time-travelled to
+    the completed instant ``as_of``). MERGE_ON_READ tables dispatch to
+    the log-merging reader (sources/hudi_mor.py); for CoW only the
+    timeline replay and the file-group resolution run on the driver —
+    the scan is Spark's native parquet reader over the resolved live
+    set."""
+    if _table_type(path) == "MERGE_ON_READ":
+        from graph_db_clustering_spark.sources.hudi_mor import (
+            read_hudi_mor,
+        )
+
+        return read_hudi_mor(spark, path, as_of, drop_meta)
     files = hudi_live_files(path, as_of)
     if not files:
         raise HudiError(
@@ -261,6 +322,7 @@ def read_hudi_pruned(
     parquet footers prune on min/max (sources/parquet_stats — footer
     reads are distributed). Returns (df, files_read, files_skipped);
     the caller still applies the row predicate."""
+    _require_cow(path, "read_hudi_pruned")
     from graph_db_clustering_spark.sources.parquet_stats import (
         parquet_file_stats,
     )
@@ -311,17 +373,16 @@ def read_hudi_pruned(
     return spark.read.parquet(*final), len(final), skipped
 
 
-def read_hudi_incremental(
-    spark: SparkSession,
-    path: str,
-    begin: str,
-    end: str | None = None,
-) -> DataFrame:
-    """Incremental pull: the LATEST state of every record written by a
-    commit in (begin, end] — Hudi's incremental query semantics. Reads
-    only the newest in-range slice per touched file group and filters
-    on `_hoodie_commit_time`; carried-over rows keep their original
-    commit time (see hudi_upsert) so they are excluded exactly."""
+def _incremental_slices(
+    path: str, begin: str, end: str | None
+) -> list[dict]:
+    """Shared slice selection for incremental pulls (batch and
+    streaming): newest in-range base file per file group, EXCLUDING
+    groups retired by a replacecommit at an instant <= ``end``.
+    Without the exclusion, a range spanning an upsert and a later
+    clustering replacecommit would return the updated rows twice —
+    once from the old group's slice and once from the replacement
+    slice, whose carried rows preserve the original commit time."""
     timeline = hudi_timeline(path)
     in_range = {
         t["instant"]
@@ -334,19 +395,41 @@ def read_hudi_incremental(
         raise HudiError(
             f"hudi: no completed commits in ({begin}, {end or 'latest'}]"
         )
+    # (pp, file_id) -> instant of the replacecommit that retired it.
+    # A replacecommit always post-dates the writes it replaces, so any
+    # replacement of an in-range write is itself > begin; bounding by
+    # ``end`` keeps groups replaced only AFTER the window alive in it.
+    replaced_by: dict = {}
+    for t in timeline:
+        if t["action"] != "replacecommit":
+            continue
+        if end is not None and t["instant"] > str(end):
+            continue
+        meta = _commit_meta(path, t["instant"], "replacecommit")
+        for pp, fids in (
+            meta.get("partitionToReplaceFileIds") or {}
+        ).items():
+            for fid in fids:
+                k = (pp, fid)
+                if k not in replaced_by or t["instant"] > replaced_by[k]:
+                    replaced_by[k] = t["instant"]
     best: dict = {}
     for bf in _list_base_files(path):
         if bf["instant"] not in in_range:
             continue
         k = (bf["pp"], bf["file_id"])
+        if k in replaced_by:
+            continue
         if k not in best or bf["instant"] > best[k]["instant"]:
             best[k] = bf
     # clean-safety: a slice written by an in-range commit may have been
     # physically cleaned; that is fine ONLY when a LATER in-range slice
-    # of the same group carries its rows (commit times are preserved).
-    # A cleaned slice with no in-range successor would silently drop
-    # changes — raise instead, like Hudi's incremental-beyond-retained
-    # contract.
+    # of the same group carries its rows (commit times are preserved),
+    # or when the group was retired by a replacecommit — replacement
+    # slices carry its rows and are themselves covered by the
+    # replacecommit's own write stats in this loop. A cleaned slice
+    # with neither would silently drop changes — raise instead, like
+    # Hudi's incremental-beyond-retained contract.
     for t in sorted(in_range):
         meta = _commit_meta(
             path, t,
@@ -357,6 +440,8 @@ def read_hudi_incremental(
         for pp, stats in (meta.get("partitionToWriteStats") or {}).items():
             for s in stats:
                 k = (pp, s.get("fileId"))
+                if replaced_by.get(k, "") >= t:
+                    continue
                 got = best.get(k)
                 if got is None or got["instant"] < t:
                     raise HudiError(
@@ -367,7 +452,30 @@ def read_hudi_incremental(
                     )
     if not best:
         raise HudiError("hudi: in-range commits wrote no base files")
-    df = spark.read.parquet(*sorted(b["abs"] for b in best.values()))
+    return sorted(best.values(), key=lambda b: b["abs"])
+
+
+def read_hudi_incremental(
+    spark: SparkSession,
+    path: str,
+    begin: str,
+    end: str | None = None,
+) -> DataFrame:
+    """Incremental pull: the LATEST state of every record written by a
+    commit in (begin, end] — Hudi's incremental query semantics. Reads
+    only the newest in-range slice per live (non-replaced) file group
+    and filters on `_hoodie_commit_time`; carried-over rows keep their
+    original commit time (see hudi_upsert) so they are excluded
+    exactly. MERGE_ON_READ tables dispatch to the log-merging
+    incremental reader (sources/hudi_mor.py)."""
+    if _table_type(path) == "MERGE_ON_READ":
+        from graph_db_clustering_spark.sources.hudi_mor import (
+            read_hudi_incremental_mor,
+        )
+
+        return read_hudi_incremental_mor(spark, path, begin, end)
+    best = _incremental_slices(path, begin, end)
+    df = spark.read.parquet(*sorted(b["abs"] for b in best))
     cond = F.col("_hoodie_commit_time") > str(begin)
     if end is not None:
         cond = cond & (F.col("_hoodie_commit_time") <= str(end))
@@ -588,11 +696,16 @@ def hudi_create(
     precombine: str | None = None,
     n_file_groups: int = 1,
     table_name: str = "gdc_table",
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
-    """CREATE a CoW Hudi table from `df` (bulk insert, first commit).
+    """CREATE a Hudi table from `df` (bulk insert, first commit).
     Hive-style partitioning on `partition_field`; `n_file_groups`
-    file groups per partition (keys hash-routed). Returns the commit
-    instant."""
+    file groups per partition (keys hash-routed). ``table_type``
+    MERGE_ON_READ lands the bulk insert under a deltacommit and
+    routes later upserts/deletes to log blocks (sources/hudi_mor.py).
+    Returns the commit instant."""
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise HudiError(f"hudi: unknown table type {table_type!r}")
     if record_key not in df.columns:
         raise HudiError(f"hudi: record key {record_key!r} not in schema")
     if partition_field is not None and partition_field not in df.columns:
@@ -617,7 +730,7 @@ def hudi_create(
     landed = _stage_write(spark, work, path, instant)
     _write_properties(path, {
         "hoodie.table.name": table_name,
-        "hoodie.table.type": "COPY_ON_WRITE",
+        "hoodie.table.type": table_type,
         "hoodie.table.version": "5",
         "hoodie.timeline.layout.version": "1",
         "hoodie.table.base.file.format": "PARQUET",
@@ -629,6 +742,8 @@ def hudi_create(
     })
     _commit(
         path, instant, landed, "BULK_INSERT",
+        action=("deltacommit" if table_type == "MERGE_ON_READ"
+                else "commit"),
         extra={"gdc.spark.schema": df.schema.json()},
     )
     return instant
@@ -868,6 +983,7 @@ def hudi_cluster(spark: SparkSession, path: str) -> str:
     replace rule's own fixture. Rows keep their original meta columns
     (commit time included) so incremental pulls stay exact. Returns
     the replacecommit instant."""
+    _require_cow(path, "hudi_cluster")
     instant = _next_instant(path)
     snap = _snapshot_with_groups(spark, path)
     user_cols = [
@@ -1004,6 +1120,7 @@ def hudi_restore(spark_or_path, path: str | None = None) -> list[str]:
     pre-image guaranteed present under cleaning). Accepts (path) or
     (spark, path) for API symmetry. Returns the deleted paths."""
     p = path if path is not None else spark_or_path
+    _require_cow(p, "hudi_restore")
     timeline = hudi_timeline(p)
     sps = [t["instant"] for t in timeline if t["action"] == "savepoint"]
     if not sps:
@@ -1037,6 +1154,7 @@ def hudi_clean(path: str, retain_slices: int = 1) -> list[str]:
     — that is what cleaning means; snapshot and incremental reads of
     the retained window are untouched. Driver-side O(files) like every
     other timeline op. Returns the deleted paths."""
+    _require_cow(path, "hudi_clean")
     if retain_slices < 1:
         raise HudiError("hudi: clean must retain at least one slice")
     timeline = hudi_timeline(path)
@@ -1085,6 +1203,7 @@ def hudi_rollback(path: str) -> str:
     the action. Replacecommits are not rolled back (their replaced
     groups' visibility cannot be restored once a clean may have run) —
     gate loudly. Returns the rolled-back instant."""
+    _require_cow(path, "hudi_rollback")
     timeline = hudi_timeline(path)
     commits = [t for t in timeline if t["action"] in ("commit",
                                                       "replacecommit")]
@@ -1142,13 +1261,28 @@ def hudi_upsert(spark: SparkSession, path: str, df: DataFrame) -> str:
     the partition column keeps its original placement: the row stays
     in its file group and `_hoodie_partition_path`, so a
     partition-pruned read can miss its new value — recode the key or
-    delete+insert to genuinely move partitions. Returns the commit
-    instant."""
+    delete+insert to genuinely move partitions. On a MERGE_ON_READ
+    table, matched keys append an avro log block to their file slice
+    instead (sources/hudi_mor.py). Returns the commit instant."""
+    if _table_type(path) == "MERGE_ON_READ":
+        from graph_db_clustering_spark.sources.hudi_mor import (
+            _apply_row_changes_mor,
+        )
+
+        return _apply_row_changes_mor(spark, path, df, None, "UPSERT")
     return _apply_row_changes(spark, path, df, None, "UPSERT")
 
 
 def hudi_delete(spark: SparkSession, path: str, keys: DataFrame) -> str:
     """DELETE by record key: touched file groups are rewritten without
     the keys; a fully-emptied group lands an explicit empty slice so
-    the delete is visible. Returns the commit instant."""
+    the delete is visible. On a MERGE_ON_READ table, touched slices
+    append a delete log block instead (sources/hudi_mor.py). Returns
+    the commit instant."""
+    if _table_type(path) == "MERGE_ON_READ":
+        from graph_db_clustering_spark.sources.hudi_mor import (
+            _apply_row_changes_mor,
+        )
+
+        return _apply_row_changes_mor(spark, path, None, keys, "DELETE")
     return _apply_row_changes(spark, path, None, keys, "DELETE")

@@ -32,6 +32,20 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
+def _gate_mor(path: str) -> None:
+    from graph_db_clustering_spark.sources.hudi import hudi_properties
+
+    if hudi_properties(path).get(
+        "hoodie.table.type"
+    ) == "MERGE_ON_READ":
+        raise NotImplementedError(
+            "hudi_incremental: MERGE_ON_READ streaming source — the "
+            "batch incremental MoR reader exists "
+            "(sources/hudi_mor.read_hudi_incremental_mor) but log-"
+            "block micro-batch planning is not implemented"
+        )
+
+
 @dataclass
 class _HudiPartition(InputPartition):
     path: str  # absolute base-file path ('' -> empty marker)
@@ -45,6 +59,7 @@ class _HudiStreamReader(DataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("hudi_incremental: option 'path' is required")
+        _gate_mor(self._path)
         self._schema = schema
         # rows written AFTER this instant (exclusive), i.e. the
         # batch-side read_hudi_incremental(begin) contract
@@ -68,7 +83,7 @@ class _HudiStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         from graph_db_clustering_spark.sources.hudi import (
-            _list_base_files,
+            _incremental_slices,
         )
 
         lo, hi = str(start["instant"]), str(end["instant"])
@@ -76,14 +91,10 @@ class _HudiStreamReader(DataSourceStreamReader):
         cols = tuple(f.name for f in self._schema.fields)
         out = []
         if in_range:
-            best: dict = {}
-            for bf in _list_base_files(self._path):
-                if bf["instant"] not in in_range:
-                    continue
-                k = (bf["pp"], bf["file_id"])
-                if k not in best or bf["instant"] > best[k]["instant"]:
-                    best[k] = bf
-            for bf in sorted(best.values(), key=lambda b: b["abs"]):
+            # shared replaced-group-aware selection: a batch spanning
+            # an upsert and a later clustering replacecommit must not
+            # emit the updated rows twice (sources/hudi docstring)
+            for bf in _incremental_slices(self._path, lo, hi):
                 out.append(_HudiPartition(bf["abs"], lo, hi, cols))
         if not out:
             out.append(_HudiPartition("", lo, hi, cols))

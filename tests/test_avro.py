@@ -500,6 +500,13 @@ def test_logical_types_roundtrip_and_spark_read(spark, tmp_path):
     blob = avro.encode_container(schema, rows, codec="null")
     fields, out = avro.decode_container(blob)
     assert out == rows  # negative decimals, pre-epoch dates included
+    # ADVICE r11: plain-int decimal inputs scale like Decimal — 5 at
+    # scale 2 is 5.00, never the raw unscaled 0.05
+    int_rows = [dict(rows[0], dec=5, decf=-3)]
+    _, out_i = avro.decode_container(
+        avro.encode_container(schema, int_rows, codec="null"))
+    assert out_i[0]["dec"] == Decimal("5.00")
+    assert out_i[0]["decf"] == Decimal("-3.0000")
     with open(tmp_path / "lt.avro", "wb") as f:
         f.write(blob)
     df = avro.read_avro(spark, str(tmp_path))

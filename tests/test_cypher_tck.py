@@ -35,17 +35,20 @@ UNSUPPORTED = {
     "node/relationship (heterogeneous property types have no single "
     "column type); literal and parameter keys (n['name'], n[$k]) and "
     "all list/map subscripts incl. computed indexes WORK (round 11)",
-    "temporal residue": "time()/localtime(), timezones, duration "
-    "accessors/between(); date()/datetime()/localdatetime()/duration() "
-    "construction, accessors, comparisons and date +/- duration WORK "
-    "(round 11)",
+    "temporal residue": "timezones/offsets and current-time forms "
+    "(date() with no args, time('12:00+01:00')); date()/datetime()/"
+    "localdatetime()/duration() construction, accessors, comparisons, "
+    "date +/- duration (round 11), PLUS time()/localtime() clock "
+    "values, duration accessors (.months/.days/.seconds/...), "
+    "duration +/- duration and duration.between() WORK (round 12)",
     "spatial residue": "geographic (WGS-84) CRS, point comparisons, "
     "withinBBox; CARTESIAN point({x, y[, z]}) construction, accessors "
     "and distance() WORK (round 11)",
-    "QPP residue": "zero-length quantifiers ((...)* / {0,n}), group "
-    "variables ((a)-[:R]->(b) with names), multi-relationship bodies; "
-    "single-relationship anonymous/constrained QPP with +/{n}/{lo,hi} "
-    "WORKS (round 11)",
+    "QPP residue": "group variables ((a)-[:R]->(b) with names), "
+    "multi-relationship bodies; single-relationship anonymous/"
+    "constrained QPP with +/{n}/{lo,hi} (round 11) AND zero-length "
+    "quantifiers ((...)* / {0,n} — the zero repetition unifies the "
+    "outer nodes, no inner constraints) WORK (round 12)",
 }
 
 
@@ -389,6 +392,11 @@ SCENARIOS = [
      "RETURN distance(point({x: 0, y: 0, z: 0}), "
      "point({x: 2, y: 3, z: 6})) AS d, point({x: 1, y: 2}).x AS px",
      [{"d": 7.0, "px": 1.0}], False),
+    ("Spatial", "distance of mixed 2d/3d points is null",
+     [],
+     "RETURN distance(point({x: 0, y: 0, z: 0}), "
+     "point({x: 3, y: 4})) AS d",
+     [{"d": None}], False),
     ("Spatial", "distance over node properties in WHERE",
      ["CREATE (:L {x: 0, y: 0}), (:L {x: 10, y: 0}), (:L {x: 1, y: 1})"],
      "MATCH (n:L) WHERE distance(point({x: n.x, y: n.y}), "
@@ -476,6 +484,25 @@ SCENARIOS = [
      "MATCH p = (x:S) (()-[:T]->()){2} (y) "
      "RETURN length(p) AS l, [n IN nodes(p) | n.v] AS vs",
      [{"l": 2, "vs": [1, 2, 3]}], False),
+    ("QPP", "zero-length quantifier unifies the outer nodes",
+     ["CREATE (:S {v: 1})-[:T]->(:M {v: 2})-[:T]->(:E {v: 3})"],
+     "MATCH (x:S) (()-[:T]->()){0,2} (y) RETURN y.v AS v",
+     [{"v": 1}, {"v": 2}, {"v": 3}], False),
+    ("QPP", "star quantifier includes the zero-length path",
+     ["CREATE (:S {v: 1})-[:T]->(:M {v: 2})"],
+     "MATCH (x:S) (()-[:T]->())* (y) RETURN y.v AS v",
+     [{"v": 1}, {"v": 2}], False),
+    ("QPP", "zero repetition ignores inner constraints",
+     ["CREATE (:S {v: 1})-[:T]->(:M {v: 2})"],
+     # inner (:NOPE) can never match a step, but the zero-length
+     # path still unifies x with y (openCypher GPM semantics)
+     "MATCH (x:S) (()-[:T]->(:NOPE)){0,1} (y) RETURN y.v AS v",
+     [{"v": 1}], False),
+    ("QPP", "zero-length path variable has length 0",
+     ["CREATE (:S {v: 1})"],
+     "MATCH p = (x:S) (()-[:T]->()){0,1} (y) "
+     "RETURN length(p) AS l, [n IN nodes(p) | n.v] AS vs",
+     [{"l": 0, "vs": [1]}], False),
     # ---- Temporal: construction/accessors/comparison (round 11) -----
     ("Temporal", "date from string and from component map",
      [],
@@ -505,6 +532,45 @@ SCENARIOS = [
      "date('2015-01-30') + duration('P1M2D') AS b",
      [{"a": __import__("datetime").date(2015, 7, 24),
        "b": __import__("datetime").date(2015, 3, 2)}], False),
+    # ---- Temporal round 12: clock values, duration accessors -----------
+    ("Temporal", "localtime construction and accessors",
+     [],
+     "WITH localtime('21:40:32') AS t "
+     "RETURN t.hour AS h, t.minute AS mi, t.second AS s",
+     [{"h": 21, "mi": 40, "s": 32}], False),
+    ("Temporal", "time from component map compares chronologically",
+     [],
+     "RETURN time({hour: 12, minute: 31}) < time({hour: 13}) AS lt, "
+     "time({hour: 12}).hour AS h",
+     [{"lt": True, "h": 12}], False),
+    ("Temporal", "duration accessors",
+     [],
+     "WITH duration({years: 1, months: 2, days: 10, hours: 25}) AS d "
+     "RETURN d.years AS y, d.months AS m, d.monthsOfYear AS my, "
+     "d.days AS dd, d.weeks AS w, d.hours AS h, d.minutesOfHour AS mh",
+     [{"y": 1, "m": 14, "my": 2, "dd": 10, "w": 1, "h": 25, "mh": 0}],
+     False),
+    ("Temporal", "duration.between dates",
+     [],
+     "WITH duration.between(date('2015-01-30'), date('2015-03-02')) "
+     "AS d RETURN d.months AS m, d.days AS dd, d.seconds AS s",
+     [{"m": 1, "dd": 2, "s": 0}], False),
+    ("Temporal", "duration.between respects time of day",
+     [],
+     "WITH duration.between(localdatetime('2024-01-15T10:00:00'), "
+     "localdatetime('2024-02-15T09:00:00')) AS d "
+     "RETURN d.months AS m, d.days AS dd, d.hours AS h",
+     [{"m": 0, "dd": 30, "h": 23}], False),
+    ("Temporal", "duration arithmetic",
+     [],
+     "RETURN (duration({days: 2}) + duration({hours: 25})).hours AS h, "
+     "(duration({days: 5}) - duration({days: 2})).days AS dd",
+     [{"h": 25, "dd": 3}], False),
+    ("Temporal", "date plus duration.between round-trips",
+     [],
+     "WITH date('2021-02-28') AS a, date('2021-06-15') AS b "
+     "RETURN a + duration.between(a, b) = b AS ok",
+     [{"ok": True}], False),
 ]
 
 

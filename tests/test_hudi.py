@@ -202,6 +202,26 @@ def test_incremental_exact(spark, table):
         read_hudi_incremental(spark, t, i3)
 
 
+def test_incremental_spanning_cluster_no_duplicates(spark, table):
+    # ADVICE r11 (high): a range spanning an upsert and a later
+    # clustering replacecommit must not return the updated rows twice
+    # (old group's slice + replacement slice with preserved commit
+    # time). The replaced groups must be skipped in slice selection.
+    t, i1 = table
+    up = spark.createDataFrame(
+        [(4, "u", 4.5, 1)], "id long, name string, price double, region int"
+    )
+    i2 = hudi_upsert(spark, t, up)
+    hudi_cluster(spark, t)
+    inc = read_hudi_incremental(spark, t, i1)
+    rows = inc.collect()
+    assert [r["id"] for r in rows] == [4]
+    assert rows[0]["name"] == "u"
+    assert rows[0]["_hoodie_commit_time"] == i2
+    # a range covering ONLY the replacecommit changes no data
+    assert read_hudi_incremental(spark, t, i2).count() == 0
+
+
 def test_cluster_replacecommit(spark, table):
     t, i1 = table
     hudi_delete(
@@ -290,10 +310,11 @@ def test_table_version6_completed_name(spark, table):
 
 def test_mor_gates(spark, table):
     t, _ = table
+    # a stray deltacommit marker on a CoW table is visibility-neutral
+    # (round 12: deltacommits are first-class, handled by hudi_mor)
     marker = os.path.join(t, ".hoodie", "20991231000000001.deltacommit")
     open(marker, "w").close()
-    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
-        read_hudi(spark, t)
+    assert read_hudi(spark, t).count() == 20
     os.remove(marker)
     logf = os.path.join(
         t, "region=0",
@@ -473,6 +494,24 @@ def test_stream_whole_range_matches_batch_incremental(spark, table):
     assert stream == batch == [(0, 99.0)], (stream, batch)
 
 
+def test_stream_batch_spanning_cluster_no_duplicates(spark, table):
+    # ADVICE r11 (medium): the streaming twin of the incremental
+    # double-count — one micro-batch spanning upsert + replacecommit
+    # must emit the updated row once.
+    t, i1 = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 4.5, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    hudi_cluster(spark, t)
+    got = [(r["id"], r["name"])
+           for r in _drain(spark, t, i1, "hudi_b5").collect()]
+    assert got == [(4, "u")], got
+
+
 def test_stream_from_table_start_covers_bulk_insert(spark, table):
     t, _ = table
     assert _drain(spark, t, None, "hudi_b4").count() == 20
@@ -498,10 +537,11 @@ def test_restore_and_logcompaction_actions(spark, table):
     open(os.path.join(t, ".hoodie", "20991231000000002.restore"),
          "w").close()
     assert read_hudi(spark, t).count() == 20
-    # logcompaction is a MERGE_ON_READ action: gate
+    # LOG compaction rewrites log files with semantics we don't
+    # implement: still a loud gate (full compaction is supported)
     lc = os.path.join(t, ".hoodie", "20991231000000003.logcompaction")
     open(lc, "w").close()
-    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+    with pytest.raises(NotImplementedError, match="logcompaction"):
         read_hudi(spark, t)
 
 

@@ -1,0 +1,438 @@
+"""Hudi MERGE_ON_READ (sources/hudi_mor.py): HoodieLogFormat block
+codec round-trips, snapshot merge semantics (upsert/delete via log
+blocks, latest-per-key, time travel), compaction, incremental pulls,
+and the CoW-only gates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_db_clustering_spark.sources import hudi_mor as M
+from graph_db_clustering_spark.sources.hudi import (
+    HudiError,
+    hudi_create,
+    hudi_delete,
+    hudi_timeline,
+    hudi_upsert,
+    read_hudi,
+    read_hudi_incremental,
+)
+
+META = [
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+]
+
+
+def _df(spark, rows=20):
+    return spark.createDataFrame(
+        [(i, f"n{i}", float(i), i % 3) for i in range(rows)],
+        "id long, name string, price double, region int",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    instant = hudi_create(
+        spark, _df(spark), t, "id",
+        partition_field="region", precombine="price",
+        n_file_groups=2, table_type="MERGE_ON_READ",
+    )
+    return t, instant
+
+
+# --- codec ------------------------------------------------------------
+
+
+def test_log_block_roundtrip():
+    content = b"\x01\x02payload"
+    blob = M.encode_log_block(
+        M.AVRO_DATA_BLOCK,
+        {M.H_INSTANT_TIME: "20240101000000001", M.H_SCHEMA: "{}"},
+        content,
+    ) + M.encode_log_block(M.DELETE_BLOCK, {M.H_INSTANT_TIME: "2"}, b"")
+    blocks = M.decode_log_file(blob)
+    assert [b["type"] for b in blocks] == [
+        M.AVRO_DATA_BLOCK, M.DELETE_BLOCK]
+    assert blocks[0]["content"] == content
+    assert blocks[0]["header"][M.H_INSTANT_TIME] == "20240101000000001"
+    assert blocks[1]["content"] == b""
+
+
+def test_log_block_corrupt_magic():
+    blob = M.encode_log_block(M.AVRO_DATA_BLOCK, {}, b"x")
+    with pytest.raises(HudiError, match="bad magic"):
+        M.decode_log_file(b"JUNK" + blob)
+    with pytest.raises(HudiError, match="reverse pointer|truncated"):
+        M.decode_log_file(blob[:-4])
+
+
+def test_avro_block_content_roundtrip():
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "string"},
+        {"name": "v", "type": ["null", "long"], "default": None},
+    ]}
+    fields = M.parse_schema(schema)
+    rows = [{"k": "a", "v": 1}, {"k": "b", "v": None}]
+    out = M.decode_avro_block_content(
+        M.encode_avro_block_content(fields, rows), fields)
+    assert out == rows
+
+
+def test_delete_block_content_roundtrip():
+    recs = [("7", "region=1"), ("9", "")]
+    out = M.decode_delete_block_content(
+        M.encode_delete_block_content(recs))
+    assert [(d["recordKey"], d["partitionPath"]) for d in out] == recs
+    assert all(d["orderingVal"] is None for d in out)
+
+
+def test_rollback_command_block_drops_same_file_target():
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "_hoodie_record_key", "type": "string"}]}
+    fields = M.parse_schema(schema)
+    blob = (
+        M.encode_log_block(
+            M.AVRO_DATA_BLOCK,
+            {M.H_INSTANT_TIME: "5", M.H_SCHEMA: json.dumps(schema)},
+            M.encode_avro_block_content(
+                fields, [{"_hoodie_record_key": "x"}]),
+        )
+        + M.encode_log_block(
+            M.COMMAND_BLOCK,
+            {M.H_INSTANT_TIME: "6", M.H_TARGET_INSTANT_TIME: "5",
+             M.H_COMMAND_BLOCK_TYPE: "0"},
+            b"",
+        )
+    )
+    import pandas as pd
+
+    fn = M._make_log_decoder(
+        frozenset({"5", "6"}),
+        ["_hoodie_record_key", "_gdc_instant"],
+    )
+    out = list(fn(iter([pd.DataFrame(
+        [["", "f", "/dev/null", 1]],
+        columns=["pp", "fid", "abs", "version"],
+    )])))
+    # needs a real file: write it
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(blob)
+        p = f.name
+    out = list(fn(iter([pd.DataFrame(
+        [["", "f", p, 1]], columns=["pp", "fid", "abs", "version"],
+    )])))
+    os.unlink(p)
+    assert out == []  # the rollback removed the only data block
+
+
+# --- snapshot merge ---------------------------------------------------
+
+
+def test_create_and_snapshot(spark, table):
+    t, i1 = table
+    snap = read_hudi(spark, t)
+    assert snap.columns[:5] == META
+    assert snap.count() == 20
+    tl = hudi_timeline(t)
+    assert tl == [{"instant": i1, "action": "deltacommit"}]
+
+
+def test_upsert_lands_log_files_only(spark, table):
+    t, i1 = table
+    import glob
+
+    bases_before = set(glob.glob(os.path.join(t, "*", "*.parquet")))
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 9.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    bases_after = set(glob.glob(os.path.join(t, "*", "*.parquet")))
+    assert bases_before == bases_after  # no base rewrite: that's MoR
+    logs = glob.glob(os.path.join(t, "*", f".*log*"))
+    assert len(logs) == 1 and f"_{i1}.log.1_" in logs[0]
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    got = {r["id"]: (r["name"], r["_hoodie_commit_time"])
+           for r in snap.collect()}
+    assert got[4] == ("u", i2)
+    assert got[5] == ("n5", i1)  # untouched row keeps its commit
+
+
+def test_upsert_insert_routes_to_new_base_group(spark, table):
+    t, _ = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(100, "new", 1.0, 7)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    snap = read_hudi(spark, t)
+    assert snap.count() == 21
+    r = snap.filter("id = 100").collect()[0]
+    assert r["_hoodie_partition_path"] == "region=7"
+    assert r["_hoodie_file_name"].endswith(".parquet")
+
+
+def test_multiple_log_versions_latest_wins(spark, table):
+    t, _ = table
+    for v, (nm, pr) in enumerate([("a", 1.0), ("b", 2.0), ("c", 3.0)]):
+        hudi_upsert(
+            spark, t,
+            spark.createDataFrame(
+                [(4, nm, pr, 1)],
+                "id long, name string, price double, region int",
+            ),
+        )
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    assert snap.filter("id = 4").collect()[0]["name"] == "c"
+    import glob
+
+    logs = glob.glob(os.path.join(t, "region=1", ".*log*"))
+    assert sorted(int(p.rsplit(".log.", 1)[1].split("_")[0])
+                  for p in logs) == [1, 2, 3]
+
+
+def test_delete_via_delete_block(spark, table):
+    t, _ = table
+    hudi_delete(spark, t, spark.createDataFrame(
+        [(4,), (7,), (999,)], "id long"))
+    snap = read_hudi(spark, t)
+    assert snap.count() == 18
+    assert snap.filter("id in (4, 7)").count() == 0
+
+
+def test_upsert_after_delete_resurrects(spark, table):
+    t, _ = table
+    hudi_delete(spark, t, spark.createDataFrame([(4,)], "id long"))
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "back", 1.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    assert snap.filter("id = 4").collect()[0]["name"] == "back"
+
+
+def test_time_travel(spark, table):
+    t, i1 = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 9.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    hudi_delete(spark, t, spark.createDataFrame([(5,)], "id long"))
+    assert read_hudi(spark, t).count() == 19
+    at2 = read_hudi(spark, t, as_of=i2)
+    assert at2.count() == 20
+    assert at2.filter("id = 4").collect()[0]["name"] == "u"
+    at1 = read_hudi(spark, t, as_of=i1)
+    assert at1.filter("id = 4").collect()[0]["name"] == "n4"
+
+
+def test_precombine_dedupes_incoming(spark, table):
+    t, _ = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "low", 1.0, 1), (4, "high", 99.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    assert read_hudi(spark, t).filter("id = 4").collect()[0][
+        "name"] == "high"
+
+
+# --- compaction -------------------------------------------------------
+
+
+def test_compaction_rewrites_logged_slices(spark, table):
+    t, i1 = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 9.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    ic = M.hudi_compact(spark, t)
+    tl = hudi_timeline(t)
+    assert tl[-1] == {"instant": ic, "action": "commit"}
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    got = {r["id"]: (r["name"], r["_hoodie_commit_time"])
+           for r in snap.collect()}
+    assert got[4] == ("u", i2)  # commit time preserved through compact
+    # the compacted group's rows now come from the new base file
+    fname = {r["_hoodie_file_name"] for r in snap.filter(
+        "region = 1").collect()}
+    assert any(ic in f for f in fname)
+    # further upserts anchor logs to the NEW base instant
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "v", 10.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    assert read_hudi(spark, t).filter("id = 4").collect()[0][
+        "name"] == "v"
+    import glob
+
+    assert glob.glob(os.path.join(t, "region=1", f".*_{ic}.log.*"))
+
+
+def test_compact_nothing_raises(spark, table):
+    t, _ = table
+    with pytest.raises(HudiError, match="nothing to compact"):
+        M.hudi_compact(spark, t)
+
+
+def test_compaction_of_fully_deleted_group(spark, table):
+    t, _ = table
+    # region=2 keys: 2,5,8,11,14,17 — delete them all
+    hudi_delete(spark, t, spark.createDataFrame(
+        [(i,) for i in range(20) if i % 3 == 2], "id long"))
+    assert read_hudi(spark, t).filter("region = 2").count() == 0
+    M.hudi_compact(spark, t)
+    snap = read_hudi(spark, t)
+    assert snap.count() == 14
+    assert snap.filter("region = 2").count() == 0
+
+
+# --- incremental ------------------------------------------------------
+
+
+def test_incremental_exact_mor(spark, table):
+    t, i1 = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 4.5, 1), (200, "n", 2.0, 2)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    i3 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "v", 5.5, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    inc = read_hudi_incremental(spark, t, i1)
+    got = {r["id"]: (r["name"], r["_hoodie_commit_time"])
+           for r in inc.collect()}
+    assert got == {4: ("v", i3), 200: ("n", i2)}
+    inc2 = read_hudi_incremental(spark, t, i1, i2)
+    assert {r["id"]: r["name"] for r in inc2.collect()} == {
+        4: "u", 200: "n"}
+    with pytest.raises(HudiError, match="no completed commits"):
+        read_hudi_incremental(spark, t, i3)
+
+
+def test_incremental_delete_emits_nothing(spark, table):
+    t, i1 = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 4.5, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    hudi_delete(spark, t, spark.createDataFrame([(4,)], "id long"))
+    assert read_hudi_incremental(spark, t, i1).count() == 0
+
+
+def test_incremental_spanning_compaction_no_duplicates(spark, table):
+    t, i1 = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 4.5, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    M.hudi_compact(spark, t)
+    inc = read_hudi_incremental(spark, t, i1)
+    rows = inc.collect()
+    assert [(r["id"], r["name"], r["_hoodie_commit_time"])
+            for r in rows] == [(4, "u", i2)]
+    # range covering only the compaction changes nothing
+    assert read_hudi_incremental(spark, t, i2).count() == 0
+
+
+def test_incremental_covers_inserts(spark, table):
+    t, i1 = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(100, "new", 1.0, 7)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    inc = read_hudi_incremental(spark, t, i1)
+    assert [r["id"] for r in inc.collect()] == [100]
+
+
+# --- gates ------------------------------------------------------------
+
+
+def test_cow_only_operations_gate(spark, table):
+    t, _ = table
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_clean,
+        hudi_cluster,
+        hudi_rollback,
+        read_hudi_pruned,
+    )
+
+    for fn, args in [
+        (hudi_cluster, (spark, t)),
+        (hudi_clean, (t,)),
+        (hudi_rollback, (t,)),
+        (read_hudi_pruned, (spark, t, "id", 0, 5)),
+    ]:
+        with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+            fn(*args)
+
+
+def test_compact_on_cow_raises(spark, tmp_path):
+    t = str(tmp_path / "cow")
+    hudi_create(spark, _df(spark), t, "id")
+    with pytest.raises(HudiError, match="MERGE_ON_READ"):
+        M.hudi_compact(spark, t)
+
+
+def test_streaming_source_gates_on_mor(spark, table):
+    t, _ = table
+    from graph_db_clustering_spark.streaming.hudi_source import (
+        HudiIncrementalDataSource,
+    )
+
+    spark.dataSource.register(HudiIncrementalDataSource)
+    with pytest.raises(Exception, match="MERGE_ON_READ|log file"):
+        (spark.readStream.format("hudi_incremental")
+         .option("path", t).load().writeStream
+         .format("memory").queryName("mor_gate")
+         .trigger(availableNow=True).start().awaitTermination())

@@ -702,8 +702,10 @@ def test_write_iceberg_unpartitioned_roundtrip(spark, tmp_path):
 
 def test_iceberg_avro_data_files(spark, tmp_path):
     """Round 10: a snapshot whose data files are AVRO containers reads
-    through the repo's own distributed Avro decoder; mixing Avro with
-    deletes (or parquet) gates loudly."""
+    through the repo's own distributed Avro decoder. Round 12: a
+    position delete over Avro data files WORKS — the container decoder
+    emits exact per-file ordinals (`parse_avro_blobs(with_pos=True)`),
+    so the anti-join is the same as parquet's."""
     from graph_db_clustering_spark.sources.avro import encode_container
 
     root = str(tmp_path / "avro_t")
@@ -751,10 +753,12 @@ def test_iceberg_avro_data_files(spark, tmp_path):
     assert got.count() == li.count()
     assert got.exceptAll(li).count() == 0
     assert li.exceptAll(got).count() == 0
-    # avro + a delete file -> loud gate
+    # avro + a position delete: rows drop by EXACT decode ordinal
     pd_stage = str(tmp_path / "avro_pd")
-    spark.createDataFrame([(files["a"], 0)], "file_path string, pos bigint") \
-        .coalesce(1).write.parquet(pd_stage)
+    spark.createDataFrame(
+        [(files["a"], 0), (files["a"], 2), (files["b"], 1)],
+        "file_path string, pos bigint",
+    ).coalesce(1).write.parquet(pd_stage)
     part = [p for p in os.listdir(pd_stage) if p.endswith(".parquet")][0]
     delf = os.path.join(root, "data", "pd.parquet")
     os.rename(os.path.join(pd_stage, part), delf)
@@ -773,8 +777,111 @@ def test_iceberg_avro_data_files(spark, tmp_path):
         json.dump(meta, f)
     with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
         f.write("2")
-    with pytest.raises(NotImplementedError, match="AVRO data files"):
-        read_iceberg(spark, root)
+    got2 = read_iceberg(spark, root)
+    # ordinals are container decode order: rows[:half] is file a,
+    # rows[half:] file b — drop a[0], a[2], b[1]
+    survivors = [r for i, r in enumerate(rows[:half]) if i not in (0, 2)]
+    survivors += [r for i, r in enumerate(rows[half:]) if i != 1]
+    exp = spark.createDataFrame(
+        [(r["l_orderkey"], r["l_quantity"]) for r in survivors],
+        "l_orderkey long, l_quantity double",
+    )
+    assert got2.count() == li.count() - 3
+    assert got2.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got2).count() == 0
+
+
+def test_iceberg_mixed_format_snapshot(spark, tmp_path):
+    """Round 12: one snapshot mixing PARQUET and AVRO data files reads
+    (per-format scans unioned), including a position delete hitting a
+    row in EACH format — the ex-mixed-format gate narrowed to nothing
+    once every format carries per-file row ordinals."""
+    from graph_db_clustering_spark.sources.avro import encode_container
+    from graph_db_clustering_spark.sources.iceberg import read_iceberg
+
+    root = str(tmp_path / "mixed_t")
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    rows = sorted(
+        (r[0], float(r[1])) for r in li.limit(100).collect()
+    )
+    half = len(rows) // 2
+    files = {}
+    # parquet half (deterministic single-row-group order)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq_rows = rows[:half]
+    files["p"] = os.path.join(root, "data", "p.parquet")
+    pq.write_table(
+        pa.table({
+            "l_orderkey": [r[0] for r in pq_rows],
+            "l_quantity": [r[1] for r in pq_rows],
+        }),
+        files["p"],
+    )
+    # avro half
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "l_orderkey", "type": "long"},
+        {"name": "l_quantity", "type": "double"},
+    ]}
+    files["a"] = os.path.join(root, "data", "a.avro")
+    with open(files["a"], "wb") as f:
+        f.write(encode_container(
+            schema,
+            [{"l_orderkey": r[0], "l_quantity": r[1]}
+             for r in rows[half:]],
+            codec="null",
+        ))
+    # position delete: row 0 of each file
+    pd_df = spark.createDataFrame(
+        [(files["p"], 0), (files["a"], 0)],
+        "file_path string, pos bigint",
+    )
+    stage = str(tmp_path / "pd_stage")
+    pd_df.coalesce(1).write.parquet(stage)
+    part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+    files["pd"] = os.path.join(root, "data", "pd.parquet")
+    os.rename(os.path.join(stage, part), files["pd"])
+
+    def entry(name, fmt, content):
+        return {"status": 1, "sequence_number": 1 + content,
+                "data_file": {
+                    "file_path": files[name], "file_format": fmt,
+                    "record_count": 1, "content": content,
+                    "equality_ids": []}}
+
+    m = os.path.join(root, "metadata", "m1.avro")
+    _write_avro(m, MANIFEST_SCHEMA_V2, [
+        entry("p", "PARQUET", 0),
+        entry("a", "AVRO", 0),
+        entry("pd", "PARQUET", 1),
+    ])
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(ml, LIST_SCHEMA,
+                [{"manifest_path": m, "manifest_length": 1}])
+    meta = {
+        "format-version": 2, "current-snapshot-id": 1,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "fields": [
+            {"id": 1, "name": "l_orderkey", "type": "long"},
+            {"id": 2, "name": "l_quantity", "type": "double"},
+        ]}],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as f:
+        json.dump(meta, f)
+    got = sorted(
+        (r["l_orderkey"], r["l_quantity"])
+        for r in read_iceberg(spark, root).collect()
+    )
+    exp = sorted(rows[1:half] + rows[half + 1:])
+    assert got == exp
 
 
 def test_iceberg_orc_data_files(spark, tmp_path):

@@ -130,11 +130,40 @@ def test_mp4_interframe_codec_gates_loudly():
     assert p["tracks"][0]["codec"] == "avc1"
 
 
-def test_mp4_fragmented_gate_and_corrupt():
+def test_mp4_fragmented_roundtrip():
+    """Round 12: moof/traf/trun movies probe (duration/samples
+    stitched from fragments, mvhd zeros ignored) and decode — the
+    fragment walk resolves the same frames the unfragmented mux
+    carries in its stbl."""
+    frames = _gray_frames(5, 8, 8, seed=11)
+    jps = [jpeg.encode_gray(f) for f in frames]
+    blob = mp4.encode_fragmented(
+        jps, width=8, height=8, fps=5, frames_per_fragment=2
+    )
+    p = mp4.probe(blob)
+    assert p["brand"] == "iso5"
+    assert p["duration_s"] == 1.0  # 5 frames at 5 fps
+    t = p["tracks"][0]
+    assert (t["codec"], t["width"], t["height"], t["n_samples"]) == (
+        "jpeg", 8, 8, 5)
+    assert t["duration_s"] == 1.0
+    got = mp4.frames(blob)
+    assert len(got) == 5
+    for g, f in zip(got, frames):
+        assert np.array_equal(g[:, :, 0], f)
+    # a trun missing its data-offset gates loudly
+    i = blob.find(b"trun")
+    patched = blob[:i + 7] + bytes([blob[i + 7] & ~0x01]) + blob[i + 8:]
+    with pytest.raises(NotImplementedError, match="data-offset"):
+        mp4.frames(patched)
+
+
+def test_mp4_empty_moof_is_inert_and_corrupt_raises():
     data, _ = _mux(n=2, h=8, w=8)
+    # round 12: a (vacuous) trailing moof no longer gates — the
+    # fragment walk finds no trafs and the stbl samples still decode
     moof = struct.pack(">I", 8) + b"moof"
-    with pytest.raises(NotImplementedError, match="moof"):
-        mp4.frames(data + moof)
+    assert len(mp4.frames(data + moof)) == 2
     with pytest.raises(ValueError):
         mp4.probe(b"\x00" * 8)
     # box overrun: declared size beyond the buffer
@@ -292,6 +321,40 @@ def test_m4a_and_opus_audio_probe():
         granules=[0, 0, 96000],
     )
     assert _probe_one(data) == ("ogg-opus", 48000, 2, 2.0)
+
+
+def test_adts_aac_audio_probe():
+    """Round 12 (VERDICT r11 Next #6): AAC-in-ADTS probes header-only
+    — profile, sampling-frequency index, channel configuration, and
+    an EXACT duration from walking every frame_length (1024 samples
+    per raw data block). Decode stays gated (no entropy decoder)."""
+    from graph_db_clustering_spark.operators.multimodal import _probe_one
+
+    def adts_frame(payload: bytes, sr_idx=11, channels=1, profile=1,
+                   blocks=1):
+        flen = 7 + len(payload)
+        hdr = bytes([
+            0xFF, 0xF1,  # MPEG-4, layer 00, no CRC
+            (profile << 6) | (sr_idx << 2) | ((channels >> 2) & 1),
+            ((channels & 0x3) << 6) | ((flen >> 11) & 0x03),
+            (flen >> 3) & 0xFF,
+            ((flen & 0x07) << 5) | 0x1F,
+            0xFC | (blocks - 1),
+        ])
+        return hdr + payload
+
+    # 4 frames at 8000 Hz mono AAC-LC -> 4096 samples = 0.512 s
+    blob = b"".join(adts_frame(b"\x00" * 13) for _ in range(4))
+    assert _probe_one(blob) == ("aac-lc", 8000, 1, 0.512)
+    # 2-block frames count double; Main profile at 44.1 kHz stereo
+    blob2 = adts_frame(b"\x00" * 9, sr_idx=4, channels=2, profile=0,
+                       blocks=2)
+    c, r, ch, d = _probe_one(blob2)
+    assert (c, r, ch) == ("aac-main", 44100, 2)
+    assert abs(d - 2048 / 44100) < 1e-9
+    # a reserved sampling index is not ADTS: falls through, unknown
+    assert _probe_one(bytes([0xFF, 0xF1, 0x3C, 0, 0, 0, 0])
+                      )[0] in ("unknown", "corrupt")  # sr_idx 15
 
 
 def test_image_probe_avi_regression_and_webm_audio_probe():
