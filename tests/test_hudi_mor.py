@@ -424,15 +424,83 @@ def test_compact_on_cow_raises(spark, tmp_path):
         M.hudi_compact(spark, t)
 
 
-def test_streaming_source_gates_on_mor(spark, table):
-    t, _ = table
+# --- streaming (round 12: MoR incremental source) ---------------------
+
+
+def _drain_mor(spark, t, start, qname):
     from graph_db_clustering_spark.streaming.hudi_source import (
         HudiIncrementalDataSource,
     )
 
     spark.dataSource.register(HudiIncrementalDataSource)
-    with pytest.raises(Exception, match="MERGE_ON_READ|log file"):
-        (spark.readStream.format("hudi_incremental")
-         .option("path", t).load().writeStream
-         .format("memory").queryName("mor_gate")
-         .trigger(availableNow=True).start().awaitTermination())
+    reader = spark.readStream.format("hudi_incremental").option("path", t)
+    if start is not None:
+        reader = reader.option("startingInstant", start)
+    q = (
+        reader.load().writeStream.format("memory").queryName(qname)
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+def test_stream_mor_whole_range_matches_batch(spark, table):
+    """One micro-batch over (i1, latest] must equal
+    read_hudi_incremental on the MoR table: log-block updates win over
+    base carries, deletes emit nothing."""
+    t, i1 = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 9.0, 1), (100, "n", 1.0, 7)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    hudi_delete(spark, t, spark.createDataFrame([(100,)], "id long"))
+    stream = sorted(
+        (r["id"], r["name"])
+        for r in _drain_mor(spark, t, i1, "mor_b1").collect()
+    )
+    batch = sorted(
+        (r["id"], r["name"])
+        for r in read_hudi_incremental(spark, t, i1).collect()
+    )
+    assert stream == batch == [(4, "u")], (stream, batch)
+
+
+def test_stream_mor_two_updates_latest_wins(spark, table):
+    t, i1 = table
+    for nm in ("a", "b"):
+        hudi_upsert(
+            spark, t,
+            spark.createDataFrame(
+                [(4, nm, 1.0, 1)],
+                "id long, name string, price double, region int",
+            ),
+        )
+    got = [(r["id"], r["name"])
+           for r in _drain_mor(spark, t, i1, "mor_b2").collect()]
+    assert got == [(4, "b")], got
+
+
+def test_stream_mor_spanning_compaction_no_duplicates(spark, table):
+    t, i1 = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 9.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    M.hudi_compact(spark, t)
+    got = [(r["id"], r["name"], r["_hoodie_commit_time"])
+           for r in _drain_mor(spark, t, i1, "mor_b3").collect()]
+    assert got == [(4, "u", i2)], got
+
+
+def test_stream_mor_from_table_start(spark, table):
+    t, _ = table
+    assert _drain_mor(spark, t, None, "mor_b4").count() == 20
