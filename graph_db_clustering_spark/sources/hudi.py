@@ -14,10 +14,11 @@ seqno`, `_hoodie_record_key`, `_hoodie_partition_path`,
 `_hoodie_file_name`) ahead of the user schema.
 
 Scope (loud gates, not silent wrong answers):
-- COPY_ON_WRITE only. A MERGE_ON_READ table (deltacommit/compaction
-  instants, or ``.log.`` files beside the base files) gates with a
-  NotImplementedError naming the feature — merging avro log blocks is
-  a different read path, not a smaller one.
+- This module owns the COPY_ON_WRITE paths; MERGE_ON_READ tables
+  (round 12) dispatch to sources/hudi_mor.py for snapshot/incremental
+  reads, log-block upsert/delete, and compaction. CoW-only
+  maintenance (clustering/clean/rollback/restore/pruned reads) and
+  log compaction still gate loudly on MoR tables.
 - replacecommit (clustering / insert_overwrite) IS handled on read:
   file groups named in ``partitionToReplaceFileIds`` become invisible
   from that instant onward, and the replacement files it wrote become
@@ -1031,16 +1032,19 @@ def hudi_metadata_table(
 
     - timeline: instant, action, operation type
     - commits: one row per write-stat of each completed
-      commit/replacecommit — instant, partition, file_id, path,
-      num_writes, num_inserts, num_update_writes, bytes
+      commit/deltacommit/replacecommit — instant, partition, file_id,
+      path, num_writes, num_inserts, num_update_writes, bytes
     - files: the CURRENT snapshot's live base files — partition,
-      file_id, instant (of the live slice), path, size
+      file_id, instant (of the live slice), path, size; on a
+      MERGE_ON_READ table, every live file SLICE's base and log files
+      (round 12)
     """
     if name == "timeline":
         rows = []
         for t in hudi_timeline(path):
             op = None
-            if t["action"] in ("commit", "replacecommit"):
+            if t["action"] in ("commit", "replacecommit",
+                               "deltacommit"):
                 op = _commit_meta(path, t["instant"], t["action"]).get(
                     "operationType"
                 )
@@ -1051,7 +1055,8 @@ def hudi_metadata_table(
     if name == "commits":
         rows = []
         for t in hudi_timeline(path):
-            if t["action"] not in ("commit", "replacecommit"):
+            if t["action"] not in ("commit", "replacecommit",
+                                   "deltacommit"):
                 continue
             meta = _commit_meta(path, t["instant"], t["action"])
             for pp, stats in sorted(
@@ -1072,14 +1077,41 @@ def hudi_metadata_table(
         )
     if name == "files":
         rows = []
-        for p in hudi_live_files(path):
-            rel = os.path.relpath(p, path).replace(os.sep, "/")
-            fname = rel.rsplit("/", 1)[-1]
-            m = _BASE_RE.match(fname)
-            pp = rel.rsplit("/", 1)[0] if "/" in rel else ""
-            rows.append((
-                pp, m.group(1), m.group(3), rel, os.path.getsize(p),
-            ))
+        if _table_type(path) == "MERGE_ON_READ":
+            from graph_db_clustering_spark.sources.hudi_mor import (
+                _file_slices,
+            )
+
+            slices, _valid = _file_slices(path)
+            for s_ in sorted(
+                slices, key=lambda s: (s["pp"], s["fid"])
+            ):
+                if s_["base"]:
+                    rel = os.path.relpath(
+                        s_["base"], path
+                    ).replace(os.sep, "/")
+                    rows.append((
+                        s_["pp"], s_["fid"], s_["base_instant"], rel,
+                        os.path.getsize(s_["base"]),
+                    ))
+                for lf in s_["logs"]:
+                    rel = os.path.relpath(
+                        lf["abs"], path
+                    ).replace(os.sep, "/")
+                    rows.append((
+                        s_["pp"], s_["fid"], s_["base_instant"], rel,
+                        os.path.getsize(lf["abs"]),
+                    ))
+        else:
+            for p in hudi_live_files(path):
+                rel = os.path.relpath(p, path).replace(os.sep, "/")
+                fname = rel.rsplit("/", 1)[-1]
+                m = _BASE_RE.match(fname)
+                pp = rel.rsplit("/", 1)[0] if "/" in rel else ""
+                rows.append((
+                    pp, m.group(1), m.group(3), rel,
+                    os.path.getsize(p),
+                ))
         return spark.createDataFrame(
             rows,
             "partition string, file_id string, instant string, "

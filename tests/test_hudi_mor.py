@@ -424,6 +424,34 @@ def test_compact_on_cow_raises(spark, tmp_path):
         M.hudi_compact(spark, t)
 
 
+def test_metadata_tables_mor(spark, table):
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_metadata_table,
+    )
+
+    t, i1 = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 9.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    tl = hudi_metadata_table(spark, t, "timeline").collect()
+    assert [(r["instant"], r["action"]) for r in tl] == [
+        (i1, "deltacommit"), (i2, "deltacommit")]
+    commits = hudi_metadata_table(spark, t, "commits")
+    assert commits.filter(F.col("instant") == i2).count() == 1
+    log_row = commits.filter(F.col("instant") == i2).collect()[0]
+    assert ".log." in log_row["path"]
+    files = hudi_metadata_table(spark, t, "files").collect()
+    # 6 base files (2 groups x 3 partitions) + 1 log file
+    assert sum(".log." in r["path"] for r in files) == 1
+    assert sum(r["path"].endswith(".parquet") for r in files) == 6
+    # slice anchoring: the log row reports its BASE instant
+    assert all(r["instant"] == i1 for r in files)
+
+
 # --- streaming (round 12: MoR incremental source) ---------------------
 
 
