@@ -293,6 +293,14 @@ class EdgePat:
     qpp: bool = False
     qpp_src: object = None  # NodePat | None
     qpp_dst: object = None  # NodePat | None
+    # round 12: GROUP VARIABLES — inner (a)-[r:R]->(b) names bind
+    # LISTS per path row (a = step sources, b = step targets, r =
+    # traversed relationships), per openCypher GPM
+    qpp_vars: tuple = (None, None, None)  # (src, edge, dst) names
+    # round 12: MULTI-RELATIONSHIP body — the inner Path when the
+    # quantified group spans more than one relationship; each
+    # repetition traverses the whole chain (composite step)
+    qpp_body: object = None  # Path | None
 
 
 @dataclass
@@ -1023,31 +1031,20 @@ class _Parser:
         return PathPat(nodes, edges)
 
     def qpp_group(self):
-        """((a)-[:R]->(b)){lo,hi} / + / {n} — openCypher quantified
-        path pattern, scoped to a single-relationship body. The inner
-        node patterns become per-step constraints (every step's source
-        satisfies the left pattern, every step's target the right one —
-        interior nodes therefore satisfy both, which is exactly the
-        unification juxtaposition implies). Inner VARIABLES are group
-        variables (list bindings) and stay gated; `*`/{0,..} include
-        the zero-length path and stay gated too."""
+        """((a)-[:R]->(b)){lo,hi} / + / * / {n} — openCypher
+        quantified path pattern. Inner node patterns become per-step
+        constraints (every step's source satisfies the left pattern,
+        every step's target the right one — interior nodes therefore
+        satisfy both, which is exactly the unification juxtaposition
+        implies). Inner VARIABLES are group variables (round 12: list
+        bindings, single-relationship bodies only); zero-length
+        quantifiers unify the outer nodes. MULTI-relationship bodies
+        (round 12) quantify the whole anonymous chain as one composite
+        step."""
         self.expect("op", "(")
         inner = self.path()
         self.expect("op", ")")
-        if len(inner.edges) != 1:
-            raise ValueError(
-                "cypher: quantified path patterns support a "
-                "single-relationship body (((a)-[:R]->(b)){1,3})"
-            )
-        left, right = inner.nodes
-        epat = inner.edges[0]
-        if left.var or right.var or epat.var:
-            raise ValueError(
-                "cypher: group variables inside a quantified path "
-                "pattern are not exportable — use anonymous or "
-                "label/property-constrained inner patterns"
-            )
-        if epat.hops is not None:
+        if any(e2.hops is not None for e2 in inner.edges):
             raise ValueError(
                 "cypher: a variable-length relationship cannot be "
                 "nested inside a quantified path pattern"
@@ -1079,11 +1076,31 @@ class _Parser:
                 f"cypher: expected a quantifier after the pattern "
                 f"group, got {t}"
             )
-        qsrc = left if (left.label or left.props) else None
-        qdst = right if (right.label or right.props) else None
+        if len(inner.edges) == 1:
+            left, right = inner.nodes
+            epat = inner.edges[0]
+            qsrc = left if (left.label or left.props) else None
+            qdst = right if (right.label or right.props) else None
+            return EdgePat(
+                None, epat.rel, epat.props, epat.direction, (lo, hi),
+                qpp=True, qpp_src=qsrc, qpp_dst=qdst,
+                qpp_vars=(left.var, epat.var, right.var),
+            )
+        # multi-relationship body (round 12): anonymous inner
+        # patterns only — group variables over a composite step would
+        # need per-position list bindings
+        if any(n.var for n in inner.nodes) or any(
+            e2.var for e2 in inner.edges
+        ):
+            raise ValueError(
+                "cypher: group variables inside a MULTI-relationship "
+                "quantified path pattern are unsupported — use "
+                "anonymous or label/property-constrained inner "
+                "patterns"
+            )
         return EdgePat(
-            None, epat.rel, epat.props, epat.direction, (lo, hi),
-            qpp=True, qpp_src=qsrc, qpp_dst=qdst,
+            None, None, {}, "out", (lo, hi),
+            qpp=True, qpp_body=inner,
         )
 
     def node_pat(self):
@@ -1804,9 +1821,23 @@ class CypherSession:
         finally:
             sess.conf.set(ckey, prev)
 
-    def _varlength_paths_inner(
-        self, epat: EdgePat, params, lo: int, hi: int
-    ) -> DataFrame:
+    def _qpp_node_filter(self, step, npat, col, params):
+        """Semi-join `step` on `col` against the vertices matching an
+        inner node pattern (label/props) — the per-step constraint
+        quantified path patterns impose."""
+        if npat is None or not (npat.label or npat.props):
+            return step
+        v = self.graph.vertices
+        if npat.label is not None:
+            v = v.filter(F.col("label") == npat.label)
+        for k, ex in npat.props.items():
+            v = v.filter(F.col(k) == self._expr(ex, None, params))
+        return step.join(v.select(F.col("id").alias(col)), col, "semi")
+
+    def _qpp_edge_frame(self, epat, params) -> DataFrame:
+        """One inner relationship as an oriented (_s, _d, _e) frame —
+        type/prop-filtered, parallel duplicates ordinal-tagged so each
+        is its own edge identity."""
         from pyspark.sql import Window
 
         e = self.graph.edges
@@ -1830,31 +1861,78 @@ class CypherSession:
             eid.alias("_e"),
         )
         if epat.direction == "out":
-            step = fwd
-        elif epat.direction == "in":
-            step = rev
-        else:
-            step = fwd.unionAll(rev)
-        # quantified path pattern: inner node constraints hold at EVERY
-        # step — source side satisfies the left inner pattern, target
-        # side the right one (interior nodes therefore satisfy both)
-        for npat, col in ((epat.qpp_src, "_s"), (epat.qpp_dst, "_d")):
-            if npat is None:
-                continue
-            v = self.graph.vertices
-            if npat.label is not None:
-                v = v.filter(F.col("label") == npat.label)
-            for k, ex in npat.props.items():
-                v = v.filter(F.col(k) == self._expr(ex, None, params))
-            step = step.join(
-                v.select(F.col("id").alias(col)), col, "semi"
+            return fwd
+        if epat.direction == "in":
+            return rev
+        return fwd.unionAll(rev)
+
+    def _qpp_step(self, epat: EdgePat, params) -> DataFrame:
+        """One QPP REPETITION as a composite step frame
+        (_s, _d, _es: array<edge>, _ns: array<long> — the step's
+        interior+target nodes in traversal order). A single-edge body
+        is the k=1 case; a multi-relationship body (round 12) chains
+        its edges with join-on-shared-node and intra-step edge
+        uniqueness (openCypher's relationship rule applies across the
+        whole path, so it must hold inside a repetition too)."""
+        if epat.qpp_body is None:
+            step = self._qpp_edge_frame(epat, params)
+            # inner node constraints hold at EVERY step — source side
+            # satisfies the left inner pattern, target side the right
+            # one (interior nodes therefore satisfy both)
+            step = self._qpp_node_filter(step, epat.qpp_src, "_s", params)
+            step = self._qpp_node_filter(step, epat.qpp_dst, "_d", params)
+            return step.select(
+                "_s", "_d",
+                F.array("_e").alias("_es"),
+                F.array("_d").alias("_ns"),
             )
-        step = step.localCheckpoint(eager=True)
+        body = epat.qpp_body
+        comp = None
+        for i, ep in enumerate(body.edges):
+            ef = self._qpp_edge_frame(ep, params)
+            ef = self._qpp_node_filter(ef, body.nodes[i], "_s", params)
+            ef = self._qpp_node_filter(
+                ef, body.nodes[i + 1], "_d", params
+            )
+            if comp is None:
+                comp = ef.select(
+                    "_s",
+                    F.col("_d").alias("_cur"),
+                    F.array("_e").alias("_es"),
+                    F.array("_d").alias("_ns"),
+                )
+            else:
+                comp = (
+                    comp.alias("c")
+                    .join(
+                        ef.alias("n"),
+                        F.col("c._cur") == F.col("n._s"),
+                    )
+                    .filter(~F.array_contains(
+                        F.col("c._es"), F.col("n._e")
+                    ))
+                    .select(
+                        F.col("c._s").alias("_s"),
+                        F.col("n._d").alias("_cur"),
+                        F.concat(
+                            F.col("c._es"), F.array(F.col("n._e"))
+                        ).alias("_es"),
+                        F.concat(
+                            F.col("c._ns"), F.array(F.col("n._d"))
+                        ).alias("_ns"),
+                    )
+                )
+        return comp.withColumnRenamed("_cur", "_d")
+
+    def _varlength_paths_inner(
+        self, epat: EdgePat, params, lo: int, hi: int
+    ) -> DataFrame:
+        step = self._qpp_step(epat, params).localCheckpoint(eager=True)
 
         frontier = step.select(
             F.col("_s").alias("src"), F.col("_d").alias("dst"),
-            F.array("_s", "_d").alias("nodes"),
-            F.array("_e").alias("eids"),
+            F.concat(F.array("_s"), F.col("_ns")).alias("nodes"),
+            F.col("_es").alias("eids"),
         ).localCheckpoint(eager=True)
         acc = frontier if lo <= 1 else None
         for k in range(2, hi + 1):
@@ -1862,16 +1940,16 @@ class CypherSession:
                 frontier.alias("f")
                 .join(step.alias("s"), F.col("f.dst") == F.col("s._s"))
                 .filter(
-                    ~F.array_contains(F.col("f.eids"), F.col("s._e"))
+                    ~F.arrays_overlap(F.col("f.eids"), F.col("s._es"))
                 )
                 .select(
                     F.col("f.src").alias("src"),
                     F.col("s._d").alias("dst"),
                     F.concat(
-                        F.col("f.nodes"), F.array(F.col("s._d"))
+                        F.col("f.nodes"), F.col("s._ns")
                     ).alias("nodes"),
                     F.concat(
-                        F.col("f.eids"), F.array(F.col("s._e"))
+                        F.col("f.eids"), F.col("s._es")
                     ).alias("eids"),
                 )
                 .localCheckpoint(eager=True)
@@ -2121,7 +2199,11 @@ class CypherSession:
                         # (openCypher row multiplicity); exact
                         # nodes/relationships/length when bound to p
                         pv = path.pathvar
-                        if pv is None:
+                        gsv, gev, gdv = (
+                            epat.qpp_vars if epat.qpp
+                            else (None, None, None)
+                        )
+                        if pv is None and not (gsv or gev or gdv):
                             ef = self._varlength_paths(
                                 epat, params
                             ).select(
@@ -2134,19 +2216,41 @@ class CypherSession:
                             enriched = self._enrich_path_nodes(
                                 self._varlength_paths(epat, params)
                             )
-                            ef = enriched.select(
+                            rels_col = F.transform(
+                                "eids",
+                                lambda s: F.struct(
+                                    *[s[c].alias(c) for c in ecols]
+                                ),
+                            )
+                            sel = [
                                 F.struct(
                                     F.col("src"), F.col("dst")
                                 ).alias(ename),
-                                F.col("pnodes").alias(f"__pnodes_{pv}"),
-                                F.transform(
-                                    "eids",
-                                    lambda s: F.struct(
-                                        *[s[c].alias(c) for c in ecols]
-                                    ),
-                                ).alias(f"__prels_{pv}"),
-                                F.size("eids").alias(f"__plen_{pv}"),
-                            )
+                            ]
+                            if pv is not None:
+                                sel += [
+                                    F.col("pnodes").alias(
+                                        f"__pnodes_{pv}"),
+                                    rels_col.alias(f"__prels_{pv}"),
+                                    F.size("eids").alias(
+                                        f"__plen_{pv}"),
+                                ]
+                            # group variables (round 12): lists per
+                            # path row — a = step sources (nodes
+                            # [0..k-1]), b = step targets ([1..k]),
+                            # r = the traversed relationships
+                            k = F.size("eids")
+                            if gsv:
+                                sel.append(F.slice(
+                                    F.col("pnodes"), F.lit(1), k
+                                ).alias(gsv))
+                            if gdv:
+                                sel.append(F.slice(
+                                    F.col("pnodes"), F.lit(2), k
+                                ).alias(gdv))
+                            if gev:
+                                sel.append(rels_col.alias(gev))
+                            ef = enriched.select(*sel)
                     else:
                         ef = self._varlength_pairs(epat, params).select(
                             F.struct(F.col("src"), F.col("dst")).alias(ename)
@@ -3541,6 +3645,29 @@ class CypherSession:
             z, c["months"], z, c["days"], z, z, c["seconds"]
         )
 
+    # Neo4j's geographic calculator: haversine over a sphere of the
+    # WGS-84 MEAN earth radius (6371 km class). The exact constant
+    # Neo4j uses is an implementation detail not fixed by openCypher;
+    # this module pins the IUGG mean radius 6371008.7714 m (the
+    # (2a+b)/3 mean of the published WGS-84 ellipsoid axes a=6378137,
+    # b=6356752.3142) and documents it — oracle entries state the
+    # same formula, so the choice is test-visible, not hidden.
+    _EARTH_RADIUS_M = 6371008.7714
+
+    def _geo_distance(self, a: Column, b: Column) -> Column:
+        lat1 = F.radians(a["latitude"])
+        lat2 = F.radians(b["latitude"])
+        dlat = lat2 - lat1
+        dlon = F.radians(b["longitude"]) - F.radians(a["longitude"])
+        h = (
+            F.sin(dlat / 2) ** 2
+            + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) ** 2
+        )
+        return (
+            2 * F.lit(self._EARTH_RADIUS_M)
+            * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+        )
+
     @staticmethod
     def _maybe_duration(e) -> bool:
         """Cheap AST test for 'could compile to a duration struct' —
@@ -4143,16 +4270,54 @@ class CypherSession:
                         "cypher: duration() takes exactly one argument"
                     )
                 return self._duration_col(e.args[0], df, params)
-            if name == "duration.between":
+            if name in ("duration.between", "duration.inmonths",
+                        "duration.indays", "duration.inseconds"):
                 if len(e.args) != 2:
                     raise ValueError(
-                        "cypher: duration.between() takes two temporals"
+                        f"cypher: {e.name}() takes two temporals"
                     )
                 a = self._expr(e.args[0], df, params)
                 b = self._expr(e.args[1], df, params)
-                return self._duration_between(
+                full = self._duration_between(
                     a, b, self._dtype_of(a, df), self._dtype_of(b, df)
                 )
+                z = F.lit(0)
+                if name == "duration.inmonths":
+                    # whole months only (days/seconds truncate away)
+                    return self._duration_struct(
+                        full["months"], z, z
+                    )
+                if name == "duration.indays":
+                    # whole DAYS between (no month component): for
+                    # dates a plain datediff; for timestamps the
+                    # floored second difference
+                    adt = self._dtype_of(a, df)
+                    bdt = self._dtype_of(b, df)
+                    if isinstance(adt, T.DateType) and isinstance(
+                        bdt, T.DateType
+                    ):
+                        return self._duration_struct(
+                            z, F.datediff(b, a), z
+                        )
+                    secs = F.unix_seconds(
+                        b.cast("timestamp")
+                    ) - F.unix_seconds(a.cast("timestamp"))
+                    return self._duration_struct(
+                        z, F.floor(secs / 86400), z
+                    )
+                if name == "duration.inseconds":
+                    adt = self._dtype_of(a, df)
+                    bdt = self._dtype_of(b, df)
+                    if isinstance(adt, T.DateType) and isinstance(
+                        bdt, T.DateType
+                    ):
+                        secs = F.datediff(b, a).cast("long") * 86400
+                    else:
+                        secs = F.unix_seconds(
+                            b.cast("timestamp")
+                        ) - F.unix_seconds(a.cast("timestamp"))
+                    return self._duration_struct(z, z, secs)
+                return full
             if name in ("time", "localtime"):
                 # round 12: clock values ride a timestamp_ntz anchored
                 # at 1970-01-01 — accessors (.hour/.minute/.second) and
@@ -4213,19 +4378,38 @@ class CypherSession:
                     self._expr(a, df, params).cast("string"),
                 ).cast("timestamp_ntz")
             if name == "point":
-                # round 11 spatial subset: CARTESIAN points only —
-                # a typed struct {x, y[, z], crs}; geographic
-                # (longitude/latitude) CRS needs a great-circle model
-                # and gates loudly
+                # spatial points — a typed struct {components..., crs}.
+                # Round 11: CARTESIAN x/y[/z]. Round 12: GEOGRAPHIC
+                # (WGS-84) longitude/latitude; distance() uses the
+                # haversine great-circle model (see _geo_distance).
+                # Height (wgs-84-3d) stays gated: Neo4j's 3d
+                # geographic distance mixes the chord and the arc.
                 if len(e.args) != 1 or not isinstance(e.args[0], MapLit):
                     raise ValueError(
                         "cypher: point() takes one component map"
                     )
                 items = e.args[0].items
                 if {"longitude", "latitude"} & set(items):
-                    raise ValueError(
-                        "cypher: geographic (WGS-84) points are "
-                        "unsupported — cartesian x/y[/z] only"
+                    if "height" in items:
+                        raise ValueError(
+                            "cypher: wgs-84-3d points (height) are "
+                            "unsupported — 2d longitude/latitude only"
+                        )
+                    bad = set(items) - {"longitude", "latitude"}
+                    if bad or not (
+                        {"longitude", "latitude"} <= set(items)
+                    ):
+                        raise ValueError(
+                            "cypher: geographic point() needs "
+                            "longitude and latitude, got "
+                            f"{sorted(items)}"
+                        )
+                    return F.struct(
+                        self._expr(items["longitude"], df, params)
+                        .cast("double").alias("longitude"),
+                        self._expr(items["latitude"], df, params)
+                        .cast("double").alias("latitude"),
+                        F.lit("wgs-84").alias("crs"),
                     )
                 bad = set(items) - {"x", "y", "z"}
                 if bad or not {"x", "y"} <= set(items):
@@ -4241,6 +4425,47 @@ class CypherSession:
                 ]
                 crs = "cartesian-3d" if "z" in items else "cartesian"
                 return F.struct(*cols, F.lit(crs).alias("crs"))
+            if name == "point.withinbbox":
+                # round 12: point.withinBBox(p, lowerLeft, upperRight)
+                # — cartesian is a plain range test; geographic wraps
+                # across the antimeridian when lowerLeft.longitude >
+                # upperRight.longitude (Neo4j's rule)
+                if len(e.args) != 3:
+                    raise ValueError(
+                        "cypher: point.withinBBox() takes a point and "
+                        "two corner points"
+                    )
+                p = self._expr(e.args[0], df, params)
+                ll = self._expr(e.args[1], df, params)
+                ur = self._expr(e.args[2], df, params)
+                pdt = self._dtype_of(p, df)
+                geo = (
+                    isinstance(pdt, T.StructType)
+                    and "longitude" in pdt.names
+                )
+                if geo:
+                    lat_ok = (
+                        (p["latitude"] >= ll["latitude"])
+                        & (p["latitude"] <= ur["latitude"])
+                    )
+                    lon_ok = F.when(
+                        ll["longitude"] <= ur["longitude"],
+                        (p["longitude"] >= ll["longitude"])
+                        & (p["longitude"] <= ur["longitude"]),
+                    ).otherwise(
+                        (p["longitude"] >= ll["longitude"])
+                        | (p["longitude"] <= ur["longitude"])
+                    )
+                    return lat_ok & lon_ok
+                cond = (
+                    (p["x"] >= ll["x"]) & (p["x"] <= ur["x"])
+                    & (p["y"] >= ll["y"]) & (p["y"] <= ur["y"])
+                )
+                if isinstance(pdt, T.StructType) and "z" in pdt.names:
+                    cond = cond & (
+                        (p["z"] >= ll["z"]) & (p["z"] <= ur["z"])
+                    )
+                return cond
             if name in ("distance", "point.distance"):
                 if len(e.args) != 2:
                     raise ValueError(
@@ -4250,14 +4475,23 @@ class CypherSession:
                 b = self._expr(e.args[1], df, params)
                 adt = self._dtype_of(a, df)
                 bdt = self._dtype_of(b, df)
-                a3 = isinstance(adt, T.StructType) and "z" in adt.names
-                b3 = isinstance(bdt, T.StructType) and "z" in bdt.names
-                if a3 != b3:
+
+                def kind(dt):
+                    if not isinstance(dt, T.StructType):
+                        return None
+                    if "longitude" in dt.names:
+                        return "geo"
+                    return "3d" if "z" in dt.names else "2d"
+
+                ka, kb = kind(adt), kind(bdt)
+                if ka != kb:
                     # Neo4j: distance between points of different
                     # CRS/dimension is null, not an error
                     return F.lit(None).cast("double")
+                if ka == "geo":
+                    return self._geo_distance(a, b)
                 d2 = (a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2
-                if a3:
+                if ka == "3d":
                     d2 = d2 + (a["z"] - b["z"]) ** 2
                 return F.sqrt(d2)
             raise ValueError(f"cypher: unsupported function {e.name}()")

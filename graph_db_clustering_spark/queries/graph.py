@@ -1775,6 +1775,127 @@ def cypher_qpp(spark, sf_dir):
 
 
 @declared(
+    "cypher_qpp_multirel",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+           FROM customer WHERE c_custkey < {_CAP})
+SELECT a.id AS aid, b.id AS bid
+FROM v a JOIN v b
+  ON a.nation = b.nation AND b.pos - a.pos IN (3, 6)
+ORDER BY aid, bid""",
+)
+def cypher_qpp_multirel(spark, sf_dir):
+    """MULTI-relationship QPP body (round 12): each repetition of
+    (()-[:NEXT]->()-[:SKIP]->()) traverses the whole two-edge chain as
+    one COMPOSITE step (+1 then +2 positions within a nation = +3 per
+    repetition), so {1,2} reaches exactly the nodes 3 and 6 positions
+    ahead — one path each, stated relationally by the oracle. A plan
+    that quantifies only the first relationship, drops the shared-node
+    join, or misses intra-step edge uniqueness shifts the rowset."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    hops = c.withColumn("nxt", F.lead("id", 1).over(w)).withColumn(
+        "skp", F.lead("id", 2).over(w)
+    )
+    edges = (
+        hops.filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("NEXT").alias("relationship"),
+        )
+        .unionByName(
+            hops.filter(F.col("skp").isNotNull()).select(
+                F.col("id").alias("src"),
+                F.col("skp").alias("dst"),
+                F.lit("SKIP").alias("relationship"),
+            )
+        )
+    )
+    s = CypherSession(Graph(c.drop("nation"), edges))
+    return s.run(
+        """MATCH (a:Customer) (()-[:NEXT]->()-[:SKIP]->()){1,2}
+                 (b:Customer)
+           RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"""
+    )
+
+
+@declared(
+    "cypher_qpp_group",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+           FROM customer WHERE c_custkey < {_CAP}),
+comp AS (
+  SELECT a.id AS aid, m.id AS mid, b.id AS bid
+  FROM v a JOIN v m
+    ON a.nation = m.nation AND m.pos - a.pos IN (1, 2)
+  JOIN v b
+    ON m.nation = b.nation AND b.pos - m.pos IN (1, 2)
+)
+SELECT aid, bid, step FROM (
+  SELECT aid, bid, mid AS step FROM comp
+  UNION ALL
+  SELECT aid, bid, bid AS step FROM comp
+) ORDER BY aid, bid, step""",
+)
+def cypher_qpp_group(spark, sf_dir):
+    """QPP GROUP VARIABLES (round 12): ((x)-[:NEXT]->(y)){2} binds y
+    to the per-path LIST of step targets — [midpoint, endpoint] for a
+    two-step composition — which UNWIND then flattens to one row per
+    step. The oracle enumerates every composition and emits both its
+    midpoint and endpoint (UNION ALL preserves the QPP's duplicate
+    multiplicity). A binding that loses traversal order, dedupes
+    steps, or slices the wrong node window shifts rows."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    hops = c.withColumn("nxt", F.lead("id", 1).over(w)).withColumn(
+        "skp", F.lead("id", 2).over(w)
+    )
+    edges = (
+        hops.filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("NEXT").alias("relationship"),
+        )
+        .unionByName(
+            hops.filter(F.col("skp").isNotNull()).select(
+                F.col("id").alias("src"),
+                F.col("skp").alias("dst"),
+                F.lit("NEXT").alias("relationship"),
+            )
+        )
+    )
+    s = CypherSession(Graph(c.drop("nation"), edges))
+    return s.run(
+        """MATCH (a:Customer) ((x)-[:NEXT]->(y)){2} (b:Customer)
+           UNWIND y AS m
+           RETURN a.id AS aid, b.id AS bid, m.id AS step
+           ORDER BY aid, bid, step"""
+    )
+
+
+@declared(
     "cypher_qpp_zero",
     f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos

@@ -40,15 +40,24 @@ UNSUPPORTED = {
     "localdatetime()/duration() construction, accessors, comparisons, "
     "date +/- duration (round 11), PLUS time()/localtime() clock "
     "values, duration accessors (.months/.days/.seconds/...), "
-    "duration +/- duration and duration.between() WORK (round 12)",
-    "spatial residue": "geographic (WGS-84) CRS, point comparisons, "
-    "withinBBox; CARTESIAN point({x, y[, z]}) construction, accessors "
-    "and distance() WORK (round 11)",
-    "QPP residue": "group variables ((a)-[:R]->(b) with names), "
-    "multi-relationship bodies; single-relationship anonymous/"
-    "constrained QPP with +/{n}/{lo,hi} (round 11) AND zero-length "
-    "quantifiers ((...)* / {0,n} — the zero repetition unifies the "
-    "outer nodes, no inner constraints) WORK (round 12)",
+    "duration +/- duration, and duration.between()/inMonths()/"
+    "inDays()/inSeconds() WORK (round 12)",
+    "spatial residue": "wgs-84-3d (height), point comparisons "
+    "(ORDER BY/inequality on whole points); CARTESIAN point({x, y"
+    "[, z]}) construction, accessors and distance() (round 11), "
+    "GEOGRAPHIC wgs-84 points with haversine distance() over the "
+    "pinned IUGG mean earth radius 6371008.7714 m, AND "
+    "point.withinBBox (cartesian ranges; geographic with "
+    "antimeridian wrap) WORK (round 12)",
+    "QPP residue": "group variables inside MULTI-relationship bodies "
+    "(per-position list bindings); single-relationship QPP with "
+    "+/{n}/{lo,hi} (round 11), zero-length quantifiers ((...)* / "
+    "{0,n} — the zero repetition unifies the outer nodes, no inner "
+    "constraints), group variables on single-relationship bodies "
+    "((a)-[r:R]->(b) names bind per-path LISTS), AND anonymous "
+    "multi-relationship bodies ((()-[:R]->()-[:S]->()){n} — each "
+    "repetition traverses the whole chain as one composite step) "
+    "WORK (round 12)",
 }
 
 
@@ -392,6 +401,37 @@ SCENARIOS = [
      "RETURN distance(point({x: 0, y: 0, z: 0}), "
      "point({x: 2, y: 3, z: 6})) AS d, point({x: 1, y: 2}).x AS px",
      [{"d": 7.0, "px": 1.0}], False),
+    ("Spatial", "geographic point construction and accessors",
+     [],
+     "WITH point({longitude: 12.78, latitude: 56.7}) AS p "
+     "RETURN p.longitude AS lon, p.latitude AS lat, p.crs AS crs",
+     [{"lon": 12.78, "lat": 56.7, "crs": "wgs-84"}], False),
+    ("Spatial", "haversine distance between geographic points",
+     [],
+     # one degree of latitude on the pinned mean-radius sphere:
+     # pi/180 * 6371008.7714 = 111195.07973...
+     "RETURN round(distance(point({longitude: 3, latitude: 0}), "
+     "point({longitude: 3, latitude: 1})) * 1000) / 1000 AS d",
+     [{"d": 111195.08}], False),
+    ("Spatial", "withinBBox cartesian and geographic wrap",
+     [],
+     "RETURN point.withinBBox(point({x: 1, y: 2}), "
+     "point({x: 0, y: 0}), point({x: 3, y: 3})) AS a, "
+     "point.withinBBox(point({x: 5, y: 2}), "
+     "point({x: 0, y: 0}), point({x: 3, y: 3})) AS b, "
+     "point.withinBBox(point({longitude: 179.5, latitude: 0}), "
+     "point({longitude: 179, latitude: -1}), "
+     "point({longitude: -179, latitude: 1})) AS wrap, "
+     "point.withinBBox(point({longitude: 0, latitude: 0}), "
+     "point({longitude: 179, latitude: -1}), "
+     "point({longitude: -179, latitude: 1})) AS outside",
+     [{"a": True, "b": False, "wrap": True, "outside": False}],
+     False),
+    ("Spatial", "distance of mixed cartesian/geographic is null",
+     [],
+     "RETURN distance(point({longitude: 1, latitude: 1}), "
+     "point({x: 1, y: 1})) AS d",
+     [{"d": None}], False),
     ("Spatial", "distance of mixed 2d/3d points is null",
      [],
      "RETURN distance(point({x: 0, y: 0, z: 0}), "
@@ -498,6 +538,43 @@ SCENARIOS = [
      # path still unifies x with y (openCypher GPM semantics)
      "MATCH (x:S) (()-[:T]->(:NOPE)){0,1} (y) RETURN y.v AS v",
      [{"v": 1}], False),
+    ("QPP", "group variables bind per-path lists",
+     ["CREATE (:S {v: 1})-[:T]->(:M {v: 2})-[:T]->(:E {v: 3})"],
+     "MATCH (x:S) ((a)-[r:T]->(b)){1,2} (y) "
+     "RETURN y.v AS yv, [n IN a | n.v] AS av, [n IN b | n.v] AS bv, "
+     "size(r) AS nr ORDER BY yv",
+     [{"yv": 2, "av": [1], "bv": [2], "nr": 1},
+      {"yv": 3, "av": [1, 2], "bv": [2, 3], "nr": 2}], True),
+    ("QPP", "group variables are empty on the zero-length path",
+     ["CREATE (:S {v: 1})-[:T]->(:M {v: 2})"],
+     "MATCH (x:S) ((a)-[:T]->()){0,1} (y) "
+     "RETURN y.v AS yv, size(a) AS na ORDER BY yv",
+     [{"yv": 1, "na": 0}, {"yv": 2, "na": 1}], True),
+    ("QPP", "multi-relationship body quantifies the whole chain",
+     ["CREATE (:N {v: 1})-[:R]->(:N {v: 2})-[:S]->(:N {v: 3})"
+      "-[:R]->(:N {v: 4})-[:S]->(:N {v: 5})"],
+     "MATCH (x:N {v: 1}) (()-[:R]->()-[:S]->()){1,2} (y) "
+     "RETURN y.v AS yv ORDER BY yv",
+     [{"yv": 3}, {"yv": 5}], True),
+    ("QPP", "multi-relationship star includes zero-length",
+     ["CREATE (:N {v: 1})-[:R]->(:N {v: 2})-[:S]->(:N {v: 3})"],
+     "MATCH (x:N {v: 1}) (()-[:R]->()-[:S]->())* (y) "
+     "RETURN y.v AS yv ORDER BY yv",
+     [{"yv": 1}, {"yv": 3}], True),
+    ("QPP", "multi-relationship body with a path variable",
+     ["CREATE (:N {v: 1})-[:R]->(:N {v: 2})-[:S]->(:N {v: 3})"
+      "-[:R]->(:N {v: 4})-[:S]->(:N {v: 5})"],
+     "MATCH p = (x:N {v: 1}) (()-[:R]->()-[:S]->()){2} (y) "
+     "RETURN length(p) AS l, [n IN nodes(p) | n.v] AS vs",
+     [{"l": 4, "vs": [1, 2, 3, 4, 5]}], False),
+    ("QPP", "inner label constrains every composite step",
+     ["CREATE (:N {v: 1})-[:R]->(:M {v: 2})-[:S]->(:N {v: 3})"
+      "-[:R]->(:X {v: 4})-[:S]->(:N {v: 5})"],
+     # the interior node of each repetition must be :M — the second
+     # repetition's interior is :X, so only one repetition matches
+     "MATCH (x) (()-[:R]->(:M)-[:S]->()){1,2} (y) "
+     "RETURN y.v AS yv ORDER BY yv",
+     [{"yv": 3}], True),
     ("QPP", "zero-length path variable has length 0",
      ["CREATE (:S {v: 1})"],
      "MATCH p = (x:S) (()-[:T]->()){0,1} (y) "
@@ -561,6 +638,14 @@ SCENARIOS = [
      "localdatetime('2024-02-15T09:00:00')) AS d "
      "RETURN d.months AS m, d.days AS dd, d.hours AS h",
      [{"m": 0, "dd": 30, "h": 23}], False),
+    ("Temporal", "duration.between component variants",
+     [],
+     "WITH date('2015-01-30') AS a, date('2015-03-02') AS b "
+     "RETURN duration.inMonths(a, b).months AS m, "
+     "duration.inMonths(a, b).days AS md, "
+     "duration.inDays(a, b).days AS dd, "
+     "duration.inSeconds(a, b).seconds AS s",
+     [{"m": 1, "md": 0, "dd": 31, "s": 31 * 86400}], False),
     ("Temporal", "duration arithmetic",
      [],
      "RETURN (duration({days: 2}) + duration({hours: 25})).hours AS h, "
