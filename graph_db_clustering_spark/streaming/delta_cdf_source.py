@@ -18,12 +18,18 @@ driver collect.
 
 Per the CDF contract (mirroring sources/delta.delta_table_changes):
 a commit carrying `cdc` actions replays from its _change_data files
-only; a commit without them falls back to dataChange `add` files read
-as inserts (partition values injected from the add action). Commits
-that remove files without change data, or DV swaps written with
-cdf=False, raise loudly mid-stream rather than emitting a wrong
-change feed — at 100 TB a silent hole in a CDC stream is the worst
-failure mode there is.
+only; a commit without them falls back to its add/remove actions —
+dataChange adds read as inserts (partition values injected from the
+add action, rows under the add's own deletion vector excluded),
+dataChange removes as deletes of the removed file's still-visible
+rows, and a same-path add+remove (a DV swap written with cdf=False,
+round 12) reconstructs row-level changes by DIFFING the old and new
+DV bitmaps against the immutable data file, exactly like the batch
+reader. The bitmap BYTES ride the pickled InputPartition (KB-scale);
+expansion and the diff run on executors. Only a same-path swap with
+no DV on either side — an in-place data rewrite — still raises, since
+at 100 TB a silent hole in a CDC stream is the worst failure mode
+there is.
 """
 
 from __future__ import annotations
@@ -48,6 +54,14 @@ class _CdfPartition(InputPartition):
     pvals: dict = field(default_factory=dict)  # injected partition cols
     pval_types: dict = field(default_factory=dict)  # col -> simpleString
     columns: tuple = ()
+    # round 12 (DV handling without change data): serialized roaring
+    # bitmaps. mode 'exclude': drop rows at `new_dv` positions (adds
+    # with a DV; removed files with an existing DV). mode 'dv_diff':
+    # same-path swap — emit new-minus-old as deletes, old-minus-new as
+    # restore inserts.
+    mode: str = "plain"
+    old_dv: bytes = b""
+    new_dv: bytes = b""
 
 
 class _CdfStreamReader(DataSourceStreamReader):
@@ -80,6 +94,8 @@ class _CdfStreamReader(DataSourceStreamReader):
         from graph_db_clustering_spark.sources.delta import (
             DeltaError,
             _commit_actions,
+            _dv_blob,
+            _replay,
         )
 
         lo, hi = start["version"], end["version"]
@@ -112,23 +128,73 @@ class _CdfStreamReader(DataSourceStreamReader):
                 a["remove"] for a in acts
                 if a.get("remove") and a["remove"].get("dataChange")
             ]
+            adds_by = {a["path"]: a for a in adds}
+            rm_paths = {r["path"] for r in removes}
+            swapped = set(adds_by) & rm_paths
+            files_prev = None
             if removes:
-                raise DeltaError(
-                    f"delta_cdf stream: commit {v} removes files "
-                    "without change data — enable cdf on the writer"
-                )
-            for a in adds:
-                if a.get("deletionVector"):
+                files_prev, _meta_prev = _replay(self._path, v - 1)
+            for p in sorted(swapped):
+                # DV swap without change data (round 12): diff the
+                # bitmaps against the immutable file, like the batch
+                # reader's _dv_swap_changes
+                old = files_prev.get(p)
+                if old is None:
                     raise DeltaError(
-                        f"delta_cdf stream: commit {v} carries DVs "
-                        "without change data"
+                        f"delta_cdf stream: commit {v} swaps {p!r}, "
+                        "unknown to the previous version"
                     )
+                odv = old.get("deletionVector")
+                ndv = adds_by[p].get("deletionVector")
+                if odv is None and ndv is None:
+                    raise DeltaError(
+                        f"delta_cdf stream: commit {v} re-adds {p!r} "
+                        "with no deletion vector on either side — an "
+                        "in-place rewrite is not reconstructible"
+                    )
+                pv = dict(adds_by[p].get("partitionValues") or {})
+                out.append(_CdfPartition(
+                    os.path.join(self._path, *p.split("/")),
+                    v, None, pv,
+                    {k: ptypes.get(k, "string") for k in pv},
+                    cols, mode="dv_diff",
+                    old_dv=_dv_blob(self._path, odv) if odv else b"",
+                    new_dv=_dv_blob(self._path, ndv) if ndv else b"",
+                ))
+            for r in removes:
+                if r["path"] in swapped:
+                    continue
+                # plain removal without change data (round 12): the
+                # removed file's still-visible rows emit as deletes
+                # (rows under its existing DV were already gone)
+                old = files_prev.get(r["path"])
+                if old is None:
+                    raise DeltaError(
+                        f"delta_cdf stream: commit {v} removes "
+                        f"{r['path']!r}, unknown to the previous "
+                        "version"
+                    )
+                odv = old.get("deletionVector")
+                pv = dict(old.get("partitionValues") or {})
+                out.append(_CdfPartition(
+                    os.path.join(self._path, *r["path"].split("/")),
+                    v, "delete", pv,
+                    {k: ptypes.get(k, "string") for k in pv},
+                    cols, mode="exclude",
+                    new_dv=_dv_blob(self._path, odv) if odv else b"",
+                ))
+            for a in adds:
+                if a["path"] in swapped:
+                    continue
+                ndv = a.get("deletionVector")
                 pv = dict(a.get("partitionValues") or {})
                 out.append(_CdfPartition(
                     os.path.join(self._path, *a["path"].split("/")),
                     v, "insert", pv,
                     {k: ptypes.get(k, "string") for k in pv},
                     cols,
+                    mode="exclude" if ndv else "plain",
+                    new_dv=_dv_blob(self._path, ndv) if ndv else b"",
                 ))
         if not out:
             # Spark requires >= 1 partition per batch: emit an empty
@@ -145,6 +211,37 @@ class _CdfStreamReader(DataSourceStreamReader):
         if not partition.path:
             return iter(())
         tbl = pq.read_table(partition.path)
+        ctype_col = None
+        if partition.mode == "exclude" and partition.new_dv:
+            from graph_db_clustering_spark.functions.roaring import (
+                decode_rbm_array,
+            )
+
+            marked = set(decode_rbm_array(bytes(partition.new_dv)))
+            keep = [i for i in range(tbl.num_rows) if i not in marked]
+            tbl = tbl.take(keep)
+        elif partition.mode == "dv_diff":
+            import numpy as np
+
+            from graph_db_clustering_spark.functions.roaring import (
+                decode_rbm_array,
+            )
+
+            o = np.asarray(
+                decode_rbm_array(bytes(partition.old_dv))
+                if partition.old_dv else [], dtype=np.int64,
+            )
+            nw = np.asarray(
+                decode_rbm_array(bytes(partition.new_dv))
+                if partition.new_dv else [], dtype=np.int64,
+            )
+            dels = np.setdiff1d(nw, o)
+            ins = np.setdiff1d(o, nw)
+            tbl = tbl.take(np.concatenate([dels, ins]))
+            ctype_col = pa.array(
+                ["delete"] * len(dels) + ["insert"] * len(ins),
+                type=pa.string(),
+            )
         n = tbl.num_rows
         _ARROW = {
             "bigint": (int, pa.int64()), "int": (int, pa.int32()),
@@ -166,7 +263,9 @@ class _CdfStreamReader(DataSourceStreamReader):
             cast, atype = _ARROW[t]
             pv = None if val is None else cast(val)
             tbl = tbl.append_column(col, pa.array([pv] * n, type=atype))
-        if partition.change_type is not None:
+        if ctype_col is not None:
+            tbl = tbl.append_column("_change_type", ctype_col)
+        elif partition.change_type is not None:
             tbl = tbl.append_column(
                 "_change_type",
                 pa.array([partition.change_type] * n, type=pa.string()),

@@ -99,7 +99,15 @@ def test_cdf_stream_partitioned_inserts_typed(spark, tmp_path):
         q.stop()
 
 
-def test_cdf_stream_gates(spark, tmp_path):
+def test_cdf_stream_dv_swap_reconstructs(spark, tmp_path):
+    """Round 12 (the ex-gate): a DV commit written with cdf=False
+    streams its row-level deletes by diffing old/new bitmaps against
+    the immutable file, executor-side — and a SECOND DV commit emits
+    only the newly marked rows, matching the batch reader."""
+    from graph_db_clustering_spark.sources.delta import (
+        delta_table_changes,
+    )
+
     spark.dataSource.register(DeltaCdfDataSource)
     t = str(tmp_path / "g")
     o = _orders(spark).filter(F.col("o_orderkey") % 10 == 0)
@@ -114,7 +122,9 @@ def test_cdf_stream_gates(spark, tmp_path):
         F.col("_metadata.file_path").alias("file_path"),
         F.col("_metadata.row_index").alias("pos"),
     )
-    delta_add_deletion_vectors(spark, t, scan.limit(3))  # cdf=False
+    ordered = scan.orderBy("file_path", "pos")
+    delta_add_deletion_vectors(spark, t, ordered.limit(3))  # cdf=False
+    delta_add_deletion_vectors(spark, t, ordered.limit(5))
     stream = spark.readStream.format("delta_cdf").option("path", t).load()
     q = (
         stream.writeStream.format("memory")
@@ -123,7 +133,31 @@ def test_cdf_stream_gates(spark, tmp_path):
         .start()
     )
     try:
-        with pytest.raises(Exception, match="without change data"):
-            q.processAllAvailable()
+        q.processAllAvailable()
+        got = spark.table("cdfg")
+        by_v = {
+            (r["_commit_version"], r["_change_type"]): r["count"]
+            for r in got.groupBy(
+                "_commit_version", "_change_type"
+            ).count().collect()
+        }
+        assert by_v == {
+            (0, "insert"): o.count(),
+            (1, "delete"): 3,
+            (2, "delete"): 2,
+        }, by_v
+        # whole-range stream == batch reader
+        batch = delta_table_changes(spark, t, 1, 2)
+        skeys = sorted(
+            (r["o_orderkey"], r["_commit_version"])
+            for r in got.filter(
+                F.col("_change_type") == "delete"
+            ).collect()
+        )
+        bkeys = sorted(
+            (r["o_orderkey"], r["_commit_version"])
+            for r in batch.collect()
+        )
+        assert skeys == bkeys
     finally:
         q.stop()
