@@ -3095,6 +3095,52 @@ def hudi_maintenance(spark, sf_dir):
     )
 
 
+@declared("hudi_mor_maintenance", _HUDI_SNAPSHOT_SQL)
+def hudi_mor_maintenance(spark, sf_dir):
+    """MERGE_ON_READ maintenance (round 12, sources/hudi_mor
+    hudi_rollback_mor + hudi_clean_mor): the log-block
+    create/upsert/delete history takes one extra throwaway deltacommit
+    which is ROLLED BACK (its log files and insert base files deleted
+    by write-stats path, its timeline triplet removed), then
+    COMPACTION folds the surviving logs into fresh base files, and
+    CLEAN removes the superseded pre-compaction slices — each old base
+    file together with its anchored log files. The snapshot must be
+    IDENTICAL to hudi_mor_snapshot's (same oracle): a rollback that
+    leaves a log block visible, or a clean that tears a live slice's
+    logs from under its base, shifts rows."""
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_clean,
+        hudi_rollback,
+        hudi_upsert,
+        read_hudi,
+    )
+    from graph_db_clustering_spark.sources.hudi_mor import (
+        hudi_compact,
+    )
+
+    t, _ = _build_hudi_orders(
+        spark, sf_dir, "mormaint", table_type="MERGE_ON_READ"
+    )
+    extra = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("pb", (F.col("o_orderkey") % 4).cast("int"))
+        .filter(F.col("o_orderkey") % 10 == 1)
+        .withColumn("o_totalprice", F.lit(123.0))
+    )
+    hudi_upsert(spark, t, extra)
+    hudi_rollback(t)
+    hudi_compact(spark, t)
+    deleted = hudi_clean(t, retain_slices=1)
+    assert any(".log." in p for p in deleted), \
+        "clean must remove the superseded slices' log files"
+    return (
+        read_hudi(spark, t, drop_meta=True)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
 @declared(
     "iceberg_partitions",
     """SELECT 'pb=' || CAST(o_orderkey % 4 AS VARCHAR) AS part,

@@ -16,8 +16,8 @@ seqno`, `_hoodie_record_key`, `_hoodie_partition_path`,
 Scope (loud gates, not silent wrong answers):
 - This module owns the COPY_ON_WRITE paths; MERGE_ON_READ tables
   (round 12) dispatch to sources/hudi_mor.py for snapshot/incremental
-  reads, log-block upsert/delete, and compaction. CoW-only
-  maintenance (clustering/clean/rollback/restore/pruned reads) and
+  reads, log-block upsert/delete, compaction, AND slice-aware
+  maintenance (clean/rollback/restore). Clustering, pruned reads and
   log compaction still gate loudly on MoR tables.
 - replacecommit (clustering / insert_overwrite) IS handled on read:
   file groups named in ``partitionToReplaceFileIds`` become invisible
@@ -1132,7 +1132,7 @@ def hudi_savepoint(path: str, instant: str) -> None:
     timeline = hudi_timeline(path)
     if not any(
         t["instant"] == str(instant)
-        and t["action"] in ("commit", "replacecommit")
+        and t["action"] in ("commit", "replacecommit", "deltacommit")
         for t in timeline
     ):
         raise HudiError(
@@ -1152,7 +1152,12 @@ def hudi_restore(spark_or_path, path: str | None = None) -> list[str]:
     pre-image guaranteed present under cleaning). Accepts (path) or
     (spark, path) for API symmetry. Returns the deleted paths."""
     p = path if path is not None else spark_or_path
-    _require_cow(p, "hudi_restore")
+    if _table_type(p) == "MERGE_ON_READ":
+        from graph_db_clustering_spark.sources.hudi_mor import (
+            hudi_restore_mor,
+        )
+
+        return hudi_restore_mor(p)
     timeline = hudi_timeline(p)
     sps = [t["instant"] for t in timeline if t["action"] == "savepoint"]
     if not sps:
@@ -1185,8 +1190,14 @@ def hudi_clean(path: str, retain_slices: int = 1) -> list[str]:
     unprotected instants older than the retained window stops working
     — that is what cleaning means; snapshot and incremental reads of
     the retained window are untouched. Driver-side O(files) like every
-    other timeline op. Returns the deleted paths."""
-    _require_cow(path, "hudi_clean")
+    other timeline op. Returns the deleted paths. MERGE_ON_READ
+    tables dispatch to the slice-aware cleaner (sources/hudi_mor)."""
+    if _table_type(path) == "MERGE_ON_READ":
+        from graph_db_clustering_spark.sources.hudi_mor import (
+            hudi_clean_mor,
+        )
+
+        return hudi_clean_mor(path, retain_slices)
     if retain_slices < 1:
         raise HudiError("hudi: clean must retain at least one slice")
     timeline = hudi_timeline(path)
@@ -1234,8 +1245,14 @@ def hudi_rollback(path: str) -> str:
     triplet is removed, and a completed `<instant>.rollback` records
     the action. Replacecommits are not rolled back (their replaced
     groups' visibility cannot be restored once a clean may have run) —
-    gate loudly. Returns the rolled-back instant."""
-    _require_cow(path, "hudi_rollback")
+    gate loudly. Returns the rolled-back instant. MERGE_ON_READ
+    tables dispatch to the stats-driven rollback (sources/hudi_mor)."""
+    if _table_type(path) == "MERGE_ON_READ":
+        from graph_db_clustering_spark.sources.hudi_mor import (
+            hudi_rollback_mor,
+        )
+
+        return hudi_rollback_mor(path)
     timeline = hudi_timeline(path)
     commits = [t for t in timeline if t["action"] in ("commit",
                                                       "replacecommit")]

@@ -971,6 +971,196 @@ def _apply_row_changes_mor(
     return instant
 
 
+def hudi_clean_mor(path: str, retain_slices: int = 1) -> list[str]:
+    """CLEAN a MERGE_ON_READ table: keep the newest `retain_slices`
+    FILE SLICES per group (a slice = its base file plus the log files
+    anchored to it — they live and die together) and, per savepoint,
+    the group's latest slice at-or-before it. Incremental pulls over
+    the retained window stay exact (the latest slice is never cleaned
+    and compaction preserves commit times); time travel past the
+    window stops working — that is what cleaning means. Driver-side
+    O(files). Returns the deleted paths."""
+    from graph_db_clustering_spark.sources.hudi import (
+        _hoodie_dir,
+        _list_base_files,
+        _list_log_files,
+    )
+
+    if retain_slices < 1:
+        raise HudiError("hudi: clean must retain at least one slice")
+    timeline = hudi_timeline(path)
+    valid = {
+        t["instant"] for t in timeline
+        if t["action"] in ("commit", "deltacommit", "replacecommit")
+    }
+    savepoints = sorted(
+        t["instant"] for t in timeline if t["action"] == "savepoint"
+    )
+    logs_by_anchor: dict = {}
+    for lf in _list_log_files(path):
+        logs_by_anchor.setdefault(
+            (lf["pp"], lf["file_id"], lf["base_instant"]), []
+        ).append(lf["abs"])
+    groups: dict = {}
+    for bf in _list_base_files(path, allow_logs=True):
+        if bf["instant"] not in valid:
+            continue  # pending/foreign: leave alone
+        groups.setdefault((bf["pp"], bf["file_id"]), []).append(bf)
+    deleted = []
+    for (pp, fid), slices in sorted(groups.items()):
+        slices.sort(key=lambda b: b["instant"], reverse=True)
+        protected = set()
+        for sp in savepoints:
+            eligible = [
+                b["instant"] for b in slices if b["instant"] <= sp
+            ]
+            if eligible:
+                protected.add(max(eligible))
+        for bf in slices[retain_slices:]:
+            if bf["instant"] in protected:
+                continue
+            os.remove(bf["abs"])
+            deleted.append(bf["abs"])
+            for lp in logs_by_anchor.pop(
+                (pp, fid, bf["instant"]), []
+            ):
+                os.remove(lp)
+                deleted.append(lp)
+    from graph_db_clustering_spark.sources.hudi import _next_instant
+
+    instant = _next_instant(path)
+    hd = _hoodie_dir(path)
+    open(os.path.join(hd, f"{instant}.clean.requested"), "w").close()
+    open(os.path.join(hd, f"{instant}.clean.inflight"), "w").close()
+    with open(os.path.join(hd, f"{instant}.clean"), "w") as f:
+        json.dump({
+            "totalFilesDeleted": len(deleted),
+            "policy": "KEEP_LATEST_FILE_VERSIONS",
+            "retained": retain_slices,
+        }, f)
+    return deleted
+
+
+def hudi_rollback_mor(path: str) -> str:
+    """ROLLBACK the latest completed deltacommit or compaction commit
+    on a MERGE_ON_READ table: the files its write stats name (log
+    files and/or base files) are deleted, its timeline triplet is
+    removed, and a completed `<instant>.rollback` records the action.
+    Rolling back a COMPACTION requires the pre-compaction slices to
+    still exist on disk (clean may have removed them — that would be
+    silent data loss, so it raises instead). Returns the rolled-back
+    instant."""
+    import re
+
+    from graph_db_clustering_spark.sources.hudi import (
+        _hoodie_dir,
+        _list_base_files,
+        _next_instant,
+    )
+
+    timeline = hudi_timeline(path)
+    commits = [
+        t for t in timeline
+        if t["action"] in ("commit", "deltacommit", "replacecommit")
+    ]
+    if not commits:
+        raise HudiError("hudi: nothing to roll back")
+    last = commits[-1]
+    if last["action"] == "replacecommit":
+        raise NotImplementedError(
+            "hudi: rollback of a replacecommit is not supported "
+            "(replaced-group visibility cannot be safely restored)"
+        )
+    if len(commits) == 1:
+        raise HudiError("hudi: will not roll back the table's only commit")
+    target = last["instant"]
+    meta = _commit_meta(path, target, last["action"])
+    if last["action"] == "commit":
+        # compaction: every compacted group needs a pre-image slice
+        older: set = set()
+        for bf in _list_base_files(path, allow_logs=True):
+            if bf["instant"] < target:
+                older.add((bf["pp"], bf["file_id"]))
+        for pp, stats in (
+            meta.get("partitionToWriteStats") or {}
+        ).items():
+            for s in stats:
+                if (pp, s.get("fileId")) not in older:
+                    raise HudiError(
+                        f"hudi: cannot roll back compaction {target} "
+                        f"— file group ({pp!r}, {s.get('fileId')}) "
+                        "has no older slice left (cleaned); rollback "
+                        "would lose its rows"
+                    )
+    for pp, stats in (meta.get("partitionToWriteStats") or {}).items():
+        for s in stats:
+            rel = s.get("path")
+            if not rel:
+                continue
+            fp = os.path.join(path, *rel.split("/"))
+            if os.path.exists(fp):
+                os.remove(fp)
+    hd = _hoodie_dir(path)
+    for fname in list(os.listdir(hd)):
+        m = re.match(r"^(\d{10,})(?:_(\d+))?\.", fname)
+        if m and m.group(1) == target:
+            os.remove(os.path.join(hd, fname))
+    instant = _next_instant(path)
+    with open(os.path.join(hd, f"{instant}.rollback"), "w") as f:
+        json.dump({"rolledBackInstant": target}, f)
+    return target
+
+
+def hudi_restore_mor(path: str) -> list[str]:
+    """RESTORE a MERGE_ON_READ table to its latest SAVEPOINT: every
+    file written by a later commit (per its write stats — log files
+    and base files alike) is deleted, those commits' timeline files
+    are removed, and a completed `<instant>.restore` lands. Requires
+    a savepoint (the clean protection that guarantees the pre-image
+    survives). Returns the deleted paths."""
+    import re
+
+    from graph_db_clustering_spark.sources.hudi import (
+        _hoodie_dir,
+        _next_instant,
+    )
+
+    timeline = hudi_timeline(path)
+    sps = [t["instant"] for t in timeline if t["action"] == "savepoint"]
+    if not sps:
+        raise HudiError("hudi: restore needs a savepoint")
+    sp = max(sps)
+    deleted = []
+    for t in timeline:
+        if t["instant"] <= sp or t["action"] not in (
+            "commit", "deltacommit", "replacecommit"
+        ):
+            continue
+        meta = _commit_meta(path, t["instant"], t["action"])
+        for pp, stats in (
+            meta.get("partitionToWriteStats") or {}
+        ).items():
+            for s in stats:
+                rel = s.get("path")
+                if not rel:
+                    continue
+                fp = os.path.join(path, *rel.split("/"))
+                if os.path.exists(fp):
+                    os.remove(fp)
+                    deleted.append(fp)
+    hd = _hoodie_dir(path)
+    for fname in list(os.listdir(hd)):
+        m = re.match(r"^(\d{10,})(?:_(\d+))?\.(\w+)", fname)
+        if m and m.group(1) > sp and m.group(3) not in (
+            "savepoint", "clean", "rollback", "restore"
+        ):
+            os.remove(os.path.join(hd, fname))
+    instant = _next_instant(path)
+    with open(os.path.join(hd, f"{instant}.restore"), "w") as f:
+        json.dump({"restoredToSavepoint": sp}, f)
+    return deleted
+
+
 def hudi_compact(spark: SparkSession, path: str) -> str:
     """COMPACTION: merge every file slice that has log files into ONE
     fresh base file per group at the compaction instant (a ``commit``

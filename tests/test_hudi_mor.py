@@ -401,20 +401,114 @@ def test_incremental_covers_inserts(spark, table):
 def test_cow_only_operations_gate(spark, table):
     t, _ = table
     from graph_db_clustering_spark.sources.hudi import (
-        hudi_clean,
         hudi_cluster,
-        hudi_rollback,
         read_hudi_pruned,
     )
 
     for fn, args in [
         (hudi_cluster, (spark, t)),
-        (hudi_clean, (t,)),
-        (hudi_rollback, (t,)),
         (read_hudi_pruned, (spark, t, "id", 0, 5)),
     ]:
         with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
             fn(*args)
+
+
+# --- maintenance (round 12: slice-aware clean/rollback/restore) --------
+
+
+def test_mor_rollback_deltacommit(spark, table):
+    import glob
+
+    from graph_db_clustering_spark.sources.hudi import hudi_rollback
+
+    t, i1 = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 9.0, 1), (100, "n", 1.0, 7)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    assert hudi_rollback(t) == i2
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20  # insert gone, update reverted
+    assert snap.filter("id = 4").collect()[0]["name"] == "n4"
+    assert not glob.glob(os.path.join(t, "*", ".*log*"))
+    # the insert's base file is gone (the empty partition dir may stay)
+    assert not glob.glob(os.path.join(t, "region=7", "*.parquet"))
+    tl = hudi_timeline(t)
+    assert [a["action"] for a in tl] == ["deltacommit", "rollback"]
+
+
+def test_mor_rollback_compaction(spark, table):
+    from graph_db_clustering_spark.sources.hudi import hudi_rollback
+
+    t, _ = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 9.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    ic = M.hudi_compact(spark, t)
+    assert hudi_rollback(t) == ic
+    snap = read_hudi(spark, t)  # old slice (base + log) live again
+    assert snap.count() == 20
+    assert snap.filter("id = 4").collect()[0]["name"] == "u"
+
+
+def test_mor_clean_removes_old_slices_with_logs(spark, table):
+    import glob
+
+    from graph_db_clustering_spark.sources.hudi import hudi_clean
+
+    t, i1 = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 9.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    M.hudi_compact(spark, t)
+    # pre-compaction slice (its base AND its log file) is deletable
+    deleted = hudi_clean(t, retain_slices=1)
+    assert any(".log." in p for p in deleted)
+    assert any(p.endswith(".parquet") for p in deleted)
+    assert not glob.glob(os.path.join(t, "*", ".*log*"))
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    assert snap.filter("id = 4").collect()[0]["name"] == "u"
+    # rolling back the compaction now would lose rows: loud
+    from graph_db_clustering_spark.sources.hudi import hudi_rollback
+
+    with pytest.raises(HudiError, match="no older slice"):
+        hudi_rollback(t)
+
+
+def test_mor_savepoint_restore(spark, table):
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_restore,
+        hudi_savepoint,
+    )
+
+    t, i1 = table
+    hudi_savepoint(t, i1)
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "u", 9.0, 1), (100, "n", 1.0, 7)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    M.hudi_compact(spark, t)
+    deleted = hudi_restore(t)
+    assert deleted  # compacted bases + log + insert base all gone
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    assert snap.filter("id = 4").collect()[0]["name"] == "n4"
+    assert {r["_hoodie_commit_time"] for r in snap.collect()} == {i1}
 
 
 def test_compact_on_cow_raises(spark, tmp_path):
