@@ -160,6 +160,7 @@ _SEQ = [0]  # fresh table dir per timed write-path run
 
 
 def _scratch(tag: str) -> str:
+    import atexit
     import shutil
     import tempfile
 
@@ -169,6 +170,9 @@ def _scratch(tag: str) -> str:
         f"gdc_scalewr_{os.getpid()}_{tag}_{_SEQ[0]}",
     )
     shutil.rmtree(d, ignore_errors=True)
+    # pid-suffixed names never collide across runs, so without this
+    # each run would leave its full write-path tables behind
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
 

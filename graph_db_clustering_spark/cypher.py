@@ -3733,17 +3733,31 @@ class CypherSession:
         add_months(a, m) not past b, then whole days, then leftover
         seconds (timestamps only). floor(months_between) can be off by
         one in either direction (it assumes 31-day months), so both
-        corrections are applied explicitly."""
+        corrections are applied explicitly. Reversed ranges (b < a)
+        truncate toward zero with java.time/Neo4j semantics — the
+        most-NEGATIVE m with add_months(a, m) >= b, then signed days,
+        then signed leftover seconds — so components carry a uniform
+        sign AND a + duration.between(a, b) = b round-trips exactly
+        (month clamping is not symmetric, so decomposing |interval|
+        and negating would break the round-trip on dates)."""
         datelike = isinstance(adt, T.DateType) and isinstance(
             bdt, T.DateType
         )
         if datelike:
-            m0 = F.floor(F.months_between(b, a)).cast("int")
-            m = (
-                m0
-                + F.when(F.add_months(a, m0 + 1) <= b, 1).otherwise(0)
-                - F.when(F.add_months(a, m0) > b, 1).otherwise(0)
+            mb = F.months_between(b, a)
+            m0f = F.floor(mb).cast("int")
+            m_fwd = (
+                m0f
+                + F.when(F.add_months(a, m0f + 1) <= b, 1).otherwise(0)
+                - F.when(F.add_months(a, m0f) > b, 1).otherwise(0)
             )
+            m0b = F.ceil(mb).cast("int")
+            m_bwd = (
+                m0b
+                - F.when(F.add_months(a, m0b - 1) >= b, 1).otherwise(0)
+                + F.when(F.add_months(a, m0b) < b, 1).otherwise(0)
+            )
+            m = F.when(b < a, m_bwd).otherwise(m_fwd)
             days = F.datediff(b, F.add_months(a, m))
             return self._duration_struct(m, days, F.lit(0))
         # timestamp / timestamp_ntz: the month count compares ANCHORED
@@ -3755,31 +3769,47 @@ class CypherSession:
         def addm(k):
             return ts_a + F.make_interval(z, k, z, z, z, z, z)
 
-        m0 = F.floor(F.months_between(ts_b, ts_a)).cast("int")
-        m = (
-            m0
-            + F.when(addm(m0 + 1) <= ts_b, 1).otherwise(0)
-            - F.when(addm(m0) > ts_b, 1).otherwise(0)
+        mb = F.months_between(ts_b, ts_a)
+        m0f = F.floor(mb).cast("int")
+        m_fwd = (
+            m0f
+            + F.when(addm(m0f + 1) <= ts_b, 1).otherwise(0)
+            - F.when(addm(m0f) > ts_b, 1).otherwise(0)
         )
+        m0b = F.ceil(mb).cast("int")
+        m_bwd = (
+            m0b
+            - F.when(addm(m0b - 1) >= ts_b, 1).otherwise(0)
+            + F.when(addm(m0b) < ts_b, 1).otherwise(0)
+        )
+        m = F.when(ts_b < ts_a, m_bwd).otherwise(m_fwd)
         total = F.unix_seconds(ts_b) - F.unix_seconds(addm(m))
-        days = F.floor(total / 86400).cast("long")
+        days = ((total - total % 86400) / 86400).cast("long")
         secs = (total - days * 86400).cast("double")
         return self._duration_struct(m, days, secs)
 
-    # Neo4j duration accessor -> (field, transform)
+    # Neo4j duration accessor -> (field, transform). Divisions
+    # truncate toward ZERO (Neo4j's negative-duration semantics), not
+    # floor — Spark's % keeps the dividend's sign, so (c - c % n) / n
+    # is exact truncating division, and double→long casts truncate.
+    @staticmethod
+    def _tdiv(c: Column, n: int) -> Column:
+        return ((c - c % n) / n).cast("long")
+
     _DURATION_ACCESSORS = {
-        "years": lambda c: F.floor(c["months"] / 12),
+        "years": lambda c: CypherSession._tdiv(c["months"], 12),
         "months": lambda c: c["months"],
         "monthsOfYear": lambda c: c["months"] % 12,
-        "weeks": lambda c: F.floor(c["days"] / 7),
+        "weeks": lambda c: CypherSession._tdiv(c["days"], 7),
         "days": lambda c: c["days"],
         "daysOfWeek": lambda c: c["days"] % 7,
-        "hours": lambda c: F.floor(c["seconds"] / 3600),
-        "minutes": lambda c: F.floor(c["seconds"] / 60),
-        "seconds": lambda c: F.floor(c["seconds"]),
-        "minutesOfHour": lambda c: F.floor(c["seconds"] / 60) % 60,
-        "secondsOfMinute": lambda c: F.floor(c["seconds"]) % 60,
-        "milliseconds": lambda c: F.floor(c["seconds"] * 1000),
+        "hours": lambda c: CypherSession._tdiv(c["seconds"], 3600),
+        "minutes": lambda c: CypherSession._tdiv(c["seconds"], 60),
+        "seconds": lambda c: c["seconds"].cast("long"),
+        "minutesOfHour": lambda c: CypherSession._tdiv(c["seconds"], 60)
+        % 60,
+        "secondsOfMinute": lambda c: c["seconds"].cast("long") % 60,
+        "milliseconds": lambda c: (c["seconds"] * 1000).cast("long"),
     }
 
     def _expr(self, e, df: DataFrame | None, params) -> Column:
@@ -4302,8 +4332,13 @@ class CypherSession:
                     secs = F.unix_seconds(
                         b.cast("timestamp")
                     ) - F.unix_seconds(a.cast("timestamp"))
+                    # truncate toward zero, not floor: a -25h span is
+                    # -1 whole day in Neo4j, not -2 (Spark's % keeps
+                    # the dividend's sign, so this is exact)
                     return self._duration_struct(
-                        z, F.floor(secs / 86400), z
+                        z,
+                        ((secs - secs % 86400) / 86400).cast("long"),
+                        z,
                     )
                 if name == "duration.inseconds":
                     adt = self._dtype_of(a, df)
@@ -4363,8 +4398,13 @@ class CypherSession:
                         )
                     )
                 if isinstance(a, Lit) and isinstance(a.value, str):
-                    if "+" in a.value or a.value.endswith("Z") or (
-                        "[" in a.value
+                    # whitelist plain clock forms: HH[:MM[:SS[.fff]]].
+                    # Anything else — '+HH:MM', '-HH:MM' (a negative
+                    # offset is NOT a separator here), trailing 'Z',
+                    # '[zone]' — gates loudly instead of being silently
+                    # cast to timestamp_ntz with the zone dropped.
+                    if not re.fullmatch(
+                        r"\d{2}(:\d{2}(:\d{2}(\.\d+)?)?)?", a.value
                     ):
                         raise ValueError(
                             f"cypher: {e.name}() with an explicit "

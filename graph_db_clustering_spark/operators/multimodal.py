@@ -909,7 +909,9 @@ def _decode_wav_inner(content: bytes) -> tuple[int, np.ndarray]:
             "audio decode: WAV (PCM/float/IMA-ADPCM), MP3 (MPEG-1 "
             "Layer III mono/stereo), FLAC (8/16/24-bit, mono/stereo), "
             "and Ogg Vorbis (round 11, functions/vorbis) are supported "
-            "codec-free; AAC needs an audio library (not installed)"
+            "codec-free; AAC decode is a PERMANENT gate (its Huffman "
+            "codebooks have no in-container cross-check source — probe "
+            "via audio_probe instead)"
         )
     pos, n = 12, len(content)
     fmt = None
@@ -1297,8 +1299,13 @@ def _probe_one_inner(content: bytes) -> tuple[str, int | None, int | None, float
             t.get("channels"),
             meta.get("duration_s"),
         )
-    # AAC in ADTS (round 12, VERDICT r11 Next #6 — PROBE only, the
-    # entropy decode stays gated): syncword 0xFFF with layer bits 00.
+    # AAC in ADTS (round 12, VERDICT r11 Next #6 — PROBE only; the
+    # entropy decode gate is PERMANENT, decided round 13 mirroring the
+    # MP3 escape-table call: AAC's scalefactor/spectral Huffman
+    # codebooks would have to be memorized with no independent
+    # transcription source in this container to cross-check against,
+    # violating the repo's every-codec-claim-is-cross-checked rule):
+    # syncword 0xFFF with layer bits 00.
     # Header fields per ISO 13818-7 / 14496-3; duration is exact from
     # walking every frame_length (1024 samples per raw data block).
     if (

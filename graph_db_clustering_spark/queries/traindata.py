@@ -2865,6 +2865,84 @@ def hudi_mor_compacted(spark, sf_dir):
 
 
 @declared(
+    "hudi_mor_pruned",
+    """WITH init AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 < 5
+), merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 20 = 0 THEN 1.0
+              ELSE o_totalprice END AS price
+  FROM init
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 7
+)
+SELECT o_orderkey, ROUND(price, 2) AS price
+FROM merged
+WHERE o_orderkey % 10 <> 3 AND o_orderkey % 40 <> 20
+  AND o_orderkey % 4 BETWEEN 1 AND 2
+ORDER BY o_orderkey""",
+)
+def hudi_mor_pruned(spark, sf_dir):
+    """Pruned MoR snapshot (round 13, VERDICT r12 Next #1 — the
+    everyday read path of a production MERGE_ON_READ table): the same
+    create → upsert → delete log history as hudi_mor_snapshot, read
+    with partition-dir pruning on pb ∈ [1, 2]. Pruning is SLICE-aware:
+    a dropped partition takes its base files AND their anchored log
+    files out of the plan before it exists, and the merge stays
+    slice-local over the survivors. The oracle is the surviving set
+    restricted to the kept partitions; the entry asserts files were
+    actually skipped — a pruner that silently reads everything passes
+    the values but fails the assert, one that drops a log file loses
+    the pb=1 inserts."""
+    from graph_db_clustering_spark.sources.hudi import read_hudi_pruned
+
+    t, _ = _build_hudi_orders(
+        spark, sf_dir, "morpr", table_type="MERGE_ON_READ"
+    )
+    df, nread, nskip = read_hudi_pruned(spark, t, "pb", 1, 2)
+    # pb=0 and pb=3 each hold >=1 base file, and pb=0 carries the
+    # %20==0 update logs / pb=3 the %10==3 delete logs
+    assert nskip >= 4, f"expected pruned base+log files, got {nskip}"
+    assert nread >= 2, nread
+    return (
+        df.filter(F.col("pb").between(1, 2))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+@declared("hudi_mor_clustered", _HUDI_SNAPSHOT_SQL)
+def hudi_mor_clustered(spark, sf_dir):
+    """Hudi clustering on a MERGE_ON_READ table (round 13, VERDICT r12
+    Next #3): after the log-block upsert/delete history, every live
+    file SLICE merges and lands as one base group per partition under
+    a replacecommit; old groups — and with them their log files — are
+    retired via partitionToReplaceFileIds. The snapshot must be
+    IDENTICAL to hudi_mor_snapshot's (same oracle), and afterwards no
+    live slice may carry logs — a replace rule that leaks a retired
+    group's log block re-applies dead updates."""
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_cluster,
+        read_hudi,
+    )
+    from graph_db_clustering_spark.sources.hudi_mor import _file_slices
+
+    t, _ = _build_hudi_orders(
+        spark, sf_dir, "morclu", table_type="MERGE_ON_READ"
+    )
+    hudi_cluster(spark, t)
+    slices, _valid = _file_slices(t)
+    assert len(slices) == 4 and all(
+        s["base"] and not s["logs"] for s in slices
+    ), f"expected 4 log-free slices, got {len(slices)}"
+    return (
+        read_hudi(spark, t, drop_meta=True)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
     "iceberg_dv",
     """SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,

@@ -121,22 +121,24 @@ def hudi_timeline(path: str) -> list[dict]:
     """Completed instants, ascending: [{'instant', 'action'}].
     Pending (.requested/.inflight) and auxiliary dirs are skipped.
     ``deltacommit`` (MERGE_ON_READ) is returned since round 12
-    (sources/hudi_mor.py consumes it); a completed LOG-compaction
-    still gates — merged log files carry COMPACTED_BLOCK_TIMES
-    semantics this reader does not implement."""
+    (sources/hudi_mor.py consumes it); ``logcompaction`` since round
+    13 — merged log files order at max(COMPACTED_BLOCK_TIMES) in the
+    slice merge (see hudi_mor._make_log_decoder). A completed
+    ``compaction`` action still gates: real Hudi completes full
+    compaction as a plain 'commit' (which IS supported), so such a
+    file signals a writer this reader does not know."""
     out = []
     for fname in sorted(os.listdir(_hoodie_dir(path))):
         m = _COMPLETED_RE.match(fname)
         if not m:
             continue
         action = m.group(3)
-        if action in ("compaction", "logcompaction"):
+        if action == "compaction":
             raise NotImplementedError(
-                "hudi: timeline action "
-                f"{action!r} ({fname}) — log compaction rewrites log "
-                "files with COMPACTED_BLOCK_TIMES semantics that this "
-                "reader does not implement (full compaction completes "
-                "as a plain 'commit' and IS supported)"
+                "hudi: completed timeline action "
+                f"{action!r} ({fname}) — real Hudi completes full "
+                "compaction as a plain 'commit' (supported); a "
+                "completed '.compaction' file signals an unknown writer"
             )
         out.append({"instant": m.group(1), "action": action})
     out.sort(key=lambda r: r["instant"])
@@ -322,8 +324,16 @@ def read_hudi_pruned(
     falls outside [lo, hi] are dropped by name, then the survivors'
     parquet footers prune on min/max (sources/parquet_stats — footer
     reads are distributed). Returns (df, files_read, files_skipped);
-    the caller still applies the row predicate."""
-    _require_cow(path, "read_hudi_pruned")
+    the caller still applies the row predicate. MERGE_ON_READ tables
+    dispatch to the slice-aware pruner (sources/hudi_mor.py, round
+    13): partition-dir pruning drops whole slices, footer stats drop
+    only BASE files (their logs keep merging from empty)."""
+    if _table_type(path) == "MERGE_ON_READ":
+        from graph_db_clustering_spark.sources.hudi_mor import (
+            read_hudi_mor_pruned,
+        )
+
+        return read_hudi_mor_pruned(spark, path, column, lo, hi, as_of)
     from graph_db_clustering_spark.sources.parquet_stats import (
         parquet_file_stats,
     )
@@ -375,7 +385,7 @@ def read_hudi_pruned(
 
 
 def _incremental_slices(
-    path: str, begin: str, end: str | None
+    path: str, begin: str, end: str | None, raise_on_empty: bool = True
 ) -> list[dict]:
     """Shared slice selection for incremental pulls (batch and
     streaming): newest in-range base file per file group, EXCLUDING
@@ -452,7 +462,14 @@ def _incremental_slices(
                         "the retained history"
                     )
     if not best:
-        raise HudiError("hudi: in-range commits wrote no base files")
+        # streaming callers pass raise_on_empty=False: a no-op
+        # upsert/delete that matched nothing still lands a commit with
+        # empty write stats, and a micro-batch covering only such
+        # commits must emit an empty batch, not kill the query. The
+        # batch API keeps the loud error.
+        if raise_on_empty:
+            raise HudiError("hudi: in-range commits wrote no base files")
+        return []
     return sorted(best.values(), key=lambda b: b["abs"])
 
 
@@ -982,23 +999,39 @@ def hudi_cluster(spark: SparkSession, path: str) -> str:
     recorded in ``partitionToReplaceFileIds`` — the small-file
     compaction a long-lived upsert table needs, and the read-side
     replace rule's own fixture. Rows keep their original meta columns
-    (commit time included) so incremental pulls stay exact. Returns
-    the replacecommit instant."""
-    _require_cow(path, "hudi_cluster")
+    (commit time included) so incremental pulls stay exact. On a
+    MERGE_ON_READ table (round 13, VERDICT r12 Next #3) the input is
+    the slice-MERGED snapshot and the replaced set is every live file
+    SLICE (log-only groups included) — their log files die with the
+    group, since a replaced group's logs are skipped by every reader.
+    Returns the replacecommit instant."""
+    mor = _table_type(path) == "MERGE_ON_READ"
     instant = _next_instant(path)
-    snap = _snapshot_with_groups(spark, path)
+    if mor:
+        from graph_db_clustering_spark.sources.hudi_mor import (
+            _file_slices,
+            _mor_snapshot,
+        )
+
+        snap = _mor_snapshot(spark, path, with_groups=True)
+    else:
+        snap = _snapshot_with_groups(spark, path)
     user_cols = [
         c for c in snap.columns
         if c not in _META_COLS and c not in ("_pp", "_fid")
     ]
-    # replace EVERY live group — from the file listing, not the
+    # replace EVERY live group — from the file/slice listing, not the
     # snapshot rows, so fully-emptied slices are retired too
     replaced: dict = {}
-    for p in hudi_live_files(path):
-        rel = os.path.relpath(p, path).replace(os.sep, "/")
-        m = _BASE_RE.match(rel.rsplit("/", 1)[-1])
-        pp = rel.rsplit("/", 1)[0] if "/" in rel else ""
-        replaced.setdefault(pp, []).append(m.group(1))
+    if mor:
+        for s in _file_slices(path)[0]:
+            replaced.setdefault(s["pp"], []).append(s["fid"])
+    else:
+        for p in hudi_live_files(path):
+            rel = os.path.relpath(p, path).replace(os.sep, "/")
+            m = _BASE_RE.match(rel.rsplit("/", 1)[-1])
+            pp = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            replaced.setdefault(pp, []).append(m.group(1))
     replaced = {pp: sorted(fids) for pp, fids in replaced.items()}
     fid_col = _uuid_col(F.col("_pp"), F.lit("clu"), F.lit(instant))
     out = snap.select(

@@ -53,11 +53,12 @@ window over ONLY the log rows (small next to the base), and the base
 exclusion is an anti-join Catalyst is free to broadcast. Nothing
 row-wise touches the driver.
 
-Scope (loud gates): HFILE/PARQUET/CDC data blocks, kryo delete
-blocks (v<3), clustering/clean/rollback/restore on MoR tables, and
-log files anchored to a PENDING compaction instant (our writer
-compacts atomically, so it cannot produce them) all raise
-NotImplementedError with the reason.
+Scope (loud gates): HFILE/PARQUET/CDC data blocks and kryo delete
+blocks (v<3) raise NotImplementedError with the reason.
+Clean/rollback/restore ARE implemented slice-aware (dispatched from
+sources/hudi.py), as are clustering (replacecommit over merged
+slices), stats/partition-pruned snapshot reads, and read-side
+``logcompaction`` instants — round 13 closed those gates.
 
 Reference parity: the reference re-reads its working set from an
 external store per stage (database.py throughout); MoR completes the
@@ -113,6 +114,7 @@ H_INSTANT_TIME = 0
 H_TARGET_INSTANT_TIME = 1
 H_SCHEMA = 2
 H_COMMAND_BLOCK_TYPE = 3
+H_COMPACTED_BLOCK_TIMES = 4
 
 AVRO_BLOCK_VERSION = 3
 DELETE_BLOCK_VERSION = 3
@@ -363,7 +365,8 @@ def _file_slices(path: str, as_of: str | None = None):
     for t in timeline:
         if as_of is not None and t["instant"] > str(as_of):
             break
-        if t["action"] in ("commit", "deltacommit", "replacecommit"):
+        if t["action"] in ("commit", "deltacommit", "replacecommit",
+                           "logcompaction"):
             valid.add(t["instant"])
         if t["action"] == "replacecommit":
             meta = _commit_meta(path, t["instant"], "replacecommit")
@@ -439,16 +442,34 @@ def _make_log_decoder(valid: frozenset, out_cols: list[str]):
                     instant = hdr.get(H_INSTANT_TIME)
                     if b["type"] == COMMAND_BLOCK:
                         # ROLLBACK: drop same-file blocks of the
-                        # target instant collected so far
+                        # target instant collected so far (matching
+                        # the block's OWN instant — a compacted
+                        # block's ordering instant is reassigned)
                         tgt = hdr.get(H_TARGET_INSTANT_TIME)
                         recs = [r for r in recs
-                                if r["_gdc_instant"] != tgt]
+                                if r["_gdc_own"] != tgt]
                         continue
                     if instant not in valid:
                         continue
+                    # round 13: a LOG-COMPACTED block (written under a
+                    # logcompaction instant) merges a PREFIX of the
+                    # slice's log chain; it must order at the position
+                    # of the newest instant it compacted, NOT at the
+                    # logcompaction instant — or its carried copies
+                    # would beat later, non-compacted updates. The
+                    # originals (all <= that instant) then lose to it
+                    # on the version tiebreak, so no explicit
+                    # suppression is needed.
+                    eff = instant
+                    cbt = hdr.get(H_COMPACTED_BLOCK_TIMES)
+                    if cbt:
+                        eff = max(
+                            x.strip() for x in cbt.split(",") if x
+                        )
                     base = {
                         "_pp": row.pp, "_fid": row.fid,
-                        "_gdc_instant": instant,
+                        "_gdc_own": instant,
+                        "_gdc_instant": eff,
                         "_gdc_v": int(row.version),
                         "_gdc_b": b_idx,
                     }
@@ -468,7 +489,7 @@ def _make_log_decoder(valid: frozenset, out_cols: list[str]):
                             decode_delete_block_content(b["content"])
                         ):
                             recs.append({
-                                "_hoodie_commit_time": instant,
+                                "_hoodie_commit_time": eff,
                                 "_hoodie_record_key": d["recordKey"],
                                 "_hoodie_partition_path":
                                     d["partitionPath"],
@@ -552,7 +573,9 @@ def _table_schema(spark: SparkSession, slices: list[dict]):
         blocks = decode_log_file(f.read())
     for b in blocks:
         if H_SCHEMA in b["header"]:
-            return spark_schema_for(json.loads(b["header"][H_SCHEMA]))
+            return spark_schema_for(
+                parse_schema(json.loads(b["header"][H_SCHEMA]))
+            )
     raise HudiError("hudi-log: no SCHEMA header in log-only table")
 
 
@@ -561,8 +584,16 @@ def _mor_snapshot(
     path: str,
     as_of: str | None = None,
     with_groups: bool = False,
+    pruned: tuple[list[dict], set] | None = None,
 ) -> DataFrame:
-    slices, valid = _file_slices(path, as_of)
+    """Merged snapshot plan. ``pruned`` short-circuits the slice
+    listing with a caller-selected (slices, valid) subset — the
+    pruned-read path drops whole slices by partition dir and base
+    files by footer stats before the plan exists."""
+    if pruned is not None:
+        slices, valid = pruned
+    else:
+        slices, valid = _file_slices(path, as_of)
     if not slices:
         raise HudiError(
             f"hudi: no live file slices at {path}"
@@ -636,6 +667,97 @@ def read_hudi_mor(
     return df
 
 
+def read_hudi_mor_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    as_of: str | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Pruned MERGE_ON_READ snapshot (round 13, VERDICT r12 Next #1):
+    file-level pruning BEFORE the merge plan exists, composed with the
+    slice-local log merge.
+
+    Two pruning stages, both slice-aware:
+
+    - partition-dir pruning: a hive segment ``column=v`` outside
+      [lo, hi] drops the WHOLE slice — base file AND its anchored log
+      files (file groups are partition-local; Hudi's record identity
+      is (record key, partition path), so an update can never move a
+      row across partitions into a pruned slice).
+    - footer-stats pruning: a surviving slice whose BASE min/max is
+      disjoint from [lo, hi] drops the base file but KEEPS its logs —
+      safe because merged rows originating from the base are exactly
+      the log-untouched keys (the anti-join survivors), whose values
+      the footer stats bound; every log-touched key's merged row comes
+      entirely from the log event, base not consulted. The slice then
+      merges from empty, like a log-only group. Slices with logs are
+      never dropped on stats alone.
+
+    Returns (df, files_read, files_skipped) counting base AND log
+    files; the caller still applies the row predicate."""
+    from graph_db_clustering_spark.sources.parquet_stats import (
+        parquet_file_stats,
+    )
+
+    slices, valid = _file_slices(path, as_of)
+    if not slices:
+        raise HudiError(f"hudi: no live file slices at {path}")
+    prefix = f"{column}="
+    kept, skipped = [], 0
+    for s in slices:
+        drop = False
+        for seg in (s["pp"].split("/") if s["pp"] else []):
+            if seg.startswith(prefix):
+                raw = seg[len(prefix):]
+                try:
+                    v = type(lo)(raw) if lo is not None else raw
+                except (TypeError, ValueError):
+                    break  # untyped partition value: never skip
+                if (lo is not None and v < lo) or (
+                    hi is not None and v > hi
+                ):
+                    drop = True
+                break
+        if drop:
+            skipped += (1 if s["base"] else 0) + len(s["logs"])
+        else:
+            kept.append(s)
+    if not kept:
+        raise HudiError("hudi: every file pruned — empty selection")
+    lo_b = lo if lo is not None else float("-inf")
+    hi_b = hi if hi is not None else float("inf")
+    with_base = {s["base"]: s for s in kept if s["base"]}
+    if with_base:
+        for st in parquet_file_stats(
+            spark, sorted(with_base), [column]
+        ):
+            mv, xv = st["min_values"], st["max_values"]
+            disjoint = False
+            try:
+                if column in mv and column in xv:
+                    disjoint = xv[column] < lo_b or mv[column] > hi_b
+            except TypeError:
+                disjoint = False
+            if not disjoint:
+                continue
+            s = with_base[st["path"]]
+            skipped += 1
+            if s["logs"]:
+                s = dict(s, base=None)  # merge from empty, logs kept
+                kept[kept.index(with_base[st["path"]])] = s
+            else:
+                kept.remove(with_base[st["path"]])
+    if not kept:
+        raise HudiError("hudi: every file pruned — empty selection")
+    files_read = sum(
+        (1 if s["base"] else 0) + len(s["logs"]) for s in kept
+    )
+    df = _mor_snapshot(spark, path, as_of, pruned=(kept, valid))
+    return df, files_read, skipped
+
+
 # ---------------------------------------------------------------------------
 # incremental read
 # ---------------------------------------------------------------------------
@@ -658,7 +780,8 @@ def read_hudi_incremental_mor(
     timeline = hudi_timeline(path)
     in_range = {
         t["instant"] for t in timeline
-        if t["action"] in ("commit", "deltacommit", "replacecommit")
+        if t["action"] in ("commit", "deltacommit", "replacecommit",
+                           "logcompaction")
         and t["instant"] > str(begin)
         and (end is None or t["instant"] <= str(end))
     }

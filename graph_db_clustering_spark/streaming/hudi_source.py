@@ -103,7 +103,9 @@ class _HudiStreamReader(DataSourceStreamReader):
             # shared replaced-group-aware selection: a batch spanning
             # an upsert and a later clustering replacecommit must not
             # emit the updated rows twice (sources/hudi docstring)
-            for bf in _incremental_slices(self._path, lo, hi):
+            for bf in _incremental_slices(
+                self._path, lo, hi, raise_on_empty=False
+            ):
                 out.append(_HudiPartition(bf["abs"], lo, hi, cols))
         if not out:
             out.append(_HudiPartition("", lo, hi, cols))
@@ -160,7 +162,8 @@ class _HudiMorStreamReader(DataSourceStreamReader):
         return [
             t["instant"]
             for t in hudi_timeline(self._path)
-            if t["action"] in ("commit", "deltacommit", "replacecommit")
+            if t["action"] in ("commit", "deltacommit",
+                               "replacecommit", "logcompaction")
         ]
 
     def initialOffset(self) -> dict:
@@ -207,6 +210,7 @@ class _HudiMorStreamReader(DataSourceStreamReader):
             AVRO_DATA_BLOCK,
             COMMAND_BLOCK,
             DELETE_BLOCK,
+            H_COMPACTED_BLOCK_TIMES,
             H_INSTANT_TIME,
             H_SCHEMA,
             H_TARGET_INSTANT_TIME,
@@ -248,32 +252,50 @@ class _HudiMorStreamReader(DataSourceStreamReader):
                 instant = hdr.get(H_INSTANT_TIME)
                 if b["type"] == COMMAND_BLOCK:
                     tgt = hdr.get(H_TARGET_INSTANT_TIME)
-                    recs = [r for r in recs if r[0][0] != tgt]
+                    recs = [r for r in recs if r[1] != tgt]
                     continue
                 if instant not in valid or not (lo < instant <= hi):
                     continue
+                # round 13: a log-compacted block orders at the newest
+                # instant it compacted, and its rows are CARRIED
+                # COPIES — only those whose preserved commit time is
+                # itself in range may emit (a copy of an event a
+                # previous micro-batch already delivered must not
+                # re-emit)
+                eff = instant
+                cbt = hdr.get(H_COMPACTED_BLOCK_TIMES)
+                if cbt:
+                    eff = max(x.strip() for x in cbt.split(",") if x)
                 if b["type"] == AVRO_DATA_BLOCK:
                     fields = parse_schema(_json.loads(hdr[H_SCHEMA]))
                     for r_idx, r in enumerate(
                         decode_avro_block_content(b["content"], fields)
                     ):
+                        ct = r.get("_hoodie_commit_time")
+                        if cbt and not (
+                            ct is not None and lo < ct <= hi
+                        ):
+                            continue
                         recs.append((
-                            (instant, version, b_idx, r_idx),
-                            False, r,
+                            (eff, version, b_idx, r_idx),
+                            instant, False, r,
                         ))
                 elif b["type"] == DELETE_BLOCK:
+                    if cbt and not (lo < eff <= hi):
+                        continue
                     for r_idx, d in enumerate(
                         decode_delete_block_content(b["content"])
                     ):
                         recs.append((
-                            (instant, version, b_idx, r_idx),
-                            True, {"_hoodie_record_key": d["recordKey"]},
+                            (eff, version, b_idx, r_idx),
+                            instant, True,
+                            {"_hoodie_record_key": d["recordKey"]},
                         ))
                 else:
                     raise NotImplementedError(
                         f"hudi_incremental: log block type {b['type']}"
                     )
-            for sort_key, deleted, row in recs:
+            for sort_key, _own, deleted, row in recs:
                 offer(row["_hoodie_record_key"], sort_key, deleted, row)
         cols = list(p.columns)
         return iter(

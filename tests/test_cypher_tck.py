@@ -656,6 +656,33 @@ SCENARIOS = [
      "WITH date('2021-02-28') AS a, date('2021-06-15') AS b "
      "RETURN a + duration.between(a, b) = b AS ok",
      [{"ok": True}], False),
+    # round 13 (ADVICE r12): reversed ranges truncate toward zero with
+    # uniform-sign components (java.time semantics) and round-trip
+    ("Temporal", "duration.between reversed dates truncates toward zero",
+     [],
+     "WITH date('2015-03-02') AS a, date('2015-01-30') AS b "
+     "WITH a, b, duration.between(a, b) AS d "
+     "RETURN d.months AS m, d.days AS dd, a + d = b AS ok",
+     [{"m": -1, "dd": -3, "ok": True}], False),
+    ("Temporal", "duration.between reversed timestamps uniform sign",
+     [],
+     "WITH localdatetime('2024-02-15T10:00:00') AS a, "
+     "localdatetime('2024-01-10T09:00:00') AS b "
+     "WITH a, b, duration.between(a, b) AS d "
+     "RETURN d.months AS m, d.days AS dd, d.seconds AS s, "
+     "a + d = b AS ok",
+     [{"m": -1, "dd": -5, "s": -3600, "ok": True}], False),
+    ("Temporal", "duration.inDays truncates negative spans toward zero",
+     [],
+     "RETURN duration.inDays(localdatetime('2024-01-16T11:00:00'), "
+     "localdatetime('2024-01-15T10:00:00')).days AS dd",
+     [{"dd": -1}], False),
+    ("Temporal", "negative duration accessors truncate toward zero",
+     [],
+     "WITH duration({hours: -1, seconds: -100}) AS d "
+     "RETURN d.minutes AS mins, d.minutesOfHour AS moh, "
+     "d.secondsOfMinute AS som",
+     [{"mins": -61, "moh": -1, "som": -40}], False),
 ]
 
 
@@ -744,3 +771,18 @@ def test_runtime_node_key_gates(spark):
     s.run("CREATE (:P {name: 'ada'})")
     with pytest.raises(ValueError, match="literal or parameter key"):
         s.run("MATCH (n:P) RETURN n[n.name]")
+
+
+@pytest.mark.parametrize("lit", [
+    "12:31:14+05:00",
+    "12:31:14-05:00",  # ADVICE r12: NEGATIVE offsets must gate too
+    "12:31:14Z",
+    "12:31:14[America/New_York]",
+    "123114",  # compact/non-clock forms gate rather than null-cast
+])
+def test_time_offset_zone_literals_gate(spark, lit):
+    s = _session(spark)
+    with pytest.raises(ValueError, match="offset/zone"):
+        s.run(f"RETURN time('{lit}') AS t")
+    with pytest.raises(ValueError, match="offset/zone"):
+        s.run(f"RETURN localtime('{lit}') AS t")

@@ -466,6 +466,36 @@ def test_stream_delete_emits_nothing(spark, table):
     assert _drain(spark, t, i2, "hudi_b2").count() == 0
 
 
+def test_stream_noop_commit_emits_empty_batch(spark, table):
+    """ADVICE r12 (medium): a delete that matches NOTHING still lands
+    a commit with empty write stats; a micro-batch covering only that
+    commit must emit an empty batch, not kill the query with
+    HudiError('in-range commits wrote no base files'). The batch API
+    keeps the loud error."""
+    import pytest
+
+    from graph_db_clustering_spark.sources.hudi import (
+        HudiError,
+        hudi_timeline,
+        read_hudi_incremental,
+    )
+
+    t, _ = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 99.0, 0)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    hudi_delete(spark, t, spark.createDataFrame([(555,)], "id long"))
+    i3 = hudi_timeline(t)[-1]["instant"]
+    assert i3 > i2  # the no-op delete DID land a commit
+    assert _drain(spark, t, i2, "hudi_noop").count() == 0
+    with pytest.raises(HudiError, match="wrote no base files"):
+        read_hudi_incremental(spark, t, i2, i3).collect()
+
+
 def test_stream_whole_range_matches_batch_incremental(spark, table):
     """A single micro-batch over (i1, latest] must equal
     read_hudi_incremental(i1): insert-then-deleted rows drop, carried

@@ -398,19 +398,112 @@ def test_incremental_covers_inserts(spark, table):
 # --- gates ------------------------------------------------------------
 
 
-def test_cow_only_operations_gate(spark, table):
+def _upsert_delete_history(spark, t):
+    """Shared history: update ids 0/1 via log blocks, insert 100,
+    delete id 2. Expected latest state: {0: 99.0, 1: 99.0, 100: 1.0,
+    3..19: float(id)} (id 2 gone)."""
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 99.0, 0), (1, "u", 99.0, 1), (100, "n", 1.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    hudi_delete(spark, t, spark.createDataFrame([(2,)], "id long"))
+    return {
+        **{i: float(i) for i in range(3, 20)},
+        0: 99.0, 1: 99.0, 100: 1.0,
+    }
+
+
+def test_mor_pruned_partition_dirs(spark, table):
+    """Round 13 (VERDICT r12 Next #1): partition-dir pruning drops the
+    whole slice — base AND logs — and the surviving partitions still
+    merge their log events."""
+    from graph_db_clustering_spark.sources.hudi import read_hudi_pruned
+
     t, _ = table
+    want = _upsert_delete_history(spark, t)
+    df, nread, nskip = read_hudi_pruned(spark, t, "region", 1, 1)
+    assert nskip >= 4  # region=0 and region=2 bases + their logs
+    got = {r["id"]: r["price"] for r in df.collect()}
+    assert got == {
+        k: v for k, v in want.items() if k % 3 == 1 or k == 100
+    }, got
+
+
+def test_mor_pruned_footer_stats_keep_logs(spark, table):
+    """Footer-stats pruning drops BASE files whose min/max is disjoint
+    but keeps their log files: an update that moves a key INTO the
+    range must still surface, while untouched out-of-range base rows
+    are pruned."""
+    from graph_db_clustering_spark.sources.hudi import read_hudi_pruned
+
+    t, _ = table
+    # ids 0..19, prices = id; push id 0's price to 990.0 via a log
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 990.0, 0)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    df, nread, nskip = read_hudi_pruned(spark, t, "price", 900.0, 1e9)
+    # every base file's price max is <= 19.0 -> all bases pruned; the
+    # one log file (region=0 slice) must survive and carry id 0
+    assert nskip >= 1
+    got = {
+        r["id"]: r["price"]
+        for r in df.filter("price >= 900.0").collect()
+    }
+    assert got == {0: 990.0}, got
+
+
+def test_mor_pruned_every_file(spark, table):
+    from graph_db_clustering_spark.sources.hudi import read_hudi_pruned
+
+    t, _ = table
+    with pytest.raises(HudiError, match="every file pruned"):
+        read_hudi_pruned(spark, t, "region", 99, 100)
+
+
+def test_mor_cluster_replacecommit(spark, table):
+    """Round 13 (VERDICT r12 Next #3): clustering a MoR table lands
+    ONE base group per partition via a replacecommit; the merged
+    snapshot is unchanged and the old slices (and their logs) are
+    retired from every reader."""
+    import glob
+
     from graph_db_clustering_spark.sources.hudi import (
         hudi_cluster,
-        read_hudi_pruned,
+        hudi_timeline,
     )
 
-    for fn, args in [
-        (hudi_cluster, (spark, t)),
-        (read_hudi_pruned, (spark, t, "id", 0, 5)),
-    ]:
-        with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
-            fn(*args)
+    t, i1 = table
+    want = _upsert_delete_history(spark, t)
+    before = {
+        r["id"]: r["price"]
+        for r in read_hudi(spark, t, drop_meta=True).collect()
+    }
+    assert before == want
+    ci = hudi_cluster(spark, t)
+    assert hudi_timeline(t)[-1] == {
+        "instant": ci, "action": "replacecommit"}
+    after_df = read_hudi(spark, t)
+    after = {r["id"]: r["price"] for r in after_df.collect()}
+    assert after == want
+    # one live slice per partition, no log files consulted
+    slices, _valid = M._file_slices(t)
+    assert len(slices) == 3 and all(
+        s["base"] and not s["logs"] for s in slices
+    ), slices
+    # commit times preserved -> incremental over (i1, latest] still
+    # returns exactly the upsert's latest state minus the delete
+    inc = {
+        r["id"]: r["price"]
+        for r in read_hudi_incremental(spark, t, i1).collect()
+    }
+    assert inc == {0: 99.0, 1: 99.0, 100: 1.0}, inc
 
 
 # --- maintenance (round 12: slice-aware clean/rollback/restore) --------
@@ -626,3 +719,159 @@ def test_stream_mor_spanning_compaction_no_duplicates(spark, table):
 def test_stream_mor_from_table_start(spark, table):
     t, _ = table
     assert _drain_mor(spark, t, None, "mor_b4").count() == 20
+
+
+# --- logcompaction on read (round 13, VERDICT r12 Next #10) -------------
+
+
+def _logcompact_prefix(t, n_blocks_from_versions):
+    """Hand-craft what hudi-spark's async LOG COMPACTION leaves behind:
+    merge the records of the log files with version <= `n` of the
+    single file slice into ONE new log file whose block carries
+    H_COMPACTED_BLOCK_TIMES, under a completed `.logcompaction`
+    timeline instant. Returns (logcompaction_instant,
+    [compacted original paths])."""
+    from graph_db_clustering_spark.sources.hudi import (
+        _list_log_files,
+        _next_instant,
+    )
+
+    logs = sorted(_list_log_files(t), key=lambda lf: lf["version"])
+    prefix = [lf for lf in logs if lf["version"] <= n_blocks_from_versions]
+    assert prefix, "fixture expects log files to compact"
+    fid = prefix[0]["file_id"]
+    anchor = prefix[0]["base_instant"]
+    pp = prefix[0]["pp"]
+    # decode the prefix, replay latest-per-key (the compactor's merge)
+    schema_json = None
+    state: dict = {}
+    times = set()
+    for lf in prefix:
+        with open(lf["abs"], "rb") as f:
+            blocks = M.decode_log_file(f.read())
+        for b in blocks:
+            hdr = b["header"]
+            times.add(hdr[M.H_INSTANT_TIME])
+            if b["type"] == M.AVRO_DATA_BLOCK:
+                schema_json = hdr[M.H_SCHEMA]
+                fields = M.parse_schema(json.loads(schema_json))
+                for r in M.decode_avro_block_content(
+                    b["content"], fields
+                ):
+                    state[r["_hoodie_record_key"]] = r
+            elif b["type"] == M.DELETE_BLOCK:
+                for d in M.decode_delete_block_content(b["content"]):
+                    state.pop(d["recordKey"], None)
+    assert schema_json is not None
+    instant = _next_instant(t)
+    fields = M.parse_schema(json.loads(schema_json))
+    blob = M.encode_log_block(
+        M.AVRO_DATA_BLOCK,
+        {
+            M.H_INSTANT_TIME: instant,
+            M.H_SCHEMA: schema_json,
+            M.H_COMPACTED_BLOCK_TIMES: ",".join(sorted(times)),
+        },
+        M.encode_avro_block_content(fields, list(state.values())),
+    )
+    ver = max(lf["version"] for lf in logs) + 1
+    d = os.path.join(t, pp) if pp else t
+    with open(
+        os.path.join(d, f".{fid}_{anchor}.log.{ver}_0-0-0"), "wb"
+    ) as f:
+        f.write(blob)
+    hd = os.path.join(t, ".hoodie")
+    open(os.path.join(hd, f"{instant}.logcompaction.requested"),
+         "w").close()
+    open(os.path.join(hd, f"{instant}.logcompaction.inflight"),
+         "w").close()
+    with open(os.path.join(hd, f"{instant}.logcompaction"), "w") as f:
+        json.dump({"operationType": "LOG_COMPACT"}, f)
+    return instant, [lf["abs"] for lf in prefix]
+
+
+@pytest.fixture()
+def logcompacted(spark, tmp_path):
+    """Unpartitioned single-group MoR table: create(ids 0..5) ->
+    upsert id0=100 (log v1) -> upsert id0=200, id1=111 (log v2) ->
+    logcompaction of v1 ONLY. The compacted copy of id0 carries the
+    STALE price 100 — correct readers order it at the compacted
+    instant, where the v2 update beats it."""
+    t = str(tmp_path / "t")
+    i1 = hudi_create(
+        spark, _df(spark, 6), t, "id",
+        n_file_groups=1, table_type="MERGE_ON_READ",
+    )
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 100.0, 0)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    i3 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u2", 200.0, 0), (1, "u2", 111.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    lci, originals = _logcompact_prefix(t, 1)
+    return t, (i1, i2, i3, lci), originals
+
+
+def _expect_lc():
+    return {
+        0: 200.0, 1: 111.0,
+        **{i: float(i) for i in range(2, 6)},
+    }
+
+
+def test_logcompaction_snapshot_orders_at_compacted_instant(
+    spark, logcompacted
+):
+    t, _, _ = logcompacted
+    got = {
+        r["id"]: r["price"]
+        for r in read_hudi(spark, t, drop_meta=True).collect()
+    }
+    assert got == _expect_lc(), got
+
+
+def test_logcompaction_survives_cleaning_originals(spark, logcompacted):
+    """After the compacted originals are physically removed (what the
+    cleaner does next), the compacted copy is the only carrier of the
+    v1 event — it must still merge, and still lose to v2."""
+    t, (i1, i2, _i3, _lci), originals = logcompacted
+    for p in originals:
+        os.remove(p)
+    got = {
+        r["id"]: r["price"]
+        for r in read_hudi(spark, t, drop_meta=True).collect()
+    }
+    assert got == _expect_lc(), got
+    # NOTE: time travel to i2 after the originals are cleaned is
+    # lossy in real Hudi too — the compacted copy is anchored at the
+    # later logcompaction instant and invisible at i2. Not asserted.
+
+
+def test_logcompaction_incremental_exact(spark, logcompacted):
+    t, (i1, _i2, _i3, _lci), _ = logcompacted
+    inc = {
+        r["id"]: r["price"]
+        for r in read_hudi_incremental(spark, t, i1).collect()
+    }
+    assert inc == {0: 200.0, 1: 111.0}, inc
+
+
+def test_logcompaction_stream_no_duplicates(spark, logcompacted):
+    """A stream spanning the whole history must emit each event once:
+    the compacted COPY of the v1 update must not re-emit next to the
+    original, and the batch ending at the logcompaction instant must
+    emit nothing new."""
+    t, (i1, _i2, _i3, _lci), _ = logcompacted
+    rows = _drain_mor(spark, t, i1, "mor_lc1")
+    got = sorted(
+        (r["id"], r["price"]) for r in rows.collect()
+    )
+    assert got == [(0, 200.0), (1, 111.0)], got
