@@ -47,6 +47,11 @@ HEADLINE = [
     "pca_embed",  # one moments pass + driver eigh + codegen projection
     "gmm_embed",  # 5 EM rounds: codegen E-step, k*d-key M-step aggregate
     "graph_louvain",  # modularity sweeps + community contraction levels
+    # round 13 (VERDICT r12 #4): first lakehouse row in the headline
+    # set — MoR create + log-block upsert/delete + snapshot merge, so
+    # a regression in the newest heavy machinery shows every round,
+    # not only in scale runs
+    "hudi_mor_snapshot",
 ]
 
 

@@ -57,6 +57,9 @@ HEAVY = [
     # metadata-sized driver planning worth proving stays flat
     "hudi_upsert_30k",
     "delta_merge_30k",
+    # round 13 (VERDICT r12 #2): the MoR log-block landing + snapshot
+    # merge — the one round-12 heavy surface with no measured bound
+    "hudi_mor_upsert_30k",
 ]
 
 
@@ -210,6 +213,48 @@ def hudi_upsert_30k(spark, sf_dir):
         "o_totalprice", "pb",
     ).limit(500)
     hudi_upsert(spark, t, upd.unionByName(new))
+    return read_hudi(spark, t, drop_meta=True)
+
+
+def hudi_mor_upsert_30k(spark, sf_dir):
+    """Hudi MERGE_ON_READ write+read scale row (VERDICT r12 #2): the
+    same shape as hudi_upsert_30k but the update/insert history lands
+    as HoodieLogFormat blocks (applyInPandas encode, driver renames
+    staged files only) and the timed read is the SNAPSHOT MERGE —
+    executor-side mapInPandas block decode, per-group latest-event
+    window over only the log rows, anti-join base exclusion. Growth
+    near 1x-per-data-x proves both the log landing and the merge plan
+    scale with data, with driver work bounded by touched groups."""
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_create,
+        hudi_delete,
+        hudi_upsert,
+        read_hudi,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 1_000_000) < 3000
+    ).select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 4).cast("int").alias("pb"),
+    )
+    t = os.path.join(_scratch("hudi_mor"), "t")
+    hudi_create(
+        spark, o, t, "o_orderkey", partition_field="pb",
+        n_file_groups=4, table_type="MERGE_ON_READ",
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    new = o.select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        "o_totalprice", "pb",
+    ).limit(500)
+    hudi_upsert(spark, t, upd.unionByName(new))
+    hudi_delete(
+        spark, t,
+        o.filter(F.col("o_orderkey") % 50 == 3).select("o_orderkey"),
+    )
     return read_hudi(spark, t, drop_meta=True)
 
 
@@ -407,6 +452,7 @@ def main() -> None:
         "graph_louvain_3k": graph_louvain_3k,
         "hudi_upsert_30k": hudi_upsert_30k,
         "delta_merge_30k": delta_merge_30k,
+        "hudi_mor_upsert_30k": hudi_mor_upsert_30k,
     }
     queries.update(extra)
     # in-run sf0.1 baselines for rows not in bench.py's set

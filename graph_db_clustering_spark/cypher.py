@@ -48,8 +48,10 @@ Semantics on Spark (the binding-table model, as in openCypher):
 - Mutations build batch DataFrames and apply once per run() — one
   union/join per statement, where the reference pays one Bolt round trip
   per row (image_classification.py:217-221, 444-445).
-- Labels map to a `label` vertex column; Neo4j's internal ID() maps to
-  the `id` / `eid` columns.
+- Labels map to a `label` vertex column; multi-labels (round 13) store
+  as a sorted ':'-joined set in the same column ((n:A:B) -> "A:B"), so
+  single-label graphs keep the plain-string contract. Neo4j's internal
+  ID() maps to the `id` / `eid` columns.
 
 Scale notes: MATCH patterns are equi-joins Catalyst plans (broadcast for
 small sides like the centroid label); property filters push into the
@@ -268,6 +270,15 @@ class Index:
 
 
 @dataclass
+class LabelTest:
+    """`n:Label[:Label2]` in EXPRESSION position (WHERE n:A AND ...):
+    true iff the node carries every listed label; on a relationship
+    variable, a single-type test. ':'-joined sorted, like NodePat."""
+    base: object
+    label: str
+
+
+@dataclass
 class Bin:
     op: str
     left: object
@@ -277,6 +288,10 @@ class Bin:
 @dataclass
 class NodePat:
     var: str | None
+    # round 13: one OR MORE labels, ':'-joined in SORTED order
+    # ((n:B:A) -> "A:B") — the single-label case is the plain name.
+    # Sorted canonicalization makes CREATE/MERGE/labels() agree on one
+    # spelling of a label set.
     label: str | None
     props: dict
 
@@ -301,6 +316,10 @@ class EdgePat:
     # quantified group spans more than one relationship; each
     # repetition traverses the whole chain (composite step)
     qpp_body: object = None  # Path | None
+    # round 13: group variables INSIDE a multi-relationship body —
+    # (node var per body position 0..m, edge var per position 0..m-1);
+    # each binds the per-repetition LIST at its chain position
+    qpp_body_vars: tuple = ((), ())
 
 
 @dataclass
@@ -353,6 +372,7 @@ class CreateC:
 @dataclass
 class SetC:
     assignments: list  # [(var, prop, expr)]
+    labels: list = field(default_factory=list)  # [(var, label)] SET n:L
 
 
 @dataclass
@@ -510,6 +530,8 @@ def _has_agg(e) -> bool:
         return _has_agg(e.base)
     if isinstance(e, Index):
         return _has_agg(e.base)
+    if isinstance(e, LabelTest):
+        return _has_agg(e.base)
     if isinstance(e, MapLit):
         return any(_has_agg(v) for v in e.items.values())
     if isinstance(e, ListLit):
@@ -547,6 +569,8 @@ def _name_of(e) -> str:
         return f"${e.name}"
     if isinstance(e, Index):
         return f"{_name_of(e.base)}[{e.idx}]"
+    if isinstance(e, LabelTest):
+        return f"{_name_of(e.base)}:{e.label}"
     if isinstance(e, PatternComp):
         return "[pattern]"
     if isinstance(e, Case):
@@ -751,18 +775,24 @@ class _Parser:
 
     def set_clause(self):
         self.expect("kw", "set")
-        assignments = []
+        assignments, labels = [], []
         while True:
             var = self.expect("ident")[1]
-            self.expect("op", ".")
-            prop = self.ident()
-            self.expect("op", "=")
-            assignments.append((var, prop, self.expr()))
+            if self.peek() == ("op", ":"):
+                # SET n:Label[:Label2] — add labels to the node's set
+                while self.peek() == ("op", ":"):
+                    self.next()
+                    labels.append((var, self.ident()))
+            else:
+                self.expect("op", ".")
+                prop = self.ident()
+                self.expect("op", "=")
+                assignments.append((var, prop, self.expr()))
             if self.peek() == ("op", ","):
                 self.next()
                 continue
             break
-        return SetC(assignments)
+        return SetC(assignments, labels)
 
     def call_clause(self):
         """CALL { subquery } — the uncorrelated, read-only form (its
@@ -917,10 +947,10 @@ class _Parser:
 
     def remove_clause(self):
         """REMOVE n.prop / REMOVE n:Label [, ...] — property removal is a
-        typed-NULL update; label removal nulls the single `label` column
-        on nodes whose current label matches (this graph layer models ONE
-        label per vertex, so removing a non-matching label is a no-op,
-        exactly Neo4j's behavior for a label the node doesn't have)."""
+        typed-NULL update; label removal subtracts the label from the
+        node's label set (round 13 multi-label model), nulling the
+        column when the set empties; removing a label the node doesn't
+        carry is a no-op, exactly Neo4j's behavior."""
         self.expect("kw", "remove")
         items, labels = [], []
         while True:
@@ -1086,21 +1116,24 @@ class _Parser:
                 qpp=True, qpp_src=qsrc, qpp_dst=qdst,
                 qpp_vars=(left.var, epat.var, right.var),
             )
-        # multi-relationship body (round 12): anonymous inner
-        # patterns only — group variables over a composite step would
-        # need per-position list bindings
-        if any(n.var for n in inner.nodes) or any(
-            e2.var for e2 in inner.edges
-        ):
+        # multi-relationship body (round 12); round 13 adds GROUP
+        # VARIABLES over the composite step — per-position list
+        # bindings sliced from the enriched path frame. A variable
+        # repeated across positions would need per-repetition
+        # unification; that narrow residue still gates.
+        body_nv = tuple(n.var for n in inner.nodes)
+        body_ev = tuple(e2.var for e2 in inner.edges)
+        named = [v for v in body_nv + body_ev if v]
+        if len(named) != len(set(named)):
             raise ValueError(
-                "cypher: group variables inside a MULTI-relationship "
-                "quantified path pattern are unsupported — use "
-                "anonymous or label/property-constrained inner "
-                "patterns"
+                "cypher: a variable repeated across positions of a "
+                "MULTI-relationship quantified path pattern is "
+                "unsupported (per-repetition unification)"
             )
         return EdgePat(
             None, None, {}, "out", (lo, hi),
             qpp=True, qpp_body=inner,
+            qpp_body_vars=(body_nv, body_ev),
         )
 
     def node_pat(self):
@@ -1110,8 +1143,12 @@ class _Parser:
         if self.peek()[0] == "ident":
             var = self.next()[1]
         if self.peek() == ("op", ":"):
-            self.next()
-            label = self.ident()
+            labels = []
+            while self.peek() == ("op", ":"):
+                self.next()
+                labels.append(self.ident())
+            # multi-labels (n:A:B) canonicalize to sorted ':'-joined
+            label = ":".join(sorted(set(labels)))
         if self.peek() == ("op", "{"):
             props = self.prop_map()
         self.expect("op", ")")
@@ -1257,6 +1294,20 @@ class _Parser:
                     # x[i + 1]
                     e = Index(e, self.expr())
                 self.expect("op", "]")
+            elif (
+                t == ("op", ":")
+                and isinstance(e, Var)
+                and self.peek(1)[0] in ("ident", "kw")
+            ):
+                # round 13: label test n:A[:B] as a boolean expression.
+                # Unambiguous here — ':' otherwise appears only in map
+                # literals (keys are consumed by prop_map, never after
+                # a parsed operand) and node patterns (own parser).
+                labels = []
+                while self.peek() == ("op", ":"):
+                    self.next()
+                    labels.append(self.ident())
+                e = LabelTest(e, ":".join(sorted(set(labels))))
             else:
                 return e
 
@@ -1677,6 +1728,31 @@ class CypherSession:
 
     # -- MATCH --------------------------------------------------------------
 
+    # -- labels ---------------------------------------------------------
+    # Multi-label storage (round 13, VERDICT r12 Next #5): the single
+    # `label` string column holds one OR MORE labels ':'-joined in
+    # sorted order ("A:B"). The public Graph contract (a plain string
+    # label column) is unchanged — single-label graphs never see a ':'.
+    # Every label PREDICATE splits and tests membership, so (n:A)
+    # matches both "A" and "A:B"; labels(n) splits; CREATE stores the
+    # canonical joined set; REMOVE/SET subtract/add set members.
+
+    @staticmethod
+    def _labels_of(col: Column) -> Column:
+        """Label set as array<string>; unlabeled -> [] (Neo4j labels())."""
+        return F.when(
+            col.isNull(), F.array().cast("array<string>")
+        ).otherwise(F.split(col, ":"))
+
+    @staticmethod
+    def _has_labels(col: Column, joined: str) -> Column:
+        """ALL labels of the ':'-joined pattern present in `col`."""
+        pred = None
+        for lbl in joined.split(":"):
+            p = F.array_contains(F.split(col, ":"), lbl)
+            pred = p if pred is None else (pred & p)
+        return pred
+
     def _node_frame(self, pat: NodePat, name: str, params) -> DataFrame:
         v = self.graph.vertices
         if pat.label is not None:
@@ -1684,7 +1760,7 @@ class CypherSession:
                 raise ValueError(
                     f"graph has no '{LABEL_COL}' column but query uses :{pat.label}"
                 )
-            v = v.filter(F.col(LABEL_COL) == pat.label)
+            v = v.filter(self._has_labels(F.col(LABEL_COL), pat.label))
         for k, e in pat.props.items():
             v = v.filter(F.col(k) == self._expr(e, None, params))
         return v.select(F.struct(*v.columns).alias(name))
@@ -1829,7 +1905,7 @@ class CypherSession:
             return step
         v = self.graph.vertices
         if npat.label is not None:
-            v = v.filter(F.col("label") == npat.label)
+            v = v.filter(self._has_labels(F.col("label"), npat.label))
         for k, ex in npat.props.items():
             v = v.filter(F.col(k) == self._expr(ex, None, params))
         return step.join(v.select(F.col("id").alias(col)), col, "semi")
@@ -2203,7 +2279,15 @@ class CypherSession:
                             epat.qpp_vars if epat.qpp
                             else (None, None, None)
                         )
-                        if pv is None and not (gsv or gev or gdv):
+                        body_nv, body_ev = (
+                            epat.qpp_body_vars
+                            if epat.qpp and epat.qpp_body is not None
+                            else ((), ())
+                        )
+                        if pv is None and not (
+                            gsv or gev or gdv
+                            or any(body_nv) or any(body_ev)
+                        ):
                             ef = self._varlength_paths(
                                 epat, params
                             ).select(
@@ -2250,6 +2334,47 @@ class CypherSession:
                                 ).alias(gdv))
                             if gev:
                                 sel.append(rels_col.alias(gev))
+                            # round 13: group variables inside a
+                            # MULTI-relationship body — position j of
+                            # repetition r is pnodes[r*m + j] (0-based;
+                            # pnodes[0] is the outer source), its edge
+                            # eids[r*m + i]. Zero repetitions bind [].
+                            if any(body_nv) or any(body_ev):
+                                m = len(body_ev)
+                                reps = (
+                                    F.size("eids") / F.lit(m)
+                                ).cast("int")
+                                seq = F.when(
+                                    reps > F.lit(0),
+                                    F.sequence(
+                                        F.lit(0), reps - F.lit(1)
+                                    ),
+                                ).otherwise(
+                                    F.array().cast("array<int>")
+                                )
+                                # single-arg lambda factory: a 2-arg
+                                # lambda would make transform() pass
+                                # the ARRAY INDEX as the second arg,
+                                # shadowing the captured position
+                                def _picker(arr, off):
+                                    return lambda r: F.element_at(
+                                        arr, r * F.lit(m) + F.lit(off)
+                                    )
+
+                                for j, nv in enumerate(body_nv):
+                                    if not nv:
+                                        continue
+                                    sel.append(F.transform(
+                                        seq,
+                                        _picker(F.col("pnodes"), j + 1),
+                                    ).alias(nv))
+                                for i, ev in enumerate(body_ev):
+                                    if not ev:
+                                        continue
+                                    sel.append(F.transform(
+                                        seq,
+                                        _picker(rels_col, i + 1),
+                                    ).alias(ev))
                             ef = enriched.select(*sel)
                     else:
                         ef = self._varlength_pairs(epat, params).select(
@@ -2421,6 +2546,8 @@ class CypherSession:
                 return Prop(rw(e.base), e.name)
             if isinstance(e, Index):
                 return Index(rw(e.base), e.idx)
+            if isinstance(e, LabelTest):
+                return LabelTest(rw(e.base), e.label)
             if isinstance(e, Case):
                 return Case(
                     rw(e.subject) if e.subject is not None else None,
@@ -2489,6 +2616,8 @@ class CypherSession:
                 return Prop(rw(e.base), e.name)
             if isinstance(e, Index):
                 return Index(rw(e.base), e.idx)
+            if isinstance(e, LabelTest):
+                return LabelTest(rw(e.base), e.label)
             if isinstance(e, Func):
                 return Func(e.name, [rw(a) for a in e.args], e.distinct)
             if isinstance(e, MapLit):
@@ -3022,6 +3151,34 @@ class CypherSession:
             ctx.ops.append(pm)
 
     def _set(self, ctx: _Ctx, c: SetC, params) -> None:
+        for var, label in c.labels:
+            df = ctx.df
+            if var in ctx.created:
+                pc = ctx.created[var]
+                pc.df = pc.df.withColumn(
+                    LABEL_COL,
+                    F.array_join(F.array_sort(F.array_union(
+                        self._labels_of(
+                            F.col(LABEL_COL)
+                            if LABEL_COL in pc.df.columns
+                            else F.lit(None).cast("string")
+                        ),
+                        F.array(F.lit(label)),
+                    )), ":"),
+                )
+                continue
+            if df is None or var not in df.columns:
+                raise ValueError(f"cypher: SET on unbound variable {var}")
+            if "src" in self._fields(df, var):
+                raise ValueError(
+                    "cypher: SET of a label applies to nodes, not "
+                    "relationships"
+                )
+            ids = (
+                df.select(F.col(var).getField("id").alias("_sid"))
+                .dropDuplicates(["_sid"])
+            )
+            ctx.ops.append(("set_label", ids, label))
         by_var: dict[str, list] = {}
         for var, prop, e in c.assignments:
             by_var.setdefault(var, []).append((prop, e))
@@ -3161,9 +3318,14 @@ class CypherSession:
             # bindings pass through untouched
             return
         if c.name == "db.labels":
+            # multi-label aware: each member of a node's label set is
+            # its own token (Neo4j lists labels, not combinations)
             df = (
-                g.vertices.select(F.col(LABEL_COL).alias("label"))
-                .filter(F.col("label").isNotNull())
+                g.vertices.select(
+                    F.explode(
+                        self._labels_of(F.col(LABEL_COL))
+                    ).alias("label")
+                )
                 .distinct()
                 .orderBy("label")
             )
@@ -3363,14 +3525,18 @@ class CypherSession:
                     "cypher: REMOVE of a label applies to nodes, not "
                     "relationships"
                 )
-            # single-label model: null the label column, but only on
-            # nodes that actually carry THIS label (no-op otherwise)
+            # subtract THIS label from the node's label set (round 13:
+            # multi-label aware — only nodes carrying it are touched;
+            # removing the last label nulls the column, Neo4j's
+            # unlabeled-node state)
             ids = (
-                df.filter(F.col(var).getField(LABEL_COL) == label)
+                df.filter(self._has_labels(
+                    F.col(var).getField(LABEL_COL), label
+                ))
                 .select(F.col(var).getField("id").alias("_sid"))
                 .dropDuplicates(["_sid"])
             )
-            ctx.ops.append(("remove", "node", ids, [LABEL_COL]))
+            ctx.ops.append(("remove_label", ids, label))
 
     def _delete(self, ctx: _Ctx, c: DeleteC) -> None:
         df = ctx.df
@@ -3529,6 +3695,32 @@ class CypherSession:
                 g = (
                     Graph(out, g.edges) if kind == "node" else Graph(g.vertices, out)
                 )
+            elif op[0] in ("remove_label", "set_label"):
+                _, ids, lbl = op
+                target = g.vertices
+                marked = ids.withColumn("_rm", F.lit(True))
+                joined = target.join(
+                    F.broadcast(marked),
+                    target["id"] == marked["_sid"], "left",
+                )
+                cur = self._labels_of(F.col(LABEL_COL))
+                if op[0] == "remove_label":
+                    arr = F.array_remove(cur, lbl)
+                else:
+                    arr = F.array_union(cur, F.array(F.lit(lbl)))
+                new = F.when(
+                    F.size(arr) > 0,
+                    F.array_join(F.array_sort(arr), ":"),
+                )
+                sel = [
+                    F.when(F.col("_rm"), new)
+                    .otherwise(F.col(col))
+                    .alias(col)
+                    if col == LABEL_COL
+                    else F.col(col)
+                    for col in target.columns
+                ]
+                g = Graph(joined.select(*sel), g.edges)
             elif op[0] == "del_edges":
                 g = Graph(g.vertices, g.edges.join(op[1], "eid", "left_anti"))
             elif op[0] == "del_nodes":
@@ -3823,6 +4015,23 @@ class CypherSession:
             if e.name in self._lambda_env:
                 return self._lambda_env[e.name]
             return F.col(e.name)
+        if isinstance(e, LabelTest):
+            base = self._expr(e.base, df, params)
+            if (
+                isinstance(e.base, Var)
+                and df is not None
+                and e.base.name in df.columns
+                and isinstance(
+                    df.schema[e.base.name].dataType, T.StructType
+                )
+                and "src" in df.schema[e.base.name].dataType.names
+            ):
+                # relationship variable: r:TYPE is a type test (types
+                # are single-valued, so multi tests can never hold)
+                if ":" in e.label:
+                    return F.lit(False)
+                return base.getField("relationship") == e.label
+            return self._has_labels(base.getField(LABEL_COL), e.label)
         if isinstance(e, Prop):
             # openCypher: accessing a property a node/edge does not HAVE
             # is null, not an error — when the base is a plain bound
@@ -4200,8 +4409,8 @@ class CypherSession:
             if name == "pi":
                 return F.lit(math.pi)
             if name == "labels":
-                # single-label vertex model: labels(n) == [n.label]
-                return F.array(
+                # round 13: label SET (sorted, ':'-split); unlabeled -> []
+                return self._labels_of(
                     self._expr(e.args[0], df, params).getField(LABEL_COL)
                 )
             if name == "type":

@@ -1779,19 +1779,30 @@ def cypher_qpp(spark, sf_dir):
     f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
            FROM customer WHERE c_custkey < {_CAP})
-SELECT a.id AS aid, b.id AS bid
-FROM v a JOIN v b
-  ON a.nation = b.nation AND b.pos - a.pos IN (3, 6)
-ORDER BY aid, bid""",
+SELECT * FROM (
+  SELECT a.id AS aid, b.id AS bid, [m1.id] AS mids
+  FROM v a JOIN v b ON a.nation = b.nation AND b.pos - a.pos = 3
+  JOIN v m1 ON m1.nation = a.nation AND m1.pos = a.pos + 1
+  UNION ALL
+  SELECT a.id, b.id, [m1.id, m2.id]
+  FROM v a JOIN v b ON a.nation = b.nation AND b.pos - a.pos = 6
+  JOIN v m1 ON m1.nation = a.nation AND m1.pos = a.pos + 1
+  JOIN v m2 ON m2.nation = a.nation AND m2.pos = a.pos + 4
+) ORDER BY aid, bid""",
 )
 def cypher_qpp_multirel(spark, sf_dir):
     """MULTI-relationship QPP body (round 12): each repetition of
-    (()-[:NEXT]->()-[:SKIP]->()) traverses the whole two-edge chain as
-    one COMPOSITE step (+1 then +2 positions within a nation = +3 per
-    repetition), so {1,2} reaches exactly the nodes 3 and 6 positions
-    ahead — one path each, stated relationally by the oracle. A plan
-    that quantifies only the first relationship, drops the shared-node
-    join, or misses intra-step edge uniqueness shifts the rowset."""
+    (()-[:NEXT]->(m)-[:SKIP]->()) traverses the whole two-edge chain
+    as one COMPOSITE step (+1 then +2 positions within a nation = +3
+    per repetition), so {1,2} reaches exactly the nodes 3 and 6
+    positions ahead — one path each, stated relationally by the
+    oracle. Round 13 (VERDICT r12 Next #6) extends the entry with a
+    GROUP VARIABLE on the interior node: `m` binds the per-repetition
+    midpoint LIST ([a+1] / [a+1, a+4] positions), sliced per chain
+    position from the enriched path frame. A plan that quantifies only
+    the first relationship, drops the shared-node join, misses
+    intra-step edge uniqueness, or mis-indexes the position slices
+    shifts the rowset."""
     from graph_db_clustering_spark.cypher import CypherSession
 
     c = (
@@ -1824,9 +1835,10 @@ def cypher_qpp_multirel(spark, sf_dir):
     )
     s = CypherSession(Graph(c.drop("nation"), edges))
     return s.run(
-        """MATCH (a:Customer) (()-[:NEXT]->()-[:SKIP]->()){1,2}
+        """MATCH (a:Customer) (()-[:NEXT]->(m)-[:SKIP]->()){1,2}
                  (b:Customer)
-           RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"""
+           RETURN a.id AS aid, b.id AS bid, [n IN m | n.id] AS mids
+           ORDER BY aid, bid"""
     )
 
 
@@ -1957,4 +1969,48 @@ def cypher_qpp_zero(spark, sf_dir):
     return s.run(
         """MATCH (a:Customer) (()-[:NEXT]->()){0,2} (b:Customer)
            RETURN a.id AS aid, b.id AS bid ORDER BY aid, bid"""
+    )
+
+
+@declared(
+    "cypher_multilabel",
+    f"""SELECT c_custkey AS id,
+       CASE WHEN c_acctbal > 9000 THEN ['Customer', 'Elite']
+            WHEN c_acctbal > 5000 THEN ['Customer', 'Premium']
+            ELSE ['Customer'] END AS l
+FROM customer WHERE c_custkey < {_CAP}
+ORDER BY id""",
+)
+def cypher_multilabel(spark, sf_dir):
+    """MULTI-LABEL nodes (round 13, VERDICT r12 Next #5): labels live
+    as a sorted ':'-joined SET in the single label column, so the
+    public Graph contract is unchanged and every label predicate is a
+    set-membership test. The entry drives the whole surface through
+    MUTATIONS: SET n:Premium on a balance predicate, SET n:Elite on a
+    narrower one, then REMOVE n:Premium from the Elite tier — the
+    final labels() per customer must equal the oracle's closed-form
+    CASE. A conjunctive-match regression, an order-sensitive label
+    encoding, or a REMOVE that nulls the whole set instead of
+    subtracting one member all shift rows."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    edges = c.sparkSession.createDataFrame(
+        [], "src long, dst long, relationship string"
+    )
+    s = CypherSession(Graph(c, edges))
+    s.run("MATCH (n:Customer) WHERE n.bal > 5000 SET n:Premium")
+    s.run("MATCH (n:Customer:Premium) WHERE n.bal > 9000 SET n:Elite")
+    s.run("MATCH (n:Elite) REMOVE n:Premium")
+    return s.run(
+        "MATCH (n:Customer) RETURN n.id AS id, labels(n) AS l "
+        "ORDER BY id"
     )

@@ -3389,3 +3389,196 @@ def iceberg_refs(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@declared(
+    "delta_merge_on_partition",
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price,
+       CAST(o_orderkey % 4 AS BIGINT) AS pb
+FROM orders WHERE o_orderkey % 4 IN (0, 3)
+UNION ALL
+SELECT o_orderkey, 1.0 AS price, CAST(o_orderkey % 4 AS BIGINT) AS pb
+FROM orders
+WHERE o_orderkey % 4 IN (1, 2)
+  AND o_orderkey = (
+    SELECT MIN(o2.o_orderkey) FROM orders o2
+    WHERE o2.o_orderkey % 4 = orders.o_orderkey % 4
+  )
+ORDER BY pb, o_orderkey""",
+)
+def delta_merge_on_partition(spark, sf_dir):
+    """MERGE keyed ON the partition column (round 13, VERDICT r12 Next
+    #7 — an ex-gate): the table partitions by pb = o_orderkey % 4 and
+    the merge key IS pb, so every matched row of a touched partition
+    is replaced by that partition's single source row (key equality
+    means nothing re-routes across partitions). Source: the minimum
+    orderkey of pb 1 and pb 2 at price 1.0 — the oracle states the
+    surviving set in closed form: partitions 0/3 untouched, partitions
+    1/2 collapse to their source row."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.delta import (
+        delta_append,
+        delta_merge,
+        read_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 4).alias("pb"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"gdc_dmp_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    delta_append(spark, o, t, partition_by=["pb"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pb").orderBy("o_orderkey")
+    src = (
+        o.filter(F.col("pb").isin(1, 2))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    res = delta_merge(spark, t, src, "pb")
+    assert res["n_inserted"] == 0, res
+    return (
+        read_delta(spark, t)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "pb",
+        )
+        .orderBy("pb", "o_orderkey")
+    )
+
+
+@declared(
+    "delta_merge_mapped",
+    """WITH base AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(o_orderkey % 4 AS BIGINT) AS pb
+  FROM orders WHERE o_orderkey % 10 < 5
+)
+SELECT o_orderkey,
+       ROUND(CASE WHEN o_orderkey % 20 = 0 THEN 1.0
+                  ELSE o_totalprice END, 2) AS price,
+       pb
+FROM base
+UNION ALL
+SELECT o_orderkey, ROUND(o_totalprice, 2),
+       CAST(o_orderkey % 4 AS BIGINT)
+FROM orders WHERE o_orderkey % 10 = 7
+ORDER BY o_orderkey""",
+)
+def delta_merge_mapped(spark, sf_dir):
+    """MERGE into a COLUMN-MAPPED, hive-partitioned Delta target
+    (round 13, VERDICT r12 Next #7 — an ex-gate): the table's data
+    files and partition directories carry PHYSICAL column names
+    (col-xxx) while the merge source speaks LOGICAL names. The scan
+    renames physical->logical, partitionValues resolve by physical
+    name, and the staged merge/survivor/change files land back under
+    physical names so a mapped reader keeps working. Same closed-form
+    upsert oracle family as delta_cdf; the entry also asserts the
+    appended files landed under physical partition dirs."""
+    import atexit
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.delta import (
+        _write_commit,
+        delta_merge,
+        read_delta,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("col-k1"),
+        F.col("o_totalprice").alias("col-p2"),
+        (F.col("o_orderkey") % 4).alias("col-b3"),
+    )
+    init = o.filter(F.col("col-k1") % 10 < 5)
+    root = os.path.join(
+        tempfile.gettempdir(), f"gdc_dmm_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    os.makedirs(t)
+    adds = []
+    for b in range(4):
+        stage = os.path.join(root, f"stage_{b}")
+        init.filter(F.col("col-b3") == b).drop("col-b3") \
+            .coalesce(1).write.parquet(stage)
+        part = [
+            p for p in os.listdir(stage) if p.endswith(".parquet")
+        ][0]
+        rel = f"col-b3={b}/{part}"
+        os.makedirs(os.path.join(t, f"col-b3={b}"))
+        os.replace(
+            os.path.join(stage, part), os.path.join(t, *rel.split("/"))
+        )
+        adds.append({"add": {
+            "path": rel, "dataChange": True,
+            "partitionValues": {"col-b3": str(b)},
+        }})
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "o_orderkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k1"}},
+            {"name": "o_totalprice", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-p2"}},
+            {"name": "pb", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-b3"}},
+        ],
+    }
+    _write_commit(t, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "dmm", "schemaString": json.dumps(schema),
+            "partitionColumns": ["pb"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+            },
+        }},
+    ] + adds)
+    lo = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 4).alias("pb"),
+    )
+    upd = lo.filter(
+        (F.col("o_orderkey") % 10 < 5) & (F.col("o_orderkey") % 20 == 0)
+    ).withColumn("o_totalprice", F.lit(1.0))
+    new = lo.filter(F.col("o_orderkey") % 10 == 7)
+    delta_merge(spark, t, upd.unionByName(new), "o_orderkey")
+    # every data dir is a PHYSICAL partition dir — nothing leaked
+    # logical names into the layout
+    dirs = [
+        d for d in os.listdir(t)
+        if os.path.isdir(os.path.join(t, d))
+        and not d.startswith((".", "_"))
+    ]
+    assert dirs and all(d.startswith("col-b3=") for d in dirs), dirs
+    return (
+        read_delta(spark, t)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "pb",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -30,7 +30,11 @@ UNSUPPORTED = {
     "bare varlength multiplicity": "(a)-[*]->(b) WITHOUT a path "
     "variable dedupes to reachability pairs (documented scale choice); "
     "bind p = (a)-[*]->(b) for openCypher per-path rows",
-    "multiple labels per node": "(n:A:B) — single-label vertex column",
+    "merge subset-label matching": "MERGE (n:A) identity is the EXACT "
+    "label set — it will not match an existing (:A:B) node (Neo4j's "
+    "MERGE uses MATCH semantics there); multi-label MATCH/CREATE/SET/"
+    "REMOVE/labels()/WHERE-n:A all WORK (round 13, sorted ':'-joined "
+    "label-set encoding in the single label column)",
     "dynamic property residue": "n[k] with a RUNTIME-computed key on a "
     "node/relationship (heterogeneous property types have no single "
     "column type); literal and parameter keys (n['name'], n[$k]) and "
@@ -49,15 +53,17 @@ UNSUPPORTED = {
     "pinned IUGG mean earth radius 6371008.7714 m, AND "
     "point.withinBBox (cartesian ranges; geographic with "
     "antimeridian wrap) WORK (round 12)",
-    "QPP residue": "group variables inside MULTI-relationship bodies "
-    "(per-position list bindings); single-relationship QPP with "
-    "+/{n}/{lo,hi} (round 11), zero-length quantifiers ((...)* / "
-    "{0,n} — the zero repetition unifies the outer nodes, no inner "
-    "constraints), group variables on single-relationship bodies "
-    "((a)-[r:R]->(b) names bind per-path LISTS), AND anonymous "
-    "multi-relationship bodies ((()-[:R]->()-[:S]->()){n} — each "
-    "repetition traverses the whole chain as one composite step) "
-    "WORK (round 12)",
+    "QPP residue": "a variable REPEATED across positions of a "
+    "multi-relationship body (per-repetition unification); "
+    "single-relationship QPP with +/{n}/{lo,hi} (round 11), "
+    "zero-length quantifiers ((...)* / {0,n} — the zero repetition "
+    "unifies the outer nodes, no inner constraints), group variables "
+    "on single-relationship bodies ((a)-[r:R]->(b) names bind "
+    "per-path LISTS), anonymous multi-relationship bodies "
+    "((()-[:R]->()-[:S]->()){n} — each repetition traverses the "
+    "whole chain as one composite step, round 12), AND group "
+    "variables INSIDE multi-relationship bodies (per-position list "
+    "bindings sliced from the enriched path frame, round 13) WORK",
 }
 
 
@@ -79,6 +85,46 @@ SCENARIOS = [
      ["CREATE (:A {v: 1}), (:B {v: 2}), (:A {v: 3})"],
      "MATCH (n:A) RETURN n.v AS v",
      [{"v": 1}, {"v": 3}], False),
+    # round 13 (VERDICT r12 Next #5): multi-labels
+    ("Match", "multi-label node matches each label",
+     ["CREATE (:A:B {v: 1}), (:A {v: 2}), (:B {v: 3})"],
+     "MATCH (n:A) MATCH (m:B) RETURN n.v AS nv, m.v AS mv "
+     "ORDER BY nv, mv",
+     [{"nv": 1, "mv": 1}, {"nv": 1, "mv": 3},
+      {"nv": 2, "mv": 1}, {"nv": 2, "mv": 3}], True),
+    ("Match", "conjunctive multi-label pattern order-insensitive",
+     ["CREATE (:A:B {v: 1}), (:A {v: 2}), (:B {v: 3})"],
+     "MATCH (n:B:A) RETURN n.v AS v",
+     [{"v": 1}], False),
+    ("Match", "labels() returns the sorted label set",
+     ["CREATE (:B:A {v: 1}), ({v: 2})"],
+     "MATCH (n) RETURN n.v AS v, labels(n) AS l ORDER BY v",
+     [{"v": 1, "l": ["A", "B"]}, {"v": 2, "l": []}], True),
+    ("Match", "label test in WHERE position",
+     ["CREATE (:A:B {v: 1}), (:A {v: 2})"],
+     "MATCH (n:A) WHERE NOT n:B RETURN n.v AS v",
+     [{"v": 2}], False),
+    ("Update", "SET and REMOVE edit the label set",
+     ["CREATE (:A {v: 1})",
+      "MATCH (n:A) SET n:C:B",
+      "MATCH (n:C) REMOVE n:A"],
+     "MATCH (n {v: 1}) RETURN labels(n) AS l",
+     [{"l": ["B", "C"]}], False),
+    # round 13 (VERDICT r12 Next #6): group variables inside a
+    # multi-relationship QPP body bind per-position lists
+    ("Match", "multi-rel QPP body group variables",
+     ["CREATE (:Q {v: 1})-[:R]->(:Q {v: 2})-[:S]->(:Q {v: 3})"
+      "-[:R]->(:Q {v: 4})-[:S]->(:Q {v: 5})"],
+     "MATCH (a:Q {v: 1}) ((x)-[:R]->(m)-[:S]->(y)){2} (b:Q) "
+     "RETURN b.v AS bv, [n IN x | n.v] AS xs, [n IN m | n.v] AS ms, "
+     "[n IN y | n.v] AS ys",
+     [{"bv": 5, "xs": [1, 3], "ms": [2, 4], "ys": [3, 5]}], False),
+    ("Match", "multi-rel QPP body edge group variable",
+     ["CREATE (:Q {v: 1})-[:R {w: 10}]->(:Q {v: 2})"
+      "-[:S {w: 20}]->(:Q {v: 3})"],
+     "MATCH (a:Q {v: 1}) ((x)-[r1:R]->(m)-[r2:S]->(y)){1} (b:Q) "
+     "RETURN [q IN r1 | q.w] AS w1, [q IN r2 | q.w] AS w2",
+     [{"w1": [10], "w2": [20]}], False),
     ("Match", "filter on property map in pattern",
      ["CREATE (:P {name: 'a', x: 1}), (:P {name: 'b', x: 2})"],
      "MATCH (n:P {name: 'b'}) RETURN n.x AS x",
