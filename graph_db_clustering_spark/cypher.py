@@ -3617,9 +3617,59 @@ class CypherSession:
                 target = g.vertices if op.kind == "node" else g.edges
                 for k in keys:
                     if k not in target.columns:
-                        raise ValueError(f"cypher: MERGE key column {k!r} not in graph")
-                absent = mdf.join(target, keys, "left_anti")
-                if extra:
+                        # a pattern property NO node in the graph
+                        # carries: nothing can match, the merge
+                        # creates, and the graph gains the column
+                        # (null elsewhere) — Neo4j's behavior
+                        target = target.withColumn(
+                            k,
+                            F.lit(None).cast(mdf.schema[k].dataType),
+                        )
+                # node MERGE matching uses MATCH semantics for labels
+                # (round 13): the pattern's label set must be a SUBSET
+                # of the node's — MERGE (n:A) matches an existing
+                # (:A:B) node. Created rows still carry exactly the
+                # pattern's (canonical) label set.
+                subset = op.kind == "node" and LABEL_COL in keys
+
+                def _mcond():
+                    conds = []
+                    for k in keys:
+                        if k == LABEL_COL and subset:
+                            conds.append(F.forall(
+                                F.split(F.col(f"_m_{k}"), ":"),
+                                lambda l: F.array_contains(
+                                    F.split(F.col(k), ":"), l
+                                ),
+                            ))
+                        else:
+                            conds.append(F.col(k) == F.col(f"_m_{k}"))
+                    out = conds[0]
+                    for c in conds[1:]:
+                        out = out & c
+                    return out
+
+                if subset:
+                    m2 = mdf.select(
+                        *[F.col(c).alias(f"_m_{c}") for c in mdf.columns]
+                    )
+                    absent = m2.join(target, _mcond(), "left_anti").select(
+                        *[F.col(f"_m_{c}").alias(c) for c in mdf.columns]
+                    )
+                else:
+                    absent = mdf.join(target, keys, "left_anti")
+                if extra and subset:
+                    joined = target.join(F.broadcast(m2), _mcond(), "left")
+                    for p in extra:
+                        old = F.col(p) if p in target.columns else F.lit(None)
+                        joined = joined.withColumn(
+                            f"_v_{p}", F.coalesce(F.col(f"_m_{p}"), old)
+                        )
+                    keep = [c for c in target.columns if c not in extra] + [
+                        F.col(f"_v_{p}").alias(p) for p in extra
+                    ]
+                    target = joined.select(*keep)
+                elif extra:
                     # matched rows: COW update (SET applies to matched AND
                     # created — created rows carry the props directly)
                     upd = mdf.select(
@@ -3846,7 +3896,9 @@ class CypherSession:
     # same formula, so the choice is test-visible, not hidden.
     _EARTH_RADIUS_M = 6371008.7714
 
-    def _geo_distance(self, a: Column, b: Column) -> Column:
+    def _geo_distance(
+        self, a: Column, b: Column, with_height: bool = False
+    ) -> Column:
         lat1 = F.radians(a["latitude"])
         lat2 = F.radians(b["latitude"])
         dlat = lat2 - lat1
@@ -3855,10 +3907,17 @@ class CypherSession:
             F.sin(dlat / 2) ** 2
             + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) ** 2
         )
-        return (
-            2 * F.lit(self._EARTH_RADIUS_M)
-            * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
-        )
+        angle = 2 * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+        if not with_height:
+            return F.lit(self._EARTH_RADIUS_M) * angle
+        # wgs-84-3d (round 13): Neo4j's GeographicCalculator computes
+        # the surface arc on a sphere inflated by the AVERAGE height,
+        # then combines it with the height difference via Pythagoras —
+        # the arc/chord mix is Neo4j's documented model, reproduced
+        # exactly (over this module's pinned mean radius).
+        avg_h = (a["height"] + b["height"]) / 2
+        d2d = (F.lit(self._EARTH_RADIUS_M) + avg_h) * angle
+        return F.sqrt(d2d ** 2 + (b["height"] - a["height"]) ** 2)
 
     @staticmethod
     def _maybe_duration(e) -> bool:
@@ -4631,35 +4690,40 @@ class CypherSession:
                 # Round 11: CARTESIAN x/y[/z]. Round 12: GEOGRAPHIC
                 # (WGS-84) longitude/latitude; distance() uses the
                 # haversine great-circle model (see _geo_distance).
-                # Height (wgs-84-3d) stays gated: Neo4j's 3d
-                # geographic distance mixes the chord and the arc.
+                # Round 13: wgs-84-3d (height) — distance follows
+                # Neo4j's avg-height-inflated arc + Pythagoras mix.
                 if len(e.args) != 1 or not isinstance(e.args[0], MapLit):
                     raise ValueError(
                         "cypher: point() takes one component map"
                     )
                 items = e.args[0].items
                 if {"longitude", "latitude"} & set(items):
-                    if "height" in items:
-                        raise ValueError(
-                            "cypher: wgs-84-3d points (height) are "
-                            "unsupported — 2d longitude/latitude only"
-                        )
-                    bad = set(items) - {"longitude", "latitude"}
+                    bad = set(items) - {
+                        "longitude", "latitude", "height"
+                    }
                     if bad or not (
                         {"longitude", "latitude"} <= set(items)
                     ):
                         raise ValueError(
                             "cypher: geographic point() needs "
-                            "longitude and latitude, got "
-                            f"{sorted(items)}"
+                            "longitude and latitude (optional "
+                            f"height), got {sorted(items)}"
                         )
-                    return F.struct(
+                    cols = [
                         self._expr(items["longitude"], df, params)
                         .cast("double").alias("longitude"),
                         self._expr(items["latitude"], df, params)
                         .cast("double").alias("latitude"),
-                        F.lit("wgs-84").alias("crs"),
-                    )
+                    ]
+                    if "height" in items:
+                        cols.append(
+                            self._expr(items["height"], df, params)
+                            .cast("double").alias("height")
+                        )
+                        crs = "wgs-84-3d"
+                    else:
+                        crs = "wgs-84"
+                    return F.struct(*cols, F.lit(crs).alias("crs"))
                 bad = set(items) - {"x", "y", "z"}
                 if bad or not {"x", "y"} <= set(items):
                     raise ValueError(
@@ -4729,7 +4793,9 @@ class CypherSession:
                     if not isinstance(dt, T.StructType):
                         return None
                     if "longitude" in dt.names:
-                        return "geo"
+                        return (
+                            "geo3d" if "height" in dt.names else "geo"
+                        )
                     return "3d" if "z" in dt.names else "2d"
 
                 ka, kb = kind(adt), kind(bdt)
@@ -4739,6 +4805,8 @@ class CypherSession:
                     return F.lit(None).cast("double")
                 if ka == "geo":
                     return self._geo_distance(a, b)
+                if ka == "geo3d":
+                    return self._geo_distance(a, b, with_height=True)
                 d2 = (a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2
                 if ka == "3d":
                     d2 = d2 + (a["z"] - b["z"]) ** 2

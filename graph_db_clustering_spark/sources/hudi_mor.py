@@ -403,18 +403,28 @@ def _file_slices(path: str, as_of: str | None = None):
             s["logs"].append(lf)
         elif lf["base_instant"] > s["base_instant"]:
             # anchored to a NEWER instant than the latest completed
-            # base: a pending compaction's new slice. Our writer
-            # compacts atomically and cannot produce this; reading
-            # around it needs the pending-compaction merge rule.
-            raise NotImplementedError(
-                f"hudi-log: log file {lf['abs']!r} is anchored to "
-                f"pending instant {lf['base_instant']} (> completed "
-                f"base {s['base_instant']}) — pending-compaction "
-                "slices are not implemented"
-            )
+            # base. If that instant is COMPLETED, its base file should
+            # have been the slice — a missing base is corruption, not
+            # a merge rule. If it is PENDING (hudi-spark with async
+            # compaction requested: new writes anchor log files to the
+            # pending compaction instant while it is in flight),
+            # Hudi's pending-compaction merge rule applies: readers
+            # merge those logs onto the OLD slice. Block instants
+            # order the events, so version collisions across anchors
+            # are harmless (round 13, VERDICT r12 Next #2/missing).
+            if lf["base_instant"] in valid:
+                raise HudiError(
+                    f"hudi-log: log file {lf['abs']!r} is anchored to "
+                    f"completed instant {lf['base_instant']} but no "
+                    "base file for it exists — corrupt slice"
+                )
+            s["logs"].append(lf)
         # anchor < chosen base: an old slice's log, compacted away
     for s in slices.values():
-        s["logs"].sort(key=lambda lf: lf["version"])
+        # order by (anchor, version): a pending-compaction-anchored
+        # file sorts after the completed-base chain; within the merge
+        # the per-block instants are the real event order anyway
+        s["logs"].sort(key=lambda lf: (lf["base_instant"], lf["version"]))
     return list(slices.values()), valid
 
 

@@ -30,11 +30,12 @@ UNSUPPORTED = {
     "bare varlength multiplicity": "(a)-[*]->(b) WITHOUT a path "
     "variable dedupes to reachability pairs (documented scale choice); "
     "bind p = (a)-[*]->(b) for openCypher per-path rows",
-    "merge subset-label matching": "MERGE (n:A) identity is the EXACT "
-    "label set — it will not match an existing (:A:B) node (Neo4j's "
-    "MERGE uses MATCH semantics there); multi-label MATCH/CREATE/SET/"
-    "REMOVE/labels()/WHERE-n:A all WORK (round 13, sorted ':'-joined "
-    "label-set encoding in the single label column)",
+    "label residue": "none — multi-label MATCH/CREATE/SET/REMOVE/"
+    "labels()/WHERE-n:A, MERGE subset-label matching (MERGE (n:A) "
+    "matches an existing (:A:B) node, Neo4j's MATCH semantics), and "
+    "MERGE on a graph-absent property (creates; the graph gains the "
+    "column) all WORK (round 13, sorted ':'-joined label-set "
+    "encoding in the single label column)",
     "dynamic property residue": "n[k] with a RUNTIME-computed key on a "
     "node/relationship (heterogeneous property types have no single "
     "column type); literal and parameter keys (n['name'], n[$k]) and "
@@ -46,13 +47,14 @@ UNSUPPORTED = {
     "values, duration accessors (.months/.days/.seconds/...), "
     "duration +/- duration, and duration.between()/inMonths()/"
     "inDays()/inSeconds() WORK (round 12)",
-    "spatial residue": "wgs-84-3d (height), point comparisons "
-    "(ORDER BY/inequality on whole points); CARTESIAN point({x, y"
-    "[, z]}) construction, accessors and distance() (round 11), "
-    "GEOGRAPHIC wgs-84 points with haversine distance() over the "
-    "pinned IUGG mean earth radius 6371008.7714 m, AND "
-    "point.withinBBox (cartesian ranges; geographic with "
-    "antimeridian wrap) WORK (round 12)",
+    "spatial residue": "point comparisons (ORDER BY/inequality on "
+    "whole points); CARTESIAN point({x, y[, z]}) construction, "
+    "accessors and distance() (round 11), GEOGRAPHIC wgs-84 points "
+    "with haversine distance() over the pinned IUGG mean earth "
+    "radius 6371008.7714 m, point.withinBBox (cartesian ranges; "
+    "geographic with antimeridian wrap) (round 12), AND wgs-84-3d "
+    "(height) with Neo4j's avg-height-inflated arc + Pythagoras "
+    "distance (round 13) WORK",
     "QPP residue": "a variable REPEATED across positions of a "
     "multi-relationship body (per-repetition unification); "
     "single-relationship QPP with +/{n}/{lo,hi} (round 11), "
@@ -104,6 +106,17 @@ SCENARIOS = [
      ["CREATE (:A:B {v: 1}), (:A {v: 2})"],
      "MATCH (n:A) WHERE NOT n:B RETURN n.v AS v",
      [{"v": 2}], False),
+    ("Update", "MERGE matches a node with extra labels",
+     ["CREATE (:A:B {v: 1})",
+      "MERGE (n:A {v: 1})",   # subset: matches, no create
+      "MERGE (n:C {v: 1})"],  # no match: creates (:C)
+     "MATCH (n) RETURN labels(n) AS l, n.v AS v ORDER BY l[0]",
+     [{"l": ["A", "B"], "v": 1}, {"l": ["C"], "v": 1}], True),
+    ("Update", "MERGE on a graph-absent property creates",
+     ["CREATE (:P {name: 'a'})",
+      "MERGE (n:P {brand: 'x'})"],
+     "MATCH (n:P) RETURN n.name AS nm, n.brand AS b",
+     [{"nm": None, "b": "x"}, {"nm": "a", "b": None}], False),
     ("Update", "SET and REMOVE edit the label set",
      ["CREATE (:A {v: 1})",
       "MATCH (n:A) SET n:C:B",
@@ -125,6 +138,18 @@ SCENARIOS = [
      "MATCH (a:Q {v: 1}) ((x)-[r1:R]->(m)-[r2:S]->(y)){1} (b:Q) "
      "RETURN [q IN r1 | q.w] AS w1, [q IN r2 | q.w] AS w2",
      [{"w1": [10], "w2": [20]}], False),
+    # round 13: wgs-84-3d — avg-height-inflated arc + Pythagoras
+    # (exact closed form over the pinned radius: angle = 1 degree,
+    # sqrt(((R + 200) * rad(1))^2 + 200^2) = 111198.75...)
+    ("Functions", "wgs-84-3d point distance",
+     [],
+     "WITH point({longitude: 0.0, latitude: 0.0, height: 100.0}) AS a,"
+     " point({longitude: 0.0, latitude: 1.0, height: 300.0}) AS b "
+     "RETURN toInteger(distance(a, b)) AS d, a.height AS h, "
+     "a.crs AS crs, "
+     "distance(a, point({longitude: 0.0, latitude: 1.0})) AS mixed",
+     [{"d": 111198, "h": 100.0, "crs": "wgs-84-3d", "mixed": None}],
+     False),
     ("Match", "filter on property map in pattern",
      ["CREATE (:P {name: 'a', x: 1}), (:P {name: 'b', x: 2})"],
      "MATCH (n:P {name: 'b'}) RETURN n.x AS x",

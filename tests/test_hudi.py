@@ -567,11 +567,18 @@ def test_restore_and_logcompaction_actions(spark, table):
     open(os.path.join(t, ".hoodie", "20991231000000002.restore"),
          "w").close()
     assert read_hudi(spark, t).count() == 20
-    # LOG compaction rewrites log files with semantics we don't
-    # implement: still a loud gate (full compaction is supported)
+    # round 13: a completed LOG compaction instant is accepted (its
+    # merged log files order at max(COMPACTED_BLOCK_TIMES) on MoR);
+    # on a CoW table with no log files it is visibility-neutral
     lc = os.path.join(t, ".hoodie", "20991231000000003.logcompaction")
     open(lc, "w").close()
-    with pytest.raises(NotImplementedError, match="logcompaction"):
+    assert read_hudi(spark, t).count() == 20
+    os.remove(lc)
+    # a completed '.compaction' file is NOT a real Hudi artifact
+    # (full compaction completes as a plain 'commit') — still loud
+    comp = os.path.join(t, ".hoodie", "20991231000000004.compaction")
+    open(comp, "w").close()
+    with pytest.raises(NotImplementedError, match="compaction"):
         read_hudi(spark, t)
 
 

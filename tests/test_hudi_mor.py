@@ -875,3 +875,68 @@ def test_logcompaction_stream_no_duplicates(spark, logcompacted):
         (r["id"], r["price"]) for r in rows.collect()
     )
     assert got == [(0, 200.0), (1, 111.0)], got
+
+
+def test_pending_compaction_anchored_logs_merge(spark, tmp_path):
+    """Round 13: hudi-spark with ASYNC compaction requested anchors new
+    log files to the PENDING compaction instant; readers must merge
+    them onto the old slice (Hudi's pending-compaction rule). Simulate
+    exactly that table shape: upsert normally, then re-anchor the last
+    log file's NAME to a pending instant with a .compaction.requested
+    marker — block contents (and their instants) are untouched."""
+    import glob
+
+    t = str(tmp_path / "t")
+    hudi_create(
+        spark, _df(spark, 6), t, "id",
+        n_file_groups=1, table_type="MERGE_ON_READ",
+    )
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u", 100.0, 0)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    # request (but never complete) a compaction at a new instant
+    from graph_db_clustering_spark.sources.hudi import _next_instant
+
+    pend = _next_instant(t)
+    hd = os.path.join(t, ".hoodie")
+    open(os.path.join(hd, f"{pend}.compaction.requested"), "w").close()
+    open(os.path.join(hd, f"{pend}.compaction.inflight"), "w").close()
+    # a later upsert: land it normally, then re-anchor its log file
+    i3 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(0, "u2", 200.0, 0), (1, "u2", 111.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )
+    logs = sorted(glob.glob(os.path.join(t, ".*.log.*")))
+    assert len(logs) == 2
+    newest = max(logs, key=os.path.getmtime)
+    name = os.path.basename(newest)
+    fid, rest = name[1:].split("_", 1)
+    reanchored = os.path.join(
+        t, f".{fid}_{pend}.log.1_0-0-0"
+    )
+    os.replace(newest, reanchored)
+    got = {
+        r["id"]: r["price"]
+        for r in read_hudi(spark, t, drop_meta=True).collect()
+    }
+    assert got == {
+        0: 200.0, 1: 111.0, **{i: float(i) for i in range(2, 6)}
+    }, got
+    # incremental still exact across the re-anchored file
+    inc = {
+        r["id"]: r["price"]
+        for r in read_hudi_incremental(spark, t, i2).collect()
+    }
+    assert inc == {0: 200.0, 1: 111.0}, inc
+    # a log anchored to a COMPLETED instant with no base = corruption
+    bogus = os.path.join(t, f".{fid}_{i3}.log.1_0-0-0")
+    os.replace(reanchored, bogus)
+    with pytest.raises(HudiError, match="no base file"):
+        read_hudi(spark, t)
