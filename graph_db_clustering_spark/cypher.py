@@ -320,6 +320,10 @@ class EdgePat:
     # (node var per body position 0..m, edge var per position 0..m-1);
     # each binds the per-repetition LIST at its chain position
     qpp_body_vars: tuple = ((), ())
+    # round 13: node positions a repeated body variable must unify —
+    # tuple of position groups, each sorted ascending; the equality
+    # joins apply INSIDE every repetition's composite step
+    qpp_body_unify: tuple = ()
 
 
 @dataclass
@@ -1118,22 +1122,35 @@ class _Parser:
             )
         # multi-relationship body (round 12); round 13 adds GROUP
         # VARIABLES over the composite step — per-position list
-        # bindings sliced from the enriched path frame. A variable
-        # repeated across positions would need per-repetition
-        # unification; that narrow residue still gates.
+        # bindings sliced from the enriched path frame — and
+        # PER-REPETITION UNIFICATION for a NODE variable repeated
+        # across body positions (openCypher: juxtaposed equal names
+        # mean the same node within each repetition, e.g.
+        # ((a)-->(x)-->(a)){n} walks out-and-back pairs). A repeated
+        # RELATIONSHIP variable stays an error, as in Neo4j.
         body_nv = tuple(n.var for n in inner.nodes)
         body_ev = tuple(e2.var for e2 in inner.edges)
-        named = [v for v in body_nv + body_ev if v]
-        if len(named) != len(set(named)):
+        enamed = [v for v in body_ev if v]
+        if len(enamed) != len(set(enamed)) or set(enamed) & {
+            v for v in body_nv if v
+        }:
             raise ValueError(
-                "cypher: a variable repeated across positions of a "
-                "MULTI-relationship quantified path pattern is "
-                "unsupported (per-repetition unification)"
+                "cypher: a relationship variable cannot be repeated "
+                "(or shared with a node variable) inside a quantified "
+                "path pattern body"
             )
+        by_name: dict[str, list[int]] = {}
+        for j, nv in enumerate(body_nv):
+            if nv:
+                by_name.setdefault(nv, []).append(j)
+        unify = tuple(
+            tuple(ps) for ps in by_name.values() if len(ps) > 1
+        )
         return EdgePat(
             None, None, {}, "out", (lo, hi),
             qpp=True, qpp_body=inner,
             qpp_body_vars=(body_nv, body_ev),
+            qpp_body_unify=unify,
         )
 
     def node_pat(self):
@@ -1963,6 +1980,15 @@ class CypherSession:
                 F.array("_d").alias("_ns"),
             )
         body = epat.qpp_body
+        # round 13: per-repetition unification — a node variable
+        # repeated across body positions pins those positions equal
+        # within every repetition. anchor[p] = the group's first
+        # position; the equality lands as a join-time predicate so
+        # Catalyst folds it into the chain join, not a post-filter.
+        anchor: dict[int, int] = {}
+        for grp in epat.qpp_body_unify:
+            for p in grp[1:]:
+                anchor[p] = grp[0]
         comp = None
         for i, ep in enumerate(body.edges):
             ef = self._qpp_edge_frame(ep, params)
@@ -1971,6 +1997,8 @@ class CypherSession:
                 ef, body.nodes[i + 1], "_d", params
             )
             if comp is None:
+                if anchor.get(1) == 0:
+                    ef = ef.filter(F.col("_s") == F.col("_d"))
                 comp = ef.select(
                     "_s",
                     F.col("_d").alias("_cur"),
@@ -1978,12 +2006,17 @@ class CypherSession:
                     F.array("_d").alias("_ns"),
                 )
             else:
+                cond = F.col("c._cur") == F.col("n._s")
+                if i + 1 in anchor:
+                    p = anchor[i + 1]
+                    prev = (
+                        F.col("c._s") if p == 0
+                        else F.element_at(F.col("c._ns"), p)
+                    )
+                    cond = cond & (F.col("n._d") == prev)
                 comp = (
                     comp.alias("c")
-                    .join(
-                        ef.alias("n"),
-                        F.col("c._cur") == F.col("n._s"),
-                    )
+                    .join(ef.alias("n"), cond)
                     .filter(~F.array_contains(
                         F.col("c._es"), F.col("n._e")
                     ))
@@ -2361,9 +2394,15 @@ class CypherSession:
                                         arr, r * F.lit(m) + F.lit(off)
                                     )
 
+                                # a unified (repeated) node variable
+                                # binds once — its positions are equal
+                                # by construction, so the first slice
+                                # IS the binding
+                                emitted = set()
                                 for j, nv in enumerate(body_nv):
-                                    if not nv:
+                                    if not nv or nv in emitted:
                                         continue
+                                    emitted.add(nv)
                                     sel.append(F.transform(
                                         seq,
                                         _picker(F.col("pnodes"), j + 1),
@@ -3816,6 +3855,24 @@ class CypherSession:
         except Exception:
             return None
 
+    @staticmethod
+    def _entity_prop_fields(bdt) -> list | None:
+        """Property fields of a node/relationship struct, or None when
+        the struct is NOT an entity (a plain map literal). Entity
+        structs are recognized by their full internal column
+        signature — id+label for nodes, src+dst+relationship for
+        relationships; subscripting an entity is PROPERTY lookup
+        only (Neo4j: n['id'] is null unless a property named id
+        exists)."""
+        names = set(bdt.names)
+        if {"id", "label"} <= names:
+            internal = ("id", "label")
+        elif {"src", "dst", "relationship"} <= names:
+            internal = ("src", "dst", "relationship")
+        else:
+            return None
+        return [f for f in bdt.names if f not in internal]
+
     # Neo4j temporal accessor -> Spark function (ISO week rules match;
     # Spark's dayofweek is Sunday=1, Neo4j's is ISO Monday=1)
     _DATE_ACCESSORS = {
@@ -3929,6 +3986,19 @@ class CypherSession:
         if isinstance(e, Func):
             return e.name.lower() in ("duration", "duration.between")
         return isinstance(e, Var)
+
+    @staticmethod
+    def _maybe_point(e) -> bool:
+        """Cheap AST test for 'could compile to a spatial point' —
+        point() calls and bound variables (a WITH-aliased point);
+        vertex property columns are primitive, so Prop can't be one."""
+        if isinstance(e, Func):
+            return e.name.lower() == "point"
+        return isinstance(e, Var)
+
+    @staticmethod
+    def _is_point_dt(dt) -> bool:
+        return isinstance(dt, T.StructType) and "crs" in dt.names
 
     def _duration_col(self, arg, df, params) -> Column:
         """duration({...}) / duration('P1DT2H') -> a duration struct.
@@ -4158,19 +4228,68 @@ class CypherSession:
             if isinstance(key, str):
                 bdt = self._dtype_of(base, df)
                 if isinstance(bdt, T.StructType):
-                    if key not in bdt.names:
+                    # on a node/relationship struct, subscripting is
+                    # PROPERTY lookup (Neo4j: n['id'] is null unless
+                    # an actual property named id exists); plain map
+                    # literals resolve any field
+                    fields = self._entity_prop_fields(bdt)
+                    names = bdt.names if fields is None else fields
+                    if key not in names:
                         return F.lit(None)
                     return base.getField(key)
                 return base.getItem(key)  # map subscript
             idx_col = self._expr(e.idx, df, params)
             bdt = self._dtype_of(base, df)
             if isinstance(bdt, T.StructType):
-                raise ValueError(
-                    "cypher: dynamic property access on a node/"
-                    "relationship needs a literal or parameter key "
-                    "(runtime keys have no single column type over "
-                    "heterogeneous properties)"
+                # round 13: RUNTIME-computed key — a CASE chain over
+                # the entity's PROPERTY fields (id/label/src/dst/
+                # relationship are not properties: n[k] can never
+                # reach them, per Neo4j). The branch type is unified
+                # HERE, not by Spark's When coercion — ANSI happily
+                # coerces string->long in a CASE, which would turn a
+                # string property into a runtime cast error. Rule:
+                # identical types ride as-is; mixed integrals widen
+                # to long; a mixed numeric family widens to double
+                # (Cypher's 1 = 1.0 equality semantics); anything
+                # else is the documented heterogeneity gate.
+                props = self._entity_prop_fields(bdt)
+                if props is None:
+                    props = list(bdt.names)
+                if not props:
+                    return F.lit(None)
+                ftypes = [bdt[f].dataType for f in props]
+                integral = (T.ByteType, T.ShortType,
+                            T.IntegerType, T.LongType)
+                numeric = integral + (
+                    T.FloatType, T.DoubleType, T.DecimalType
                 )
+                distinct = {t.simpleString() for t in ftypes}
+                if len(distinct) == 1:
+                    cast_to = None
+                elif all(isinstance(t, integral) for t in ftypes):
+                    cast_to = "long"
+                elif all(isinstance(t, numeric) for t in ftypes):
+                    cast_to = "double"
+                else:
+                    raise ValueError(
+                        "cypher: dynamic property access with a "
+                        "runtime key needs the entity's property "
+                        "types to unify (same type, or one numeric "
+                        "family); this graph mixes "
+                        f"{sorted(distinct)} — use a literal or "
+                        "parameter key (n['name'], n[$k]) instead"
+                    )
+                chain = None
+                for fname in props:
+                    cond = idx_col == F.lit(fname)
+                    val = base.getField(fname)
+                    if cast_to is not None:
+                        val = val.cast(cast_to)
+                    chain = (
+                        F.when(cond, val) if chain is None
+                        else chain.when(cond, val)
+                    )
+                return chain.otherwise(F.lit(None))
             return base[idx_col]
         if isinstance(e, MapLit):
             return F.struct(
@@ -4263,6 +4382,18 @@ class CypherSession:
                     return (l + iv) if e.op == "+" else (l - iv)
                 if ldur and e.op == "+":  # duration + temporal
                     return r + self._interval_from_duration(l)
+            if e.op in ("<", "<=", ">", ">=") and (
+                self._maybe_point(e.left) or self._maybe_point(e.right)
+            ):
+                # Neo4j: ordering comparisons BETWEEN points are
+                # undefined and yield null (equality still compares
+                # by components+crs, which struct equality gives);
+                # the dtype probe is gated to syntactic candidates,
+                # like the duration +/- path above
+                if self._is_point_dt(
+                    self._dtype_of(l, df)
+                ) or self._is_point_dt(self._dtype_of(r, df)):
+                    return F.lit(None).cast("boolean")
             return {
                 "=": l == r,
                 "<>": l != r,
@@ -4511,12 +4642,23 @@ class CypherSession:
                 # round 11 temporal subset: construction from an ISO
                 # string or a component map; accessors via Prop,
                 # comparisons native, +/- duration() via make_interval.
-                # time()/localtime()/timezones stay gated.
+                # Round 13: CURRENT-time forms — zero args reads the
+                # statement clock (Spark's ComputeCurrentTime resolves
+                # current_date/current_timestamp/localtimestamp ONCE
+                # per query, so every temporal function in a statement
+                # observes the same instant, Neo4j's statement-clock
+                # rule). Timezone ARGUMENTS stay gated.
+                if len(e.args) == 0:
+                    if name == "date":
+                        return F.current_date()
+                    if name == "datetime":
+                        return F.current_timestamp()
+                    return F.localtimestamp()
                 if len(e.args) != 1:
                     raise ValueError(
-                        f"cypher: {e.name}() takes exactly one argument "
-                        "(string or component map; current-time forms "
-                        "are unsupported)"
+                        f"cypher: {e.name}() takes zero arguments "
+                        "(statement clock) or one (string or "
+                        "component map)"
                     )
                 a = e.args[0]
                 target = (
@@ -4561,6 +4703,20 @@ class CypherSession:
                         comp("second", 0),
                     )
                     return ts.cast(target)
+                if isinstance(a, Lit) and isinstance(a.value, str):
+                    # offset/zone-bearing literals gate loudly (the
+                    # same rule as time(): Spark would silently shift
+                    # to the UTC instant and accessors would diverge
+                    # from Neo4j's zone-local components)
+                    if not re.fullmatch(
+                        r"\d{4}-\d{2}-\d{2}"
+                        r"(T\d{2}(:\d{2}(:\d{2}(\.\d+)?)?)?)?",
+                        a.value,
+                    ):
+                        raise ValueError(
+                            f"cypher: {e.name}() with an explicit "
+                            "offset/zone is unsupported"
+                        )
                 return self._expr(a, df, params).cast(target)
             if name == "duration":
                 if len(e.args) != 1:
@@ -4628,11 +4784,20 @@ class CypherSession:
                 # Offsets/timezones stay gated (Spark has no TIME type
                 # with zone); time() without an offset equals
                 # localtime() under the session's UTC convention.
+                # Round 13: zero args = the statement clock's
+                # time-of-day, anchored like every other clock value.
+                if len(e.args) == 0:
+                    return F.to_timestamp(F.concat(
+                        F.lit("1970-01-01T"),
+                        F.date_format(
+                            F.localtimestamp(), "HH:mm:ss.SSSSSS"
+                        ),
+                    )).cast("timestamp_ntz")
                 if len(e.args) != 1:
                     raise ValueError(
-                        f"cypher: {e.name}() takes exactly one argument "
-                        "(string or component map; current-time forms "
-                        "are unsupported)"
+                        f"cypher: {e.name}() takes zero arguments "
+                        "(statement clock) or one (string or "
+                        "component map)"
                     )
                 a = e.args[0]
                 if isinstance(a, MapLit):

@@ -2014,3 +2014,85 @@ def cypher_multilabel(spark, sf_dir):
         "MATCH (n:Customer) RETURN n.id AS id, labels(n) AS l "
         "ORDER BY id"
     )
+
+
+@declared(
+    "cypher_dynamic_key",
+    f"""SELECT c_custkey AS id,
+       CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment ELSE c_name END AS v
+FROM customer WHERE c_custkey < {_CAP} ORDER BY id""",
+)
+def cypher_dynamic_key(spark, sf_dir):
+    """RUNTIME-computed dynamic property key (round 13): n[n.pick]
+    where pick names a different property per row. Compiles to a CASE
+    chain over the entity's property fields with the branch type
+    unified COMPILER-side (Spark's ANSI When coercion would cast a
+    string branch to long and blow up at runtime); internal id/label
+    columns are unreachable, per Neo4j's property-lookup rule. The
+    oracle states the same dispatch as a closed-form CASE. A chain
+    that misses a property, leaks an internal column, or coerces
+    branch types shifts values."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_mktsegment").alias("mkt"),
+            F.col("c_name").alias("nm"),
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("mkt"))
+            .otherwise(F.lit("nm"))
+            .alias("pick"),
+        )
+    )
+    edges = c.sparkSession.createDataFrame(
+        [], "src long, dst long, relationship string"
+    )
+    s = CypherSession(Graph(c, edges))
+    return s.run(
+        "MATCH (n:Customer) RETURN n.id AS id, n[n.pick] AS v "
+        "ORDER BY id"
+    )
+
+
+@declared(
+    "cypher_point_order",
+    f"""SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS x,
+       CAST(c_nationkey AS DOUBLE) AS y, CAST(1 AS BIGINT) AS ltnull
+FROM customer WHERE c_custkey < {_CAP} ORDER BY x, y, id""",
+)
+def cypher_point_order(spark, sf_dir):
+    """Point comparison semantics (round 13): ordering comparisons
+    between whole points are undefined in Neo4j and yield NULL (the
+    ltnull witness is 1 on every row — the comparison IS NULL even
+    though both operands are non-null points), while ORDER BY orders points
+    deterministically — struct field order (x, then y, then the
+    constant crs), which the oracle restates as ORDER BY x, y. A
+    comparison that falls through to struct ordering (non-null lt) or
+    an ORDER BY that ignores the point shifts the rowset."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+            F.col("c_nationkey").cast("double").alias("nk"),
+        )
+    )
+    edges = c.sparkSession.createDataFrame(
+        [], "src long, dst long, relationship string"
+    )
+    s = CypherSession(Graph(c, edges))
+    return s.run(
+        "MATCH (n:Customer) "
+        "WITH n, point({x: n.bal, y: n.nk}) AS p "
+        "RETURN n.id AS id, p.x AS x, p.y AS y, "
+        "CASE WHEN p < point({x: 0.0, y: 0.0}) IS NULL "
+        "THEN 1 ELSE 0 END AS ltnull "
+        "ORDER BY p, id"
+    )

@@ -2614,7 +2614,8 @@ def delta_cdf_stream(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _build_hudi_orders(spark, sf_dir, tag, table_type="COPY_ON_WRITE"):
+def _build_hudi_orders(spark, sf_dir, tag, table_type="COPY_ON_WRITE",
+                       log_block_format="avro"):
     """Shared fixture: a partitioned Hudi table from orders with a
     create → upsert → delete commit history. Returns (path, [i1, i2,
     i3]). init = %10<5; upsert sets price 1.0 on %20==0 and inserts
@@ -2654,7 +2655,8 @@ def _build_hudi_orders(spark, sf_dir, tag, table_type="COPY_ON_WRITE"):
         spark, init, t, "o_orderkey",
         partition_field="pb", n_file_groups=2, table_type=table_type,
     )
-    i2 = hudi_upsert(spark, t, upd.unionByName(new))
+    i2 = hudi_upsert(spark, t, upd.unionByName(new),
+                     log_block_format=log_block_format)
     i3 = hudi_delete(spark, t, del_keys)
     return t, [i1, i2, i3]
 
@@ -3580,5 +3582,98 @@ def delta_merge_mapped(spark, sf_dir):
             F.round("o_totalprice", 2).alias("price"),
             "pb",
         )
+        .orderBy("o_orderkey")
+    )
+
+
+@declared("hudi_mor_parquet_log", _HUDI_SNAPSHOT_SQL)
+def hudi_mor_parquet_log(spark, sf_dir):
+    """PARQUET log data blocks (round 13,
+    hoodie.logfile.data.block.format=parquet): the SAME create →
+    upsert → delete MoR history as hudi_mor_snapshot, but the
+    upsert's log block content is a parquet FILE payload (gzip, like
+    Hudi's default) instead of the length-prefixed avro record
+    layout; the delete stays a HoodieDeleteRecordList block. The
+    slice merge decodes the parquet content executor-side with
+    pyarrow inside the same mapInPandas descriptor pass, and the
+    snapshot must be IDENTICAL to the CoW/avro-MoR result (same
+    oracle) — the block codec provably doesn't change the answer.
+    The entry asserts at least one landed block really is PARQUET
+    type (a writer that silently falls back to avro would still
+    match the oracle)."""
+    import glob
+    import os
+
+    from graph_db_clustering_spark.sources.hudi import read_hudi
+    from graph_db_clustering_spark.sources.hudi_mor import (
+        PARQUET_DATA_BLOCK,
+        decode_log_file,
+    )
+
+    t, _ = _build_hudi_orders(
+        spark, sf_dir, "morpq", table_type="MERGE_ON_READ",
+        log_block_format="parquet",
+    )
+    types = set()
+    for lf in glob.glob(os.path.join(t, "*", ".*.log.*")):
+        with open(lf, "rb") as f:
+            types.update(b["type"] for b in decode_log_file(f.read()))
+    assert PARQUET_DATA_BLOCK in types, types
+    return (
+        read_hudi(spark, t, drop_meta=True)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+@declared("hudi_mor_logcompacted", _HUDI_SNAPSHOT_SQL)
+def hudi_mor_logcompacted(spark, sf_dir):
+    """LOG COMPACTION write side (round 13,
+    sources/hudi_mor.hudi_log_compact): after the standard MoR
+    create → upsert → delete history, every logged slice's chain is
+    merged into ONE new log file (latest data rows + carried delete
+    records, both under COMPACTED_BLOCK_TIMES) beneath a completed
+    ``logcompaction`` timeline action — base files untouched, the
+    original log files left on disk as the rollback pre-image. The
+    snapshot must be IDENTICAL to hudi_mor_snapshot's (same oracle):
+    carried copies order at the newest compacted instant and the
+    originals lose only the version tiebreak, so a mis-ordered
+    compacted block (or one that applies deletes instead of carrying
+    them) shifts rows. The entry asserts the logcompaction instant
+    really landed and every compacted block carries the CBT
+    header."""
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_timeline,
+        read_hudi,
+    )
+    from graph_db_clustering_spark.sources.hudi_mor import (
+        H_COMPACTED_BLOCK_TIMES,
+        H_INSTANT_TIME,
+        decode_log_file,
+        hudi_log_compact,
+    )
+
+    t, _ = _build_hudi_orders(
+        spark, sf_dir, "morlc", table_type="MERGE_ON_READ"
+    )
+    lci = hudi_log_compact(spark, t, min_log_files=1)
+    assert any(
+        x["action"] == "logcompaction" and x["instant"] == lci
+        for x in hudi_timeline(t)
+    )
+    import glob
+    import os
+
+    n_cbt = 0
+    for lf in glob.glob(os.path.join(t, "*", ".*.log.*")):
+        with open(lf, "rb") as f:
+            for b in decode_log_file(f.read()):
+                if b["header"].get(H_INSTANT_TIME) == lci:
+                    assert H_COMPACTED_BLOCK_TIMES in b["header"]
+                    n_cbt += 1
+    assert n_cbt, "no compacted blocks landed"
+    return (
+        read_hudi(spark, t, drop_meta=True)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
         .orderBy("o_orderkey")
     )

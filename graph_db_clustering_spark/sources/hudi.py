@@ -1333,7 +1333,12 @@ def hudi_rollback(path: str) -> str:
     return target
 
 
-def hudi_upsert(spark: SparkSession, path: str, df: DataFrame) -> str:
+def hudi_upsert(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    log_block_format: str = "avro",
+) -> str:
     """UPSERT into a CoW table: matched keys replace their stored row
     inside their existing file group (copy-on-write rewrite of ONLY
     the touched groups), unmatched keys land in fresh file groups.
@@ -1344,14 +1349,25 @@ def hudi_upsert(spark: SparkSession, path: str, df: DataFrame) -> str:
     in its file group and `_hoodie_partition_path`, so a
     partition-pruned read can miss its new value — recode the key or
     delete+insert to genuinely move partitions. On a MERGE_ON_READ
-    table, matched keys append an avro log block to their file slice
-    instead (sources/hudi_mor.py). Returns the commit instant."""
+    table, matched keys append a log block to their file slice
+    instead (sources/hudi_mor.py); log_block_format picks its data
+    layout — 'avro' (Hudi's default) or 'parquet'
+    (hoodie.logfile.data.block.format=parquet). Returns the commit
+    instant."""
     if _table_type(path) == "MERGE_ON_READ":
         from graph_db_clustering_spark.sources.hudi_mor import (
             _apply_row_changes_mor,
         )
 
-        return _apply_row_changes_mor(spark, path, df, None, "UPSERT")
+        return _apply_row_changes_mor(
+            spark, path, df, None, "UPSERT",
+            log_block_format=log_block_format,
+        )
+    if log_block_format != "avro":
+        raise HudiError(
+            "hudi: log_block_format applies to MERGE_ON_READ tables "
+            "(CoW writes no log files)"
+        )
     return _apply_row_changes(spark, path, df, None, "UPSERT")
 
 

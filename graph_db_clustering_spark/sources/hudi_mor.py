@@ -53,12 +53,16 @@ window over ONLY the log rows (small next to the base), and the base
 exclusion is an anti-join Catalyst is free to broadcast. Nothing
 row-wise touches the driver.
 
-Scope (loud gates): HFILE/PARQUET/CDC data blocks and kryo delete
-blocks (v<3) raise NotImplementedError with the reason.
+Scope (loud gates): HFILE/CDC data blocks and kryo delete blocks
+(v<3) raise NotImplementedError with the reason. PARQUET data blocks
+read AND write (round 13: the block content is a parquet file
+payload — pyarrow decodes executor-side; hudi_upsert's
+log_block_format='parquet' lands them, gzip like Hudi's default).
 Clean/rollback/restore ARE implemented slice-aware (dispatched from
 sources/hudi.py), as are clustering (replacecommit over merged
-slices), stats/partition-pruned snapshot reads, and read-side
-``logcompaction`` instants — round 13 closed those gates.
+slices), stats/partition-pruned snapshot reads, and ``logcompaction``
+instants — read side AND the hudi_log_compact writer — round 13
+closed those gates.
 
 Reference parity: the reference re-reads its working set from an
 external store per stage (database.py throughout); MoR completes the
@@ -506,10 +510,25 @@ def _make_log_decoder(valid: frozenset, out_cols: list[str]):
                                 **base, "_gdc_r": r_idx,
                                 "_gdc_deleted": True,
                             })
+                    elif b["type"] == PARQUET_DATA_BLOCK:
+                        # round 13: a parquet data block's content IS
+                        # a parquet file payload
+                        # (hoodie.logfile.data.block.format=parquet);
+                        # pyarrow decodes it in place, executor-side
+                        import io
+
+                        import pyarrow.parquet as pq
+
+                        tbl = pq.read_table(io.BytesIO(b["content"]))
+                        for r_idx, r in enumerate(tbl.to_pylist()):
+                            recs.append({
+                                **r, **base, "_gdc_r": r_idx,
+                                "_gdc_deleted": False,
+                            })
                     else:
                         raise NotImplementedError(
                             f"hudi-log: block type {b['type']} "
-                            "(hfile/parquet/cdc data blocks are not "
+                            "(hfile/cdc data blocks are not "
                             "implemented)"
                         )
                 if recs:
@@ -880,11 +899,16 @@ def _write_group_logs(
     record_key: str,
     schema_json: str | None,
     delete: bool,
+    block_format: str = "avro",
 ) -> dict:
     """One log file per touched (pp, fid): applyInPandas encodes the
     block EXECUTOR-SIDE into a stage dir; the driver renames the
     metadata-sized result into the partition dirs. Returns the
-    landed {(pp, fid): {'path', 'bytes', 'rows'}} map."""
+    landed {(pp, fid): {'path', 'bytes', 'rows'}} map.
+    block_format='parquet' lands data as PARQUET blocks
+    (hoodie.logfile.data.block.format=parquet — the content is a
+    parquet file payload, gzip like Hudi's default); deletes stay
+    Avro HoodieDeleteRecordList blocks either way."""
     import urllib.parse
 
     stage = os.path.join(path, f".stage_{instant}_logs")
@@ -925,9 +949,24 @@ def _write_group_logs(
                     "_hoodie_file_name": logname,
                     **vals,
                 })
-            content = encode_avro_block_content(fields, rows)
+            if block_format == "parquet":
+                import io
+
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                buf = io.BytesIO()
+                pq.write_table(
+                    pa.Table.from_pylist(rows), buf,
+                    compression="gzip",
+                )
+                content = buf.getvalue()
+                btype = PARQUET_DATA_BLOCK
+            else:
+                content = encode_avro_block_content(fields, rows)
+                btype = AVRO_DATA_BLOCK
             block = encode_log_block(
-                AVRO_DATA_BLOCK,
+                btype,
                 {H_INSTANT_TIME: instant, H_SCHEMA: schema_json},
                 content,
             )
@@ -975,12 +1014,18 @@ def _apply_row_changes_mor(
     upserts: DataFrame | None,
     delete_keys: DataFrame | None,
     op: str,
+    log_block_format: str = "avro",
 ) -> str:
     """Shared MoR write: tag incoming keys to file groups, append ONE
-    log file per touched group (avro data block for updates, delete
-    block for deletes), route inserts to fresh base-file groups —
-    exactly one deltacommit. Untouched data is never rewritten; that
-    is what merge-on-read buys over CoW."""
+    log file per touched group (avro or parquet data block for
+    updates, delete block for deletes), route inserts to fresh
+    base-file groups — exactly one deltacommit. Untouched data is
+    never rewritten; that is what merge-on-read buys over CoW."""
+    if log_block_format not in ("avro", "parquet"):
+        raise HudiError(
+            f"hudi: unsupported log_block_format {log_block_format!r}"
+            " (avro or parquet)"
+        )
     props = hudi_properties(path)
     record_key = props.get("hoodie.table.recordkey.fields")
     if not record_key:
@@ -1064,6 +1109,7 @@ def _apply_row_changes_mor(
             landed.update(_write_group_logs(
                 spark, updates, path, instant, ginfo,
                 record_key, schema_json, delete=False,
+                block_format=log_block_format,
             ))
         if n_ins:
             if partition_field is not None:
@@ -1175,13 +1221,19 @@ def hudi_clean_mor(path: str, retain_slices: int = 1) -> list[str]:
 
 
 def hudi_rollback_mor(path: str) -> str:
-    """ROLLBACK the latest completed deltacommit or compaction commit
-    on a MERGE_ON_READ table: the files its write stats name (log
-    files and/or base files) are deleted, its timeline triplet is
-    removed, and a completed `<instant>.rollback` records the action.
-    Rolling back a COMPACTION requires the pre-compaction slices to
-    still exist on disk (clean may have removed them — that would be
-    silent data loss, so it raises instead). Returns the rolled-back
+    """ROLLBACK the latest completed deltacommit, compaction commit,
+    or logcompaction on a MERGE_ON_READ table: the files its write
+    stats name (log files and/or base files) are deleted, its
+    timeline triplet is removed, and a completed `<instant>.rollback`
+    records the action. Rolling back a COMPACTION requires the
+    pre-compaction slices to still exist on disk (clean may have
+    removed them — that would be silent data loss, so it raises
+    instead). A LOGCOMPACTION rolls back by deleting its compacted
+    log files — the original log files it merged are still the
+    event carriers (log compaction never removes them). Because the
+    newest write is always the rollback target, a deltacommit whose
+    blocks were already log-compacted can never be rolled back
+    underneath the compacted copy. Returns the rolled-back
     instant."""
     import re
 
@@ -1194,7 +1246,8 @@ def hudi_rollback_mor(path: str) -> str:
     timeline = hudi_timeline(path)
     commits = [
         t for t in timeline
-        if t["action"] in ("commit", "deltacommit", "replacecommit")
+        if t["action"] in ("commit", "deltacommit", "replacecommit",
+                           "logcompaction")
     ]
     if not commits:
         raise HudiError("hudi: nothing to roll back")
@@ -1266,7 +1319,7 @@ def hudi_restore_mor(path: str) -> list[str]:
     deleted = []
     for t in timeline:
         if t["instant"] <= sp or t["action"] not in (
-            "commit", "deltacommit", "replacecommit"
+            "commit", "deltacommit", "replacecommit", "logcompaction"
         ):
             continue
         meta = _commit_meta(path, t["instant"], t["action"])
@@ -1366,5 +1419,153 @@ def hudi_compact(spark: SparkSession, path: str) -> str:
         path, instant, landed, "COMPACT",
         action="commit",
         extra={"gdc.compaction": "true"},
+    )
+    return instant
+
+
+def hudi_log_compact(
+    spark: SparkSession, path: str, min_log_files: int = 2
+) -> str:
+    """LOG COMPACTION (round 13, write side — the read side landed
+    earlier this round): merge each file slice's log chain into ONE
+    new log file — an avro data block carrying the latest non-deleted
+    event per key plus a HoodieDeleteRecordList block for keys whose
+    latest event is a delete — under a completed ``logcompaction``
+    timeline action, WITHOUT touching base files (that is what
+    distinguishes it from full compaction). Both blocks carry
+    COMPACTED_BLOCK_TIMES, so readers order the carried copies at the
+    newest compacted instant: the originals lose on the log-version
+    tiebreak, later non-compacted updates still win, and incremental
+    pulls never re-emit compacted copies (data rows keep their
+    ORIGINAL ``_hoodie_commit_time``). The original log files stay on
+    disk (they remain the rollback pre-image; the cleaner retires
+    them with their slice). Slices with fewer than ``min_log_files``
+    log files are untouched — the analog of real Hudi's
+    hoodie.log.compaction.blocks.threshold. The merge itself is the
+    same distributed plan as a snapshot's log half: executor-side
+    mapInPandas decode over the descriptor frame, a per-group
+    latest-event window over ONLY the log rows, and an applyInPandas
+    encode that stages one metadata-sized file per touched group for
+    the driver to rename."""
+    import urllib.parse
+
+    if hudi_properties(path).get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiError(
+            "hudi: log compaction applies to MERGE_ON_READ tables"
+        )
+    slices, valid = _file_slices(path)
+    todo = [s for s in slices if len(s["logs"]) >= min_log_files]
+    if not todo:
+        raise HudiError(
+            f"hudi: no file slice has >= {min_log_files} log files — "
+            "nothing to log-compact"
+        )
+    instant = _next_instant(path)
+    ginfo = _next_log_versions(path, todo)
+    schema = _table_schema(spark, slices)
+    user_cols = [
+        f.name for f in schema.fields if f.name not in _META_COLS
+    ]
+    avro_schema = spark_to_avro_schema(T.StructType(
+        [T.StructField(c, T.StringType(), False) for c in _META_COLS]
+        + [f for f in schema.fields if f.name in user_cols]
+    ))
+    schema_json = json.dumps(avro_schema)
+    log_df = _log_records_df(spark, todo, valid, schema)
+    # per-group compacted-instant inventory — drives the ordering
+    # header; one tiny aggregate, groups are metadata-sized
+    spans = {
+        (r["_pp"], r["_fid"]): ",".join(sorted(r["span"]))
+        for r in log_df.groupBy("_pp", "_fid")
+        .agg(F.collect_set("_gdc_instant").alias("span"))
+        .collect()
+    }
+    latest = _latest_per_key(log_df, per_group=True)
+
+    stage = os.path.join(path, f".stage_{instant}_logc")
+    os.makedirs(stage, exist_ok=True)
+    token = _WRITE_TOKEN
+
+    def fn(key, pdf):
+        import pandas as pd
+
+        pp, fid = key
+        base_instant, version = ginfo[(pp, fid)]
+        logname = f".{fid}_{base_instant}.log.{version}_{token}"
+        hdr = {
+            H_INSTANT_TIME: instant,
+            H_COMPACTED_BLOCK_TIMES: spans[(pp, fid)],
+        }
+        pdf = pdf.sort_values("_hoodie_record_key", kind="stable")
+        live = pdf[~pdf["_gdc_deleted"]]
+        dead = pdf[pdf["_gdc_deleted"]]
+        blob = b""
+        nrows = 0
+        if len(live):
+            fields = parse_schema(json.loads(schema_json))
+            metas = live[
+                [c for c in _META_COLS if c != "_hoodie_file_name"]
+            ].to_dict("records")
+            rows = []
+            for m, vals in zip(metas, _pdf_rows(live, user_cols)):
+                rows.append({
+                    **{k: (None if v is None else str(v))
+                       for k, v in m.items()},
+                    "_hoodie_file_name": logname,
+                    **vals,
+                })
+            blob += encode_log_block(
+                AVRO_DATA_BLOCK,
+                {**hdr, H_SCHEMA: schema_json},
+                encode_avro_block_content(fields, rows),
+            )
+            nrows += len(rows)
+        if len(dead):
+            blob += encode_log_block(
+                DELETE_BLOCK, hdr,
+                encode_delete_block_content([
+                    (str(k), pp)
+                    for k in dead["_hoodie_record_key"]
+                ]),
+            )
+            nrows += len(dead)
+        safe = urllib.parse.quote(f"{pp}|{logname}", safe="")
+        with open(os.path.join(stage, safe), "wb") as f:
+            f.write(blob)
+        return pd.DataFrame(
+            [[pp, fid, logname, nrows, len(blob)]],
+            columns=["pp", "fid", "logname", "rows", "bytes"],
+        )
+
+    landed_rows = (
+        latest.groupBy("_pp", "_fid")
+        .applyInPandas(
+            fn,
+            "pp string, fid string, logname string, "
+            "rows long, bytes long",
+        )
+        .collect()
+    )
+    landed = {}
+    for r in landed_rows:
+        rel = f"{r['pp']}/{r['logname']}" if r["pp"] else r["logname"]
+        src = os.path.join(
+            stage,
+            urllib.parse.quote(f"{r['pp']}|{r['logname']}", safe=""),
+        )
+        dest = os.path.join(path, *rel.split("/"))
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(src, dest)
+        landed[(r["pp"], r["fid"])] = {
+            "path": rel, "bytes": r["bytes"], "rows": r["rows"],
+        }
+    try:
+        os.rmdir(stage)
+    except OSError:
+        pass
+    _commit(
+        path, instant, landed, "LOGCOMPACT",
+        action="logcompaction",
+        extra={"gdc.logcompaction": "true"},
     )
     return instant

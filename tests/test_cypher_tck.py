@@ -36,28 +36,40 @@ UNSUPPORTED = {
     "MERGE on a graph-absent property (creates; the graph gains the "
     "column) all WORK (round 13, sorted ':'-joined label-set "
     "encoding in the single label column)",
-    "dynamic property residue": "n[k] with a RUNTIME-computed key on a "
-    "node/relationship (heterogeneous property types have no single "
-    "column type); literal and parameter keys (n['name'], n[$k]) and "
+    "dynamic property residue": "n[k] with a RUNTIME-computed key on "
+    "a node/relationship whose property types do NOT unify (same "
+    "Spark type, or one numeric family widening to long/double) — "
+    "no single column type exists, so it gates loudly; unifiable "
+    "graphs WORK via a CASE chain over the property fields "
+    "(round 13), and literal/parameter keys (n['name'], n[$k]) plus "
     "all list/map subscripts incl. computed indexes WORK (round 11)",
-    "temporal residue": "timezones/offsets and current-time forms "
-    "(date() with no args, time('12:00+01:00')); date()/datetime()/"
-    "localdatetime()/duration() construction, accessors, comparisons, "
+    "temporal residue": "timezones/offsets ONLY (time('12:00+01:00'), "
+    "datetime({timezone: ...}) — Spark has no zone-preserving type, "
+    "so offset/zone forms gate loudly rather than silently dropping "
+    "the zone); CURRENT-time forms (date()/datetime()/localdatetime()"
+    "/time()/localtime() with zero args) WORK off Spark's "
+    "per-query-constant clock = Neo4j's statement clock (round 13); "
+    "date()/datetime()/localdatetime()/duration() construction from "
+    "strings/maps, accessors, comparisons, "
     "date +/- duration (round 11), PLUS time()/localtime() clock "
     "values, duration accessors (.months/.days/.seconds/...), "
     "duration +/- duration, and duration.between()/inMonths()/"
     "inDays()/inSeconds() WORK (round 12)",
-    "spatial residue": "point comparisons (ORDER BY/inequality on "
-    "whole points); CARTESIAN point({x, y[, z]}) construction, "
+    "spatial residue": "none remaining — ordering comparisons "
+    "between whole points yield NULL (Neo4j: undefined), equality "
+    "compares components+crs, ORDER BY orders points "
+    "deterministically (struct field order, round 13); CARTESIAN "
+    "point({x, y[, z]}) construction, "
     "accessors and distance() (round 11), GEOGRAPHIC wgs-84 points "
     "with haversine distance() over the pinned IUGG mean earth "
     "radius 6371008.7714 m, point.withinBBox (cartesian ranges; "
     "geographic with antimeridian wrap) (round 12), AND wgs-84-3d "
     "(height) with Neo4j's avg-height-inflated arc + Pythagoras "
     "distance (round 13) WORK",
-    "QPP residue": "a variable REPEATED across positions of a "
-    "multi-relationship body (per-repetition unification); "
-    "single-relationship QPP with +/{n}/{lo,hi} (round 11), "
+    "QPP residue": "none remaining beyond openCypher's own "
+    "restrictions (a repeated RELATIONSHIP variable is an error, as "
+    "in Neo4j); single-relationship QPP with +/{n}/{lo,hi} "
+    "(round 11), "
     "zero-length quantifiers ((...)* / {0,n} — the zero repetition "
     "unifies the outer nodes, no inner constraints), group variables "
     "on single-relationship bodies ((a)-[r:R]->(b) names bind "
@@ -65,7 +77,10 @@ UNSUPPORTED = {
     "((()-[:R]->()-[:S]->()){n} — each repetition traverses the "
     "whole chain as one composite step, round 12), AND group "
     "variables INSIDE multi-relationship bodies (per-position list "
-    "bindings sliced from the enriched path frame, round 13) WORK",
+    "bindings sliced from the enriched path frame, round 13), AND "
+    "a NODE variable repeated across body positions (per-repetition "
+    "unification as a join-time equality inside the composite step, "
+    "round 13) WORK",
 }
 
 
@@ -638,6 +653,36 @@ SCENARIOS = [
      "MATCH p = (x:N {v: 1}) (()-[:R]->()-[:S]->()){2} (y) "
      "RETURN length(p) AS l, [n IN nodes(p) | n.v] AS vs",
      [{"l": 4, "vs": [1, 2, 3, 4, 5]}], False),
+    # round 13: per-repetition unification — a node variable repeated
+    # across body positions pins those positions equal WITHIN each
+    # repetition (openCypher GPM juxtaposition semantics)
+    ("QPP", "repeated node variable unifies within a repetition",
+     ["CREATE (u1:U {v: 1}), (u2:U {v: 2}), (u3:U {v: 3}), "
+      "(u1)-[:R]->(u2), (u2)-[:S]->(u1), (u2)-[:S]->(u3)"],
+     # out-and-back: the S edge must return to the SAME node the
+     # repetition left from, so 2-[:S]->3 never completes a step
+     "MATCH (s:U {v: 1}) ((a)-[:R]->(x)-[:S]->(a)){1} (t) "
+     "RETURN t.v AS tv, [n IN a | n.v] AS av, [n IN x | n.v] AS xv",
+     [{"tv": 1, "av": [1], "xv": [2]}], False),
+    ("QPP", "unification applies fresh in every repetition",
+     ["CREATE (u1:U2 {v: 1}), (u2:U2 {v: 2}), (u3:U2 {v: 3}), "
+      "(u1)-[:R]->(u2), (u2)-[:S]->(u1), "
+      "(u1)-[:R]->(u3), (u3)-[:S]->(u1)"],
+     # two out-and-back loops from node 1 through 2 and through 3;
+     # {2} chains them in either order, edge uniqueness prevents
+     # reusing a loop — x binds the per-repetition interior list
+     "MATCH (s:U2 {v: 1}) ((a)-[:R]->(x)-[:S]->(a)){2} (t) "
+     "RETURN t.v AS tv, [n IN x | n.v] AS xv",
+     [{"tv": 1, "xv": [2, 3]}, {"tv": 1, "xv": [3, 2]}], False),
+    ("QPP", "unification between interior positions",
+     ["CREATE (u1:U3 {v: 1}), (u2:U3 {v: 2}), (u3:U3 {v: 3}), "
+      "(u1)-[:R]->(u2), (u2)-[:S]->(u2), (u2)-[:T]->(u3), "
+      "(u1)-[:R]->(u3)"],
+     # the middle two positions must be the same node: only the
+     # 2-[:S]->2 self-loop satisfies (m)-[:S]->(m)
+     "MATCH (s:U3 {v: 1}) ((a)-[:R]->(m)-[:S]->(m)-[:T]->(b)){1} (t) "
+     "RETURN t.v AS tv, [n IN m | n.v] AS mv",
+     [{"tv": 3, "mv": [2]}], False),
     ("QPP", "inner label constrains every composite step",
      ["CREATE (:N {v: 1})-[:R]->(:M {v: 2})-[:S]->(:N {v: 3})"
       "-[:R]->(:X {v: 4})-[:S]->(:N {v: 5})"],
@@ -837,10 +882,131 @@ def test_parameter_key_subscript(spark):
     ) == [36, None]
 
 
-def test_runtime_node_key_gates(spark):
+def test_point_comparison_semantics(spark):
+    # round 13: ordering comparisons between points are undefined in
+    # Neo4j and yield null; equality compares components+crs; ORDER
+    # BY orders points deterministically
     s = _session(spark)
-    s.run("CREATE (:P {name: 'ada'})")
-    with pytest.raises(ValueError, match="literal or parameter key"):
+    r = s.run(
+        "WITH point({x: 1, y: 2}) AS p1, point({x: 3, y: 1}) AS p2 "
+        "RETURN p1 < p2 AS lt, p1 >= p2 AS ge, p1 = p1 AS eq, "
+        "p1 = p2 AS ne"
+    ).collect()[0]
+    assert r["lt"] is None and r["ge"] is None
+    assert r["eq"] is True and r["ne"] is False
+    # different crs never equal
+    r = s.run(
+        "WITH point({x: 1, y: 2}) AS c, "
+        "point({longitude: 1, latitude: 2}) AS g "
+        "RETURN c = g AS eq"
+    ).collect()[0]
+    assert r["eq"] is False
+    # ORDER BY is deterministic (struct field order: x, then y)
+    rows = s.run(
+        "UNWIND [point({x: 2, y: 0}), point({x: 1, y: 5}), "
+        "point({x: 1, y: 3})] AS p RETURN p.x AS x, p.y AS y "
+        "ORDER BY p"
+    ).collect()
+    assert [(r["x"], r["y"]) for r in rows] == [
+        (1.0, 3.0), (1.0, 5.0), (2.0, 0.0)
+    ]
+
+
+def test_current_time_statement_clock(spark):
+    # round 13: zero-arg temporal constructors read the statement
+    # clock — Spark resolves current_date/current_timestamp/
+    # localtimestamp ONCE per query, so every zero-arg form in one
+    # statement observes the same instant (Neo4j's rule)
+    import datetime as _dt
+
+    s = _session(spark)
+    r = s.run(
+        "RETURN date() AS d, datetime() AS dt, localdatetime() AS "
+        "ldt, time() AS t, localtime() AS lt"
+    ).collect()[0]
+    assert isinstance(r["d"], _dt.date)
+    assert isinstance(r["dt"], _dt.datetime)
+    assert r["d"] >= _dt.date(2026, 1, 1)
+    # session convention is UTC: datetime()/localdatetime() agree,
+    # and the date/clock components all come from the same instant
+    assert r["dt"].replace(tzinfo=None) == r["ldt"] or abs(
+        (r["dt"].replace(tzinfo=None) - r["ldt"]).total_seconds()
+    ) < 1e-6
+    assert r["ldt"].date() == r["d"]
+    assert r["t"].date() == _dt.date(1970, 1, 1)  # anchored clock
+    assert r["t"].time() == r["ldt"].time()
+    assert r["t"] == r["lt"]
+
+
+@pytest.mark.parametrize("q", [
+    "RETURN datetime('2015-06-24T12:50:35+01:00')",
+    "RETURN datetime('2015-06-24T12:50:35Z')",
+    "RETURN localdatetime('2015-06-24T12:50:35[Europe/Paris]')",
+    "RETURN datetime('2015-06-24 12:50:35')",  # non-ISO separator
+])
+def test_datetime_offset_zone_literals_gate(spark, q):
+    # the same rule ADVICE r12 pinned for time(): offset/zone forms
+    # gate loudly instead of being silently shifted to a UTC instant
+    # (accessors would diverge from Neo4j's zone-local components)
+    s = _session(spark)
+    with pytest.raises(ValueError, match="offset/zone"):
+        s.run(q)
+
+
+def test_datetime_timezone_component_gates(spark):
+    s = _session(spark)
+    with pytest.raises(ValueError, match="unsupported"):
+        s.run("RETURN datetime({year: 2024, timezone: 'Z'})")
+
+
+def test_qpp_repeated_relationship_variable_errors(spark):
+    # openCypher/Neo4j forbid a relationship variable bound twice in
+    # one pattern; inside a QPP body this compiler raises the same way
+    s = _session(spark)
+    s.run("CREATE (:U4 {v: 1})")
+    with pytest.raises(ValueError, match="relationship variable"):
+        s.run(
+            "MATCH (s) ((a)-[r:R]->(x)-[r:S]->(b)){1} (t) "
+            "RETURN t.v AS tv"
+        )
+
+
+def test_runtime_node_key_unified_types(spark):
+    # round 13: a runtime-computed key works when the property
+    # types unify — here all strings; the key is itself a property
+    s = _session(spark)
+    s.run("CREATE (:P {name: 'ada', alias: 'lovelace', pick: 'alias'})"
+          ", (:P {name: 'bob', alias: 'b', pick: 'name'})")
+    rows = {r["nm"]: r["v"] for r in s.run(
+        "MATCH (n:P) RETURN n.name AS nm, n[n.pick] AS v"
+    ).collect()}
+    assert rows == {"ada": "lovelace", "bob": "bob"}
+    # a key naming NO property (and never the internal id/label
+    # columns) is null, the openCypher absent-property rule
+    rows = [r["v"] for r in s.run(
+        "MATCH (n:P) RETURN n['id'] AS v"
+    ).collect()]
+    assert rows == [None, None]
+
+
+def test_runtime_node_key_numeric_widening(spark):
+    # a mixed numeric family widens to double (Cypher's 1 = 1.0
+    # equality semantics); the runtime key here is a computed
+    # expression, not a literal/parameter
+    s = _session(spark)
+    s.run("CREATE (:N {i: 2, f: 1.5})")
+    rows = [r.asDict() for r in s.run(
+        "MATCH (n:N) RETURN n[toLower('F')] AS f, n[toLower('I')] AS i"
+    ).collect()]
+    assert rows == [{"f": 1.5, "i": 2.0}]
+
+
+def test_runtime_node_key_heterogeneous_gates(spark):
+    # string + long properties have no unified column type — the
+    # documented gate raises instead of ANSI-coercing the string
+    s = _session(spark)
+    s.run("CREATE (:P {name: 'ada', age: 36})")
+    with pytest.raises(ValueError, match="unify"):
         s.run("MATCH (n:P) RETURN n[n.name]")
 
 

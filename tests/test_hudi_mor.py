@@ -534,8 +534,6 @@ def test_mor_rollback_deltacommit(spark, table):
 
 
 def test_mor_rollback_compaction(spark, table):
-    from graph_db_clustering_spark.sources.hudi import hudi_rollback
-
     t, _ = table
     hudi_upsert(
         spark, t,
@@ -940,3 +938,263 @@ def test_pending_compaction_anchored_logs_merge(spark, tmp_path):
     os.replace(reanchored, bogus)
     with pytest.raises(HudiError, match="no base file"):
         read_hudi(spark, t)
+
+
+# --- parquet log data blocks (round 13) -------------------------------
+
+
+def test_parquet_log_block_upsert_and_merge(spark, table):
+    t, i1 = table
+    import glob
+
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "pq", 9.0, 1), (7, "pq7", 8.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+        log_block_format="parquet",
+    )
+    # ids 4 and 7 hash to different file groups — one log file each,
+    # every landed block a parquet file payload
+    logs = glob.glob(os.path.join(t, "*", ".*log*"))
+    assert logs
+    for lf in logs:
+        with open(lf, "rb") as f:
+            blocks = M.decode_log_file(f.read())
+        assert [b["type"] for b in blocks] == [M.PARQUET_DATA_BLOCK]
+        assert blocks[0]["content"][:4] == b"PAR1"
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    got = {r["id"]: (r["name"], r["_hoodie_commit_time"])
+           for r in snap.collect()}
+    assert got[4] == ("pq", i2)
+    assert got[7] == ("pq7", i2)
+    assert got[5] == ("n5", i1)
+
+
+def test_parquet_and_avro_blocks_interleave(spark, table):
+    # latest-wins ordering must hold across MIXED block codecs in
+    # one slice's log chain
+    t, _ = table
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "first", 1.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+        log_block_format="parquet",
+    )
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "second", 2.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+    )  # avro
+    hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "third", 3.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+        log_block_format="parquet",
+    )
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    assert snap.filter("id = 4").collect()[0]["name"] == "third"
+    # deletes stay avro HoodieDeleteRecordList blocks and still
+    # suppress parquet-block rows
+    hudi_delete(spark, t, spark.createDataFrame([(4,)], "id long"))
+    assert read_hudi(spark, t).filter("id = 4").count() == 0
+
+
+def test_parquet_log_blocks_incremental_and_compact(spark, table):
+    t, i1 = table
+    i2 = hudi_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(4, "pq", 9.0, 1)],
+            "id long, name string, price double, region int",
+        ),
+        log_block_format="parquet",
+    )
+    inc = read_hudi_incremental(spark, t, i1)
+    assert [(r["id"], r["name"]) for r in inc.collect()] == [(4, "pq")]
+    M.hudi_compact(spark, t)
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    assert snap.filter("id = 4").collect()[0]["name"] == "pq"
+
+
+def test_bad_log_block_format_raises(spark, table):
+    t, _ = table
+    with pytest.raises(HudiError, match="log_block_format"):
+        hudi_upsert(
+            spark, t,
+            spark.createDataFrame(
+                [(4, "x", 1.0, 1)],
+                "id long, name string, price double, region int",
+            ),
+            log_block_format="orc",
+        )
+
+
+def test_parquet_format_on_cow_raises(spark, tmp_path):
+    t = str(tmp_path / "cow")
+    hudi_create(spark, _df(spark), t, "id", n_file_groups=1)
+    with pytest.raises(HudiError, match="MERGE_ON_READ"):
+        hudi_upsert(
+            spark, t,
+            spark.createDataFrame(
+                [(4, "x", 1.0, 1)],
+                "id long, name string, price double, region int",
+            ),
+            log_block_format="parquet",
+        )
+
+
+# --- log compaction WRITE side (round 13 second pass) -----------------
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, name string, price double, region int"
+    )
+
+
+def _snap_sorted(spark, t):
+    return sorted(
+        (r["id"], r["name"], r["price"])
+        for r in read_hudi(spark, t, drop_meta=True).collect()
+    )
+
+
+def test_log_compact_snapshot_unchanged(spark, table):
+    import glob
+
+    t, i1 = table
+    hudi_upsert(spark, t, _upd(spark, [(4, "a", 1.0, 1)]))
+    hudi_upsert(spark, t, _upd(spark, [(4, "b", 2.0, 1)]))
+    before = _snap_sorted(spark, t)
+    logs_before = set(glob.glob(os.path.join(t, "*", ".*log*")))
+    lci = M.hudi_log_compact(spark, t)
+    logs_after = set(glob.glob(os.path.join(t, "*", ".*log*")))
+    new = logs_after - logs_before
+    # originals stay on disk; exactly one new compacted log file
+    assert logs_before <= logs_after and len(new) == 1
+    with open(next(iter(new)), "rb") as f:
+        blocks = M.decode_log_file(f.read())
+    assert [b["type"] for b in blocks] == [M.AVRO_DATA_BLOCK]
+    hdr = blocks[0]["header"]
+    assert hdr[M.H_INSTANT_TIME] == lci
+    assert "," in hdr[M.H_COMPACTED_BLOCK_TIMES]  # both instants
+    assert _snap_sorted(spark, t) == before
+    # the timeline carries a completed logcompaction action
+    assert any(
+        x["action"] == "logcompaction" and x["instant"] == lci
+        for x in hudi_timeline(t)
+    )
+
+
+def test_log_compact_later_update_wins(spark, table):
+    t, _ = table
+    hudi_upsert(spark, t, _upd(spark, [(4, "a", 1.0, 1)]))
+    hudi_upsert(spark, t, _upd(spark, [(4, "b", 2.0, 1)]))
+    M.hudi_log_compact(spark, t)
+    hudi_upsert(spark, t, _upd(spark, [(4, "z", 9.0, 1)]))
+    snap = read_hudi(spark, t)
+    assert snap.count() == 20
+    assert snap.filter("id = 4").collect()[0]["name"] == "z"
+
+
+def test_log_compact_incremental_exact(spark, table):
+    t, i1 = table
+    hudi_upsert(spark, t, _upd(spark, [(4, "a", 1.0, 1)]))
+    hudi_upsert(spark, t, _upd(spark, [(4, "b", 2.0, 1)]))
+    before = sorted(
+        (r["id"], r["name"])
+        for r in read_hudi_incremental(spark, t, i1).collect()
+    )
+    assert before == [(4, "b")]
+    M.hudi_log_compact(spark, t)
+    after = sorted(
+        (r["id"], r["name"])
+        for r in read_hudi_incremental(spark, t, i1).collect()
+    )
+    assert after == before
+
+
+def test_log_compact_delete_carried_survives_cleaning(spark, table):
+    import glob
+
+    t, _ = table
+    # id 7 sits in region=1; upsert then delete -> 2 log events
+    hudi_upsert(spark, t, _upd(spark, [(7, "x", 5.0, 1)]))
+    hudi_delete(spark, t, spark.createDataFrame([(7,)], "id long"))
+    originals = set(glob.glob(os.path.join(t, "region=1", ".*log*")))
+    M.hudi_log_compact(spark, t)
+    for p in originals:  # what the cleaner does next
+        os.remove(p)
+    snap = read_hudi(spark, t)
+    assert snap.count() == 19
+    assert snap.filter("id = 7").count() == 0
+
+
+def test_log_compact_rollback(spark, table):
+    import glob
+
+    t, _ = table
+    hudi_upsert(spark, t, _upd(spark, [(4, "a", 1.0, 1)]))
+    hudi_upsert(spark, t, _upd(spark, [(4, "b", 2.0, 1)]))
+    before = _snap_sorted(spark, t)
+    logs_before = set(glob.glob(os.path.join(t, "*", ".*log*")))
+    lci = M.hudi_log_compact(spark, t)
+    from graph_db_clustering_spark.sources.hudi import hudi_rollback
+
+    assert hudi_rollback(t) == lci
+    # the compacted file is gone, the originals still answer
+    assert set(glob.glob(os.path.join(t, "*", ".*log*"))) == logs_before
+    assert _snap_sorted(spark, t) == before
+    assert not any(
+        x["action"] == "logcompaction" for x in hudi_timeline(t)
+    )
+
+
+def test_log_compact_threshold(spark, table):
+    t, _ = table
+    hudi_upsert(spark, t, _upd(spark, [(4, "a", 1.0, 1)]))
+    with pytest.raises(HudiError, match="log-compact"):
+        M.hudi_log_compact(spark, t)  # 1 log file < min_log_files=2
+    # threshold 1 compacts the single-block chain fine
+    lci = M.hudi_log_compact(spark, t, min_log_files=1)
+    assert read_hudi(spark, t).count() == 20
+
+
+def test_log_compact_on_cow_raises(spark, tmp_path):
+    t = str(tmp_path / "cow")
+    hudi_create(spark, _df(spark), t, "id", n_file_groups=1)
+    with pytest.raises(HudiError, match="MERGE_ON_READ"):
+        M.hudi_log_compact(spark, t)
+
+
+def test_log_compact_restore_removes_compacted_files(spark, table):
+    import glob
+
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_restore,
+        hudi_savepoint,
+    )
+
+    t, _ = table
+    i2 = hudi_upsert(spark, t, _upd(spark, [(4, "a", 1.0, 1)]))
+    hudi_savepoint(t, i2)
+    before = _snap_sorted(spark, t)
+    logs_sp = set(glob.glob(os.path.join(t, "*", ".*log*")))
+    hudi_upsert(spark, t, _upd(spark, [(4, "b", 2.0, 1)]))
+    M.hudi_log_compact(spark, t)
+    hudi_restore(t)
+    # the post-savepoint deltacommit's log AND the compacted log are
+    # both physically gone — no orphans
+    assert set(glob.glob(os.path.join(t, "*", ".*log*"))) == logs_sp
+    assert _snap_sorted(spark, t) == before
