@@ -799,9 +799,10 @@ class _Parser:
         return SetC(assignments, labels)
 
     def call_clause(self):
-        """CALL { subquery } — the uncorrelated, read-only form (its
-        result rows join every input row). CALL procedures and correlated
-        subqueries (importing WITH) stay gated."""
+        """CALL { subquery } — uncorrelated (result rows join every
+        input row) AND correlated (importing WITH, compiled once over
+        the distinct import combos). CALL procedures beyond the
+        supported db.* surface and mutating bodies stay gated."""
         self.expect("kw", "call")
         if self.peek() != ("op", "{"):
             return self.procedure_call()
