@@ -60,6 +60,8 @@ HEAVY = [
     # round 13 (VERDICT r12 #2): the MoR log-block landing + snapshot
     # merge — the one round-12 heavy surface with no measured bound
     "hudi_mor_upsert_30k",
+    # round 13 second pass: the log-compaction writer's growth bound
+    "hudi_mor_logcompact_30k",
 ]
 
 
@@ -258,6 +260,49 @@ def hudi_mor_upsert_30k(spark, sf_dir):
     return read_hudi(spark, t, drop_meta=True)
 
 
+def hudi_mor_logcompact_30k(spark, sf_dir):
+    """Log-compaction scale row (round 13, the write side's growth
+    bound): the hudi_mor_upsert_30k history (upsert + delete log
+    blocks) followed by hudi_log_compact over every logged slice
+    (min_log_files=1) and the post-compaction snapshot merge. The
+    compaction is the same distributed shape as the snapshot's log
+    half — mapInPandas decode, per-group latest window, applyInPandas
+    encode, driver renames metadata-sized staged files — so growth
+    near 1x-per-data-x proves the merge-and-rewrite plan scales with
+    log data while driver work stays bounded by touched groups."""
+    from graph_db_clustering_spark.sources.hudi import (
+        hudi_create,
+        hudi_delete,
+        hudi_upsert,
+        read_hudi,
+    )
+    from graph_db_clustering_spark.sources.hudi_mor import (
+        hudi_log_compact,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 1_000_000) < 3000
+    ).select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 4).cast("int").alias("pb"),
+    )
+    t = os.path.join(_scratch("hudi_morlc"), "t")
+    hudi_create(
+        spark, o, t, "o_orderkey", partition_field="pb",
+        n_file_groups=4, table_type="MERGE_ON_READ",
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    hudi_upsert(spark, t, upd)
+    hudi_delete(
+        spark, t,
+        o.filter(F.col("o_orderkey") % 50 == 3).select("o_orderkey"),
+    )
+    hudi_log_compact(spark, t, min_log_files=1)
+    return read_hudi(spark, t, drop_meta=True)
+
+
 def delta_merge_30k(spark, sf_dir):
     """Delta MERGE write-path scale row (VERDICT r11 #8): append the
     same 3k-per-replica orders slice, then ONE protocol MERGE (update
@@ -453,6 +498,7 @@ def main() -> None:
         "hudi_upsert_30k": hudi_upsert_30k,
         "delta_merge_30k": delta_merge_30k,
         "hudi_mor_upsert_30k": hudi_mor_upsert_30k,
+        "hudi_mor_logcompact_30k": hudi_mor_logcompact_30k,
     }
     queries.update(extra)
     # in-run sf0.1 baselines for rows not in bench.py's set

@@ -113,6 +113,27 @@ def main() -> None:
     for title, q in MUTATIONS:
         s.run(q)
         print(f"  {title}: vertices={s.graph.vertices.count()}")
+
+    # LOAD CSV (round 13): Neo4j's bulk-ingest clause over Spark's
+    # distributed CSV scan — fields are strings, coerce explicitly
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cypher_tour_csv_")
+    p = os.path.join(d, "more.csv")
+    with open(p, "w") as f:
+        f.write("name,score\nnova,91\norion,87\n")
+    print("\n== LOAD CSV ingest ==")
+    s.run(
+        f"LOAD CSV WITH HEADERS FROM 'file://{p}' AS row "
+        "CREATE (:Recruit {name: row.name, "
+        "score: toInteger(row.score)})"
+    )
+    for row in s.run(
+        "MATCH (r:Recruit) RETURN r.name AS name, r.score AS score "
+        "ORDER BY score DESC"
+    ).collect():
+        print("   ->", tuple(row))
     spark.stop()
 
 

@@ -87,9 +87,11 @@ message — gates are test-pinned in tests/test_cypher.py):
       empty-group defaults 0/[]/0)               never per-row execution)
     list literals [..], map literals {..},    yes (round 11: x[expr]
       x[i] / x[$k] / x['key'] / x[i + 1],        computed list/map
-      $params                                    subscripts; node props
-                                                 via literal/param keys —
-                                                 runtime node keys gate)
+      $params                                    subscripts; round 13:
+                                                 RUNTIME node keys via a
+                                                 type-unified CASE chain —
+                                                 heterogeneous prop types
+                                                 gate loudly)
     UNION / UNION ALL (RETURN parts, same      yes (unionByName,
       columns, no mixing — the Neo4j rules)      + distinct for bare UNION)
     CALL db.labels() / db.relationshipTypes()  yes (distinct metadata
@@ -116,20 +118,32 @@ message — gates are test-pinned in tests/test_cypher.py):
                                                  relationships; varlength
                                                  mixed with more edges
                                                  stays a ValueError)
-    point({x, y[, z]}) + distance()            yes (round 11: cartesian
-                                                 structs + euclidean;
-                                                 WGS-84 gates loudly)
-    (x) (()-[:R]->()){lo,hi} (y) / (...)+      yes (round 11: quantified
-      quantified path patterns                   path patterns — per-path
-                                                 rows, inner patterns
-                                                 constrain every step;
-                                                 zero-length / group vars
-                                                 / multi-rel bodies gate)
-    date()/datetime()/localdatetime()/         yes (round 11: string/map
-      duration() + accessors, comparisons,       construction, type-aware
-      date +/- duration                          accessors, make_interval;
-                                                 time()/timezones/duration
-                                                 accessors gate loudly)
+    point({x, y[, z]} | {longitude,            yes (rounds 11-13:
+      latitude[, height]}) + distance() /        cartesian euclidean;
+      withinBBox; point ordering                 WGS-84[-3d] haversine;
+                                                 ordering comparisons
+                                                 between points are null,
+                                                 ORDER BY deterministic)
+    (x) (()-[:R]->()){lo,hi} (y) / (...)+      yes (rounds 11-13:
+      quantified path patterns                   per-path rows, inner
+                                                 patterns constrain every
+                                                 step, zero-length, group
+                                                 vars incl. multi-rel
+                                                 bodies, per-repetition
+                                                 unification of repeated
+                                                 node vars)
+    date()/datetime()/localdatetime()/         yes (rounds 11-13: string/
+      time()/localtime()/duration() +            map construction, zero-arg
+      accessors, comparisons, arithmetic         statement-clock forms,
+                                                 type-aware accessors;
+                                                 offset/zone forms gate
+                                                 loudly — no zone-
+                                                 preserving Spark type)
+    LOAD CSV [WITH HEADERS] FROM 'file://…'    yes (round 13: Spark's
+      AS row [FIELDTERMINATOR ';']               distributed CSV scan;
+                                                 fields stay strings,
+                                                 Neo4j's rule; network
+                                                 schemes gate loudly)
     list comprehension [x IN l WHERE p | e]    yes (filter/transform
       (+ range(a, b[, step]))                    HOFs; lambda scoping)
     all/any/none/single(x IN l WHERE p)        yes (forall/exists HOFs)
@@ -366,6 +380,14 @@ class ReturnC(WithC):
 class UnwindC:
     expr: object  # list-valued expression
     alias: str
+
+
+@dataclass
+class LoadCsvC:
+    url: str
+    var: str
+    headers: bool
+    sep: str
 
 
 @dataclass
@@ -666,6 +688,11 @@ class _Parser:
             and (stop is None or self.peek() != stop)
         ):
             t = self.peek()
+            if t[0] == "ident" and t[1].lower() == "load":
+                # LOAD CSV — kept out of _KEYWORDS so 'load'/'from'/
+                # 'headers' stay usable as labels and property names
+                clauses.append(self.load_csv_clause())
+                continue
             if t[0] != "kw":
                 raise SyntaxError(f"cypher: expected clause keyword, got {t}")
             kw = t[1].lower()
@@ -754,6 +781,55 @@ class _Parser:
             self.next()
             where = self.expr()
         return cls(items, order_by, limit, distinct, skip, where)
+
+    def load_csv_clause(self):
+        """LOAD CSV [WITH HEADERS] FROM '<file url>' AS row
+        [FIELDTERMINATOR ';'] — Neo4j's bulk-ingest clause. Every
+        field is a STRING (Neo4j's rule; coerce with toInteger()/
+        toFloat()/toBoolean()); WITH HEADERS binds each line as a
+        field-named map, without it as a list subscripted row[0]."""
+
+        def ident(expected):
+            t = self.next()
+            if not (t[0] == "ident" and t[1].lower() == expected):
+                raise SyntaxError(
+                    f"cypher: expected {expected.upper()} in LOAD CSV, "
+                    f"got {t}"
+                )
+
+        self.next()  # LOAD
+        ident("csv")
+        headers = False
+        if self.at_kw("with"):
+            self.next()
+            ident("headers")
+            headers = True
+        ident("from")
+        t = self.next()
+        if t[0] != "str":
+            raise ValueError(
+                "cypher: LOAD CSV needs a literal file URL"
+            )
+        url = t[1][1:-1]
+        self.expect("kw", "as")
+        v = self.next()
+        if v[0] != "ident":
+            raise SyntaxError(
+                f"cypher: expected a variable after AS, got {v}"
+            )
+        sep = ","
+        if (
+            self.peek()[0] == "ident"
+            and self.peek()[1].lower() == "fieldterminator"
+        ):
+            self.next()
+            ts = self.next()
+            if ts[0] != "str":
+                raise ValueError(
+                    "cypher: FIELDTERMINATOR needs a literal string"
+                )
+            sep = ts[1][1:-1]
+        return LoadCsvC(url, v[1], headers, sep)
 
     def unwind_clause(self):
         self.expect("kw", "unwind")
@@ -1728,6 +1804,8 @@ class CypherSession:
                 self._proc(ctx, c)
             elif isinstance(c, UnwindC):
                 self._unwind(ctx, c, params)
+            elif isinstance(c, LoadCsvC):
+                self._load_csv(ctx, c)
             i += 1
         if result is None and clauses and isinstance(clauses[-1], ProcC):
             # standalone procedure CALL: its rows ARE the result (Neo4j
@@ -2861,6 +2939,43 @@ class CypherSession:
         if c.alias in ctx.df.columns:
             raise ValueError(f"cypher: UNWIND rebinds variable {c.alias!r}")
         ctx.df = ctx.df.select("*", F.explode(col).alias(c.alias))
+
+    def _load_csv(self, ctx: _Ctx, c: LoadCsvC) -> None:
+        """LOAD CSV ... AS row — the binding table seeds from Spark's
+        distributed CSV reader (splittable scan, not a driver loop),
+        so a 100 GB ingest parallelizes like any other source. Fields
+        stay strings (inferSchema off, Neo4j semantics; empty
+        unquoted fields read as null). WITH HEADERS binds a
+        field-named struct (row.name / row['name']), otherwise a
+        string list (row[0]). file:// URLs and plain paths only —
+        this engine does no network I/O, so other schemes gate."""
+        if ctx.df is not None:
+            raise ValueError(
+                "cypher: LOAD CSV must be the first clause of its "
+                "query"
+            )
+        url = c.url
+        if url.startswith("file:"):
+            path = re.sub(r"^file:/*", "/", url)
+        elif "://" in url:
+            raise ValueError(
+                "cypher: LOAD CSV supports file:// URLs or plain "
+                f"paths only (no network in this engine), got {url!r}"
+            )
+        else:
+            path = url
+        spark = self.graph.vertices.sparkSession
+        df0 = (
+            spark.read.option("header", str(c.headers).lower())
+            .option("sep", c.sep)
+            .option("inferSchema", "false")
+            .csv(path)
+        )
+        if c.headers:
+            col = F.struct(*[F.col(x).alias(x) for x in df0.columns])
+        else:
+            col = F.array(*[F.col(x) for x in df0.columns])
+        ctx.df = df0.select(col.alias(c.var))
 
     def _lambda_fn(self, names: list, sub, df, params):
         """N-ary HOF lambda compiling `sub` with `names` bound to the

@@ -2096,3 +2096,127 @@ def cypher_point_order(spark, sf_dir):
         "THEN 1 ELSE 0 END AS ltnull "
         "ORDER BY p, id"
     )
+
+
+@declared(
+    "cypher_qpp_unify",
+    f"""WITH v AS (SELECT c_custkey AS id, c_nationkey AS nation,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+           FROM customer WHERE c_custkey < {_CAP})
+SELECT a.id AS aid, a.id AS bid, [n.id] AS mids
+FROM v a JOIN v n ON n.nation = a.nation AND n.pos = a.pos + 1
+ORDER BY aid""",
+)
+def cypher_qpp_unify(spark, sf_dir):
+    """QPP per-repetition UNIFICATION (round 13): in
+    ((s)-[:NEXT]->(x)-[:BACK]->(s)){1} the repeated node variable s
+    pins the body's first and last positions EQUAL within the
+    repetition — a join-time equality inside the composite step. The
+    graph gives every node a NEXT edge to pos+1 and BACK edges to
+    BOTH pos-1 and pos-2, so the midpoint x has two return
+    candidates; only the true out-and-back loop (back to s itself)
+    satisfies the unification, which the oracle states as the single
+    successor join. A compiler that drops the equality doubles the
+    rowset (the pos-2 back-edge rows leak in); one that unifies
+    across repetitions instead of within would empty it."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.lit("Customer").alias("label"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    hops = (
+        c.withColumn("nxt", F.lead("id", 1).over(w))
+        .withColumn("bk1", F.lag("id", 1).over(w))
+        .withColumn("bk2", F.lag("id", 2).over(w))
+    )
+    edges = (
+        hops.filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("NEXT").alias("relationship"),
+        )
+        .unionByName(
+            hops.filter(F.col("bk1").isNotNull()).select(
+                F.col("id").alias("src"),
+                F.col("bk1").alias("dst"),
+                F.lit("BACK").alias("relationship"),
+            )
+        )
+        .unionByName(
+            hops.filter(F.col("bk2").isNotNull()).select(
+                F.col("id").alias("src"),
+                F.col("bk2").alias("dst"),
+                F.lit("BACK").alias("relationship"),
+            )
+        )
+    )
+    s = CypherSession(Graph(c.drop("nation"), edges))
+    return s.run(
+        """MATCH (a:Customer) ((s)-[:NEXT]->(x)-[:BACK]->(s)){1}
+                 (b:Customer)
+           RETURN a.id AS aid, b.id AS bid, [n IN x | n.id] AS mids
+           ORDER BY aid"""
+    )
+
+
+@declared(
+    "cypher_load_csv",
+    f"""SELECT c_mktsegment AS mkt, COUNT(*) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS ids
+FROM customer WHERE c_custkey < {_CAP}
+GROUP BY mkt ORDER BY mkt""",
+)
+def cypher_load_csv(spark, sf_dir):
+    """LOAD CSV (round 13): Neo4j's bulk-ingest clause, seeded from
+    Spark's distributed CSV reader (splittable scan — a 100 GB file
+    parallelizes like any other source; this fixture is driver-
+    written only because it is 300 rows). Fields are STRINGS per
+    Neo4j's rule, so the id sum must coerce through toInteger();
+    WITH HEADERS binds each line as a field-named struct. The oracle
+    states the same aggregate over the parquet the CSV was written
+    from — a reader that inferred types, dropped the header, or
+    mis-split fields shifts values."""
+    import atexit
+    import csv as _csv
+    import os
+    import tempfile
+
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _CAP)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix=f"gdc_loadcsv_{os.getpid()}_")
+    atexit.register(
+        __import__("shutil").rmtree, d, ignore_errors=True
+    )
+    p = os.path.join(d, "customers.csv")
+    with open(p, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["id", "mkt"])
+        for r in rows:
+            w.writerow([r["c_custkey"], r["c_mktsegment"]])
+    g = Graph(
+        spark.createDataFrame([], "id long, label string"),
+        spark.createDataFrame(
+            [], "src long, dst long, relationship string"
+        ),
+    )
+    s = CypherSession(g)
+    return s.run(
+        f"LOAD CSV WITH HEADERS FROM 'file://{p}' AS row "
+        "RETURN row.mkt AS mkt, count(*) AS n, "
+        "sum(toInteger(row.id)) AS ids ORDER BY mkt"
+    )

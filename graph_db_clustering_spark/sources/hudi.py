@@ -239,13 +239,6 @@ def _table_type(path: str) -> str:
     return hudi_properties(path).get("hoodie.table.type", "COPY_ON_WRITE")
 
 
-def _require_cow(path: str, op: str) -> None:
-    if _table_type(path) == "MERGE_ON_READ":
-        raise NotImplementedError(
-            f"hudi: {op} on a MERGE_ON_READ table — only snapshot/"
-            "incremental reads, upsert/delete (log blocks) and "
-            "compaction are implemented for MoR (sources/hudi_mor.py)"
-        )
 
 
 def hudi_live_files(path: str, as_of: str | None = None) -> list[str]:

@@ -1023,3 +1023,59 @@ def test_time_offset_zone_literals_gate(spark, lit):
         s.run(f"RETURN time('{lit}') AS t")
     with pytest.raises(ValueError, match="offset/zone"):
         s.run(f"RETURN localtime('{lit}') AS t")
+
+
+# ---- LOAD CSV (round 13) ---------------------------------------------
+
+
+def test_load_csv_with_headers(spark, tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text("name,age\nada,36\nbob,\n")
+    s = _session(spark)
+    rows = s.run(
+        f"LOAD CSV WITH HEADERS FROM 'file://{p}' AS row "
+        "RETURN row.name AS nm, toInteger(row.age) AS age ORDER BY nm"
+    ).collect()
+    # fields are STRINGS (Neo4j's rule): age coerces via toInteger,
+    # the empty field reads as null
+    assert [(r["nm"], r["age"]) for r in rows] == [
+        ("ada", 36), ("bob", None)
+    ]
+
+
+def test_load_csv_without_headers_and_terminator(spark, tmp_path):
+    p = tmp_path / "vals.csv"
+    p.write_text("a;1\nb;2\n")
+    s = _session(spark)
+    rows = s.run(
+        f"LOAD CSV FROM '{p}' AS row FIELDTERMINATOR ';' "
+        "RETURN row[0] AS k, toFloat(row[1]) AS v ORDER BY k"
+    ).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("a", 1.0), ("b", 2.0)]
+
+
+def test_load_csv_create_ingest(spark, tmp_path):
+    p = tmp_path / "nodes.csv"
+    p.write_text("name\nx\ny\nz\n")
+    s = _session(spark)
+    s.run(
+        f"LOAD CSV WITH HEADERS FROM 'file://{p}' AS row "
+        "CREATE (:P {name: row.name})"
+    )
+    got = [r["nm"] for r in s.run(
+        "MATCH (n:P) RETURN n.name AS nm ORDER BY nm"
+    ).collect()]
+    assert got == ["x", "y", "z"]
+
+
+def test_load_csv_gates(spark, tmp_path):
+    s = _session(spark)
+    with pytest.raises(ValueError, match="no network"):
+        s.run("LOAD CSV FROM 'https://x.test/a.csv' AS row RETURN row")
+    p = tmp_path / "a.csv"
+    p.write_text("1\n")
+    with pytest.raises(ValueError, match="first clause"):
+        s.run(
+            f"UNWIND [1] AS x LOAD CSV FROM '{p}' AS row "
+            "RETURN row"
+        )

@@ -534,6 +534,8 @@ def test_mor_rollback_deltacommit(spark, table):
 
 
 def test_mor_rollback_compaction(spark, table):
+    from graph_db_clustering_spark.sources.hudi import hudi_rollback
+
     t, _ = table
     hudi_upsert(
         spark, t,
@@ -1198,3 +1200,18 @@ def test_log_compact_restore_removes_compacted_files(spark, table):
     # both physically gone — no orphans
     assert set(glob.glob(os.path.join(t, "*", ".*log*"))) == logs_sp
     assert _snap_sorted(spark, t) == before
+
+
+def test_log_compact_writer_stream_no_duplicates(spark, table):
+    """A stream spanning a WRITER-produced logcompaction (not the
+    hand-built fixture) emits each event once: the compacted copies
+    never re-emit next to their originals, and the lc micro-batch
+    itself adds nothing."""
+    t, i1 = table
+    hudi_upsert(spark, t, _upd(spark, [(4, "a", 1.0, 1)]))
+    hudi_upsert(spark, t, _upd(spark, [(4, "b", 2.0, 1)]))
+    hudi_delete(spark, t, spark.createDataFrame([(7,)], "id long"))
+    M.hudi_log_compact(spark, t, min_log_files=1)
+    rows = _drain_mor(spark, t, i1, "mor_wlc1")
+    got = sorted((r["id"], r["name"]) for r in rows.collect())
+    assert got == [(4, "b")], got
