@@ -3981,11 +3981,22 @@ class CypherSession:
         only (Neo4j: n['id'] is null unless a property named id
         exists)."""
         names = set(bdt.names)
-        if {"id", "label"} <= names:
+        if (
+            {"id", "label"} <= names
+            and isinstance(bdt["id"].dataType, T.LongType)
+            and isinstance(bdt["label"].dataType, T.StringType)
+        ):
             internal = ("id", "label")
-        elif {"src", "dst", "relationship"} <= names:
+        elif (
+            {"src", "dst", "relationship"} <= names
+            and isinstance(bdt["src"].dataType, T.LongType)
+            and isinstance(bdt["dst"].dataType, T.LongType)
+        ):
             internal = ("src", "dst", "relationship")
         else:
+            # name collision without the entity TYPES (e.g. a LOAD
+            # CSV row whose headers happen to include id/label — all
+            # strings): a plain map, every field resolvable
             return None
         return [f for f in bdt.names if f not in internal]
 

@@ -1079,3 +1079,19 @@ def test_load_csv_gates(spark, tmp_path):
             f"UNWIND [1] AS x LOAD CSV FROM '{p}' AS row "
             "RETURN row"
         )
+
+
+def test_load_csv_id_label_headers_not_entity(spark, tmp_path):
+    # a CSV whose headers collide with the internal id/label names is
+    # a plain map (string-typed), NOT an entity struct — subscripting
+    # resolves every field
+    p = tmp_path / "ids.csv"
+    p.write_text("id,label\n7,alpha\n8,beta\n")
+    s = _session(spark)
+    rows = s.run(
+        f"LOAD CSV WITH HEADERS FROM 'file://{p}' AS row "
+        "RETURN row['id'] AS i, row.label AS l ORDER BY i"
+    ).collect()
+    assert [(r["i"], r["l"]) for r in rows] == [
+        ("7", "alpha"), ("8", "beta")
+    ]
