@@ -1187,7 +1187,10 @@ class _Parser:
                 f"cypher: expected a quantifier after the pattern "
                 f"group, got {t}"
             )
-        if len(inner.edges) == 1:
+        if len(inner.edges) == 1 and not (
+            inner.nodes[0].var is not None
+            and inner.nodes[0].var == inner.nodes[1].var
+        ):
             left, right = inner.nodes
             epat = inner.edges[0]
             qsrc = left if (left.label or left.props) else None
@@ -1197,6 +1200,12 @@ class _Parser:
                 qpp=True, qpp_src=qsrc, qpp_dst=qdst,
                 qpp_vars=(left.var, epat.var, right.var),
             )
+        # A single-edge body with the SAME node variable on both ends
+        # (((a)-[:R]->(a)){n}) falls through to the composite-body
+        # path: its per-repetition unification applies the src==dst
+        # step constraint and binds the group variable exactly once
+        # (the fast single-edge representation would neither unify nor
+        # gate — round-14 ADVICE fix).
         # multi-relationship body (round 12); round 13 adds GROUP
         # VARIABLES over the composite step — per-position list
         # bindings sliced from the enriched path frame — and
@@ -2396,6 +2405,39 @@ class CypherSession:
                             if epat.qpp and epat.qpp_body is not None
                             else ((), ())
                         )
+                        if epat.qpp:
+                            # openCypher: a group variable must be new
+                            # — a name already bound as a singleton
+                            # (earlier clause or the outer pattern)
+                            # cannot be re-declared inside a
+                            # quantified path pattern (Neo4j raises a
+                            # type error; round-14 ADVICE gate)
+                            gvars = {
+                                v for v in (gsv, gev, gdv) if v
+                            } | {v for v in body_nv if v} | {
+                                v for v in body_ev if v
+                            }
+                            outer_names = set(
+                                ctx.df.columns
+                            ) if ctx.df is not None else set()
+                            outer_names |= {
+                                n2.var for n2 in path.nodes if n2.var
+                            }
+                            outer_names |= {
+                                e2.var for e2 in path.edges
+                                if e2.var and not e2.qpp
+                            }
+                            clash = sorted(gvars & outer_names)
+                            if clash:
+                                raise ValueError(
+                                    "cypher: group variable(s) "
+                                    f"{clash} inside a quantified "
+                                    "path pattern are already bound "
+                                    "as singletons in an outer scope "
+                                    "(openCypher forbids reusing a "
+                                    "bound variable as a group "
+                                    "variable)"
+                                )
                         if pv is None and not (
                             gsv or gev or gdv
                             or any(body_nv) or any(body_ev)
@@ -2956,7 +2998,19 @@ class CypherSession:
             )
         url = c.url
         if url.startswith("file:"):
-            path = re.sub(r"^file:/*", "/", url)
+            # round 14 (ADVICE): a real URL parse — file://host/p is
+            # a REMOTE-host URL (authority = host), which the old
+            # prefix-strip silently read as local /host/p
+            from urllib.parse import urlparse
+
+            u = urlparse(url)
+            if u.netloc not in ("", "localhost"):
+                raise ValueError(
+                    "cypher: LOAD CSV file URL has a non-local "
+                    f"authority {u.netloc!r} (no network in this "
+                    "engine); use file:///absolute/path"
+                )
+            path = u.path or "/"
         elif "://" in url:
             raise ValueError(
                 "cypher: LOAD CSV supports file:// URLs or plain "
@@ -2965,10 +3019,17 @@ class CypherSession:
         else:
             path = url
         spark = self.graph.vertices.sparkSession
+        # multiLine: RFC 4180 / Neo4j LOAD CSV allow embedded
+        # newlines inside quoted fields — without it Spark splits
+        # them into spurious records (round-14 ADVICE fix). The scan
+        # stays distributed: Spark parallelizes multiLine files
+        # per-FILE rather than per-block, which is the correct
+        # trade-off for correctness on quoted newlines.
         df0 = (
             spark.read.option("header", str(c.headers).lower())
             .option("sep", c.sep)
             .option("inferSchema", "false")
+            .option("multiLine", "true")
             .csv(path)
         )
         if c.headers:
@@ -3977,9 +4038,16 @@ class CypherSession:
         the struct is NOT an entity (a plain map literal). Entity
         structs are recognized by their full internal column
         signature — id+label for nodes, src+dst+relationship for
-        relationships; subscripting an entity is PROPERTY lookup
-        only (Neo4j: n['id'] is null unless a property named id
-        exists)."""
+        relationships. KNOWN HEURISTIC RESIDUE (round-14 ADVICE): a
+        user map literal that happens to carry id:long+label:string
+        (e.g. WITH {id: n.id, label: n.label, x: 1} AS m) is
+        indistinguishable from an entity by schema alone and is
+        classified as one — harmless for literal-key access (which
+        resolves every field since round 14), but a RUNTIME-computed
+        key over such a map skips its id/label fields. A hidden
+        marker field on real entity structs would disambiguate at the
+        cost of changing every entity schema; not worth it for this
+        corner."""
         names = set(bdt.names)
         if (
             {"id", "label"} <= names
@@ -4355,13 +4423,15 @@ class CypherSession:
             if isinstance(key, str):
                 bdt = self._dtype_of(base, df)
                 if isinstance(bdt, T.StructType):
-                    # on a node/relationship struct, subscripting is
-                    # PROPERTY lookup (Neo4j: n['id'] is null unless
-                    # an actual property named id exists); plain map
-                    # literals resolve any field
-                    fields = self._entity_prop_fields(bdt)
-                    names = bdt.names if fields is None else fields
-                    if key not in names:
+                    # a compile-time string key is exactly Prop
+                    # access, so n['id'] resolves like n.id — in THIS
+                    # engine's data model id/label/src/dst are
+                    # accessible properties (every fixture reads
+                    # n.id), and the two literal access forms must
+                    # not diverge (round-14 ADVICE fix). Only
+                    # RUNTIME-computed keys stay property-only — see
+                    # the entity-prop-fields rule below.
+                    if key not in bdt.names:
                         return F.lit(None)
                     return base.getField(key)
                 return base.getItem(key)  # map subscript
@@ -4369,9 +4439,14 @@ class CypherSession:
             bdt = self._dtype_of(base, df)
             if isinstance(bdt, T.StructType):
                 # round 13: RUNTIME-computed key — a CASE chain over
-                # the entity's PROPERTY fields (id/label/src/dst/
-                # relationship are not properties: n[k] can never
-                # reach them, per Neo4j). The branch type is unified
+                # the entity's PROPERTY fields. DOCUMENTED DIVERGENCE
+                # (round 14): literal forms n.id / n['id'] DO resolve
+                # internal fields (they are accessible properties in
+                # this engine's data model), but a runtime key never
+                # reaches id/label/src/dst/relationship — including
+                # them would drag label:string into the type
+                # unification below and gate every numeric-property
+                # entity. The branch type is unified
                 # HERE, not by Spark's When coercion — ANSI happily
                 # coerces string->long in a CASE, which would turn a
                 # string property into a runtime cast error. Rule:

@@ -80,7 +80,10 @@ UNSUPPORTED = {
     "bindings sliced from the enriched path frame, round 13), AND "
     "a NODE variable repeated across body positions (per-repetition "
     "unification as a join-time equality inside the composite step, "
-    "round 13) WORK",
+    "round 13), AND the single-edge self-loop body ((a)-[:R]->(a)) "
+    "(routed through the composite-step path, round 14) WORK; "
+    "reusing an outer-bound singleton variable as a group variable "
+    "raises, as in Neo4j (round 14)",
 }
 
 
@@ -674,6 +677,24 @@ SCENARIOS = [
      "MATCH (s:U2 {v: 1}) ((a)-[:R]->(x)-[:S]->(a)){2} (t) "
      "RETURN t.v AS tv, [n IN x | n.v] AS xv",
      [{"tv": 1, "xv": [2, 3]}, {"tv": 1, "xv": [3, 2]}], False),
+    # round 14 (ADVICE r13 high): a SINGLE-edge body with the same
+    # node variable on both ends routes through the composite-step
+    # path — src==dst constraint per repetition, group var bound once
+    ("QPP", "repeated node variable in a single-edge body",
+     ["CREATE (u1:U5 {v: 1}), (u2:U5 {v: 2}), "
+      "(u1)-[:R]->(u2), (u2)-[:R]->(u2)"],
+     "MATCH (s:U5) ((a)-[:R]->(a)){1} (t) "
+     "RETURN s.v AS sv, t.v AS tv, [n IN a | n.v] AS av",
+     [{"sv": 2, "tv": 2, "av": [2]}], False),
+    ("QPP", "single-edge self-loop star includes zero-length",
+     ["CREATE (u1:U6 {v: 1}), (u2:U6 {v: 2}), "
+      "(u1)-[:R]->(u2), (u2)-[:R]->(u2)"],
+     # zero-length rows for both nodes plus the one-repetition
+     # self-loop on node 2
+     "MATCH (s:U6) ((a)-[:R]->(a))* (t) "
+     "RETURN s.v AS sv, t.v AS tv ORDER BY sv, tv",
+     [{"sv": 1, "tv": 1}, {"sv": 2, "tv": 2}, {"sv": 2, "tv": 2}],
+     True),
     ("QPP", "unification between interior positions",
      ["CREATE (u1:U3 {v: 1}), (u2:U3 {v: 2}), (u3:U3 {v: 3}), "
       "(u1)-[:R]->(u2), (u2)-[:S]->(u2), (u2)-[:T]->(u3), "
@@ -959,6 +980,22 @@ def test_datetime_timezone_component_gates(spark):
         s.run("RETURN datetime({year: 2024, timezone: 'Z'})")
 
 
+def test_qpp_group_variable_shadows_singleton_errors(spark):
+    # round 14 (ADVICE r13): openCypher forbids reusing a bound
+    # singleton variable as a group variable inside a QPP body —
+    # both against the same pattern's outer nodes and against an
+    # earlier MATCH clause
+    s = _session(spark)
+    s.run("CREATE (:U7 {v: 1})-[:R]->(:U7 {v: 2})")
+    with pytest.raises(ValueError, match="group variable"):
+        s.run("MATCH (a:U7) ((a)-[:R]->(b)){1} (t) RETURN t.v AS tv")
+    with pytest.raises(ValueError, match="group variable"):
+        s.run(
+            "MATCH (a:U7) MATCH (x:U7) ((a)-[:R]->(b)){1} (t) "
+            "RETURN t.v AS tv"
+        )
+
+
 def test_qpp_repeated_relationship_variable_errors(spark):
     # openCypher/Neo4j forbid a relationship variable bound twice in
     # one pattern; inside a QPP body this compiler raises the same way
@@ -981,10 +1018,17 @@ def test_runtime_node_key_unified_types(spark):
         "MATCH (n:P) RETURN n.name AS nm, n[n.pick] AS v"
     ).collect()}
     assert rows == {"ada": "lovelace", "bob": "bob"}
-    # a key naming NO property (and never the internal id/label
-    # columns) is null, the openCypher absent-property rule
+    # round 14 (ADVICE fix): a LITERAL key is the same access form as
+    # n.id, so n['id'] resolves the internal field exactly like n.id
+    # does — the two literal forms must not diverge. A RUNTIME key
+    # stays property-only (documented divergence at the
+    # entity-prop-fields rule), so n[expr] never reaches id/label.
+    rows = s.run(
+        "MATCH (n:P) RETURN n.id AS a, n['id'] AS b"
+    ).collect()
+    assert all(r["a"] == r["b"] and r["a"] is not None for r in rows)
     rows = [r["v"] for r in s.run(
-        "MATCH (n:P) RETURN n['id'] AS v"
+        "MATCH (n:P) WITH n, 'id' AS k RETURN n[k] AS v"
     ).collect()]
     assert rows == [None, None]
 
@@ -1066,6 +1110,46 @@ def test_load_csv_create_ingest(spark, tmp_path):
         "MATCH (n:P) RETURN n.name AS nm ORDER BY nm"
     ).collect()]
     assert got == ["x", "y", "z"]
+
+
+def test_load_csv_quoted_embedded_newline(spark, tmp_path):
+    # RFC 4180 / Neo4j: a quoted field may contain newlines — one
+    # logical record, not two (round-14 ADVICE fix: multiLine on)
+    p = tmp_path / "ml.csv"
+    p.write_text('name,bio\nada,"line one\nline two"\nbob,plain\n')
+    s = _session(spark)
+    rows = s.run(
+        f"LOAD CSV WITH HEADERS FROM 'file://{p}' AS row "
+        "RETURN row.name AS nm, row.bio AS bio ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["bio"]) for r in rows] == [
+        ("ada", "line one\nline two"), ("bob", "plain")
+    ]
+
+
+def test_load_csv_remote_authority_gates(spark, tmp_path):
+    # file://host/path names a REMOTE host — must gate, not silently
+    # read /host/path (round-14 ADVICE fix)
+    s = _session(spark)
+    with pytest.raises(ValueError, match="authority"):
+        s.run(
+            "LOAD CSV FROM 'file://fileserver/data/a.csv' AS row "
+            "RETURN row"
+        )
+
+
+def test_subscript_literal_key_matches_prop_access(spark):
+    # round 14 (ADVICE fix): n['id'] and n.id are the same literal
+    # access form and must agree — in this engine's data model id and
+    # label ARE accessible properties
+    s = _session(spark)
+    s.run("CREATE (:P {v: 1})")
+    r = s.run(
+        "MATCH (n:P) RETURN n.id AS a, n['id'] AS b, "
+        "n['label'] AS lb, n['nope'] AS np"
+    ).collect()[0]
+    assert r["a"] == r["b"] and r["a"] is not None
+    assert r["lb"] == "P" and r["np"] is None
 
 
 def test_load_csv_gates(spark, tmp_path):
