@@ -62,6 +62,10 @@ HEAVY = [
     "hudi_mor_upsert_30k",
     # round 13 second pass: the log-compaction writer's growth bound
     "hudi_mor_logcompact_30k",
+    # round 14 (VERDICT r13 #2/#10): the Iceberg CoW MERGE write path
+    "iceberg_merge_30k",
+    # round 14 (VERDICT r13 #6): the ExactSubstr gram-run pipeline
+    "substring_dedup_10k",
 ]
 
 
@@ -303,6 +307,68 @@ def hudi_mor_logcompact_30k(spark, sf_dir):
     return read_hudi(spark, t, drop_meta=True)
 
 
+def substring_dedup_10k(spark, sf_dir):
+    """ExactSubstr scale row (round 14, VERDICT r13 #6): duplicated
+    12-gram runs over the documents corpus plus planted 30-token
+    prefix clones (clone ids offset by 1e8 to clear the replica id
+    space). Replica texts are token-prefixed — grams never collide
+    across replicas — so shared runs stay clone-vs-original and the
+    gram explode, the min!=max shared-gram aggregate, and the
+    gaps-and-islands window all grow ~linearly with data; a
+    super-linear blowup here means the shared-gram join went hot."""
+    from graph_db_clustering_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(F.col("text")).alias("text")
+    )
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), r"\s+"), 1, 30)
+        ).alias("text"),
+    )
+    return dedup.duplicated_ngram_spans(
+        docs.unionByName(clones), "doc_id", "text", n=12, min_run=3
+    )
+
+
+def iceberg_merge_30k(spark, sf_dir):
+    """Iceberg MERGE write-path scale row (round 14, VERDICT r13 #2):
+    write the 3k-per-replica orders slice as a pb-partitioned Iceberg
+    v2 table, then ONE copy-on-write MERGE (update every 5th key +
+    insert a disjoint batch). The match probe is one column-pruned
+    scan joined against the broadcast source keys; matched files
+    rewrite distributed, untouched entries relist driver-side
+    (metadata-sized). Growth near 1x-per-data-x proves the probe and
+    rewrite scale with data while commit assembly stays flat. Timed
+    end to end (create + merge + snapshot count)."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_merge,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 1_000_000) < 3000
+    ).select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 4).cast("int").alias("pb"),
+    )
+    t = os.path.join(_scratch("iceberg"), "t")
+    write_iceberg(
+        spark, o, t, partition_by=[("pb", "identity", "pb")]
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    new = o.select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        "o_totalprice", "pb",
+    ).limit(500)
+    iceberg_merge(spark, t, upd.unionByName(new), "o_orderkey")
+    return read_iceberg(spark, t)
+
+
 def delta_merge_30k(spark, sf_dir):
     """Delta MERGE write-path scale row (VERDICT r11 #8): append the
     same 3k-per-replica orders slice, then ONE protocol MERGE (update
@@ -499,28 +565,42 @@ def main() -> None:
         "delta_merge_30k": delta_merge_30k,
         "hudi_mor_upsert_30k": hudi_mor_upsert_30k,
         "hudi_mor_logcompact_30k": hudi_mor_logcompact_30k,
+        "iceberg_merge_30k": iceberg_merge_30k,
+        "substring_dedup_10k": substring_dedup_10k,
     }
     queries.update(extra)
+
+    def time_query(name: str, fn, where: str, n: int) -> tuple:
+        samples = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            materialize(fn(spark, where))
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3), round(max(samples) / min(samples), 2)
+
+    # CONTROL row (round 14, VERDICT r13 #4 — ported from bench.py):
+    # the pinned q01 scan at the sf0.1 BASE dir (same code+data as the
+    # committed 0.212 s anchor in BASELINE.md), timed before and after
+    # the heavy set. Scale-row adjudication now lives in the JSON:
+    # divide each growth ratio by the control ratio instead of arguing
+    # host drift in a hand-written MD.
+    control_first, control_first_spread = time_query(
+        "q01", queries["q01"], src_dir, runs
+    )
     # in-run sf0.1 baselines for rows not in bench.py's set
     extra_base: dict[str, float] = {}
     for name, fn in extra.items():
-        base_samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            materialize(fn(spark, src_dir))
-            base_samples.append(time.perf_counter() - t0)
-        extra_base[name] = round(min(base_samples), 3)
+        extra_base[name], _ = time_query(name, fn, src_dir, runs)
     fuzzy_base = extra_base["fuzzy_names_5k"]
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEAVY:
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            materialize(queries[name](spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
-        spreads[name] = round(max(samples) / min(samples), 2)
+        timings[name], spreads[name] = time_query(
+            name, queries[name], sf_dir, runs
+        )
+    control_last, control_last_spread = time_query(
+        "q01", queries["q01"], src_dir, runs
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -531,6 +611,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "control": {
+                    "query": "q01",
+                    "where": "base_sf_dir",
+                    "first": control_first,
+                    "first_spread": control_first_spread,
+                    "last": control_last,
+                    "last_spread": control_last_spread,
+                },
                 "factor": factor,
                 "base_sf_dir": src_dir,
                 "scale_dir": sf_dir,

@@ -643,3 +643,140 @@ def semantic_dedup(
         .select("id1", "id2")
     )
     return cluster_pairs(emb.select(id_col), id_col, pairs.unionAll(star))
+
+
+# ---------------------------------------------------------------------------
+# exact SUBSTRING-level dedup (round 14, VERDICT r13 #6 — the Lee et
+# al. 2022 "Deduplicating Training Data Makes Language Models Better"
+# ExactSubstr family, re-expressed without the suffix array)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_run: int = 2,
+) -> DataFrame:
+    """Token spans duplicated ACROSS documents: maximal runs of >=
+    ``min_run`` consecutive token n-grams that also occur in some
+    OTHER document. A run of r consecutive shared n-grams witnesses a
+    shared substring of r + n - 1 tokens — Lee et al.'s ExactSubstr
+    criterion (their suffix-array length threshold maps to
+    n + min_run - 1 tokens here). Returns (id_col, span_start,
+    span_end, run_len): token positions [span_start,
+    span_end + n - 1] are duplicated text (0-based, inclusive).
+
+    Scale shape — linear, no all-pairs, no suffix array:
+      1. ONE codegen pass shingles each document into hashed n-grams
+         with positions (split / transform / posexplode);
+      2. one map-side-combined aggregate per gram hash keeps only
+         min(doc) != max(doc) — 'occurs in >= 2 documents' without
+         countDistinct's per-doc shuffle rows and without enumerating
+         doc PAIRS per gram (a hot gram costs O(occurrences), never
+         O(occurrences^2));
+      3. the shared-gram set joins back on the gram hash (shuffle
+         keyed by hash, 8 bytes/gram);
+      4. consecutive-run detection is the classic pos - row_number()
+         gaps-and-islands window, partitioned BY DOCUMENT — parallel
+         across docs, bounded by tokens within one.
+    Intra-document repetition (min == max but count > 1) is
+    deliberately excluded: that is operators/text.repetition_stats's
+    (Gopher) job; including it would mark every in-doc boilerplate
+    repeat as corpus duplication."""
+    toks = F.split(F.col(text_col), r"\s+")
+    # sequence(0, stop) DESCENDS when stop < 0 — a doc shorter than n
+    # tokens must yield NO grams, not [0, -1, ...]
+    positions = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        positions,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    g = df.select(
+        F.col(id_col).alias("__doc"), F.posexplode(grams).alias("pos", "gh")
+    )
+    shared = (
+        g.groupBy("gh")
+        .agg(F.min("__doc").alias("__lo"), F.max("__doc").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("gh")
+    )
+    marked = g.join(shared, "gh").select("__doc", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__doc").orderBy("pos")
+    runs = marked.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("__doc", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end"),
+            F.count("*").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select(
+            F.col("__doc").alias(id_col),
+            "span_start", "span_end", "run_len",
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_run: int = 2,
+) -> DataFrame:
+    """Lee et al. ExactSubstr REMOVAL: rewrite each document with its
+    cross-document duplicated token spans cut out (the paper removes
+    the duplicated bytes rather than dropping documents — dropping
+    loses the unique remainder). Documents with no duplicated span
+    pass through untouched. Returns the input columns with
+    ``text_col`` rewritten and n_dup_spans / n_dup_tokens appended.
+
+    Scale shape: spans per doc are collect_list'ed into ONE bounded
+    array (spans, not tokens), broadcast nothing; the cut is a
+    per-row codegen HOF — filter tokens whose position falls inside
+    any span — so the rewrite never leaves the row."""
+    spans = duplicated_ngram_spans(df, id_col, text_col, n, min_run)
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_end") + F.lit(n - 1)).alias("e"),
+            )
+        ).alias("__spans"),
+        F.count("*").alias("n_dup_spans"),
+    )
+    out = df.join(agg, id_col, "left")
+    toks = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda sp: (i >= sp["s"]) & (i <= sp["e"]),
+    )
+    kept = F.filter(
+        F.zip_with(
+            toks, idx, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda z: ~in_span(z["i"]),
+    )
+    rebuilt = F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", F.transform(kept, lambda z: z["t"]))
+    )
+    n_dup = F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+        F.size(toks) - F.size(kept)
+    )
+    keep_cols = [c for c in df.columns if c != text_col]
+    return out.select(
+        *keep_cols,
+        rebuilt.alias(text_col),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).alias("n_dup_spans"),
+        n_dup.cast("long").alias("n_dup_tokens"),
+    )

@@ -2723,3 +2723,123 @@ def avro_logical(spark, sf_dir):
         )
         .orderBy("y")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-level dedup (round 14, VERDICT r13 #6 — Lee et al.
+# ExactSubstr; operators/dedup.duplicated_ngram_spans / substring_dedup)
+# ---------------------------------------------------------------------------
+
+# planted-overlap corpus shared by both entries: every %10==0 document
+# gains a clone carrying its first 30 tokens under doc_id + 1e6, so
+# clone/original pairs share a >=30-token run by construction (plus
+# whatever duplication the base corpus already carries — the oracle
+# computes ground truth over the same corpus either way)
+_SUBSTR_CORPUS_SQL = """corpus AS (
+  SELECT doc_id, TRIM(text) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           list_slice(string_split_regex(TRIM(text), '\\s+'), 1, 30), ' ')
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+_SUBSTR_RUNS_SQL = """toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM corpus
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + 11), ' ') AS gram
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 11)) AS i) g
+  WHERE len(t) >= 12
+), shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+), marked AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN shared USING (gram)
+), runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+)"""
+
+
+def _substr_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(F.col("text")).alias("text")
+    )
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), r"\s+"), 1, 30)
+        ).alias("text"),
+    )
+    return docs.unionByName(clones)
+
+
+@declared(
+    "substring_spans",
+    f"""WITH {_SUBSTR_CORPUS_SQL}, {_SUBSTR_RUNS_SQL}
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS run_len
+FROM runs GROUP BY doc_id, grp HAVING COUNT(*) >= 3
+ORDER BY doc_id, span_start""",
+)
+def substring_spans(spark, sf_dir):
+    """Cross-document duplicated token spans, the Lee et al.
+    ExactSubstr witness set (round 14): maximal runs of >= 3
+    consecutive shared 12-grams over the planted-clone corpus. The
+    oracle re-derives the same runs relationally (shared grams by
+    min!=max doc, gaps-and-islands); a shuffle that drops positions,
+    an off-by-one in the window slice, or counting intra-document
+    repetition as corpus duplication all shift spans."""
+    spans = dedup.duplicated_ngram_spans(
+        _substr_corpus(spark, sf_dir), "doc_id", "text",
+        n=12, min_run=3,
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long"),
+        F.col("span_end").cast("long"),
+        F.col("run_len").cast("long"),
+    ).orderBy("doc_id", "span_start")
+
+
+@declared(
+    "substring_dedup",
+    f"""WITH {_SUBSTR_CORPUS_SQL}, {_SUBSTR_RUNS_SQL}, spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 11 AS e
+  FROM runs GROUP BY doc_id, grp HAVING COUNT(*) >= 3
+), cover AS (
+  SELECT tk.doc_id, u.tp
+  FROM (SELECT doc_id, len(t) AS nt FROM toks) tk,
+       LATERAL (SELECT UNNEST(generate_series(0, tk.nt - 1)) AS tp) u
+  WHERE EXISTS (SELECT 1 FROM spans s
+                WHERE s.doc_id = tk.doc_id AND u.tp BETWEEN s.s AND s.e)
+)
+SELECT c.doc_id,
+       CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(cv.n_cov, 0) AS BIGINT) AS n_dup_tokens
+FROM corpus c
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_spans FROM spans
+           GROUP BY doc_id) sp USING (doc_id)
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cov FROM cover
+           GROUP BY doc_id) cv USING (doc_id)
+ORDER BY c.doc_id""",
+)
+def substring_dedup(spark, sf_dir):
+    """ExactSubstr REMOVAL stats (round 14,
+    operators/dedup.substring_dedup): each document rewritten with its
+    cross-document duplicated spans cut out; the entry surfaces the
+    per-doc span count and removed-token count. The oracle counts the
+    UNION coverage of the span token intervals — overlapping spans
+    must not double-count a token, which pins the HOF cut (filter by
+    exists-over-spans) rather than a naive per-span length sum."""
+    out = dedup.substring_dedup(
+        _substr_corpus(spark, sf_dir), "doc_id", "text",
+        n=12, min_run=3,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_dup_spans").cast("long"),
+        F.col("n_dup_tokens").cast("long"),
+    ).orderBy("doc_id")

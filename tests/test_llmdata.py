@@ -313,3 +313,101 @@ def test_c4_rule_flags_each_rule_fires(spark):
     assert got[7].r_endpunct and not got[7].kept
     for d in (2, 3, 4, 6, 7):
         assert not got[d].r_short or d == 5
+
+
+# ---- round 14: exact substring-level dedup (Lee et al. ExactSubstr) ----
+
+
+@pytest.fixture(scope="module")
+def substr_docs(spark):
+    """Planted overlap structure: A and B share a 7-token run in the
+    middle; C is unrelated; D repeats its own phrase twice (intra-doc
+    only — must NOT count as corpus duplication); E shares A's run
+    too (3-way)."""
+    shared = "the quick brown fox jumps over fences"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two three {shared} four"),
+        (3, "totally unrelated text with no overlap at all here"),
+        (4, "ping pong ping pong ping pong ping pong ping pong"),
+        (5, f"{shared} epsilon zeta eta theta"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicated_ngram_spans_planted(substr_docs):
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["run_len"])
+        for r in dedup.duplicated_ngram_spans(
+            substr_docs, "doc_id", "text", n=4, min_run=2
+        ).collect()
+    }
+    # the shared 7-token run yields 4 consecutive 4-grams; A at token
+    # offset 2, B at 3, E at 0
+    assert (1, 2, 5, 4) in spans
+    assert (2, 3, 6, 4) in spans
+    assert (5, 0, 3, 4) in spans
+    # C never appears; D's self-repetition is intra-doc only
+    assert not any(s[0] in (3, 4) for s in spans)
+
+
+def test_substring_dedup_removes_spans_only(substr_docs):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_dedup(
+            substr_docs, "doc_id", "text", n=4, min_run=2
+        ).collect()
+    }
+    # A loses exactly the shared 7 tokens, keeps its unique rim
+    assert out[1]["text"] == "alpha beta gamma delta"
+    assert out[1]["n_dup_spans"] == 1 and out[1]["n_dup_tokens"] == 7
+    assert out[2]["text"] == "one two three four"
+    assert out[5]["text"] == "epsilon zeta eta theta"
+    # untouched docs pass through byte-identical with zero counts
+    assert out[3]["text"].startswith("totally unrelated")
+    assert out[3]["n_dup_spans"] == 0 and out[3]["n_dup_tokens"] == 0
+    assert out[4]["n_dup_spans"] == 0
+
+
+def test_substring_dedup_repartition_invariant(spark, substr_docs):
+    a = dedup.substring_dedup(
+        substr_docs, "doc_id", "text", n=4, min_run=2
+    ).orderBy("doc_id").collect()
+    b = dedup.substring_dedup(
+        substr_docs.repartition(7), "doc_id", "text", n=4, min_run=2
+    ).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_substring_dedup_short_docs_no_grams(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two")], "doc_id long, text string"
+    )
+    # both docs are shorter than n: no grams, no spans, text untouched
+    out = dedup.substring_dedup(docs, "doc_id", "text", n=4, min_run=1)
+    assert {r["text"] for r in out.collect()} == {"one two"}
+    assert dedup.duplicated_ngram_spans(
+        docs, "doc_id", "text", n=4, min_run=1
+    ).count() == 0
+
+
+def test_substring_dedup_overlapping_spans_union(spark):
+    """Two runs whose token intervals overlap must not double-count
+    the overlap in n_dup_tokens."""
+    # X shares tokens 0-5 with Y and tokens 3-8 with Z -> with n=3,
+    # min_run=2 the two witness runs overlap on tokens 3-5 of X
+    x = "a b c d e f g h i"
+    rows = [
+        (1, x),
+        (2, "a b c d e f zz1 zz2"),
+        (3, "yy1 yy2 d e f g h i"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_dedup(
+            docs, "doc_id", "text", n=3, min_run=2
+        ).collect()
+    }
+    # every token of X is covered by the union of the two spans
+    assert out[1]["n_dup_tokens"] == 9 and out[1]["text"] == ""
