@@ -85,6 +85,14 @@ message — gates are test-pinned in tests/test_cypher.py):
       read-only; per-row aggregates,             distinct import combos,
       per-row ORDER BY/SKIP/LIMIT,               null-safe equi-join back;
       empty-group defaults 0/[]/0)               never per-row execution)
+    CALL { [WITH a] CREATE/MERGE/SET/... }     yes (round 14: unit
+      (UPDATING unit subquery, no RETURN)        subquery — body runs per
+      [IN TRANSACTIONS [OF n ROWS]]              input ROW, outer rows
+                                                 untouched; IN TRANSACTIONS
+                                                 parses as a declared no-op
+                                                 — all mutations commit
+                                                 atomically at statement
+                                                 end in this engine)
     list literals [..], map literals {..},    yes (round 11: x[expr]
       x[i] / x[$k] / x['key'] / x[i + 1],        computed list/map
       $params                                    subscripts; round 13:
@@ -422,8 +430,9 @@ class ForeachC:
 
 @dataclass
 class CallC:
-    clauses: list  # read-only subquery, must end with RETURN
+    clauses: list  # subquery body (read: ends with RETURN; unit: no RETURN)
     imports: list | None = None  # importing-WITH variable names (correlated)
+    unit: bool = False  # updating (mutating) body, executed per input row
 
 
 @dataclass
@@ -918,14 +927,61 @@ class _Parser:
             body = body[1:]
             if not body:
                 raise SyntaxError("cypher: empty CALL subquery")
-        if not isinstance(body[-1], ReturnC):
+        has_mut = any(
+            isinstance(
+                cl, (CreateC, MergeC, SetC, DeleteC, RemoveC, ForeachC)
+            )
+            for cl in body
+        )
+        # round 14 (VERDICT r13 #8): UPDATING CALL { } subqueries — the
+        # Neo4j batch-ingest idiom (CALL { WITH row CREATE ... } [IN
+        # TRANSACTIONS]). A mutating body is a UNIT subquery: it must
+        # not RETURN (Neo4j 5), executes once per input row, and
+        # preserves the outer cardinality. The optional IN TRANSACTIONS
+        # [OF n ROWS] suffix parses and is accepted as a no-op: this
+        # engine commits every deferred mutation atomically at
+        # statement end (immutable-snapshot model), so transaction
+        # batching has nothing to batch — documented, not silent.
+        if has_mut and isinstance(body[-1], ReturnC):
+            raise ValueError(
+                "cypher: an updating CALL { } subquery cannot RETURN "
+                "(unit subquery — Neo4j 5 semantics)"
+            )
+        if not has_mut and not isinstance(body[-1], ReturnC):
             raise ValueError("cypher: CALL subquery must end with RETURN")
-        for cl in body:
-            if isinstance(cl, (CreateC, MergeC, SetC, DeleteC, RemoveC, ForeachC)):
-                raise ValueError(
-                    "cypher: mutating clauses are not allowed in a CALL subquery"
+        if self.at_kw("in"):
+            self.next()
+            t = self.peek()
+            if not (
+                t[0] in ("ident", "kw")
+                and t[1].lower() == "transactions"
+            ):
+                raise SyntaxError(
+                    "cypher: expected TRANSACTIONS after CALL { } IN"
                 )
-        return CallC(body, imports)
+            self.next()
+            if not has_mut:
+                raise ValueError(
+                    "cypher: IN TRANSACTIONS applies to updating CALL "
+                    "subqueries only"
+                )
+            t = self.peek()
+            if t[0] in ("ident", "kw") and t[1].lower() == "of":
+                self.next()
+                if self.peek()[0] != "num":
+                    raise SyntaxError(
+                        "cypher: expected a row count after OF"
+                    )
+                self.next()
+                t = self.peek()
+                if not (
+                    t[0] in ("ident", "kw") and t[1].lower() == "rows"
+                ):
+                    raise SyntaxError(
+                        "cypher: expected ROWS after the batch size"
+                    )
+                self.next()
+        return CallC(body, imports, unit=has_mut)
 
     def procedure_call(self):
         """CALL db.labels() [YIELD col [AS alias], ...] — the read-only
@@ -1771,9 +1827,15 @@ class CypherSession:
         )
 
     def _run_clauses(self, clauses, params) -> DataFrame | None:
-        if clauses and isinstance(clauses[-1], CallC):
+        if (
+            clauses
+            and isinstance(clauses[-1], CallC)
+            and not clauses[-1].unit
+        ):
             # Neo4j's rule; without it the subquery's rows would be
-            # silently dropped (run() would return None)
+            # silently dropped (run() would return None). A UNIT
+            # (updating) subquery is exempt: it returns nothing by
+            # definition, so it is a legal final clause.
             raise ValueError(
                 "cypher: a query cannot conclude with CALL — add RETURN"
             )
@@ -3453,7 +3515,40 @@ class CypherSession:
         like count(o) aggregates PER input combo, and ORDER BY + LIMIT
         become a per-combo window top-k. An all-aggregate RETURN joins
         back LEFT with Cypher's empty-group defaults (count 0, collect [],
-        sum 0) so inputs with no matches survive, as they do in Neo4j."""
+        sum 0) so inputs with no matches survive, as they do in Neo4j.
+
+        UNIT (updating) subquery (round 14): the body executes once
+        per input ROW (no dedup — mutation multiplicity is the whole
+        point of the idiom: UNWIND rows CALL { WITH row CREATE ... }),
+        sees ONLY the imported variables, RETURNs nothing, and leaves
+        the outer binding table untouched (cardinality preserved).
+        The body's deferred mutations merge into the outer op list and
+        commit atomically at statement end with everything else, which
+        is also why IN TRANSACTIONS batching is a declared no-op."""
+        if c.unit:
+            if c.imports is not None:
+                if ctx.df is None:
+                    raise ValueError(
+                        "cypher: a correlated CALL subquery (importing "
+                        "WITH) needs bindings from an earlier clause"
+                    )
+                missing = [
+                    v for v in c.imports if v not in ctx.df.columns
+                ]
+                if missing:
+                    raise ValueError(
+                        f"cypher: CALL imports unbound variables {missing}"
+                    )
+                seed = ctx.df.select(c.imports)
+            elif ctx.df is None:
+                seed = None  # first clause: the body runs exactly once
+            else:
+                # no imports: one execution per outer row, empty scope
+                seed = ctx.df.select()
+            sub_ctx = _Ctx(df=seed)
+            self._dispatch(sub_ctx, c.clauses, params)
+            ctx.ops.extend(sub_ctx.ops)
+            return
         if c.imports is None:
             sub = self._run_clauses(c.clauses, params)
             if ctx.df is None:

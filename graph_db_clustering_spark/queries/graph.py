@@ -2220,3 +2220,31 @@ def cypher_load_csv(spark, sf_dir):
         "RETURN row.mkt AS mkt, count(*) AS n, "
         "sum(toInteger(row.id)) AS ids ORDER BY mkt"
     )
+
+
+@declared(
+    "cypher_call_write",
+    f"""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE c_custkey < {_CAP}
+GROUP BY c_mktsegment ORDER BY seg""",
+)
+def cypher_call_write(spark, sf_dir):
+    """UPDATING CALL {{ }} subquery (round 14, VERDICT r13 #8 — the
+    Neo4j batch-ingest idiom): one statement drives a CREATE through a
+    correlated unit subquery, once per matched customer, with the IN
+    TRANSACTIONS OF n ROWS suffix accepted (a declared no-op — this
+    engine commits all deferred mutations atomically at statement
+    end). The read-back groups the created nodes; a unit body that
+    dedups its input rows, leaks body bindings, or disturbs the outer
+    cardinality shifts the counts."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_labeled_graph(spark, sf_dir))
+    s.run(
+        """MATCH (c:Customer)
+           CALL { WITH c CREATE (:Seg {ck: c.custkey, seg: c.mktsegment}) }
+           IN TRANSACTIONS OF 64 ROWS"""
+    )
+    return s.run(
+        "MATCH (t:Seg) RETURN t.seg AS seg, count(*) AS n ORDER BY seg"
+    )

@@ -788,26 +788,9 @@ def read_delta_pruned(
     return df, len(keep), skipped
 
 
-def delta_checkpoint(path: str) -> int:
-    """Write a classic single-part checkpoint at the latest version and
-    point `_last_checkpoint` at it — the log-compaction step that lets
-    old JSON commits expire under retention without losing state. One
-    parquet row per action: protocol, metaData (when known), and an
-    `add` per live file with its stats and partitionValues intact (the
-    round-9 high-severity fix made the read side use checkpoint stats;
-    this is the writer that produces them). Returns the checkpointed
-    version. At 100 TB this is O(live files) driver work — the same
-    cost delta-spark's own checkpointing pays."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    versions = _commit_versions(path)
-    cp = _checkpoint_version(path)
-    if not versions and cp is None:
-        raise DeltaError(f"no _delta_log commits under {path}")
-    version = max(versions[-1] if versions else -1, -1 if cp is None else cp)
-    files, meta, proto0 = _replay_full(path, version)
-
+def _cp_types(pa):
+    """The arrow structs shared by the classic and V2 checkpoint
+    writers: (dv_t, add_t, proto_t, meta_t)."""
     dv_t = pa.struct([
         ("storageType", pa.string()),
         ("pathOrInlineDv", pa.string()),
@@ -837,17 +820,24 @@ def delta_checkpoint(path: str) -> int:
         # after JSON retention -> physical names would leak to readers
         ("configuration", pa.map_(pa.string(), pa.string())),
     ])
+    return dv_t, add_t, proto_t, meta_t
+
+
+def _checkpoint_protocol_action(
+    files: dict, meta: dict | None, proto0: dict | None
+) -> dict:
+    """The single protocol action a checkpoint must carry. Preserve
+    the REPLAYED protocol action (ADVICE r10): a writer that declared
+    3/x with timestampNtz must keep that feature gate after JSON
+    retention. Only upgrade when the checkpointed state needs
+    features the declared protocol doesn't carry (DVs/columnMapping
+    written by a pre-feature protocol — pathological, but never
+    downgrade below what the state requires)."""
     conf0 = (meta or {}).get("configuration") or {}
     if isinstance(conf0, list):
         conf0 = dict(conf0)
     has_cm = conf0.get("delta.columnMapping.mode", "none") != "none"
     need_dv = any(files[p].get("deletionVector") for p in files)
-    # Preserve the REPLAYED protocol action (ADVICE r10): a writer that
-    # declared 3/x with timestampNtz must keep that feature gate after
-    # JSON retention. Only upgrade when the checkpointed state needs
-    # features the declared protocol doesn't carry (DVs/columnMapping
-    # written by a pre-feature protocol — pathological, but never
-    # downgrade below what the state requires).
     proto = dict(proto0) if proto0 else None
     if proto is not None:
         satisfies_dv = not need_dv or (
@@ -860,8 +850,8 @@ def delta_checkpoint(path: str) -> int:
         if not (satisfies_dv and satisfies_cm):
             proto = None  # fall through to the synthesized upgrade
     if proto is not None:
-        rows_proto: list = [proto]
-    elif need_dv:
+        return proto
+    if need_dv:
         feats = sorted(
             {"deletionVectors"}
             | ({"columnMapping"} if has_cm else set())
@@ -870,15 +860,69 @@ def delta_checkpoint(path: str) -> int:
         wfeats = sorted(set(feats) | set(
             (proto0 or {}).get("writerFeatures") or []
         ))
-        rows_proto = [{
+        return {
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": feats,
             "writerFeatures": wfeats,
-        }]
-    elif has_cm:
-        rows_proto = [{"minReaderVersion": 2, "minWriterVersion": 5}]
-    else:
-        rows_proto = [{"minReaderVersion": 1, "minWriterVersion": 2}]
+        }
+    if has_cm:
+        return {"minReaderVersion": 2, "minWriterVersion": 5}
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _feature_protocol(proto: dict, extra: set) -> dict:
+    """Upgrade a protocol action to the 3/7 table-features form with
+    `extra` features added on both sides. Legacy reader version 2
+    maps to its implied columnMapping feature (PROTOCOL.md "Table
+    Features": legacy versions imply fixed feature sets); reader 1
+    implies no reader features."""
+    feats = set(proto.get("readerFeatures") or [])
+    wfeats = set(proto.get("writerFeatures") or [])
+    if proto.get("minReaderVersion", 1) == 2:
+        feats.add("columnMapping")
+    return {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": sorted(feats | extra),
+        "writerFeatures": sorted(wfeats | feats | extra),
+    }
+
+
+def _add_action_row(p: str, a: dict) -> dict:
+    return {
+        "path": p,
+        "partitionValues": list((a.get("partitionValues") or {}).items()),
+        "size": a.get("size"),
+        "dataChange": False,
+        "stats": a.get("stats"),
+        # DV descriptors survive checkpointing — dropping one here
+        # would silently RESURRECT its deleted rows after the JSON
+        # commits expire under retention
+        "deletionVector": a.get("deletionVector"),
+    }
+
+
+def delta_checkpoint(path: str) -> int:
+    """Write a classic single-part checkpoint at the latest version and
+    point `_last_checkpoint` at it — the log-compaction step that lets
+    old JSON commits expire under retention without losing state. One
+    parquet row per action: protocol, metaData (when known), and an
+    `add` per live file with its stats and partitionValues intact (the
+    round-9 high-severity fix made the read side use checkpoint stats;
+    this is the writer that produces them). Returns the checkpointed
+    version. At 100 TB this is O(live files) driver work — the same
+    cost delta-spark's own checkpointing pays."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    versions = _commit_versions(path)
+    cp = _checkpoint_version(path)
+    if not versions and cp is None:
+        raise DeltaError(f"no _delta_log commits under {path}")
+    version = max(versions[-1] if versions else -1, -1 if cp is None else cp)
+    files, meta, proto0 = _replay_full(path, version)
+
+    dv_t, add_t, proto_t, meta_t = _cp_types(pa)
+    rows_proto: list = [_checkpoint_protocol_action(files, meta, proto0)]
     rows_meta: list = [None]
     if meta is not None:
         conf = meta.get("configuration") or {}
@@ -893,26 +937,122 @@ def delta_checkpoint(path: str) -> int:
         rows_proto.append(None)
     adds: list = [None] * len(rows_proto)
     for p in sorted(files):
-        a = files[p]
         rows_proto.append(None)
         rows_meta.append(None)
-        adds.append({
-            "path": p,
-            "partitionValues": list((a.get("partitionValues") or {}).items()),
-            "size": a.get("size"),
-            "dataChange": False,
-            "stats": a.get("stats"),
-            # DV descriptors survive checkpointing — dropping one here
-            # would silently RESURRECT its deleted rows after the JSON
-            # commits expire under retention
-            "deletionVector": a.get("deletionVector"),
-        })
+        adds.append(_add_action_row(p, files[p]))
     tbl = pa.table({
         "protocol": pa.array(rows_proto, type=proto_t),
         "metaData": pa.array(rows_meta, type=meta_t),
         "add": pa.array(adds, type=add_t),
     })
     cp_file = os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+    tmp = cp_file + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, cp_file)
+    lc = os.path.join(_log_dir(path), "_last_checkpoint")
+    tmp = lc + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": tbl.num_rows}, f)
+    os.replace(tmp, lc)
+    return version
+
+
+def delta_checkpoint_v2(path: str, sidecar_parts: int = 2) -> int:
+    """V2 (UUID-named) checkpoint with SIDECARS (round 14, VERDICT
+    r13 #7 — the write side of the round-10 reader): one top-level
+    `NNN.checkpoint.<uuid>.parquet` carrying ONLY checkpointMetadata /
+    protocol / metaData / sidecar actions, with the add actions split
+    across `sidecar_parts` parquet files under _delta_log/_sidecars/
+    (PROTOCOL.md "V2 Checkpoints" + "Sidecar Files"). The protocol is
+    upgraded to the 3/7 table-features form with `v2Checkpoint` on
+    both sides, as the spec requires of any v2-checkpoint writer.
+    `_last_checkpoint` points at the new version; readers resolve the
+    UUID name and follow the sidecar actions (`_checkpoint_files` /
+    `_checkpoint_rows`).
+
+    Why sidecars matter at 100 TB: the add set of a huge table is
+    itself big data — split into parts it can be written and read in
+    parallel, and an incremental writer can carry UNCHANGED sidecar
+    files forward commit over commit instead of rewriting the whole
+    live-file list. This writer is the interchange fixture for that
+    layout (like the classic writer, O(live files) driver work).
+    Returns the checkpointed version."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    versions = _commit_versions(path)
+    cp = _checkpoint_version(path)
+    if not versions and cp is None:
+        raise DeltaError(f"no _delta_log commits under {path}")
+    version = max(versions[-1] if versions else -1, -1 if cp is None else cp)
+    files, meta, proto0 = _replay_full(path, version)
+    proto = _feature_protocol(
+        _checkpoint_protocol_action(files, meta, proto0), {"v2Checkpoint"}
+    )
+    dv_t, add_t, proto_t, meta_t = _cp_types(pa)
+
+    u = str(_uuid.uuid4())
+    scdir = os.path.join(_log_dir(path), "_sidecars")
+    os.makedirs(scdir, exist_ok=True)
+    paths_sorted = sorted(files)
+    parts = max(1, min(int(sidecar_parts), max(len(paths_sorted), 1)))
+    sc_names: list[str] = []
+    for i in range(parts):
+        chunk = paths_sorted[i::parts]
+        if not chunk:
+            continue
+        name = f"{u}-{i:05d}.parquet"
+        tmp = os.path.join(scdir, name + ".tmp")
+        pq.write_table(
+            pa.table({"add": pa.array(
+                [_add_action_row(p, files[p]) for p in chunk],
+                type=add_t,
+            )}),
+            tmp,
+        )
+        os.replace(tmp, os.path.join(scdir, name))
+        sc_names.append(name)
+
+    cpmeta_t = pa.struct([("version", pa.int64())])
+    sidecar_t = pa.struct([
+        ("path", pa.string()), ("sizeInBytes", pa.int64()),
+    ])
+    n = 2 + (1 if meta is not None else 0) + len(sc_names)
+    col_cpmeta: list = [None] * n
+    col_proto: list = [None] * n
+    col_meta: list = [None] * n
+    col_sc: list = [None] * n
+    col_cpmeta[0] = {"version": version}
+    col_proto[1] = proto
+    row = 2
+    if meta is not None:
+        conf = meta.get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
+        col_meta[2] = {
+            "id": meta.get("id"),
+            "schemaString": meta.get("schemaString"),
+            "partitionColumns": meta.get("partitionColumns") or [],
+            "configuration": list(conf.items()),
+        }
+        row = 3
+    for name in sc_names:
+        col_sc[row] = {
+            "path": name,
+            "sizeInBytes": os.path.getsize(os.path.join(scdir, name)),
+        }
+        row += 1
+    tbl = pa.table({
+        "checkpointMetadata": pa.array(col_cpmeta, type=cpmeta_t),
+        "protocol": pa.array(col_proto, type=proto_t),
+        "metaData": pa.array(col_meta, type=meta_t),
+        "sidecar": pa.array(col_sc, type=sidecar_t),
+    })
+    cp_file = os.path.join(
+        _log_dir(path), f"{version:020d}.checkpoint.{u}.parquet"
+    )
     tmp = cp_file + ".tmp"
     pq.write_table(tbl, tmp)
     os.replace(tmp, cp_file)

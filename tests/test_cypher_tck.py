@@ -1179,3 +1179,81 @@ def test_load_csv_id_label_headers_not_entity(spark, tmp_path):
     assert [(r["i"], r["l"]) for r in rows] == [
         ("7", "alpha"), ("8", "beta")
     ]
+
+
+# ---- round 14: updating CALL { } subqueries (unit subqueries) --------
+
+
+def test_call_unit_create_per_row(spark):
+    s = _session(spark)
+    s.run(
+        "UNWIND [1, 2, 3] AS i "
+        "CALL { WITH i CREATE (:W {v: i}) }"
+    )
+    got = sorted(
+        r["v"] for r in s.run("MATCH (n:W) RETURN n.v AS v").collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_call_unit_no_imports_multiplicity(spark):
+    # Neo4j: an uncorrelated unit subquery still executes once PER
+    # input row — 3 rows, 3 created nodes
+    s = _session(spark)
+    s.run("UNWIND [1, 2, 3] AS i CALL { CREATE (:W2) }")
+    assert s.run("MATCH (n:W2) RETURN count(*) AS n").first()["n"] == 3
+
+
+def test_call_unit_preserves_outer_cardinality(spark):
+    s = _session(spark)
+    s.run("CREATE (:T {v: 10}), (:T {v: 20})")
+    rows = s.run(
+        "MATCH (t:T) "
+        "CALL { WITH t CREATE (:Log {src: t.v}) } "
+        "RETURN t.v AS v ORDER BY v"
+    ).collect()
+    assert [r["v"] for r in rows] == [10, 20]
+    got = sorted(
+        r["s"] for r in s.run(
+            "MATCH (l:Log) RETURN l.src AS s"
+        ).collect()
+    )
+    assert got == [10, 20]
+
+
+def test_call_unit_in_transactions_suffix(spark):
+    s = _session(spark)
+    s.run(
+        "UNWIND range(1, 5) AS i "
+        "CALL { WITH i CREATE (:B {v: i}) } IN TRANSACTIONS OF 2 ROWS"
+    )
+    assert s.run("MATCH (n:B) RETURN count(*) AS n").first()["n"] == 5
+
+
+def test_call_unit_set_through_subquery(spark):
+    s = _session(spark)
+    s.run("CREATE (:S1 {v: 1}), (:S1 {v: 2})")
+    s.run(
+        "MATCH (n:S1) CALL { WITH n SET n.v = n.v * 10 }"
+    )
+    got = sorted(
+        r["v"] for r in s.run("MATCH (n:S1) RETURN n.v AS v").collect()
+    )
+    assert got == [10, 20]
+
+
+def test_call_unit_gates(spark):
+    s = _session(spark)
+    s.run("CREATE (:G1 {v: 1})")
+    # an updating body cannot RETURN (unit subquery)
+    with pytest.raises(ValueError, match="cannot RETURN"):
+        s.run(
+            "MATCH (n:G1) CALL { WITH n CREATE (:X) RETURN 1 AS one } "
+            "RETURN n"
+        )
+    # IN TRANSACTIONS on a read body is an error
+    with pytest.raises(ValueError, match="IN TRANSACTIONS"):
+        s.run(
+            "MATCH (n:G1) CALL { WITH n RETURN n.v AS w } "
+            "IN TRANSACTIONS RETURN w"
+        )

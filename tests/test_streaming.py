@@ -6,6 +6,7 @@ stream."""
 from __future__ import annotations
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -988,3 +989,93 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
     # not cleared (the final click at t0+1d has no flush after it)
     assert got <= want
     assert {(1, 1, None), (2, 2, 3)} <= got
+
+
+# ---- round 14: exactly-once foreachBatch sink --------------------------
+
+
+def test_exactly_once_sink_crash_replay_no_duplicates(
+    spark, replay_dir, tmp_path
+):
+    """The full at-least-once failure matrix: (a) a replayed committed
+    batch is skipped; (b) a retry that died between renames and the
+    marker overwrites, not appends; (c) a fresh run with a WIPED
+    checkpoint replays every batch id against the same sink dir and
+    commits nothing twice."""
+    import glob
+    import json
+
+    from graph_db_clustering_spark.streaming.replay import (
+        exactly_once_batch_writer,
+        read_exactly_once,
+        read_table_stream,
+        to_exactly_once_parquet_sink,
+    )
+
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck1")
+    q = to_exactly_once_parquet_sink(
+        read_table_stream(spark, replay_dir, max_files_per_trigger=1),
+        sink, ck,
+    )
+    q.awaitTermination()
+    want = spark.read.parquet(replay_dir).count()
+    assert read_exactly_once(spark, sink).count() == want
+    markers = sorted(os.listdir(os.path.join(sink, "_txn")))
+    assert len(markers) == 4  # one per staged chunk
+
+    # (a) replayed committed batch: no-op
+    w = exactly_once_batch_writer(sink)
+    w(spark.read.parquet(replay_dir), 0)
+    assert read_exactly_once(spark, sink).count() == want
+    assert sorted(os.listdir(os.path.join(sink, "_txn"))) == markers
+
+    # (b) crash between renames and marker: delete batch 2's marker
+    # (its data files remain) and retry — deterministic names must
+    # overwrite, and the committed view converges to the same rows
+    with open(os.path.join(sink, "_txn", markers[2])) as f:
+        batch2_files = json.load(f)["files"]
+    os.remove(os.path.join(sink, "_txn", markers[2]))
+    batch2_id = int(markers[2].split(".")[0])
+    files_before = sorted(glob.glob(os.path.join(sink, "*.parquet")))
+    chunk = sorted(
+        p for p in os.listdir(replay_dir) if p.endswith(".parquet")
+    )[2]
+    w(spark.read.parquet(os.path.join(replay_dir, chunk)), batch2_id)
+    assert sorted(glob.glob(os.path.join(sink, "*.parquet"))) == files_before
+    with open(os.path.join(sink, "_txn", markers[2])) as f:
+        assert json.load(f)["files"] == batch2_files
+    assert read_exactly_once(spark, sink).count() == want
+
+    # (c) wiped checkpoint, same sink: every batch id replays, all skip
+    q2 = to_exactly_once_parquet_sink(
+        read_table_stream(spark, replay_dir, max_files_per_trigger=1),
+        sink, str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination()
+    assert read_exactly_once(spark, sink).count() == want
+
+
+def test_read_exactly_once_ignores_uncommitted(spark, replay_dir, tmp_path):
+    """A half-renamed batch with no marker is invisible to readers."""
+    from graph_db_clustering_spark.streaming.replay import (
+        exactly_once_batch_writer,
+        read_exactly_once,
+    )
+
+    sink = str(tmp_path / "sink2")
+    w = exactly_once_batch_writer(sink)
+    df = spark.read.parquet(replay_dir)
+    w(df, 0)
+    want = read_exactly_once(spark, sink).count()
+    # fake a torn batch 1: data file present, marker absent
+    import shutil
+
+    src = sorted(
+        p for p in os.listdir(sink) if p.endswith(".parquet")
+    )[0]
+    shutil.copy(
+        os.path.join(sink, src),
+        os.path.join(sink, "b0000000001-00000.parquet"),
+    )
+    assert read_exactly_once(spark, sink).count() == want
