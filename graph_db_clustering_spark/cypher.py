@@ -108,8 +108,16 @@ message — gates are test-pinned in tests/test_cypher.py):
       createRelationshipType/awaitIndex(es)/     then a NO-OP — tokens/
       resampleIndex(es) (void procedures)        indexes are implicit here;
                                                  bindings pass through)
+    apoc FUNCTIONS: coll.sum/avg/min/max/       yes (round 14: compile to
+      contains/sort/toSet/flatten/indexOf/       built-in Spark SQL
+      reverse/union/unionAll/intersection/       expressions — codegen,
+      subtract/zip, text.join/split/replace/     no UDFs; unknown apoc
+      clean/capitalize/distance/indexOf,         functions raise with
+      map.fromPairs/fromLists/merge/             the supported list)
+      removeKey, convert.toJson
     other CALL procedures (apoc.*, write/       no — ValueError with the
-      admin)                                     supported list
+      admin; apoc.periodic.iterate's ingest      supported list
+      pattern = CALL { } IN TRANSACTIONS)
     [p =] shortestPath((a)-[:T*..k]->(b))      yes (layered BFS over
       + length(p)                                distinct pairs: one row
                                                  per endpoint pair at its
@@ -1593,6 +1601,24 @@ class _Parser:
                 self.next()  # .
                 member = self.next()[1]
                 t = (t[0], f"{t[1]}.{member}")
+            if (
+                t[1].lower() == "apoc"
+                and self.peek() == ("op", ".")
+                and self.peek(1)[0] in ("ident", "kw")
+                and self.peek(2) == ("op", ".")
+                and self.peek(3)[0] in ("ident", "kw")
+                and self.peek(4) == ("op", "(")
+            ):
+                # apoc FUNCTION namespace (round 14): apoc.<ns>.<fn>(...)
+                # — the compatibility subset _apoc_fn implements;
+                # unknown members raise there with the supported list.
+                # Members may collide with Cypher keywords
+                # (apoc.map.MERGE), hence the kw acceptance.
+                self.next()  # .
+                ns = self.next()[1]
+                self.next()  # .
+                member = self.next()[1]
+                t = (t[0], f"apoc.{ns}.{member}")
             if t[1].lower() == "exists" and self.peek() == ("op", "{"):
                 # EXISTS { [MATCH] p1[, p2 ...] [WHERE pred] } — the
                 # openCypher existential subquery (round 11); compiles
@@ -1824,6 +1850,187 @@ class CypherSession:
             raise ValueError("cypher: EXPLAIN requires a RETURN query")
         return df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
+        )
+
+    # apoc FUNCTION compatibility subset (round 14): the expression-
+    # level apoc.* calls a migrating Neo4j user reaches for first —
+    # every one compiles to built-in Spark SQL functions (pure
+    # whole-stage codegen, no UDFs). apoc PROCEDURES (CALL apoc.*)
+    # stay gated; the updating CALL { } subquery covers the
+    # apoc.periodic.iterate ingest pattern natively.
+    _APOC_SUPPORTED = (
+        "apoc.coll.sum/avg/min/max/contains/sort/toSet/flatten/"
+        "indexOf/reverse/union/unionAll/intersection/subtract/zip, "
+        "apoc.text.join/split/replace/clean/capitalize/distance/"
+        "indexOf, apoc.map.fromPairs/fromLists/merge/removeKey, "
+        "apoc.convert.toJson"
+    )
+
+    def _apoc_fn(self, name: str, args: list, df, params):
+        a = [self._expr(x, df, params) for x in args]
+        n = len(a)
+
+        def need(k):
+            if n != k:
+                raise ValueError(
+                    f"cypher: {name}() takes {k} argument(s), got {n}"
+                )
+
+        if name == "apoc.coll.sum":
+            need(1)
+            # apoc: sum of [] is 0.0 (aggregate keeps the seed)
+            return F.aggregate(
+                a[0], F.lit(0.0),
+                lambda acc, v: acc + v.cast("double"),
+            )
+        if name == "apoc.coll.avg":
+            need(1)
+            s = F.aggregate(
+                a[0], F.lit(0.0),
+                lambda acc, v: acc + v.cast("double"),
+            )
+            return F.when(F.size(a[0]) > 0, s / F.size(a[0]))
+        if name == "apoc.coll.min":
+            need(1)
+            return F.array_min(a[0])
+        if name == "apoc.coll.max":
+            need(1)
+            return F.array_max(a[0])
+        if name == "apoc.coll.contains":
+            need(2)
+            return F.array_contains(a[0], a[1])
+        if name == "apoc.coll.sort":
+            need(1)
+            return F.sort_array(a[0])
+        if name == "apoc.coll.toset":
+            need(1)
+            return F.array_distinct(a[0])
+        if name == "apoc.coll.flatten":
+            need(1)
+            return F.flatten(a[0])
+        if name == "apoc.coll.indexof":
+            need(2)
+            # apoc: -1 when absent; array_position is 1-based, 0=absent
+            return (F.array_position(a[0], a[1]) - 1).cast("long")
+        if name == "apoc.coll.reverse":
+            need(1)
+            return F.reverse(a[0])
+        if name == "apoc.coll.union":
+            need(2)
+            # apoc union = distinct union (unionAll keeps duplicates)
+            return F.array_distinct(F.concat(a[0], a[1]))
+        if name == "apoc.coll.unionall":
+            need(2)
+            return F.concat(a[0], a[1])
+        if name == "apoc.coll.intersection":
+            need(2)
+            return F.array_intersect(a[0], a[1])
+        if name == "apoc.coll.subtract":
+            need(2)
+            return F.array_except(a[0], a[1])
+        if name == "apoc.coll.zip":
+            need(2)
+            return F.zip_with(
+                a[0], a[1], lambda x, y: F.array(x, y)
+            )
+        def lit_str(i, what):
+            # several Spark string functions take the pattern/delimiter
+            # as a PYTHON string, not a column — extract it from a
+            # literal argument, gate loudly otherwise
+            if isinstance(args[i], Lit) and isinstance(args[i].value, str):
+                return args[i].value
+            raise ValueError(
+                f"cypher: {name}() needs a literal string {what}"
+            )
+
+        if name == "apoc.text.join":
+            need(2)
+            return F.array_join(a[0], lit_str(1, "delimiter"))
+        if name == "apoc.text.split":
+            need(2)
+            return F.split(a[0], lit_str(1, "regex"))
+        if name == "apoc.text.replace":
+            need(3)
+            return F.regexp_replace(a[0], a[1], a[2])
+        if name == "apoc.text.clean":
+            need(1)
+            # apoc: lowercase, strip everything non-alphanumeric
+            return F.regexp_replace(F.lower(a[0]), "[^a-z0-9]", "")
+        if name == "apoc.text.capitalize":
+            need(1)
+            # first character uppercased, the rest untouched (NOT
+            # initcap, which would also lowercase/retitle the tail)
+            return F.concat(
+                F.upper(F.substring(a[0], 1, 1)),
+                F.substr(a[0], F.lit(2)),
+            )
+        if name == "apoc.text.distance":
+            need(2)
+            return F.levenshtein(a[0], a[1]).cast("long")
+        if name == "apoc.text.indexof":
+            need(2)
+            return (F.instr(a[0], lit_str(1, "substring")) - 1).cast(
+                "long"
+            )
+        if name == "apoc.map.frompairs":
+            need(1)
+            # typed-engine constraint: each [k, v] pair is a Spark
+            # ARRAY, so k and v must share one element type (a mixed
+            # ['x', 7] literal cannot type as an array — use
+            # fromLists for split key/value lists of different types)
+            return F.map_from_entries(F.transform(
+                a[0],
+                lambda p: F.struct(
+                    F.element_at(p, 1).cast("string").alias("key"),
+                    F.element_at(p, 2).alias("value"),
+                ),
+            ))
+        if name == "apoc.map.fromlists":
+            need(2)
+            return F.map_from_arrays(a[0], a[1])
+        if name == "apoc.map.merge":
+            need(2)
+            # right side wins on key conflicts (apoc semantics).
+            # Cypher MAP LITERALS compile to Spark STRUCTS in this
+            # engine, so structs merge schema-statically; true maps
+            # (e.g. fromPairs results) merge via map_concat with the
+            # overlapping left keys dropped (map_concat raises on
+            # duplicates under the default EXCEPTION dedup policy)
+            da, db = self._dtype_of(a[0], df), self._dtype_of(a[1], df)
+            if isinstance(da, T.StructType) and isinstance(
+                db, T.StructType
+            ):
+                keep = [f for f in da.names if f not in set(db.names)]
+                return F.struct(
+                    *[a[0].getField(f).alias(f) for f in keep],
+                    *[a[1].getField(f).alias(f) for f in db.names],
+                )
+            return F.map_concat(
+                F.map_filter(
+                    a[0],
+                    lambda k, v: ~F.array_contains(F.map_keys(a[1]), k),
+                ),
+                a[1],
+            )
+        if name == "apoc.map.removekey":
+            need(2)
+            dm = self._dtype_of(a[0], df)
+            if isinstance(dm, T.StructType):
+                key = lit_str(1, "key")
+                keep = [f for f in dm.names if f != key]
+                return F.struct(
+                    *[a[0].getField(f).alias(f) for f in keep]
+                )
+            return F.map_filter(a[0], lambda k, v: k != a[1])
+        if name == "apoc.convert.tojson":
+            need(1)
+            return F.to_json(a[0])
+        raise ValueError(
+            f"cypher: unsupported apoc function {name}() — supported: "
+            f"{self._APOC_SUPPORTED}; apoc PROCEDURES (CALL apoc.*) "
+            "are not implemented (use the native equivalents; "
+            "CALL { ... } IN TRANSACTIONS covers periodic.iterate "
+            "ingest)"
         )
 
     def _run_clauses(self, clauses, params) -> DataFrame | None:
@@ -4707,6 +4914,8 @@ class CypherSession:
             }[e.op]
         if isinstance(e, Func):
             name = e.name.lower()
+            if name.startswith("apoc."):
+                return self._apoc_fn(name, e.args, df, params)
             if name == "id":
                 base = self._expr(e.args[0], df, params)
                 if df is not None and isinstance(e.args[0], Var):

@@ -2248,3 +2248,34 @@ def cypher_call_write(spark, sf_dir):
     return s.run(
         "MATCH (t:Seg) RETURN t.seg AS seg, count(*) AS n ORDER BY seg"
     )
+
+
+@declared(
+    "cypher_apoc",
+    f"""SELECT c_custkey AS k,
+       upper(substr(lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g')), 1, 1))
+         || substr(lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g')), 2)
+         AS cleaned,
+       CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+       CAST(c_custkey + 1.5 AS DOUBLE) AS s
+FROM customer WHERE c_custkey < {_CAP} ORDER BY k""",
+)
+def cypher_apoc(spark, sf_dir):
+    """apoc FUNCTION compatibility subset (round 14 — the top entry
+    on the migrating-user gate list): apoc.text.clean/capitalize/
+    distance and apoc.coll.sum compile to built-in Spark SQL
+    expressions (whole-stage codegen, no UDFs), checked against
+    DuckDB's own levenshtein/regexp closed forms. apoc PROCEDURES
+    stay gated with the supported-function list; CALL { } IN
+    TRANSACTIONS covers the periodic.iterate ingest idiom natively."""
+    from graph_db_clustering_spark.cypher import CypherSession
+
+    s = CypherSession(_labeled_graph(spark, sf_dir))
+    return s.run(
+        """MATCH (c:Customer)
+           RETURN c.custkey AS k,
+                  apoc.text.capitalize(apoc.text.clean(c.name)) AS cleaned,
+                  apoc.text.distance(c.mktsegment, 'BUILDING') AS lev,
+                  apoc.coll.sum([c.custkey, 1.5]) AS s
+           ORDER BY k"""
+    )

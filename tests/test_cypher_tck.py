@@ -1257,3 +1257,73 @@ def test_call_unit_gates(spark):
             "MATCH (n:G1) CALL { WITH n RETURN n.v AS w } "
             "IN TRANSACTIONS RETURN w"
         )
+
+
+# ---- round 14: apoc function compatibility subset ---------------------
+
+
+def test_apoc_coll_functions(spark):
+    s = _session(spark)
+    r = s.run(
+        "RETURN apoc.coll.sum([1, 2, 3.5]) AS s, "
+        "apoc.coll.sum([]) AS s0, "
+        "apoc.coll.avg([2, 4]) AS av, "
+        "apoc.coll.min([3, 1, 2]) AS mn, "
+        "apoc.coll.max([3, 1, 2]) AS mx, "
+        "apoc.coll.contains([1, 2], 2) AS has, "
+        "apoc.coll.sort([3, 1, 2]) AS srt, "
+        "apoc.coll.toSet([1, 1, 2]) AS st, "
+        "apoc.coll.flatten([[1], [2, 3]]) AS fl, "
+        "apoc.coll.indexOf([10, 20], 20) AS idx, "
+        "apoc.coll.indexOf([10], 99) AS absent, "
+        "apoc.coll.reverse([1, 2]) AS rv, "
+        "apoc.coll.union([1, 2], [2, 3]) AS un, "
+        "apoc.coll.unionAll([1], [1]) AS ua, "
+        "apoc.coll.intersection([1, 2], [2, 3]) AS ix, "
+        "apoc.coll.subtract([1, 2], [2]) AS sub, "
+        "apoc.coll.zip([1, 2], [3, 4]) AS z"
+    ).collect()[0]
+    assert r["s"] == 6.5 and r["s0"] == 0.0 and r["av"] == 3.0
+    assert r["mn"] == 1 and r["mx"] == 3 and r["has"] is True
+    assert r["srt"] == [1, 2, 3] and r["st"] == [1, 2]
+    assert r["fl"] == [1, 2, 3]
+    assert r["idx"] == 1 and r["absent"] == -1
+    assert r["rv"] == [2, 1] and r["un"] == [1, 2, 3]
+    assert r["ua"] == [1, 1] and r["ix"] == [2] and r["sub"] == [1]
+    assert r["z"] == [[1, 3], [2, 4]]
+
+
+def test_apoc_text_and_map_functions(spark):
+    s = _session(spark)
+    r = s.run(
+        "RETURN apoc.text.join(['a', 'b'], '-') AS j, "
+        "apoc.text.split('a,b', ',') AS sp, "
+        "apoc.text.replace('aXbX', 'X', '.') AS rp, "
+        "apoc.text.clean('Hello, World!') AS cl, "
+        "apoc.text.capitalize('hello World') AS cap, "
+        "apoc.text.distance('kitten', 'sitting') AS lev, "
+        "apoc.text.indexOf('hello', 'll') AS ti, "
+        "apoc.map.fromLists(['a', 'b'], [1, 2])['b'] AS mf, "
+        "apoc.map.fromPairs([['x', 'y']])['x'] AS mp, "
+        "apoc.map.merge({a: 1, b: 2}, {b: 9, c: 3})['b'] AS mm, "
+        "apoc.convert.toJson({x: 1}) AS js"
+    ).collect()[0]
+    assert r["j"] == "a-b" and r["sp"] == ["a", "b"]
+    assert r["rp"] == "a.b." and r["cl"] == "helloworld"
+    assert r["cap"] == "Hello World"
+    assert r["lev"] == 3 and r["ti"] == 2
+    assert r["mf"] == 2 and r["mp"] == "y" and r["mm"] == 9
+    assert r["js"] == '{"x":1}'
+    # struct-typed removeKey drops the field
+    r2 = s.run(
+        "RETURN apoc.map.removeKey({a: 1, b: 2}, 'a') AS m"
+    ).collect()[0]
+    assert r2["m"].asDict() == {"b": 2}
+
+
+def test_apoc_unknown_function_gates(spark):
+    s = _session(spark)
+    with pytest.raises(ValueError, match="unsupported apoc function"):
+        s.run("RETURN apoc.periodic.iterate('a', 'b', {})")
+    with pytest.raises(ValueError, match="literal string"):
+        s.run("WITH '-' AS d RETURN apoc.text.join(['a'], d)")
