@@ -3970,3 +3970,109 @@ def stream_exactly_once(spark, sf_dir):
         )
         .orderBy("w", "event_type")
     )
+
+
+def _iceberg_halves(spark, sf_dir, tag):
+    """Shared fixture for the incremental entries: orders split on
+    o_orderkey parity — half A is the created table (snapshot 1),
+    half B lands via iceberg_append (snapshot 2)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_append,
+        write_iceberg,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"gdc_iceinc_{tag}_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    t = os.path.join(root, "t")
+    write_iceberg(spark, o.filter(F.col("o_orderkey") % 2 == 0), t)
+    iceberg_append(spark, o.filter(F.col("o_orderkey") % 2 == 1), t)
+    return t
+
+
+@declared(
+    "iceberg_incremental",
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""",
+)
+def iceberg_incremental(spark, sf_dir):
+    """Iceberg incremental APPEND scan (round 14,
+    sources/iceberg.read_iceberg_incremental — the third format's
+    CDC-shaped read beside delta_table_changes and
+    hudi_incremental): even orders land at snapshot 1, odd orders
+    append as snapshot 2, and the (1, 2] range must return exactly
+    the appended rows — the driver-side manifest diff plans ONLY the
+    added files, so an incremental consumer never rescans history.
+    The closed form is the odd half directly; a diff that leaks a
+    carried file doubles rows, one that misses an added file drops
+    them."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        read_iceberg_incremental,
+    )
+
+    t = _iceberg_halves(spark, sf_dir, "batch")
+    return (
+        read_iceberg_incremental(spark, t, 1)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@declared(
+    "iceberg_append_stream",
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders ORDER BY o_orderkey""",
+)
+def iceberg_append_stream(spark, sf_dir):
+    """The Iceberg append scan consumed through REAL Structured
+    Streaming (round 14, streaming/iceberg_source — a Spark 4 Python
+    DataSource: snapshot-id offsets, one input partition per ADDED
+    parquet file, pyarrow reads on executors). From
+    startingSnapshotId 0 the stream drains both snapshots into a
+    memory sink and must equal the full table — a source that
+    re-emits carried files on the second micro-batch duplicates the
+    even half; one that misses an added file drops rows."""
+    import os
+
+    from graph_db_clustering_spark.streaming.iceberg_source import (
+        IcebergAppendDataSource,
+    )
+
+    t = _iceberg_halves(spark, sf_dir, "stream")
+    spark.dataSource.register(IcebergAppendDataSource)
+    qname = f"gdc_iceinc_sink_{os.getpid()}"
+    stream = (
+        spark.readStream.format("iceberg_incremental")
+        .option("path", t)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+        .orderBy("o_orderkey")
+        .localCheckpoint()
+    )

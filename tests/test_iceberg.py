@@ -1487,3 +1487,96 @@ def test_iceberg_merge_after_evolution_keeps_spec_attribution(
     assert back.count() == 31
     got = {r["id"]: r["val"] for r in back.collect()}
     assert got[0] == -1.0 and got[100] == -2.0
+
+
+def test_iceberg_incremental_append_only(spark, tmp_path):
+    """read_iceberg_incremental returns exactly the added rows per
+    range; a non-append range (merge in history) gates loudly."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_append,
+        iceberg_merge,
+        read_iceberg_incremental,
+        write_iceberg,
+    )
+
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(3, "c")], "id long, v string")
+    c = spark.createDataFrame([(4, "d"), (5, "e")], "id long, v string")
+    root = str(tmp_path / "inc")
+    write_iceberg(spark, a, root)          # snapshot 1
+    iceberg_append(spark, b, root)         # snapshot 2
+    iceberg_append(spark, c, root)         # snapshot 3
+    got = sorted(
+        r["id"] for r in read_iceberg_incremental(spark, root, 1).collect()
+    )
+    assert got == [3, 4, 5]
+    got2 = sorted(
+        r["id"]
+        for r in read_iceberg_incremental(spark, root, 2, 3).collect()
+    )
+    assert got2 == [4, 5]
+    # empty range -> zero rows, full schema
+    empty = read_iceberg_incremental(spark, root, 3, 3)
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    # a merge makes the range non-append -> loud gate
+    src = spark.createDataFrame([(1, "upd")], "id long, v string")
+    iceberg_merge(spark, root, src, "id")  # snapshot 4
+    with pytest.raises(NotImplementedError, match="APPEND-ONLY"):
+        read_iceberg_incremental(spark, root, 3, 4)
+    # but the pre-merge range still reads fine
+    assert read_iceberg_incremental(spark, root, 1, 3).count() == 3
+
+
+def test_iceberg_append_stream_matches_batch(spark, tmp_path):
+    """The streaming source drains to the same rows as the batch
+    incremental read, split across micro-batches by snapshot."""
+    from graph_db_clustering_spark.sources.iceberg import (
+        iceberg_append,
+        write_iceberg,
+    )
+    from graph_db_clustering_spark.streaming.iceberg_source import (
+        IcebergAppendDataSource,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id long, v string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6, 10)], "id long, v string"
+    )
+    root = str(tmp_path / "incs")
+    write_iceberg(spark, a.repartition(2), root)
+    iceberg_append(spark, b, root)
+    spark.dataSource.register(IcebergAppendDataSource)
+    q = (
+        spark.readStream.format("iceberg_incremental")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_inc_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["id"] for r in spark.table("ice_inc_t").collect())
+    assert got == list(range(10))
+    # starting mid-history emits only the appended snapshot
+    q2 = (
+        spark.readStream.format("iceberg_incremental")
+        .option("path", root)
+        .option("startingSnapshotId", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("ice_inc_t2")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = sorted(r["id"] for r in spark.table("ice_inc_t2").collect())
+    assert got2 == list(range(6, 10))
