@@ -612,7 +612,9 @@ def test_call_subquery_gates(spark):
     s = CypherSession(_chain_graph(spark))
     with pytest.raises(ValueError, match="must end with RETURN"):
         s.run("CALL { MATCH (m) } RETURN 1")
-    with pytest.raises(ValueError, match="mutating clauses"):
+    # round 14: mutating CALL { } bodies are supported (unit subqueries);
+    # the gate is now Neo4j 5's — an updating body must not RETURN
+    with pytest.raises(ValueError, match="cannot RETURN"):
         s.run("CALL { CREATE (:N {name: 'x'}) RETURN 1 AS one } RETURN one")
     with pytest.raises(ValueError, match="plain variable list"):
         s.run("MATCH (n) CALL { WITH n.id AS j RETURN j + 1 AS k } RETURN k")
