@@ -488,6 +488,7 @@ def build_band_index(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    cache: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Index a corpus ONCE for repeated cross-corpus near-dup checks:
     returns (buckets, shingles) where buckets = (id, band, bhash) is the
@@ -495,10 +496,22 @@ def build_band_index(
     side. A production pipeline persists both as parquet (bucketed by
     (band, bhash) / id respectively) and checks every new crawl batch
     against them with near_dups_against — the batch/streaming split
-    mirrors ivfpq_build/ivfpq_search."""
+    mirrors ivfpq_build/ivfpq_search.
+
+    ``cache=True`` pins the shared signature frame for callers that
+    consume the index IN the same session instead of persisting it to
+    parquet (the cross_dedup bench shape): buckets and shingles both
+    derive from it, and without the pin the corpus is shingled twice —
+    once per side of the diamond (r14 optimization). Bounded accretion:
+    each cached build releases the previous one's pin, like
+    near_dups_against."""
     rows_per_band = num_hashes // bands
     sh = with_hashed_shingles(corpus.select(id_col, text_col), text_col, n)
     sig = with_minhash_signature(sh, "hshingles", num_hashes, seed)
+    if cache:
+        release_index_cache()
+        sig = sig.persist()
+        _last_index.append(sig)
     buckets = band_buckets(sig, id_col, "signature", bands, rows_per_band)
     shingles = sig.select(F.col(id_col).alias("id"), "hshingles")
     return buckets, shingles
@@ -507,6 +520,17 @@ def build_band_index(
 # the LAST persisted batch-signature frame (bounded accretion: each
 # near_dups_against call releases its predecessor's pin — see below)
 _last_sig: list = []
+
+# the LAST persisted corpus-index signature frame (build_band_index
+# cache=True; same bounded-accretion contract)
+_last_index: list = []
+
+
+def release_index_cache() -> None:
+    """Unpersist the signature frame pinned by the most recent
+    build_band_index(cache=True) call."""
+    while _last_index:
+        _last_index.pop().unpersist()
 
 
 def release_signature_cache() -> None:

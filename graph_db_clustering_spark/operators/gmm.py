@@ -75,10 +75,17 @@ def _with_responsibilities(df: DataFrame, vec_col: str, model_params) -> DataFra
     lse = mx + F.log(
         sum(F.exp(F.col(f"_lp{j}") - mx) for j in range(k))
     )
+    # one projection instead of a k+1-deep withColumn chain: identical
+    # expressions, but Catalyst analyzes a single Project per iteration
+    # (the EM loop re-plans every round — r14)
     out = with_lp.withColumn("_lse", lse)
-    for j in range(k):
-        out = out.withColumn(f"_r{j}", F.exp(F.col(f"_lp{j}") - F.col("_lse")))
-    return out
+    return out.select(
+        "*",
+        *[
+            F.exp(F.col(f"_lp{j}") - F.col("_lse")).alias(f"_r{j}")
+            for j in range(k)
+        ],
+    )
 
 
 def gmm_fit(
@@ -95,15 +102,17 @@ def gmm_fit(
     as kmeans init), variances = the global per-dim sample variance,
     weights uniform. Converged when the mean log-likelihood improves by
     less than tol."""
-    d = df.select(F.size(vec_col).alias("d")).first()["d"]
     init = deterministic_sample(df.select(id_col, vec_col), id_col, k).collect()
     if len(init) < k:
         raise ValueError(f"gmm_fit: need at least {k} rows")
     means = np.asarray([[float(x) for x in r[vec_col]] for r in init])
+    # ONE setup aggregate (r14: was three separate jobs — size probe,
+    # variance pass, row count): the per-dim variance rows also carry
+    # the row count (identical across dims), and d is their row count.
     gstats = (
         df.select(F.posexplode(vec_col).alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.var_samp("x").alias("v"))
+        .agg(F.var_samp("x").alias("v"), F.count(F.lit(1)).alias("n"))
         .orderBy("pos")
         .collect()
     )
@@ -111,7 +120,7 @@ def gmm_fit(
         np.maximum(np.asarray([r["v"] for r in gstats]), var_floor), (k, 1)
     )
     weights = np.full(k, 1.0 / k)
-    n = df.count()
+    n = int(gstats[0]["n"])
 
     ll_prev = -np.inf
     history = []

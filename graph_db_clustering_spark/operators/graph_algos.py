@@ -1008,7 +1008,7 @@ def louvain(graph: Graph, max_sweeps: int = 10, max_levels: int = 3) -> DataFram
                 "left",
             )
             .select(VERTEX_ID, F.coalesce("_nc", "community").alias("community"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if not moved:
             break
@@ -1030,7 +1030,10 @@ def louvain(graph: Graph, max_sweeps: int = 10, max_levels: int = 3) -> DataFram
             )
             .groupBy("a", "b")
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint()
+            # lazy (r14): the isolated-supernode probe right below is the
+            # first action, so it materializes the checkpoint — one job
+            # per level instead of an eager-checkpoint job plus the probe
+            .localCheckpoint(eager=False)
         )
         # all contracted into isolated supernodes -> nothing left to merge
         if cur.filter(F.col("a") != F.col("b")).limit(1).count() == 0:
@@ -1055,11 +1058,17 @@ def _louvain_sweeps(verts: DataFrame, wedges: DataFrame, max_sweeps: int):
         .unionAll(self_loops.select("a", (2.0 * F.col("w")).alias("deg")))
         .groupBy("a")
         .agg(F.sum("deg").alias("deg"))
+        # vertex-sized; read twice per sweep (sigma + own) in every
+        # sweep of the level — checkpoint once, materialized by the
+        # two_m probe below (r14)
+        .localCheckpoint(eager=False)
     )
     two_m = deg.agg(F.sum("deg")).first()[0] or 0.0
     if two_m == 0.0:
         return verts.select(VERTEX_ID, F.col(VERTEX_ID).alias("new_c")), False
-    labels = verts.select(VERTEX_ID, F.col(VERTEX_ID).alias("new_c")).localCheckpoint()
+    labels = verts.select(VERTEX_ID, F.col(VERTEX_ID).alias("new_c")).localCheckpoint(
+        eager=False
+    )
     any_moved = False
     for _ in range(max_sweeps):
         lab_a = labels.select(F.col(VERTEX_ID).alias("a"), F.col("new_c").alias("c_a"))
@@ -1108,16 +1117,20 @@ def _louvain_sweeps(verts: DataFrame, wedges: DataFrame, max_sweeps: int):
         )
         moves = best.filter(
             (F.col("target") < F.col("cur_c")) & (F.col("gain") > 1e-12)
-        ).select(VERTEX_ID, F.col("target")).localCheckpoint()
+        ).select(VERTEX_ID, F.col("target")).localCheckpoint(eager=False)
         # the moves frame IS the change set — counting it replaces the
-        # old separate new-vs-old join (one Spark job fewer per sweep)
+        # old separate new-vs-old join (one Spark job fewer per sweep);
+        # the count also materializes the LAZY checkpoint, so the sweep
+        # pays one job here, not an eager-checkpoint job plus a count
+        # (r14 optimization, ditto the labels checkpoint below — its
+        # first reader next sweep materializes it)
         if moves.count() == 0:
             break
         any_moved = True
         labels = (
             labels.join(moves, VERTEX_ID, "left")
             .select(VERTEX_ID, F.coalesce("target", "new_c").alias("new_c"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels, any_moved
 

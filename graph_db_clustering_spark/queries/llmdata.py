@@ -260,7 +260,9 @@ def cross_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    buckets, shingles = dedup.build_band_index(corpus, "doc_id", "text")
+    buckets, shingles = dedup.build_band_index(
+        corpus, "doc_id", "text", cache=True
+    )
     return dedup.near_dups_against(
         batch, buckets, shingles, "doc_id", "text", threshold=0.3
     ).orderBy("new_id", "corpus_id")

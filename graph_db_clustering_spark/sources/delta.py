@@ -1491,10 +1491,6 @@ def delta_merge(
         return df
 
     phys_pcols = [inv.get(c, c) for c in pcols]
-    if source.groupBy(key).count().filter(F.col("count") > 1).limit(
-        1
-    ).count():
-        raise DeltaError(f"delta_merge: duplicate {key} values in source")
     missing = [c for c in pcols if c not in source.columns]
     if missing:
         raise DeltaError(
@@ -1568,17 +1564,40 @@ def delta_merge(
             "left_anti",
         )
     src = source.localCheckpoint(eager=False)
+    # ONE aggregate job over the checkpointed source replaces the
+    # separate duplicate-key probe and source count (r14); the gate
+    # still raises before anything is staged. The null-aware distinct
+    # mirrors the old groupBy(key) gate (a single null key is one
+    # group, not a duplicate).
+    sstats = src.agg(
+        F.count(F.lit(1)).alias("n_src"),
+        (
+            F.count_distinct(key)
+            + F.coalesce(
+                F.max(F.when(F.col(key).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+        ).alias("n_keys"),
+    ).first()
+    if sstats["n_src"] > sstats["n_keys"]:
+        raise DeltaError(f"delta_merge: duplicate {key} values in source")
     src_keys = F.broadcast(src.select(key).distinct())
     matched = scan.join(src_keys, key, "inner").localCheckpoint(
         eager=False
     )
-    n_updated = matched.count()
-    # inserted = source keys NOT present in the target. Derive it from
-    # the MATCHED side (bounded by the source) — never broadcast the
-    # target's key set, which is corpus-sized at 100 TB
-    n_inserted = (
-        src.count() - matched.select(key).distinct().count()
-    )
+    # ONE aggregate over the matched side replaces three jobs (count,
+    # distinct-key count, touched-file collect — r14). inserted =
+    # source keys NOT present in the target, derived from the MATCHED
+    # side (bounded by the source) — never broadcast the target's key
+    # set, which is corpus-sized at 100 TB. The equi-join drops null
+    # keys, so count_distinct needs no null adjustment here.
+    mstats = matched.agg(
+        F.count(F.lit(1)).alias("n_updated"),
+        F.count_distinct(key).alias("n_mkeys"),
+        F.collect_set("__fp").alias("fps"),
+    ).first()
+    n_updated = int(mstats["n_updated"])
+    n_inserted = int(sstats["n_src"]) - int(mstats["n_mkeys"])
     version = _next_version(path)
     actions: list = []
     strategy = "append_only"
@@ -1586,8 +1605,8 @@ def delta_merge(
     if n_updated:
         root = os.path.abspath(path)
         touched_rels = sorted(
-            os.path.relpath(r["__fp"], root).replace(os.sep, "/")
-            for r in matched.select("__fp").distinct().collect()
+            os.path.relpath(fp, root).replace(os.sep, "/")
+            for fp in mstats["fps"]
         )
         rows_in_touched = scan.filter(
             F.col("__fp").isin(

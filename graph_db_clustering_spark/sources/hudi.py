@@ -818,6 +818,7 @@ def _apply_row_changes(
         if missing:
             raise HudiError(f"hudi: upsert source lacks columns {missing}")
         upserts = upserts.select(*user_cols)
+        dup_gate = not precombine
         if precombine:
             from pyspark.sql import Window
 
@@ -828,14 +829,6 @@ def _apply_row_changes(
                 upserts.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
-            )
-        elif (
-            upserts.groupBy(record_key).count()
-            .filter(F.col("count") > 1).limit(1).count()
-        ):
-            raise HudiError(
-                "hudi: duplicate record keys in upsert source and no "
-                "precombine field declared"
             )
         keys = upserts.select(
             F.col(record_key).cast("string").alias("_k")
@@ -854,10 +847,69 @@ def _apply_row_changes(
         .join(keys, "_k", "inner")
         .select("_k", "_pp", "_fid")
     )
-    touched = [
-        (r["_pp"], r["_fid"])
-        for r in located.select("_pp", "_fid").distinct().collect()
-    ]
+
+    # ONE tagging job (r14 optimization — was up to five separate
+    # driver jobs: duplicate-key gate, touched-group collect,
+    # update/insert counts, insert partition-value gate, delete count):
+    # every gate and counter rides a single aggregate whose collected
+    # payload is the touched-group list the commit needs anyway.
+    n_upd = n_ins = n_del = 0
+    if upserts is not None:
+        tagged = (
+            upserts.withColumn("_k", F.col(record_key).cast("string"))
+            .join(located, "_k", "left")
+            .localCheckpoint(eager=False)
+        )
+        if partition_field is not None:
+            _bad_pp = (
+                F.col(partition_field).isNull()
+                | F.col(partition_field).cast("string").rlike("[/=%\\n\\r]")
+            )
+        else:
+            _bad_pp = F.lit(False)
+        stats = tagged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # distinct KEY GROUPS incl. a null group, matching the old
+            # groupBy(key) gate (count_distinct alone ignores nulls)
+            (
+                F.count_distinct("_k")
+                + F.coalesce(
+                    F.max(F.when(F.col("_k").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
+            ).alias("n_keys"),
+            F.count("_fid").alias("n_upd"),
+            F.max(
+                F.when(F.col("_fid").isNull() & _bad_pp, 1).otherwise(0)
+            ).alias("bad_pp"),
+            F.collect_set(F.struct("_pp", "_fid")).alias("touched"),
+        ).first()
+        if dup_gate and stats["n_rows"] > stats["n_keys"]:
+            raise HudiError(
+                "hudi: duplicate record keys in upsert source and no "
+                "precombine field declared"
+            )
+        if partition_field is not None and (stats["bad_pp"] or 0):
+            raise HudiError(
+                f"hudi: partition value of {partition_field!r} is NULL "
+                "or contains one of / = % newline — hive-style escaping "
+                "is not implemented; clean or recode the partition column"
+            )
+        n_upd = int(stats["n_upd"])
+        n_ins = int(stats["n_rows"]) - n_upd
+        touched = sorted(
+            (t["_pp"], t["_fid"])
+            for t in stats["touched"]
+            if t["_fid"] is not None
+        )
+    else:
+        grp = (
+            located.groupBy("_pp", "_fid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        touched = sorted((r["_pp"], r["_fid"]) for r in grp)
+        n_del = sum(r["n"] for r in grp)
     touched_df = spark.createDataFrame(
         touched or [("", "")], "_pp string, _fid string"
     )
@@ -889,24 +941,14 @@ def _apply_row_changes(
     )
 
     parts = [survivors]
-    n_upd = n_ins = 0
     if upserts is not None:
-        # plain equi-join: `located` is bounded by the incoming key
-        # count, which may itself be large — let AQE pick the strategy.
-        # Lazily checkpointed: the frame feeds the update/insert counts
-        # AND the landing write — without the barrier the tagging join
-        # would recompute three times.
-        tagged = (
-            upserts.withColumn("_k", F.col(record_key).cast("string"))
-            .join(located, "_k", "left")
-            .localCheckpoint(eager=False)
-        )
+        # `tagged` is the lazily-checkpointed tagging join from the
+        # fused aggregate above: the landing write below re-reads the
+        # checkpointed partitions instead of recomputing the join
         updates = tagged.filter(F.col("_fid").isNotNull()).drop("_k")
         inserts = tagged.filter(F.col("_fid").isNull()).drop(
             "_k", "_pp", "_fid"
         )
-        n_upd = updates.count()
-        n_ins = inserts.count()
         parts.append(
             _with_meta(
                 updates, instant, F.col(record_key), F.col("_pp"),
@@ -914,8 +956,8 @@ def _apply_row_changes(
             )
         )
         if n_ins:
+            # partition values already gated by the fused aggregate
             if partition_field is not None:
-                _check_partition_values(inserts, partition_field)
                 pp_col = F.concat(
                     F.lit(f"{partition_field}="),
                     F.col(partition_field).cast("string"),
@@ -965,9 +1007,6 @@ def _apply_row_changes(
             }
 
     counters: dict = {}
-    n_del = 0
-    if delete_keys is not None:
-        n_del = located.count()
     for k in landed:
         counters[k] = {
             "prevCommit": "unknown" if k in touched else "null"

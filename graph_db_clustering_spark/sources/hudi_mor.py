@@ -641,16 +641,30 @@ def _mor_snapshot(
     log_df = _log_records_df(spark, logged, valid, schema)
     # merge scoped to the FILE GROUP (real Hudi merges per file
     # slice): a delete event only suppresses base rows of its own
-    # group, so a later re-insert routed to a fresh group survives
-    latest = _latest_per_key(log_df, per_group=True)
-    upserts = latest.filter(~F.col("_gdc_deleted")).drop(*_EXTRA_COLS)
-    touched = latest.select("_hoodie_record_key", "_pp", "_fid")
+    # group, so a later re-insert routed to a fresh group survives.
+    #
+    # Base rows join the SAME latest-wins window as the log events,
+    # ordered below every log event of their group (log block instants
+    # are strictly newer than the slice's base instant, so "" sorts
+    # last under the instant-desc window). One window pass replaces
+    # the previous anti-join-plus-union diamond, which evaluated the
+    # log decode (mapInPandas + exchange + window) TWICE — once for
+    # the surviving-upserts side and once for the touched-keys side
+    # (r14 optimization; plan diff in plans/r14/hudi_mor_snapshot_*).
     if base_df is None:
-        out = upserts
+        events = log_df
     else:
-        out = base_df.join(
-            touched, ["_hoodie_record_key", "_pp", "_fid"], "anti"
-        ).unionByName(upserts)
+        base_aug = base_df.select(
+            "*",
+            F.lit("").alias("_gdc_instant"),
+            F.lit(-1).alias("_gdc_v"),
+            F.lit(-1).alias("_gdc_b"),
+            F.lit(-1).alias("_gdc_r"),
+            F.lit(False).alias("_gdc_deleted"),
+        )
+        events = base_aug.unionByName(log_df.select(*base_aug.columns))
+    latest = _latest_per_key(events, per_group=True)
+    out = latest.filter(~F.col("_gdc_deleted")).drop(*_EXTRA_COLS)
     if not with_groups:
         out = out.drop("_pp", "_fid")
     return out
@@ -1047,6 +1061,7 @@ def _apply_row_changes_mor(
         if missing:
             raise HudiError(f"hudi: upsert source lacks columns {missing}")
         upserts = upserts.select(*user_cols)
+        dup_gate = not precombine
         if precombine:
             w = Window.partitionBy(record_key).orderBy(
                 F.col(precombine).desc()
@@ -1054,14 +1069,6 @@ def _apply_row_changes_mor(
             upserts = (
                 upserts.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn")
-            )
-        elif (
-            upserts.groupBy(record_key).count()
-            .filter(F.col("count") > 1).limit(1).count()
-        ):
-            raise HudiError(
-                "hudi: duplicate record keys in upsert source and no "
-                "precombine field declared"
             )
         keys = upserts.select(
             F.col(record_key).cast("string").alias("_k")
@@ -1077,7 +1084,6 @@ def _apply_row_changes_mor(
             F.col("_hoodie_record_key").alias("_k"), "_pp", "_fid"
         )
         .join(keys, "_k", "inner")
-        .localCheckpoint(eager=False)
     )
 
     landed: dict = {}
@@ -1096,8 +1102,47 @@ def _apply_row_changes_mor(
         inserts = tagged.filter(F.col("_fid").isNull()).drop(
             "_k", "_pp", "_fid"
         )
-        n_upd = updates.count()
-        n_ins = inserts.count()
+        # ONE aggregate job over the checkpointed tagging join replaces
+        # four separate driver jobs (r14 optimization): the duplicate-key
+        # gate (count > distinct), the update/insert counts, and the
+        # insert partition-value gate all ride the same pass. The gates
+        # still raise BEFORE any file is staged or landed.
+        if partition_field is not None:
+            _bad_pp = (
+                F.col(partition_field).isNull()
+                | F.col(partition_field).cast("string").rlike("[/=%\\n\\r]")
+            )
+        else:
+            _bad_pp = F.lit(False)
+        stats = tagged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # distinct KEY GROUPS incl. a null group, matching the old
+            # groupBy(key) gate (count_distinct alone ignores nulls)
+            (
+                F.count_distinct("_k")
+                + F.coalesce(
+                    F.max(F.when(F.col("_k").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
+            ).alias("n_keys"),
+            F.count("_fid").alias("n_upd"),
+            F.max(
+                F.when(F.col("_fid").isNull() & _bad_pp, 1).otherwise(0)
+            ).alias("bad_pp"),
+        ).first()
+        if dup_gate and stats["n_rows"] > stats["n_keys"]:
+            raise HudiError(
+                "hudi: duplicate record keys in upsert source and no "
+                "precombine field declared"
+            )
+        if partition_field is not None and (stats["bad_pp"] or 0):
+            raise HudiError(
+                f"hudi: partition value of {partition_field!r} is NULL or "
+                "contains one of / = % newline — hive-style escaping is "
+                "not implemented; clean or recode the partition column"
+            )
+        n_upd = int(stats["n_upd"])
+        n_ins = int(stats["n_rows"]) - n_upd
         if n_upd:
             avro_schema = spark_to_avro_schema(T.StructType(
                 [T.StructField(c, T.StringType(), False)
@@ -1112,8 +1157,8 @@ def _apply_row_changes_mor(
                 block_format=log_block_format,
             ))
         if n_ins:
+            # partition values already gated by the fused aggregate above
             if partition_field is not None:
-                _check_partition_values(inserts, partition_field)
                 pp_col = F.concat(
                     F.lit(f"{partition_field}="),
                     F.col(partition_field).cast("string"),
@@ -1127,13 +1172,16 @@ def _apply_row_changes_mor(
             )
             landed.update(_stage_write(spark, work, path, instant))
     else:
+        # no pre-count job (r14): the log write IS the counting pass —
+        # zero matched groups land zero files, and n_del comes back in
+        # the landed row stats
         dels = located.withColumnRenamed("_k", "_gdc_key")
-        n_del = dels.count()
-        if n_del:
-            landed.update(_write_group_logs(
-                spark, dels, path, instant, ginfo,
-                record_key, None, delete=True,
-            ))
+        del_landed = _write_group_logs(
+            spark, dels, path, instant, ginfo,
+            record_key, None, delete=True,
+        )
+        landed.update(del_landed)
+        n_del = sum(st["rows"] for st in del_landed.values())
 
     if not landed:
         # a no-op change (no matches) still lands a commit, like CoW

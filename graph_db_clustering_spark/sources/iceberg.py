@@ -1673,13 +1673,23 @@ def iceberg_merge(
             "iceberg: merge source must carry exactly the table's "
             f"columns {tcols}"
         )
-    if (
-        source.groupBy(key).count()
-        .filter(F.col("count") > 1).limit(1).count()
-    ):
+    # ONE aggregate replaces the separate duplicate-key probe and the
+    # source count (r14); the null-aware distinct mirrors groupBy(key)
+    # semantics (a single null key is one group, not a duplicate)
+    sstats = source.agg(
+        F.count(F.lit(1)).alias("n_src"),
+        (
+            F.count_distinct(key)
+            + F.coalesce(
+                F.max(F.when(F.col(key).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+        ).alias("n_keys"),
+    ).first()
+    if sstats["n_src"] > sstats["n_keys"]:
         raise IcebergError("iceberg: merge source keys must be unique")
     keys = source.select(F.col(key).alias("__mk")).distinct()
-    n_src = source.count()
+    n_src = int(sstats["n_src"])
 
     touched_paths: set = set()
     n_matched = 0
