@@ -643,28 +643,27 @@ def _mor_snapshot(
     # slice): a delete event only suppresses base rows of its own
     # group, so a later re-insert routed to a fresh group survives.
     #
-    # Base rows join the SAME latest-wins window as the log events,
-    # ordered below every log event of their group (log block instants
-    # are strictly newer than the slice's base instant, so "" sorts
-    # last under the instant-desc window). One window pass replaces
-    # the previous anti-join-plus-union diamond, which evaluated the
-    # log decode (mapInPandas + exchange + window) TWICE — once for
-    # the surviving-upserts side and once for the touched-keys side
-    # (r14 optimization; plan diff in plans/r14/hudi_mor_snapshot_*).
+    # Shape note (r14): `latest` feeds BOTH the surviving-upserts side
+    # and the touched-keys anti-join side; without a barrier the log
+    # decode (mapInPandas + exchange + window) evaluated twice, so the
+    # LOG-DELTA-sized frame is lazily checkpointed — decoded once,
+    # read twice. The base table itself stays OUT of the window: an
+    # earlier variant unioned base rows into the latest-wins window,
+    # which shuffled the ENTIRE base by record key and regressed the
+    # 30k-upsert scale rows ~3x; the anti-join below broadcasts the
+    # (delta-sized) touched-key set at runtime instead, so the base is
+    # never shuffled — the only 100 TB-safe merge shape.
+    latest = _latest_per_key(log_df, per_group=True).localCheckpoint(
+        eager=False
+    )
+    upserts = latest.filter(~F.col("_gdc_deleted")).drop(*_EXTRA_COLS)
+    touched = latest.select("_hoodie_record_key", "_pp", "_fid")
     if base_df is None:
-        events = log_df
+        out = upserts
     else:
-        base_aug = base_df.select(
-            "*",
-            F.lit("").alias("_gdc_instant"),
-            F.lit(-1).alias("_gdc_v"),
-            F.lit(-1).alias("_gdc_b"),
-            F.lit(-1).alias("_gdc_r"),
-            F.lit(False).alias("_gdc_deleted"),
-        )
-        events = base_aug.unionByName(log_df.select(*base_aug.columns))
-    latest = _latest_per_key(events, per_group=True)
-    out = latest.filter(~F.col("_gdc_deleted")).drop(*_EXTRA_COLS)
+        out = base_df.join(
+            touched, ["_hoodie_record_key", "_pp", "_fid"], "anti"
+        ).unionByName(upserts)
     if not with_groups:
         out = out.drop("_pp", "_fid")
     return out
