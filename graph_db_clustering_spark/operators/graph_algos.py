@@ -34,7 +34,7 @@ def connected_components(graph: Graph, max_iter: int = 50) -> DataFrame:
     """
     edges = _undirected_edges(graph.edges).cache()
     labels = graph.vertices.select(VERTEX_ID, F.col(VERTEX_ID).alias("component"))
-    labels = labels.localCheckpoint()
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iter):
         # neighbor's current label, sent to each vertex
         msgs = (
@@ -43,24 +43,23 @@ def connected_components(graph: Graph, max_iter: int = 50) -> DataFrame:
             .groupBy(VERTEX_ID)
             .agg(F.min("nbr").alias("nbr_min"))
         )
-        new_labels = (
+        # the change flag rides the update projection (r14): the old
+        # label is already in hand here, so detecting convergence needs
+        # no second pass over a new-vs-old join — one lazily
+        # checkpointed frame per round, materialized by the flag probe
+        upd = (
             labels.join(msgs, VERTEX_ID, "left")
             .select(
                 VERTEX_ID,
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), VERTEX_ID)
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("_chg")).limit(1).count()
+        labels = upd.select(VERTEX_ID, "component")
         if changed == 0:
             break
     edges.unpersist()
@@ -81,7 +80,9 @@ def shortest_paths(graph: Graph, sources: DataFrame, max_iter: int = 50) -> Data
     edges = _undirected_edges(graph.edges).cache()
     src = sources.select(VERTEX_ID).distinct().withColumn("dist", F.lit(0))
     state = (
-        graph.vertices.select(VERTEX_ID).join(src, VERTEX_ID, "left").localCheckpoint()
+        graph.vertices.select(VERTEX_ID)
+        .join(src, VERTEX_ID, "left")
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         reached = state.filter(F.col("dist").isNotNull())
@@ -91,24 +92,25 @@ def shortest_paths(graph: Graph, sources: DataFrame, max_iter: int = 50) -> Data
             .groupBy(VERTEX_ID)
             .agg(F.min("nd").alias("nd"))
         )
-        new_state = (
+        # change flag inline (r14, the connected_components shape): a
+        # vertex changes iff a message improves on its current dist —
+        # no new-vs-old join pass, one lazy checkpoint per round
+        upd = (
             state.join(msgs, VERTEX_ID, "left")
             .select(
                 VERTEX_ID,
                 F.least(
                     F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
                 ).alias("dist"),
+                (
+                    F.col("nd").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+                ).alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), VERTEX_ID)
-            .filter(~F.col("n.dist").eqNullSafe(F.col("o.dist")))
-            .limit(1)
-            .count()
-        )
-        state = new_state
+        changed = upd.filter(F.col("_chg")).limit(1).count()
+        state = upd.select(VERTEX_ID, "dist")
         if changed == 0:
             break
     edges.unpersist()
@@ -139,14 +141,23 @@ def pagerank(
         VERTEX_ID, F.coalesce("deg", F.lit(0)).alias("deg")
     ).cache()
     edges = graph.edges.select(EDGE_SRC, EDGE_DST).cache()
-    ranks = base.select(VERTEX_ID, F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    ranks = base.select(VERTEX_ID, F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=False
+    )
+    # dangling mass of the INITIAL ranks (vertices with no out-edges leak
+    # their rank; redistributed uniformly) — computed once here; inside
+    # the loop the NEXT iteration's dangling mass rides the same
+    # aggregate as the convergence delta (r14: 3 driver-blocking jobs per
+    # iteration -> 1; same addends, so the redistribution is unchanged)
+    dangling = (
+        ranks.join(base, VERTEX_ID)
+        .filter(F.col("deg") == 0)
+        .agg(F.sum("rank"))
+        .first()[0]
+        or 0.0
+    )
     for _ in range(max_iter):
         with_deg = ranks.join(base, VERTEX_ID)
-        # dangling mass: vertices with no out-edges leak their rank; collect
-        # the scalar (O(1) driver traffic) and redistribute uniformly
-        dangling = (
-            with_deg.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
-        )
         contribs = (
             edges.join(with_deg, edges[EDGE_SRC] == with_deg[VERTEX_ID])
             .select(
@@ -156,6 +167,14 @@ def pagerank(
             .groupBy(VERTEX_ID)
             .agg(F.sum("c").alias("inflow"))
         )
+        # the new-ranks frame keeps the out-degree, so the convergence
+        # join below can fold the NEXT iteration's dangling mass into the
+        # delta aggregate: one driver-blocking job per iteration (it also
+        # materializes the lazy checkpoint) instead of three. NOTE the
+        # old-ranks join lives OUTSIDE the checkpointed frame — a
+        # checkpoint inherits its origin plan's size estimate, and a
+        # rank(t) x rank(t) join inside it would square that estimate
+        # every iteration (BigInteger blow-up in stats estimation)
         new_ranks = (
             base.join(contribs, VERTEX_ID, "left")
             .select(
@@ -165,16 +184,22 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
+                "deg",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        delta = (
+        row = (
             new_ranks.alias("n")
             .join(ranks.alias("o"), VERTEX_ID)
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .first()[0]
+            .agg(
+                F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("_delta"),
+                F.sum(F.when(F.col("deg") == 0, F.col("n.rank"))).alias("_dang"),
+            )
+            .first()
         )
-        ranks = new_ranks
+        delta = row["_delta"]
+        dangling = row["_dang"] or 0.0
+        ranks = new_ranks.select(VERTEX_ID, "rank")
         if delta is not None and delta < tol:
             break
     base.unpersist()
@@ -223,13 +248,18 @@ def personalized_pagerank(
     edges = graph.edges.select(EDGE_SRC, EDGE_DST).cache()
     ranks = base.select(
         VERTEX_ID, (F.col("is_src") / F.lit(float(s))).alias("rank")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # initial dangling mass once; per-iteration it rides the delta
+    # aggregate (r14, same fusion as pagerank: 3 jobs/iteration -> 1)
+    dangling = (
+        ranks.join(base, VERTEX_ID)
+        .filter(F.col("deg") == 0)
+        .agg(F.sum("rank"))
+        .first()[0]
+        or 0.0
+    )
     for _ in range(max_iter):
         with_deg = ranks.join(base, VERTEX_ID)
-        dangling = (
-            with_deg.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0]
-            or 0.0
-        )
         contribs = (
             edges.join(with_deg, edges[EDGE_SRC] == with_deg[VERTEX_ID])
             .select(
@@ -239,6 +269,8 @@ def personalized_pagerank(
             .groupBy(VERTEX_ID)
             .agg(F.sum("c").alias("inflow"))
         )
+        # same fusion + stats-estimate caveat as pagerank: the old-ranks
+        # join stays outside the checkpointed frame
         new_ranks = (
             base.join(contribs, VERTEX_ID, "left")
             .select(
@@ -249,16 +281,22 @@ def personalized_pagerank(
                     * F.lit(1.0 / s)
                     * (F.lit(1.0 - damping) + F.lit(damping) * F.lit(dangling))
                 ).alias("rank"),
+                "deg",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        delta = (
+        row = (
             new_ranks.alias("n")
             .join(ranks.alias("o"), VERTEX_ID)
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
-            .first()[0]
+            .agg(
+                F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("_delta"),
+                F.sum(F.when(F.col("deg") == 0, F.col("n.rank"))).alias("_dang"),
+            )
+            .first()
         )
-        ranks = new_ranks
+        delta = row["_delta"]
+        dangling = row["_dang"] or 0.0
+        ranks = new_ranks.select(VERTEX_ID, "rank")
         if delta is not None and delta < tol:
             break
     base.unpersist()
@@ -348,7 +386,13 @@ def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
     if k < 1:
         raise ValueError("k must be >= 1")
     edges = _undirected_edges(graph.edges).cache()
-    alive = graph.vertices.select(VERTEX_ID).localCheckpoint()
+    alive = graph.vertices.select(VERTEX_ID).localCheckpoint(eager=False)
+    # the previous round's survivor count IS this round's alive count
+    # (r14): carrying it in a local saves one count job per round, and
+    # keeping core_degree on the survivor frame lets the converged
+    # round's degrees BE the result — the old shape re-derived them
+    # with one more semi-join + aggregate pass after the loop
+    n_alive = alive.count()
     converged = False
     for _ in range(max_iter):
         # degrees within the surviving vertex set: both endpoints alive
@@ -361,13 +405,15 @@ def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
         survivors = (
             alive.join(deg, VERTEX_ID, "left")
             .filter(F.coalesce(F.col("core_degree"), F.lit(0)) >= k)
-            .select(VERTEX_ID)
-            .localCheckpoint()
+            .select(VERTEX_ID, F.col("core_degree"))
+            .localCheckpoint(eager=False)
         )
-        if survivors.count() == alive.count():
+        n_surv = survivors.count()
+        if n_surv == n_alive:
             converged = True
             break
-        alive = survivors
+        alive = survivors.select(VERTEX_ID)
+        n_alive = n_surv
     if not converged:
         # an unconverged peel is NOT the k-core (it may keep vertices the
         # next rounds would strip, e.g. a long path peels 2 ends/round) —
@@ -377,19 +423,11 @@ def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
             f"k_core did not converge in {max_iter} rounds; raise max_iter "
             "(peeling needs up to O(diameter) rounds on chain-like graphs)"
         )
-    final_edges = edges.join(
-        alive.select(F.col(VERTEX_ID).alias("a")), "a", "leftsemi"
-    ).join(alive.select(F.col(VERTEX_ID).alias("b")), "b", "leftsemi")
-    deg = final_edges.groupBy(F.col("a").alias(VERTEX_ID)).agg(
-        F.count("*").alias("core_degree")
-    )
-    result = (
-        alive.join(deg, VERTEX_ID)
-        .select(VERTEX_ID, "core_degree")
-        .localCheckpoint()
-    )
     edges.unpersist()
-    return result
+    # on the converged round survivors == alive, so the degrees computed
+    # against `alive` are already the in-core degrees (all >= k >= 1, so
+    # none are null)
+    return survivors.select(VERTEX_ID, "core_degree")
 
 
 def label_propagation(graph: Graph, max_iter: int = 10) -> DataFrame:
@@ -409,7 +447,7 @@ def label_propagation(graph: Graph, max_iter: int = 10) -> DataFrame:
     edges = _undirected_edges(graph.edges).cache()
     labels = graph.vertices.select(
         VERTEX_ID, F.col(VERTEX_ID).alias("community")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         votes = (
             edges.join(labels, edges["b"] == labels[VERTEX_ID])
@@ -424,24 +462,22 @@ def label_propagation(graph: Graph, max_iter: int = 10) -> DataFrame:
             )
             .select(VERTEX_ID, F.col("m.nbr").alias("new_community"))
         )
-        new_labels = (
+        # change flag inline (r14, the connected_components shape): the
+        # old label is in hand at the update join, so convergence needs
+        # no new-vs-old join pass
+        upd = (
             labels.join(best, VERTEX_ID, "left")
             .select(
                 VERTEX_ID,
                 F.coalesce(F.col("new_community"), F.col("community")).alias(
                     "community"
                 ),
+                (F.col("new_community") != F.col("community")).alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), VERTEX_ID)
-            .filter(F.col("n.community") != F.col("o.community"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("_chg")).limit(1).count()
+        labels = upd.select(VERTEX_ID, "community")
         if not changed:
             break
     edges.unpersist()
@@ -472,7 +508,7 @@ def coreness(graph: Graph, max_iter: int = 100) -> DataFrame:
         graph.vertices.select(VERTEX_ID)
         .join(deg, VERTEX_ID, "left")
         .select(VERTEX_ID, F.coalesce(F.col("est"), F.lit(0)).alias("est"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iter):
@@ -486,24 +522,22 @@ def coreness(graph: Graph, max_iter: int = 100) -> DataFrame:
         h = F.size(
             F.filter(nbr_vals["vs"], lambda v, i: v >= i + F.lit(1))
         ).alias("h")
-        new_est = (
+        # estimates are non-increasing, so a vertex changes iff the
+        # h-index undercuts its current estimate — the flag rides the
+        # update projection (r14, the connected_components shape)
+        upd = (
             est.join(nbr_vals.select(VERTEX_ID, h), VERTEX_ID, "left")
             .select(
                 VERTEX_ID,
                 F.least(
                     F.col("est"), F.coalesce(F.col("h"), F.lit(0))
                 ).alias("est"),
+                (F.coalesce(F.col("h"), F.lit(0)) < F.col("est")).alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_est.alias("n")
-            .join(est.alias("o"), VERTEX_ID)
-            .filter(F.col("n.est") != F.col("o.est"))
-            .limit(1)
-            .count()
-        )
-        est = new_est
+        changed = upd.filter(F.col("_chg")).limit(1).count()
+        est = upd.select(VERTEX_ID, "est")
         if not changed:
             converged = True
             break
@@ -552,7 +586,7 @@ def weighted_shortest_paths(
     state = (
         graph.vertices.select(VERTEX_ID)
         .join(src, VERTEX_ID, "left")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iter):
@@ -563,24 +597,24 @@ def weighted_shortest_paths(
             .groupBy(VERTEX_ID)
             .agg(F.min("nd").alias("nd"))
         )
-        new_state = (
+        # change flag inline (r14, the shortest_paths shape): a vertex
+        # relaxes iff a message improves its current distance
+        upd = (
             state.join(msgs, VERTEX_ID, "left")
             .select(
                 VERTEX_ID,
                 F.least(
                     F.coalesce("dist", "nd"), F.coalesce("nd", "dist")
                 ).alias("dist"),
+                (
+                    F.col("nd").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+                ).alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), VERTEX_ID)
-            .filter(~F.col("n.dist").eqNullSafe(F.col("o.dist")))
-            .limit(1)
-            .count()
-        )
-        state = new_state
+        changed = upd.filter(F.col("_chg")).limit(1).count()
+        state = upd.select(VERTEX_ID, "dist")
         if not changed:
             converged = True
             break
@@ -658,7 +692,7 @@ def multi_source_bfs(
         .select(
             F.col("src").alias(VERTEX_ID), "src", F.lit(0).alias("dist")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = state
     for _ in range(max_iter):
@@ -672,12 +706,15 @@ def multi_source_bfs(
             .groupBy(VERTEX_ID, "src")
             .agg(F.min("dist").alias("dist"))
         )
+        # lazy checkpoints (r14, the louvain discipline): the frontier
+        # probe materializes `new`; the union checkpoint materializes at
+        # its first reader next round — no eager-checkpoint jobs
         new = msgs.join(
             state.select(VERTEX_ID, "src"), [VERTEX_ID, "src"], "left_anti"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if new.limit(1).count() == 0:
             break
-        state = state.unionAll(new).localCheckpoint()
+        state = state.unionAll(new).localCheckpoint(eager=False)
         frontier = new
     edges.unpersist()
     return state
@@ -750,7 +787,7 @@ def betweenness_centrality(
             F.lit(0).alias("dist"),
             F.lit(1.0).alias("sigma"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = state
     for _ in range(max_iter):
@@ -765,17 +802,20 @@ def betweenness_centrality(
             .groupBy(VERTEX_ID, "src", "dist")
             .agg(F.sum("sigma").alias("sigma"))
         )
+        # lazy checkpoints (r14, the louvain discipline): the frontier
+        # probe materializes `new`; the union materializes at its next
+        # reader — no eager-checkpoint jobs in the forward phase
         new = msgs.join(
             state.select(VERTEX_ID, "src"), [VERTEX_ID, "src"], "left_anti"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if new.limit(1).count() == 0:
             break
-        state = state.unionAll(new).localCheckpoint()
+        state = state.unionAll(new).localCheckpoint(eager=False)
         frontier = new
     max_d = state.agg(F.max("dist")).collect()[0][0] or 0
     delta = state.select(VERTEX_ID, "src").withColumn(
         "delta", F.lit(0.0)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for d in range(max_d, 0, -1):
         succ = (
             state.filter(F.col("dist") == d)
@@ -808,7 +848,9 @@ def betweenness_centrality(
                 "src",
                 (F.col("delta") + F.coalesce("c", F.lit(0.0))).alias("delta"),
             )
-            .localCheckpoint()
+            # lazy: the next layer's succ join (or the final bc
+            # aggregate) materializes it
+            .localCheckpoint(eager=False)
         )
     edges.unpersist()
     bc = (

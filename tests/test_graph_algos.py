@@ -904,3 +904,41 @@ def test_square_count_codegree_identity(spark):
     k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
     assert squares(4, k4) == 3.0
     assert squares(4, [(0, 1), (1, 2), (2, 3)]) == 0.0
+
+
+def test_convergence_probes_on_edgeless_graph(spark):
+    """r14 focused test: every iterative loop now detects convergence
+    from an inline change flag on the update frame (no new-vs-old join).
+    An edgeless graph is the flag's all-NULL path — no vertex ever
+    receives a message, so the very first probe must read "no change"
+    and each algorithm must return its fixpoint immediately (identity
+    labels / NULL distances / uniform dangling-only ranks)."""
+    from graph_db_clustering_spark.operators.graph_algos import (
+        coreness,
+        label_propagation,
+        weighted_shortest_paths,
+    )
+
+    g = _graph(spark, 4, [])
+    comp = {r.id: r.component for r in connected_components(g).collect()}
+    assert comp == {i: i for i in range(4)}
+    lab = {r.id: r.community for r in label_propagation(g).collect()}
+    assert lab == {i: i for i in range(4)}
+    cores = {r.id: r.coreness for r in coreness(g).collect()}
+    assert cores == {i: 0 for i in range(4)}
+    src = spark.createDataFrame([(0,)], "id long")
+    d = {r.id: r.dist for r in shortest_paths(g, src).collect()}
+    assert d == {0: 0, 1: None, 2: None, 3: None}
+    wsrc = spark.createDataFrame([(0,)], "id long")
+    wg = Graph(
+        g.vertices,
+        spark.createDataFrame([], "src long, dst long, weight double"),
+    )
+    wd = {r.id: r.dist for r in weighted_shortest_paths(wg, wsrc).collect()}
+    assert wd == {0: 0.0, 1: None, 2: None, 3: None}
+    # all-dangling pagerank: every iteration redistributes the whole mass
+    # uniformly, so ranks are exactly 1/n and the fused delta+dangling
+    # aggregate must stop the loop after one iteration
+    ranks = {r.id: r.rank for r in pagerank(g, max_iter=10).collect()}
+    for i in range(4):
+        assert ranks[i] == pytest.approx(0.25, abs=1e-12)
