@@ -192,7 +192,7 @@ def fit(
     otherwise build an O(iterations)-deep plan).
     """
     pts = points.select(id_col, vec_col).cache()
-    centroids = init_centroids(pts, id_col, vec_col, k).localCheckpoint()
+    centroids = init_centroids(pts, id_col, vec_col, k).localCheckpoint(eager=False)
     # cosine fast path: normalize points ONCE (cached) and the k centroids
     # per iteration; the N*k pair loop is then a single dot() instead of
     # dot + two norms. argmax dot(unit_p, unit_c) == argmax cosine(p, c),
@@ -229,7 +229,12 @@ def fit(
             converged = True
             break
         prev_counts = counts
-        centroids = update(pts, assignments, centroids, id_col, vec_col).localCheckpoint()
+        # lazy (r14): the next iteration's assignment-counts job is the
+        # first reader and materializes the k-row checkpoint — one Spark
+        # job per Lloyd's iteration instead of two
+        centroids = update(pts, assignments, centroids, id_col, vec_col).localCheckpoint(
+            eager=False
+        )
         if prev_assignments is not None:
             prev_assignments.unpersist()
         prev_assignments = assignments

@@ -776,17 +776,21 @@ def pic_cluster(
     w = pairs.select(
         "id1", "id2", F.exp(-(F.col("dist") ** 2) / (eps * eps)).alias("w")
     )
+    # lazy (r14): the volume aggregate right below is the first action
+    # and materializes the checkpoint — no separate eager-checkpoint job
     und = w.unionAll(
         w.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"), "w")
-    ).localCheckpoint()
-    deg = und.groupBy("id1").agg(F.sum("w").alias("d"))
+    ).localCheckpoint(eager=False)
+    # deg is read every power iteration (row-normalization) — checkpoint
+    # it once, materialized by the volume probe (the louvain deg shape)
+    deg = und.groupBy("id1").agg(F.sum("w").alias("d")).localCheckpoint(eager=False)
     total = deg.agg(F.sum("d")).first()[0] or 1.0
     # v0 = degree / volume (the paper's init), isolated points get 0
     v = (
         pts.select("id")
         .join(deg.withColumnRenamed("id1", "id"), "id", "left")
         .select("id", (F.coalesce("d", F.lit(0.0)) / total).alias("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         msg = (
@@ -794,6 +798,11 @@ def pic_cluster(
             .groupBy(F.col("id1").alias("id"))
             .agg(F.sum(F.col("w") * F.col("v")).alias("num"))
         )
+        # checkpoint BEFORE the norm aggregate (r14): the old shape
+        # evaluated the iteration's joins twice — once for the norm, once
+        # for the eager checkpoint. Now the norm job materializes the
+        # lazy checkpoint and the normalized v is a plain projection
+        # over it: one job and one evaluation per power iteration.
         nxt = (
             v.select("id")
             .join(msg, "id", "left")
@@ -802,9 +811,10 @@ def pic_cluster(
                 "id",
                 F.coalesce(F.col("num") / F.col("d"), F.lit(0.0)).alias("v"),
             )
+            .localCheckpoint(eager=False)
         )
         norm = nxt.agg(F.sum(F.abs("v"))).first()[0] or 1.0
-        v = nxt.select("id", (F.col("v") / norm).alias("v")).localCheckpoint()
+        v = nxt.select("id", (F.col("v") / norm).alias("v"))
     # 1-D Lloyd with QUANTILE init (cosine is degenerate in 1-D and a
     # hash-sample init can draw two near-identical consensus values);
     # k scalars per iteration on the driver, assignment is codegen
