@@ -701,9 +701,21 @@ def logreg_fit(
 
         return partials
 
+    # pin the narrow (features, y) projection for the whole fit (r14,
+    # the gmm_fit shape): every Newton pass re-reads it with a new beta,
+    # and without the pin each pass re-evaluates the caller's upstream
+    # lineage. Spillable, released before returning so bench reruns
+    # still compute from source.
     base = df.select(
         *feature_cols, F.col(label_col).cast("double").alias("__y")
-    )
+    ).persist()
+    try:
+        return _logreg_fit_pinned(base, max_iter, tol, l2, p, beta, make_pass)
+    finally:
+        base.unpersist()
+
+
+def _logreg_fit_pinned(base, max_iter, tol, l2, p, beta, make_pass):
     n = 0
     ll = -np.inf
     converged = False
@@ -890,9 +902,17 @@ def poisson_fit(
 
         return partials
 
+    # pinned across Newton passes like logreg_fit (r14)
     base = df.select(
         *feature_cols, F.col(target_col).cast("double").alias("__y")
-    )
+    ).persist()
+    try:
+        return _poisson_fit_pinned(base, max_iter, tol, p, beta, make_pass)
+    finally:
+        base.unpersist()
+
+
+def _poisson_fit_pinned(base, max_iter, tol, p, beta, make_pass):
     ll = -np.inf
     converged = False
     n = 0
