@@ -221,6 +221,11 @@ def jaccard(a, b):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+# the LAST signature frame pinned by minhash_dedup (bounded accretion,
+# same contract as _last_sig / _last_index below)
+_last_minhash_sig: list = []
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,
@@ -239,7 +244,17 @@ def minhash_dedup(
     # The DAG below is a diamond (signature feeds both the banding join and
     # the Jaccard verify); persist so shingling + signatures compute once.
     # Bounded memory: 64+|shingles| longs per row, spillable.
+    # Bounded accretion (r14 measurement fix): the pin used to leak — a
+    # repeat invocation builds the IDENTICAL plan, so CacheManager served
+    # every run after the first from the leaked cache (measured 13.7 s /
+    # 3.0 s / 2.0 s across three back-to-back runs), which made repeat-run
+    # bench timings fake and stacked dead pins across a bench sweep.
+    # Releasing the predecessor keeps the intra-run diamond pin AND makes
+    # every invocation recompute from source, like near_dups_against.
+    while _last_minhash_sig:
+        _last_minhash_sig.pop().unpersist()
     sig = with_minhash_signature(sh, "hshingles", num_hashes, seed).persist()
+    _last_minhash_sig.append(sig)
     cands = lsh_candidate_pairs(sig, id_col, "signature", bands, rows_per_band)
     sh_only = sig.select(F.col(id_col).alias("id"), F.col("hshingles"))
     verified = (

@@ -198,6 +198,7 @@ def global_cumsum(
     val_col: str,
     out: str = "cum",
     num_partitions: int | None = None,
+    barrier: bool = True,
 ) -> DataFrame:
     """Distributed global running sum of val_col in order_col order — the
     two-pass prefix-sum pattern, because a single Window.orderBy with no
@@ -211,13 +212,18 @@ def global_cumsum(
     Correct for any sign of val_col (totals are per-partition SUMs, not
     max of the running sum, which only coincides for nonnegative input).
 
-    The intermediate is persisted so both passes see the *same* range
-    partitioning (range boundaries come from sampling; recomputing the
-    lineage for the second pass could legally re-sample). The cache is
-    caller-managed: it stays resident until the caller materializes the
-    result and calls spark.catalog.clearCache() (or the blocks are
-    evicted) — releasing it eagerly here would reintroduce the re-sample
-    race on the second pass."""
+    The intermediate is locally checkpointed (lazy) so both passes see
+    the *same* range partitioning (range boundaries come from sampling;
+    recomputing the lineage for the second pass could legally
+    re-sample). The psums collect below materializes it. r14 measurement
+    fix: this used to be a leaked `.persist()` — a repeat invocation
+    builds an identical plan, so CacheManager served later bench runs
+    from the first run's cache (fake repeat timings) and dead pins
+    accreted across a sweep. A checkpoint is never plan-matched across
+    invocations, freezes the sampled boundaries harder than a cache
+    (evicted cache blocks would legally re-sample; checkpointed blocks
+    don't), and is garbage-collected with the result instead of needing
+    an unpersist."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     local_w = (
@@ -229,8 +235,11 @@ def global_cumsum(
         df.repartitionByRange(parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_loc", F.sum(val_col).over(local_w))
-        .persist()
     )
+    if barrier:
+        # barrier=False is for plan inspection only (the checkpoint hides
+        # the partitioned Window from explain) — never execute without it
+        local = local.localCheckpoint(eager=False)
     psums = local.groupBy("_pid").agg(F.sum(val_col).alias("_psum"))
     rows = sorted(psums.collect(), key=lambda r: r["_pid"])
     offsets, acc = [], 0

@@ -205,12 +205,29 @@ def test_decontaminate_broadcasts_eval_and_defers_dedup(spark):
 def test_pack_chunks_has_no_global_single_partition_window(spark):
     """pack_sequences must never plan a Window with a global (empty
     partition spec) ordering — the two-pass prefix sum keys the window by
-    spark_partition_id instead."""
-    plan = plan_of(QUERIES["pack_chunks"](spark, SF))
+    spark_partition_id instead. The window shape is asserted on the
+    un-barriered global_cumsum frame (r14: the checkpoint barrier that
+    keeps the range sampling race out truncates the visible plan, the
+    test_pipeline_corpus pattern); the barrier itself is asserted on the
+    entry's final plan."""
+    from graph_db_clustering_spark.catalog import load_table
+    from graph_db_clustering_spark.operators import traindata
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    plan = plan_of(
+        traindata.global_cumsum(docs, "doc_id", "n_chars", barrier=False)
+    )
     assert "Window" in plan
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "_pid" in line or "SPARK_PARTITION_ID" in line.upper()
+    final = plan_of(QUERIES["pack_chunks"](spark, SF))
+    assert "ExistingRDD" in final or "LogicalRDD" in final
+    assert "windowspecdefinition" not in final.lower() or all(
+        "_pid" in line or "SPARK_PARTITION_ID" in line.upper()
+        for line in final.splitlines()
+        if "windowspecdefinition" in line.lower()
+    )
 
 
 def test_cypher_filters_push_through_struct_to_scan(spark):
@@ -255,12 +272,20 @@ def test_shuffle_ops_have_no_global_window(spark):
 
     for name in ("shuffle_shards", "token_budget"):
         plan = plan_of(QUERIES[name](spark, SF))
+        # r14: global_cumsum's partition-local Window now sits behind its
+        # checkpoint barrier, so the final plan shows Scan ExistingRDD
+        # instead of the Window (its partitioned shape is pinned on the
+        # un-barriered frame in the pack_chunks test above). What must
+        # still NEVER appear here is an unpartitioned Window — the naive
+        # single-task global sort this family exists to avoid.
         specs = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
-        assert specs, f"{name}: expected a Window operator in the plan"
         assert all(s.strip() for s in specs), (
             f"{name}: unpartitioned Window in plan"
         )
-        assert "RangePartitioning" in plan or "hashpartitioning" in plan, name
+        assert "ExistingRDD" in plan or specs, (
+            f"{name}: neither the checkpoint barrier nor a partitioned "
+            "Window is visible — the prefix-sum shape is gone"
+        )
 
 
 def test_chunker_and_bm25_plan_shapes(spark, sf_dir=None):
