@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph_db_clustering_spark.operators import pins
 from graph_db_clustering_spark.operators.graph import EDGE_DST, EDGE_SRC, VERTEX_ID, Graph
 
 
@@ -32,7 +33,7 @@ def connected_components(graph: Graph, max_iter: int = 50) -> DataFrame:
     Returns (id, component) where component = min vertex id in the
     component (deterministic canonical label).
     """
-    edges = _undirected_edges(graph.edges).cache()
+    (edges,) = pins.repin("graph_cc", _undirected_edges(graph.edges))
     labels = graph.vertices.select(VERTEX_ID, F.col(VERTEX_ID).alias("component"))
     labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iter):
@@ -77,7 +78,7 @@ def shortest_paths(graph: Graph, sources: DataFrame, max_iter: int = 50) -> Data
     the multi-source form also gives "distance to nearest seed"
     (label-propagation / BFS layering building block).
     """
-    edges = _undirected_edges(graph.edges).cache()
+    (edges,) = pins.repin("graph_bfs", _undirected_edges(graph.edges))
     src = sources.select(VERTEX_ID).distinct().withColumn("dist", F.lit(0))
     state = (
         graph.vertices.select(VERTEX_ID)
@@ -137,10 +138,13 @@ def pagerank(
     out_deg = graph.edges.groupBy(F.col(EDGE_SRC).alias(VERTEX_ID)).agg(
         F.count("*").alias("deg")
     )
-    base = v.join(out_deg, VERTEX_ID, "left").select(
-        VERTEX_ID, F.coalesce("deg", F.lit(0)).alias("deg")
-    ).cache()
-    edges = graph.edges.select(EDGE_SRC, EDGE_DST).cache()
+    base, edges = pins.repin(
+        "graph_pagerank",
+        v.join(out_deg, VERTEX_ID, "left").select(
+            VERTEX_ID, F.coalesce("deg", F.lit(0)).alias("deg")
+        ),
+        graph.edges.select(EDGE_SRC, EDGE_DST),
+    )
     ranks = base.select(VERTEX_ID, F.lit(1.0 / n).alias("rank")).localCheckpoint(
         eager=False
     )
@@ -235,17 +239,17 @@ def personalized_pagerank(
     out_deg = graph.edges.groupBy(F.col(EDGE_SRC).alias(VERTEX_ID)).agg(
         F.count("*").alias("deg")
     )
-    base = (
+    base, edges = pins.repin(
+        "graph_ppr",
         v.join(out_deg, VERTEX_ID, "left")
         .join(src.withColumn("__is_src", F.lit(1)), VERTEX_ID, "left")
         .select(
             VERTEX_ID,
             F.coalesce("deg", F.lit(0)).alias("deg"),
             F.coalesce("__is_src", F.lit(0)).alias("is_src"),
-        )
-        .cache()
+        ),
+        graph.edges.select(EDGE_SRC, EDGE_DST),
     )
-    edges = graph.edges.select(EDGE_SRC, EDGE_DST).cache()
     ranks = base.select(
         VERTEX_ID, (F.col("is_src") / F.lit(float(s))).alias("rank")
     ).localCheckpoint(eager=False)
@@ -349,7 +353,7 @@ def triangle_count(graph: Graph) -> DataFrame:
     wedge fan-out at O(sqrt(m)) — on power-law graphs the hub-centered
     wedge explosion (deg^2 rows from one join key) cannot happen, so no
     single join task is quadratic in a hub degree."""
-    o = degree_oriented_edges(graph.edges).cache()
+    (o,) = pins.repin("graph_tri", degree_oriented_edges(graph.edges))
     o1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"), "dst_rank")
     o2 = o.select(
         F.col("src").alias("x"), F.col("dst").alias("z"), F.col("dst_rank").alias("z_rank")
@@ -385,7 +389,7 @@ def k_core(graph: Graph, k: int, max_iter: int = 100) -> DataFrame:
     surviving vertex; localCheckpoint truncates the loop lineage."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    edges = _undirected_edges(graph.edges).cache()
+    (edges,) = pins.repin("graph_kcore", _undirected_edges(graph.edges))
     alive = graph.vertices.select(VERTEX_ID).localCheckpoint(eager=False)
     # the previous round's survivor count IS this round's alive count
     # (r14): carrying it in a local saves one count job per round, and
@@ -444,7 +448,7 @@ def label_propagation(graph: Graph, max_iter: int = 10) -> DataFrame:
     (vertex, label) count aggregate, one per-vertex argmax via
     min(struct(-cnt, label)) — the same no-sort top-1 shape as
     kmeans.assign."""
-    edges = _undirected_edges(graph.edges).cache()
+    (edges,) = pins.repin("graph_lpa", _undirected_edges(graph.edges))
     labels = graph.vertices.select(
         VERTEX_ID, F.col(VERTEX_ID).alias("community")
     ).localCheckpoint(eager=False)
@@ -500,7 +504,7 @@ def coreness(graph: Graph, max_iter: int = 100) -> DataFrame:
     the H-index computes inside codegen over the collected neighbor
     array (sort_array desc, count positions where value > position).
     Returns (id, coreness); isolated vertices have coreness 0."""
-    edges = _undirected_edges(graph.edges).cache()
+    (edges,) = pins.repin("graph_coreness", _undirected_edges(graph.edges))
     deg = edges.groupBy(F.col("a").alias(VERTEX_ID)).agg(
         F.count("*").alias("est")
     )
@@ -573,13 +577,14 @@ def weighted_shortest_paths(
     fwd = graph.edges.select(
         F.col(EDGE_SRC).alias("a"), F.col(EDGE_DST).alias("b"), w.alias("w")
     )
-    edges = (
+    (edges,) = pins.repin(
+        "graph_wsssp",
         fwd
         if directed
         else fwd.unionAll(
             fwd.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-        )
-    ).cache()
+        ),
+    )
     src = sources.select(VERTEX_ID).distinct().withColumn(
         "dist", F.lit(0.0)
     )
@@ -685,7 +690,7 @@ def multi_source_bfs(
     (no array-of-K columns to elementwise-min), and total state is
     bounded by V*K with K chosen by the caller (see
     harmonic_centrality's landmark contract)."""
-    edges = _undirected_edges(graph.edges).cache()
+    (edges,) = pins.repin("graph_msbfs", _undirected_edges(graph.edges))
     state = (
         sources.select(F.col(VERTEX_ID).alias("src"))
         .distinct()
@@ -777,7 +782,7 @@ def betweenness_centrality(
     estimate (scale by n/K for an absolute value); state drops to V*K.
     Diameter bounds the round count in BOTH phases — web/social graphs
     sit at diameter ~6-20, chains are the adversarial case."""
-    edges = _undirected_edges(graph.edges).cache()
+    (edges,) = pins.repin("graph_betweenness", _undirected_edges(graph.edges))
     srcs = (sources if sources is not None else graph.vertices).select(VERTEX_ID)
     state = (
         srcs.distinct()

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graph_db_clustering_spark.functions.vectors import cosine_similarity, dot, unit
+from graph_db_clustering_spark.operators import pins
 
 KNUTH = 2654435761
 MOD = 4294967296
@@ -187,62 +188,81 @@ def fit(
 
     Convergence: per-cluster assignment counts stable between iterations —
     the reference's criterion (:589-592) — checked on k-row collected
-    dicts (driver traffic O(k)). Points are cached once; centroids are
+    dicts (driver traffic O(k)). Points are cached for the duration of
+    the fit and RELEASED before returning (r15 — the `pts` cache used to
+    leak, and a repeat invocation builds the identical plan, so Spark's
+    CacheManager served repeat runs of every kmeans-backed entry from the
+    first run's cache: the same cross-run measurement artifact class the
+    r14 minhash/global_cumsum fix removed). Centroids are
     localCheckpoint()ed per iteration to truncate lineage (the loop would
     otherwise build an O(iterations)-deep plan).
     """
     pts = points.select(id_col, vec_col).cache()
-    centroids = init_centroids(pts, id_col, vec_col, k).localCheckpoint(eager=False)
-    # cosine fast path: normalize points ONCE (cached) and the k centroids
-    # per iteration; the N*k pair loop is then a single dot() instead of
-    # dot + two norms. argmax dot(unit_p, unit_c) == argmax cosine(p, c),
-    # and the returned score IS the cosine, so semantics are unchanged.
-    assign_metric = metric
     assign_pts = pts
-    if metric == "cosine":
-        assign_metric = "dot"
-        assign_pts = pts.select(id_col, unit(F.col(vec_col)).alias(vec_col)).cache()
-    prev_counts: dict | None = None
-    history: list[dict] = []
-    assignments = None
-    prev_assignments = None
-    converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
-        # persisted: each iteration reads assignments twice (convergence
-        # counts + the update join) — without this the crossJoin+argmin
-        # recomputes per consumer, doubling every iteration's heavy work
-        cents_it = (
-            centroids.select("cid", unit(F.col("centroid")).alias("centroid"))
-            if metric == "cosine"
-            else centroids
-        )
-        assignments = assign(
-            assign_pts, cents_it, id_col, vec_col, assign_metric, parity
-        ).persist()
-        counts = {
-            r.cid: r.n
-            for r in assignments.groupBy("cid").agg(F.count("*").alias("n")).collect()
-        }
-        history.append({"iteration": it, "counts": counts})
-        if counts == prev_counts:
-            converged = True
-            break
-        prev_counts = counts
-        # lazy (r14): the next iteration's assignment-counts job is the
-        # first reader and materializes the k-row checkpoint — one Spark
-        # job per Lloyd's iteration instead of two
-        centroids = update(pts, assignments, centroids, id_col, vec_col).localCheckpoint(
-            eager=False
-        )
-        if prev_assignments is not None:
+    try:
+        centroids = init_centroids(pts, id_col, vec_col, k).localCheckpoint(eager=False)
+        # cosine fast path: normalize points ONCE (cached) and the k centroids
+        # per iteration; the N*k pair loop is then a single dot() instead of
+        # dot + two norms. argmax dot(unit_p, unit_c) == argmax cosine(p, c),
+        # and the returned score IS the cosine, so semantics are unchanged.
+        assign_metric = metric
+        if metric == "cosine":
+            assign_metric = "dot"
+            assign_pts = pts.select(id_col, unit(F.col(vec_col)).alias(vec_col)).cache()
+        prev_counts: dict | None = None
+        history: list[dict] = []
+        assignments = None
+        prev_assignments = None
+        converged = False
+        it = 0
+        for it in range(1, max_iter + 1):
+            # persisted: each iteration reads assignments twice (convergence
+            # counts + the update join) — without this the crossJoin+argmin
+            # recomputes per consumer, doubling every iteration's heavy work.
+            # The previous iteration's pin is released deterministically
+            # below; the FINAL pin outlives the call (the returned result is
+            # lazy) and is registered in the shared bounded-accretion
+            # registry, so the next fit — or the between-queries sweep —
+            # releases it (r15; it previously survived with no owner).
+            # Cross-run CacheManager serving is impossible here even while
+            # the pin lives: the plan contains the per-invocation
+            # localCheckpoint'd centroids (a unique ExistingRDD), so no two
+            # invocations ever build matching plans.
+            cents_it = (
+                centroids.select("cid", unit(F.col("centroid")).alias("centroid"))
+                if metric == "cosine"
+                else centroids
+            )
+            assignments = assign(
+                assign_pts, cents_it, id_col, vec_col, assign_metric, parity
+            ).persist()
+            counts = {
+                r.cid: r.n
+                for r in assignments.groupBy("cid").agg(F.count("*").alias("n")).collect()
+            }
+            history.append({"iteration": it, "counts": counts})
+            if counts == prev_counts:
+                converged = True
+                break
+            prev_counts = counts
+            # lazy (r14): the next iteration's assignment-counts job is the
+            # first reader and materializes the k-row checkpoint — one Spark
+            # job per Lloyd's iteration instead of two
+            centroids = update(pts, assignments, centroids, id_col, vec_col).localCheckpoint(
+                eager=False
+            )
+            if prev_assignments is not None:
+                prev_assignments.unpersist()
+            prev_assignments = assignments
+        if prev_assignments is not None and prev_assignments is not assignments:
             prev_assignments.unpersist()
-        prev_assignments = assignments
-    if prev_assignments is not None and prev_assignments is not assignments:
-        prev_assignments.unpersist()
-    if assign_pts is not pts:
-        assign_pts.unpersist()
-    return KMeansResult(centroids, assignments, it, converged, history)
+        if assignments is not None:
+            pins.adopt("kmeans_assignments", assignments)
+        return KMeansResult(centroids, assignments, it, converged, history)
+    finally:
+        if assign_pts is not pts:
+            assign_pts.unpersist()
+        pts.unpersist()
 
 
 def purity_scores(

@@ -34,10 +34,28 @@ ORACLE: dict[str, str] = {}
 
 
 def declared(name: str, oracle: str | None = None):
-    """Register a declared query; ``oracle`` is the DuckDB-dialect SQL."""
+    """Register a declared query; ``oracle`` is the DuckDB-dialect SQL.
+
+    The registered callable first sweeps every surviving operator pin
+    (operators/pins.py): pins are bounded-accretion persists whose FINAL
+    instance outlives its query (the returned result is lazy), and the
+    sweep guarantees no query can ever be served — even partially — from
+    a previous query's cache, and that repeat invocations of the same
+    query recompute from source (honest bench repeats). Unpersisting a
+    still-lazy predecessor is safe: Spark recomputes. The original
+    function stays importable/unwrapped for module-internal reuse."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        from graph_db_clustering_spark.operators import pins
+
+        @functools.wraps(fn)
+        def run(spark, sf_dir):
+            pins.release_all()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = run
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

@@ -92,7 +92,10 @@ def image_dedup_stream(
         raise ValueError(
             f"max_hamming={max_hamming} needs bands >= {max_hamming + 1}"
         )
+    from graph_db_clustering_spark.operators import pins
+
     idx = index_hashes.persist()
+    pins.adopt("stream_imgdedup", idx)
     idx.count()
 
     def check_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -79,12 +79,19 @@ def decontaminate_stream(
     The eval side is prepared ONCE for the stream's lifetime: the gram
     set is persisted and size-checked here, not inside foreachBatch —
     otherwise every micro-batch would re-run the eval explode+distinct
-    scan just to re-answer the same broadcast-vs-shuffle question.
+    scan just to re-answer the same broadcast-vs-shuffle question. The
+    pin is registered in the shared bounded-accretion registry (r15):
+    a repeat call releases the predecessor (previously it accreted one
+    pin per call, forever), and the between-queries sweep drops the last
+    one after the availableNow stream has drained.
 
     Returns the started StreamingQuery (caller awaits). AvailableNow
     trigger: drains everything staged, then stops — same harness contract
     as replay.to_parquet_sink."""
+    from graph_db_clustering_spark.operators import pins
+
     eval_grams = eval_gram_set(eval_df, text_col, n).persist()
+    pins.adopt("stream_decontam", eval_grams)
     broadcast_ok = eval_grams.count() <= max_broadcast_grams
 
     def check_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -134,7 +141,10 @@ def near_dup_stream(
 
     The index (buckets + shingles) is persisted here, not rebuilt per
     micro-batch — the corpus side is scanned once ever, mirroring
-    ivfpq_save/ivfpq_load's build-once/serve-many contract."""
+    ivfpq_save/ivfpq_load's build-once/serve-many contract. Registered
+    in the shared bounded-accretion registry (r15): a repeat call
+    releases the predecessor's index pins."""
+    from graph_db_clustering_spark.operators import pins
     from graph_db_clustering_spark.operators.dedup import (
         build_band_index,
         near_dups_against,
@@ -145,6 +155,7 @@ def near_dup_stream(
     )
     buckets = buckets.persist()
     shingles = shingles.persist()
+    pins.adopt("stream_neardup", buckets, shingles)
     buckets.count(), shingles.count()  # materialize before the stream starts
 
     def check_batch(batch_df: DataFrame, batch_id: int) -> None:
