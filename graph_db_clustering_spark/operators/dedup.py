@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph_db_clustering_spark.operators import pins
+
 # Mersenne prime 2^61-1: (a*x + b) stays within int64 for 32-bit x and
 # 31-bit a, so ANSI-mode Spark never overflows.
 _P = (1 << 61) - 1
@@ -146,14 +148,84 @@ def with_minhash_signature(
     column (with_hashed_shingles), entirely map-side:
     sig_j = min over shingles x of (a_j * x + b_j) mod P.
 
-    No explode, no shuffle. Single-pass shape: one aggregate() over the
-    row's hash array with a num_hashes-wide accumulator, updated per
-    element by zip_with against a constant (a, b) params array. This
-    keeps the expression tree O(1) in num_hashes (the params are one
-    folded literal), so whole-stage codegen stays small and compiles fast
-    — the previous form (num_hashes separate array_min(transform(...))
-    expressions) generated ~64x the code and spent most of its wall-clock
-    in Janino compilation."""
+    No explode, no shuffle. r15 implementation (guide §4.2 "hand whole
+    batches to vectorized native code"): ONE mapInArrow pass whose
+    kernel flattens each Arrow batch's list column to a contiguous
+    int64 buffer and computes all num_hashes minima with numpy
+    (vectorized multiply-add-mod + segmented minimum over the list
+    offsets). The previous expression form — aggregate() with a
+    zip_with lambda — is a CodegenFallback HigherOrderFunction, i.e.
+    INTERPRETED per (shingle, hash) pair: ~num_hashes * |shingles|
+    boxed lambda evaluations per row dominated the whole minhash
+    family's wall-clock (measured 3.1 s -> 0.7 s on the sf0.1
+    signature pass; plans/r15/dedup_minhash_*). Kept as
+    with_minhash_signature_expr below; bit-identity of the two paths
+    is pinned by tests (no int64 overflow: |a| < 2^31, |x| < 2^31, so
+    a*x + b < 2^63, and numpy's floor-mod matches pmod for positive
+    modulus).
+
+    Callers should project df down to (id, hash_col) first — every
+    column crosses the Python boundary and back (guide §4.1).
+    Semantics preserved exactly: NULL array -> NULL signature, empty
+    array -> all-P signature (the aggregate init), row order and
+    partitioning untouched."""
+    import numpy as np
+
+    params = _affine_params(num_hashes, seed)
+    A = np.array([p[0] for p in params], dtype=np.int64)
+    B = np.array([p[1] for p in params], dtype=np.int64)
+    H = num_hashes
+    P = _P
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out_col}` array<bigint>"]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            col = b.column(b.schema.get_field_index(hash_col))
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            n = len(col)
+            offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = col.values.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            starts, ends = offsets[:-1], offsets[1:]
+            nonempty = ends > starts
+            sig = np.full((n, H), P, dtype=np.int64)
+            if values.size and nonempty.any():
+                idx = starts[nonempty]
+                for j in range(H):
+                    hj = (A[j] * values + B[j]) % P
+                    sig[nonempty, j] = np.minimum.reduceat(hj, idx)
+            mask = col.is_null().to_numpy(zero_copy_only=False)
+            la = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * H, H, dtype=np.int32)),
+                pa.array(sig.ravel()),
+                mask=pa.array(mask) if mask.any() else None,
+            )
+            yield b.append_column(out_col, la)
+
+    return df.mapInArrow(kernel, out_schema)
+
+
+def with_minhash_signature_expr(
+    df: DataFrame,
+    hash_col: str = "hshingles",
+    num_hashes: int = 64,
+    seed: int = 42,
+    out_col: str = "signature",
+) -> DataFrame:
+    """Pure-expression reference implementation of
+    with_minhash_signature (one aggregate() with a num_hashes-wide
+    accumulator, zip_with against a folded (a, b) params literal).
+    Same results bit-for-bit (test-pinned); kept as the oracle for the
+    vectorized kernel and for callers that must avoid the Python
+    worker entirely."""
     params = F.array(
         *[
             F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
@@ -221,9 +293,10 @@ def jaccard(a, b):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-# the LAST signature frame pinned by minhash_dedup (bounded accretion,
-# same contract as _last_sig / _last_index below)
-_last_minhash_sig: list = []
+# Pin families live in the shared bounded-accretion registry
+# (operators/pins.py): each new pin releases its predecessor, and the
+# `declared` query wrapper sweeps ALL families between queries so no
+# final pin ever survives into another query's plan.
 
 
 def minhash_dedup(
@@ -240,7 +313,12 @@ def minhash_dedup(
     exact-Jaccard verification of candidates. Returns (id1, id2, jaccard)
     with jaccard >= threshold, id1 < id2."""
     rows_per_band = num_hashes // bands
-    sh = with_hashed_shingles(df.select(id_col, text_col), text_col, n)
+    # project text away before the signature kernel: only (id, hshingles)
+    # crosses the Python boundary (guide §4.1), and the pin below no
+    # longer holds document text
+    sh = with_hashed_shingles(df.select(id_col, text_col), text_col, n).select(
+        id_col, "hshingles"
+    )
     # The DAG below is a diamond (signature feeds both the banding join and
     # the Jaccard verify); persist so shingling + signatures compute once.
     # Bounded memory: 64+|shingles| longs per row, spillable.
@@ -251,10 +329,9 @@ def minhash_dedup(
     # bench timings fake and stacked dead pins across a bench sweep.
     # Releasing the predecessor keeps the intra-run diamond pin AND makes
     # every invocation recompute from source, like near_dups_against.
-    while _last_minhash_sig:
-        _last_minhash_sig.pop().unpersist()
-    sig = with_minhash_signature(sh, "hshingles", num_hashes, seed).persist()
-    _last_minhash_sig.append(sig)
+    (sig,) = pins.repin(
+        "minhash_sig", with_minhash_signature(sh, "hshingles", num_hashes, seed)
+    )
     cands = lsh_candidate_pairs(sig, id_col, "signature", bands, rows_per_band)
     sh_only = sig.select(F.col(id_col).alias("id"), F.col("hshingles"))
     verified = (
@@ -521,31 +598,21 @@ def build_band_index(
     each cached build releases the previous one's pin, like
     near_dups_against."""
     rows_per_band = num_hashes // bands
-    sh = with_hashed_shingles(corpus.select(id_col, text_col), text_col, n)
+    sh = with_hashed_shingles(corpus.select(id_col, text_col), text_col, n).select(
+        id_col, "hshingles"
+    )
     sig = with_minhash_signature(sh, "hshingles", num_hashes, seed)
     if cache:
-        release_index_cache()
-        sig = sig.persist()
-        _last_index.append(sig)
+        (sig,) = pins.repin("band_index", sig)
     buckets = band_buckets(sig, id_col, "signature", bands, rows_per_band)
     shingles = sig.select(F.col(id_col).alias("id"), "hshingles")
     return buckets, shingles
 
 
-# the LAST persisted batch-signature frame (bounded accretion: each
-# near_dups_against call releases its predecessor's pin — see below)
-_last_sig: list = []
-
-# the LAST persisted corpus-index signature frame (build_band_index
-# cache=True; same bounded-accretion contract)
-_last_index: list = []
-
-
 def release_index_cache() -> None:
     """Unpersist the signature frame pinned by the most recent
     build_band_index(cache=True) call."""
-    while _last_index:
-        _last_index.pop().unpersist()
+    pins.release("band_index")
 
 
 def release_signature_cache() -> None:
@@ -553,8 +620,7 @@ def release_signature_cache() -> None:
     near_dups_against(cache=True) call. Safe at any time: Spark
     recomputes evicted blocks if a still-lazy result is materialized
     later."""
-    while _last_sig:
-        _last_sig.pop().unpersist()
+    pins.release("batch_sig")
 
 
 def near_dups_against(
@@ -594,12 +660,12 @@ def near_dups_against(
     (small) batch beats touching shared persist state from the streaming
     thread."""
     rows_per_band = num_hashes // bands
-    sh = with_hashed_shingles(batch.select(id_col, text_col), text_col, n)
+    sh = with_hashed_shingles(batch.select(id_col, text_col), text_col, n).select(
+        id_col, "hshingles"
+    )
     sig = with_minhash_signature(sh, "hshingles", num_hashes, seed)
     if cache:
-        release_signature_cache()
-        sig = sig.persist()
-        _last_sig.append(sig)
+        (sig,) = pins.repin("batch_sig", sig)
     qb = band_buckets(sig, id_col, "signature", bands, rows_per_band)
     cands = (
         qb.select(F.col("id").alias("new_id"), "band", "bhash")

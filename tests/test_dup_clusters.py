@@ -130,6 +130,7 @@ def test_cross_dedup_equals_self_join_cross_pairs(spark, sf_dir):
     assert all(n % 2 == 1 and c % 2 == 0 for n, c, _ in got)
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_near_dups_against_storage_stays_bounded(spark):
     """VERDICT r6 'What's wrong' #4 / Next #8: a long-lived batch caller
     looping near_dups_against(cache=True) must NOT accrete one pinned
@@ -158,6 +159,7 @@ def test_near_dups_against_storage_stays_bounded(spark):
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= counts[0]
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_near_dup_stream_matches_batch(spark, tmp_path):
     """Streaming near-dup vs static corpus: replaying the batch side in
     chunks through near_dup_stream yields exactly the batch
@@ -236,3 +238,31 @@ def test_semantic_dedup_planted_duplicate_groups(spark):
     for i in range(4):
         r = by_id[100 + i]
         assert (r.canonical_id, r.cluster_size, r.keep) == (100 + i, 1, True)
+
+
+def test_minhash_arrow_kernel_bit_identical(spark, docs):
+    """The vectorized mapInArrow minhash kernel (r15) must be
+    bit-identical to the pure-expression reference on real data AND on
+    the edge rows the kernel special-cases (NULL text -> NULL
+    signature, empty/short text -> the degenerate one-shingle hash)."""
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one"), (5, "one two"),
+         (6, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    for frame in (docs.select("doc_id", "text").limit(500), edge):
+        sh = dedup.with_hashed_shingles(frame, "text", 3).select(
+            "doc_id", "hshingles"
+        )
+        fast = dedup.with_minhash_signature(sh, "hshingles", 64, 42)
+        ref = dedup.with_minhash_signature_expr(sh, "hshingles", 64, 42)
+        joined = fast.alias("f").join(ref.alias("r"), "doc_id")
+        n = joined.count()
+        assert n == frame.count()
+        mismatch = joined.filter(
+            ~(
+                (F.col("f.signature") == F.col("r.signature"))
+                | (F.col("f.signature").isNull() & F.col("r.signature").isNull())
+            )
+        ).count()
+        assert mismatch == 0
