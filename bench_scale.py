@@ -66,6 +66,13 @@ HEAVY = [
     "iceberg_merge_30k",
     # round 14 (VERDICT r13 #6): the ExactSubstr gram-run pipeline
     "substring_dedup_10k",
+    # round 15 (VERDICT r14 #8): scale anchors for the §10 graph-loop
+    # fusion (inline convergence probes, lazy checkpoints) and the §12
+    # GLM input pin — previously evidenced only by builder-side job
+    # counts at sf0.01
+    "graph_pagerank_3k",
+    "graph_components_3k",
+    "doc_logreg_full",
 ]
 
 
@@ -146,6 +153,85 @@ def graph_louvain_3k(spark, sf_dir):
         .select("src", "dst", F.lit("same_nation").alias("relationship"))
     )
     return louvain(Graph(c, edges))
+
+
+def graph_pagerank_3k(spark, sf_dir):
+    """PageRank scale row (round 15, VERDICT r14 #8): the same
+    same-nation clique graph as graph_louvain_3k (300 customers per
+    replica, per-replica nation offsets keep cliques disjoint), fixed
+    15 power-iteration rounds. The quantity watched is per-round cost
+    growth — the §10 fusion turned each round into ONE lazily
+    checkpointed job with the dangling-mass term riding the delta
+    aggregate, so growth near 1x-per-data-x validates that shape."""
+    from graph_db_clustering_spark.operators.graph import Graph
+    from graph_db_clustering_spark.operators.graph_algos import pagerank
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 1_000_000) < 300)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    a = c.select(F.col("id").alias("src"), F.col("nation"))
+    b = c.select(F.col("id").alias("dst"), F.col("nation"))
+    edges = (
+        a.join(b, "nation")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.lit("same_nation").alias("relationship"))
+    )
+    return pagerank(Graph(c.select("id", "nation"), edges), max_iter=15).select(
+        "id", F.round("rank", 8).alias("rank")
+    )
+
+
+def graph_components_3k(spark, sf_dir):
+    """Connected-components scale row (round 15, VERDICT r14 #8): per-
+    nation CHAIN graphs (consecutive custkeys linked within a nation) so
+    the min-label loop genuinely iterates ~chain-length rounds — the
+    clique graph of the oracle entry converges in 2 rounds and would not
+    exercise the per-round fusion. Replica nation offsets keep chains
+    disjoint: 10x data = 10x chains of constant length, so the round
+    count is flat and growth must track per-round work linearly."""
+    from pyspark.sql import Window
+
+    from graph_db_clustering_spark.operators.graph import Graph
+    from graph_db_clustering_spark.operators.graph_algos import (
+        connected_components,
+    )
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 1_000_000) < 300)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("id")
+    edges = (
+        c.withColumn("nxt", F.lead("id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("id").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit("chain").alias("relationship"),
+        )
+    )
+    return connected_components(Graph(c.select("id"), edges))
+
+
+def doc_logreg_full(spark, sf_dir):
+    """GLM scale row (round 15, VERDICT r14 #8): the doc_logreg entry
+    verbatim — IRLS over the FULL documents table (no cap), so at 10x
+    every Newton pass reads 10x rows through the §12 (features, y)
+    input pin. Growth near 1x-per-data-x proves the pin keeps each
+    pass one scan of the narrow projection instead of re-evaluating
+    the caller's lineage."""
+    from graph_db_clustering_spark.queries.corpus import QUERIES
+
+    return QUERIES["doc_logreg"](spark, sf_dir)
 
 
 def fuzzy_names_5k(spark, sf_dir):
@@ -567,6 +653,9 @@ def main() -> None:
         "hudi_mor_logcompact_30k": hudi_mor_logcompact_30k,
         "iceberg_merge_30k": iceberg_merge_30k,
         "substring_dedup_10k": substring_dedup_10k,
+        "graph_pagerank_3k": graph_pagerank_3k,
+        "graph_components_3k": graph_components_3k,
+        "doc_logreg_full": doc_logreg_full,
     }
     queries.update(extra)
 
