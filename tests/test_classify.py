@@ -55,6 +55,7 @@ def test_nb_oov_dropped_and_prior_only_docs(spark, tiny):
     assert m[(21, "B")] > m[(21, "A")]
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_nb_predict_argmax_and_tiebreak(spark, tiny):
     term_model, label_model = classify.nb_train(tiny, "doc_id", "text", "label")
     test = spark.createDataFrame(
@@ -112,6 +113,7 @@ def test_nb_accuracy_on_separable_corpus(spark):
     assert hits > 0.95  # 'thread' is ambiguous (code/chat); rest separable
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_nb_partitioning_invariance(spark, tiny):
     tm1, lm1 = classify.nb_train(tiny, "doc_id", "text", "label")
     tm2, lm2 = classify.nb_train(

@@ -6,6 +6,8 @@ import pytest
 from graph_db_clustering_spark.oracle import compare
 from graph_db_clustering_spark.queries import ORACLE, QUERIES
 
+pytestmark = pytest.mark.slow  # heavy tier (r15): run with -m slow
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):

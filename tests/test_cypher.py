@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from graph_db_clustering_spark.cypher import CypherSession
 from graph_db_clustering_spark.operators.graph import Graph
 
+pytestmark = pytest.mark.slow  # heavy tier (r15): run with -m slow
+
 
 def _image_graph(spark):
     """Images with 1-D 'mean' feature; two flagged as centroids (the

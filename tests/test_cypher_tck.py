@@ -24,6 +24,8 @@ import pytest
 from graph_db_clustering_spark.cypher import CypherSession
 from graph_db_clustering_spark.operators.graph import Graph
 
+pytestmark = pytest.mark.slow  # heavy tier (r15): run with -m slow
+
 # TCK feature families the compiler intentionally does NOT support —
 # pinned here so the gate inventory is explicit and test-visible.
 UNSUPPORTED = {

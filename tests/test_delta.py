@@ -392,6 +392,7 @@ def test_roaring_codec_roundtrip_and_run_containers():
     assert decode_rbm_array(arr) == [3, 4, 5, 6, 7, 100, 101, 102, 103, 104]
 
 
+@pytest.mark.slow  # >=10 s (r15 tiering)
 def test_delta_deletion_vectors_lifecycle(spark, tmp_path):
     """Round 10: DVs end to end — write, merged re-delete, time travel,
     checkpoint survival after JSON retention, pruned reads, and

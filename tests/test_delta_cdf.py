@@ -191,6 +191,7 @@ def test_cdf_gates(spark, tmp_path):
     assert res["n_inserted"] == 0
 
 
+@pytest.mark.slow  # >=10 s (r15 tiering)
 def test_merge_partitioned_target(spark, tmp_path):
     """Round 11: MERGE into a hive-partitioned Delta table — partition
     columns restored per file for matching and CDF, merge/survivor

@@ -47,6 +47,7 @@ def _np_em(x, means, variances, weights, iters):
     return means, variances, weights, lls
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_gmm_matches_numpy_em(spark):
     emb = load_table(spark, SF, "embeddings")
     x = np.asarray(
@@ -69,6 +70,7 @@ def test_gmm_matches_numpy_em(spark):
     assert np.allclose([h["ll"] for h in model.history], lls, rtol=1e-9)
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_gmm_loglik_monotone(spark):
     """EM's defining property: the log-likelihood never decreases
     (up to the var floor's clamping, which this data never hits)."""

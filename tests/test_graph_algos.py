@@ -60,6 +60,7 @@ def test_connected_components_random_vs_union_find(spark):
     assert got == want
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_pagerank_star_and_sum(spark):
     # star: 1..4 all point at 0; 0 is dangling
     g = _graph(spark, 5, [(1, 0), (2, 0), (3, 0), (4, 0)])
@@ -69,6 +70,7 @@ def test_pagerank_star_and_sum(spark):
     assert ranks[1] == pytest.approx(ranks[2]) == pytest.approx(ranks[3])
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_pagerank_matches_power_iteration(spark):
     rng = np.random.RandomState(5)
     n = 25
@@ -637,6 +639,7 @@ def test_closeness_and_eccentricity_closed_forms(spark):
     assert got[0].reached == 2  # its own component only
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_personalized_pagerank_matches_power_iteration(spark):
     """PPR vs a driver-side power iteration with teleport-to-seeds and
     dangling-to-seeds on a random directed graph (round 7)."""
@@ -673,6 +676,7 @@ def test_personalized_pagerank_matches_power_iteration(spark):
         assert got[i] == pytest.approx(r[i], abs=1e-9), i
 
 
+@pytest.mark.slow  # >=10 s (r15 tiering)
 def test_personalized_pagerank_confines_mass_to_seed_component(spark):
     """Two disconnected triangles; seeds in the first: the second holds
     exact 0.0 — the property that separates PPR from global PageRank."""
@@ -739,6 +743,7 @@ def test_assortativity_star_is_minus_one(spark):
     assert degree_assortativity(cyc).first().assortativity is None
 
 
+@pytest.mark.slow  # >=10 s (r15 tiering)
 def test_louvain_separates_bridged_cliques(spark):
     """Two 4-cliques joined by one bridge: Louvain must keep them as two
     communities (merging across the bridge lowers Q), label each by its
@@ -768,6 +773,7 @@ def test_louvain_separates_bridged_cliques(spark):
     assert q_l > q_s
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_louvain_contraction_merges_ring_of_cliques(spark):
     """The contraction level must do real work: on a ring of 12
     triangles joined by single bridges, phase 1 resolves exactly the 12
@@ -807,6 +813,7 @@ def test_louvain_contraction_merges_ring_of_cliques(spark):
         assert len({got3[i] for i in t}) == 1, (t, got3)
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_louvain_partitioning_invariant(spark):
     """Same graph, hostile repartition -> identical communities (the
     move rule is argmin over a struct with deterministic tie-break;

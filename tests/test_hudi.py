@@ -368,6 +368,7 @@ def test_create_errors(spark, tmp_path, table):
         read_hudi(spark, str(tmp_path / "missing"))
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_random_sequence_matches_dict_replay(spark, tmp_path):
     """Seeded upsert/delete sequence vs a plain-dict oracle."""
     import random

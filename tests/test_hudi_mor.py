@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from graph_db_clustering_spark.sources import hudi_mor as M
 from graph_db_clustering_spark.sources.hudi import (
+
     HudiError,
     hudi_create,
     hudi_delete,
@@ -22,6 +23,8 @@ from graph_db_clustering_spark.sources.hudi import (
     read_hudi,
     read_hudi_incremental,
 )
+
+pytestmark = pytest.mark.slow  # heavy tier (r15): run with -m slow
 
 META = [
     "_hoodie_commit_time",

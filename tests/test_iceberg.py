@@ -172,6 +172,7 @@ MANIFEST_SCHEMA_V2 = {
 }
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_iceberg_position_and_equality_deletes(spark, tmp_path):
     """Format-v2 merge-on-read: a position-delete file removes exact
     (file, row_index) pairs; an equality delete removes matching rows

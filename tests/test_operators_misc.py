@@ -834,6 +834,7 @@ def test_events_cusum_counts_the_implicit_zero_prefix(spark, tmp_path):
     assert out[2].n_alarms == 0 and abs(out[2].peak_cusum - 5.0) < 1e-9
 
 
+@pytest.mark.slow  # >=10 s (r15 tiering)
 def test_weighted_sample_bias_and_invariance(spark):
     """Efraimidis-Spirakis: 20-of-200 draw where half the items carry
     9x weight — across 40 seeds the heavy half must dominate the

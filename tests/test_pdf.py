@@ -5,6 +5,8 @@ from pyspark.sql import functions as F
 
 from graph_db_clustering_spark.functions import pdf
 
+pytestmark = pytest.mark.slow  # heavy tier (r15): run with -m slow
+
 
 def test_roundtrip_flate_and_raw():
     pages = [["hello world", "second (line) with \\ escapes"], ["page two"]]

@@ -33,6 +33,7 @@ def test_gopher_short_doc_flagged(spark):
     assert r.g_wc and not r.kept
 
 
+@pytest.mark.slow  # >=10 s (r15 tiering)
 def test_gopher_mean_word_length_bounds(spark):
     r = _flags(spark, " ".join(["a"] * 60))
     assert r.g_mwl

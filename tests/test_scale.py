@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from graph_db_clustering_spark.operators import dedup, similarity
 
+pytestmark = pytest.mark.slow  # heavy tier (r15): run with -m slow
+
 N_DOCS = 50_000  # ~10x the sf0.1 documents table (5,000 rows)
 MEGA = 200  # one mega-cluster: identical text -> identical signature
 # -> the same bucket in EVERY band (the hot-band case)

@@ -405,6 +405,7 @@ def test_cluster_medoids_clara_sampling(spark):
     assert 0 <= s1[0] < 40 and 100 <= s1[1] < 140  # a member of its cluster
 
 
+@pytest.mark.slow  # >=10 s (r15 tiering)
 def test_dbscan_blobs_border_and_noise(spark):
     """Two tight blobs + one isolated point: blobs become two clusters
     labeled by their min core id, the straggler is noise (-1); a
@@ -508,6 +509,7 @@ def test_logreg_matches_driver_newton_and_separation(spark):
     assert np.isfinite(ms["coef"][0]) and ms["converged"]
 
 
+@pytest.mark.slow  # >=10 s (r15 tiering)
 def test_pic_separates_blobs_like_dbscan(spark):
     """Two well-separated 2-D blobs: PIC's pseudo-eigenvector k-means
     recovers the same two groups DBSCAN finds, deterministically."""
@@ -588,6 +590,7 @@ def test_ridge_r2_uses_unpenalized_sse(spark):
     assert ridge["r2"] <= plain["r2"] + 1e-12
 
 
+@pytest.mark.slow  # >=10 s (r15 tiering)
 def test_moment_reduce_is_partition_count_invariant(spark):
     """Round 9 (VERDICT Next #6): the fits' moment partials merge in
     the shuffle tree, so the driver-facing result is identical (to

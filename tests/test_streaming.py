@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from graph_db_clustering_spark.catalog import load_table
 from graph_db_clustering_spark.queries.corpus import QUERIES
 from graph_db_clustering_spark.streaming import (
+
     dedup_events,
     first_event_per_user_type,
     read_events_stream,
@@ -23,6 +24,8 @@ from graph_db_clustering_spark.streaming import (
     stream_static_join,
     tumbling_counts,
 )
+
+pytestmark = pytest.mark.slow  # heavy tier (r15): run with -m slow
 
 SF = "/root/testdata/sf0.001"
 

@@ -358,6 +358,7 @@ def test_deterministic_shuffle_negative_ids_stay_in_range(spark):
     assert got.count() == 1000
 
 
+@pytest.mark.slow  # >=15 s (r15 tiering)
 def test_zorder_layout_tightens_file_bounding_boxes(spark, sf_dir, tmp_path):
     """The data-skipping claim, measured: write orders once sorted
     linearly by x and once Z-ordered over (x, y) buckets, then read
